@@ -1,0 +1,741 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Error type for graph-construction-time validation failures.
+  *
+  * Matches the reference's eager, driver-side error reporting: bad maps,
+  * reduces, or splices fail at the call site, never at execution
+  * (reference: src/cyclebane/graph.py:316-334, node_values.py:54-93).
+  */
+final class GraftException(msg: String) extends IllegalArgumentException(msg)
+
+/** One `map` call's parameter table: a set of dims backed by one DataFrame.
+  *
+  * The Spark translation of the reference's `ValueArray`/`NodeValues` pair
+  * (reference: src/cyclebane/value_array.py:16-105, node_values.py:17-129).
+  * An N-D array-like is held in long/tidy form: one label column per dim
+  * plus one value column per jointly-mapped node. Columns jointly mapped in
+  * one call share the dims (zip semantics, node_values.py:95-110); separate
+  * `map` calls create independent `DimGroup`s whose dims cross-multiply at
+  * shared descendants.
+  *
+  * A dim absent from `labelCols` is *positional* (range labels 0..n-1, like
+  * the reference's `SequenceAdapter`, value_array_adapters.py:23-68): its
+  * labels are materialized lazily via `zipWithIndex` only when actually
+  * observed, because at 100 TB a row-position column is an extra full pass
+  * we refuse to pay unless the query semantics demand it.
+  */
+final case class DimGroup(
+    dims: Vector[String],
+    df: DataFrame,
+    valueCols: Map[String, String],
+    labelCols: Map[String, String]
+) {
+  require(dims.nonEmpty, "DimGroup needs at least one dim")
+
+  def positionalDim: Option[String] = dims.find(d => !labelCols.contains(d))
+
+  /** df extended with the positional-label column for the positional dim.
+    * RDD zipWithIndex: distributed, deterministic for a deterministic
+    * source, no single-partition window.
+    */
+  lazy val withPositions: DataFrame = positionalDim match {
+    case None => df
+    case Some(d) =>
+      val spark = df.sparkSession
+      val schema = df.schema.add(TaskGraph.posCol(d), LongType, nullable = false)
+      val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+      spark.createDataFrame(rdd, schema)
+  }
+
+  /** The group's frame: value columns renamed to node names, label columns
+    * renamed to dim names. Positional labels only materialized on request.
+    */
+  def frame(needPositional: Boolean): DataFrame = {
+    val base = if (needPositional && positionalDim.isDefined) withPositions else df
+    val dimCols = dims.flatMap { d =>
+      if (labelCols.contains(d)) Some(col(labelCols(d)).as(d))
+      else if (needPositional) Some(col(TaskGraph.posCol(d)).as(d))
+      else None
+    }
+    val nodeCols = valueCols.toSeq.sortBy(_._1).map { case (n, c) => col(c).as(n) }
+    base.select(dimCols ++ nodeCols: _*)
+  }
+
+  /** Labels of one dim, in array order (for re-map validation). */
+  def labelFrame(dim: String): DataFrame =
+    (if (labelCols.contains(dim)) df.select(col(labelCols(dim)).as(dim))
+     else withPositions.select(col(TaskGraph.posCol(dim)).as(dim)))
+
+  /** Positional slice [lo, hi) of `dim` (reference graph.py:154-178).
+    * Labels follow the slice — the original labels survive
+    * (graph_test.py:970-1038). For a labeled dim, position is defined as
+    * rank in ascending label order: the stable, scale-safe Spark semantics
+    * (physical row order across partitions carries no meaning); the
+    * positional dim uses true array order via zipWithIndex.
+    */
+  def sliceByPosition(dim: String, lo: Int, hi: Int): DimGroup = {
+    require(dims.contains(dim), s"dim '$dim' not in group")
+    labelCols.get(dim) match {
+      case None =>
+        val pc = TaskGraph.posCol(dim)
+        val sliced = withPositions.filter(col(pc) >= lo && col(pc) < hi)
+        // The dim keeps its original positional labels; they become
+        // explicit (the dim is now label-backed by the old positions).
+        copy(df = sliced, labelCols = labelCols + (dim -> pc))
+      case Some(lc) =>
+        val pc = "__rank_" + dim
+        val ranked = df.withColumn(pc, row_number().over(Window.orderBy(col(lc))) - 1)
+        copy(df = ranked.filter(col(pc) >= lo && col(pc) < hi).drop(pc))
+    }
+  }
+
+  /** Label-based point selection on `dim` (reference value_array.py:56-58). */
+  def selLabel(dim: String, label: Any): DimGroup = {
+    require(dims.contains(dim), s"dim '$dim' not in group")
+    labelCols.get(dim) match {
+      case Some(lc) => copy(df = df.filter(col(lc) === lit(label)))
+      case None =>
+        val pc = TaskGraph.posCol(dim)
+        copy(df = withPositions.filter(col(pc) === lit(label)),
+          labelCols = labelCols + (dim -> pc))
+    }
+  }
+
+  /** Label-range slice [lo, hi) on `dim` (reference value_array.py:60-71). */
+  def sliceByLabel(dim: String, lo: Any, hi: Any): DimGroup = {
+    require(dims.contains(dim), s"dim '$dim' not in group")
+    val lc = labelCols.getOrElse(dim,
+      throw new GraftException(s"dim '$dim' is positional; use sliceByPosition"))
+    copy(df = df.filter(col(lc) >= lit(lo) && col(lc) < lit(hi)))
+  }
+}
+
+/** How a reduce-style node derives from its predecessor.
+  *
+  * @param pred     the reduced node
+  * @param reduced  dims consumed by this reduce (dims of `pred` at creation
+  *                 time for reduce-all; later-mapped dims pass through, as
+  *                 in the reference where later maps relabel reduce nodes)
+  * @param groupKey for `groupby(col).reduce(...)`: the key node whose values
+  *                 become the new dim's labels (reference graph.py:540-592)
+  */
+final case class ReduceSpec(
+    pred: String,
+    reduced: Vector[String],
+    groupKey: Option[String]
+)
+
+/** The engine's task graph: an immutable DAG of named nodes over lazy
+  * DataFrame parameter tables.
+  *
+  * This is the Spark-native equivalent of the reference's `Graph`
+  * (src/cyclebane/graph.py:184-592). The reference only rewrites graph
+  * metadata and delegates execution; here the same driver-side metadata
+  * moves are kept (cheap, eager-validated), but `result`/`taskTable`
+  * *execute* the expanded plan as DataFrame dataflows — Catalyst plans the
+  * joins/aggregations, so the Cartesian node expansion the reference
+  * performs driver-side (graph.py:367-424) never materializes: it stays a
+  * lazy relational plan that scales out.
+  *
+  * Node execution semantics:
+  *  - mapped source node: value column of its `DimGroup`.
+  *  - derived node with attr "expr": SQL expression over its predecessors'
+  *    value columns (the engine's executable payload; the reference carries
+  *    opaque attrs for an external scheduler, graph.py:285,311).
+  *  - derived node without "expr": pass-through (single pred) or
+  *    struct(preds).
+  *  - reduce node: aggregate attr "func" (sum/min/max/count/avg/...) over
+  *    the consumed dims; default is the order-stable structural collect
+  *    `sort_array(collect_list(...))` for reference fan-in parity.
+  */
+final case class TaskGraph(
+    dag: Dag,
+    groups: Vector[DimGroup],
+    reduces: Map[String, ReduceSpec]
+) {
+
+  // ---------------------------------------------------------------- catalog
+
+  /** node -> group index for mapped source nodes. */
+  lazy val mappedNode: Map[String, Int] =
+    groups.zipWithIndex.flatMap { case (g, i) => g.valueCols.keys.map(_ -> i) }.toMap
+
+  def isMapped(n: String): Boolean = mappedNode.contains(n)
+
+  /** Groupby-created dims (named after their key node), insertion-ordered. */
+  lazy val groupbyDims: Vector[String] =
+    dag.nodeList.flatMap(n => reduces.get(n).flatMap(_.groupKey)).distinct
+
+  /** Global dim ordering for derived-node dim tuples: later map calls
+    * *prepend* their dims (reference graph.py:109-112: `indices +
+    * node.indices`), so map dims rank newest-first (group order preserved
+    * within one call); groupby dims go last (axis-order rule, reference
+    * groupby_test.py:771-824).
+    */
+  private lazy val dimRank: Map[String, Int] =
+    (groups.reverse.flatMap(_.dims) ++ groupbyDims).zipWithIndex.toMap
+
+  /** Dims of each node, outermost first. */
+  lazy val nodeDims: Map[String, Vector[String]] = {
+    val m = scala.collection.mutable.Map.empty[String, Vector[String]]
+    dag.topologicalOrder.foreach { n =>
+      if (isMapped(n)) m(n) = groups(mappedNode(n)).dims
+      else reduces.get(n) match {
+        case Some(spec) =>
+          val predDims = m.getOrElse(spec.pred, Vector.empty)
+          val kept = predDims.filterNot(spec.reduced.contains)
+          val dims = spec.groupKey.fold(kept)(k => kept :+ k)
+          if (dims.nonEmpty) m(n) = dims
+        case None =>
+          val ds = dag.predecessors(n).flatMap(p => m.getOrElse(p, Vector.empty)).distinct
+          if (ds.nonEmpty) m(n) = ds.sortBy(d => dimRank.getOrElse(d, Int.MaxValue))
+      }
+    }
+    m.toMap
+  }
+
+  def dimsOf(n: String): Vector[String] = nodeDims.getOrElse(n, Vector.empty)
+
+  /** All dims of the graph, in insertion order (reference graph.py:229-237). */
+  def indexNames: Vector[String] = groups.flatMap(_.dims) ++ groupbyDims
+
+  /** Distinct labels of a dim, as a single-column DataFrame named after the
+    * dim. Stays lazy — label sets can be fact-table-sized.
+    */
+  def indices(dim: String): DataFrame =
+    groups.find(_.dims.contains(dim)) match {
+      case Some(g) => g.frame(needPositional = true).select(dim).distinct()
+      case None if groupbyDims.contains(dim) => result(dim).select(dim).distinct()
+      case None => throw new GraftException(s"unknown dim '$dim'")
+    }
+
+  // ------------------------------------------------------------------- map
+
+  /** Map source nodes over columns of a DataFrame (joint map: all columns
+    * share one new dim — zip semantics, reference node_values.py:95-110).
+    * Node names not yet in the graph are auto-added as sources (the
+    * labels-for-later-groupby pattern, reference graph.py:260-263); mapping
+    * a non-source node raises (graph.py:127-135).
+    *
+    * @param df       parameter table
+    * @param nodes    node name -> column name in df (default: every column
+    *                 except `indexCol`, mapped to the same-named node)
+    * @param indexCol label column for the new dim; None = positional labels
+    * @param dimName  name of the new dim; default `dim_<axis_zero>` with
+    *                 axis_zero = number of existing dims (graph.py:255-257)
+    */
+  def mapFrame(
+      df: DataFrame,
+      nodes: Map[String, String] = null,
+      indexCol: Option[String] = None,
+      dimName: String = null
+  ): TaskGraph = {
+    val nodeMap = Option(nodes).getOrElse {
+      df.columns.filterNot(indexCol.contains).map(c => c -> c).toMap
+    }
+    val dim = Option(dimName).getOrElse(s"dim_${indexNames.size}")
+    addGroup(DimGroup(
+      dims = Vector(dim),
+      df = df,
+      valueCols = nodeMap,
+      labelCols = indexCol.map(dim -> _).toMap))
+  }
+
+  /** Map a single node over an N-D array-like in tidy form: `dimLabels`
+    * gives (dim name -> label column) outermost first (reference N-D
+    * adapters, value_array_adapters.py:141-316).
+    */
+  def mapND(
+      node: String,
+      df: DataFrame,
+      dimLabels: Seq[(String, String)],
+      valueCol: String
+  ): TaskGraph =
+    addGroup(DimGroup(
+      dims = dimLabels.map(_._1).toVector,
+      df = df,
+      valueCols = Map(node -> valueCol),
+      labelCols = dimLabels.toMap))
+
+  /** Map nodes over in-memory sequences (reference `SequenceAdapter`,
+    * value_array_adapters.py:23-68): all sequences share one positional dim
+    * and must have equal length (node_values.py:104-109).
+    */
+  def mapSeqs(values: Map[String, Seq[Any]])(implicit spark: SparkSession): TaskGraph = {
+    require(values.nonEmpty, "empty map")
+    val sizes = values.values.map(_.size).toSet
+    if (sizes.size > 1)
+      throw new GraftException(
+        "All value sequences in a map operation must have the same shape. " +
+          "Use multiple map operations if necessary.")
+    val names = values.keys.toVector.sorted
+    val rows = (0 until sizes.head).map(i => Row.fromSeq(names.map(n => values(n)(i))))
+    val schema = StructType(names.map(n => StructField(n, TaskGraph.sparkTypeOf(values(n)))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    mapFrame(df, names.map(n => n -> n).toMap, indexCol = None)
+  }
+
+  private def addGroup(group: DimGroup): TaskGraph = {
+    group.dims.foreach { d =>
+      if (indexNames.contains(d))
+        throw new GraftException(s"dim '$d' already exists in the graph")
+    }
+    var d = dag
+    var gs = groups
+    var freshCols = group.valueCols
+    group.valueCols.foreach { case (n, _) =>
+      if (d.contains(n)) {
+        if (d.predecessors(n).nonEmpty)
+          throw new GraftException(s"Mapped node '$n' is not a source node")
+        if (isMapped(n)) {
+          // Re-map rules (reference node_values.py:54-93): same labels and
+          // values -> no-op; same labels, new values -> replace; different
+          // labels -> error. Dim names may differ when auto-generated.
+          val old = groups(mappedNode(n))
+          if (old.dims.size != group.dims.size)
+            throw new GraftException(s"Node '$n' has already been mapped")
+          val labelsMatch = old.dims.zip(group.dims).forall { case (od, nd) =>
+            TaskGraph.sameData(old.labelFrame(od).toDF("l"), group.labelFrame(nd).toDF("l"))
+          }
+          if (!labelsMatch)
+            throw new GraftException(
+              s"Node '$n' has already been mapped with different indices")
+          val valuesMatch = TaskGraph.sameData(
+            old.df.select(col(old.valueCols(n)).as("v")),
+            group.df.select(col(group.valueCols(n)).as("v")))
+          if (valuesMatch) freshCols -= n // no-op
+          else gs = gs.map(og => // replace: new mapping wins
+            if (og eq old) og.copy(valueCols = og.valueCols - n) else og)
+        }
+      } else d = d.addNode(n)
+    }
+    if (freshCols.isEmpty) return copy(dag = d, groups = gs.filter(_.valueCols.nonEmpty))
+    copy(dag = d, groups = gs.filter(_.valueCols.nonEmpty) :+ group.copy(valueCols = freshCols))
+  }
+
+  // ---------------------------------------------------------------- derive
+
+  /** Add a derived node computing a SQL expression over its predecessors'
+    * value columns. This is the engine's executable payload (the [ext]
+    * surface); the reference's nodes carry opaque attrs consumed by
+    * external schedulers (graph.py:285,311).
+    */
+  def withExpr(name: String, preds: Seq[String], sqlExpr: String,
+      attrs: Map[String, String] = Map.empty): TaskGraph =
+    withNode(name, preds, attrs + ("expr" -> sqlExpr))
+
+  /** Add a plain (opaque) node with edges from preds. */
+  def withNode(name: String, preds: Seq[String],
+      attrs: Map[String, String] = Map.empty): TaskGraph = {
+    if (dag.contains(name))
+      throw new GraftException(s"Node '$name' already exists in the graph.")
+    var d = dag.addNode(name, attrs)
+    preds.foreach { p =>
+      require(d.contains(p), s"unknown predecessor '$p'")
+      d = d.addEdge(p, name)
+    }
+    copy(dag = d)
+  }
+
+  // ---------------------------------------------------------------- reduce
+
+  /** Add a fan-in node reducing `key` over one dim (`index` by name, `axis`
+    * by position into the node's dim tuple) or all dims if neither given
+    * (reference graph.py:278-341). The reduced node is kept — multiple
+    * reduces of the same node coexist (graph_test.py:494-543).
+    */
+  def reduce(
+      key: String = null,
+      index: String = null,
+      axis: Integer = null,
+      name: String = null,
+      attrs: Map[String, String] = Map.empty
+  ): TaskGraph =
+    reduceImpl(key, Option(index), Option(axis).map(_.intValue), name, attrs, None)
+
+  private[core] def reduceImpl(
+      key0: String, index: Option[String], axis: Option[Int],
+      name0: String, attrs: Map[String, String], extraDim: Option[String]
+  ): TaskGraph = {
+    if (index.isDefined && axis.isDefined)
+      throw new GraftException("Only one of index and axis can be given")
+    val key = Option(key0).getOrElse(dag.uniqueSink)
+    require(dag.contains(key), s"unknown node '$key'")
+    val name = Option(name0).getOrElse(
+      "reduce_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    if (dag.contains(name))
+      throw new GraftException(s"Node '$name' already exists in the graph.")
+    val dims = dimsOf(key)
+    index.foreach { i =>
+      if (!dims.contains(i))
+        throw new GraftException(s"Node '$key' does not have index '$i'.")
+    }
+    axis.foreach { a =>
+      if (a < 0 || a >= dims.size)
+        throw new GraftException(s"Node '$key' does not have axis '$a'.")
+    }
+    val reduced: Vector[String] =
+      if (index.isDefined) Vector(index.get)
+      else if (axis.isDefined) Vector(dims(axis.get))
+      else dims
+    val d = dag.addNode(name, attrs).addEdge(key, name)
+    copy(dag = d, reduces = reduces + (name -> ReduceSpec(key, reduced, extraDim)))
+  }
+
+  /** Start a value-based grouping on a mapped column (reference
+    * graph.py:275-276, 540-592).
+    */
+  def groupby(keyNode: String): GroupbyTaskGraph = {
+    if (!isMapped(keyNode))
+      throw new GraftException(s"Node '$keyNode' is not mapped; cannot groupby.")
+    new GroupbyTaskGraph(this, keyNode)
+  }
+
+  // --------------------------------------------------------------- slicing
+
+  /** Positional slice [lo, hi) of `dim` before expansion: the graph shape
+    * is unchanged, fewer copies materialize (reference graph.py:154-178) —
+    * i.e. a predicate pushed below the whole expansion.
+    */
+  def byPosition(dim: String, lo: Int, hi: Int): TaskGraph =
+    mapGroupsForDim(dim)(_.sliceByPosition(dim, lo, hi))
+
+  /** Label-based point selection on `dim` (reference value_array.py:56-58). */
+  def sel(dim: String, label: Any): TaskGraph =
+    mapGroupsForDim(dim)(_.selLabel(dim, label))
+
+  /** Label-range slice [lo, hi) on `dim` (reference value_array.py:60-71). */
+  def loc(dim: String, lo: Any, hi: Any): TaskGraph =
+    mapGroupsForDim(dim)(_.sliceByLabel(dim, lo, hi))
+
+  private def mapGroupsForDim(dim: String)(f: DimGroup => DimGroup): TaskGraph = {
+    if (!groups.exists(_.dims.contains(dim)))
+      throw new GraftException(s"unknown dim '$dim'")
+    copy(groups = groups.map(g => if (g.dims.contains(dim)) f(g) else g))
+  }
+
+  // ------------------------------------------------------------ branch ops
+
+  /** Branch select: subgraph of `key` + all ancestors; drops node values
+    * not in the branch (reference graph.py:443-461).
+    */
+  def getItem(key: String): TaskGraph = {
+    require(dag.contains(key), s"unknown node '$key'")
+    prunedDag(dag.subgraph(dag.ancestors(key) + key))
+  }
+
+  /** Branch delete: remove `key`'s exclusive ancestors (those not feeding
+    * other sinks) and its attrs; `key` stays as a bare input. Refuses on
+    * mapped nodes (reference graph.py:463-478, 30-53).
+    */
+  def delItem(key: String): TaskGraph = {
+    require(dag.contains(key), s"unknown node '$key'")
+    if (isMapped(key) || dimsOf(key).nonEmpty)
+      throw new GraftException("Cannot delete mapped node.")
+    val d1 = removeExclusiveAncestors(key)
+    prunedDag(Dag(d1.nodeList, d1.attrs + (key -> Map.empty[String, String]),
+      d1.edgeList.filterNot(_._2 == key)))
+  }
+
+  /** Ancestors of `key` whose every remaining path leads only into `key`
+    * are removed (reference `_remove_ancestors`, graph.py:30-53).
+    */
+  private def removeExclusiveAncestors(key: String): Dag = {
+    val anc = dag.ancestors(key)
+    val withoutKey = dag.removeNodes(Set(key))
+    val toRemove = anc.filter(a => withoutKey.descendants(a).subsetOf(anc))
+    dag.removeNodes(toRemove)
+  }
+
+  /** Branch replace/compose: splice `other` in at `key`, renaming `other`'s
+    * unique sink to `key` (reference graph.py:480-537). Intersecting nodes
+    * must have identical predecessors and attrs; node values merge with the
+    * renamed sink's values preserved; mapped-on-unmapped raises.
+    */
+  def setItem(key: String, other: TaskGraph): TaskGraph = {
+    val sink = other.dag.uniqueSink
+    val sinkMapped = other.isMapped(sink) || other.dimsOf(sink).nonEmpty
+    val keyMapped = dag.contains(key) && (isMapped(key) || dimsOf(key).nonEmpty)
+    if (sinkMapped != keyMapped)
+      throw new GraftException(
+        "Trying to set mapped node on non-mapped node (or vice versa) is " +
+          "not possible in setItem")
+    val renamedDag = if (sink == key) other.dag else other.dag.renameNode(sink, key)
+    val base: Dag =
+      if (dag.contains(key)) {
+        val d = removeExclusiveAncestors(key)
+        Dag(d.nodeList, d.attrs, d.edgeList.filterNot(_._2 == key))
+      } else dag
+    val intersection = base.nodes.intersect(renamedDag.nodes) - key
+    intersection.foreach { n =>
+      if (base.predecessors(n).toSet != renamedDag.predecessors(n).toSet)
+        throw new GraftException(s"Node inputs differ for node '$n'")
+      if (base.attrs.getOrElse(n, Map.empty) != renamedDag.attrs.getOrElse(n, Map.empty))
+        throw new GraftException(s"Node data differs for node '$n'")
+    }
+    val composed = base.compose(renamedDag)
+    // Merge node values (node_values.py:54-93), renaming the sink's mapping
+    // to `key` (graph.py:524-535).
+    val renamedGroups = other.groups.map { g =>
+      if (g.valueCols.contains(sink) && sink != key)
+        g.copy(valueCols = (g.valueCols - sink) + (key -> g.valueCols(sink)))
+      else g
+    }
+    val renamedReduces = other.reduces.map {
+      case (n, spec) =>
+        val n2 = if (n == sink) key else n
+        val p2 = if (spec.pred == sink) key else spec.pred
+        n2 -> spec.copy(pred = p2)
+    }
+    var merged = prunedDag(composed)
+    renamedGroups.foreach { g =>
+      var fresh = g.valueCols
+      g.valueCols.foreach { case (n, _) =>
+        if (merged.isMapped(n)) {
+          val old = merged.groups(merged.mappedNode(n))
+          if (old.dims.size != g.dims.size)
+            throw new GraftException(s"Node '$n' has already been mapped")
+          val labelsMatch = old.dims.zip(g.dims).forall { case (od, nd) =>
+            TaskGraph.sameData(old.labelFrame(od).toDF("l"), g.labelFrame(nd).toDF("l"))
+          }
+          if (!labelsMatch)
+            throw new GraftException(
+              s"Node '$n' has already been mapped with different indices")
+          val valuesMatch = TaskGraph.sameData(
+            old.df.select(col(old.valueCols(n)).as("v")),
+            g.df.select(col(g.valueCols(n)).as("v")))
+          if (!valuesMatch)
+            throw new GraftException(
+              s"Node '$n' has already been mapped with different values")
+          fresh -= n
+        }
+      }
+      if (fresh.nonEmpty) {
+        // shared-dim label consistency across graphs (node_values.py:79-90)
+        g.dims.foreach { dim =>
+          merged.groups.filter(og => (og ne g) && og.dims.contains(dim)).foreach { og =>
+            if (!TaskGraph.sameData(
+                og.frame(true).select(dim).distinct(),
+                g.frame(true).select(dim).distinct()))
+              throw new GraftException(
+                s"""Conflicting index values for index name "$dim"""")
+          }
+        }
+        merged = merged.copy(groups = merged.groups :+ g.copy(valueCols = fresh))
+      }
+    }
+    merged.copy(reduces = merged.reduces ++ renamedReduces
+      .filter { case (n, spec) => composed.contains(n) && composed.contains(spec.pred) })
+  }
+
+  /** Rebuild catalog consistency after DAG surgery: drop value mappings and
+    * reduce specs for nodes no longer present; drop empty groups.
+    */
+  private def prunedDag(d: Dag): TaskGraph = {
+    val gs = groups
+      .map(g => g.copy(valueCols = g.valueCols.filter { case (n, _) => d.contains(n) }))
+      .filter(_.valueCols.nonEmpty)
+    val rs = reduces.filter { case (n, spec) => d.contains(n) && d.contains(spec.pred) }
+    TaskGraph(d, gs, rs)
+  }
+
+  // ------------------------------------------------------------- execution
+
+  /** The expansion frame of a node: a lazy DataFrame with one label column
+    * per dim of the node (named after the dim) plus the node's value column
+    * (named after the node) — plus any co-grouped sibling columns that
+    * arrive free. This replaces the reference's driver-side Cartesian clone
+    * expansion (graph.py:367-424): the expansion is *declared* relationally
+    * and Catalyst plans it, so it never materializes on the driver and
+    * scales to arbitrarily large dims.
+    *
+    * Co-grouped predecessors are read from their shared `DimGroup` in one
+    * scan (no self-joins on row identity); independent dims combine via
+    * crossJoin (the reference's chained-map cross product,
+    * graph_test.py:382-402); shared dims via equi-join on the dim label.
+    */
+  def result(node: String, needPositional: Boolean = false): DataFrame = {
+    require(dag.contains(node), s"unknown node '$node'")
+    val memo = scala.collection.mutable.Map.empty[(String, Boolean), DataFrame]
+    frameOf(node, needPositional, memo)
+  }
+
+  /** Is `d` a positional dim whose labels are not yet materialized? */
+  private def isPositionalDim(d: String): Boolean =
+    groups.exists(g => g.dims.contains(d) && !g.labelCols.contains(d))
+
+  private def frameOf(n: String, needPos: Boolean,
+      memo: scala.collection.mutable.Map[(String, Boolean), DataFrame]): DataFrame =
+    memo.getOrElseUpdate((n, needPos), {
+      if (isMapped(n)) groups(mappedNode(n)).frame(needPos)
+      else reduces.get(n) match {
+        case Some(spec) => reduceFrame(n, spec, needPos, memo)
+        case None =>
+          val preds = dag.predecessors(n)
+          if (preds.isEmpty) {
+            val spark = groups.headOption.map(_.df.sparkSession)
+              .getOrElse(SparkSession.active)
+            spark.range(1).select(lit(null).cast("string").as(n))
+          } else {
+            val base = mergePredFrames(preds, needPos, memo)
+            val attrs = dag.attrs.getOrElse(n, Map.empty)
+            attrs.get("expr") match {
+              case Some(e) => base.withColumn(n, expr(e))
+              case None if preds.size == 1 && base.columns.contains(preds.head) =>
+                base.withColumn(n, col(preds.head))
+              case None =>
+                base.withColumn(n, struct(preds.filter(base.columns.contains).map(col): _*))
+            }
+          }
+      }
+    })
+
+  /** Join predecessor frames: a pred whose column is already present came
+    * along with a co-grouped sibling (skip — no self-join); shared dims
+    * equi-join on the dim label; disjoint dims crossJoin.
+    */
+  private def mergePredFrames(preds: Seq[String], needPos: Boolean,
+      memo: scala.collection.mutable.Map[(String, Boolean), DataFrame]): DataFrame = {
+    var acc: DataFrame = null
+    preds.foreach { p =>
+      if (acc == null) acc = frameOf(p, needPos, memo)
+      else if (!acc.columns.contains(p)) {
+        val f = frameOf(p, needPos, memo)
+        val shared = acc.columns.intersect(f.columns).toSeq
+        acc = if (shared.nonEmpty) acc.join(f, shared) else acc.crossJoin(f)
+      }
+    }
+    acc
+  }
+
+  private def reduceFrame(n: String, spec: ReduceSpec, needPos: Boolean,
+      memo: scala.collection.mutable.Map[(String, Boolean), DataFrame]): DataFrame = {
+    val keptDims0 = dimsOf(n)
+    // Positional dims that survive the reduce are observed as group keys:
+    // their labels must be materialized in the predecessor frame.
+    val needPredPos = needPos || keptDims0.exists(isPositionalDim)
+    val predFrame = frameOf(spec.pred, needPredPos, memo)
+    val attrs = dag.attrs.getOrElse(n, Map.empty)
+    val aggExpr: Column = TaskGraph.aggFor(attrs, col(spec.pred)).as(n)
+    val keptDims = keptDims0
+    spec.groupKey match {
+      case None =>
+        if (keptDims.isEmpty) predFrame.agg(aggExpr)
+        else predFrame.groupBy(keptDims.map(col): _*).agg(aggExpr)
+      case Some(k) =>
+        // Group labels = values of key node k. The key column is already in
+        // the frame when co-grouped (the common case): single-scan groupBy,
+        // no join — a map-side-combinable hash aggregation.
+        val withKey =
+          if (predFrame.columns.contains(k)) predFrame
+          else {
+            val kf = frameOf(k, needPredPos, memo)
+            val shared = predFrame.columns.intersect(kf.columns).toSeq
+            require(shared.nonEmpty, s"groupby key '$k' shares no dim with '${spec.pred}'")
+            predFrame.join(kf, shared)
+          }
+        withKey.groupBy(keptDims.map(col): _*).agg(aggExpr)
+    }
+  }
+
+  /** Materialized task table: one row per node copy, with the node name,
+    * its index labels (as strings) and its value (as string) — the parity
+    * equivalent of the reference's `to_networkx()` (graph.py:367-424).
+    * Tests/small graphs only: production consumers use `result(node)`.
+    */
+  def taskTable(): DataFrame = {
+    val frames = dag.topologicalOrder.map { n =>
+      val dims = dimsOf(n)
+      val f = result(n, needPositional = true)
+      val idx =
+        if (dims.isEmpty) expr("map()").cast("map<string,string>")
+        else map_from_arrays(
+          array(dims.map(lit(_)): _*),
+          array(dims.map(d => col(d).cast("string")): _*))
+      f.select(lit(n).as("node"), idx.as("index"), col(n).cast("string").as("value"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+}
+
+/** Intermediate for `groupby(col).reduce(...)` (reference graph.py:540-592). */
+final class GroupbyTaskGraph(g: TaskGraph, keyNode: String) {
+  /** Fan-in per distinct value of the groupby column. The consumed dim is
+    * the key column's own (first) dim; the new dim is named after the key
+    * column and appended last (reference graph.py:555-556, 586-592;
+    * axis-order rule groupby_test.py:771-824).
+    */
+  def reduce(key: String = null, name: String = null,
+      attrs: Map[String, String] = Map.empty): TaskGraph = {
+    val consumed = g.dimsOf(keyNode).headOption.getOrElse(
+      throw new GraftException(s"groupby key '$keyNode' has no dims"))
+    g.reduceImpl(key, Some(consumed), None, name, attrs, Some(keyNode))
+  }
+}
+
+object TaskGraph {
+
+  def posCol(dim: String): String = "__pos_" + dim
+
+  /** Graph from a bare DAG shape (reference `Graph.__init__`). */
+  def apply(dag: Dag): TaskGraph = TaskGraph(dag, Vector.empty, Map.empty)
+
+  /** Linear chain helper (`a -> b -> c`). */
+  def chain(names: String*): TaskGraph = TaskGraph(Dag.chain(names: _*))
+
+  def fromEdges(edges: (String, String)*): TaskGraph =
+    TaskGraph(Dag.fromEdges(edges: _*))
+
+  /** Aggregate for a reduce node from its attrs (the executable engine
+    * surface; reference nodes carry `attrs={'func': ...}` for an external
+    * executor, graph_test.py:405-415). Default: order-stable structural
+    * collect for reference fan-in parity. `sum_exact`/`avg_exact` sum via
+    * decimal for order-independent floating-point results.
+    */
+  def aggFor(attrs: Map[String, String], c: Column): Column =
+    attrs.getOrElse("func", "collect") match {
+      case "sum" => sum(c)
+      case "sum_exact" => sum(c.cast("decimal(27,6)")).cast("double")
+      case "min" => min(c)
+      case "max" => max(c)
+      case "count" => count(c)
+      case "avg" | "mean" => avg(c)
+      case "avg_exact" => (sum(c.cast("decimal(27,6)")) / count(c)).cast("double")
+      case "collect_set" => sort_array(collect_set(c))
+      case "collect" | "collect_list" => sort_array(collect_list(c))
+      case other => call_function(other, c)
+    }
+
+  /** Semantic data equality for re-map validation: plan-level `sameResult`
+    * first (free), then a bounded collect compare. Parameter tables are
+    * metadata-scale; this is never applied to fact-scale data.
+    */
+  def sameData(a: DataFrame, b: DataFrame, maxRows: Int = 100000): Boolean = {
+    if (a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)) return true
+    if (a.schema.fields.map(_.dataType).toSeq != b.schema.fields.map(_.dataType).toSeq)
+      return false
+    val aRows = a.limit(maxRows + 1).collect()
+    if (aRows.length > maxRows)
+      throw new GraftException("parameter table too large for value-equality validation")
+    val bRows = b.limit(maxRows + 1).collect()
+    aRows.map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq ==
+      bRows.map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+  }
+
+  def sparkTypeOf(s: Seq[Any]): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    s.headOption match {
+      case Some(_: Int) => IntegerType
+      case Some(_: Long) => LongType
+      case Some(_: Double) => DoubleType
+      case Some(_: String) => StringType
+      case Some(_: Boolean) => BooleanType
+      case _ => StringType
+    }
+  }
+}

@@ -1,0 +1,264 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral contract ported from the reference test suite
+  * (reference: tests/graph_test.py, tests/groupby_test.py,
+  * tests/node_values_test.py) — see SURVEY.md §2.2. Assertions run on
+  * expansion DataFrames instead of NetworkX node sets.
+  */
+class TaskGraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+  implicit def s: SparkSession = spark
+
+  // --- map basics ---------------------------------------------------------
+
+  test("map associates source values; descendants gain the dim") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3)))
+    assert(g.dimsOf("a") == Vector("dim_0"))
+    assert(g.dimsOf("b") == Vector("dim_0"))
+    assert(g.result("b").count() == 3)
+  }
+
+  test("joint map shares a dim (zip, not cross) — graph_test.py:371-379") {
+    val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .mapSeqs(Map("a" -> Seq(1, 2), "b" -> Seq(4, 5)))
+    assert(g.result("c").count() == 2)
+    assert(g.dimsOf("c") == Vector("dim_0"))
+  }
+
+  test("chained maps cross-multiply at shared descendants — graph_test.py:382-402") {
+    val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3)))
+      .mapSeqs(Map("b" -> Seq(4, 5)))
+    assert(g.result("c").count() == 6)
+    // second map prepends its dim (graph.py:109-112)
+    assert(g.dimsOf("c") == Vector("dim_1", "dim_0"))
+  }
+
+  test("unrelated nodes are not duplicated — graph_test.py:104-112") {
+    val g = TaskGraph.fromEdges("a" -> "b", "x" -> "y")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3)))
+    assert(g.dimsOf("x").isEmpty && g.dimsOf("y").isEmpty)
+    assert(g.result("y").count() == 1)
+  }
+
+  test("mapping a non-existent node adds it — graph_test.py:36-52") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(1, 2), "param" -> Seq(10, 20)))
+    assert(g.dag.contains("param"))
+    assert(g.dimsOf("param") == Vector("dim_0"))
+  }
+
+  test("mapping a non-source node raises — graph.py:127-135") {
+    val g = TaskGraph.chain("a", "b")
+    assertThrows[GraftException] {
+      g.mapSeqs(Map("b" -> Seq(1, 2)))
+    }
+  }
+
+  test("unequal shapes in one map raise — node_values.py:104-109") {
+    val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+    assertThrows[GraftException] {
+      g.mapSeqs(Map("a" -> Seq(1, 2), "b" -> Seq(1, 2, 3)))
+    }
+  }
+
+  test("re-map with same values is a no-op; different labels raise") {
+    val g = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq(1, 2, 3)))
+    val g2 = g.mapSeqs(Map("a" -> Seq(1, 2, 3)))
+    assert(g2.groups.size == 1) // no-op
+    assertThrows[GraftException] {
+      g.mapSeqs(Map("a" -> Seq(1, 2))) // different labels (length)
+    }
+  }
+
+  // --- reduce -------------------------------------------------------------
+
+  test("reduce-all collapses every dim; executes the agg") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3)))
+      .reduce(key = "b", name = "total", attrs = Map("func" -> "sum"))
+    val rows = g.result("total").collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("total") == 6L)
+  }
+
+  test("reduce keeps unreduced dims — graph_test.py:418-424") {
+    val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3)))
+      .mapSeqs(Map("b" -> Seq(10, 20)))
+      .withExpr("d", Seq("c"), "c.a + c.b") // c = struct(a, b)
+      .reduce(key = "d", index = "dim_0", name = "r", attrs = Map("func" -> "sum"))
+    assert(g.dimsOf("r") == Vector("dim_1"))
+    val got = g.result("r").orderBy("dim_1").collect().map(_.getAs[Long]("r")).toSeq
+    // dim_1 indexes b=[10,20]; sum over a=[1,2,3]: 3b + 6
+    assert(got == Seq(36L, 66L))
+  }
+
+  test("same node reducible repeatedly — graph_test.py:494-543") {
+    val g0 = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq(1, 2, 3)))
+    val g = g0
+      .reduce(key = "b", name = "r1", attrs = Map("func" -> "sum"))
+      .reduce(key = "b", name = "r2", attrs = Map("func" -> "max"))
+    assert(g.result("r1").collect()(0).getAs[Long]("r1") == 6L)
+    assert(g.result("r2").collect()(0).getAs[Int]("r2") == 3)
+  }
+
+  test("reduce axis counts within the node's dims — graph_test.py:546-560") {
+    val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3)))
+      .mapSeqs(Map("b" -> Seq(10, 20)))
+    // c dims = (dim_1, dim_0); axis 0 = dim_1
+    val r = g.reduce(key = "c", axis = 0, name = "r")
+    assert(r.dimsOf("r") == Vector("dim_0"))
+  }
+
+  test("reduce of missing index raises") {
+    val g = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq(1, 2)))
+    assertThrows[GraftException] {
+      g.reduce(key = "b", index = "nope", name = "r")
+    }
+  }
+
+  test("duplicate reduce name raises — graph.py:333-334") {
+    val g = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq(1, 2)))
+    assertThrows[GraftException] {
+      g.reduce(key = "b", name = "a")
+    }
+  }
+
+  // --- groupby ------------------------------------------------------------
+
+  test("groupby reduces by key values; new dim named after key column") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(11, 22, 33), "param" -> Seq("x", "x", "y")))
+      .groupby("param")
+      .reduce(key = "b", name = "d", attrs = Map("func" -> "sum"))
+    assert(g.dimsOf("d") == Vector("param"))
+    val got = g.result("d").orderBy("param").collect()
+      .map(r => (r.getAs[String]("param"), r.getAs[Long]("d"))).toSeq
+    assert(got == Seq(("x", 33L), ("y", 33L)))
+  }
+
+  test("groupby on unmapped node raises — groupby_test.py:458-469") {
+    val g = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq(1, 2)))
+    assertThrows[GraftException] { g.groupby("zzz") }
+  }
+
+  test("groupby of 2-D node keeps other dim; group dim last — groupby_test.py:771-824") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3), "param" -> Seq("p", "q", "p")))
+      .mapSeqs(Map("f" -> Seq(10, 20)))
+      .withNode("c", Seq("b", "f"))
+      .groupby("param")
+      .reduce(key = "c", name = "d", attrs = Map("func" -> "count"))
+    assert(g.dimsOf("d") == Vector("dim_1", "param"))
+    assert(g.result("d").count() == 4) // 2 factors x 2 groups
+  }
+
+  test("group keys can be int/double — groupby_test.py:260-296") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3, 4), "k" -> Seq(0, 0, 1, 1)))
+      .groupby("k").reduce(key = "b", name = "d", attrs = Map("func" -> "sum"))
+    val got = g.result("d").orderBy("k").collect().map(_.getAs[Long]("d")).toSeq
+    assert(got == Seq(3L, 7L))
+  }
+
+  // --- slicing ------------------------------------------------------------
+
+  test("positional slice drops copies, keeps structure; labels follow slice") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(10, 20, 30, 40)))
+      .byPosition("dim_0", 1, 3)
+    val rows = g.result("b", needPositional = true)
+      .orderBy("dim_0").collect()
+    assert(rows.map(_.getAs[Long]("dim_0")).toSeq == Seq(1L, 2L)) // original labels
+    assert(rows.map(_.getAs[Int]("b")).toSeq == Seq(20, 30))
+  }
+
+  test("label selection (sel) and label-range (loc)") {
+    val df = Seq((11, 1.0), (22, 2.0), (33, 3.0)).toDF("idx", "v")
+    val g = TaskGraph.chain("a", "b")
+      .mapFrame(df, Map("a" -> "v"), indexCol = Some("idx"), dimName = "x")
+    assert(g.sel("x", 22).result("b").collect()
+      .map(_.getAs[Double]("b")).toSeq == Seq(2.0))
+    assert(g.loc("x", 11, 33).result("b").count() == 2)
+  }
+
+  // --- branch ops ---------------------------------------------------------
+
+  test("getItem keeps ancestors only and prunes values — graph_test.py:813-836") {
+    val g = TaskGraph.fromEdges("a" -> "b", "x" -> "y", "b" -> "z", "y" -> "z")
+      .mapSeqs(Map("a" -> Seq(1, 2)))
+      .mapSeqs(Map("x" -> Seq(9)))
+    val branch = g.getItem("b")
+    assert(branch.dag.nodes == Set("a", "b"))
+    assert(branch.groups.size == 1) // x's mapping dropped
+    assert(branch.result("b").count() == 2)
+  }
+
+  test("delItem removes exclusive ancestors, keeps shared; refuses mapped") {
+    val g = TaskGraph.fromEdges("a" -> "b", "a" -> "c", "p" -> "b")
+    // b's ancestors: a (feeds c too -> kept), p (exclusive -> removed)
+    val d = TaskGraph(g.dag, Vector.empty, Map.empty).delItem("b")
+    assert(d.dag.nodes == Set("a", "b", "c"))
+    assert(d.dag.predecessors("b").isEmpty)
+    val mapped = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq(1)))
+    assertThrows[GraftException] { mapped.delItem("b") }
+  }
+
+  test("setItem splices branch, renames sink, keeps its values — graph_test.py:699-717") {
+    // Both the target branch head and the incoming sink are mapped (same
+    // dim labels 0..2); the replaced ancestor `a` and its values drop out.
+    val g = TaskGraph.chain("a", "b", "c").mapSeqs(Map("a" -> Seq(7, 8, 9)))
+    val other = TaskGraph.chain("x", "y").mapSeqs(Map("x" -> Seq(1, 2, 3)))
+    val merged = g.setItem("b", other)
+    assert(merged.dag.nodes == Set("x", "b", "c"))
+    assert(merged.dag.predecessors("c") == Vector("b"))
+    assert(merged.groups.flatMap(_.valueCols.keys).toSet == Set("x"))
+    assert(merged.result("c").count() == 3)
+  }
+
+  test("setItem validates conflicting attrs — graph_test.py:648-673") {
+    // `a` is not an ancestor of the spliced node `q`, so it survives into
+    // the intersection; conflicting attrs on it must raise.
+    val g = TaskGraph(Dag.fromEdges("a" -> "b", "p" -> "q"), Vector.empty, Map.empty)
+    val okBranch = TaskGraph(Dag.fromEdges("a" -> "s"), Vector.empty, Map.empty)
+    val ok = g.setItem("q", okBranch) // same node a, same (empty) attrs
+    assert(ok.dag.contains("q") && !ok.dag.contains("s") && !ok.dag.contains("p"))
+    val conflicting = TaskGraph(Dag.empty, Vector.empty, Map.empty)
+      .withNode("a", Seq(), attrs = Map("k" -> "v"))
+      .withNode("s", Seq("a"))
+    assertThrows[GraftException] { g.setItem("q", conflicting) }
+  }
+
+  test("setItem mapped-on-unmapped raises — graph.py:501-505") {
+    val g = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq(1, 2)))
+    val other = TaskGraph.chain("x", "y") // unmapped sink
+    assertThrows[GraftException] { g.setItem("b", other) } // b is mapped
+  }
+
+  // --- materialization ----------------------------------------------------
+
+  test("taskTable lists every node copy — to_networkx parity, graph.py:367-424") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(5, 6)))
+      .reduce(key = "b", name = "t", attrs = Map("func" -> "sum"))
+    val rows = g.taskTable().collect()
+    // 2 copies of a, 2 of b, 1 of t
+    assert(rows.length == 5)
+    val t = rows.filter(_.getAs[String]("node") == "t")
+    assert(t.length == 1 && t(0).getAs[String]("value") == "11")
+  }
+
+  test("node attrs survive map and branch ops — graph_test.py:1041-1104") {
+    val g = TaskGraph(Dag.chain("a", "b").addNode("b", Map("k" -> "v")))
+      .mapSeqs(Map("a" -> Seq(1, 2)))
+    assert(g.dag.attrs("b") == Map("k" -> "v"))
+    assert(g.getItem("b").dag.attrs("b") == Map("k" -> "v"))
+  }
+}

@@ -383,7 +383,12 @@ final case class TaskGraph(
       if (index.isDefined) Vector(index.get)
       else if (axis.isDefined) Vector(dims(axis.get))
       else dims
-    val d = dag.addNode(name, attrs).addEdge(key, name)
+    var d = dag.addNode(name, attrs).addEdge(key, name)
+    // The groupby key node is wired as a predecessor of the reduce node so
+    // that branch selection keeps the grouping alive — the engine analogue
+    // of the reference storing the grouping as a node value on the reduce
+    // node (graph.py:579-585) which getitem's keep-set preserves.
+    extraDim.foreach(k => d = d.addEdge(k, name))
     copy(dag = d, reduces = reduces + (name -> ReduceSpec(key, reduced, extraDim)))
   }
 

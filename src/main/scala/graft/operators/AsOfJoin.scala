@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (most-recent-prior) join — an operator Spark lacks natively.
+  *
+  * For each left row, attach the payload of the right row with the largest
+  * `rightTime <= leftTime` within the same key. Implemented by composing
+  * built-ins (preference (a) of the custom-operator ladder): union both
+  * sides, one shuffle on the key, one in-partition sort, and a
+  * `last(_, ignoreNulls)` running window. This is the same work a dedicated
+  * sort-merge as-of join would do — O(n log n) per partition, no broadcast
+  * of either side, no range cross-join — so it scales to 100 TB with
+  * exactly one shuffle of each input.
+  *
+  * Equivalent to DuckDB's `ASOF LEFT JOIN` (used as the oracle).
+  */
+object AsOfJoin {
+
+  /** @param left      left rows (kept in full)
+    * @param right     right rows
+    * @param keyCols   equi-join keys present in both sides
+    * @param leftTime  event-time column on `left`
+    * @param rightTime event-time column on `right`
+    * @param payload   output name -> right column to attach
+    */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Map[String, String]
+  ): DataFrame = {
+    val ordCol = "__asof_t"
+    val sideCol = "__asof_side"
+    val leftCols = left.columns.toSeq
+    val outCols = payload.keys.toSeq.sorted
+
+    // Right rows sort *before* left rows at equal timestamps so a right
+    // event at exactly t qualifies (inclusive t' <= t semantics).
+    val taggedRight = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as(ordCol), lit(0).as(sideCol)) ++
+        payload.toSeq.map { case (out, in) => col(in).as(out) }: _*)
+    val taggedLeft = left
+      .withColumn(ordCol, col(leftTime))
+      .withColumn(sideCol, lit(1))
+
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol).asc, col(sideCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = outCols.foldLeft(unioned) { (df, out) =>
+      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(sideCol) === 1)
+      .select((leftCols ++ outCols).map(col): _*)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` column algebra:
+  * whole-stage-codegen'd, no UDFs, no shuffles — each operator is a narrow
+  * map over the documents table, so it scales linearly and fuses with any
+  * downstream filter/aggregate Catalyst plans around it.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count (0 for empty/blank text). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text))).cast("long")
+
+  /** A BPE-ish subword proxy: counts alternating letter/digit/punctuation
+    * runs rather than whitespace words — a deterministic stand-in for a
+    * real tokenizer's token count (no tokenizer libs in this container).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9\\s])(?=[a-z0-9])|\\s+"),
+      t => length(t) > 0)).cast("long")
+
+  /** Occurrences of a marker substring (deterministic, engine-portable:
+    * implemented as length arithmetic so the DuckDB oracle can mirror it).
+    */
+  def occurrences(text: Column, marker: String): Column =
+    (length(text) - length(replace(text, lit(marker), lit("")))) / marker.length
+
+  /** Language-ID by stopword-marker scoring over a fixed marker table.
+    * N-gram-heuristic style: argmax over per-language marker hit counts,
+    * deterministic tie-break by language code order.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " la "),
+    "es" -> Seq(" el ", " y ", " los "),
+    "zh" -> Seq("的", "了", "是"))
+
+  def langScore(text: Column, lang: String): Column =
+    langMarkers(lang).map(m => occurrences(text, m)).reduce(_ + _)
+
+  def langId(text: Column): Column = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val scores = langs.map(l => langScore(text, l))
+    val best = greatest(scores: _*)
+    // first language (in code order) achieving the max; 'und' if none hit
+    langs.zip(scores).reverse.foldLeft(lit("und")) {
+      case (acc, (l, s)) => when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality-scoring signals: ratios are integer-arithmetic divisions, so
+    * they are bit-identical across engines.
+    */
+  def qualitySignals(df: DataFrame, text: Column): DataFrame = df
+    .withColumn("n_chars_m", length(text).cast("long"))
+    .withColumn("n_tokens", tokenCount(text))
+    .withColumn("alpha_ratio",
+      (length(regexp_replace(text, "[^A-Za-z]", "")) / length(text)).cast("double"))
+    .withColumn("digit_ratio",
+      (length(regexp_replace(text, "[^0-9]", "")) / length(text)).cast("double"))
+    .withColumn("space_ratio",
+      (length(regexp_replace(text, "[^ ]", "")) / length(text)).cast("double"))
+    .withColumn("mean_token_len",
+      (length(regexp_replace(text, "\\s+", "")).cast("double") /
+        greatest(tokenCount(text), lit(1L))).cast("double"))
+    .withColumn("stopword_ratio",
+      (langScore(text, "en").cast("double") /
+        greatest(tokenCount(text), lit(1L))).cast("double"))
+
+  /** 64-bit rolling polynomial document fingerprint over tokens:
+    * fp = fold(tokens, 0, (acc, t) -> acc * 31 + xxhash64(t)) in Long
+    * arithmetic (wrapping). Order-sensitive by design — equal fingerprints
+    * mean equal token streams. Pure higher-order-function column algebra.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+}

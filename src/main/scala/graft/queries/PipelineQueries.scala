@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Exact._
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+
+/** The [ext] LLM-data-pipeline and event-stream surface: text analysis,
+  * deduplication, similarity search, multimodal plumbing, event windows,
+  * sessionization, as-of join, JSON extraction.
+  *
+  * Queries whose semantics DuckDB can mirror get oracles; hash-based
+  * operators (MinHash/SimHash/fingerprint — xxhash64 has no DuckDB
+  * equivalent) are declared without oracle (rows-only gate) and verified
+  * against exact recomputation in the ScalaTest suites instead (SURVEY
+  * §5.3).
+  */
+object PipelineQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // hourly tumbling-window aggregation over the event stream (batch form;
+    // the streaming variant with watermark is in graft.streaming)
+    QueryDef("q_events_hourly",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+          .orderBy("w", "event_type")
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type, COUNT(*) AS n, ${dsumSql("value")} AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // sessionization: 30-minute-gap sessions per user (gaps-and-islands)
+    QueryDef("q_events_sessions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+          .withColumn("new_s",
+            when(unix_millis(col("ts")) - col("prev_ms") > 30L * 60 * 1000, 1L)
+              .otherwise(0L))
+          .groupBy("user_id")
+          .agg((sum("new_s") + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30 * 60 * 1000 THEN 1 ELSE 0 END AS new_s FROM events) SELECT user_id, CAST(SUM(new_s) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM e GROUP BY user_id ORDER BY user_id""")),
+
+    // as-of join: each click gets its user's most recent prior purchase
+    QueryDef("q_events_asof",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+        AsOfJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Map("p_event" -> "p_id"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+            col("p_event"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT a.event_id, a.user_id, strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, b.event_id AS p_event FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') b ON a.user_id = b.user_id AND a.ts >= b.ts ORDER BY a.event_id""")),
+
+    // JSON property extraction
+    QueryDef("q_events_json",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id""")),
+
+    // token counting + text statistics
+    QueryDef("q_text_stats",
+      (s, dir) => {
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+            greatest(TextAnalysis.tokenCount(col("text")), lit(1L)))
+            .as("mean_token_len"),
+          (length(regexp_replace(col("text"), "[^A-Za-z]", "")) / length(col("text")))
+            .cast("double").as("alpha_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens, CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END, 1) AS mean_token_len, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) AS DOUBLE) AS alpha_ratio FROM documents ORDER BY doc_id""")),
+
+    // language-ID by stopword-marker scoring
+    QueryDef("q_text_langid",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred"))
+          .orderBy("doc_id")
+      },
+      Some(langIdOracle)),
+
+    // quality-scoring signals
+    QueryDef("q_text_quality",
+      (s, dir) => {
+        val df = Tables.documents(s, dir)
+        TextAnalysis.qualitySignals(df, col("text"))
+          .select("doc_id", "n_chars_m", "n_tokens", "alpha_ratio",
+            "digit_ratio", "space_ratio", "mean_token_len", "stopword_ratio")
+          .orderBy("doc_id")
+      },
+      Some(qualityOracle)),
+
+    // exact deduplication
+    QueryDef("q_dedup_exact",
+      (s, dir) => {
+        Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+          .select("text", "keep_id", "n_copies")
+          .orderBy("keep_id")
+      },
+      Some("""SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text ORDER BY keep_id""")),
+
+    // multimodal: binary payload metadata (schema surface; decode stub is
+    // exercised in the ScalaTest suite — no image libs in this container)
+    QueryDef("q_multimodal_meta",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            octet_length(col("text")).cast("long").as("byte_len"),
+            (octet_length(col("text")).cast("long") % 997).as("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, strlen(text) AS byte_len, strlen(text) % 997 AS shard FROM documents ORDER BY doc_id""")),
+
+    // embedding norms via order-independent decimal summation
+    QueryDef("q_embed_norm",
+      (s, dir) => {
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            expr("CAST(aggregate(embedding, CAST(0 AS DECIMAL(27,12)), " +
+              "(acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) " +
+              "AS DECIMAL(27,12)) AS DECIMAL(27,12))) AS DOUBLE)").as("norm_sq"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) AS norm_sq FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) GROUP BY vec_id ORDER BY vec_id""")),
+
+    // --- no-oracle (rows-only gate; verified in ScalaTest vs exact) ------
+
+    // document fingerprinting (rolling hash; xxhash64 not in DuckDB)
+    QueryDef("q_text_fingerprint",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // MinHash-LSH near-duplicate pairs
+    QueryDef("q_dedup_minhash",
+      (s, dir) => {
+        Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // SimHash candidate pairs with Hamming distance
+    QueryDef("q_dedup_simhash",
+      (s, dir) => {
+        Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+          .filter(col("hamming") <= 16)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // n-gram Jaccard near-dup pairs (exact verify over LSH candidates)
+    QueryDef("q_dedup_ngram",
+      (s, dir) => {
+        Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.3, bands = 16, rows = 2)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // embedding-cosine near-duplicate pairs (banded random-hyperplane LSH)
+    QueryDef("q_dedup_cosine",
+      (s, dir) => {
+        Dedup.cosineNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.4)
+          .select(col("id_a"), col("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // brute-force cosine top-k similarity search
+    QueryDef("q_sim_topk",
+      (s, dir) => {
+        val q = fixedQueryVector
+        Similarity.topK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 10)
+          .select(col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
+      },
+      None),
+
+    // IVF (cell-pruned) approximate top-k
+    QueryDef("q_sim_ivf",
+      (s, dir) => {
+        val cents = ivfCentroids
+        Similarity.topKIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
+          cents, fixedQueryVector, k = 10, nprobe = 4)
+          .select(col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
+      },
+      None)
+  )
+
+  /** Fixed deterministic query vector for similarity search (unit-ish,
+    * seeded pattern — not data-dependent so queries need no driver-side
+    * collect).
+    */
+  lazy val fixedQueryVector: Seq[Double] =
+    (0 until 64).map(i => math.sin(i + 1) / 8.0)
+
+  /** Fixed pseudo-centroids for the IVF demo (deterministic seeded grid). */
+  lazy val ivfCentroids: Seq[(Int, Seq[Double])] =
+    (0 until 8).map(c => c -> (0 until 64).map(i => math.cos(c * 17 + i) / 8.0))
+
+  // DuckDB mirrors of the marker-scoring text queries. Marker scores are
+  // pure length arithmetic: (len(t) - len(replace(t, m, ''))) / len(m).
+  private def occSql(m: String): String = {
+    val esc = m.replace("'", "''")
+    s"(LENGTH(text) - LENGTH(REPLACE(text, '$esc', ''))) / ${m.length}"
+  }
+
+  private def scoreSql(lang: String): String =
+    TextAnalysis.langMarkers(lang).map(occSql).mkString(" + ")
+
+  private lazy val langIdOracle: String = {
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scoreCols = langs.map(l => s"(${scoreSql(l)}) AS s_$l").mkString(", ")
+    val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, $scoreCols FROM documents), sb AS (SELECT *, $best AS best FROM sc) SELECT doc_id, CASE $cases ELSE 'und' END AS pred FROM sb ORDER BY doc_id"""
+  }
+
+  private lazy val qualityOracle: String = {
+    val ntok = """CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END"""
+    raw"""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_m, CAST($ntok AS BIGINT) AS n_tokens, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) AS DOUBLE) AS alpha_ratio, CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / LENGTH(text) AS DOUBLE) AS digit_ratio, CAST(LENGTH(regexp_replace(text, '[^ ]', '', 'g')) / LENGTH(text) AS DOUBLE) AS space_ratio, CAST(CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / GREATEST($ntok, 1) AS DOUBLE) AS mean_token_len, CAST(CAST(${scoreSql("en")} AS DOUBLE) / GREATEST($ntok, 1) AS DOUBLE) AS stopword_ratio FROM documents ORDER BY doc_id"""
+  }
+}

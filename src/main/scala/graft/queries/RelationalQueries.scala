@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Exact._
+
+/** The [ext] relational surface (SURVEY §2.3): filter/project/join (inner,
+  * outer, semi, anti, cross), aggregation (incl. rollup and distinct),
+  * window functions, sort/limit/top-k, set ops, and scalar functions —
+  * thin, idiomatic Dataset programs over the star schema.
+  *
+  * Scale posture: dimension tables (region/nation/supplier) are broadcast
+  * explicitly; fact-fact joins shuffle on their keys; every aggregate over
+  * doubles uses the decimal-exact forms from graft.functions.Exact so
+  * results are reproducible at any parallelism.
+  */
+object RelationalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 skeleton: scan + filter + groupBy aggregation
+    QueryDef("q1_pricing",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+            (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, ${dsumSql("l_extendedprice")} AS sum_base_price, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price, ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge, SUM(l_quantity) / COUNT(*) AS avg_qty, ${davgSql("l_extendedprice")} AS avg_price, ${davgSql("l_discount")} AS avg_disc, COUNT(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // TPC-H Q3 skeleton: 3-way join + agg + top-k
+    QueryDef("q3_shipping",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // TPC-H Q5 skeleton: 6-way join with broadcast dims
+    QueryDef("q5_region_revenue",
+      (s, dir) => {
+        val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        val nat = Tables.nation(s, dir)
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        Tables.lineitem(s, dir)
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // TPC-H Q6 skeleton: pure filter + global agg (pushdown showcase)
+    QueryDef("q6_forecast",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+      },
+      Some(s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // left-semi join (EXISTS)
+    QueryDef("q_semi_join",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
+        Tables.orders(s, dir)
+          .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49) ORDER BY o_orderkey""")),
+
+    // left-anti join (NOT EXISTS)
+    QueryDef("q_anti_join",
+      (s, dir) => {
+        val big = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+        Tables.customer(s, dir)
+          .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) ORDER BY c_custkey""")),
+
+    // left outer join + aggregation
+    QueryDef("q_outer_join",
+      (s, dir) => {
+        Tables.nation(s, dir)
+          .join(Tables.customer(s, dir), col("n_nationkey") === col("c_nationkey"), "left")
+          .groupBy("n_name")
+          .agg(count(col("c_custkey")).as("n_cust"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, COUNT(c_custkey) AS n_cust FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey GROUP BY n_name ORDER BY n_name""")),
+
+    // ranking window: top-3 parts per brand
+    QueryDef("q_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("p_brand")
+          .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        Tables.part(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("p_brand", "p_partkey", "p_retailprice", "rn")
+          .orderBy("p_brand", "rn")
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn FROM part QUALIFY rn <= 3 ORDER BY p_brand, rn""")),
+
+    // analytic window: running sum (ROWS frame)
+    QueryDef("q_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, dir)
+          .filter(col("l_suppkey") <= 3)
+          .withColumn("run_qty", sum("l_quantity").over(w))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "run_qty")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, SUM(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty FROM lineitem WHERE l_suppkey <= 3 ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // top-k (TakeOrdered — no global sort)
+    QueryDef("q_topk",
+      (s, dir) => {
+        Tables.customer(s, dir)
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+          .select("c_custkey", "c_acctbal")
+          .limit(10)
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10""")),
+
+    // set ops
+    QueryDef("q_set_except",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.filter(col("l_quantity") >= 49).select(col("l_orderkey").as("ok"))
+          .except(li.filter(col("l_quantity") <= 2).select(col("l_orderkey").as("ok")))
+          .orderBy("ok")
+      },
+      Some("""SELECT DISTINCT l_orderkey AS ok FROM lineitem WHERE l_quantity >= 49 EXCEPT SELECT DISTINCT l_orderkey AS ok FROM lineitem WHERE l_quantity <= 2 ORDER BY ok""")),
+
+    QueryDef("q_set_intersect",
+      (s, dir) => {
+        Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+          .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
+          .orderBy("nk")
+      },
+      Some("""SELECT DISTINCT c_nationkey AS nk FROM customer INTERSECT SELECT DISTINCT s_nationkey AS nk FROM supplier ORDER BY nk""")),
+
+    QueryDef("q_set_union",
+      (s, dir) => {
+        Tables.nation(s, dir).select(col("n_regionkey").as("k"))
+          .union(Tables.region(s, dir).select(col("r_regionkey").as("k")))
+          .distinct().orderBy("k")
+      },
+      Some("""SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region ORDER BY k""")),
+
+    // scalar functions: strings
+    QueryDef("q_scalar_str",
+      (s, dir) => {
+        Tables.part(s, dir).select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("ub"),
+          lower(col("p_type")).as("lt"),
+          substring(col("p_name"), 1, 8).as("pfx"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("bt"),
+          replace(col("p_type"), lit(" "), lit("_")).as("tu"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, UPPER(p_brand) AS ub, LOWER(p_type) AS lt, SUBSTRING(p_name, 1, 8) AS pfx, CAST(LENGTH(p_name) AS BIGINT) AS name_len, p_brand || ':' || p_type AS bt, REPLACE(p_type, ' ', '_') AS tu FROM part ORDER BY p_partkey""")),
+
+    // scalar functions: math
+    QueryDef("q_scalar_math",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") <= 100)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            floor(col("l_extendedprice")).cast("long").as("fp"),
+            ceil(col("l_discount") * 100).cast("long").as("cd"),
+            abs(col("l_quantity") - 25.0).as("aq"),
+            (col("l_partkey") % 10).cast("long").as("pm"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_extendedprice) AS BIGINT) AS fp, CAST(CEIL(l_discount * 100) AS BIGINT) AS cd, ABS(l_quantity - 25.0) AS aq, CAST(l_partkey % 10 AS BIGINT) AS pm FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber""")),
+
+    // scalar functions: dates
+    QueryDef("q_scalar_date",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") <= 200)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            dayofmonth(col("o_orderdate")).cast("long").as("d"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m, CAST(day(o_orderdate) AS BIGINT) AS d, strftime(o_orderdate, '%Y-%m-%d') AS ds FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""")),
+
+    // grouping sets: rollup
+    QueryDef("q_rollup",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("sq"), count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("sq"), col("n"))
+          .orderBy("rf", "ls")
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, SUM(l_quantity) AS sq, COUNT(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""")),
+
+    // distinct aggregation
+    QueryDef("q_distinct_agg",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("dp"),
+            countDistinct(col("l_suppkey")).as("ds"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dp, COUNT(DISTINCT l_suppkey) AS ds FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Exact
+
+/** Structured-Streaming surface over the `events` table: the same
+  * transformations run identically on a batch DataFrame and on a
+  * `readStream` source — the specs assert batch/stream equivalence, and
+  * the watermark bounds state for unbounded runs.
+  */
+object EventStreams {
+
+  /** The on-disk schema of events.parquet (ts read as nanos Long under
+    * spark.sql.legacy.parquet.nanosAsLong).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet file (the file-stream source
+    * requires a directory path, so the table file is selected by glob).
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    normalize(spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+
+  /** nanos-Long -> microsecond timestamp (same rule as Tables.events). */
+  def normalize(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour windows per event type; 2-hour watermark bounds state.
+    * Works identically on batch and streaming inputs.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sv"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"), col("sv"))
+
+  /** Sliding windows: 1-hour windows every 15 minutes. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"))
+
+  /** Session windows: 30-minute-gap sessions per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+
+  /** Run a streaming DataFrame to completion against the (finite) file
+    * source and return the materialized result from a memory sink.
+    */
+  def runToBatch(streamed: DataFrame, queryName: String,
+      outputMode: String = "complete"): DataFrame = {
+    val spark = streamed.sparkSession
+    val q = streamed.writeStream
+      .format("memory").queryName(queryName).outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.SparkTestSession
+import graft.queries.Tables
+
+/** Batch/stream equivalence for the Structured-Streaming surface
+  * (SURVEY §5.3: streaming verified against the batch query over the same
+  * events data).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val dir = "/root/testdata/sf0.001"
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("streaming hourly agg == batch hourly agg") {
+    val stream = EventStreams.readStream(spark, dir)
+    val got = EventStreams.runToBatch(EventStreams.hourlyAgg(stream), "hourly_out")
+    val want = EventStreams.hourlyAgg(Tables.events(spark, dir))
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() > 0)
+  }
+
+  test("streaming sliding agg == batch sliding agg") {
+    val stream = EventStreams.readStream(spark, dir)
+    val got = EventStreams.runToBatch(EventStreams.slidingAgg(stream), "sliding_out")
+    val want = EventStreams.slidingAgg(Tables.events(spark, dir))
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("streaming session windows == batch session windows") {
+    val stream = EventStreams.readStream(spark, dir)
+    val got = EventStreams.runToBatch(EventStreams.sessionAgg(stream), "session_out")
+    val want = EventStreams.sessionAgg(Tables.events(spark, dir))
+    assert(sortedRows(got) == sortedRows(want))
+  }
+}

@@ -2,29 +2,55 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, exact and
-  * approximate, all designed shuffle-minimal:
+  * approximate, all designed shuffle-minimal and skew-bounded:
   *
-  *  - exact: one hash-aggregate on the dedup key (map-side combinable).
-  *  - MinHash+LSH: signatures are a narrow codegen map; candidate
-  *    generation explodes b bands and groups by (band, hash) — the only
-  *    shuffle is on band hashes, whose buckets are near-duplicate-sized,
-  *    never O(n^2).
-  *  - SimHash: 64-bit signature, banded into 4x16-bit chunks for candidate
-  *    generation (Hamming distance <= 3 guarantees a matching chunk by
-  *    pigeonhole).
-  *  - n-gram Jaccard: exact verification on candidate pairs only.
+  *  - exact: one hash-aggregate keyed on `(xxhash64(key), length(key))` so
+  *    the shuffle key is 16 bytes, not the full document; the map-side
+  *    partial aggregation means each distinct document's bytes cross the
+  *    wire at most once per input partition.
+  *  - MinHash+LSH: shingles and signatures are projected ONCE per row into
+  *    columns (never re-inlined into each hash expression), candidate
+  *    generation explodes b bands and self-joins on (band, hash), and the
+  *    exact-Jaccard verify runs on the precomputed shingle arrays carried
+  *    through the candidate join — raw text is tokenized exactly once per
+  *    document for the whole pipeline.
+  *  - SimHash: 64-bit signature from once-projected token hashes, banded
+  *    into 4x16-bit chunks (any pair within Hamming distance 3 shares a
+  *    chunk by pigeonhole — the emitted candidate set is COMPLETE for
+  *    hamming <= 3 and best-effort above).
+  *  - Embedding-cosine: banded random-hyperplane LSH with a literal plane
+  *    matrix (seeded, deterministic); candidate pairs are deduplicated on
+  *    scalar ids BEFORE vectors are re-attached, so no shuffle ever carries
+  *    a vector as part of a dedup key.
   *
-  * All hashing is `xxhash64` with fixed integer seeds — fully deterministic
-  * across runs and cluster sizes.
+  * Skew posture for 100 TB: real web corpora have boilerplate shingles that
+  * create mega-buckets; naive intra-bucket pairing is quadratic in the
+  * bucket size. Every candidate generator routes through [[boundedPairs]]:
+  * buckets up to `maxBucket` emit all pairs, larger buckets fall back to
+  * star pairs against the bucket minimum — linear in the bucket size, and
+  * sufficient for connected-component style duplicate clustering.
+  *
+  * All hashing is `xxhash64` with fixed integer seeds (plane matrices use a
+  * fixed-seed JDK RNG) — fully deterministic across runs and cluster sizes.
   */
 object Dedup {
 
-  /** Exact dedup: keep the minimum id per identical key. */
+  /** Exact dedup: keep the minimum id per identical key, shuffling only a
+    * 16-byte hash key (plus one exemplar of the key text per partition via
+    * map-side combine) instead of the raw corpus bytes. A collision on
+    * (64-bit hash, length) would merge two distinct documents; at 1e9 docs
+    * the collision probability is ~3e-2 per corpus for the hash alone and
+    * vanishing once the length is included — the standard trade for
+    * content-hash dedup at scale.
+    */
   def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
-    df.groupBy(col(keyCol))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    df.groupBy(xxhash64(col(keyCol)).as("__kh"), length(col(keyCol)).as("__kl"))
+      .agg(min(col(keyCol)).as(keyCol),
+        min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("__kh", "__kl")
 
   /** Word k-shingles of a text column. */
   def shingles(text: Column, k: Int = 3): Column = {
@@ -34,142 +60,219 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: array of `h` independent minima of seeded
-    * xxhash64 over the shingle set. Narrow, codegen'd, no shuffle.
+  /** MinHash signature from a PRE-PROJECTED shingle-array column: array of
+    * `h` independent minima of seeded xxhash64 over the shingles. The
+    * caller must materialize the shingle array with `withColumn` first so
+    * the tokenization runs once per row, not once per hash index —
+    * Catalyst's CollapseProject keeps a multiply-referenced non-trivial
+    * alias as its own projection, so the staging is preserved in the
+    * physical plan.
     */
-  def minhashSignature(text: Column, h: Int = 32, k: Int = 3): Column = {
-    val sh = shingles(text, k)
+  def minhashFromShingles(sh: Column, h: Int): Column =
     array((0 until h).map(i => array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
-  }
 
-  /** LSH candidate pairs from MinHash signatures: split the signature into
-    * `bands` bands of `rows` hashes, bucket by (band index, band hash),
-    * emit intra-bucket pairs. Collision probability for Jaccard s is
-    * 1-(1-s^rows)^bands (the standard S-curve).
+  /** MinHash signature straight from text (convenience; hot paths stage
+    * the shingle column explicitly via [[minhashFromShingles]]).
     */
-  def minhashCandidates(
-      df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 8, rows: Int = 4, k: Int = 3
-  ): DataFrame = {
-    val sig = minhashSignature(col(textCol), bands * rows, k)
-    val banded = df
-      .select(col(idCol).as("id"), sig.as("sig"))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .toDF("id", "band", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+  def minhashSignature(text: Column, h: Int = 32, k: Int = 3): Column =
+    minhashFromShingles(shingles(text, k), h)
 
-  /** Exact n-gram (word-shingle) Jaccard similarity between two texts. */
-  def jaccard(textA: Column, textB: Column, k: Int = 3): Column = {
-    val sa = array_distinct(shingles(textA, k))
-    val sb = array_distinct(shingles(textB, k))
+  /** Exact Jaccard similarity of two precomputed distinct-shingle arrays. */
+  def jaccardOfShingles(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     inter / (size(sa) + size(sb) - inter)
   }
 
+  /** Exact n-gram (word-shingle) Jaccard similarity between two texts. */
+  def jaccard(textA: Column, textB: Column, k: Int = 3): Column =
+    jaccardOfShingles(array_distinct(shingles(textA, k)),
+      array_distinct(shingles(textB, k)))
+
+  /** Widen a narrow input (e.g. one small parquet file = one split) to the
+    * cluster parallelism before per-row-heavy projections; already-wide
+    * inputs pass through untouched (no gratuitous shuffle at real scale).
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+  /** Intra-bucket candidate pairs with hot-bucket bounding. Input must have
+    * columns (`id`, bandCol, bucketCol). Buckets of size <= maxBucket emit
+    * all C(n,2) intra-bucket pairs; larger buckets (boilerplate content at
+    * web scale) emit star pairs (bucket-min id, member id) — linear in the
+    * bucket size, preserving duplicate-cluster connectivity without the
+    * quadratic blow-up. Pairs are deduplicated across bands on scalar ids
+    * only.
+    */
+  private[operators] def boundedPairs(
+      banded: DataFrame, bandCol: String, bucketCol: String, maxBucket: Int
+  ): DataFrame = {
+    val keys = Seq(bandCol, bucketCol)
+    val stats = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__minid"))
+    val withN = banded.join(stats, keys)
+    val small = withN.filter(col("__n") <= maxBucket)
+    val a = small.select(col(bandCol), col(bucketCol), col("id").as("id_a"))
+    val b = small.select(col(bandCol), col(bucketCol), col("id").as("id_b"))
+    val smallPairs = a.join(b, keys)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val bigPairs = withN
+      .filter(col("__n") > maxBucket && col("id") =!= col("__minid"))
+      .select(col("__minid").as("id_a"), col("id").as("id_b"))
+    smallPairs.union(bigPairs).distinct()
+  }
+
+  /** id + distinct shingles + minhash signature, computed once per row on a
+    * widened input and persisted (both sides of the band self-join and the
+    * verify stage reuse it without recomputation).
+    */
+  private def minhashPrepared(
+      df: DataFrame, idCol: String, textCol: String, h: Int, k: Int
+  ): DataFrame =
+    widen(df)
+      .select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), k)).as("sh"))
+      .withColumn("sig", minhashFromShingles(col("sh"), h))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  private def bandFrame(prepared: DataFrame, bands: Int, rows: Int): DataFrame =
+    prepared.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .toDF("id", "band", "bucket")
+
+  /** LSH candidate pairs from MinHash signatures: split the signature into
+    * `bands` bands of `rows` hashes, bucket by (band index, band hash),
+    * emit intra-bucket pairs (bounded; see [[boundedPairs]]). Collision
+    * probability for Jaccard s is 1-(1-s^rows)^bands (the standard
+    * S-curve).
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rows: Int = 4, k: Int = 3, maxBucket: Int = 64
+  ): DataFrame = {
+    val prepared = minhashPrepared(df, idCol, textCol, bands * rows, k)
+    boundedPairs(bandFrame(prepared, bands, rows), "band", "bucket", maxBucket)
+  }
+
   /** MinHash near-dup pairs with exact Jaccard verification of candidates:
-    * the verify join only touches candidate pairs (bucket-sized), never the
-    * full cross product.
+    * the verify join touches candidate pairs only (bucket-sized, never
+    * O(n^2)) and runs on the shingle arrays computed once in the prepared
+    * frame — raw text is never re-tokenized.
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      bands: Int = 8, rows: Int = 4, k: Int = 3
+      bands: Int = 8, rows: Int = 4, k: Int = 3, maxBucket: Int = 64
   ): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, bands, rows, k)
-    val docsA = df.select(col(idCol).as("id_a"), col(textCol).as("__text_a"))
-    val docsB = df.select(col(idCol).as("id_b"), col(textCol).as("__text_b"))
-    cands.join(docsA, "id_a").join(docsB, "id_b")
-      .withColumn("jaccard", jaccard(col("__text_a"), col("__text_b"), k))
+    val prepared = minhashPrepared(df, idCol, textCol, bands * rows, k)
+    val cands =
+      boundedPairs(bandFrame(prepared, bands, rows), "band", "bucket", maxBucket)
+    val shA = prepared.select(col("id").as("id_a"), col("sh").as("__sh_a"))
+    val shB = prepared.select(col("id").as("id_b"), col("sh").as("__sh_b"))
+    cands.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccardOfShingles(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash of the token stream: bit i of the signature is the
-    * sign of sum over tokens of (+1/-1 for bit i of xxhash64(token)).
-    * Expressed as a 64-element vote vector folded with zip_with.
+  /** Seeded xxhash64 of each whitespace token — the once-per-row input to
+    * [[simhashFromHashes]].
     */
-  def simhash(text: Column): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def tokenHashes(text: Column): Column =
+    transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))
+
+  /** 64-bit SimHash from a PRE-PROJECTED token-hash array column: bit i of
+    * the signature is the sign of sum over tokens of (+1/-1 for bit i of
+    * the token hash). One pass over 64 bit positions, each a scalar fold
+    * over the hash array — no per-token 64-array allocation.
+    */
+  def simhashFromHashes(hs: Column): Column =
+    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) => {
+      val bitI = i.cast("int")
+      val vote = aggregate(hs, lit(0L),
+        (a, h) => a + when(
+          call_function("shiftright", h, bitI).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L))
+      acc.bitwiseOR(
+        when(vote > 0, call_function("shiftleft", lit(1L), bitI)).otherwise(lit(0L)))
+    })
+
+  /** SimHash straight from text (convenience; hot paths stage the token
+    * hashes explicitly).
+    */
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
   /** SimHash candidate pairs: band the 64-bit signature into 4 x 16-bit
-    * chunks; any pair within Hamming distance 3 shares at least one chunk.
+    * chunks; any pair within Hamming distance 3 shares at least one chunk
+    * (pigeonhole), so the candidate set is complete up to hamming <= 3.
+    * Hot buckets are bounded (see [[boundedPairs]]).
     */
-  def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = simhash(col(textCol))
-    val banded = df.select(col(idCol).as("id"), sig.as("sig"))
-      .select(col("id"), col("sig"), posexplode(
+  def simhashCandidates(
+      df: DataFrame, idCol: String, textCol: String, maxBucket: Int = 64
+  ): DataFrame = {
+    val prepared = widen(df)
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
+      .select(col("id"), simhashFromHashes(col("__th")).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = prepared
+      .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL))))
-      .toDF("id", "sig", "band", "chunk")
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
+      .toDF("id", "band", "chunk")
+    val cands = boundedPairs(banded, "band", "chunk", maxBucket)
+    val sa = prepared.select(col("id").as("id_a"), col("sig").as("__sig_a"))
+    val sb = prepared.select(col("id").as("id_b"), col("sig").as("__sig_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+        bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).as("hamming"))
   }
 
-  /** Sign bit of one fixed pseudo-random hyperplane projection: plane
-    * coefficient j of plane p is a centered seeded hash in [-0.5, 0.5) —
-    * deterministic across runs and cluster sizes, no stored model.
+  /** Deterministic random-hyperplane matrix: `nPlanes` rows of `dim`
+    * standard-normal coefficients from a fixed-seed JDK RNG (a specified
+    * algorithm — identical across JVMs, runs, and cluster sizes). Driver-
+    * side scalars embedded as literals: zero per-row hashing to derive
+    * plane coefficients.
     */
-  private def planeBit(vec: Column, p: Int): Column = {
-    val dot = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, j) => x.cast("double") *
-          ((pmod(xxhash64(j.cast("long") * 1000003L + p), lit(1000000L)).cast("double") /
-            1000000.0d) - 0.5d)),
-      lit(0.0d), (acc, x) => acc + x)
-    when(dot > 0, lit(1L)).otherwise(lit(0L))
+  private def planeMatrix(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
   /** Embedding-cosine near-duplicate pairs via banded random-hyperplane
     * LSH: `tables` independent hash tables of `planesPerTable` sign bits
-    * each (recall 1-(1-p^k)^L, the standard multi-table trade-off); a pair
-    * is a candidate when any table's bucket matches; exact cosine verifies
-    * candidates only. The only shuffle is the (table, bucket) self-join,
-    * whose buckets are ~n/2^k sized — never O(n^2).
+    * each (recall 1-(1-p^k)^L with p = 1 - theta/pi, the standard
+    * multi-table trade-off); a pair is a candidate when any table's bucket
+    * matches; exact cosine verifies candidates only. Candidate pairs are
+    * deduplicated on scalar ids BEFORE the vectors are re-attached, so the
+    * only shuffles carrying vectors are the two small verify joins.
     */
   def cosineNearDups(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planesPerTable: Int = 4, tables: Int = 8
+      threshold: Double, planesPerTable: Int = 4, tables: Int = 8,
+      maxBucket: Int = 256, seed: Long = 42L
   ): DataFrame = {
-    val bucketCols = (0 until tables).map { t =>
-      (0 until planesPerTable)
-        .map(b => planeBit(col(vecCol), t * planesPerTable + b) * (1L << b))
-        .reduce(_ + _)
-    }
-    val banded = df
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        posexplode(array(bucketCols: _*)))
-      .toDF("id", "vec", "table", "bucket")
-    val a = banded.select(col("table"), col("bucket"),
-      col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = banded.select(col("table"), col("bucket"),
-      col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val planes = planeMatrix(dim, planesPerTable * tables, seed)
+    val prepared = widen(df).select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bits = array(planes.map { p =>
+      val planeLit = array(p.map(lit).toIndexedSeq: _*)
+      when(Similarity.dot(col("vec"), planeLit) > 0, 1L).otherwise(0L)
+    }.toIndexedSeq: _*)
+    val buckets = transform(sequence(lit(0), lit(tables - 1)),
+      t => aggregate(
+        slice(col("__bits"), t * planesPerTable + 1, lit(planesPerTable)),
+        lit(0L), (acc, x) => acc * 2 + x))
+    val banded = prepared
+      .withColumn("__bits", bits)
+      .select(col("id"), posexplode(buckets))
+      .toDF("id", "table", "bucket")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = boundedPairs(banded, "table", "bucket", maxBucket)
+    val va = prepared.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = prepared.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    cands.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -162,11 +162,14 @@ object PipelineQueries {
       },
       None),
 
-    // SimHash candidate pairs with Hamming distance
+    // SimHash near-dup pairs. The 4x16-bit banding guarantees completeness
+    // only up to Hamming distance 3 (pigeonhole), so the query filters at
+    // exactly that bound: the output is the COMPLETE set of pairs within
+    // Hamming distance 3, not a partial sample of a looser radius.
     QueryDef("q_dedup_simhash",
       (s, dir) => {
         Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text")
-          .filter(col("hamming") <= 16)
+          .filter(col("hamming") <= 3)
           .orderBy("id_a", "id_b")
       },
       None),

@@ -36,6 +36,9 @@ final case class DimGroup(
     labelCols: Map[String, String]
 ) {
   require(dims.nonEmpty, "DimGroup needs at least one dim")
+  require(dims.count(d => !labelCols.contains(d)) <= (if (dims.size == 1) 1 else 0),
+    "positional (label-less) dims are only supported for 1-D groups; " +
+      "N-D groups must label every dim (tidy form)")
 
   def positionalDim: Option[String] = dims.find(d => !labelCols.contains(d))
 
@@ -74,8 +77,14 @@ final case class DimGroup(
   /** Positional slice [lo, hi) of `dim` (reference graph.py:154-178).
     * Labels follow the slice — the original labels survive
     * (graph_test.py:970-1038). For a labeled dim, position is defined as
-    * rank in ascending label order: the stable, scale-safe Spark semantics
-    * (physical row order across partitions carries no meaning); the
+    * rank of the label among the DISTINCT labels in ascending order: the
+    * stable, scale-safe Spark semantics (physical row order across
+    * partitions carries no meaning). Ranking distinct labels (not rows)
+    * makes the slice correct for N-D groups — rows of other dims are never
+    * counted as positions — and for duplicate labels (which share one
+    * position). The rank window runs over the dim-table-sized distinct
+    * label set, never the full frame, and the kept labels semi-join back
+    * broadcast — no unpartitioned window over fact-scale data. The
     * positional dim uses true array order via zipWithIndex.
     */
   def sliceByPosition(dim: String, lo: Int, hi: Int): DimGroup = {
@@ -88,9 +97,11 @@ final case class DimGroup(
         // explicit (the dim is now label-backed by the old positions).
         copy(df = sliced, labelCols = labelCols + (dim -> pc))
       case Some(lc) =>
-        val pc = "__rank_" + dim
-        val ranked = df.withColumn(pc, row_number().over(Window.orderBy(col(lc))) - 1)
-        copy(df = ranked.filter(col(pc) >= lo && col(pc) < hi).drop(pc))
+        val kept = df.select(col(lc).as("__lbl")).distinct()
+          .withColumn("__rank", row_number().over(Window.orderBy(col("__lbl"))) - 1)
+          .filter(col("__rank") >= lo && col("__rank") < hi)
+          .drop("__rank")
+        copy(df = df.join(broadcast(kept), col(lc) === col("__lbl"), "left_semi"))
     }
   }
 
@@ -201,8 +212,11 @@ final case class TaskGraph(
 
   def dimsOf(n: String): Vector[String] = nodeDims.getOrElse(n, Vector.empty)
 
-  /** All dims of the graph, in insertion order (reference graph.py:229-237). */
-  def indexNames: Vector[String] = groups.flatMap(_.dims) ++ groupbyDims
+  /** All dims of the graph, in insertion order (reference graph.py:229-237).
+    * A dim may be backed by several groups (shared index name, validated
+    * label-equal) or by a group and a groupby — it is listed once.
+    */
+  def indexNames: Vector[String] = (groups.flatMap(_.dims) ++ groupbyDims).distinct
 
   /** Distinct labels of a dim, as a single-column DataFrame named after the
     * dim. Stays lazy — label sets can be fact-table-sized.
@@ -238,7 +252,11 @@ final case class TaskGraph(
     val nodeMap = Option(nodes).getOrElse {
       df.columns.filterNot(indexCol.contains).map(c => c -> c).toMap
     }
-    val dim = Option(dimName).getOrElse(s"dim_${indexNames.size}")
+    val dim = Option(dimName).getOrElse {
+      // axis_zero naming (graph.py:255-257), skipping collisions
+      Iterator.from(indexNames.size).map(i => s"dim_$i")
+        .find(d => !indexNames.contains(d)).get
+    }
     addGroup(DimGroup(
       dims = Vector(dim),
       df = df,
@@ -281,13 +299,13 @@ final case class TaskGraph(
   }
 
   private def addGroup(group: DimGroup): TaskGraph = {
-    group.dims.foreach { d =>
-      if (indexNames.contains(d))
-        throw new GraftException(s"dim '$d' already exists in the graph")
-    }
+    // Re-map detection runs BEFORE dim-collision validation so an
+    // identical re-map with the same explicit dim name is a no-op, not a
+    // "dim already exists" error (reference node_values.py:54-93).
     var d = dag
     var gs = groups
     var freshCols = group.valueCols
+    val remapDims = scala.collection.mutable.Set.empty[String]
     group.valueCols.foreach { case (n, _) =>
       if (d.contains(n)) {
         if (d.predecessors(n).nonEmpty)
@@ -305,6 +323,8 @@ final case class TaskGraph(
           if (!labelsMatch)
             throw new GraftException(
               s"Node '$n' has already been mapped with different indices")
+          remapDims ++= old.dims
+          remapDims ++= group.dims
           val valuesMatch = TaskGraph.sameData(
             old.df.select(col(old.valueCols(n)).as("v")),
             group.df.select(col(group.valueCols(n)).as("v")))
@@ -313,6 +333,23 @@ final case class TaskGraph(
             if (og eq old) og.copy(valueCols = og.valueCols - n) else og)
         }
       } else d = d.addNode(n)
+    }
+    // A dim name colliding with an existing dim is allowed when the label
+    // values are identical — the dims become SHARED and descendants align
+    // on them (reference node_values.py:79-90: same index name requires
+    // equal index values). Conflicting labels raise.
+    group.dims.filterNot(remapDims.contains).foreach { dm =>
+      val newLabels = group.frame(needPositional = true).select(dm).distinct()
+      groups.filter(og => og.valueCols.nonEmpty && og.dims.contains(dm)).foreach { og =>
+        if (!TaskGraph.labelsCompatible(
+            og.frame(needPositional = true).select(dm).distinct(), newLabels))
+          throw new GraftException(
+            s"""Conflicting index values for index name "$dm"""")
+      }
+      if (groupbyDims.contains(dm) &&
+          !TaskGraph.labelsCompatible(indices(dm), newLabels))
+        throw new GraftException(
+          s"""Conflicting index values for index name "$dm"""")
     }
     if (freshCols.isEmpty) return copy(dag = d, groups = gs.filter(_.valueCols.nonEmpty))
     copy(dag = d, groups = gs.filter(_.valueCols.nonEmpty) :+ group.copy(valueCols = freshCols))
@@ -498,6 +535,34 @@ final case class TaskGraph(
         n2 -> spec.copy(pred = p2)
     }
     var merged = prunedDag(composed)
+    // Branch REPLACE at a value-mapped key: when the incoming sink is a
+    // reduce node, it becomes the key's new definition and the key's old
+    // value mapping is dropped — after validating that the dim names and
+    // label values align (the reference's replace-on-identical-labels
+    // rule, node_values.py:54-93, exercised by the chained-groupby splice
+    // pattern, groupby_test.py:50-154: `mapped['e'] = grouped` over a
+    // table indexed by the earlier groupby's dim).
+    if (renamedReduces.contains(key) && merged.isMapped(key)) {
+      val og = merged.groups(merged.mappedNode(key))
+      val newDims = other.dimsOf(sink)
+      if (og.dims != newDims)
+        throw new GraftException(
+          s"Node '$key' has already been mapped with different indices")
+      og.dims.foreach { dm =>
+        if (!TaskGraph.labelsCompatible(
+            og.frame(needPositional = true).select(dm).distinct(),
+            other.indices(dm)))
+          throw new GraftException(
+            s"""Conflicting index values for index name "$dm"""")
+      }
+      merged = merged.copy(groups = merged.groups
+        .map(g => if (g eq og) g.copy(valueCols = g.valueCols - key) else g)
+        .filter(_.valueCols.nonEmpty))
+    }
+    // Conversely, a value-mapped incoming sink supersedes any stale
+    // reduce spec the key had on the base side.
+    if (renamedGroups.exists(_.valueCols.contains(key)))
+      merged = merged.copy(reduces = merged.reduces - key)
     renamedGroups.foreach { g =>
       var fresh = g.valueCols
       g.valueCols.foreach { case (n, _) =>
@@ -524,7 +589,7 @@ final case class TaskGraph(
         // shared-dim label consistency across graphs (node_values.py:79-90)
         g.dims.foreach { dim =>
           merged.groups.filter(og => (og ne g) && og.dims.contains(dim)).foreach { og =>
-            if (!TaskGraph.sameData(
+            if (!TaskGraph.labelsCompatible(
                 og.frame(true).select(dim).distinct(),
                 g.frame(true).select(dim).distinct()))
               throw new GraftException(
@@ -600,19 +665,52 @@ final case class TaskGraph(
       }
     })
 
-  /** Join predecessor frames: a pred whose column is already present came
-    * along with a co-grouped sibling (skip — no self-join); shared dims
-    * equi-join on the dim label; disjoint dims crossJoin.
+  /** Join predecessor frames on their SHARED DIMS — the row identity. A
+    * pred whose column is already present came along with a co-grouped
+    * sibling (skip — no self-join); preds sharing dims equi-join
+    * (null-safe) on the dim label columns; disjoint dims crossJoin (the
+    * reference's chained-map cross product).
+    *
+    * Joining on dims, not on arbitrary shared columns, matches the
+    * reference's strictly per-index expansion (graph.py:367-424): two
+    * branches of a diamond (a->b, a->c, {b,c}->d) both carry ancestor
+    * value column 'a', and joining on 'a' would cross-match duplicate
+    * values (and silently drop nulls). Instead the duplicated ancestor
+    * columns are dropped from the right side (identical by construction)
+    * and the join keys on the dim labels alone; a positional dim shared by
+    * two predecessors has its label column materialized to serve as the
+    * key.
     */
   private def mergePredFrames(preds: Seq[String], needPos: Boolean,
       memo: scala.collection.mutable.Map[(String, Boolean), DataFrame]): DataFrame = {
+    val occurrences = preds.flatMap(p => dimsOf(p).distinct)
+    val sharedDims = occurrences.groupBy(identity).collect {
+      case (d, occ) if occ.size > 1 => d
+    }.toSet
+    val mergeNeedPos = needPos || sharedDims.exists(isPositionalDim)
     var acc: DataFrame = null
+    var accDims = Set.empty[String]
     preds.foreach { p =>
-      if (acc == null) acc = frameOf(p, needPos, memo)
-      else if (!acc.columns.contains(p)) {
-        val f = frameOf(p, needPos, memo)
-        val shared = acc.columns.intersect(f.columns).toSeq
-        acc = if (shared.nonEmpty) acc.join(f, shared) else acc.crossJoin(f)
+      if (acc == null) {
+        acc = frameOf(p, mergeNeedPos, memo)
+        accDims = dimsOf(p).toSet
+      } else if (!acc.columns.contains(p)) {
+        val f = frameOf(p, mergeNeedPos, memo)
+        val joinDims = accDims.intersect(dimsOf(p).toSet).toSeq.sorted
+        val dupCols = f.columns.filter(c =>
+          acc.columns.contains(c) && !joinDims.contains(c))
+        val fd = f.drop(dupCols.toIndexedSeq: _*)
+        acc =
+          if (joinDims.isEmpty) acc.crossJoin(fd)
+          else {
+            // rename right-side keys to avoid self-join ambiguity, join
+            // null-safe (a null label must align with itself), drop keys
+            val renamed = joinDims.foldLeft(fd)((d0, d) =>
+              d0.withColumnRenamed(d, "__jk_" + d))
+            val cond = joinDims.map(d => col(d) <=> col("__jk_" + d)).reduce(_ && _)
+            acc.join(renamed, cond).drop(joinDims.map("__jk_" + _).toIndexedSeq: _*)
+          }
+        accDims ++= dimsOf(p)
       }
     }
     acc
@@ -731,6 +829,20 @@ object TaskGraph {
     aRows.map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq ==
       bRows.map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
   }
+
+  /** Best-effort bounded equality for SHARED-DIM label validation. The
+    * reference validates index values eagerly in memory
+    * (node_values.py:79-90); at 100 TB an eager distinct-and-compare of a
+    * fact-scale dim would be a full Spark job at graph-BUILD time, so
+    * label sets beyond the bound pass validation and any misalignment
+    * surfaces as the relational semantics of the dim join (mismatched
+    * labels drop, as in an inner join). Metadata-scale dims — the
+    * reference's whole universe — still get the eager reference-parity
+    * error.
+    */
+  def labelsCompatible(a: DataFrame, b: DataFrame, maxRows: Int = 100000): Boolean =
+    try sameData(a, b, maxRows)
+    catch { case _: GraftException => true }
 
   def sparkTypeOf(s: Seq[Any]): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._

@@ -193,6 +193,58 @@ object CyclebaneQueries {
             indexCol = Some("n_regionkey"), dimName = "rdim")
         g.indices("rdim").orderBy("rdim")
       },
-      Some("""SELECT DISTINCT n_regionkey AS rdim FROM nation ORDER BY rdim"""))
+      Some("""SELECT DISTINCT n_regionkey AS rdim FROM nation ORDER BY rdim""")),
+
+    // Chained groupby via branch splicing (groupby_test.py:50-154): a first
+    // groupby per order is spliced into a second graph whose parameter
+    // table is indexed by the first groupby's dim, then grouped again by
+    // priority — the reference's hardest composition pattern, executed as
+    // two hash aggregations joined on the shared dim.
+    QueryDef("cb_groupby_chained",
+      (s, dir) => {
+        val g1 = TaskGraph(Dag.chain("price", "rev")
+            .addNode("rev", Map("expr" -> "CAST(price AS DECIMAL(27,6))")))
+          .mapFrame(Tables.lineitem(s, dir),
+            Map("price" -> "l_extendedprice", "param1" -> "l_orderkey"))
+          .groupby("param1")
+          .reduce(key = "rev", name = "order_rev", attrs = Map("func" -> "sum"))
+        // the spliced table's index must equal the first groupby's keys
+        // (the reference's set_index pattern): restrict to orders that
+        // actually have lineitems (1.8% are childless in the test data)
+        val ordersWithItems = Tables.orders(s, dir).join(
+          Tables.lineitem(s, dir).select(col("l_orderkey")).distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        val m2 = TaskGraph(Dag.fromEdges("orev" -> "w")
+            .addNode("w", Map("expr" -> "orev")))
+          .mapFrame(ordersWithItems,
+            Map("orev" -> "o_totalprice", "prio" -> "o_orderpriority"),
+            indexCol = Some("o_orderkey"), dimName = "param1")
+        val g = m2.setItem("orev", g1.getItem("order_rev"))
+          .groupby("prio")
+          .reduce(key = "w", name = "prio_rev", attrs = Map("func" -> "sum"))
+        g.result("prio_rev")
+          .select(col("prio"), col("prio_rev").cast("double").as("prio_rev"))
+          .orderBy("prio")
+      },
+      Some("""SELECT o.o_orderpriority AS prio, CAST(SUM(j.order_rev) AS DOUBLE) AS prio_rev FROM (SELECT l_orderkey, SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS order_rev FROM lineitem GROUP BY l_orderkey) j JOIN orders o ON j.l_orderkey = o.o_orderkey GROUP BY 1 ORDER BY 1""")),
+
+    // N-D surface: 2-D map in tidy form (graph_test.py:142-155) — a part x
+    // supplier grid from partsupp-like data built of two joined dims, with
+    // an inner positional slice and an axis reduce.
+    QueryDef("cb_map_2d",
+      (s, dir) => {
+        val grid = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+          .agg(sum(col("l_quantity").cast("decimal(27,6)")).as("qty"))
+        val g = TaskGraph(Dag.chain("q", "qq")
+            .addNode("qq", Map("expr" -> "q")))
+          .mapND("q", grid, Seq("rf" -> "rf", "ls" -> "ls"), "qty")
+          .reduce(key = "qq", index = "ls", name = "per_rf",
+            attrs = Map("func" -> "sum"))
+        g.result("per_rf")
+          .select(col("rf"), col("per_rf").cast("double").as("per_rf"))
+          .orderBy("rf")
+      },
+      Some("""SELECT l_returnflag AS rf, CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS per_rf FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 }

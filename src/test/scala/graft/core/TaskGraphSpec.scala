@@ -261,4 +261,168 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(g.dag.attrs("b") == Map("k" -> "v"))
     assert(g.getItem("b").dag.attrs("b") == Map("k" -> "v"))
   }
+
+  // --- diamond DAGs (per-index expansion) ---------------------------------
+
+  test("diamond DAG expands per index, not per value — graph.py:367-424") {
+    // a -> b, a -> c, {b,c} -> d over duplicate values in `a`: the merge of
+    // b's and c's frames must key on the dim label (row identity), never on
+    // the shared ancestor value column, or a=[1,1] yields 4 copies of d.
+    val dag = Dag.fromEdges("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d")
+      .addNode("b", Map("expr" -> "a + 1"))
+      .addNode("c", Map("expr" -> "a * 10"))
+      .addNode("d", Map("expr" -> "b + c"))
+    val g = TaskGraph(dag).mapSeqs(Map("a" -> Seq(1, 1)))
+    val rows = g.result("d").collect()
+    assert(rows.length == 2, s"expected 2 copies of d, got ${rows.length}")
+    assert(rows.forall(_.getAs[Int]("d") == 12))
+  }
+
+  test("diamond DAG joins on dim labels for labeled dims too") {
+    val df = Seq(("k1", 5), ("k2", 5)).toDF("idx", "v") // duplicate values
+    val dag = Dag.fromEdges("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d")
+      .addNode("b", Map("expr" -> "a + 1"))
+      .addNode("c", Map("expr" -> "a - 1"))
+      .addNode("d", Map("expr" -> "b * c"))
+    val g = TaskGraph(dag).mapFrame(df, Map("a" -> "v"),
+      indexCol = Some("idx"), dimName = "x")
+    val rows = g.result("d").orderBy("x").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Int]("d")).toSeq == Seq(24, 24))
+  }
+
+  // --- N-D arrays (mapND) — graph_test.py:142-155, 970-1038 ---------------
+
+  def nd2x3: TaskGraph = {
+    // np.array([[1, 2, 3], [4, 5, 6]]) in tidy form
+    val df = Seq((0, 0, 1), (0, 1, 2), (0, 2, 3), (1, 0, 4), (1, 1, 5), (1, 2, 6))
+      .toDF("r", "c", "v")
+    TaskGraph(Dag.chain("a", "b").addNode("b", Map("expr" -> "a")))
+      .mapND("a", df, Seq("dim_0" -> "r", "dim_1" -> "c"), "v")
+  }
+
+  test("mapND: 2-D map gives every descendant both dims") {
+    val g = nd2x3
+    assert(g.dimsOf("a") == Vector("dim_0", "dim_1"))
+    assert(g.dimsOf("b") == Vector("dim_0", "dim_1"))
+    assert(g.result("b").count() == 6)
+  }
+
+  test("mapND: outer positional slice keeps inner dim — graph_test.py:994-1016") {
+    val g = nd2x3.byPosition("dim_0", 1, 2)
+    val rows = g.result("b").orderBy("dim_1").collect()
+    assert(rows.map(_.getAs[Int]("b")).toSeq == Seq(4, 5, 6))
+    assert(rows.map(_.getAs[Int]("dim_0")).toSeq == Seq(1, 1, 1)) // labels survive
+  }
+
+  test("mapND: inner positional slice keeps outer dim — graph_test.py:1019-1038") {
+    val g = nd2x3.byPosition("dim_1", 0, 2)
+    val rows = g.result("b").orderBy("dim_0", "dim_1").collect()
+    assert(rows.map(_.getAs[Int]("b")).toSeq == Seq(1, 2, 4, 5))
+  }
+
+  test("mapND: reduce axis= on N-D consumes the right dim") {
+    val g = nd2x3.reduce(key = "b", axis = 0, name = "r", attrs = Map("func" -> "sum"))
+    assert(g.dimsOf("r") == Vector("dim_1"))
+    val got = g.result("r").orderBy("dim_1").collect().map(_.getAs[Long]("r")).toSeq
+    assert(got == Seq(5L, 7L, 9L)) // column sums of [[1,2,3],[4,5,6]]
+    val g2 = nd2x3.reduce(key = "b", index = "dim_1", name = "r2",
+      attrs = Map("func" -> "sum"))
+    val got2 = g2.result("r2").orderBy("dim_0").collect().map(_.getAs[Long]("r2")).toSeq
+    assert(got2 == Seq(6L, 15L)) // row sums
+  }
+
+  test("positional slice with duplicate labels keeps all rows of kept labels") {
+    // positions index DISTINCT labels (engine semantics: rank in ascending
+    // label order); duplicate labels share a position
+    val df = Seq(("x", 1), ("x", 2), ("y", 3)).toDF("idx", "v")
+    val g = TaskGraph.chain("a", "b")
+      .mapFrame(df, Map("a" -> "v"), indexCol = Some("idx"), dimName = "d")
+      .byPosition("d", 0, 1)
+    val rows = g.result("b").orderBy("b").collect()
+    assert(rows.map(_.getAs[Int]("b")).toSeq == Seq(1, 2)) // both x rows
+  }
+
+  // --- chained groupby via branch splicing --------------------------------
+
+  test("double groupby via splicing — groupby_test.py:50-154") {
+    val dag1 = Dag.fromEdges("a" -> "c", "param1" -> "c", "c" -> "d")
+      .addNode("c", Map("expr" -> "a"))
+      .addNode("d", Map("expr" -> "c"))
+    val grouped = TaskGraph(dag1)
+      .mapSeqs(Map("a" -> Seq(11, 22, 33, 44), "param1" -> Seq("x", "x", "y", "z")))
+      .groupby("param1")
+      .reduce(key = "d", name = "grouped-d", attrs = Map("func" -> "sum"))
+
+    val df2 = Seq((1, 0, "x"), (2, 1, "y"), (3, 1, "z")).toDF("e", "param2", "param1")
+    val mapped = TaskGraph(Dag.fromEdges("e" -> "f", "param2" -> "f")
+        .addNode("f", Map("expr" -> "e + param2")))
+      .mapFrame(df2, Map("e" -> "e", "param2" -> "param2"),
+        indexCol = Some("param1"), dimName = "param1")
+
+    val spliced = mapped.setItem("e", grouped)
+    assert(spliced.dimsOf("e") == Vector("param1"))
+    // e's placeholder values were replaced by the grouped-d reduce
+    assert(!spliced.isMapped("e"))
+    val eRows = spliced.result("e").orderBy("param1").collect()
+      .map(r => (r.getAs[String]("param1"), r.getAs[Long]("e"))).toSeq
+    assert(eRows == Seq(("x", 33L), ("y", 33L), ("z", 44L)))
+
+    val gt = spliced.groupby("param2")
+      .reduce(key = "f", name = "grouped-f", attrs = Map("func" -> "sum"))
+    assert(gt.dimsOf("grouped-f") == Vector("param2"))
+    val got = gt.result("grouped-f").orderBy("param2").collect()
+      .map(r => (r.getAs[Int]("param2"), r.getAs[Long]("grouped-f"))).toSeq
+    // f = e + param2: x -> 33, y -> 34, z -> 45; group 0 = {x}, 1 = {y,z}
+    assert(got == Seq((0, 33L), (1, 79L)))
+  }
+
+  test("three chained groupbys via splicing — groupby_test.py:625-665") {
+    val g1 = TaskGraph(Dag.fromEdges("a" -> "b").addNode("b", Map("expr" -> "a")))
+      .mapSeqs(Map("a" -> Seq(1, 2, 3, 4), "p1" -> Seq("x", "x", "y", "y")))
+      .groupby("p1").reduce(key = "b", name = "gb1", attrs = Map("func" -> "sum"))
+
+    val df2 = Seq((10, "x", 0), (20, "y", 1)).toDF("c", "p1", "p2")
+    val m2 = TaskGraph(Dag.fromEdges("c" -> "d").addNode("d", Map("expr" -> "c")))
+      .mapFrame(df2, Map("c" -> "c", "p2" -> "p2"),
+        indexCol = Some("p1"), dimName = "p1")
+    val g2 = m2.setItem("c", g1.getItem("gb1"))
+      .groupby("p2").reduce(key = "d", name = "gb2", attrs = Map("func" -> "sum"))
+
+    val df3 = Seq((100, 0, "A"), (200, 1, "B")).toDF("e", "p2", "p3")
+    val m3 = TaskGraph(Dag.fromEdges("e" -> "f").addNode("f", Map("expr" -> "e")))
+      .mapFrame(df3, Map("e" -> "e", "p3" -> "p3"),
+        indexCol = Some("p2"), dimName = "p2")
+    val g3 = m3.setItem("e", g2.getItem("gb2"))
+      .groupby("p3").reduce(key = "f", name = "gb3", attrs = Map("func" -> "sum"))
+
+    assert(g3.dimsOf("gb3") == Vector("p3"))
+    val got = g3.result("gb3").orderBy("p3").collect()
+      .map(r => (r.getAs[String]("p3"), r.getAs[Long]("gb3"))).toSeq
+    // gb1: x -> 3, y -> 7; gb2: p2 0 -> 3, 1 -> 7; gb3: A -> 3, B -> 7
+    assert(got == Seq(("A", 3L), ("B", 7L)))
+  }
+
+  test("re-map with same explicit dim name is a no-op — node_values.py:54-93") {
+    val df = Seq((1, 10), (2, 20)).toDF("k", "v")
+    val g = TaskGraph.chain("a", "b")
+      .mapFrame(df, Map("a" -> "v"), indexCol = Some("k"), dimName = "mydim")
+    val g2 = g.mapFrame(df, Map("a" -> "v"), indexCol = Some("k"), dimName = "mydim")
+    assert(g2.groups.size == 1) // identical re-map: no-op, no dim clash error
+  }
+
+  test("shared dim name across groups requires identical labels") {
+    val d1 = Seq((1, 10), (2, 20)).toDF("k", "v")
+    val d2 = Seq((1, 7), (2, 8)).toDF("k", "w")
+    val d3 = Seq((5, 7), (6, 8)).toDF("k", "w")
+    val base = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .mapFrame(d1, Map("a" -> "v"), indexCol = Some("k"), dimName = "shared")
+    // same labels: allowed, dims align (zip at descendants)
+    val ok = base.mapFrame(d2, Map("b" -> "w"), indexCol = Some("k"), dimName = "shared")
+    assert(ok.result("c").count() == 2)
+    // conflicting labels: raise (node_values.py:79-90)
+    assertThrows[GraftException] {
+      base.mapFrame(d3, Map("b" -> "w"), indexCol = Some("k"), dimName = "shared")
+    }
+  }
 }

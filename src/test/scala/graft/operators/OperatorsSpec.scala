@@ -108,6 +108,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(first == again)
   }
 
+  test("cosine LSH near-dups: subset of exact pairs, recall vs exact all-pairs") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("c", Similarity.cosine($"va", $"vb"))
+      .filter($"c" >= 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test vacuous: no near-dup pairs in sample")
+    val lsh = Dedup.cosineNearDups(emb, "vec_id", "embedding",
+      threshold = 0.4, planesPerTable = 4, tables = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH reported a pair below threshold")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, f"recall collapsed: $recall%.2f (${lsh.size}/${exact.size})")
+  }
+
+  test("hot buckets are bounded: boilerplate docs cannot go quadratic") {
+    // 30% of docs share identical boilerplate text -> one mega-bucket in
+    // every band. With a bucket cap the candidate set must stay linear
+    // (star pairs), not C(30,2) per band.
+    val boiler = (1 to 60).map(i => s"token$i").mkString(" ")
+    val rows = (0L until 100L).map { i =>
+      if (i < 30) (i, boiler)
+      else (i, (1 to 60).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val df = rows.toDF("id", "text")
+    val capped = Dedup.minhashCandidates(df, "id", "text", maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star pairs: every boilerplate doc connects to the bucket minimum
+    assert((1L until 30L).forall(i => capped.contains((0L, i))),
+      "cap broke duplicate-cluster connectivity")
+    assert(capped.size < 100,
+      s"bucket cap failed: ${capped.size} pairs for a 30-doc bucket")
+    // without the cap the same bucket yields all C(30,2) intra-bucket pairs
+    val uncapped = Dedup.minhashCandidates(df, "id", "text", maxBucket = 64)
+      .count()
+    assert(uncapped == 435L, s"expected 435 all-pairs, got $uncapped")
+  }
+
+  test("exact dedup groups by content hash yet reports exemplar text") {
+    val df = Seq((3L, "aa bb"), (1L, "aa bb"), (2L, "cc dd")).toDF("id", "text")
+    val got = Dedup.exact(df, "id", "text")
+      .collect().map(r => (r.getAs[String]("text"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_copies"))).toSet
+    assert(got == Set(("aa bb", 1L, 2L), ("cc dd", 2L, 1L)))
+  }
+
   test("multimodal: frame sample plan explodes the expected frame indices") {
     val vids = Seq((1L, 10L), (2L, 100L)).toDF("vid", "n_frames")
     val plan = Multimodal.frameSamplePlan(vids, "vid", "n_frames", stride = 5, maxFrames = 8)

@@ -75,4 +75,84 @@ object Similarity {
     val nb = math.sqrt(b.map(x => x * x).sum)
     d / (na * nb)
   }
+
+  /** Train IVF centroids: deterministic spherical k-means (farthest-point
+    * init + Lloyd iterations on the unit sphere) over a bounded sample.
+    * No RNG anywhere — identical centroids on every run and cluster size.
+    * The sample collect is bounded by `maxSample` rows of one array
+    * column; the iterations are driver-side arithmetic on k x dim doubles
+    * (k and dim are model-sized, never data-sized). At real scale the
+    * sample would come from a hash-filtered scan; `limit` keeps the demo
+    * deterministic on the single-file test tables.
+    */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int,
+      iters: Int = 5, maxSample: Int = 2000): Seq[(Int, Seq[Double])] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val sample: Array[Array[Double]] = df.select(col(vecCol)).limit(maxSample)
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => x.toString.toDouble
+      }.toArray)
+      .map(normalize)
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // farthest-point init: start from the first sample vector, greedily add
+    // the vector with the smallest max-similarity to the chosen set
+    val centroids = scala.collection.mutable.ArrayBuffer(sample(0))
+    while (centroids.length < k) {
+      val next = sample.minBy(v => centroids.map(c => dot(v, c)).max)
+      centroids += next
+    }
+    var cents = centroids.toArray
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](sample(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val best = (0 until k).maxBy(c => dot(v, cents(c)))
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = (0 until k).map { c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c))
+      }.toArray
+    }
+    cents.toIndexedSeq.zipWithIndex.map { case (v, i) => i -> v.toIndexedSeq }
+  }
+
+  /** Write the corpus partitioned by IVF cell: `partitionBy("cell")` lays
+    * each cell out as its own directory, so a query probing `nprobe` cells
+    * is a partition-pruned scan that never opens the other cells' files —
+    * the I/O-level pruning that makes IVF pay off at 100 TB.
+    */
+  def writePartitionedByCell(df: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], path: String): Unit =
+    assignCells(df, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** IVF top-k over a cell-partitioned layout: the `cell` filter is a
+    * partition predicate — Spark prunes non-probed cell directories at
+    * planning time (zero I/O on them).
+    */
+  def topKIvfPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Double])],
+      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val probeCells = centroids
+      .map { case (cid, cvec) => (cid, cosSim(cvec, query)) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

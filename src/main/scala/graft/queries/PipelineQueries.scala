@@ -202,10 +202,12 @@ object PipelineQueries {
       },
       None),
 
-    // IVF (cell-pruned) approximate top-k
+    // IVF (cell-pruned) approximate top-k over TRAINED centroids
+    // (deterministic spherical k-means on a bounded sample)
     QueryDef("q_sim_ivf",
       (s, dir) => {
-        val cents = ivfCentroids
+        val cents = Similarity.trainCentroids(
+          Tables.embeddings(s, dir), "embedding", k = 8)
         Similarity.topKIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
           cents, fixedQueryVector, k = 10, nprobe = 4)
           .select(col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
@@ -220,9 +222,6 @@ object PipelineQueries {
   lazy val fixedQueryVector: Seq[Double] =
     (0 until 64).map(i => math.sin(i + 1) / 8.0)
 
-  /** Fixed pseudo-centroids for the IVF demo (deterministic seeded grid). */
-  lazy val ivfCentroids: Seq[(Int, Seq[Double])] =
-    (0 until 8).map(c => c -> (0 until 64).map(i => math.cos(c * 17 + i) / 8.0))
 
   // DuckDB mirrors of the marker-scoring text queries. Marker scores are
   // pure length arithmetic: (len(t) - len(replace(t, m, ''))) / len(m).

@@ -82,7 +82,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("IVF top-k has full recall with all cells probed; subset recall otherwise") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = graft.queries.PipelineQueries.fixedQueryVector
-    val cents = graft.queries.PipelineQueries.ivfCentroids
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 8)
     val brute = Similarity.topK(emb, "vec_id", "embedding", q, 10)
       .collect().map(_.getLong(0)).toSeq
     val full = Similarity.topKIvf(emb, "vec_id", "embedding", cents, q, 10, nprobe = 8)
@@ -91,6 +91,38 @@ class OperatorsSpec extends AnyFunSuite {
     val partial = Similarity.topKIvf(emb, "vec_id", "embedding", cents, q, 10, nprobe = 4)
       .collect().map(_.getLong(0)).toSet
     assert(partial.intersect(brute.toSet).size >= 5, "IVF recall collapsed")
+    // training is deterministic: second run yields identical centroids
+    val again = Similarity.trainCentroids(emb, "embedding", k = 8)
+    assert(cents == again, "k-means training must be deterministic")
+  }
+
+  test("IVF partitioned layout prunes non-probed cells at the file level") {
+    import org.apache.spark.sql.functions.input_file_name
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 8)
+    val path = "/tmp/graft_ivf_layout_test"
+    Similarity.writePartitionedByCell(emb, "embedding", cents, path)
+    val q = graft.queries.PipelineQueries.fixedQueryVector
+    // correctness: all cells probed == brute force
+    val full = Similarity.topKIvfPartitioned(spark, path, "vec_id", "embedding",
+      cents, q, 10, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.topK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+    // pruning: a 2-cell probe must physically read fewer files than a full
+    // scan — partition pruning on the cell directory, not a row filter
+    val allFiles = spark.read.parquet(path)
+      .select(input_file_name()).distinct().count()
+    val probeCells = cents.map { case (cid, cvec) =>
+      (cid, cvec.zip(q).map { case (x, y) => x * y }.sum)
+    }.sortBy(-_._2).take(2).map(_._1)
+    val prunedFiles = spark.read.parquet(path)
+      .filter($"cell".isin(probeCells: _*))
+      .select(input_file_name()).distinct().count()
+    assert(prunedFiles < allFiles,
+      s"no file-level pruning: $prunedFiles of $allFiles files read")
+    assert(Similarity.topKIvfPartitioned(spark, path, "vec_id", "embedding",
+      cents, q, 10, nprobe = 2).count() == 10)
   }
 
   test("multimodal: payload decode stub is deterministic and total") {

@@ -105,11 +105,22 @@ final case class DimGroup(
     }
   }
 
+  /** A label value as a literal column. A `(value, unit)` pair becomes a
+    * struct literal matching [[TaskGraph.unitCoord]]'s encoding, so label
+    * equality on a unit-carrying dim includes the unit (reference scipp
+    * adapter: sel reconstructs `scalar(value, unit=unit)`,
+    * value_array_adapters.py:212-225, 241-250).
+    */
+  private def labelLit(label: Any): Column = label match {
+    case (v, u: String) => struct(lit(v).as("value"), lit(u).as("unit"))
+    case other => lit(other)
+  }
+
   /** Label-based point selection on `dim` (reference value_array.py:56-58). */
   def selLabel(dim: String, label: Any): DimGroup = {
     require(dims.contains(dim), s"dim '$dim' not in group")
     labelCols.get(dim) match {
-      case Some(lc) => copy(df = df.filter(col(lc) === lit(label)))
+      case Some(lc) => copy(df = df.filter(col(lc) === labelLit(label)))
       case None =>
         val pc = TaskGraph.posCol(dim)
         copy(df = withPositions.filter(col(pc) === lit(label)),
@@ -122,7 +133,7 @@ final case class DimGroup(
     require(dims.contains(dim), s"dim '$dim' not in group")
     val lc = labelCols.getOrElse(dim,
       throw new GraftException(s"dim '$dim' is positional; use sliceByPosition"))
-    copy(df = df.filter(col(lc) >= lit(lo) && col(lc) < lit(hi)))
+    copy(df = df.filter(col(lc) >= labelLit(lo) && col(lc) < labelLit(hi)))
   }
 }
 
@@ -748,10 +759,11 @@ final case class TaskGraph(
 
   /** Materialized task table: one row per node copy, with the node name,
     * its index labels (as strings) and its value (as string) — the parity
-    * equivalent of the reference's `to_networkx()` (graph.py:367-424).
+    * equivalent of the reference's `to_networkx()` (graph.py:367-424),
+    * including the custom `value_attr` name (graph_test.py:1088-1104).
     * Tests/small graphs only: production consumers use `result(node)`.
     */
-  def taskTable(): DataFrame = {
+  def taskTable(valueAttr: String = "value"): DataFrame = {
     val frames = dag.topologicalOrder.map { n =>
       val dims = dimsOf(n)
       val f = result(n, needPositional = true)
@@ -760,7 +772,7 @@ final case class TaskGraph(
         else map_from_arrays(
           array(dims.map(lit(_)): _*),
           array(dims.map(d => col(d).cast("string")): _*))
-      f.select(lit(n).as("node"), idx.as("index"), col(n).cast("string").as("value"))
+      f.select(lit(n).as("node"), idx.as("index"), col(n).cast("string").as(valueAttr))
     }
     frames.reduce(_.unionByName(_))
   }
@@ -784,6 +796,18 @@ final class GroupbyTaskGraph(g: TaskGraph, keyNode: String) {
 object TaskGraph {
 
   def posCol(dim: String): String = "__pos_" + dim
+
+  /** Unit-carrying coordinate encoding (reference ScippDataArrayAdapter:
+    * a coord with a unit yields `(value, unit)` tuple labels,
+    * value_array_adapters.py:241-250). The label becomes a
+    * `struct(value, unit)` column with the unit also recorded in the
+    * column Metadata; `sel`/`loc` with a `(value, unit)` pair then match
+    * value AND unit — a lookup in the wrong unit matches nothing.
+    */
+  def unitCoord(value: Column, unit: String): Column =
+    struct(value.as("value"), lit(unit).as("unit")).as("coord",
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("unit", unit).build())
 
   /** Graph from a bare DAG shape (reference `Graph.__init__`). */
   def apply(dag: Dag): TaskGraph = TaskGraph(dag, Vector.empty, Map.empty)

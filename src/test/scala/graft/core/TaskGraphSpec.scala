@@ -411,6 +411,32 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(g2.groups.size == 1) // identical re-map: no-op, no dim clash error
   }
 
+  test("unit-carrying labels: sel/loc match value AND unit — scipp adapter parity") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("t", "v")
+      .withColumn("coord", TaskGraph.unitCoord(col("t"), "s"))
+    val g = TaskGraph.chain("a", "b")
+      .mapFrame(df, Map("a" -> "v"), indexCol = Some("coord"), dimName = "time")
+    // matching unit: found
+    assert(g.sel("time", (2, "s")).result("b").collect()
+      .map(_.getAs[Double]("b")).toSeq == Seq(20.0))
+    // wrong unit: matches nothing (value_array_adapters.py:212-225)
+    assert(g.sel("time", (2, "ms")).result("b").count() == 0)
+    // range slice respects units too
+    assert(g.loc("time", (1, "s"), (3, "s")).result("b").count() == 2)
+    // the unit rides on the column metadata
+    val field = g.result("b").schema.fields.find(_.name == "time").get
+    assert(field.metadata.getString("unit") == "s")
+  }
+
+  test("taskTable custom value_attr — graph_test.py:1088-1104") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(5)))
+      .reduce(key = "b", name = "t", attrs = Map("func" -> "sum"))
+    val cols = g.taskTable(valueAttr = "my_attr").columns.toSeq
+    assert(cols == Seq("node", "index", "my_attr"))
+  }
+
   test("shared dim name across groups requires identical labels") {
     val d1 = Seq((1, 10), (2, 20)).toDF("k", "v")
     val d2 = Seq((1, 7), (2, 8)).toDF("k", "w")

@@ -27,15 +27,25 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.defs.map { d =>
       val t0 = System.nanoTime()
-      try { d.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { d.fn(spark, sfDir).count(); true }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] FAILED ${d.name}: ${t.getMessage}")
+            false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] ${d.name}%-22s $sec%8.2fs")
-      d.name -> sec
+      System.err.println(f"[bench] ${d.name}%-22s $sec%8.2fs${if (ok) "" else "  FAILED"}")
+      (d.name, sec, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // a failed query is reported with a NEGATIVE time so it can never read
+    // as a fast successful run; the failed names are listed explicitly too
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

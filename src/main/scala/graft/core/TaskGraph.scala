@@ -291,6 +291,78 @@ final case class TaskGraph(
       valueCols = Map(node -> valueCol),
       labelCols = dimLabels.toMap))
 
+  /** Adapter dispatch (reference `ValueArray.from_array_like` registry,
+    * value_array.py:26-39): route each mapped value to the right
+    * ingestion path by shape —
+    *  - a `DataFrame` is a mapping of columns (the pandas-DataFrame rule):
+    *    every column becomes a node, jointly mapped on one fresh dim;
+    *  - a `Map[String, Seq[_]]` of flat sequences -> [[mapSeqs]] (the
+    *    sequence adapter: one shared positional dim, zip semantics);
+    *  - nested sequences (`Seq[Seq[...]]`, the numpy-ndarray equivalent)
+    *    -> [[mapNestedSeqs]]: N-D with default range coords per axis.
+    */
+  def map(values: Any)(implicit spark: SparkSession): TaskGraph = values match {
+    case df: DataFrame => mapFrame(df)
+    case m: Map[_, _] =>
+      val named = m.asInstanceOf[Map[String, Any]]
+      require(named.nonEmpty, "empty map")
+      val nested = named.values.exists {
+        case s: Seq[_] => s.headOption.exists(_.isInstanceOf[Seq[_]])
+        case _ => false
+      }
+      if (nested) mapNestedSeqs(named.map { case (k, v) => k -> v.asInstanceOf[Seq[Any]] })
+      else mapSeqs(named.map { case (k, v) => k -> v.asInstanceOf[Seq[Any]] })
+    case other =>
+      throw new GraftException(s"cannot map value of type ${other.getClass.getName}")
+  }
+
+  /** Map nodes over N-D nested sequences (reference `NumpyArrayAdapter`,
+    * value_array_adapters.py:257-316): dims are `dim_{axis_zero+i}` with
+    * default range coords per axis; all values in one call must have the
+    * same shape and share the dims (node_values.py:104-109). The nested
+    * structure is flattened to tidy form driver-side — parameter values
+    * passed as in-memory literals are metadata-scale by definition (large
+    * arrays come in as DataFrames via mapND).
+    */
+  def mapNestedSeqs(values: Map[String, Seq[Any]])(implicit spark: SparkSession): TaskGraph = {
+    def shapeOf(v: Any): Vector[Int] = v match {
+      case s: Seq[_] => s.size +: s.headOption.map(shapeOf).getOrElse(Vector.empty)
+      case _ => Vector.empty
+    }
+    val names = values.keys.toVector.sorted
+    val shapes = names.map(n => shapeOf(values(n))).toSet
+    if (shapes.size != 1)
+      throw new GraftException(
+        "All value sequences in a map operation must have the same shape. " +
+          "Use multiple map operations if necessary.")
+    val shape = shapes.head
+    def flatten(v: Any): Vector[Any] = v match {
+      case s: Seq[_] => s.toVector.flatMap(flatten)
+      case x => Vector(x)
+    }
+    val flat = names.map(n => flatten(values(n)))
+    val n = shape.product
+    // multi-index in row-major order, like numpy
+    val indices = (0 until n).map { i =>
+      shape.scanRight(1)(_ * _).tail.zip(shape).map { case (stride, len) =>
+        (i / stride) % len
+      }
+    }
+    val axisZero = indexNames.size
+    val dims = shape.indices.map(i => s"dim_${axisZero + i}").toVector
+    val rows = (0 until n).map(i =>
+      Row.fromSeq(indices(i) ++ names.zipWithIndex.map { case (_, j) => flat(j)(i) }))
+    val schema = StructType(
+      dims.map(d => StructField(d, org.apache.spark.sql.types.IntegerType)) ++
+        names.map(nm => StructField("__v_" + nm, TaskGraph.sparkTypeOf(flat(names.indexOf(nm))))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    addGroup(DimGroup(
+      dims = dims,
+      df = df,
+      valueCols = names.map(nm => nm -> ("__v_" + nm)).toMap,
+      labelCols = dims.map(d => d -> d).toMap))
+  }
+
   /** Map nodes over in-memory sequences (reference `SequenceAdapter`,
     * value_array_adapters.py:23-68): all sequences share one positional dim
     * and must have equal length (node_values.py:104-109).
@@ -876,6 +948,9 @@ object TaskGraph {
       case Some(_: Double) => DoubleType
       case Some(_: String) => StringType
       case Some(_: Boolean) => BooleanType
+      // a nested sequence under the SEQUENCE adapter is a value, not an
+      // extra dim (reference graph_test.py:132-139)
+      case Some(inner: Seq[_]) => ArrayType(sparkTypeOf(inner.asInstanceOf[Seq[Any]]))
       case _ => StringType
     }
   }

@@ -47,23 +47,25 @@ object Multimodal {
     df.withColumn(payloadCol, encode(col(srcCol), "UTF-8"))
 
   /** Batch decode: one decoder instantiation per partition, metadata
-    * struct per row. The binary column is processed executor-side only.
+    * struct per row. A Dataset-level mapPartitions keeps the operator
+    * inside one query plan (no RDD round-trip, no plan break): upstream
+    * column pruning still reaches the scan and downstream operators
+    * compose on the same DataFrame.
     */
   def decodeImages(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("meta", imageMetaSchema, nullable = false)))
-    val idIdx = df.columns.indexOf(idCol)
-    val payIdx = df.columns.indexOf(payloadCol)
-    require(idIdx >= 0 && payIdx >= 0, s"missing $idCol/$payloadCol")
-    val rdd = df.rdd.mapPartitions { rows =>
-      // per-partition decoder setup would go here (amortized)
-      rows.map { r =>
-        Row(r.getLong(idIdx), decodeImageStub(r.getAs[Array[Byte]](payIdx)))
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here (amortized)
+        rows.map { case (id, payload) =>
+          val m = decodeImageStub(payload)
+          (id, (m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3)))
+        }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF("id", "meta")
+      .withColumn("meta", col("meta").cast(imageMetaSchema))
   }
 
   /** Deterministic frame sampling plan for a (stub) video payload: every

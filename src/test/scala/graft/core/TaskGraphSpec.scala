@@ -411,6 +411,43 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(g2.groups.size == 1) // identical re-map: no-op, no dim clash error
   }
 
+  test("map dispatch routes by shape — value_array.py:26-39") {
+    // flat sequences -> 1-D zip (sequence adapter)
+    val g1 = TaskGraph.chain("a", "b").map(Map("a" -> Seq(1, 2, 3)))
+    assert(g1.dimsOf("b") == Vector("dim_0") && g1.result("b").count() == 3)
+    // nested sequences -> N-D with range coords (ndarray adapter)
+    val g2 = TaskGraph.chain("a", "b")
+      .map(Map("a" -> Seq(Seq(1, 2, 3), Seq(4, 5, 6))))
+    assert(g2.dimsOf("b") == Vector("dim_0", "dim_1"))
+    assert(g2.result("b").count() == 6)
+    val sliced = g2.byPosition("dim_0", 1, 2).result("b").orderBy("dim_1")
+      .collect().map(_.getAs[Int]("b")).toSeq
+    assert(sliced == Seq(4, 5, 6))
+    // a DataFrame is a mapping of columns: joint map on one fresh dim
+    val g3 = TaskGraph.fromEdges("x" -> "c", "y" -> "c")
+      .map(Seq((1, 10), (2, 20)).toDF("x", "y"))
+    assert(g3.result("c").count() == 2)
+  }
+
+  test("nested lists under the sequence adapter are values — graph_test.py:132-139") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(Seq(1, 2), Seq(3, 4), Seq(5, 6))))
+    assert(g.dimsOf("b") == Vector("dim_0")) // 1-D, not 2-D
+    val rows = g.result("b").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getSeq[Int](rows.head.fieldIndex("b")).toSeq).toSet ==
+      Set(Seq(1, 2), Seq(3, 4), Seq(5, 6)))
+  }
+
+  test("mapNestedSeqs axis_zero offsets chained N-D dims — adapters:268-272") {
+    val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .map(Map("a" -> Seq(1, 2)))
+      .map(Map("b" -> Seq(Seq(1, 2), Seq(3, 4))))
+    assert(g.dimsOf("a") == Vector("dim_0"))
+    assert(g.dimsOf("b") == Vector("dim_1", "dim_2"))
+    assert(g.result("c").count() == 8)
+  }
+
   test("unit-carrying labels: sel/loc match value AND unit — scipp adapter parity") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("t", "v")

@@ -936,9 +936,21 @@ object TaskGraph {
     * reference's whole universe — still get the eager reference-parity
     * error.
     */
-  def labelsCompatible(a: DataFrame, b: DataFrame, maxRows: Int = 100000): Boolean =
+  def labelsCompatible(a: DataFrame, b: DataFrame, maxRows: Int = 100000): Boolean = {
+    if (a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)) return true
+    // Eager validation only when every leaf is an in-memory relation (the
+    // reference's whole universe is driver-side arrays). A file-backed dim
+    // is fact-scale: collecting it at graph-build time is the wrong cost
+    // model, so validation defers to the dim join's relational semantics.
+    def metadataScale(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.collectLeaves().forall { leaf =>
+        val n = leaf.getClass.getSimpleName
+        n == "LocalRelation" || n == "OneRowRelation" || n == "Range"
+      }
+    if (!metadataScale(a) || !metadataScale(b)) return true
     try sameData(a, b, maxRows)
     catch { case _: GraftException => true }
+  }
 
   def sparkTypeOf(s: Seq[Any]): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._

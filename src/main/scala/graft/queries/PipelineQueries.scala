@@ -64,6 +64,18 @@ object PipelineQueries {
       },
       Some("""SELECT a.event_id, a.user_id, strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, b.event_id AS p_event FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') b ON a.user_id = b.user_id AND a.ts >= b.ts ORDER BY a.event_id""")),
 
+    // custom keyed state (flatMapGroupsWithState): first event per
+    // (user, event_type); the batch execution of the same stateful
+    // function is oracle-checked against a windowed row_number
+    QueryDef("q_events_first",
+      (s, dir) => {
+        graft.streaming.EventStreams.firstPerKey(Tables.events(s, dir))
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 ORDER BY user_id, event_type""")),
+
     // JSON property extraction
     QueryDef("q_events_json",
       (s, dir) => {

@@ -64,6 +64,49 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_events"))
 
+  /** Input/output records for the custom-state operator. */
+  final case class EvIn(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String)
+  final case class EvFirst(user_id: Long, event_type: String,
+      event_id: Long, ts: java.sql.Timestamp)
+
+  /** Stateful streaming dedup via `flatMapGroupsWithState` — the
+    * custom-state surface that windowed aggregations cannot express: emit
+    * only the FIRST event per (user, event_type), tracking a seen-flag in
+    * keyed state. State is dropped once the event-time watermark passes
+    * the first event plus the dedup horizon (EventTimeTimeout), so state
+    * size is bounded by the number of ACTIVE keys inside the watermark,
+    * not the stream history. The same function runs on a batch DataFrame
+    * (state starts empty per key), where it reduces to min-by-(ts, id)
+    * per key — which is what the DuckDB oracle checks.
+    */
+  def firstPerKey(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[EvIn]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Boolean, EvFirst](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key, rows, state) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
+          else {
+            val f = rows.minBy(e => (e.ts.getTime, e.event_id))
+            state.update(true)
+            // batch mode has no watermark; setting a timeout there throws
+            // and is meaningless, so it is best-effort by design
+            try state.setTimeoutTimestamp(f.ts.getTime + 2L * 3600 * 1000)
+            catch { case _: Exception => () }
+            Iterator.single(EvFirst(key._1, key._2, f.event_id, f.ts))
+          }
+        })
+      .toDF()
+  }
+
   /** Run a streaming DataFrame to completion against the (finite) file
     * source and return the materialized result from a memory sink.
     */

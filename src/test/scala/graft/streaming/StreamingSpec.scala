@@ -38,4 +38,22 @@ class StreamingSpec extends AnyFunSuite {
     val want = EventStreams.sessionAgg(Tables.events(spark, dir))
     assert(sortedRows(got) == sortedRows(want))
   }
+
+  test("stateful first-per-key dedup: streaming == batch == naive") {
+    val stream = EventStreams.readStream(spark, dir)
+    val got = EventStreams.runToBatch(
+      EventStreams.firstPerKey(stream), "first_out", outputMode = "append")
+    val want = EventStreams.firstPerKey(Tables.events(spark, dir))
+    assert(sortedRows(got) == sortedRows(want))
+    // and both equal a naive windowed first-row computation
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val naive = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+    assert(sortedRows(want.select("user_id", "event_type", "event_id", "ts")) ==
+      sortedRows(naive))
+    assert(got.count() > 0)
+  }
 }

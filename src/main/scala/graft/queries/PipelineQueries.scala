@@ -121,6 +121,27 @@ object PipelineQueries {
       },
       Some(qualityOracle)),
 
+    // end-to-end pipeline composition: quality filter -> exact dedup ->
+    // per-language stats. The whole chain stays one lazy plan: the
+    // quality predicates evaluate inside the scan stage, dedup is one
+    // hash aggregation, and the final rollup is map-side combinable.
+    QueryDef("q_pipeline_clean",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val quality = TextAnalysis.qualitySignals(docs, col("text"))
+          .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5)
+        val deduped = Dedup.exact(quality, "doc_id", "text")
+        val kept = quality.join(
+          deduped.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        kept
+          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"),
+            col("n_tokens"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens_total"))
+          .orderBy("lang")
+      },
+      Some(pipelineCleanOracle)),
+
     // exact deduplication
     QueryDef("q_dedup_exact",
       (s, dir) => {
@@ -251,6 +272,15 @@ object PipelineQueries {
     val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
     val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
     s"""WITH sc AS (SELECT doc_id, $scoreCols FROM documents), sb AS (SELECT *, $best AS best FROM sc) SELECT doc_id, CASE $cases ELSE 'und' END AS pred FROM sb ORDER BY doc_id"""
+  }
+
+  private lazy val pipelineCleanOracle: String = {
+    val ntok = """CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END"""
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scoreCols = langs.map(l => s"(${scoreSql(l)}) AS s_$l").mkString(", ")
+    val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    raw"""WITH q AS (SELECT doc_id, text, CAST($ntok AS BIGINT) AS n_tokens, LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) AS alpha_ratio FROM documents), f AS (SELECT * FROM q WHERE n_tokens >= 5 AND alpha_ratio >= 0.5), keep AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text), k AS (SELECT f.* FROM f JOIN keep USING (doc_id)), sc AS (SELECT doc_id, n_tokens, text, $scoreCols FROM k), sb AS (SELECT *, $best AS best FROM sc) SELECT CASE $cases ELSE 'und' END AS lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total FROM sb GROUP BY 1 ORDER BY 1"""
   }
 
   private lazy val qualityOracle: String = {

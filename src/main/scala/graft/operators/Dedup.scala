@@ -106,12 +106,17 @@ object Dedup {
     * only.
     */
   private[operators] def boundedPairs(
-      banded: DataFrame, bandCol: String, bucketCol: String, maxBucket: Int
+      banded0: DataFrame, bandCol: String, bucketCol: String, maxBucket: Int
   ): DataFrame = {
+    // the banded frame feeds the stats agg and the stats join; the joined
+    // frame feeds both self-join sides and the big-bucket star pairs:
+    // persist both so the signature pipeline and the bucket-stats join
+    // each run exactly once
+    val banded = banded0.persist(StorageLevel.MEMORY_AND_DISK)
     val keys = Seq(bandCol, bucketCol)
     val stats = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"), min(col("id")).as("__minid"))
-    val withN = banded.join(stats, keys)
+    val withN = banded.join(stats, keys).persist(StorageLevel.MEMORY_AND_DISK)
     val small = withN.filter(col("__n") <= maxBucket)
     val a = small.select(col(bandCol), col(bucketCol), col("id").as("id_a"))
     val b = small.select(col(bandCol), col(bucketCol), col("id").as("id_b"))
@@ -185,19 +190,18 @@ object Dedup {
 
   /** 64-bit SimHash from a PRE-PROJECTED token-hash array column: bit i of
     * the signature is the sign of sum over tokens of (+1/-1 for bit i of
-    * the token hash). One pass over 64 bit positions, each a scalar fold
-    * over the hash array — no per-token 64-array allocation.
+    * the token hash). Deliberately expanded as 64 separate folds (not an
+    * outer loop lambda): an input column referenced once inside a lambda
+    * gets inlined by CollapseProject and would then re-evaluate per
+    * iteration, while 64 references pin the token-hash projection as its
+    * own stage, evaluated once per row.
     */
   def simhashFromHashes(hs: Column): Column =
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) => {
-      val bitI = i.cast("int")
+    (0 until 64).map { i =>
       val vote = aggregate(hs, lit(0L),
-        (a, h) => a + when(
-          call_function("shiftright", h, bitI).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L))
-      acc.bitwiseOR(
-        when(vote > 0, call_function("shiftleft", lit(1L), bitI)).otherwise(lit(0L)))
-    })
+        (a, h) => a + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** SimHash straight from text (convenience; hot paths stage the token
     * hashes explicitly).
@@ -220,7 +224,7 @@ object Dedup {
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL))))
-      .toDF("id", "band", "chunk")
+      .toDF("id", "band", "chunk") // persisted inside boundedPairs
     val cands = boundedPairs(banded, "band", "chunk", maxBucket)
     val sa = prepared.select(col("id").as("id_a"), col("sig").as("__sig_a"))
     val sb = prepared.select(col("id").as("id_b"), col("sig").as("__sig_b"))
@@ -256,19 +260,23 @@ object Dedup {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val planes = planeMatrix(dim, planesPerTable * tables, seed)
     val prepared = widen(df).select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val bits = array(planes.map { p =>
-      val planeLit = array(p.map(lit).toIndexedSeq: _*)
-      when(Similarity.dot(col("vec"), planeLit) > 0, 1L).otherwise(0L)
+    // one foldable nested literal for the whole plane matrix: evaluated
+    // once as a constant, not 32 separate 64-literal arrays per row
+    val planesLit = typedlit(planes.map(_.toSeq).toSeq)
+    val bits = transform(planesLit, p =>
+      when(aggregate(
+        zip_with(col("vec"), p, (x, y) => x.cast("double") * y),
+        lit(0.0d), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+    // expanded per table (not a loop lambda) so the `tables` references to
+    // __bits keep the plane-dot projection as its own once-per-row stage
+    val buckets = array((0 until tables).map { t =>
+      aggregate(slice(col("__bits"), t * planesPerTable + 1, planesPerTable),
+        lit(0L), (acc, x) => acc * 2 + x)
     }.toIndexedSeq: _*)
-    val buckets = transform(sequence(lit(0), lit(tables - 1)),
-      t => aggregate(
-        slice(col("__bits"), t * planesPerTable + 1, lit(planesPerTable)),
-        lit(0L), (acc, x) => acc * 2 + x))
     val banded = prepared
       .withColumn("__bits", bits)
       .select(col("id"), posexplode(buckets))
       .toDF("id", "table", "bucket")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = boundedPairs(banded, "table", "bucket", maxBucket)
     val va = prepared.select(col("id").as("id_a"), col("vec").as("vec_a"))
     val vb = prepared.select(col("id").as("id_b"), col("vec").as("vec_b"))

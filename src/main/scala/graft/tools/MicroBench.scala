@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Repeated in-JVM timing for named queries: runs each query `reps` times
+  * and reports all times plus the minimum (the stable signal under noisy
+  * machine load — single bench runs vary 30-50%). Run with:
+  *   sbt "runMain graft.tools.MicroBench [sfDir] [reps] [query ...]"
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val names: Seq[String] =
+      if (args.length > 2) args.drop(2).toSeq
+      else Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_cosine")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm-up
+    val qs = graft.SparkEntry.queries
+    names.foreach { n =>
+      val times = (1 to reps).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        qs(n)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[micro] $n%-22s min=${times.min}%6.2fs  all=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

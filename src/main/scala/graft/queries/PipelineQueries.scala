@@ -175,7 +175,34 @@ object PipelineQueries {
       },
       Some("""SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) AS norm_sq FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) GROUP BY vec_id ORDER BY vec_id""")),
 
+    // skew-salted join: identical results to the plain join (which is the
+    // oracle), with the hot key's rows spread over 16 salts
+    QueryDef("q_join_salted",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_quantity"), col("l_orderkey"))
+        val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+          .withColumnRenamed("s_suppkey", "l_suppkey")
+        graft.operators.ScaleOps.saltedJoin(li, sup, "l_suppkey",
+          saltCol = "l_orderkey", saltFactor = 16)
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("s_name")
+      },
+      Some(s"""SELECT s_name, COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name ORDER BY s_name""")),
+
     // --- no-oracle (rows-only gate; verified in ScalaTest vs exact) ------
+
+    // deterministic train/val/test hash split (xxhash64 has no DuckDB
+    // equivalent; determinism/exhaustiveness verified in ScaleOpsSpec)
+    QueryDef("q_sample_split",
+      (s, dir) => {
+        graft.operators.ScaleOps.hashSplit(
+          Tables.documents(s, dir), "doc_id", Seq(0.8, 0.1, 0.1))
+          .groupBy("split").agg(count(lit(1)).as("n"))
+          .orderBy("split")
+      },
+      None),
 
     // document fingerprinting (rolling hash; xxhash64 not in DuckDB)
     QueryDef("q_text_fingerprint",

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.SparkTestSession
+
+/** The scale-layout operators: bucketed co-partitioned joins (no
+  * exchange), salted joins (skew spreading with identical results), and
+  * deterministic hash splits.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    ScaleOps.writeBucketed(li, "l_orderkey", "b_lineitem",
+      "/tmp/graft_bucketed/lineitem", buckets = 8)
+    ScaleOps.writeBucketed(ord, "l_orderkey", "b_orders",
+      "/tmp/graft_bucketed/orders", buckets = 8)
+    // at sf0.001 the planner would broadcast (which also skips bucketing);
+    // disable it to demonstrate the fact-to-fact shuffle-free path that
+    // matters at scale, where neither side broadcasts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleOps.bucketedJoin(spark, "b_lineitem", "b_orders", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free, plan:\n${plan.take(2000)}")
+      assert(plan.contains("Bucketed: true"), "scan did not use the bucketed layout")
+      // and it returns the same rows as the plain (shuffling) join
+      val plain = li.join(ord, "l_orderkey")
+      assert(joined.count() == plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join returns exactly the plain join's rows, spread by salt") {
+    // big side: 90% of rows share one hot key
+    val big = (0 until 2000).map(i =>
+      (if (i % 10 == 0) s"k$i" else "HOT", i.toLong)).toDF("k", "v")
+    val small = Seq(("HOT", "hot_dim"), ("k10", "d10"), ("k20", "d20"))
+      .toDF("k", "d")
+    val got = ScaleOps.saltedJoin(big, small, "k", saltCol = "v", saltFactor = 8)
+    val want = big.join(small, "k")
+    assert(sortedRows(got.select("k", "v", "d")) == sortedRows(want.select("k", "v", "d")))
+    // the hot key's rows really are spread across salts
+    val salts = big.withColumn("__salt",
+      pmod(xxhash64(col("v")), lit(8)).cast("int"))
+      .filter($"k" === "HOT").select("__salt").distinct().count()
+    assert(salts > 4, s"hot key concentrated in $salts salt(s)")
+  }
+
+  test("hash split is deterministic, exhaustive, and proportional") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val split = ScaleOps.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(counts.values.sum == n) // exhaustive: every row assigned
+    assert(counts.keySet.subsetOf(Set(0, 1, 2)))
+    assert(counts(0) > n * 6 / 10, s"train split too small: ${counts(0)}/$n")
+    // deterministic: identical assignment on re-run and after re-layout
+    val again = ScaleOps.hashSplit(docs.repartition(7), "doc_id", Seq(0.8, 0.1, 0.1))
+    assert(sortedRows(split.select("doc_id", "split")) ==
+      sortedRows(again.select("doc_id", "split")))
+    // different seed -> different assignment (not vacuously constant)
+    val other = ScaleOps.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1), seed = 99)
+    assert(sortedRows(split.select("doc_id", "split")) !=
+      sortedRows(other.select("doc_id", "split")))
+  }
+}

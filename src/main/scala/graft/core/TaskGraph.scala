@@ -799,34 +799,41 @@ final case class TaskGraph(
     acc
   }
 
-  private def reduceFrame(n: String, spec: ReduceSpec, needPos: Boolean,
+  /** The reduce node's INPUT frame: the predecessor expansion, with the
+    * groupby key column attached when not co-grouped. One row per
+    * consumed pred copy — also the edge set of the fan-in (each input row
+    * feeds exactly one output group).
+    */
+  private def reduceInput(n: String, spec: ReduceSpec, needPos: Boolean,
       memo: scala.collection.mutable.Map[(String, Boolean), DataFrame]): DataFrame = {
-    val keptDims0 = dimsOf(n)
     // Positional dims that survive the reduce are observed as group keys:
     // their labels must be materialized in the predecessor frame.
-    val needPredPos = needPos || keptDims0.exists(isPositionalDim)
+    val needPredPos = needPos || dimsOf(n).exists(isPositionalDim)
     val predFrame = frameOf(spec.pred, needPredPos, memo)
-    val attrs = dag.attrs.getOrElse(n, Map.empty)
-    val aggExpr: Column = TaskGraph.aggFor(attrs, col(spec.pred)).as(n)
-    val keptDims = keptDims0
     spec.groupKey match {
-      case None =>
-        if (keptDims.isEmpty) predFrame.agg(aggExpr)
-        else predFrame.groupBy(keptDims.map(col): _*).agg(aggExpr)
+      case None => predFrame
       case Some(k) =>
         // Group labels = values of key node k. The key column is already in
         // the frame when co-grouped (the common case): single-scan groupBy,
         // no join — a map-side-combinable hash aggregation.
-        val withKey =
-          if (predFrame.columns.contains(k)) predFrame
-          else {
-            val kf = frameOf(k, needPredPos, memo)
-            val shared = predFrame.columns.intersect(kf.columns).toSeq
-            require(shared.nonEmpty, s"groupby key '$k' shares no dim with '${spec.pred}'")
-            predFrame.join(kf, shared)
-          }
-        withKey.groupBy(keptDims.map(col): _*).agg(aggExpr)
+        if (predFrame.columns.contains(k)) predFrame
+        else {
+          val kf = frameOf(k, needPredPos, memo)
+          val shared = predFrame.columns.intersect(kf.columns).toSeq
+          require(shared.nonEmpty, s"groupby key '$k' shares no dim with '${spec.pred}'")
+          predFrame.join(kf, shared)
+        }
     }
+  }
+
+  private def reduceFrame(n: String, spec: ReduceSpec, needPos: Boolean,
+      memo: scala.collection.mutable.Map[(String, Boolean), DataFrame]): DataFrame = {
+    val keptDims = dimsOf(n)
+    val input = reduceInput(n, spec, needPos, memo)
+    val attrs = dag.attrs.getOrElse(n, Map.empty)
+    val aggExpr: Column = TaskGraph.aggFor(attrs, col(spec.pred)).as(n)
+    if (keptDims.isEmpty) input.agg(aggExpr)
+    else input.groupBy(keptDims.map(col): _*).agg(aggExpr)
   }
 
   /** Materialized task table: one row per node copy, with the node name,
@@ -845,6 +852,46 @@ final case class TaskGraph(
           array(dims.map(lit(_)): _*),
           array(dims.map(d => col(d).cast("string")): _*))
       f.select(lit(n).as("node"), idx.as("index"), col(n).cast("string").as(valueAttr))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
+  private def indexMapOf(dims: Vector[String]): Column =
+    if (dims.isEmpty) expr("map()").cast("map<string,string>")
+    else map_from_arrays(
+      array(dims.map(lit(_)): _*),
+      array(dims.map(d => col(d).cast("string")): _*))
+
+  /** Materialized edge table: one row per edge between node COPIES — the
+    * edge-set parity of the reference's `to_networkx()` (clone expansion
+    * graph.py:595-611; groupby wiring `_make_groupby_graph`,
+    * graph.py:426-441). For a regular edge the copies align on their
+    * shared dims (the child frame carries the parent's dim labels); for a
+    * fan-in edge each consumed pred copy connects to the group it lands
+    * in (kept dims + its own group-key value); a groupby key node's copy
+    * connects to the reduce copy labeled with its value. Tests/small
+    * graphs only, like taskTable.
+    */
+  def edgeTable(): DataFrame = {
+    if (dag.edgeList.isEmpty) {
+      val spark = groups.headOption.map(_.df.sparkSession).getOrElse(SparkSession.active)
+      return spark.emptyDataFrame
+        .select(lit("").as("src"), expr("map()").cast("map<string,string>").as("src_index"),
+          lit("").as("dst"), expr("map()").cast("map<string,string>").as("dst_index"))
+    }
+    val memo = scala.collection.mutable.Map.empty[(String, Boolean), DataFrame]
+    val frames = dag.edgeList.map { case (p, c) =>
+      val frame = reduces.get(c) match {
+        case Some(spec) => reduceInput(c, spec, needPos = true, memo)
+        case None => frameOf(c, needPos = true, memo)
+      }
+      // dedupe on the scalar label columns (set ops reject MAP columns),
+      // then assemble the index maps
+      val labelCols = (dimsOf(p) ++ dimsOf(c)).distinct
+      frame.select(labelCols.map(col): _*).distinct()
+        .select(
+          lit(p).as("src"), indexMapOf(dimsOf(p)).as("src_index"),
+          lit(c).as("dst"), indexMapOf(dimsOf(c)).as("dst_index"))
     }
     frames.reduce(_.unionByName(_))
   }

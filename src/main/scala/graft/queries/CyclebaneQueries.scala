@@ -195,6 +195,25 @@ object CyclebaneQueries {
       },
       Some("""SELECT DISTINCT n_regionkey AS rdim FROM nation ORDER BY rdim""")),
 
+    // O15-O17 edge materialization: per-copy edge set incl. the groupby
+    // member -> group wiring (to_networkx edge parity, graph.py:426-441)
+    QueryDef("cb_edgetable",
+      (s, dir) => {
+        val g = empty
+          .mapFrame(Tables.nation(s, dir),
+            Map("n_name" -> "n_name", "rkey" -> "n_regionkey"),
+            indexCol = Some("n_nationkey"), dimName = "nk")
+          .groupby("rkey")
+          .reduce(key = "n_name", name = "per_region",
+            attrs = Map("func" -> "count"))
+        g.edgeTable()
+          .select(col("src"), col("src_index")("nk").as("src_nk"),
+            col("dst"), col("dst_index")("nk").as("dst_nk"),
+            col("dst_index")("rkey").as("dst_rkey"))
+          .orderBy("src", "dst", "src_nk", "dst_rkey")
+      },
+      Some("""SELECT src, CAST(n_nationkey AS VARCHAR) AS src_nk, dst, CAST(CASE WHEN dst = 'per_region' THEN NULL ELSE n_nationkey END AS VARCHAR) AS dst_nk, CAST(CASE WHEN dst = 'per_region' THEN n_regionkey ELSE NULL END AS VARCHAR) AS dst_rkey FROM nation CROSS JOIN (VALUES ('n_name', 'per_region'), ('rkey', 'per_region')) AS e(src, dst) ORDER BY src, dst, src_nk, dst_rkey""")),
+
     // Chained groupby via branch splicing (groupby_test.py:50-154): a first
     // groupby per order is spliced into a second graph whose parameter
     // table is indexed by the first groupby's dim, then grouped again by

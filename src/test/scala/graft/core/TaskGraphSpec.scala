@@ -255,6 +255,32 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(t.length == 1 && t(0).getAs[String]("value") == "11")
   }
 
+  test("edgeTable materializes per-copy edges incl. groupby wiring — groupby_test.py:21-47") {
+    // a -> c, b -> c; joint map {a: [11,22,33], b: ['a','a','b']};
+    // groupby('b').reduce('c', name='d')
+    val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .mapSeqs(Map("a" -> Seq(11, 22, 33), "b" -> Seq("a", "a", "b")))
+      .groupby("b")
+      .reduce(key = "c", name = "d", attrs = Map("func" -> "count"))
+    val edges = g.edgeTable().collect().map { r =>
+      (r.getAs[String]("src"), r.getAs[Map[String, String]]("src_index"),
+        r.getAs[String]("dst"), r.getAs[Map[String, String]]("dst_index"))
+    }.toSet
+    // chain edges: a_i -> c_i (same copy), never cross-copy
+    assert(edges.contains(("a", Map("dim_0" -> "0"), "c", Map("dim_0" -> "0"))))
+    assert(edges.contains(("a", Map("dim_0" -> "2"), "c", Map("dim_0" -> "2"))))
+    assert(!edges.contains(("a", Map("dim_0" -> "0"), "c", Map("dim_0" -> "1"))))
+    // fan-in edges: c_0, c_1 -> d('a'); c_2 -> d('b'); no cross-group edges
+    assert(edges.contains(("c", Map("dim_0" -> "0"), "d", Map("b" -> "a"))))
+    assert(edges.contains(("c", Map("dim_0" -> "1"), "d", Map("b" -> "a"))))
+    assert(edges.contains(("c", Map("dim_0" -> "2"), "d", Map("b" -> "b"))))
+    assert(!edges.contains(("c", Map("dim_0" -> "0"), "d", Map("b" -> "b"))))
+    assert(!edges.contains(("c", Map("dim_0" -> "2"), "d", Map("b" -> "a"))))
+    // groupby key wiring: b_i -> its group's reduce copy
+    assert(edges.contains(("b", Map("dim_0" -> "0"), "d", Map("b" -> "a"))))
+    assert(edges.contains(("b", Map("dim_0" -> "2"), "d", Map("b" -> "b"))))
+  }
+
   test("node attrs survive map and branch ops — graph_test.py:1041-1104") {
     val g = TaskGraph(Dag.chain("a", "b").addNode("b", Map("k" -> "v")))
       .mapSeqs(Map("a" -> Seq(1, 2)))

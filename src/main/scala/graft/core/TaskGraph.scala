@@ -43,16 +43,28 @@ final case class DimGroup(
   def positionalDim: Option[String] = dims.find(d => !labelCols.contains(d))
 
   /** df extended with the positional-label column for the positional dim.
-    * RDD zipWithIndex: distributed, deterministic for a deterministic
-    * source, no single-partition window.
+    * An in-memory (LocalRelation) param table gets positions driver-side
+    * and STAYS a LocalRelation — eligible for eager label validation and
+    * broadcast planning. Anything else uses RDD zipWithIndex:
+    * distributed, deterministic for a deterministic source, no
+    * single-partition window.
     */
   lazy val withPositions: DataFrame = positionalDim match {
     case None => df
     case Some(d) =>
       val spark = df.sparkSession
       val schema = df.schema.add(TaskGraph.posCol(d), LongType, nullable = false)
-      val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-      spark.createDataFrame(rdd, schema)
+      val isLocal = df.queryExecution.analyzed.collectLeaves()
+        .forall(_.getClass.getSimpleName == "LocalRelation")
+      if (isLocal) {
+        val rows = df.collect().zipWithIndex.map {
+          case (r, i) => Row.fromSeq(r.toSeq :+ i.toLong)
+        }
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      } else {
+        val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+        spark.createDataFrame(rdd, schema)
+      }
   }
 
   /** The group's frame: value columns renamed to node names, label columns
@@ -355,7 +367,7 @@ final case class TaskGraph(
     val schema = StructType(
       dims.map(d => StructField(d, org.apache.spark.sql.types.IntegerType)) ++
         names.map(nm => StructField("__v_" + nm, TaskGraph.sparkTypeOf(flat(names.indexOf(nm))))))
-    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     addGroup(DimGroup(
       dims = dims,
       df = df,
@@ -377,7 +389,9 @@ final case class TaskGraph(
     val names = values.keys.toVector.sorted
     val rows = (0 until sizes.head).map(i => Row.fromSeq(names.map(n => values(n)(i))))
     val schema = StructType(names.map(n => StructField(n, TaskGraph.sparkTypeOf(values(n)))))
-    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    // LocalRelation (not an RDD): in-memory param tables stay eligible
+    // for eager label validation and broadcast planning
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     mapFrame(df, names.map(n => n -> n).toMap, indexCol = None)
   }
 
@@ -662,10 +676,13 @@ final case class TaskGraph(
           val valuesMatch = TaskGraph.sameData(
             old.df.select(col(old.valueCols(n)).as("v")),
             g.df.select(col(g.valueCols(n)).as("v")))
-          if (!valuesMatch)
-            throw new GraftException(
-              s"Node '$n' has already been mapped with different values")
-          fresh -= n
+          if (valuesMatch) fresh -= n // identical: no-op
+          else merged = merged.copy(groups = merged.groups // replace: incoming wins
+            .map(og => if (og eq old) og.copy(valueCols = og.valueCols - n) else og)
+            .filter(_.valueCols.nonEmpty))
+          // (reference merge semantics, node_values_test.py:148-159:
+          // re-adding an existing node with different values on identical
+          // labels REPLACES the value, it does not raise)
         }
       }
       if (fresh.nonEmpty) {

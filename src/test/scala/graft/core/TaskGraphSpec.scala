@@ -500,6 +500,47 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(cols == Seq("node", "index", "my_attr"))
   }
 
+  test("setItem with conflicting operand indices raises — graph_test.py:867-878") {
+    val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3)))
+    val d = TaskGraph(Dag.chain("b")).mapSeqs(Map("b" -> Seq(11, 12)))
+      .reduce(key = "b", name = "d")
+    // incoming dim_0 has 2 labels, existing dim_0 has 3 -> conflict
+    assertThrows[GraftException] { g.setItem("x", d) }
+  }
+
+  test("setItem allows compatible indices at a new node — graph_test.py:881-892") {
+    val g = TaskGraph.fromEdges("a" -> "b", "c" -> "d")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3)))
+    val other = TaskGraph.fromEdges("c" -> "d")
+      .mapSeqs(Map("c" -> Seq(11, 12, 13)))
+      .reduce(key = "d", name = "e")
+    val merged = g.setItem("x", other)
+    assert(merged.indexNames == Vector("dim_0"))
+    assert(merged.result("x").count() == 1)
+  }
+
+  test("setItem self-splice of own branch is a no-op merge — graph_test.py:895-924") {
+    val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3), "b" -> Seq(11, 12, 13)))
+      .reduce(key = "c", name = "d")
+    val merged = g.setItem("x", g.getItem("d"))
+    assert(merged.indexNames.size == 1)
+    assert(merged.groups.size == 1)
+  }
+
+  test("setItem replaces changed node values, incoming wins — graph_test.py:927-933") {
+    val g1 = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq(1, 2)))
+      .reduce(key = "b", name = "d", attrs = Map("func" -> "sum"))
+    val g2 = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq(1, 3)))
+      .reduce(key = "b", name = "d", attrs = Map("func" -> "sum"))
+    val merged = g1.setItem("x", g2.getItem("d"))
+    assert(merged.indexNames.size == 1)
+    // the incoming mapping of `a` replaced the old one: both d and x see [1,3]
+    assert(merged.result("x").collect()(0).getAs[Long]("x") == 4L)
+    assert(merged.result("d").collect()(0).getAs[Long]("d") == 4L)
+  }
+
   test("shared dim name across groups requires identical labels") {
     val d1 = Seq((1, 10), (2, 20)).toDF("k", "v")
     val d2 = Seq((1, 7), (2, 8)).toDF("k", "w")

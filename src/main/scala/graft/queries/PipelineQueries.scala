@@ -76,6 +76,17 @@ object PipelineQueries {
       },
       Some("""SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 ORDER BY user_id, event_type""")),
 
+    // stream-stream interval join in its batch form (same code path runs
+    // on readStream inputs with bounded state; StreamingSpec asserts the
+    // equivalence)
+    QueryDef("q_events_ssjoin",
+      (s, dir) => {
+        graft.streaming.EventStreams.clickPurchaseJoin(Tables.events(s, dir))
+          .select("click_id", "user_id", "purchase_id")
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id FROM events c JOIN events p ON c.event_type = 'click' AND p.event_type = 'purchase' AND c.user_id = p.user_id AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts ORDER BY click_id, purchase_id""")),
+
     // JSON property extraction
     QueryDef("q_events_json",
       (s, dir) => {

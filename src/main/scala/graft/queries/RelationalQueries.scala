@@ -253,6 +253,33 @@ object RelationalQueries {
             countDistinct(col("l_suppkey")).as("ds"))
           .orderBy("l_returnflag")
       },
-      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dp, COUNT(DISTINCT l_suppkey) AS ds FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dp, COUNT(DISTINCT l_suppkey) AS ds FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // exact percentiles (continuous interpolation — Spark `percentile`
+    // matches DuckDB `quantile_cont` definitionally)
+    QueryDef("q_percentile",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.95)").as("p95_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, quantile_cont(l_quantity, 0.95) AS p95_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // grouping sets via cube (all 4 grouping combinations)
+    QueryDef("q_cube",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"))
+          .orderBy("rf", "ls")
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls"""))
   )
 }

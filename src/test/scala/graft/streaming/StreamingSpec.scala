@@ -39,6 +39,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("stream-stream interval join == batch range join") {
+    val stream = EventStreams.readStream(spark, dir)
+    val got = EventStreams.runToBatch(
+      EventStreams.clickPurchaseJoin(stream), "ssjoin_out", outputMode = "append")
+    val want = EventStreams.clickPurchaseJoin(Tables.events(spark, dir))
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() > 0, "test vacuous: no click/purchase pairs in window")
+  }
+
   test("stateful first-per-key dedup: streaming == batch == naive") {
     val stream = EventStreams.readStream(spark, dir)
     val got = EventStreams.runToBatch(

@@ -15,12 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float/double> columns (left-fold, fixed
-    * evaluation order — deterministic).
+  /** Dot product of two array<float/double> columns: a native codegen'd
+    * Catalyst expression (see [[graft.functions.DotProduct]]) — ascending-
+    * index summation, bit-identical to the previous zip_with/aggregate
+    * left-fold, minus the per-row intermediate array and boxing.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

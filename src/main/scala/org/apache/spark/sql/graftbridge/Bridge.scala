@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal private[sql]-visibility bridge: Column <-> catalyst Expression
+  * conversion for custom native expressions. Spark 4 made the direct
+  * `new Column(expr)` constructor and `ExpressionUtils` sql-private; a
+  * one-file bridge package is the standard extension-library technique.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native LSH signature kernels. Both replicate the exact bit-level
+  * semantics of the SQL formulations they replace (seeded `xxhash64`
+  * accumulation), so signatures — and therefore candidate sets and query
+  * outputs — are unchanged; only the evaluation strategy differs.
+  */
+
+/** MinHash signature: for each of `numHashes` seeds i, the minimum over
+  * the shingle array of `xxhash64(shingle, i)`. Bit-identical to
+  * `array_min(transform(sh, s -> xxhash64(s, i)))` per index — Spark's
+  * xxhash64 accumulates `hashInt(i, hashUTF8String(s, 42))` — but
+  * computed in ONE pass: each shingle's string hash is computed once and
+  * the per-seed finisher is a single `hashInt`, instead of re-hashing the
+  * string `numHashes` times. For 32 hashes over ~50 shingles that is 50
+  * string hashes per row instead of 1,600.
+  *
+  * An empty input array yields Long.MaxValue minima (the SQL formulation
+  * never produces one: `Dedup.shingles` emits at least one element).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      val base = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashInt(i, base)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val xxh = classOf[XXH64].getName
+      val uad = classOf[UnsafeArrayData].getName
+      val (n, j, i, mins, base, hv) = (ctx.freshName("n"), ctx.freshName("j"),
+        ctx.freshName("i"), ctx.freshName("mins"), ctx.freshName("base"),
+        ctx.freshName("hv"))
+      s"""
+         |int $n = $in.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $base = $xxh.hashUTF8String($in.getUTF8String($j), 42L);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $hv = $xxh.hashInt($i, $base);
+         |    if ($hv < $mins[$i]) $mins[$i] = $hv;
+         |  }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash"
+}
+
+/** 64-bit SimHash from an `array<long>` of token hashes: bit b of the
+  * result is set when the sum over tokens of (+1/-1 for bit b of the
+  * token hash) is positive. Bit-identical to the 64-fold SQL aggregate
+  * formulation, evaluated as one primitive pass over the array.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val (n, j, b, b2, votes, h, sig) = (ctx.freshName("n"), ctx.freshName("j"),
+        ctx.freshName("b"), ctx.freshName("b2"), ctx.freshName("votes"),
+        ctx.freshName("h"), ctx.freshName("sig"))
+      s"""
+         |int $n = $in.numElements();
+         |int[] $votes = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $in.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b2 = 0; $b2 < 64; $b2++) {
+         |  if ($votes[$b2] > 0) $sig |= (1L << $b2);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash"
+}
+
+object LshExpressions {
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(sh), numHashes))
+
+  def simhash64(tokenHashes: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
+}

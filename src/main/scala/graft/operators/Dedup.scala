@@ -61,15 +61,14 @@ object Dedup {
   }
 
   /** MinHash signature from a PRE-PROJECTED shingle-array column: array of
-    * `h` independent minima of seeded xxhash64 over the shingles. The
-    * caller must materialize the shingle array with `withColumn` first so
-    * the tokenization runs once per row, not once per hash index —
-    * Catalyst's CollapseProject keeps a multiply-referenced non-trivial
-    * alias as its own projection, so the staging is preserved in the
-    * physical plan.
+    * `h` independent minima of seeded xxhash64 over the shingles. A
+    * native one-pass codegen'd expression (bit-identical to the
+    * `array_min(transform(sh, s -> xxhash64(s, i)))` per-index
+    * formulation — see [[graft.functions.MinHashSignature]]): each
+    * shingle's string hash is computed once, not once per hash index.
     */
   def minhashFromShingles(sh: Column, h: Int): Column =
-    array((0 until h).map(i => array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
+    graft.functions.LshExpressions.minhashSignature(sh, h)
 
   /** MinHash signature straight from text (convenience; hot paths stage
     * the shingle column explicitly via [[minhashFromShingles]]).
@@ -190,18 +189,12 @@ object Dedup {
 
   /** 64-bit SimHash from a PRE-PROJECTED token-hash array column: bit i of
     * the signature is the sign of sum over tokens of (+1/-1 for bit i of
-    * the token hash). Deliberately expanded as 64 separate folds (not an
-    * outer loop lambda): an input column referenced once inside a lambda
-    * gets inlined by CollapseProject and would then re-evaluate per
-    * iteration, while 64 references pin the token-hash projection as its
-    * own stage, evaluated once per row.
+    * the token hash). A native one-pass codegen'd expression,
+    * bit-identical to the 64-fold SQL aggregate formulation (see
+    * [[graft.functions.SimHash64]]).
     */
   def simhashFromHashes(hs: Column): Column =
-    (0 until 64).map { i =>
-      val vote = aggregate(hs, lit(0L),
-        (a, h) => a + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.LshExpressions.simhash64(hs)
 
   /** SimHash straight from text (convenience; hot paths stage the token
     * hashes explicitly).

@@ -58,6 +58,36 @@ object Smoke {
       .reduce(key = "b", name = "all_regions")
       .taskTable().show(20, false)
 
+    println("== edge table sample (groupby wiring) ==")
+    TaskGraph(graft.core.Dag.empty)
+      .mapFrame(spark.read.parquet(s"$sfDir/nation.parquet"),
+        Map("n_name" -> "n_name", "rkey" -> "n_regionkey"),
+        indexCol = Some("n_nationkey"), dimName = "nk")
+      .groupby("rkey")
+      .reduce(key = "n_name", name = "per_region", attrs = Map("func" -> "count"))
+      .edgeTable().show(8, false)
+
+    println("== chained groupby via splice (order revenue by priority) ==")
+    val li2 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val g1 = TaskGraph(graft.core.Dag.chain("price", "rev")
+        .addNode("rev", Map("expr" -> "CAST(price AS DECIMAL(27,6))")))
+      .mapFrame(li2, Map("price" -> "l_extendedprice", "param1" -> "l_orderkey"))
+      .groupby("param1")
+      .reduce(key = "rev", name = "order_rev", attrs = Map("func" -> "sum"))
+    val withItems = ord.join(
+      li2.select(org.apache.spark.sql.functions.col("l_orderkey")).distinct(),
+      org.apache.spark.sql.functions.col("o_orderkey") ===
+        org.apache.spark.sql.functions.col("l_orderkey"), "left_semi")
+    val chained = TaskGraph(graft.core.Dag.fromEdges("orev" -> "w")
+        .addNode("w", Map("expr" -> "orev")))
+      .mapFrame(withItems, Map("orev" -> "o_totalprice", "prio" -> "o_orderpriority"),
+        indexCol = Some("o_orderkey"), dimName = "param1")
+      .setItem("orev", g1.getItem("order_rev"))
+      .groupby("prio")
+      .reduce(key = "w", name = "prio_rev", attrs = Map("func" -> "sum"))
+    chained.result("prio_rev").orderBy("prio").show(false)
+
     spark.stop()
   }
 }

@@ -62,7 +62,7 @@ final case class DimGroup(
         }
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       } else {
-        val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+        val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
         spark.createDataFrame(rdd, schema)
       }
   }

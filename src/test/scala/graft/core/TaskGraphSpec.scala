@@ -77,6 +77,28 @@ class TaskGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("re-map with different values on same labels replaces — node_values_test.py:148-159") {
+    val g = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq(1, 2, 3)))
+    val g2 = g.mapSeqs(Map("a" -> Seq(7, 8, 9)))
+    val got = g2.result("b").orderBy("b").collect().map(_.getAs[Int]("b")).toSeq
+    assert(got == Seq(7, 8, 9)) // new mapping wins
+  }
+
+  test("reduce with unmapped sibling keeps it shared — graph_test.py:465-474") {
+    // a mapped, s unmapped; both feed c: s stays ONE shared node wired to
+    // every copy of c
+    val dag = Dag.fromEdges("a" -> "c", "s" -> "c")
+      .addNode("c", Map("expr" -> "a"))
+    val g = TaskGraph(dag).mapSeqs(Map("a" -> Seq(1, 2, 3)))
+    assert(g.dimsOf("s").isEmpty)
+    assert(g.result("c").count() == 3)
+    val sEdges = g.edgeTable().filter(org.apache.spark.sql.functions.col("src") === "s")
+      .collect().map(r => (r.getAs[Map[String, String]]("src_index"),
+        r.getAs[Map[String, String]]("dst_index")))
+    assert(sEdges.length == 3) // one edge per c copy...
+    assert(sEdges.map(_._1).toSet == Set(Map.empty[String, String])) // ...all from the single s
+  }
+
   // --- reduce -------------------------------------------------------------
 
   test("reduce-all collapses every dim; executes the agg") {

@@ -181,6 +181,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Duplicate clustering: connected components over near-dup pairs via
+    * iterative min-label propagation — each id adopts the smallest
+    * representative among itself and its neighbors until fixpoint. The
+    * pipeline's last step: LSH emits pairs, this turns them into
+    * keep-one-per-cluster groups. Each iteration is one equi-join plus
+    * one aggregation (all shuffle-bounded, nothing driver-side beyond the
+    * convergence count); iterations needed = the cluster graph's
+    * diameter, which for near-dup clusters (cliques and stars from
+    * [[boundedPairs]]) is 1-2, so the default cap is generous.
+    *
+    * Returns (id, rep): every endpoint id with its cluster's minimum id.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 10): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nrep").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated
+        .join(labels.select(col("id"), col("rep").as("old")), "id")
+        .filter(col("rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   /** Seeded xxhash64 of each whitespace token — the once-per-row input to
     * [[simhashFromHashes]].
     */

@@ -254,6 +254,18 @@ object PipelineQueries {
       },
       None),
 
+    // near-dup pairs -> connected-component duplicate clusters (min-label
+    // propagation; verified against driver-side union-find in OperatorsSpec)
+    QueryDef("q_dedup_clusters",
+      (s, dir) => {
+        val pairs = Dedup.minhashNearDups(Tables.documents(s, dir),
+          "doc_id", "text", threshold = 0.5).select("id_a", "id_b")
+        Dedup.clusters(pairs)
+          .groupBy("rep").agg(count(lit(1)).as("n_members"))
+          .orderBy("rep")
+      },
+      None),
+
     // embedding-cosine near-duplicate pairs (banded random-hyperplane LSH)
     QueryDef("q_dedup_cosine",
       (s, dir) => {

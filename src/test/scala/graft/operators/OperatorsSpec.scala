@@ -180,6 +180,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(uncapped == 435L, s"expected 435 all-pairs, got $uncapped")
   }
 
+  test("duplicate clustering == driver-side union-find; chains converge") {
+    // two components {1,2,3,4,5} (a chain, diameter 4) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // end-to-end: LSH pairs on real docs -> clusters -> one rep per
+    // connected set, verified against union-find over the same pairs
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b")
+    val lshPairs = lsh.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    lshPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val gotReal = Dedup.clusters(lsh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotReal == want)
+    assert(want.nonEmpty, "test vacuous: no near-dup pairs")
+  }
+
   test("exact dedup groups by content hash yet reports exemplar text") {
     val df = Seq((3L, "aa bb"), (1L, "aa bb"), (2L, "cc dd")).toDF("id", "text")
     val got = Dedup.exact(df, "id", "text")

@@ -58,6 +58,26 @@ object ScaleOps {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Deterministic stratified sampling: keep each row with its stratum's
+    * fraction, decided by seeded xxhash64 of the id — reproducible across
+    * runs and layouts (unlike `sample()`), with no shuffle: the stratum
+    * fraction lookup is a literal CASE over the (small) strata map and
+    * the filter is a narrow map evaluated inside the scan stage. The
+    * training-data use: balance languages/sources by downsampling the
+    * dominant strata.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      seed: Int = 11): DataFrame = {
+    val resolution = 1000000L
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (k, f)) => when(col(strataCol) === lit(k), lit(f)).otherwise(acc)
+    }
+    df.filter(
+      pmod(xxhash64(col(idCol), lit(seed)), lit(resolution)) <
+        (frac * resolution).cast("long"))
+  }
+
   /** Deterministic split assignment: bucket each row into split i with
     * probability fractions(i), by seeded xxhash64 of the id column. The
     * same id always lands in the same split — across runs, engines of

@@ -76,6 +76,16 @@ object TextAnalysis {
       (langScore(text, "en").cast("double") /
         greatest(tokenCount(text), lit(1L))).cast("double"))
 
+  /** Intra-document repetition: the fraction of duplicate sentences
+    * (split on '. ') — a standard quality signal for boilerplate/spam.
+    * Pure array algebra: split, distinct, size arithmetic.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val sents = split(text, "\\. ")
+    (lit(1.0) - size(array_distinct(sents)).cast("double") /
+      greatest(size(sents), lit(1))).cast("double")
+  }
+
   /** 64-bit rolling polynomial document fingerprint over tokens:
     * fp = fold(tokens, 0, (acc, t) -> acc * 31 + xxhash64(t)) in Long
     * arithmetic (wrapping). Order-sensitive by design — equal fingerprints

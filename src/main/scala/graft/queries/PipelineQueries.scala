@@ -121,6 +121,16 @@ object PipelineQueries {
       },
       Some(langIdOracle)),
 
+    // intra-document repetition (duplicate-sentence fraction)
+    QueryDef("q_text_repetition",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(1.0 - CAST(LEN(list_distinct(string_split_regex(text, '\. '))) AS DOUBLE) / GREATEST(LEN(string_split_regex(text, '\. ')), 1) AS DOUBLE) AS rep_ratio FROM documents ORDER BY doc_id""")),
+
     // quality-scoring signals
     QueryDef("q_text_quality",
       (s, dir) => {

@@ -61,6 +61,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salts > 4, s"hot key concentrated in $salts salt(s)")
   }
 
+  test("stratified sampling: per-stratum fractions, deterministic, no shuffle") {
+    val rows = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+    val df = rows.toDF("id", "lang")
+    val sampled = ScaleOps.stratifiedSample(df, "lang", "id",
+      Map("de" -> 0.25), defaultFraction = 1.0)
+    val counts = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") == 1000L) // default fraction 1.0 keeps everything
+    assert(counts("de") > 300 && counts("de") < 700, s"de=${counts("de")}")
+    // deterministic across re-layout
+    val again = ScaleOps.stratifiedSample(df.repartition(13), "lang", "id",
+      Map("de" -> 0.25), defaultFraction = 1.0)
+    assert(sortedRows(again.select("id")) == sortedRows(sampled.select("id")))
+    // narrow: no exchange in the plan
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "stratified sample must not shuffle")
+  }
+
+  test("approx_count_distinct lands within its error bound at scale") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.select(countDistinct($"l_partkey")).collect()(0).getLong(0)
+    val approx = li.select(approx_count_distinct($"l_partkey", 0.02))
+      .collect()(0).getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err < 0.05, s"approx=$approx exact=$exact err=$err")
+  }
+
   test("hash split is deterministic, exhaustive, and proportional") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val split = ScaleOps.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))

@@ -195,8 +195,12 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 10): DataFrame = {
-    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // both directions from ONE evaluation of the (potentially expensive
+    // LSH) pairs plan — a union of two projections would compute it twice
+    val edges = pairs.select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
@@ -208,15 +212,17 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("nrep").as("nmin"))
+      // carry the previous rep through the update so the convergence
+      // check is a filter over the (persisted) updated frame, not
+      // another join against the old labels
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
+          col("rep").as("__old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = updated
-        .join(labels.select(col("id"), col("rep").as("old")), "id")
-        .filter(col("rep") =!= col("old")).count()
+      val changed = updated.filter(col("rep") =!= col("__old")).count()
       labels.unpersist()
-      labels = updated
+      labels = updated.drop("__old")
       converged = changed == 0
       it += 1
     }

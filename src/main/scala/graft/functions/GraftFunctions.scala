@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SQL registration for the native graft expressions, so `spark.sql`
+  * users can call them directly:
+  *
+  *   SELECT graft_dot(a, b), graft_simhash(hs), graft_minhash(sh, 32)
+  *
+  * Two registration paths:
+  *  - cluster-wide: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the standard SparkSessionExtensions injection point);
+  *  - existing session: `GraftFunctions.register(spark)`.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "dot product of two array<double> columns",
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("graft_simhash", "64-bit SimHash of an array<long> of token hashes",
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    ("graft_minhash", "minhash signature (array<long>) of an array<string>",
+      (args: Seq[Expression]) =>
+        MinHashSignature(args(0), intArg(args(1), "graft_minhash"))))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      Bridge.registerFunction(spark, name,
+        new ExpressionInfo("graft.functions.GraftFunctions", name, usage), builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name, usage), builder))
+    }
+}

@@ -268,6 +268,18 @@ object RelationalQueries {
       },
       Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, quantile_cont(l_quantity, 0.95) AS p95_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // custom typed Aggregator (functions.udaf): exact bitmap distinct —
+    // order-independent OR-mergeable buffer, oracle == COUNT(DISTINCT)
+    QueryDef("q_udaf_bitmap",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(graft.functions.Aggregators
+            .bitmapDistinct(col("l_suppkey"), 100000).as("distinct_supp"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS distinct_supp FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // grouping sets via cube (all 4 grouping combinations)
     QueryDef("q_cube",
       (s, dir) => {

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.SparkTestSession
+
+/** Custom typed Aggregators and SQL function registration. */
+class AggregatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("bitmap distinct == exact COUNT(DISTINCT) per group") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val got = li.groupBy("l_returnflag")
+      .agg(Aggregators.bitmapDistinct(col("l_suppkey"), 100000).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("heavy hitters: every item above the n/(k+1) guarantee is present") {
+    // 1000 rows: "big" 400x, "mid" 250x, tail of 350 distinct singletons
+    val rows = Seq.fill(400)("big") ++ Seq.fill(250)("mid") ++
+      (0 until 350).map(i => s"t$i")
+    val df = rows.toDF("w").repartition(8) // force multi-partition merges
+    val k = 10
+    val got = df.agg(Aggregators.heavyHitters(col("w"), k).as("hh"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1))
+    val keys = got.map(_._1).toSet
+    // guarantee: freq > n/(k+1) = 90.9 -> "big" and "mid" must survive
+    assert(keys.contains("big") && keys.contains("mid"))
+    // counts are lower bounds
+    val counts = got.toMap
+    assert(counts("big") <= 400 && counts("mid") <= 250)
+    assert(got.size <= k)
+  }
+
+  test("native expressions callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    val sig = spark.sql(
+      "SELECT graft_minhash(array('a b c', 'b c d'), 4) AS s").collect()(0)
+    assert(sig.getSeq[Long](0).length == 4)
+    val sh = spark.sql(
+      "SELECT graft_simhash(array(1L, 2L, 3L)) AS s").collect()(0)
+    assert(!sh.isNullAt(0))
+  }
+}

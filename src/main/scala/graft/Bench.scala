@@ -26,6 +26,8 @@ object Bench {
     // one warm-up action so JVM/codegen startup isn't billed to the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.defs.map { d =>
+      // each query is billed standalone: no cross-query cache reuse
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val ok =
         try { d.fn(spark, sfDir).count(); true }

@@ -121,6 +121,19 @@ object PipelineQueries {
       },
       Some(langIdOracle)),
 
+    // vocabulary mining: exact top-25 token frequencies across the corpus
+    // (explode -> map-side-combinable count -> TakeOrdered top-k)
+    QueryDef("q_text_vocab",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok").asc)
+          .limit(25)
+      },
+      Some("""SELECT tok, COUNT(*) AS n FROM (SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok FROM documents) WHERE LENGTH(tok) > 0 GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 25""")),
+
     // intra-document repetition (duplicate-sentence fraction)
     QueryDef("q_text_repetition",
       (s, dir) => {

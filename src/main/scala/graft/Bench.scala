@@ -23,8 +23,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up action so JVM/codegen startup isn't billed to the first query
+    // warm-up actions so JVM/codegen startup isn't billed to the first
+    // query: a scan plus a small decimal groupBy-agg (compiles the
+    // hash-agg + decimal codegen paths the first real queries use)
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_regionkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("r_regionkey").cast("decimal(27,6)")))
+      .count()
     val results = SparkEntry.defs.map { d =>
       // each query is billed standalone: no cross-query cache reuse
       spark.sharedState.cacheManager.clearCache()

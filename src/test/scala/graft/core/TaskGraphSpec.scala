@@ -182,6 +182,32 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(g.result("d").count() == 4) // 2 factors x 2 groups
   }
 
+  test("reduce over a groupby dim collapses the groups") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3, 4), "k" -> Seq("x", "x", "y", "y")))
+      .groupby("k").reduce(key = "b", name = "d", attrs = Map("func" -> "sum"))
+      .reduce(key = "d", name = "t", attrs = Map("func" -> "sum"))
+    assert(g.dimsOf("t").isEmpty)
+    assert(g.result("t").collect()(0).getAs[Long]("t") == 10L)
+  }
+
+  test("slice then groupby: group membership follows the slice") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3, 4), "k" -> Seq("x", "y", "x", "y")))
+      .byPosition("dim_0", 0, 3) // keeps rows 0,1,2
+      .groupby("k").reduce(key = "b", name = "d", attrs = Map("func" -> "sum"))
+    val got = g.result("d").orderBy("k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("d"))).toSeq
+    assert(got == Seq(("x", 4L), ("y", 2L))) // row 3 (k=y, a=4) sliced away
+  }
+
+  test("reduce with both index and axis raises — graph.py:316-320") {
+    val g = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq(1, 2)))
+    assertThrows[GraftException] {
+      g.reduce(key = "b", index = "dim_0", axis = 0, name = "r")
+    }
+  }
+
   test("group keys can be int/double — groupby_test.py:260-296") {
     val g = TaskGraph.chain("a", "b")
       .mapSeqs(Map("a" -> Seq(1, 2, 3, 4), "k" -> Seq(0, 0, 1, 1)))

@@ -48,13 +48,16 @@ object Bench {
       (d.name, sec, ok)
     }
     // a failed query is reported with a NEGATIVE time so it can never read
-    // as a fast successful run; the failed names are listed explicitly too
+    // as a fast successful run; the failed names are listed explicitly,
+    // and the headline total counts SUCCESSFUL queries only (a consumer
+    // reading just the total must not mistake a failing run for a fast one)
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val nFailed = results.count(!_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

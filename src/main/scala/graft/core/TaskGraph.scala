@@ -113,7 +113,9 @@ final case class DimGroup(
           .withColumn("__rank", row_number().over(Window.orderBy(col("__lbl"))) - 1)
           .filter(col("__rank") >= lo && col("__rank") < hi)
           .drop("__rank")
-        copy(df = df.join(broadcast(kept), col(lc) === col("__lbl"), "left_semi"))
+        // null-safe: a null label is a rankable label (nulls sort first)
+        // and must match itself in the semi-join
+        copy(df = df.join(broadcast(kept), col(lc) <=> col("__lbl"), "left_semi"))
     }
   }
 
@@ -140,12 +142,27 @@ final case class DimGroup(
     }
   }
 
-  /** Label-range slice [lo, hi) on `dim` (reference value_array.py:60-71). */
+  /** Label-range slice [lo, hi) on `dim` (reference value_array.py:60-71).
+    * For unit-carrying bounds the unit participates as EQUALITY, not as
+    * part of the lexicographic range — a struct range comparison alone
+    * would order by value first and silently treat 2 s as inside
+    * [1 ms, 3 ms). Both bounds must carry the same unit.
+    */
   def sliceByLabel(dim: String, lo: Any, hi: Any): DimGroup = {
     require(dims.contains(dim), s"dim '$dim' not in group")
     val lc = labelCols.getOrElse(dim,
       throw new GraftException(s"dim '$dim' is positional; use sliceByPosition"))
-    copy(df = df.filter(col(lc) >= labelLit(lo) && col(lc) < labelLit(hi)))
+    (lo, hi) match {
+      case ((lv, lu: String), (hv, hu: String)) =>
+        if (lu != hu)
+          throw new GraftException(
+            s"loc bounds must share one unit, got '$lu' and '$hu'")
+        copy(df = df.filter(col(lc).getField("unit") === lit(lu) &&
+          col(lc).getField("value") >= lit(lv) &&
+          col(lc).getField("value") < lit(hv)))
+      case _ =>
+        copy(df = df.filter(col(lc) >= labelLit(lo) && col(lc) < labelLit(hi)))
+    }
   }
 }
 
@@ -338,7 +355,15 @@ final case class TaskGraph(
     */
   def mapNestedSeqs(values: Map[String, Seq[Any]])(implicit spark: SparkSession): TaskGraph = {
     def shapeOf(v: Any): Vector[Int] = v match {
-      case s: Seq[_] => s.size +: s.headOption.map(shapeOf).getOrElse(Vector.empty)
+      case s: Seq[_] =>
+        // validate every sibling, not just the head: ragged input must
+        // raise (the reference ndarray adapter cannot represent it), not
+        // silently drop or misassign values
+        val sub = s.map(shapeOf).distinct
+        if (sub.size > 1)
+          throw new GraftException(
+            "ragged nested sequence: all slices of one axis must have the same shape")
+        s.size +: sub.headOption.getOrElse(Vector.empty)
       case _ => Vector.empty
     }
     val names = values.keys.toVector.sorted
@@ -436,17 +461,26 @@ final case class TaskGraph(
     // on them (reference node_values.py:79-90: same index name requires
     // equal index values). Conflicting labels raise.
     group.dims.filterNot(remapDims.contains).foreach { dm =>
-      val newLabels = group.frame(needPositional = true).select(dm).distinct()
-      groups.filter(og => og.valueCols.nonEmpty && og.dims.contains(dm)).foreach { og =>
-        if (!TaskGraph.labelsCompatible(
-            og.frame(needPositional = true).select(dm).distinct(), newLabels))
+      // Only touch the group's frame when a collision actually exists:
+      // constructing the positional frame is not free (ZippedWithIndexRDD
+      // runs a job to compute partition offsets at CONSTRUCTION time), and
+      // the common case — a fresh dim name — must stay zero-cost.
+      val collidingGroups =
+        groups.filter(og => og.valueCols.nonEmpty && og.dims.contains(dm))
+      val collidesGroupby = groupbyDims.contains(dm)
+      if (collidingGroups.nonEmpty || collidesGroupby) {
+        val newLabels = group.frame(needPositional = true).select(dm).distinct()
+        collidingGroups.foreach { og =>
+          if (!TaskGraph.labelsCompatible(
+              og.frame(needPositional = true).select(dm).distinct(), newLabels))
+            throw new GraftException(
+              s"""Conflicting index values for index name "$dm"""")
+        }
+        if (collidesGroupby &&
+            !TaskGraph.labelsCompatible(indices(dm), newLabels))
           throw new GraftException(
             s"""Conflicting index values for index name "$dm"""")
       }
-      if (groupbyDims.contains(dm) &&
-          !TaskGraph.labelsCompatible(indices(dm), newLabels))
-        throw new GraftException(
-          s"""Conflicting index values for index name "$dm"""")
     }
     if (freshCols.isEmpty) return copy(dag = d, groups = gs.filter(_.valueCols.nonEmpty))
     copy(dag = d, groups = gs.filter(_.valueCols.nonEmpty) :+ group.copy(valueCols = freshCols))

@@ -202,9 +202,13 @@ object Dedup {
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    // keep handles to the exact persisted frames: unpersisting a
+    // PROJECTION of a cached plan is a no-op (plan equality), so the
+    // handle itself must be retained and released
+    var persistedLabels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = persistedLabels
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -221,11 +225,21 @@ object Dedup {
           col("rep").as("__old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = updated.filter(col("rep") =!= col("__old")).count()
-      labels.unpersist()
+      persistedLabels.unpersist()
+      persistedLabels = updated
       labels = updated.drop("__old")
       converged = changed == 0
       it += 1
     }
+    edges.unpersist()
+    if (!converged) {
+      persistedLabels.unpersist()
+      throw new IllegalStateException(
+        s"duplicate clustering did not converge in $maxIter iterations " +
+          "(component diameter exceeds maxIter); raise maxIter")
+    }
+    // the final labels frame stays persisted: it is materialized already
+    // and is the result the caller consumes
     labels
   }
 
@@ -251,8 +265,12 @@ object Dedup {
 
   /** SimHash candidate pairs: band the 64-bit signature into 4 x 16-bit
     * chunks; any pair within Hamming distance 3 shares at least one chunk
-    * (pigeonhole), so the candidate set is complete up to hamming <= 3.
-    * Hot buckets are bounded (see [[boundedPairs]]).
+    * (pigeonhole). The candidate set is complete up to hamming <= 3 FOR
+    * BUCKETS WITHIN the `maxBucket` cap; an over-cap bucket (boilerplate
+    * content whose members are near-identical by construction) degrades
+    * to star pairs — connectivity-preserving for clustering, but not
+    * all-pairs. Raise `maxBucket` if literal completeness matters more
+    * than skew bounding.
     */
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String, maxBucket: Int = 64

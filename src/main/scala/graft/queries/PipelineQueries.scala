@@ -258,8 +258,9 @@ object PipelineQueries {
 
     // SimHash near-dup pairs. The 4x16-bit banding guarantees completeness
     // only up to Hamming distance 3 (pigeonhole), so the query filters at
-    // exactly that bound: the output is the COMPLETE set of pairs within
-    // Hamming distance 3, not a partial sample of a looser radius.
+    // exactly that bound: within the hot-bucket cap the output is the
+    // complete set of pairs at Hamming distance <= 3 (an over-cap
+    // boilerplate bucket degrades to connectivity-preserving star pairs).
     QueryDef("q_dedup_simhash",
       (s, dir) => {
         Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text")

@@ -99,9 +99,17 @@ object EventStreams {
     * keyed state. State is dropped once the event-time watermark passes
     * the first event plus the dedup horizon (EventTimeTimeout), so state
     * size is bounded by the number of ACTIVE keys inside the watermark,
-    * not the stream history. The same function runs on a batch DataFrame
-    * (state starts empty per key), where it reduces to min-by-(ts, id)
-    * per key — which is what the DuckDB oracle checks.
+    * not the stream history.
+    *
+    * Semantics note: in STREAMING execution, "first" is first-SEEN —
+    * within one micro-batch ties break by min (ts, event_id), but append
+    * mode cannot retract an emitted row, so a later micro-batch
+    * delivering an earlier-timestamped event (still inside the watermark)
+    * does not replace the winner. This is the standard streaming-dedup
+    * contract. In BATCH execution (state starts empty, one invocation per
+    * key) it reduces exactly to min-by-(ts, id) per key — which is what
+    * the DuckDB oracle checks; the batch/stream equivalence spec holds
+    * for sources consumed in event-time order or in one micro-batch.
     */
   def firstPerKey(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}

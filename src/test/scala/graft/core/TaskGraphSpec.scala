@@ -535,9 +535,31 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(g.sel("time", (2, "ms")).result("b").count() == 0)
     // range slice respects units too
     assert(g.loc("time", (1, "s"), (3, "s")).result("b").count() == 2)
+    // a range in the WRONG unit matches nothing (unit is an equality,
+    // never part of the lexicographic value range)
+    assert(g.loc("time", (1, "ms"), (3, "ms")).result("b").count() == 0)
+    // mixed-unit bounds are a caller error
+    assertThrows[GraftException] { g.loc("time", (1, "s"), (3, "ms")) }
     // the unit rides on the column metadata
     val field = g.result("b").schema.fields.find(_.name == "time").get
     assert(field.metadata.getString("unit") == "s")
+  }
+
+  test("ragged nested sequences raise — ndarray adapter parity") {
+    assertThrows[GraftException] {
+      TaskGraph.chain("a", "b").map(Map("a" -> Seq(Seq(1, 2), Seq(3, 4, 5))))
+    }
+  }
+
+  test("positional slice of a labeled dim keeps null labels — null-safe semi-join") {
+    val df = Seq((Option.empty[String], 1), (Some("a"), 2), (Some("b"), 3))
+      .toDF("idx", "v")
+    val g = TaskGraph.chain("a", "b")
+      .mapFrame(df, Map("a" -> "v"), indexCol = Some("idx"), dimName = "d")
+    // nulls sort first: positions are null=0, "a"=1, "b"=2
+    val got = g.byPosition("d", 0, 2).result("b").orderBy("b")
+      .collect().map(_.getAs[Int]("b")).toSeq
+    assert(got == Seq(1, 2))
   }
 
   test("taskTable custom value_attr — graph_test.py:1088-1104") {

@@ -46,6 +46,17 @@ class DotProductSpec extends AnyFunSuite {
     assert(rows(2L) == null)
   }
 
+  test("mismatched dimensions yield null, never a partial score") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 1.0)),  // 3 vs 2 dims
+      (2L, Seq(1.0, 2.0), Seq(3.0, 4.0))
+    ).toDF("id", "a", "b")
+    val rows = df.select($"id", DotProduct.dot($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(rows(1L) == null) // matches the zip_with null-pad semantics
+    assert(rows(2L) == 11.0)
+  }
+
   test("works on the real embeddings table and survives codegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = emb.select($"vec_id", DotProduct.dot($"embedding", $"embedding").as("n2"))

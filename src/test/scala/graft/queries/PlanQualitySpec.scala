@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.SparkTestSession
+
+/** Plan-quality regression gate: the physical plans of the headline
+  * queries must keep the properties that make them scale — filters
+  * reaching the parquet scan, dimension sides broadcast, partial (map-
+  * side) aggregation before the shuffle, no cartesian products outside
+  * the deliberate cross-product query. A refactor that silently turns a
+  * broadcast join into a shuffle join or lifts a filter off the scan
+  * fails here, not in a 100x-slower production run.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q1: filter pushed to the lineitem scan; two-phase aggregation") {
+    val plan = planOf("q1_pricing")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n${plan.take(800)}")
+    // partial + final hash aggregation (map-side combine before shuffle)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no two-phase aggregation")
+  }
+
+  test("q3: dimension side broadcast; fact filters pushed") {
+    val plan = planOf("q3_shipping")
+    assert(plan.contains("BroadcastHashJoin"), "customer side not broadcast")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      plan.contains("GreaterThan(l_shipdate"), "lineitem filter not pushed")
+  }
+
+  test("q5: all dimension joins broadcast, no cartesian product") {
+    val plan = planOf("q5_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("scans prune columns: projection reaches ReadSchema") {
+    val plan = planOf("q6_forecast")
+    // only the filtered/aggregated columns are read, not the whole row
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("l_comment"),
+      s"scan reads unpruned schema: $readSchema")
+  }
+
+  test("cb queries: the only cartesian product is the deliberate one") {
+    val cross = planOf("cb_chained_cross")
+    assert(cross.contains("CartesianProduct") || cross.contains("BroadcastNestedLoopJoin"),
+      "chained-map cross product should plan as a cross join")
+    Seq("cb_groupby_sum", "cb_groupby_chained", "cb_slice_pos", "cb_map_2d")
+      .foreach { q =>
+        val plan = planOf(q)
+        assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
+      }
+  }
+}

@@ -197,6 +197,27 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id, strlen(text) AS byte_len, strlen(text) % 997 AS shard FROM documents ORDER BY doc_id""")),
 
+    // int8 embedding quantization: per-vector scale + reconstruction error
+    // (floor-based rounding makes the arithmetic engine-portable)
+    QueryDef("q_embed_quant",
+      (s, dir) => {
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            Similarity.quantizeInt8(col("embedding")).as("qz"),
+            col("embedding").cast("array<double>").as("emb"))
+          .select(col("vec_id"), col("qz.scale").as("scale"),
+            col("qz.q").as("q"), col("emb"))
+          .select(col("vec_id"),
+            round(col("scale"), 9).as("scale_r"),
+            expr("CAST(aggregate(q, 0L, (acc, x) -> acc + CAST(x AS LONG)) AS BIGINT)")
+              .as("qsum"),
+            round(expr(
+              "array_max(zip_with(q, emb, (qv, x) -> abs(CAST(qv AS DOUBLE) * scale - x)))"), 9)
+              .as("err_max"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, ROUND(scale, 9) AS scale_r, CAST(list_sum(q) AS BIGINT) AS qsum, ROUND(list_max(list_transform(list_zip(q, embedding), p -> abs(CAST(p[1] AS DOUBLE) * scale - CAST(p[2] AS DOUBLE)))), 9) AS err_max FROM (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0) + 0.5) AS TINYINT)) AS q FROM embeddings) ORDER BY vec_id""")),
+
     // embedding norms via order-independent decimal summation
     QueryDef("q_embed_norm",
       (s, dir) => {

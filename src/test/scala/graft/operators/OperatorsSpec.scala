@@ -125,6 +125,24 @@ class OperatorsSpec extends AnyFunSuite {
       cents, q, 10, nprobe = 2).count() == 10)
   }
 
+  test("int8 quantization: reconstruction error bounded by scale/2 per element") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val rt = emb.select($"vec_id",
+      Similarity.quantizeInt8($"embedding").as("qz"),
+      $"embedding".cast("array<double>").as("emb"))
+      .select($"vec_id", $"qz.scale".as("scale"),
+        Similarity.dequantizeInt8($"qz").as("deq"), $"emb")
+      .selectExpr("vec_id", "scale",
+        "array_max(zip_with(deq, emb, (d, x) -> abs(d - x))) AS err")
+      .collect()
+    assert(rt.nonEmpty)
+    rt.foreach { r =>
+      val (scale, err) = (r.getDouble(1), r.getDouble(2))
+      assert(err <= scale / 2 + 1e-12,
+        s"vec ${r.getLong(0)}: err $err exceeds scale/2 ${scale / 2}")
+    }
+  }
+
   test("multimodal: payload decode stub is deterministic and total") {
     val df = Multimodal.withPayload(docs.limit(50), "text", "payload")
     val meta = Multimodal.decodeImages(df, "doc_id", "payload")

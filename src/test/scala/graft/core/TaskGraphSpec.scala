@@ -406,6 +406,55 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(got2 == Seq(6L, 15L)) // row sums
   }
 
+  test("groupby over a diamond — groupby_test.py diamond pattern") {
+    val dag = Dag.fromEdges("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d")
+      .addNode("b", Map("expr" -> "a + 1"))
+      .addNode("c", Map("expr" -> "a * 2"))
+      .addNode("d", Map("expr" -> "b + c"))
+    val g = TaskGraph(dag)
+      .mapSeqs(Map("a" -> Seq(1, 2, 3, 4), "param" -> Seq("x", "x", "y", "y")))
+      .groupby("param")
+      .reduce(key = "d", name = "e", attrs = Map("func" -> "sum"))
+    val got = g.result("e").orderBy("param").collect()
+      .map(r => (r.getAs[String]("param"), r.getAs[Long]("e"))).toSeq
+    // d = (a+1) + 2a = 3a+1: x -> 4+7 = 11, y -> 10+13 = 23
+    assert(got == Seq(("x", 11L), ("y", 23L)))
+  }
+
+  test("delItem can remove a reduce-all node's branch — graph_test.py") {
+    val g = TaskGraph.fromEdges("a" -> "b", "x" -> "y")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3)))
+      .reduce(key = "b", name = "c")
+      .delItem("c")
+    assert(g.dag.nodes == Set("x", "y", "c"))
+    assert(g.groups.isEmpty) // a's mapping went with its branch
+    assert(g.reduces.isEmpty)
+  }
+
+  test("map over an empty sequence yields an empty expansion — graph_test.py") {
+    val g = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq()))
+    assert(g.dimsOf("b") == Vector("dim_0"))
+    assert(g.result("b").count() == 0)
+  }
+
+  test("partial dim overlap between 2-D groups aligns on the shared dim") {
+    val df1 = (for (x <- 0 to 1; y <- 0 to 2) yield (x, y, x * 10 + y)).toDF("x", "y", "v")
+    val df2 = (for (y <- 0 to 2; z <- 0 to 1) yield (y, z, y * 100 + z)).toDF("y", "z", "t")
+    val g = TaskGraph.fromEdges("u" -> "m", "w" -> "m")
+      .mapND("u", df1, Seq("x" -> "x", "y" -> "y"), "v")
+      .mapND("w", df2, Seq("y" -> "y", "z" -> "z"), "t")
+      .withExpr("s", Seq("m"), "m.u + m.w")
+    // shared y zips; x and z cross: |x| * |y| * |z| = 2 * 3 * 2
+    assert(g.result("s").count() == 12)
+    // conflicting labels on the shared dim raise — merge_partial_overlap
+    val df3 = (for (y <- 5 to 7; z <- 0 to 1) yield (y, z, 0)).toDF("y", "z", "t")
+    assertThrows[GraftException] {
+      TaskGraph.fromEdges("u" -> "m", "w" -> "m")
+        .mapND("u", df1, Seq("x" -> "x", "y" -> "y"), "v")
+        .mapND("w", df3, Seq("y" -> "y", "z" -> "z"), "t")
+    }
+  }
+
   test("positional slice with duplicate labels keeps all rows of kept labels") {
     // positions index DISTINCT labels (engine semantics: rank in ascending
     // label order); duplicate labels share a position

@@ -857,9 +857,17 @@ final case class TaskGraph(
     */
   private def reduceInput(n: String, spec: ReduceSpec, needPos: Boolean,
       memo: scala.collection.mutable.Map[(String, Boolean), DataFrame]): DataFrame = {
+    // Dims shared between the key node and the reduced pred are the join
+    // identity when the key is not co-grouped; a positional shared dim
+    // needs its label column materialized on BOTH sides.
+    val keyJoinDims: Vector[String] = spec.groupKey match {
+      case Some(k) => dimsOf(k).intersect(dimsOf(spec.pred))
+      case None => Vector.empty
+    }
     // Positional dims that survive the reduce are observed as group keys:
     // their labels must be materialized in the predecessor frame.
-    val needPredPos = needPos || dimsOf(n).exists(isPositionalDim)
+    val needPredPos = needPos || dimsOf(n).exists(isPositionalDim) ||
+      keyJoinDims.exists(isPositionalDim)
     val predFrame = frameOf(spec.pred, needPredPos, memo)
     spec.groupKey match {
       case None => predFrame
@@ -870,9 +878,24 @@ final case class TaskGraph(
         if (predFrame.columns.contains(k)) predFrame
         else {
           val kf = frameOf(k, needPredPos, memo)
-          val shared = predFrame.columns.intersect(kf.columns).toSeq
-          require(shared.nonEmpty, s"groupby key '$k' shares no dim with '${spec.pred}'")
-          predFrame.join(kf, shared)
+          val joinDims = keyJoinDims
+            .filter(d => predFrame.columns.contains(d) && kf.columns.contains(d))
+          if (joinDims.nonEmpty) {
+            // join on the dim labels (null-safe), dropping duplicated
+            // ancestor value columns from the key side — same discipline
+            // as mergePredFrames
+            val dupCols = kf.columns.filter(c =>
+              predFrame.columns.contains(c) && !joinDims.contains(c))
+            val renamed = joinDims.foldLeft(kf.drop(dupCols.toIndexedSeq: _*))(
+              (d0, d) => d0.withColumnRenamed(d, "__jk_" + d))
+            val cond = joinDims.map(d => col(d) <=> col("__jk_" + d)).reduce(_ && _)
+            predFrame.join(renamed, cond)
+              .drop(joinDims.map("__jk_" + _).toIndexedSeq: _*)
+          } else {
+            val shared = predFrame.columns.intersect(kf.columns).toSeq
+            require(shared.nonEmpty, s"groupby key '$k' shares no dim with '${spec.pred}'")
+            predFrame.join(kf, shared)
+          }
         }
     }
   }

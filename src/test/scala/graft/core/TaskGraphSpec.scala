@@ -619,6 +619,32 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(cols == Seq("node", "index", "my_attr"))
   }
 
+  test("setItem keeps replaced-branch ancestors that feed unrelated nodes") {
+    // p feeds both b (replaced) and q (unrelated): replacing b must keep p
+    val g = TaskGraph.fromEdges("p" -> "b", "p" -> "q", "r" -> "b")
+    val other = TaskGraph.chain("n", "s")
+    val merged = g.setItem("b", other)
+    assert(merged.dag.contains("p") && merged.dag.contains("q"))
+    assert(!merged.dag.contains("r")) // exclusive ancestor removed
+    assert(merged.dag.predecessors("b") == Vector("n"))
+  }
+
+  test("regular reduce then groupby on the remaining dim — groupby_test.py") {
+    // 2-D node c over (f-dim, dim_0); reduce the f dim, then groupby a key
+    // whose dim is the surviving dim_0
+    val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3, 4), "k" -> Seq("x", "x", "y", "y")))
+      .mapSeqs(Map("b" -> Seq(10, 20)))
+      .withExpr("d", Seq("c"), "c.a + c.b")
+      .reduce(key = "d", index = "dim_1", name = "r", attrs = Map("func" -> "sum"))
+      .groupby("k")
+      .reduce(key = "r", name = "byk", attrs = Map("func" -> "sum"))
+    val got = g.result("byk").orderBy("k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("byk"))).toSeq
+    // r per dim_0: sum over b of (a+b) = 2a+30 -> [32,34,36,38]
+    assert(got == Seq(("x", 66L), ("y", 74L)))
+  }
+
   test("setItem with conflicting operand indices raises — graph_test.py:867-878") {
     val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
       .mapSeqs(Map("a" -> Seq(1, 2, 3)))

@@ -227,6 +227,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(want.nonEmpty, "test vacuous: no near-dup pairs")
   }
 
+  test("clustering matches union-find on random pair graphs") {
+    val rnd = new scala.util.Random(3)
+    (1 to 3).foreach { trial =>
+      val n = 40
+      val pairs = (0 until 60).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.clusters(pairs.toDF("id_a", "id_b"), maxIter = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial mismatch")
+    }
+  }
+
   test("exact dedup groups by content hash yet reports exemplar text") {
     val df = Seq((3L, "aa bb"), (1L, "aa bb"), (2L, "cc dd")).toDF("id", "text")
     val got = Dedup.exact(df, "id", "text")

@@ -831,19 +831,7 @@ final case class TaskGraph(
       } else if (!acc.columns.contains(p)) {
         val f = frameOf(p, mergeNeedPos, memo)
         val joinDims = accDims.intersect(dimsOf(p).toSet).toSeq.sorted
-        val dupCols = f.columns.filter(c =>
-          acc.columns.contains(c) && !joinDims.contains(c))
-        val fd = f.drop(dupCols.toIndexedSeq: _*)
-        acc =
-          if (joinDims.isEmpty) acc.crossJoin(fd)
-          else {
-            // rename right-side keys to avoid self-join ambiguity, join
-            // null-safe (a null label must align with itself), drop keys
-            val renamed = joinDims.foldLeft(fd)((d0, d) =>
-              d0.withColumnRenamed(d, "__jk_" + d))
-            val cond = joinDims.map(d => col(d) <=> col("__jk_" + d)).reduce(_ && _)
-            acc.join(renamed, cond).drop(joinDims.map("__jk_" + _).toIndexedSeq: _*)
-          }
+        acc = dimJoin(acc, f, joinDims)
         accDims ++= dimsOf(p)
       }
     }
@@ -857,46 +845,56 @@ final case class TaskGraph(
     */
   private def reduceInput(n: String, spec: ReduceSpec, needPos: Boolean,
       memo: scala.collection.mutable.Map[(String, Boolean), DataFrame]): DataFrame = {
-    // Dims shared between the key node and the reduced pred are the join
-    // identity when the key is not co-grouped; a positional shared dim
-    // needs its label column materialized on BOTH sides.
-    val keyJoinDims: Vector[String] = spec.groupKey match {
-      case Some(k) => dimsOf(k).intersect(dimsOf(spec.pred))
-      case None => Vector.empty
-    }
     // Positional dims that survive the reduce are observed as group keys:
     // their labels must be materialized in the predecessor frame.
-    val needPredPos = needPos || dimsOf(n).exists(isPositionalDim) ||
-      keyJoinDims.exists(isPositionalDim)
-    val predFrame = frameOf(spec.pred, needPredPos, memo)
+    val needPredPos = needPos || dimsOf(n).exists(isPositionalDim)
+    val predFrame0 = frameOf(spec.pred, needPredPos, memo)
     spec.groupKey match {
-      case None => predFrame
+      case None => predFrame0
       case Some(k) =>
         // Group labels = values of key node k. The key column is already in
         // the frame when co-grouped (the common case): single-scan groupBy,
-        // no join — a map-side-combinable hash aggregation.
-        if (predFrame.columns.contains(k)) predFrame
+        // no join — a map-side-combinable hash aggregation, and the
+        // positional labels stay UNmaterialized (this branch must not pay
+        // zipWithIndex or lose the pruned parquet scan).
+        if (predFrame0.columns.contains(k)) predFrame0
         else {
-          val kf = frameOf(k, needPredPos, memo)
+          // not co-grouped: the key attaches via a join on the shared
+          // dims, whose label columns must exist on BOTH sides — only
+          // here may positional materialization be forced
+          val keyJoinDims = dimsOf(k).intersect(dimsOf(spec.pred))
+          val joinNeedPos = needPredPos || keyJoinDims.exists(isPositionalDim)
+          val predFrame = frameOf(spec.pred, joinNeedPos, memo)
+          val kf = frameOf(k, joinNeedPos, memo)
           val joinDims = keyJoinDims
             .filter(d => predFrame.columns.contains(d) && kf.columns.contains(d))
-          if (joinDims.nonEmpty) {
-            // join on the dim labels (null-safe), dropping duplicated
-            // ancestor value columns from the key side — same discipline
-            // as mergePredFrames
-            val dupCols = kf.columns.filter(c =>
-              predFrame.columns.contains(c) && !joinDims.contains(c))
-            val renamed = joinDims.foldLeft(kf.drop(dupCols.toIndexedSeq: _*))(
-              (d0, d) => d0.withColumnRenamed(d, "__jk_" + d))
-            val cond = joinDims.map(d => col(d) <=> col("__jk_" + d)).reduce(_ && _)
-            predFrame.join(renamed, cond)
-              .drop(joinDims.map("__jk_" + _).toIndexedSeq: _*)
-          } else {
+          if (joinDims.nonEmpty) dimJoin(predFrame, kf, joinDims)
+          else {
             val shared = predFrame.columns.intersect(kf.columns).toSeq
             require(shared.nonEmpty, s"groupby key '$k' shares no dim with '${spec.pred}'")
             predFrame.join(kf, shared)
           }
         }
+    }
+  }
+
+  /** Null-safe equi-join on dim label columns: duplicated non-key columns
+    * on the right are dropped first (identical ancestors by construction),
+    * right-side keys are renamed to avoid self-join ambiguity, and a null
+    * label aligns with itself. The one join discipline of the expansion
+    * engine, shared by predecessor merging and key attachment.
+    */
+  private def dimJoin(left: DataFrame, right: DataFrame,
+      joinDims: Seq[String]): DataFrame = {
+    val dupCols = right.columns.filter(c =>
+      left.columns.contains(c) && !joinDims.contains(c))
+    val fd = right.drop(dupCols.toIndexedSeq: _*)
+    if (joinDims.isEmpty) left.crossJoin(fd)
+    else {
+      val renamed = joinDims.foldLeft(fd)((d0, d) =>
+        d0.withColumnRenamed(d, "__jk_" + d))
+      val cond = joinDims.map(d => col(d) <=> col("__jk_" + d)).reduce(_ && _)
+      left.join(renamed, cond).drop(joinDims.map("__jk_" + _).toIndexedSeq: _*)
     }
   }
 

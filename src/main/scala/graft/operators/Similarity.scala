@@ -87,10 +87,14 @@ object Similarity {
   def quantizeInt8(vec: Column): Column = {
     val v = vec.cast("array<double>")
     // bind the scale ONCE as a lambda variable (a raw reference inside the
-    // per-element lambda would re-derive the array_max per element)
+    // per-element lambda would re-derive the array_max per element); an
+    // all-zero vector has scale 0 and quantizes to zeros — dividing would
+    // produce NaN, whose downstream handling differs across engines
     transform(array(array_max(transform(v, x => abs(x))) / 127.0d),
       s => struct(s.as("scale"),
-        transform(v, x => floor(x / s + 0.5d).cast("tinyint")).as("q")))
+        transform(v, x =>
+          when(s === 0.0d, lit(0)).otherwise(floor(x / s + 0.5d))
+            .cast("tinyint")).as("q")))
       .getItem(0)
   }
 

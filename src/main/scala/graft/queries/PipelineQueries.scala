@@ -216,7 +216,7 @@ object PipelineQueries {
               .as("err_max"))
           .orderBy("vec_id")
       },
-      Some("""SELECT vec_id, ROUND(scale, 9) AS scale_r, CAST(list_sum(q) AS BIGINT) AS qsum, ROUND(list_max(list_transform(list_zip(q, embedding), p -> abs(CAST(p[1] AS DOUBLE) * scale - CAST(p[2] AS DOUBLE)))), 9) AS err_max FROM (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0) + 0.5) AS TINYINT)) AS q FROM embeddings) ORDER BY vec_id""")),
+      Some("""SELECT vec_id, ROUND(scale, 9) AS scale_r, CAST(list_sum(q) AS BIGINT) AS qsum, ROUND(list_max(list_transform(list_zip(q, embedding), p -> abs(CAST(p[1] AS DOUBLE) * scale - CAST(p[2] AS DOUBLE)))), 9) AS err_max FROM (SELECT vec_id, embedding, scale, list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0 ELSE FLOOR(CAST(x AS DOUBLE) / scale + 0.5) END AS TINYINT)) AS q FROM (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings)) ORDER BY vec_id""")),
 
     // embedding norms via order-independent decimal summation
     QueryDef("q_embed_norm",

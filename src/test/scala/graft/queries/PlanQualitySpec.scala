@@ -61,4 +61,18 @@ class PlanQualitySpec extends AnyFunSuite {
         assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
       }
   }
+
+  test("co-grouped groupby keeps the pruned parquet scan (no RDD fallback)") {
+    // the common case — key co-grouped with the reduced pred — must scan
+    // parquet with only the needed columns: positional-label
+    // materialization (zipWithIndex -> Scan ExistingRDD, all columns)
+    // on this path is a scale regression
+    val plan = planOf("cb_groupby_sum")
+    assert(plan.contains("Scan parquet"), s"RDD scan fallback:\n${plan.take(600)}")
+    assert(!plan.contains("ExistingRDD"), "positional labels materialized needlessly")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_comment"),
+      s"unpruned scan: $readSchema")
+  }
 }

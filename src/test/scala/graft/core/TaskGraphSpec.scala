@@ -645,6 +645,28 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(got == Seq(("x", 66L), ("y", 74L)))
   }
 
+  test("getItem-setItem round-trip is a no-op — graph_test.py get/set no effects") {
+    val g = TaskGraph.fromEdges("a" -> "b", "b" -> "c")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3)))
+    val rt = g.setItem("b", g.getItem("b"))
+    assert(rt.dag.nodes == g.dag.nodes)
+    assert(rt.dag.edgeList.toSet == g.dag.edgeList.toSet)
+    assert(rt.groups.size == g.groups.size)
+    assert(rt.result("c").count() == g.result("c").count())
+  }
+
+  test("map order independence: independent groups commute — merge_order_independence") {
+    val g1 = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .mapSeqs(Map("a" -> Seq(1, 2))).mapSeqs(Map("b" -> Seq(10, 20, 30)))
+      .withExpr("s", Seq("c"), "c.a + c.b")
+    val g2 = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .mapSeqs(Map("b" -> Seq(10, 20, 30))).mapSeqs(Map("a" -> Seq(1, 2)))
+      .withExpr("s", Seq("c"), "c.a + c.b")
+    def vals(g: TaskGraph) =
+      g.result("s").collect().map(_.getAs[Int]("s")).sorted.toSeq
+    assert(vals(g1) == vals(g2))
+  }
+
   test("setItem with conflicting operand indices raises — graph_test.py:867-878") {
     val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
       .mapSeqs(Map("a" -> Seq(1, 2, 3)))

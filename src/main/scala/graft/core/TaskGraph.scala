@@ -54,8 +54,7 @@ final case class DimGroup(
     case Some(d) =>
       val spark = df.sparkSession
       val schema = df.schema.add(TaskGraph.posCol(d), LongType, nullable = false)
-      val isLocal = df.queryExecution.analyzed.collectLeaves()
-        .forall(_.getClass.getSimpleName == "LocalRelation")
+      val isLocal = TaskGraph.isLocalPlan(df)
       if (isLocal) {
         val rows = df.collect().zipWithIndex.map {
           case (r, i) => Row.fromSeq(r.toSeq :+ i.toLong)
@@ -109,8 +108,25 @@ final case class DimGroup(
         // explicit (the dim is now label-backed by the old positions).
         copy(df = sliced, labelCols = labelCols + (dim -> pc))
       case Some(lc) =>
-        val kept = df.select(col(lc).as("__lbl")).distinct()
-          .withColumn("__rank", row_number().over(Window.orderBy(col("__lbl"))) - 1)
+        val distinctLabels = df.select(col(lc).as("__lbl")).distinct()
+        // Rank the distinct labels. In-memory dims use a window (stays a
+        // LocalRelation, eligible for eager validation); file-backed dims
+        // rank via distributed sort + zipWithIndex — a fact-scale label
+        // set must never funnel through a single-partition window.
+        val ranked =
+          if (TaskGraph.isLocalPlan(distinctLabels))
+            distinctLabels.withColumn("__rank",
+              row_number().over(Window.orderBy(col("__lbl"))) - 1)
+          else {
+            val spark = df.sparkSession
+            val sorted = distinctLabels.orderBy("__lbl")
+            val schema = sorted.schema.add("__rank", LongType, nullable = false)
+            spark.createDataFrame(
+              sorted.rdd.zipWithIndex().map { case (r, i) =>
+                Row.fromSeq(r.toSeq :+ i)
+              }, schema)
+          }
+        val kept = ranked
           .filter(col("__rank") >= lo && col("__rank") < hi)
           .drop("__rank")
         // null-safe: a null label is a rankable label (nulls sort first)
@@ -987,6 +1003,14 @@ final class GroupbyTaskGraph(g: TaskGraph, keyNode: String) {
 object TaskGraph {
 
   def posCol(dim: String): String = "__pos_" + dim
+
+  /** Every leaf of the plan is an in-memory relation (driver-side data —
+    * the reference's whole universe). Such frames may be collected,
+    * window-ranked, and eagerly validated without scale concerns.
+    */
+  def isLocalPlan(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves()
+      .forall(_.getClass.getSimpleName == "LocalRelation")
 
   /** Unit-carrying coordinate encoding (reference ScippDataArrayAdapter:
     * a coord with a unit yields `(value, unit)` tuple labels,

@@ -33,14 +33,41 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       payload: Map[String, String]
+  ): DataFrame =
+    join(left, right, keyCols, leftTime, rightTime, payload, forward = false)
+
+  /** Forward (earliest-subsequent) variant: for each left row, attach the
+    * right row with the SMALLEST `rightTime >= leftTime` in the same key —
+    * e.g. each click gets the user's next purchase. Same single-shuffle
+    * union + running-window mechanics, with the time order reversed.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Map[String, String]
+  ): DataFrame =
+    join(left, right, keyCols, leftTime, rightTime, payload, forward = true)
+
+  private def join(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Map[String, String],
+      forward: Boolean
   ): DataFrame = {
     val ordCol = "__asof_t"
     val sideCol = "__asof_side"
     val leftCols = left.columns.toSeq
     val outCols = payload.keys.toSeq.sorted
 
-    // Right rows sort *before* left rows at equal timestamps so a right
-    // event at exactly t qualifies (inclusive t' <= t semantics).
+    // Right rows sort *before* left rows at equal timestamps (in the
+    // window's traversal direction) so a right event at exactly t
+    // qualifies — inclusive semantics on both directions.
     val taggedRight = right.select(
       keyCols.map(col) ++
         Seq(col(rightTime).as(ordCol), lit(0).as(sideCol)) ++
@@ -51,7 +78,9 @@ object AsOfJoin {
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(ordCol).asc, col(sideCol).asc)
+      .orderBy(
+        if (forward) col(ordCol).desc else col(ordCol).asc,
+        col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = outCols.foldLeft(unioned) { (df, out) =>

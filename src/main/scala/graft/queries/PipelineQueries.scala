@@ -76,6 +76,21 @@ object PipelineQueries {
       },
       Some("""SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 ORDER BY user_id, event_type""")),
 
+    // forward as-of join: each click gets its user's NEXT purchase
+    QueryDef("q_events_asof_fwd",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+        AsOfJoin.forward(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Map("next_p" -> "p_id"))
+          .select(col("event_id"), col("user_id"), col("next_p"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT a.event_id, a.user_id, b.event_id AS next_p FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') b ON a.user_id = b.user_id AND a.ts <= b.ts ORDER BY a.event_id""")),
+
     // stream-stream interval join in its batch form (same code path runs
     // on readStream inputs with bounded state; StreamingSpec asserts the
     // equivalence)

@@ -78,4 +78,20 @@ object Multimodal {
       explode(sequence(lit(0),
         least(col(nFramesCol) - 1, lit(maxFrames * stride - 1)), lit(stride)))
         .as("frame_idx"))
+
+  /** Overlapping chunk plan for a (stub) audio payload: fixed-size windows
+    * every `hop` samples, clamped to the payload length — the fan-out a
+    * feature extractor (e.g. mel spectrogram) consumes. Pure column
+    * algebra: one explode, no UDF.
+    */
+  def audioChunkPlan(df: DataFrame, idCol: String, nSamplesCol: String,
+      chunk: Int, hop: Int): DataFrame =
+    df.filter(col(nSamplesCol) > 0)
+      .select(col(idCol), col(nSamplesCol),
+        explode(sequence(lit(0),
+          greatest(col(nSamplesCol) - chunk, lit(0)), lit(hop)))
+          .as("chunk_start"))
+      .withColumn("chunk_end",
+        least(col("chunk_start") + chunk, col(nSamplesCol)))
+      .drop(nSamplesCol)
 }

@@ -266,4 +266,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.filter(_._1 == 1L).map(_._2).toSeq == Seq(0L, 5L))
     assert(plan.filter(_._1 == 2L).map(_._2).toSeq == (0L until 40L by 5L).toSeq)
   }
+
+  test("multimodal: audio chunk plan covers the payload with clamped windows") {
+    val clips = Seq((1L, 1000L), (2L, 250L), (3L, 0L)).toDF("cid", "n_samples")
+    val plan = Multimodal.audioChunkPlan(clips, "cid", "n_samples",
+      chunk = 400, hop = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 1000 samples: starts 0,300,600 with ends clamped to 1000
+    assert(plan.filter(_._1 == 1L).map(p => (p._2, p._3)).toSeq ==
+      Seq((0L, 400L), (300L, 700L), (600L, 1000L)))
+    // shorter than one chunk: single clamped window
+    assert(plan.filter(_._1 == 2L).map(p => (p._2, p._3)).toSeq == Seq((0L, 250L)))
+    // empty payload: no chunks
+    assert(!plan.exists(_._1 == 3L))
+  }
 }

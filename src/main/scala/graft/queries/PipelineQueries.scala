@@ -263,6 +263,22 @@ object PipelineQueries {
 
     // --- no-oracle (rows-only gate; verified in ScalaTest vs exact) ------
 
+    // per-language frequent terms via the Misra-Gries heavy-hitter UDAF
+    // (counts are lower bounds and the retained tail varies with merge
+    // order — the n/(k+1) presence guarantee is spec-verified; rows-only)
+    QueryDef("q_text_topterms",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(TextAnalysis.langId(col("text")).as("lang"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+          .filter(length(col("tok")) > 3)
+          .groupBy("lang")
+          .agg(graft.functions.Aggregators.heavyHitters(col("tok"), 10).as("top"))
+          .select(col("lang"), size(col("top")).as("n_terms"))
+          .orderBy("lang")
+      },
+      None),
+
     // deterministic train/val/test hash split (xxhash64 has no DuckDB
     // equivalent; determinism/exhaustiveness verified in ScaleOpsSpec)
     QueryDef("q_sample_split",

@@ -208,6 +208,28 @@ class TaskGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("groupby matrix: single group, uneven groups, attrs preserved") {
+    // single group: all rows collapse to one (groupby_test.py single_group)
+    val g1 = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3), "k" -> Seq("x", "x", "x")))
+      .groupby("k").reduce(key = "b", name = "d", attrs = Map("func" -> "sum"))
+    val r1 = g1.result("d").collect()
+    assert(r1.length == 1 && r1(0).getAs[Long]("d") == 6L)
+    // uneven group sizes (groupby_test.py uneven_group_sizes)
+    val g2 = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3, 4, 5), "k" -> Seq("x", "y", "y", "y", "y")))
+      .groupby("k").reduce(key = "b", name = "d", attrs = Map("func" -> "count"))
+    val r2 = g2.result("d").orderBy("k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("d"))).toSeq
+    assert(r2 == Seq(("x", 1L), ("y", 4L)))
+    // attrs ride on the reduce node (groupby_test.py groupby_with_attrs)
+    val g3 = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(1), "k" -> Seq("x")))
+      .groupby("k").reduce(key = "b", name = "d",
+        attrs = Map("func" -> "sum", "note" -> "v"))
+    assert(g3.dag.attrs("d")("note") == "v")
+  }
+
   test("group keys can be int/double — groupby_test.py:260-296") {
     val g = TaskGraph.chain("a", "b")
       .mapSeqs(Map("a" -> Seq(1, 2, 3, 4), "k" -> Seq(0, 0, 1, 1)))

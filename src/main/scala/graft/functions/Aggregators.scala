@@ -1,11 +1,23 @@
 package graft.functions
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Custom typed Aggregators (`functions.udaf`) — the UDAF surface.
+/** Custom aggregation functions — the UDAF surface.
   *
   *  - [[BitmapDistinct]]: EXACT distinct count of bounded non-negative
   *    ids via a fixed-width bitmap buffer. Mergeable by bitwise OR, so it
@@ -13,12 +25,16 @@ import org.apache.spark.sql.functions.udaf
   *    oracle-checkable against COUNT(DISTINCT)), and the buffer is
   *    maxId/8 bytes regardless of row count: for key spaces like supplier
   *    or part ids this beats a shuffle of the distinct values.
-  *  - [[HeavyHitters]]: Misra-Gries frequent-items summary over strings
+  *  - [[HeavyHittersAgg]]: Misra-Gries frequent-items summary over strings
   *    (e.g. tokens): any item occurring more than n/(k+1) times is
   *    guaranteed present in the output. Counts are lower bounds and the
   *    retained tail can vary with merge order (the standard trade of
   *    mergeable heavy-hitter sketches); the guarantee is what the spec
-  *    asserts.
+  *    asserts. A native `TypedImperativeAggregate`: the buffer is ONE
+  *    mutable hash map object held across the whole partition and
+  *    serialized only at shuffle boundaries — a typed `Aggregator` with a
+  *    `Map` buffer would round-trip the map through the encoder on every
+  *    input row (O(k) serialization per row).
   */
 object Aggregators {
 
@@ -46,30 +62,118 @@ object Aggregators {
   def bitmapDistinct(c: Column, maxId: Int): Column =
     udaf(BitmapDistinct(maxId), Encoders.scalaLong).apply(c)
 
-  final case class HeavyHitters(k: Int)
-      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
-    override def zero: Map[String, Long] = Map.empty
-    private def add(m: Map[String, Long], s: String, c: Long): Map[String, Long] = {
-      val m2 = m.updated(s, m.getOrElse(s, 0L) + c)
-      if (m2.size <= k) m2
-      else {
-        val d = m2.values.min
-        m2.collect { case (key, n) if n > d => key -> (n - d) }
+  /** Misra-Gries heavy hitters as a native imperative aggregate.
+    * Output: `array<struct<term string, n long>>`, sorted by descending
+    * (lower-bound) count then term. At most `k` counters are retained;
+    * overflow decrements every counter by the minimum and drops zeros —
+    * the classic summary with the n/(k+1) presence guarantee.
+    */
+  final case class HeavyHittersAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]]
+    with UnaryLike[Expression] {
+
+    require(k > 0, "heavyHitters needs k > 0")
+
+    override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+      mutable.HashMap.empty
+
+    /** Add `c` occurrences of `s`. `copyKey` guards against storing a
+      * UTF8String that points into a reused unsafe-row buffer (input rows
+      * are only valid for the duration of the update call).
+      */
+    private def add(m: mutable.HashMap[UTF8String, Long], s: UTF8String,
+        c: Long, copyKey: Boolean): Unit = {
+      m.get(s) match {
+        case Some(n) => m.update(s, n + c)
+        case None =>
+          m.update(if (copyKey) s.clone() else s, c)
+          if (m.size > k) {
+            val d = m.valuesIterator.min
+            val kept = m.iterator.collect {
+              case (key, n) if n > d => key -> (n - d)
+            }.toArray
+            m.clear()
+            kept.foreach { case (key, n) => m.update(key, n) }
+          }
       }
     }
-    override def reduce(m: Map[String, Long], s: String): Map[String, Long] =
-      add(m, s, 1L)
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-      b.foldLeft(a) { case (m, (s, c)) => add(m, s, c) }
-    override def finish(m: Map[String, Long]): Seq[(String, Long)] =
-      m.toSeq.sortBy { case (s, c) => (-c, s) }
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder[Map[String, Long]]()
-    override def outputEncoder: Encoder[Seq[(String, Long)]] =
-      ExpressionEncoder[Seq[(String, Long)]]()
+
+    override def update(m: mutable.HashMap[UTF8String, Long],
+        input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+      val v = child.eval(input)
+      if (v != null) add(m, v.asInstanceOf[UTF8String], 1L, copyKey = true)
+      m
+    }
+
+    override def merge(m: mutable.HashMap[UTF8String, Long],
+        other: mutable.HashMap[UTF8String, Long]): mutable.HashMap[UTF8String, Long] = {
+      // keys from the absorbed buffer are heap-owned (deserialized or
+      // built by update's clone) — no copy needed
+      other.foreach { case (s, c) => add(m, s, c, copyKey = false) }
+      m
+    }
+
+    override def eval(m: mutable.HashMap[UTF8String, Long]): Any = {
+      val sorted = m.toArray.sortWith { case ((sa, ca), (sb, cb)) =>
+        ca > cb || (ca == cb && sa.compareTo(sb) < 0)
+      }
+      new GenericArrayData(sorted.map { case (s, c) => InternalRow(s, c) })
+    }
+
+    override def serialize(m: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(m.size)
+      m.foreach { case (s, c) =>
+        val b = s.getBytes
+        out.writeInt(b.length)
+        out.write(b)
+        out.writeLong(c)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val m = mutable.HashMap.empty[UTF8String, Long]
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        m.update(UTF8String.fromBytes(b), in.readLong())
+        i += 1
+      }
+      m
+    }
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("term", StringType), StructField("n", LongType))),
+      containsNull = false)
+
+    override def nullable: Boolean = false
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHittersAgg =
+      copy(mutableAggBufferOffset = newOffset)
+
+    override def withNewInputAggBufferOffset(newOffset: Int): HeavyHittersAgg =
+      copy(inputAggBufferOffset = newOffset)
+
+    override protected def withNewChildInternal(newChild: Expression): HeavyHittersAgg =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_heavy_hitters"
   }
 
-  /** Column function: top-k frequent items of a string column. */
+  /** Column function: top-k frequent items of a string column
+    * (array<struct<term, n>>, counts are Misra-Gries lower bounds).
+    */
   def heavyHitters(c: Column, k: Int): Column =
-    udaf(HeavyHitters(k), Encoders.STRING).apply(c)
+    Bridge.column(HeavyHittersAgg(Bridge.expression(c), k).toAggregateExpression())
 }

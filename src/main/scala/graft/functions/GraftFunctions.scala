@@ -31,7 +31,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHash64(args(0))),
     ("graft_minhash", "minhash signature (array<long>) of an array<string>",
       (args: Seq[Expression]) =>
-        MinHashSignature(args(0), intArg(args(1), "graft_minhash"))))
+        MinHashSignature(args(0), intArg(args(1), "graft_minhash"))),
+    ("graft_minhash_hashed", "minhash signature from pre-hashed shingles (array<long>)",
+      (args: Seq[Expression]) =>
+        MinHashFromHashes(args(0), intArg(args(1), "graft_minhash_hashed"))),
+    ("graft_sorted_intersect",
+      "intersection size of two sorted duplicate-free array<long> columns",
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, usage, builder) =>

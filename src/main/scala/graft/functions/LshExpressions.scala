@@ -83,6 +83,133 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def prettyName: String = "graft_minhash"
 }
 
+/** MinHash signature from PRE-HASHED shingles (`array<long>` of
+  * `xxhash64(shingle)` values — Spark's default-seed 42 string hash is
+  * exactly the `base` of [[MinHashSignature]]): for each seed i the
+  * minimum over the array of `hashInt(i, base)`. Produces bit-identical
+  * signatures to [[MinHashSignature]] on the corresponding strings, but
+  * lets the pipeline carry 8-byte hashes instead of shingle strings —
+  * the verify join then shuffles long arrays, not text.
+  */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      val base = arr.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashInt(i, base)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val xxh = classOf[XXH64].getName
+      val uad = classOf[UnsafeArrayData].getName
+      val (n, j, i, mins, base, hv) = (ctx.freshName("n"), ctx.freshName("j"),
+        ctx.freshName("i"), ctx.freshName("mins"), ctx.freshName("base"),
+        ctx.freshName("hv"))
+      s"""
+         |int $n = $in.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $base = $in.getLong($j);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $hv = $xxh.hashInt($i, $base);
+         |    if ($hv < $mins[$i]) $mins[$i] = $hv;
+         |  }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_from_hashes"
+}
+
+/** Intersection size of two SORTED `array<long>` columns: a single
+  * O(n+m) merge pass over the unsafe arrays — no per-row hash-set build,
+  * no boxing (`array_intersect` allocates and hashes per invocation).
+  * Inputs must be sorted ascending and duplicate-free (the prepared
+  * shingle-hash arrays are `sort_array(array_distinct(...))` by
+  * construction); the exact-Jaccard verify over candidate pairs is the
+  * hot consumer.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<long>, got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val (na, nb, i, j, c, x, y) = (ctx.freshName("na"), ctx.freshName("nb"),
+        ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("c"),
+        ctx.freshName("x"), ctx.freshName("y"))
+      s"""
+         |int $na = $l.numElements();
+         |int $nb = $r.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $l.getLong($i);
+         |  long $y = $r.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sorted_intersect_count"
+}
+
 /** 64-bit SimHash from an `array<long>` of token hashes: bit b of the
   * result is set when the sum over tokens of (+1/-1 for bit b of the
   * token hash) is positive. Bit-identical to the 64-fold SQL aggregate
@@ -149,6 +276,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 object LshExpressions {
   def minhashSignature(sh: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(sh), numHashes))
+
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
+    Bridge.column(MinHashFromHashes(Bridge.expression(hashes), numHashes))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, exact and
@@ -11,12 +12,12 @@ import org.apache.spark.storage.StorageLevel
   *    the shuffle key is 16 bytes, not the full document; the map-side
   *    partial aggregation means each distinct document's bytes cross the
   *    wire at most once per input partition.
-  *  - MinHash+LSH: shingles and signatures are projected ONCE per row into
-  *    columns (never re-inlined into each hash expression), candidate
-  *    generation explodes b bands and self-joins on (band, hash), and the
-  *    exact-Jaccard verify runs on the precomputed shingle arrays carried
-  *    through the candidate join — raw text is tokenized exactly once per
-  *    document for the whole pipeline.
+  *  - MinHash+LSH: shingles are hashed ONCE per row into a sorted
+  *    `array<long>` column (8 bytes per shingle — the verify join never
+  *    shuffles shingle text), signatures derive from those hashes in one
+  *    native pass, candidate generation explodes b bands and self-joins on
+  *    (band, hash), and the exact-Jaccard verify is a single-pass sorted
+  *    merge intersection over the carried hash arrays.
   *  - SimHash: 64-bit signature from once-projected token hashes, banded
   *    into 4x16-bit chunks (any pair within Hamming distance 3 shares a
   *    chunk by pigeonhole — the emitted candidate set is COMPLETE for
@@ -33,10 +34,52 @@ import org.apache.spark.storage.StorageLevel
   * star pairs against the bucket minimum — linear in the bucket size, and
   * sufficient for connected-component style duplicate clustering.
   *
+  * Cache lifecycle: each pipeline invocation persists its intermediates in
+  * a private [[CacheScope]], materializes its result once
+  * (`localCheckpoint`) and releases every intermediate before returning —
+  * a long-lived session accumulates no stranded cache blocks. The returned
+  * frame is checkpoint-backed (computed, reusable, lineage-free); release
+  * its own blocks with [[free]] when finished (otherwise the
+  * ContextCleaner reclaims them on GC).
+  *
   * All hashing is `xxhash64` with fixed integer seeds (plane matrices use a
   * fixed-seed JDK RNG) — fully deterministic across runs and cluster sizes.
   */
 object Dedup {
+
+  /** Persisted intermediates of ONE pipeline invocation. `sealResult`
+    * materializes the result via eager `localCheckpoint` (every persisted
+    * intermediate is therefore computed exactly once while still cached)
+    * and then unpersists the intermediates — handles are kept to the
+    * exact persisted frames because unpersisting a projection of a cached
+    * plan is a no-op.
+    */
+  private[graft] final class CacheScope {
+    private val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def persist(df: DataFrame): DataFrame = {
+      handles += df
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    def sealResult(result: DataFrame): DataFrame = {
+      val out = result.localCheckpoint(eager = true)
+      release()
+      out
+    }
+    /** Unpersist every tracked intermediate without materializing anything
+      * (for callers of the lazy `*Plan` builders managing their own
+      * terminal action).
+      */
+    def release(): Unit = {
+      handles.foreach(_.unpersist(blocking = false))
+      handles.clear()
+    }
+  }
+
+  /** Release the executor blocks behind a frame returned by the LSH
+    * pipelines or [[clusters]] (checkpoint-backed). The frame must not be
+    * used afterwards.
+    */
+  def free(result: DataFrame): Unit = Bridge.unpersistCheckpoint(result)
 
   /** Exact dedup: keep the minimum id per identical key, shuffling only a
     * 16-byte hash key (plus one exemplar of the key text per partition via
@@ -60,32 +103,53 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature from a PRE-PROJECTED shingle-array column: array of
-    * `h` independent minima of seeded xxhash64 over the shingles. A
-    * native one-pass codegen'd expression (bit-identical to the
-    * `array_min(transform(sh, s -> xxhash64(s, i)))` per-index
-    * formulation — see [[graft.functions.MinHashSignature]]): each
-    * shingle's string hash is computed once, not once per hash index.
+  /** Sorted, duplicate-free `xxhash64` values of the word k-shingles: the
+    * 8-byte canonical shingle representation the LSH pipelines carry
+    * instead of strings. Spark's default-seed (42) string hash is exactly
+    * the per-shingle base of the native MinHash kernel, so signatures from
+    * these hashes are bit-identical to signatures from the strings; set
+    * semantics (and hence Jaccard) are preserved up to 64-bit collisions
+    * (~n^2/2^65 expected per corpus — vanishing even at 1e9 docs).
+    */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    sort_array(array_distinct(transform(shingles(text, k), s => xxhash64(s))))
+
+  /** MinHash signature from a PRE-PROJECTED string shingle-array column
+    * (native one-pass kernel, see [[graft.functions.MinHashSignature]]).
     */
   def minhashFromShingles(sh: Column, h: Int): Column =
     graft.functions.LshExpressions.minhashSignature(sh, h)
 
+  /** MinHash signature from a pre-hashed shingle array (array<long>),
+    * bit-identical to [[minhashFromShingles]] on the source strings (see
+    * [[graft.functions.MinHashFromHashes]]).
+    */
+  def minhashFromHashes(hs: Column, h: Int): Column =
+    graft.functions.LshExpressions.minhashFromHashes(hs, h)
+
   /** MinHash signature straight from text (convenience; hot paths stage
-    * the shingle column explicitly via [[minhashFromShingles]]).
+    * the hashed-shingle column explicitly via [[shingleHashes]]).
     */
   def minhashSignature(text: Column, h: Int = 32, k: Int = 3): Column =
-    minhashFromShingles(shingles(text, k), h)
+    minhashFromHashes(shingleHashes(text, k), h)
 
-  /** Exact Jaccard similarity of two precomputed distinct-shingle arrays. */
-  def jaccardOfShingles(sa: Column, sb: Column): Column = {
-    val inter = size(array_intersect(sa, sb)).cast("double")
+  /** Exact Jaccard similarity of two sorted duplicate-free shingle-hash
+    * arrays: native single-pass merge intersection (see
+    * [[graft.functions.SortedIntersectCount]]) — no per-row hash-set
+    * build, no string comparison in the verify hot loop.
+    */
+  def jaccardOfHashes(sa: Column, sb: Column): Column = {
+    val inter = graft.functions.LshExpressions.sortedIntersectCount(sa, sb)
+      .cast("double")
     inter / (size(sa) + size(sb) - inter)
   }
 
-  /** Exact n-gram (word-shingle) Jaccard similarity between two texts. */
+  /** Exact n-gram (word-shingle) Jaccard similarity between two texts,
+    * computed over the hashed shingle sets (identical to string-set
+    * Jaccard absent 64-bit collisions).
+    */
   def jaccard(textA: Column, textB: Column, k: Int = 3): Column =
-    jaccardOfShingles(array_distinct(shingles(textA, k)),
-      array_distinct(shingles(textB, k)))
+    jaccardOfHashes(shingleHashes(textA, k), shingleHashes(textB, k))
 
   /** Widen a narrow input (e.g. one small parquet file = one split) to the
     * cluster parallelism before per-row-heavy projections; already-wide
@@ -105,17 +169,18 @@ object Dedup {
     * only.
     */
   private[operators] def boundedPairs(
+      scope: CacheScope,
       banded0: DataFrame, bandCol: String, bucketCol: String, maxBucket: Int
   ): DataFrame = {
     // the banded frame feeds the stats agg and the stats join; the joined
     // frame feeds both self-join sides and the big-bucket star pairs:
     // persist both so the signature pipeline and the bucket-stats join
     // each run exactly once
-    val banded = banded0.persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = scope.persist(banded0)
     val keys = Seq(bandCol, bucketCol)
     val stats = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"), min(col("id")).as("__minid"))
-    val withN = banded.join(stats, keys).persist(StorageLevel.MEMORY_AND_DISK)
+    val withN = scope.persist(banded.join(stats, keys))
     val small = withN.filter(col("__n") <= maxBucket)
     val a = small.select(col(bandCol), col(bucketCol), col("id").as("id_a"))
     val b = small.select(col(bandCol), col(bucketCol), col("id").as("id_b"))
@@ -128,18 +193,17 @@ object Dedup {
     smallPairs.union(bigPairs).distinct()
   }
 
-  /** id + distinct shingles + minhash signature, computed once per row on a
-    * widened input and persisted (both sides of the band self-join and the
-    * verify stage reuse it without recomputation).
+  /** id + sorted hashed shingles + minhash signature, computed once per
+    * row on a widened input and persisted (both sides of the band
+    * self-join and the verify stage reuse it without recomputation).
     */
   private def minhashPrepared(
+      scope: CacheScope,
       df: DataFrame, idCol: String, textCol: String, h: Int, k: Int
   ): DataFrame =
-    widen(df)
-      .select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), k)).as("sh"))
-      .withColumn("sig", minhashFromShingles(col("sh"), h))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    scope.persist(widen(df)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+      .withColumn("sig", minhashFromHashes(col("sh"), h)))
 
   private def bandFrame(prepared: DataFrame, bands: Int, rows: Int): DataFrame =
     prepared.select(col("id"), posexplode(
@@ -157,28 +221,50 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rows: Int = 4, k: Int = 3, maxBucket: Int = 64
   ): DataFrame = {
-    val prepared = minhashPrepared(df, idCol, textCol, bands * rows, k)
-    boundedPairs(bandFrame(prepared, bands, rows), "band", "bucket", maxBucket)
+    val scope = new CacheScope
+    val prepared = minhashPrepared(scope, df, idCol, textCol, bands * rows, k)
+    scope.sealResult(
+      boundedPairs(scope, bandFrame(prepared, bands, rows), "band", "bucket",
+        maxBucket))
+  }
+
+  /** Lazy plan form of [[minhashNearDups]]: builds the full pipeline as
+    * one unexecuted plan (construction runs NO job; intermediates are
+    * persisted into `scope` and materialize lazily on the first action).
+    * For plan auditing and for callers composing their own lifecycle —
+    * the caller owns releasing the scope's intermediates after its
+    * terminal action. The public [[minhashNearDups]] wraps this with
+    * seal-and-release.
+    */
+  private[graft] def minhashNearDupsPlan(
+      scope: CacheScope,
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      bands: Int, rows: Int, k: Int, maxBucket: Int
+  ): DataFrame = {
+    val prepared = minhashPrepared(scope, df, idCol, textCol, bands * rows, k)
+    val cands = boundedPairs(scope, bandFrame(prepared, bands, rows),
+      "band", "bucket", maxBucket)
+    val shA = prepared.select(col("id").as("id_a"), col("sh").as("__sh_a"))
+    val shB = prepared.select(col("id").as("id_b"), col("sh").as("__sh_b"))
+    cands.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccardOfHashes(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** MinHash near-dup pairs with exact Jaccard verification of candidates:
     * the verify join touches candidate pairs only (bucket-sized, never
-    * O(n^2)) and runs on the shingle arrays computed once in the prepared
-    * frame — raw text is never re-tokenized.
+    * O(n^2)) and runs as a sorted merge intersection over the 8-byte
+    * shingle hashes computed once in the prepared frame — raw text is
+    * never re-tokenized and never shuffled.
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       bands: Int = 8, rows: Int = 4, k: Int = 3, maxBucket: Int = 64
   ): DataFrame = {
-    val prepared = minhashPrepared(df, idCol, textCol, bands * rows, k)
-    val cands =
-      boundedPairs(bandFrame(prepared, bands, rows), "band", "bucket", maxBucket)
-    val shA = prepared.select(col("id").as("id_a"), col("sh").as("__sh_a"))
-    val shB = prepared.select(col("id").as("id_b"), col("sh").as("__sh_b"))
-    cands.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccardOfShingles(col("__sh_a"), col("__sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val scope = new CacheScope
+    scope.sealResult(minhashNearDupsPlan(scope, df, idCol, textCol, threshold,
+      bands, rows, k, maxBucket))
   }
 
   /** Duplicate clustering: connected components over near-dup pairs via
@@ -191,7 +277,19 @@ object Dedup {
     * diameter, which for near-dup clusters (cliques and stars from
     * [[boundedPairs]]) is 1-2, so the default cap is generous.
     *
+    * Every iteration ends in an eager `localCheckpoint`: persist alone
+    * caches DATA but not LINEAGE — `updated` references `labels` twice,
+    * so without truncation the logical plan doubles per iteration and
+    * Catalyst re-analyzes a 2^i-leaf plan at iteration i (a driver-side
+    * blowup on deep components long before any executor works hard). The
+    * checkpoint cuts each iteration's plan to a constant-size LogicalRDD
+    * leaf and the previous iteration's blocks are released explicitly.
+    * (Local checkpoints trade fault tolerance for speed; a multi-day run
+    * on a real cluster would use reliable `checkpoint(dir)` at the same
+    * plan shape.)
+    *
     * Returns (id, rep): every endpoint id with its cluster's minimum id.
+    * The result is checkpoint-materialized; release with [[free]].
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 10): DataFrame = {
@@ -202,13 +300,9 @@ object Dedup {
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // keep handles to the exact persisted frames: unpersisting a
-    // PROJECTION of a cached plan is a no-op (plan equality), so the
-    // handle itself must be retained and released
-    var persistedLabels = edges.select(col("src").as("id")).distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = persistedLabels
+      .localCheckpoint(eager = true)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -217,29 +311,25 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min("nrep").as("nmin"))
       // carry the previous rep through the update so the convergence
-      // check is a filter over the (persisted) updated frame, not
-      // another join against the old labels
+      // check is a filter over the checkpointed frame, not another join
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
           col("rep").as("__old"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       val changed = updated.filter(col("rep") =!= col("__old")).count()
-      persistedLabels.unpersist()
-      persistedLabels = updated
+      Bridge.unpersistCheckpoint(labels)
       labels = updated.drop("__old")
       converged = changed == 0
       it += 1
     }
     edges.unpersist()
     if (!converged) {
-      persistedLabels.unpersist()
+      Bridge.unpersistCheckpoint(labels)
       throw new IllegalStateException(
         s"duplicate clustering did not converge in $maxIter iterations " +
           "(component diameter exceeds maxIter); raise maxIter")
     }
-    // the final labels frame stays persisted: it is materialized already
-    // and is the result the caller consumes
     labels
   }
 
@@ -275,16 +365,26 @@ object Dedup {
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String, maxBucket: Int = 64
   ): DataFrame = {
-    val prepared = widen(df)
+    val scope = new CacheScope
+    scope.sealResult(simhashCandidatesPlan(scope, df, idCol, textCol, maxBucket))
+  }
+
+  /** Lazy plan form of [[simhashCandidates]] (see [[minhashNearDupsPlan]]
+    * for the contract).
+    */
+  private[graft] def simhashCandidatesPlan(
+      scope: CacheScope,
+      df: DataFrame, idCol: String, textCol: String, maxBucket: Int
+  ): DataFrame = {
+    val prepared = scope.persist(widen(df)
       .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
-      .select(col("id"), simhashFromHashes(col("__th")).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), simhashFromHashes(col("__th")).as("sig")))
     val banded = prepared
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL))))
       .toDF("id", "band", "chunk") // persisted inside boundedPairs
-    val cands = boundedPairs(banded, "band", "chunk", maxBucket)
+    val cands = boundedPairs(scope, banded, "band", "chunk", maxBucket)
     val sa = prepared.select(col("id").as("id_a"), col("sig").as("__sig_a"))
     val sb = prepared.select(col("id").as("id_b"), col("sig").as("__sig_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
@@ -310,13 +410,31 @@ object Dedup {
     * matches; exact cosine verifies candidates only. Candidate pairs are
     * deduplicated on scalar ids BEFORE the vectors are re-attached, so the
     * only shuffles carrying vectors are the two small verify joins.
+    *
+    * `dim` is the (caller-known) embedding dimensionality — a parameter
+    * so plan construction stays lazy: deriving it from the data would run
+    * an eager `first()` job at build time.
     */
   def cosineNearDups(
-      df: DataFrame, idCol: String, vecCol: String,
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, planesPerTable: Int = 4, tables: Int = 8,
       maxBucket: Int = 256, seed: Long = 42L
   ): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val scope = new CacheScope
+    scope.sealResult(cosineNearDupsPlan(scope, df, idCol, vecCol, dim,
+      threshold, planesPerTable, tables, maxBucket, seed))
+  }
+
+  /** Lazy plan form of [[cosineNearDups]] (see [[minhashNearDupsPlan]] for
+    * the contract). Construction runs no job — `dim` is caller-supplied,
+    * never probed from the data.
+    */
+  private[graft] def cosineNearDupsPlan(
+      scope: CacheScope,
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, planesPerTable: Int, tables: Int,
+      maxBucket: Int, seed: Long
+  ): DataFrame = {
     val planes = planeMatrix(dim, planesPerTable * tables, seed)
     val prepared = widen(df).select(col(idCol).as("id"), col(vecCol).as("vec"))
     // one foldable nested literal for the whole plane matrix: evaluated
@@ -336,7 +454,7 @@ object Dedup {
       .withColumn("__bits", bits)
       .select(col("id"), posexplode(buckets))
       .toDF("id", "table", "bucket")
-    val cands = boundedPairs(banded, "table", "bucket", maxBucket)
+    val cands = boundedPairs(scope, banded, "table", "bucket", maxBucket)
     val va = prepared.select(col("id").as("id_a"), col("vec").as("vec_a"))
     val vb = prepared.select(col("id").as("id_b"), col("vec").as("vec_b"))
     cands.join(va, "id_a").join(vb, "id_b")

@@ -7,13 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, batch-decoded per partition.
   *
-  * The decode itself is STUBBED (no image/audio libraries in this
-  * container): `decodeImageStub` derives deterministic fake dimensions from
-  * the payload bytes. Everything around it is the real Spark shape a
-  * production decode would use — a `mapPartitions` over an iterator of
-  * rows, so a native decoder (JNI/FFI) amortizes per-partition setup
-  * exactly as a Pandas-UDF batch would, the binary column never passes
-  * through a driver, and partition sizing controls decoder memory.
+  * PNG and JPEG payloads get a REAL header decode — width/height/channels
+  * live in fixed big-endian header fields, parseable in pure JVM code
+  * with no imaging library. Other formats fall back to
+  * `decodeImageStub`'s deterministic fake dimensions (full pixel decode
+  * needs codecs this container doesn't ship). Everything around the
+  * decode is the real Spark shape production uses — a `mapPartitions`
+  * over an iterator of rows, so a native decoder (JNI/FFI) amortizes
+  * per-partition setup exactly as a Pandas-UDF batch would, the binary
+  * column never passes through a driver, and partition sizing controls
+  * decoder memory.
   */
 object Multimodal {
 
@@ -40,6 +43,78 @@ object Multimodal {
       len)
   }
 
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private val pngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG header decode: the 8-byte signature is followed by the IHDR
+    * chunk (mandatory first chunk per the PNG spec), whose width/height
+    * are big-endian 32-bit at byte offsets 16/20; channels derive from
+    * the color type at offset 25 (0 gray, 2 RGB, 3 palette, 4 gray+alpha,
+    * 6 RGBA).
+    */
+  private[operators] def decodePng(b: Array[Byte]): Option[Row] = {
+    if (b.length < 26) return None
+    var i = 0
+    while (i < 8) { if (b(i) != pngSignature(i)) return None; i += 1 }
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some(Row(w.toInt, h.toInt, channels, b.length.toLong))
+  }
+
+  /** JPEG header decode: walk the FF-prefixed marker segments (each
+    * carries a big-endian length) to the first SOFn frame header, which
+    * holds precision(1), height(2), width(2), components(1). Stops at
+    * SOS/EOI — a frameless stream is not decodable.
+    */
+  private[operators] def decodeJpeg(b: Array[Byte]): Option[Row] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      var marker = b(i + 1) & 0xff
+      while (marker == 0xff && i + 2 < b.length) { i += 1; marker = b(i + 1) & 0xff }
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone marker, no payload
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return None // EOI / start-of-scan before any frame header
+      } else {
+        val segLen = be16(b, i + 2)
+        if (segLen < 2) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (i + 9 >= b.length) return None
+          val h = be16(b, i + 5)
+          val w = be16(b, i + 7)
+          val comps = b(i + 9) & 0xff
+          return if (w > 0 && h > 0) Some(Row(w, h, comps, b.length.toLong)) else None
+        }
+        i += 2 + segLen
+      }
+    }
+    None
+  }
+
+  /** Image metadata decode: real header parse for PNG/JPEG, deterministic
+    * stub for everything else.
+    */
+  def decodeImage(payload: Array[Byte]): Row =
+    decodePng(payload).orElse(decodeJpeg(payload))
+      .getOrElse(decodeImageStub(payload))
+
   /** Attach a binary payload column (here derived from text — in
     * production this is the raw image/audio bytes from parquet).
     */
@@ -60,7 +135,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition decoder setup would go here (amortized)
         rows.map { case (id, payload) =>
-          val m = decodeImageStub(payload)
+          val m = decodeImage(payload)
           (id, (m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3)))
         }
       }

@@ -105,12 +105,14 @@ object Similarity {
 
   /** Train IVF centroids: deterministic spherical k-means (farthest-point
     * init + Lloyd iterations on the unit sphere) over a bounded sample.
-    * No RNG anywhere — identical centroids on every run and cluster size.
-    * The sample collect is bounded by `maxSample` rows of one array
-    * column; the iterations are driver-side arithmetic on k x dim doubles
-    * (k and dim are model-sized, never data-sized). At real scale the
-    * sample would come from a hash-filtered scan; `limit` keeps the demo
-    * deterministic on the single-file test tables.
+    * No RNG anywhere — identical centroids on every run, cluster size,
+    * and physical layout: the sample is the `maxSample` vectors with the
+    * SMALLEST `xxhash64(vector)` values, a content-keyed distributed
+    * top-k (per-partition heaps + driver merge — never a
+    * single-partition funnel, and independent of partitioning or row
+    * order, unlike `limit()`). Driver transfer is bounded by `maxSample`
+    * rows of one array column; the Lloyd iterations are driver-side
+    * arithmetic on k x dim doubles (model-sized, never data-sized).
     */
   def trainCentroids(df: DataFrame, vecCol: String, k: Int,
       iters: Int = 5, maxSample: Int = 2000): Seq[(Int, Seq[Double])] = {
@@ -118,7 +120,10 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-    val sample: Array[Array[Double]] = df.select(col(vecCol)).limit(maxSample)
+    val sample: Array[Array[Double]] = df
+      .select(col(vecCol), xxhash64(col(vecCol)).as("__h"))
+      .orderBy(col("__h"))
+      .limit(maxSample)
       .collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble

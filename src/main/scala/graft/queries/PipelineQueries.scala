@@ -346,7 +346,7 @@ object PipelineQueries {
     QueryDef("q_dedup_cosine",
       (s, dir) => {
         Dedup.cosineNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.4)
+          dim = 64, threshold = 0.4)
           .select(col("id_a"), col("id_b"))
           .orderBy("id_a", "id_b")
       },

@@ -292,6 +292,28 @@ object RelationalQueries {
             col("n"))
           .orderBy("rf", "ls")
       },
-      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls"""))
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls""")),
+
+    // CSV source round-trip: write nation out as CSV, read it back via the
+    // explicit-schema FAILFAST reader, and aggregate. The DuckDB oracle
+    // computes the same aggregate from the original parquet — a hash match
+    // proves the CSV sink+source preserve every value and type.
+    QueryDef("q_csv_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val path = "/root/repo/target/tmp/q_csv_roundtrip"
+        graft.sources.Sources.writeCsv(Tables.nation(s, dir), path)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        graft.sources.Sources.csv(s, path, schema)
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n_nations"),
+            min("n_name").as("first_name"),
+            sum(col("n_nationkey").cast("long")).as("key_sum"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
   )
 }

@@ -21,4 +21,17 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** Release the executor blocks behind a `localCheckpoint`-ed Dataset.
+    * A checkpointed Dataset is a `LogicalRDD` over a persisted internal
+    * RDD; `Dataset.unpersist` does not reach it (it only touches the
+    * cacheManager), so iterative algorithms that checkpoint per iteration
+    * need this to free the previous iteration's blocks deterministically
+    * instead of waiting for the ContextCleaner's GC-driven release.
+    * The Dataset must not be used again afterwards (its lineage was cut).
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

@@ -47,6 +47,39 @@ class LshExpressionsSpec extends AnyFunSuite {
     assert(native == viaSql)
   }
 
+  test("MinHashFromHashes(xxhash64(sh)) == MinHashSignature(sh), bit for bit") {
+    val h = 32
+    val prepared = docs.select($"doc_id",
+      array_distinct(Dedup.shingles($"text")).as("sh"))
+    val fromStrings = prepared
+      .select($"doc_id", LshExpressions.minhashSignature($"sh", h).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    // Spark's default-seed xxhash64 of the shingle string IS the kernel's
+    // per-shingle base, so hashed shingles give identical signatures
+    val fromHashes = prepared
+      .select($"doc_id", LshExpressions.minhashFromHashes(
+        transform($"sh", s => xxhash64(s)), h).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(fromStrings == fromHashes)
+    assert(fromStrings.nonEmpty)
+  }
+
+  test("SortedIntersectCount == array_intersect size on sorted distinct arrays") {
+    val prepared = docs.select($"doc_id", Dedup.shingleHashes($"text").as("sh"))
+    val a = prepared.select($"doc_id".as("id_a"), $"sh".as("sa")).filter($"id_a" < 40)
+    val b = prepared.select($"doc_id".as("id_b"), $"sh".as("sb")).filter($"id_b" < 40)
+    val pairs = a.crossJoin(b).filter($"id_a" < $"id_b")
+    val rows = pairs.select($"id_a", $"id_b",
+      LshExpressions.sortedIntersectCount($"sa", $"sb").as("native"),
+      size(array_intersect($"sa", $"sb")).as("builtin"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) == r.getInt(3),
+        s"(${r.getLong(0)},${r.getLong(1)}): native ${r.getInt(2)} != builtin ${r.getInt(3)}")
+    }
+  }
+
   test("null inputs yield null; codegen stage active") {
     val df = Seq((1L, Some(Seq("a b c", "b c d"))), (2L, None))
       .toDF("id", "sh")

@@ -94,6 +94,11 @@ class OperatorsSpec extends AnyFunSuite {
     // training is deterministic: second run yields identical centroids
     val again = Similarity.trainCentroids(emb, "embedding", k = 8)
     assert(cents == again, "k-means training must be deterministic")
+    // ... and layout-independent: the content-keyed hash sample sees the
+    // same vectors whatever the partitioning or row order
+    val relaid = Similarity.trainCentroids(
+      emb.repartition(7, $"vec_id"), "embedding", k = 8)
+    assert(cents == relaid, "centroids must not depend on physical layout")
   }
 
   test("IVF partitioned layout prunes non-probed cells at the file level") {
@@ -167,7 +172,7 @@ class OperatorsSpec extends AnyFunSuite {
       .filter($"c" >= 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "test vacuous: no near-dup pairs in sample")
-    val lsh = Dedup.cosineNearDups(emb, "vec_id", "embedding",
+    val lsh = Dedup.cosineNearDups(emb, "vec_id", "embedding", dim = 64,
       threshold = 0.4, planesPerTable = 4, tables = 16)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact), "LSH reported a pair below threshold")
@@ -257,6 +262,45 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[String]("text"), r.getAs[Long]("keep_id"),
         r.getAs[Long]("n_copies"))).toSet
     assert(got == Set(("aa bb", 1L, 2L), ("cc dd", 2L, 1L)))
+  }
+
+  test("multimodal: real PNG header decode (pure-JVM byte parsing)") {
+    // a real, complete 1x1 RGBA PNG (the canonical minimal transparent png)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val m = Multimodal.decodeImage(png)
+    assert(m.getInt(0) == 1 && m.getInt(1) == 1, s"wrong dims: $m")
+    assert(m.getInt(2) == 4, "color type 6 (RGBA) must decode as 4 channels")
+    assert(m.getLong(3) == png.length.toLong)
+    // a hand-built 640x480 RGB header (decode needs only the IHDR chunk)
+    val hdr = java.nio.ByteBuffer.allocate(32)
+    hdr.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    hdr.putInt(13).put("IHDR".getBytes).putInt(640).putInt(480)
+      .put(8.toByte).put(2.toByte)
+    val m2 = Multimodal.decodeImage(hdr.array())
+    assert(m2.getInt(0) == 640 && m2.getInt(1) == 480 && m2.getInt(2) == 3)
+    // end-to-end through the distributed decode
+    val df = Seq((7L, png)).toDF("id", "payload")
+    val meta = Multimodal.decodeImages(df, "id", "payload")
+      .select($"meta.width", $"meta.height", $"meta.channels").collect()(0)
+    assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) == ((1, 1, 4)))
+  }
+
+  test("multimodal: real JPEG header decode walks the marker stream") {
+    // minimal marker stream: SOI, APP0 (JFIF), then SOF0 with 480x640x3
+    val buf = java.nio.ByteBuffer.allocate(64)
+    buf.put(0xff.toByte).put(0xd8.toByte) // SOI
+    buf.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16
+      .put("JFIF".getBytes).put(new Array[Byte](10))
+    buf.put(0xff.toByte).put(0xc0.toByte).putShort(17) // SOF0, len 17
+      .put(8.toByte).putShort(480).putShort(640).put(3.toByte)
+    val m = Multimodal.decodeImage(buf.array())
+    assert(m.getInt(0) == 640 && m.getInt(1) == 480 && m.getInt(2) == 3,
+      s"wrong jpeg decode: $m")
+    // a frameless stream (EOI right after SOI) falls back to the stub
+    val bad = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    val fb = Multimodal.decodeImage(bad)
+    assert(fb.getInt(2) == 3 && fb.getLong(3) == 4L) // stub shape
   }
 
   test("multimodal: frame sample plan explodes the expected frame indices") {

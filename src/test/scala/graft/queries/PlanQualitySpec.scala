@@ -62,6 +62,35 @@ class PlanQualitySpec extends AnyFunSuite {
       }
   }
 
+  test("dedup family: lazy plans carry no scale red flags") {
+    // the public pipelines checkpoint their results (the executed plan a
+    // consumer sees is a LogicalRDD scan), so the gate audits the lazy
+    // *Plan builders — the actual dataflow that runs at scale. A refactor
+    // reintroducing an uncapped self-join would surface as a cartesian /
+    // nested-loop join or a single-partition exchange here.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val scope = new graft.operators.Dedup.CacheScope
+    try {
+      val plans = Seq(
+        "minhash" -> graft.operators.Dedup.minhashNearDupsPlan(scope, docs,
+          "doc_id", "text", 0.5, 8, 4, 3, 64),
+        "ngram" -> graft.operators.Dedup.minhashNearDupsPlan(scope, docs,
+          "doc_id", "text", 0.3, 16, 2, 3, 64),
+        "simhash" -> graft.operators.Dedup.simhashCandidatesPlan(scope, docs,
+          "doc_id", "text", 64),
+        "cosine" -> graft.operators.Dedup.cosineNearDupsPlan(scope, emb,
+          "vec_id", "embedding", 64, 0.4, 4, 8, 256, 42L))
+      plans.foreach { case (n, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian product")
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
+        assert(!plan.contains("Exchange SinglePartition"),
+          s"$n funnels through a single partition")
+      }
+    } finally scope.release()
+  }
+
   test("co-grouped groupby keeps the pruned parquet scan (no RDD fallback)") {
     // the common case — key co-grouped with the reduced pred — must scan
     // parquet with only the needed columns: positional-label

@@ -268,9 +268,14 @@ object PipelineQueries {
     // order — the n/(k+1) presence guarantee is spec-verified; rows-only)
     QueryDef("q_text_topterms",
       (s, dir) => {
+        // lang is projected in its own select BELOW the explode: fused into
+        // one select, ExtractGenerator would hoist the (expensive, ~15
+        // string scans) langId CASE into the Project ABOVE Generate and
+        // evaluate it once per TOKEN instead of once per document
         Tables.documents(s, dir)
           .select(TextAnalysis.langId(col("text")).as("lang"),
-            explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+            TextAnalysis.tokens(lower(col("text"))).as("toks"))
+          .select(col("lang"), explode(col("toks")).as("tok"))
           .filter(length(col("tok")) > 3)
           .groupBy("lang")
           .agg(graft.functions.Aggregators.heavyHitters(col("tok"), 10).as("top"))

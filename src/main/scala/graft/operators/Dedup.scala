@@ -290,9 +290,18 @@ object Dedup {
     *
     * Returns (id, rep): every endpoint id with its cluster's minimum id.
     * The result is checkpoint-materialized; release with [[free]].
+    *
+    * `checkpointDir`: when set, iterations use RELIABLE checkpoints into
+    * that directory instead of executor-local ones — the posture for
+    * multi-hour production runs where losing an executor mid-algorithm
+    * must not restart the whole propagation. Same plan shape either way.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     // both directions from ONE evaluation of the (potentially expensive
     // LSH) pairs plan — a union of two projections would compute it twice
     val edges = pairs.select(explode(array(
@@ -300,9 +309,8 @@ object Dedup {
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
-      .localCheckpoint(eager = true)
+    var labels = snap(edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -312,11 +320,10 @@ object Dedup {
         .agg(min("nrep").as("nmin"))
       // carry the previous rep through the update so the convergence
       // check is a filter over the checkpointed frame, not another join
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val updated = snap(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
-          col("rep").as("__old"))
-        .localCheckpoint(eager = true)
+          col("rep").as("__old")))
       val changed = updated.filter(col("rep") =!= col("__old")).count()
       Bridge.unpersistCheckpoint(labels)
       labels = updated.drop("__old")

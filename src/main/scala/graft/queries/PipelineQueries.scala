@@ -170,6 +170,30 @@ object PipelineQueries {
       },
       Some(qualityOracle)),
 
+    // TF-IDF-style salient-term mining: per-document term frequency joined
+    // with corpus document frequency, each document reporting its most
+    // frequent / most selective term. Two map-side-combinable aggregations
+    // plus one term-keyed shuffle join; the per-doc winner is a bounded
+    // window (partitioned by doc — never a global sort). Integer-only
+    // output keeps the oracle engine-exact (no cross-engine ln()).
+    QueryDef("q_text_tfidf",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+          .filter(length(col("tok")) > 3)
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+        tf.join(dfreq, "tok")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "tok", "tf", "df")
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok FROM documents) WHERE LENGTH(tok) > 3), tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2), df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1) SELECT doc_id, tok, tf, df FROM (SELECT tf.doc_id, tf.tok, tf.tf, df.df, row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS rn FROM tf JOIN df USING (tok)) WHERE rn = 1 ORDER BY doc_id""")),
+
     // end-to-end pipeline composition: quality filter -> exact dedup ->
     // per-language stats. The whole chain stays one lazy plan: the
     // quality predicates evaluate inside the scan stage, dedup is one

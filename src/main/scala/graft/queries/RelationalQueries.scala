@@ -314,6 +314,31 @@ object RelationalQueries {
             sum(col("n_nationkey").cast("long")).as("key_sum"))
           .orderBy("n_regionkey")
       },
-      Some("""SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+      Some("""SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // JSON source round-trip (the ndjson mirror of q_csv_roundtrip):
+    // supplier — including a double column — out to newline-delimited
+    // JSON, back through the explicit-schema FAILFAST reader, aggregated;
+    // oracle computes the same from the original parquet. Doubles survive
+    // because Spark writes shortest-round-trip representations, and the
+    // aggregate goes through the decimal-exact sum.
+    QueryDef("q_json_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val path = "/root/repo/target/tmp/q_json_roundtrip"
+        graft.sources.Sources.writeJson(Tables.supplier(s, dir), path)
+        val schema = StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", StringType),
+          StructField("s_nationkey", IntegerType),
+          StructField("s_acctbal", DoubleType)))
+        graft.sources.Sources.json(s, path, schema)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_supp"),
+            min("s_name").as("first_name"),
+            dsum(col("s_acctbal")).as("acctbal_sum"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""SELECT s_nationkey, COUNT(*) AS n_supp, MIN(s_name) AS first_name, ${dsumSql("s_acctbal")} AS acctbal_sum FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
   )
 }

@@ -87,6 +87,24 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Exact streaming dedup on key columns within the watermark horizon:
+    * the built-in `dropDuplicatesWithinWatermark` keeps one row per key
+    * and drops duplicates arriving within the watermark delay; a key's
+    * state is evicted once the event-time watermark passes it, so state
+    * is bounded by the keys ACTIVE inside the horizon, never the stream
+    * history — the streaming mirror of `Dedup.exact` for at-scale
+    * ingestion (duplicate deliveries cluster in time; an unbounded-state
+    * plain `dropDuplicates` would OOM on an infinite stream). Spark
+    * rejects the operator on batch frames outright, so the batch path
+    * dispatches to its batch-equivalent `dropDuplicates` (one surviving
+    * row per key — the same contract a finite input observes).
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   /** Input/output records for the custom-state operator. */
   final case class EvIn(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String)

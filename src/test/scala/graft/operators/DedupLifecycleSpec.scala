@@ -89,6 +89,14 @@ class DedupLifecycleSpec extends AnyFunSuite {
     assert(got == (0L to 15L).map(_ -> 0L).toMap)
   }
 
+  test("clusters with a reliable checkpoint dir yields identical labels") {
+    val pairs = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, maxIter = 15,
+      checkpointDir = Some("/root/repo/target/tmp/clusters_ckpt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 10L).map(_ -> 0L).toMap)
+  }
+
   test("lazy *Plan builders run no job at construction") {
     // resolve the input readers first: spark.read.parquet itself runs a
     // footer-reading job, which is input setup, not plan construction

@@ -48,6 +48,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0, "test vacuous: no click/purchase pairs in window")
   }
 
+  test("dropDuplicatesWithinWatermark: streaming dedup matches exact key set") {
+    import org.apache.spark.sql.functions._
+    // duplicate every event (union with itself): the stream must emit one
+    // row per event_id; which physical duplicate survives is unspecified,
+    // so the assertion is on the key set, not exemplar rows
+    val stream = EventStreams.readStream(spark, dir)
+    val doubled = stream.union(stream)
+    val got = EventStreams.runToBatch(
+      EventStreams.dedupWithinWatermark(doubled, Seq("event_id")),
+      "dedup_ww_out", outputMode = "append")
+    val batch = Tables.events(spark, dir)
+    val wantKeys = batch.select("event_id").distinct().count()
+    assert(got.count() == wantKeys, "streaming dedup emitted duplicates or dropped keys")
+    assert(got.select("event_id").distinct().count() == wantKeys)
+    // batch execution of the same function reduces to plain dropDuplicates
+    val gotBatch = EventStreams.dedupWithinWatermark(
+      batch.union(batch), Seq("event_id"))
+    assert(gotBatch.count() == wantKeys)
+  }
+
   test("stateful first-per-key dedup: streaming == batch == naive") {
     val stream = EventStreams.readStream(spark, dir)
     val got = EventStreams.runToBatch(

@@ -33,6 +33,25 @@ object TextAnalysis {
   def occurrences(text: Column, marker: String): Column =
     (length(text) - length(replace(text, lit(marker), lit("")))) / marker.length
 
+  /** Regexes shared by the scrub operator and its oracle — deliberately
+    * restricted to syntax with identical semantics in Java regex (Spark)
+    * and RE2 (DuckDB): character classes, bounded repetition, alternation.
+    */
+  val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRegex = "https?://[^ \\t\\n]+"
+
+  /** PII/boilerplate scrubbing: redact emails and URLs with typed
+    * placeholders. A narrow codegen'd map — the shape of every
+    * regex-scrub pass (phone numbers, ids, ...) a training-data pipeline
+    * stacks on top.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, urlRegex, "<URL>"),
+      emailRegex, "<EMAIL>")
+
+  /** Count of email-shaped substrings (non-overlapping). */
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailRegex))
+
   /** Language-ID by stopword-marker scoring over a fixed marker table.
     * N-gram-heuristic style: argmax over per-language marker hit counts,
     * deterministic tie-break by language code order.

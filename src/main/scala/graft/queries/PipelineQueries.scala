@@ -170,6 +170,42 @@ object PipelineQueries {
       },
       Some(qualityOracle)),
 
+    // PII scrubbing: inject a deterministic email + URL into a subset of
+    // docs (the synthetic corpus has none), redact them, and report the
+    // redaction counts and scrubbed length. Both the injection and the
+    // scrub run in each engine — a hash match proves the regex semantics
+    // (Java regex vs RE2) agree on this dialect subset.
+    QueryDef("q_text_scrub",
+      (s, dir) => {
+        val injected = Tables.documents(s, dir)
+          .withColumn("t2",
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" contact user"), col("doc_id"),
+                lit("@example.com or https://example.com/d/"), col("doc_id")))
+              .otherwise(col("text")))
+        injected.select(col("doc_id"),
+          TextAnalysis.emailCount(col("t2")).cast("long").as("n_emails"),
+          length(TextAnalysis.scrubPii(col("t2"))).cast("long").as("clean_len"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id || '@example.com or https://example.com/d/' || doc_id ELSE text END AS t2 FROM documents) SELECT doc_id, CAST(LEN(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(LENGTH(regexp_replace(regexp_replace(t2, 'https?://[^ \t\n]+', '<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS BIGINT) AS clean_len FROM inj ORDER BY doc_id""")),
+
+    // sequence-length bucketing for training batches: integer-division
+    // buckets of 64 tokens (exact in every engine — no float log2), with
+    // per-bucket doc and token totals. The narrow bucket projection
+    // evaluates in the scan stage; one map-side-combinable aggregation.
+    QueryDef("q_doc_length_buckets",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("bucket", expr("n_tokens div 64"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_total"))
+          .orderBy("bucket")
+      },
+      Some(raw"""WITH t AS (SELECT doc_id, CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens FROM documents) SELECT n_tokens // 64 AS bucket, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens_total FROM t GROUP BY 1 ORDER BY 1""")),
+
     // TF-IDF-style salient-term mining: per-document term frequency joined
     // with corpus document frequency, each document reporting its most
     // frequent / most selective term. Two map-side-combinable aggregations

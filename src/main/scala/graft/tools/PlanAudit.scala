@@ -26,9 +26,29 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qs = graft.SparkEntry.queries
+    // The public dedup pipelines checkpoint their results (their executed
+    // plan is just a LogicalRDD scan), so the audit substitutes the lazy
+    // *Plan builders — the dataflow that actually runs at scale.
+    def lazyDedup(n: String): Option[org.apache.spark.sql.DataFrame] = {
+      import graft.operators.Dedup
+      lazy val scope = new Dedup.CacheScope
+      lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      n match {
+        case "q_dedup_minhash" => Some(Dedup.minhashNearDupsPlan(
+          scope, docs, "doc_id", "text", 0.5, 8, 4, 3, 64))
+        case "q_dedup_ngram" => Some(Dedup.minhashNearDupsPlan(
+          scope, docs, "doc_id", "text", 0.3, 16, 2, 3, 64))
+        case "q_dedup_simhash" => Some(Dedup.simhashCandidatesPlan(
+          scope, docs, "doc_id", "text", 64))
+        case "q_dedup_cosine" => Some(Dedup.cosineNearDupsPlan(
+          scope, emb, "vec_id", "embedding", 64, 0.4, 4, 8, 256, 42L))
+        case _ => None
+      }
+    }
     names.foreach { n =>
       println(s"\n==================== $n ====================")
-      val df = qs(n)(spark, sfDir)
+      val df = lazyDedup(n).getOrElse(qs(n)(spark, sfDir))
       val plan = df.queryExecution.executedPlan.toString
       df.explain("formatted")
       val flags = Seq(

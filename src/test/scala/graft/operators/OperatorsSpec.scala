@@ -264,6 +264,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set(("aa bb", 1L, 2L), ("cc dd", 2L, 1L)))
   }
 
+  test("scrubPii redacts emails and URLs, leaves clean text untouched") {
+    val df = Seq(
+      (1L, "write to alice.smith+x@sub.example.org today"),
+      (2L, "see https://example.com/a?b=1 and http://x.io/p"),
+      (3L, "no pii here at all")
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.scrubPii($"text").as("t"),
+      TextAnalysis.emailCount($"text").cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("write to <EMAIL> today", 1L)))
+    assert(got(2L) == (("see <URL> and <URL>", 0L)))
+    assert(got(3L) == (("no pii here at all", 0L)))
+  }
+
   test("multimodal: real PNG header decode (pure-JVM byte parsing)") {
     // a real, complete 1x1 RGBA PNG (the canonical minimal transparent png)
     val png = java.util.Base64.getDecoder.decode(

@@ -37,7 +37,11 @@ object GraftFunctions {
         MinHashFromHashes(args(0), intArg(args(1), "graft_minhash_hashed"))),
     ("graft_sorted_intersect",
       "intersection size of two sorted duplicate-free array<long> columns",
-      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    ("graft_heavy_hitters",
+      "Misra-Gries top-k frequent strings (array<struct<term,n>>, lower-bound counts)",
+      (args: Seq[Expression]) =>
+        Aggregators.HeavyHittersAgg(args(0), intArg(args(1), "graft_heavy_hitters"))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, usage, builder) =>

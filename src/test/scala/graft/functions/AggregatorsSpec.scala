@@ -52,5 +52,14 @@ class AggregatorsSpec extends AnyFunSuite {
     val sh = spark.sql(
       "SELECT graft_simhash(array(1L, 2L, 3L)) AS s").collect()(0)
     assert(!sh.isNullAt(0))
+    // the native aggregate is callable from SQL too
+    val hh = spark.sql(
+      "SELECT graft_heavy_hitters(w, 2) AS top FROM VALUES ('a'),('a'),('b'),('a') t(w)")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.head.getString(0) == "a" && hh.head.getLong(1) >= 2L)
+    val si = spark.sql(
+      "SELECT graft_sorted_intersect(array(1L,3L,5L), array(3L,4L,5L)) AS n")
+      .collect()(0).getInt(0)
+    assert(si == 2)
   }
 }

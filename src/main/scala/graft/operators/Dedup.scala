@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.storage.StorageLevel
@@ -172,15 +173,18 @@ object Dedup {
       scope: CacheScope,
       banded0: DataFrame, bandCol: String, bucketCol: String, maxBucket: Int
   ): DataFrame = {
-    // the banded frame feeds the stats agg and the stats join; the joined
-    // frame feeds both self-join sides and the big-bucket star pairs:
-    // persist both so the signature pipeline and the bucket-stats join
-    // each run exactly once
-    val banded = scope.persist(banded0)
+    // bucket stats (size, min id) via a KEYED window over (band, bucket):
+    // one shuffle of the banded frame computes and attaches both in a
+    // single pass — a groupBy-stats-then-join-back formulation would scan
+    // and shuffle the banded frame twice. The window is partitioned by
+    // the bucket key (bounded groups), never a global sort. The annotated
+    // frame feeds both self-join sides and the star-pair branch: persist
+    // so the signature pipeline runs exactly once.
     val keys = Seq(bandCol, bucketCol)
-    val stats = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n"), min(col("id")).as("__minid"))
-    val withN = scope.persist(banded.join(stats, keys))
+    val statsWindow = Window.partitionBy(keys.map(col): _*)
+    val withN = scope.persist(banded0
+      .withColumn("__n", count(lit(1)).over(statsWindow))
+      .withColumn("__minid", min(col("id")).over(statsWindow)))
     val small = withN.filter(col("__n") <= maxBucket)
     val a = small.select(col(bandCol), col(bucketCol), col("id").as("id_a"))
     val b = small.select(col(bandCol), col(bucketCol), col("id").as("id_b"))

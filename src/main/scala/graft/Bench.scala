@@ -39,23 +39,28 @@ object Bench {
     // is cache-isolated so no rep reuses a previous rep's persisted data.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.defs.map { d =>
-      var ok = true
-      val times = (1 to reps).map { _ =>
+      val runs = (1 to reps).map { _ =>
         // each run is billed standalone: no cross-query/rep cache reuse.
         // Checkpoint-backed results (the dedup pipelines) live as persisted
         // RDDs outside the cacheManager — drop those blocks too.
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         val t0 = System.nanoTime()
-        try d.fn(spark, sfDir).count()
-        catch {
-          case t: Throwable =>
-            System.err.println(s"[bench] FAILED ${d.name}: ${t.getMessage}")
-            ok = false
-        }
-        (System.nanoTime() - t0) / 1e9
+        val repOk =
+          try { d.fn(spark, sfDir).count(); true }
+          catch {
+            case t: Throwable =>
+              System.err.println(s"[bench] FAILED ${d.name}: ${t.getMessage}")
+              false
+          }
+        ((System.nanoTime() - t0) / 1e9, repOk)
       }
-      val sec = times.min
+      // a rep's time is only a measurement when the rep SUCCEEDED — a
+      // fast crash must not undercut a valid slow run; a query counts as
+      // ok when every rep succeeded (a flaky query is a failure signal)
+      val okTimes = runs.collect { case (t, true) => t }
+      val ok = okTimes.length == reps
+      val sec = if (okTimes.nonEmpty) okTimes.min else runs.map(_._1).min
       System.err.println(f"[bench] ${d.name}%-22s $sec%8.2fs  (min of $reps)${if (ok) "" else "  FAILED"}")
       (d.name, sec, ok)
     }

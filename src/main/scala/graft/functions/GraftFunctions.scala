@@ -36,7 +36,9 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         MinHashFromHashes(args(0), intArg(args(1), "graft_minhash_hashed"))),
     ("graft_sorted_intersect",
-      "intersection size of two sorted duplicate-free array<long> columns",
+      "intersection size of two array<long> columns that MUST be sorted " +
+        "ascending and duplicate-free (use sort_array(array_distinct(x))); " +
+        "unsorted input undercounts silently",
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
     ("graft_heavy_hitters",
       "Misra-Gries top-k frequent strings (array<struct<term,n>>, lower-bound counts)",

@@ -151,10 +151,12 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
 /** Intersection size of two SORTED `array<long>` columns: a single
   * O(n+m) merge pass over the unsafe arrays — no per-row hash-set build,
   * no boxing (`array_intersect` allocates and hashes per invocation).
-  * Inputs must be sorted ascending and duplicate-free (the prepared
-  * shingle-hash arrays are `sort_array(array_distinct(...))` by
-  * construction); the exact-Jaccard verify over candidate pairs is the
-  * hot consumer.
+  * CONTRACT: inputs must be sorted ascending and duplicate-free (e.g.
+  * `sort_array(array_distinct(...))`, as the prepared shingle-hash
+  * arrays are by construction) — an unsorted input silently undercounts,
+  * exactly like any merge-join fed unsorted runs. Null ELEMENTS are
+  * skipped (treated as absent); a null array yields null. The
+  * exact-Jaccard verify over candidate pairs is the hot consumer.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -175,10 +177,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val (na, nb) = (a.numElements(), b.numElements())
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -193,11 +199,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $nb = $r.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $na && $j < $nb) {
-         |  long $x = $l.getLong($i);
-         |  long $y = $r.getLong($j);
-         |  if ($x == $y) { $c++; $i++; $j++; }
-         |  else if ($x < $y) { $i++; }
-         |  else { $j++; }
+         |  if ($l.isNullAt($i)) { $i++; }
+         |  else if ($r.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $x = $l.getLong($i);
+         |    long $y = $r.getLong($j);
+         |    if ($x == $y) { $c++; $i++; $j++; }
+         |    else if ($x < $y) { $i++; }
+         |    else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -61,11 +61,10 @@ object Dedup {
       handles += df
       df.persist(StorageLevel.MEMORY_AND_DISK)
     }
-    def sealResult(result: DataFrame): DataFrame = {
-      val out = result.localCheckpoint(eager = true)
-      release()
-      out
-    }
+    def sealResult(result: DataFrame): DataFrame =
+      // release in finally: a failed materialization (task OOM, corrupt
+      // input) must not strand the already-cached intermediates
+      try result.localCheckpoint(eager = true) finally release()
     /** Unpersist every tracked intermediate without materializing anything
       * (for callers of the lazy `*Plan` builders managing their own
       * terminal action).
@@ -299,13 +298,35 @@ object Dedup {
     * that directory instead of executor-local ones — the posture for
     * multi-hour production runs where losing an executor mid-algorithm
     * must not restart the whole propagation. Same plan shape either way.
+    * Superseded iteration snapshots are deleted from the directory as the
+    * algorithm advances; the FINAL labels snapshot stays (it backs the
+    * returned frame — remove it with the directory when done). The
+    * session's previous checkpoint directory is restored on exit.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 10, checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val sc = pairs.sparkSession.sparkContext
+    // setCheckpointDir is session-global: remember and restore any
+    // previous directory so other checkpoint users are not repointed.
+    // (If none was set before, ours remains — the API cannot unset it.)
+    val prevCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
+    // release a superseded iteration snapshot: executor blocks for local
+    // checkpoints, the snapshot FILES for reliable ones (rdd.unpersist is
+    // a no-op there and the cleaner's cleanCheckpoints is off by default,
+    // so without explicit deletion disk grows by |labels| per iteration)
+    def releaseSnap(df: DataFrame): Unit =
+      if (checkpointDir.isDefined) {
+        Bridge.checkpointFiles(df).foreach { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+          } catch { case _: Exception => () }
+        }
+      } else Bridge.unpersistCheckpoint(df)
     // both directions from ONE evaluation of the (potentially expensive
     // LSH) pairs plan — a union of two projections would compute it twice
     val edges = pairs.select(explode(array(
@@ -313,35 +334,48 @@ object Dedup {
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = snap(edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")))
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("nrep").as("nmin"))
-      // carry the previous rep through the update so the convergence
-      // check is a filter over the checkpointed frame, not another join
-      val updated = snap(labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
-          col("rep").as("__old")))
-      val changed = updated.filter(col("rep") =!= col("__old")).count()
-      Bridge.unpersistCheckpoint(labels)
-      labels = updated.drop("__old")
-      converged = changed == 0
-      it += 1
+    var labels: DataFrame = null
+    try {
+      labels = snap(edges.select(col("src").as("id")).distinct()
+        .withColumn("rep", col("id")))
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIter) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min("nrep").as("nmin"))
+        // carry the previous rep through the update so the convergence
+        // check is a filter over the checkpointed frame, not another join
+        val updated = snap(labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
+            col("rep").as("__old")))
+        val changed = updated.filter(col("rep") =!= col("__old")).count()
+        releaseSnap(labels)
+        labels = updated.drop("__old")
+        converged = changed == 0
+        it += 1
+      }
+      if (!converged) {
+        releaseSnap(labels)
+        throw new IllegalStateException(
+          s"duplicate clustering did not converge in $maxIter iterations " +
+            "(component diameter exceeds maxIter); raise maxIter")
+      }
+      labels
+    } catch {
+      // a failed iteration must not strand the current snapshot (the
+      // edges unpersist and dir restore run in the finally below)
+      case e: Throwable =>
+        if (labels != null &&
+            !e.isInstanceOf[IllegalStateException]) releaseSnap(labels)
+        throw e
+    } finally {
+      edges.unpersist()
+      prevCheckpointDir.foreach(d =>
+        if (checkpointDir.isDefined) sc.setCheckpointDir(d))
     }
-    edges.unpersist()
-    if (!converged) {
-      Bridge.unpersistCheckpoint(labels)
-      throw new IllegalStateException(
-        s"duplicate clustering did not converge in $maxIter iterations " +
-          "(component diameter exceeds maxIter); raise maxIter")
-    }
-    labels
   }
 
   /** Seeded xxhash64 of each whitespace token — the once-per-row input to

@@ -86,6 +86,9 @@ object Multimodal {
       if ((b(i) & 0xff) != 0xff) return None
       var marker = b(i + 1) & 0xff
       while (marker == 0xff && i + 2 < b.length) { i += 1; marker = b(i + 1) & 0xff }
+      // the fill-byte skip can advance i to the array tail: re-check that
+      // a full marker + length field remains before indexing into it
+      if (marker == 0xff || i + 3 >= b.length) return None
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
         i += 2 // standalone marker, no payload
       } else if (marker == 0xd9 || marker == 0xda) {

@@ -301,7 +301,10 @@ object RelationalQueries {
     QueryDef("q_csv_roundtrip",
       (s, dir) => {
         import org.apache.spark.sql.types._
-        val path = "/root/repo/target/tmp/q_csv_roundtrip"
+        // sink path is derived from the scale-factor dir, so drivers
+        // running at different SFs never clobber each other's round-trip
+        val path = "/root/repo/target/tmp/q_csv_roundtrip_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
         graft.sources.Sources.writeCsv(Tables.nation(s, dir), path)
         val schema = StructType(Seq(
           StructField("n_nationkey", IntegerType),
@@ -325,7 +328,8 @@ object RelationalQueries {
     QueryDef("q_json_roundtrip",
       (s, dir) => {
         import org.apache.spark.sql.types._
-        val path = "/root/repo/target/tmp/q_json_roundtrip"
+        val path = "/root/repo/target/tmp/q_json_roundtrip_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
         graft.sources.Sources.writeJson(Tables.supplier(s, dir), path)
         val schema = StructType(Seq(
           StructField("s_suppkey", LongType),

@@ -34,4 +34,13 @@ object Bridge {
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** The reliable-checkpoint file paths (if any) behind a `checkpoint`-ed
+    * Dataset — `unpersistCheckpoint` cannot release those (the data lives
+    * in files, not blocks); callers delete them explicitly.
+    */
+  def checkpointFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
+    }.flatten
 }

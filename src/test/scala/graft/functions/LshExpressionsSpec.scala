@@ -78,6 +78,12 @@ class LshExpressionsSpec extends AnyFunSuite {
       assert(r.getInt(2) == r.getInt(3),
         s"(${r.getLong(0)},${r.getLong(1)}): native ${r.getInt(2)} != builtin ${r.getInt(3)}")
     }
+    // null elements are skipped (sort_array places them first)
+    graft.functions.GraftFunctions.register(spark)
+    val withNulls = spark.sql(
+      "SELECT graft_sorted_intersect(array(CAST(NULL AS LONG), 1L, 5L), " +
+        "array(1L, 5L, 9L)) AS n")
+    assert(withNulls.collect()(0).getInt(0) == 2)
   }
 
   test("null inputs yield null; codegen stage active") {

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.SparkTestSession
 
@@ -89,12 +90,38 @@ class DedupLifecycleSpec extends AnyFunSuite {
     assert(got == (0L to 15L).map(_ -> 0L).toMap)
   }
 
-  test("clusters with a reliable checkpoint dir yields identical labels") {
+  test("clusters with a reliable checkpoint dir yields identical labels " +
+      "and deletes superseded snapshots") {
+    val ckptDir = "/root/repo/target/tmp/clusters_ckpt"
+    val dirFile = new java.io.File(ckptDir)
+    def rddDirs(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (!f.exists) Seq.empty
+        else Option(f.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+          .flatMap(c => c +: walk(c))
+      walk(dirFile).count(f => f.isDirectory && f.getName.startsWith("rdd-"))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dirFile)
     val pairs = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = Dedup.clusters(pairs, maxIter = 15,
-      checkpointDir = Some("/root/repo/target/tmp/clusters_ckpt"))
+      checkpointDir = Some(ckptDir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 10L).map(_ -> 0L).toMap)
+    // ~11 iterations ran; only the FINAL labels snapshot may remain
+    assert(rddDirs() <= 1,
+      s"reliable-mode iteration snapshots leaked: ${rddDirs()} rdd dirs")
+  }
+
+  test("a failing pipeline releases its intermediates (seal in finally)") {
+    clearAll()
+    val poisoned = docs.withColumn("text",
+      when(col("doc_id") >= 0, raise_error(lit("boom")))
+        .otherwise(col("text")))
+    intercept[Exception] {
+      Dedup.minhashNearDups(poisoned, "doc_id", "text", 0.5)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "failed pipeline stranded cached plans")
   }
 
   test("lazy *Plan builders run no job at construction") {

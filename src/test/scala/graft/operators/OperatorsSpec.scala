@@ -315,6 +315,12 @@ class OperatorsSpec extends AnyFunSuite {
     val bad = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
     val fb = Multimodal.decodeImage(bad)
     assert(fb.getInt(2) == 3 && fb.getLong(3) == 4L) // stub shape
+    // truncated fill-byte run: must fall back, never throw (a malformed
+    // payload must not kill a decode task)
+    val fill = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+    assert(Multimodal.decodeImage(fill).getLong(3) == 6L)
+    val truncSof = Array(0xff, 0xd8, 0xff, 0xc0, 0x00).map(_.toByte)
+    assert(Multimodal.decodeImage(truncSof).getLong(3) == 5L)
   }
 
   test("multimodal: frame sample plan explodes the expected frame indices") {

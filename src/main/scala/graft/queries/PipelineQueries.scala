@@ -102,6 +102,20 @@ object PipelineQueries {
       },
       Some("""SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id FROM events c JOIN events p ON c.event_type = 'click' AND p.event_type = 'purchase' AND c.user_id = p.user_id AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts ORDER BY click_id, purchase_id""")),
 
+    // bounded-state dedup (batch execution of the streaming operator):
+    // double every event, dedup on event_id — duplicates are identical
+    // rows, so the surviving exemplar is deterministic and oracle-able
+    QueryDef("q_events_dedup",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type")
+        graft.streaming.EventStreams
+          .dedupWithinWatermark(ev.union(ev), Seq("event_id"))
+          .select("event_id", "user_id", "event_type")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events ORDER BY event_id""")),
+
     // JSON property extraction
     QueryDef("q_events_json",
       (s, dir) => {

@@ -238,17 +238,51 @@ object Dedup {
     * the caller owns releasing the scope's intermediates after its
     * terminal action. The public [[minhashNearDups]] wraps this with
     * seal-and-release.
+    *
+    * `rescanVerify` trades one extra pass over the raw input for a
+    * corpus-size cache-footprint reduction: the default persists
+    * (id, shingle hashes, signature) — shingle arrays are the bulk of a
+    * document's footprint, so the cached frame is corpus-scale. With
+    * `rescanVerify` only (id, signature) is persisted (h x 8 bytes per
+    * doc) and shingle hashes are re-derived from a second scan SEMI-JOINED
+    * to the candidate ids — a small fraction of the corpus after banding.
+    * At 100 TB the rescan variant is the one that fits in cluster memory;
+    * at test scale the single-scan default is faster. Identical output.
     */
   private[graft] def minhashNearDupsPlan(
       scope: CacheScope,
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      bands: Int, rows: Int, k: Int, maxBucket: Int
+      bands: Int, rows: Int, k: Int, maxBucket: Int,
+      rescanVerify: Boolean = false
   ): DataFrame = {
-    val prepared = minhashPrepared(scope, df, idCol, textCol, bands * rows, k)
-    val cands = boundedPairs(scope, bandFrame(prepared, bands, rows),
+    val h = bands * rows
+    val (sigFrame, shSource) =
+      if (rescanVerify) {
+        // signatures only — the shingle array is a per-row transient
+        // inside the native kernel's input expression, never cached
+        val sigs = scope.persist(widen(df).select(col(idCol).as("id"),
+          minhashFromHashes(shingleHashes(col(textCol), k), h).as("sig")))
+        (sigs, null: DataFrame)
+      } else {
+        val prepared = minhashPrepared(scope, df, idCol, textCol, h, k)
+        (prepared, prepared)
+      }
+    val cands = boundedPairs(scope, bandFrame(sigFrame, bands, rows),
       "band", "bucket", maxBucket)
-    val shA = prepared.select(col("id").as("id_a"), col("sh").as("__sh_a"))
-    val shB = prepared.select(col("id").as("id_b"), col("sh").as("__sh_b"))
+    val sh =
+      if (!rescanVerify) shSource.select(col("id"), col("sh"))
+      else {
+        // second scan, cut to candidate endpoints before the (expensive)
+        // shingle projection: the ids frame is banding-output-sized and
+        // the join is a build-side-small hash semi-join
+        val candIds = cands.select(col("id_a").as("id"))
+          .union(cands.select(col("id_b").as("id"))).distinct()
+        scope.persist(widen(df).select(col(idCol).as("id"), col(textCol))
+          .join(candIds, Seq("id"), "left_semi")
+          .select(col("id"), shingleHashes(col(textCol), k).as("sh")))
+      }
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("__sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("__sh_b"))
     cands.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard", jaccardOfHashes(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
@@ -263,11 +297,12 @@ object Dedup {
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      bands: Int = 8, rows: Int = 4, k: Int = 3, maxBucket: Int = 64
+      bands: Int = 8, rows: Int = 4, k: Int = 3, maxBucket: Int = 64,
+      rescanVerify: Boolean = false
   ): DataFrame = {
     val scope = new CacheScope
     scope.sealResult(minhashNearDupsPlan(scope, df, idCol, textCol, threshold,
-      bands, rows, k, maxBucket))
+      bands, rows, k, maxBucket, rescanVerify))
   }
 
   /** Duplicate clustering: connected components over near-dup pairs via

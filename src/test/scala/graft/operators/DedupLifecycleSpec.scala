@@ -112,6 +112,16 @@ class DedupLifecycleSpec extends AnyFunSuite {
       s"reliable-mode iteration snapshots leaked: ${rddDirs()} rdd dirs")
   }
 
+  test("rescanVerify (memory-lean) variant emits exactly the default pairs") {
+    def pairsOf(rescan: Boolean): Set[(Long, Long)] =
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5,
+        rescanVerify = rescan)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (lean, full) = (pairsOf(true), pairsOf(false))
+    assert(lean == full, s"rescan variant diverged: ${lean.diff(full)} / ${full.diff(lean)}")
+    assert(full.nonEmpty, "test vacuous: no near-dup pairs")
+  }
+
   test("a failing pipeline releases its intermediates (seal in finally)") {
     clearAll()
     val poisoned = docs.withColumn("text",

@@ -87,15 +87,19 @@ final case class DimGroup(
 
   /** Positional slice [lo, hi) of `dim` (reference graph.py:154-178).
     * Labels follow the slice — the original labels survive
-    * (graph_test.py:970-1038). For a labeled dim, position is defined as
-    * rank of the label among the DISTINCT labels in ascending order: the
-    * stable, scale-safe Spark semantics (physical row order across
-    * partitions carries no meaning). Ranking distinct labels (not rows)
-    * makes the slice correct for N-D groups — rows of other dims are never
-    * counted as positions — and for duplicate labels (which share one
-    * position). The rank window runs over the dim-table-sized distinct
-    * label set, never the full frame, and the kept labels semi-join back
-    * broadcast — no unpartitioned window over fact-scale data. The
+    * (graph_test.py:970-1038).
+    *
+    * For a labeled IN-MEMORY dim, position is the label's order of first
+    * appearance in row order — exact reference parity (array/iloc
+    * semantics: a pandas index [30, 10, 20] has 30 at position 0), with
+    * duplicate labels sharing their first position and rows of other
+    * dims in an N-D tidy frame never counted as positions. For a labeled
+    * FILE-BACKED dim, physical row order across partitions carries no
+    * meaning, so position falls back to rank among the distinct labels
+    * in ascending order — the stable, scale-safe semantics; the ranking
+    * runs over the dim-table-sized distinct label set via distributed
+    * sort + zipWithIndex (never a single-partition window over
+    * fact-scale data) and the kept labels semi-join back broadcast. The
     * positional dim uses true array order via zipWithIndex.
     */
   def sliceByPosition(dim: String, lo: Int, hi: Int): DimGroup = {
@@ -107,30 +111,30 @@ final case class DimGroup(
         // The dim keeps its original positional labels; they become
         // explicit (the dim is now label-backed by the old positions).
         copy(df = sliced, labelCols = labelCols + (dim -> pc))
+      case Some(lc) if TaskGraph.isLocalPlan(df) =>
+        // in-memory: first-appearance order, computed driver-side (the
+        // table is metadata-scale by definition of LocalRelation)
+        val ordered = df.select(col(lc)).collect().map(_.get(0)).distinct
+        val keptVals = ordered.slice(lo, hi)
+        val spark = df.sparkSession
+        val schema = StructType(Seq(
+          StructField("__lbl", df.select(col(lc)).schema.head.dataType)))
+        val kept = spark.createDataFrame(
+          java.util.Arrays.asList(keptVals.map(v => Row(v)): _*), schema)
+        // null-safe: a null label is a real label and must match itself
+        copy(df = df.join(broadcast(kept), col(lc) <=> col("__lbl"), "left_semi"))
       case Some(lc) =>
         val distinctLabels = df.select(col(lc).as("__lbl")).distinct()
-        // Rank the distinct labels. In-memory dims use a window (stays a
-        // LocalRelation, eligible for eager validation); file-backed dims
-        // rank via distributed sort + zipWithIndex — a fact-scale label
-        // set must never funnel through a single-partition window.
-        val ranked =
-          if (TaskGraph.isLocalPlan(distinctLabels))
-            distinctLabels.withColumn("__rank",
-              row_number().over(Window.orderBy(col("__lbl"))) - 1)
-          else {
-            val spark = df.sparkSession
-            val sorted = distinctLabels.orderBy("__lbl")
-            val schema = sorted.schema.add("__rank", LongType, nullable = false)
-            spark.createDataFrame(
-              sorted.rdd.zipWithIndex().map { case (r, i) =>
-                Row.fromSeq(r.toSeq :+ i)
-              }, schema)
-          }
+        val spark = df.sparkSession
+        val sorted = distinctLabels.orderBy("__lbl")
+        val schema = sorted.schema.add("__rank", LongType, nullable = false)
+        val ranked = spark.createDataFrame(
+          sorted.rdd.zipWithIndex().map { case (r, i) =>
+            Row.fromSeq(r.toSeq :+ i)
+          }, schema)
         val kept = ranked
           .filter(col("__rank") >= lo && col("__rank") < hi)
           .drop("__rank")
-        // null-safe: a null label is a rankable label (nulls sort first)
-        // and must match itself in the semi-join
         copy(df = df.join(broadcast(kept), col(lc) <=> col("__lbl"), "left_semi"))
     }
   }
@@ -341,22 +345,19 @@ final case class TaskGraph(
     * ingestion path by shape —
     *  - a `DataFrame` is a mapping of columns (the pandas-DataFrame rule):
     *    every column becomes a node, jointly mapped on one fresh dim;
-    *  - a `Map[String, Seq[_]]` of flat sequences -> [[mapSeqs]] (the
-    *    sequence adapter: one shared positional dim, zip semantics);
-    *  - nested sequences (`Seq[Seq[...]]`, the numpy-ndarray equivalent)
-    *    -> [[mapNestedSeqs]]: N-D with default range coords per axis.
+    *  - a `Map[String, Seq[_]]` -> [[mapSeqs]] (the sequence adapter: one
+    *    shared positional dim, zip semantics). A nested `Seq` element is a
+    *    VALUE, not an extra dim — the reference sequence adapter does not
+    *    descend into nested plain lists (graph_test.py:132-139); N-D
+    *    ingestion is the EXPLICIT ndarray-equivalent path,
+    *    [[mapNestedSeqs]] / [[mapND]].
     */
   def map(values: Any)(implicit spark: SparkSession): TaskGraph = values match {
     case df: DataFrame => mapFrame(df)
     case m: Map[_, _] =>
       val named = m.asInstanceOf[Map[String, Any]]
       require(named.nonEmpty, "empty map")
-      val nested = named.values.exists {
-        case s: Seq[_] => s.headOption.exists(_.isInstanceOf[Seq[_]])
-        case _ => false
-      }
-      if (nested) mapNestedSeqs(named.map { case (k, v) => k -> v.asInstanceOf[Seq[Any]] })
-      else mapSeqs(named.map { case (k, v) => k -> v.asInstanceOf[Seq[Any]] })
+      mapSeqs(named.map { case (k, v) => k -> v.asInstanceOf[Seq[Any]] })
     case other =>
       throw new GraftException(s"cannot map value of type ${other.getClass.getName}")
   }
@@ -436,66 +437,104 @@ final case class TaskGraph(
     mapFrame(df, names.map(n => n -> n).toMap, indexCol = None)
   }
 
-  private def addGroup(group: DimGroup): TaskGraph = {
+  private def addGroup(group0: DimGroup): TaskGraph = {
     // Re-map detection runs BEFORE dim-collision validation so an
     // identical re-map with the same explicit dim name is a no-op, not a
     // "dim already exists" error (reference node_values.py:54-93).
     var d = dag
     var gs = groups
-    var freshCols = group.valueCols
+    var freshCols = group0.valueCols
     val remapDims = scala.collection.mutable.Set.empty[String]
-    group.valueCols.foreach { case (n, _) =>
+    // A re-mapped node must keep its ORIGINAL dim names — otherwise a
+    // replace would detach it from its co-mapped siblings' shared dim and
+    // turn zip alignment into a silent cross product. All re-mapped nodes
+    // in one call must therefore come from groups with the same dims.
+    var renameTo: Option[Vector[String]] = None
+    group0.valueCols.foreach { case (n, _) =>
       if (d.contains(n)) {
         if (d.predecessors(n).nonEmpty)
           throw new GraftException(s"Mapped node '$n' is not a source node")
-        if (isMapped(n)) {
+        // look up the CURRENT group holding n (an earlier node of this
+        // same call may already have replaced the pre-call group — a
+        // lookup via the pre-call catalog would miss it)
+        gs.find(_.valueCols.contains(n)).foreach { old =>
           // Re-map rules (reference node_values.py:54-93): same labels and
           // values -> no-op; same labels, new values -> replace; different
           // labels -> error. Dim names may differ when auto-generated.
-          val old = groups(mappedNode(n))
-          if (old.dims.size != group.dims.size)
+          if (old.dims.size != group0.dims.size)
             throw new GraftException(s"Node '$n' has already been mapped")
-          val labelsMatch = old.dims.zip(group.dims).forall { case (od, nd) =>
-            TaskGraph.sameData(old.labelFrame(od).toDF("l"), group.labelFrame(nd).toDF("l"))
-          }
+          // Eager label/value equality only for metadata-scale (in-memory)
+          // tables — the reference's whole universe. A file-backed re-map
+          // skips the eager compare (it would be a full scan at graph-build
+          // time) and takes deterministic replace semantics.
+          val bothLocal =
+            TaskGraph.isLocalPlan(old.df) && TaskGraph.isLocalPlan(group0.df)
+          val labelsMatch = !bothLocal ||
+            old.dims.zip(group0.dims).forall { case (od, nd) =>
+              TaskGraph.sameData(
+                old.labelFrame(od).toDF("l"), group0.labelFrame(nd).toDF("l"))
+            }
           if (!labelsMatch)
             throw new GraftException(
               s"Node '$n' has already been mapped with different indices")
+          if (renameTo.exists(_ != old.dims))
+            throw new GraftException(
+              "Nodes re-mapped in one call belong to groups with different dims")
+          renameTo = Some(old.dims)
           remapDims ++= old.dims
-          remapDims ++= group.dims
-          val valuesMatch = TaskGraph.sameData(
+          remapDims ++= group0.dims
+          val valuesMatch = bothLocal && TaskGraph.sameData(
             old.df.select(col(old.valueCols(n)).as("v")),
-            group.df.select(col(group.valueCols(n)).as("v")))
+            group0.df.select(col(group0.valueCols(n)).as("v")))
           if (valuesMatch) freshCols -= n // no-op
           else gs = gs.map(og => // replace: new mapping wins
-            if (og eq old) og.copy(valueCols = og.valueCols - n) else og)
+            if (og.valueCols.contains(n)) og.copy(valueCols = og.valueCols - n)
+            else og)
         }
       } else d = d.addNode(n)
+    }
+    // Rename the incoming group's dims to the replaced group's names so
+    // the re-mapped node stays aligned with its siblings (no-op when the
+    // names already agree, e.g. explicit dimName re-maps).
+    val group = renameTo match {
+      case Some(newDims) if newDims != group0.dims =>
+        val mapping = group0.dims.zip(newDims).toMap
+        group0.copy(dims = newDims,
+          labelCols = group0.labelCols.map { case (dm, c) => mapping(dm) -> c })
+      case _ => group0
     }
     // A dim name colliding with an existing dim is allowed when the label
     // values are identical — the dims become SHARED and descendants align
     // on them (reference node_values.py:79-90: same index name requires
     // equal index values). Conflicting labels raise.
     group.dims.filterNot(remapDims.contains).foreach { dm =>
-      // Only touch the group's frame when a collision actually exists:
-      // constructing the positional frame is not free (ZippedWithIndexRDD
-      // runs a job to compute partition offsets at CONSTRUCTION time), and
-      // the common case — a fresh dim name — must stay zero-cost.
+      // Only touch a group's frame when a collision actually exists AND
+      // its positional labels are free to materialize: constructing the
+      // positional frame of a file-backed group is a full-scan Spark job
+      // (ZippedWithIndexRDD computes partition offsets at CONSTRUCTION
+      // time) that labelsCompatible's metadata-scale guard would then
+      // discard anyway — fact-scale label sets defer to join semantics.
+      def safeLabels(g: DimGroup): Option[DataFrame] =
+        if (g.positionalDim.isEmpty || TaskGraph.isLocalPlan(g.df))
+          Some(g.frame(needPositional = true).select(dm).distinct())
+        else None
       val collidingGroups =
-        groups.filter(og => og.valueCols.nonEmpty && og.dims.contains(dm))
+        gs.filter(og => og.valueCols.nonEmpty && og.dims.contains(dm))
       val collidesGroupby = groupbyDims.contains(dm)
       if (collidingGroups.nonEmpty || collidesGroupby) {
-        val newLabels = group.frame(needPositional = true).select(dm).distinct()
-        collidingGroups.foreach { og =>
-          if (!TaskGraph.labelsCompatible(
-              og.frame(needPositional = true).select(dm).distinct(), newLabels))
+        safeLabels(group).foreach { newLabels =>
+          collidingGroups.foreach { og =>
+            safeLabels(og).foreach { oldLabels =>
+              if (!TaskGraph.labelsCompatible(oldLabels, newLabels))
+                throw new GraftException(
+                  s"""Conflicting index values for index name "$dm"""")
+            }
+          }
+          if (collidesGroupby &&
+              !TaskGraph.labelsCompatible(indices(dm), newLabels))
             throw new GraftException(
               s"""Conflicting index values for index name "$dm"""")
         }
-        if (collidesGroupby &&
-            !TaskGraph.labelsCompatible(indices(dm), newLabels))
-          throw new GraftException(
-            s"""Conflicting index values for index name "$dm"""")
       }
     }
     if (freshCols.isEmpty) return copy(dag = d, groups = gs.filter(_.valueCols.nonEmpty))
@@ -603,9 +642,33 @@ final case class TaskGraph(
     mapGroupsForDim(dim)(_.sliceByLabel(dim, lo, hi))
 
   private def mapGroupsForDim(dim: String)(f: DimGroup => DimGroup): TaskGraph = {
-    if (!groups.exists(_.dims.contains(dim)))
-      throw new GraftException(s"unknown dim '$dim'")
-    copy(groups = groups.map(g => if (g.dims.contains(dim)) f(g) else g))
+    if (groups.exists(_.dims.contains(dim)))
+      return copy(groups = groups.map(g => if (g.dims.contains(dim)) f(g) else g))
+    // A groupby-created dim has no DimGroup of its own: its labels ARE the
+    // key node's values (reference slices the stored grouping the same
+    // way). Slicing it filters the key node's parameter table through a
+    // synthetic label view backed by the VALUE column — every downstream
+    // expansion, including the reduce's groups, shrinks accordingly.
+    if (groupbyDims.contains(dim) && isMapped(dim)) {
+      return copy(groups = groups.map { g =>
+        if (!g.valueCols.contains(dim)) g
+        else {
+          // a positional sibling dim must be label-backed for the view to
+          // satisfy DimGroup's shape invariant; its labels become the old
+          // positions, exactly as sliceByPosition does on positional dims
+          val (baseDf, baseLabels) = g.positionalDim match {
+            case Some(pd) => (g.withPositions,
+              g.labelCols + (pd -> TaskGraph.posCol(pd)))
+            case None => (g.df, g.labelCols)
+          }
+          val view = g.copy(df = baseDf, dims = g.dims :+ dim,
+            labelCols = baseLabels + (dim -> g.valueCols(dim)))
+          val sliced = f(view)
+          sliced.copy(dims = g.dims, labelCols = sliced.labelCols - dim)
+        }
+      })
+    }
+    throw new GraftException(s"unknown dim '$dim'")
   }
 
   // ------------------------------------------------------------ branch ops
@@ -658,7 +721,11 @@ final case class TaskGraph(
     val base: Dag =
       if (dag.contains(key)) {
         val d = removeExclusiveAncestors(key)
-        Dag(d.nodeList, d.attrs, d.edgeList.filterNot(_._2 == key))
+        // the key's old attrs die with its old definition (reference
+        // _remove_ancestors clears the node's data, graph.py:30-53) — a
+        // surviving "expr"/"func" attr would poison the spliced branch
+        Dag(d.nodeList, d.attrs + (key -> Map.empty[String, String]),
+          d.edgeList.filterNot(_._2 == key))
       } else dag
     val intersection = base.nodes.intersect(renamedDag.nodes) - key
     intersection.foreach { n =>
@@ -695,12 +762,19 @@ final case class TaskGraph(
       if (og.dims != newDims)
         throw new GraftException(
           s"Node '$key' has already been mapped with different indices")
-      og.dims.foreach { dm =>
-        if (!TaskGraph.labelsCompatible(
-            og.frame(needPositional = true).select(dm).distinct(),
-            other.indices(dm)))
-          throw new GraftException(
-            s"""Conflicting index values for index name "$dm"""")
+      // eager label validation only when the positional frame is free to
+      // build (no positional dim, or in-memory) — file-backed positional
+      // labels defer to join semantics, as in addGroup
+      if (og.positionalDim.isEmpty || TaskGraph.isLocalPlan(og.df)) {
+        og.dims.foreach { dm =>
+          val otherSafe = other.groups.find(_.dims.contains(dm)).forall(g =>
+            g.positionalDim.isEmpty || TaskGraph.isLocalPlan(g.df))
+          if (otherSafe && !TaskGraph.labelsCompatible(
+              og.frame(needPositional = true).select(dm).distinct(),
+              other.indices(dm)))
+            throw new GraftException(
+              s"""Conflicting index values for index name "$dm"""")
+        }
       }
       merged = merged.copy(groups = merged.groups
         .map(g => if (g eq og) g.copy(valueCols = g.valueCols - key) else g)
@@ -717,13 +791,18 @@ final case class TaskGraph(
           val old = merged.groups(merged.mappedNode(n))
           if (old.dims.size != g.dims.size)
             throw new GraftException(s"Node '$n' has already been mapped")
-          val labelsMatch = old.dims.zip(g.dims).forall { case (od, nd) =>
-            TaskGraph.sameData(old.labelFrame(od).toDF("l"), g.labelFrame(nd).toDF("l"))
-          }
+          // metadata-scale guard, as in addGroup: eager equality only for
+          // in-memory tables; file-backed re-maps take replace semantics
+          val bothLocal =
+            TaskGraph.isLocalPlan(old.df) && TaskGraph.isLocalPlan(g.df)
+          val labelsMatch = !bothLocal ||
+            old.dims.zip(g.dims).forall { case (od, nd) =>
+              TaskGraph.sameData(old.labelFrame(od).toDF("l"), g.labelFrame(nd).toDF("l"))
+            }
           if (!labelsMatch)
             throw new GraftException(
               s"Node '$n' has already been mapped with different indices")
-          val valuesMatch = TaskGraph.sameData(
+          val valuesMatch = bothLocal && TaskGraph.sameData(
             old.df.select(col(old.valueCols(n)).as("v")),
             g.df.select(col(g.valueCols(n)).as("v")))
           if (valuesMatch) fresh -= n // identical: no-op
@@ -736,20 +815,32 @@ final case class TaskGraph(
         }
       }
       if (fresh.nonEmpty) {
-        // shared-dim label consistency across graphs (node_values.py:79-90)
+        // shared-dim label consistency across graphs (node_values.py:79-90);
+        // positional frames only built when free (see addGroup)
+        def safeLabels(dg: DimGroup, dim: String): Option[DataFrame] =
+          if (dg.positionalDim.isEmpty || TaskGraph.isLocalPlan(dg.df))
+            Some(dg.frame(needPositional = true).select(dim).distinct())
+          else None
         g.dims.foreach { dim =>
           merged.groups.filter(og => (og ne g) && og.dims.contains(dim)).foreach { og =>
-            if (!TaskGraph.labelsCompatible(
-                og.frame(true).select(dim).distinct(),
-                g.frame(true).select(dim).distinct()))
-              throw new GraftException(
-                s"""Conflicting index values for index name "$dim"""")
+            (safeLabels(og, dim), safeLabels(g, dim)) match {
+              case (Some(a), Some(b)) if !TaskGraph.labelsCompatible(a, b) =>
+                throw new GraftException(
+                  s"""Conflicting index values for index name "$dim"""")
+              case _ => ()
+            }
           }
         }
         merged = merged.copy(groups = merged.groups :+ g.copy(valueCols = fresh))
       }
     }
-    merged.copy(reduces = merged.reduces ++ renamedReduces
+    // the key's OLD reduce spec dies unconditionally: the spliced graph's
+    // sink is the key's new definition, whatever its kind — keeping a
+    // stale spec would make frameOf (which consults reduces before DAG
+    // preds) silently ignore the spliced branch when the incoming sink is
+    // a plain derived node. renamedReduces re-adds the key when the
+    // incoming sink IS a reduce.
+    merged.copy(reduces = (merged.reduces - key) ++ renamedReduces
       .filter { case (n, spec) => composed.contains(n) && composed.contains(spec.pred) })
   }
 
@@ -932,14 +1023,9 @@ final case class TaskGraph(
     */
   def taskTable(valueAttr: String = "value"): DataFrame = {
     val frames = dag.topologicalOrder.map { n =>
-      val dims = dimsOf(n)
       val f = result(n, needPositional = true)
-      val idx =
-        if (dims.isEmpty) expr("map()").cast("map<string,string>")
-        else map_from_arrays(
-          array(dims.map(lit(_)): _*),
-          array(dims.map(d => col(d).cast("string")): _*))
-      f.select(lit(n).as("node"), idx.as("index"), col(n).cast("string").as(valueAttr))
+      f.select(lit(n).as("node"), indexMapOf(dimsOf(n)).as("index"),
+        col(n).cast("string").as(valueAttr))
     }
     frames.reduce(_.unionByName(_))
   }

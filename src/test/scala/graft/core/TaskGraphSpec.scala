@@ -556,13 +556,98 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(g2.groups.size == 1) // identical re-map: no-op, no dim clash error
   }
 
+  test("joint re-map of several nodes of one group replaces them all") {
+    // both a and b re-mapped in ONE call: the replace must strip BOTH from
+    // the old group, not just the first (the second lookup must see the
+    // already-modified catalog, not the pre-call one)
+    val g = TaskGraph.fromEdges("a" -> "d", "b" -> "d", "c" -> "d")
+      .mapSeqs(Map("a" -> Seq(1, 2), "b" -> Seq(3, 4), "c" -> Seq(5, 6)))
+      .withNode("d2", Seq("c", "b"), Map("expr" -> "c * 100 + b"))
+    val g2 = g.mapSeqs(Map("a" -> Seq(10, 20), "b" -> Seq(30, 40)))
+    val got = g2.result("d2").orderBy("c").collect()
+      .map(_.getAs[Int]("d2")).toSeq
+    assert(got == Seq(530, 640), s"stale b values leaked: $got")
+  }
+
+  test("partial re-map keeps zip alignment with co-mapped siblings") {
+    // re-mapping only `a` (auto-generated dim name differs on the second
+    // call) must keep a on the ORIGINAL shared dim: a+b stays a 2-row zip,
+    // never a 4-row cross product
+    val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+      .mapSeqs(Map("a" -> Seq(1, 2), "b" -> Seq(3, 4)))
+      .withNode("c2", Seq("a", "b"), Map("expr" -> "a + b"))
+    val g2 = g.mapSeqs(Map("a" -> Seq(10, 20)))
+    assert(g2.dimsOf("a") == g2.dimsOf("b"), "re-mapped node detached from shared dim")
+    val got = g2.result("c2").collect().map(_.getAs[Int]("c2")).toSet
+    assert(got == Set(13, 24), s"zip became a cross product: $got")
+  }
+
+  test("setItem replaces a reduce definition with a plain branch — graph.py:480-537") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3)))
+      .withNode("c", Seq("b"))
+      .reduce(key = "b", name = "r", attrs = Map("func" -> "sum"))
+    // the spliced sink is unmapped like r (mapped-on-unmapped raises);
+    // the old sum-over-b definition must be GONE: r becomes the spliced
+    // branch's pass-through of the bare input x, not sum(b) = 6
+    val spliced = g.setItem("r", TaskGraph.chain("x", "y"))
+    assert(spliced.dag.predecessors("r") == Seq("x"))
+    val rows = spliced.result("r").collect()
+    assert(rows.length == 1 && rows.head.isNullAt(rows.head.fieldIndex("r")),
+      s"stale ReduceSpec survived the splice: ${rows.toSeq}")
+  }
+
+  test("setItem clears the replaced key's attrs — graph.py:30-53 clear()") {
+    val g = TaskGraph.chain("a", "q")
+      .mapSeqs(Map("a" -> Seq(1, 2)))
+      .withExpr("k", Seq("a"), "a + 1")
+    val odf = Seq(Tuple1(9)).toDF("x")
+    val spliced = g.setItem("k", TaskGraph.chain("x", "y")
+      .mapFrame(odf, Map("x" -> "x"), indexCol = None, dimName = "other_d"))
+    // the stale expr "a + 1" must not poison the new branch (x is the
+    // only predecessor; a pass-through of x is the reference semantics)
+    val rows = spliced.result("k").collect()
+    assert(rows.length == 1 && rows.head.getAs[Int]("k") == 9)
+  }
+
+  test("byPosition on an unsorted in-memory label dim follows array order") {
+    // reference iloc semantics: index [30, 10, 20] has 30 at position 0
+    val df = Seq((30, "first"), (10, "second"), (20, "third")).toDF("idx", "v")
+    val g = TaskGraph.chain("a", "b")
+      .mapFrame(df, Map("a" -> "v"), indexCol = Some("idx"), dimName = "d")
+    val got = g.byPosition("d", 0, 1).result("b").collect()
+    assert(got.length == 1 && got.head.getAs[String]("b") == "first",
+      s"positional slice used sorted-label order: ${got.toSeq}")
+  }
+
+  test("sel/byPosition on a groupby-created dim restrict the groups") {
+    val g = TaskGraph.chain("a", "b")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3, 4), "param" -> Seq("x", "x", "y", "y")))
+      .groupby("param")
+      .reduce(key = "b", name = "r", attrs = Map("func" -> "sum"))
+    // sel: keep only group "y" (b = a, so sum = 3 + 4)
+    val sel = g.sel("param", "y").result("r").collect()
+    assert(sel.length == 1 && sel.head.getAs[String]("param") == "y" &&
+      sel.head.getAs[Long]("r") == 7L)
+    // byPosition: first group in appearance order is "x" (sum = 1 + 2)
+    val pos = g.byPosition("param", 0, 1).result("r").collect()
+    assert(pos.length == 1 && pos.head.getAs[String]("param") == "x" &&
+      pos.head.getAs[Long]("r") == 3L)
+  }
+
   test("map dispatch routes by shape — value_array.py:26-39") {
-    // flat sequences -> 1-D zip (sequence adapter)
+    // sequences -> 1-D zip (sequence adapter); a nested Seq is a VALUE,
+    // not an extra dim (the reference does not descend into plain lists,
+    // graph_test.py:132-139)
     val g1 = TaskGraph.chain("a", "b").map(Map("a" -> Seq(1, 2, 3)))
     assert(g1.dimsOf("b") == Vector("dim_0") && g1.result("b").count() == 3)
-    // nested sequences -> N-D with range coords (ndarray adapter)
-    val g2 = TaskGraph.chain("a", "b")
+    val g1n = TaskGraph.chain("a", "b")
       .map(Map("a" -> Seq(Seq(1, 2, 3), Seq(4, 5, 6))))
+    assert(g1n.dimsOf("b") == Vector("dim_0"))
+    assert(g1n.result("b").count() == 2)
+    // N-D is the EXPLICIT ndarray-equivalent path
+    val g2 = TaskGraph.chain("a", "b")
+      .mapNestedSeqs(Map("a" -> Seq(Seq(1, 2, 3), Seq(4, 5, 6))))
     assert(g2.dimsOf("b") == Vector("dim_0", "dim_1"))
     assert(g2.result("b").count() == 6)
     val sliced = g2.byPosition("dim_0", 1, 2).result("b").orderBy("dim_1")
@@ -587,7 +672,7 @@ class TaskGraphSpec extends AnyFunSuite {
   test("mapNestedSeqs axis_zero offsets chained N-D dims — adapters:268-272") {
     val g = TaskGraph.fromEdges("a" -> "c", "b" -> "c")
       .map(Map("a" -> Seq(1, 2)))
-      .map(Map("b" -> Seq(Seq(1, 2), Seq(3, 4))))
+      .mapNestedSeqs(Map("b" -> Seq(Seq(1, 2), Seq(3, 4))))
     assert(g.dimsOf("a") == Vector("dim_0"))
     assert(g.dimsOf("b") == Vector("dim_1", "dim_2"))
     assert(g.result("c").count() == 8)
@@ -617,9 +702,13 @@ class TaskGraphSpec extends AnyFunSuite {
   }
 
   test("ragged nested sequences raise — ndarray adapter parity") {
+    // under the ndarray adapter ragged input is unrepresentable and raises;
+    // under the sequence adapter (map) the same input is two list VALUES
     assertThrows[GraftException] {
-      TaskGraph.chain("a", "b").map(Map("a" -> Seq(Seq(1, 2), Seq(3, 4, 5))))
+      TaskGraph.chain("a", "b").mapNestedSeqs(Map("a" -> Seq(Seq(1, 2), Seq(3, 4, 5))))
     }
+    val g = TaskGraph.chain("a", "b").map(Map("a" -> Seq(Seq(1, 2), Seq(3, 4, 5))))
+    assert(g.result("b").count() == 2)
   }
 
   test("positional slice of a labeled dim keeps null labels — null-safe semi-join") {

@@ -101,7 +101,12 @@ final case class Dag(
       k -> (attrs.getOrElse(k, Map.empty) ++ v)
     }
     val mergedEdges = edgeList ++ other.edgeList.filterNot(edges)
-    Dag(mergedNodes, mergedAttrs, mergedEdges)
+    val d = Dag(mergedNodes, mergedAttrs, mergedEdges)
+    // two valid DAGs can union into a cycle (opposing edges); without this
+    // check the cyclic result has an EMPTY topologicalOrder and downstream
+    // materialization silently produces zero frames instead of erroring
+    require(!d.hasCycle, "compose would create a cycle")
+    d
   }
 
   def renameNode(from: String, to: String): Dag = {

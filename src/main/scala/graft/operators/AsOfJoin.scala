@@ -15,7 +15,11 @@ import org.apache.spark.sql.expressions.Window
   * of either side, no range cross-join — so it scales to 100 TB with
   * exactly one shuffle of each input.
   *
-  * Equivalent to DuckDB's `ASOF LEFT JOIN` (used as the oracle).
+  * Equivalent to DuckDB's `ASOF LEFT JOIN` (used as the oracle), including
+  * its SQL comparison semantics: the whole payload comes from ONE matched
+  * right row (carried as a struct — per-column fills could stitch values
+  * from different rows when the newest row holds legitimate NULLs), and a
+  * NULL join key or NULL timestamp on either side matches nothing.
   */
 object AsOfJoin {
 
@@ -62,16 +66,25 @@ object AsOfJoin {
   ): DataFrame = {
     val ordCol = "__asof_t"
     val sideCol = "__asof_side"
+    val pCol = "__asof_p"
     val leftCols = left.columns.toSeq
     val outCols = payload.keys.toSeq.sorted
+    val collisions = outCols.filter(leftCols.contains)
+    require(collisions.isEmpty,
+      s"payload output names collide with left columns: ${collisions.mkString(", ")}")
 
     // Right rows sort *before* left rows at equal timestamps (in the
     // window's traversal direction) so a right event at exactly t
-    // qualifies — inclusive semantics on both directions.
-    val taggedRight = right.select(
-      keyCols.map(col) ++
-        Seq(col(rightTime).as(ordCol), lit(0).as(sideCol)) ++
-        payload.toSeq.map { case (out, in) => col(in).as(out) }: _*)
+    // qualifies — inclusive semantics on both directions. A right row with
+    // a NULL timestamp can never satisfy the comparison and is dropped up
+    // front (under ASC it would otherwise sort first and leak its payload
+    // into every unmatched left row). The payload travels as ONE struct so
+    // the match is a whole right row, never a per-column mix.
+    val taggedRight = right
+      .filter(col(rightTime).isNotNull)
+      .select(keyCols.map(col) ++ Seq(
+        col(rightTime).as(ordCol), lit(0).as(sideCol),
+        struct(outCols.map(o => col(payload(o)).as(o)): _*).as(pCol)): _*)
     val taggedLeft = left
       .withColumn(ordCol, col(leftTime))
       .withColumn(sideCol, lit(1))
@@ -83,10 +96,16 @@ object AsOfJoin {
         col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = outCols.foldLeft(unioned) { (df, out) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(sideCol) === 1)
-      .select((leftCols ++ outCols).map(col): _*)
+    // SQL comparison semantics: a NULL key or NULL left timestamp matches
+    // nothing (the window's partitioning WOULD group NULL keys together,
+    // and a NULL left time sorts to one end of the traversal — both must
+    // be masked, not matched).
+    val validLeft = (col(leftTime).isNotNull +: keyCols.map(col(_).isNotNull))
+      .reduce(_ && _)
+    val matched = unioned.withColumn(pCol,
+      when(validLeft, last(col(pCol), ignoreNulls = true).over(w)))
+    matched.filter(col(sideCol) === 1)
+      .select(leftCols.map(col) ++
+        outCols.map(o => col(pCol).getField(o).as(o)): _*)
   }
 }

@@ -22,16 +22,23 @@ object TextAnalysis {
   /** A BPE-ish subword proxy: counts alternating letter/digit/punctuation
     * runs rather than whitespace words — a deterministic stand-in for a
     * real tokenizer's token count (no tokenizer libs in this container).
+    * Case-insensitive classes: an uppercase letter is a letter, not a
+    * punctuation boundary ("Hello" is one run, not two).
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9\\s])(?=[a-z0-9])|\\s+"),
+    size(filter(split(text,
+      "(?<=[A-Za-z0-9])(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9\\s])(?=[A-Za-z0-9])|\\s+"),
       t => length(t) > 0)).cast("long")
 
   /** Occurrences of a marker substring (deterministic, engine-portable:
     * implemented as length arithmetic so the DuckDB oracle can mirror it).
+    * The divisor is the marker's CODE POINT count — Spark's `length()`
+    * counts code points, so a supplementary-plane marker (emoji) of
+    * UTF-16 length 2 still counts each occurrence as exactly 1.
     */
   def occurrences(text: Column, marker: String): Column =
-    (length(text) - length(replace(text, lit(marker), lit("")))) / marker.length
+    (length(text) - length(replace(text, lit(marker), lit("")))) /
+      marker.codePointCount(0, marker.length)
 
   /** Regexes shared by the scrub operator and its oracle — deliberately
     * restricted to syntax with identical semantics in Java regex (Spark)
@@ -82,12 +89,18 @@ object TextAnalysis {
   def qualitySignals(df: DataFrame, text: Column): DataFrame = df
     .withColumn("n_chars_m", length(text).cast("long"))
     .withColumn("n_tokens", tokenCount(text))
+    // denominators guarded like mean_token_len's: an empty document gets
+    // ratio 0, not a NULL (non-ANSI) or an error (ANSI) from 0/0 — a
+    // NULL ratio would silently pass `ratio < threshold` quality filters
     .withColumn("alpha_ratio",
-      (length(regexp_replace(text, "[^A-Za-z]", "")) / length(text)).cast("double"))
+      (length(regexp_replace(text, "[^A-Za-z]", "")) /
+        greatest(length(text), lit(1))).cast("double"))
     .withColumn("digit_ratio",
-      (length(regexp_replace(text, "[^0-9]", "")) / length(text)).cast("double"))
+      (length(regexp_replace(text, "[^0-9]", "")) /
+        greatest(length(text), lit(1))).cast("double"))
     .withColumn("space_ratio",
-      (length(regexp_replace(text, "[^ ]", "")) / length(text)).cast("double"))
+      (length(regexp_replace(text, "[^ ]", "")) /
+        greatest(length(text), lit(1))).cast("double"))
     .withColumn("mean_token_len",
       (length(regexp_replace(text, "\\s+", "")).cast("double") /
         greatest(tokenCount(text), lit(1L))).cast("double"))

@@ -465,7 +465,9 @@ object PipelineQueries {
   // pure length arithmetic: (len(t) - len(replace(t, m, ''))) / len(m).
   private def occSql(m: String): String = {
     val esc = m.replace("'", "''")
-    s"(LENGTH(text) - LENGTH(REPLACE(text, '$esc', ''))) / ${m.length}"
+    // code-point divisor, mirroring TextAnalysis.occurrences (both engines'
+    // LENGTH counts code points)
+    s"(LENGTH(text) - LENGTH(REPLACE(text, '$esc', ''))) / ${m.codePointCount(0, m.length)}"
   }
 
   private def scoreSql(lang: String): String =
@@ -485,11 +487,11 @@ object PipelineQueries {
     val scoreCols = langs.map(l => s"(${scoreSql(l)}) AS s_$l").mkString(", ")
     val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
     val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
-    raw"""WITH q AS (SELECT doc_id, text, CAST($ntok AS BIGINT) AS n_tokens, LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) AS alpha_ratio FROM documents), f AS (SELECT * FROM q WHERE n_tokens >= 5 AND alpha_ratio >= 0.5), keep AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text), k AS (SELECT f.* FROM f JOIN keep USING (doc_id)), sc AS (SELECT doc_id, n_tokens, text, $scoreCols FROM k), sb AS (SELECT *, $best AS best FROM sc) SELECT CASE $cases ELSE 'und' END AS lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total FROM sb GROUP BY 1 ORDER BY 1"""
+    raw"""WITH q AS (SELECT doc_id, text, CAST($ntok AS BIGINT) AS n_tokens, LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(LENGTH(text), 1) AS alpha_ratio FROM documents), f AS (SELECT * FROM q WHERE n_tokens >= 5 AND alpha_ratio >= 0.5), keep AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text), k AS (SELECT f.* FROM f JOIN keep USING (doc_id)), sc AS (SELECT doc_id, n_tokens, text, $scoreCols FROM k), sb AS (SELECT *, $best AS best FROM sc) SELECT CASE $cases ELSE 'und' END AS lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total FROM sb GROUP BY 1 ORDER BY 1"""
   }
 
   private lazy val qualityOracle: String = {
     val ntok = """CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END"""
-    raw"""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_m, CAST($ntok AS BIGINT) AS n_tokens, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) AS DOUBLE) AS alpha_ratio, CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / LENGTH(text) AS DOUBLE) AS digit_ratio, CAST(LENGTH(regexp_replace(text, '[^ ]', '', 'g')) / LENGTH(text) AS DOUBLE) AS space_ratio, CAST(CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / GREATEST($ntok, 1) AS DOUBLE) AS mean_token_len, CAST(CAST(${scoreSql("en")} AS DOUBLE) / GREATEST($ntok, 1) AS DOUBLE) AS stopword_ratio FROM documents ORDER BY doc_id"""
+    raw"""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_m, CAST($ntok AS BIGINT) AS n_tokens, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(LENGTH(text), 1) AS DOUBLE) AS alpha_ratio, CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / GREATEST(LENGTH(text), 1) AS DOUBLE) AS digit_ratio, CAST(LENGTH(regexp_replace(text, '[^ ]', '', 'g')) / GREATEST(LENGTH(text), 1) AS DOUBLE) AS space_ratio, CAST(CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / GREATEST($ntok, 1) AS DOUBLE) AS mean_token_len, CAST(CAST(${scoreSql("en")} AS DOUBLE) / GREATEST($ntok, 1) AS DOUBLE) AS stopword_ratio FROM documents ORDER BY doc_id"""
   }
 }

@@ -133,23 +133,37 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
+    // decided OUTSIDE the closure: batch execution has no watermark and no
+    // timeouts (setting one throws); a blanket try/catch inside the
+    // closure would also swallow REAL streaming failures silently
+    val streaming = events.isStreaming
     events
       .withWatermark("ts", "2 hours")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .as[EvIn]
       .groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState[Boolean, EvFirst](
+      // state = the key's eviction deadline (first event time + horizon):
+      // Spark CLEARS a group's timeout on every invocation, so the
+      // deadline must be stored and RE-ARMED whenever a duplicate arrives
+      // — a fire-and-forget timeout set only on first sight would be
+      // erased by the first duplicate and the key's state never dropped
+      .flatMapGroupsWithState[Long, EvFirst](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
         (key, rows, state) => {
+          def arm(deadline: Long): Unit =
+            // the timeout must sit strictly above the current watermark;
+            // a deadline at/behind it fires at the next trigger anyway
+            state.setTimeoutTimestamp(
+              math.max(deadline, state.getCurrentWatermarkMs() + 1))
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) Iterator.empty
-          else {
+          else if (state.exists) {
+            if (streaming) arm(state.get)
+            Iterator.empty
+          } else {
             val f = rows.minBy(e => (e.ts.getTime, e.event_id))
-            state.update(true)
-            // batch mode has no watermark; setting a timeout there throws
-            // and is meaningless, so it is best-effort by design
-            try state.setTimeoutTimestamp(f.ts.getTime + 2L * 3600 * 1000)
-            catch { case _: Exception => () }
+            val deadline = f.ts.getTime + 2L * 3600 * 1000
+            state.update(deadline)
+            if (streaming) arm(deadline)
             Iterator.single(EvFirst(key._1, key._2, f.event_id, f.ts))
           }
         })

@@ -556,6 +556,14 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(g2.groups.size == 1) // identical re-map: no-op, no dim clash error
   }
 
+  test("Dag.compose refuses to create a cycle") {
+    // two valid DAGs with opposing edges: without the check the cyclic
+    // result would materialize to ZERO frames silently
+    assertThrows[IllegalArgumentException] {
+      Dag.fromEdges("a" -> "b").compose(Dag.fromEdges("b" -> "a"))
+    }
+  }
+
   test("joint re-map of several nodes of one group replaces them all") {
     // both a and b re-mapped in ONE call: the replace must strip BOTH from
     // the old group, not just the first (the second lookup must see the

@@ -79,6 +79,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("as-of join: SQL null semantics and whole-row payload atomicity") {
+    val right = Seq(
+      (Option(1L), Option(5L), Option(1), Option(2)),
+      (Option(1L), Option(10L), Option(7), Option.empty[Int]),
+      (Option(1L), Option.empty[Long], Option(99), Option(99)),
+      (Option.empty[Long], Option(5L), Option(50), Option(50))
+    ).toDF("k", "rt", "a", "b")
+    val left = Seq(
+      (1L, Option(1L), Option(12L)),
+      (2L, Option(1L), Option.empty[Long]),
+      (3L, Option.empty[Long], Option(12L))
+    ).toDF("id", "k", "lt")
+    val got = AsOfJoin(left, right, Seq("k"), "lt", "rt",
+      Map("pa" -> "a", "pb" -> "b"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4))))).toMap
+    // id=1: the t=10 row matches ATOMICALLY -> (7, NULL); a per-column
+    // fill would stitch b=2 from the older t=5 row (frankenrow)
+    assert(got(1L) == ((Some(7), None)), s"payload not row-atomic: ${got(1L)}")
+    // id=2: NULL left time matches nothing
+    assert(got(2L) == ((None, None)))
+    // id=3: NULL key matches nothing (even though a NULL-key right row exists)
+    assert(got(3L) == ((None, None)))
+    // forward variant: NULL left time must not inherit under desc ordering
+    val fwd = AsOfJoin.forward(left, right, Seq("k"), "lt", "rt",
+      Map("pa" -> "a"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(fwd(2L) && fwd(3L), "null left time/key matched in forward join")
+    // payload name colliding with a left column fails fast
+    intercept[IllegalArgumentException] {
+      AsOfJoin(left, right, Seq("k"), "lt", "rt", Map("id" -> "a"))
+    }
+  }
+
+  test("quality ratios are 0 (not NULL) on empty docs; subwords are case-insensitive") {
+    val df = Seq((1L, ""), (2L, "Hello World")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualitySignals(df, col("text"))
+      .filter($"doc_id" === 1L).collect()(0)
+    Seq("alpha_ratio", "digit_ratio", "space_ratio").foreach { c =>
+      assert(!q.isNullAt(q.fieldIndex(c)), s"$c is NULL on the empty doc")
+      assert(q.getAs[Double](c) == 0.0)
+    }
+    val sw = df.filter($"doc_id" === 2L)
+      .select(TextAnalysis.subwordCount($"text")).collect()(0).getLong(0)
+    assert(sw == 2L, s"'Hello World' must be 2 subword runs, got $sw")
+  }
+
   test("IVF top-k has full recall with all cells probed; subset recall otherwise") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = graft.queries.PipelineQueries.fixedQueryVector

@@ -138,8 +138,13 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition decoder setup would go here (amortized)
         rows.map { case (id, payload) =>
-          val m = decodeImage(payload)
-          (id, (m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3)))
+          // a missing asset (null binary cell) is routine in production
+          // corpora: emit zeroed metadata instead of NPE-ing the task
+          if (payload == null) (id, (0, 0, 0, 0L))
+          else {
+            val m = decodeImage(payload)
+            (id, (m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3)))
+          }
         }
       }
       .toDF("id", "meta")
@@ -148,19 +153,26 @@ object Multimodal {
 
   /** Deterministic frame sampling plan for a (stub) video payload: every
     * `stride`-th frame index under `maxFrames` — the Spark-side shape of a
-    * frame-extraction fan-out (`explode` of the frame plan).
+    * frame-extraction fan-out (`explode` of the frame plan). Frameless
+    * rows are filtered out first: `sequence(0, -1)` is an illegal-bounds
+    * runtime error, so one empty video would otherwise kill the job.
     */
   def frameSamplePlan(df: DataFrame, idCol: String, nFramesCol: String,
       stride: Int, maxFrames: Int): DataFrame =
-    df.select(col(idCol),
-      explode(sequence(lit(0),
-        least(col(nFramesCol) - 1, lit(maxFrames * stride - 1)), lit(stride)))
-        .as("frame_idx"))
+    df.filter(col(nFramesCol) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0),
+          least(col(nFramesCol) - 1, lit(maxFrames * stride - 1)), lit(stride)))
+          .as("frame_idx"))
 
   /** Overlapping chunk plan for a (stub) audio payload: fixed-size windows
-    * every `hop` samples, clamped to the payload length — the fan-out a
-    * feature extractor (e.g. mel spectrogram) consumes. Pure column
-    * algebra: one explode, no UDF.
+    * every `hop` samples, with the LAST window clamped to the payload
+    * length — the fan-out a feature extractor (e.g. mel spectrogram)
+    * consumes. Standard frame-based semantics: window starts run to the
+    * last start <= nSamples - chunk, so a trailing remainder shorter than
+    * one hop past that start is not emitted as its own window (a payload
+    * shorter than one chunk still yields a single clamped window). Pure
+    * column algebra: one explode, no UDF.
     */
   def audioChunkPlan(df: DataFrame, idCol: String, nSamplesCol: String,
       chunk: Int, hop: Int): DataFrame =

@@ -24,17 +24,27 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity. A zero vector has no direction: the division
+    * yields NULL (non-ANSI), which `orderBy(desc)` sorts LAST — zero
+    * row-vectors therefore never pollute a top-k, but callers filtering
+    * on a threshold should note NULL fails every comparison.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Literal vector as a column. */
   def vec(q: Seq[Double]): Column = array(q.map(lit): _*)
 
-  /** Brute-force cosine top-k for one query vector. */
+  /** Brute-force cosine top-k for one query vector. A zero query vector
+    * would make EVERY score NULL and return k arbitrary id-ordered rows —
+    * rejected eagerly instead.
+    */
   def topK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int): DataFrame =
+      query: Seq[Double], k: Int): DataFrame = {
+    require(query.exists(_ != 0.0), "query vector must be non-zero")
     df.select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
 
   /** IVF cell assignment: nearest centroid by cosine. `centroids` is a
     * small in-memory list (id -> vector) — broadcast implicitly as
@@ -50,19 +60,28 @@ object Similarity {
     df.withColumn("cell", greatest(scored: _*).getField("cid"))
   }
 
-  /** IVF top-k: score only the `nprobe` cells whose centroids are closest
-    * to the query — the other cells are never scanned.
+  /** IVF top-k: only the `nprobe` cells whose centroids are closest to
+    * the query pay the query scoring and the top-k sort. When `df`
+    * already carries a `cell` column (assigned at ingest — the production
+    * posture, see [[writePartitionedByCell]]) the non-probed rows are a
+    * filter away and nothing else; otherwise cell assignment costs one
+    * narrow pass of C model-sized dot products per row — compute pruning
+    * only, no I/O pruning. True scan pruning needs the cell-partitioned
+    * layout ([[topKIvfPartitioned]], which skips non-probed FILES).
     */
   def topKIvf(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Double])],
       query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    require(query.exists(_ != 0.0), "query vector must be non-zero")
     val probeCells = centroids
       .map { case (cid, cvec) =>
         val d = cosSim(cvec, query)
         (cid, d)
       }
       .sortBy(-_._2).take(nprobe).map(_._1)
-    assignCells(df, vecCol, centroids)
+    val assigned =
+      if (df.columns.contains("cell")) df else assignCells(df, vecCol, centroids)
+    assigned
       .filter(col("cell").isin(probeCells: _*))
       .select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
@@ -131,6 +150,11 @@ object Similarity {
         case x => x.toString.toDouble
       }.toArray)
       .map(normalize)
+      // a zero vector has no direction on the unit sphere; keeping it
+      // would make farthest-point init re-pick it every round (its
+      // similarity to every chosen centroid is 0) — k-1 duplicate
+      // degenerate centroids
+      .filter(_.exists(_ != 0.0))
     require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0

@@ -297,15 +297,19 @@ object PipelineQueries {
           .select(col("vec_id"), col("qz.scale").as("scale"),
             col("qz.q").as("q"), col("emb"))
           .select(col("vec_id"),
-            round(col("scale"), 9).as("scale_r"),
+            // floor-based truncation to 9 digits: round(x, n) is NOT
+            // engine-portable (Spark decimal HALF_UP vs DuckDB float
+            // multiply-round), floor in double IEEE arithmetic is
+            (floor(col("scale") * 1e9d + 0.5d) / 1e9d).as("scale_r"),
             expr("CAST(aggregate(q, 0L, (acc, x) -> acc + CAST(x AS LONG)) AS BIGINT)")
               .as("qsum"),
-            round(expr(
-              "array_max(zip_with(q, emb, (qv, x) -> abs(CAST(qv AS DOUBLE) * scale - x)))"), 9)
+            (floor(expr(
+              "array_max(zip_with(q, emb, (qv, x) -> abs(CAST(qv AS DOUBLE) * scale - x)))")
+              * 1e9d + 0.5d) / 1e9d)
               .as("err_max"))
           .orderBy("vec_id")
       },
-      Some("""SELECT vec_id, ROUND(scale, 9) AS scale_r, CAST(list_sum(q) AS BIGINT) AS qsum, ROUND(list_max(list_transform(list_zip(q, embedding), p -> abs(CAST(p[1] AS DOUBLE) * scale - CAST(p[2] AS DOUBLE)))), 9) AS err_max FROM (SELECT vec_id, embedding, scale, list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0 ELSE FLOOR(CAST(x AS DOUBLE) / scale + 0.5) END AS TINYINT)) AS q FROM (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings)) ORDER BY vec_id""")),
+      Some("""SELECT vec_id, FLOOR(scale * 1e9 + 0.5) / 1e9 AS scale_r, CAST(list_sum(q) AS BIGINT) AS qsum, FLOOR(list_max(list_transform(list_zip(q, embedding), p -> abs(CAST(p[1] AS DOUBLE) * scale - CAST(p[2] AS DOUBLE)))) * 1e9 + 0.5) / 1e9 AS err_max FROM (SELECT vec_id, embedding, scale, list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0 ELSE FLOOR(CAST(x AS DOUBLE) / scale + 0.5) END AS TINYINT)) AS q FROM (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale FROM embeddings)) ORDER BY vec_id""")),
 
     // embedding norms via order-independent decimal summation
     QueryDef("q_embed_norm",

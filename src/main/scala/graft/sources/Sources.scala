@@ -11,12 +11,15 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
-  /** CSV with declared schema; header line expected and validated against
-    * the schema by position.
+  /** CSV with declared schema. `enforceSchema=false` makes Spark check the
+    * file's header NAMES against the declared schema and fail on mismatch
+    * (the default silently drops the header and maps columns by position —
+    * a reordered file would silently mismap every column).
     */
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
+      .option("enforceSchema", "false") // header names must match the schema
       .option("mode", "FAILFAST") // corrupt rows fail loudly, not silently null
       .csv(path)
 
@@ -26,8 +29,16 @@ object Sources {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** CSV sink with round-trip-faithful options: the WRITER (unlike the
+    * reader) trims leading/trailing whitespace by default, which corrupts
+    * padded string values on the way out — disabled here.
+    */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

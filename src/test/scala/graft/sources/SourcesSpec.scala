@@ -30,6 +30,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(sortedRows(back) == sortedRows(orig))
   }
 
+  test("csv round-trip preserves padded strings; header mismatch fails fast") {
+    import spark.implicits._
+    val df = Seq((1L, "  padded  "), (2L, "x")).toDF("id", "s")
+    Sources.writeCsv(df, "/tmp/graft_src_test/padded_csv")
+    val back = Sources.csv(spark, "/tmp/graft_src_test/padded_csv", df.schema)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("  padded  ", "x"), "writer trimmed padded strings")
+    // a schema whose names don't match the file header must fail loudly,
+    // not silently mismap columns by position
+    val wrong = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("other", org.apache.spark.sql.types.StringType)))
+    intercept[Exception] {
+      Sources.csv(spark, "/tmp/graft_src_test/padded_csv", wrong).collect()
+    }
+  }
+
   test("a csv-sourced param table drives the TaskGraph like any DataFrame") {
     val orig = spark.read.parquet(s"$dir/region.parquet")
     Sources.writeCsv(orig, "/tmp/graft_src_test/region_csv")

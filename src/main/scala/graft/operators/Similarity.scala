@@ -185,6 +185,144 @@ object Similarity {
     cents.toIndexedSeq.zipWithIndex.map { case (v, i) => i -> v.toIndexedSeq }
   }
 
+  /** Unit-normalize an embedding column (zero vectors stay zero). The
+    * norm is bound ONCE as a lambda variable — a raw reference inside the
+    * per-element lambda would re-derive the full dot product per element.
+    */
+  def normalized(v: Column): Column = {
+    val vd = v.cast("array<double>")
+    transform(array(norm(vd)), n =>
+      transform(vd, x => when(n === 0.0d, 0.0d).otherwise(x / n))).getItem(0)
+  }
+
+  // ------------------------------------------------------------------ PQ
+
+  /** Train product-quantization codebooks: the vector is split into `m`
+    * subvectors of dim/m components; each subspace gets `ksub` L2 k-means
+    * codewords (deterministic farthest-point init + Lloyd, no RNG) from
+    * the same content-hash-ordered bounded sample as [[trainCentroids]].
+    * Returns codebooks(s)(c) = codeword c of subspace s.
+    *
+    * PQ encodes each vector in m * ceil(log2 ksub) bits (m bytes at
+    * ksub<=256) — with IVF cells this is the standard billion-vector ANN
+    * layout: the corpus lives as codes, full vectors are only touched for
+    * re-ranking. Distances are L2; for cosine search feed NORMALIZED
+    * vectors ([[normalized]]) so L2 and cosine order agree.
+    */
+  def trainPq(df: DataFrame, vecCol: String, m: Int = 8, ksub: Int = 16,
+      iters: Int = 5, maxSample: Int = 2000): Seq[Seq[Seq[Double]]] = {
+    val sample: Array[Array[Double]] = df
+      .select(col(vecCol), xxhash64(col(vecCol)).as("__h"))
+      .orderBy(col("__h"))
+      .limit(maxSample)
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => x.toString.toDouble
+      }.toArray)
+    require(sample.nonEmpty, "empty training input")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeansL2(sub, ksub, iters)
+    }
+  }
+
+  /** Deterministic L2 k-means: farthest-point init (max-min distance) +
+    * Lloyd mean updates; an emptied cluster keeps its previous centroid.
+    * Fewer distinct points than k dedupes to the distinct set.
+    */
+  private def kmeansL2(points: Array[Array[Double]], k: Int,
+      iters: Int): Seq[Seq[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val kEff = math.min(k, points.map(_.toSeq).distinct.size)
+    val cents = scala.collection.mutable.ArrayBuffer(points(0))
+    while (cents.length < kEff) {
+      val next = points.maxBy(p => cents.map(c => d2(p, c)).min)
+      cents += next
+    }
+    var cs = cents.toArray
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(cs.length)(new Array[Double](points(0).length))
+      val counts = new Array[Int](cs.length)
+      points.foreach { p =>
+        val best = cs.indices.minBy(c => d2(p, cs(c)))
+        counts(best) += 1
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      cs = cs.indices.map { c =>
+        if (counts(c) == 0) cs(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cs.toIndexedSeq.map(_.toIndexedSeq)
+  }
+
+  /** Attach the PQ code column (`pq_code`, array<int> of length m): per
+    * subspace, the L2-nearest codeword id. Pure column algebra — m x ksub
+    * literal subvector distances per row, codegen'd, no UDF.
+    */
+  def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dsub = codebooks.head.head.length
+    val codes = array(codebooks.indices.map { s =>
+      val subv = slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub)
+      val scored = codebooks(s).zipWithIndex.map { case (cw, cid) =>
+        struct(
+          aggregate(zip_with(subv, typedlit(cw), (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (a, x) => a + x).as("d"),
+          lit(cid).as("cid"))
+      }
+      least(scored: _*).getField("cid")
+    }: _*)
+    df.withColumn("pq_code", codes)
+  }
+
+  /** Asymmetric-distance (ADC) approximation: the query's per-subspace
+    * distances to every codeword form an m x ksub lookup table (driver-
+    * side literal); a row's approximate squared L2 distance is the sum of
+    * m table lookups — no vector arithmetic per row at all.
+    */
+  def pqApproxDistance(codeCol: Column, query: Seq[Double],
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = codebooks.head.head.length
+    val lut: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+      val q = query.slice(s * dsub, (s + 1) * dsub)
+      cb.map(cw => cw.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    aggregate(
+      zip_with(codeCol, typedlit(lut), (c, row) => element_at(row, c + 1)),
+      lit(0.0d), (a, x) => a + x)
+  }
+
+  /** PQ top-k with exact re-rank: the ADC scan keeps `k * rerank`
+    * candidates (a TakeOrdered over table lookups — the corpus-wide pass
+    * touches only the m-byte codes), then the small candidate set is
+    * re-scored with exact cosine. With `k * rerank >= |corpus|` this is
+    * exactly brute force (the spec pins that identity).
+    */
+  def topKPq(encoded: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], query: Seq[Double], k: Int,
+      rerank: Int = 8): DataFrame = {
+    require(query.exists(_ != 0.0), "query vector must be non-zero")
+    val cand = encoded
+      .select(col(idCol), col(vecCol),
+        pqApproxDistance(col("pq_code"), query, codebooks).as("__adc"))
+      .orderBy(col("__adc").asc, col(idCol).asc)
+      .limit(k * rerank)
+    cand.select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Write the corpus partitioned by IVF cell: `partitionBy("cell")` lays
     * each cell out as its own directory, so a query probing `nprobe` cells
     * is a partition-pruned scan that never opens the other cells' files —

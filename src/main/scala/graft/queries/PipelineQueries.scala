@@ -444,6 +444,24 @@ object PipelineQueries {
       },
       None),
 
+    // product-quantization top-k: normalized vectors -> trained per-
+    // subspace codebooks -> m-byte codes -> ADC lookup-table scan with
+    // exact cosine re-rank of the small candidate set (rows-only;
+    // recall/identity laws are spec-verified in OperatorsSpec)
+    QueryDef("q_sim_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), Similarity.normalized(col("embedding")).as("vn"))
+        val cb = Similarity.trainPq(emb, "vn", m = 8, ksub = 16)
+        val nq = math.sqrt(fixedQueryVector.map(x => x * x).sum)
+        val q = fixedQueryVector.map(_ / nq)
+        Similarity.topKPq(Similarity.pqEncode(emb, "vn", cb), "vec_id", "vn",
+          cb, q, k = 10)
+          .select(col("vec_id"),
+            (floor(col("cosine") * 1e6d + 0.5d) / 1e6d).as("cosine_r"))
+      },
+      None),
+
     // IVF (cell-pruned) approximate top-k over TRAINED centroids
     // (deterministic spherical k-means on a bounded sample)
     QueryDef("q_sim_ivf",

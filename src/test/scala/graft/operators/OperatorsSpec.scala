@@ -178,6 +178,38 @@ class OperatorsSpec extends AnyFunSuite {
       cents, q, 10, nprobe = 2).count() == 10)
   }
 
+  test("product quantization: full-rerank identity, recall, determinism") {
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = raw.select($"vec_id",
+      Similarity.normalized($"embedding").as("vn"))
+    val cb = Similarity.trainPq(emb, "vn", m = 8, ksub = 16)
+    // code shape: m entries, each < ksub
+    val encoded = Similarity.pqEncode(emb, "vn", cb)
+    val code = encoded.select($"pq_code").collect()(0).getSeq[Int](0)
+    assert(code.length == 8 && code.forall(c => c >= 0 && c < 16))
+    val q0 = graft.queries.PipelineQueries.fixedQueryVector
+    val nq = math.sqrt(q0.map(x => x * x).sum)
+    val q = q0.map(_ / nq)
+    val brute = Similarity.topK(raw, "vec_id", "embedding", q0, 10)
+      .collect().map(_.getLong(0)).toSeq
+    // rerank window covering the whole table == exact brute force
+    // (cosine is scale-invariant, so normalized-vector scores rank
+    // identically to the raw embeddings)
+    val full = Similarity.topKPq(encoded, "vec_id", "vn", cb, q, 10,
+      rerank = emb.count().toInt)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute, "full-rerank PQ must equal brute force")
+    // practical rerank window keeps useful recall
+    val approx = Similarity.topKPq(encoded, "vec_id", "vn", cb, q, 10,
+      rerank = 8).collect().map(_.getLong(0)).toSet
+    assert(approx.intersect(brute.toSet).size >= 5,
+      s"PQ recall collapsed: ${approx.intersect(brute.toSet).size}/10")
+    // codebooks are layout-independent (content-hash-ordered sample)
+    val cb2 = Similarity.trainPq(
+      emb.repartition(7, $"vec_id"), "vn", m = 8, ksub = 16)
+    assert(cb == cb2, "PQ training must not depend on physical layout")
+  }
+
   test("int8 quantization: reconstruction error bounded by scale/2 per element") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val rt = emb.select($"vec_id",

@@ -323,6 +323,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF + PQ: the billion-vector composition — restrict to the `nprobe`
+    * nearest cells (partition-pruned I/O when the layout is
+    * cell-partitioned), then ADC-scan only those cells' m-byte codes and
+    * exact-re-rank the candidate window. `encoded` must carry `cell`
+    * (from [[assignCells]] / the partitioned layout) and `pq_code` (from
+    * [[pqEncode]]).
+    */
+  def topKIvfPq(encoded: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], codebooks: Seq[Seq[Seq[Double]]],
+      query: Seq[Double], k: Int, nprobe: Int, rerank: Int = 8): DataFrame = {
+    val probeCells = centroids
+      .map { case (cid, cvec) => (cid, cosSim(cvec, query)) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    topKPq(encoded.filter(col("cell").isin(probeCells: _*)),
+      idCol, vecCol, codebooks, query, k, rerank)
+  }
+
   /** Write the corpus partitioned by IVF cell: `partitionBy("cell")` lays
     * each cell out as its own directory, so a query probing `nprobe` cells
     * is a partition-pruned scan that never opens the other cells' files —

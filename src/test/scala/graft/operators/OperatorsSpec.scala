@@ -208,6 +208,18 @@ class OperatorsSpec extends AnyFunSuite {
     val cb2 = Similarity.trainPq(
       emb.repartition(7, $"vec_id"), "vn", m = 8, ksub = 16)
     assert(cb == cb2, "PQ training must not depend on physical layout")
+    // IVF + PQ composition: all cells probed + full rerank == brute force
+    val cents = Similarity.trainCentroids(emb, "vn", k = 8)
+    val celled = Similarity.assignCells(encoded, "vn", cents)
+    val ivfpq = Similarity.topKIvfPq(celled, "vec_id", "vn", cents, cb, q,
+      10, nprobe = 8, rerank = emb.count().toInt)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivfpq == brute, "IVF+PQ with full probes/rerank must equal brute force")
+    // probing a cell subset keeps useful recall
+    val partial = Similarity.topKIvfPq(celled, "vec_id", "vn", cents, cb, q,
+      10, nprobe = 4, rerank = 8).collect().map(_.getLong(0)).toSet
+    assert(partial.intersect(brute.toSet).size >= 4,
+      s"IVF+PQ recall collapsed: ${partial.intersect(brute.toSet).size}/10")
   }
 
   test("int8 quantization: reconstruction error bounded by scale/2 per element") {

@@ -85,4 +85,42 @@ class StreamingSpec extends AnyFunSuite {
       sortedRows(naive))
     assert(got.count() > 0)
   }
+
+  test("firstPerKey evicts state after the horizon even when duplicates arrive") {
+    // three micro-batches: first event for key (1,a); a DUPLICATE in the
+    // next batch (which clears Spark's stored timeout — the operator must
+    // re-arm it from the state's deadline); then a far-future event that
+    // advances the watermark past (1,a)'s horizon. The key's state must be
+    // GONE afterwards — the round-3 fix for unbounded streaming state.
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val srcDir = "/tmp/graft_stream_evict"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+    Files.createDirectories(Paths.get(srcDir))
+    val t0 = 1700000000L * 1000000000L // nanos
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.parquet(s"$srcDir/$name")
+      Thread.sleep(1100) // distinct mod-times => deterministic batch order
+    }
+    val h = 3600L * 1000000000L
+    write("b1", Seq((1L, t0, 1L, "a", 1.0, "{}")))
+    write("b2", Seq((2L, t0 + 600L * 1000000000L, 1L, "a", 1.0, "{}"))) // duplicate
+    write("b3", Seq((3L, t0 + 5L * h, 2L, "b", 1.0, "{}"))) // watermark jump
+    val stream = EventStreams.normalize(
+      spark.readStream.schema(EventStreams.rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"))
+    val q = EventStreams.firstPerKey(stream).writeStream
+      .format("memory").queryName("evict_out").outputMode("append").start()
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    val out = spark.table("evict_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "a", 1L), (2L, "b", 3L)),
+      s"wrong first-per-key output: $out")
+    // key (1,a) evicted once the watermark passed t0+2h; (2,b) still live
+    assert(stateRows <= 1,
+      s"state not evicted ($stateRows rows live) — duplicates disarmed the timeout")
+  }
 }

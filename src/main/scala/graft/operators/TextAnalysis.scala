@@ -19,6 +19,20 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text))).cast("long")
 
+  /** Word n-grams of a text column (space-joined, lowercase): the corpus
+    * n-gram-statistics building block (bigram/trigram frequency tables,
+    * language-model counts). A document with fewer than n tokens yields
+    * an EMPTY array (no partial n-gram — mirrors the windowed formula an
+    * external engine computes, unlike [[graft.operators.Dedup.shingles]]
+    * which emits the whole short text as one shingle for LSH recall).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
   /** A BPE-ish subword proxy: counts alternating letter/digit/punctuation
     * runs rather than whitespace words — a deterministic stand-in for a
     * real tokenizer's token count (no tokenizer libs in this container).

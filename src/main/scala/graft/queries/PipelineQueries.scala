@@ -163,6 +163,18 @@ object PipelineQueries {
       },
       Some("""SELECT tok, COUNT(*) AS n FROM (SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok FROM documents) WHERE LENGTH(tok) > 0 GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 25""")),
 
+    // corpus bigram statistics: top-20 word bigrams (n-gram language-model
+    // counts) — explode -> map-side-combinable count -> TakeOrdered
+    QueryDef("q_text_bigrams",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.wordNgrams(col("text"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bg").asc)
+          .limit(20)
+      },
+      Some(raw"""SELECT bg, COUNT(*) AS n FROM (SELECT UNNEST(list_transform(range(1, LEN(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM (SELECT string_split_regex(TRIM(LOWER(text)), '\s+') AS toks FROM documents)) GROUP BY bg ORDER BY n DESC, bg ASC LIMIT 20""")),
+
     // intra-document repetition (duplicate-sentence fraction)
     QueryDef("q_text_repetition",
       (s, dir) => {

@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print a single machine-readable JSON line as their LAST
+// stdout line; sbt's trailing "[success] Total time: ..." banner lands
+// after it and breaks last-line JSON parsing by the harness. Suppress it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -95,12 +95,15 @@ object Dedup {
         min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("__kh", "__kl")
 
-  /** Word k-shingles of a text column. */
+  /** Word k-shingles of a text column. Built with the shared sliding
+    * `zip_with` composition (see [[TextAnalysis.slidingConcat]]) — the
+    * naive `transform(sequence, i => slice(toks, ...))` form re-evaluates
+    * the tokenizer once per shingle (O(tokens^2) per document).
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(TextAnalysis.slidingConcat(toks, k))
   }
 
   /** Sorted, duplicate-free `xxhash64` values of the word k-shingles: the

@@ -29,8 +29,22 @@ object TextAnalysis {
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(slidingConcat(toks, n))
+  }
+
+  /** Space-joined sliding windows of length `n` over a token array, built
+    * as `n-1` chained `zip_with`s of shifted slices. Each `zip_with`
+    * evaluates its array children ONCE per row; the equivalent
+    * `transform(sequence(...), i => slice(toks, i+1, n))` formulation
+    * re-evaluates the token expression PER WINDOW (higher-order-function
+    * lambdas inline their free subexpressions), turning tokenization into
+    * O(tokens^2) per document — a 10x+ slowdown on real documents.
+    */
+  private[graft] def slidingConcat(toks: Column, n: Int): Column = {
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    (1 until n).foldLeft(slice(toks, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), m), (a, b) => concat(a, lit(" "), b))
+    }
   }
 
   /** A BPE-ish subword proxy: counts alternating letter/digit/punctuation

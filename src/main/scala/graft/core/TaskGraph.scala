@@ -477,6 +477,13 @@ final case class TaskGraph(
           if (!labelsMatch)
             throw new GraftException(
               s"Node '$n' has already been mapped with different indices")
+          // strict mode: a file-backed re-map still gets a length guard
+          // (full equality stays deferred — see strictValidation)
+          if (!bothLocal && TaskGraph.strictValidation(group0.df))
+            old.dims.zip(group0.dims).foreach { case (od, nd) =>
+              TaskGraph.requireSameLength(od,
+                old.labelFrame(od), group0.labelFrame(nd))
+            }
           if (renameTo.exists(_ != old.dims))
             throw new GraftException(
               "Nodes re-mapped in one call belong to groups with different dims")
@@ -522,18 +529,35 @@ final case class TaskGraph(
         gs.filter(og => og.valueCols.nonEmpty && og.dims.contains(dm))
       val collidesGroupby = groupbyDims.contains(dm)
       if (collidingGroups.nonEmpty || collidesGroupby) {
-        safeLabels(group).foreach { newLabels =>
-          collidingGroups.foreach { og =>
-            safeLabels(og).foreach { oldLabels =>
-              if (!TaskGraph.labelsCompatible(oldLabels, newLabels))
-                throw new GraftException(
-                  s"""Conflicting index values for index name "$dm"""")
+        val strict = TaskGraph.strictValidation(group.df)
+        // strict-mode fallback labels: built even for file-backed
+        // positional groups (accepts the zipWithIndex construction job)
+        def allLabels(g: DimGroup): DataFrame =
+          g.frame(needPositional = true).select(dm).distinct()
+        safeLabels(group) match {
+          case Some(newLabels) =>
+            collidingGroups.foreach { og =>
+              safeLabels(og) match {
+                case Some(oldLabels) =>
+                  if (!TaskGraph.labelsCompatible(oldLabels, newLabels))
+                    throw new GraftException(
+                      s"""Conflicting index values for index name "$dm"""")
+                case None if strict =>
+                  TaskGraph.requireSameLength(dm, allLabels(og), newLabels)
+                case None => ()
+              }
             }
-          }
-          if (collidesGroupby &&
-              !TaskGraph.labelsCompatible(indices(dm), newLabels))
-            throw new GraftException(
-              s"""Conflicting index values for index name "$dm"""")
+            if (collidesGroupby &&
+                !TaskGraph.labelsCompatible(indices(dm), newLabels))
+              throw new GraftException(
+                s"""Conflicting index values for index name "$dm"""")
+          case None if strict =>
+            val newLabels = allLabels(group)
+            collidingGroups.foreach(og =>
+              TaskGraph.requireSameLength(dm, allLabels(og), newLabels))
+            if (collidesGroupby)
+              TaskGraph.requireSameLength(dm, indices(dm), newLabels)
+          case None => ()
         }
       }
     }
@@ -764,17 +788,22 @@ final case class TaskGraph(
           s"Node '$key' has already been mapped with different indices")
       // eager label validation only when the positional frame is free to
       // build (no positional dim, or in-memory) — file-backed positional
-      // labels defer to join semantics, as in addGroup
-      if (og.positionalDim.isEmpty || TaskGraph.isLocalPlan(og.df)) {
-        og.dims.foreach { dm =>
-          val otherSafe = other.groups.find(_.dims.contains(dm)).forall(g =>
-            g.positionalDim.isEmpty || TaskGraph.isLocalPlan(g.df))
-          if (otherSafe && !TaskGraph.labelsCompatible(
+      // labels defer to join semantics, as in addGroup; strict mode adds
+      // the length guard on the deferred pairs
+      og.dims.foreach { dm =>
+        val ogSafe = og.positionalDim.isEmpty || TaskGraph.isLocalPlan(og.df)
+        val otherSafe = other.groups.find(_.dims.contains(dm)).forall(g =>
+          g.positionalDim.isEmpty || TaskGraph.isLocalPlan(g.df))
+        if (ogSafe && otherSafe) {
+          if (!TaskGraph.labelsCompatible(
               og.frame(needPositional = true).select(dm).distinct(),
               other.indices(dm)))
             throw new GraftException(
               s"""Conflicting index values for index name "$dm"""")
-        }
+        } else if (TaskGraph.strictValidation(og.df))
+          TaskGraph.requireSameLength(dm,
+            og.frame(needPositional = true).select(dm).distinct(),
+            other.indices(dm))
       }
       merged = merged.copy(groups = merged.groups
         .map(g => if (g eq og) g.copy(valueCols = g.valueCols - key) else g)
@@ -802,6 +831,11 @@ final case class TaskGraph(
           if (!labelsMatch)
             throw new GraftException(
               s"Node '$n' has already been mapped with different indices")
+          if (!bothLocal && TaskGraph.strictValidation(g.df))
+            old.dims.zip(g.dims).foreach { case (od, nd) =>
+              TaskGraph.requireSameLength(od,
+                old.labelFrame(od), g.labelFrame(nd))
+            }
           val valuesMatch = bothLocal && TaskGraph.sameData(
             old.df.select(col(old.valueCols(n)).as("v")),
             g.df.select(col(g.valueCols(n)).as("v")))
@@ -827,6 +861,12 @@ final case class TaskGraph(
               case (Some(a), Some(b)) if !TaskGraph.labelsCompatible(a, b) =>
                 throw new GraftException(
                   s"""Conflicting index values for index name "$dim"""")
+              case (Some(_), Some(_)) => ()
+              case _ if TaskGraph.strictValidation(g.df) =>
+                // at least one side is file-backed: strict length guard
+                TaskGraph.requireSameLength(dim,
+                  og.frame(needPositional = true).select(dim).distinct(),
+                  g.frame(needPositional = true).select(dim).distinct())
               case _ => ()
             }
           }
@@ -1097,6 +1137,33 @@ object TaskGraph {
   def isLocalPlan(df: DataFrame): Boolean =
     df.queryExecution.analyzed.collectLeaves()
       .forall(_.getClass.getSimpleName == "LocalRelation")
+
+  /** Opt-in strict shape validation
+    * (`spark.conf.set("spark.graft.strictValidation", "true")`): the
+    * file-backed validation paths normally defer to join semantics so
+    * graph CONSTRUCTION never runs a Spark job — the right default at
+    * 100 TB, but it turns a dim-length mismatch (which the reference
+    * raises on eagerly) into silent row drops at execution time. Strict
+    * mode adds a cheap eager LENGTH guard on exactly those deferred
+    * paths: colliding or re-mapped dims must have equal label counts or
+    * the call raises. Costs one count() job per checked dim (plus the
+    * positional zipWithIndex pass for positional file-backed dims).
+    */
+  def strictValidation(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("spark.graft.strictValidation")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Strict-mode guard: two label sets claimed to describe the same dim
+    * must at least AGREE IN LENGTH (full equality would be a fact-scale
+    * join; length catches the shape mismatches that silently shrink
+    * results through inner-join alignment).
+    */
+  private[core] def requireSameLength(dim: String, a: DataFrame, b: DataFrame): Unit = {
+    val (ca, cb) = (a.count(), b.count())
+    if (ca != cb)
+      throw new GraftException(
+        s"""Conflicting index lengths for index name "$dim" ($ca vs $cb)""")
+  }
 
   /** Unit-carrying coordinate encoding (reference ScippDataArrayAdapter:
     * a coord with a unit yields `(value, unit)` tuple labels,

@@ -43,12 +43,16 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     var j = 0
     val n = arr.numElements()
     while (j < n) {
-      val base = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
-      var i = 0
-      while (i < numHashes) {
-        val h = XXH64.hashInt(i, base)
-        if (h < mins(i)) mins(i) = h
-        i += 1
+      // null elements are skipped (treated as absent from the shingle
+      // set), matching SortedIntersectCount's null handling
+      if (!arr.isNullAt(j)) {
+        val base = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashInt(i, base)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
       }
       j += 1
     }
@@ -67,6 +71,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |long[] $mins = new long[$numHashes];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($in.isNullAt($j)) continue;
          |  long $base = $xxh.hashUTF8String($in.getUTF8String($j), 42L);
          |  for (int $i = 0; $i < $numHashes; $i++) {
          |    long $hv = $xxh.hashInt($i, $base);
@@ -108,12 +113,17 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
     var j = 0
     val n = arr.numElements()
     while (j < n) {
-      val base = arr.getLong(j)
-      var i = 0
-      while (i < numHashes) {
-        val h = XXH64.hashInt(i, base)
-        if (h < mins(i)) mins(i) = h
-        i += 1
+      // null elements are skipped (treated as absent from the shingle
+      // set) — the SQL-registered form accepts containsNull arrays, and
+      // reading a null slot as hash value 0 would silently skew minima
+      if (!arr.isNullAt(j)) {
+        val base = arr.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashInt(i, base)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
       }
       j += 1
     }
@@ -132,6 +142,7 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
          |long[] $mins = new long[$numHashes];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($in.isNullAt($j)) continue;
          |  long $base = $in.getLong($j);
          |  for (int $i = 0; $i < $numHashes; $i++) {
          |    long $hv = $xxh.hashInt($i, $base);
@@ -241,11 +252,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     var j = 0
     val n = arr.numElements()
     while (j < n) {
-      val h = arr.getLong(j)
-      var b = 0
-      while (b < 64) {
-        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
-        b += 1
+      // null token hashes cast no votes (skipped, not treated as 0)
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
       }
       j += 1
     }
@@ -264,6 +278,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int $n = $in.numElements();
          |int[] $votes = new int[64];
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($in.isNullAt($j)) continue;
          |  long $h = $in.getLong($j);
          |  for (int $b = 0; $b < 64; $b++) {
          |    $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;

@@ -270,8 +270,13 @@ object Dedup {
         val prepared = minhashPrepared(scope, df, idCol, textCol, h, k)
         (prepared, prepared)
       }
-    val cands = boundedPairs(scope, bandFrame(sigFrame, bands, rows),
+    val cands0 = boundedPairs(scope, bandFrame(sigFrame, bands, rows),
       "band", "bucket", maxBucket)
+    // rescanVerify consumes the candidate pairs TWICE (once for the
+    // endpoint-id semi-join, once as the verify join's spine) — persist so
+    // the pair-distinct aggregation runs once; the single-consumer default
+    // path stays unpersisted
+    val cands = if (rescanVerify) scope.persist(cands0) else cands0
     val sh =
       if (!rescanVerify) shSource.select(col("id"), col("sh"))
       else {
@@ -373,6 +378,11 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels: DataFrame = null
+    // tracks whether the CURRENT `labels` snapshot was already released
+    // (only the non-convergence path releases before throwing); the catch
+    // clause keys on this, not the exception type — a Spark-internal
+    // IllegalStateException mid-iteration must still release
+    var labelsReleased = false
     try {
       labels = snap(edges.select(col("src").as("id")).distinct()
         .withColumn("rep", col("id")))
@@ -397,6 +407,7 @@ object Dedup {
       }
       if (!converged) {
         releaseSnap(labels)
+        labelsReleased = true
         throw new IllegalStateException(
           s"duplicate clustering did not converge in $maxIter iterations " +
             "(component diameter exceeds maxIter); raise maxIter")
@@ -406,8 +417,7 @@ object Dedup {
       // a failed iteration must not strand the current snapshot (the
       // edges unpersist and dir restore run in the finally below)
       case e: Throwable =>
-        if (labels != null &&
-            !e.isInstanceOf[IllegalStateException]) releaseSnap(labels)
+        if (labels != null && !labelsReleased) releaseSnap(labels)
         throw e
     } finally {
       edges.unpersist()

@@ -61,17 +61,22 @@ object Similarity {
   }
 
   /** IVF top-k: only the `nprobe` cells whose centroids are closest to
-    * the query pay the query scoring and the top-k sort. When `df`
-    * already carries a `cell` column (assigned at ingest — the production
-    * posture, see [[writePartitionedByCell]]) the non-probed rows are a
-    * filter away and nothing else; otherwise cell assignment costs one
-    * narrow pass of C model-sized dot products per row — compute pruning
-    * only, no I/O pruning. True scan pruning needs the cell-partitioned
+    * the query pay the query scoring and the top-k sort. With
+    * `precomputedCells = true`, `df` must already carry a `cell` column
+    * ASSIGNED FROM THESE SAME CENTROIDS (the at-ingest production
+    * posture, see [[writePartitionedByCell]]) and the non-probed rows are
+    * a filter away and nothing else; the default always (re)assigns —
+    * one narrow pass of C model-sized dot products per row (compute
+    * pruning only, no I/O pruning). The flag is explicit rather than
+    * dispatching on a `cell` column's presence: a frame carrying an
+    * unrelated or stale `cell` column would silently be filtered against
+    * mismatched probe ids. True scan pruning needs the cell-partitioned
     * layout ([[topKIvfPartitioned]], which skips non-probed FILES).
     */
   def topKIvf(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Double])],
-      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+      query: Seq[Double], k: Int, nprobe: Int,
+      precomputedCells: Boolean = false): DataFrame = {
     require(query.exists(_ != 0.0), "query vector must be non-zero")
     val probeCells = centroids
       .map { case (cid, cvec) =>
@@ -80,7 +85,11 @@ object Similarity {
       }
       .sortBy(-_._2).take(nprobe).map(_._1)
     val assigned =
-      if (df.columns.contains("cell")) df else assignCells(df, vecCol, centroids)
+      if (precomputedCells) {
+        require(df.columns.contains("cell"),
+          "precomputedCells = true but no `cell` column present")
+        df
+      } else assignCells(df.drop("cell"), vecCol, centroids)
     assigned
       .filter(col("cell").isin(probeCells: _*))
       .select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))

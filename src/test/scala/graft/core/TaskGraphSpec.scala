@@ -841,4 +841,35 @@ class TaskGraphSpec extends AnyFunSuite {
       base.mapFrame(d3, Map("b" -> "w"), indexCol = Some("k"), dimName = "shared")
     }
   }
+
+  test("strict validation: file-backed dim-length mismatch raises eagerly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_strict").toString
+    Seq(1, 2, 3).toDF("v").write.mode("overwrite").parquet(s"$dir/p3")
+    Seq(4, 5).toDF("w").write.mode("overwrite").parquet(s"$dir/p2")
+    Seq(7, 8, 9).toDF("u").write.mode("overwrite").parquet(s"$dir/q3")
+    val f3 = spark.read.parquet(s"$dir/p3")
+    val f2 = spark.read.parquet(s"$dir/p2")
+    val g3 = spark.read.parquet(s"$dir/q3")
+    def collide(second: org.apache.spark.sql.DataFrame, c: String) =
+      TaskGraph.fromEdges("a" -> "c", "b" -> "c")
+        .mapFrame(f3, Map("a" -> "v"), dimName = "x")
+        .mapFrame(second, Map("b" -> c), dimName = "x")
+    def remap(second: org.apache.spark.sql.DataFrame, c: String) =
+      TaskGraph.chain("a", "b")
+        .mapFrame(f3, Map("a" -> "v"), dimName = "x")
+        .mapFrame(second, Map("a" -> c), dimName = "x")
+    // default: construction stays job-free, shape checks defer to join
+    // semantics (the 100 TB posture) — no throw at build time
+    collide(f2, "w"); remap(f2, "w")
+    spark.conf.set("spark.graft.strictValidation", "true")
+    try {
+      val e1 = intercept[GraftException](collide(f2, "w"))
+      assert(e1.getMessage.contains("Conflicting index lengths"))
+      val e2 = intercept[GraftException](remap(f2, "w"))
+      assert(e2.getMessage.contains("Conflicting index lengths"))
+      // equal lengths still pass in strict mode
+      assert(collide(g3, "u").result("c").count() == 3)
+      remap(g3, "u")
+    } finally spark.conf.unset("spark.graft.strictValidation")
+  }
 }

@@ -86,6 +86,23 @@ class LshExpressionsSpec extends AnyFunSuite {
     assert(withNulls.collect()(0).getInt(0) == 2)
   }
 
+  test("null array ELEMENTS are skipped by the minhash/simhash kernels") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_minhash_hashed(array(CAST(NULL AS LONG), 7L, 99L), 4) AS a, " +
+        "graft_minhash_hashed(array(7L, 99L), 4) AS b, " +
+        "graft_simhash(array(CAST(NULL AS LONG), 7L, 99L)) AS c, " +
+        "graft_simhash(array(7L, 99L)) AS d, " +
+        "graft_minhash(array(CAST(NULL AS STRING), 'x y z'), 4) AS e, " +
+        "graft_minhash(array('x y z'), 4) AS f").collect()(0)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      "null long element must not vote as hash 0")
+    assert(r.getLong(2) == r.getLong(3),
+      "null token hash must cast no simhash votes")
+    assert(r.getSeq[Long](4) == r.getSeq[Long](5),
+      "null shingle string must be treated as absent")
+  }
+
   test("null inputs yield null; codegen stage active") {
     val df = Seq((1L, Some(Seq("a b c", "b c d"))), (2L, None))
       .toDF("id", "sh")

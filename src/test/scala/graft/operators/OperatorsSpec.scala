@@ -149,6 +149,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cents == relaid, "centroids must not depend on physical layout")
   }
 
+  test("topKIvf ignores an unrelated `cell` column unless precomputedCells") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = graft.queries.PipelineQueries.fixedQueryVector
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 8)
+    def ids(df: DataFrame) = df.collect().map(_.getLong(0)).toSeq
+    val clean = ids(Similarity.topKIvf(emb, "vec_id", "embedding", cents, q,
+      10, nprobe = 8))
+    // a stale/unrelated cell column (user data or a previous training
+    // run) must NOT silently poison the probe filter
+    val poisoned = emb.withColumn("cell", lit(9999))
+    assert(ids(Similarity.topKIvf(poisoned, "vec_id", "embedding", cents, q,
+      10, nprobe = 8)) == clean)
+    // explicit opt-in honors the precomputed assignment
+    val assigned = Similarity.assignCells(emb, "embedding", cents)
+    assert(ids(Similarity.topKIvf(assigned, "vec_id", "embedding", cents, q,
+      10, nprobe = 8, precomputedCells = true)) == clean)
+    // ... and demands the column it was promised
+    assertThrows[IllegalArgumentException] {
+      Similarity.topKIvf(emb, "vec_id", "embedding", cents, q,
+        10, nprobe = 8, precomputedCells = true)
+    }
+  }
+
   test("IVF partitioned layout prunes non-probed cells at the file level") {
     import org.apache.spark.sql.functions.input_file_name
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -298,6 +298,131 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash"
 }
 
+/** Random-hyperplane LSH bucket codes for one embedding: the signs of the
+  * vector's dot products with `planes` (row-major, `tables * planesPerTable`
+  * rows of `dim` coefficients), packed per table into a base-2 code —
+  * code(t) = sum over p in table t of 2^(remaining) * (dot(planes(p), v) > 0).
+  * One primitive pass over the vector per plane, no per-plane array
+  * allocation or boxing (the `transform`/`zip_with`/`aggregate`
+  * formulation it replaces allocated a zipped array per plane per row and
+  * boxed every element).
+  *
+  * Exact parity with that SQL formulation's null semantics: a vector whose
+  * length differs from `dim`, or containing a null element, zips a null
+  * into every plane's product, nulling every dot — all bits 0, so every
+  * table code is 0 (the row lands in bucket 0 of every table).
+  */
+case class HyperplaneBuckets(child: Expression,
+    planes: IndexedSeq[IndexedSeq[Double]], planesPerTable: Int)
+    extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.length % planesPerTable == 0,
+    s"planes (${planes.length}) must be a multiple of planesPerTable ($planesPerTable)")
+
+  private val dim = planes.head.length
+  private val nTables = planes.length / planesPerTable
+  // flattened row-major copy for the hot loop (and the codegen reference)
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](planes.length * dim)
+    var p = 0
+    while (p < planes.length) {
+      var i = 0
+      while (i < dim) { a(p * dim + i) = planes(p)(i); i += 1 }
+      p += 1
+    }
+    a
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${t.sql}")
+  }
+
+  // lazy: touching child.dataType at construction time throws on a
+  // not-yet-resolved child (the analyzer copies this node via
+  // withNewChildInternal before resolution completes)
+  @transient private lazy val childIsFloat =
+    child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val codes = new Array[Long](nTables)
+    var degenerate = v.numElements() != dim
+    if (!degenerate) {
+      var i = 0
+      while (i < dim && !degenerate) {
+        if (v.isNullAt(i)) degenerate = true
+        i += 1
+      }
+    }
+    if (!degenerate) {
+      val vec = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        vec(i) = if (childIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        i += 1
+      }
+      var p = 0
+      while (p < planes.length) {
+        var s = 0.0d
+        var j = 0
+        val off = p * dim
+        while (j < dim) { s += flat(off + j) * vec(j); j += 1 }
+        val t = p / planesPerTable
+        codes(t) = codes(t) * 2 + (if (s > 0) 1L else 0L)
+        p += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val uad = classOf[UnsafeArrayData].getName
+      val planesRef = ctx.addReferenceObj("graftPlanes", flat, "double[]")
+      val (codes, degen, vec, i, p, j, s, off) = (ctx.freshName("codes"),
+        ctx.freshName("degen"), ctx.freshName("vec"), ctx.freshName("i"),
+        ctx.freshName("p"), ctx.freshName("j"), ctx.freshName("s"),
+        ctx.freshName("off"))
+      val getElem =
+        if (childIsFloat) s"(double) $in.getFloat($i)" else s"$in.getDouble($i)"
+      s"""
+         |long[] $codes = new long[$nTables];
+         |boolean $degen = $in.numElements() != $dim;
+         |if (!$degen) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($in.isNullAt($i)) { $degen = true; break; }
+         |  }
+         |}
+         |if (!$degen) {
+         |  double[] $vec = new double[$dim];
+         |  for (int $i = 0; $i < $dim; $i++) { $vec[$i] = $getElem; }
+         |  for (int $p = 0; $p < ${planes.length}; $p++) {
+         |    double $s = 0.0d;
+         |    int $off = $p * $dim;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $s += $planesRef[$off + $j] * $vec[$j];
+         |    }
+         |    $codes[$p / $planesPerTable] =
+         |      $codes[$p / $planesPerTable] * 2 + (($s > 0) ? 1L : 0L);
+         |  }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hyperplane_buckets"
+}
+
 object LshExpressions {
   def minhashSignature(sh: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(sh), numHashes))
@@ -310,4 +435,9 @@ object LshExpressions {
 
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
+
+  def hyperplaneBuckets(vec: Column, planes: Seq[Seq[Double]],
+      planesPerTable: Int): Column =
+    Bridge.column(HyperplaneBuckets(Bridge.expression(vec),
+      planes.map(_.toIndexedSeq).toIndexedSeq, planesPerTable))
 }

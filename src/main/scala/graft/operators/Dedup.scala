@@ -530,22 +530,14 @@ object Dedup {
   ): DataFrame = {
     val planes = planeMatrix(dim, planesPerTable * tables, seed)
     val prepared = widen(df).select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // one foldable nested literal for the whole plane matrix: evaluated
-    // once as a constant, not 32 separate 64-literal arrays per row
-    val planesLit = typedlit(planes.map(_.toSeq).toSeq)
-    val bits = transform(planesLit, p =>
-      when(aggregate(
-        zip_with(col("vec"), p, (x, y) => x.cast("double") * y),
-        lit(0.0d), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
-    // expanded per table (not a loop lambda) so the `tables` references to
-    // __bits keep the plane-dot projection as its own once-per-row stage
-    val buckets = array((0 until tables).map { t =>
-      aggregate(slice(col("__bits"), t * planesPerTable + 1, planesPerTable),
-        lit(0L), (acc, x) => acc * 2 + x)
-    }.toIndexedSeq: _*)
+    // all `tables` bucket codes from ONE native codegen'd pass over the
+    // vector (see [[graft.functions.HyperplaneBuckets]]) — bit-identical
+    // to the transform/zip_with/aggregate formulation it replaced, minus
+    // a per-plane zipped-array allocation and boxing per row
     val banded = prepared
-      .withColumn("__bits", bits)
-      .select(col("id"), posexplode(buckets))
+      .select(col("id"), posexplode(
+        graft.functions.LshExpressions.hyperplaneBuckets(
+          col("vec"), planes.map(_.toIndexedSeq).toIndexedSeq, planesPerTable)))
       .toDF("id", "table", "bucket")
     val cands = boundedPairs(scope, banded, "table", "bucket", maxBucket)
     val va = prepared.select(col("id").as("id_a"), col("vec").as("vec_a"))

@@ -86,6 +86,45 @@ class LshExpressionsSpec extends AnyFunSuite {
     assert(withNulls.collect()(0).getInt(0) == 2)
   }
 
+  test("HyperplaneBuckets == transform/zip_with/aggregate formulation, bit for bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rnd = new scala.util.Random(42L)
+    val planes = IndexedSeq.fill(32)(IndexedSeq.fill(64)(rnd.nextGaussian()))
+    // the SQL formulation the native kernel replaced (kept here as the
+    // independent semantics reference)
+    val planesLit = typedlit(planes.map(_.toSeq).toSeq)
+    val bits = transform(planesLit, p =>
+      when(aggregate(zip_with($"embedding", p, (x, y) => x.cast("double") * y),
+        lit(0.0d), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+    val sqlCodes = array((0 until 8).map { t =>
+      aggregate(slice(col("__bits"), t * 4 + 1, 4),
+        lit(0L), (acc, x) => acc * 2 + x)
+    }: _*)
+    val both = emb.withColumn("__bits", bits)
+      .select($"vec_id", sqlCodes.as("sql_codes"),
+        LshExpressions.hyperplaneBuckets($"embedding", planes, 4).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"row ${r.getLong(0)}")
+    }
+    // degenerate inputs follow the SQL null semantics: a wrong-length or
+    // null-element vector nulls every plane dot -> every table code 0
+    val weird = Seq(
+      (1L, Seq(1.0d, 2.0d)),                       // wrong dim
+    ).toDF("id", "v")
+      .union(spark.sql("SELECT 2L, array(CAST(NULL AS DOUBLE), 1.0d)"))
+    val degen = weird.select(
+      LshExpressions.hyperplaneBuckets($"v",
+        IndexedSeq.fill(4)(IndexedSeq.fill(64)(0.5)), 2).as("c")).collect()
+    degen.foreach(r => assert(r.getSeq[Long](0) == Seq(0L, 0L)))
+    // codegen active on the file-backed plan
+    val plan = emb.select(LshExpressions.hyperplaneBuckets($"embedding", planes, 4))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && plan.contains("graft_hyperplane_buckets"),
+      s"no codegen span:\n${plan.take(400)}")
+  }
+
   test("null array ELEMENTS are skipped by the minhash/simhash kernels") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

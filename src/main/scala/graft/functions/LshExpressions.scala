@@ -440,4 +440,33 @@ object LshExpressions {
       planesPerTable: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(vec),
       planes.map(_.toIndexedSeq).toIndexedSeq, planesPerTable))
+
+  /** Deterministic random-hyperplane matrix: `nPlanes` rows of `dim`
+    * standard-normal coefficients from a fixed-seed JDK RNG (a specified
+    * algorithm — identical across JVMs, runs, and cluster sizes). Shared
+    * by the cosine near-dup pipeline and LSH top-k so an index built by
+    * one is probeable by the other.
+    */
+  def planeMatrix(dim: Int, nPlanes: Int,
+      seed: Long): IndexedSeq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(nPlanes)(IndexedSeq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Driver-side bucket codes of one vector against `planes` — the exact
+    * packing [[HyperplaneBuckets]] computes per row (for probing: the
+    * query's codes are computed here, the corpus's by the kernel).
+    */
+  def bucketCodesOf(v: Seq[Double], planes: IndexedSeq[IndexedSeq[Double]],
+      planesPerTable: Int): IndexedSeq[Long] =
+    (0 until planes.length / planesPerTable).map { t =>
+      (0 until planesPerTable).foldLeft(0L) { (acc, p) =>
+        val plane = planes(t * planesPerTable + p)
+        var s = 0.0d
+        var i = 0
+        while (i < plane.length && i < v.length) { s += plane(i) * v(i); i += 1 }
+        val bit = if (v.length == plane.length && s > 0) 1L else 0L
+        acc * 2 + bit
+      }
+    }
 }

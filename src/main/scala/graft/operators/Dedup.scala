@@ -485,17 +485,6 @@ object Dedup {
         bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).as("hamming"))
   }
 
-  /** Deterministic random-hyperplane matrix: `nPlanes` rows of `dim`
-    * standard-normal coefficients from a fixed-seed JDK RNG (a specified
-    * algorithm — identical across JVMs, runs, and cluster sizes). Driver-
-    * side scalars embedded as literals: zero per-row hashing to derive
-    * plane coefficients.
-    */
-  private def planeMatrix(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-  }
-
   /** Embedding-cosine near-duplicate pairs via banded random-hyperplane
     * LSH: `tables` independent hash tables of `planesPerTable` sign bits
     * each (recall 1-(1-p^k)^L with p = 1 - theta/pi, the standard
@@ -528,7 +517,8 @@ object Dedup {
       threshold: Double, planesPerTable: Int, tables: Int,
       maxBucket: Int, seed: Long
   ): DataFrame = {
-    val planes = planeMatrix(dim, planesPerTable * tables, seed)
+    val planes = graft.functions.LshExpressions.planeMatrix(
+      dim, planesPerTable * tables, seed)
     val prepared = widen(df).select(col(idCol).as("id"), col(vecCol).as("vec"))
     // all `tables` bucket codes from ONE native codegen'd pass over the
     // vector (see [[graft.functions.HyperplaneBuckets]]) — bit-identical
@@ -537,7 +527,7 @@ object Dedup {
     val banded = prepared
       .select(col("id"), posexplode(
         graft.functions.LshExpressions.hyperplaneBuckets(
-          col("vec"), planes.map(_.toIndexedSeq).toIndexedSeq, planesPerTable)))
+          col("vec"), planes, planesPerTable)))
       .toDF("id", "table", "bucket")
     val cands = boundedPairs(scope, banded, "table", "bucket", maxBucket)
     val va = prepared.select(col("id").as("id_a"), col("vec").as("vec_a"))

@@ -97,6 +97,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** LSH-bucketed approximate top-k: `tables` independent random-
+    * hyperplane hash tables of `planesPerTable` sign bits (shared plane
+    * matrix with [[Dedup.cosineNearDups]] — same seed probes the same
+    * index); a row is a candidate when ANY table's bucket code matches
+    * the query's, and only candidates pay the exact cosine + TakeOrdered.
+    * One narrow scan: the row's codes come from one native kernel pass
+    * ([[graft.functions.HyperplaneBuckets]]), the match test is a single
+    * `exists` over the zipped code arrays (the codes expression is
+    * evaluated once per row, not once per table), and no shuffle carries
+    * vectors — TakeOrdered moves k rows to the driver.
+    *
+    * At ingest-time scale the codes column would be precomputed and
+    * stored (optionally `partitionBy` one table's code for file pruning,
+    * exactly like [[writePartitionedByCell]] for IVF); this probe-time
+    * variant recomputes codes in the scan — compute pruning of the
+    * cosine, not I/O pruning.
+    */
+  def topKLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      query: Seq[Double], k: Int, planesPerTable: Int = 6, tables: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    require(query.exists(_ != 0.0), "query vector must be non-zero")
+    require(query.length == dim, s"query dim ${query.length} != dim $dim")
+    val lsh = graft.functions.LshExpressions
+    val planes = lsh.planeMatrix(dim, planesPerTable * tables, seed)
+    val qCodes = lsh.bucketCodesOf(query, planes, planesPerTable)
+    val codes = lsh.hyperplaneBuckets(col(vecCol), planes, planesPerTable)
+    val hit = exists(
+      zip_with(codes, typedlit(qCodes), (a, b) => a === b), x => x)
+    df.filter(hit)
+      .select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   private def cosSim(a: Seq[Double], b: Seq[Double]): Double = {
     val d = a.zip(b).map { case (x, y) => x * y }.sum
     val na = math.sqrt(a.map(x => x * x).sum)

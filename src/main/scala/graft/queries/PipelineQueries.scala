@@ -456,6 +456,17 @@ object PipelineQueries {
       },
       None),
 
+    // LSH-bucketed approximate top-k (random-hyperplane tables, exact
+    // cosine re-rank of bucket-matching candidates; recall law is
+    // spec-verified against brute force in OperatorsSpec)
+    QueryDef("q_sim_lsh",
+      (s, dir) => {
+        Similarity.topKLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = 64, fixedQueryVector, k = 10)
+          .select(col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
+      },
+      None),
+
     // product-quantization top-k: normalized vectors -> trained per-
     // subspace codebooks -> m-byte codes -> ADC lookup-table scan with
     // exact cosine re-rank of the small candidate set (rows-only;

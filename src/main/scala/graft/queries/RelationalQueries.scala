@@ -255,6 +255,21 @@ object RelationalQueries {
       },
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dp, COUNT(DISTINCT l_suppkey) AS ds FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // approximate distinct counting (HyperLogLog++): the scale path for
+    // distinct-heavy aggs — one pass, fixed-size sketch per group, no
+    // per-key shuffle of the distinct values (exact countDistinct above
+    // expands each group to its distinct keys before the final count).
+    // Sketch estimates are engine-specific, so no DuckDB oracle; the
+    // relative-error bound vs exact is spec-verified in OperatorsSpec.
+    QueryDef("q_approx_distinct",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("dp_approx"))
+          .orderBy("l_returnflag")
+      },
+      None),
+
     // exact percentiles (continuous interpolation — Spark `percentile`
     // matches DuckDB `quantile_cont` definitionally)
     QueryDef("q_percentile",

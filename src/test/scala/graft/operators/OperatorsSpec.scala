@@ -149,6 +149,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cents == relaid, "centroids must not depend on physical layout")
   }
 
+  test("LSH top-k: true cosines, deterministic, recall vs brute force") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = graft.queries.PipelineQueries.fixedQueryVector
+    val brute = Similarity.topK(emb, "vec_id", "embedding", q, 10).collect()
+    val bruteIds = brute.map(_.getLong(0)).toSeq
+    val got = Similarity.topKLsh(emb, "vec_id", "embedding", 64, q, 10).collect()
+    info(s"lsh recall: ${got.map(_.getLong(0)).toSet.intersect(bruteIds.toSet).size}/10")
+    assert(got.length == 10, "candidate set must cover k at this corpus size")
+    // every returned score is a TRUE cosine (re-rank is exact): each id's
+    // score equals its brute-force score
+    val bruteAll = Similarity.topK(emb, "vec_id", "embedding", q, 2000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach(r => assert(math.abs(bruteAll(r.getLong(0)) - r.getDouble(1)) < 1e-12))
+    // descending order, and recall against the exact top-10
+    assert(got.map(_.getDouble(1)).toSeq == got.map(_.getDouble(1)).toSeq.sorted.reverse)
+    assert(got.map(_.getLong(0)).toSet.intersect(bruteIds.toSet).size >= 7,
+      "LSH recall collapsed")
+    // deterministic across runs and layouts
+    val relaid = Similarity.topKLsh(emb.repartition(7), "vec_id", "embedding",
+      64, q, 10).collect().map(_.getLong(0)).toSeq
+    assert(relaid == got.map(_.getLong(0)).toSeq)
+  }
+
+  test("approx_count_distinct stays within its declared relative error") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k).toDouble
+      // rsd 0.02 declared; allow 4 sigma
+      assert(math.abs(a - e) / e <= 0.08, s"group $k: approx $a vs exact $e")
+    }
+  }
+
   test("topKIvf ignores an unrelated `cell` column unless precomputedCells") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = graft.queries.PipelineQueries.fixedQueryVector

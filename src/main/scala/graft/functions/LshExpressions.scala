@@ -423,6 +423,141 @@ case class HyperplaneBuckets(child: Expression,
   override def prettyName: String = "graft_hyperplane_buckets"
 }
 
+/** Product-quantization encoder: for each of the `m` subspaces, the id of
+  * the L2-nearest codeword (ties to the lowest id). One primitive pass —
+  * the `least(struct(distance, cid))`-over-`zip_with` SQL formulation it
+  * replaces allocates a zipped array per (subspace, codeword) per row.
+  * `codebooks(s)(c)` = codeword c of subspace s; every codeword has
+  * dim/m components.
+  *
+  * Requires a clean fixed-dim vector: a row whose vector length differs
+  * from the codebooks' total dim, or containing a null element, encodes
+  * to NULL (explicit, instead of the SQL formulation's null-padded
+  * distance arithmetic silently resolving to codeword 0).
+  */
+case class PqEncode(child: Expression,
+    codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends UnaryExpression {
+
+  private val m = codebooks.length
+  private val dsub = codebooks.head.head.length
+  private val dim = m * dsub
+  private val ksub = codebooks.head.length
+  require(codebooks.forall(cb => cb.nonEmpty && cb.forall(_.length == dsub)),
+    "ragged codebooks")
+
+  // flattened [s][c][j] -> s * ksub * dsub + c * dsub + j; subspaces may
+  // have FEWER than ksub codewords (k-means dedupes tiny spaces): pad
+  // with +inf distance by tracking per-subspace counts
+  @transient private lazy val counts: Array[Int] = codebooks.map(_.length).toArray
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](m * ksub * dsub)
+    for (s <- 0 until m; c <- 0 until codebooks(s).length; j <- 0 until dsub)
+      a(s * ksub * dsub + c * dsub + j) = codebooks(s)(c)(j)
+    a
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${t.sql}")
+  }
+
+  @transient private lazy val childIsFloat =
+    child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val vec = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      vec(i) = if (childIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < counts(s)) {
+        var d = 0.0d
+        var j = 0
+        val off = s * ksub * dsub + c * dsub
+        while (j < dsub) {
+          val diff = vec(s * dsub + j) - flat(off + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val uad = classOf[UnsafeArrayData].getName
+      val cbRef = ctx.addReferenceObj("graftPqCodebooks", flat, "double[]")
+      val cntRef = ctx.addReferenceObj("graftPqCounts", counts, "int[]")
+      val (vec, codes, bad, i, s, c, j, d, diff, best, bestD, off) =
+        (ctx.freshName("vec"), ctx.freshName("codes"), ctx.freshName("bad"),
+          ctx.freshName("i"), ctx.freshName("s"), ctx.freshName("c"),
+          ctx.freshName("j"), ctx.freshName("d"), ctx.freshName("diff"),
+          ctx.freshName("best"), ctx.freshName("bestD"), ctx.freshName("off"))
+      val getElem =
+        if (childIsFloat) s"(double) $in.getFloat($i)" else s"$in.getDouble($i)"
+      s"""
+         |boolean $bad = $in.numElements() != $dim;
+         |double[] $vec = null;
+         |if (!$bad) {
+         |  $vec = new double[$dim];
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($in.isNullAt($i)) { $bad = true; break; }
+         |    $vec[$i] = $getElem;
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $codes = new int[$m];
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    int $best = 0;
+         |    double $bestD = Double.MAX_VALUE;
+         |    for (int $c = 0; $c < $cntRef[$s]; $c++) {
+         |      double $d = 0.0d;
+         |      int $off = $s * $ksub * $dsub + $c * $dsub;
+         |      for (int $j = 0; $j < $dsub; $j++) {
+         |        double $diff = $vec[$s * $dsub + $j] - $cbRef[$off + $j];
+         |        $d += $diff * $diff;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |    }
+         |    $codes[$s] = $best;
+         |  }
+         |  ${ev.value} = $uad.fromPrimitiveArray($codes);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_pq_encode"
+}
+
 object LshExpressions {
   def minhashSignature(sh: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(sh), numHashes))
@@ -440,6 +575,10 @@ object LshExpressions {
       planesPerTable: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(vec),
       planes.map(_.toIndexedSeq).toIndexedSeq, planesPerTable))
+
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec),
+      codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
 
   /** Deterministic random-hyperplane matrix: `nPlanes` rows of `dim`
     * standard-normal coefficients from a fixed-seed JDK RNG (a specified

@@ -310,24 +310,18 @@ object Similarity {
   }
 
   /** Attach the PQ code column (`pq_code`, array<int> of length m): per
-    * subspace, the L2-nearest codeword id. Pure column algebra — m x ksub
-    * literal subvector distances per row, codegen'd, no UDF.
+    * subspace, the L2-nearest codeword id (ties to the lowest id). A
+    * native codegen'd kernel (see [[graft.functions.PqEncode]]) — one
+    * primitive pass per row over the flattened codebooks, replacing the
+    * `least(struct(dist, cid))`-over-`zip_with` column formulation that
+    * allocated a zipped array per (subspace, codeword) per row. This is
+    * the ingest-side hot loop of the IVF+PQ layout: at corpus scale every
+    * vector pays it exactly once.
     */
   def pqEncode(df: DataFrame, vecCol: String,
-      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val dsub = codebooks.head.head.length
-    val codes = array(codebooks.indices.map { s =>
-      val subv = slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub)
-      val scored = codebooks(s).zipWithIndex.map { case (cw, cid) =>
-        struct(
-          aggregate(zip_with(subv, typedlit(cw), (x, y) => (x - y) * (x - y)),
-            lit(0.0d), (a, x) => a + x).as("d"),
-          lit(cid).as("cid"))
-      }
-      least(scored: _*).getField("cid")
-    }: _*)
-    df.withColumn("pq_code", codes)
-  }
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.withColumn("pq_code",
+      graft.functions.LshExpressions.pqEncode(col(vecCol), codebooks))
 
   /** Asymmetric-distance (ADC) approximation: the query's per-subspace
     * distances to every codeword form an m x ksub lookup table (driver-

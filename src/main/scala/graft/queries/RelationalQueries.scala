@@ -358,6 +358,33 @@ object RelationalQueries {
             dsum(col("s_acctbal")).as("acctbal_sum"))
           .orderBy("s_nationkey")
       },
-      Some(s"""SELECT s_nationkey, COUNT(*) AS n_supp, MIN(s_name) AS first_name, ${dsumSql("s_acctbal")} AS acctbal_sum FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+      Some(s"""SELECT s_nationkey, COUNT(*) AS n_supp, MIN(s_name) AS first_name, ${dsumSql("s_acctbal")} AS acctbal_sum FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // ORC source round-trip (the columnar mirror of q_csv_roundtrip):
+    // part out to ORC, back through the explicit-schema vectorized
+    // reader, aggregated; oracle computes the same from the original
+    // parquet — a hash match proves the ORC sink+source preserve every
+    // value and type.
+    QueryDef("q_orc_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val path = "/root/repo/target/tmp/q_orc_roundtrip_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        graft.sources.Sources.writeOrc(
+          Tables.part(s, dir).select("p_partkey", "p_brand", "p_size",
+            "p_retailprice"), path)
+        val schema = StructType(Seq(
+          StructField("p_partkey", LongType),
+          StructField("p_brand", StringType),
+          StructField("p_size", IntegerType),
+          StructField("p_retailprice", DoubleType)))
+        graft.sources.Sources.orc(s, path, schema)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("p_size").cast("long")).as("size_sum"),
+            dsum(col("p_retailprice")).as("price_sum"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS size_sum, ${dsumSql("p_retailprice")} AS price_sum FROM part GROUP BY p_brand ORDER BY p_brand"""))
   )
 }

@@ -42,4 +42,15 @@ object Sources {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC with declared schema — the columnar alternative when a lakehouse
+    * standardizes on ORC instead of parquet. Same posture: explicit
+    * schema (no inference pass), full predicate/column pushdown through
+    * the native vectorized reader.
+    */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

@@ -125,6 +125,40 @@ class LshExpressionsSpec extends AnyFunSuite {
       s"no codegen span:\n${plan.take(400)}")
   }
 
+  test("PqEncode == least(struct(dist,cid)) formulation; degenerate -> null") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cb = graft.operators.Similarity.trainPq(emb, "v", m = 8, ksub = 16)
+    val dsub = cb.head.head.length
+    // the SQL formulation the native kernel replaced
+    val sqlCodes = array(cb.indices.map { s =>
+      val subv = slice($"v", s * dsub + 1, dsub)
+      val scored = cb(s).zipWithIndex.map { case (cw, cid) =>
+        struct(
+          aggregate(zip_with(subv, typedlit(cw), (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (a, x) => a + x).as("d"),
+          lit(cid).as("cid"))
+      }
+      least(scored: _*).getField("cid")
+    }: _*)
+    val both = emb.select($"vec_id", sqlCodes.as("sql_codes"),
+      LshExpressions.pqEncode($"v", cb).as("native")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"row ${r.getLong(0)}")
+    }
+    // wrong-length or null-element vectors encode to NULL, explicitly
+    val weird = Seq((1L, Seq(1.0d, 2.0d))).toDF("id", "v")
+      .union(spark.sql("SELECT 2L, array(CAST(NULL AS DOUBLE), 1.0d)"))
+    val degen = weird.select(LshExpressions.pqEncode($"v", cb).as("c")).collect()
+    degen.foreach(r => assert(r.isNullAt(0)))
+    // codegen active on the file-backed plan
+    val plan = emb.select(LshExpressions.pqEncode($"v", cb))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && plan.contains("graft_pq_encode"),
+      s"no codegen span:\n${plan.take(400)}")
+  }
+
   test("null array ELEMENTS are skipped by the minhash/simhash kernels") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

@@ -55,6 +55,62 @@ object AsOfJoin {
   ): DataFrame =
     join(left, right, keyCols, leftTime, rightTime, payload, forward = true)
 
+  /** Native-plan variant: same contract, executed by the dedicated
+    * Catalyst operator ([[graft.plans.AsOfJoinNode]] →
+    * [[graft.plans.AsOfJoinExec]]) instead of the union+window
+    * composition — one hash-cluster + sort per side and a streaming
+    * single-candidate merge per partition. Registered on the session's
+    * `experimental.extraStrategies` idempotently (cluster deployments can
+    * instead set `spark.sql.extensions=graft.functions.GraftExtensions`).
+    */
+  def native(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Map[String, String],
+      forward: Boolean = false
+  ): DataFrame = {
+    import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val outCols = payload.keys.toSeq.sorted
+    val collisions = outCols.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"payload output names collide with left columns: ${collisions.mkString(", ")}")
+    val spark = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    AsOfJoin.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    // Self-prune the right side to keys + time + payload sources: generic
+    // column pruning doesn't descend through an unknown logical node, so
+    // the node's builder keeps the scan narrow itself.
+    val srcCols = ((keyCols :+ rightTime) ++ outCols.map(payload)).distinct
+    val rp0 = right.select(srcCols.map(col): _*).queryExecution.analyzed
+    val lp = left.queryExecution.analyzed
+    // Self-join safety: when both sides derive from the same relation the
+    // children share expression IDs; DeduplicateRelations re-IDs the right
+    // subtree but cannot rewrite the references held by an unknown node.
+    // Minting fresh right-side attributes behind an alias projection keeps
+    // this node's references stable through that rewrite.
+    val rp = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rp0.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
+    def attr(outp: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+        n: String) = outp.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    val payloadAttrs = outCols.map(o => attr(rp.output, payload(o)))
+    val payloadOut = outCols.zip(payloadAttrs).map { case (o, a) =>
+      AttributeReference(o, a.dataType, nullable = true)() }
+    val node = AsOfJoinNode(lp, rp,
+      keyCols.map(attr(lp.output, _)), keyCols.map(attr(rp.output, _)),
+      attr(lp.output, leftTime), attr(rp.output, rightTime),
+      payloadAttrs, payloadOut, forward)
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, node)
+  }
+
   private def join(
       left: DataFrame,
       right: DataFrame,

@@ -91,6 +91,39 @@ object PipelineQueries {
       },
       Some("""SELECT a.event_id, a.user_id, b.event_id AS next_p FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') b ON a.user_id = b.user_id AND a.ts <= b.ts ORDER BY a.event_id""")),
 
+    // the same as-of joins through the dedicated Catalyst operator
+    // (AsOfJoinNode -> AsOfJoinStrategy -> AsOfJoinExec): one hash-cluster
+    // + sort per side, streaming single-candidate merge per partition
+    QueryDef("q_events_asof_native",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+        AsOfJoin.native(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Map("p_event" -> "p_id"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+            col("p_event"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT a.event_id, a.user_id, strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, b.event_id AS p_event FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') b ON a.user_id = b.user_id AND a.ts >= b.ts ORDER BY a.event_id""")),
+
+    QueryDef("q_events_asof_native_fwd",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+        AsOfJoin.native(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Map("next_p" -> "p_id"), forward = true)
+          .select(col("event_id"), col("user_id"), col("next_p"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT a.event_id, a.user_id, b.event_id AS next_p FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') b ON a.user_id = b.user_id AND a.ts <= b.ts ORDER BY a.event_id""")),
+
     // stream-stream interval join in its batch form (same code path runs
     // on readStream inputs with bounded state; StreamingSpec asserts the
     // equivalence)

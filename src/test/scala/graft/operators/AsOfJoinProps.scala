@@ -55,14 +55,18 @@ class AsOfJoinProps extends Properties("AsOfJoin") {
             }
           } yield best._3)
         }.toMap
-      def run(forward: Boolean): Map[Long, Option[Int]] = {
+      def run(forward: Boolean, native: Boolean): Map[Long, Option[Int]] = {
         val out =
-          if (forward) AsOfJoin.forward(left, right, Seq("k"), "lt", "rt", Map("p" -> "a"))
+          if (native) AsOfJoin.native(left, right, Seq("k"), "lt", "rt",
+            Map("p" -> "a"), forward = forward)
+          else if (forward) AsOfJoin.forward(left, right, Seq("k"), "lt", "rt", Map("p" -> "a"))
           else AsOfJoin(left, right, Seq("k"), "lt", "rt", Map("p" -> "a"))
         out.collect().map(r => r.getLong(0) ->
           (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
       }
-      run(forward = false) == reference(forward = false) &&
-        run(forward = true) == reference(forward = true)
+      Seq(false, true).forall { fwd =>
+        val ref = reference(fwd)
+        run(fwd, native = false) == ref && run(fwd, native = true) == ref
+      }
     }
 }

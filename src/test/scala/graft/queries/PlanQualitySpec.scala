@@ -104,4 +104,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(readSchema.contains("l_quantity") && !readSchema.contains("l_comment"),
       s"unpruned scan: $readSchema")
   }
+
+  test("native as-of join: dedicated operator, one exchange per side") {
+    val plan = planOf("q_events_asof_native")
+    assert(plan.contains("AsOfJoin"), s"custom operator not planned:\n${plan.take(600)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 2, s"expected 2 hash exchanges, got $hashExchanges:\n$plan")
+  }
+
+  test("native as-of join reuses a compatible upstream partitioning") {
+    // inputs already hash-clustered on the join key satisfy the operator's
+    // ClusteredDistribution — EnsureRequirements must not add exchanges
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts").repartition(4, col("user_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+      .repartition(4, col("user_id"))
+    val out = graft.operators.AsOfJoin.native(clicks, purchases,
+      Seq("user_id"), "ts", "ts", Map("p_event" -> "p_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 2,
+      s"extra exchange above the pre-clustered inputs ($hashExchanges):\n$plan")
+    // and the self-derived (shared-relation) inputs execute correctly:
+    // same result as the composed formulation
+    val composed = graft.operators.AsOfJoin(clicks, purchases,
+      Seq("user_id"), "ts", "ts", Map("p_event" -> "p_id"))
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val got = out.collect().map(r => key(r) -> r.toSeq).toMap
+    val want = composed.collect().map(r => key(r) -> r.toSeq).toMap
+    assert(got == want, "native result differs from composed on shared-relation inputs")
+  }
 }

@@ -384,6 +384,41 @@ object PipelineQueries {
       },
       Some(s"""SELECT s_name, COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name ORDER BY s_name""")),
 
+    // bloom-pruned selective join: the fact side is pre-filtered by a
+    // bloom filter of the (filtered) supplier keys before any shuffle;
+    // no false negatives, so the result equals the plain join (oracle)
+    QueryDef("q_join_bloom",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_quantity"))
+        val sup = Tables.supplier(s, dir)
+          .filter(col("s_nationkey") < 5)
+          .select(col("s_suppkey"), col("s_name"))
+        graft.operators.ScaleOps.bloomPrunedJoin(li, sup,
+          "l_suppkey", "s_suppkey", expectedItems = 100000L)
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("s_name")
+      },
+      Some(s"""SELECT s_name, COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty FROM lineitem JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_nationkey < 5) s ON l_suppkey = s_suppkey GROUP BY s_name ORDER BY s_name""")),
+
+    // binned range join: customers whose balance falls in ±100 of each
+    // supplier's balance — an equi-join on bins plus an exact re-check,
+    // where a naive BETWEEN join would plan a nested loop
+    QueryDef("q_range_join",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).select("c_custkey", "c_acctbal")
+        val supp = Tables.supplier(s, dir)
+          .select(col("s_suppkey"),
+            (col("s_acctbal") - 100).as("lo"), (col("s_acctbal") + 100).as("hi"))
+        graft.operators.RangeJoin.pointInInterval(
+          cust, supp, "c_acctbal", "lo", "hi", binWidth = 200.0)
+          .groupBy("s_suppkey")
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""SELECT s_suppkey, COUNT(*) AS n, ${dsumSql("c_acctbal")} AS bal FROM supplier JOIN customer ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100 GROUP BY s_suppkey ORDER BY s_suppkey""")),
+
     // --- no-oracle (rows-only gate; verified in ScalaTest vs exact) ------
 
     // per-language frequent terms via the Misra-Gries heavy-hitter UDAF

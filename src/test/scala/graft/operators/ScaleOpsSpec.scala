@@ -106,4 +106,70 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sortedRows(split.select("doc_id", "split")) !=
       sortedRows(other.select("doc_id", "split")))
   }
+
+  test("bloom-pruned join equals the plain join and prunes before the shuffle") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_suppkey", "l_quantity")
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_nationkey") === 3).select("s_suppkey", "s_name")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pruned = ScaleOps.bloomPrunedJoin(li, sup, "l_suppkey", "s_suppkey",
+        expectedItems = 1000L)
+      val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      assert(sortedRows(pruned) == sortedRows(plain),
+        "bloom pruning changed the join result")
+      // the might_contain predicate must sit on the scan side of the
+      // exchange — pruning after the shuffle would be pointless
+      val plan = pruned.queryExecution.executedPlan.toString
+      val mightIdx = plan.indexOf("might_contain")
+      val exchIdx = plan.indexOf("Exchange")
+      assert(mightIdx >= 0, s"no bloom predicate in plan:\n${plan.take(1500)}")
+      assert(exchIdx >= 0 && mightIdx > exchIdx,
+        "bloom filter is not below the join exchange")
+      // and it actually prunes: the bloom predicate alone keeps only about
+      // the matchable fraction of the fact side (5 of 25 nations)
+      val mightContain = ScaleOps.bloomKeyFilter(sup, "s_suppkey", 1000L).get
+      val factRows = li.count()
+      val keptRows = li.filter(mightContain(col("l_suppkey"))).count()
+      assert(keptRows < factRows / 2,
+        s"bloom filter barely pruned: $keptRows of $factRows fact rows kept")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("binned range join == naive BETWEEN join, with no nested-loop plan") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 400).map(i => (i.toLong,
+      if (rnd.nextInt(20) == 0) null else java.lang.Double.valueOf(rnd.nextDouble() * 100 - 50)))
+      .toDF("pid", "v")
+    val ivs = (0 until 60).map { i =>
+      val lo = rnd.nextDouble() * 100 - 50
+      // mix of short, long, inverted (lo > hi), and null-bounded intervals
+      val hi = rnd.nextInt(6) match {
+        case 0 => lo - 1.0
+        case 1 => lo + 40 * rnd.nextDouble()
+        case _ => lo + 3 * rnd.nextDouble()
+      }
+      (i.toLong,
+        if (rnd.nextInt(15) == 0) null else java.lang.Double.valueOf(lo),
+        if (rnd.nextInt(15) == 0) null else java.lang.Double.valueOf(hi))
+    }.toDF("iid", "lo", "hi")
+    val binned = RangeJoin.pointInInterval(pts, ivs, "v", "lo", "hi",
+      binWidth = 5.0).select("pid", "iid")
+    val naive = pts.join(ivs, col("v").between(col("lo"), col("hi")))
+      .select("pid", "iid")
+    assert(sortedRows(binned) == sortedRows(naive))
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n${plan.take(1200)}")
+  }
+
+  test("bloom-pruned join with an empty small side returns no rows") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_suppkey", "l_quantity")
+    val none = spark.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_nationkey") === -1).select("s_suppkey", "s_name")
+    assert(ScaleOps.bloomPrunedJoin(li, none, "l_suppkey", "s_suppkey").count() == 0)
+  }
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for training-data pipelines: sub-document
+  * (paragraph) deduplication and benchmark decontamination.
+  */
+object Corpus {
+
+  /** Corpus-wide paragraph-level deduplication: split every document on
+    * `delim`, keep only the globally FIRST occurrence of each distinct
+    * paragraph (ordered by `(idCol, position)` — deterministic across
+    * layouts), and rebuild each document from its surviving paragraphs in
+    * their original order. Documents whose every paragraph already
+    * appeared elsewhere come back with an empty text and `n_kept = 0`.
+    *
+    * This is the standard boilerplate-removal pass (headers, footers,
+    * navigation chrome repeated across a crawl) that document-level dedup
+    * cannot touch. One shuffle keyed on `(xxhash64(paragraph),
+    * length(paragraph))` — the same 16-byte collision-safe key as
+    * [[Dedup.exact]], so the paragraph text never rides in the shuffle
+    * key — then one shuffle back on the document id to reassemble.
+    *
+    * Output: `(idCol, clean_text, n_kept)`, one row per input document.
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String): DataFrame = {
+    val paras = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("__pos", "__para")))
+    // first global occurrence wins; the window clusters by the compact
+    // hash+length key (collision-equivalent paragraphs would dedup
+    // together — same accepted ~n^2/2^65 risk as Dedup.exact)
+    val w = Window
+      .partitionBy(xxhash64(col("__para")), length(col("__para")))
+      .orderBy(col(idCol), col("__pos"))
+    val kept = paras
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept.groupBy(idCol).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          s => s.getField("__para")),
+        delim).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Benchmark decontamination hits: for every training document sharing
+    * at least one word `n`-gram with any benchmark document, the number of
+    * distinct shared `n`-grams. The standard eval-leakage scan (e.g.
+    * 8-to-13-gram overlap) run before training.
+    *
+    * Grams are the hashed word shingles of [[Dedup.shingleHashes]]
+    * (distinct per document; a document shorter than `n` tokens
+    * contributes its whole text as one gram, so verbatim short benchmark
+    * items are still caught). The benchmark side — an eval suite, tiny
+    * next to a corpus — collapses to a distinct hash set and broadcasts,
+    * so the corpus scan is one narrow pass with a map-side semi join: no
+    * shuffle of the training side at all.
+    *
+    * Output: `(idCol, n_hits)` for contaminated documents only.
+    */
+  def decontaminationHits(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.shingleHashes(col(textCol), n)).as("__g"))
+      .distinct()
+    val trainGrams = train
+      .select(col(idCol), explode(Dedup.shingleHashes(col(textCol), n)).as("__g"))
+    trainGrams
+      .join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(idCol)
+      // per-document grams are already distinct (shingleHashes), so the
+      // plain count is the distinct-overlap count
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Remove contaminated documents: `train` without any document sharing
+    * an `n`-gram with `bench` (anti join against the hit set).
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame =
+    train.join(
+      decontaminationHits(train, bench, idCol, textCol, n).select(idCol),
+      Seq(idCol), "left_anti")
+}

@@ -419,6 +419,34 @@ object PipelineQueries {
       },
       Some(s"""SELECT s_suppkey, COUNT(*) AS n, ${dsumSql("c_acctbal")} AS bal FROM supplier JOIN customer ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100 GROUP BY s_suppkey ORDER BY s_suppkey""")),
 
+    // corpus-wide paragraph dedup: global first occurrence of each
+    // paragraph survives, documents are rebuilt in order. This corpus has
+    // no newlines, so ' the ' stands in as the paragraph delimiter — the
+    // dataflow (split, global first-occurrence window, ordered
+    // reassembly, empty-doc left join) is delimiter-independent.
+    QueryDef("q_para_dedup",
+      (s, dir) => {
+        graft.operators.Corpus.paragraphDedup(
+          Tables.documents(s, dir), "doc_id", "text", " the ")
+          .orderBy("doc_id")
+      },
+      Some("""WITH paras AS (SELECT doc_id, unnest(string_split(text, ' the ')) AS para, generate_subscripts(string_split(text, ' the '), 1) AS pos FROM documents), kept AS (SELECT doc_id, para, pos FROM paras QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1), rebuilt AS (SELECT doc_id, string_agg(para, ' the ' ORDER BY pos) AS clean_text, COUNT(*) AS n_kept FROM kept GROUP BY doc_id) SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text, coalesce(r.n_kept, 0) AS n_kept FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id ORDER BY d.doc_id""")),
+
+    // benchmark decontamination: training docs sharing an 8-gram with the
+    // held-out "benchmark" slice (doc_id % 7 == 0), with the count of
+    // distinct shared grams. The oracle rebuilds the same word 8-grams
+    // (incl. the short-doc whole-text gram) with a windowed string_agg.
+    QueryDef("q_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") % 7 === 0)
+        val train = docs.filter(col("doc_id") % 7 =!= 0)
+        graft.operators.Corpus.decontaminationHits(
+          train, bench, "doc_id", "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok, generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos, len(string_split_regex(trim(lower(text)), '\s+')) AS ntok FROM documents), grams AS (SELECT doc_id, string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram FROM toks QUALIFY pos + 7 <= ntok OR (ntok < 8 AND pos = 1)), bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0), hits AS (SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_hits FROM (SELECT * FROM grams WHERE doc_id % 7 <> 0) t JOIN bench b ON t.gram = b.gram GROUP BY t.doc_id) SELECT doc_id, n_hits FROM hits ORDER BY doc_id""")),
+
     // --- no-oracle (rows-only gate; verified in ScalaTest vs exact) ------
 
     // per-language frequent terms via the Misra-Gries heavy-hitter UDAF

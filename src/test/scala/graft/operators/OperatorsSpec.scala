@@ -498,4 +498,46 @@ class OperatorsSpec extends AnyFunSuite {
     // empty payload: no chunks
     assert(!plan.exists(_._1 == 3L))
   }
+
+  test("paragraph dedup keeps global first occurrences and rebuilds in order") {
+    val in = Seq(
+      (1L, "alpha\n\nbeta\n\ngamma"),
+      (2L, "beta\n\ndelta\n\nalpha"),   // beta+alpha already seen
+      (3L, "alpha\n\nbeta"),            // everything already seen
+      (4L, "epsilon")                   // single paragraph, no delimiter
+    ).toDF("doc_id", "text")
+    val out = Corpus.paragraphDedup(in, "doc_id", "text", "\n\n")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "alpha\n\nbeta\n\ngamma", 3L),
+      (2L, "delta", 1L),
+      (3L, "", 0L),
+      (4L, "epsilon", 1L)))
+    // deterministic across input layout
+    val again = Corpus.paragraphDedup(in.repartition(5), "doc_id", "text", "\n\n")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("decontamination flags planted n-gram overlap, spares clean docs") {
+    val benchText = "one two three four five six seven eight nine ten"
+    val bench = Seq((100L, benchText), (101L, "tiny doc")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains benchmark 8-gram "two three ... nine" inside other text
+      (1L, "xx two three four five six seven eight nine yy"),
+      (2L, "completely different words with no overlap at all here today"),
+      // short bench doc caught via whole-text gram
+      (3L, "tiny doc"),
+      (4L, "tiny docs are fine when not verbatim copies of bench")
+    ).toDF("doc_id", "text")
+    val hits = Corpus.decontaminationHits(train, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L, 3L), s"wrong contamination set: $hits")
+    assert(hits(1L) == 1L && hits(3L) == 1L)
+    val clean = Corpus.decontaminate(train, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 4L))
+  }
 }

@@ -174,6 +174,22 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id, CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens, CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END, 1) AS mean_token_len, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) AS DOUBLE) AS alpha_ratio FROM documents ORDER BY doc_id""")),
 
+    // corpus mix report: per (source, lang) composition — the first
+    // report any training-data pipeline runs before weighting/sampling
+    // sources. One partial-agg shuffle; token counting shared with
+    // q_text_stats.
+    QueryDef("q_corpus_mix",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .groupBy("source", "lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+            dsum(col("n_chars").cast("double")).as("n_chars_total"))
+          .orderBy("source", "lang")
+      },
+      Some(s"""SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END) AS BIGINT) AS n_tokens, ${dsumSql("CAST(n_chars AS DOUBLE)")} AS n_chars_total FROM documents GROUP BY source, lang ORDER BY source, lang""")),
+
     // language-ID by stopword-marker scoring
     QueryDef("q_text_langid",
       (s, dir) => {

@@ -90,6 +90,35 @@ object Corpus {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Training-sequence packing (concat-and-chunk): stream documents in
+    * `idCol` order into fixed `budget`-token sequences — the packing step
+    * that turns a shuffled corpus into context-length training rows. Each
+    * document is assigned the sequence where it STARTS
+    * (`floor(exclusive_prefix / budget)`) plus its token offset within
+    * that sequence; a document crossing the boundary spills into the next
+    * sequence exactly as the trainer's chunker would cut it.
+    *
+    * The global running token count comes from [[ScaleOps.prefixSum]] —
+    * two-phase, no single-partition window — so the assignment is
+    * deterministic for a given id order at any parallelism.
+    *
+    * Output: input columns plus `seq_id` and `tok_offset`.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    ScaleOps.prefixSum(docs, idCol, tokenCol, "__cum")
+      .withColumn("__pre", col("__cum") - col(tokenCol))
+      // `div` = integer division (`/` on longs is double division: rounds
+      // and loses precision past 2^53 — real corpora pass 2^53 tokens)
+      .withColumn("seq_id", expr(s"__pre div ${budget}L"))
+      .withColumn("tok_offset", col("__pre") % budget)
+      .drop("__cum", "__pre")
+  }
+
   /** Remove contaminated documents: `train` without any document sharing
     * an `n`-gram with `bench` (anti join against the hit set).
     */

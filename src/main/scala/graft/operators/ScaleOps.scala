@@ -113,6 +113,42 @@ object ScaleOps {
     }
   }
 
+  /** Distributed prefix sum: the global running total of `valueCol` in
+    * `orderCol` order, WITHOUT the single-partition window that
+    * `Window.orderBy` with no partition key plans (the classic
+    * cumulative-sum scale trap — one task sees every row).
+    *
+    * Two phases: range-repartition on `orderCol` (partition i holds
+    * strictly smaller keys than partition i+1), run the window inside
+    * each partition keyed on `spark_partition_id()`, then add each
+    * partition's exclusive offset — computed from the per-partition
+    * totals, a frame with one row PER PARTITION (KBs at any scale, the
+    * only place a global ordering is collapsed) — back via a broadcast
+    * join. `orderCol` values must be unique and non-null: ties could
+    * straddle a range boundary and make the within/across-partition
+    * ordering disagree.
+    *
+    * Output: the input plus `outCol` = inclusive running sum.
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String = "running_total"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__run", sum(col(valueCol)).over(w))
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("__pid")
+      .agg(max(col("__run")).as("__tot")) // max of a running sum = the total
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__run") + col("__off"))
+      .drop("__pid", "__run")
+  }
+
   /** Deterministic stratified sampling: keep each row with its stratum's
     * fraction, decided by seeded xxhash64 of the id — reproducible across
     * runs and layouts (unlike `sample()`), with no shuffle: the stratum

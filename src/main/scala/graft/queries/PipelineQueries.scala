@@ -174,6 +174,20 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id, CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens, CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END, 1) AS mean_token_len, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / LENGTH(text) AS DOUBLE) AS alpha_ratio FROM documents ORDER BY doc_id""")),
 
+    // sequence packing: documents streamed in id order into 2048-token
+    // training sequences; assignment = integer division of the exclusive
+    // global token prefix (two-phase distributed prefix sum — no
+    // single-partition window over the corpus)
+    QueryDef("q_seq_pack",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(
+          col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        graft.operators.Corpus.packSequences(docs, "doc_id", "n_tokens", 2048L)
+          .select("doc_id", "n_tokens", "seq_id", "tok_offset")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS pre FROM t) SELECT doc_id, n_tokens, CAST(pre // 2048 AS BIGINT) AS seq_id, CAST(pre % 2048 AS BIGINT) AS tok_offset FROM c ORDER BY doc_id""")),
+
     // corpus mix report: per (source, lang) composition — the first
     // report any training-data pipeline runs before weighting/sampling
     // sources. One partial-agg shuffle; token counting shared with

@@ -521,6 +521,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("sequence packing is the exact concat-and-chunk assignment") {
+    val in = (0 until 100).map(i => (i.toLong, (i % 37 + 1).toLong))
+      .toDF("doc_id", "n_tokens")
+    def run(df: DataFrame) = Corpus.packSequences(df, "doc_id", "n_tokens", 50L)
+      .orderBy("doc_id").select("doc_id", "n_tokens", "seq_id", "tok_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val packed = run(in)
+    var pre = 0L
+    packed.foreach { case (_, tok, seqId, off) =>
+      assert(seqId == pre / 50 && off == pre % 50,
+        s"doc at prefix $pre misassigned: ($seqId, $off)")
+      pre += tok
+    }
+    assert(packed.map(_._3).max > 0, "vacuous: everything fit one sequence")
+    // layout-independent
+    assert(run(in.repartition(9)).toSeq == packed.toSeq)
+  }
+
   test("decontamination flags planted n-gram overlap, spares clean docs") {
     val benchText = "one two three four five six seven eight nine ten"
     val bench = Seq((100L, benchText), (101L, "tiny doc")).toDF("doc_id", "text")

@@ -165,6 +165,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"range join fell back to a nested loop:\n${plan.take(1200)}")
   }
 
+  test("prefix sum matches driver-side cumsum at any layout, no data funnel") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(100).toLong))
+    val expected = rows.scanLeft(0L)(_ + _._2).tail // inclusive cumsum
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("id", "v").repartition(parts)
+      val got = ScaleOps.prefixSum(df, "id", "v", "cum")
+        .orderBy("id").select("id", "cum")
+        .collect().map(r => r.getLong(1))
+      assert(got.toSeq == expected, s"prefix sum wrong at $parts partitions")
+    }
+    // the only single-partition step is over per-partition totals (one
+    // row per partition), never over the data: the data-side window is
+    // partitioned by __pid
+    val plan = ScaleOps.prefixSum(rows.toDF("id", "v"), "id", "v", "cum")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partitionBy") || plan.contains("__pid"),
+      s"data window lost its partition key:\n${plan.take(800)}")
+  }
+
   test("bloom-pruned join with an empty small side returns no rows") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_suppkey", "l_quantity")

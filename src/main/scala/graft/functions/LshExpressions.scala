@@ -442,7 +442,7 @@ case class PqEncode(child: Expression,
   private val m = codebooks.length
   private val dsub = codebooks.head.head.length
   private val dim = m * dsub
-  private val ksub = codebooks.head.length
+  private val ksub = codebooks.map(_.length).max
   require(codebooks.forall(cb => cb.nonEmpty && cb.forall(_.length == dsub)),
     "ragged codebooks")
 

@@ -101,6 +101,18 @@ object AsOfJoin {
     def attr(outp: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
         n: String) = outp.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"column $n not found"))
+    // The merge iterator compares key/time values with orderings built from
+    // the LEFT side's types; mismatched types would compare garbage bytes
+    // silently. Fail fast instead.
+    keyCols.foreach { k =>
+      val (lt, rt) = (attr(lp.output, k).dataType, attr(rp.output, k).dataType)
+      require(lt == rt, s"as-of key '$k' type mismatch: left ${lt.sql} vs right ${rt.sql}")
+    }
+    locally {
+      val (lt, rt) = (attr(lp.output, leftTime).dataType, attr(rp.output, rightTime).dataType)
+      require(lt == rt,
+        s"as-of time type mismatch: $leftTime ${lt.sql} vs $rightTime ${rt.sql}")
+    }
     val payloadAttrs = outCols.map(o => attr(rp.output, payload(o)))
     val payloadOut = outCols.zip(payloadAttrs).map { case (o, a) =>
       AttributeReference(o, a.dataType, nullable = true)() }

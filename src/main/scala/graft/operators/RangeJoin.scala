@@ -40,6 +40,16 @@ object RangeJoin {
       binWidth: Double,
       keyCols: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // The internal bin column must not shadow a user column (a pre-existing
+    // __bin would be overwritten and joined on corrupted values), and
+    // non-key columns shared by both inputs would survive ambiguously.
+    for (df <- Seq(points, intervals))
+      require(!df.columns.contains("__bin"),
+        "inputs must not already contain a __bin column")
+    val dupPayload = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keyCols
+    require(dupPayload.isEmpty,
+      s"non-key columns present in both inputs: ${dupPayload.mkString(", ")}")
     val bin = (c: Column) => floor(c / lit(binWidth)).cast("long")
     val pts = points.withColumn("__bin", bin(col(pointCol)))
     val ivs = intervals

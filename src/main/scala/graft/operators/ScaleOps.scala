@@ -83,6 +83,11 @@ object ScaleOps {
   def bloomPrunedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, expectedItems: Long = 1000000L,
       joinType: String = "inner"): DataFrame = {
+    // Pre-filtering the big side is only sound when unmatched big rows are
+    // dropped anyway; an outer join would silently lose its preserved side.
+    require(Set("inner", "leftsemi", "semi")
+        .contains(joinType.toLowerCase.replaceAll("[ _]", "")),
+      s"bloomPrunedJoin supports inner/left_semi join types only, got $joinType")
     val pruned = bloomKeyFilter(small, smallKey, expectedItems) match {
       case None => big.filter(lit(false)) // empty small side: nothing joins
       case Some(mightContain) => big.filter(mightContain(col(bigKey)))
@@ -140,8 +145,8 @@ object ScaleOps {
     val local = ranged.withColumn("__run", sum(col(valueCol)).over(w))
     val wOff = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy("__pid")
-      .agg(max(col("__run")).as("__tot")) // max of a running sum = the total
+    val offsets = ranged.groupBy("__pid")
+      .agg(sum(col(valueCol)).as("__tot")) // plain sum: sign-agnostic total
       .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
       .select("__pid", "__off")
     local.join(broadcast(offsets), Seq("__pid"))

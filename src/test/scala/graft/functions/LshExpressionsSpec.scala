@@ -159,6 +159,24 @@ class LshExpressionsSpec extends AnyFunSuite {
       s"no codegen span:\n${plan.take(400)}")
   }
 
+  test("PqEncode handles ragged codebooks where a later subspace is larger") {
+    // head subspace has FEWER codewords than the second: the flat-array
+    // stride must size to the max, not the head (regression: OOB write)
+    val cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = IndexedSeq(
+      IndexedSeq(IndexedSeq(0.0, 0.0), IndexedSeq(10.0, 10.0)),
+      IndexedSeq(IndexedSeq(0.0, 0.0), IndexedSeq(5.0, 5.0),
+        IndexedSeq(20.0, 20.0), IndexedSeq(-7.0, -7.0)))
+    val rows = Seq(
+      (1L, Seq(9.0, 9.0, 19.0, 21.0)),  // -> (1, 2): codeword id beyond head's count
+      (2L, Seq(0.1, -0.1, -6.0, -8.0)), // -> (0, 3)
+      (3L, Seq(1.0, 1.0, 4.0, 6.0)))    // -> (0, 1)
+      .toDF("id", "v")
+    val got = rows.select($"id", LshExpressions.pqEncode($"v", cb).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(1, 2) && got(2L) == Seq(0, 3) && got(3L) == Seq(0, 1),
+      s"ragged-codebook encoding wrong: $got")
+  }
+
   test("null array ELEMENTS are skipped by the minhash/simhash kernels") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

@@ -114,6 +114,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("native as-of join fails fast on key/time type mismatches") {
+    // the merge iterator compares with orderings built from the LEFT
+    // side's types; an int-vs-long key or long-vs-timestamp time would
+    // otherwise compare raw bytes and mis-match silently
+    val left = Seq((1, 10L)).toDF("k", "lt")           // k: int
+    val right = Seq((1L, 5L, "x")).toDF("k", "rt", "p") // k: long
+    intercept[IllegalArgumentException] {
+      AsOfJoin.native(left, right, Seq("k"), "lt", "rt", Map("pp" -> "p"))
+    }
+    val left2 = Seq((1L, 10L)).toDF("k", "lt")          // lt: long
+    val right2 = Seq((1L, new java.sql.Timestamp(5000L), "x")).toDF("k", "rt", "p")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.native(left2, right2, Seq("k"), "lt", "rt", Map("pp" -> "p"))
+    }
+    // matching types still work
+    val ok = AsOfJoin.native(Seq((1L, 10L)).toDF("k", "lt"),
+      Seq((1L, 5L, "x")).toDF("k", "rt", "p"), Seq("k"), "lt", "rt",
+      Map("pp" -> "p")).collect()
+    assert(ok.length == 1 && ok(0).getString(2) == "x")
+  }
+
   test("quality ratios are 0 (not NULL) on empty docs; subwords are case-insensitive") {
     val df = Seq((1L, ""), (2L, "Hello World")).toDF("doc_id", "text")
     val q = TextAnalysis.qualitySignals(df, col("text"))

@@ -185,6 +185,47 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"data window lost its partition key:\n${plan.take(800)}")
   }
 
+  test("prefix sum is correct with negative values (totals are not running-max)") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(200).toLong - 100L))
+    val expected = rows.scanLeft(0L)(_ + _._2).tail
+    val got = ScaleOps.prefixSum(rows.toDF("id", "v").repartition(9), "id", "v", "cum")
+      .orderBy("id").select("cum").collect().map(_.getLong(0))
+    assert(got.toSeq == expected, "prefix sum wrong on signed deltas")
+  }
+
+  test("bloom-pruned join rejects outer join types (pruning would drop rows)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_suppkey", "l_quantity")
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+      .select("s_suppkey", "s_name")
+    for (jt <- Seq("left", "left_outer", "right", "full", "full_outer", "left_anti"))
+      intercept[IllegalArgumentException] {
+        ScaleOps.bloomPrunedJoin(li, sup, "l_suppkey", "s_suppkey", joinType = jt)
+      }
+    // semi stays allowed: pruning only ever removes non-matching big rows
+    assert(ScaleOps.bloomPrunedJoin(li, sup, "l_suppkey", "s_suppkey",
+      joinType = "left_semi").columns.toSeq == Seq("l_suppkey", "l_quantity"))
+  }
+
+  test("range join rejects reserved/ambiguous column names") {
+    val pts = Seq((1L, 2.0)).toDF("pid", "v")
+    val ivs = Seq((1L, 0.0, 5.0)).toDF("iid", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts.withColumn("__bin", lit(0)), ivs,
+        "v", "lo", "hi", binWidth = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, ivs.withColumn("__bin", lit(0)),
+        "v", "lo", "hi", binWidth = 1.0)
+    }
+    // a non-key column present on both sides would survive ambiguously
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts.withColumn("tag", lit("a")),
+        ivs.withColumn("tag", lit("b")), "v", "lo", "hi", binWidth = 1.0)
+    }
+  }
+
   test("bloom-pruned join with an empty small side returns no rows") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_suppkey", "l_quantity")

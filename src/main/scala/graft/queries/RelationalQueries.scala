@@ -385,6 +385,67 @@ object RelationalQueries {
             dsum(col("p_retailprice")).as("price_sum"))
           .orderBy("p_brand")
       },
-      Some(s"""SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS size_sum, ${dsumSql("p_retailprice")} AS price_sum FROM part GROUP BY p_brand ORDER BY p_brand"""))
+      Some(s"""SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS size_sum, ${dsumSql("p_retailprice")} AS price_sum FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
+    // Pivot (long -> wide): explicit value list so no distinct-values job
+    // runs at plan time — at scale the value domain must be declared, not
+    // discovered by an extra pass over the fact table.
+    QueryDef("q_pivot",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum("l_quantity"))
+          .withColumnRenamed("F", "qty_f")
+          .withColumnRenamed("O", "qty_o")
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f, SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Navigation window functions: lead/lag/ntile per customer order
+    // history — one shuffle on the partition key, deterministic tie-break.
+    QueryDef("q_window_leadlag",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") < 200)
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag("o_totalprice", 1).over(w).as("prev_price"),
+            lead("o_totalprice", 1).over(w).as("next_price"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, LAG(o_totalprice) OVER w AS prev_price, LEAD(o_totalprice) OVER w AS next_price, NTILE(4) OVER w AS quartile FROM orders WHERE o_custkey < 200 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_custkey, o_orderkey""")),
+
+    // Correlated-subquery pattern (each customer's maximum order), executed
+    // the scale-right way: a windowed max + filter — ONE shuffle on the
+    // correlation key instead of the self-join + re-aggregation a literal
+    // decorrelation would run (the oracle states it as the subquery).
+    QueryDef("q_corr_max_order",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+        Tables.orders(s, dir)
+          .withColumn("__max", max("o_totalprice").over(w))
+          .filter(col("o_totalprice") === col("__max"))
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders o WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_custkey, o_orderkey""")),
+
+    // Explicit GROUPING SETS (beyond cube/rollup): the two single-column
+    // marginals plus the grand total in one pass — Spark expands to a
+    // single expand + hash-agg, not three scans.
+    QueryDef("q_grouping_sets",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                        COALESCE(l_linestatus, 'ALL') AS ls,
+                        SUM(l_quantity) AS sq, COUNT(*) AS n
+                 FROM lineitem_gs
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                 ORDER BY rf, ls""")
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, SUM(l_quantity) AS sq, COUNT(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY rf, ls"""))
   )
 }

@@ -146,6 +146,67 @@ object TextAnalysis {
       greatest(size(sents), lit(1))).cast("double")
   }
 
+  /** Thresholds for [[gopherRules]] — defaults follow the published Gopher
+    * heuristics (Rae et al. 2021, "Scaling Language Models", §A.1.1):
+    * word count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    * ratio (# and ellipsis) ≤ 0.1, ≤10% of lines bullet-started, ≤30% of
+    * lines ellipsis-ended, ≥80% of words containing a letter, and at least
+    * 2 distinct common-English stopwords present.
+    */
+  final case class GopherConfig(
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletRatio: Double = 0.1,
+      maxEllipsisLineRatio: Double = 0.3,
+      minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2)
+
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules: one boolean flag column per rule
+    * plus the conjunction `quality_pass`. Pure column algebra over the
+    * text — a narrow codegen'd map with no shuffle, so the filter fuses
+    * into the scan stage and the full rule set costs one pass at any
+    * scale. Each ratio guards its denominator (an empty doc fails the
+    * word-count rule but produces 0-ratios, never NULL/0-div).
+    */
+  def gopherRules(df: DataFrame, text: Column,
+      cfg: GopherConfig = GopherConfig()): DataFrame = {
+    val nw = greatest(tokenCount(text), lit(1L))
+    val mwl = (length(regexp_replace(text, "\\s+", "")).cast("double") / nw)
+    val symbols = (occurrences(text, "#") + occurrences(text, "...")).cast("double")
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1))
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+    val ellipsisLines = size(filter(lines, l => endswith(trim(l), lit("..."))))
+    val alphaWords = size(filter(tokens(text), t => t.rlike("[A-Za-z]")))
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val stopHits = gopherStopwords
+      .map(sw => when(padded.contains(s" $sw "), 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn("n_words", tokenCount(text))
+      .withColumn("r_word_count",
+        col("n_words") >= cfg.minWords && col("n_words") <= cfg.maxWords)
+      .withColumn("r_mean_word_len",
+        mwl >= cfg.minMeanWordLen && mwl <= cfg.maxMeanWordLen)
+      .withColumn("r_symbol_ratio", symbols / nw <= cfg.maxSymbolRatio)
+      .withColumn("r_bullet_ratio",
+        bulletLines.cast("double") / nLines <= cfg.maxBulletRatio)
+      .withColumn("r_ellipsis_ratio",
+        ellipsisLines.cast("double") / nLines <= cfg.maxEllipsisLineRatio)
+      .withColumn("r_alpha_words",
+        alphaWords.cast("double") / nw >= cfg.minAlphaWordRatio)
+      .withColumn("r_stopwords", stopHits >= cfg.minStopwordHits)
+      .withColumn("quality_pass",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_ratio") && col("r_ellipsis_ratio") &&
+          col("r_alpha_words") && col("r_stopwords"))
+  }
+
   /** 64-bit rolling polynomial document fingerprint over tokens:
     * fp = fold(tokens, 0, (acc, t) -> acc * 31 + xxhash64(t)) in Long
     * arithmetic (wrapping). Order-sensitive by design — equal fingerprints

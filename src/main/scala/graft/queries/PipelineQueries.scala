@@ -259,6 +259,62 @@ object PipelineQueries {
       },
       Some(qualityOracle)),
 
+    // Gopher-style quality rule set: per-language pass counts for each
+    // rule and the full conjunction. Thresholds tuned so the synthetic
+    // corpus splits on every discriminative rule (word count, mean word
+    // length, stopword presence); the rule columns are a narrow codegen'd
+    // map fused into the scan, the report one map-side-combinable agg.
+    QueryDef("q_quality_rules",
+      (s, dir) => {
+        val cfg = TextAnalysis.GopherConfig(
+          minWords = 25L, maxWords = 80L,
+          minMeanWordLen = 3.0, maxMeanWordLen = 5.0,
+          minStopwordHits = 1)
+        TextAnalysis.gopherRules(Tables.documents(s, dir), col("text"), cfg)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count_if(col("r_word_count")).as("p_words"),
+            count_if(col("r_mean_word_len")).as("p_mwl"),
+            count_if(col("r_symbol_ratio")).as("p_symbols"),
+            count_if(col("r_bullet_ratio")).as("p_bullets"),
+            count_if(col("r_ellipsis_ratio")).as("p_ellipsis"),
+            count_if(col("r_alpha_words")).as("p_alpha"),
+            count_if(col("r_stopwords")).as("p_stop"),
+            count_if(col("quality_pass")).as("p_all"))
+          .orderBy("lang")
+      },
+      Some(raw"""WITH t AS (
+        SELECT lang,
+          CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS nw,
+          LENGTH(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END, 1) AS mwl,
+          ((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3) * 1.0 / GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END, 1) AS symr,
+          LEN(list_filter(string_split(text, chr(10)), x -> regexp_matches(TRIM(x), '^[-*•]'))) * 1.0 / GREATEST(LEN(string_split(text, chr(10))), 1) AS bulr,
+          LEN(list_filter(string_split(text, chr(10)), x -> ends_with(TRIM(x), '...'))) * 1.0 / GREATEST(LEN(string_split(text, chr(10))), 1) AS ellr,
+          LEN(list_filter(string_split_regex(TRIM(text), '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END, 1) AS alphar,
+          (CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END + CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% be %' THEN 1 ELSE 0 END + CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END + CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END + CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END + CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% that %' THEN 1 ELSE 0 END + CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% have %' THEN 1 ELSE 0 END + CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% with %' THEN 1 ELSE 0 END) AS stopn
+        FROM documents),
+      r AS (
+        SELECT lang,
+          (nw >= 25 AND nw <= 80) AS r_wc,
+          (mwl >= 3.0 AND mwl <= 5.0) AS r_mwl,
+          (symr <= 0.1) AS r_sym,
+          (bulr <= 0.1) AS r_bul,
+          (ellr <= 0.3) AS r_ell,
+          (alphar >= 0.8) AS r_alp,
+          (stopn >= 1) AS r_stp
+        FROM t)
+      SELECT lang, COUNT(*) AS n_docs,
+        COUNT(*) FILTER (r_wc) AS p_words,
+        COUNT(*) FILTER (r_mwl) AS p_mwl,
+        COUNT(*) FILTER (r_sym) AS p_symbols,
+        COUNT(*) FILTER (r_bul) AS p_bullets,
+        COUNT(*) FILTER (r_ell) AS p_ellipsis,
+        COUNT(*) FILTER (r_alp) AS p_alpha,
+        COUNT(*) FILTER (r_stp) AS p_stop,
+        COUNT(*) FILTER (r_wc AND r_mwl AND r_sym AND r_bul AND r_ell AND r_alp AND r_stp) AS p_all
+      FROM r GROUP BY lang ORDER BY lang""")),
+
     // PII scrubbing: inject a deterministic email + URL into a subset of
     // docs (the synthetic corpus has none), redact them, and report the
     // redaction counts and scrubbed length. Both the injection and the

@@ -135,6 +135,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ok.length == 1 && ok(0).getString(2) == "x")
   }
 
+  test("gopher rules: each rule trips on its own pathology, clean text passes") {
+    import TextAnalysis.GopherConfig
+    val cfg = GopherConfig(minWords = 5L, maxWords = 50L, minStopwordHits = 1)
+    val clean = "the quick brown fox jumps over the lazy dog with great energy today"
+    val docs = Seq(
+      (1L, clean),                                           // passes all
+      (2L, "too short"),                                     // word count
+      (3L, Seq.fill(20)("a").mkString(" ")),                 // mean word len < 3
+      (4L, "the " + Seq.fill(10)("x#y#z#").mkString(" ")),   // symbol ratio
+      (5L, "the intro line\n- one\n- two\n- three\n- four"), // bullets
+      (6L, "the first thing...\nthe second thing...\nok"),   // ellipsis lines
+      (7L, "the 111 222 333 444 555 666 777 888 999 000"),   // alpha words
+      (8L, "quick brown fox jumps over lazy dogs daily")     // no stopword
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, col("text"), cfg)
+      .select("doc_id", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_ratio", "r_ellipsis_ratio", "r_alpha_words", "r_stopwords",
+        "quality_pass")
+      .collect().map(row => row.getLong(0) ->
+        (1 to 8).map(row.getBoolean)).toMap
+    assert(r(1L).forall(identity), s"clean doc failed a rule: ${r(1L)}")
+    assert(!r(2L)(0) && !r(2L).last, "short doc passed word-count rule")
+    assert(!r(3L)(1), "single-char words passed mean-word-len rule")
+    assert(!r(4L)(2), "hash-riddled doc passed symbol-ratio rule")
+    assert(!r(5L)(3), "bullet list passed bullet-ratio rule")
+    assert(!r(6L)(4), "ellipsis-ended lines passed ellipsis rule")
+    assert(!r(7L)(5), "numeric doc passed alpha-words rule")
+    assert(!r(8L)(6), "stopword-free doc passed stopword rule")
+    // empty text: every ratio is defined (no NULL flags), pass is false
+    val empty = TextAnalysis.gopherRules(Seq((9L, "")).toDF("doc_id", "text"),
+      col("text"), cfg).collect()(0)
+    assert(!empty.getAs[Boolean]("quality_pass"))
+    (1 to 8).foreach(i => assert(!empty.isNullAt(i + 1), s"flag $i NULL on empty"))
+  }
+
   test("quality ratios are 0 (not NULL) on empty docs; subwords are case-insensitive") {
     val df = Seq((1L, ""), (2L, "Hello World")).toDF("doc_id", "text")
     val q = TextAnalysis.qualitySignals(df, col("text"))

@@ -146,6 +146,28 @@ object TextAnalysis {
       greatest(size(sents), lit(1))).cast("double")
   }
 
+  /** URL host component (`parse_url` — codegen'd, handles ports/userinfo/
+    * fragments per RFC; NULL for malformed URLs). The per-host/per-domain
+    * aggregation this feeds is the standard web-corpus curation step
+    * (host-level quality priors, domain quotas, robots blocklists).
+    */
+  def urlHost(url: Column): Column = parse_url(url, lit("HOST"))
+
+  /** URL path component. */
+  def urlPath(url: Column): Column = parse_url(url, lit("PATH"))
+
+  /** Registered-domain approximation: the last two dot-labels of the host
+    * ("a.b.example.com" -> "example.com"). A faithful version needs the
+    * public-suffix list (external data, multi-label TLDs like "co.uk");
+    * two labels is the standard dependency-free approximation. Hosts with
+    * fewer than two labels pass through unchanged.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    when(size(labels) <= 2, host)
+      .otherwise(array_join(slice(labels, -2, 2), "."))
+  }
+
   /** Thresholds for [[gopherRules]] — defaults follow the published Gopher
     * heuristics (Rae et al. 2021, "Scaling Language Models", §A.1.1):
     * word count in [50, 100k], mean word length in [3, 10], symbol-to-word

@@ -135,6 +135,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ok.length == 1 && ok(0).getString(2) == "x")
   }
 
+  test("url parsing: host/path/registered domain incl. ports and bare hosts") {
+    val rows = Seq(
+      (1L, "https://a.b.example.com/x/y?q=1"),
+      (2L, "http://example.com:8080/p"),
+      (3L, "https://localhost/z"),
+      (4L, "not a url at all")
+    ).toDF("id", "url")
+    val got = rows.select($"id",
+        TextAnalysis.urlHost($"url").as("h"),
+        TextAnalysis.urlPath($"url").as("p"),
+        TextAnalysis.registeredDomain(TextAnalysis.urlHost($"url")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), Option(r.getString(3))))).toMap
+    assert(got(1L) == ((Some("a.b.example.com"), Some("/x/y"), Some("example.com"))))
+    assert(got(2L)._1 == Some("example.com") && got(2L)._3 == Some("example.com"))
+    assert(got(3L) == ((Some("localhost"), Some("/z"), Some("localhost"))))
+    assert(got(4L)._1.isEmpty, "malformed URL must parse to NULL host")
+  }
+
   test("gopher rules: each rule trips on its own pathology, clean text passes") {
     import TextAnalysis.GopherConfig
     val cfg = GopherConfig(minWords = 5L, maxWords = 50L, minStopwordHits = 1)

@@ -174,6 +174,38 @@ object ScaleOps {
         (frac * resolution).cast("long"))
   }
 
+  /** Deterministic per-stratum quota sampling: the `quota` rows of each
+    * stratum with the smallest seeded hash — a uniform fixed-SIZE sample
+    * per group (vs [[stratifiedSample]]'s fixed-RATE), reproducible across
+    * runs and layouts. The hash is md5 (not xxhash64) so external engines
+    * can replay the exact selection.
+    *
+    * Two-phase for scale: rank first within (stratum, salt) — `fanout`
+    * reducers per stratum instead of one, so a 5-stratum 100 TB corpus
+    * doesn't funnel through 5 tasks — keep `quota` per salt, then rank the
+    * survivors (≤ fanout·quota rows per stratum) globally per stratum. The
+    * second shuffle moves a bounded few-thousand-row frame regardless of
+    * input size.
+    */
+  def quotaSample(df: DataFrame, strataCol: String, idCol: String,
+      quota: Int, seed: Int = 13, fanout: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quota > 0 && fanout > 0, "quota and fanout must be positive")
+    val h = md5(concat_ws("|", col(idCol).cast("string"), lit(seed.toString)))
+    val withH = df.withColumn("__h", h)
+      .withColumn("__salt", pmod(xxhash64(col(idCol), lit(seed)), lit(fanout)))
+    val wLocal = Window.partitionBy(col(strataCol), col("__salt"))
+      .orderBy(col("__h"), col(idCol))
+    val wGlobal = Window.partitionBy(col(strataCol))
+      .orderBy(col("__h"), col(idCol))
+    withH
+      .withColumn("__rn", row_number().over(wLocal))
+      .filter(col("__rn") <= quota)
+      .withColumn("__rn", row_number().over(wGlobal))
+      .filter(col("__rn") <= quota)
+      .drop("__h", "__salt", "__rn")
+  }
+
   /** Deterministic split assignment: bucket each row into split i with
     * probability fractions(i), by seeded xxhash64 of the id column. The
     * same id always lands in the same split — across runs, engines of

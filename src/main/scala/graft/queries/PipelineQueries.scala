@@ -259,6 +259,40 @@ object PipelineQueries {
       },
       Some(qualityOracle)),
 
+    // Web-corpus host analysis: derive a deterministic URL per document
+    // (the synthetic corpus carries none), parse host/path with the
+    // codegen'd parse_url, roll up per registered domain and host. The
+    // oracle replays the extraction with an equivalent regex — agreement
+    // proves the parse on well-formed URLs.
+    QueryDef("q_url_hosts",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).withColumn("url",
+          concat(lit("https://"), col("source"), lit("."), col("lang"),
+            lit(".example.com/docs/"), col("doc_id")))
+        docs.select(
+            TextAnalysis.urlHost(col("url")).as("host"),
+            TextAnalysis.registeredDomain(TextAnalysis.urlHost(col("url"))).as("domain"),
+            col("n_chars"))
+          .groupBy("domain", "host")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_total"))
+          .orderBy("domain", "host")
+      },
+      Some(raw"""WITH u AS (SELECT 'https://' || source || '.' || lang || '.example.com/docs/' || doc_id AS url, n_chars FROM documents), h AS (SELECT regexp_extract(url, 'https?://([^/:]+)', 1) AS host, n_chars FROM u) SELECT array_to_string(list_slice(string_split(host, '.'), LEN(string_split(host, '.')) - 1, LEN(string_split(host, '.'))), '.') AS domain, host, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_total FROM h GROUP BY domain, host ORDER BY domain, host""")),
+
+    // Fixed-size per-language sample: the 40 docs per language with the
+    // smallest seeded md5 — deterministic across engines and layouts
+    // (md5, not xxhash64, exactly so the oracle can replay the choice).
+    // Two-phase rank bounds the final shuffle to fanout*quota rows per
+    // stratum (see ScaleOps.quotaSample).
+    QueryDef("q_quota_sample",
+      (s, dir) => {
+        graft.operators.ScaleOps.quotaSample(
+            Tables.documents(s, dir), "lang", "doc_id", quota = 40)
+          .select("doc_id", "lang", "source")
+          .orderBy("lang", "doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM documents QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '13'), doc_id) <= 40 ORDER BY lang, doc_id""")),
+
     // Gopher-style quality rule set: per-language pass counts for each
     // rule and the full conjunction. Thresholds tuned so the synthetic
     // corpus splits on every discriminative rule (word count, mean word

@@ -226,6 +226,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quota sample: exact per-stratum size, deterministic, == single-phase rank") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val got = ScaleOps.quotaSample(docs, "lang", "doc_id", quota = 15)
+    val counts = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    avail.foreach { case (l, n) =>
+      assert(counts.getOrElse(l, 0L) == math.min(15L, n), s"lang $l: ${counts.get(l)}")
+    }
+    // identical selection after re-layout (the two-phase rank must pick
+    // the same global smallest-hash rows as a single-phase rank would)
+    val relaid = ScaleOps.quotaSample(docs.repartition(11), "lang", "doc_id", 15)
+    assert(sortedRows(got.select("doc_id")) == sortedRows(relaid.select("doc_id")))
+    val single = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(
+        md5(concat_ws("|", col("doc_id").cast("string"), lit("13"))), col("doc_id"))
+      docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 15)
+    }
+    assert(sortedRows(got.select("doc_id")) == sortedRows(single.select("doc_id")),
+      "two-phase quota sample diverged from the single-phase rank")
+    // a different seed picks a different sample
+    val other = ScaleOps.quotaSample(docs, "lang", "doc_id", 15, seed = 99)
+    assert(sortedRows(got.select("doc_id")) != sortedRows(other.select("doc_id")))
+  }
+
   test("bloom-pruned join with an empty small side returns no rows") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_suppkey", "l_quantity")

@@ -176,4 +176,133 @@ object Aggregators {
     */
   def heavyHitters(c: Column, k: Int): Column =
     Bridge.column(HeavyHittersAgg(Bridge.expression(c), k).toAggregateExpression())
+
+  /** Bounded min-heap of the k best (score, id) pairs: best = highest
+    * score, ties to the LOWEST id — a total order, so the result is
+    * deterministic under any update/merge interleaving. Array-backed:
+    * no per-row allocation in the aggregation hot path.
+    */
+  final class TopKHeap(val k: Int) {
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var n = 0
+    // (sa, ia) strictly worse than (sb, ib)
+    @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      sa < sb || (sa == sb && ia > ib)
+    @inline private def swap(i: Int, j: Int): Unit = {
+      val s = scores(i); scores(i) = scores(j); scores(j) = s
+      val d = ids(i); ids(i) = ids(j); ids(j) = d
+    }
+    def add(s: Double, id: Long): Unit =
+      if (n < k) {
+        scores(n) = s; ids(n) = id; n += 1
+        var i = n - 1
+        while (i > 0 && worse(scores(i), ids(i), scores((i - 1) >> 1), ids((i - 1) >> 1))) {
+          swap(i, (i - 1) >> 1); i = (i - 1) >> 1
+        }
+      } else if (worse(scores(0), ids(0), s, id)) {
+        scores(0) = s; ids(0) = id
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          var m = i
+          if (l < n && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+          if (l + 1 < n && worse(scores(l + 1), ids(l + 1), scores(m), ids(m))) m = l + 1
+          if (m == i) done = true else { swap(i, m); i = m }
+        }
+      }
+    /** Entries best-first. */
+    def sortedDesc: Array[(Double, Long)] = {
+      val a = Array.tabulate(n)(i => (scores(i), ids(i)))
+      a.sortWith { case ((sa, ia), (sb, ib)) => sa > sb || (sa == sb && ia < ib) }
+    }
+  }
+
+  /** Top-k (score, id) pairs as a native imperative aggregate — the
+    * distributed-top-k building block behind [[graft.operators.Similarity.knnJoin]].
+    * Partial aggregation keeps a k-entry heap per group map-side, so only
+    * k pairs per (partition, group) ever cross the shuffle — the
+    * alternative `row_number` window shuffles EVERY scored row. NULL
+    * scores and ids are skipped (a NULL cosine = a zero vector: no
+    * direction, no vote). Output: `array<struct<score double, id long>>`,
+    * best-first, deterministic (ties to the lowest id).
+    */
+  final case class TopKPairsAgg(
+      score: Expression,
+      id: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKHeap]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+    require(k > 0, "topKPairs needs k > 0")
+
+    override def left: Expression = score
+    override def right: Expression = id
+
+    override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+    override def update(h: TopKHeap, input: InternalRow): TopKHeap = {
+      val s = score.eval(input)
+      val i = id.eval(input)
+      if (s != null && i != null)
+        h.add(s.asInstanceOf[Number].doubleValue(), i.asInstanceOf[Number].longValue())
+      h
+    }
+
+    override def merge(h: TopKHeap, other: TopKHeap): TopKHeap = {
+      var i = 0
+      while (i < other.n) { h.add(other.scores(i), other.ids(i)); i += 1 }
+      h
+    }
+
+    override def eval(h: TopKHeap): Any =
+      new GenericArrayData(h.sortedDesc.map { case (s, i) => InternalRow(s, i) })
+
+    override def serialize(h: TopKHeap): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(h.n)
+      var i = 0
+      while (i < h.n) { out.writeDouble(h.scores(i)); out.writeLong(h.ids(i)); i += 1 }
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): TopKHeap = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val h = new TopKHeap(k)
+      var i = 0
+      while (i < n) { h.add(in.readDouble(), in.readLong()); i += 1 }
+      h
+    }
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+      containsNull = false)
+
+    override def nullable: Boolean = false
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairsAgg =
+      copy(mutableAggBufferOffset = newOffset)
+
+    override def withNewInputAggBufferOffset(newOffset: Int): TopKPairsAgg =
+      copy(inputAggBufferOffset = newOffset)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): TopKPairsAgg =
+      copy(score = newLeft, id = newRight)
+
+    override def prettyName: String = "graft_topk_pairs"
+  }
+
+  /** Column function: the k highest-scoring (score, id) pairs of a group
+    * (`array<struct<score, id>>`, best-first, ties to the lowest id).
+    */
+  def topKPairs(score: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKPairsAgg(Bridge.expression(score),
+      Bridge.expression(id), k).toAggregateExpression())
 }

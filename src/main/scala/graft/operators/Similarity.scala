@@ -131,6 +131,85 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN join: for EVERY query row, its `k` cosine-nearest corpus
+    * rows — the all-queries-at-once generalization of [[topK]] (which
+    * serves one literal vector). Shape: broadcast the query set against
+    * the corpus scan, then `groupBy(query).agg(topKPairs)` — the bounded
+    * heap is map-side combinable, so each (partition, query) contributes
+    * exactly k candidate pairs to the shuffle no matter how large the
+    * corpus is. A `row_number` window would shuffle all |C|·|Q| scored
+    * rows; this moves |partitions|·|Q|·k.
+    *
+    * The query side must be broadcastable (thousands of vectors — the
+    * batch-retrieval regime); corpus size is unbounded. Zero corpus
+    * vectors score NULL and are skipped by the aggregate; a zero QUERY
+    * vector matches nothing and is absent from the output.
+    *
+    * Output: (qidCol, rank, neighbor_id, score), rank 1 = best,
+    * deterministic (score ties to the lowest neighbor id).
+    */
+  def knnJoin(queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, cidCol: String, cvecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(qidCol).as("__qid"), col(qvecCol).as("__qvec")))
+    val scored = corpus
+      .select(col(cidCol).as("__cid"), col(cvecCol).as("__cvec"))
+      .crossJoin(q)
+      .select(col("__qid"),
+        cosine(col("__cvec"), col("__qvec")).as("__sim"), col("__cid"))
+    expandTopK(scored.groupBy("__qid")
+      .agg(graft.functions.Aggregators.topKPairs(
+        col("__sim"), col("__cid"), k).as("__nn")), qidCol)
+  }
+
+  /** IVF-pruned kNN join: each query probes only its `nprobe` nearest
+    * cells, and corpus rows are scored ONLY against the queries probing
+    * their cell — the candidate set shrinks from |C|·|Q| to the
+    * cell-collision pairs (a factor ~|cells|/nprobe). The probe table
+    * (|Q|·nprobe rows) broadcasts; the corpus keeps its one narrow scan
+    * (cell assignment is a per-row map, or free with `precomputedCells`
+    * on a [[writePartitionedByCell]] layout). Same bounded-heap
+    * aggregation and output shape as [[knnJoin]]; approximate exactly
+    * like [[topKIvf]] is (a true neighbor outside probed cells is
+    * missed — recall is the spec'd contract).
+    */
+  def knnJoinIvf(queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, cidCol: String, cvecCol: String,
+      centroids: Seq[(Int, Seq[Double])], k: Int, nprobe: Int,
+      precomputedCells: Boolean = false): DataFrame = {
+    require(nprobe > 0 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}]")
+    val cellScores = array(centroids.map { case (cid, cvec) =>
+      struct(cosine(col("__qvec"), vec(cvec)).as("score"), lit(cid).as("cid"))
+    }: _*)
+    val qProbes = broadcast(queries
+      .select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
+      .withColumn("__probe",
+        explode(slice(reverse(array_sort(cellScores)), 1, nprobe)))
+      .select(col("__qid"), col("__qvec"), col("__probe.cid").as("cell")))
+    val assigned =
+      if (precomputedCells) {
+        require(corpus.columns.contains("cell"),
+          "precomputedCells = true but no `cell` column present")
+        corpus
+      } else assignCells(corpus.drop("cell"), cvecCol, centroids)
+    val scored = assigned
+      .select(col(cidCol).as("__cid"), col(cvecCol).as("__cvec"), col("cell"))
+      .join(qProbes, "cell")
+      .select(col("__qid"),
+        cosine(col("__cvec"), col("__qvec")).as("__sim"), col("__cid"))
+    expandTopK(scored.groupBy("__qid")
+      .agg(graft.functions.Aggregators.topKPairs(
+        col("__sim"), col("__cid"), k).as("__nn")), qidCol)
+  }
+
+  /** (qid, array<struct<score,id>>) -> one row per neighbor with rank. */
+  private def expandTopK(grouped: DataFrame, qidCol: String): DataFrame =
+    grouped
+      .select(col("__qid").as(qidCol), posexplode(col("__nn")).as(Seq("__pos", "__e")))
+      .select(col(qidCol), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as("neighbor_id"), col("__e.score").as("score"))
+
   private def cosSim(a: Seq[Double], b: Seq[Double]): Double = {
     val d = a.zip(b).map { case (x, y) => x * y }.sum
     val na = math.sqrt(a.map(x => x * x).sum)

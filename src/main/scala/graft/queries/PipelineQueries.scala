@@ -672,6 +672,38 @@ object PipelineQueries {
       },
       None),
 
+    // Batch kNN JOIN: every query row gets its 5 nearest corpus rows in
+    // one pass — bounded-heap partial aggregation, so the shuffle carries
+    // k pairs per (partition, query), never the |C|x|Q| scored rows.
+    // Equality to per-query brute force is spec-verified (OperatorsSpec).
+    QueryDef("q_knn_join",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        Similarity.knnJoin(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+            emb, "vec_id", "embedding", k = 5)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("score"), 6).as("score_r"))
+          .orderBy("vec_id", "rank")
+      },
+      None),
+
+    // IVF-pruned kNN join: queries probe their nprobe nearest cells only;
+    // corpus rows meet only the queries probing their cell (recall law
+    // spec-verified vs the exact join).
+    QueryDef("q_knn_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val centroids = Similarity.trainCentroids(emb, "embedding", k = 16)
+        Similarity.knnJoinIvf(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+            emb, "vec_id", "embedding", centroids, k = 5, nprobe = 4)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("score"), 6).as("score_r"))
+          .orderBy("vec_id", "rank")
+      },
+      None),
+
     // LSH-bucketed approximate top-k (random-hyperplane tables, exact
     // cosine re-rank of bucket-matching candidates; recall law is
     // spec-verified against brute force in OperatorsSpec)

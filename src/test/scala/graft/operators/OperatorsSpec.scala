@@ -135,6 +135,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ok.length == 1 && ok(0).getString(2) == "x")
   }
 
+  test("topKPairs: deterministic ties, NULL skip, bounded map-side partials") {
+    import graft.functions.Aggregators
+    // ties resolve to the LOWEST id regardless of layout/merge order
+    val rows = (0 until 400).map(i => ("g", if (i < 100) 5.0 else 1.0, i.toLong))
+    for (parts <- Seq(1, 13)) {
+      val got = rows.toDF("g", "s", "id").repartition(parts)
+        .groupBy("g").agg(Aggregators.topKPairs(col("s"), col("id"), 5).as("t"))
+        .select(explode(col("t")).as("e")).select("e.score", "e.id")
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      assert(got.toSeq == (0L until 5L).map(i => (5.0, i)), s"at $parts parts: ${got.toSeq}")
+    }
+    // NULL scores/ids are skipped, not treated as 0
+    val withNulls = Seq(("g", Some(2.0), Some(1L)), ("g", None, Some(2L)),
+      ("g", Some(9.0), None), ("g", Some(1.0), Some(3L)))
+      .toDF("g", "s", "id")
+    val nn = withNulls.groupBy("g")
+      .agg(Aggregators.topKPairs(col("s"), col("id"), 10).as("t"))
+      .select(explode(col("t")).as("e")).select("e.id")
+      .collect().map(_.getLong(0))
+    assert(nn.toSeq == Seq(1L, 3L), s"NULL handling wrong: ${nn.toSeq}")
+    // partial (map-side) aggregation present: the shuffle carries heap
+    // buffers, not scored rows
+    val plan = rows.toDF("g", "s", "id")
+      .groupBy("g").agg(Aggregators.topKPairs(col("s"), col("id"), 5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk_pairs"),
+      s"no map-side partial aggregation:\n${plan.take(800)}")
+  }
+
+  test("knnJoin == per-query brute force; IVF variant has high recall") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val queries = emb.filter($"vec_id" < 10)
+    val got = Similarity.knnJoin(queries, "vec_id", "v", emb, "vec_id", "v", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // reference: the single-query brute-force operator, per query
+    for (q <- queries.select("vec_id", "v").collect()) {
+      val qid = q.getLong(0)
+      val want = Similarity.topK(emb, "vec_id", "v", q.getSeq[Double](1), 5)
+        .collect().map(_.getLong(0))
+      (1 to 5).foreach { rk =>
+        assert(got((qid, rk)) == want(rk - 1),
+          s"query $qid rank $rk: got ${got((qid, rk))}, want ${want(rk - 1)}")
+      }
+    }
+    // IVF-pruned variant: recall@5 vs the exact join stays high
+    val centroids = Similarity.trainCentroids(emb, "v", k = 8)
+    val ivf = Similarity.knnJoinIvf(queries, "vec_id", "v", emb, "vec_id", "v",
+      centroids, k = 5, nprobe = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactSets = got.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exactSets.map { case (qid, ex) =>
+      ivf.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exactSets.size
+    assert(recall >= 0.6, s"IVF knn-join recall@5 too low: $recall")
+  }
+
   test("url parsing: host/path/registered domain incl. ports and bare hosts") {
     val rows = Seq(
       (1L, "https://a.b.example.com/x/y?q=1"),

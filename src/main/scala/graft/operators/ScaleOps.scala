@@ -174,6 +174,30 @@ object ScaleOps {
         (frac * resolution).cast("long"))
   }
 
+  /** Time-partitioned fact layout: write the frame into one directory per
+    * time bucket (`partCol=<yyyy-MM[-dd]>`), rows range-clustered and
+    * sorted by the timestamp inside each file. Any query filtering on the
+    * bucket column is then a PARTITION-PRUNED scan — non-matching
+    * directories are never listed, read, or even footer-parsed — and the
+    * in-file sort tightens parquet row-group min/max bounds for
+    * finer-than-bucket time predicates. This is the standard 100 TB fact
+    * layout: a month-window query over years of history pays I/O for the
+    * months it touches, nothing else.
+    */
+  def writeTimePartitioned(df: DataFrame, tsCol: String, path: String,
+      partCol: String = "part_key", granularity: String = "month",
+      numFiles: Int = 32): Unit = {
+    require(Set("month", "day").contains(granularity),
+      s"granularity must be month or day, got $granularity")
+    require(!df.columns.contains(partCol),
+      s"input already contains the partition column $partCol")
+    val fmt = if (granularity == "day") "yyyy-MM-dd" else "yyyy-MM"
+    df.withColumn(partCol, date_format(col(tsCol), fmt))
+      .repartitionByRange(numFiles, col(partCol), col(tsCol))
+      .sortWithinPartitions(col(partCol), col(tsCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+  }
+
   /** Deterministic per-stratum quota sampling: the `quota` rows of each
     * stratum with the smallest seeded hash — a uniform fixed-SIZE sample
     * per group (vs [[stratifiedSample]]'s fixed-RATE), reproducible across

@@ -387,6 +387,28 @@ object RelationalQueries {
       },
       Some(s"""SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS size_sum, ${dsumSql("p_retailprice")} AS price_sum FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
+    // Time-partitioned fact layout round-trip: write lineitem into
+    // month directories (range-clustered, time-sorted files), then run a
+    // one-month query against the layout — a partition-pruned scan that
+    // never opens other months' files (pruning proven in ScaleOpsSpec;
+    // the oracle checks the answer against the unpartitioned source).
+    QueryDef("q_time_layout",
+      (s, dir) => {
+        val path = "/root/repo/target/tmp/q_time_layout_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        graft.operators.ScaleOps.writeTimePartitioned(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate",
+            "l_extendedprice", "l_discount"),
+          "l_shipdate", path)
+        s.read.parquet(path)
+          .filter(col("part_key") === "1997-03")
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy("ship_day")
+      },
+      Some(s"""SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day, COUNT(*) AS n, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') = '1997-03' GROUP BY 1 ORDER BY 1""")),
+
     // Pivot (long -> wide): explicit value list so no distinct-values job
     // runs at plan time — at scale the value domain must be declared, not
     // discovered by an extra pass over the fact table.

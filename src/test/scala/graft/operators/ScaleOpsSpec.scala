@@ -253,6 +253,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sortedRows(got.select("doc_id")) != sortedRows(other.select("doc_id")))
   }
 
+  test("time-partitioned layout: partition-pruned scans, identical rows") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_shipdate", "l_extendedprice")
+    val path = "/tmp/graft_time_layout_test"
+    ScaleOps.writeTimePartitioned(li, "l_shipdate", path)
+    val back = spark.read.parquet(path)
+    // a one-month query reads strictly fewer files than the full layout
+    val allFiles = back.select(input_file_name()).distinct().count()
+    val month = back.filter($"part_key" === "1997-03")
+    val monthFiles = month.select(input_file_name()).distinct().count()
+    assert(monthFiles > 0 && monthFiles < allFiles,
+      s"no partition pruning: $monthFiles of $allFiles files")
+    // and the pruning is planner-level (PartitionFilters), not a row filter
+    val scan = month.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(part_key"),
+      s"partition filter missing from scan:\n${scan.take(800)}")
+    // round-trip fidelity: the month's rows equal a plain filter on the source
+    val want = li.filter(date_format($"l_shipdate", "yyyy-MM") === "1997-03")
+    assert(month.count() == want.count() && month.count() > 0)
+    assert(sortedRows(month.select("l_orderkey", "l_extendedprice")) ==
+      sortedRows(want.select("l_orderkey", "l_extendedprice")))
+    // reserved-name collision fails fast
+    intercept[IllegalArgumentException] {
+      ScaleOps.writeTimePartitioned(li.withColumn("part_key", lit("x")),
+        "l_shipdate", path)
+    }
+  }
+
   test("bloom-pruned join with an empty small side returns no rows") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_suppkey", "l_quantity")

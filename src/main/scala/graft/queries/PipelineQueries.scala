@@ -32,6 +32,32 @@ object PipelineQueries {
       },
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type, COUNT(*) AS n, ${dsumSql("value")} AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // sliding 1-hour windows every 15 minutes (each event lands in 4
+    // windows); the streaming form with watermark is EventStreams.slidingAgg
+    // — this batch form is the same operator, and the oracle replays the
+    // window assignment as an explicit 4-offset expansion
+    QueryDef("q_events_sliding",
+      (s, dir) => {
+        graft.streaming.EventStreams.slidingAgg(Tables.events(s, dir))
+          .orderBy("w", "event_type")
+      },
+      Some("""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w, event_type, COUNT(*) AS n FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15 minutes' AS ws, event_type FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(j)) GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // stream-static enrichment: events decorated with customer segment
+    // via a broadcast left join (the streaming form re-reads the dim per
+    // micro-batch; batch/stream equivalence in StreamingSpec)
+    QueryDef("q_events_enrich",
+      (s, dir) => {
+        val dim = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+        graft.streaming.EventStreams
+          .enrich(Tables.events(s, dir), dim, "user_id", "c_custkey")
+          .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+          .orderBy("segment", "event_type")
+      },
+      Some(s"""SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, event_type, COUNT(*) AS n, ${dsumSql("value")} AS sv FROM events LEFT JOIN customer ON user_id = c_custkey GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // sessionization: 30-minute-gap sessions per user (gaps-and-islands)
     QueryDef("q_events_sessions",
       (s, dir) => {

@@ -87,6 +87,19 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-static enrichment join: attach dimension attributes to each
+    * event from a (small) static table, broadcast to every task — the
+    * standard streaming-ingest enrichment shape. No watermark is needed:
+    * the static side is not stateful, and Spark re-plans (re-reads) it
+    * per micro-batch, so a dimension refresh on disk is picked up by the
+    * next trigger. LEFT join: an event with no dimension row keeps NULL
+    * attributes rather than vanishing. Identical semantics on batch
+    * frames (where it is a plain broadcast left join).
+    */
+  def enrich(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Exact streaming dedup on key columns within the watermark horizon:
     * the built-in `dropDuplicatesWithinWatermark` keeps one row per key
     * and drops duplicates arriving within the watermark delay; a key's

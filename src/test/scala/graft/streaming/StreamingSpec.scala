@@ -39,6 +39,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("stream-static enrichment join == batch broadcast left join") {
+    val dim = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val stream = EventStreams.readStream(spark, dir)
+    val got = EventStreams.runToBatch(
+      EventStreams.enrich(stream, dim, "user_id", "c_custkey")
+        .select("event_id", "user_id", "c_mktsegment"),
+      "enrich_out", outputMode = "append")
+    val want = EventStreams.enrich(Tables.events(spark, dir), dim,
+      "user_id", "c_custkey").select("event_id", "user_id", "c_mktsegment")
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.count() > 0)
+  }
+
   test("stream-stream interval join == batch range join") {
     val stream = EventStreams.readStream(spark, dir)
     val got = EventStreams.runToBatch(

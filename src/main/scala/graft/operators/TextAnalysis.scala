@@ -168,6 +168,33 @@ object TextAnalysis {
       .otherwise(array_join(slice(labels, -2, 2), "."))
   }
 
+  /** Canonical URL form for URL-level deduplication — the curation rule
+    * set crawlers apply before exact dedup so trivially-different spellings
+    * of one page collapse: strip the fragment, lowercase scheme+host, drop
+    * default ports (:80/:443), strip a trailing path slash (root stays
+    * "/"), drop `utm_*` tracking parameters, and sort the surviving query
+    * parameters. Built from engine-portable regex/array primitives (the
+    * oracle replays the exact pipeline in SQL). Output omits the scheme:
+    * http/https duplicates collapse too.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val schemeHost = regexp_extract(noFrag, "^(https?://[^/?]+)", 1)
+    val rest = regexp_replace(noFrag, "^https?://[^/?]+", "")
+    val host = lower(regexp_replace(schemeHost, ":(80|443)$", ""))
+    val hostNoScheme = regexp_replace(host, "^https?://", "")
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "(.)/$", "$1"))
+    val query0 = when(instr(rest, "?") > 0,
+      regexp_replace(rest, "^[^?]*\\?", "")).otherwise(lit(""))
+    val kept = filter(split(query0, "&"),
+      p => !p.startsWith("utm_") && p =!= "")
+    val q = array_join(array_sort(kept), "&")
+    concat(hostNoScheme, path,
+      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+  }
+
   /** Thresholds for [[gopherRules]] — defaults follow the published Gopher
     * heuristics (Rae et al. 2021, "Scaling Language Models", §A.1.1):
     * word count in [50, 100k], mean word length in [3, 10], symbol-to-word

@@ -319,6 +319,48 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id, lang, source FROM documents QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '13'), doc_id) <= 40 ORDER BY lang, doc_id""")),
 
+    // URL canonicalization dedup: each document emits two spellings of
+    // its page URL (case/port/fragment/tracking-param/trailing-slash
+    // noise); canonicalization must collapse them to ONE key per doc.
+    // The oracle replays the full rule pipeline in SQL.
+    QueryDef("q_url_canon",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val messy = concat(lit("https://WWW."), col("source"),
+          lit(".Example.com:443/pages/"), col("doc_id"),
+          lit("/?utm_source=feed&b=2&a=1#top"))
+        val clean = concat(lit("http://www."), col("source"),
+          lit(".example.com/pages/"), col("doc_id"), lit("?a=1&b=2"))
+        docs.select(col("doc_id"), explode(array(messy, clean)).as("url"))
+          .groupBy(TextAnalysis.canonicalizeUrl(col("url")).as("canonical"))
+          .agg(count(lit(1)).as("n_raw"),
+            countDistinct(col("url")).as("n_distinct_raw"))
+          .orderBy("canonical")
+      },
+      Some("""WITH raw AS (
+        SELECT doc_id, unnest([
+          'https://WWW.' || source || '.Example.com:443/pages/' || doc_id || '/?utm_source=feed&b=2&a=1#top',
+          'http://www.' || source || '.example.com/pages/' || doc_id || '?a=1&b=2']) AS url
+        FROM documents),
+      parts AS (
+        SELECT url, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+      comp AS (
+        SELECT url,
+          regexp_replace(LOWER(regexp_replace(regexp_extract(nofrag, '^(https?://[^/?]+)', 1), ':(80|443)$', '')), '^https?://', '') AS host,
+          regexp_extract(regexp_replace(nofrag, '^https?://[^/?]+', ''), '^([^?]*)', 1) AS path0,
+          CASE WHEN strpos(regexp_replace(nofrag, '^https?://[^/?]+', ''), '?') > 0
+               THEN regexp_replace(regexp_replace(nofrag, '^https?://[^/?]+', ''), '^[^?]*\?', '')
+               ELSE '' END AS query0
+        FROM parts),
+      canon AS (
+        SELECT url, host ||
+          (CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '(.)/$', '\1') END) ||
+          (CASE WHEN LENGTH(array_to_string(list_sort(list_filter(string_split(query0, '&'), x -> NOT starts_with(x, 'utm_') AND x <> '')), '&')) > 0
+                THEN '?' || array_to_string(list_sort(list_filter(string_split(query0, '&'), x -> NOT starts_with(x, 'utm_') AND x <> '')), '&')
+                ELSE '' END) AS canonical
+        FROM comp)
+      SELECT canonical, COUNT(*) AS n_raw, COUNT(DISTINCT url) AS n_distinct_raw FROM canon GROUP BY canonical ORDER BY canonical""")),
+
     // Gopher-style quality rule set: per-language pass counts for each
     // rule and the full conjunction. Thresholds tuned so the synthetic
     // corpus splits on every discriminative rule (word count, mean word

@@ -213,6 +213,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L)._1.isEmpty, "malformed URL must parse to NULL host")
   }
 
+  test("url canonicalization collapses case/port/fragment/utm/slash variants") {
+    val variants = Seq(
+      "https://WWW.Example.com:443/a/b/?utm_source=x&b=2&a=1#frag",
+      "http://www.example.com/a/b?a=1&b=2",
+      "https://www.example.com:443/a/b/?b=2&utm_campaign=y&a=1")
+    val canon = variants.toDF("url")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(canon == Set("www.example.com/a/b?a=1&b=2"), s"got $canon")
+    // distinct pages stay distinct; root path normalizes to "/"
+    val other = Seq(
+      ("https://example.com", "example.com/"),
+      ("https://example.com/", "example.com/"),
+      ("https://example.com/x", "example.com/x"),
+      ("https://example.com/y?z=1", "example.com/y?z=1"))
+    other.foreach { case (in, want) =>
+      val got = Seq(in).toDF("url")
+        .select(TextAnalysis.canonicalizeUrl(col("url"))).collect()(0).getString(0)
+      assert(got == want, s"$in -> $got, want $want")
+    }
+  }
+
   test("gopher rules: each rule trips on its own pathology, clean text passes") {
     import TextAnalysis.GopherConfig
     val cfg = GopherConfig(minWords = 5L, maxWords = 50L, minStopwordHits = 1)

@@ -319,6 +319,28 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id, lang, source FROM documents QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '13'), doc_id) <= 40 ORDER BY lang, doc_id""")),
 
+    // Mergeable distinct-count sketches: one HLL sketch per event type
+    // (map-side combinable), then a sketch UNION for the overall count —
+    // the two-level rollup a 100 TB pipeline uses so per-partition /
+    // per-day sketches can be stored and re-aggregated without rescanning
+    // raw data. Deterministic for fixed input; DuckDB's HLL differs, so
+    // the gate is rows-only and the 5%-of-exact + union==global laws are
+    // spec-verified (OperatorsSpec).
+    QueryDef("q_sketch_distinct",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val perType = ev.groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        perType
+          .select(col("event_type"),
+            hll_sketch_estimate(col("sk")).as("est_users"))
+          .unionByName(perType.agg(
+            lit("ALL").as("event_type"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users")))
+          .orderBy("event_type")
+      },
+      None),
+
     // URL canonicalization dedup: each document emits two spellings of
     // its page URL (case/port/fragment/tracking-param/trailing-slash
     // noise); canonicalization must collapse them to ONE key per doc.

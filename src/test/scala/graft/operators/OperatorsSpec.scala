@@ -213,6 +213,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L)._1.isEmpty, "malformed URL must parse to NULL host")
   }
 
+  test("HLL sketches: 5%-of-exact accuracy, union of partials == global sketch") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val exact = ev.select(countDistinct($"user_id")).collect()(0).getLong(0)
+    val global = ev.agg(hll_sketch_estimate(hll_sketch_agg($"user_id")))
+      .collect()(0).getLong(0)
+    assert(math.abs(global - exact).toDouble / exact < 0.05,
+      s"global estimate $global vs exact $exact")
+    // re-aggregating stored per-group sketches must equal the one-pass
+    // global sketch EXACTLY (register-wise max merge is order-independent)
+    val unioned = ev.groupBy("event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")))
+      .collect()(0).getLong(0)
+    assert(unioned == global,
+      s"sketch union ($unioned) diverged from global sketch ($global)")
+  }
+
   test("url canonicalization collapses case/port/fragment/utm/slash variants") {
     val variants = Seq(
       "https://WWW.Example.com:443/a/b/?utm_source=x&b=2&a=1#frag",

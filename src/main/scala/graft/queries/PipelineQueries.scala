@@ -319,6 +319,21 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id, lang, source FROM documents QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '13'), doc_id) <= 40 ORDER BY lang, doc_id""")),
 
+    // Streaming near-duplicate detection (batch form of the stateful
+    // per-bucket operator; batch==stream==driver-reference equivalence in
+    // StreamingSpec): minhash signatures banded to keyed state, each doc
+    // flagged against the earliest sufficiently-similar doc in its bucket.
+    QueryDef("q_stream_neardup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("ts", timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+        graft.streaming.StreamDedup
+          .nearDupHits(docs, "doc_id", "ts", "text", threshold = 0.5)
+          .select("doc_id", "dup_of").distinct()
+          .orderBy("doc_id", "dup_of")
+      },
+      None),
+
     // Mergeable distinct-count sketches: one HLL sketch per event type
     // (map-side combinable), then a sketch UNION for the overall count —
     // the two-level rollup a 100 TB pipeline uses so per-partition /

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection: the streaming mirror of the batch
+  * MinHash+LSH pipeline (`graft.operators.Dedup`), for at-ingest dedup of
+  * a document stream against the recent horizon.
+  *
+  * Shape: each document's MinHash signature is computed ONCE in a narrow
+  * map (same native kernels as batch — signatures are bit-identical), the
+  * signature is banded into (band, bucket) keys exactly like the batch
+  * banding, and per-bucket keyed state holds the (id, signature) pairs
+  * seen inside the watermark horizon. An arriving document whose
+  * signature agrees with a stored one on >= `threshold` of its positions
+  * (the unbiased MinHash estimate of Jaccard) is emitted as a duplicate
+  * hit against the EARLIEST such document. State per bucket is bounded by
+  * `maxBucket` (hot boilerplate buckets stop absorbing new reference
+  * signatures but keep matching against the stored ones — same
+  * linear-not-quadratic posture as the batch `boundedPairs`), and the
+  * whole bucket's state is dropped once the event-time watermark passes
+  * its last activity plus the horizon.
+  *
+  * A duplicate of documents in SEVERAL buckets emits one hit per
+  * detecting bucket; consumers wanting one row per document de-duplicate
+  * on `doc_id` downstream (kept out of this operator: chaining a second
+  * stateful operator is a planner restriction best left to the caller's
+  * output stage).
+  *
+  * Batch execution (state starts empty, one invocation per key) performs
+  * the same per-bucket sequential scan in (ts, id) order — the spec
+  * checks it against an independent driver-side reference and against the
+  * streaming run.
+  */
+object StreamDedup {
+
+  final case class BandRow(doc_id: Long, ts: java.sql.Timestamp,
+      band: Int, bucket: Long, sig: Seq[Long])
+  final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]],
+      lastMs: Long)
+  final case class DupHit(doc_id: Long, ts: java.sql.Timestamp,
+      dup_of: Long, band: Int, est: Double)
+
+  def nearDupHits(docs: DataFrame, idCol: String, tsCol: String,
+      textCol: String, bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
+      threshold: Double = 0.7, horizonMs: Long = 2L * 3600 * 1000,
+      maxBucket: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = bands * rowsPerBand
+    val streaming = docs.isStreaming
+    // one signature pass per doc, then the band explode (same staging rule
+    // as batch: never compute the signature once per band)
+    val sigd = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(tsCol).as("ts"),
+      graft.operators.Dedup.minhashSignature(col(textCol), h, k).as("sig"))
+    val banded = sigd
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withWatermark("ts", s"${horizonMs / 1000} seconds")
+      .as[BandRow]
+
+    banded
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BucketState, DupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (key, rows, state) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = if (state.exists) state.get
+              else BucketState(Vector.empty, Vector.empty, 0L)
+            var ids = st.ids
+            var sigs = st.sigs
+            var lastMs = st.lastMs
+            val hits = Vector.newBuilder[DupHit]
+            // deterministic arrival order inside the group invocation
+            for (r <- rows.toSeq.sortBy(x => (x.ts.getTime, x.doc_id))) {
+              lastMs = math.max(lastMs, r.ts.getTime)
+              // earliest stored signature agreeing on >= threshold of
+              // positions (ids are appended in arrival order)
+              var found = -1
+              var foundEst = 0.0
+              var i = 0
+              while (i < sigs.length && found < 0) {
+                var eq = 0
+                var j = 0
+                val s = sigs(i)
+                while (j < h) { if (s(j) == r.sig(j)) eq += 1; j += 1 }
+                val est = eq.toDouble / h
+                if (est >= threshold) { found = i; foundEst = est }
+                i += 1
+              }
+              if (found >= 0)
+                hits += DupHit(r.doc_id, r.ts, ids(found), key._1, foundEst)
+              if (ids.length < maxBucket) {
+                ids = ids :+ r.doc_id
+                sigs = sigs :+ r.sig
+              }
+            }
+            state.update(BucketState(ids, sigs, lastMs))
+            if (streaming)
+              // Spark clears the timeout on every invocation — re-arm from
+              // the stored activity time, strictly above the watermark
+              state.setTimeoutTimestamp(math.max(lastMs + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            hits.result().iterator
+          }
+        })
+      .toDF()
+  }
+}

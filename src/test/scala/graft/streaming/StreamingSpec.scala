@@ -52,6 +52,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("streaming minhash near-dup: == batch run, == driver reference, finds planted dups") {
+    import org.apache.spark.sql.functions._
+    // doc ids start at 0: offset the synthetic event times so none sits at
+    // epoch 0 == the stream's INITIAL watermark (a row exactly at the
+    // watermark is dropped as late — a real boundary, not an artifact)
+    val docs0 = Tables.documents(spark, dir)
+      .withColumn("ts", timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+    // plant exact duplicates arriving later: every planted doc MUST be hit
+    val planted = docs0.select((col("doc_id") + 100000L).as("doc_id"),
+      timestamp_micros((col("doc_id") + 200000L) * 1000000L).as("ts"),
+      col("text"))
+    val docs = docs0.select("doc_id", "ts", "text").union(planted)
+
+    val batch = StreamDedup.nearDupHits(docs, "doc_id", "ts", "text")
+      .select("doc_id", "dup_of").distinct()
+    val got = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // every planted duplicate is flagged against a pre-existing doc
+    val flagged = got.map(_._1)
+    val plantedIds = (0L until 500L).map(_ + 100000L).toSet
+    val missing = plantedIds -- flagged
+    assert(missing.isEmpty, s"${missing.size} planted dups not flagged")
+
+    // independent driver-side reference: same banding, same sequential rule
+    val h = 32
+    val sigRows = docs
+      .select(col("doc_id"), col("ts"),
+        graft.operators.Dedup.minhashSignature(col("text"), h, 3).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getSeq[Long](2)))
+    val bandRows = for {
+      (id, ts, sig) <- sigRows.toSeq
+      b <- 0 until 8
+    } yield (b, sig.slice(b * 4, b * 4 + 4), id, ts, sig)
+    val want = scala.collection.mutable.Set.empty[(Long, Long)]
+    bandRows.groupBy { case (b, chunk, _, _, _) => (b, chunk) }.foreach {
+      case (_, members) =>
+        val sorted = members.sortBy { case (_, _, id, ts, _) => (ts, id) }
+        val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+        for ((_, _, id, _, sig) <- sorted) {
+          val firstMatch = seen.find { case (_, s) =>
+            s.zip(sig).count(p => p._1 == p._2).toDouble / h >= 0.7
+          }
+          firstMatch.foreach { case (mid, _) => want += (id -> mid) }
+          if (seen.length < 64) seen += (id -> sig)
+        }
+    }
+    assert(got == want.toSet,
+      s"batch run diverged from reference: extra=${got -- want}, missing=${want.toSet -- got}")
+
+    // streaming run over the same rows (one micro-batch) emits the same hits
+    val tmp = "/tmp/graft_stream_neardup_src"
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema).parquet(tmp)
+    val streamed = EventStreams.runToBatch(
+      StreamDedup.nearDupHits(stream, "doc_id", "ts", "text"),
+      "neardup_out", outputMode = "append")
+      .select("doc_id", "dup_of").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(streamed == got, "streaming run diverged from batch run")
+  }
+
   test("stream-stream interval join == batch range join") {
     val stream = EventStreams.readStream(spark, dir)
     val got = EventStreams.runToBatch(

@@ -91,6 +91,42 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally scope.release()
   }
 
+  test("knn join: broadcast query side, bounded-heap partial aggregation") {
+    val plan = planOf("q_knn_join")
+    // the query set is broadcast (never shuffles the corpus against it)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n${plan.take(900)}")
+    // map-side partial heaps: only k pairs per (partition, query) shuffle
+    assert(plan.contains("partial_graft_topk_pairs"),
+      "top-k aggregation lost its map-side partial phase")
+    // scans are pruned to id + vector
+    assert(!plan.contains("label"), "embeddings scan reads unused columns")
+  }
+
+  test("quality rules / url queries stay narrow: one scan, pruned columns") {
+    val rules = planOf("q_quality_rules")
+    assert("FileScan parquet".r.findAllIn(rules).size == 1,
+      "quality rules should be a single-scan query")
+    assert(rules.contains("ReadSchema: struct<text:string,lang:string>") ||
+      rules.contains("ReadSchema: struct<lang:string,text:string>"),
+      s"rule scan not pruned to (text, lang):\n${rules.take(600)}")
+    val hosts = planOf("q_url_hosts")
+    assert("FileScan parquet".r.findAllIn(hosts).size == 1 &&
+      "HashAggregate".r.findAllIn(hosts).size >= 2,
+      "url rollup lost its single-scan two-phase shape")
+  }
+
+  test("quota sample: both rank phases partition on the stratum (no global window)") {
+    val plan = planOf("q_quota_sample")
+    // two window operators, each partitioned (the second's key set is the
+    // stratum alone; neither is an unpartitioned global sort)
+    assert(!plan.contains("Window [row_number()") ||
+      !plan.contains("partitionBy=[]"), "unpartitioned window in quota sample")
+    assert("RunningWindowFunction|Window".r.findAllIn(plan).size >= 2 ||
+      "row_number".r.findAllIn(plan).size >= 2,
+      s"expected two rank phases:\n${plan.take(600)}")
+  }
+
   test("co-grouped groupby keeps the pruned parquet scan (no RDD fallback)") {
     // the common case — key co-grouped with the reduced pred — must scan
     // parquet with only the needed columns: positional-label

@@ -111,12 +111,91 @@ object Multimodal {
     None
   }
 
-  /** Image metadata decode: real header parse for PNG/JPEG, deterministic
-    * stub for everything else.
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** GIF header decode: "GIF87a"/"GIF89a" signature, then the logical
+    * screen width/height as little-endian u16 at offsets 6/8. GIF pixels
+    * are palette-indexed; reported as 3 channels (palette entries are
+    * RGB).
+    */
+  private[operators] def decodeGif(b: Array[Byte]): Option[Row] = {
+    if (b.length < 10) return None
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    val w = le16(b, 6)
+    val h = le16(b, 8)
+    if (w > 0 && h > 0) Some(Row(w, h, 3, b.length.toLong)) else None
+  }
+
+  /** BMP header decode: "BM" file header, then BITMAPINFOHEADER with
+    * little-endian i32 width at 18, i32 height at 22 (negative height =
+    * top-down rows — magnitude is the pixel height), and u16 bits-per-
+    * pixel at 28 (channels = ceil(bits/8), palette formats report 1).
+    */
+  private[operators] def decodeBmp(b: Array[Byte]): Option[Row] = {
+    if (b.length < 30) return None
+    if (!(b(0) == 'B' && b(1) == 'M')) return None
+    val w = le32(b, 18).toInt
+    val h = math.abs(le32(b, 22).toInt)
+    val bits = le16(b, 28)
+    val channels = bits match {
+      case 1 | 4 | 8 => 1; case 16 => 2; case 24 => 3; case 32 => 4
+      case _ => return None
+    }
+    if (w > 0 && h > 0) Some(Row(w, h, channels, b.length.toLong)) else None
+  }
+
+  /** Image metadata decode: real header parse for PNG/JPEG/GIF/BMP,
+    * deterministic stub for everything else.
     */
   def decodeImage(payload: Array[Byte]): Row =
     decodePng(payload).orElse(decodeJpeg(payload))
+      .orElse(decodeGif(payload)).orElse(decodeBmp(payload))
       .getOrElse(decodeImageStub(payload))
+
+  /** Typed metadata of an audio payload. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false)))
+
+  /** WAV (RIFF) header decode: "RIFF....WAVE", then a chunk walk — the
+    * "fmt " chunk carries channels (u16 LE at +2 of its data), sample
+    * rate (u32 at +4) and bits per sample (u16 at +14); the "data" chunk
+    * size divided by the frame stride (channels x bits/8) is the sample
+    * count. Real pure-JVM parsing; any malformed stream returns None.
+    */
+  private[operators] def decodeWav(b: Array[Byte]): Option[Row] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12
+    var channels = 0; var rate = 0; var bits = 0; var dataLen = -1L
+    while (i + 8 <= b.length && (channels == 0 || dataLen < 0)) {
+      val id = new String(b.slice(i, i + 4), "US-ASCII")
+      val size = le32(b, i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12).toInt
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        dataLen = math.min(size, (b.length - i - 8).toLong)
+      }
+      if (size > Int.MaxValue - 16) return None
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) return None
+    val stride = channels.toLong * (bits / 8).max(1)
+    Some(Row(channels, rate, bits, dataLen / stride, b.length.toLong))
+  }
 
   /** Attach a binary payload column (here derived from text — in
     * production this is the raw image/audio bytes from parquet).

@@ -650,6 +650,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(truncSof).getLong(3) == 5L)
   }
 
+  test("multimodal: real GIF/BMP header decode; WAV chunk walk") {
+    // GIF89a, 320x200 logical screen (little-endian u16)
+    val gif = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    gif.put("GIF89a".getBytes).putShort(320.toShort).putShort(200.toShort)
+    val g = Multimodal.decodeImage(gif.array())
+    assert(g.getInt(0) == 320 && g.getInt(1) == 200 && g.getInt(2) == 3, s"gif: $g")
+    // BMP with BITMAPINFOHEADER: 800x600, 24bpp; negative height = top-down
+    def bmp(h: Int, bits: Short) = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).position(14)
+      b.putInt(40).putInt(800).putInt(h).putShort(1).putShort(bits)
+      b.array()
+    }
+    val m = Multimodal.decodeImage(bmp(600, 24))
+    assert(m.getInt(0) == 800 && m.getInt(1) == 600 && m.getInt(2) == 3, s"bmp: $m")
+    val td = Multimodal.decodeImage(bmp(-600, 32))
+    assert(td.getInt(1) == 600 && td.getInt(2) == 4, s"top-down bmp: $td")
+    // WAV: RIFF/WAVE, fmt(16) stereo 44100 Hz 16-bit, data of 400 bytes
+    // => 100 frames (400 / (2ch * 2B))
+    val wav = java.nio.ByteBuffer.allocate(44 + 400)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes).putInt(36 + 400).put("WAVE".getBytes)
+    wav.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    wav.put("data".getBytes).putInt(400)
+    val w = Multimodal.decodeWav(wav.array()).get
+    assert(w.getInt(0) == 2 && w.getInt(1) == 44100 && w.getInt(2) == 16, s"wav: $w")
+    assert(w.getLong(3) == 100L, s"wrong sample count: $w")
+    // malformed payloads: None, never a throw
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    // a truncated data chunk clamps to the real byte count
+    val short = java.util.Arrays.copyOf(wav.array(), 44 + 100)
+    assert(Multimodal.decodeWav(short).get.getLong(3) == 25L)
+  }
+
   test("multimodal: frame sample plan explodes the expected frame indices") {
     val vids = Seq((1L, 10L), (2L, 100L)).toDF("vid", "n_frames")
     val plan = Multimodal.frameSamplePlan(vids, "vid", "n_frames", stride = 5, maxFrames = 8)

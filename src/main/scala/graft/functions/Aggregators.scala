@@ -242,13 +242,37 @@ object Aggregators {
     override def left: Expression = score
     override def right: Expression = id
 
+    // analysis-time contract: a decimal or string score would otherwise
+    // ClassCastException mid-job on the executors
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      val scoreOk = score.dataType match {
+        case DoubleType | FloatType | IntegerType | LongType |
+             ShortType | ByteType => true
+        case _ => false
+      }
+      val idOk = id.dataType match {
+        case IntegerType | LongType | ShortType | ByteType => true
+        case _ => false
+      }
+      if (scoreOk && idOk) TypeCheckSuccess
+      else TypeCheckFailure(s"$prettyName requires a non-decimal numeric " +
+        s"score and an integral id, got ${score.dataType.sql}, ${id.dataType.sql}")
+    }
+
     override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 
     override def update(h: TopKHeap, input: InternalRow): TopKHeap = {
       val s = score.eval(input)
       val i = id.eval(input)
-      if (s != null && i != null)
-        h.add(s.asInstanceOf[Number].doubleValue(), i.asInstanceOf[Number].longValue())
+      if (s != null && i != null) {
+        val d = s.asInstanceOf[Number].doubleValue()
+        // a NaN compares false both ways in worse(): admitted once it would
+        // lodge at the root and veto every later insertion — no vote, like
+        // NULL
+        if (!d.isNaN) h.add(d, i.asInstanceOf[Number].longValue())
+      }
       h
     }
 

@@ -188,9 +188,10 @@ object Multimodal {
       } else if (id == "data") {
         dataLen = math.min(size, (b.length - i - 8).toLong)
       }
-      if (size > Int.MaxValue - 16) return None
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      // advance in Long space: a junk declared size near Int.MaxValue
+      // would overflow an Int index negative and crash the bounds check
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > b.length) b.length else next.toInt
     }
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) return None
     val stride = channels.toLong * (bits / 8).max(1)

@@ -215,6 +215,9 @@ object ScaleOps {
       quota: Int, seed: Int = 13, fanout: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(quota > 0 && fanout > 0, "quota and fanout must be positive")
+    val reserved = Seq("__h", "__salt", "__rn").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input must not already contain ${reserved.mkString(", ")}")
     val h = md5(concat_ws("|", col(idCol).cast("string"), lit(seed.toString)))
     val withH = df.withColumn("__h", h)
       .withColumn("__salt", pmod(xxhash64(col(idCol), lit(seed)), lit(fanout)))

@@ -178,9 +178,11 @@ object TextAnalysis {
     * http/https duplicates collapse too.
     */
   def canonicalizeUrl(url: Column): Column = {
+    // (?i): crawled data spells schemes in any case (HTTP://, Https://) —
+    // a case-sensitive match would pass those through un-canonicalized
     val noFrag = regexp_replace(url, "#.*$", "")
-    val schemeHost = regexp_extract(noFrag, "^(https?://[^/?]+)", 1)
-    val rest = regexp_replace(noFrag, "^https?://[^/?]+", "")
+    val schemeHost = regexp_extract(noFrag, "(?i)^(https?://[^/?]+)", 1)
+    val rest = regexp_replace(noFrag, "(?i)^https?://[^/?]+", "")
     val host = lower(regexp_replace(schemeHost, ":(80|443)$", ""))
     val hostNoScheme = regexp_replace(host, "^https?://", "")
     val path0 = regexp_extract(rest, "^([^?]*)", 1)

@@ -383,10 +383,10 @@ object PipelineQueries {
         SELECT url, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
       comp AS (
         SELECT url,
-          regexp_replace(LOWER(regexp_replace(regexp_extract(nofrag, '^(https?://[^/?]+)', 1), ':(80|443)$', '')), '^https?://', '') AS host,
-          regexp_extract(regexp_replace(nofrag, '^https?://[^/?]+', ''), '^([^?]*)', 1) AS path0,
-          CASE WHEN strpos(regexp_replace(nofrag, '^https?://[^/?]+', ''), '?') > 0
-               THEN regexp_replace(regexp_replace(nofrag, '^https?://[^/?]+', ''), '^[^?]*\?', '')
+          regexp_replace(LOWER(regexp_replace(regexp_extract(nofrag, '(?i)^(https?://[^/?]+)', 1), ':(80|443)$', '')), '^https?://', '') AS host,
+          regexp_extract(regexp_replace(nofrag, '(?i)^https?://[^/?]+', ''), '^([^?]*)', 1) AS path0,
+          CASE WHEN strpos(regexp_replace(nofrag, '(?i)^https?://[^/?]+', ''), '?') > 0
+               THEN regexp_replace(regexp_replace(nofrag, '(?i)^https?://[^/?]+', ''), '^[^?]*\?', '')
                ELSE '' END AS query0
         FROM parts),
       canon AS (

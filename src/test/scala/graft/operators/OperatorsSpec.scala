@@ -155,6 +155,15 @@ class OperatorsSpec extends AnyFunSuite {
       .select(explode(col("t")).as("e")).select("e.id")
       .collect().map(_.getLong(0))
     assert(nn.toSeq == Seq(1L, 3L), s"NULL handling wrong: ${nn.toSeq}")
+    // a NaN score must not poison the heap (NaN compares false both ways:
+    // admitted, it would lodge at the root and veto every later insert)
+    val withNaN = Seq(("g", Double.NaN, 0L), ("g", 1.0, 1L), ("g", 2.0, 2L),
+      ("g", 3.0, 3L)).toDF("g", "s", "id")
+    val kept = withNaN.groupBy("g")
+      .agg(Aggregators.topKPairs(col("s"), col("id"), 2).as("t"))
+      .select(explode(col("t")).as("e")).select("e.id")
+      .collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(3L, 2L), s"NaN poisoned the heap: ${kept.toSeq}")
     // partial (map-side) aggregation present: the shuffle carries heap
     // buffers, not scored rows
     val plan = rows.toDF("g", "s", "id")
@@ -234,6 +243,7 @@ class OperatorsSpec extends AnyFunSuite {
     val variants = Seq(
       "https://WWW.Example.com:443/a/b/?utm_source=x&b=2&a=1#frag",
       "http://www.example.com/a/b?a=1&b=2",
+      "HTTPS://www.Example.COM/a/b?b=2&a=1", // uppercase scheme spellings
       "https://www.example.com:443/a/b/?b=2&utm_campaign=y&a=1")
     val canon = variants.toDF("url")
       .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
@@ -686,6 +696,13 @@ class OperatorsSpec extends AnyFunSuite {
     // a truncated data chunk clamps to the real byte count
     val short = java.util.Arrays.copyOf(wav.array(), 44 + 100)
     assert(Multimodal.decodeWav(short).get.getLong(3) == 25L)
+    // a junk chunk declaring a near-Int.MaxValue size must not overflow
+    // the walk index into a crash — None, never a throw
+    val evil = java.nio.ByteBuffer.allocate(100)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes).putInt(92).put("WAVE".getBytes)
+    evil.put("junk".getBytes).putInt(Int.MaxValue - 16)
+    assert(Multimodal.decodeWav(evil.array()).isEmpty)
   }
 
   test("multimodal: frame sample plan explodes the expected frame indices") {

@@ -117,14 +117,19 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("quota sample: both rank phases partition on the stratum (no global window)") {
-    val plan = planOf("q_quota_sample")
-    // two window operators, each partitioned (the second's key set is the
-    // stratum alone; neither is an unpartitioned global sort)
-    assert(!plan.contains("Window [row_number()") ||
-      !plan.contains("partitionBy=[]"), "unpartitioned window in quota sample")
-    assert("RunningWindowFunction|Window".r.findAllIn(plan).size >= 2 ||
-      "row_number".r.findAllIn(plan).size >= 2,
-      s"expected two rank phases:\n${plan.take(600)}")
+    // structural check on the executed plan: every WindowExec must carry a
+    // non-empty partitionSpec — an unpartitioned rank would funnel the
+    // whole input through one task (the exact trap the two-phase design
+    // avoids)
+    // (logical plan: AQE hides the physical WindowExec nodes until run)
+    val logical = graft.SparkEntry.queries("q_quota_sample")(spark, dir)
+      .queryExecution.optimizedPlan
+    val windows = logical.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size >= 2, s"expected two rank phases, got ${windows.size}")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in quota sample:\n$w"))
   }
 
   test("co-grouped groupby keeps the pruned parquet scan (no RDD fallback)") {

@@ -319,6 +319,30 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id, lang, source FROM documents QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '13'), doc_id) <= 40 ORDER BY lang, doc_id""")),
 
+    // Typed cogroup reconciliation: per-user event activity vs order
+    // history in ONE co-partitioned pass (KeyValueGroupedDataset.cogroup)
+    // — both sides shuffle once on the key and the reconciler sees each
+    // user's two iterators together, with no join row explosion. The
+    // oracle states it as the full-outer join of the two aggregates.
+    QueryDef("q_cogroup_recon",
+      (s, dir) => {
+        import s.implicits._
+        val events = Tables.events(s, dir)
+          .select(col("user_id"), col("value")).as[(Long, Double)]
+          .groupByKey(_._1)
+        val orders = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+          .groupByKey(_._1)
+        events.cogroup(orders) { (uid, evs, ords) =>
+          var nEv = 0L; var nOrd = 0L
+          evs.foreach(_ => nEv += 1)
+          ords.foreach(_ => nOrd += 1)
+          Iterator.single((uid, nEv, nOrd))
+        }.toDF("user_id", "n_events", "n_orders")
+          .orderBy("user_id")
+      },
+      Some("""SELECT COALESCE(e.user_id, o.o_custkey) AS user_id, COALESCE(e.n, 0) AS n_events, COALESCE(o.n, 0) AS n_orders FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1) e FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1) o ON e.user_id = o.o_custkey ORDER BY user_id""")),
+
     // Streaming near-duplicate detection (batch form of the stateful
     // per-bucket operator; batch==stream==driver-reference equivalence in
     // StreamingSpec): minhash signatures banded to keyed state, each doc

@@ -41,6 +41,34 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(got.size <= k)
   }
 
+  test("count-min sketch: overestimates only, within eps*N; partials merge") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val eps = 0.005
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(
+          df.selectExpr(s"count_min_sketch(l_suppkey, ${eps}d, 0.99d, 42)")
+            .collect()(0).getAs[Array[Byte]](0)))
+    val cms = sketchOf(li)
+    val n = li.count()
+    val exact = li.groupBy("l_suppkey").count().limit(20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    exact.foreach { case (key, cnt) =>
+      val est = cms.estimateCount(key)
+      assert(est >= cnt, s"CMS underestimated $key: $est < $cnt")
+      assert(est <= cnt + (eps * n).toLong + 1,
+        s"CMS error bound blown for $key: $est vs $cnt (n=$n)")
+    }
+    // sketches built on disjoint halves merge into the whole-data sketch
+    val a = sketchOf(li.filter($"l_orderkey" % 2 === 0))
+    val b = sketchOf(li.filter($"l_orderkey" % 2 =!= 0))
+    a.mergeInPlace(b)
+    exact.take(5).foreach { case (key, _) =>
+      assert(a.estimateCount(key) == cms.estimateCount(key),
+        s"merged sketch diverged from global sketch on $key")
+    }
+  }
+
   test("native expressions callable from SQL after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -45,6 +45,30 @@ class KernelProps extends Properties("Kernels") {
       rows.getSeq[Long](0) == rows.getSeq[Long](1)
     }
 
+  property("TopKHeap under random splits/merges == sort-based reference") =
+    forAll(
+      Gen.chooseNum(1, 8),
+      Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(-5.0, 5.0), Gen.chooseNum(0L, 20L)))),
+      Gen.chooseNum(1, 5)) { (k, pairs, nSplits) =>
+      // merge partial heaps built from arbitrary chunks of the stream
+      val partials = pairs.grouped(math.max(1, pairs.length / nSplits)).map { chunk =>
+        val h = new Aggregators.TopKHeap(k)
+        chunk.foreach { case (s, i) => h.add(s, i) }
+        h
+      }.toList
+      val merged = partials.headOption.getOrElse(new Aggregators.TopKHeap(k))
+      partials.drop(1).foreach { other =>
+        (0 until other.n).foreach(i => merged.add(other.scores(i), other.ids(i)))
+      }
+      val got = merged.sortedDesc.toSeq
+      // reference: global sort, best = (score desc, id asc), duplicates kept
+      val want = pairs.sortWith { case ((sa, ia), (sb, ib)) =>
+        sa > sb || (sa == sb && ia < ib)
+      }.take(k)
+      got == want
+    }
+
   property("jaccardOfHashes is symmetric, in [0,1], and 1 on equal sets") =
     forAll(words, words) { (sa, sb) =>
       import spark.implicits._

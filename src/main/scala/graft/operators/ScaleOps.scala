@@ -174,6 +174,40 @@ object ScaleOps {
         (frac * resolution).cast("long"))
   }
 
+  /** File-level min/max manifest of `column` for the parquet dataset at
+    * `path`: one row per file. Built with ONE scan and amortized over
+    * every subsequent query via [[readSkipping]] — the poor man's
+    * Delta/Iceberg data-skipping index, worth it when a layout
+    * (range-partitioned, time-sorted) gives files tight value ranges.
+    * Persist the manifest as its own tiny table in production.
+    */
+  def minMaxManifest(spark: SparkSession, path: String,
+      column: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(column)).as("min_v"), max(col(column)).as("max_v"))
+
+  /** Range read via a manifest: enumerate only the files whose [min,max]
+    * intersects [lo, hi], read those, and re-apply the exact predicate.
+    * The manifest filter runs on a file-count-sized frame (KBs per
+    * thousand files); non-matching files are never opened — I/O skipping
+    * decided before the scan, like a partition filter but on VALUE ranges
+    * within an unpartitioned layout. Rows with a NULL `column` value
+    * are excluded by the predicate either way (SQL comparison semantics).
+    */
+  def readSkipping(spark: SparkSession, path: String, manifest: DataFrame,
+      column: String, lo: Column, hi: Column): DataFrame = {
+    val files = manifest
+      .filter(col("max_v") >= lo && col("min_v") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val schema = spark.read.parquet(path).schema
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+    base.filter(col(column) >= lo && col(column) <= hi)
+  }
+
   /** Time-partitioned fact layout: write the frame into one directory per
     * time bucket (`partCol=<yyyy-MM[-dd]>`), rows range-clustered and
     * sorted by the timestamp inside each file. Any query filtering on the

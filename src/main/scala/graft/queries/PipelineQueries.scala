@@ -319,6 +319,24 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id, lang, source FROM documents QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '13'), doc_id) <= 40 ORDER BY lang, doc_id""")),
 
+    // Fuzzy (edit-distance) join: supplier names against a perturbed copy
+    // (last character dropped), matched within 1 edit — length banding
+    // turns the nested-loop fuzzy match into a shuffled equi-join with a
+    // bounded-levenshtein verify (plan gate in OperatorsSpec); the oracle
+    // states the naive quadratic form.
+    QueryDef("q_fuzzy_join",
+      (s, dir) => {
+        val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+        val perturbed = sup.select(
+          (col("s_suppkey") + 100000L).as("p_id"),
+          substring(col("s_name"), 1, 17).as("p_name"))
+        graft.operators.FuzzyJoin.editDistanceJoin(
+            sup, "s_suppkey", "s_name", perturbed, "p_id", "p_name", maxDist = 1)
+          .select(col("s_suppkey"), col("p_id"), col("dist"))
+          .orderBy("s_suppkey", "p_id")
+      },
+      Some("""SELECT a.s_suppkey, b.p_id, levenshtein(a.s_name, b.p_name) AS dist FROM supplier a JOIN (SELECT s_suppkey + 100000 AS p_id, substr(s_name, 1, 17) AS p_name FROM supplier) b ON levenshtein(a.s_name, b.p_name) <= 1 ORDER BY a.s_suppkey, b.p_id""")),
+
     // Typed cogroup reconciliation: per-user event activity vs order
     // history in ONE co-partitioned pass (KeyValueGroupedDataset.cogroup)
     // — both sides shuffle once on the key and the reconciler sees each

@@ -239,6 +239,28 @@ class OperatorsSpec extends AnyFunSuite {
       s"sketch union ($unioned) diverged from global sketch ($global)")
   }
 
+  test("fuzzy join == naive levenshtein cross join, without the nested-loop plan") {
+    val rnd = new scala.util.Random(31)
+    val words = Seq("spark", "spork", "sparkle", "park", "shark", "quark",
+      "sparc", "spar", "s", "", "plank", "prank", "frank")
+    val a = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("aid", "as")
+    val b = words.map(w => if (rnd.nextBoolean() && w.nonEmpty) w.drop(1) else w + "x")
+      .zipWithIndex.map { case (w, i) => (i.toLong + 100, w) }.toDF("bid", "bs")
+    val got = FuzzyJoin.editDistanceJoin(a, "aid", "as", b, "bid", "bs", maxDist = 2)
+      .select("aid", "bid", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = a.crossJoin(b)
+      .withColumn("d", levenshtein(col("as"), col("bs")))
+      .filter(col("d") <= 2).select("aid", "bid", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"extra=${got -- want}, missing=${want -- got}")
+    // and the plan is an equi-join on the length band, not a nested loop
+    val plan = FuzzyJoin.editDistanceJoin(a, "aid", "as", b, "bid", "bs", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy join fell back to a nested loop:\n${plan.take(800)}")
+  }
+
   test("url canonicalization collapses case/port/fragment/utm/slash variants") {
     val variants = Seq(
       "https://WWW.Example.com:443/a/b/?utm_source=x&b=2&a=1#frag",

@@ -281,6 +281,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("min/max manifest skips files outside the predicate range") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val path = "/tmp/graft_manifest_test"
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(path)
+    val manifest = ScaleOps.minMaxManifest(spark, path, "l_orderkey")
+    assert(manifest.count() >= 8)
+    val (lo, hi) = (lit(1000L), lit(2000L))
+    val skipped = ScaleOps.readSkipping(spark, path, manifest, "l_orderkey", lo, hi)
+    // correctness: equal to the plain filtered read
+    val want = spark.read.parquet(path)
+      .filter($"l_orderkey" >= 1000L && $"l_orderkey" <= 2000L)
+    assert(sortedRows(skipped) == sortedRows(want))
+    assert(skipped.count() > 0)
+    // skipping: strictly fewer files in the pruned scan than on disk
+    val allFiles = spark.read.parquet(path)
+      .select(input_file_name()).distinct().count()
+    val readFiles = skipped.select(input_file_name()).distinct().count()
+    assert(readFiles < allFiles,
+      s"manifest skipped nothing: $readFiles of $allFiles files")
+    // an empty range reads nothing and returns an empty, well-typed frame
+    val none = ScaleOps.readSkipping(spark, path, manifest, "l_orderkey",
+      lit(-10L), lit(-1L))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("l_orderkey", "l_extendedprice"))
+  }
+
   test("bloom-pruned join with an empty small side returns no rows") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_suppkey", "l_quantity")

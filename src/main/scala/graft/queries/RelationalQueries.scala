@@ -387,6 +387,79 @@ object RelationalQueries {
       },
       Some(s"""SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS size_sum, ${dsumSql("p_retailprice")} AS price_sum FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
+    // TPC-H Q7 skeleton (volume shipping): lineitem joined through
+    // supplier and customer to TWO nation aliases — the self-joined
+    // dimension pattern; both nation sides broadcast, facts shuffle once.
+    QueryDef("q7_volume",
+      (s, dir) => {
+        val n1 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // TPC-H Q8 skeleton (market share): conditional aggregation (share =
+    // regional revenue / total revenue per year) over a 7-table join —
+    // the numerator rides as a CASE inside the same aggregate pass.
+    QueryDef("q8_market_share",
+      (s, dir) => {
+        val n1 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+        val n2 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val vol = dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter(col("p_size") === 15)),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+            col("c_rk") === col("r_regionkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            dsum(when(col("supp_nation") === "NATION_3",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0.0))).as("cn_volume"),
+            vol.as("total_volume"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, ${dsumSql("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS cn_volume, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS total_volume FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN nation n2 ON s_nationkey = n2.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey WHERE p_size = 15 AND r_name = 'ASIA' GROUP BY 1 ORDER BY 1""")),
+
+    // RANGE window frame: per-customer rolling 30-day order spend — a
+    // VALUE-based frame (range interval preceding), not a row count;
+    // one shuffle on the partition key.
+    QueryDef("q_window_range",
+      (s, dir) => {
+        // NTZ -> epoch seconds via a UTC timestamp cast (session tz is
+        // pinned UTC), matching DuckDB's epoch() on the naive timestamp
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          .rangeBetween(-30L * 86400, 0)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast("decimal(27,6)")).over(w)
+              .cast("double").as("spend_30d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey""")),
+
     // Time-partitioned fact layout round-trip: write lineitem into
     // month directories (range-clustered, time-sorted files), then run a
     // one-month query against the layout — a partition-pruned scan that

@@ -43,7 +43,12 @@ object GraftFunctions {
     ("graft_heavy_hitters",
       "Misra-Gries top-k frequent strings (array<struct<term,n>>, lower-bound counts)",
       (args: Seq[Expression]) =>
-        Aggregators.HeavyHittersAgg(args(0), intArg(args(1), "graft_heavy_hitters"))))
+        Aggregators.HeavyHittersAgg(args(0), intArg(args(1), "graft_heavy_hitters"))),
+    ("graft_topk_pairs",
+      "k best (score double, id long) pairs per group " +
+        "(array<struct<score,id>>, best-first, ties to the lowest id)",
+      (args: Seq[Expression]) =>
+        Aggregators.TopKPairsAgg(args(0), args(1), intArg(args(2), "graft_topk_pairs"))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, usage, builder) =>

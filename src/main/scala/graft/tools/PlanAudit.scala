@@ -51,9 +51,14 @@ object PlanAudit {
       val df = lazyDedup(n).getOrElse(qs(n)(spark, sfDir))
       val plan = df.queryExecution.executedPlan.toString
       df.explain("formatted")
+      // knnJoin's broadcast query-set x corpus scan IS a deliberate cross
+      // product (every pair is scored by definition); flagging it would
+      // train readers to ignore the audit
+      val deliberateBnlj = Set("q_knn_join")
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+        "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&
+          !deliberateBnlj(n)),
         "Exchange SinglePartition" -> plan.contains("Exchange SinglePartition")
       ).collect { case (f, true) => f }
       println(if (flags.isEmpty) s"[audit] $n: no red flags"

@@ -89,5 +89,9 @@ class AggregatorsSpec extends AnyFunSuite {
       "SELECT graft_sorted_intersect(array(1L,3L,5L), array(3L,4L,5L)) AS n")
       .collect()(0).getInt(0)
     assert(si == 2)
+    val tk = spark.sql(
+      "SELECT graft_topk_pairs(s, i, 2) AS t FROM VALUES (1.0d, 10L), (3.0d, 30L), (2.0d, 20L) t(s, i)")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 30L), (2.0, 20L)))
   }
 }

@@ -119,6 +119,51 @@ object Corpus {
       .drop("__cum", "__pre")
   }
 
+  /** Tokenize for span analysis: lowercase, split on whitespace runs,
+    * drop empty tokens (leading-whitespace artifacts). Shared by
+    * [[repeatedSpans]] and its oracle so both sides see identical tokens.
+    */
+  private[graft] def spanTokens(text: org.apache.spark.sql.Column) =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Repeated-span detection (substring-level exact dedup, the
+    * Lee-et-al-style pass below paragraph granularity): every word
+    * `n`-gram occurring in at least `minDocs` DISTINCT documents, with its
+    * document frequency and total occurrence count. Document-level and
+    * paragraph-level dedup miss boilerplate that is spliced INTO otherwise
+    * unique text (license headers, navigation chrome, quoted passages);
+    * this surfaces those spans for masking or cutting.
+    *
+    * Shape at scale: tokenization + n-gram enumeration is one narrow pass
+    * (`transform` over a `sequence`, whole-stage codegen'd, no UDF); the
+    * only shuffle is the groupBy on the span — keyed on the span TEXT so
+    * the output is directly actionable, with map-side partial aggregation
+    * collapsing within-partition repeats. For a 100 TB corpus the same
+    * plan runs with the span replaced by `xxhash64(span)` (16-byte
+    * shuffle key) and a sample join re-attaching representative text.
+    *
+    * Output: `(span, n_docs, n_occ)` for spans with `n_docs >= minDocs`.
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    val toks = docs.select(col(idCol), spanTokens(col(textCol)).as("__t"))
+    val spans = toks
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => array_join(slice(col("__t"), i, lit(n)), " "))).as("span"))
+    spans
+      .groupBy("span")
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Remove contaminated documents: `train` without any document sharing
     * an `n`-gram with `bench` (anti join against the hit set).
     */

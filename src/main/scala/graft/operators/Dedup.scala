@@ -543,4 +543,64 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup-style semantic deduplication pairs: cluster embeddings into
+    * `k` spherical-kmeans cells (deterministic trained centroids,
+    * [[Similarity.trainCentroids]]) and compare pairs WITHIN each cell
+    * only — the quadratic all-pairs cosine shrinks to k cells of ~n/k
+    * members, the exact trade the SemDeDup recipe makes (near-duplicates
+    * land in the same cell because they are near the same centroid;
+    * cross-cell misses are the accepted recall cost, bounded by how close
+    * the pair sits to a cell boundary).
+    *
+    * Scale shape: the centroid model is literal-sized (k x dim), the cell
+    * assignment is a narrow map, and the self-join shuffles on the cell
+    * id with `maxCell` capping any degenerate mega-cell (same star-pair
+    * bound as the LSH pipelines, [[boundedPairs]]). Returns
+    * (id_a < id_b, cosine >= threshold) pairs.
+    */
+  def semanticNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, threshold: Double = 0.85, maxCell: Int = 4096,
+      iters: Int = 5, maxSample: Int = 2000
+  ): DataFrame = {
+    val scope = new CacheScope
+    scope.sealResult(semanticNearDupsPlan(scope, df, idCol, vecCol, k,
+      threshold, maxCell, iters, maxSample))
+  }
+
+  private[graft] def semanticNearDupsPlan(
+      scope: CacheScope,
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double, maxCell: Int, iters: Int, maxSample: Int
+  ): DataFrame = {
+    val centroids = Similarity.trainCentroids(df, vecCol, k, iters, maxSample)
+    val prepared = widen(df).select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val celled = Similarity.assignCells(prepared, "vec", centroids)
+      .withColumn("__t", lit(0)) // boundedPairs groups on (table, bucket)
+      .select(col("id"), col("__t"), col("cell"))
+    val cands = boundedPairs(scope, celled, "__t", "cell", maxCell)
+    val va = prepared.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = prepared.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Apply [[semanticNearDups]] as a dedup policy: drop every row that has
+    * an above-threshold neighbor with a SMALLER id in its cell (keep the
+    * lowest-id representative of each near-duplicate neighborhood). The
+    * drop-set join is on scalar ids only; vectors never shuffle twice.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, threshold: Double = 0.85, maxCell: Int = 4096,
+      iters: Int = 5, maxSample: Int = 2000
+  ): DataFrame = {
+    val drops = semanticNearDups(df, idCol, vecCol, k, threshold, maxCell,
+      iters, maxSample)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
 }

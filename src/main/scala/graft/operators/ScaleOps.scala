@@ -267,6 +267,111 @@ object ScaleOps {
       .drop("__h", "__salt", "__rn")
   }
 
+  /** Changelog merge (lakehouse CDC upsert): apply a batch of keyed
+    * changes — inserts, updates, and delete markers — onto a snapshot,
+    * keeping the row with the highest `versionCol` per key (change rows
+    * win over snapshot rows at equal version). The lakehouse MERGE INTO /
+    * compaction primitive, executed the scale-right way: ONE shuffle on
+    * the key with a `max_by(struct(payload), struct(version, source))`
+    * aggregate — map-side partial aggregation collapses most versions
+    * before the exchange, so the shuffle carries ~one row per key, not
+    * the full history (a window + row_number over the union would shuffle
+    * everything and rank every group). The struct-valued buffer plans as
+    * a SortAggregate (in-partition sort by key, no global sort); the
+    * partial/final split is what matters at scale.
+    *
+    * `deletedCol`, when given, names a boolean column: keys whose LATEST
+    * row has it true disappear from the output (tombstones applied, not
+    * carried). `versionCol` must be non-null on every row.
+    */
+  def mergeLatest(snapshot: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], versionCol: String,
+      deletedCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "mergeLatest needs at least one key column")
+    require(snapshot.columns.sorted.sameElements(changes.columns.sorted),
+      "snapshot and changes must have identical columns")
+    require(!snapshot.columns.contains("__src"),
+      "input must not already contain __src")
+    val tagged = snapshot.withColumn("__src", lit(0))
+      .unionByName(changes.withColumn("__src", lit(1)))
+    val payload = snapshot.columns.filterNot(keyCols.contains)
+    val latest = tagged
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col(versionCol), col("__src"))).as("__row"))
+    val kept = deletedCol match {
+      case Some(d) => latest.filter(!col(s"__row.$d"))
+      case None => latest
+    }
+    val order = snapshot.columns.map(c =>
+      if (keyCols.contains(c)) col(c) else col(s"__row.$c").as(c))
+    kept.select(order.toIndexedSeq: _*)
+  }
+
+  /** Interleave the low `bits` bits of two non-negative long columns into
+    * a Morton (Z-curve) value: bit i of `a` lands at position 2i, bit i of
+    * `b` at 2i+1. Pure bitwise column algebra — whole-stage codegen'd,
+    * no UDF. Feed QUANTIZED values ([[zValue]]): the interleaving is only
+    * meaningful when both inputs use the same fixed bit width.
+    */
+  def interleaveBits(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-curve key of two numeric columns over declared value ranges: each
+    * value is scaled into `bits` bits of its [lo, hi] range (clamped —
+    * out-of-range rows sort to the curve's edge rather than corrupting
+    * the interleave), then bit-interleaved. The ranges are parameters,
+    * not discovered: at 100 TB the writer knows (or samples once) the
+    * domain; deriving min/max inline would be an extra full scan per
+    * write.
+    */
+  def zValue(a: Column, loA: Long, hiA: Long, b: Column, loB: Long,
+      hiB: Long, bits: Int = 16): Column = {
+    require(hiA > loA && hiB > loB, "need hi > lo for both z-order columns")
+    val top = (1L << bits) - 1
+    def quant(c: Column, lo: Long, hi: Long): Column =
+      least(lit(top), greatest(lit(0L),
+        (c.cast("long") - lit(lo)) * lit(top) / lit(hi - lo)))
+    interleaveBits(quant(a, loA, hiA), quant(b, loB, hiB), bits)
+  }
+
+  /** Multi-dimensional clustering layout: write `df` range-clustered and
+    * sorted by the Z-curve of (`colA`, `colB`). A linear sort clusters one
+    * column and leaves the other scattered across every file; the Z-curve
+    * gives BOTH columns locality, so file-level min/max pruning
+    * ([[minMaxManifest]] / [[readSkipping]] — or parquet row-group stats)
+    * skips data for predicates on either column or both. This is the
+    * Delta/Iceberg OPTIMIZE ZORDER primitive: the standard layout for a
+    * 100 TB fact table queried along two independent selective dimensions.
+    *
+    * The (lo, hi) quantization ranges are computed here with one
+    * min/max aggregation over the input — a write-time cost amortized
+    * over every subsequent pruned read.
+    */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
+      numFiles: Int = 32, bits: Int = 16): Unit = {
+    require(!df.columns.contains("__z"),
+      "input must not already contain __z")
+    val r = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head
+    val (loA, hiA, loB, hiB) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    df.withColumn("__z",
+        zValue(col(colA), loA, math.max(hiA, loA + 1),
+          col(colB), loB, math.max(hiB, loB + 1), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Deterministic split assignment: bucket each row into split i with
     * probability fractions(i), by seeded xxhash64 of the id column. The
     * same id always lands in the same split — across runs, engines of

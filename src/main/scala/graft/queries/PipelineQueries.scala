@@ -714,6 +714,53 @@ object PipelineQueries {
       },
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok, generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos, len(string_split_regex(trim(lower(text)), '\s+')) AS ntok FROM documents), grams AS (SELECT doc_id, string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram FROM toks QUALIFY pos + 7 <= ntok OR (ntok < 8 AND pos = 1)), bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0), hits AS (SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_hits FROM (SELECT * FROM grams WHERE doc_id % 7 <> 0) t JOIN bench b ON t.gram = b.gram GROUP BY t.doc_id) SELECT doc_id, n_hits FROM hits ORDER BY doc_id""")),
 
+    // repeated-span detection (substring-level exact dedup): word 8-grams
+    // occurring in >= 2 distinct documents — boilerplate spliced INTO
+    // otherwise-unique text, which document- and paragraph-level dedup
+    // both miss. One narrow codegen'd n-gram pass; the only shuffle is
+    // the span groupBy. Top 20 by document frequency (span text is the
+    // total-order tie-break).
+    QueryDef("q_span_dedup",
+      (s, dir) => {
+        graft.operators.Corpus.repeatedSpans(
+          Tables.documents(s, dir), "doc_id", "text", n = 8, minDocs = 2)
+          .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+          .limit(20)
+      },
+      Some(raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents), grams AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS span FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS g(i) WHERE len(t) >= 8) SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ FROM grams GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY n_docs DESC, n_occ DESC, span LIMIT 20""")),
+
+    // BM25 relevance scoring (k1 = 1.2, b = 0.75) of a fixed 3-term query
+    // over the corpus: tf/df/dl from one tokenization pass, the df and
+    // corpus stats frames are literal-sized broadcasts, the only
+    // data-scale shuffle is the (doc, term) tf groupBy. Scores are
+    // rounded per term BEFORE the decimal-exact sum so both engines
+    // aggregate identical addends in any order.
+    QueryDef("q_text_bm25",
+      (s, dir) => {
+        val terms = Seq("spark", "query", "data")
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.operators.Corpus.spanTokens(col("text")).as("t"))
+          .select(col("doc_id"), size(col("t")).as("dl"), col("t"))
+        val tf = toks
+          .select(col("doc_id"), col("dl"), explode(col("t")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+        val stats = toks.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "tok")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+          .withColumn("score", round(col("idf") * col("tf") * 2.2 /
+            (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2), 6))
+          .groupBy("doc_id").agg(dsum(col("score")).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(15)
+      },
+      Some(raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents), dls AS (SELECT doc_id, len(t) AS dl, t FROM toks), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dls), tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM (SELECT doc_id, dl, unnest(t) AS tok FROM dls) WHERE tok IN ('spark', 'query', 'data') GROUP BY 1, 2, 3), dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), scored AS (SELECT doc_id, ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score FROM tf JOIN dfreq USING (tok) CROSS JOIN stats) SELECT doc_id, ${dsumSql("score")} AS bm25 FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15""")),
+
     // --- no-oracle (rows-only gate; verified in ScalaTest vs exact) ------
 
     // per-language frequent terms via the Misra-Gries heavy-hitter UDAF
@@ -807,6 +854,20 @@ object PipelineQueries {
           dim = 64, threshold = 0.4)
           .select(col("id_a"), col("id_b"))
           .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // SemDeDup-style semantic dedup: spherical-kmeans cells, exact cosine
+    // within each cell only; docs with an above-threshold smaller-id
+    // neighbor in their cell are dropped (within-cell equivalence to the
+    // brute-force rule and cache hygiene are spec-verified; rows-only)
+    QueryDef("q_semdedup",
+      (s, dir) => {
+        val kept = Dedup.semanticDedup(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 16, threshold = 0.4)
+        kept.agg(count(lit(1)).as("n_kept")).crossJoin(
+          Tables.embeddings(s, dir).agg(count(lit(1)).as("n_total")))
+          .select(col("n_total"), col("n_kept"))
       },
       None),
 

@@ -541,6 +541,87 @@ object RelationalQueries {
                  GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
                  ORDER BY rf, ls""")
       },
-      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, SUM(l_quantity) AS sq, COUNT(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY rf, ls"""))
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, SUM(l_quantity) AS sq, COUNT(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY rf, ls""")),
+
+    // Changelog merge (lakehouse CDC upsert): snapshot + updates + inserts
+    // + delete tombstones resolved to latest-per-key in ONE keyed shuffle
+    // with a max_by partial aggregate (no window/sort over the union).
+    // Snapshot = keys not divisible by 3; v2 updates/inserts touch keys
+    // divisible by 5 (+1000.0 price — an exact IEEE double op, engine-
+    // reproducible); v3 tombstones delete keys divisible by 11.
+    QueryDef("q_merge_upsert",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val snap = ord.filter(col("o_orderkey") % 3 =!= 0)
+          .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+        val upserts = ord.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0d)
+          .withColumn("version", lit(2L)).withColumn("deleted", lit(false))
+        val deletes = ord.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("version", lit(3L)).withColumn("deleted", lit(true))
+        graft.operators.ScaleOps.mergeLatest(
+            snap, upserts.unionByName(deletes),
+            Seq("o_orderkey"), "version", deletedCol = Some("deleted"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH ord AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), snap AS (SELECT *, 1 AS version, false AS deleted FROM ord WHERE o_orderkey % 3 <> 0), chg AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice, 2 AS version, false AS deleted FROM ord WHERE o_orderkey % 5 = 0 UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, 3, true FROM ord WHERE o_orderkey % 11 = 0), u AS (SELECT *, 0 AS src FROM snap UNION ALL SELECT *, 1 AS src FROM chg), m AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC, src DESC) AS rn FROM u) WHERE rn = 1 AND NOT deleted) SELECT o_orderstatus, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS price_sum FROM m GROUP BY 1 ORDER BY 1""")),
+
+    // Z-order (Morton-curve) clustering layout: lineitem written range-
+    // clustered by the bit-interleave of (l_partkey, l_suppkey), then a
+    // two-dimension predicate answered through file-level min/max
+    // skipping — BOTH columns prune files under the Z-curve (a linear
+    // sort would cluster only one; pruning on each dim is asserted in
+    // ScaleOpsSpec). Oracle recomputes from the unpartitioned source.
+    QueryDef("q_zorder_layout",
+      (s, dir) => {
+        val path = "/root/repo/target/tmp/q_zorder_layout_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val src = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_returnflag")
+        graft.operators.ScaleOps.writeZOrdered(
+          src, "l_partkey", "l_suppkey", path, numFiles = 16)
+        val manifest = graft.operators.ScaleOps.minMaxManifest(
+          s, path, "l_partkey")
+        graft.operators.ScaleOps.readSkipping(
+            s, path, manifest, "l_partkey", lit(100L), lit(300L))
+          .filter(col("l_suppkey") <= 50)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty_sum"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty_sum FROM lineitem WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey <= 50 GROUP BY 1 ORDER BY 1""")),
+
+    // Column profiling (data-quality summary): non-null/distinct counts +
+    // min/max/sum for four measure columns in ONE scan — a single
+    // multi-aggregate pass unpivoted to long form with stack(), not one
+    // job per column (the difference between 1x and Nx I/O on a 100 TB
+    // profile run).
+    QueryDef("q_profile",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val aggs = cols.flatMap { c =>
+          Seq(count(col(c)).as(s"${c}_n"),
+            count_distinct(col(c)).as(s"${c}_d"),
+            min(col(c)).cast("double").as(s"${c}_min"),
+            max(col(c)).cast("double").as(s"${c}_max"),
+            dsum(col(c)).as(s"${c}_sum"))
+        }
+        val stackArgs = cols.map(c =>
+          s"'$c', ${c}_n, ${c}_d, ${c}_min, ${c}_max, ${c}_sum").mkString(", ")
+        Tables.lineitem(s, dir)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+            "(col_name, n_nonnull, n_distinct, min_v, max_v, sum_v)"))
+          .orderBy("col_name")
+      },
+      Some {
+        val parts = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(c => s"SELECT '$c' AS col_name, COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v, ${dsumSql(c)} AS sum_v FROM lineitem")
+        parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+      })
   )
 }

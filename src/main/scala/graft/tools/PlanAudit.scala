@@ -53,8 +53,10 @@ object PlanAudit {
       df.explain("formatted")
       // knnJoin's broadcast query-set x corpus scan IS a deliberate cross
       // product (every pair is scored by definition); flagging it would
-      // train readers to ignore the audit
-      val deliberateBnlj = Set("q_knn_join")
+      // train readers to ignore the audit. q_text_bm25 / q_semdedup
+      // cross-join a ONE-ROW broadcast aggregate (corpus stats / total
+      // count) onto the data — a scalar attach, not a pair blow-up.
+      val deliberateBnlj = Set("q_knn_join", "q_text_bm25", "q_semdedup")
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
         "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&

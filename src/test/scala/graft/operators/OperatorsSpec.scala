@@ -808,4 +808,75 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(clean == Set(2L, 4L))
   }
+
+  test("repeated spans == driver-side n-gram recount over the real corpus") {
+    val n = 8
+    val sample = docs.filter($"doc_id" < 200)
+    val got = Corpus.repeatedSpans(sample, "doc_id", "text", n = n, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: tokenize exactly like spanTokens, count every n-gram
+    val driver = sample.select("doc_id", "text").collect().flatMap { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(n).filter(_.length == n)
+        .map(g => (r.getLong(0), g.mkString(" "))).toSeq
+    }
+    val want = driver.groupBy(_._2).map { case (span, occ) =>
+      (span, occ.map(_._1).distinct.length.toLong, occ.length.toLong)
+    }.filter(_._2 >= 2).toSet
+    assert(got == want, s"span mismatch: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+    assert(got.nonEmpty, "test vacuous: no repeated spans in sample")
+    // docs shorter than n tokens contribute nothing (no partial grams)
+    val short = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Corpus.repeatedSpans(short, "doc_id", "text", n = 8).count() == 0)
+    // within-one-doc repeats don't cross the minDocs bar but do count occ
+    val selfRep = Seq(
+      (1L, Seq.fill(3)("x1 x2 x3 x4 x5 x6 x7 x8").mkString(" q ")),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 trailer")).toDF("doc_id", "text")
+    val spans = Corpus.repeatedSpans(selfRep, "doc_id", "text", n = 8, minDocs = 2)
+      .filter($"span" === "x1 x2 x3 x4 x5 x6 x7 x8")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((2L, 4L)), s"got ${spans.toSeq}")
+  }
+
+  test("semantic dedup: pairs == brute force within cells; kept set is dup-free") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val t = 0.4
+    val centroids = Similarity.trainCentroids(emb, "embedding", k = 8)
+    val cells = Similarity.assignCells(emb, "embedding", centroids)
+      .select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("c", Similarity.cosine($"va", $"vb")).filter($"c" >= t)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPairs = exact.filter { case (x, y) => cells(x) == cells(y) }
+    val gotPairs = Dedup.semanticNearDups(emb, "vec_id", "embedding",
+      k = 8, threshold = t)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == wantPairs,
+      s"within-cell pair mismatch: ${(gotPairs diff wantPairs).take(3)} / ${(wantPairs diff gotPairs).take(3)}")
+    assert(wantPairs.nonEmpty, "test vacuous: no within-cell near-dup pairs")
+    // the policy drops exactly the ids with a smaller within-cell neighbor
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding", k = 8, threshold = t)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val wantDropped = wantPairs.map(_._2)
+    assert(kept == cells.keySet -- wantDropped)
+    // no surviving same-cell pair is above threshold
+    assert(!wantPairs.exists { case (x, y) => kept(x) && kept(y) })
+  }
+
+  test("semantic dedup leaves no cached plans or stranded blocks") {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pairs = Dedup.semanticNearDups(emb, "vec_id", "embedding", k = 8,
+      threshold = 0.4)
+    assert(pairs.count() >= 0)
+    assert(spark.sharedState.cacheManager.isEmpty, "cached plans left behind")
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      "stranded intermediate blocks")
+    Dedup.free(pairs)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }

@@ -309,6 +309,96 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(none.count() == 0 && none.columns.toSeq == Seq("l_orderkey", "l_extendedprice"))
   }
 
+  test("mergeLatest: latest wins, ties go to changes, tombstones delete, one shuffle") {
+    val snap = Seq((1L, "a", 1L, false), (2L, "b", 1L, false),
+      (3L, "c", 1L, false)).toDF("k", "v", "version", "deleted")
+    val chg = Seq(
+      (2L, "b2", 2L, false), // update
+      (4L, "d", 2L, false), // insert (key absent from snapshot)
+      (3L, "gone", 2L, true), // tombstone
+      (1L, "a-tie", 1L, false) // equal version: the change row wins
+    ).toDF("k", "v", "version", "deleted")
+    val got = ScaleOps.mergeLatest(snap, chg, Seq("k"), "version", Some("deleted"))
+    val want = Seq((1L, "a-tie", 1L, false), (2L, "b2", 2L, false),
+      (4L, "d", 2L, false)).toDF("k", "v", "version", "deleted")
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.columns.toSeq == snap.columns.toSeq, "column order not preserved")
+    // without a tombstone column the latest row is kept as data
+    val keptDel = ScaleOps.mergeLatest(snap, chg, Seq("k"), "version")
+    assert(keptDel.count() == 4)
+    // exactly ONE exchange (the keyed aggregate), with map-side partial
+    // max_by collapsing history before the shuffle — no second shuffle,
+    // no per-key row_number window
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"mergeLatest should shuffle once:\n${plan.take(1200)}")
+    assert(plan.contains("partial_max_by"), "no map-side partial aggregation")
+    assert(!plan.contains("row_number"), "mergeLatest must not plan a window")
+    // deterministic across layouts
+    val again = ScaleOps.mergeLatest(snap.repartition(7), chg.repartition(3),
+      Seq("k"), "version", Some("deleted"))
+    assert(sortedRows(again) == sortedRows(want))
+  }
+
+  test("interleaveBits / zValue: bit-exact Morton codes, clamped quantization") {
+    val df = Seq((3L, 0L), (0L, 3L), (2L, 1L)).toDF("a", "b")
+    val got = df.select(ScaleOps.interleaveBits(col("a"), col("b"), bits = 2))
+      .collect().map(_.getLong(0)).toSeq
+    // a bits at even positions, b bits at odd: (3,0)->0b0101, (0,3)->0b1010,
+    // (2,1)->0b0110
+    assert(got == Seq(5L, 10L, 6L))
+    // zValue: lo maps to 0, hi to the top code, out-of-range clamps
+    val z = Seq((0L, 0L), (100L, 100L), (-5L, 200L)).toDF("a", "b")
+      .select(ScaleOps.zValue(col("a"), 0L, 100L, col("b"), 0L, 100L, bits = 4))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z(0) == 0L)
+    assert(z(1) == (0 until 4).map(i => 3L << (2 * i)).sum) // both all-ones
+    assert(z(2) == (0 until 4).map(i => 2L << (2 * i)).sum) // a=0, b=1111
+  }
+
+  test("z-order layout: lossless round-trip, file pruning on BOTH dimensions") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val path = "/tmp/graft_zorder_test"
+    ScaleOps.writeZOrdered(li, "l_partkey", "l_suppkey", path, numFiles = 16)
+    val back = spark.read.parquet(path)
+    assert(sortedRows(back) == sortedRows(li), "z-order write lost rows")
+    assert(back.columns.toSeq == li.columns.toSeq, "__z leaked into the layout")
+    val total = back.select(input_file_name()).distinct().count()
+    assert(total > 4, s"need several files to demonstrate pruning, got $total")
+    val mA = ScaleOps.minMaxManifest(spark, path, "l_partkey")
+    val mB = ScaleOps.minMaxManifest(spark, path, "l_suppkey")
+    def filesRead(df: DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val prunedA = ScaleOps.readSkipping(spark, path, mA, "l_partkey",
+      lit(10L), lit(40L))
+    val prunedB = ScaleOps.readSkipping(spark, path, mB, "l_suppkey",
+      lit(1L), lit(2L))
+    assert(filesRead(prunedA) < total,
+      s"no pruning on dim A: ${filesRead(prunedA)} of $total")
+    assert(filesRead(prunedB) < total,
+      s"no pruning on dim B: ${filesRead(prunedB)} of $total")
+    // correctness of the pruned reads
+    assert(sortedRows(prunedA) ==
+      sortedRows(li.filter($"l_partkey".between(10, 40))))
+    assert(sortedRows(prunedB) ==
+      sortedRows(li.filter($"l_suppkey".between(1, 2))))
+    // contrast: a LINEAR sort on partkey clusters only partkey — suppkey
+    // ranges span every file and its manifest prunes nothing
+    val linPath = "/tmp/graft_zorder_linear_test"
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(linPath)
+    val linTotal = spark.read.parquet(linPath)
+      .select(input_file_name()).distinct().count()
+    val mLin = ScaleOps.minMaxManifest(spark, linPath, "l_suppkey")
+    val linB = filesRead(ScaleOps.readSkipping(spark, linPath, mLin,
+      "l_suppkey", lit(1L), lit(2L)))
+    assert(linB == linTotal,
+      s"expected the linear layout NOT to prune on suppkey ($linB of $linTotal)")
+  }
+
   test("bloom-pruned join with an empty small side returns no rows") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_suppkey", "l_quantity")

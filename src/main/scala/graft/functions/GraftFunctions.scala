@@ -24,6 +24,19 @@ object GraftFunctions {
       s"$fn expects a literal int, got $other")
   }
 
+  private def matrixArg(e: Expression, fn: String): IndexedSeq[IndexedSeq[Double]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    require(e.foldable, s"$fn expects a foldable array<array<double>> matrix")
+    val rowType = e.dataType match {
+      case ArrayType(rt @ ArrayType(DoubleType, _), _) => rt
+      case t => throw new IllegalArgumentException(
+        s"$fn expects array<array<double>>, got ${t.sql}")
+    }
+    e.eval().asInstanceOf[ArrayData].toObjectArray(rowType)
+      .map(_.asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq).toIndexedSeq
+  }
+
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", "dot product of two array<double> columns",
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
@@ -48,7 +61,12 @@ object GraftFunctions {
       "k best (score double, id long) pairs per group " +
         "(array<struct<score,id>>, best-first, ties to the lowest id)",
       (args: Seq[Expression]) =>
-        Aggregators.TopKPairsAgg(args(0), args(1), intArg(args(2), "graft_topk_pairs"))))
+        Aggregators.TopKPairsAgg(args(0), args(1), intArg(args(2), "graft_topk_pairs"))),
+    ("graft_nearest_centroid",
+      "index of the cosine-nearest centroid row for an embedding; " +
+        "arg2 = literal array<array<double>> centroid matrix",
+      (args: Seq[Expression]) =>
+        NearestCentroid(args(0), matrixArg(args(1), "graft_nearest_centroid"))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, usage, builder) =>

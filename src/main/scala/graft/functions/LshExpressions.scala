@@ -558,7 +558,138 @@ case class PqEncode(child: Expression,
   override def prettyName: String = "graft_pq_encode"
 }
 
+/** Nearest-centroid (IVF cell) assignment: the id of the centroid with the
+  * greatest cosine similarity to the vector, computed as the argmax of
+  * dot(vec, unit(centroid)) — the row vector's own norm is a positive
+  * constant across centroids and cannot change the argmax, so the
+  * centroid rows are unit-normalized ONCE at construction and each row
+  * pays k·dim multiply-adds in one primitive pass.
+  *
+  * This replaces the `greatest(struct(cosine, cid) × k)` column formula,
+  * whose expression tree (k × dim array literals, k dot products + 2k
+  * norms) made janino compile a multi-second method for EVERY stage that
+  * evaluated the cell column — the plan-compile time, not the arithmetic,
+  * dominated the IVF and semantic-dedup pipelines.
+  *
+  * Parity with that formulation: a vector of the wrong length or with a
+  * null element gets a NULL cell (null scores there, null greatest here);
+  * an exact score tie goes to the larger centroid id (struct comparison
+  * order). A zero vector scores 0 against every centroid and likewise
+  * lands in the last cell (NaN-cosines all compare equal under
+  * `greatest`'s NaN-as-largest ordering).
+  */
+case class NearestCentroid(child: Expression,
+    centroids: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  private val dim = centroids.head.length
+  private val k = centroids.length
+  require(centroids.forall(_.length == dim),
+    "all centroids must share the vector dimensionality")
+
+  // unit-normalized row-major copy (zero-norm rows stay zero: dot = 0)
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](k * dim)
+    var c = 0
+    while (c < k) {
+      var n2 = 0.0d
+      var j = 0
+      while (j < dim) { val x = centroids(c)(j); n2 += x * x; j += 1 }
+      val inv = if (n2 == 0.0d) 0.0d else 1.0d / math.sqrt(n2)
+      j = 0
+      while (j < dim) { a(c * dim + j) = centroids(c)(j) * inv; j += 1 }
+      c += 1
+    }
+    a
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${t.sql}")
+  }
+
+  @transient private lazy val childIsFloat =
+    child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val vec = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      vec(i) = if (childIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var s = 0.0d
+      val off = c * dim
+      var j = 0
+      while (j < dim) { s += flat(off + j) * vec(j); j += 1 }
+      if (s >= bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val centsRef = ctx.addReferenceObj("graftCentroids", flat, "double[]")
+      val (vec, i, c, j, s, off, best, bestS, degen) = (ctx.freshName("vec"),
+        ctx.freshName("i"), ctx.freshName("c"), ctx.freshName("j"),
+        ctx.freshName("s"), ctx.freshName("off"), ctx.freshName("best"),
+        ctx.freshName("bestS"), ctx.freshName("degen"))
+      val getElem =
+        if (childIsFloat) s"(double) $in.getFloat($i)" else s"$in.getDouble($i)"
+      s"""
+         |boolean $degen = $in.numElements() != $dim;
+         |double[] $vec = new double[$dim];
+         |if (!$degen) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($in.isNullAt($i)) { $degen = true; break; }
+         |    $vec[$i] = $getElem;
+         |  }
+         |}
+         |if ($degen) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $best = 0;
+         |  double $bestS = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $s = 0.0d;
+         |    int $off = $c * $dim;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $s += $centsRef[$off + $j] * $vec[$j];
+         |    }
+         |    if ($s >= $bestS) { $bestS = $s; $best = $c; }
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_nearest_centroid"
+}
+
 object LshExpressions {
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(vec),
+      centroids.map(_.toIndexedSeq).toIndexedSeq))
+
   def minhashSignature(sh: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(sh), numHashes))
 

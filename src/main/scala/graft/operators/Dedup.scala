@@ -575,17 +575,41 @@ object Dedup {
       k: Int, threshold: Double, maxCell: Int, iters: Int, maxSample: Int
   ): DataFrame = {
     val centroids = Similarity.trainCentroids(df, vecCol, k, iters, maxSample)
-    val prepared = widen(df).select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val celled = Similarity.assignCells(prepared, "vec", centroids)
-      .withColumn("__t", lit(0)) // boundedPairs groups on (table, bucket)
-      .select(col("id"), col("__t"), col("cell"))
-    val cands = boundedPairs(scope, celled, "__t", "cell", maxCell)
-    val va = prepared.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val vb = prepared.select(col("id").as("id_b"), col("vec").as("vec_b"))
-    cands.join(va, "id_a").join(vb, "id_b")
+    // cell + cell stats in one keyed-window pass, persisted: the frame
+    // feeds both self-join sides and the star-pair branch. The self-join
+    // CARRIES the vectors through its one cell-keyed shuffle and scores
+    // pairs inline — with a single "band" there is nothing to dedup, so
+    // the LSH pipelines' pair-distinct + two vector re-attach joins (two
+    // extra shuffles of pair ids plus two of vectors) would be pure
+    // overhead here; 2x vector volume through one exchange is the
+    // cheaper total at any scale.
+    val statsW = Window.partitionBy("cell")
+    val celled = scope.persist(
+      Similarity.assignCells(
+          widen(df).select(col(idCol).as("id"), col(vecCol).as("vec")),
+          "vec", centroids)
+        .withColumn("__n", count(lit(1)).over(statsW))
+        .withColumn("__minid", min(col("id")).over(statsW)))
+    def scored(pairs: DataFrame): DataFrame = pairs
       .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    val small = celled.filter(col("__n") <= maxCell)
+    val smallPairs = scored(small
+      .select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+      .join(small.select(col("cell"), col("id").as("id_b"),
+        col("vec").as("vec_b")), "cell")
+      .filter(col("id_a") < col("id_b")))
+    // over-cap (boilerplate) cells degrade to star pairs against the
+    // cell-minimum id — linear in the cell size, preserving duplicate-
+    // neighborhood connectivity exactly like [[boundedPairs]]
+    val bigPairs = scored(celled
+      .filter(col("__n") > maxCell && col("id") =!= col("__minid"))
+      .select(col("cell"), col("__minid").as("id_a"),
+        col("id").as("id_b"), col("vec").as("vec_b"))
+      .join(celled.filter(col("__n") > maxCell && col("id") === col("__minid"))
+        .select(col("cell"), col("vec").as("vec_a")), "cell"))
+    smallPairs.union(bigPairs)
   }
 
   /** Apply [[semanticNearDups]] as a dedup policy: drop every row that has

@@ -54,10 +54,14 @@ object Similarity {
     */
   def assignCells(df: DataFrame, vecCol: String,
       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
-    val scored = centroids.map { case (cid, cvec) =>
-      struct(cosine(col(vecCol), vec(cvec)).as("score"), lit(cid).as("cid"))
-    }
-    df.withColumn("cell", greatest(scored: _*).getField("cid"))
+    // one native codegen'd argmax-dot pass (graft_nearest_centroid): the
+    // greatest(struct(cosine, cid) x k) column formula it replaces made
+    // janino compile a k x dim literal tree for every stage touching the
+    // cell column — plan-compile time dominated the IVF pipelines
+    val idx = graft.functions.LshExpressions.nearestCentroid(
+      col(vecCol), centroids.map(_._2))
+    val cellId = element_at(array(centroids.map(c => lit(c._1)): _*), idx + 1)
+    df.withColumn("cell", cellId)
   }
 
   /** IVF top-k: only the `nprobe` cells whose centroids are closest to

@@ -93,5 +93,12 @@ class AggregatorsSpec extends AnyFunSuite {
       "SELECT graft_topk_pairs(s, i, 2) AS t FROM VALUES (1.0d, 10L), (3.0d, 30L), (2.0d, 20L) t(s, i)")
       .collect()(0).getSeq[org.apache.spark.sql.Row](0)
     assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 30L), (2.0, 20L)))
+    // nearest-centroid kernel with an inline literal centroid matrix:
+    // (0.9, 0.1) is nearest (cosine) to the x-axis row 0
+    val nc = spark.sql(
+      "SELECT graft_nearest_centroid(array(0.9d, 0.1d), " +
+        "array(array(1.0d, 0.0d), array(0.0d, 1.0d))) AS c")
+      .collect()(0).getInt(0)
+    assert(nc == 0)
   }
 }

@@ -125,6 +125,37 @@ class LshExpressionsSpec extends AnyFunSuite {
       s"no codegen span:\n${plan.take(400)}")
   }
 
+  test("NearestCentroid == greatest(struct(cosine,cid)) formulation; degenerate -> null") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.operators.Similarity.trainCentroids(emb, "embedding", 16)
+    // the SQL formulation the native kernel replaced (independent
+    // semantics reference): argmax cosine with larger-cid tie-break
+    val scored = cents.map { case (cid, cvec) =>
+      struct(graft.operators.Similarity.cosine($"embedding",
+        graft.operators.Similarity.vec(cvec)).as("score"), lit(cid).as("cid"))
+    }
+    val both = emb.select($"vec_id",
+      greatest(scored: _*).getField("cid").as("sql_cell"),
+      LshExpressions.nearestCentroid($"embedding", cents.map(_._2)).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"row ${r.getLong(0)}")
+    }
+    // wrong-length or null-element vectors assign to NULL
+    val weird = Seq((1L, Seq(1.0d, 2.0d))).toDF("id", "v")
+      .union(spark.sql("SELECT 2L, array(CAST(NULL AS DOUBLE), 1.0d)"))
+    val degen = weird.select(
+      LshExpressions.nearestCentroid($"v", cents.map(_._2)).as("c")).collect()
+    degen.foreach(r => assert(r.isNullAt(0)))
+    // codegen active on the file-backed plan
+    val plan = emb.select(
+      LshExpressions.nearestCentroid($"embedding", cents.map(_._2)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && plan.contains("graft_nearest_centroid"),
+      s"no codegen span:\n${plan.take(400)}")
+  }
+
   test("PqEncode == least(struct(dist,cid)) formulation; degenerate -> null") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))

@@ -232,6 +232,39 @@ object ScaleOps {
       .write.mode("overwrite").partitionBy(partCol).parquet(path)
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis A-ES): keep the `k` rows with the largest `u^(1/w)`, where
+    * `u` is a uniform in (0,1) derived from md5 of the id (replayable by
+    * any engine — same rationale as [[quotaSample]]) and `w` the row's
+    * weight. Inclusion probability is proportional to weight under
+    * without-replacement semantics — the standard corpus-curation sampler
+    * (weight = quality score, token count, source priority).
+    *
+    * Scale shape: the key is a narrow map inside the scan; the top-k is
+    * `orderBy(key).limit(k)` = TakeOrdered — per-partition bounded heaps
+    * merged on the driver, k rows of driver transfer, NO global sort or
+    * single-partition shuffle at any size.
+    *
+    * Rows with weight <= 0 are excluded (the exponent would invert the
+    * ordering); `u` is never exactly 0 or 1 (the 32-bit hash is shifted
+    * into (0,1)), so the key is always well-defined.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Int = 17): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("__wkey"),
+      "input must not already contain __wkey")
+    val h32 = conv(substring(md5(concat_ws("|",
+      col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h32.cast("double") + lit(1.0d)) / lit(4294967297.0d)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wkey", pow(u, lit(1.0d) / col(weightCol).cast("double")))
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Deterministic per-stratum quota sampling: the `quota` rows of each
     * stratum with the smallest seeded hash — a uniform fixed-SIZE sample
     * per group (vs [[stratifiedSample]]'s fixed-RATE), reproducible across

@@ -761,6 +761,59 @@ object PipelineQueries {
       },
       Some(raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents), dls AS (SELECT doc_id, len(t) AS dl, t FROM toks), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dls), tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM (SELECT doc_id, dl, unnest(t) AS tok FROM dls) WHERE tok IN ('spark', 'query', 'data') GROUP BY 1, 2, 3), dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), scored AS (SELECT doc_id, ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score FROM tf JOIN dfreq USING (tok) CROSS JOIN stats) SELECT doc_id, ${dsumSql("score")} AS bm25 FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15""")),
 
+    // deterministic weighted sampling (A-ES, weight = n_chars): the k
+    // rows with the largest md5-derived u^(1/w) — proportional-to-weight
+    // inclusion, replayed exactly by the oracle. TakeOrdered top-k: no
+    // global sort.
+    QueryDef("q_weighted_sample",
+      (s, dir) => {
+        graft.operators.ScaleOps.weightedSample(
+          Tables.documents(s, dir), "doc_id", "n_chars", k = 200)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("chars_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH w AS (SELECT *, POW((CAST(('0x' || substring(md5(doc_id || '|17'), 1, 8)) AS BIGINT) + 1.0) / 4294967297.0, 1.0 / n_chars) AS wkey FROM documents WHERE n_chars > 0), top AS (SELECT * FROM w ORDER BY wkey DESC, doc_id LIMIT 200) SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars_sum FROM top GROUP BY 1 ORDER BY 1""")),
+
+    // per-document unigram token entropy (repetitive/boilerplate text
+    // scores low): H = ln N - (sum c*ln c)/N from one tokenize pass and
+    // two keyed aggregations; per-term contributions rounded before the
+    // decimal-exact sum so both engines add identical addends
+    QueryDef("q_text_entropy",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.operators.Corpus.spanTokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").as("n_tok"),
+            dsum(round(col("c") * log(col("c")), 6)).as("clogc"))
+          .select(col("doc_id"), col("n_tok"),
+            round(log(col("n_tok")) - col("clogc") / col("n_tok"), 6)
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok FROM documents), counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2), agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, ${dsumSql("ROUND(c * LN(c), 6)")} AS clogc FROM counts GROUP BY 1) SELECT doc_id, n_tok, ROUND(LN(n_tok) - clogc / n_tok, 6) AS entropy FROM agg ORDER BY doc_id""")),
+
+    // streaming CDC materialization run in batch: per-user latest event
+    // via mapGroupsWithState keyed state (version = unique event_id,
+    // tombstone = error events), aggregated per deletion status. The
+    // oracle states the same materialization as a windowed latest-per-key.
+    QueryDef("q_stream_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val changes = Tables.events(s, dir).select(
+          col("user_id").as("key"), col("event_id").as("version"),
+          col("value"), (col("event_type") === "error").as("deleted"))
+          .as[graft.streaming.StreamUpsert.Change]
+        graft.streaming.StreamUpsert.latestState(changes).toDF()
+          .groupBy("deleted")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("deleted")
+      },
+      Some(s"""WITH latest AS (SELECT user_id, value, event_type = 'error' AS deleted, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) SELECT deleted, COUNT(*) AS n, ${dsumSql("value")} AS value_sum FROM latest WHERE rn = 1 GROUP BY 1 ORDER BY 1""")),
+
     // --- no-oracle (rows-only gate; verified in ScalaTest vs exact) ------
 
     // per-language frequent terms via the Misra-Gries heavy-hitter UDAF

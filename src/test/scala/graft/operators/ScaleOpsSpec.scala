@@ -399,6 +399,43 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected the linear layout NOT to prune on suppkey ($linB of $linTotal)")
   }
 
+  test("weighted sample == driver A-ES replay, deterministic, weight-skewed") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val got = ScaleOps.weightedSample(docs, "doc_id", "n_chars", k = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent driver replay of the exact selection rule
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id|17".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      math.pow((h + 1.0) / 4294967297.0, 1.0 / w)
+    }
+    val rows = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = rows.filter(_._2 > 0)
+      .sortBy { case (id, w) => (-key(id, w), id) }.take(100).map(_._1).toSet
+    assert(got == want, "selection diverged from the A-ES replay")
+    // identical selection after re-layout
+    val again = ScaleOps.weightedSample(docs.repartition(13), "doc_id",
+      "n_chars", k = 100).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+    // inclusion skews toward weight: 9x-weight rows dominate the sample
+    val pop = (0L until 4000L).map(i => (i, if (i < 2000) 1L else 9L))
+      .toDF("id", "w")
+    val heavy = ScaleOps.weightedSample(pop, "id", "w", k = 400)
+      .filter($"w" === 9).count()
+    assert(heavy > 300 && heavy < 399, s"heavy-weight count off: $heavy/400")
+    // non-positive weights are excluded, not mis-ranked
+    val mixed = (0L until 10L).map(i => (i, if (i < 5) -1L else 2L)).toDF("id", "w")
+    assert(ScaleOps.weightedSample(mixed, "id", "w", k = 10).count() == 5)
+    // top-k is TakeOrdered (bounded heaps), never a global sort
+    val plan = ScaleOps.weightedSample(docs, "doc_id", "n_chars", k = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample lost its TakeOrdered plan:\n${plan.take(600)}")
+  }
+
   test("bloom-pruned join with an empty small side returns no rows") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_suppkey", "l_quantity")

@@ -196,4 +196,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows <= 1,
       s"state not evicted ($stateRows rows live) — duplicates disarmed the timeout")
   }
+
+  test("streaming CDC upsert: batch boundaries irrelevant, tombstones stick") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.streaming.StreamUpsert.{Change, Latest}
+    val srcDir = "/tmp/graft_stream_upsert"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+    Files.createDirectories(Paths.get(srcDir))
+    def write(name: String, rows: Seq[Change]): Unit = {
+      rows.toDS().repartition(1).write.parquet(s"$srcDir/$name")
+      Thread.sleep(1100) // distinct mod-times => deterministic batch order
+    }
+    val b1 = Seq(Change(1L, 1L, 10.0, false), Change(2L, 2L, 20.0, false),
+      Change(1L, 3L, 11.0, false))
+    val b2 = Seq(Change(2L, 5L, 0.0, true), Change(1L, 4L, 12.0, false),
+      Change(3L, 6L, 30.0, false), Change(2L, 4L, 21.0, false))
+    // a LATE lower-version update after the tombstone batch: must not
+    // resurrect key 2
+    val b3 = Seq(Change(2L, 3L, 99.0, false))
+    write("b1", b1); write("b2", b2); write("b3", b3)
+    val stream = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Change]].schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*").as[Change]
+    val q = graft.streaming.StreamUpsert.latestState(stream).writeStream
+      .format("memory").queryName("upsert_out").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    // materialized view = highest-version emission per key (versions only
+    // grow per key, so the final state is the max-version output row)
+    val emitted = spark.table("upsert_out").collect()
+      .map(r => Latest(r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val finalState = emitted.groupBy(_.key).map { case (k, rs) =>
+      k -> rs.maxBy(_.version)
+    }
+    val want = Map(
+      1L -> Latest(1L, 4L, 12.0, false),
+      2L -> Latest(2L, 5L, 0.0, true), // tombstone survived the late v3
+      3L -> Latest(3L, 6L, 30.0, false))
+    assert(finalState == want, s"got $finalState")
+    // batch execution over ALL rows at once materializes the same rows
+    val batchOut = graft.streaming.StreamUpsert
+      .latestState((b1 ++ b2 ++ b3).toDS())
+      .collect().map(l => l.key -> l).toMap
+    assert(batchOut == want, "batch-mode run diverged from streaming run")
+  }
 }

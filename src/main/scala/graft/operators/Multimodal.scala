@@ -231,6 +231,84 @@ object Multimodal {
       .withColumn("meta", col("meta").cast(imageMetaSchema))
   }
 
+  /** Aspect-preserving resize: REAL geometry — decoded header dimensions,
+    * fit-in-box scale `min(maxW/w, maxH/h, 1)` (never upscales), output
+    * dims rounded half-up with a 1px floor — with the pixel resample
+    * itself stubbed (no imaging libs in this container; in production the
+    * per-partition block below instantiates the codec once and maps
+    * payload -> resized payload). Undecodable or missing payloads pass
+    * through with zeroed dims, never failing the task.
+    *
+    * Output: `(id, src_w, src_h, out_w, out_h, scale)`.
+    */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+      maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, "target box must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition resampler init would go here (amortized)
+        rows.map { case (id, payload) =>
+          val m = if (payload == null) null else decodeImage(payload)
+          val (w, h) = if (m == null) (0, 0) else (m.getInt(0), m.getInt(1))
+          if (w <= 0 || h <= 0) (id, 0, 0, 0, 0, 0.0d)
+          else {
+            val scale = math.min(1.0d,
+              math.min(maxW.toDouble / w, maxH.toDouble / h))
+            val ow = math.max(1L, math.round(w * scale)).toInt
+            val oh = math.max(1L, math.round(h * scale)).toInt
+            (id, w, h, ow, oh, scale)
+          }
+        }
+      }
+      .toDF("id", "src_w", "src_h", "out_w", "out_h", "scale")
+  }
+
+  /** Batched feature extraction plumbing: per-partition "model"
+    * instantiation, rows processed in `batchSize` batches (the JVM analog
+    * of a vectorized `mapInPandas` inference UDF — batch shape is what a
+    * real encoder amortizes its forward pass over), one fixed-`dim`
+    * float vector per row. The model is a deterministic stub (a rolling
+    * hash of the payload fanned into [0,1) floats) — the schema,
+    * batching, partition amortization, and null handling are the real
+    * contract; swap the stub for an ONNX/JNI encoder in production.
+    * Missing payloads embed to the zero vector (spec-pinned), keeping
+    * downstream cosine math total.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
+      dim: Int = 16, batchSize: Int = 64): DataFrame = {
+    require(dim > 0 && batchSize > 0, "dim and batchSize must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition encoder init would go here (amortized)
+        rows.grouped(batchSize).flatMap { batch =>
+          // a real encoder runs ONE forward pass over `batch` here
+          batch.map { case (id, payload) =>
+            val f = new Array[Float](dim)
+            if (payload != null) {
+              var h = 1125899906842597L
+              var i = 0
+              while (i < payload.length) { h = h * 31 + payload(i); i += 1 }
+              var d = 0
+              while (d < dim) {
+                // per-component remix so all dims differ even for tiny inputs
+                val hd = h * (2862933555777941757L + 2 * d) + 3037000493L
+                f(d) = ((hd >>> 40) & 0xffffL).toFloat / 65536.0f
+                d += 1
+              }
+            }
+            (id, f.toSeq)
+          }
+        }
+      }
+      .toDF("id", "feature")
+  }
+
   /** Deterministic frame sampling plan for a (stub) video payload: every
     * `stride`-th frame index under `maxFrames` — the Spark-side shape of a
     * frame-extraction fan-out (`explode` of the frame plan). Frameless

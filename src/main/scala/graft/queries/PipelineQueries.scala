@@ -837,6 +837,26 @@ object PipelineQueries {
       },
       None),
 
+    // multimodal pipeline: payload -> header-decode -> aspect-preserving
+    // resize geometry -> batched feature extraction (stub encoder; the
+    // plumbing — schema, batching, null totality — is real and
+    // spec-verified; rows-only)
+    QueryDef("q_multimodal_pipeline",
+      (s, dir) => {
+        val pay = graft.operators.Multimodal.withPayload(
+          Tables.documents(s, dir), "text", "payload")
+        val resized = graft.operators.Multimodal.resizeImages(
+          pay, "doc_id", "payload", maxW = 64, maxH = 64)
+        val feats = graft.operators.Multimodal.extractFeatures(
+          pay, "doc_id", "payload", dim = 16)
+        resized.join(feats, "id")
+          .agg(count(lit(1)).as("n_assets"),
+            sum(col("out_w").cast("long")).as("out_w_sum"),
+            dsum(round(graft.operators.Similarity.norm(
+              col("feature").cast("array<double>")), 6)).as("feat_norm_sum"))
+      },
+      None),
+
     // deterministic train/val/test hash split (xxhash64 has no DuckDB
     // equivalent; determinism/exhaustiveness verified in ScaleOpsSpec)
     QueryDef("q_sample_split",

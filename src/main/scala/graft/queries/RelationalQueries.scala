@@ -622,6 +622,25 @@ object RelationalQueries {
         val parts = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .map(c => s"SELECT '$c' AS col_name, COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v, ${dsumSql(c)} AS sum_v FROM lineitem")
         parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
-      })
+      }),
+
+    // Data-quality validation report: declarative row rules counted in
+    // ONE scan (NULL rule results count as violations — three-valued
+    // logic must not pass a quality gate) plus an FK check as an
+    // anti-join. The mixed-outcome rule set keeps the report non-vacuous.
+    QueryDef("q_validate",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+        val rules = graft.operators.Checks.ruleViolations(ord, Seq(
+          "orderkey_nonnull" -> col("o_orderkey").isNotNull,
+          "price_positive" -> (col("o_totalprice") > 0),
+          "price_under_300k" -> (col("o_totalprice") < 300000.0d),
+          "status_known" -> col("o_orderstatus").isin("F", "O", "P")))
+        val fk = graft.operators.Checks.fkViolations(
+          ord, "o_custkey", Tables.customer(s, dir), "c_custkey")
+          .select(lit("custkey_fk").as("rule"), col("violations"))
+        rules.unionByName(fk).orderBy("rule")
+      },
+      Some("""SELECT rule, CAST(violations AS BIGINT) AS violations FROM (SELECT 'orderkey_nonnull' AS rule, SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS violations FROM orders UNION ALL SELECT 'price_positive', SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) FROM orders UNION ALL SELECT 'price_under_300k', SUM(CASE WHEN o_totalprice < 300000.0 THEN 0 ELSE 1 END) FROM orders UNION ALL SELECT 'status_known', SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 0 ELSE 1 END) FROM orders UNION ALL SELECT 'custkey_fk', COUNT(*) FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) ORDER BY rule"""))
   )
 }

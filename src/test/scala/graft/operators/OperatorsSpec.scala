@@ -727,6 +727,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(evil.array()).isEmpty)
   }
 
+  test("multimodal: resize geometry is exact; features are batched + deterministic") {
+    // 640x480 RGB PNG header (decode needs only IHDR)
+    val hdr = java.nio.ByteBuffer.allocate(32)
+    hdr.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    hdr.putInt(13).put("IHDR".getBytes).putInt(640).putInt(480)
+      .put(8.toByte).put(2.toByte)
+    val rows = Seq((1L, hdr.array()), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val resized = Multimodal.resizeImages(rows, "id", "payload", 100, 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5))).toMap
+    // fit 640x480 into 100x100: scale = 100/640 = 0.15625 -> 100x75
+    assert(resized(1L) == ((640, 480, 100, 75, 0.15625)), s"got ${resized(1L)}")
+    assert(resized(2L) == ((0, 0, 0, 0, 0.0)), "null payload must pass through")
+    // never upscale: a tiny image keeps its dims at scale 1.0
+    val one = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val up = Multimodal.resizeImages(Seq((3L, one)).toDF("id", "payload"),
+      "id", "payload", 100, 100).collect()(0)
+    assert(up.getInt(3) == 1 && up.getInt(4) == 1 && up.getDouble(5) == 1.0)
+    // features: fixed dim, deterministic across layouts and batch sizes,
+    // zero vector for missing payloads
+    val docs0 = docs.limit(50)
+    val payloads = Multimodal.withPayload(docs0, "text", "payload")
+    def feats(df: org.apache.spark.sql.DataFrame, bs: Int) =
+      Multimodal.extractFeatures(df, "doc_id", "payload", dim = 16, batchSize = bs)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f1 = feats(payloads, 64)
+    assert(f1.values.forall(_.length == 16))
+    assert(f1.values.exists(_.exists(_ != 0.0f)), "vacuous: all-zero features")
+    // per-component remix: components within one vector differ
+    assert(f1.values.forall(v => v.distinct.length > 1))
+    assert(feats(payloads.repartition(7), 1) == f1,
+      "features changed with layout/batch size")
+    val nulls = Seq((9L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    assert(feats(nulls, 8)(9L).forall(_ == 0.0f))
+  }
+
   test("multimodal: frame sample plan explodes the expected frame indices") {
     val vids = Seq((1L, 10L), (2L, 100L)).toDF("vid", "n_frames")
     val plan = Multimodal.frameSamplePlan(vids, "vid", "n_frames", stride = 5, maxFrames = 8)
@@ -864,6 +902,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == cells.keySet -- wantDropped)
     // no surviving same-cell pair is above threshold
     assert(!wantPairs.exists { case (x, y) => kept(x) && kept(y) })
+  }
+
+  test("rule validation: NULL predicates count as violations, one-scan plan") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, -5.0), (3L, null), (null, 20.0))
+      .toDF("id", "price")
+    val got = Checks.ruleViolations(df, Seq(
+      "id_nonnull" -> $"id".isNotNull,
+      "price_positive" -> ($"price" > 0))) // NULL price -> unknown -> violation
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("id_nonnull" -> 1L, "price_positive" -> 2L), s"got $got")
+    // single aggregate pass: no join, one final-agg exchange at most
+    val plan = Checks.ruleViolations(df, Seq("a" -> $"id".isNotNull,
+      "b" -> ($"price" > 0))).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), "rule counting must not join")
+    // FK check: planted orphans counted, NULL keys excluded
+    val child = Seq[(Long, java.lang.Long)]((1L, 10L), (2L, 99L), (3L, null))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val fkv = Checks.fkViolations(child, "fk", parent, "pk")
+      .collect()(0).getLong(0)
+    assert(fkv == 1L, s"expected 1 orphan, got $fkv")
+    // duplicate rule names fail fast
+    intercept[IllegalArgumentException] {
+      Checks.ruleViolations(df, Seq("x" -> lit(true), "x" -> lit(false)))
+    }
   }
 
   test("semantic dedup leaves no cached plans or stranded blocks") {

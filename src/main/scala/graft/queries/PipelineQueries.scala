@@ -814,6 +814,18 @@ object PipelineQueries {
       },
       Some(s"""WITH latest AS (SELECT user_id, value, event_type = 'error' AS deleted, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) SELECT deleted, COUNT(*) AS n, ${dsumSql("value")} AS value_sum FROM latest WHERE rn = 1 GROUP BY 1 ORDER BY 1""")),
 
+    // ordered funnel (view -> click -> purchase): deepest in-order step
+    // per user via one keyed collect + higher-order fold; the oracle
+    // states the same greedy earliest-match as chained min-after joins
+    QueryDef("q_funnel",
+      (s, dir) => {
+        graft.operators.Funnel.report(Tables.events(s, dir),
+          "user_id", "event_id", "event_type",
+          Seq("view", "click", "purchase"))
+          .orderBy("step")
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(event_id) AS p FROM events WHERE event_type = 'view' GROUP BY 1), s2 AS (SELECT e.user_id, MIN(e.event_id) AS p FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.event_id > s1.p WHERE e.event_type = 'click' GROUP BY 1), s3 AS (SELECT e.user_id, MIN(e.event_id) AS p FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.event_id > s2.p WHERE e.event_type = 'purchase' GROUP BY 1) SELECT * FROM (SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_keys FROM s1 UNION ALL SELECT 2, 'click', COUNT(*) FROM s2 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3) ORDER BY step""")),
+
     // --- no-oracle (rows-only gate; verified in ScalaTest vs exact) ------
 
     // per-language frequent terms via the Misra-Gries heavy-hitter UDAF

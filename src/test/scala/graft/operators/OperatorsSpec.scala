@@ -904,6 +904,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!wantPairs.exists { case (x, y) => kept(x) && kept(y) })
   }
 
+  test("funnel == driver-side greedy subsequence match over real events") {
+    val ev = graft.queries.Tables.events(spark, dir)
+    val steps = Seq("view", "click", "purchase")
+    val got = Funnel.deepestStep(ev, "user_id", "event_id", "event_type", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // driver recount: sort by event_id, greedy in-order advance
+    val want = ev.select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (u, rows) =>
+        var stage = 0
+        rows.sortBy(_._2).foreach { case (_, _, t) =>
+          if (stage < steps.length && t == steps(stage)) stage += 1
+        }
+        u -> stage
+      }
+    assert(got == want, "deepest-step fold diverged from driver recount")
+    assert(got.values.exists(_ == steps.length), "vacuous: nobody converted")
+    // (every sf0.001 user converts — the synthetic case below pins the
+    // non-converting and out-of-order paths)
+    // report is the cumulative reached-at-least table
+    val rep = Funnel.report(ev, "user_id", "event_id", "event_type", steps)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    steps.indices.foreach { i =>
+      val k = i + 1
+      assert(rep(i) == ((k, steps(i), want.values.count(_ >= k).toLong)))
+    }
+    // out-of-order events never count: click before any view
+    val synth = Seq((1L, 1L, "click"), (1L, 2L, "view"), (2L, 3L, "view"),
+      (2L, 4L, "click")).toDF("u", "o", "t")
+    val d = Funnel.deepestStep(synth, "u", "o", "t", Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 1, 2L -> 2), s"ordering not enforced: $d")
+  }
+
   test("rule validation: NULL predicates count as violations, one-scan plan") {
     val df = Seq[(java.lang.Long, java.lang.Double)](
       (1L, 10.0), (2L, -5.0), (3L, null), (null, 20.0))

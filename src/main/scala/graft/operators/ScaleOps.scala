@@ -232,6 +232,34 @@ object ScaleOps {
       .write.mode("overwrite").partitionBy(partCol).parquet(path)
   }
 
+  /** Incremental aggregate maintenance: merge a delta batch's PARTIAL
+    * aggregates into a stored per-key aggregate state without rescanning
+    * history — the materialized-view maintenance primitive (daily fact
+    * partitions folding into an all-time rollup). Both frames carry the
+    * key columns plus mergeable aggregate columns (counts, sums, mins,
+    * maxes — anything associative); `merges` names each aggregate column
+    * and how it combines. ONE keyed shuffle over state + delta — history
+    * is never re-read, which is the whole point at 100 TB.
+    */
+  def mergeAggState(state: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "need at least one aggregate column")
+    val supported = Set("sum", "min", "max")
+    merges.foreach { case (c, how) =>
+      require(supported.contains(how), s"unsupported merge '$how' for column $c")
+    }
+    require(state.columns.sorted.sameElements(delta.columns.sorted),
+      "state and delta must have identical columns")
+    val aggs = merges.map {
+      case (c, "sum") => sum(col(c)).as(c)
+      case (c, "min") => min(col(c)).as(c)
+      case (c, _) => max(col(c)).as(c)
+    }
+    state.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis-
     * Spirakis A-ES): keep the `k` rows with the largest `u^(1/w)`, where
     * `u` is a uniform in (0,1) derived from md5 of the id (replayable by

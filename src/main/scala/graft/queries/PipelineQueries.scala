@@ -814,6 +814,49 @@ object PipelineQueries {
       },
       Some(s"""WITH latest AS (SELECT user_id, value, event_type = 'error' AS deleted, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) SELECT deleted, COUNT(*) AS n, ${dsumSql("value")} AS value_sum FROM latest WHERE rn = 1 GROUP BY 1 ORDER BY 1""")),
 
+    // cohort retention: users bucketed by first-seen week, distinct-active
+    // counts per subsequent week offset — two keyed aggregations and one
+    // join on the user id; offsets are exact multiples of 7 days (both
+    // sides week-truncated) so the integer division is engine-exact
+    QueryDef("q_cohort_retention",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val firstSeen = ev.groupBy("user_id")
+          .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+        ev.select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+          .distinct()
+          .join(firstSeen, "user_id")
+          .groupBy(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+            expr("CAST(datediff(active_week, cohort_week) / 7 AS BIGINT)")
+              .as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH f AS (SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week FROM events GROUP BY 1), a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events) SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, CAST(datediff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_offset, COUNT(*) AS n_active FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // incremental aggregate maintenance: per-status aggregates built from
+    // 3/4 of the facts, then the remaining quarter merged in as PARTIAL
+    // aggregates — the oracle computes the full aggregate from scratch, so
+    // a hash match PROVES incremental == full (associativity honored)
+    QueryDef("q_incr_agg",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(27,6)")).as("price_sum"),
+            max(col("o_totalprice")).as("price_max"))
+        val state = partial(ord.filter(col("o_orderkey") % 4 =!= 0))
+        val delta = partial(ord.filter(col("o_orderkey") % 4 === 0))
+        graft.operators.ScaleOps.mergeAggState(state, delta,
+            Seq("o_orderstatus"),
+            Seq("n" -> "sum", "price_sum" -> "sum", "price_max" -> "max"))
+          .select(col("o_orderstatus"), col("n"),
+            col("price_sum").cast("double").as("price_sum"), col("price_max"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS price_sum, MAX(o_totalprice) AS price_max FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // ordered funnel (view -> click -> purchase): deepest in-order step
     // per user via one keyed collect + higher-order fold; the oracle
     // states the same greedy earliest-match as chained min-after joins

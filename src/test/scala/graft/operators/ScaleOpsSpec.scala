@@ -399,6 +399,38 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected the linear layout NOT to prune on suppkey ($linB of $linTotal)")
   }
 
+  test("mergeAggState: incremental merge == full recompute for any split") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    def partial(df: DataFrame) = df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(27,6)")).as("qty_sum"),
+        min(col("l_extendedprice")).as("price_min"))
+    val full = partial(li)
+    val merges = Seq("n" -> "sum", "qty_sum" -> "sum", "price_min" -> "min")
+    // three different split points, all must reconstruct the full aggregate
+    for (m <- Seq(2, 5, 7)) {
+      val merged = ScaleOps.mergeAggState(
+        partial(li.filter(col("l_orderkey") % m =!= 0)),
+        partial(li.filter(col("l_orderkey") % m === 0)),
+        Seq("l_returnflag"), merges)
+      assert(sortedRows(merged) == sortedRows(full), s"split %$m diverged")
+    }
+    // folding a THIRD batch in (state is itself a merge) still matches
+    val twice = ScaleOps.mergeAggState(
+      ScaleOps.mergeAggState(
+        partial(li.filter(col("l_orderkey") % 3 === 0)),
+        partial(li.filter(col("l_orderkey") % 3 === 1)),
+        Seq("l_returnflag"), merges),
+      partial(li.filter(col("l_orderkey") % 3 === 2)),
+      Seq("l_returnflag"), merges)
+    assert(sortedRows(twice) == sortedRows(full), "re-merge diverged")
+    // non-associative merges fail fast
+    intercept[IllegalArgumentException] {
+      ScaleOps.mergeAggState(full, full, Seq("l_returnflag"),
+        Seq("n" -> "avg"))
+    }
+  }
+
   test("weighted sample == driver A-ES replay, deterministic, weight-skewed") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val got = ScaleOps.weightedSample(docs, "doc_id", "n_chars", k = 100)

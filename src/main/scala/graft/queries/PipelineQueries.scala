@@ -892,6 +892,21 @@ object PipelineQueries {
       },
       None),
 
+    // BPE tokenizer: merges learned from the distributed word-frequency
+    // table (driver loop is vocab-sized — the standard trainer shape),
+    // corpus re-tokenized with broadcast ranks; top subwords reported
+    // (deterministic; training/encoding parity is spec-pinned; rows-only)
+    QueryDef("q_bpe_tokenize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = graft.operators.Bpe.train(docs, "text", numMerges = 64)
+        graft.operators.Bpe.tokenize(docs, "doc_id", "text", model)
+          .select(explode(col("subwords")).as("sw"))
+          .groupBy("sw").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("sw")).limit(20)
+      },
+      None),
+
     // multimodal pipeline: payload -> header-decode -> aspect-preserving
     // resize geometry -> batched feature extraction (stub encoder; the
     // plumbing — schema, batching, null totality — is real and

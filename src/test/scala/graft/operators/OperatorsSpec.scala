@@ -904,6 +904,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!wantPairs.exists { case (x, y) => kept(x) && kept(y) })
   }
 
+  test("BPE: hand-checked merges, train/encode parity, layout determinism") {
+    val corpus = Seq((1L, "low low low low low"), (2L, "lower lower widest"),
+      (3L, "newest newest newest widest low")).toDF("doc_id", "text")
+    val m = Bpe.train(corpus, "text", numMerges = 5, minCount = 1)
+    // pair counts: (l,o) = (o,w) = 8 -> lexicographic tie-break picks (l,o),
+    // after which (lo,w) = 8 dominates
+    assert(m.merges.head == (("l", "o")), s"got ${m.merges}")
+    assert(m.merges(1) == (("lo", "w")))
+    // encoding parity: every corpus word's encoding == replaying the
+    // training merge sequence over that word
+    val words = corpus.select(explode(Corpus.spanTokens($"text")))
+      .distinct().collect().map(_.getString(0))
+    words.foreach { w =>
+      var syms = w.map(_.toString).toArray :+ Bpe.EndOfWord
+      m.merges.foreach(p => syms = Bpe.mergePair(syms, p))
+      assert(Bpe.encodeWord(w, m) == syms.toSeq, s"parity broken for '$w'")
+    }
+    // real corpus: tokenization is lossless (subwords concatenate back to
+    // the marker-terminated words) and training is layout-independent
+    val docs0 = docs.limit(100)
+    val model = Bpe.train(docs0, "text", numMerges = 32)
+    assert(model.merges.length == 32)
+    val toks = Bpe.tokenize(docs0, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val raw = docs0.select($"doc_id", Corpus.spanTokens($"text").as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    raw.foreach { case (id, ws) =>
+      assert(toks(id).mkString == ws.map(_ + Bpe.EndOfWord).mkString,
+        s"lossy tokenization for doc $id")
+    }
+    assert(toks.values.exists(_.exists(sw => sw.length > 2)),
+      "vacuous: no multi-char subwords learned")
+    val again = Bpe.train(docs0.repartition(7), "text", numMerges = 32)
+    assert(again.merges == model.merges, "training depends on layout")
+  }
+
   test("funnel == driver-side greedy subsequence match over real events") {
     val ev = graft.queries.Tables.events(spark, dir)
     val steps = Seq("view", "click", "purchase")

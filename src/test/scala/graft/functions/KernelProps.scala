@@ -69,6 +69,39 @@ class KernelProps extends Properties("Kernels") {
       got == want
     }
 
+  private val vecGen: Gen[List[Double]] =
+    Gen.chooseNum(0, 0).flatMap(_ => Gen.listOfN(6,
+      Gen.chooseNum(-4.0, 4.0).map(x => math.rint(x * 8) / 8)))
+
+  property("NearestCentroid == driver argmax cosine on random vectors/matrices") =
+    forAll(vecGen, Gen.chooseNum(2, 5).flatMap(k => Gen.listOfN(k, vecGen))) {
+      (v, cents0) =>
+      import spark.implicits._
+      // drop zero-norm centroids from the comparison domain edge: cosine
+      // is undefined there and the kernel documents dot-with-zero = 0
+      val cents = cents0.map(c => if (c.forall(_ == 0.0)) c.updated(0, 1.0) else c)
+      val got = Seq(Tuple1(v)).toDF("v")
+        .select(LshExpressions.nearestCentroid($"v", cents)).collect()(0).getInt(0)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map(p => p._1 * p._2).sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+      }
+      // driver argmax with the kernel's larger-index tie-break; near-ties
+      // are discarded (kernel normalizes centroids once, driver divides —
+      // ulp-level disagreement is legitimate there)
+      val scores = cents.map(c => cos(v, c))
+      val want = scores.zipWithIndex.maxBy { case (s, i) => (s, i) }._2
+      val top2 = scores.sorted.reverse.take(2)
+      val clear = v.forall(_ == 0.0) || top2.length < 2 ||
+        (top2.head - top2(1)) > 1e-9
+      import org.scalacheck.Prop.propBoolean
+      // all-zero input: every score ties -> last index (documented)
+      clear ==> (if (v.forall(_ == 0.0)) got == cents.length - 1
+        else got == want)
+    }
+
   property("jaccardOfHashes is symmetric, in [0,1], and 1 on equal sets") =
     forAll(words, words) { (sa, sb) =>
       import spark.implicits._

@@ -37,7 +37,10 @@ object Bench {
     // noise, JIT state left by earlier queries); the minimum is the
     // standard noise-robust estimator of the query's true cost. Each rep
     // is cache-isolated so no rep reuses a previous rep's persisted data.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // 3 reps: this host shows intermittent 5-10x CPU-steal spikes (vCPU
+    // migration storms); with two reps a single spiked pair still
+    // misreports, with three the min is reliably a clean run
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.defs.map { d =>
       val runs = (1 to reps).map { _ =>
         // each run is billed standalone: no cross-query/rep cache reuse.

@@ -250,6 +250,8 @@ object ScaleOps {
     }
     require(state.columns.sorted.sameElements(delta.columns.sorted),
       "state and delta must have identical columns")
+    val missing = (merges.map(_._1) ++ keyCols).filterNot(state.columns.contains)
+    require(missing.isEmpty, s"columns not in state: ${missing.mkString(", ")}")
     val aggs = merges.map {
       case (c, "sum") => sum(col(c)).as(c)
       case (c, "min") => min(col(c)).as(c)
@@ -396,9 +398,13 @@ object ScaleOps {
       hiB: Long, bits: Int = 16): Column = {
     require(hiA > loA && hiB > loB, "need hi > lo for both z-order columns")
     val top = (1L << bits) - 1
+    // scale in double: (c-lo)*top as a LONG overflows once the span
+    // passes 2^(63-bits) (a nanosecond-timestamp span does); the double
+    // path is exact to the quantized resolution for any span <= 2^52
     def quant(c: Column, lo: Long, hi: Long): Column =
       least(lit(top), greatest(lit(0L),
-        (c.cast("long") - lit(lo)) * lit(top) / lit(hi - lo)))
+        floor((c.cast("long") - lit(lo)).cast("double") * top / (hi - lo))
+          .cast("long")))
     interleaveBits(quant(a, loA, hiA), quant(b, loB, hiB), bits)
   }
 

@@ -23,11 +23,20 @@ object Checks {
     require(rules.nonEmpty, "need at least one rule")
     require(rules.map(_._1).distinct.length == rules.length,
       "rule names must be unique")
+    // coalesce: sum() over ZERO rows is NULL — an empty delta partition
+    // must report 0 violations, not unknown
     val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__r$i")
+      coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)),
+        lit(0L)).as(s"__r$i")
     }
+    // escape backslashes BEFORE quotes: Spark string literals are
+    // backslash-escaped, so a rule name like "matches \d+" would
+    // otherwise come back silently corrupted ("matches d+")
     val stackArgs = rules.zipWithIndex
-      .map { case ((name, _), i) => s"'${name.replace("'", "''")}', __r$i" }
+      .map { case ((name, _), i) =>
+        val esc = name.replace("\\", "\\\\").replace("'", "\\'")
+        s"'$esc', __r$i"
+      }
       .mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(

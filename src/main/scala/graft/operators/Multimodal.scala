@@ -132,17 +132,23 @@ object Multimodal {
     if (w > 0 && h > 0) Some(Row(w, h, 3, b.length.toLong)) else None
   }
 
-  /** BMP header decode: "BM" file header, then BITMAPINFOHEADER with
-    * little-endian i32 width at 18, i32 height at 22 (negative height =
-    * top-down rows — magnitude is the pixel height), and u16 bits-per-
-    * pixel at 28 (channels = ceil(bits/8), palette formats report 1).
+  /** BMP header decode: "BM" file header, then the DIB header selected by
+    * its declared size at offset 14 — BITMAPINFOHEADER (>= 40 bytes:
+    * little-endian i32 width at 18, i32 height at 22 with negative =
+    * top-down, u16 bits-per-pixel at 28) or the OS/2 BITMAPCOREHEADER
+    * (12 bytes: u16 width at 18, u16 height at 20, u16 bits at 24) —
+    * misreading a core header through the info-header offsets would
+    * fabricate multi-million-pixel dimensions that pass the sanity check.
     */
   private[operators] def decodeBmp(b: Array[Byte]): Option[Row] = {
     if (b.length < 30) return None
     if (!(b(0) == 'B' && b(1) == 'M')) return None
-    val w = le32(b, 18).toInt
-    val h = math.abs(le32(b, 22).toInt)
-    val bits = le16(b, 28)
+    val dibSize = le32(b, 14)
+    val (w, h, bits) =
+      if (dibSize == 12L) (le16(b, 18), le16(b, 20), le16(b, 24))
+      else if (dibSize >= 40L)
+        (le32(b, 18).toInt, math.abs(le32(b, 22).toInt), le16(b, 28))
+      else return None
     val channels = bits match {
       case 1 | 4 | 8 => 1; case 16 => 2; case 24 => 3; case 32 => 4
       case _ => return None
@@ -231,13 +237,41 @@ object Multimodal {
       .withColumn("meta", col("meta").cast(imageMetaSchema))
   }
 
+  /** Batch audio-metadata decode (the audio mirror of [[decodeImages]]):
+    * real WAV chunk-walk parsing per row in a Dataset-level
+    * `mapPartitions`; non-WAV or missing payloads yield zeroed metadata
+    * (`sample_rate = 0` is the quarantine filter), never a task failure.
+    */
+  def decodeAudio(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val m = if (payload == null) None else decodeWav(payload)
+          m match {
+            case Some(r) => (id, (r.getInt(0), r.getInt(1), r.getInt(2),
+              r.getLong(3), r.getLong(4)))
+            case None => (id, (0, 0, 0, 0L,
+              if (payload == null) 0L else payload.length.toLong))
+          }
+        }
+      }
+      .toDF("id", "meta")
+      .withColumn("meta", col("meta").cast(audioMetaSchema))
+  }
+
   /** Aspect-preserving resize: REAL geometry — decoded header dimensions,
     * fit-in-box scale `min(maxW/w, maxH/h, 1)` (never upscales), output
     * dims rounded half-up with a 1px floor — with the pixel resample
     * itself stubbed (no imaging libs in this container; in production the
     * per-partition block below instantiates the codec once and maps
-    * payload -> resized payload). Undecodable or missing payloads pass
-    * through with zeroed dims, never failing the task.
+    * payload -> resized payload). MISSING (null) payloads pass through
+    * with zeroed dims; a payload no real header parser accepts carries
+    * the deterministic stub's fabricated dims ([[decodeImage]] is total),
+    * so a zero-dim quarantine filter catches only the null case — in
+    * production the stub branch is where decode failures surface.
     *
     * Output: `(id, src_w, src_h, out_w, out_h, scale)`.
     */

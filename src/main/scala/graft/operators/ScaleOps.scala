@@ -345,7 +345,10 @@ object ScaleOps {
     *
     * `deletedCol`, when given, names a boolean column: keys whose LATEST
     * row has it true disappear from the output (tombstones applied, not
-    * carried). `versionCol` must be non-null on every row.
+    * carried). `versionCol` must be non-null on every row, and unique
+    * per key WITHIN each input: two change rows carrying the same
+    * (key, version) tie on the full ordering struct and resolve
+    * arbitrarily (a CDC log's sequence number satisfies this naturally).
     */
   def mergeLatest(snapshot: DataFrame, changes: DataFrame,
       keyCols: Seq[String], versionCol: String,
@@ -428,6 +431,10 @@ object ScaleOps {
     val r = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head
+    // min/max over zero rows (or an all-NULL column) is NULL: fail with
+    // a clear message instead of an NPE mid-write
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"writeZOrdered: no non-null ($colA, $colB) values to derive ranges from")
     val (loA, hiA, loB, hiB) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     df.withColumn("__z",

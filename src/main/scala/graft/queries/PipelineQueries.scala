@@ -386,8 +386,13 @@ object PipelineQueries {
     QueryDef("q_sketch_distinct",
       (s, dir) => {
         val ev = Tables.events(s, dir)
+        // eager checkpoint: both output levels (per-type estimates and
+        // the ALL rollup) read the MATERIALIZED sketches — without it the
+        // union's two branches each rescan events and rebuild every
+        // sketch; the checkpointed frame is sketch-sized (KBs per type)
         val perType = ev.groupBy("event_type")
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .localCheckpoint(true)
         perType
           .select(col("event_type"),
             hll_sketch_estimate(col("sk")).as("est_users"))

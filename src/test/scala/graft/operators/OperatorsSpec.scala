@@ -725,6 +725,27 @@ class OperatorsSpec extends AnyFunSuite {
     evil.put("RIFF".getBytes).putInt(92).put("WAVE".getBytes)
     evil.put("junk".getBytes).putInt(Int.MaxValue - 16)
     assert(Multimodal.decodeWav(evil.array()).isEmpty)
+    // OS/2 BITMAPCOREHEADER (12-byte DIB, u16 dims): 100x50 at 24bpp —
+    // reading it through the info-header offsets would fabricate
+    // multi-million-pixel dims that pass the sanity check
+    val core = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    core.put('B'.toByte).put('M'.toByte).position(14)
+    core.putInt(12).putShort(100).putShort(50).putShort(1).putShort(24)
+    val cm = Multimodal.decodeBmp(core.array()).get
+    assert(cm.getInt(0) == 100 && cm.getInt(1) == 50 && cm.getInt(2) == 3,
+      s"core-header bmp: $cm")
+    // an unknown DIB size is rejected (falls to the stub), not misparsed
+    val odd = core.array().clone(); odd(14) = 20
+    assert(Multimodal.decodeBmp(odd).isEmpty)
+    // distributed audio decode: WAV metadata end-to-end, non-WAV zeroed
+    val adf = Seq((1L, wav.array()), (2L, "not audio".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val am = Multimodal.decodeAudio(adf, "id", "payload")
+      .select($"id", $"meta.sample_rate", $"meta.n_samples", $"meta.byte_len")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(am(1L) == ((44100, 100L, (44 + 400).toLong)), s"got ${am(1L)}")
+    assert(am(2L) == ((0, 0L, 9L)) && am(3L) == ((0, 0L, 0L)))
   }
 
   test("multimodal: resize geometry is exact; features are batched + deterministic") {
@@ -999,6 +1020,16 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Checks.ruleViolations(df, Seq("x" -> lit(true), "x" -> lit(false)))
     }
+    // empty input reports ZERO violations, not NULL (sum over no rows)
+    val empty = Checks.ruleViolations(df.filter(lit(false)),
+      Seq("id_nonnull" -> $"id".isNotNull)).collect()(0)
+    assert(!empty.isNullAt(1) && empty.getLong(1) == 0L)
+    // rule names with regex backslashes and quotes survive the generated
+    // stack() literal verbatim
+    val names = Checks.ruleViolations(df,
+      Seq("""matches \d+""" -> lit(true), "it's fine" -> lit(true)))
+      .collect().map(_.getString(0)).toSet
+    assert(names == Set("""matches \d+""", "it's fine"), s"got $names")
   }
 
   test("semantic dedup leaves no cached plans or stranded blocks") {

@@ -47,7 +47,7 @@ object Bench {
         // Checkpoint-backed results (the dedup pipelines) live as persisted
         // RDDs outside the cacheManager — drop those blocks too.
         spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         val repOk =
           try { d.fn(spark, sfDir).count(); true }

@@ -31,7 +31,7 @@ object Verify {
       }
       // release checkpoint-backed results (dedup pipelines) between
       // queries so a 60-query run doesn't accumulate executor blocks
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -30,7 +30,7 @@ object MicroBench {
     names.foreach { n =>
       val times = (1 to reps).map { _ =>
         spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         qs(n)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9

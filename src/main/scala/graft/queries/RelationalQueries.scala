@@ -441,6 +441,42 @@ object RelationalQueries {
       },
       Some(s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, ${dsumSql("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS cn_volume, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS total_volume FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN nation n2 ON s_nationkey = n2.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey WHERE p_size = 15 AND r_name = 'ASIA' GROUP BY 1 ORDER BY 1""")),
 
+    // TPC-H Q10 skeleton (returned-item reporting): revenue lost to
+    // returns per customer — fact filter pushed to the scan, nation
+    // broadcast, one aggregation shuffle, top-20 via TakeOrdered.
+    QueryDef("q10_returned",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q13 skeleton (customer order-count distribution): a left
+    // join preserving order-less customers, then a distribution over the
+    // per-customer counts — two keyed aggregations, the second over a
+    // count-domain-sized frame.
+    QueryDef("q13_custdist",
+      (s, dir) => {
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1) GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
     // RANGE window frame: per-customer rolling 30-day order spend — a
     // VALUE-based frame (range interval preceding), not a row count;
     // one shuffle on the partition key.

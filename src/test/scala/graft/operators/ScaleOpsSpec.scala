@@ -341,6 +341,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sortedRows(again) == sortedRows(want))
   }
 
+  test("mergeLatest == driver reference on random changelogs") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 4) {
+      // snapshot: one row per key (unique versions trivially); changes:
+      // 1-3 rows per key with DISTINCT versions within the input — equal
+      // versions ACROSS inputs exercise the change-beats-snapshot rule
+      val snap = (0L until 25L).filter(_ => rnd.nextDouble() < 0.8).map { k =>
+        (k, s"s$k", rnd.nextInt(10).toLong, rnd.nextDouble() < 0.1)
+      }
+      val chg = (0L until 25L).filter(_ => rnd.nextDouble() < 0.6).flatMap { k =>
+        rnd.shuffle((0 to 12).toList).take(1 + rnd.nextInt(3)).map { v =>
+          (k, s"c${k}_$v", v.toLong, rnd.nextDouble() < 0.25)
+        }
+      }
+      val got = ScaleOps.mergeLatest(
+        snap.toDF("k", "v", "version", "deleted").repartition(5),
+        chg.toDF("k", "v", "version", "deleted").repartition(3),
+        Seq("k"), "version", Some("deleted"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+      val want = (snap.map((_, 0)) ++ chg.map((_, 1)))
+        .groupBy(_._1._1)
+        .map { case (k, rs) =>
+          val (r, _) = rs.maxBy { case ((_, _, ver, _), src) => (ver, src) }
+          k -> (r._2, r._3, r._4)
+        }
+        .filter { case (_, (_, _, deleted)) => !deleted }
+      assert(got == want, s"trial $trial diverged: " +
+        s"extra=${(got.toSet diff want.toSet).take(3)} missing=${(want.toSet diff got.toSet).take(3)}")
+    }
+  }
+
   test("interleaveBits / zValue: bit-exact Morton codes, clamped quantization") {
     val df = Seq((3L, 0L), (0L, 3L), (2L, 1L)).toDF("a", "b")
     val got = df.select(ScaleOps.interleaveBits(col("a"), col("b"), bits = 2))

@@ -660,6 +660,41 @@ object RelationalQueries {
         parts.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
       }),
 
+    // Missing-value imputation with per-group means: nulls synthesized
+    // deterministically (quantity 1 -> NULL), filled from the group's
+    // decimal-exact mean of the REMAINING values; the oracle replays the
+    // same two-level computation.
+    QueryDef("q_impute",
+      (s, dir) => {
+        val base = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"),
+            when(col("l_quantity") === 1.0d, lit(null).cast("double"))
+              .otherwise(col("l_quantity")).as("q"))
+        graft.operators.Prep.imputeWithGroupMean(base, "q", Seq("l_returnflag"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(col("q").isNull, 1L).otherwise(0L)).as("n_filled"),
+            dsum(col("q_filled")).as("qty_sum"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH base AS (SELECT l_returnflag, NULLIF(l_quantity, 1.0) AS q FROM lineitem), means AS (SELECT l_returnflag, ${davgSql("q")} AS mu FROM base GROUP BY 1) SELECT l_returnflag, CAST(SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled, ${dsumSql("COALESCE(q, mu)")} AS qty_sum FROM base JOIN means USING (l_returnflag) GROUP BY 1 ORDER BY 1""")),
+
+    // Per-group z-score outlier report from decimal-exact moments (plain
+    // stddev is accumulation-order dependent and can never hash-match);
+    // scores rounded before thresholding so the flag set is
+    // boundary-stable across engines.
+    QueryDef("q_outliers",
+      (s, dir) => {
+        graft.operators.Prep.zScores(
+            Tables.lineitem(s, dir)
+              .select("l_returnflag", "l_orderkey", "l_extendedprice"),
+            "l_extendedprice", Seq("l_returnflag"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("z_r")) > 2.5d, 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH stats AS (SELECT l_returnflag, COUNT(l_extendedprice) AS n, ${dsumSql("l_extendedprice")} AS s, ${dsumSql("l_extendedprice * l_extendedprice")} AS s2 FROM lineitem GROUP BY 1), scored AS (SELECT l.l_returnflag, CASE WHEN n > 1 AND (s2 - s * s / n) / (n - 1) > 0 THEN ROUND((l_extendedprice - s / n) / SQRT((s2 - s * s / n) / (n - 1)), 6) END AS z_r FROM lineitem l JOIN stats USING (l_returnflag)) SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CASE WHEN ABS(z_r) > 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM scored GROUP BY 1 ORDER BY 1""")),
+
     // Data-quality validation report: declarative row rules counted in
     // ONE scan (NULL rule results count as violations — three-valued
     // logic must not pass a quality gate) plus an FK check as an

@@ -925,6 +925,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!wantPairs.exists { case (x, y) => kept(x) && kept(y) })
   }
 
+  test("prep: group-mean imputation and z-scores match driver arithmetic") {
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 2.0), ("a", 4.0), ("a", null), ("b", 10.0), ("b", null),
+      ("c", null)).toDF("g", "v")
+    val filled = Prep.imputeWithGroupMean(df, "v", Seq("g"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // group a mean = 3.0; singleton non-null group b fills 10.0; all-null
+    // group c keeps its null (no cross-group invention)
+    assert(filled.collect { case ("a", None, f) => f }.flatten.toSeq == Seq(3.0))
+    assert(filled.collect { case ("b", None, f) => f }.flatten.toSeq == Seq(10.0))
+    assert(filled.collect { case ("c", _, f) => f }.head.isEmpty)
+    // z-scores: exact moments vs direct arithmetic on a known group
+    val zdf = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 5.0)).toDF("g", "v")
+    val zs = Prep.zScores(zdf, "v", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    val xs = Seq(1.0, 2.0, 3.0, 10.0)
+    val mu = xs.sum / 4
+    val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / 3)
+    xs.foreach { x =>
+      val want = BigDecimal((x - mu) / sd)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(zs.contains(("a", x, Some(want))), s"z for $x: got $zs")
+    }
+    // singleton group: no z defined
+    assert(zs.contains(("b", 5.0, None)))
+  }
+
   test("BPE: hand-checked merges, train/encode parity, layout determinism") {
     val corpus = Seq((1L, "low low low low low"), (2L, "lower lower widest"),
       (3L, "newest newest newest widest low")).toDF("doc_id", "text")

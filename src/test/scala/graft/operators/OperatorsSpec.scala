@@ -1023,6 +1023,13 @@ class OperatorsSpec extends AnyFunSuite {
     val d = Funnel.deepestStep(synth, "u", "o", "t", Seq("view", "click"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(d == Map(1L -> 1, 2L -> 2), s"ordering not enforced: $d")
+    // plan: ONE keyed shuffle (the user groupBy), fold stays a codegen'd
+    // expression — no window, no second exchange
+    val plan = Funnel.deepestStep(ev, "user_id", "event_id", "event_type", steps)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"funnel should shuffle once:\n${plan.take(1000)}")
+    assert(!plan.contains("Window"), "funnel must not plan a window")
   }
 
   test("rule validation: NULL predicates count as violations, one-scan plan") {

@@ -576,7 +576,11 @@ case class PqEncode(child: Expression,
   * an exact score tie goes to the larger centroid id (struct comparison
   * order). A zero vector scores 0 against every centroid and likewise
   * lands in the last cell (NaN-cosines all compare equal under
-  * `greatest`'s NaN-as-largest ordering).
+  * `greatest`'s NaN-as-largest ordering). A vector containing NaN is
+  * DEGENERATE here — every dot product is NaN, so no cell is meaningful —
+  * and gets a NULL cell like the null-element case (this deliberately
+  * diverges from `greatest`'s NaN-as-largest accident, which silently
+  * assigned such vectors to the last cell).
   */
 case class NearestCentroid(child: Expression,
     centroids: IndexedSeq[IndexedSeq[Double]])
@@ -627,6 +631,7 @@ case class NearestCentroid(child: Expression,
     while (i < dim) {
       if (v.isNullAt(i)) return null
       vec(i) = if (childIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      if (vec(i).isNaN) return null
       i += 1
     }
     var best = 0
@@ -659,6 +664,7 @@ case class NearestCentroid(child: Expression,
          |  for (int $i = 0; $i < $dim; $i++) {
          |    if ($in.isNullAt($i)) { $degen = true; break; }
          |    $vec[$i] = $getElem;
+         |    if (Double.isNaN($vec[$i])) { $degen = true; break; }
          |  }
          |}
          |if ($degen) {

@@ -36,6 +36,15 @@ object Bpe {
     * Deterministic: the vocab is the `maxVocab` most frequent words
     * (count desc, word asc), and each round merges the most frequent
     * pair with a lexicographic tie-break.
+    *
+    * The merge loop is INCREMENTAL: pair counts and a pair→words inverted
+    * index are maintained across rounds, so each merge touches only the
+    * words that actually contain the merged pair (decrement that word's
+    * old adjacent pairs, re-segment, increment the new ones). A full
+    * per-round recount over the vocab — O(numMerges · vocab · wordLen) —
+    * is driver-prohibitive at production vocab sizes (32k merges); this
+    * is O(totalSymbols + numMerges · (distinctPairs + affectedWork)),
+    * the same bookkeeping standard tokenizer trainers use.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L, maxVocab: Int = 50000): Model = {
@@ -49,6 +58,77 @@ object Bpe {
       .collect()
       .map(r => (r.getString(0).map(_.toString).toArray :+ EndOfWord,
         r.getLong(1)))
+    Model(learnMerges(words, numMerges))
+  }
+
+  /** Deterministic total order on (pair, count): highest count first,
+    * then lexicographically smallest pair — identical to the recount
+    * formulation's `maxBy (c, a, b)` with reversed string orderings.
+    */
+  private val bestPairOrdering: Ordering[((String, String), Long)] =
+    Ordering.Tuple3(Ordering.Long, Ordering.String.reverse,
+      Ordering.String.reverse).on { case ((a, b), c) => (c, a, b) }
+
+  /** Incremental merge learning over a driver-resident word-frequency
+    * table (vocab-sized — a model artifact, not data).
+    */
+  private[operators] def learnMerges(words: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val vocab: Array[(Array[String], Long)] = words.clone()
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addWord(i: Int): Unit = {
+      val (syms, c) = vocab(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+        pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+    def removeWord(i: Int): Unit = {
+      val (syms, c) = vocab(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val n = pairCounts(p) - c
+        if (n == 0L) { pairCounts.remove(p); pairWords.remove(p) }
+        else {
+          pairCounts.update(p, n)
+          // the same pair may recur later in this word; dropping index
+          // membership once is fine — membership is re-added by addWord
+          pairWords.get(p).foreach(_ -= i)
+        }
+        j += 1
+      }
+    }
+    vocab.indices.foreach(addWord)
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < numMerges && pairCounts.nonEmpty) {
+      val best = pairCounts.iterator.max(bestPairOrdering)._1
+      merges += best
+      // only words containing `best` change; snapshot the index entry
+      // before mutating (removeWord/addWord edit the sets in place)
+      val affected = pairWords.get(best).map(_.toArray).getOrElse(Array.empty)
+      affected.foreach { i =>
+        removeWord(i)
+        vocab(i) = (mergePair(vocab(i)._1, best), vocab(i)._2)
+        addWord(i)
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** Reference recount formulation (full pair recount per round) — kept
+    * verbatim for the spec that pins incremental == recount; O(rounds ·
+    * vocab · wordLen), test-only.
+    */
+  private[operators] def learnMergesRecount(words: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String)] = {
     var vocab = words
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
@@ -65,17 +145,13 @@ object Bpe {
       }
       if (pairCounts.isEmpty) round = numMerges
       else {
-        val best = pairCounts.toSeq
-          .maxBy { case ((a, b), c) => (c, a, b) }(
-            Ordering.Tuple3(Ordering.Long, Ordering.String.reverse,
-              Ordering.String.reverse))
-          ._1
+        val best = pairCounts.toSeq.max(bestPairOrdering)._1
         merges += best
         vocab = vocab.map { case (syms, c) => (mergePair(syms, best), c) }
         round += 1
       }
     }
-    Model(merges.toSeq)
+    merges.toSeq
   }
 
   /** One left-to-right pass replacing every occurrence of `pair` — the

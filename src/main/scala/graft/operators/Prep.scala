@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Exact._
 
@@ -25,10 +25,10 @@ object Prep {
       "input must not already contain __mu")
     val means = df.groupBy(groupCols.map(col): _*)
       .agg(davg(col(valueCol)).as("__mu"))
-    df.join(broadcast(means), groupCols)
-      .withColumn(s"${valueCol}_filled",
-        coalesce(col(valueCol), col("__mu")))
-      .drop("__mu")
+    val (keyed, cond) = statsSide(df, means, groupCols)
+    df.join(broadcast(keyed), cond, "inner")
+      .select(df.columns.map(df(_)) :+
+        coalesce(df(valueCol), col("__mu")).as(s"${valueCol}_filled"): _*)
   }
 
   /** Per-group z-scores from decimal-exact moments: mean = dsum(x)/n,
@@ -50,14 +50,35 @@ object Prep {
     val x = col(valueCol)
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(count(x).as("__n"), dsum(x).as("__s"), dsum(x * x).as("__s2"))
-    df.join(broadcast(stats), groupCols)
-      .withColumn("z_r", {
+    val (keyed, cond) = statsSide(df, stats, groupCols)
+    df.join(broadcast(keyed), cond, "inner")
+      .select(df.columns.map(df(_)) :+ {
+        val vx = df(valueCol)
         val n = col("__n").cast("double")
         val mu = col("__s") / n
         val variance = (col("__s2") - col("__s") * col("__s") / n) / (n - 1)
         when(col("__n") > 1 && variance > 0,
-          round((x - mu) / sqrt(variance), 6))
-      })
-      .drop("__n", "__s", "__s2")
+          round((vx - mu) / sqrt(variance), 6)).as("z_r")
+      }: _*)
+  }
+
+  /** Prepare a per-group stats frame for joining back onto its own source:
+    * group-key columns are re-aliased to fresh names (fresh attribute ids —
+    * grouping keys keep the source's ids through the Aggregate, so a direct
+    * self-join condition would be ambiguous) and the join condition is a
+    * `<=>` conjunction, NOT plain equality: groupBy puts NULL keys in their
+    * own group, and an equi-join would silently drop those rows from the
+    * output, breaking the "input + extra column" contract.
+    */
+  private def statsSide(df: DataFrame, stats: DataFrame,
+      groupCols: Seq[String]): (DataFrame, Column) = {
+    val statCols = stats.columns.filterNot(groupCols.contains)
+    val keyed = stats.select(
+      groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") } ++
+        statCols.map(col): _*)
+    val cond = groupCols.zipWithIndex
+      .map { case (c, i) => df(c) <=> keyed(s"__k$i") }
+      .reduce(_ && _)
+    (keyed, cond)
   }
 }

@@ -764,7 +764,7 @@ object PipelineQueries {
           .orderBy(col("bm25").desc, col("doc_id"))
           .limit(15)
       },
-      Some(raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents), dls AS (SELECT doc_id, len(t) AS dl, t FROM toks), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dls), tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM (SELECT doc_id, dl, unnest(t) AS tok FROM dls) WHERE tok IN ('spark', 'query', 'data') GROUP BY 1, 2, 3), dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), scored AS (SELECT doc_id, ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score FROM tf JOIN dfreq USING (tok) CROSS JOIN stats) SELECT doc_id, ${dsumSql("score")} AS bm25 FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15""")),
+      Some(raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents), dls AS (SELECT doc_id, len(t) AS dl, t FROM toks), stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dls), tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM (SELECT doc_id, dl, unnest(t) AS tok FROM dls) WHERE tok IN ('spark', 'query', 'data') GROUP BY 1, 2, 3), dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), scored AS (SELECT doc_id, ROUND(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 / (tf + ((dl / avgdl) * 0.75 + 0.25) * 1.2), 6) AS score FROM tf JOIN dfreq USING (tok) CROSS JOIN stats) SELECT doc_id, ${dsumSql("score")} AS bm25 FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15""")),
 
     // deterministic weighted sampling (A-ES, weight = n_chars): the k
     // rows with the largest md5-derived u^(1/w) — proportional-to-weight

@@ -318,8 +318,7 @@ object RelationalQueries {
         import org.apache.spark.sql.types._
         // sink path is derived from the scale-factor dir, so drivers
         // running at different SFs never clobber each other's round-trip
-        val path = "/root/repo/target/tmp/q_csv_roundtrip_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = Tables.scratchPath("q_csv_roundtrip", dir)
         graft.sources.Sources.writeCsv(Tables.nation(s, dir), path)
         val schema = StructType(Seq(
           StructField("n_nationkey", IntegerType),
@@ -343,8 +342,7 @@ object RelationalQueries {
     QueryDef("q_json_roundtrip",
       (s, dir) => {
         import org.apache.spark.sql.types._
-        val path = "/root/repo/target/tmp/q_json_roundtrip_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = Tables.scratchPath("q_json_roundtrip", dir)
         graft.sources.Sources.writeJson(Tables.supplier(s, dir), path)
         val schema = StructType(Seq(
           StructField("s_suppkey", LongType),
@@ -368,8 +366,7 @@ object RelationalQueries {
     QueryDef("q_orc_roundtrip",
       (s, dir) => {
         import org.apache.spark.sql.types._
-        val path = "/root/repo/target/tmp/q_orc_roundtrip_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = Tables.scratchPath("q_orc_roundtrip", dir)
         graft.sources.Sources.writeOrc(
           Tables.part(s, dir).select("p_partkey", "p_brand", "p_size",
             "p_retailprice"), path)
@@ -503,8 +500,7 @@ object RelationalQueries {
     // the oracle checks the answer against the unpartitioned source).
     QueryDef("q_time_layout",
       (s, dir) => {
-        val path = "/root/repo/target/tmp/q_time_layout_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = Tables.scratchPath("q_time_layout", dir)
         graft.operators.ScaleOps.writeTimePartitioned(
           Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate",
             "l_extendedprice", "l_discount"),
@@ -613,8 +609,7 @@ object RelationalQueries {
     // ScaleOpsSpec). Oracle recomputes from the unpartitioned source.
     QueryDef("q_zorder_layout",
       (s, dir) => {
-        val path = "/root/repo/target/tmp/q_zorder_layout_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = Tables.scratchPath("q_zorder_layout", dir)
         val src = Tables.lineitem(s, dir)
           .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
             "l_returnflag")

@@ -7,6 +7,20 @@ object Tables {
   def read(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch directory for queries exercising a write-then-read path:
+    * rooted at java.io.tmpdir (SPARK_GRAFT_TMP overrides), never a
+    * hardcoded checkout location, and keyed by (query, SF dir, pid) —
+    * different SFs and concurrent processes can't clobber each other,
+    * while repeated reps inside one JVM overwrite the same directory
+    * instead of leaking a new one per rep.
+    */
+  def scratchPath(name: String, dir: String): String = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_TMP",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${base.stripSuffix("/")}/graft-scratch/${name}_${sf}_pid${ProcessHandle.current().pid()}"
+  }
+
   def lineitem(s: SparkSession, dir: String): DataFrame = read(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame = read(s, dir, "orders")
   def customer(s: SparkSession, dir: String): DataFrame = read(s, dir, "customer")

@@ -142,9 +142,15 @@ class LshExpressionsSpec extends AnyFunSuite {
     both.foreach { r =>
       assert(r.getInt(1) == r.getInt(2), s"row ${r.getLong(0)}")
     }
-    // wrong-length or null-element vectors assign to NULL
+    // wrong-length, null-element, or NaN-element vectors assign to NULL
+    // (NaN poisons every dot product — no cell is meaningful; documented
+    // divergence from greatest()'s NaN-as-largest last-cell accident)
+    val dim = cents.head._2.length
+    val nanVec = ("1.0d" +: Seq.fill(dim - 1)("CAST('NaN' AS DOUBLE)"))
+      .mkString("array(", ",", ")")
     val weird = Seq((1L, Seq(1.0d, 2.0d))).toDF("id", "v")
       .union(spark.sql("SELECT 2L, array(CAST(NULL AS DOUBLE), 1.0d)"))
+      .union(spark.sql(s"SELECT 3L, $nanVec"))
     val degen = weird.select(
       LshExpressions.nearestCentroid($"v", cents.map(_._2)).as("c")).collect()
     degen.foreach(r => assert(r.isNullAt(0)))

@@ -953,6 +953,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
     // singleton group: no z defined
     assert(zs.contains(("b", 5.0, None)))
+    // NULL group keys: rows keep their row (null-safe join), grouped with
+    // the NULL group's own mean — not silently dropped
+    val ndf = Seq[(String, java.lang.Double)](
+      (null, 6.0), (null, 8.0), (null, null), ("a", 1.0)).toDF("g", "v")
+    val nfilled = Prep.imputeWithGroupMean(ndf, "v", Seq("g"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.get(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(nfilled.length == 4, s"null-group rows dropped: ${nfilled.toSeq}")
+    assert(nfilled.collect { case (None, None, f) => f }.flatten.toSeq == Seq(7.0))
+    val nz = Prep.zScores(ndf, "v", Seq("g"))
+    assert(nz.count() == 4, "zScores dropped null-group rows")
+    assert(nz.filter($"g".isNull && $"z_r".isNotNull).count() == 2)
   }
 
   test("BPE: hand-checked merges, train/encode parity, layout determinism") {
@@ -989,6 +1001,43 @@ class OperatorsSpec extends AnyFunSuite {
       "vacuous: no multi-char subwords learned")
     val again = Bpe.train(docs0.repartition(7), "text", numMerges = 32)
     assert(again.merges == model.merges, "training depends on layout")
+  }
+
+  test("BPE incremental merge learning == full-recount reference; production vocab fast") {
+    // parity on a real corpus-derived word-frequency table, deep enough
+    // that ties, pair exhaustion inside words, and repeated-pair words
+    // all occur
+    val words = docs.limit(400)
+      .select(explode(Corpus.spanTokens($"text")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w").limit(3000)
+      .collect().map(r => (r.getString(0).map(_.toString).toArray :+ Bpe.EndOfWord,
+        r.getLong(1)))
+    val inc = Bpe.learnMerges(words, 300)
+    val ref = Bpe.learnMergesRecount(words, 300)
+    assert(inc == ref, s"incremental diverges from recount at merge ${
+      inc.zip(ref).indexWhere { case (a, b) => a != b }}")
+    // pair exhaustion: both stop early and agree when pairs run dry
+    val tiny = Array((Array("a", "b", Bpe.EndOfWord), 3L))
+    assert(Bpe.learnMerges(tiny, 100) == Bpe.learnMergesRecount(tiny, 100))
+    // production-scale merge count is driver-feasible now: 2048 merges
+    // over a 50k-word vocab in seconds, not hours (the recount
+    // formulation is O(rounds·vocab·len) and would take minutes here).
+    // The testdata corpus has a 31-word vocabulary, so the production
+    // vocab is synthesized: seeded zipfian-count random words — exactly
+    // the word-frequency-table shape `train` collects from a real corpus
+    val rnd = new scala.util.Random(42)
+    val full = (0 until 50000).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      val w = Array.fill(len)(('a' + rnd.nextInt(26)).toChar.toString)
+      (w :+ Bpe.EndOfWord, (50000L / (i + 1)).max(1L))
+    }.toArray
+    val t0 = System.nanoTime()
+    val big = Bpe.learnMerges(full, 2048)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"2048 merges over ${full.length} words in $sec%.2fs")
+    assert(big.length == 2048, s"expected 2048 merges, got ${big.length}")
+    assert(sec < 120.0, f"incremental trainer too slow: $sec%.1fs")
   }
 
   test("funnel == driver-side greedy subsequence match over real events") {

@@ -7,16 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, batch-decoded per partition.
   *
-  * PNG and JPEG payloads get a REAL header decode — width/height/channels
-  * live in fixed big-endian header fields, parseable in pure JVM code
-  * with no imaging library. Other formats fall back to
-  * `decodeImageStub`'s deterministic fake dimensions (full pixel decode
-  * needs codecs this container doesn't ship). Everything around the
-  * decode is the real Spark shape production uses — a `mapPartitions`
-  * over an iterator of rows, so a native decoder (JNI/FFI) amortizes
-  * per-partition setup exactly as a Pandas-UDF batch would, the binary
-  * column never passes through a driver, and partition sizing controls
-  * decoder memory.
+  * PNG/JPEG/GIF/BMP payloads get a REAL header decode — width/height/
+  * channels live in fixed header fields, parseable in pure JVM code with
+  * no imaging library — and [[resampleImages]] does a REAL pixel decode +
+  * bilinear resample through the JDK's own headless imaging stack
+  * (`javax.imageio` + `java.awt.image`, no external codecs). Formats
+  * neither path accepts fall back to `decodeImageStub`'s deterministic
+  * fake dimensions. Everything around the decode is the real Spark shape
+  * production uses — a `mapPartitions` over an iterator of rows, so a
+  * native decoder (JNI/FFI) amortizes per-partition setup exactly as a
+  * Pandas-UDF batch would, the binary column never passes through a
+  * driver, and partition sizing controls decoder memory.
   */
 object Multimodal {
 
@@ -262,16 +263,15 @@ object Multimodal {
       .withColumn("meta", col("meta").cast(audioMetaSchema))
   }
 
-  /** Aspect-preserving resize: REAL geometry — decoded header dimensions,
+  /** Aspect-preserving resize GEOMETRY ONLY: decoded header dimensions,
     * fit-in-box scale `min(maxW/w, maxH/h, 1)` (never upscales), output
-    * dims rounded half-up with a 1px floor — with the pixel resample
-    * itself stubbed (no imaging libs in this container; in production the
-    * per-partition block below instantiates the codec once and maps
-    * payload -> resized payload). MISSING (null) payloads pass through
-    * with zeroed dims; a payload no real header parser accepts carries
-    * the deterministic stub's fabricated dims ([[decodeImage]] is total),
-    * so a zero-dim quarantine filter catches only the null case — in
-    * production the stub branch is where decode failures surface.
+    * dims rounded half-up with a 1px floor — no pixels touched, which is
+    * the right operator when only the plan (e.g. storage estimates) is
+    * needed; [[resampleImages]] is the full decode-and-resample. MISSING
+    * (null) payloads pass through with zeroed dims; a payload no real
+    * header parser accepts carries the deterministic stub's fabricated
+    * dims ([[decodeImage]] is total), so a zero-dim quarantine filter
+    * catches only the null case.
     *
     * Output: `(id, src_w, src_h, out_w, out_h, scale)`.
     */
@@ -289,15 +289,86 @@ object Multimodal {
           val (w, h) = if (m == null) (0, 0) else (m.getInt(0), m.getInt(1))
           if (w <= 0 || h <= 0) (id, 0, 0, 0, 0, 0.0d)
           else {
-            val scale = math.min(1.0d,
-              math.min(maxW.toDouble / w, maxH.toDouble / h))
-            val ow = math.max(1L, math.round(w * scale)).toInt
-            val oh = math.max(1L, math.round(h * scale)).toInt
+            val (ow, oh, scale) = fitBox(w, h, maxW, maxH)
             (id, w, h, ow, oh, scale)
           }
         }
       }
       .toDF("id", "src_w", "src_h", "out_w", "out_h", "scale")
+  }
+
+  /** Fit-in-box geometry shared by the header-only and pixel resizers:
+    * scale `min(maxW/w, maxH/h, 1)` (never upscales), output dims rounded
+    * half-up with a 1px floor.
+    */
+  private def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int, Double) = {
+    val scale = math.min(1.0d, math.min(maxW.toDouble / w, maxH.toDouble / h))
+    (math.max(1L, math.round(w * scale)).toInt,
+      math.max(1L, math.round(h * scale)).toInt, scale)
+  }
+
+  /** REAL pixel resample via the JDK's headless imaging stack
+    * (`javax.imageio.ImageIO` decodes PNG/JPEG/GIF/BMP/WBMP with no
+    * native codecs; `Graphics2D` over a `BufferedImage` resamples with
+    * bilinear interpolation): decode → fit-in-box scale → PNG re-encode.
+    * Payloads ImageIO cannot decode fall back to the header parse /
+    * deterministic stub for GEOMETRY (same numbers [[resizeImages]]
+    * reports) with a NULL `out_bytes` and `resampled = false` — in
+    * production that branch is the quarantine signal for undecodable
+    * assets, never a task failure.
+    *
+    * Output: `(id, src_w, src_h, out_w, out_h, scale, resampled,
+    * out_bytes)`. ImageIO's SPI registry is JVM-global (amortized across
+    * rows); the per-partition block disables its temp-file cache — a
+    * disk write per image is pure overhead at corpus scale.
+    */
+  def resampleImages(df: DataFrame, idCol: String, payloadCol: String,
+      maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, "target box must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img =
+            if (payload == null) null
+            else try {
+              javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            } catch { case _: Throwable => null } // corrupt stream != task failure
+          if (img != null) {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (ow, oh, scale) = fitBox(w, h, maxW, maxH)
+            val outType =
+              if (img.getColorModel.hasAlpha)
+                java.awt.image.BufferedImage.TYPE_INT_ARGB
+              else java.awt.image.BufferedImage.TYPE_INT_RGB
+            val out = new java.awt.image.BufferedImage(ow, oh, outType)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, ow, oh, null)
+            } finally g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            (id, w, h, ow, oh, scale, true, buf.toByteArray)
+          } else {
+            // undecodable: geometry from the header parse / stub, no pixels
+            val m = if (payload == null) null else decodeImage(payload)
+            val (w, h) = if (m == null) (0, 0) else (m.getInt(0), m.getInt(1))
+            if (w <= 0 || h <= 0) (id, 0, 0, 0, 0, 0.0d, false, null: Array[Byte])
+            else {
+              val (ow, oh, scale) = fitBox(w, h, maxW, maxH)
+              (id, w, h, ow, oh, scale, false, null: Array[Byte])
+            }
+          }
+        }
+      }
+      .toDF("id", "src_w", "src_h", "out_w", "out_h", "scale", "resampled",
+        "out_bytes")
   }
 
   /** Batched feature extraction plumbing: per-partition "model"

@@ -912,15 +912,16 @@ object PipelineQueries {
       },
       None),
 
-    // multimodal pipeline: payload -> header-decode -> aspect-preserving
-    // resize geometry -> batched feature extraction (stub encoder; the
-    // plumbing — schema, batching, null totality — is real and
-    // spec-verified; rows-only)
+    // multimodal pipeline: payload -> decode (real ImageIO pixel path,
+    // header/stub geometry fallback for these non-image payloads) ->
+    // aspect-preserving resize -> batched feature extraction (stub
+    // encoder; the plumbing — schema, batching, null totality — is real
+    // and spec-verified; rows-only)
     QueryDef("q_multimodal_pipeline",
       (s, dir) => {
         val pay = graft.operators.Multimodal.withPayload(
           Tables.documents(s, dir), "text", "payload")
-        val resized = graft.operators.Multimodal.resizeImages(
+        val resized = graft.operators.Multimodal.resampleImages(
           pay, "doc_id", "payload", maxW = 64, maxH = 64)
         val feats = graft.operators.Multimodal.extractFeatures(
           pay, "doc_id", "payload", dim = 16)

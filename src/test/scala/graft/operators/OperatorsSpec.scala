@@ -786,6 +786,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(nulls, 8)(9L).forall(_ == 0.0f))
   }
 
+  test("multimodal: real pixel decode + bilinear resample through the JDK imaging stack") {
+    // build a REAL 200x100 PNG: left half solid red, right half solid blue
+    System.setProperty("java.awt.headless", "true")
+    val src = new java.awt.image.BufferedImage(200, 100,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 200; y <- 0 until 100)
+      src.setRGB(x, y, if (x < 100) 0xff0000 else 0x0000ff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", buf)
+    val png = buf.toByteArray
+    val rows = Seq(
+      (1L, png),
+      (2L, "not an image at all".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val got = Multimodal.resampleImages(rows, "id", "payload", 50, 50)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // fit 200x100 into 50x50: scale 0.25 -> 50x25, really resampled
+    val r1 = got(1L)
+    assert((r1.getInt(1), r1.getInt(2), r1.getInt(3), r1.getInt(4)) ==
+      ((200, 100, 50, 25)), s"geometry: $r1")
+    assert(r1.getDouble(5) == 0.25 && r1.getBoolean(6))
+    val outBytes = r1.getAs[Array[Byte]](7)
+    assert(outBytes != null && outBytes.nonEmpty)
+    // the emitted payload is a decodable PNG with the TRUE output dims
+    // and a full pixel buffer
+    val out = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(out.getWidth == 50 && out.getHeight == 25,
+      s"re-decoded dims ${out.getWidth}x${out.getHeight}")
+    assert(out.getRaster.getWidth * out.getRaster.getHeight == 50 * 25)
+    // pixels survived: far-left stays red, far-right stays blue (away
+    // from the bilinear blend at the color boundary)
+    assert((out.getRGB(2, 12) & 0xffffff) == 0xff0000, "left half not red")
+    assert((out.getRGB(47, 12) & 0xffffff) == 0x0000ff, "right half not blue")
+    // undecodable payload: stub geometry, no pixels, flagged
+    val r2 = got(2L)
+    assert(!r2.getBoolean(6) && r2.isNullAt(7))
+    assert(r2.getInt(1) > 0 && r2.getInt(3) > 0, "stub geometry missing")
+    // missing payload: zeroed pass-through
+    val r3 = got(3L)
+    assert((r3.getInt(1), r3.getInt(3), r3.getBoolean(6)) == ((0, 0, false))
+      && r3.isNullAt(7))
+    // the header fast path and the pixel path agree on real-PNG geometry
+    val geo = Multimodal.resizeImages(rows.filter($"id" === 1L),
+      "id", "payload", 50, 50).collect()(0)
+    assert((geo.getInt(1), geo.getInt(2), geo.getInt(3), geo.getInt(4)) ==
+      ((200, 100, 50, 25)))
+  }
+
   test("multimodal: frame sample plan explodes the expected frame indices") {
     val vids = Seq((1L, 10L), (2L, 100L)).toDF("vid", "n_frames")
     val plan = Multimodal.frameSamplePlan(vids, "vid", "n_frames", stride = 5, maxFrames = 8)

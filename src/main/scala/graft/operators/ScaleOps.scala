@@ -447,18 +447,25 @@ object ScaleOps {
   }
 
   /** Deterministic split assignment: bucket each row into split i with
-    * probability fractions(i), by seeded xxhash64 of the id column. The
-    * same id always lands in the same split — across runs, engines of
-    * any size, and data re-layout — which is exactly what a training
-    * pipeline needs from a train/val/test split (no leakage when data is
-    * re-ingested or re-partitioned).
+    * probability fractions(i), by a seeded md5-derived hash of the id
+    * column. The same id always lands in the same split — across runs,
+    * engines of any size, and data re-layout — which is exactly what a
+    * training pipeline needs from a train/val/test split (no leakage when
+    * data is re-ingested or re-partitioned). The hash is md5 (not
+    * xxhash64) for the same reason as [[quotaSample]]/[[weightedSample]]:
+    * every external engine can replay the exact assignment
+    * (`md5(id || '|' || seed)` first 8 hex chars as u32, mod resolution),
+    * so the split itself is auditable SQL, not a Spark-only artifact.
     */
   def hashSplit(df: DataFrame, idCol: String, fractions: Seq[Double],
       seed: Int = 7, splitCol: String = "split"): DataFrame = {
     require(math.abs(fractions.sum - 1.0) < 1e-9, "fractions must sum to 1")
     val resolution = 1000000L
     val cuts = fractions.scanLeft(0.0)(_ + _).map(f => (f * resolution).toLong)
-    val h = pmod(xxhash64(col(idCol), lit(seed)), lit(resolution))
+    val h32 = conv(substring(md5(concat_ws("|",
+      col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
+      .cast("long")
+    val h = pmod(h32, lit(resolution))
     val assign = cuts.sliding(2).zipWithIndex.foldLeft(lit(fractions.size - 1)) {
       case (acc, (Seq(lo, hi), i)) => when(h >= lo && h < hi, lit(i)).otherwise(acc)
     }

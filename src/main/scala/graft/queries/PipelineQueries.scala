@@ -874,6 +874,23 @@ object PipelineQueries {
       },
       Some("""WITH s1 AS (SELECT user_id, MIN(event_id) AS p FROM events WHERE event_type = 'view' GROUP BY 1), s2 AS (SELECT e.user_id, MIN(e.event_id) AS p FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.event_id > s1.p WHERE e.event_type = 'click' GROUP BY 1), s3 AS (SELECT e.user_id, MIN(e.event_id) AS p FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.event_id > s2.p WHERE e.event_type = 'purchase' GROUP BY 1) SELECT * FROM (SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_keys FROM s1 UNION ALL SELECT 2, 'click', COUNT(*) FROM s2 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3) ORDER BY step""")),
 
+    // time-bounded funnel: steps 2..N must occur within 3 days of the
+    // step-1 match (greedy first anchor, carried in the fold accumulator;
+    // (user_id, ts) is unique in this dataset so the min-order replay
+    // below is exact). The oracle carries the anchor p1 through each
+    // stage and re-applies the window bound per step.
+    QueryDef("q_funnel_windowed",
+      (s, dir) => {
+        val steps = Seq("view", "click", "purchase")
+        graft.operators.Funnel.reportFrom(
+          graft.operators.Funnel.deepestStepWindowed(
+            Tables.events(s, dir), "user_id", unix_micros(col("ts")),
+            "event_type", steps, window = 3L * 86400L * 1000000L),
+          steps)
+          .orderBy("step")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS o, event_type FROM events), s1 AS (SELECT user_id, MIN(o) AS p FROM ev WHERE event_type = 'view' GROUP BY 1), s2 AS (SELECT e.user_id, MIN(e.o) AS p, MIN(s1.p) AS p1 FROM ev e JOIN s1 ON e.user_id = s1.user_id AND e.o > s1.p AND e.o <= s1.p + 259200000000 WHERE e.event_type = 'click' GROUP BY 1), s3 AS (SELECT e.user_id, MIN(e.o) AS p FROM ev e JOIN s2 ON e.user_id = s2.user_id AND e.o > s2.p AND e.o <= s2.p1 + 259200000000 WHERE e.event_type = 'purchase' GROUP BY 1) SELECT * FROM (SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_keys FROM s1 UNION ALL SELECT 2, 'click', COUNT(*) FROM s2 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3) ORDER BY step""")),
+
     // --- no-oracle (rows-only gate; verified in ScalaTest vs exact) ------
 
     // per-language frequent terms via the Misra-Gries heavy-hitter UDAF
@@ -933,8 +950,10 @@ object PipelineQueries {
       },
       None),
 
-    // deterministic train/val/test hash split (xxhash64 has no DuckDB
-    // equivalent; determinism/exhaustiveness verified in ScaleOpsSpec)
+    // deterministic train/val/test hash split: md5-derived assignment the
+    // oracle replays exactly in SQL (cuts at 800000/900000 of the 1e6
+    // resolution for 0.8/0.1/0.1; seed 7 is hashSplit's default) —
+    // determinism/exhaustiveness additionally verified in ScaleOpsSpec
     QueryDef("q_sample_split",
       (s, dir) => {
         graft.operators.ScaleOps.hashSplit(
@@ -942,7 +961,7 @@ object PipelineQueries {
           .groupBy("split").agg(count(lit(1)).as("n"))
           .orderBy("split")
       },
-      None),
+      Some("""SELECT CASE WHEN h < 800000 THEN 0 WHEN h < 900000 THEN 1 ELSE 2 END AS split, COUNT(*) AS n FROM (SELECT CAST(('0x' || substring(md5(doc_id || '|7'), 1, 8)) AS BIGINT) % 1000000 AS h FROM documents) GROUP BY 1 ORDER BY 1""")),
 
     // document fingerprinting (rolling hash; xxhash64 not in DuckDB)
     QueryDef("q_text_fingerprint",

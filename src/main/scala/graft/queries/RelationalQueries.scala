@@ -474,6 +474,52 @@ object RelationalQueries {
       },
       Some("""SELECT c_count, COUNT(*) AS custdist FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1) GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
 
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    // multi-EXISTS/NOT-EXISTS self-join on lineitem — l1 is a late line
+    // of a finished order, EXISTS another supplier on the same order,
+    // NOT EXISTS another LATE supplier on it (i.e. this supplier alone
+    // held the order up). The reference dataset has no receipt/commit
+    // dates, so "late" := shipped more than 90 days after the order
+    // date. Spark-first shape: the nation-filtered supplier dim is
+    // broadcast onto l1 BEFORE the self-joins (cuts the probe side
+    // early, classic Q21 ordering), and the EXISTS/NOT EXISTS become a
+    // left-semi and a left-anti join — all three lineitem instances
+    // shuffle on the SAME key (l_orderkey), and each is column-pruned
+    // independently (l2 never touches orders at all — another-supplier
+    // existence needs only the raw lineitem scan).
+    QueryDef("q21_suppliers_kept_waiting",
+      (s, dir) => {
+        val lines = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(Tables.orders(s, dir)
+            .select("o_orderkey", "o_orderdate", "o_orderstatus"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+              .as("late"),
+            col("o_orderstatus"))
+        val supNation = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+              .filter(col("n_name").isin("NATION_3", "NATION_7"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name")
+        val l1 = lines.filter(col("late") && col("o_orderstatus") === "F")
+          .select("l_orderkey", "l_suppkey")
+          .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        val l2 = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val l3 = lines.filter(col("late"))
+          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        l1.join(l2, col("l_orderkey") === col("o2") &&
+            col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("o3") &&
+            col("l_suppkey") =!= col("s3"), "left_anti")
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH lines AS (SELECT l_orderkey, l_suppkey, (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late, o_orderstatus FROM lineitem JOIN orders ON o_orderkey = l_orderkey), l1 AS (SELECT l_orderkey, l_suppkey FROM lines WHERE late AND o_orderstatus = 'F') SELECT s_name, COUNT(*) AS numwait FROM l1 JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON n_nationkey = s_nationkey WHERE n_name IN ('NATION_3', 'NATION_7') AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lines l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late) GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")),
+
     // RANGE window frame: per-customer rolling 30-day order spend — a
     // VALUE-based frame (range interval preceding), not a row count;
     // one shuffle on the partition key.

@@ -1129,6 +1129,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "funnel must not plan a window")
   }
 
+  test("windowed funnel == driver recount with greedy first anchor") {
+    val ev = graft.queries.Tables.events(spark, dir)
+    val steps = Seq("view", "click", "purchase")
+    val windowUs = 3L * 86400L * 1000000L
+    val got = Funnel.deepestStepWindowed(ev, "user_id",
+        unix_micros($"ts"), "event_type", steps, windowUs)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // driver recount: sort by micros, greedy advance, anchor = first view,
+    // later steps only within the window of the anchor
+    val want = ev.selectExpr("user_id", "unix_micros(ts) AS o", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (u, rows) =>
+        var stage = 0
+        var anchor = 0L
+        rows.sortBy(r => (r._2, r._3)).foreach { case (_, o, t) =>
+          if (stage == 0 && t == steps.head) { stage = 1; anchor = o }
+          else if (stage > 0 && stage < steps.length && t == steps(stage) &&
+            o <= anchor + windowUs) stage += 1
+        }
+        u -> stage
+      }
+    assert(got == want, "windowed fold diverged from driver recount")
+    // the bound must BITE on this data: strictly fewer full conversions
+    // than the unwindowed funnel, but not zero
+    val unbounded = Funnel.deepestStep(ev, "user_id", "event_id",
+        "event_type", steps)
+      .collect().map(_.getInt(1))
+    val full = got.values.count(_ == steps.length)
+    assert(full > 0, "vacuous: window blocks everyone")
+    assert(full < unbounded.count(_ == steps.length),
+      "vacuous: window blocks nobody")
+    // synthetic pin: the anchor is the FIRST view (greedy, no re-anchor)
+    // — u1's purchase@105 is within window of its second view@90 but not
+    // of the first view@0 (window 100), so it must NOT count; u2
+    // converts inside the window
+    val synth = Seq(
+      (1L, 0L, "view"), (1L, 90L, "view"), (1L, 95L, "click"), (1L, 105L, "purchase"),
+      (2L, 0L, "view"), (2L, 5L, "click"), (2L, 9L, "purchase")).toDF("u", "o", "t")
+    val d = Funnel.deepestStepWindowed(synth, "u", col("o"), "t", steps, 100L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 2, 2L -> 3), s"greedy anchor broken: $d")
+  }
+
   test("rule validation: NULL predicates count as violations, one-scan plan") {
     val df = Seq[(java.lang.Long, java.lang.Double)](
       (1L, 10.0), (2L, -5.0), (3L, null), (null, 20.0))

@@ -42,6 +42,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q21 shape: semi/anti self-joins keyed on the order, dims broadcast") {
+    val plan = planOf("q21_suppliers_kept_waiting")
+    // EXISTS / NOT EXISTS planned as semi and anti hash joins, never a
+    // nested-loop or cartesian pass over lineitem
+    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n${plan.take(800)}")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "q21 plans a cross/NL join")
+    // the nation-filtered supplier dim reaches l1 as a broadcast
+    assert(plan.contains("BroadcastHashJoin"), "supplier dim not broadcast")
+    // every shuffle is either order-keyed (self-join co-location; a
+    // side the planner instead broadcasts needs none) or the final
+    // supplier-name aggregation — no shuffle on any other key
+    val exchanges = "Exchange hashpartitioning\\(([a-z0-9#_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val allowed = (k: String) => k.startsWith("l_orderkey") ||
+      k.startsWith("o2") || k.startsWith("o3") || k.startsWith("s_name")
+    assert(exchanges.nonEmpty && exchanges.forall(allowed),
+      s"unexpected shuffle keys: $exchanges")
+    val l2Scan = "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>"
+    assert(plan.contains(l2Scan),
+      s"l2 scan not pruned to (orderkey, suppkey):\n${plan.take(1500)}")
+  }
+
   test("scans prune columns: projection reaches ReadSchema") {
     val plan = planOf("q6_forecast")
     // only the filtered/aggregated columns are read, not the whole row

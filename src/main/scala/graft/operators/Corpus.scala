@@ -119,6 +119,50 @@ object Corpus {
       .drop("__cum", "__pre")
   }
 
+  /** Sliding token-window chunking: cut each document's tokens into
+    * windows of `size` starting every `stride` tokens (overlapping when
+    * `stride < size`) — the retrieval/embedding-pipeline step that turns
+    * documents into bounded passages. Trailing windows shorter than
+    * `size` are kept (their `chunk_len` says so); a document always
+    * yields at least one chunk.
+    *
+    * Shape at scale: one narrow pass — tokenize, `sequence` of window
+    * starts, `posexplode`, `slice` + `array_join` — all whole-stage
+    * codegen'd, no UDF, no shuffle at all. Output size is
+    * `~n_tokens/stride` rows per document; downstream embedding batches
+    * repartition as they need.
+    *
+    * Tokens are single-space splits (matching the corpus layout and the
+    * SQL oracle's `string_split`); empty text yields one empty chunk.
+    *
+    * Output: `(idCol, chunk_idx, chunk_start, chunk_len, chunk_text)`,
+    * all counters Long, `chunk_start` 0-based in tokens.
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      stride: Int): DataFrame = {
+    require(size > 0, s"size must be positive, got $size")
+    require(stride > 0, s"stride must be positive, got $stride")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__n",
+        org.apache.spark.sql.functions.size(col("__toks")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "chunk_start")))
+      .withColumn("chunk_len",
+        least(lit(size), col("__n") - col("chunk_start")).cast("long"))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), col("chunk_start") + 1,
+          col("chunk_len")), " "))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        col("chunk_len"), col("chunk_text"))
+  }
+
   /** Tokenize for span analysis: lowercase, split on whitespace runs,
     * drop empty tokens (leading-whitespace artifacts). Shared by
     * [[repeatedSpans]] and its oracle so both sides see identical tokens.

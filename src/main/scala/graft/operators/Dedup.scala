@@ -95,6 +95,32 @@ object Dedup {
         min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("__kh", "__kl")
 
+  /** Exact dedup with a SURVIVOR POLICY: keep, from each group of rows
+    * sharing `keyCol`, the single row that sorts FIRST under `preference`
+    * — the production form of [[exact]] when copies differ in the
+    * metadata that matters (crawl recency, source trust, quality score)
+    * and "lowest id wins" throws away the best copy. Returns full input
+    * rows (all columns), one per distinct key.
+    *
+    * Pass a total preference (e.g. end with the id column) for a
+    * deterministic survivor. One shuffle, keyed on
+    * `(md5(key), length(key))` — md5 rather than [[exact]]'s xxhash64 so
+    * external engines can replay the grouping (same trade as
+    * [[ScaleOps.weightedSample]]); the text itself never rides in the
+    * shuffle key, and 128-bit collisions are negligible at any corpus
+    * size.
+    */
+  def exactKeepBest(df: DataFrame, keyCol: String,
+      preference: Seq[Column]): DataFrame = {
+    require(preference.nonEmpty, "preference must order the group's rows")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(keyCol)), length(col(keyCol)))
+      .orderBy(preference: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Word k-shingles of a text column. Built with the shared sliding
     * `zip_with` composition (see [[TextAnalysis.slidingConcat]]) — the
     * naive `transform(sequence, i => slice(toks, ...))` form re-evaluates

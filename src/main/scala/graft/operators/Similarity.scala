@@ -288,21 +288,60 @@ object Similarity {
       s
     }
     // farthest-point init: start from the first sample vector, greedily add
-    // the vector with the smallest max-similarity to the chosen set
-    val centroids = scala.collection.mutable.ArrayBuffer(sample(0))
-    while (centroids.length < k) {
-      val next = sample.minBy(v => centroids.map(c => dot(v, c)).max)
-      centroids += next
+    // the vector with the smallest max-similarity to the chosen set.
+    // INCREMENTAL: each sample carries its running max-similarity to the
+    // chosen set, updated with ONE dot when a centroid is added —
+    // O(k * sample * dim). The naive re-scan of every chosen centroid per
+    // candidate is O(k^2 * sample * dim): at a production cell count
+    // (k ~ corpus/125) that is days of driver time, not seconds. Greedy
+    // choices (incl. first-minimum tie-breaks) are identical.
+    val chosen = new Array[Array[Double]](k)
+    chosen(0) = sample(0)
+    val maxSim = sample.map(dot(_, sample(0)))
+    var nChosen = 1
+    while (nChosen < k) {
+      var bestI = 0
+      var i = 1
+      while (i < sample.length) {
+        if (maxSim(i) < maxSim(bestI)) bestI = i
+        i += 1
+      }
+      val next = sample(bestI)
+      chosen(nChosen) = next
+      nChosen += 1
+      i = 0
+      while (i < sample.length) {
+        val s = dot(sample(i), next)
+        if (s > maxSim(i)) maxSim(i) = s
+        i += 1
+      }
     }
-    var cents = centroids.toArray
+    var cents: Array[Array[Double]] = chosen
     (0 until iters).foreach { _ =>
+      // the argmax-over-centroids pass is the O(sample*k*dim) hot loop —
+      // parallel over samples (each independent, so still deterministic);
+      // the sums accumulate SERIALLY afterwards so float addition order
+      // (and thus the trained model) never depends on thread scheduling
+      val assigned = new Array[Int](sample.length)
+      java.util.stream.IntStream.range(0, sample.length).parallel().forEach { s =>
+        val v = sample(s)
+        var best = 0; var bestDot = dot(v, cents(0)); var c = 1
+        while (c < k) {
+          val d = dot(v, cents(c))
+          if (d > bestDot) { best = c; bestDot = d }
+          c += 1
+        }
+        assigned(s) = best
+      }
       val sums = Array.fill(k)(new Array[Double](sample(0).length))
       val counts = new Array[Int](k)
-      sample.foreach { v =>
-        val best = (0 until k).maxBy(c => dot(v, cents(c)))
+      var s = 0
+      while (s < sample.length) {
+        val v = sample(s); val best = assigned(s)
         counts(best) += 1
         var i = 0
         while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        s += 1
       }
       cents = (0 until k).map { c =>
         if (counts(c) == 0) cents(c) else normalize(sums(c))

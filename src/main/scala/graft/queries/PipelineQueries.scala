@@ -214,6 +214,31 @@ object PipelineQueries {
       },
       Some("""WITH t AS (SELECT doc_id, CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS pre FROM t) SELECT doc_id, n_tokens, CAST(pre // 2048 AS BIGINT) AS seq_id, CAST(pre % 2048 AS BIGINT) AS tok_offset FROM c ORDER BY doc_id""")),
 
+    // retrieval chunking: overlapping 64-token windows every 48 tokens —
+    // one narrow codegen'd pass (sequence + posexplode + slice), zero
+    // shuffles; the oracle replays the identical window geometry
+    QueryDef("q_doc_chunks",
+      (s, dir) => {
+        graft.operators.Corpus.chunkTokens(
+          Tables.documents(s, dir), "doc_id", "text", size = 64, stride = 48)
+          .orderBy("doc_id", "chunk_start")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), n AS (SELECT doc_id, toks, LEN(toks) AS n FROM t), s AS (SELECT doc_id, toks, n, UNNEST(generate_series(0, GREATEST(n - 1, 0), 48)) AS chunk_start FROM n) SELECT doc_id, CAST(chunk_start // 48 AS BIGINT) AS chunk_idx, CAST(chunk_start AS BIGINT) AS chunk_start, CAST(LEAST(64, n - chunk_start) AS BIGINT) AS chunk_len, array_to_string(list_slice(toks, chunk_start + 1, chunk_start + LEAST(64, n - chunk_start)), ' ') AS chunk_text FROM s ORDER BY doc_id, chunk_start""")),
+
+    // survivor-policy dedup: documents sharing a canonical key (leading
+    // 5-token fingerprint) collapse to the most complete copy (longest,
+    // then lowest id) — the md5-keyed grouping replays exactly in SQL
+    QueryDef("q_dedup_survivor",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).withColumn("canon_key",
+          array_join(slice(split(col("text"), " "), 1, 5), " "))
+        graft.operators.Dedup.exactKeepBest(docs, "canon_key",
+          Seq(col("n_chars").desc, col("doc_id").asc))
+          .select("doc_id", "canon_key", "n_chars", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS canon_key, n_chars, source FROM documents), r AS (SELECT *, row_number() OVER (PARTITION BY md5(canon_key), LENGTH(canon_key) ORDER BY n_chars DESC, doc_id) AS rn FROM t) SELECT doc_id, canon_key, n_chars, source FROM r WHERE rn = 1 ORDER BY doc_id""")),
+
     // corpus mix report: per (source, lang) composition — the first
     // report any training-data pipeline runs before weighting/sampling
     // sources. One partial-agg shuffle; token counting shared with

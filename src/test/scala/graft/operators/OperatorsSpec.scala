@@ -896,6 +896,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(in.repartition(9)).toSeq == packed.toSeq)
   }
 
+  test("token chunking replays the exact window geometry, no shuffle") {
+    val in = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens: starts 0,3,6,9 (size 5, stride 3)
+      (2L, "x y"),                 // shorter than one window
+      (3L, "")                     // empty text -> one empty chunk
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkTokens(in, "doc_id", "text", size = 5, stride = 3)
+      .orderBy("doc_id", "chunk_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // driver replay of the contract
+    val expect = Seq((1L, "a b c d e f g h i j"), (2L, "x y"), (3L, ""))
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        (0 until toks.length by 3).zipWithIndex.map { case (st, i) =>
+          val len = math.min(5, toks.length - st)
+          (id, i.toLong, st.toLong, len.toLong,
+            toks.slice(st, st + len).mkString(" "))
+        }
+      }
+    assert(out.toSeq == expect)
+    // trailing partial window present, overlap real
+    assert(out.exists(_._4 < 5))
+    assert(out.count(_._1 == 1L) == 4)
+    // one narrow pass: no exchange anywhere in the plan
+    val plan = Corpus.chunkTokens(in, "doc_id", "text", 5, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
+  }
+
+  test("survivor-policy dedup keeps the preferred copy per key") {
+    val in = Seq(
+      // key "k1": three copies differing in score and id
+      (1L, "k1", 10, "a"), (2L, "k1", 30, "b"), (3L, "k1", 30, "c"),
+      // key "k2": single copy passes through
+      (4L, "k2", 5, "d")
+    ).toDF("doc_id", "key", "score", "payload")
+    val out = Dedup.exactKeepBest(in, "key",
+        Seq(col("score").desc, col("doc_id").asc))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    // k1: max score 30, tie between ids 2 and 3 -> lowest id 2
+    assert(out.toSeq == Seq((2L, "b"), (4L, "d")))
+    // full input schema survives
+    assert(Dedup.exactKeepBest(in, "key", Seq(col("doc_id"))).columns.toSeq ==
+      in.columns.toSeq)
+    // layout-independent
+    val again = Dedup.exactKeepBest(in.repartition(7), "key",
+        Seq(col("score").desc, col("doc_id").asc))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("decontamination flags planted n-gram overlap, spares clean docs") {
     val benchText = "one two three four five six seven eight nine ten"
     val bench = Seq((100L, benchText), (101L, "tiny doc")).toDF("doc_id", "text")

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Linearity evidence for the dedup/ANN family: run the bucketed
+  * pipelines on a data dir and print one JSON line per operator with
+  * wall time, output rows, and (where the stage is exposed) candidate
+  * pairs. Run on the driver testdata (1x) and on a `gen_scale.py`
+  * 10x set; SCALE.md carries the resulting table. Times are min-of-2
+  * within one JVM (storm guard; see Bench.scala for the full treatment).
+  *
+  *   sbt "runMain graft.tools.ScaleEvidence /root/testdata/sf0.1 1x"
+  *   python3 scripts/gen_scale.py /root/testdata/sf0.1 target/scale10x 10
+  *   sbt "runMain graft.tools.ScaleEvidence target/scale10x 10x"
+  */
+object ScaleEvidence {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val label = args.lift(1).getOrElse(dir)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    docs.count(); emb.count() // warm up
+
+    import graft.operators.{Dedup, Similarity}
+    // Cell count is semdedup's scale knob (same as IVF): constant cells
+    // under growing data makes within-cell pair work quadratic. Size cells
+    // to constant ~125-vector occupancy, as a production run would.
+    val nEmb = emb.count()
+    val cells = math.max(16, (nEmb / 125).toInt)
+    val ops: Seq[(String, () => Long)] = Seq(
+      "minhash_candidates" -> (() =>
+        Dedup.minhashCandidates(docs, "doc_id", "text").count()),
+      "minhash_neardups" -> (() =>
+        Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+          .count()),
+      "cosine_neardups" -> (() =>
+        Dedup.cosineNearDups(emb, "vec_id", "embedding",
+          dim = 64, threshold = 0.4).count()),
+      "semdedup_kept" -> (() =>
+        Dedup.semanticDedup(emb, "vec_id", "embedding",
+          k = cells, threshold = 0.4,
+          maxSample = math.max(2000, 4 * cells)).count()),
+      // FIXED 32-query batch on both dirs: knnJoin's cost model is
+      // queries x corpus, so linearity in the CORPUS is the claim to prove
+      "knn_join" -> (() =>
+        Similarity.knnJoin(emb.orderBy("vec_id").limit(32),
+          "vec_id", "embedding", emb, "vec_id", "embedding", k = 5).count())
+    )
+
+    // Same storm guard as Bench: rep passes interleave across ALL ops so a
+    // multi-minute steal storm poisons at most one pass per op, and
+    // min-of-passes stays clean.
+    val times = Array.fill(ops.size)(Double.MaxValue)
+    val rows = Array.fill(ops.size)(0L)
+    for (_ <- 1 to 3; i <- ops.indices) {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val t0 = System.nanoTime()
+      val n = ops(i)._2()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec < times(i)) times(i) = sec
+      rows(i) = n
+    }
+    for (i <- ops.indices)
+      println(s"""{"label":"$label","op":"${ops(i)._1}","sec":${times(i)},"rows":${rows(i)}}""")
+    spark.stop()
+  }
+}

@@ -520,6 +520,177 @@ object RelationalQueries {
       },
       Some("""WITH lines AS (SELECT l_orderkey, l_suppkey, (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late, o_orderstatus FROM lineitem JOIN orders ON o_orderkey = l_orderkey), l1 AS (SELECT l_orderkey, l_suppkey FROM lines WHERE late AND o_orderstatus = 'F') SELECT s_name, COUNT(*) AS numwait FROM l1 JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON n_nationkey = s_nationkey WHERE n_name IN ('NATION_3', 'NATION_7') AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lines l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late) GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")),
 
+    // TPC-H Q4 shape (no commitdate/receiptdate in this schema: "late" =
+    // shipped >60 days after the order date, as in q21): order-priority
+    // checking — a quarter of orders with an EXISTS late-line probe,
+    // planned as a left-semi join keyed on the order key
+    QueryDef("q4_priority_late",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00")))
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+        ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY) GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // TPC-H Q9 shape (no partsupp in this schema, so revenue stands in
+    // for profit): product-line revenue by nation x order-year for parts
+    // matching a name fragment — the part filter broadcasts onto the
+    // lineitem probe, the orders join shuffles on the order key, nation
+    // broadcasts onto the supplier key
+    QueryDef("q9_profit_shape",
+      (s, dir) => {
+        val redParts = Tables.part(s, dir)
+          .filter(col("p_name").contains("red")).select("p_partkey")
+        val li = Tables.lineitem(s, dir)
+          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        val withOrd = li.join(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        withOrd
+          .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("n_name"), col("o_year").desc)
+      },
+      Some(s"""SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%red%' GROUP BY 1, 2 ORDER BY n_name, o_year DESC""")),
+
+    // TPC-H Q14: promotion revenue share for one ship-month — conditional
+    // aggregation over the part-type flag; the part dim broadcasts, both
+    // decimal-exact sums come out of ONE partial-agg pass, and the final
+    // double division is a single deterministic operation
+    QueryDef("q14_promo_share",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-09-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00")))
+        li.join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) * dsum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0.0))) /
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("promo_revenue_pct"))
+      },
+      Some(s"""SELECT 100.0 * ${dsumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} / ${dsumSql("l_extendedprice * (1 - l_discount)")} AS promo_revenue_pct FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""")),
+
+    // TPC-H Q15: top supplier(s) by one-quarter revenue — the max is taken
+    // over the SUPPLIER-sized aggregate (a single-partition window over a
+    // bounded frame, never over lineitem), then the supplier dim attaches
+    QueryDef("q15_top_supplier",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+          .groupBy("l_suppkey")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("total_revenue"))
+        val top = rev
+          .withColumn("__mx", max("total_revenue").over(Window.partitionBy()))
+          .filter(col("total_revenue") === col("__mx"))
+        top.join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rev AS (SELECT l_suppkey, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY 1) SELECT s_suppkey, s_name, total_revenue FROM rev JOIN supplier ON s_suppkey = l_suppkey WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev) ORDER BY s_suppkey""")),
+
+    // TPC-H Q17: small-quantity revenue for one brand — the per-part
+    // average-quantity threshold is a correlated scalar, planned as a
+    // part-keyed aggregate joined back to the (brand-filtered) lines; the
+    // threshold compare uses qty*5 < avg (exact integer-in-double times 5)
+    // so no 0.2 rounding can flip a borderline row between engines
+    QueryDef("q17_small_qty_revenue",
+      (s, dir) => {
+        val brandParts = Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#1").select("p_partkey")
+        val lines = Tables.lineitem(s, dir)
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        val perPart = lines.groupBy(col("l_partkey").as("__pk"))
+          .agg(davg(col("l_quantity")).as("avg_qty"))
+        lines.join(perPart, col("l_partkey") === col("__pk"))
+          .filter(col("l_quantity") * 5 < col("avg_qty"))
+          .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+      },
+      Some(s"""WITH pl AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_brand = 'Brand#1'), pa AS (SELECT l_partkey, ${davgSql("l_quantity")} AS avg_qty FROM pl GROUP BY 1) SELECT ${dsumSql("l_extendedprice")} / 7.0 AS avg_yearly FROM pl JOIN pa USING (l_partkey) WHERE l_quantity * 5 < avg_qty""")),
+
+    // TPC-H Q18: large-volume customers — the HAVING on the order-keyed
+    // quantity sum runs FIRST (map-side partials, one keyed shuffle) and
+    // only qualifying orders join outward; quantity sums of small ints are
+    // exact in double at any accumulation order
+    QueryDef("q18_large_volume",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 180)
+        big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice, SUM(l_quantity) AS sum_qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2, 3, 4, 5 HAVING SUM(l_quantity) > 180 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // TPC-H Q19 shape (no container column): disjunctive bracket
+    // predicate — three (type, size, quantity) brackets OR'd together,
+    // evaluated inside the scan stage after the broadcast part attach; one
+    // conditional-free decimal-exact sum out
+    QueryDef("q19_bracket_revenue",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        li.join(broadcast(Tables.part(s, dir)
+            .select("p_partkey", "p_type", "p_size")),
+            col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_type") === "PROMO" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(1, 15)) ||
+            (col("p_type") === "MEDIUM" && col("p_size").between(1, 20) &&
+              col("l_quantity").between(10, 25)) ||
+            (col("p_type") === "LARGE" && col("p_size").between(1, 30) &&
+              col("l_quantity").between(20, 35)))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+      },
+      Some(s"""SELECT ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15) OR (p_type = 'MEDIUM' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25) OR (p_type = 'LARGE' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)""")),
+
+    // TPC-H Q22 shape (no phone column, and every customer here has SOME
+    // order): idle rich customers — above-average balance with no order
+    // since 1999, per nation. The scalar average rides in as a broadcast
+    // single-row frame (the plan stays lazy end-to-end); the no-recent-
+    // order probe is a left-anti join on the customer key
+    QueryDef("q22_idle_rich",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val avgBal = cust.filter(col("c_acctbal") > 0)
+          .agg(davg(col("c_acctbal")).as("__avg"))
+        val recent = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+          .select("o_custkey")
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("__avg"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, COUNT(*) AS numcust, ${dsumSql("c_acctbal")} AS totacctbal FROM customer c WHERE c_acctbal > (SELECT ${davgSql("c_acctbal")} FROM customer WHERE c_acctbal > 0) AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // RANGE window frame: per-customer rolling 30-day order spend — a
     // VALUE-based frame (range interval preceding), not a row count;
     // one shuffle on the partition key.

@@ -66,6 +66,73 @@ class PlanQualitySpec extends AnyFunSuite {
       s"l2 scan not pruned to (orderkey, suppkey):\n${plan.take(1500)}")
   }
 
+  test("q4 shape: EXISTS late-line probe is a semi join, no stray shuffles") {
+    val plan = planOf("q4_priority_late")
+    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "q4 plans a cross/NL join")
+    // shuffles only on the order key (probe co-location; a broadcast
+    // side needs none) or the tiny priority aggregate
+    val exchanges = "Exchange hashpartitioning\\(([a-z0-9#_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(k => k.startsWith("o_orderkey") ||
+      k.startsWith("l_orderkey") || k.startsWith("o_orderpriority")),
+      s"unexpected shuffle keys: $exchanges")
+  }
+
+  test("q9 shape: part filter and nation broadcast onto the probe side") {
+    val plan = planOf("q9_profit_shape")
+    // the name-filtered part dim and nation must both reach lineitem as
+    // broadcasts — a shuffle of the fact on p_partkey would be the
+    // classic 100-TB mistake
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"part/nation dims not broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "q9 plans a cross/NL join")
+    val exchanges = "Exchange hashpartitioning\\(([a-z0-9#_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(k => k.startsWith("l_orderkey") ||
+      k.startsWith("o_orderkey") || k.startsWith("l_suppkey") ||
+      k.startsWith("s_suppkey") || k.startsWith("n_name")),
+      s"unexpected shuffle keys: $exchanges")
+  }
+
+  test("q18: order-quantity HAVING aggregates before any join") {
+    val plan = planOf("q18_large_volume")
+    // the lineitem groupBy + filter must run before the orders join: the
+    // join probe is the QUALIFYING orders only. In the physical plan the
+    // first operator above the lineitem scan chain is the partial
+    // HashAggregate, not a join build
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      "lineitem scan not pruned to (orderkey, quantity)")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "q18 plans a cross/NL join")
+    // the HAVING runs against the aggregate output (a Filter on sum_qty
+    // directly over the final HashAggregate — i.e. BEFORE any join
+    // consumes it; with a 2-column pruned lineitem scan the joins can
+    // only ever see the aggregated orders)
+    assert("Filter [^\\n]*sum_qty[^\\n]*\\n[^\\n]*HashAggregate".r
+      .findFirstIn(plan).isDefined,
+      s"sum_qty filter not directly over the aggregate:\n${plan.take(1500)}")
+    // shuffles only on the order/customer join keys or the aggregate key
+    val exchanges = "Exchange hashpartitioning\\(([a-z0-9#_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(k => k.startsWith("l_orderkey") ||
+      k.startsWith("o_orderkey") || k.startsWith("o_custkey") ||
+      k.startsWith("c_custkey")), s"unexpected shuffle keys: $exchanges")
+  }
+
+  test("q22: scalar average broadcasts as one row; no-recent-order probe is anti") {
+    val plan = planOf("q22_idle_rich")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n${plan.take(800)}")
+    // the single-row average crosses via a broadcast nested-loop join —
+    // the ONLY acceptable NL join: its build side is exactly one row
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "scalar threshold should ride a 1-row broadcast")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1,
+      "more than one NL join — only the 1-row scalar broadcast is allowed")
+  }
+
   test("scans prune columns: projection reaches ReadSchema") {
     val plan = planOf("q6_forecast")
     // only the filtered/aggregated columns are read, not the whole row

@@ -19,6 +19,35 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text))).cast("long")
 
+  /** Inverted-index build (search-index construction): one posting row
+    * per (term, document) carrying term frequency, the term's FIRST
+    * 0-based token position (phrase/proximity seeds), and the term's
+    * document frequency; terms below `minDf` documents are dropped
+    * (hapax noise). Lowercased whitespace tokens.
+    *
+    * Shape at scale: explode, then ONE map-side-combined shuffle keyed on
+    * (term, doc) for the tf/position aggregate, then one term-keyed
+    * window for df — the distributed equivalent of the sort-by-term
+    * posting-list merge every search-index builder runs. No driver
+    * materialization; downstream writers partition by term range.
+    *
+    * Output: `(term, idCol, tf, first_pos, df)`.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val posted = docs
+      .select(col(idCol),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("__pos", "term")))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"), min("__pos").cast("long").as("first_pos"))
+    posted
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      .filter(col("df") >= minDf)
+  }
+
   /** Word n-grams of a text column (space-joined, lowercase): the corpus
     * n-gram-statistics building block (bigram/trigram frequency tables,
     * language-model counts). A document with fewer than n tokens yields

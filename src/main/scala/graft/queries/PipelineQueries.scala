@@ -225,6 +225,17 @@ object PipelineQueries {
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), n AS (SELECT doc_id, toks, LEN(toks) AS n FROM t), s AS (SELECT doc_id, toks, n, UNNEST(generate_series(0, GREATEST(n - 1, 0), 48)) AS chunk_start FROM n) SELECT doc_id, CAST(chunk_start // 48 AS BIGINT) AS chunk_idx, CAST(chunk_start AS BIGINT) AS chunk_start, CAST(LEAST(64, n - chunk_start) AS BIGINT) AS chunk_len, array_to_string(list_slice(toks, chunk_start + 1, chunk_start + LEAST(64, n - chunk_start)), ' ') AS chunk_text FROM s ORDER BY doc_id, chunk_start""")),
 
+    // inverted-index build: (term, doc) postings with tf, first position
+    // and document frequency — the search-index construction pass; one
+    // (term,doc)-keyed aggregate shuffle plus one term-keyed df window
+    QueryDef("q_inverted_index",
+      (s, dir) => {
+        graft.operators.TextAnalysis.invertedIndex(
+          Tables.documents(s, dir), "doc_id", "text", minDf = 5L)
+          .orderBy("term", "doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(TRIM(LOWER(text)), '\s+')) AS term, generate_subscripts(string_split_regex(TRIM(LOWER(text)), '\s+'), 1) - 1 AS pos FROM documents), p AS (SELECT term, doc_id, COUNT(*) AS tf, CAST(MIN(pos) AS BIGINT) AS first_pos FROM toks WHERE term <> '' GROUP BY 1, 2), d AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM p) SELECT term, doc_id, tf, first_pos, df FROM d WHERE df >= 5 ORDER BY term, doc_id""")),
+
     // survivor-policy dedup: documents sharing a canonical key (leading
     // 5-token fingerprint) collapse to the most complete copy (longest,
     // then lowest id) — the md5-keyed grouping replays exactly in SQL

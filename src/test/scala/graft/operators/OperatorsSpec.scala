@@ -927,6 +927,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
   }
 
+  test("inverted index == driver posting-list build") {
+    val in = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "The cat ran"),        // case folds into doc 1's "the"/"cat"
+      (3L, "  mat   the mat "),   // whitespace runs, repeated term
+      (4L, "")                    // empty doc contributes nothing
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(in, "doc_id", "text", minDf = 2L)
+      .orderBy("term", "doc_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // driver replay
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "The cat ran"),
+      (3L, "  mat   the mat "), (4L, ""))
+    val postings = docs.flatMap { case (id, text) =>
+      text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+        .zipWithIndex.groupBy(_._1).toSeq
+        .map { case (t, occ) =>
+          (t, id, occ.length.toLong, occ.map(_._2).min.toLong)
+        }
+    }
+    val df_ = postings.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expect = postings.filter(p => df_(p._1) >= 2)
+      .map(p => (p._1, p._2, p._3, p._4, df_(p._1)))
+      .sortBy(p => (p._1, p._2))
+    assert(out.toSeq == expect)
+    // "the" has tf 2, first_pos 0, df 3; "sat" (df 1) is dropped
+    assert(out.exists(p => p._1 == "the" && p._2 == 1L && p._3 == 2L &&
+      p._4 == 0L && p._5 == 3L))
+    assert(!out.exists(_._1 == "sat"))
+  }
+
   test("survivor-policy dedup keeps the preferred copy per key") {
     val in = Seq(
       // key "k1": three copies differing in score and id

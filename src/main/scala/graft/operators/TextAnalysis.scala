@@ -19,6 +19,55 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text))).cast("long")
 
+  /** CCNet-style n-gram language-model perplexity scoring: train bigram
+    * and unigram counts on the corpus itself, then score every document
+    * by its mean negative log2 bigram probability under add-alpha
+    * smoothing — `nll = -log2((c(w1,w2)+a) / (c(w1)+a*V))` averaged over
+    * the document's bigrams. Low score = fluent/common text, high =
+    * gibberish or vocabulary soup; the standard self-supervised quality
+    * filter when no external LM exists.
+    *
+    * Shape at scale: two count shuffles (bigram-keyed, token-keyed),
+    * then the corpus re-joins its own count tables — bigram-keyed, with
+    * the (zipf-small) unigram table left to AQE to broadcast — and one
+    * doc-keyed aggregate. At 100 TB the join key becomes
+    * `xxhash64(bigram)` with counts riding the hash (the same 8-byte
+    * trade as [[graft.operators.Dedup.shingleHashes]]); the string key
+    * here keeps the oracle replayable. Per-bigram NLL terms are rounded
+    * BEFORE the decimal-exact sum (the `q_text_bm25` pattern) so both
+    * engines aggregate identical addends in any order; the vocabulary
+    * size rides in as a broadcast single-row frame, keeping the whole
+    * plan lazy.
+    *
+    * Output: `(idCol, n_bigrams, avg_nll_bits)` for documents with at
+    * least one bigram (sub-2-token documents have no LM evidence and are
+    * absent).
+    */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val grams = docs.select(col(idCol),
+      explode(wordNgrams(col(textCol), 2)).as("__bigram"))
+    val biCounts = grams.groupBy("__bigram").agg(count(lit(1)).as("__c2"))
+    val uniCounts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy("__tok").agg(count(lit(1)).as("__c1"))
+    val vocabSize = uniCounts.agg(count(lit(1)).as("__v"))
+    grams
+      .join(biCounts, "__bigram")
+      .withColumn("__w1", substring_index(col("__bigram"), " ", 1))
+      .join(uniCounts, col("__w1") === col("__tok"))
+      .crossJoin(broadcast(vocabSize))
+      .withColumn("__nll", round(-log2(
+        (col("__c2") + lit(alpha)) /
+          (col("__c1") + lit(alpha) * col("__v"))), 6))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (graft.functions.Exact.dsum(col("__nll")) / count(lit(1)))
+          .as("avg_nll_bits"))
+  }
+
   /** Inverted-index build (search-index construction): one posting row
     * per (term, document) carrying term frequency, the term's FIRST
     * 0-based token position (phrase/proximity seeds), and the term's

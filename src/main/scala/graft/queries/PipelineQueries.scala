@@ -225,6 +225,20 @@ object PipelineQueries {
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), n AS (SELECT doc_id, toks, LEN(toks) AS n FROM t), s AS (SELECT doc_id, toks, n, UNNEST(generate_series(0, GREATEST(n - 1, 0), 48)) AS chunk_start FROM n) SELECT doc_id, CAST(chunk_start // 48 AS BIGINT) AS chunk_idx, CAST(chunk_start AS BIGINT) AS chunk_start, CAST(LEAST(64, n - chunk_start) AS BIGINT) AS chunk_len, array_to_string(list_slice(toks, chunk_start + 1, chunk_start + LEAST(64, n - chunk_start)), ' ') AS chunk_text FROM s ORDER BY doc_id, chunk_start""")),
 
+    // CCNet-style LM quality filter: bigram/unigram counts trained on the
+    // corpus itself, every doc scored by mean smoothed bigram NLL. The
+    // oracle replays the training AND the scoring; 0.4 is cast to DOUBLE
+    // on the SQL side so DuckDB's decimal-literal promotion cannot
+    // diverge from Spark's double arithmetic; NLL addends round before
+    // the decimal-exact sum (the q_text_bm25 pattern)
+    QueryDef("q_lm_perplexity",
+      (s, dir) => {
+        graft.operators.TextAnalysis.lmPerplexity(
+          Tables.documents(s, dir), "doc_id", "text", alpha = 0.4)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\\s+') AS t FROM documents), g AS (SELECT doc_id, t[gs] || ' ' || t[gs + 1] AS bigram, t[gs] AS w1 FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(gs)), bi AS (SELECT bigram, COUNT(*) AS c2 FROM g GROUP BY 1), uni AS (SELECT tok, COUNT(*) AS c1 FROM (SELECT UNNEST(t) AS tok FROM toks) WHERE tok <> '' GROUP BY 1), v AS (SELECT COUNT(*) AS vs FROM uni), sc AS (SELECT doc_id, ROUND(-LOG2((c2 + CAST(0.4 AS DOUBLE)) / (c1 + CAST(0.4 AS DOUBLE) * vs)), 6) AS nll FROM g JOIN bi USING (bigram) JOIN uni ON w1 = tok CROSS JOIN v) SELECT doc_id, COUNT(*) AS n_bigrams, ${dsumSql("nll")} / COUNT(*) AS avg_nll_bits FROM sc GROUP BY 1 ORDER BY doc_id""")),
+
     // inverted-index build: (term, doc) postings with tf, first position
     // and document frequency — the search-index construction pass; one
     // (term,doc)-keyed aggregate shuffle plus one term-keyed df window

@@ -927,6 +927,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
   }
 
+  test("LM perplexity == driver bigram model replay") {
+    val docs = Seq(
+      (1L, "the cat sat"),          // common bigrams
+      (2L, "the cat sat the cat"),  // repeats boost counts
+      (3L, "zq xv"),                // vocabulary soup -> highest NLL
+      (4L, "one"),                  // single token: no bigram, absent
+      (5L, "")                      // empty: absent
+    )
+    val out = TextAnalysis.lmPerplexity(docs.toDF("doc_id", "text"),
+        "doc_id", "text", alpha = 0.4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // driver replay
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    }
+    val bigrams = toks.flatMap { case (id, t) =>
+      t.sliding(2).filter(_.length == 2).map(p => (id, p.mkString(" ")))
+    }
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = toks.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val v = c1.size
+    def nll(bg: String): Double = {
+      val w1 = bg.split(" ")(0)
+      val p = (c2(bg) + 0.4) / (c1(w1) + 0.4 * v)
+      BigDecimal(-math.log(p) / math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = bigrams.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (id, bgs) =>
+        val terms = bgs.map(b => nll(b._2))
+        // decimal-exact sum of the rounded addends, then one division
+        val sum = terms.map(BigDecimal(_)).sum.toDouble
+        (id, bgs.size.toLong, sum / bgs.size)
+    }
+    assert(out.length == expect.length && out.toSeq.zip(expect).forall {
+      case ((i1, n1, s1), (i2, n2, s2)) =>
+        i1 == i2 && n1 == n2 && math.abs(s1 - s2) < 1e-12
+    }, s"got ${out.toSeq}\nexpected $expect")
+    // ordering sanity: gibberish scores strictly worse than common text
+    val byId = out.map(r => r._1 -> r._3).toMap
+    assert(byId(3L) > byId(1L) && byId(3L) > byId(2L),
+      s"vocabulary soup should score highest: $byId")
+    // sub-2-token docs are absent
+    assert(!out.exists(r => r._1 == 4L || r._1 == 5L))
+  }
+
   test("inverted index == driver posting-list build") {
     val in = Seq(
       (1L, "the cat sat on the mat"),

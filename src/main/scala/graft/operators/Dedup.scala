@@ -339,6 +339,82 @@ object Dedup {
       bands, rows, k, maxBucket, rescanVerify))
   }
 
+  /** Persistable MinHash index of a corpus: `(id, sh, sig)` — sorted
+    * shingle hashes (for exact-Jaccard verification) plus the minhash
+    * signature. Write it to parquet once;
+    * [[minhashIncrementalNearDups]] dedups each NEW batch against it
+    * without re-reading the raw corpus text or re-hashing anything —
+    * the daily-crawl-increment pattern (the dedup analogue of
+    * [[ScaleOps.mergeAggState]]). Banding is a narrow projection of
+    * `sig`, so the index deliberately does NOT store exploded band rows
+    * (that would duplicate the shingle arrays `bands`-fold on disk).
+    *
+    * Append each increment's own index rows
+    * (`minhashIndex(newDocs, ...)`) to the store after dedup to keep it
+    * current.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rows: Int = 4, k: Int = 3): DataFrame =
+    widen(df)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+      .withColumn("sig", minhashFromHashes(col("sh"), bands * rows))
+
+  /** Incremental near-dup maintenance: all pairs `(jaccard >= threshold)`
+    * touching at least one NEW document — new-vs-store plus
+    * new-vs-new — against a [[minhashIndex]] store, WITHOUT any
+    * corpus-wide shuffle. Index ids and new ids must be disjoint.
+    *
+    * Shape at scale (store = corpus-sized, delta = small):
+    *  - the delta's band rows BROADCAST onto the store's banding (a
+    *    narrow projection of the indexed `sig`) — the store is scanned,
+    *    never shuffled;
+    *  - matched candidate pairs are delta-proportional; a per-new-id cap
+    *    (`bands * maxBucket`) bounds the hot-bucket worst case
+    *    (boilerplate buckets at corpus scale would otherwise attach the
+    *    whole bucket to every new doc);
+    *  - verification re-reads the store CUT to candidate ids by a
+    *    semi-join before the shingle arrays are touched;
+    *  - within-batch pairs run the standard bounded pipeline on the
+    *    delta alone.
+    *
+    * Same `bands`/`rows`/`k` as the index build (signatures must agree).
+    * Output: `(id_a, id_b, jaccard)`; cross pairs carry the new id in
+    * `id_a`, within-batch pairs are `id_a < id_b`.
+    */
+  def minhashIncrementalNearDups(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      bands: Int = 8, rows: Int = 4, k: Int = 3, maxBucket: Int = 64
+  ): DataFrame = {
+    val scope = new CacheScope
+    val newPrep = minhashPrepared(scope, newDocs, idCol, textCol,
+      bands * rows, k)
+    val newBand = bandFrame(newPrep, bands, rows)
+    val withinCands = boundedPairs(scope, newBand, "band", "bucket", maxBucket)
+    val crossCands0 = broadcast(
+        newBand.select(col("id").as("id_a"), col("band"), col("bucket")))
+      .join(bandFrame(index, bands, rows)
+          .select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    val capW = Window.partitionBy("id_a").orderBy("id_b")
+    val crossCands = crossCands0
+      .withColumn("__rn", row_number().over(capW))
+      .filter(col("__rn") <= bands * maxBucket)
+      .drop("__rn")
+    val cands = scope.persist(withinCands.union(crossCands))
+    val candIds = cands.select(col("id_b").as("id"))
+      .union(cands.select(col("id_a").as("id"))).distinct()
+    val sh = index.select(col("id"), col("sh"))
+      .join(candIds, Seq("id"), "left_semi")
+      .union(newPrep.select(col("id"), col("sh")))
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("__sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("__sh_b"))
+    scope.sealResult(cands.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccardOfHashes(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard"))
+  }
+
   /** Duplicate clustering: connected components over near-dup pairs via
     * iterative min-label propagation — each id adopts the smallest
     * representative among itself and its neighbors until fixpoint. The

@@ -1031,6 +1031,22 @@ object PipelineQueries {
       },
       None),
 
+    // incremental dedup maintenance: docs ending in 0 arrive as the "new
+    // batch" and dedup against a minhashIndex of the rest — no corpus
+    // shuffle, delta bands broadcast (rows-only: xxhash64 signatures are
+    // not DuckDB-replayable; OperatorsSpec proves == full recompute)
+    QueryDef("q_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val index = Dedup.minhashIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        Dedup.minhashIncrementalNearDups(index,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // SimHash near-dup pairs. The 4x16-bit banding guarantees completeness
     // only up to Hamming distance 3 (pigeonhole), so the query filters at
     // exactly that bound: within the hot-bucket cap the output is the

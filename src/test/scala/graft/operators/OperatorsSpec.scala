@@ -927,6 +927,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
   }
 
+  test("incremental minhash == full recompute, restricted to new-touching pairs") {
+    // seed-unique tokens: different seeds share NO tokens, so the only
+    // near-dup structure is the planted one
+    def sentence(seed: Int): String =
+      (0 until 20).map(i => s"t${seed}x$i").mkString(" ")
+    def perturb(s: String, n: Int): String = {
+      val t = s.split(" "); (0 until n).foreach(i => t(t.length - 1 - i) = s"x$i")
+      t.mkString(" ")
+    }
+    // old corpus: 20 distinct docs; delta: near-dups of old docs (ids
+    // 101-104), a within-batch dup pair (105, 106), novel docs (107-109)
+    val old = (1 to 20).map(i => (i.toLong, sentence(i)))
+    val nw = Seq(
+      101L -> perturb(sentence(3), 2), 102L -> perturb(sentence(7), 1),
+      103L -> sentence(11), 104L -> perturb(sentence(11), 3),
+      105L -> sentence(500), 106L -> perturb(sentence(500), 2),
+      107L -> sentence(600), 108L -> sentence(700), 109L -> sentence(800))
+    val index = Dedup.minhashIndex(old.toDF("doc_id", "text"), "doc_id", "text")
+    val inc = Dedup.minhashIncrementalNearDups(index,
+        nw.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val newIds = nw.map(_._1).toSet
+    val full = Dedup.minhashNearDups((old ++ nw).toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .filter(p => newIds.contains(p._1) || newIds.contains(p._2))
+      .toSet
+    assert(inc == full, s"incremental $inc\nfull-restricted $full")
+    // the planted structure is actually exercised: cross pairs AND a
+    // within-batch pair exist, novel docs match nothing
+    assert(inc.exists(p => p._1 <= 20 && newIds.contains(p._2)), "no cross pair")
+    assert(inc.exists(p => p._1 == 105L && p._2 == 106L),
+      "within-batch pair (105,106) missing")
+    assert(!inc.exists(p => p._1 == 108L || p._2 == 108L), "novel doc matched")
+  }
+
   test("LM perplexity == driver bigram model replay") {
     val docs = Seq(
       (1L, "the cat sat"),          // common bigrams

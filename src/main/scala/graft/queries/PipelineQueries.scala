@@ -43,6 +43,23 @@ object PipelineQueries {
       },
       Some("""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w, event_type, COUNT(*) AS n FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15 minutes' AS ws, event_type FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(j)) GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // user-journey transition matrix: per-user time-ordered event pairs
+    // (the Markov / next-action table product analytics builds); one
+    // user-keyed window + one transition-keyed aggregate. (user_id, ts)
+    // is unique in this data, so lead() is deterministic
+    QueryDef("q_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            lead("event_type", 1).over(w).as("next_type"))
+          .filter(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "next_type")
+      },
+      Some("""SELECT event_type, next_type, COUNT(*) AS n FROM (SELECT event_type, LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS next_type FROM events) WHERE next_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // stream-static enrichment: events decorated with customer segment
     // via a broadcast left join (the streaming form re-reads the dim per
     // micro-batch; batch/stream equivalence in StreamingSpec)

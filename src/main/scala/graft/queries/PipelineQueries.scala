@@ -43,6 +43,18 @@ object PipelineQueries {
       },
       Some("""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w, event_type, COUNT(*) AS n FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15 minutes' AS ws, event_type FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(j)) GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // streaming heavy hitters: per-event-type Misra-Gries top-user state
+    // at ingest (batch execution = one invocation per key from empty
+    // state; rows-only — StreamingSpec proves == driver reference, the
+    // n/(k+1) guarantee, and 2-batch streaming == batch)
+    QueryDef("q_stream_topterms",
+      (s, dir) => {
+        graft.streaming.StreamTopK.topTerms(
+          Tables.events(s, dir), "event_type", "ts", "user_id", k = 8)
+          .orderBy("gkey", "term")
+      },
+      None),
+
     // user-journey transition matrix: per-user time-ordered event pairs
     // (the Markov / next-action table product analytics builds); one
     // user-keyed window + one transition-keyed aggregate. (user_id, ts)

@@ -112,6 +112,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == got, "streaming run diverged from batch run")
   }
 
+  test("streaming top-k: batch == driver Misra-Gries, guarantee holds, 2-batch streaming == batch") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("user_id"))
+    val k = 8
+    val got = StreamTopK.topTerms(ev, "event_type", "ts", "user_id", k = k)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // driver reference: sequential Misra-Gries per key in (ts, term) order
+    val raw = ev.collect().map(r => (String.valueOf(r.get(0)),
+      r.getTimestamp(1).getTime, String.valueOf(r.get(2))))
+    val want = raw.groupBy(_._1).flatMap { case (key, rows) =>
+      var terms = Map.empty[String, Long]
+      rows.sortBy(r => (r._2, r._3))
+        .foreach(r => terms = StreamTopK.mgStep(terms, k, r._3))
+      terms.map { case (w, c) => (key, w, c, rows.length.toLong) }
+    }.toSet
+    assert(got == want,
+      s"batch diverged from reference: extra=${got -- want}, missing=${want -- got}")
+
+    // Misra-Gries guarantee per key: est never overcounts, undercounts by
+    // at most n/(k+1), and every term more frequent than n/(k+1) survives
+    val trueCounts = raw.groupBy(r => (r._1, r._3)).view.mapValues(_.length.toLong)
+    got.groupBy(_._1).foreach { case (key, hits) =>
+      val n = hits.head._4
+      hits.foreach { case (_, w, est, _) =>
+        val t = trueCounts((key, w))
+        assert(est <= t && t - est <= n / (k + 1),
+          s"guarantee broken for ($key,$w): est=$est true=$t n=$n")
+      }
+      val emitted = hits.map(_._2).toSet
+      trueCounts.filter { case ((g, _), c) => g == key && c > n / (k + 1) }
+        .foreach { case ((_, w), c) =>
+          assert(emitted.contains(w), s"frequent term ($key,$w,$c) missing")
+        }
+    }
+
+    // 2-batch streaming run: files split at the ts median (so batch order
+    // == global (ts, term) order and nothing is watermark-late), processed
+    // one per trigger via distinct modification times; the final snapshot
+    // per key (largest n) must equal the batch run
+    val srcDir = new java.io.File("/tmp/graft_stream_topk_src")
+    if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
+    srcDir.mkdirs()
+    val sortedTs = raw.map(_._2).sorted
+    val median = new java.sql.Timestamp(sortedTs(sortedTs.length / 2))
+    def writeSlice(cond: org.apache.spark.sql.Column, name: String, mtime: Long): Unit = {
+      val tmp = s"/tmp/graft_stream_topk_$name"
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    writeSlice(col("ts") < lit(median), "a", 1000000L)
+    writeSlice(col("ts") >= lit(median), "b", 2000000L)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val snaps = EventStreams.runToBatch(
+      StreamTopK.topTerms(stream, "event_type", "ts", "user_id", k = k),
+      "topk_out", outputMode = "append")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val finalN = snaps.groupBy(_._1).view.mapValues(_.map(_._4).max)
+    val streamed = snaps.filter(s => s._4 == finalN(s._1)).toSet
+    assert(streamed == got,
+      s"streaming diverged from batch: extra=${streamed -- got}, missing=${got -- streamed}")
+  }
+
   test("stream-stream interval join == batch range join") {
     val stream = EventStreams.readStream(spark, dir)
     val got = EventStreams.runToBatch(

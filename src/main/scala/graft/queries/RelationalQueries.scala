@@ -148,6 +148,27 @@ object RelationalQueries {
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber, SUM(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty FROM lineitem WHERE l_suppkey <= 3 ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
 
+    // distribution analytics: dense_rank / percent_rank / cume_dist /
+    // nth_value in ONE window pass (one shuffle on the partition key) —
+    // the remaining ranking-family functions beyond row_number/rank.
+    // percent_rank and cume_dist are exact rational arithmetic on rank
+    // counters (deterministic doubles), nth_value reads the frame's
+    // 2nd-highest price with the default running frame
+    QueryDef("q_window_distribution",
+      (s, dir) => {
+        val w = Window.partitionBy("p_brand")
+          .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        Tables.part(s, dir)
+          .filter(col("p_size") <= 10)
+          .select(col("p_brand"), col("p_partkey"),
+            dense_rank().over(w).cast("long").as("dr"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            nth_value(col("p_retailprice"), 2).over(w).as("second_price"))
+          .orderBy("p_brand", "p_partkey")
+      },
+      Some("""SELECT p_brand, p_partkey, CAST(dense_rank() OVER w AS BIGINT) AS dr, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd, nth_value(p_retailprice, 2) OVER w AS second_price FROM part WHERE p_size <= 10 WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) ORDER BY p_brand, p_partkey""")),
+
     // top-k (TakeOrdered — no global sort)
     QueryDef("q_topk",
       (s, dir) => {

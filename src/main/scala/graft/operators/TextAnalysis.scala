@@ -19,6 +19,58 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text))).cast("long")
 
+  /** Feature-hashing document embeddings (the "hashing trick"): each
+    * token lands in dimension `xxhash64(token) mod dim` with a ±1 sign
+    * from an independent hash bit (sign cancellation keeps collision
+    * bias unbiased — Weinberger et al.'s signed feature hashing), summed
+    * per document and L2-normalized. A model-free bridge from raw text
+    * into the vector stack: the output column feeds
+    * [[Dedup.cosineNearDups]] / [[Similarity]] / [[Dedup.semanticDedup]]
+    * directly.
+    *
+    * Shape at scale: explode, one (doc, dim)-keyed partial-agg shuffle,
+    * one doc-keyed map-assembly shuffle, then a narrow normalize — no
+    * UDF, no driver vocabulary, vector width fixed at `dim` regardless
+    * of corpus vocabulary (that is the point of the trick).
+    *
+    * `n` selects the feature granularity: 1 = unigram bag of words;
+    * n >= 2 hashes word n-grams ([[wordNgrams]]) instead — the right
+    * setting when the corpus vocabulary is small relative to document
+    * length (unigram bags then overlap for ALL pairs and cosine stops
+    * separating; n-grams re-expand the feature space combinatorially).
+    *
+    * Output: `(idCol, vec: array<float> of length dim)` — unit-norm, or
+    * all-zero for documents with no tokens (no n-grams for n >= 2).
+    */
+  def hashEmbed(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64, n: Int = 1): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val featCol =
+      if (n == 1) tokens(lower(col(textCol))) else wordNgrams(col(textCol), n)
+    val contrib = docs
+      .select(col(idCol), explode(featCol).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .withColumn("__idx", pmod(xxhash64(col("__tok")), lit(dim)).cast("int"))
+      .withColumn("__sgn",
+        when(pmod(xxhash64(col("__tok"), lit(7)), lit(2)) === 0, lit(1.0))
+          .otherwise(lit(-1.0)))
+      .groupBy(col(idCol), col("__idx"))
+      .agg(sum(col("__sgn")).as("__v"))
+    val assembled = contrib
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__idx"), col("__v"))))
+        .as("__m"))
+      .withColumn("__raw", transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0.0))))
+      .select(col(idCol),
+        Similarity.normalized(col("__raw")).cast("array<float>").as("vec"))
+    // tokenless documents (empty text) still get a (zero) vector
+    docs.select(col(idCol)).join(assembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("vec"), typedLit(Array.fill(dim)(0.0f))).as("vec"))
+  }
+
   /** CCNet-style n-gram language-model perplexity scoring: train bigram
     * and unigram counts on the corpus itself, then score every document
     * by its mean negative log2 bigram probability under add-alpha

@@ -254,6 +254,23 @@ object PipelineQueries {
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), n AS (SELECT doc_id, toks, LEN(toks) AS n FROM t), s AS (SELECT doc_id, toks, n, UNNEST(generate_series(0, GREATEST(n - 1, 0), 48)) AS chunk_start FROM n) SELECT doc_id, CAST(chunk_start // 48 AS BIGINT) AS chunk_idx, CAST(chunk_start AS BIGINT) AS chunk_start, CAST(LEAST(64, n - chunk_start) AS BIGINT) AS chunk_len, array_to_string(list_slice(toks, chunk_start + 1, chunk_start + LEAST(64, n - chunk_start)), ' ') AS chunk_text FROM s ORDER BY doc_id, chunk_start""")),
 
+    // model-free text->vector->LSH pipeline: signed feature-hashing
+    // embeddings feed the hyperplane-LSH near-dup stack end-to-end
+    // (rows-only: xxhash64-derived vectors are not DuckDB-replayable;
+    // OperatorsSpec pins norm/determinism/cosine contracts)
+    QueryDef("q_text_embed_neardup",
+      (s, dir) => {
+        // bigram features: this corpus has a ~31-token vocabulary, so
+        // unigram bags overlap for EVERY pair (median cosine 0.6);
+        // bigrams re-expand the space (median 0.05, near-dups > 0.9)
+        val emb = graft.operators.TextAnalysis.hashEmbed(
+          Tables.documents(s, dir), "doc_id", "text", dim = 256, n = 2)
+        Dedup.cosineNearDups(emb, "doc_id", "vec", dim = 256,
+          threshold = 0.6)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // CCNet-style LM quality filter: bigram/unigram counts trained on the
     // corpus itself, every doc scored by mean smoothed bigram NLL. The
     // oracle replays the training AND the scoring; 0.4 is cast to DOUBLE

@@ -970,6 +970,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!inc.exists(p => p._1 == 108L || p._2 == 108L), "novel doc matched")
   }
 
+  test("feature-hashing embeddings: unit norm, deterministic, cosine contracts") {
+    val in = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // 7/8 shared
+      (4L, "qq ww ee rr tt yy uu ii"),                       // disjoint
+      (5L, "")                                               // empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hashEmbed(in, "doc_id", "text", dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    assert(out.values.forall(_.length == 32))
+    def norm(v: Vector[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    def cos(a: Vector[Float], b: Vector[Float]) =
+      a.zip(b).map(p => p._1.toDouble * p._2).sum
+    (1L to 4L).foreach(id =>
+      assert(math.abs(norm(out(id)) - 1.0) < 1e-5, s"doc $id not unit-norm"))
+    assert(norm(out(5L)) == 0.0, "empty doc should embed to zero")
+    assert(out(1L) == out(2L), "identical texts must embed identically")
+    assert(cos(out(1L), out(3L)) > 0.7, "near-dup text should score high")
+    assert(math.abs(cos(out(1L), out(4L))) < 0.7,
+      "disjoint text should score low")
+    // layout-independent
+    val again = TextAnalysis.hashEmbed(in.repartition(7), "doc_id", "text", 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    assert(again == out)
+  }
+
   test("LM perplexity == driver bigram model replay") {
     val docs = Seq(
       (1L, "the cat sat"),          // common bigrams

@@ -254,6 +254,36 @@ object PipelineQueries {
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), n AS (SELECT doc_id, toks, LEN(toks) AS n FROM t), s AS (SELECT doc_id, toks, n, UNNEST(generate_series(0, GREATEST(n - 1, 0), 48)) AS chunk_start FROM n) SELECT doc_id, CAST(chunk_start // 48 AS BIGINT) AS chunk_idx, CAST(chunk_start AS BIGINT) AS chunk_start, CAST(LEAST(64, n - chunk_start) AS BIGINT) AS chunk_len, array_to_string(list_slice(toks, chunk_start + 1, chunk_start + LEAST(64, n - chunk_start)), ' ') AS chunk_text FROM s ORDER BY doc_id, chunk_start""")),
 
+    // END-TO-END CURATION PIPELINE: the five standard stages composed as
+    // one lazy plan — Gopher quality rules -> language keep -> exact
+    // survivor dedup -> near-dup drop (lowest-id neighbor wins) ->
+    // training-sequence packing. Each stage is the already-verified
+    // operator; this query exists to prove they compose (rows-only: the
+    // LSH stage is not DuckDB-replayable)
+    QueryDef("q_curation_pipeline",
+      (s, dir) => {
+        import graft.operators.{Corpus, TextAnalysis => TA}
+        val docs = Tables.documents(s, dir)
+        val quality = TA.gopherRules(docs, col("text"),
+          TA.GopherConfig(minWords = 25L, maxWords = 80L,
+            minMeanWordLen = 3.0, maxMeanWordLen = 5.0, minStopwordHits = 1))
+          .filter(col("quality_pass"))
+        val english = quality.filter(TA.langId(col("text")) === "en")
+        val exact = Dedup.exactKeepBest(english, "text",
+          Seq(col("doc_id").asc))
+        val pairs = Dedup.minhashNearDups(exact, "doc_id", "text",
+          threshold = 0.5)
+        val kept = exact.join(
+          pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        Corpus.packSequences(
+          kept.select(col("doc_id"),
+            TA.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", 2048L)
+          .orderBy("doc_id")
+      },
+      None),
+
     // model-free text->vector->LSH pipeline: signed feature-hashing
     // embeddings feed the hyperplane-LSH near-dup stack end-to-end
     // (rows-only: xxhash64-derived vectors are not DuckDB-replayable;

@@ -254,6 +254,28 @@ object PipelineQueries {
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), n AS (SELECT doc_id, toks, LEN(toks) AS n FROM t), s AS (SELECT doc_id, toks, n, UNNEST(generate_series(0, GREATEST(n - 1, 0), 48)) AS chunk_start FROM n) SELECT doc_id, CAST(chunk_start // 48 AS BIGINT) AS chunk_idx, CAST(chunk_start AS BIGINT) AS chunk_start, CAST(LEAST(64, n - chunk_start) AS BIGINT) AS chunk_len, array_to_string(list_slice(toks, chunk_start + 1, chunk_start + LEAST(64, n - chunk_start)), ' ') AS chunk_text FROM s ORDER BY doc_id, chunk_start""")),
 
+    // WebDataset tar-shard round-trip: pack documents into .tar shards
+    // (one task per shard), walk them back with the pure-JVM ustar
+    // reader, and prove byte fidelity — the oracle reads the ORIGINAL
+    // table, so a hash match certifies the full pack/unpack cycle
+    QueryDef("q_tar_roundtrip",
+      (s, dir) => {
+        val out = Tables.scratchPath("tar_rt", dir)
+        graft.sources.TarShards.writeShards(
+          Tables.documents(s, dir).select(
+            (col("doc_id") % 20).as("shard"),
+            concat(col("doc_id"), lit(".txt")).as("member"),
+            col("text").cast("binary").as("bytes")),
+          "shard", "member", "bytes", out)
+        graft.sources.TarShards.members(s, out)
+          .filter(col("error").isNull)
+          .select(
+            substring_index(col("member"), ".", 1).cast("long").as("doc_id"),
+            col("bytes").cast("string").as("text_out"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text AS text_out FROM documents ORDER BY doc_id")),
+
     // END-TO-END CURATION PIPELINE: the five standard stages composed as
     // one lazy plan — Gopher quality rules -> language keep -> exact
     // survivor dedup -> near-dup drop (lowest-id neighbor wins) ->

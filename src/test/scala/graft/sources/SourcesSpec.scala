@@ -14,6 +14,65 @@ class SourcesSpec extends AnyFunSuite {
   private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
 
+  test("tar shards: ustar walk, webdataset sample grouping, quarantine") {
+    // hand-rolled POSIX ustar bytes — real headers, real checksums
+    def tarOf(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      entries.foreach { case (name, data) =>
+        val h = new Array[Byte](512)
+        def put(s: String, off: Int): Unit =
+          s.getBytes("US-ASCII").zipWithIndex.foreach {
+            case (b, i) => h(off + i) = b
+          }
+        put(name, 0)
+        put("0000644", 100); put("0000000", 108); put("0000000", 116)
+        put(f"${data.length}%011o", 124)
+        put("00000000000", 136)
+        (148 until 156).foreach(i => h(i) = ' '.toByte)
+        h(156) = '0'.toByte
+        put("ustar", 257)
+        val sum = h.map(_ & 0xff).sum
+        put(f"$sum%06o", 148); h(154) = 0; h(155) = ' '.toByte
+        bos.write(h); bos.write(data)
+        bos.write(new Array[Byte]((512 - data.length % 512) % 512))
+      }
+      bos.write(new Array[Byte](1024))
+      bos.toByteArray
+    }
+    val srcDir = new java.io.File("/tmp/graft_tar_src")
+    if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
+    srcDir.mkdirs()
+    def write(name: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.FileOutputStream(new java.io.File(srcDir, name))
+      try f.write(bytes) finally f.close()
+    }
+    write("shard-000.tar", tarOf(Seq(
+      "0001.txt" -> "a caption".getBytes,
+      "0001.json" -> """{"w":8}""".getBytes,
+      "0002.txt" -> "other".getBytes)))
+    write("shard-001.tar", tarOf(Seq(
+      "0003.txt" -> Array.fill(600)('x'.toByte)))) // spans two data blocks
+    write("shard-bad.tar", Array.fill(1024)(7.toByte)) // garbage headers
+
+    val mem = TarShards.members(spark, srcDir.toString)
+    val good = mem.filter(col("error").isNull).collect()
+      .map(r => (r.getString(1), new String(r.getAs[Array[Byte]]("bytes"))))
+      .toMap
+    assert(good == Map("0001.txt" -> "a caption", "0001.json" -> """{"w":8}""",
+      "0002.txt" -> "other", "0003.txt" -> "x" * 600))
+    val bad = mem.filter(col("error").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getString(0).contains("shard-bad"),
+      "corrupt shard should quarantine, not fail")
+
+    val samp = TarShards.samples(mem).collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(3), r.getMap[String, Array[Byte]](2).keys.toSet))
+      .toMap
+    assert(samp("0001") == (2L, Set("txt", "json")))
+    assert(samp("0002") == (1L, Set("txt")))
+    assert(samp("0003") == (1L, Set("txt")))
+  }
+
   test("csv round-trip preserves rows and declared types") {
     val orig = spark.read.parquet(s"$dir/nation.parquet")
     Sources.writeCsv(orig, "/tmp/graft_src_test/nation_csv")

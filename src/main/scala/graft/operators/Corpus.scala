@@ -146,8 +146,11 @@ object Corpus {
       stride: Int): DataFrame = {
     require(size > 0, s"size must be positive, got $size")
     require(stride > 0, s"stride must be positive, got $stride")
+    // NULL text behaves like empty text (one empty chunk) — a generator
+    // over a null array would otherwise DROP the document silently
     docs
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        split(coalesce(col(textCol), lit("")), " ").as("__toks"))
       .withColumn("__n",
         org.apache.spark.sql.functions.size(col("__toks")))
       .select(col(idCol), col("__toks"), col("__n"),

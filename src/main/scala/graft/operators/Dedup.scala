@@ -116,9 +116,14 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col(keyCol)), length(col(keyCol)))
       .orderBy(preference: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // NULL keys are UNKNOWN, not equal to each other: they pass through
+    // untouched instead of collapsing into one arbitrary "survivor"
+    // (md5(null) would group them all together — silent row loss)
+    df.filter(col(keyCol).isNull)
+      .unionByName(df.filter(col(keyCol).isNotNull)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn"))
   }
 
   /** Word k-shingles of a text column. Built with the shared sliding

@@ -925,6 +925,13 @@ class OperatorsSpec extends AnyFunSuite {
     val plan = Corpus.chunkTokens(in, "doc_id", "text", 5, 3)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
+    // NULL text behaves like empty text: the doc keeps its one empty
+    // chunk instead of vanishing through a null generator
+    val nullDoc = Seq((9L, null: String)).toDF("doc_id", "text")
+    val nullOut = Corpus.chunkTokens(nullDoc, "doc_id", "text", 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    assert(nullOut.toSeq == Seq((9L, 1L, "")),
+      s"null text must yield one empty chunk, got ${nullOut.toSeq}")
   }
 
   test("incremental minhash == full recompute, restricted to new-touching pairs") {
@@ -1099,6 +1106,13 @@ class OperatorsSpec extends AnyFunSuite {
         Seq(col("score").desc, col("doc_id").asc))
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(3)))
     assert(again.toSeq == out.toSeq)
+    // NULL keys are unknown, not equal: every null-key row survives
+    val withNulls = Seq((1L, "k", 1, "a"), (2L, null, 1, "b"),
+      (3L, null, 1, "c")).toDF("doc_id", "key", "score", "payload")
+    val nullOut = Dedup.exactKeepBest(withNulls, "key", Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(nullOut.toSeq == Seq(1L, 2L, 3L),
+      s"null-key rows must pass through, got ${nullOut.toSeq}")
   }
 
   test("decontamination flags planted n-gram overlap, spares clean docs") {

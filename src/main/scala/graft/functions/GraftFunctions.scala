@@ -65,8 +65,12 @@ object GraftFunctions {
     ("graft_nearest_centroid",
       "index of the cosine-nearest centroid row for an embedding; " +
         "arg2 = literal array<array<double>> centroid matrix",
-      (args: Seq[Expression]) =>
-        NearestCentroid(args(0), matrixArg(args(1), "graft_nearest_centroid"))))
+      (args: Seq[Expression]) => {
+        val m = matrixArg(args(1), "graft_nearest_centroid")
+        require(m.nonEmpty && m.map(_.length).distinct.length == 1,
+          "graft_nearest_centroid: ragged or empty centroid matrix")
+        NearestCentroid(args(0), m.flatten.toArray, m.length)
+      }))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, usage, builder) =>

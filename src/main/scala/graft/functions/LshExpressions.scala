@@ -313,25 +313,25 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * table code is 0 (the row lands in bucket 0 of every table).
   */
 case class HyperplaneBuckets(child: Expression,
-    planes: IndexedSeq[IndexedSeq[Double]], planesPerTable: Int)
+    flatPlanes: Array[Double], nPlanes: Int, planesPerTable: Int)
     extends UnaryExpression {
 
-  require(planes.nonEmpty && planes.length % planesPerTable == 0,
-    s"planes (${planes.length}) must be a multiple of planesPerTable ($planesPerTable)")
+  // flatPlanes is a row-major nPlanes x dim matrix held as a FLAT ARRAY
+  // deliberately: Catalyst re-hashes and re-compares every expression's
+  // constructor args on each of the many tree transforms a multi-stage
+  // plan goes through, and a nested IndexedSeq of plane coefficients is
+  // deep-hashed every time — O(nPlanes*dim) per touch, measured at
+  // multiple SECONDS of pure planning overhead for a 32x256 matrix.
+  // Arrays hash/compare by identity: O(1) per touch, and the same
+  // instance flows through every copy of this node.
+  require(nPlanes > 0 && nPlanes % planesPerTable == 0,
+    s"planes ($nPlanes) must be a multiple of planesPerTable ($planesPerTable)")
+  require(flatPlanes.length % nPlanes == 0,
+    s"flat matrix (${flatPlanes.length}) not divisible by nPlanes ($nPlanes)")
 
-  private val dim = planes.head.length
-  private val nTables = planes.length / planesPerTable
-  // flattened row-major copy for the hot loop (and the codegen reference)
-  @transient private lazy val flat: Array[Double] = {
-    val a = new Array[Double](planes.length * dim)
-    var p = 0
-    while (p < planes.length) {
-      var i = 0
-      while (i < dim) { a(p * dim + i) = planes(p)(i); i += 1 }
-      p += 1
-    }
-    a
-  }
+  private val dim = flatPlanes.length / nPlanes
+  private val nTables = nPlanes / planesPerTable
+  private def flat: Array[Double] = flatPlanes
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -369,7 +369,7 @@ case class HyperplaneBuckets(child: Expression,
         i += 1
       }
       var p = 0
-      while (p < planes.length) {
+      while (p < nPlanes) {
         var s = 0.0d
         var j = 0
         val off = p * dim
@@ -403,7 +403,7 @@ case class HyperplaneBuckets(child: Expression,
          |if (!$degen) {
          |  double[] $vec = new double[$dim];
          |  for (int $i = 0; $i < $dim; $i++) { $vec[$i] = $getElem; }
-         |  for (int $p = 0; $p < ${planes.length}; $p++) {
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
          |    double $s = 0.0d;
          |    int $off = $p * $dim;
          |    for (int $j = 0; $j < $dim; $j++) {
@@ -583,14 +583,18 @@ case class PqEncode(child: Expression,
   * assigned such vectors to the last cell).
   */
 case class NearestCentroid(child: Expression,
-    centroids: IndexedSeq[IndexedSeq[Double]])
+    flatCentroids: Array[Double], k: Int)
     extends UnaryExpression {
 
-  require(centroids.nonEmpty, "need at least one centroid")
-  private val dim = centroids.head.length
-  private val k = centroids.length
-  require(centroids.forall(_.length == dim),
-    "all centroids must share the vector dimensionality")
+  // flatCentroids = RAW row-major k x dim matrix as a FLAT ARRAY — same
+  // rationale as [[HyperplaneBuckets]]: Catalyst deep-hashes nested-Seq
+  // constructor args on every tree transform (O(k*dim) per touch,
+  // seconds of planning at a production cell count); arrays hash by
+  // identity.
+  require(k > 0, "need at least one centroid")
+  require(flatCentroids.length % k == 0 && flatCentroids.length > 0,
+    s"flat matrix (${flatCentroids.length}) not divisible by k ($k)")
+  private val dim = flatCentroids.length / k
 
   // unit-normalized row-major copy (zero-norm rows stay zero: dot = 0)
   @transient private lazy val flat: Array[Double] = {
@@ -599,10 +603,10 @@ case class NearestCentroid(child: Expression,
     while (c < k) {
       var n2 = 0.0d
       var j = 0
-      while (j < dim) { val x = centroids(c)(j); n2 += x * x; j += 1 }
+      while (j < dim) { val x = flatCentroids(c * dim + j); n2 += x * x; j += 1 }
       val inv = if (n2 == 0.0d) 0.0d else 1.0d / math.sqrt(n2)
       j = 0
-      while (j < dim) { a(c * dim + j) = centroids(c)(j) * inv; j += 1 }
+      while (j < dim) { a(c * dim + j) = flatCentroids(c * dim + j) * inv; j += 1 }
       c += 1
     }
     a
@@ -692,9 +696,13 @@ case class NearestCentroid(child: Expression,
 }
 
 object LshExpressions {
-  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dims = centroids.map(_.length).distinct
+    require(dims.length == 1,
+      s"all centroids must share the vector dimensionality, got $dims")
     Bridge.column(NearestCentroid(Bridge.expression(vec),
-      centroids.map(_.toIndexedSeq).toIndexedSeq))
+      centroids.flatten.toArray, centroids.length))
+  }
 
   def minhashSignature(sh: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(sh), numHashes))
@@ -711,7 +719,7 @@ object LshExpressions {
   def hyperplaneBuckets(vec: Column, planes: Seq[Seq[Double]],
       planesPerTable: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(vec),
-      planes.map(_.toIndexedSeq).toIndexedSeq, planesPerTable))
+      planes.flatten.toArray, planes.length, planesPerTable))
 
   def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     Bridge.column(PqEncode(Bridge.expression(vec),

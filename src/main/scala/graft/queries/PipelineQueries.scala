@@ -314,9 +314,14 @@ object PipelineQueries {
       (s, dir) => {
         // bigram features: this corpus has a ~31-token vocabulary, so
         // unigram bags overlap for EVERY pair (median cosine 0.6);
-        // bigrams re-expand the space (median 0.05, near-dups > 0.9)
+        // bigrams re-expand the space (median 0.05, near-dups > 0.9).
+        // The embedding stage materializes ONCE (eager localCheckpoint)
+        // before the LSH pipeline fans out into its self-join branches —
+        // concurrent cache-fill races would otherwise recompute the
+        // two-shuffle embedding per branch
         val emb = graft.operators.TextAnalysis.hashEmbed(
           Tables.documents(s, dir), "doc_id", "text", dim = 256, n = 2)
+          .localCheckpoint(true)
         Dedup.cosineNearDups(emb, "doc_id", "vec", dim = 256,
           threshold = 0.6)
           .orderBy("id_a", "id_b")

@@ -121,18 +121,33 @@ object TarShards {
     * `<shard>.tar` under `outDir` with its members in name order — the
     * packaging side of the WebDataset layout. One shuffle keyed on the
     * shard id; shard payloads are task-local (size your shards, not your
-    * cluster). Local-filesystem sink (the test/bench scale); a cluster
-    * deployment swaps the file write for the Hadoop FS API — the tar
-    * building is the same bytes.
+    * cluster). The sink is the Hadoop FS API resolved from `outDir`'s
+    * scheme, so the same code writes local `file:` paths in tests and
+    * HDFS/object-store paths on a cluster; `create(overwrite = true)`
+    * keeps task retries idempotent. The driver's Hadoop configuration is
+    * shipped to executors via `Configuration`'s own Writable round-trip
+    * (it is not Java-serializable).
     */
   def writeShards(df: DataFrame, shardCol: String, memberCol: String,
       bytesCol: String, outDir: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dirF = new java.io.File(outDir)
-    dirF.mkdirs()
-    Option(dirF.listFiles()).foreach(
-      _.filter(_.getName.endsWith(".tar")).foreach(_.delete()))
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(hadoopConf)
+    fs.mkdirs(out)
+    Option(fs.globStatus(new Path(out, "*.tar")))
+      .foreach(_.foreach(s => fs.delete(s.getPath, false)))
+    val confBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(baos)
+      hadoopConf.write(dos); dos.close(); baos.toByteArray
+    }
+    // qualified URI (scheme + authority pinned by the driver's FS) so the
+    // executor-side resolve cannot fall back to its local default FS
+    val outUri = fs.makeQualified(out).toString
     df.select(col(shardCol).cast("string"), col(memberCol).cast("string"),
         col(bytesCol).cast("binary"))
       .as[(String, String, Array[Byte])]
@@ -141,8 +156,12 @@ object TarShards {
         shard -> buildTar(rows.map(r => (r._2, r._3)).toSeq.sortBy(_._1))
       }
       .foreach { kv: (String, Array[Byte]) =>
-        val f = new java.io.File(outDir, s"${kv._1}.tar")
-        val os = new java.io.FileOutputStream(f)
+        val conf = new Configuration(false)
+        conf.readFields(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(confBytes)))
+        val p = new Path(outUri, s"${kv._1}.tar")
+        val tfs = p.getFileSystem(conf)
+        val os = tfs.create(p, true)
         try os.write(kv._2) finally os.close()
       }
   }

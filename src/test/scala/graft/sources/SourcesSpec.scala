@@ -73,6 +73,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(samp("0003") == (1L, Set("txt")))
   }
 
+  test("writeShards sinks through the Hadoop FS API (explicit file: URI)") {
+    import spark.implicits._
+    // an explicit scheme-qualified URI proves the writer resolves the
+    // Hadoop FileSystem from the path (the cluster contract: hdfs://,
+    // s3a://, ... work the same way), not java.io on the executor
+    val outUri = "file:///tmp/graft_tar_hfs"
+    val df = Seq(
+      ("s0", "0001.txt", "alpha".getBytes),
+      ("s0", "0002.txt", "beta".getBytes),
+      ("s1", "0003.txt", Array.fill(700)('y'.toByte))
+    ).toDF("shard", "member", "bytes")
+    TarShards.writeShards(df, "shard", "member", "bytes", outUri)
+    // the shards landed where the Hadoop file: FS put them
+    // (the local Hadoop FS also leaves .crc sidecars — ChecksumFileSystem
+    // behavior, not ours — so only the .tar payloads are asserted)
+    val local = new java.io.File("/tmp/graft_tar_hfs")
+    def tars() = local.listFiles().map(_.getName).filter(_.endsWith(".tar")).toSet
+    assert(tars() == Set("s0.tar", "s1.tar"))
+    // and walk back byte-identically
+    val back = TarShards.members(spark, outUri)
+      .filter(col("error").isNull).collect()
+      .map(r => r.getString(1) -> new String(r.getAs[Array[Byte]]("bytes")))
+      .toMap
+    assert(back == Map("0001.txt" -> "alpha", "0002.txt" -> "beta",
+      "0003.txt" -> "y" * 700))
+    // re-write over existing shards stays idempotent (overwrite = true)
+    TarShards.writeShards(df.filter($"shard" === "s0"), "shard", "member",
+      "bytes", outUri)
+    assert(tars() == Set("s0.tar"),
+      "stale shards from the previous write must be cleaned")
+  }
+
   test("csv round-trip preserves rows and declared types") {
     val orig = spark.read.parquet(s"$dir/nation.parquet")
     Sources.writeCsv(orig, "/tmp/graft_src_test/nation_csv")

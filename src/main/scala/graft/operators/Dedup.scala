@@ -64,7 +64,7 @@ object Dedup {
     def sealResult(result: DataFrame): DataFrame =
       // release in finally: a failed materialization (task OOM, corrupt
       // input) must not strand the already-cached intermediates
-      try result.localCheckpoint(eager = true) finally release()
+      try stage(result) finally release()
     /** Unpersist every tracked intermediate without materializing anything
       * (for callers of the lazy `*Plan` builders managing their own
       * terminal action).
@@ -75,11 +75,54 @@ object Dedup {
     }
   }
 
+  /** Session conf switch for reliable checkpoints. When set, every
+    * composite that materializes a lineage-free intermediate or result
+    * ([[CacheScope.sealResult]] behind all the LSH pipelines, [[clusters]]'
+    * iteration snapshots, [[stage]] callers like the text-embed staging)
+    * checkpoints INTO THAT DIRECTORY instead of executor-local blocks —
+    * the posture for multi-hour production runs where losing an executor
+    * must not restart the whole pipeline. One switch, all composites.
+    */
+  val CheckpointDirKey = "spark.graft.checkpointDir"
+
+  /** Materialize `df` lineage-free: reliable `checkpoint` when
+    * [[CheckpointDirKey]] is set in the session conf, executor-local
+    * `localCheckpoint` otherwise (the single-session fast path). Same plan
+    * shape either way — only the snapshot's durability changes.
+    */
+  def stage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
+      case Some(d) =>
+        val sc = spark.sparkContext
+        // setCheckpointDir mints a fresh UUID subdir per call — only
+        // repoint when the current dir isn't already under the configured
+        // root, so repeated stages share one directory
+        val rootPath = new org.apache.hadoop.fs.Path(d).toUri.getPath
+        if (!sc.getCheckpointDir.exists(_.contains(rootPath)))
+          sc.setCheckpointDir(d)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+  }
+
   /** Release the executor blocks behind a frame returned by the LSH
     * pipelines or [[clusters]] (checkpoint-backed). The frame must not be
-    * used afterwards.
+    * used afterwards. Reliable-checkpoint files (when [[CheckpointDirKey]]
+    * was set) live on disk, not in blocks — those are deleted here too.
     */
-  def free(result: DataFrame): Unit = Bridge.unpersistCheckpoint(result)
+  def free(result: DataFrame): Unit = {
+    val files = Bridge.checkpointFiles(result)
+    Bridge.unpersistCheckpoint(result)
+    if (files.nonEmpty) {
+      val conf = result.sparkSession.sparkContext.hadoopConfiguration
+      files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(conf).delete(p, true)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
 
   /** Exact dedup: keep the minimum id per identical key, shuffling only a
     * 16-byte hash key (plus one exemplar of the key text per partition via
@@ -456,20 +499,24 @@ object Dedup {
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 10, checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
+    // the explicit argument wins; otherwise the session-wide switch
+    // (spark.graft.checkpointDir) flips this composite with the rest
+    val ckDir = checkpointDir.orElse(
+      pairs.sparkSession.conf.getOption(CheckpointDirKey).filter(_.nonEmpty))
     // setCheckpointDir is session-global: remember and restore any
     // previous directory so other checkpoint users are not repointed.
     // (If none was set before, ours remains — the API cannot unset it.)
     val prevCheckpointDir = sc.getCheckpointDir
-    checkpointDir.foreach(sc.setCheckpointDir)
+    ckDir.foreach(sc.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      if (ckDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
     // release a superseded iteration snapshot: executor blocks for local
     // checkpoints, the snapshot FILES for reliable ones (rdd.unpersist is
     // a no-op there and the cleaner's cleanCheckpoints is off by default,
     // so without explicit deletion disk grows by |labels| per iteration)
     def releaseSnap(df: DataFrame): Unit =
-      if (checkpointDir.isDefined) {
+      if (ckDir.isDefined) {
         Bridge.checkpointFiles(df).foreach { f =>
           try {
             val p = new org.apache.hadoop.fs.Path(f)
@@ -535,7 +582,7 @@ object Dedup {
     } finally {
       edges.unpersist()
       prevCheckpointDir.foreach(d =>
-        if (checkpointDir.isDefined) sc.setCheckpointDir(d))
+        if (ckDir.isDefined) sc.setCheckpointDir(d))
     }
   }
 

@@ -396,4 +396,17 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** [[fingerprint]] with the per-token hash drawn from the first 8 hex
+    * chars of md5 (a 32-bit value) instead of xxhash64 — bit-identical
+    * fold, but replayable by any engine with md5 and 128-bit integers
+    * (the DuckDB oracle folds in HUGEINT mod 2^64 and converts to signed
+    * at the end, matching JVM Long wraparound). The xxhash64 default
+    * stays the production path: one native codegen pass, no hex
+    * round-trip per token.
+    */
+  def fingerprintMd5(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(31L) +
+        conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
 }

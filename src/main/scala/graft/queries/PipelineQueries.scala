@@ -315,13 +315,13 @@ object PipelineQueries {
         // bigram features: this corpus has a ~31-token vocabulary, so
         // unigram bags overlap for EVERY pair (median cosine 0.6);
         // bigrams re-expand the space (median 0.05, near-dups > 0.9).
-        // The embedding stage materializes ONCE (eager localCheckpoint)
-        // before the LSH pipeline fans out into its self-join branches —
-        // concurrent cache-fill races would otherwise recompute the
-        // two-shuffle embedding per branch
-        val emb = graft.operators.TextAnalysis.hashEmbed(
-          Tables.documents(s, dir), "doc_id", "text", dim = 256, n = 2)
-          .localCheckpoint(true)
+        // The embedding stage materializes ONCE (eager checkpoint — local
+        // blocks, or reliable files when spark.graft.checkpointDir is
+        // set) before the LSH pipeline fans out into its self-join
+        // branches — concurrent cache-fill races would otherwise
+        // recompute the two-shuffle embedding per branch
+        val emb = Dedup.stage(graft.operators.TextAnalysis.hashEmbed(
+          Tables.documents(s, dir), "doc_id", "text", dim = 256, n = 2))
         Dedup.cosineNearDups(emb, "doc_id", "vec", dim = 256,
           threshold = 0.6)
           .orderBy("id_a", "id_b")
@@ -1116,14 +1116,19 @@ object PipelineQueries {
       },
       Some("""SELECT CASE WHEN h < 800000 THEN 0 WHEN h < 900000 THEN 1 ELSE 2 END AS split, COUNT(*) AS n FROM (SELECT CAST(('0x' || substring(md5(doc_id || '|7'), 1, 8)) AS BIGINT) % 1000000 AS h FROM documents) GROUP BY 1 ORDER BY 1""")),
 
-    // document fingerprinting (rolling hash; xxhash64 not in DuckDB)
+    // document fingerprinting (rolling hash). The md5 token-hash mode is
+    // used here so the fold is DuckDB-replayable: the oracle rebuilds the
+    // same acc*31 + h chain in HUGEINT arithmetic mod 2^64 and converts
+    // to signed, matching JVM Long wraparound exactly. (The xxhash64
+    // default, TextAnalysis.fingerprint, stays spec-covered.)
     QueryDef("q_text_fingerprint",
       (s, dir) => {
         Tables.documents(s, dir)
-          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .select(col("doc_id"),
+            TextAnalysis.fingerprintMd5(coalesce(col("text"), lit(""))).as("fp"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id, CAST(CASE WHEN r >= 9223372036854775808::HUGEINT THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fp FROM (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT, list_transform(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'), t -> CAST(CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS HUGEINT))), (acc, h) -> (acc * 31 + h) % 18446744073709551616::HUGEINT) AS r FROM documents) ORDER BY doc_id""")),
 
     // MinHash-LSH near-duplicate pairs
     QueryDef("q_dedup_minhash",

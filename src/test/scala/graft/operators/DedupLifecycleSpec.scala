@@ -112,6 +112,43 @@ class DedupLifecycleSpec extends AnyFunSuite {
       s"reliable-mode iteration snapshots leaked: ${rddDirs()} rdd dirs")
   }
 
+  test("spark.graft.checkpointDir flips every composite to reliable " +
+      "checkpoints: identical results, files on disk, freed on free()") {
+    val ckptDir = "/root/repo/target/tmp/scope_ckpt"
+    val dirFile = new java.io.File(ckptDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(dirFile)
+    def pairsOf(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default mode: executor-local snapshots, nothing under ckptDir
+    val localMinhash = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5)
+    val localSem = Dedup.semanticNearDups(emb, "vec_id", "embedding", k = 4)
+    val (wantMinhash, wantSem) = (pairsOf(localMinhash), pairsOf(localSem))
+    Dedup.free(localMinhash); Dedup.free(localSem)
+    assert(!dirFile.exists, "local mode must not touch the checkpoint dir")
+    spark.conf.set(Dedup.CheckpointDirKey, ckptDir)
+    try {
+      val relMinhash = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5)
+      assert(pairsOf(relMinhash) == wantMinhash,
+        "reliable mode changed minhash pairs")
+      val relSem = Dedup.semanticNearDups(emb, "vec_id", "embedding", k = 4)
+      assert(pairsOf(relSem) == wantSem, "reliable mode changed sem pairs")
+      // the seals really were reliable: snapshot files live under ckptDir
+      val files = org.apache.spark.sql.graftbridge.Bridge
+        .checkpointFiles(relMinhash)
+      assert(files.nonEmpty && files.forall(_.contains("scope_ckpt")),
+        s"expected reliable checkpoint files under $ckptDir, got $files")
+      // free() must delete the reliable snapshot, not just drop blocks
+      Dedup.free(relMinhash); Dedup.free(relSem)
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        assert(!p.getFileSystem(conf).exists(p), s"free() leaked $f")
+      }
+    } finally spark.conf.unset(Dedup.CheckpointDirKey)
+  }
+
   test("rescanVerify (memory-lean) variant emits exactly the default pairs") {
     def pairsOf(rescan: Boolean): Set[(Long, Long)] =
       Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5,

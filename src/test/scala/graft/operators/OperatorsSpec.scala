@@ -58,6 +58,20 @@ class OperatorsSpec extends AnyFunSuite {
     val nTexts = docs.select("text").distinct().count()
     assert(nFps == nTexts, s"fingerprint collisions: $nFps fps for $nTexts texts")
     assert(nDocs == 500)
+    // the md5 mode keeps the separation property (same fold, different
+    // per-token hash) and computes the reference fold bit-for-bit: replay
+    // one row driver-side with JVM Long wraparound over md5 token hashes
+    val fpsMd5 = docs.select($"doc_id",
+      TextAnalysis.fingerprintMd5($"text").as("fp"))
+    assert(fpsMd5.select("fp").distinct().count() == nTexts)
+    val row = docs.orderBy("doc_id").select("doc_id", "text").first()
+    val expected = row.getString(1).trim.split("\\s+").foldLeft(0L) { (acc, t) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      acc * 31L + java.lang.Long.parseLong(hex, 16)
+    }
+    val got = fpsMd5.filter($"doc_id" === row.getLong(0)).first().getLong(1)
+    assert(got == expected, s"md5 fingerprint fold mismatch: $got vs $expected")
   }
 
   test("as-of join matches a naive per-row computation") {

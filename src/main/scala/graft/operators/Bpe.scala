@@ -72,7 +72,7 @@ object Bpe {
   /** Incremental merge learning over a driver-resident word-frequency
     * table (vocab-sized — a model artifact, not data).
     */
-  private[operators] def learnMerges(words: Array[(Array[String], Long)],
+  private[graft] def learnMerges(words: Array[(Array[String], Long)],
       numMerges: Int): Seq[(String, String)] = {
     import scala.collection.mutable
     val vocab: Array[(Array[String], Long)] = words.clone()

@@ -10,10 +10,11 @@ import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
   * sessionization, as-of join, JSON extraction.
   *
   * Queries whose semantics DuckDB can mirror get oracles; hash-based
-  * operators (MinHash/SimHash/fingerprint — xxhash64 has no DuckDB
-  * equivalent) are declared without oracle (rows-only gate) and verified
-  * against exact recomputation in the ScalaTest suites instead (SURVEY
-  * §5.3).
+  * operators (MinHash/SimHash — xxhash64 has no DuckDB equivalent) are
+  * declared without oracle (rows-only gate) and verified against exact
+  * recomputation in the ScalaTest suites instead (SURVEY §5.3). The
+  * fingerprint query runs its md5 mode, whose fold DuckDB CAN replay —
+  * see q_text_fingerprint.
   */
 object PipelineQueries {
 

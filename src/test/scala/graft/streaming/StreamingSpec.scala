@@ -269,6 +269,130 @@ class StreamingSpec extends AnyFunSuite {
       s"state not evicted ($stateRows rows live) — duplicates disarmed the timeout")
   }
 
+  test("bounded state is an assert, not a comment: MG state holds <= k " +
+      "counters per key across many batches (statestore-verified), and " +
+      "old keys evict") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val srcDir = "/tmp/graft_state_topk_src"
+    val ckpt = "/tmp/graft_state_topk_ckpt"
+    Seq(srcDir, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    Files.createDirectories(Paths.get(srcDir))
+    val t0 = 1700000000L // seconds
+    def write(name: String, rows: Seq[(String, Long, String)]): Unit = {
+      rows.map { case (k, ts, term) => (k, new java.sql.Timestamp(ts * 1000L), term) }
+        .toDF("gkey", "ts", "term")
+        .repartition(1).write.parquet(s"$srcDir/$name")
+      Thread.sleep(1100) // distinct mod-times => deterministic batch order
+    }
+    // 4 batches x 50 rows into ONE key: a hot term plus 20 distinct rare
+    // terms per batch (84 distinct terms total — state would hold all 84
+    // if Misra-Gries didn't bound it at k). The hot term keeps the summary
+    // nonempty so every batch emits a snapshot: an all-distinct stream
+    // legitimately annihilates the summary whenever its length is a
+    // multiple of k+1 (4 inserts then a decrement-all wipe), which is a
+    // correct MG outcome but a vacuous test.
+    val k = 4
+    (0 until 4).foreach { b =>
+      write(s"b$b", (0 until 50).map(i =>
+        ("x", t0 + b * 60L + i,
+          if (i < 30) "hot" else s"term_${b}_$i")))
+    }
+    val schema = Seq(("x", new java.sql.Timestamp(0L), "t"))
+      .toDF("gkey", "ts", "term").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val q = StreamTopK.topTerms(stream, "gkey", "ts", "term", k = k)
+      .writeStream.format("memory").queryName("state_topk_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // all 200 rows were processed into the one key...
+    val snaps = spark.table("state_topk_out").collect()
+    assert(snaps.map(_.getLong(3)).max == 200L, "not all rows reached MG")
+    // ...and the PHYSICAL state store holds one row for that key, with at
+    // most k counters in it — read back via the statestore source
+    val state = spark.read.format("statestore").load(ckpt)
+    // with timeouts enabled the statestore source nests the user state
+    // struct under value.groupState
+    val perKey = state.selectExpr("key.value AS gkey",
+      "size(value.groupState.terms) AS n_terms",
+      "size(value.groupState.counts) AS n_counts")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(perKey.map(_._1).toSeq == Seq("x"), s"unexpected state keys: ${perKey.toSeq}")
+    assert(perKey.forall(p => p._2 <= k && p._3 <= k),
+      s"MG state exceeded k=$k counters: ${perKey.toSeq}")
+
+    // eviction: a far-future key advances the watermark past x's horizon
+    // (2h default) + one more batch to run the timeout pass -> x's state
+    // row is physically gone, only the new key remains. Same running
+    // query — the file source picks up the new files (a memory-sink query
+    // cannot restart from a checkpoint, and a restart is not the claim).
+    write("b_future", Seq(("y", t0 + 5L * 3600, "fresh")))
+    write("b_trigger", Seq(("y", t0 + 5L * 3600 + 60, "fresh2")))
+    q.processAllAvailable()
+    q.stop()
+    val keysAfter = spark.read.format("statestore").load(ckpt)
+      .selectExpr("key.value").collect().map(_.getString(0)).toSet
+    assert(keysAfter == Set("y"),
+      s"evicted key's state still present: $keysAfter")
+  }
+
+  test("bounded state: dedup bucket state caps at maxBucket ids however " +
+      "many duplicates arrive (statestore-verified), and hits keep coming") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val srcDir = "/tmp/graft_state_dedup_src"
+    val ckpt = "/tmp/graft_state_dedup_ckpt"
+    Seq(srcDir, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    Files.createDirectories(Paths.get(srcDir))
+    val t0 = 1700000000L
+    // 3 batches x 20 copies of the SAME text: every copy lands in the same
+    // 8 (band, bucket) keys; uncapped state would store 60 signatures per
+    // bucket, the cap keeps 4
+    val maxB = 4
+    def write(name: String, ids: Range): Unit = {
+      ids.map(i => (i.toLong, new java.sql.Timestamp((t0 + i) * 1000L),
+          "the same boilerplate text repeated everywhere"))
+        .toDF("doc_id", "ts", "text")
+        .repartition(1).write.parquet(s"$srcDir/$name")
+      Thread.sleep(1100)
+    }
+    write("b0", 0 until 20); write("b1", 20 until 40); write("b2", 40 until 60)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val q = StreamDedup.nearDupHits(stream, "doc_id", "ts", "text",
+        maxBucket = maxB)
+      .writeStream.format("memory").queryName("state_dedup_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    // every doc after the first is flagged (the capped bucket keeps
+    // MATCHING even once it stops absorbing new reference signatures)
+    val flagged = spark.table("state_dedup_out")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged == (1L until 60L).toSet,
+      s"missing hits: ${(1L until 60L).toSet -- flagged}")
+    // physical bucket state: <= maxBucket stored ids per (band, bucket)
+    val bucketSizes = spark.read.format("statestore").load(ckpt)
+      .selectExpr("size(value.groupState.ids) AS n_ids",
+        "size(value.groupState.sigs) AS n_sigs")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(bucketSizes.nonEmpty, "no bucket state found")
+    assert(bucketSizes.forall(p => p._1 <= maxB && p._2 <= maxB),
+      s"bucket state exceeded maxBucket=$maxB: ${bucketSizes.toSeq}")
+  }
+
   test("streaming CDC upsert: batch boundaries irrelevant, tombstones stick") {
     import java.nio.file.{Files, Paths}
     import spark.implicits._

@@ -73,7 +73,16 @@ object Bpe {
     * table (vocab-sized — a model artifact, not data).
     */
   private[graft] def learnMerges(words: Array[(Array[String], Long)],
-      numMerges: Int): Seq[(String, String)] = {
+      numMerges: Int): Seq[(String, String)] =
+    learnMergesStats(words, numMerges)._1
+
+  /** As `learnMerges`, also returning the total touched-word count
+    * (sum of |affected| across rounds). The incremental loop's whole
+    * claim is touched ≪ rounds × vocab — the count lets a spec pin that
+    * property deterministically instead of asserting on wall time.
+    */
+  private[graft] def learnMergesStats(words: Array[(Array[String], Long)],
+      numMerges: Int): (Seq[(String, String)], Long) = {
     import scala.collection.mutable
     val vocab: Array[(Array[String], Long)] = words.clone()
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
@@ -107,12 +116,14 @@ object Bpe {
     vocab.indices.foreach(addWord)
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
+    var touched = 0L
     while (round < numMerges && pairCounts.nonEmpty) {
       val best = pairCounts.iterator.max(bestPairOrdering)._1
       merges += best
       // only words containing `best` change; snapshot the index entry
       // before mutating (removeWord/addWord edit the sets in place)
       val affected = pairWords.get(best).map(_.toArray).getOrElse(Array.empty)
+      touched += affected.length
       affected.foreach { i =>
         removeWord(i)
         vocab(i) = (mergePair(vocab(i)._1, best), vocab(i)._2)
@@ -120,7 +131,7 @@ object Bpe {
       }
       round += 1
     }
-    merges.toSeq
+    (merges.toSeq, touched)
   }
 
   /** Reference recount formulation (full pair recount per round) — kept

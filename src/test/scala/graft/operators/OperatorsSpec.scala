@@ -1314,11 +1314,19 @@ class OperatorsSpec extends AnyFunSuite {
       (w :+ Bpe.EndOfWord, (50000L / (i + 1)).max(1L))
     }.toArray
     val t0 = System.nanoTime()
-    val big = Bpe.learnMerges(full, 2048)
+    val (big, touched) = Bpe.learnMergesStats(full, 2048)
     val sec = (System.nanoTime() - t0) / 1e9
-    info(f"2048 merges over ${full.length} words in $sec%.2fs")
+    info(f"2048 merges over ${full.length} words in $sec%.2fs, " +
+      f"touched $touched words (${touched * 100.0 / (2048L * full.length)}%.2f%% of rounds x vocab)")
     assert(big.length == 2048, s"expected 2048 merges, got ${big.length}")
     assert(sec < 120.0, f"incremental trainer too slow: $sec%.1fs")
+    // the regression guard for the 32k-merge production budget (SCALE.md):
+    // incremental bookkeeping touches only words containing the merged
+    // pair — a small fraction of rounds x vocab. A regression to
+    // all-words-per-round bookkeeping makes touched == rounds x vocab
+    // (100%) and fails this deterministically, storms or not.
+    assert(touched < 2048L * full.length / 10,
+      s"incremental property lost: touched $touched of ${2048L * full.length} word-visits")
   }
 
   test("funnel == driver-side greedy subsequence match over real events") {

@@ -1214,14 +1214,18 @@ object PipelineQueries {
       },
       None),
 
-    // brute-force cosine top-k similarity search
+    // brute-force cosine top-k similarity search. Oracle-replayable: both
+    // engines compute the dot as an ascending-index sequential double fold
+    // (Spark: native DotProduct; DuckDB: list_inner_product over DOUBLE[]),
+    // so the doubles are bit-identical before the round(6) — verified at
+    // both SFs, every row hash-equal including the score column.
     QueryDef("q_sim_topk",
       (s, dir) => {
         val q = fixedQueryVector
         Similarity.topK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 10)
           .select(col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
       },
-      None),
+      Some(s"""WITH scored AS (SELECT vec_id, list_inner_product(CAST(embedding AS DOUBLE[]), $queryVecSql) / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS cosine FROM embeddings) SELECT vec_id, round(cosine, 6) AS cosine_r FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
 
     // Batch kNN JOIN: every query row gets its 5 nearest corpus rows in
     // one pass — bounded-heap partial aggregation, so the shuffle carries
@@ -1237,7 +1241,10 @@ object PipelineQueries {
             round(col("score"), 6).as("score_r"))
           .orderBy("vec_id", "rank")
       },
-      None),
+      // same bit-identical-dot contract as q_sim_topk; the bounded-heap
+      // rank (score desc, ties to lowest id, NULL/NaN skipped) replays as
+      // a window row_number with the identical ordering
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), scored AS (SELECT qid, cid, list_inner_product(cv, qv) / (sqrt(list_inner_product(cv, cv)) * sqrt(list_inner_product(qv, qv))) AS sim FROM c CROSS JOIN q), ranked AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rnk FROM scored WHERE sim IS NOT NULL AND NOT isnan(sim)) SELECT qid AS vec_id, rnk AS rank, cid AS neighbor_id, round(sim, 6) AS score_r FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rank""")),
 
     // IVF-pruned kNN join: queries probe their nprobe nearest cells only;
     // corpus rows meet only the queries probing their cell (recall law
@@ -1303,6 +1310,13 @@ object PipelineQueries {
     */
   lazy val fixedQueryVector: Seq[Double] =
     (0 until 64).map(i => math.sin(i + 1) / 8.0)
+
+  /** [[fixedQueryVector]] as a DuckDB DOUBLE[] literal. Double.toString is
+    * the shortest round-tripping decimal form, so the oracle parses back
+    * the bit-identical doubles Spark's `lit` sees.
+    */
+  private lazy val queryVecSql: String =
+    fixedQueryVector.map(_.toString).mkString("[", ",", "]") + "::DOUBLE[]"
 
 
   // DuckDB mirrors of the marker-scoring text queries. Marker scores are

@@ -28,10 +28,13 @@ object TextAnalysis {
     * [[Dedup.cosineNearDups]] / [[Similarity]] / [[Dedup.semanticDedup]]
     * directly.
     *
-    * Shape at scale: explode, one (doc, dim)-keyed partial-agg shuffle,
-    * one doc-keyed map-assembly shuffle, then a narrow normalize — no
-    * UDF, no driver vocabulary, vector width fixed at `dim` regardless
-    * of corpus vocabulary (that is the point of the trick).
+    * Shape at scale: ONE narrow codegen'd map
+    * ([[graft.functions.HashEmbedVector]]) — zero shuffles, no exploded
+    * per-token intermediate, no UDF, no driver vocabulary, vector width
+    * fixed at `dim` regardless of corpus vocabulary (that is the point
+    * of the trick). Byte-identical to the previous relational
+    * formulation (explode + two corpus-wide shuffles + join), which is
+    * retained as [[hashEmbedReference]] for the equivalence spec.
     *
     * `n` selects the feature granularity: 1 = unigram bag of words;
     * n >= 2 hashes word n-grams ([[wordNgrams]]) instead — the right
@@ -46,6 +49,23 @@ object TextAnalysis {
       dim: Int = 64, n: Int = 1): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     require(n >= 1, s"n must be >= 1, got $n")
+    val featCol =
+      if (n == 1) tokens(lower(col(textCol))) else wordNgrams(col(textCol), n)
+    docs.select(col(idCol),
+      graft.functions.HashEmbedVector.hashEmbed(featCol, dim).as("vec"))
+  }
+
+  /** The pre-kernel relational formulation of [[hashEmbed]] (explode →
+    * (doc, idx)-keyed partial-agg shuffle → doc-keyed map assembly →
+    * normalize → left-join for tokenless docs). Kept ONLY as the
+    * independent reference the equivalence spec pins
+    * [[graft.functions.HashEmbedVector]] against, byte for byte — the
+    * two compute the identical function by construction (integral ±1
+    * sums are order-exact; same ascending-fold norm; same XXH64 calls),
+    * and the spec keeps that true.
+    */
+  private[graft] def hashEmbedReference(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int = 64, n: Int = 1): DataFrame = {
     val featCol =
       if (n == 1) tokens(lower(col(textCol))) else wordNgrams(col(textCol), n)
     val contrib = docs

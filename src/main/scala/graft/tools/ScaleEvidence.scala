@@ -74,8 +74,8 @@ object ScaleEvidence {
         Dedup.minhashIncrementalNearDups(store, delta, "doc_id", "text",
           threshold = 0.5).count()),
       // the full text->vector->LSH composite (q_text_embed_neardup's
-      // shape): two embed shuffles staged once, then banded hyperplane
-      // LSH with the maxBucket star-cap
+      // shape): one narrow codegen'd embed map (HashEmbedVector) staged
+      // once, then banded hyperplane LSH with the maxBucket star-cap
       "text_embed_cosine" -> (() =>
         Dedup.cosineNearDups(
           Dedup.stage(TextAnalysis.hashEmbed(docs, "doc_id", "text",
@@ -83,23 +83,29 @@ object ScaleEvidence {
           "doc_id", "vec", dim = 256, threshold = 0.6).count())
     )
 
+    // SPARK_GRAFT_OPS=a,b re-measures a subset (e.g. after one operator's
+    // kernel changes) without paying for the full battery at 100x
+    val opFilter = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    val ops2 = opFilter.fold(ops)(f => ops.filter(o => f(o._1)))
+
     // Same storm guard as Bench: rep passes interleave across ALL ops so a
     // multi-minute steal storm poisons at most one pass per op, and
     // min-of-passes stays clean.
-    val times = Array.fill(ops.size)(Double.MaxValue)
-    val rows = Array.fill(ops.size)(0L)
-    for (_ <- 1 to 3; i <- ops.indices) {
+    val times = Array.fill(ops2.size)(Double.MaxValue)
+    val rows = Array.fill(ops2.size)(0L)
+    for (_ <- 1 to 3; i <- ops2.indices) {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
-      val n = ops(i)._2()
+      val n = ops2(i)._2()
       val sec = (System.nanoTime() - t0) / 1e9
       if (sec < times(i)) times(i) = sec
       rows(i) = n
     }
-    for (i <- ops.indices)
-      println(s"""{"label":"$label","op":"${ops(i)._1}","sec":${times(i)},"rows":${rows(i)}}""")
+    for (i <- ops2.indices)
+      println(s"""{"label":"$label","op":"${ops2(i)._1}","sec":${times(i)},"rows":${rows(i)}}""")
     spark.stop()
   }
 }

@@ -1018,6 +1018,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("hashEmbed kernel == relational reference, byte for byte") {
+    // the one-pass HashEmbedVector kernel replaced the explode + two-
+    // shuffle formulation; the contract is BIT-identical output (integral
+    // ±1 sums are order-exact, same ascending-fold norm, same XXH64
+    // calls). Real corpus + edge rows (null text, empty, whitespace-only,
+    // repeated tokens), unigram and bigram features.
+    val real = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edges = Seq[(java.lang.Long, String)](
+      (9001L, null), (9002L, ""), (9003L, "   "),
+      (9004L, "dup dup dup dup"), (9005L, "Mixed CASE mixed case"))
+      .toDF("doc_id", "text")
+    val in = real.unionByName(edges)
+    for (n <- Seq(1, 2)) {
+      val got = TextAnalysis.hashEmbed(in, "doc_id", "text", dim = 64, n = n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+      val ref = TextAnalysis.hashEmbedReference(in, "doc_id", "text",
+          dim = 64, n = n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+      assert(got.keySet == ref.keySet, s"n=$n id sets differ")
+      val bad = got.keys.filter(id => got(id) != ref(id))
+      assert(bad.isEmpty,
+        s"n=$n kernel diverges from reference for docs ${bad.take(5).toList}")
+    }
+  }
+
   test("LM perplexity == driver bigram model replay") {
     val docs = Seq(
       (1L, "the cat sat"),          // common bigrams

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass shingle hasher: text in, sorted duplicate-free
+  * `array<long>` of word-k-shingle `xxhash64` values out — the per-row
+  * kernel under [[graft.operators.Dedup.shingleHashes]], the prep stage
+  * of the whole minhash/LSH dedup family.
+  *
+  * The relational formulation (`sort_array(array_distinct(transform(
+  * shingles(text, k), xxhash64)))`, with `shingles` itself a lower →
+  * trim → regex split → k-1 chained `zip_with` concats) materializes a
+  * lowered string copy, a token array, k-1 intermediate shingle arrays,
+  * and a boxed long array per row. This expression does one pass over
+  * the UTF-8 bytes: manual ASCII-whitespace tokenization (multi-byte
+  * code points never contain ASCII bytes, so byte-level splitting is
+  * UTF-8-safe), shingle hashes computed over token bytes joined by
+  * 0x20 in a reused buffer — the exact UTF-8 encoding of the string
+  * concat — then primitive sort + in-place dedup.
+  *
+  * Bit-compatibility contract (spec-pinned against the retained
+  * relational reference): lowercasing and trimming call the same
+  * `UTF8String` methods as Spark's `lower`/`trim`; tokenization
+  * replicates `split(s, "\\s+", -1)` exactly (Java `\s` =
+  * `[ \t\n\x0B\f\r]`; a leading separator run yields an empty first
+  * token, a trailing run an empty last token, an empty string one
+  * empty token); shingles join k consecutive tokens with a single
+  * space, with the all-tokens-joined fallback when a document has
+  * fewer than k tokens, exactly `shingles(text, k)`; hashes are
+  * `XXH64` over the identical bytes with Spark's seed 42. Null text:
+  * the relational chain maps null to `[xxhash64("")]` (legacy
+  * `size(null) = -1` fires the fewer-than-k branch and `concat_ws`
+  * swallows the null array), which is exactly the empty-string result —
+  * the Column wrapper coalesces null to `""` to match.
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k > 0, s"shingle size must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.ShingleHashes$$.MODULE$$.compute($in, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+object ShingleHashes {
+
+  private def isSep(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  /** The kernel; called from interpreted eval and generated code. */
+  def compute(text: UTF8String, k: Int): UnsafeArrayData = {
+    val bytes = text.toLowerCase.trim.getBytes
+    val len = bytes.length
+    // token boundaries, replicating split(s, "\s+", -1): fields between
+    // separator runs, keeping the leading/trailing empties Java keeps
+    var nTok = 0
+    var starts = new Array[Int](8)
+    var ends = new Array[Int](8)
+    def addField(a: Int, b: Int): Unit = {
+      if (nTok == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, nTok * 2)
+        ends = java.util.Arrays.copyOf(ends, nTok * 2)
+      }
+      starts(nTok) = a; ends(nTok) = b; nTok += 1
+    }
+    var prev = 0
+    var i = 0
+    while (i < len) {
+      if (isSep(bytes(i))) {
+        addField(prev, i) // field before this separator run
+        while (i < len && isSep(bytes(i))) i += 1
+        prev = i
+      } else i += 1
+    }
+    addField(prev, len) // final field (empty after a trailing run)
+    // shingle hash loop over a reused join buffer
+    val nSh = if (nTok < k) 1 else nTok - k + 1
+    val width = if (nTok < k) nTok else k
+    val hashes = new Array[Long](nSh)
+    var buf = new Array[Byte](64)
+    var s = 0
+    while (s < nSh) {
+      var blen = 0
+      var t = s
+      val tEnd = s + width
+      while (t < tEnd) {
+        val tokLen = ends(t) - starts(t)
+        val need = blen + tokLen + 1
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (t > s) { buf(blen) = 0x20; blen += 1 }
+        System.arraycopy(bytes, starts(t), buf, blen, tokLen)
+        blen += tokLen
+        t += 1
+      }
+      hashes(s) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET,
+        blen, 42L)
+      s += 1
+    }
+    // sort + in-place dedup = sort_array(array_distinct(...)) on longs
+    java.util.Arrays.sort(hashes)
+    var out = 0
+    var j = 0
+    while (j < nSh) {
+      if (j == 0 || hashes(j) != hashes(j - 1)) {
+        hashes(out) = hashes(j); out += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (out == nSh) hashes else java.util.Arrays.copyOf(hashes, out))
+  }
+
+  /** Column-level entry point. Null text coalesces to `""` — see the
+    * null contract in the class doc.
+    */
+  def shingleHashes(text: Column, k: Int): Column =
+    Bridge.column(ShingleHashes(
+      Bridge.expression(org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit(""))), k))
+}

@@ -189,6 +189,15 @@ object Dedup {
     * (~n^2/2^65 expected per corpus — vanishing even at 1e9 docs).
     */
   def shingleHashes(text: Column, k: Int = 3): Column =
+    graft.functions.ShingleHashes.shingleHashes(text, k)
+
+  /** The pre-kernel relational formulation of [[shingleHashes]]. Kept
+    * ONLY as the independent reference the equivalence spec pins
+    * [[graft.functions.ShingleHashes]] against, byte for byte — bit-
+    * identical output also keeps persisted [[minhashIndex]] stores
+    * written before the kernel swap readable by the incremental path.
+    */
+  private[graft] def shingleHashesReference(text: Column, k: Int = 3): Column =
     sort_array(array_distinct(transform(shingles(text, k), s => xxhash64(s))))
 
   /** MinHash signature from a PRE-PROJECTED string shingle-array column

@@ -1044,6 +1044,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingleHashes kernel == relational reference, byte for byte") {
+    // the byte-level ShingleHashes kernel replaced the lower/trim/regex-
+    // split/zip_with-concat/xxhash64/distinct/sort chain; bit-identical
+    // output is the contract (it also keeps pre-swap minhashIndex parquet
+    // stores readable). Real corpus + the tokenizer's edge semantics:
+    // null, empty, all-whitespace, tab/newline separators (trim only
+    // strips 0x20, so these produce Java split's leading/trailing empty
+    // tokens), fewer-than-k tokens, uppercase + non-ASCII for the
+    // UTF8String lowercasing, repeated shingles for the dedup.
+    val real = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edges = Seq[(java.lang.Long, String)](
+      (9001L, null), (9002L, ""), (9003L, "   "), (9004L, "\t"),
+      (9005L, "one"), (9006L, "one two"), (9007L, "a b c a b c a b c"),
+      (9008L, "\tleading tab and trailing\t"),
+      (9009L, "line\nbreaks\nsplit\ntokens"),
+      (9010L, "Mixed CASE ÄÖÜ Straße ΣΟΦΙΑ"))
+      .toDF("doc_id", "text")
+    val in = real.unionByName(edges)
+    for (k <- Seq(1, 3, 5)) {
+      val got = in.select(col("doc_id"),
+          Dedup.shingleHashes(col("text"), k).as("sh"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Long](1).toVector)).toMap
+      val ref = in.select(col("doc_id"),
+          Dedup.shingleHashesReference(col("text"), k).as("sh"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Long](1).toVector)).toMap
+      assert(got.keySet == ref.keySet, s"k=$k id sets differ")
+      val bad = got.keys.filter(id => got(id) != ref(id))
+      assert(bad.isEmpty,
+        s"k=$k kernel diverges for docs ${bad.take(5).toList}: " +
+          bad.take(2).map(id => s"$id got=${got(id)} ref=${ref(id)}").mkString("; "))
+    }
+  }
+
   test("LM perplexity == driver bigram model replay") {
     val docs = Seq(
       (1L, "the cat sat"),          // common bigrams

@@ -12,7 +12,6 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,13 +20,15 @@ object Verify {
     // driver never sets it; scripts/check_oracle.py replays the subset)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    val ran = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    ran.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = String.valueOf(e.getMessage).take(500)
       }
       // release checkpoint-backed results (dedup pipelines) between
       // queries so a 60-query run doesn't accumulate executor blocks
@@ -48,6 +49,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // declared-vs-written sidecar: a query that crashes before its parquet
+    // lands would otherwise just VANISH from the correctness surface (the
+    // driver only compares dumps that exist) — the round-8/9 NTZ crashes
+    // silently shrank 145 declared rows to 143 checked and nothing in the
+    // artifacts said so. This makes the shrink (and its cause) visible.
+    val meta = Seq(
+      s"${q("n_declared")}: ${SparkEntry.queries.size}",
+      s"${q("n_run")}: ${ran.size}",
+      s"${q("n_written")}: ${ran.size - failed.size}",
+      s"${q("failed")}: " + failed
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    ).mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size}/${ran.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
   }
 }

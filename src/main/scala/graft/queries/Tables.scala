@@ -28,21 +28,31 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = read(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame = read(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = read(s, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` it arrives
-    * as nanos-since-epoch LongType and is converted here to a microsecond
-    * timestamp (truncation — matching DuckDB's own ns->us read behavior).
+  /** Normalize an events frame's `ts` to a plain TimestampType whatever
+    * the parquet file stored — the single ingestion point shared by the
+    * batch reader and the streaming source, so the two cannot diverge.
+    * Drift history: the driver's generator has produced both
+    * TIMESTAMP(NANOS) (read as nanos-Long under the legacy flag) and
+    * TIMESTAMP_MICROS with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    *   - LongType: nanos since epoch -> truncate to micros. `div` =
+    *     integer division (`/` on longs is double division in Spark,
+    *     which rounds and loses precision above 2^53).
+    *   - TIMESTAMP_NTZ: cast to TIMESTAMP. The session timezone is pinned
+    *     UTC in every entrypoint, so the cast is the identity on the
+    *     stored micros and matches DuckDB's naive-as-UTC epoch_ms/us.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    import org.apache.spark.sql.types.LongType
-    val df = read(s, dir, "events")
-    // `div` = integer division: `/` on longs is double division in Spark,
-    // which both rounds (vs truncate) and loses precision above 2^53.
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
+
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeTs(read(s, dir, "events"))
   def documents(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 }

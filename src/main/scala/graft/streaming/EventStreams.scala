@@ -12,27 +12,28 @@ import graft.functions.Exact
   */
 object EventStreams {
 
-  /** The on-disk schema of events.parquet (ts read as nanos Long under
-    * spark.sql.legacy.parquet.nanosAsLong).
+  /** The on-disk schema of events.parquet, read from the file footer (one
+    * driver-side batch-read of metadata) rather than hard-coded: the
+    * streaming source must declare a schema up front, and the driver's
+    * generator has changed the physical `ts` type between rounds
+    * (TIMESTAMP(NANOS) -> TIMESTAMP_MICROS/NTZ). Deriving it from the file
+    * keeps the stream reader in lockstep with whatever is actually there.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def sourceSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
 
   /** Streaming source over the events parquet file (the file-stream source
     * requires a directory path, so the table file is selected by glob).
     */
   def readStream(spark: SparkSession, dir: String): DataFrame =
-    normalize(spark.readStream.schema(rawSchema)
+    normalize(spark.readStream.schema(sourceSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet").parquet(dir))
 
-  /** nanos-Long -> microsecond timestamp (same rule as Tables.events). */
-  def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `ts` -> TimestampType via the SAME rule as the batch reader
+    * (graft.queries.Tables.normalizeTs) — one normalization point, so
+    * batch and streaming cannot diverge on a testdata type regen.
+    */
+  def normalize(df: DataFrame): DataFrame = graft.queries.Tables.normalizeTs(df)
 
   /** Tumbling 1-hour windows per event type; 2-hour watermark bounds state.
     * Works identically on batch and streaming inputs.

@@ -92,7 +92,7 @@ class DedupLifecycleSpec extends AnyFunSuite {
 
   test("clusters with a reliable checkpoint dir yields identical labels " +
       "and deletes superseded snapshots") {
-    val ckptDir = "/root/repo/target/tmp/clusters_ckpt"
+    val ckptDir = SparkTestSession.tmpPath("clusters_ckpt")
     val dirFile = new java.io.File(ckptDir)
     def rddDirs(): Int = {
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -114,7 +114,7 @@ class DedupLifecycleSpec extends AnyFunSuite {
 
   test("spark.graft.checkpointDir flips every composite to reliable " +
       "checkpoints: identical results, files on disk, freed on free()") {
-    val ckptDir = "/root/repo/target/tmp/scope_ckpt"
+    val ckptDir = SparkTestSession.tmpPath("scope_ckpt")
     val dirFile = new java.io.File(ckptDir)
     org.apache.commons.io.FileUtils.deleteQuietly(dirFile)
     def pairsOf(df: DataFrame): Set[(Long, Long)] =

@@ -434,7 +434,7 @@ class OperatorsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.input_file_name
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = Similarity.trainCentroids(emb, "embedding", k = 8)
-    val path = "/tmp/graft_ivf_layout_test"
+    val path = SparkTestSession.tmpPath("ivf_layout_test")
     Similarity.writePartitionedByCell(emb, "embedding", cents, path)
     val q = graft.queries.PipelineQueries.fixedQueryVector
     // correctness: all cells probed == brute force

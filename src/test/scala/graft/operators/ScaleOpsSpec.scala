@@ -25,9 +25,9 @@ class ScaleOpsSpec extends AnyFunSuite {
       .select("o_orderkey", "o_totalprice")
       .withColumnRenamed("o_orderkey", "l_orderkey")
     ScaleOps.writeBucketed(li, "l_orderkey", "b_lineitem",
-      "/tmp/graft_bucketed/lineitem", buckets = 8)
+      SparkTestSession.tmpPath("bucketed/lineitem"), buckets = 8)
     ScaleOps.writeBucketed(ord, "l_orderkey", "b_orders",
-      "/tmp/graft_bucketed/orders", buckets = 8)
+      SparkTestSession.tmpPath("bucketed/orders"), buckets = 8)
     // at sf0.001 the planner would broadcast (which also skips bucketing);
     // disable it to demonstrate the fact-to-fact shuffle-free path that
     // matters at scale, where neither side broadcasts
@@ -256,7 +256,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("time-partitioned layout: partition-pruned scans, identical rows") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_shipdate", "l_extendedprice")
-    val path = "/tmp/graft_time_layout_test"
+    val path = SparkTestSession.tmpPath("time_layout_test")
     ScaleOps.writeTimePartitioned(li, "l_shipdate", path)
     val back = spark.read.parquet(path)
     // a one-month query reads strictly fewer files than the full layout
@@ -284,7 +284,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("min/max manifest skips files outside the predicate range") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_extendedprice")
-    val path = "/tmp/graft_manifest_test"
+    val path = SparkTestSession.tmpPath("manifest_test")
     li.repartitionByRange(8, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
       .write.mode("overwrite").parquet(path)
@@ -392,7 +392,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("z-order layout: lossless round-trip, file pruning on BOTH dimensions") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey")
-    val path = "/tmp/graft_zorder_test"
+    val path = SparkTestSession.tmpPath("zorder_test")
     ScaleOps.writeZOrdered(li, "l_partkey", "l_suppkey", path, numFiles = 16)
     val back = spark.read.parquet(path)
     assert(sortedRows(back) == sortedRows(li), "z-order write lost rows")
@@ -418,7 +418,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       sortedRows(li.filter($"l_suppkey".between(1, 2))))
     // contrast: a LINEAR sort on partkey clusters only partkey — suppkey
     // ranges span every file and its manifest prunes nothing
-    val linPath = "/tmp/graft_zorder_linear_test"
+    val linPath = SparkTestSession.tmpPath("zorder_linear_test")
     li.repartitionByRange(16, col("l_partkey"))
       .sortWithinPartitions("l_partkey")
       .write.mode("overwrite").parquet(linPath)

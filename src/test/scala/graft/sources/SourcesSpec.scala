@@ -39,7 +39,7 @@ class SourcesSpec extends AnyFunSuite {
       bos.write(new Array[Byte](1024))
       bos.toByteArray
     }
-    val srcDir = new java.io.File("/tmp/graft_tar_src")
+    val srcDir = new java.io.File(SparkTestSession.tmpPath("tar_src"))
     if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
     srcDir.mkdirs()
     def write(name: String, bytes: Array[Byte]): Unit = {
@@ -78,7 +78,7 @@ class SourcesSpec extends AnyFunSuite {
     // an explicit scheme-qualified URI proves the writer resolves the
     // Hadoop FileSystem from the path (the cluster contract: hdfs://,
     // s3a://, ... work the same way), not java.io on the executor
-    val outUri = "file:///tmp/graft_tar_hfs"
+    val outUri = "file://" + SparkTestSession.tmpPath("tar_hfs")
     val df = Seq(
       ("s0", "0001.txt", "alpha".getBytes),
       ("s0", "0002.txt", "beta".getBytes),
@@ -88,7 +88,7 @@ class SourcesSpec extends AnyFunSuite {
     // the shards landed where the Hadoop file: FS put them
     // (the local Hadoop FS also leaves .crc sidecars — ChecksumFileSystem
     // behavior, not ours — so only the .tar payloads are asserted)
-    val local = new java.io.File("/tmp/graft_tar_hfs")
+    val local = new java.io.File(SparkTestSession.tmpPath("tar_hfs"))
     def tars() = local.listFiles().map(_.getName).filter(_.endsWith(".tar")).toSet
     assert(tars() == Set("s0.tar", "s1.tar"))
     // and walk back byte-identically
@@ -107,16 +107,16 @@ class SourcesSpec extends AnyFunSuite {
 
   test("csv round-trip preserves rows and declared types") {
     val orig = spark.read.parquet(s"$dir/nation.parquet")
-    Sources.writeCsv(orig, "/tmp/graft_src_test/nation_csv")
-    val back = Sources.csv(spark, "/tmp/graft_src_test/nation_csv", orig.schema)
+    Sources.writeCsv(orig, SparkTestSession.tmpPath("src_test/nation_csv"))
+    val back = Sources.csv(spark, SparkTestSession.tmpPath("src_test/nation_csv"), orig.schema)
     assert(back.schema == orig.schema)
     assert(sortedRows(back) == sortedRows(orig))
   }
 
   test("json round-trip preserves rows and declared types") {
     val orig = spark.read.parquet(s"$dir/supplier.parquet")
-    Sources.writeJson(orig, "/tmp/graft_src_test/supplier_json")
-    val back = Sources.json(spark, "/tmp/graft_src_test/supplier_json", orig.schema)
+    Sources.writeJson(orig, SparkTestSession.tmpPath("src_test/supplier_json"))
+    val back = Sources.json(spark, SparkTestSession.tmpPath("src_test/supplier_json"), orig.schema)
     assert(back.schema == orig.schema)
     assert(sortedRows(back) == sortedRows(orig))
   }
@@ -124,8 +124,8 @@ class SourcesSpec extends AnyFunSuite {
   test("csv round-trip preserves padded strings; header mismatch fails fast") {
     import spark.implicits._
     val df = Seq((1L, "  padded  "), (2L, "x")).toDF("id", "s")
-    Sources.writeCsv(df, "/tmp/graft_src_test/padded_csv")
-    val back = Sources.csv(spark, "/tmp/graft_src_test/padded_csv", df.schema)
+    Sources.writeCsv(df, SparkTestSession.tmpPath("src_test/padded_csv"))
+    val back = Sources.csv(spark, SparkTestSession.tmpPath("src_test/padded_csv"), df.schema)
     assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ==
       Seq("  padded  ", "x"), "writer trimmed padded strings")
     // a schema whose names don't match the file header must fail loudly,
@@ -134,14 +134,14 @@ class SourcesSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("other", org.apache.spark.sql.types.StringType)))
     intercept[Exception] {
-      Sources.csv(spark, "/tmp/graft_src_test/padded_csv", wrong).collect()
+      Sources.csv(spark, SparkTestSession.tmpPath("src_test/padded_csv"), wrong).collect()
     }
   }
 
   test("a csv-sourced param table drives the TaskGraph like any DataFrame") {
     val orig = spark.read.parquet(s"$dir/region.parquet")
-    Sources.writeCsv(orig, "/tmp/graft_src_test/region_csv")
-    val csv = Sources.csv(spark, "/tmp/graft_src_test/region_csv", orig.schema)
+    Sources.writeCsv(orig, SparkTestSession.tmpPath("src_test/region_csv"))
+    val csv = Sources.csv(spark, SparkTestSession.tmpPath("src_test/region_csv"), orig.schema)
     val g = graft.core.TaskGraph.chain("a", "b")
       .mapFrame(csv, Map("a" -> "r_name"),
         indexCol = Some("r_regionkey"), dimName = "rk")

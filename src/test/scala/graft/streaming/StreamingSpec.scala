@@ -101,7 +101,7 @@ class StreamingSpec extends AnyFunSuite {
       s"batch run diverged from reference: extra=${got -- want}, missing=${want.toSet -- got}")
 
     // streaming run over the same rows (one micro-batch) emits the same hits
-    val tmp = "/tmp/graft_stream_neardup_src"
+    val tmp = SparkTestSession.tmpPath("stream_neardup_src")
     docs.coalesce(1).write.mode("overwrite").parquet(tmp)
     val stream = spark.readStream.schema(docs.schema).parquet(tmp)
     val streamed = EventStreams.runToBatch(
@@ -155,13 +155,13 @@ class StreamingSpec extends AnyFunSuite {
     // == global (ts, term) order and nothing is watermark-late), processed
     // one per trigger via distinct modification times; the final snapshot
     // per key (largest n) must equal the batch run
-    val srcDir = new java.io.File("/tmp/graft_stream_topk_src")
+    val srcDir = new java.io.File(SparkTestSession.tmpPath("stream_topk_src"))
     if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
     srcDir.mkdirs()
     val sortedTs = raw.map(_._2).sorted
     val median = new java.sql.Timestamp(sortedTs(sortedTs.length / 2))
     def writeSlice(cond: org.apache.spark.sql.Column, name: String, mtime: Long): Unit = {
-      val tmp = s"/tmp/graft_stream_topk_$name"
+      val tmp = SparkTestSession.tmpPath(s"stream_topk_$name")
       ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -239,7 +239,7 @@ class StreamingSpec extends AnyFunSuite {
     // GONE afterwards — the round-3 fix for unbounded streaming state.
     import java.nio.file.{Files, Paths}
     import spark.implicits._
-    val srcDir = "/tmp/graft_stream_evict"
+    val srcDir = SparkTestSession.tmpPath("stream_evict")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
     Files.createDirectories(Paths.get(srcDir))
     val t0 = 1700000000L * 1000000000L // nanos
@@ -252,8 +252,12 @@ class StreamingSpec extends AnyFunSuite {
     write("b1", Seq((1L, t0, 1L, "a", 1.0, "{}")))
     write("b2", Seq((2L, t0 + 600L * 1000000000L, 1L, "a", 1.0, "{}"))) // duplicate
     write("b3", Seq((3L, t0 + 5L * h, 2L, "b", 1.0, "{}"))) // watermark jump
+    // schema read back from the fixture's own files (Long nanos ts) — this
+    // test deliberately exercises normalize()'s nanos-Long branch, while
+    // the driver-data tests above exercise whatever type the generator
+    // currently emits
     val stream = EventStreams.normalize(
-      spark.readStream.schema(EventStreams.rawSchema)
+      spark.readStream.schema(spark.read.parquet(s"$srcDir/b1").schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"))
     val q = EventStreams.firstPerKey(stream).writeStream
       .format("memory").queryName("evict_out").outputMode("append").start()
@@ -275,8 +279,8 @@ class StreamingSpec extends AnyFunSuite {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val srcDir = "/tmp/graft_state_topk_src"
-    val ckpt = "/tmp/graft_state_topk_ckpt"
+    val srcDir = SparkTestSession.tmpPath("state_topk_src")
+    val ckpt = SparkTestSession.tmpPath("state_topk_ckpt")
     Seq(srcDir, ckpt).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     Files.createDirectories(Paths.get(srcDir))
@@ -344,8 +348,8 @@ class StreamingSpec extends AnyFunSuite {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val srcDir = "/tmp/graft_state_dedup_src"
-    val ckpt = "/tmp/graft_state_dedup_ckpt"
+    val srcDir = SparkTestSession.tmpPath("state_dedup_src")
+    val ckpt = SparkTestSession.tmpPath("state_dedup_ckpt")
     Seq(srcDir, ckpt).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     Files.createDirectories(Paths.get(srcDir))
@@ -397,7 +401,7 @@ class StreamingSpec extends AnyFunSuite {
     import java.nio.file.{Files, Paths}
     import spark.implicits._
     import graft.streaming.StreamUpsert.{Change, Latest}
-    val srcDir = "/tmp/graft_stream_upsert"
+    val srcDir = SparkTestSession.tmpPath("stream_upsert")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
     Files.createDirectories(Paths.get(srcDir))
     def write(name: String, rows: Seq[Change]): Unit = {

@@ -31,6 +31,27 @@ class SchemaCanarySpec extends AnyFunSuite {
   private def typeOf(df: org.apache.spark.sql.DataFrame, col: String): DataType =
     df.schema(col).dataType
 
+  test("normalizeTs: nanos-Long, NTZ, and TimestampType inputs all land on " +
+      "the same instant (value-level, not just schema)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val micros = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    val fromLong = Tables.normalizeTs(
+      Seq((1L, micros * 1000L + 789L)).toDF("event_id", "ts")) // nanos truncate
+    val fromNtz = Tables.normalizeTs(
+      Seq((1L, micros)).toDF("event_id", "us")
+        .select($"event_id",
+          timestamp_micros($"us").cast(TimestampNTZType).as("ts")))
+    val fromTs = Tables.normalizeTs(
+      Seq((1L, micros)).toDF("event_id", "us")
+        .select($"event_id", timestamp_micros($"us").as("ts")))
+    for ((df, tag) <- Seq((fromLong, "long"), (fromNtz, "ntz"), (fromTs, "ts"))) {
+      assert(typeOf(df, "ts") == TimestampType, s"$tag: wrong type")
+      val got = df.select(unix_micros($"ts")).head().getLong(0)
+      assert(got == micros, s"$tag: normalized to $got, want $micros")
+    }
+  }
+
   for (dir <- sfDirs) {
     val sf = dir.substring(dir.lastIndexOf('/') + 1)
 

@@ -133,13 +133,27 @@ object ScaleOps {
     * straddle a range boundary and make the within/across-partition
     * ordering disagree.
     *
+    * The ranged frame is STAGED (lineage-free materialization via
+    * [[Dedup.stage]] — executor blocks, or reliable files under
+    * `spark.graft.checkpointDir`) before the two phases read it, for two
+    * reasons that both bite at scale:
+    *   - the window pass and the offsets pass would otherwise each
+    *     recompute the ENTIRE upstream plan (in the curation composite
+    *     that upstream is the full quality->langid->dedup pipeline — two
+    *     extra corpus scans);
+    *   - `repartitionByRange` samples its range boundaries per execution,
+    *     so two independent recomputations are not guaranteed the same
+    *     `__pid` assignment for boundary-straddling rows; one shared
+    *     materialization makes the partitioning the two phases agree on
+    *     physical, not coincidental.
+    *
     * Output: the input plus `outCol` = inclusive running sum.
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String = "running_total"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranged = df.repartitionByRange(col(orderCol))
-      .withColumn("__pid", spark_partition_id())
+    val ranged = Dedup.stage(df.repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id()))
     val w = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__run", sum(col(valueCol)).over(w))

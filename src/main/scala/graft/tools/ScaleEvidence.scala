@@ -80,7 +80,14 @@ object ScaleEvidence {
         Dedup.cosineNearDups(
           Dedup.stage(TextAnalysis.hashEmbed(docs, "doc_id", "text",
             dim = 256, n = 2)),
-          "doc_id", "vec", dim = 256, threshold = 0.6).count())
+          "doc_id", "vec", dim = 256, threshold = 0.6).count()),
+      // the full five-stage curation composite (q_curation_pipeline's
+      // exact code path): quality -> langid -> exact dedup -> near-dup
+      // drop -> sequence packing, ONE lazy plan with the prefixSum input
+      // staged once (round-10 fix — pre-fix this recomputed the whole
+      // upstream twice)
+      "curation_composite" -> (() =>
+        graft.SparkEntry.queries("q_curation_pipeline")(spark, dir).count())
     )
 
     // SPARK_GRAFT_OPS=a,b re-measures a subset (e.g. after one operator's

@@ -28,7 +28,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failed(name) = String.valueOf(e.getMessage).take(500)
+        // surrogate-safe truncation: cutting a non-BMP char in half would
+        // make the meta JSON unencodable and crash the very report that
+        // exists to surface failures
+        val msg = String.valueOf(e.getMessage).take(500)
+        failed(name) =
+          if (msg.nonEmpty && Character.isHighSurrogate(msg.last)) msg.dropRight(1)
+          else msg
       }
       // release checkpoint-backed results (dedup pipelines) between
       // queries so a 60-query run doesn't accumulate executor blocks

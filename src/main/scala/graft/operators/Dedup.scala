@@ -89,15 +89,8 @@ object Dedup {
     * [[CheckpointDirKey]] is set in the session conf, executor-local
     * `localCheckpoint` otherwise (the single-session fast path). Same plan
     * shape either way — only the snapshot's durability changes.
-    *
-    * `eager = false` defers the snapshot to the first action that touches
-    * it (no standalone materialization job, one job-scheduling round-trip
-    * cheaper) while still guaranteeing every LATER consumer reads the one
-    * materialized copy — the right mode when the staged frame and its
-    * consumers run inside the same terminal action (e.g. prefixSum's two
-    * phases under one count/write).
     */
-  def stage(df: DataFrame, eager: Boolean = true): DataFrame = {
+  def stage(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
       case Some(d) =>

@@ -133,10 +133,9 @@ object ScaleOps {
     * straddle a range boundary and make the within/across-partition
     * ordering disagree.
     *
-    * The ranged frame is STAGED (lineage-free materialization via
-    * [[Dedup.stage]] — executor blocks, or reliable files under
-    * `spark.graft.checkpointDir`) before the two phases read it, for two
-    * reasons that both bite at scale:
+    * The ranged frame is STAGED (eager `localCheckpoint` into executor
+    * blocks) before the two phases read it, for two reasons that both
+    * bite at scale:
     *   - the window pass and the offsets pass would otherwise each
     *     recompute the ENTIRE upstream plan (in the curation composite
     *     that upstream is the full quality->langid->dedup pipeline — two
@@ -147,13 +146,21 @@ object ScaleOps {
     *     materialization makes the partitioning the two phases agree on
     *     physical, not coincidental.
     *
+    * Deliberately NOT routed through [[Dedup.stage]]'s reliable-checkpoint
+    * switch: the staged frame is internal to this call, so nothing could
+    * ever `free()` reliable files — a long-lived session would leak one
+    * snapshot per invocation. Executor blocks are reclaimed by the
+    * ContextCleaner (and `unpersist` sweeps in Bench/Verify); losing an
+    * executor mid-query fails the query, which simply retries.
+    *
     * Output: the input plus `outCol` = inclusive running sum.
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String = "running_total"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranged = Dedup.stage(df.repartitionByRange(col(orderCol))
-      .withColumn("__pid", spark_partition_id()))
+    val ranged = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
     val w = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__run", sum(col(valueCol)).over(w))

@@ -32,11 +32,15 @@ object Tables {
     * the parquet file stored — the single ingestion point shared by the
     * batch reader and the streaming source, so the two cannot diverge.
     * Drift history: the driver's generator has produced both
-    * TIMESTAMP(NANOS) (read as nanos-Long under the legacy flag) and
-    * TIMESTAMP_MICROS with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
-    *   - LongType: nanos since epoch -> truncate to micros. `div` =
-    *     integer division (`/` on longs is double division in Spark,
-    *     which rounds and loses precision above 2^53).
+    * TIMESTAMP(NANOS) and TIMESTAMP_MICROS with isAdjustedToUTC=false
+    * (read as TIMESTAMP_NTZ).
+    *   - LongType: nanos since epoch -> truncate to micros. NOTE: with
+    *     the legacy nanosAsLong flag removed (round 10), a true parquet
+    *     TIMESTAMP(NANOS) regen fails LOUDLY at read before this branch —
+    *     SchemaCanarySpec names the type; the branch remains live for
+    *     plain-INT64 `ts` columns (streaming test fixtures write those).
+    *     `div` = integer division (`/` on longs is double division in
+    *     Spark, which rounds and loses precision above 2^53).
     *   - TIMESTAMP_NTZ: cast to TIMESTAMP. The session timezone is pinned
     *     UTC in every entrypoint, so the cast is the identity on the
     *     stored micros and matches DuckDB's naive-as-UTC epoch_ms/us.

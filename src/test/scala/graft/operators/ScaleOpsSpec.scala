@@ -165,6 +165,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"range join fell back to a nested loop:\n${plan.take(1200)}")
   }
 
+  test("prefix sum stages its ranged input once: no upstream recompute, " +
+      "no file rescan in the terminal plan") {
+    // the window pass and the offsets pass must both read the ONE staged
+    // materialization — pre-round-10 they each re-executed the entire
+    // upstream (two extra corpus scans in the curation composite, and a
+    // repartitionByRange boundary-sampling nondeterminism hazard between
+    // the phases). A parquet-backed input makes the regression visible:
+    // any FileScan in the terminal plan means a phase re-read the source
+    // instead of the checkpoint.
+    val src = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("id"), col("l_quantity").cast("long").as("v"))
+      .dropDuplicates("id")
+    val plan = ScaleOps.prefixSum(src, "id", "v", "cum")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"prefixSum phase re-read the source instead of the staged frame:\n${plan.take(1200)}")
+    assert(plan.contains("ExistingRDD"),
+      s"expected the staged checkpoint scan in the plan:\n${plan.take(1200)}")
+  }
+
   test("prefix sum matches driver-side cumsum at any layout, no data funnel") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(100).toLong))

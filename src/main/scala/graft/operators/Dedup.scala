@@ -445,11 +445,28 @@ object Dedup {
     val scope = new CacheScope
     val newPrep = minhashPrepared(scope, newDocs, idCol, textCol,
       bands * rows, k)
-    val newBand = bandFrame(newPrep, bands, rows)
+    incrementalFrom(scope, index, newPrep, threshold, bands, rows, maxBucket,
+      bandFrame)
+  }
+
+  /** Shared body of the incremental pipelines: `newPrep` is the new
+    * batch's prepared `(id, sh, sig)` frame (already persisted into
+    * `scope`), `bandFn` derives the banded frame from a prepared frame —
+    * [[bandFrame]] for the xxhash64 production path,
+    * [[bandFrameMd5]] for the oracle-replayable mode. Identical plan
+    * shape either way (delta bands broadcast onto the store scan, store
+    * never shuffled).
+    */
+  private def incrementalFrom(
+      scope: CacheScope, index: DataFrame, newPrep: DataFrame,
+      threshold: Double, bands: Int, rows: Int, maxBucket: Int,
+      bandFn: (DataFrame, Int, Int) => DataFrame
+  ): DataFrame = {
+    val newBand = bandFn(newPrep, bands, rows)
     val withinCands = boundedPairs(scope, newBand, "band", "bucket", maxBucket)
     val crossCands0 = broadcast(
         newBand.select(col("id").as("id_a"), col("band"), col("bucket")))
-      .join(bandFrame(index, bands, rows)
+      .join(bandFn(index, bands, rows)
           .select(col("id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select("id_a", "id_b").distinct()
@@ -470,6 +487,102 @@ object Dedup {
       .withColumn("jaccard", jaccardOfHashes(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // md5-replayable oracle mode
+  //
+  // Twin of the xxhash64 pipelines above with every hash step replayable
+  // in external SQL (DuckDB: md5 + substring + BIGINT arithmetic), so the
+  // driver's oracle can recompute the ENTIRE pipeline — shingling,
+  // signatures, banding, bounded pairs, exact-Jaccard verify — and
+  // hash-compare the result. Per shingle, one md5 yields two 32-bit
+  // halves (a, b); the signature's i-th hash is min over shingles of
+  // (a + i*b) mod 2^32 (a standard universal-family construction), and
+  // band buckets are the comma-joined signature slice (bucket equality
+  // is all banding needs). The xxhash64 native-kernel path stays the
+  // production default: same pipeline shape, ~2x faster hashing, but its
+  // seeded kernels have no SQL equivalent.
+  // ------------------------------------------------------------------
+
+  /** (id, sh, sig) in md5 oracle mode — the [[minhashIndex]] twin; write
+    * to parquet for [[minhashIncrementalNearDupsMd5]]. `sh` is the sorted
+    * distinct first-half hashes (the exact-Jaccard verify set); `sig` the
+    * affine-rehash minhash signature. NULL text hashes as ''.
+    *
+    * The intermediate selects deliberately reference `__hx`/`__a` TWICE:
+    * higher-order-function lambdas inline free subexpressions (see
+    * [[TextAnalysis.slidingConcat]]) and CollapseProject inlines
+    * single-use aliases — either would re-run the md5s once per signature
+    * position instead of once per shingle.
+    */
+  def minhashIndexMd5(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rows: Int = 4, k: Int = 3): DataFrame = {
+    val h = bands * rows
+    def half(x: Column, off: Int): Column =
+      conv(substring(x, off, 8), 16, 10).cast("long")
+    widen(df)
+      .select(col(idCol).as("id"),
+        transform(shingles(coalesce(col(textCol), lit("")), k),
+          s => md5(s.cast("binary"))).as("__hx"))
+      .select(col("id"),
+        transform(col("__hx"), x => half(x, 1)).as("__a"),
+        transform(col("__hx"), x => half(x, 9)).as("__b"))
+      .select(col("id"),
+        sort_array(array_distinct(col("__a"))).as("sh"),
+        transform(sequence(lit(0), lit(h - 1)), i =>
+          array_min(zip_with(col("__a"), col("__b"),
+            (a, b) => (a + i.cast("long") * b) % lit(4294967296L)))).as("sig"))
+  }
+
+  private def md5Prepared(scope: CacheScope, df: DataFrame,
+      idCol: String, textCol: String, bands: Int, rows: Int, k: Int): DataFrame =
+    scope.persist(minhashIndexMd5(df, idCol, textCol, bands, rows, k))
+
+  /** Band buckets in md5 oracle mode: the comma-joined decimal rendering
+    * of the signature slice (replayable as `array_to_string(sig[..], ',')`
+    * — banding only needs bucket EQUALITY, so no hash of the slice).
+    */
+  private def bandFrameMd5(prepared: DataFrame, bands: Int, rows: Int): DataFrame =
+    prepared.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
+          x => x.cast("string"))))))
+      .toDF("id", "band", "bucket")
+
+  /** [[minhashNearDups]] in md5 oracle mode: identical pipeline shape
+    * (banding, bounded pairs, exact-Jaccard verify over the carried hash
+    * sets) with every step replayable in DuckDB SQL — the oracle-checked
+    * `q_dedup_minhash`/`q_dedup_ngram` queries run this; production dedup
+    * keeps the xxhash64 default. Row-level equivalence of the two modes
+    * on clear-cut duplicates is spec-pinned (OperatorsSpec).
+    */
+  def minhashNearDupsMd5(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int = 8, rows: Int = 4, k: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    val scope = new CacheScope
+    val prepared = md5Prepared(scope, df, idCol, textCol, bands, rows, k)
+    val cands = boundedPairs(scope, bandFrameMd5(prepared, bands, rows),
+      "band", "bucket", maxBucket)
+    val shA = prepared.select(col("id").as("id_a"), col("sh").as("__sh_a"))
+    val shB = prepared.select(col("id").as("id_b"), col("sh").as("__sh_b"))
+    scope.sealResult(cands.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccardOfHashes(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard"))
+  }
+
+  /** [[minhashIncrementalNearDups]] in md5 oracle mode (same delta-
+    * broadcast shape; `index` from [[minhashIndexMd5]]).
+    */
+  def minhashIncrementalNearDupsMd5(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      bands: Int = 8, rows: Int = 4, k: Int = 3, maxBucket: Int = 64
+  ): DataFrame = {
+    val scope = new CacheScope
+    val newPrep = md5Prepared(scope, newDocs, idCol, textCol, bands, rows, k)
+    incrementalFrom(scope, index, newPrep, threshold, bands, rows, maxBucket,
+      bandFrameMd5)
   }
 
   /** Duplicate clustering: connected components over near-dup pairs via

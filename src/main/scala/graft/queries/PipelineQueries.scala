@@ -9,12 +9,14 @@ import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
   * deduplication, similarity search, multimodal plumbing, event windows,
   * sessionization, as-of join, JSON extraction.
   *
-  * Queries whose semantics DuckDB can mirror get oracles; hash-based
-  * operators (MinHash/SimHash — xxhash64 has no DuckDB equivalent) are
-  * declared without oracle (rows-only gate) and verified against exact
+  * Queries whose semantics DuckDB can mirror get oracles; the remaining
+  * hash/trained operators (SimHash, cosine-LSH, IVF/PQ, streaming state —
+  * xxhash64 and trained models have no DuckDB equivalent) are declared
+  * without oracle (rows-only gate) and verified against exact
   * recomputation in the ScalaTest suites instead (SURVEY §5.3). The
-  * fingerprint query runs its md5 mode, whose fold DuckDB CAN replay —
-  * see q_text_fingerprint.
+  * fingerprint and MinHash-family queries run their md5 modes, whose
+  * every step DuckDB CAN replay — see q_text_fingerprint,
+  * q_dedup_minhash/q_dedup_ngram/q_dedup_incremental.
   */
 object PipelineQueries {
 
@@ -1131,30 +1133,37 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id, CAST(CASE WHEN r >= 9223372036854775808::HUGEINT THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fp FROM (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT, list_transform(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'), t -> CAST(CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS HUGEINT))), (acc, h) -> (acc * 31 + h) % 18446744073709551616::HUGEINT) AS r FROM documents) ORDER BY doc_id""")),
 
-    // MinHash-LSH near-duplicate pairs
+    // MinHash-LSH near-duplicate pairs, run in md5 oracle mode: the
+    // DuckDB oracle recomputes the WHOLE pipeline (shingles, affine
+    // signatures, banding, bounded pairs, exact-Jaccard verify) and
+    // hash-compares — see Dedup.minhashNearDupsMd5. The xxhash64 kernel
+    // path stays the production default; OperatorsSpec pins the two
+    // modes to identical pairs on clear-cut duplicates.
     QueryDef("q_dedup_minhash",
       (s, dir) => {
-        Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        Dedup.minhashNearDupsMd5(Tables.documents(s, dir), "doc_id", "text",
           threshold = 0.5)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(minhashMd5OracleSql(bands = 8, rows = 4, threshold = 0.5))),
 
     // incremental dedup maintenance: docs ending in 0 arrive as the "new
     // batch" and dedup against a minhashIndex of the rest — no corpus
-    // shuffle, delta bands broadcast (rows-only: xxhash64 signatures are
-    // not DuckDB-replayable; OperatorsSpec proves == full recompute)
+    // shuffle, delta bands broadcast. md5 oracle mode: DuckDB replays the
+    // split, both candidate generators (incl. the per-new-id cap), and
+    // the verify
     QueryDef("q_dedup_incremental",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val index = Dedup.minhashIndex(
+        val index = Dedup.minhashIndexMd5(
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
-        Dedup.minhashIncrementalNearDups(index,
+        Dedup.minhashIncrementalNearDupsMd5(index,
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           threshold = 0.5)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(minhashMd5IncrementalOracleSql(bands = 8, rows = 4,
+        threshold = 0.5))),
 
     // SimHash near-dup pairs. The 4x16-bit banding guarantees completeness
     // only up to Hamming distance 3 (pigeonhole), so the query filters at
@@ -1169,14 +1178,15 @@ object PipelineQueries {
       },
       None),
 
-    // n-gram Jaccard near-dup pairs (exact verify over LSH candidates)
+    // n-gram Jaccard near-dup pairs (exact verify over LSH candidates),
+    // md5 oracle mode at a wider 16x2 banding / lower threshold
     QueryDef("q_dedup_ngram",
       (s, dir) => {
-        Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        Dedup.minhashNearDupsMd5(Tables.documents(s, dir), "doc_id", "text",
           threshold = 0.3, bands = 16, rows = 2)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(minhashMd5OracleSql(bands = 16, rows = 2, threshold = 0.3))),
 
     // near-dup pairs -> connected-component duplicate clusters (min-label
     // propagation; verified against driver-side union-find in OperatorsSpec)
@@ -1347,6 +1357,36 @@ object PipelineQueries {
     val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
     raw"""WITH q AS (SELECT doc_id, text, CAST($ntok AS BIGINT) AS n_tokens, LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(LENGTH(text), 1) AS alpha_ratio FROM documents), f AS (SELECT * FROM q WHERE n_tokens >= 5 AND alpha_ratio >= 0.5), keep AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text), k AS (SELECT f.* FROM f JOIN keep USING (doc_id)), sc AS (SELECT doc_id, n_tokens, text, $scoreCols FROM k), sb AS (SELECT *, $best AS best FROM sc) SELECT CASE $cases ELSE 'und' END AS lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total FROM sb GROUP BY 1 ORDER BY 1"""
   }
+
+  // DuckDB replay of the md5-mode MinHash pipelines (Dedup.minhashIndexMd5
+  // / minhashNearDupsMd5 / minhashIncrementalNearDupsMd5), step for step:
+  // word 3-shingles, one md5 per shingle split into two 32-bit halves
+  // (a, b), affine-rehash signatures min((a + i*b) mod 2^32), comma-joined
+  // band buckets, windowed bucket stats with the hot-bucket star fallback,
+  // and the exact-Jaccard verify as intersect/union over the carried hash
+  // sets — all plain md5 + substring + BIGINT arithmetic, so the driver's
+  // hash compare certifies the ENTIRE pipeline, not just row counts.
+  private def minhashMd5BandedSql(bands: Int, rows: Int): String =
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(COALESCE(text,''))), '\s+') AS tk FROM documents), shing AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS shingles FROM toks), shrow AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, UNNEST(shingles) AS s FROM shing)), shhash AS (SELECT doc_id, CAST(('0x' || substring(md5(s),1,8)) AS BIGINT) AS a, CAST(('0x' || substring(md5(s),9,8)) AS BIGINT) AS b FROM shrow), shs AS (SELECT doc_id, list_sort(list(DISTINCT a)) AS sh FROM shhash GROUP BY doc_id), sigrow AS (SELECT doc_id, i, MIN((a + i * b) % 4294967296) AS m FROM shhash CROSS JOIN range(0, ${bands * rows}) t(i) GROUP BY doc_id, i), sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigrow GROUP BY doc_id), banded AS (SELECT doc_id AS id, b, array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',') AS bucket FROM sig CROSS JOIN range(0, $bands) t(b))"""
+
+  private def minhashMd5VerifyTail(threshold: Double): String =
+    s""", verified AS (SELECT id_a, id_b, CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard FROM cands JOIN shs sa ON sa.doc_id = cands.id_a JOIN shs sb ON sb.doc_id = cands.id_b) SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b"""
+
+  private def minhashMd5OracleSql(bands: Int, rows: Int, threshold: Double,
+      maxBucket: Int = 64): String =
+    minhashMd5BandedSql(bands, rows) +
+      s""", stats AS (SELECT id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n, MIN(id) OVER (PARTITION BY b, bucket) AS minid FROM banded), cands AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM stats x JOIN stats y USING (b, bucket) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM stats WHERE n > $maxBucket AND id <> minid))""" +
+      minhashMd5VerifyTail(threshold)
+
+  // incremental replay: new batch = doc_id % 10 = 0 (as declared by
+  // q_dedup_incremental); within-batch bounded pairs over the new bands
+  // only, cross pairs from the new-vs-store band join with the per-new-id
+  // cap, then the shared verify
+  private def minhashMd5IncrementalOracleSql(bands: Int, rows: Int,
+      threshold: Double, maxBucket: Int = 64): String =
+    minhashMd5BandedSql(bands, rows) +
+      s""", newb AS (SELECT * FROM banded WHERE id % 10 = 0), oldb AS (SELECT * FROM banded WHERE id % 10 <> 0), nstats AS (SELECT id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n, MIN(id) OVER (PARTITION BY b, bucket) AS minid FROM newb), within AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM nstats x JOIN nstats y USING (b, bucket) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM nstats WHERE n > $maxBucket AND id <> minid)), crossc AS (SELECT DISTINCT n.id AS id_a, o.id AS id_b FROM newb n JOIN oldb o USING (b, bucket)), crosscap AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a ORDER BY id_b) AS rn FROM crossc) WHERE rn <= ${bands * maxBucket}), cands AS (SELECT * FROM within UNION ALL SELECT * FROM crosscap)""" +
+      minhashMd5VerifyTail(threshold)
 
   private lazy val qualityOracle: String = {
     val ntok = """CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END"""

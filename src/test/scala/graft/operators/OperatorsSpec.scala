@@ -991,6 +991,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!inc.exists(p => p._1 == 108L || p._2 == 108L), "novel doc matched")
   }
 
+  test("md5 oracle mode == xxhash mode on the real corpus and incrementally") {
+    // the oracle-checked queries run the md5-replayable pipeline; the
+    // production default stays xxhash64. Same banding geometry + exact
+    // verify means both modes emit the same PAIRS wherever the corpus'
+    // duplicates are clear-cut (all test-corpus dups sit far above the
+    // band S-curve's crossover; a borderline-jaccard pair could
+    // legitimately differ between hash families)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((bands, rows, thr) <- Seq((8, 4, 0.5), (16, 2, 0.3))) {
+      val xx = pairs(Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = thr, bands = bands, rows = rows))
+      val md = pairs(Dedup.minhashNearDupsMd5(docs, "doc_id", "text",
+        threshold = thr, bands = bands, rows = rows))
+      assert(md == xx, s"md5/xxhash pair drift at ${bands}x$rows: " +
+        s"md5-only ${md -- xx}, xxhash-only ${xx -- md}")
+      assert(md.nonEmpty, "test vacuous: no pairs found")
+    }
+    // incremental md5 == full md5 restricted to new-touching pairs, with
+    // jaccard compared EXACTLY (same md5 pipeline both sides — the same
+    // contract the DuckDB oracle hash-checks)
+    val newIds = docs.filter($"doc_id" % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val index = Dedup.minhashIndexMd5(
+      docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text")
+    def canon(df: DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    val inc = canon(Dedup.minhashIncrementalNearDupsMd5(index,
+      docs.filter($"doc_id" % 10 === 0), "doc_id", "text", threshold = 0.5))
+    val full = canon(Dedup.minhashNearDupsMd5(docs, "doc_id", "text",
+        threshold = 0.5))
+      .filter(p => newIds.contains(p._1) || newIds.contains(p._2))
+    assert(inc == full, s"incremental $inc\nfull-restricted $full")
+  }
+
   test("feature-hashing embeddings: unit norm, deterministic, cosine contracts") {
     val in = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -153,6 +153,14 @@ object ScaleOps {
     * ContextCleaner (and `unpersist` sweeps in Bench/Verify); losing an
     * executor mid-query fails the query, which simply retries.
     *
+    * The staged frame carries ALL of `df`'s columns (the result contract
+    * is input-plus-`outCol`, so every column must flow through the window
+    * pass): PROJECT BEFORE CALLING when rows are wide — block storage is
+    * row-width times corpus size. Narrowing here instead would need a
+    * join-back to re-attach wide columns, re-executing the upstream this
+    * staging exists to run once. Engine call sites pass (id, tokens);
+    * ScaleOpsSpec gates the staged schema.
+    *
     * Output: the input plus `outCol` = inclusive running sum.
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,

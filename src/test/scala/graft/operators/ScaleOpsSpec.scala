@@ -183,6 +183,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"prefixSum phase re-read the source instead of the staged frame:\n${plan.take(1200)}")
     assert(plan.contains("ExistingRDD"),
       s"expected the staged checkpoint scan in the plan:\n${plan.take(1200)}")
+    // staged width == the caller's projection + __pid: the checkpoint
+    // stores full rows in executor blocks, so a wide column slipping in
+    // multiplies the spill by the row width (SCALE.md round-10 entry)
+    assert(stagedCols(plan) == Set("id", "v", "__pid"),
+      s"staged frame carries unexpected columns: ${stagedCols(plan)}")
+  }
+
+  /** Column names of the checkpoint scan(s) in an executed-plan string
+    * (`Scan ExistingRDD[id#12L,v#13L,__pid#14]` -> {id, v, __pid}).
+    */
+  private def stagedCols(plan: String): Set[String] =
+    "ExistingRDD\\[([^\\]]*)\\]".r.findAllMatchIn(plan)
+      .flatMap(_.group(1).split(",").map(_.trim.takeWhile(_ != '#')))
+      .toSet
+
+  test("declared q_seq_pack and the curation composite stage prefixSum narrow") {
+    // the engine call sites promise a (doc_id, n_tokens) projection into
+    // packSequences — this pins the promise to the DECLARED queries, so a
+    // future edit passing full document rows (text included) into the
+    // staged checkpoint fails here, not in a production disk budget
+    val seqCols = stagedCols(graft.SparkEntry.queries("q_seq_pack")(spark, dir)
+      .queryExecution.executedPlan.toString)
+    assert(seqCols == Set("doc_id", "n_tokens", "__pid"),
+      s"q_seq_pack staged frame carries unexpected columns: $seqCols")
+    // the composite's plan also holds the minhash sealResult checkpoint
+    // (scalar pair columns — fine); the guard is that NO checkpoint in
+    // the plan carries document text, and the prefixSum staging is there
+    val curCols = stagedCols(
+      graft.SparkEntry.queries("q_curation_pipeline")(spark, dir)
+        .queryExecution.executedPlan.toString)
+    assert(Set("doc_id", "n_tokens", "__pid").subsetOf(curCols),
+      s"composite prefixSum staging missing: $curCols")
+    assert(!curCols.contains("text"),
+      s"composite checkpointed full document rows: $curCols")
   }
 
   test("prefix sum matches driver-side cumsum at any layout, no data funnel") {

@@ -77,36 +77,86 @@ class SchemaCanarySpec extends AnyFunSuite {
         s"streaming sourceSchema normalizes ts to ${normalized("ts").dataType}")
     }
 
-    test(s"[$sf] documents/embeddings: text + vector column types") {
-      val docs = Tables.documents(spark, dir)
-      assert(typeOf(docs, "doc_id") == LongType)
-      assert(typeOf(docs, "text") == StringType)
+    test(s"[$sf] events: normalized ts values sit in a plausible epoch " +
+        "range (unit mix-up tripwire)") {
+      import org.apache.spark.sql.functions._
+      // a regen emitting epoch-MICROS as plain INT64 would pass the
+      // type-level canary (normalizeTs treats LongType as nanos) yet land
+      // 1000x off — near 1970. Value-level range check fails that loudly.
+      val r = Tables.events(spark, dir)
+        .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi"))
+        .head()
+      val (lo, hi) = (r.getInt(0), r.getInt(1))
+      assert(lo >= 2000 && hi <= 2100,
+        s"events.ts normalized into years [$lo, $hi] — a unit mix-up in " +
+          "ingestion (nanos vs micros vs millis); check Tables.normalizeTs")
+    }
+
+    test(s"[$sf] embeddings: vector element type and fixed dimensionality") {
+      import org.apache.spark.sql.functions._
       val emb = Tables.embeddings(spark, dir)
       val vecType = typeOf(emb, "embedding")
       assert(vecType.isInstanceOf[ArrayType] &&
         vecType.asInstanceOf[ArrayType].elementType == FloatType,
         s"embeddings.embedding is $vecType, expected array<float>")
+      // the similarity/dedup queries pass dim = 64 as a literal (plan
+      // construction must not probe the data); a regenerated dim breaks
+      // them at runtime — fail here with the number instead
+      val d = emb.agg(min(size(col("embedding"))).as("lo"),
+        max(size(col("embedding"))).as("hi")).head()
+      assert(d.getInt(0) == 64 && d.getInt(1) == 64,
+        s"embedding dim drifted to [${d.getInt(0)}, ${d.getInt(1)}], " +
+          "queries pass dim = 64 as a literal")
     }
 
-    test(s"[$sf] relational tables: join-key and measure types") {
-      def isTimestampish(t: DataType): Boolean =
-        t == TimestampType || t == TimestampNTZType
-      val li = Tables.lineitem(spark, dir)
-      assert(typeOf(li, "l_orderkey") == LongType)
-      assert(typeOf(li, "l_quantity") == DoubleType)
-      assert(typeOf(li, "l_extendedprice") == DoubleType)
-      assert(isTimestampish(typeOf(li, "l_shipdate")),
-        s"l_shipdate is ${typeOf(li, "l_shipdate")}")
-      val o = Tables.orders(spark, dir)
-      assert(typeOf(o, "o_orderkey") == LongType)
-      assert(typeOf(o, "o_custkey") == LongType)
-      assert(isTimestampish(typeOf(o, "o_orderdate")),
-        s"o_orderdate is ${typeOf(o, "o_orderdate")}")
-      val c = Tables.customer(spark, dir)
-      assert(typeOf(c, "c_custkey") == LongType)
-      assert(typeOf(c, "c_nationkey") == IntegerType)
-      val n = Tables.nation(spark, dir)
-      assert(typeOf(n, "n_nationkey") == IntegerType)
+    test(s"[$sf] every engine-read column keeps its pinned type " +
+        "(all tables)") {
+      val drift = for {
+        (table, cols) <- pinned.toSeq.sortBy(_._1)
+        df = Tables.read(spark, dir, table)
+        (name, want) <- cols
+        got = scala.util.Try(typeOf(df, name)).toOption
+        if !got.contains(want)
+      } yield s"$table.$name: ${got.getOrElse("MISSING")}, want $want"
+      assert(drift.isEmpty, s"testdata type drift:\n${drift.mkString("\n")}")
+      // date columns separately (either timestamp flavor accepted)
+      for ((t, c) <- Seq(("orders", "o_orderdate"), ("lineitem", "l_shipdate"))) {
+        val got = typeOf(Tables.read(spark, dir, t), c)
+        assert(tsish(got), s"$t.$c is $got, want a timestamp type")
+      }
     }
   }
+
+  // Every column the engine reads, exactly typed, per table: a regen
+  // that retypes ANY of these fails one named test with the offending
+  // (table, column, type) instead of as scattered oracle diffs.
+  // Date-ish columns may arrive TIMESTAMP or TIMESTAMP_NTZ (the driver
+  // has emitted both); everything downstream treats them uniformly.
+  private def tsish(t: DataType): Boolean =
+    t == TimestampType || t == TimestampNTZType
+
+  private val pinned: Map[String, Seq[(String, DataType)]] = Map(
+      "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType, "label" -> IntegerType)
+    )
 }

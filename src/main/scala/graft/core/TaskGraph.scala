@@ -714,8 +714,15 @@ final case class TaskGraph(
     if (isMapped(key) || dimsOf(key).nonEmpty)
       throw new GraftException("Cannot delete mapped node.")
     val d1 = removeExclusiveAncestors(key)
-    prunedDag(Dag(d1.nodeList, d1.attrs + (key -> Map.empty[String, String]),
+    val pruned = prunedDag(Dag(d1.nodeList,
+      d1.attrs + (key -> Map.empty[String, String]),
       d1.edgeList.filterNot(_._2 == key)))
+    // the key's old DEFINITION dies with its data, not just its attrs: a
+    // reduce spec can survive prunedDag when the reduced pred also feeds
+    // another sink, and frameOf consults `reduces` before DAG preds — the
+    // key would keep aggregating instead of becoming the bare input the
+    // reference specifies (graph.py:463-478). Same rule setItem applies.
+    pruned.copy(reduces = pruned.reduces - key)
   }
 
   /** Ancestors of `key` whose every remaining path leads only into `key`

@@ -453,6 +453,23 @@ class TaskGraphSpec extends AnyFunSuite {
     assert(g.reduces.isEmpty)
   }
 
+  test("delItem clears the key's reduce spec even when the pred survives") {
+    // b feeds another sink, so removeExclusiveAncestors keeps the whole
+    // upstream — before round 11 the reduce SPEC survived too and the
+    // 'bare input' kept aggregating (reference graph.py:463-478: the
+    // node's data dies, only the node itself remains)
+    val g = TaskGraph.fromEdges("a" -> "b", "b" -> "c")
+      .mapSeqs(Map("a" -> Seq(1, 2, 3)))
+      .reduce(key = "b", name = "r", attrs = Map("func" -> "sum"))
+      .delItem("r")
+    assert(g.dag.nodes == Set("a", "b", "c", "r"))
+    assert(g.reduces.isEmpty, "stale reduce spec survived delItem")
+    assert(g.dimsOf("r").isEmpty)
+    val row = g.result("r").collect()
+    assert(row.length == 1 && row.head.isNullAt(row.head.fieldIndex("r")),
+      "deleted node must be a bare (null-valued) input")
+  }
+
   test("map over an empty sequence yields an empty expansion — graph_test.py") {
     val g = TaskGraph.chain("a", "b").mapSeqs(Map("a" -> Seq()))
     assert(g.dimsOf("b") == Vector("dim_0"))

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
-"""Generate an N-x scale-up of the documents/embeddings test tables for
-the SCALE.md linearity evidence. NOT checked-in data: writes parquet
-under the repo's target/ dir (or any given outDir).
+"""Generate an N-x scale-up of the test tables for the SCALE.md
+linearity evidence. NOT checked-in data: writes parquet under the
+repo's target/ dir (or any given outDir).
 
 Method (seeded, reproducible):
 - documents: sample a source doc per output row, re-draw ~20% of its
@@ -12,11 +12,20 @@ Method (seeded, reproducible):
 - embeddings: sample a source vector per output row, add N(0, 0.05)
   noise per component — preserves the cluster structure the cosine-LSH /
   SemDeDup / IVF paths rely on, with fresh ids.
+- lineitem + orders (relational fact tables): N replicas with the order
+  keys shifted per replica (vectorized arrow column arithmetic, so 100x
+  of a 600k-row lineitem stays fast and memory-bounded) — preserves
+  per-order fan-in, join selectivities, and column distributions while
+  the facts grow Nx.
+- customer/supplier/part/nation/region (dims): copied verbatim — the
+  realistic shape at scale is facts growing much faster than dims, and
+  it keeps every fact->dim key valid.
 
 Usage: gen_scale.py <srcSfDir> <outDir> <factor> [seed]
 """
-import sys, random
+import os, shutil, sys, random
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 def main():
@@ -51,7 +60,23 @@ def main():
                         ("label", pa.int32())])
     pq.write_table(pa.Table.from_pylist(erows, schema=schema),
                    f"{out}/embeddings.parquet")
-    print(f"wrote {n_out} docs, {len(erows)} embeddings to {out}")
+
+    # relational facts: N key-shifted replicas (vectorized; arrow chunks
+    # share the unmodified column buffers, so this is cheap even at 100x)
+    KEY_STRIDE = 100_000_000
+    for tname, keycol in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        t = pq.read_table(f"{src}/{tname}.parquet")
+        ki = t.schema.get_field_index(keycol)
+        reps = [t.set_column(ki, keycol,
+                             pc.add(t.column(keycol), r * KEY_STRIDE))
+                for r in range(factor)]
+        pq.write_table(pa.concat_tables(reps), f"{out}/{tname}.parquet")
+
+    for tname in ("customer", "supplier", "part", "nation", "region"):
+        shutil.copyfile(f"{src}/{tname}.parquet", f"{out}/{tname}.parquet")
+
+    print(f"wrote {n_out} docs, {len(erows)} embeddings, "
+          f"{factor}x facts to {out}")
 
 if __name__ == "__main__":
     main()

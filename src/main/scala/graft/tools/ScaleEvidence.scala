@@ -89,7 +89,19 @@ object ScaleEvidence {
       // staged once (round-10 fix — pre-fix this recomputed the whole
       // upstream twice)
       "curation_composite" -> (() =>
-        graft.SparkEntry.queries("q_curation_pipeline")(spark, dir).count())
+        graft.SparkEntry.queries("q_curation_pipeline")(spark, dir).count()),
+      // relational family (round-11): the three heaviest TPC-H-shape
+      // queries, run through their DECLARED definitions. gen_scale.py
+      // grows lineitem/orders Nx (key-shifted replicas) with dims fixed,
+      // so the claims to prove are wall-linearity in the fact size and
+      // shuffle volume tracking the aggregate/join keys, not the scan
+      "q21_kept_waiting" -> (() =>
+        graft.SparkEntry.queries("q21_suppliers_kept_waiting")(spark, dir)
+          .count()),
+      "q9_profit" -> (() =>
+        graft.SparkEntry.queries("q9_profit_shape")(spark, dir).count()),
+      "profile_scan" -> (() =>
+        graft.SparkEntry.queries("q_profile")(spark, dir).count())
     )
 
     // SPARK_GRAFT_OPS=a,b re-measures a subset (e.g. after one operator's
@@ -98,23 +110,42 @@ object ScaleEvidence {
       .map(_.split(",").map(_.trim).toSet)
     val ops2 = opFilter.fold(ops)(f => ops.filter(o => f(o._1)))
 
+    // Shuffle-volume accounting (round-11): stage-completion listener
+    // summing shuffle WRITE bytes. Volume per op = counter delta around
+    // the timed action (a short settle pause lets the listener bus
+    // drain; coarse MB-level evidence, not a benchmark gate).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+
     // Same storm guard as Bench: rep passes interleave across ALL ops so a
     // multi-minute steal storm poisons at most one pass per op, and
     // min-of-passes stays clean.
     val times = Array.fill(ops2.size)(Double.MaxValue)
     val rows = Array.fill(ops2.size)(0L)
+    val shuf = Array.fill(ops2.size)(0L)
     for (_ <- 1 to 3; i <- ops2.indices) {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      Thread.sleep(200) // settle the listener bus before the baseline read
+      val s0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val n = ops2(i)._2()
       val sec = (System.nanoTime() - t0) / 1e9
-      if (sec < times(i)) times(i) = sec
+      Thread.sleep(200)
+      if (sec < times(i)) { times(i) = sec; shuf(i) = shuffleBytes.get() - s0 }
       rows(i) = n
     }
     for (i <- ops2.indices)
-      println(s"""{"label":"$label","op":"${ops2(i)._1}","sec":${times(i)},"rows":${rows(i)}}""")
+      println(s"""{"label":"$label","op":"${ops2(i)._1}","sec":${times(i)},"rows":${rows(i)},"shuffle_mb":${shuf(i) / 1048576.0}}""")
     spark.stop()
   }
 }

@@ -180,7 +180,10 @@ object ScaleOps {
       .select("__pid", "__off")
     local.join(broadcast(offsets), Seq("__pid"))
       .withColumn(outCol, col("__run") + col("__off"))
-      .drop("__pid", "__run")
+      // drop ALL internals: __off leaking into the output broke the
+      // "input plus outCol" contract (caught by the round-11 composite
+      // oracle's schema compare — q_seq_pack's explicit select masked it)
+      .drop("__pid", "__run", "__off")
   }
 
   /** Deterministic stratified sampling: keep each row with its stratum's

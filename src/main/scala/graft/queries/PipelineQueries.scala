@@ -283,8 +283,9 @@ object PipelineQueries {
     // one lazy plan — Gopher quality rules -> language keep -> exact
     // survivor dedup -> near-dup drop (lowest-id neighbor wins) ->
     // training-sequence packing. Each stage is the already-verified
-    // operator; this query exists to prove they compose (rows-only: the
-    // LSH stage is not DuckDB-replayable)
+    // operator, and with the near-dup stage in md5 oracle mode the WHOLE
+    // composite is hash-checked: the oracle replays all five stages as
+    // one CTE chain (see curationOracle)
     QueryDef("q_curation_pipeline",
       (s, dir) => {
         import graft.operators.{Corpus, TextAnalysis => TA}
@@ -296,7 +297,7 @@ object PipelineQueries {
         val english = quality.filter(TA.langId(col("text")) === "en")
         val exact = Dedup.exactKeepBest(english, "text",
           Seq(col("doc_id").asc))
-        val pairs = Dedup.minhashNearDups(exact, "doc_id", "text",
+        val pairs = Dedup.minhashNearDupsMd5(exact, "doc_id", "text",
           threshold = 0.5)
         val kept = exact.join(
           pairs.select(col("id_b").as("doc_id")).distinct(),
@@ -307,7 +308,7 @@ object PipelineQueries {
           "doc_id", "n_tokens", 2048L)
           .orderBy("doc_id")
       },
-      None),
+      Some(curationOracle)),
 
     // model-free text->vector->LSH pipeline: signed feature-hashing
     // embeddings feed the hyperplane-LSH near-dup stack end-to-end
@@ -1189,18 +1190,25 @@ object PipelineQueries {
       Some(minhashMd5OracleSql(bands = 16, rows = 2, threshold = 0.3))),
 
     // near-dup pairs -> connected-component duplicate clusters (min-label
-    // propagation; verified against driver-side union-find in OperatorsSpec)
+    // propagation; also verified against driver-side union-find in
+    // OperatorsSpec). md5 oracle mode: DuckDB replays the pair pipeline
+    // and closes the components with a recursive CTE (min reachable id
+    // == the propagation fixpoint), so the iterative algorithm is
+    // hash-checked end to end
     QueryDef("q_dedup_clusters",
       (s, dir) => {
-        val pairs = Dedup.minhashNearDups(Tables.documents(s, dir),
+        val pairs = Dedup.minhashNearDupsMd5(Tables.documents(s, dir),
           "doc_id", "text", threshold = 0.5).select("id_a", "id_b")
         Dedup.clusters(pairs)
           .groupBy("rep").agg(count(lit(1)).as("n_members"))
           .orderBy("rep")
       },
-      None),
+      Some(minhashMd5ClustersOracleSql(bands = 8, rows = 4, threshold = 0.5))),
 
-    // embedding-cosine near-duplicate pairs (banded random-hyperplane LSH)
+    // embedding-cosine near-duplicate pairs (banded random-hyperplane
+    // LSH). Oracle-checked: the plane matrix is a seeded literal and dot
+    // products are bit-exact across engines, so DuckDB replays the sign
+    // bits, banding, bounded pairs, and cosine verify exactly
     QueryDef("q_dedup_cosine",
       (s, dir) => {
         Dedup.cosineNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1208,7 +1216,7 @@ object PipelineQueries {
           .select(col("id_a"), col("id_b"))
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(cosineNearDupsOracleSql(dim = 64, threshold = 0.4))),
 
     // SemDeDup-style semantic dedup: spherical-kmeans cells, exact cosine
     // within each cell only; docs with an above-threshold smaller-id
@@ -1281,7 +1289,9 @@ object PipelineQueries {
           dim = 64, fixedQueryVector, k = 10)
           .select(col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
       },
-      None),
+      // literal planes + driver-computed query bucket codes: DuckDB
+      // replays the multi-table probe and the exact-cosine re-rank
+      Some(simLshOracleSql(dim = 64, k = 10))),
 
     // product-quantization top-k: normalized vectors -> trained per-
     // subspace codebooks -> m-byte codes -> ADC lookup-table scan with
@@ -1366,17 +1376,33 @@ object PipelineQueries {
   // and the exact-Jaccard verify as intersect/union over the carried hash
   // sets — all plain md5 + substring + BIGINT arithmetic, so the driver's
   // hash compare certifies the ENTIRE pipeline, not just row counts.
-  private def minhashMd5BandedSql(bands: Int, rows: Int): String =
-    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(COALESCE(text,''))), '\s+') AS tk FROM documents), shing AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS shingles FROM toks), shrow AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, UNNEST(shingles) AS s FROM shing)), shhash AS (SELECT doc_id, CAST(('0x' || substring(md5(s),1,8)) AS BIGINT) AS a, CAST(('0x' || substring(md5(s),9,8)) AS BIGINT) AS b FROM shrow), shs AS (SELECT doc_id, list_sort(list(DISTINCT a)) AS sh FROM shhash GROUP BY doc_id), sigrow AS (SELECT doc_id, i, MIN((a + i * b) % 4294967296) AS m FROM shhash CROSS JOIN range(0, ${bands * rows}) t(i) GROUP BY doc_id, i), sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigrow GROUP BY doc_id), banded AS (SELECT doc_id AS id, b, array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',') AS bucket FROM sig CROSS JOIN range(0, $bands) t(b))"""
+  // (no WITH prefix: q_dedup_clusters needs WITH RECURSIVE, the others
+  // plain WITH — callers prepend. `src` lets the curation composite run
+  // the same pipeline over its already-filtered corpus CTE.)
+  private def minhashMd5BandedSql(bands: Int, rows: Int,
+      src: String = "documents"): String =
+    raw"""toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(COALESCE(text,''))), '\s+') AS tk FROM $src), shing AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS shingles FROM toks), shrow AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, UNNEST(shingles) AS s FROM shing)), shhash AS (SELECT doc_id, CAST(('0x' || substring(md5(s),1,8)) AS BIGINT) AS a, CAST(('0x' || substring(md5(s),9,8)) AS BIGINT) AS b FROM shrow), shs AS (SELECT doc_id, list_sort(list(DISTINCT a)) AS sh FROM shhash GROUP BY doc_id), sigrow AS (SELECT doc_id, i, MIN((a + i * b) % 4294967296) AS m FROM shhash CROSS JOIN range(0, ${bands * rows}) t(i) GROUP BY doc_id, i), sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigrow GROUP BY doc_id), banded AS (SELECT doc_id AS id, b, array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',') AS bucket FROM sig CROSS JOIN range(0, $bands) t(b))"""
 
   private def minhashMd5VerifyTail(threshold: Double): String =
     s""", verified AS (SELECT id_a, id_b, CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard FROM cands JOIN shs sa ON sa.doc_id = cands.id_a JOIN shs sb ON sb.doc_id = cands.id_b) SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b"""
 
+  private def minhashMd5CandsSql(maxBucket: Int): String =
+    s""", stats AS (SELECT id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n, MIN(id) OVER (PARTITION BY b, bucket) AS minid FROM banded), cands AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM stats x JOIN stats y USING (b, bucket) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM stats WHERE n > $maxBucket AND id <> minid))"""
+
   private def minhashMd5OracleSql(bands: Int, rows: Int, threshold: Double,
       maxBucket: Int = 64): String =
-    minhashMd5BandedSql(bands, rows) +
-      s""", stats AS (SELECT id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n, MIN(id) OVER (PARTITION BY b, bucket) AS minid FROM banded), cands AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM stats x JOIN stats y USING (b, bucket) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM stats WHERE n > $maxBucket AND id <> minid))""" +
+    "WITH " + minhashMd5BandedSql(bands, rows) + minhashMd5CandsSql(maxBucket) +
       minhashMd5VerifyTail(threshold)
+
+  // connected components over the verified md5 pairs as a recursive CTE:
+  // reach(id, r) = ids reachable from r over the undirected pair edges;
+  // a node's representative is the minimum reachable id — exactly the
+  // fixpoint Dedup.clusters' min-label propagation computes
+  private def minhashMd5ClustersOracleSql(bands: Int, rows: Int,
+      threshold: Double, maxBucket: Int = 64): String =
+    "WITH RECURSIVE " + minhashMd5BandedSql(bands, rows) +
+      minhashMd5CandsSql(maxBucket) +
+      s""", verified AS (SELECT id_a, id_b, CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard FROM cands JOIN shs sa ON sa.doc_id = cands.id_a JOIN shs sb ON sb.doc_id = cands.id_b), pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= CAST($threshold AS DOUBLE)), dedges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), reach AS (SELECT src AS id, src AS r FROM dedges UNION SELECT e.dst AS id, reach.r FROM reach JOIN dedges e ON e.src = reach.id), reps AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id) SELECT rep, COUNT(*) AS n_members FROM reps GROUP BY rep ORDER BY rep"""
 
   // incremental replay: new batch = doc_id % 10 = 0 (as declared by
   // q_dedup_incremental); within-batch bounded pairs over the new bands
@@ -1384,9 +1410,68 @@ object PipelineQueries {
   // cap, then the shared verify
   private def minhashMd5IncrementalOracleSql(bands: Int, rows: Int,
       threshold: Double, maxBucket: Int = 64): String =
-    minhashMd5BandedSql(bands, rows) +
+    "WITH " + minhashMd5BandedSql(bands, rows) +
       s""", newb AS (SELECT * FROM banded WHERE id % 10 = 0), oldb AS (SELECT * FROM banded WHERE id % 10 <> 0), nstats AS (SELECT id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n, MIN(id) OVER (PARTITION BY b, bucket) AS minid FROM newb), within AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM nstats x JOIN nstats y USING (b, bucket) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM nstats WHERE n > $maxBucket AND id <> minid)), crossc AS (SELECT DISTINCT n.id AS id_a, o.id AS id_b FROM newb n JOIN oldb o USING (b, bucket)), crosscap AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a ORDER BY id_b) AS rn FROM crossc) WHERE rn <= ${bands * maxBucket}), cands AS (SELECT * FROM within UNION ALL SELECT * FROM crosscap)""" +
       minhashMd5VerifyTail(threshold)
+
+  // DuckDB replay of the hyperplane-LSH pipelines. The plane matrix is a
+  // seeded LITERAL (LshExpressions.planeMatrix) and dot products fold
+  // ascending in doubles in both engines (the q_sim_topk bit-exactness
+  // contract), so sign bits — hence bucket codes, candidates, and the
+  // exact-cosine verify — replay bit-for-bit. Each VALUES row carries
+  // (table index, bit weight, plane vector): code = SUM of weights whose
+  // plane-dot is strictly positive, matching bucketCodesOf's acc*2+bit
+  // packing.
+  private def planesValuesSql(dim: Int, planesPerTable: Int, tables: Int,
+      seed: Long): String =
+    graft.functions.LshExpressions.planeMatrix(dim, planesPerTable * tables, seed)
+      .zipWithIndex.map { case (p, i) =>
+        val t = i / planesPerTable
+        val w = 1L << (planesPerTable - 1 - (i % planesPerTable))
+        s"($t, $w, ${p.map(_.toString).mkString("[", ",", "]")}::DOUBLE[])"
+      }.mkString("(VALUES ", ", ", ")")
+
+  private def hyperplaneBitsSql(dim: Int, planesPerTable: Int, tables: Int,
+      seed: Long): String =
+    s"""planes(t, w, v) AS ${planesValuesSql(dim, planesPerTable, tables, seed)}, e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), bits AS (SELECT vec_id, t, SUM(CASE WHEN list_inner_product(p.v, e.ev) > 0 THEN p.w ELSE 0 END) AS code FROM e CROSS JOIN planes p GROUP BY vec_id, t)"""
+
+  private def cosineNearDupsOracleSql(dim: Int, threshold: Double,
+      planesPerTable: Int = 4, tables: Int = 8, maxBucket: Int = 256,
+      seed: Long = 42L): String =
+    s"""WITH ${hyperplaneBitsSql(dim, planesPerTable, tables, seed)}, stats AS (SELECT vec_id AS id, t, code, COUNT(*) OVER (PARTITION BY t, code) AS n, MIN(vec_id) OVER (PARTITION BY t, code) AS minid FROM bits), cands AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM stats x JOIN stats y USING (t, code) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM stats WHERE n > $maxBucket AND id <> minid)) SELECT id_a, id_b FROM cands JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b WHERE list_inner_product(ea.ev, eb.ev) / (sqrt(list_inner_product(ea.ev, ea.ev)) * sqrt(list_inner_product(eb.ev, eb.ev))) >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b"""
+
+  private def simLshOracleSql(dim: Int, k: Int, planesPerTable: Int = 6,
+      tables: Int = 32, seed: Long = 42L): String = {
+    val lsh = graft.functions.LshExpressions
+    val planes = lsh.planeMatrix(dim, planesPerTable * tables, seed)
+    val qCodes = lsh.bucketCodesOf(fixedQueryVector, planes, planesPerTable)
+    val qcSql = qCodes.zipWithIndex.map { case (c, t) => s"($t, $c)" }
+      .mkString("(VALUES ", ", ", ")")
+    s"""WITH ${hyperplaneBitsSql(dim, planesPerTable, tables, seed)}, qc(t, qcode) AS $qcSql, hits AS (SELECT DISTINCT bits.vec_id FROM bits JOIN qc ON bits.t = qc.t AND bits.code = qc.qcode), scored AS (SELECT e.vec_id, list_inner_product(e.ev, $queryVecSql) / (sqrt(list_inner_product(e.ev, e.ev)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS cosine FROM e JOIN hits ON hits.vec_id = e.vec_id) SELECT vec_id, round(cosine, 6) AS cosine_r FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT $k"""
+  }
+
+  /** Full five-stage curation-composite replay: Gopher quality rules ->
+    * language keep -> exact survivor dedup -> md5-minhash near-dup drop
+    * -> sequence packing, each stage the SAME SQL its standalone oracle
+    * uses (q_quality_rules, q_text_langid, q_dedup_survivor,
+    * q_dedup_minhash, q_seq_pack), composed over CTEs — so the flagship
+    * composite is hash-checked end to end, not just per stage.
+    */
+  private lazy val curationOracle: String = {
+    val ntok = """CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END"""
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scoreCols = langs.map(l => s"(${scoreSql(l)}) AS s_$l").mkString(", ")
+    val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    val gopher = raw"""gsig AS (SELECT doc_id, text, CAST($ntok AS BIGINT) AS nw0, GREATEST(CAST($ntok AS BIGINT), 1) AS nw, LENGTH(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(CAST($ntok AS BIGINT), 1) AS mwl, ((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3) * 1.0 / GREATEST(CAST($ntok AS BIGINT), 1) AS symr, LEN(list_filter(string_split(text, chr(10)), x -> regexp_matches(TRIM(x), '^[-*•]'))) * 1.0 / GREATEST(LEN(string_split(text, chr(10))), 1) AS bulr, LEN(list_filter(string_split(text, chr(10)), x -> ends_with(TRIM(x), '...'))) * 1.0 / GREATEST(LEN(string_split(text, chr(10))), 1) AS ellr, LEN(list_filter(string_split_regex(TRIM(text), '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / GREATEST(CAST($ntok AS BIGINT), 1) AS alphar, (${TextAnalysis.gopherStopwords.map(sw => s"CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% $sw %' THEN 1 ELSE 0 END").mkString(" + ")}) AS stopn FROM documents), qual AS (SELECT doc_id, text FROM gsig WHERE nw0 >= 25 AND nw0 <= 80 AND mwl >= 3.0 AND mwl <= 5.0 AND symr <= 0.1 AND bulr <= 0.1 AND ellr <= 0.3 AND alphar >= 0.8 AND stopn >= 1)"""
+    val lang = s"""lsc AS (SELECT doc_id, text, $scoreCols FROM qual), lsb AS (SELECT *, $best AS best FROM lsc), eng AS (SELECT doc_id, text FROM lsb WHERE (CASE $cases ELSE 'und' END) = 'en')"""
+    val survivor = """keepers AS (SELECT MIN(doc_id) AS doc_id FROM eng GROUP BY text), exact0 AS (SELECT eng.doc_id, eng.text FROM eng JOIN keepers USING (doc_id))"""
+    val minhash = minhashMd5BandedSql(bands = 8, rows = 4, src = "exact0") +
+      minhashMd5CandsSql(maxBucket = 64) +
+      s""", verified AS (SELECT id_a, id_b, CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard FROM cands JOIN shs sa ON sa.doc_id = cands.id_a JOIN shs sb ON sb.doc_id = cands.id_b), drops AS (SELECT DISTINCT id_b AS doc_id FROM verified WHERE jaccard >= CAST(0.5 AS DOUBLE)), kept AS (SELECT exact0.doc_id, exact0.text FROM exact0 LEFT JOIN drops USING (doc_id) WHERE drops.doc_id IS NULL)"""
+    val pack = s"""tkt AS (SELECT doc_id, CAST($ntok AS BIGINT) AS n_tokens FROM kept), packed AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS pre FROM tkt) SELECT doc_id, n_tokens, CAST(pre // 2048 AS BIGINT) AS seq_id, CAST(pre % 2048 AS BIGINT) AS tok_offset FROM packed ORDER BY doc_id"""
+    s"WITH $gopher, $lang, $survivor, $minhash, $pack"
+  }
 
   private lazy val qualityOracle: String = {
     val ntok = """CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END"""

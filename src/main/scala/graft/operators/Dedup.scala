@@ -767,6 +767,85 @@ object Dedup {
         bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).as("hamming"))
   }
 
+  /** [[simhashCandidates]] in md5 oracle mode — same banding/bounding/
+    * hamming pipeline with an md5-derived 64-bit token hash so DuckDB can
+    * replay the WHOLE thing (tokens, per-bit majority votes, 4x16-bit
+    * chunks, bounded pairs, XOR-popcount hamming) and the driver's
+    * hash-compare certifies it end to end. Unlike the MinHash twins
+    * (whose exact-Jaccard verify makes the two modes agree on output),
+    * SimHash's OUTPUT is hash-dependent — the hamming distance lives on
+    * the signatures themselves — so this mode is its own pipeline, not a
+    * re-verification of the xxhash one; OperatorsSpec replays the md5
+    * pipeline driver-side bit for bit and pins the invariant the two
+    * modes share (exact-duplicate texts sit at hamming 0 in both).
+    *
+    * Bit i (0..63) of a token's hash is bit (i mod 32) of the low /
+    * high 32-bit half of `md5(token)` for i < / >= 32; a signature bit is
+    * set when the +1/-1 votes over the document's tokens sum positive
+    * (the [[graft.functions.SimHash64]] `votes > 0` rule). Votes are
+    * aggregated RELATIONALLY — explode tokens, one 64-column map-side-
+    * combined sum — rather than per-row higher-order folds: the 64 sums
+    * stay inside whole-stage codegen and the token explosion re-spreads
+    * skewed long documents across the cluster, where a per-row
+    * `aggregate()` over 64 bits would be an interpreted O(64 x tokens)
+    * loop pinned to the document's partition. NULL text hashes as ''
+    * (one empty token), matching the MinHash md5 twins.
+    */
+  def simhashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 64): DataFrame = {
+    val scope = new CacheScope
+    scope.sealResult(simhashCandidatesMd5Plan(scope, df, idCol, textCol,
+      maxBucket))
+  }
+
+  /** Lazy plan form of [[simhashCandidatesMd5]] (see
+    * [[minhashNearDupsPlan]] for the contract).
+    */
+  private[graft] def simhashCandidatesMd5Plan(
+      scope: CacheScope,
+      df: DataFrame, idCol: String, textCol: String, maxBucket: Int
+  ): DataFrame = {
+    // one md5 per token, staged under a multi-use alias (CollapseProject
+    // inlines single-use aliases; see minhashIndexMd5) and split into two
+    // 32-bit halves
+    val halves = widen(df)
+      .select(col(idCol).as("id"),
+        explode(split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+"))
+          .as("__t"))
+      .select(col("id"), md5(col("__t").cast("binary")).as("__x"))
+      .select(col("id"),
+        conv(substring(col("__x"), 1, 8), 16, 10).cast("long").as("__hi"),
+        conv(substring(col("__x"), 9, 8), 16, 10).cast("long").as("__lo"))
+    val votes = halves.groupBy(col("id")).agg(
+      sum(when(col("__lo").bitwiseAND(1L) === 1L, 1).otherwise(-1)).as("__v0"),
+      (1 until 64).map { i =>
+        val h = if (i < 32) col("__lo") else col("__hi")
+        sum(when(shiftright(h, i % 32).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+          .as(s"__v$i")
+      }: _*)
+    def chunk(b: Int): Column =
+      (0 until 16).map { j =>
+        when(col(s"__v${b * 16 + j}") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val prepared = scope.persist(votes.select(col("id"),
+      chunk(0).as("__c0"), chunk(1).as("__c1"),
+      chunk(2).as("__c2"), chunk(3).as("__c3")))
+    val banded = prepared
+      .select(col("id"), posexplode(array(
+        col("__c0"), col("__c1"), col("__c2"), col("__c3"))))
+      .toDF("id", "band", "chunk")
+    val cands = boundedPairs(scope, banded, "band", "chunk", maxBucket)
+    val sa = prepared.select(col("id").as("id_a"), col("__c0").as("__a0"),
+      col("__c1").as("__a1"), col("__c2").as("__a2"), col("__c3").as("__a3"))
+    val sb = prepared.select(col("id").as("id_b"), col("__c0").as("__b0"),
+      col("__c1").as("__b1"), col("__c2").as("__b2"), col("__c3").as("__b3"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (0 until 4).map(c => bit_count(
+          col(s"__a$c").bitwiseXOR(col(s"__b$c")))).reduce(_ + _)
+          .as("hamming"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded random-hyperplane
     * LSH: `tables` independent hash tables of `planesPerTable` sign bits
     * each (recall 1-(1-p^k)^L with p = 1 - theta/pi, the standard

@@ -1171,13 +1171,18 @@ object PipelineQueries {
     // exactly that bound: within the hot-bucket cap the output is the
     // complete set of pairs at Hamming distance <= 3 (an over-cap
     // boilerplate bucket degrades to connectivity-preserving star pairs).
+    // md5 oracle mode: DuckDB replays tokens, per-bit majority votes,
+    // chunk banding, bounded pairs, and XOR-popcount hamming end to end
+    // (Dedup.simhashCandidatesMd5); the xxhash64 kernel stays the
+    // production default, with the shared exact-duplicate invariant of
+    // the two modes pinned in OperatorsSpec.
     QueryDef("q_dedup_simhash",
       (s, dir) => {
-        Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        Dedup.simhashCandidatesMd5(Tables.documents(s, dir), "doc_id", "text")
           .filter(col("hamming") <= 3)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(simhashMd5OracleSql())),
 
     // n-gram Jaccard near-dup pairs (exact verify over LSH candidates),
     // md5 oracle mode at a wider 16x2 banding / lower threshold
@@ -1413,6 +1418,27 @@ object PipelineQueries {
     "WITH " + minhashMd5BandedSql(bands, rows) +
       s""", newb AS (SELECT * FROM banded WHERE id % 10 = 0), oldb AS (SELECT * FROM banded WHERE id % 10 <> 0), nstats AS (SELECT id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n, MIN(id) OVER (PARTITION BY b, bucket) AS minid FROM newb), within AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM nstats x JOIN nstats y USING (b, bucket) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM nstats WHERE n > $maxBucket AND id <> minid)), crossc AS (SELECT DISTINCT n.id AS id_a, o.id AS id_b FROM newb n JOIN oldb o USING (b, bucket)), crosscap AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a ORDER BY id_b) AS rn FROM crossc) WHERE rn <= ${bands * maxBucket}), cands AS (SELECT * FROM within UNION ALL SELECT * FROM crosscap)""" +
       minhashMd5VerifyTail(threshold)
+
+  // DuckDB replay of the md5-mode SimHash pipeline
+  // (Dedup.simhashCandidatesMd5), step for step: whitespace tokens of
+  // trim(lower(text)), one md5 per token split into two 32-bit halves
+  // (bit i of the 64-bit token hash = bit (i mod 32) of the low/high half
+  // for i </>= 32), 64 per-bit +1/-1 majority votes, the votes>0 bit
+  // rule packed into four 16-bit chunks, chunk-equality banding through
+  // the shared bounded-pairs SQL, and hamming as the sum of per-chunk
+  // XOR popcounts.
+  private def simhashMd5OracleSql(maxBucket: Int = 64): String = {
+    val votes = (0 until 64).map { i =>
+      val h = if (i < 32) "lo" else "hi"
+      s"SUM(CASE WHEN ($h >> ${i % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(", ")
+    def chunk(b: Int): String = (0 until 16).map { j =>
+      s"(CASE WHEN v${b * 16 + j} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    raw"""WITH toks AS (SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(COALESCE(text,''))), '\s+')) AS t FROM documents), th AS (SELECT doc_id, CAST(('0x' || substring(md5(t),1,8)) AS BIGINT) AS hi, CAST(('0x' || substring(md5(t),9,8)) AS BIGINT) AS lo FROM toks), votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id), sig AS (SELECT doc_id, ${chunk(0)} AS c0, ${chunk(1)} AS c1, ${chunk(2)} AS c2, ${chunk(3)} AS c3 FROM votes), banded AS (SELECT doc_id AS id, b, CASE b WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS bucket FROM sig CROSS JOIN range(0, 4) t(b))""" +
+      minhashMd5CandsSql(maxBucket) +
+      s""", verified AS (SELECT id_a, id_b, bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1)) + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) AS hamming FROM cands JOIN sig sa ON sa.doc_id = cands.id_a JOIN sig sb ON sb.doc_id = cands.id_b) SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 3 ORDER BY id_a, id_b"""
+  }
 
   // DuckDB replay of the hyperplane-LSH pipelines. The plane matrix is a
   // seeded LITERAL (LshExpressions.planeMatrix) and dot products fold

@@ -38,7 +38,7 @@ object PlanAudit {
           scope, docs, "doc_id", "text", 0.5, 8, 4, 3, 64))
         case "q_dedup_ngram" => Some(Dedup.minhashNearDupsPlan(
           scope, docs, "doc_id", "text", 0.3, 16, 2, 3, 64))
-        case "q_dedup_simhash" => Some(Dedup.simhashCandidatesPlan(
+        case "q_dedup_simhash" => Some(Dedup.simhashCandidatesMd5Plan(
           scope, docs, "doc_id", "text", 64))
         case "q_dedup_cosine" => Some(Dedup.cosineNearDupsPlan(
           scope, emb, "vec_id", "embedding", 64, 0.4, 4, 8, 256, 42L))

@@ -51,6 +51,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cands.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
   }
 
+  test("simhash md5 mode: driver-replayed bit for bit; exact dups at hamming 0 in both modes") {
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "the quick brown fox leaps over the lazy dog again and again",
+      4L -> "completely different content about spark query engines at scale")
+    val df = texts.toDF("id", "text")
+    // independent driver reference of the whole md5 pipeline: md5 halves,
+    // 64 majority votes (votes > 0 rule), 4x16-bit chunks, chunk-equality
+    // candidates, XOR-popcount hamming
+    def chunksOf(text: String): IndexedSeq[Long] = {
+      val votes = new Array[Int](64)
+      for (t <- text.trim.toLowerCase.split("\\s+")) {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        def half(off: Int): Long =
+          (0 until 4).foldLeft(0L)((a, i) => (a << 8) | (d(off + i) & 0xffL))
+        val hi = half(0); val lo = half(4)
+        for (i <- 0 until 64) {
+          val h = if (i < 32) lo else hi
+          votes(i) += (if (((h >> (i % 32)) & 1L) == 1L) 1 else -1)
+        }
+      }
+      IndexedSeq.tabulate(4)(b =>
+        (0 until 16).map(j => if (votes(b * 16 + j) > 0) 1L << j else 0L).sum)
+    }
+    val cs = texts.toMap.map { case (id, t) => id -> chunksOf(t) }
+    val ids = cs.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if (0 until 4).exists(k => cs(a)(k) == cs(b)(k))
+    } yield (a, b,
+      (0 until 4).map(k => java.lang.Long.bitCount(cs(a)(k) ^ cs(b)(k))).sum))
+      .toSet
+    val got = Dedup.simhashCandidatesMd5(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"md5 simhash drift: engine-only ${got -- expected}, " +
+        s"reference-only ${expected -- got}")
+    assert(got.contains((1L, 2L, 0)), "exact duplicate not at hamming 0")
+    // the invariant both hash modes share: identical texts -> identical
+    // signatures -> a hamming-0 pair (signature VALUES are hash-family-
+    // specific, so only this exact-dup contract is mode-independent)
+    val xx = Dedup.simhashCandidates(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(xx.contains((1L, 2L, 0)), "xxhash mode lost the exact-dup pair")
+  }
+
   test("fingerprint: equal token stream <-> equal fingerprint on test docs") {
     val fps = docs.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
     val nDocs = fps.count()

@@ -38,7 +38,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StringType}
   * Column wrapper coalesces null token arrays (null text) to empty
   * first, so hashEmbed callers still always get a vector.
   */
-case class HashEmbedVector(child: Expression, dim: Int)
+/** The md5 hash the oracle-replayable embedding mode uses: one md5 per
+  * feature, its first/second 4 bytes packed big-endian into the high/low
+  * 32 bits of one long — EXACTLY the two hex halves DuckDB slices with
+  * `substring(md5(t), 1, 8)` / `(t, 9, 8)`, so slot `(h >>> 32) % dim`
+  * and sign `h & 1` replay as plain SQL arithmetic. The digest instance
+  * is thread-local (MessageDigest is stateful and not thread-safe;
+  * per-call getInstance would allocate per feature).
+  */
+object Md5Hash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def hash64(t: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md.get(); d.reset()
+    val out = d.digest(t.getBytes)
+    var hi = 0L; var lo = 0L; var i = 0
+    while (i < 4) {
+      hi = (hi << 8) | (out(i) & 0xffL)
+      lo = (lo << 8) | (out(i + 4) & 0xffL)
+      i += 1
+    }
+    (hi << 32) | lo
+  }
+}
+
+case class HashEmbedVector(child: Expression, dim: Int,
+    md5Mode: Boolean = false)
     extends UnaryExpression {
 
   require(dim > 0, s"dim must be positive, got $dim")
@@ -60,9 +87,15 @@ case class HashEmbedVector(child: Expression, dim: Int)
       if (!arr.isNullAt(i)) {
         val t = arr.getUTF8String(i)
         if (t.numBytes() > 0) {
-          val h1 = XXH64.hashUTF8String(t, 42L)
-          val idx = (((h1 % dim) + dim) % dim).toInt
-          acc(idx) += (if ((XXH64.hashInt(7, h1) & 1L) == 0L) 1.0 else -1.0)
+          if (md5Mode) {
+            val h = Md5Hash.hash64(t)
+            acc(((h >>> 32) % dim).toInt) +=
+              (if ((h & 1L) == 0L) 1.0 else -1.0)
+          } else {
+            val h1 = XXH64.hashUTF8String(t, 42L)
+            val idx = (((h1 % dim) + dim) % dim).toInt
+            acc(idx) += (if ((XXH64.hashInt(7, h1) & 1L) == 0L) 1.0 else -1.0)
+          }
         }
       }
       i += 1
@@ -87,6 +120,15 @@ case class HashEmbedVector(child: Expression, dim: Int)
         ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("acc"),
         ctx.freshName("t"), ctx.freshName("h1"), ctx.freshName("ss"),
         ctx.freshName("nrm"), ctx.freshName("out"))
+      val hashAndAdd =
+        if (md5Mode)
+          s"""long $h1 = graft.functions.Md5Hash.hash64($t);
+             |  $acc[(int) (($h1 >>> 32) % $dim)] +=
+             |    (($h1 & 1L) == 0L) ? 1.0 : -1.0;""".stripMargin
+        else
+          s"""long $h1 = $xxh.hashUTF8String($t, 42L);
+             |  $acc[(int) ((($h1 % $dim) + $dim) % $dim)] +=
+             |    (($xxh.hashInt(7, $h1) & 1L) == 0L) ? 1.0 : -1.0;""".stripMargin
       s"""
          |int $n = $in.numElements();
          |double[] $acc = new double[$dim];
@@ -94,9 +136,7 @@ case class HashEmbedVector(child: Expression, dim: Int)
          |  if ($in.isNullAt($i)) continue;
          |  org.apache.spark.unsafe.types.UTF8String $t = $in.getUTF8String($i);
          |  if ($t.numBytes() == 0) continue;
-         |  long $h1 = $xxh.hashUTF8String($t, 42L);
-         |  $acc[(int) ((($h1 % $dim) + $dim) % $dim)] +=
-         |    (($xxh.hashInt(7, $h1) & 1L) == 0L) ? 1.0 : -1.0;
+         |  $hashAndAdd
          |}
          |double $ss = 0.0;
          |for (int $j = 0; $j < $dim; $j++) { $ss += $acc[$j] * $acc[$j]; }
@@ -125,4 +165,12 @@ object HashEmbedVector {
   def hashEmbed(tokens: Column, dim: Int): Column =
     Bridge.column(HashEmbedVector(
       Bridge.expression(coalesce(tokens, typedLit(Seq.empty[String]))), dim))
+
+  /** md5-mode kernel: same one-pass shape, [[Md5Hash]] slot/sign — the
+    * hash DuckDB replays (see TextAnalysis.hashEmbedMd5).
+    */
+  def hashEmbedMd5(tokens: Column, dim: Int): Column =
+    Bridge.column(HashEmbedVector(
+      Bridge.expression(coalesce(tokens, typedLit(Seq.empty[String]))), dim,
+      md5Mode = true))
 }

@@ -65,16 +65,68 @@ object TextAnalysis {
     * and the spec keeps that true.
     */
   private[graft] def hashEmbedReference(docs: DataFrame, idCol: String,
-      textCol: String, dim: Int = 64, n: Int = 1): DataFrame = {
+      textCol: String, dim: Int = 64, n: Int = 1): DataFrame =
+    hashEmbedRelational(docs, idCol, textCol, dim, n,
+      identity,
+      t => pmod(xxhash64(t), lit(dim)).cast("int"),
+      t => when(pmod(xxhash64(t, lit(7)), lit(2)) === 0, lit(1.0))
+        .otherwise(lit(-1.0)))
+
+  /** [[hashEmbed]] in md5 oracle mode: the slot is the first md5 half mod
+    * `dim`, the sign the parity of the second half — every step (n-grams,
+    * slot sums, L2 normalize, float round-trip) plain SQL, so a DuckDB
+    * oracle can rebuild the vectors and replay whatever LSH/cosine
+    * pipeline consumes them (q_text_embed_neardup). Same zero-shuffle
+    * kernel shape as the xxhash default ([[graft.functions.Md5Hash]]
+    * inside [[graft.functions.HashEmbedVector]]'s md5 mode) — switching
+    * hash family costs no plan structure; the kernel is spec-pinned
+    * byte-for-byte against [[hashEmbedMd5Reference]], exactly as the
+    * xxhash pair is.
+    */
+  def hashEmbedMd5(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64, n: Int = 1): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val featCol =
+      if (n == 1) tokens(lower(col(textCol))) else wordNgrams(col(textCol), n)
+    docs.select(col(idCol),
+      graft.functions.HashEmbedVector.hashEmbedMd5(featCol, dim).as("vec"))
+  }
+
+  /** The relational formulation of [[hashEmbedMd5]] — the independent
+    * reference its kernel is spec-pinned against, byte for byte
+    * (OperatorsSpec), mirroring the [[hashEmbedReference]] pair.
+    */
+  private[graft] def hashEmbedMd5Reference(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int = 64, n: Int = 1): DataFrame =
+    hashEmbedRelational(docs, idCol, textCol, dim, n,
+      t => md5(t.cast("binary")),
+      x => pmod(conv(substring(x, 1, 8), 16, 10)
+        .cast("long"), lit(dim)).cast("int"),
+      x => when(pmod(conv(substring(x, 9, 8), 16, 10)
+        .cast("long"), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
+
+  /** Shared relational body of [[hashEmbedReference]] /
+    * [[hashEmbedMd5Reference]]:
+    * `prep` stages the per-feature hash value under a MULTI-USE alias —
+    * one md5 per feature, its two 32-bit halves sliced off the staged hex
+    * (single-use aliases get CollapseProject-inlined and the hash would
+    * re-run per consumer; the xxhash mode preps `identity` since its two
+    * seeded hashes share nothing) — and `idx`/`sgn` map that staged value
+    * to the slot and ±1 sign (the only places the two modes differ).
+    */
+  private def hashEmbedRelational(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int, n: Int,
+      prep: Column => Column, idx: Column => Column, sgn: Column => Column
+  ): DataFrame = {
     val featCol =
       if (n == 1) tokens(lower(col(textCol))) else wordNgrams(col(textCol), n)
     val contrib = docs
       .select(col(idCol), explode(featCol).as("__tok"))
       .filter(col("__tok") =!= "")
-      .withColumn("__idx", pmod(xxhash64(col("__tok")), lit(dim)).cast("int"))
-      .withColumn("__sgn",
-        when(pmod(xxhash64(col("__tok"), lit(7)), lit(2)) === 0, lit(1.0))
-          .otherwise(lit(-1.0)))
+      .select(col(idCol), prep(col("__tok")).as("__hx"))
+      .withColumn("__idx", idx(col("__hx")))
+      .withColumn("__sgn", sgn(col("__hx")))
       .groupBy(col(idCol), col("__idx"))
       .agg(sum(col("__sgn")).as("__v"))
     val assembled = contrib

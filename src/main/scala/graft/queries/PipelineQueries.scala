@@ -311,9 +311,13 @@ object PipelineQueries {
       Some(curationOracle)),
 
     // model-free text->vector->LSH pipeline: signed feature-hashing
-    // embeddings feed the hyperplane-LSH near-dup stack end-to-end
-    // (rows-only: xxhash64-derived vectors are not DuckDB-replayable;
-    // OperatorsSpec pins norm/determinism/cosine contracts)
+    // embeddings feed the hyperplane-LSH near-dup stack end-to-end.
+    // md5 oracle mode: DuckDB rebuilds the embedding vectors (n-grams,
+    // md5 slot/sign, slot sums, normalize, float round-trip) and replays
+    // the seeded-literal plane banding + exact-cosine verify, so the
+    // whole text->vector->LSH composite is hash-checked; the zero-shuffle
+    // xxhash kernel (TextAnalysis.hashEmbed) stays the production
+    // default, with the mode-shared contracts spec-pinned.
     QueryDef("q_text_embed_neardup",
       (s, dir) => {
         // bigram features: this corpus has a ~31-token vocabulary, so
@@ -324,13 +328,15 @@ object PipelineQueries {
         // set) before the LSH pipeline fans out into its self-join
         // branches — concurrent cache-fill races would otherwise
         // recompute the two-shuffle embedding per branch
-        val emb = Dedup.stage(graft.operators.TextAnalysis.hashEmbed(
+        val emb = Dedup.stage(graft.operators.TextAnalysis.hashEmbedMd5(
           Tables.documents(s, dir), "doc_id", "text", dim = 256, n = 2))
         Dedup.cosineNearDups(emb, "doc_id", "vec", dim = 256,
           threshold = 0.6)
+          .select(col("id_a"), col("id_b"),
+            round(col("cosine"), 6).as("cosine_r"))
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(embedNearDupOracleSql(dim = 256, n = 2, threshold = 0.6))),
 
     // CCNet-style LM quality filter: bigram/unigram counts trained on the
     // corpus itself, every doc scored by mean smoothed bigram NLL. The
@@ -1458,8 +1464,28 @@ object PipelineQueries {
       }.mkString("(VALUES ", ", ", ")")
 
   private def hyperplaneBitsSql(dim: Int, planesPerTable: Int, tables: Int,
-      seed: Long): String =
-    s"""planes(t, w, v) AS ${planesValuesSql(dim, planesPerTable, tables, seed)}, e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), bits AS (SELECT vec_id, t, SUM(CASE WHEN list_inner_product(p.v, e.ev) > 0 THEN p.w ELSE 0 END) AS code FROM e CROSS JOIN planes p GROUP BY vec_id, t)"""
+      seed: Long,
+      eSrc: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings"
+  ): String =
+    s"""planes(t, w, v) AS ${planesValuesSql(dim, planesPerTable, tables, seed)}, e AS ($eSrc), bits AS (SELECT vec_id, t, SUM(CASE WHEN list_inner_product(p.v, e.ev) > 0 THEN p.w ELSE 0 END) AS code FROM e CROSS JOIN planes p GROUP BY vec_id, t)"""
+
+  /** DuckDB replay of the md5-mode feature-hashing embedding
+    * (TextAnalysis.hashEmbedMd5) feeding the hyperplane-LSH near-dup
+    * pipeline (q_text_embed_neardup): word n-grams, md5 slot/sign, per-
+    * slot sums, L2 normalize, the float round-trip Spark's
+    * `array<float>` vec column implies, then the standard seeded-literal
+    * plane banding + bounded pairs + exact-cosine verify. Vector sums are
+    * ±1 integers (exact in doubles, order-free); the norm/cosine folds are
+    * ascending in both engines (the q_sim_topk contract).
+    */
+  private def embedNearDupOracleSql(dim: Int, n: Int, threshold: Double,
+      planesPerTable: Int = 4, tables: Int = 8, maxBucket: Int = 256,
+      seed: Long = 42L): String = {
+    val vecCtes =
+      raw"""tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents), grams AS (SELECT doc_id, UNNEST(CASE WHEN len(tk) < $n THEN CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(tk) - ${n - 2}), i -> array_to_string(tk[i:i+${n - 1}], ' ')) END) AS g FROM tk), hx AS (SELECT doc_id, md5(g) AS x FROM grams WHERE g <> ''), contrib AS (SELECT doc_id, CAST(('0x' || substring(x,1,8)) AS BIGINT) % $dim AS idx, CASE WHEN CAST(('0x' || substring(x,9,8)) AS BIGINT) % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn FROM hx), slot AS (SELECT doc_id, idx, SUM(sgn) AS v FROM contrib GROUP BY doc_id, idx), rawv AS (SELECT d.doc_id, list(COALESCE(s.v, CAST(0 AS DOUBLE)) ORDER BY i.i) AS raw FROM (SELECT doc_id FROM documents) d CROSS JOIN range(0, $dim) i(i) LEFT JOIN slot s ON s.doc_id = d.doc_id AND s.idx = i.i GROUP BY d.doc_id), normv AS (SELECT doc_id, raw, sqrt(list_inner_product(raw, raw)) AS nrm FROM rawv), ev0 AS (SELECT doc_id, list_transform(raw, x -> CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE) ELSE x / nrm END) AS vd FROM normv)"""
+    val eSrc = "SELECT doc_id AS vec_id, CAST(CAST(vd AS FLOAT[]) AS DOUBLE[]) AS ev FROM ev0"
+    s"""WITH $vecCtes, ${hyperplaneBitsSql(dim, planesPerTable, tables, seed, eSrc)}, stats AS (SELECT vec_id AS id, t, code, COUNT(*) OVER (PARTITION BY t, code) AS n, MIN(vec_id) OVER (PARTITION BY t, code) AS minid FROM bits), cands AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM stats x JOIN stats y USING (t, code) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM stats WHERE n > $maxBucket AND id <> minid)), verified AS (SELECT id_a, id_b, list_inner_product(ea.ev, eb.ev) / (sqrt(list_inner_product(ea.ev, ea.ev)) * sqrt(list_inner_product(eb.ev, eb.ev))) AS cosine FROM cands JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b) SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM verified WHERE cosine >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b"""
+  }
 
   private def cosineNearDupsOracleSql(dim: Int, threshold: Double,
       planesPerTable: Int = 4, tables: Int = 8, maxBucket: Int = 256,

@@ -1103,6 +1103,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("hashEmbedMd5: driver-replayed bit for bit; mode-shared contracts") {
+    // the oracle-checked q_text_embed_neardup builds its vectors in md5
+    // mode; this replays the whole vector construction driver-side (md5
+    // slot/sign, ±1 slot sums, ascending-fold norm, float round) and pins
+    // the contracts both hash modes share
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "alpha beta gamma delta epsilon zeta eta iota",
+      5L -> "")
+    val in = texts.toDF("doc_id", "text")
+    val dim = 32
+    for (n <- Seq(1, 2)) {
+      val got = TextAnalysis.hashEmbedMd5(in, "doc_id", "text", dim, n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+      def feats(t: String): Seq[String] = {
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq
+        if (n == 1) toks.filter(_.nonEmpty)
+        else if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      }
+      def vecOf(t: String): Vector[Float] = {
+        val raw = new Array[Double](dim)
+        for (f <- feats(t)) {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(f.getBytes("UTF-8"))
+          def half(off: Int): Long =
+            (0 until 4).foldLeft(0L)((a, i) => (a << 8) | (d(off + i) & 0xffL))
+          raw((half(0) % dim).toInt) += (if (half(4) % 2 == 0) 1.0 else -1.0)
+        }
+        val nrm = math.sqrt(raw.foldLeft(0.0)((a, x) => a + x * x))
+        raw.map(x => (if (nrm == 0.0) 0.0 else x / nrm).toFloat).toVector
+      }
+      for ((id, t) <- texts)
+        assert(got(id) == vecOf(t), s"md5 vector drift: n=$n doc $id")
+      assert(got(1L) == got(2L), "identical texts must embed identically")
+      assert(got(5L).forall(_ == 0.0f), "empty doc should embed to zero")
+    }
+  }
+
   test("hashEmbed kernel == relational reference, byte for byte") {
     // the one-pass HashEmbedVector kernel replaced the explode + two-
     // shuffle formulation; the contract is BIT-identical output (integral
@@ -1116,16 +1156,21 @@ class OperatorsSpec extends AnyFunSuite {
       (9004L, "dup dup dup dup"), (9005L, "Mixed CASE mixed case"))
       .toDF("doc_id", "text")
     val in = real.unionByName(edges)
-    for (n <- Seq(1, 2)) {
-      val got = TextAnalysis.hashEmbed(in, "doc_id", "text", dim = 64, n = n)
+    // both hash modes ride the same kernel/reference contract
+    val pairs = Seq[(String, (org.apache.spark.sql.DataFrame, String, String, Int, Int) => org.apache.spark.sql.DataFrame, (org.apache.spark.sql.DataFrame, String, String, Int, Int) => org.apache.spark.sql.DataFrame)](
+      ("xxh64", TextAnalysis.hashEmbed(_, _, _, _, _),
+        TextAnalysis.hashEmbedReference(_, _, _, _, _)),
+      ("md5", TextAnalysis.hashEmbedMd5(_, _, _, _, _),
+        TextAnalysis.hashEmbedMd5Reference(_, _, _, _, _)))
+    for ((mode, kernel, reference) <- pairs; n <- Seq(1, 2)) {
+      val got = kernel(in, "doc_id", "text", 64, n)
         .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
-      val ref = TextAnalysis.hashEmbedReference(in, "doc_id", "text",
-          dim = 64, n = n)
+      val ref = reference(in, "doc_id", "text", 64, n)
         .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
-      assert(got.keySet == ref.keySet, s"n=$n id sets differ")
+      assert(got.keySet == ref.keySet, s"$mode n=$n id sets differ")
       val bad = got.keys.filter(id => got(id) != ref(id))
       assert(bad.isEmpty,
-        s"n=$n kernel diverges from reference for docs ${bad.take(5).toList}")
+        s"$mode n=$n kernel diverges from reference for docs ${bad.take(5).toList}")
     }
   }
 

@@ -917,19 +917,22 @@ object Dedup {
   def semanticNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, threshold: Double = 0.85, maxCell: Int = 4096,
-      iters: Int = 5, maxSample: Int = 2000
+      iters: Int = 5, maxSample: Int = 2000,
+      sampleOrderCol: Option[String] = None
   ): DataFrame = {
     val scope = new CacheScope
     scope.sealResult(semanticNearDupsPlan(scope, df, idCol, vecCol, k,
-      threshold, maxCell, iters, maxSample))
+      threshold, maxCell, iters, maxSample, sampleOrderCol))
   }
 
   private[graft] def semanticNearDupsPlan(
       scope: CacheScope,
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, threshold: Double, maxCell: Int, iters: Int, maxSample: Int
+      k: Int, threshold: Double, maxCell: Int, iters: Int, maxSample: Int,
+      sampleOrderCol: Option[String] = None
   ): DataFrame = {
-    val centroids = Similarity.trainCentroids(df, vecCol, k, iters, maxSample)
+    val centroids = Similarity.trainCentroids(df, vecCol, k, iters, maxSample,
+      sampleOrderCol)
     // cell + cell stats in one keyed-window pass, persisted: the frame
     // feeds both self-join sides and the star-pair branch. The self-join
     // CARRIES the vectors through its one cell-keyed shuffle and scores
@@ -975,10 +978,11 @@ object Dedup {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, threshold: Double = 0.85, maxCell: Int = 4096,
-      iters: Int = 5, maxSample: Int = 2000
+      iters: Int = 5, maxSample: Int = 2000,
+      sampleOrderCol: Option[String] = None
   ): DataFrame = {
     val drops = semanticNearDups(df, idCol, vecCol, k, threshold, maxCell,
-      iters, maxSample)
+      iters, maxSample, sampleOrderCol)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
   }

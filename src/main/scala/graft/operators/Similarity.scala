@@ -260,13 +260,21 @@ object Similarity {
     * arithmetic on k x dim doubles (model-sized, never data-sized).
     */
   def trainCentroids(df: DataFrame, vecCol: String, k: Int,
-      iters: Int = 5, maxSample: Int = 2000): Seq[(Int, Seq[Double])] = {
+      iters: Int = 5, maxSample: Int = 2000,
+      sampleOrderCol: Option[String] = None): Seq[(Int, Seq[Double])] = {
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
+    // `sampleOrderCol` swaps the content-hash sample order for an explicit
+    // column (the oracle-replayable mode: an id-ordered sample — and hence
+    // every init/fold order downstream — is plain ORDER BY/LIMIT SQL,
+    // where the xxhash64 content key is not). The content-hash default
+    // stays the production posture: it is independent of id assignment
+    // and stable under re-ingestion.
     val sample: Array[Array[Double]] = df
-      .select(col(vecCol), xxhash64(col(vecCol)).as("__h"))
+      .select(col(vecCol),
+        sampleOrderCol.fold(xxhash64(col(vecCol)))(c => col(c)).as("__h"))
       .orderBy(col("__h"))
       .limit(maxSample)
       .collect()

@@ -1232,16 +1232,22 @@ object PipelineQueries {
     // SemDeDup-style semantic dedup: spherical-kmeans cells, exact cosine
     // within each cell only; docs with an above-threshold smaller-id
     // neighbor in their cell are dropped (within-cell equivalence to the
-    // brute-force rule and cache hygiene are spec-verified; rows-only)
+    // brute-force rule and cache hygiene are spec-verified). Oracle-
+    // checked: in id-ordered sample mode the whole trained model —
+    // farthest-point init, Lloyd rounds, cell assignment — replays as
+    // unrolled deterministic SQL (kmeansCtes), then DuckDB recomputes the
+    // within-cell pairs and the survivor count; the content-hash sample
+    // order stays the production default.
     QueryDef("q_semdedup",
       (s, dir) => {
         val kept = Dedup.semanticDedup(Tables.embeddings(s, dir),
-          "vec_id", "embedding", k = 16, threshold = 0.4)
+          "vec_id", "embedding", k = 16, threshold = 0.4,
+          sampleOrderCol = Some("vec_id"))
         kept.agg(count(lit(1)).as("n_kept")).crossJoin(
           Tables.embeddings(s, dir).agg(count(lit(1)).as("n_total")))
           .select(col("n_total"), col("n_kept"))
       },
-      None),
+      Some(semdedupOracleSql(k = 16, threshold = 0.4))),
 
     // brute-force cosine top-k similarity search. Oracle-replayable: both
     // engines compute the dot as an ascending-index sequential double fold
@@ -1278,18 +1284,21 @@ object PipelineQueries {
     // IVF-pruned kNN join: queries probe their nprobe nearest cells only;
     // corpus rows meet only the queries probing their cell (recall law
     // spec-verified vs the exact join).
+    // Oracle-checked via the kmeansCtes model replay: per-query probes
+    // (reverse(array_sort) tie order) + the q_knn_join ranking contract
     QueryDef("q_knn_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"))
-        val centroids = Similarity.trainCentroids(emb, "embedding", k = 16)
+        val centroids = Similarity.trainCentroids(emb, "embedding", k = 16,
+          sampleOrderCol = Some("vec_id"))
         Similarity.knnJoinIvf(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
             emb, "vec_id", "embedding", centroids, k = 5, nprobe = 4)
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("score"), 6).as("score_r"))
           .orderBy("vec_id", "rank")
       },
-      None),
+      Some(knnIvfOracleSql(k = 16, nprobe = 4, topk = 5))),
 
     // LSH-bucketed approximate top-k (random-hyperplane tables, exact
     // cosine re-rank of bucket-matching candidates; recall law is
@@ -1324,15 +1333,18 @@ object PipelineQueries {
 
     // IVF (cell-pruned) approximate top-k over TRAINED centroids
     // (deterministic spherical k-means on a bounded sample)
+    // Oracle-checked via the kmeansCtes model replay: driver-side probe
+    // order (stable sortBy, ties to first cid) + exact cosine in cells
     QueryDef("q_sim_ivf",
       (s, dir) => {
         val cents = Similarity.trainCentroids(
-          Tables.embeddings(s, dir), "embedding", k = 8)
+          Tables.embeddings(s, dir), "embedding", k = 8,
+          sampleOrderCol = Some("vec_id"))
         Similarity.topKIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
           cents, fixedQueryVector, k = 10, nprobe = 4)
           .select(col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
       },
-      None)
+      Some(simIvfOracleSql(k = 8, nprobe = 4, topk = 10)))
   )
 
   /** Fixed deterministic query vector for similarity search (unit-ish,
@@ -1424,6 +1436,86 @@ object PipelineQueries {
     "WITH " + minhashMd5BandedSql(bands, rows) +
       s""", newb AS (SELECT * FROM banded WHERE id % 10 = 0), oldb AS (SELECT * FROM banded WHERE id % 10 <> 0), nstats AS (SELECT id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n, MIN(id) OVER (PARTITION BY b, bucket) AS minid FROM newb), within AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM nstats x JOIN nstats y USING (b, bucket) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM nstats WHERE n > $maxBucket AND id <> minid)), crossc AS (SELECT DISTINCT n.id AS id_a, o.id AS id_b FROM newb n JOIN oldb o USING (b, bucket)), crosscap AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a ORDER BY id_b) AS rn FROM crossc) WHERE rn <= ${bands * maxBucket}), cands AS (SELECT * FROM within UNION ALL SELECT * FROM crosscap)""" +
       minhashMd5VerifyTail(threshold)
+
+  // ------------------------------------------------------------------
+  // DuckDB replay of Similarity.trainCentroids (id-ordered sample mode)
+  // and the IVF/SemDeDup pipelines consuming it. The training is
+  // deterministic arithmetic with NO hashing once the sample order is a
+  // plain column (sampleOrderCol = vec_id), so the whole model fits in
+  // unrolled SQL: farthest-point init as k chained (argmin, running-max
+  // update) CTE pairs, Lloyd as `iters` chained (argmax-assign,
+  // order-exact component fold, renormalize) rounds. Bit-exactness
+  // hinges on replaying the ENGINE's exact float semantics:
+  //  - every dot/norm is an ascending-index double fold
+  //    (list_inner_product == the driver's serial loops);
+  //  - Lloyd's component sums accumulate in SAMPLE (= id) order —
+  //    list(x ORDER BY id) folded via list_reduce, never SUM();
+  //  - Lloyd's argmax breaks ties on the FIRST centroid (strict > in the
+  //    driver loop) -> ORDER BY dot DESC, c ASC, while the
+  //    NearestCentroid kernel's corpus assignment keeps the LAST (>=)
+  //    -> ORDER BY dot DESC, c DESC;
+  //  - NearestCentroid RE-normalizes centroids internally as
+  //    x * (1/sqrt(n2)) — multiplied by the reciprocal, which is not the
+  //    same double as x / sqrt(n2) — so `cnorm` replays that exact form,
+  //    while training's normalize() divides (x / n) and `sv`/`cents_t`
+  //    replay the division.
+  // The chain defines: cents(c, v) — the trained model; cnorm — the
+  // kernel's assignment-normalized copy; cell(vec_id, ev, cell) — the
+  // corpus with its assigned cell.
+  //
+  // Every chain CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and
+  // each init step references its predecessor twice (argmin + running-max
+  // update), so un-materialized the k-step chain expands to 2^k copies of
+  // the sample scan — the first run died on file handles before any
+  // wrong answer could even appear.
+  private def kmeansCtes(k: Int, iters: Int = 5, dim: Int = 64,
+      maxSample: Int = 2000): String = {
+    val b = new StringBuilder
+    b ++= s"samp AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings ORDER BY vec_id LIMIT $maxSample), "
+    b ++= "sv AS MATERIALIZED (SELECT id, list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v FROM samp WHERE list_inner_product(v0, v0) <> 0), "
+    b ++= "c1 AS MATERIALIZED (SELECT v FROM sv ORDER BY id LIMIT 1), "
+    b ++= "m1 AS MATERIALIZED (SELECT s.id, s.v, list_inner_product(s.v, c.v) AS ms FROM sv s CROSS JOIN c1 c), "
+    for (j <- 2 to k) {
+      b ++= s"c$j AS MATERIALIZED (SELECT v FROM m${j - 1} ORDER BY ms ASC, id ASC LIMIT 1), "
+      if (j < k)
+        b ++= s"m$j AS MATERIALIZED (SELECT m.id, m.v, GREATEST(m.ms, list_inner_product(m.v, c.v)) AS ms FROM m${j - 1} m CROSS JOIN c$j c), "
+    }
+    b ++= (1 to k).map(j => s"SELECT ${j - 1} AS c, v FROM c$j")
+      .mkString("cents_0 AS MATERIALIZED (", " UNION ALL ", "), ")
+    for (t <- 1 to iters) {
+      b ++= s"asg$t AS MATERIALIZED (SELECT id, v, c FROM (SELECT s.id, s.v, ct.c, row_number() OVER (PARTITION BY s.id ORDER BY list_inner_product(s.v, ct.v) DESC, ct.c ASC) AS rn FROM sv s CROSS JOIN cents_${t - 1} ct) WHERE rn = 1), "
+      b ++= s"comp$t AS MATERIALIZED (SELECT c, i, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY id)), (a, b) -> a + b) AS sm FROM (SELECT id, c, UNNEST(v) AS x, UNNEST(range(0, $dim)) AS i FROM asg$t) GROUP BY c, i), "
+      b ++= s"sum$t AS MATERIALIZED (SELECT c, list(sm ORDER BY i) AS s2 FROM comp$t GROUP BY c), "
+      b ++= s"cents_$t AS MATERIALIZED (SELECT p.c, CASE WHEN s.s2 IS NULL THEN p.v WHEN list_inner_product(s.s2, s.s2) = 0 THEN s.s2 ELSE list_transform(s.s2, x -> x / sqrt(list_inner_product(s.s2, s.s2))) END AS v FROM cents_${t - 1} p LEFT JOIN sum$t s ON s.c = p.c), "
+    }
+    b ++= s"cents AS MATERIALIZED (SELECT c, v FROM cents_$iters), "
+    b ++= "cnorm AS MATERIALIZED (SELECT c, CASE WHEN list_inner_product(v, v) = 0 THEN list_transform(v, x -> x * CAST(0 AS DOUBLE)) ELSE list_transform(v, x -> x * (CAST(1 AS DOUBLE) / sqrt(list_inner_product(v, v)))) END AS v FROM cents), "
+    b ++= "ecorp AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), "
+    b ++= "cell AS MATERIALIZED (SELECT vec_id, ev, c AS cell FROM (SELECT e.vec_id, e.ev, cc.c, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_inner_product(cc.v, e.ev) DESC, cc.c DESC) AS rn FROM ecorp e CROSS JOIN cnorm cc) WHERE rn = 1)"
+    b.toString
+  }
+
+  /** q_sim_ivf replay: probe the `nprobe` cells nearest the fixed query
+    * (driver cosSim order, ties to the FIRST cid — stable sortBy), exact
+    * cosine top-k within probed cells only.
+    */
+  private def simIvfOracleSql(k: Int, nprobe: Int, topk: Int): String =
+    s"""WITH ${kmeansCtes(k)}, probe AS (SELECT c FROM (SELECT c, list_inner_product(v, $queryVecSql) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS sim FROM cents) ORDER BY sim DESC, c ASC LIMIT $nprobe) SELECT vec_id, round(cosine, 6) AS cosine_r FROM (SELECT l.vec_id, list_inner_product(l.ev, $queryVecSql) / (sqrt(list_inner_product(l.ev, l.ev)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS cosine FROM cell l JOIN probe p ON l.cell = p.c) ORDER BY cosine DESC, vec_id ASC LIMIT $topk"""
+
+  /** q_knn_ivf replay: per-query probes (reverse(array_sort) semantics —
+    * ties to the LAST cid), then the q_knn_join ranking contract (score
+    * DESC, ties to lowest id, NULL/NaN skipped) within probed cells.
+    */
+  private def knnIvfOracleSql(k: Int, nprobe: Int, topk: Int): String =
+    s"""WITH ${kmeansCtes(k)}, q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20), qprobe AS (SELECT qid, qv, c AS cell FROM (SELECT q.qid, q.qv, ct.c, row_number() OVER (PARTITION BY q.qid ORDER BY list_inner_product(q.qv, ct.v) / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(ct.v, ct.v))) DESC, ct.c DESC) AS rn FROM q CROSS JOIN cents ct) WHERE rn <= $nprobe), sc AS (SELECT p.qid, l.vec_id AS cid2, list_inner_product(l.ev, p.qv) / (sqrt(list_inner_product(l.ev, l.ev)) * sqrt(list_inner_product(p.qv, p.qv))) AS sim FROM cell l JOIN qprobe p ON l.cell = p.cell), ranked AS (SELECT qid, cid2, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid2 ASC) AS rnk FROM sc WHERE sim IS NOT NULL AND NOT isnan(sim)) SELECT qid AS vec_id, rnk AS rank, cid2 AS neighbor_id, round(sim, 6) AS score_r FROM ranked WHERE rnk <= $topk ORDER BY vec_id, rank"""
+
+  /** q_semdedup replay: within-cell exact-cosine pairs (over-cap cells
+    * degrade to min-id star pairs, as in the engine), drop every id with
+    * an above-threshold smaller-id neighbor, count survivors.
+    */
+  private def semdedupOracleSql(k: Int, threshold: Double,
+      maxCell: Int = 4096): String =
+    s"""WITH ${kmeansCtes(k)}, cst AS MATERIALIZED (SELECT vec_id, ev, cell, COUNT(*) OVER (PARTITION BY cell) AS n, MIN(vec_id) OVER (PARTITION BY cell) AS minid FROM cell), pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib, list_inner_product(a.ev, b.ev) / (sqrt(list_inner_product(a.ev, a.ev)) * sqrt(list_inner_product(b.ev, b.ev))) AS cosine FROM cst a JOIN cst b ON a.cell = b.cell AND a.vec_id < b.vec_id WHERE a.n <= $maxCell UNION ALL SELECT s.minid, s.vec_id, list_inner_product(mv.ev, s.ev) / (sqrt(list_inner_product(mv.ev, mv.ev)) * sqrt(list_inner_product(s.ev, s.ev))) FROM cst s JOIN cell mv ON mv.vec_id = s.minid WHERE s.n > $maxCell AND s.vec_id <> s.minid), dr AS (SELECT DISTINCT ib FROM pr WHERE cosine >= CAST($threshold AS DOUBLE)) SELECT (SELECT COUNT(*) FROM embeddings) AS n_total, (SELECT COUNT(*) FROM embeddings) - (SELECT COUNT(*) FROM dr) AS n_kept"""
 
   // DuckDB replay of the md5-mode SimHash pipeline
   // (Dedup.simhashCandidatesMd5), step for step: whitespace tokens of

@@ -383,9 +383,13 @@ object Similarity {
     * vectors ([[normalized]]) so L2 and cosine order agree.
     */
   def trainPq(df: DataFrame, vecCol: String, m: Int = 8, ksub: Int = 16,
-      iters: Int = 5, maxSample: Int = 2000): Seq[Seq[Seq[Double]]] = {
+      iters: Int = 5, maxSample: Int = 2000,
+      sampleOrderCol: Option[String] = None): Seq[Seq[Seq[Double]]] = {
+    // same sample-order switch as [[trainCentroids]] (oracle-replayable
+    // id order vs the content-hash production default)
     val sample: Array[Array[Double]] = df
-      .select(col(vecCol), xxhash64(col(vecCol)).as("__h"))
+      .select(col(vecCol),
+        sampleOrderCol.fold(xxhash64(col(vecCol)))(c => col(c)).as("__h"))
       .orderBy(col("__h"))
       .limit(maxSample)
       .collect()

@@ -1317,11 +1317,14 @@ object PipelineQueries {
     // subspace codebooks -> m-byte codes -> ADC lookup-table scan with
     // exact cosine re-rank of the small candidate set (rows-only;
     // recall/identity laws are spec-verified in OperatorsSpec)
+    // Oracle-checked via the pqOracleSql model replay: per-subspace L2
+    // codebooks, PqEncode assignment, ADC window, exact-cosine re-rank
     QueryDef("q_sim_pq",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), Similarity.normalized(col("embedding")).as("vn"))
-        val cb = Similarity.trainPq(emb, "vn", m = 8, ksub = 16)
+        val cb = Similarity.trainPq(emb, "vn", m = 8, ksub = 16,
+          sampleOrderCol = Some("vec_id"))
         val nq = math.sqrt(fixedQueryVector.map(x => x * x).sum)
         val q = fixedQueryVector.map(_ / nq)
         Similarity.topKPq(Similarity.pqEncode(emb, "vn", cb), "vec_id", "vn",
@@ -1329,7 +1332,8 @@ object PipelineQueries {
           .select(col("vec_id"),
             (floor(col("cosine") * 1e6d + 0.5d) / 1e6d).as("cosine_r"))
       },
-      None),
+      Some(pqOracleSql(m = 8, ksub = 16, iters = 5, dim = 64,
+        maxSample = 2000, topk = 10, rerank = 8))),
 
     // IVF (cell-pruned) approximate top-k over TRAINED centroids
     // (deterministic spherical k-means on a bounded sample)
@@ -1492,6 +1496,65 @@ object PipelineQueries {
     b ++= "cnorm AS MATERIALIZED (SELECT c, CASE WHEN list_inner_product(v, v) = 0 THEN list_transform(v, x -> x * CAST(0 AS DOUBLE)) ELSE list_transform(v, x -> x * (CAST(1 AS DOUBLE) / sqrt(list_inner_product(v, v)))) END AS v FROM cents), "
     b ++= "ecorp AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), "
     b ++= "cell AS MATERIALIZED (SELECT vec_id, ev, c AS cell FROM (SELECT e.vec_id, e.ev, cc.c, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_inner_product(cc.v, e.ev) DESC, cc.c DESC) AS rn FROM ecorp e CROSS JOIN cnorm cc) WHERE rn = 1)"
+    b.toString
+  }
+
+  /** q_sim_pq replay: per-subspace L2 k-means codebooks (kmeansL2 —
+    * farthest-point max-min-distance init, Lloyd MEAN updates, no
+    * normalization), PqEncode's first-min codeword assignment, the ADC
+    * fold in subspace order, the k*rerank candidate window, and the
+    * exact-cosine re-rank with the engine's floor-based rounding. Same
+    * bit-exactness rules as [[kmeansCtes]] (ascending folds, id-order
+    * component sums, AS MATERIALIZED against exponential CTE inlining);
+    * L2 distances replay as list_inner_product(diff, diff) — the same
+    * ascending (a-b)^2 fold as every driver/kernel loop. Assumes every
+    * subspace has >= ksub distinct subvectors (kmeansL2's kEff clamp —
+    * holds for any non-degenerate corpus; a regen violating it fails the
+    * compare loudly).
+    */
+  private def pqOracleSql(m: Int, ksub: Int, iters: Int, dim: Int,
+      maxSample: Int, topk: Int, rerank: Int): String = {
+    val dsub = dim / m
+    def d2(a: String, b: String): String = {
+      val dd = s"list_transform(list_zip($a, $b), z -> z[1] - z[2])"
+      s"list_inner_product($dd, $dd)"
+    }
+    val b = new StringBuilder
+    b ++= "WITH "
+    b ++= s"qn AS MATERIALIZED (SELECT list_transform($queryVecSql, x -> x / sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS q), "
+    b ++= "ev0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), "
+    b ++= "vn AS MATERIALIZED (SELECT vec_id, CASE WHEN list_inner_product(ev, ev) = 0 THEN list_transform(ev, x -> CAST(0 AS DOUBLE)) ELSE list_transform(ev, x -> x / sqrt(list_inner_product(ev, ev))) END AS v FROM ev0), "
+    b ++= s"samp AS MATERIALIZED (SELECT vec_id AS id, v FROM vn ORDER BY vec_id LIMIT $maxSample), "
+    for (s <- 0 until m) {
+      val p = s"p$s"
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      b ++= s"${p}pts AS MATERIALIZED (SELECT id, v[$lo:$hi] AS v FROM samp), "
+      b ++= s"${p}c1 AS MATERIALIZED (SELECT v FROM ${p}pts ORDER BY id LIMIT 1), "
+      b ++= s"${p}m1 AS MATERIALIZED (SELECT p.id, p.v, ${d2("p.v", "c.v")} AS ms FROM ${p}pts p CROSS JOIN ${p}c1 c), "
+      for (j <- 2 to ksub) {
+        b ++= s"${p}c$j AS MATERIALIZED (SELECT v FROM ${p}m${j - 1} ORDER BY ms DESC, id ASC LIMIT 1), "
+        if (j < ksub)
+          b ++= s"${p}m$j AS MATERIALIZED (SELECT m.id, m.v, LEAST(m.ms, ${d2("m.v", "c.v")}) AS ms FROM ${p}m${j - 1} m CROSS JOIN ${p}c$j c), "
+      }
+      b ++= (1 to ksub).map(j => s"SELECT ${j - 1} AS c, v FROM ${p}c$j")
+        .mkString(s"${p}cb_0 AS MATERIALIZED (", " UNION ALL ", "), ")
+      for (t <- 1 to iters) {
+        b ++= s"${p}asg$t AS MATERIALIZED (SELECT id, v, c FROM (SELECT p.id, p.v, ct.c, row_number() OVER (PARTITION BY p.id ORDER BY ${d2("p.v", "ct.v")} ASC, ct.c ASC) AS rn FROM ${p}pts p CROSS JOIN ${p}cb_${t - 1} ct) WHERE rn = 1), "
+        b ++= s"${p}comp$t AS MATERIALIZED (SELECT c, i, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY id)), (a, b) -> a + b) AS sm, COUNT(*) AS n FROM (SELECT id, c, UNNEST(v) AS x, UNNEST(range(0, $dsub)) AS i FROM ${p}asg$t) GROUP BY c, i), "
+        b ++= s"${p}sum$t AS MATERIALIZED (SELECT c, list(sm / n ORDER BY i) AS s2 FROM ${p}comp$t GROUP BY c), "
+        b ++= s"${p}cb_$t AS MATERIALIZED (SELECT p.c, COALESCE(s.s2, p.v) AS v FROM ${p}cb_${t - 1} p LEFT JOIN ${p}sum$t s ON s.c = p.c), "
+      }
+    }
+    b ++= (0 until m).map(s => s"SELECT $s AS s, c, v FROM p${s}cb_$iters")
+      .mkString("cb AS MATERIALIZED (", " UNION ALL ", "), ")
+    // PqEncode: per (row, subspace) the first-min codeword; carry its
+    // vector for the ADC term
+    b ++= s"enc AS MATERIALIZED (SELECT vec_id, s, cwv FROM (SELECT n.vec_id, cb.s, cb.v AS cwv, row_number() OVER (PARTITION BY n.vec_id, cb.s ORDER BY ${d2(s"n.v[(cb.s*$dsub+1):((cb.s+1)*$dsub)]", "cb.v")} ASC, cb.c ASC) AS rn FROM vn n CROSS JOIN cb) WHERE rn = 1), "
+    b ++= s"adcterm AS MATERIALIZED (SELECT e.vec_id, e.s, ${d2("e.cwv", s"q.q[(e.s*$dsub+1):((e.s+1)*$dsub)]")} AS lv FROM enc e CROSS JOIN qn q), "
+    b ++= "adc AS MATERIALIZED (SELECT vec_id, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lv ORDER BY s)), (a, b) -> a + b) AS adc FROM adcterm GROUP BY vec_id), "
+    b ++= s"cand AS MATERIALIZED (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT ${topk * rerank}), "
+    b ++= "scored AS (SELECT n.vec_id, list_inner_product(n.v, q.q) / (sqrt(list_inner_product(n.v, n.v)) * sqrt(list_inner_product(q.q, q.q))) AS cosine FROM vn n JOIN cand USING (vec_id) CROSS JOIN qn q) "
+    b ++= s"SELECT vec_id, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine_r FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT $topk"
     b.toString
   }
 

@@ -170,6 +170,8 @@ class PlanQualitySpec extends AnyFunSuite {
           "doc_id", "text", 0.3, 16, 2, 3, 64),
         "simhash" -> graft.operators.Dedup.simhashCandidatesPlan(scope, docs,
           "doc_id", "text", 64),
+        "simhashMd5" -> graft.operators.Dedup.simhashCandidatesMd5Plan(scope,
+          docs, "doc_id", "text", 64),
         "cosine" -> graft.operators.Dedup.cosineNearDupsPlan(scope, emb,
           "vec_id", "embedding", 64, 0.4, 4, 8, 256, 42L))
       plans.foreach { case (n, df) =>
@@ -178,6 +180,13 @@ class PlanQualitySpec extends AnyFunSuite {
         assert(!plan.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
         assert(!plan.contains("Exchange SinglePartition"),
           s"$n funnels through a single partition")
+        // the md5 simhash mode's 64-vote aggregate must stay two-phase
+        // (map-side partial sums before the doc-keyed exchange): a
+        // refactor into per-row higher-order folds or a single-phase agg
+        // would ship every exploded token across the shuffle
+        if (n == "simhashMd5")
+          assert("HashAggregate".r.findAllIn(plan).size >= 2,
+            s"$n lost its partial aggregation")
       }
     } finally scope.release()
   }

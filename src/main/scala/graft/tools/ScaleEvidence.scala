@@ -75,6 +75,12 @@ object ScaleEvidence {
       "minhash_incremental" -> (() =>
         Dedup.minhashIncrementalNearDups(store, delta, "doc_id", "text",
           threshold = 0.5).count()),
+      // the md5-mode simhash pipeline (q_dedup_simhash's declared shape
+      // since round 11): token explode + 64-column majority-vote partial
+      // aggregate + chunk banding — a DIFFERENT dataflow from the xxhash
+      // kernel's narrow map, so it carries its own linearity evidence
+      "simhash_md5" -> (() =>
+        Dedup.simhashCandidatesMd5(docs, "doc_id", "text").count()),
       // the full text->vector->LSH composite (q_text_embed_neardup's
       // shape): one narrow codegen'd embed map (HashEmbedVector) staged
       // once, then banded hyperplane LSH with the maxBucket star-cap

@@ -1056,26 +1056,50 @@ object PipelineQueries {
 
     // --- no-oracle (rows-only gate; verified in ScalaTest vs exact) ------
 
-    // per-language frequent terms via the Misra-Gries heavy-hitter UDAF
-    // (counts are lower bounds and the retained tail varies with merge
-    // order — the n/(k+1) presence guarantee is spec-verified; rows-only)
+    // Guaranteed per-language heavy hitters — the sketch-then-verify
+    // pattern: the Misra-Gries summary (whose retained TAIL is merge-
+    // order-dependent) is only the CANDIDATE set; every candidate (<= k
+    // per language, broadcast) is recounted exactly, and the output keeps
+    // terms whose exact count clears the n/(k+1) presence guarantee.
+    // That set is DETERMINISTIC — the guarantee says any such term
+    // survives every merge order — so the query is oracle-checkable even
+    // though the raw sketch is not; DuckDB replays it as a plain
+    // HAVING-count query. The scale shape is the production one: the
+    // sketch pass bounds the candidate space so the exact pass counts k
+    // terms per language, not the whole vocabulary. The raw-sketch
+    // surface stays covered by q_stream_topterms + the guarantee specs.
     QueryDef("q_text_topterms",
       (s, dir) => {
+        // k sized so the n/(k+1) bound can actually fire on this corpus:
+        // the most frequent length>3 tokens sit at ~4.3% =~ 1/23 of the
+        // filtered stream, so k=10 (bound 1/11) would provably emit the
+        // empty set; k=40 (bound 1/41) keeps a meaningful guaranteed set
+        val k = 40
         // lang is projected in its own select BELOW the explode: fused into
         // one select, ExtractGenerator would hoist the (expensive, ~15
         // string scans) langId CASE into the Project ABOVE Generate and
         // evaluate it once per TOKEN instead of once per document
-        Tables.documents(s, dir)
+        // staged once (eager checkpoint): three consumers below (sketch,
+        // exact recount, per-language totals) would otherwise each replay
+        // the ~15-string-scan langId CASE and the explode per document
+        val toks = Dedup.stage(Tables.documents(s, dir)
           .select(TextAnalysis.langId(col("text")).as("lang"),
             TextAnalysis.tokens(lower(col("text"))).as("toks"))
           .select(col("lang"), explode(col("toks")).as("tok"))
-          .filter(length(col("tok")) > 3)
-          .groupBy("lang")
-          .agg(graft.functions.Aggregators.heavyHitters(col("tok"), 10).as("top"))
-          .select(col("lang"), size(col("top")).as("n_terms"))
-          .orderBy("lang")
+          .filter(length(col("tok")) > 3))
+        val cands = toks.groupBy("lang")
+          .agg(graft.functions.Aggregators.heavyHitters(col("tok"), k).as("top"))
+          .select(col("lang"), explode(col("top")).as("t"))
+          .select(col("lang"), col("t.term").as("tok"))
+        val exact = toks.join(broadcast(cands), Seq("lang", "tok"), "left_semi")
+          .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        val tot = toks.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        exact.join(tot, "lang")
+          .filter(col("n") > col("n_lang") / (k + 1.0))
+          .select(col("lang"), col("tok"), col("n"))
+          .orderBy("lang", "tok")
       },
-      None),
+      Some(topTermsOracleSql(k = 40))),
 
     // BPE tokenizer: merges learned from the distributed word-frequency
     // table (driver loop is vocab-sized — the standard trainer shape),
@@ -1384,6 +1408,19 @@ object PipelineQueries {
     val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
     val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
     s"""WITH sc AS (SELECT doc_id, $scoreCols FROM documents), sb AS (SELECT *, $best AS best FROM sc) SELECT doc_id, CASE $cases ELSE 'und' END AS pred FROM sb ORDER BY doc_id"""
+  }
+
+  // q_text_topterms replay: per-doc language (the q_text_langid CASE),
+  // token explode, exact per-(lang, term) counts, keep terms above the
+  // n/(k+1) Misra-Gries presence bound — exactly the deterministic set
+  // the sketch-then-verify query emits. Threshold divisor CAST to DOUBLE
+  // (a bare decimal literal would make DuckDB divide in DECIMAL).
+  private def topTermsOracleSql(k: Int): String = {
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scoreCols = langs.map(l => s"(${scoreSql(l)}) AS s_$l").mkString(", ")
+    val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    raw"""WITH sc AS (SELECT text, $scoreCols FROM documents), lb AS (SELECT text, CASE $cases ELSE 'und' END AS lang FROM (SELECT *, $best AS best FROM sc)), f AS (SELECT lang, tok FROM (SELECT lang, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok FROM lb) WHERE LENGTH(tok) > 3), tot AS (SELECT lang, COUNT(*) AS n_lang FROM f GROUP BY lang), cnt AS (SELECT lang, tok, COUNT(*) AS n FROM f GROUP BY lang, tok) SELECT c.lang, c.tok, c.n FROM cnt c JOIN tot t ON t.lang = c.lang WHERE c.n > t.n_lang / CAST(${k + 1} AS DOUBLE) ORDER BY c.lang, c.tok"""
   }
 
   private lazy val pipelineCleanOracle: String = {

@@ -1039,6 +1039,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!inc.exists(p => p._1 == 108L || p._2 == 108L), "novel doc matched")
   }
 
+  test("minhash md5 mode: index driver-replayed bit for bit on edge docs") {
+    // the DuckDB oracle replays minhashIndexMd5 in SQL; this pins the
+    // same construction against an independent driver-side replica on
+    // the edge shapes (short/empty/null text, regex whitespace, unicode,
+    // duplicate shingles) — sh is DISTINCT-sorted first halves, sig the
+    // min over ALL shingle occurrences of the affine rehash
+    val texts = Seq[(Long, String)](
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "one two", // < k tokens -> whole text as ONE shingle
+      3L -> "", // empty -> [""] shingle
+      4L -> "  padded   whitespace\ttokens  ", // trim + \s+ split
+      5L -> "répété répété répété répété", // non-ASCII + duplicate shingles
+      6L -> null)
+    val got = Dedup.minhashIndexMd5(texts.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toVector, r.getSeq[Long](2).toVector))).toMap
+    def halves(s: String): (Long, Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      def h(off: Int): Long =
+        (0 until 4).foldLeft(0L)((a, i) => (a << 8) | (d(off + i) & 0xffL))
+      (h(0), h(4))
+    }
+    for ((id, text0) <- texts) {
+      val toks = Option(text0).getOrElse("").trim.toLowerCase.split("\\s+").toSeq
+      val shingleStrs =
+        if (toks.length < 3) Seq(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      val hs = shingleStrs.map(halves)
+      val expSh = hs.map(_._1).distinct.sorted.toVector
+      val expSig = (0 until 32).map(i =>
+        hs.map { case (a, b) => (a + i * b) % 4294967296L }.min).toVector
+      assert(got(id) == ((expSh, expSig)), s"md5 minhash drift: doc $id")
+    }
+    // the planted duplicate-shingle doc really collapses to one hash
+    assert(got(5L)._1.length == 1)
+  }
+
   test("md5 oracle mode == xxhash mode on the real corpus and incrementally") {
     // the oracle-checked queries run the md5-replayable pipeline; the
     // production default stays xxhash64. Same banding geometry + exact

@@ -109,6 +109,25 @@ class SchemaCanarySpec extends AnyFunSuite {
           "queries pass dim = 64 as a literal")
     }
 
+    test(s"[$sf] id columns are unique (deterministic ORDER BY id " +
+        "contracts)") {
+      import org.apache.spark.sql.functions._
+      // the kmeans/PQ oracle replays and the id-ordered training sample
+      // (Similarity.trainCentroids sampleOrderCol), the dedup min-id
+      // survivor rules, and every ORDER BY id LIMIT both engines run all
+      // assume unique ids — a regen emitting duplicates would make tie
+      // order engine-unspecified and the oracle flaky, so fail HERE with
+      // the table named instead
+      for ((t, c) <- Seq(("embeddings", "vec_id"), ("documents", "doc_id"))) {
+        val df = Tables.read(spark, dir, t)
+        val r = df.agg(count(col(c)).as("n"),
+          countDistinct(col(c)).as("d")).head()
+        assert(r.getLong(0) == r.getLong(1),
+          s"$t.$c has duplicates: ${r.getLong(0)} rows, " +
+            s"${r.getLong(1)} distinct")
+      }
+    }
+
     test(s"[$sf] every engine-read column keeps its pinned type " +
         "(all tables)") {
       val drift = for {

@@ -816,13 +816,12 @@ object Dedup {
       .select(col("id"),
         conv(substring(col("__x"), 1, 8), 16, 10).cast("long").as("__hi"),
         conv(substring(col("__x"), 9, 8), 16, 10).cast("long").as("__lo"))
-    val votes = halves.groupBy(col("id")).agg(
-      sum(when(col("__lo").bitwiseAND(1L) === 1L, 1).otherwise(-1)).as("__v0"),
-      (1 until 64).map { i =>
-        val h = if (i < 32) col("__lo") else col("__hi")
-        sum(when(shiftright(h, i % 32).bitwiseAND(1L) === 1L, 1).otherwise(-1))
-          .as(s"__v$i")
-      }: _*)
+    val voteCols = (0 until 64).map { i =>
+      val h = if (i < 32) col("__lo") else col("__hi")
+      sum(when(shiftright(h, i % 32).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+        .as(s"__v$i")
+    }
+    val votes = halves.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
     def chunk(b: Int): Column =
       (0 until 16).map { j =>
         when(col(s"__v${b * 16 + j}") > 0, lit(1L << j)).otherwise(lit(0L))

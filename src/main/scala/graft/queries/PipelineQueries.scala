@@ -1450,8 +1450,17 @@ object PipelineQueries {
   private def minhashMd5VerifyTail(threshold: Double): String =
     s""", verified AS (SELECT id_a, id_b, CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard FROM cands JOIN shs sa ON sa.doc_id = cands.id_a JOIN shs sb ON sb.doc_id = cands.id_b) SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b"""
 
+  // the ONE bounded-pairs replay (Dedup.boundedPairs: within-cap all
+  // pairs, over-cap min-id star pairs, cross-band id-distinct) — every
+  // banded oracle (minhash/simhash via `banded`, the hyperplane LSH via
+  // `bits`) derives its stats/cands block from here so a cap or
+  // star-pair rule change cannot diverge between oracles
+  private def boundedPairsSql(src: String, idCol: String, bandCol: String,
+      bucketCol: String, maxBucket: Int): String =
+    s""", stats AS (SELECT $idCol AS id, $bandCol, $bucketCol, COUNT(*) OVER (PARTITION BY $bandCol, $bucketCol) AS n, MIN($idCol) OVER (PARTITION BY $bandCol, $bucketCol) AS minid FROM $src), cands AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM stats x JOIN stats y USING ($bandCol, $bucketCol) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM stats WHERE n > $maxBucket AND id <> minid))"""
+
   private def minhashMd5CandsSql(maxBucket: Int): String =
-    s""", stats AS (SELECT id, b, bucket, COUNT(*) OVER (PARTITION BY b, bucket) AS n, MIN(id) OVER (PARTITION BY b, bucket) AS minid FROM banded), cands AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM stats x JOIN stats y USING (b, bucket) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM stats WHERE n > $maxBucket AND id <> minid))"""
+    boundedPairsSql("banded", "id", "b", "bucket", maxBucket)
 
   private def minhashMd5OracleSql(bands: Int, rows: Int, threshold: Double,
       maxBucket: Int = 64): String =
@@ -1676,13 +1685,13 @@ object PipelineQueries {
     val vecCtes =
       raw"""tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents), grams AS (SELECT doc_id, UNNEST(CASE WHEN len(tk) < $n THEN CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(tk) - ${n - 2}), i -> array_to_string(tk[i:i+${n - 1}], ' ')) END) AS g FROM tk), hx AS (SELECT doc_id, md5(g) AS x FROM grams WHERE g <> ''), contrib AS (SELECT doc_id, CAST(('0x' || substring(x,1,8)) AS BIGINT) % $dim AS idx, CASE WHEN CAST(('0x' || substring(x,9,8)) AS BIGINT) % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn FROM hx), slot AS (SELECT doc_id, idx, SUM(sgn) AS v FROM contrib GROUP BY doc_id, idx), rawv AS (SELECT d.doc_id, list(COALESCE(s.v, CAST(0 AS DOUBLE)) ORDER BY i.i) AS raw FROM (SELECT doc_id FROM documents) d CROSS JOIN range(0, $dim) i(i) LEFT JOIN slot s ON s.doc_id = d.doc_id AND s.idx = i.i GROUP BY d.doc_id), normv AS (SELECT doc_id, raw, sqrt(list_inner_product(raw, raw)) AS nrm FROM rawv), ev0 AS (SELECT doc_id, list_transform(raw, x -> CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE) ELSE x / nrm END) AS vd FROM normv)"""
     val eSrc = "SELECT doc_id AS vec_id, CAST(CAST(vd AS FLOAT[]) AS DOUBLE[]) AS ev FROM ev0"
-    s"""WITH $vecCtes, ${hyperplaneBitsSql(dim, planesPerTable, tables, seed, eSrc)}, stats AS (SELECT vec_id AS id, t, code, COUNT(*) OVER (PARTITION BY t, code) AS n, MIN(vec_id) OVER (PARTITION BY t, code) AS minid FROM bits), cands AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM stats x JOIN stats y USING (t, code) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM stats WHERE n > $maxBucket AND id <> minid)), verified AS (SELECT id_a, id_b, list_inner_product(ea.ev, eb.ev) / (sqrt(list_inner_product(ea.ev, ea.ev)) * sqrt(list_inner_product(eb.ev, eb.ev))) AS cosine FROM cands JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b) SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM verified WHERE cosine >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b"""
+    s"""WITH $vecCtes, ${hyperplaneBitsSql(dim, planesPerTable, tables, seed, eSrc)}${boundedPairsSql("bits", "vec_id", "t", "code", maxBucket)}, verified AS (SELECT id_a, id_b, list_inner_product(ea.ev, eb.ev) / (sqrt(list_inner_product(ea.ev, ea.ev)) * sqrt(list_inner_product(eb.ev, eb.ev))) AS cosine FROM cands JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b) SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM verified WHERE cosine >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b"""
   }
 
   private def cosineNearDupsOracleSql(dim: Int, threshold: Double,
       planesPerTable: Int = 4, tables: Int = 8, maxBucket: Int = 256,
       seed: Long = 42L): String =
-    s"""WITH ${hyperplaneBitsSql(dim, planesPerTable, tables, seed)}, stats AS (SELECT vec_id AS id, t, code, COUNT(*) OVER (PARTITION BY t, code) AS n, MIN(vec_id) OVER (PARTITION BY t, code) AS minid FROM bits), cands AS (SELECT DISTINCT id_a, id_b FROM (SELECT x.id AS id_a, y.id AS id_b FROM stats x JOIN stats y USING (t, code) WHERE x.n <= $maxBucket AND x.id < y.id UNION ALL SELECT minid AS id_a, id AS id_b FROM stats WHERE n > $maxBucket AND id <> minid)) SELECT id_a, id_b FROM cands JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b WHERE list_inner_product(ea.ev, eb.ev) / (sqrt(list_inner_product(ea.ev, ea.ev)) * sqrt(list_inner_product(eb.ev, eb.ev))) >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b"""
+    s"""WITH ${hyperplaneBitsSql(dim, planesPerTable, tables, seed)}${boundedPairsSql("bits", "vec_id", "t", "code", maxBucket)} SELECT id_a, id_b FROM cands JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b WHERE list_inner_product(ea.ev, eb.ev) / (sqrt(list_inner_product(ea.ev, ea.ev)) * sqrt(list_inner_product(eb.ev, eb.ev))) >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b"""
 
   private def simLshOracleSql(dim: Int, k: Int, planesPerTable: Int = 6,
       tables: Int = 32, seed: Long = 42L): String = {

@@ -183,10 +183,13 @@ class PlanQualitySpec extends AnyFunSuite {
         // the md5 simhash mode's 64-vote aggregate must stay two-phase
         // (map-side partial sums before the doc-keyed exchange): a
         // refactor into per-row higher-order folds or a single-phase agg
-        // would ship every exploded token across the shuffle
+        // would ship every exploded token across the shuffle. The marker
+        // is `partial_sum` — nothing else in this plan sums (the pair
+        // stage's aggregates are distinct/count/min), so its presence is
+        // exactly the votes map-side combine
         if (n == "simhashMd5")
-          assert("HashAggregate".r.findAllIn(plan).size >= 2,
-            s"$n lost its partial aggregation")
+          assert(plan.contains("partial_sum"),
+            s"$n lost its map-side partial vote aggregation")
       }
     } finally scope.release()
   }

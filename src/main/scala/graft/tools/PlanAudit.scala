@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
   * exchanges outside final global aggregation, and parquet scans without
   * pushed filters when the query filters. Run with:
   *   sbt "runMain graft.tools.PlanAudit [sfDir] [query ...]"
+  *
+  * Note: auditing is not always plan-only. Queries through eager
+  * staging (`Dedup.stage` / `ScaleOps.prefixSum`'s localCheckpoint —
+  * e.g. q_seq_pack, q_curation_pipeline, q_text_embed_neardup,
+  * q_text_topterms) EXECUTE their staged upstream at plan-construction
+  * time, and the executed plan then shows a LogicalRDD scan where the
+  * staged dataflow ran; for the dedup family the audit substitutes the
+  * lazy *Plan builders below to see the real dataflow.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -128,6 +128,25 @@ class SchemaCanarySpec extends AnyFunSuite {
       }
     }
 
+    test(s"[$sf] id ranges the declared queries select on are inhabited") {
+      import org.apache.spark.sql.functions._
+      // q_knn_ivf / q_knn_join take vec_id < 20 as the query batch and
+      // q_dedup_incremental takes doc_id % 10 = 0 as the delta; a regen
+      // shifting or re-keying ids would make those selections EMPTY and
+      // the queries would 'pass' vacuously (0 == 0 against the oracle).
+      // Pin the inhabited ranges here with the offending table named.
+      val nq = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < 20).count()
+      assert(nq == 20,
+        s"embeddings has $nq rows with vec_id < 20 (want 20) — " +
+          "the kNN query batch selection went vacuous")
+      val nd = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 === 0).count()
+      assert(nd > 0,
+        "documents has no doc_id % 10 == 0 rows — the incremental-dedup " +
+          "delta selection went vacuous")
+    }
+
     test(s"[$sf] every engine-read column keeps its pinned type " +
         "(all tables)") {
       val drift = for {

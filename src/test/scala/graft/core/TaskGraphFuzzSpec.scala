@@ -407,8 +407,14 @@ class TaskGraphFuzzSpec extends Properties("TaskGraphFuzz") {
     }
 
     def opResplice(): Boolean = {
-      // identity splice: setItem(n, getItem(n)) must be a semantic no-op
-      val cands = m.nodeList.filter(n => m.ancestors(n).nonEmpty)
+      // identity splice: setItem(n, getItem(n)) must be a semantic no-op.
+      // Derived nodes exercise the branch-replace path; MAPPED SOURCES
+      // (getItem of a source is the single-node graph carrying its value
+      // mapping) exercise setItem's value-merge valuesMatch -> no-op
+      // branch — the only splice flavor legal on a mapped key without
+      // inventing fresh labels.
+      val cands = m.nodeList.filter(n =>
+        m.ancestors(n).nonEmpty || (m.mapped(n) && m.preds(n).isEmpty))
       if (cands.isEmpty) return false
       val n = cands(rnd.nextInt(cands.size))
       log ++= s"resplice:$n "

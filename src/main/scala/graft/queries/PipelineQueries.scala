@@ -333,7 +333,10 @@ object PipelineQueries {
         Dedup.cosineNearDups(emb, "doc_id", "vec", dim = 256,
           threshold = 0.6)
           .select(col("id_a"), col("id_b"),
-            round(col("cosine"), 6).as("cosine_r"))
+            // floor-based rounding: round(x, 6) is NOT engine-portable on
+            // half-tie doubles (Spark shortest-decimal HALF_UP vs DuckDB
+            // scaled-binary) — the q_sim_pq / quantizeInt8 contract
+            (floor(col("cosine") * 1e6d + 0.5d) / 1e6d).as("cosine_r"))
           .orderBy("id_a", "id_b")
       },
       Some(embedNearDupOracleSql(dim = 256, n = 2, threshold = 0.6))),
@@ -1070,11 +1073,7 @@ object PipelineQueries {
     // surface stays covered by q_stream_topterms + the guarantee specs.
     QueryDef("q_text_topterms",
       (s, dir) => {
-        // k sized so the n/(k+1) bound can actually fire on this corpus:
-        // the most frequent length>3 tokens sit at ~4.3% =~ 1/23 of the
-        // filtered stream, so k=10 (bound 1/11) would provably emit the
-        // empty set; k=40 (bound 1/41) keeps a meaningful guaranteed set
-        val k = 40
+        val k = topTermsK
         // lang is projected in its own select BELOW the explode: fused into
         // one select, ExtractGenerator would hoist the (expensive, ~15
         // string scans) langId CASE into the Project ABOVE Generate and
@@ -1099,7 +1098,7 @@ object PipelineQueries {
           .select(col("lang"), col("tok"), col("n"))
           .orderBy("lang", "tok")
       },
-      Some(topTermsOracleSql(k = 40))),
+      Some(topTermsOracleSql(k = topTermsK))),
 
     // BPE tokenizer: merges learned from the distributed word-frequency
     // table (driver loop is vocab-sized — the standard trainer shape),
@@ -1318,8 +1317,10 @@ object PipelineQueries {
           sampleOrderCol = Some("vec_id"))
         Similarity.knnJoinIvf(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
             emb, "vec_id", "embedding", centroids, k = 5, nprobe = 4)
+          // floor-based rounding (engine-portable on half-ties; the
+          // q_sim_pq contract)
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
-            round(col("score"), 6).as("score_r"))
+            (floor(col("score") * 1e6d + 0.5d) / 1e6d).as("score_r"))
           .orderBy("vec_id", "rank")
       },
       Some(knnIvfOracleSql(k = 16, nprobe = 4, topk = 5))),
@@ -1370,7 +1371,10 @@ object PipelineQueries {
           sampleOrderCol = Some("vec_id"))
         Similarity.topKIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
           cents, fixedQueryVector, k = 10, nprobe = 4)
-          .select(col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
+          // floor-based rounding (engine-portable on half-ties; the
+          // q_sim_pq contract)
+          .select(col("vec_id"),
+            (floor(col("cosine") * 1e6d + 0.5d) / 1e6d).as("cosine_r"))
       },
       Some(simIvfOracleSql(k = 8, nprobe = 4, topk = 10)))
   )
@@ -1409,6 +1413,16 @@ object PipelineQueries {
     val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
     s"""WITH sc AS (SELECT doc_id, $scoreCols FROM documents), sb AS (SELECT *, $best AS best FROM sc) SELECT doc_id, CASE $cases ELSE 'und' END AS pred FROM sb ORDER BY doc_id"""
   }
+
+  // The ONE k shared by q_text_topterms' query body and its oracle: the
+  // n/(k+1) presence bound must move on both sides together or the
+  // compare silently tests different queries. k sized so the bound can
+  // actually fire on this corpus: the most frequent length>3 tokens sit
+  // at ~4.3% =~ 1/23 of the filtered stream, so k=10 (bound 1/11) would
+  // provably emit the empty set; k=40 (bound 1/41) keeps a meaningful
+  // guaranteed set. (A def, not a val: `all` is constructed during object
+  // init and a later-declared val would still be 0 there.)
+  private def topTermsK: Int = 40
 
   // q_text_topterms replay: per-doc language (the q_text_langid CASE),
   // token explode, exact per-(lang, term) counts, keep terms above the
@@ -1540,7 +1554,13 @@ object PipelineQueries {
     }
     b ++= s"cents AS MATERIALIZED (SELECT c, v FROM cents_$iters), "
     b ++= "cnorm AS MATERIALIZED (SELECT c, CASE WHEN list_inner_product(v, v) = 0 THEN list_transform(v, x -> x * CAST(0 AS DOUBLE)) ELSE list_transform(v, x -> x * (CAST(1 AS DOUBLE) / sqrt(list_inner_product(v, v)))) END AS v FROM cents), "
-    b ++= "ecorp AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), "
+    // NaN vectors are excluded from cell assignment to mirror the engine:
+    // NearestCentroid returns a NULL cell for NaN/degenerate vectors (so
+    // they fall out of every cell join), while DuckDB's row_number ORDER
+    // BY would rank a NaN inner product FIRST and assign the vector a
+    // cell — a latent divergence if a regen ever produces one. The no-NaN
+    // corpus assumption itself is canaried in SchemaCanarySpec.
+    b ++= "ecorp AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE NOT list_contains(list_transform(CAST(embedding AS DOUBLE[]), x -> isnan(x)), true)), "
     b ++= "cell AS MATERIALIZED (SELECT vec_id, ev, c AS cell FROM (SELECT e.vec_id, e.ev, cc.c, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_inner_product(cc.v, e.ev) DESC, cc.c DESC) AS rn FROM ecorp e CROSS JOIN cnorm cc) WHERE rn = 1)"
     b.toString
   }
@@ -1609,14 +1629,14 @@ object PipelineQueries {
     * cosine top-k within probed cells only.
     */
   private def simIvfOracleSql(k: Int, nprobe: Int, topk: Int): String =
-    s"""WITH ${kmeansCtes(k)}, probe AS (SELECT c FROM (SELECT c, list_inner_product(v, $queryVecSql) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS sim FROM cents) ORDER BY sim DESC, c ASC LIMIT $nprobe) SELECT vec_id, round(cosine, 6) AS cosine_r FROM (SELECT l.vec_id, list_inner_product(l.ev, $queryVecSql) / (sqrt(list_inner_product(l.ev, l.ev)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS cosine FROM cell l JOIN probe p ON l.cell = p.c) ORDER BY cosine DESC, vec_id ASC LIMIT $topk"""
+    s"""WITH ${kmeansCtes(k)}, probe AS (SELECT c FROM (SELECT c, list_inner_product(v, $queryVecSql) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS sim FROM cents) ORDER BY sim DESC, c ASC LIMIT $nprobe) SELECT vec_id, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine_r FROM (SELECT l.vec_id, list_inner_product(l.ev, $queryVecSql) / (sqrt(list_inner_product(l.ev, l.ev)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS cosine FROM cell l JOIN probe p ON l.cell = p.c) WHERE cosine IS NOT NULL AND NOT isnan(cosine) ORDER BY cosine DESC, vec_id ASC LIMIT $topk"""
 
   /** q_knn_ivf replay: per-query probes (reverse(array_sort) semantics —
     * ties to the LAST cid), then the q_knn_join ranking contract (score
     * DESC, ties to lowest id, NULL/NaN skipped) within probed cells.
     */
   private def knnIvfOracleSql(k: Int, nprobe: Int, topk: Int): String =
-    s"""WITH ${kmeansCtes(k)}, q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20), qprobe AS (SELECT qid, qv, c AS cell FROM (SELECT q.qid, q.qv, ct.c, row_number() OVER (PARTITION BY q.qid ORDER BY list_inner_product(q.qv, ct.v) / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(ct.v, ct.v))) DESC, ct.c DESC) AS rn FROM q CROSS JOIN cents ct) WHERE rn <= $nprobe), sc AS (SELECT p.qid, l.vec_id AS cid2, list_inner_product(l.ev, p.qv) / (sqrt(list_inner_product(l.ev, l.ev)) * sqrt(list_inner_product(p.qv, p.qv))) AS sim FROM cell l JOIN qprobe p ON l.cell = p.cell), ranked AS (SELECT qid, cid2, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid2 ASC) AS rnk FROM sc WHERE sim IS NOT NULL AND NOT isnan(sim)) SELECT qid AS vec_id, rnk AS rank, cid2 AS neighbor_id, round(sim, 6) AS score_r FROM ranked WHERE rnk <= $topk ORDER BY vec_id, rank"""
+    s"""WITH ${kmeansCtes(k)}, q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20), qprobe AS (SELECT qid, qv, c AS cell FROM (SELECT q.qid, q.qv, ct.c, row_number() OVER (PARTITION BY q.qid ORDER BY list_inner_product(q.qv, ct.v) / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(ct.v, ct.v))) DESC, ct.c DESC) AS rn FROM q CROSS JOIN cents ct) WHERE rn <= $nprobe), sc AS (SELECT p.qid, l.vec_id AS cid2, list_inner_product(l.ev, p.qv) / (sqrt(list_inner_product(l.ev, l.ev)) * sqrt(list_inner_product(p.qv, p.qv))) AS sim FROM cell l JOIN qprobe p ON l.cell = p.cell), ranked AS (SELECT qid, cid2, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid2 ASC) AS rnk FROM sc WHERE sim IS NOT NULL AND NOT isnan(sim)) SELECT qid AS vec_id, rnk AS rank, cid2 AS neighbor_id, floor(sim * 1e6 + 0.5) / 1e6 AS score_r FROM ranked WHERE rnk <= $topk ORDER BY vec_id, rank"""
 
   /** q_semdedup replay: within-cell exact-cosine pairs (over-cap cells
     * degrade to min-id star pairs, as in the engine), drop every id with
@@ -1685,7 +1705,7 @@ object PipelineQueries {
     val vecCtes =
       raw"""tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents), grams AS (SELECT doc_id, UNNEST(CASE WHEN len(tk) < $n THEN CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(tk) - ${n - 2}), i -> array_to_string(tk[i:i+${n - 1}], ' ')) END) AS g FROM tk), hx AS (SELECT doc_id, md5(g) AS x FROM grams WHERE g <> ''), contrib AS (SELECT doc_id, CAST(('0x' || substring(x,1,8)) AS BIGINT) % $dim AS idx, CASE WHEN CAST(('0x' || substring(x,9,8)) AS BIGINT) % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn FROM hx), slot AS (SELECT doc_id, idx, SUM(sgn) AS v FROM contrib GROUP BY doc_id, idx), rawv AS (SELECT d.doc_id, list(COALESCE(s.v, CAST(0 AS DOUBLE)) ORDER BY i.i) AS raw FROM (SELECT doc_id FROM documents) d CROSS JOIN range(0, $dim) i(i) LEFT JOIN slot s ON s.doc_id = d.doc_id AND s.idx = i.i GROUP BY d.doc_id), normv AS (SELECT doc_id, raw, sqrt(list_inner_product(raw, raw)) AS nrm FROM rawv), ev0 AS (SELECT doc_id, list_transform(raw, x -> CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE) ELSE x / nrm END) AS vd FROM normv)"""
     val eSrc = "SELECT doc_id AS vec_id, CAST(CAST(vd AS FLOAT[]) AS DOUBLE[]) AS ev FROM ev0"
-    s"""WITH $vecCtes, ${hyperplaneBitsSql(dim, planesPerTable, tables, seed, eSrc)}${boundedPairsSql("bits", "vec_id", "t", "code", maxBucket)}, verified AS (SELECT id_a, id_b, list_inner_product(ea.ev, eb.ev) / (sqrt(list_inner_product(ea.ev, ea.ev)) * sqrt(list_inner_product(eb.ev, eb.ev))) AS cosine FROM cands JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b) SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM verified WHERE cosine >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b"""
+    s"""WITH $vecCtes, ${hyperplaneBitsSql(dim, planesPerTable, tables, seed, eSrc)}${boundedPairsSql("bits", "vec_id", "t", "code", maxBucket)}, verified AS (SELECT id_a, id_b, list_inner_product(ea.ev, eb.ev) / (sqrt(list_inner_product(ea.ev, ea.ev)) * sqrt(list_inner_product(eb.ev, eb.ev))) AS cosine FROM cands JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b) SELECT id_a, id_b, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine_r FROM verified WHERE cosine >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b"""
   }
 
   private def cosineNearDupsOracleSql(dim: Int, threshold: Double,

@@ -109,6 +109,22 @@ class SchemaCanarySpec extends AnyFunSuite {
           "queries pass dim = 64 as a literal")
     }
 
+    test(s"[$sf] embeddings contain no NaN components (oracle NaN-sort " +
+        "contract)") {
+      import org.apache.spark.sql.functions._
+      // the kmeans/IVF/PQ oracle replays and the cosine score compares
+      // assume a NaN-free corpus: DuckDB sorts NaN as GREATEST while
+      // Spark's NaN-propagated cosines go NULL-last, and the engine's
+      // NearestCentroid gives NaN vectors a NULL cell — a regen emitting
+      // even one NaN component would flip several oracles red. Fail HERE
+      // with the count instead.
+      val n = Tables.embeddings(spark, dir)
+        .filter(exists(col("embedding"), x => isnan(x.cast("double"))))
+        .count()
+      assert(n == 0, s"embeddings has $n vectors with NaN components — " +
+        "the similarity/kmeans oracle NaN contracts no longer hold")
+    }
+
     test(s"[$sf] id columns are unique (deterministic ORDER BY id " +
         "contracts)") {
       import org.apache.spark.sql.functions._

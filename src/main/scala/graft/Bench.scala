@@ -123,10 +123,49 @@ object Bench {
     def contaminated: Boolean = stealFrac > StealThreshold || dilated
   }
 
+  /** A historical floor with its governance record: `floor` is the gate;
+    * `prev` (when present) is the floor this one REPLACED at the last
+    * re-pin, kept so a deliberate pipeline change cannot silently absorb
+    * an accidental regression in the same round — Bench prints (never
+    * fails) when a wall exceeds the prev-based gate. `pinnedRound` /
+    * `reason` document who moved it and why. */
+  private[graft] final case class FloorEntry(
+      floor: Double, prev: Option[Double],
+      pinnedRound: String, reason: String)
+
   /** historical per-query floors: env SPARK_GRAFT_FLOORS file, else the
     * checked-in resource FOR THIS SF (a floor measured at sf0.1 must not
-    * gate an sf0.01 run); absent -> no floor gate (steal+dilation remain) */
-  private def loadFloors(sfDir: String): Map[String, Double] = {
+    * gate an sf0.01 run); absent -> no floor gate (steal+dilation remain).
+    * Accepts both the annotated object form
+    * `"q": {"floor": 1.2, "prev": 1.0, "pinned_round": "r12", "reason": "…"}`
+    * and the legacy flat form `"q": 1.2` (no history). */
+  private[graft] def parseFloors(t: String): Map[String, FloorEntry] = {
+    def field(body: String, name: String): Option[String] = {
+      val re = ("\"" + name + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|[0-9.eE+-]+|null)").r
+      re.findFirstMatchIn(body).map(_.group(1))
+    }
+    def unq(s: String): String =
+      if (s.startsWith("\"")) s.substring(1, s.length - 1) else s
+    val objRe = "\"([^\"]+)\"\\s*:\\s*\\{([^{}]*)\\}".r
+    val objs = objRe.findAllMatchIn(t).map { m =>
+      val body = m.group(2)
+      m.group(1) -> FloorEntry(
+        floor = field(body, "floor").map(_.toDouble).getOrElse(Double.NaN),
+        prev = field(body, "prev").filter(_ != "null").map(_.toDouble),
+        pinnedRound = field(body, "pinned_round").map(unq).getOrElse(""),
+        reason = field(body, "reason").map(unq).getOrElse(""))
+    }.filterNot(_._2.floor.isNaN).toMap
+    // legacy flat entries: strip the object bodies first so their inner
+    // numeric fields can't parse as floors
+    val flatText = objRe.replaceAllIn(t, "")
+    val flatRe = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+    val flats = flatRe.findAllMatchIn(flatText)
+      .map(m => m.group(1) -> FloorEntry(m.group(2).toDouble, None, "", ""))
+      .toMap
+    flats ++ objs
+  }
+
+  private def loadFloors(sfDir: String): Map[String, FloorEntry] = {
     val sfBase = new java.io.File(sfDir).getName
     val text: Option[String] = sys.env.get("SPARK_GRAFT_FLOORS") match {
       case Some(p) =>
@@ -136,12 +175,7 @@ object Bench {
         if (in == null) None
         else try Some(scala.io.Source.fromInputStream(in).mkString) finally in.close()
     }
-    text match {
-      case None => Map.empty
-      case Some(t) =>
-        val re = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
-        re.findAllMatchIn(t).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }
+    text.map(parseFloors).getOrElse(Map.empty)
   }
 
   def main(args: Array[String]): Unit = {
@@ -224,7 +258,14 @@ object Bench {
       if (ok.nonEmpty) ok.minBy(_.sec) else table(i).minBy(_.sec)
     }
     def floorDirty(i: Int): Boolean = floors.get(defs(i).name).exists { f =>
-      bestOf(i).sec > FloorFactor * f + FloorSlack
+      bestOf(i).sec > FloorFactor * f.floor + FloorSlack
+    }
+    // governance print (never a failure): a wall past the PRE-re-pin
+    // floor's gate means the query regressed relative to the pipeline the
+    // old floor guarded — visible even when the current (re-pinned) floor
+    // absorbs it
+    def prevExceeded(i: Int): Boolean = floors.get(defs(i).name).exists { f =>
+      f.prev.exists(p => bestOf(i).sec > FloorFactor * p + FloorSlack)
     }
     // extra interleaved retry passes until every query's best rep is clean
     // by ALL three signals (steal, dilation, floor) or the pass budget is
@@ -253,6 +294,13 @@ object Bench {
       val dirtyBest = best.contaminated || floorDirty(i)
       System.err.println(f"[bench] ${d.name}%-22s ${best.sec}%8.2fs  (min of ${runs.length})" +
         s"${if (dirtyBest) "  CONTAMINATED" else ""}${if (ok) "" else "  FAILED"}")
+      if (prevExceeded(i)) {
+        val f = floors(d.name)
+        System.err.println(f"[bench] NOTE ${d.name}: wall ${best.sec}%.2fs " +
+          f"exceeds the PRE-re-pin floor gate (prev=${f.prev.get}%.3f, " +
+          s"current floor=${f.floor} pinned ${f.pinnedRound}: ${f.reason}) " +
+          "— regression vs the old pipeline, absorbed by a re-pin")
+      }
       (d.name, best, ok, dirtyBest, floorDirty(i))
     }
     // a failed query is reported with a NEGATIVE time so it can never read
@@ -265,15 +313,21 @@ object Bench {
     val failed = arr(results.collect { case (k, _, false, _, _) => k })
     val contaminated = arr(results.collect { case (k, _, _, true, _) => k })
     val floorExceeded = arr(results.collect { case (k, _, _, _, true) => k })
-    // per-query evidence: wall vs task-clock vs floor, for the best rep
+    val prevExceededNames = arr(defs.indices.collect {
+      case i if prevExceeded(i) => defs(i).name
+    })
+    // per-query evidence: wall vs task-clock vs floor (+ pre-re-pin prev
+    // floor when the entry carries history), for the best rep
     val diag = results.map { case (k, b, _, _, _) =>
-      val f = floors.get(k).map(v => f"$v%.3f").getOrElse("null")
-      f""""$k":{"wall":${b.sec}%.3f,"task_run":${b.taskRunSec}%.2f,"task_cpu":${b.taskCpuSec}%.2f,"steal":${b.stealFrac}%.3f,"floor":$f}"""
+      val e = floors.get(k)
+      val f = e.map(x => f"${x.floor}%.3f").getOrElse("null")
+      val p = e.flatMap(_.prev).map(x => f"$x%.3f").getOrElse("null")
+      f""""$k":{"wall":${b.sec}%.3f,"task_run":${b.taskRunSec}%.2f,"task_cpu":${b.taskCpuSec}%.2f,"steal":${b.stealFrac}%.3f,"floor":$f,"prev_floor":$p}"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, b, true, _, _) => b.sec }.sum
     val nFailed = results.count(!_._3)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","checks":["proc_stat_steal","task_clock_dilation","historical_floor"],"steal_threshold":$StealThreshold,"floor_factor":$FloorFactor,"sf":"$sfDir","diag":$diag}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"prev_floor_exceeded":$prevExceededNames,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","checks":["proc_stat_steal","task_clock_dilation","historical_floor"],"steal_threshold":$StealThreshold,"floor_factor":$FloorFactor,"sf":"$sfDir","diag":$diag}"""
     // the artifact of record: stdout tails are truncated by the harness
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
@@ -283,10 +337,30 @@ object Bench {
       System.err.println(s"[bench] full artifact written to $outPath")
     } catch { case t: Throwable => System.err.println(s"[bench] artifact write failed: ${t.getMessage}") }
     // regenerate the floor resource from this run when asked (only sane on
-    // a clean run: floors are per-query best-of-passes)
+    // a clean run: floors are per-query best-of-passes). Re-pins KEEP
+    // HISTORY: a floor that moves by more than the write threshold
+    // records the old value as `prev` (carrying forward any older prev
+    // when the old entry already had one and the floor only tightened),
+    // with the round/reason from SPARK_GRAFT_FLOOR_ROUND/_REASON — so a
+    // deliberate pipeline change can never silently erase the gate that
+    // guarded the previous pipeline.
     sys.env.get("SPARK_GRAFT_WRITE_FLOORS").foreach { fp =>
-      val body = results.map { case (k, b, _, _, _) => f""""$k":${b.sec}%.3f""" }
-        .mkString("{", ",", "}")
+      val round = sys.env.getOrElse("SPARK_GRAFT_FLOOR_ROUND", "local")
+      val reason = sys.env.getOrElse("SPARK_GRAFT_FLOOR_REASON", "bench re-pin")
+        .replace("\"", "'")
+      val body = results.map { case (k, b, _, _, _) =>
+        val old = floors.get(k)
+        // looser floor (slower pipeline) -> old floor becomes prev;
+        // tighter floor -> keep the existing prev (still the loosest
+        // history) so repeated clean re-pins don't shed it
+        val prev: Option[Double] = old match {
+          case Some(o) if b.sec > o.floor => Some(o.prev.getOrElse(o.floor))
+          case Some(o) => o.prev
+          case None => None
+        }
+        val pv = prev.map(x => f"$x%.3f").getOrElse("null")
+        f""""$k":{"floor":${b.sec}%.3f,"prev":$pv,"pinned_round":"$round","reason":"$reason"}"""
+      }.mkString("{\n", ",\n", "\n}")
       java.nio.file.Files.write(java.nio.file.Paths.get(fp), body.getBytes("UTF-8"))
       System.err.println(s"[bench] floors written to $fp")
     }

@@ -341,6 +341,23 @@ object PipelineQueries {
       },
       Some(embedNearDupOracleSql(dim = 256, n = 2, threshold = 0.6))),
 
+    // q_text_embed_neardup's production mode: the XXH64 HashEmbedVector
+    // kernel (zero-shuffle scan-speed embedding) feeding the identical
+    // hyperplane-LSH + exact-cosine pipeline. Declared for measurement
+    // (see q_dedup_minhash_xx); rows-only — the hash family has no SQL
+    // twin, and the md5 twin above oracle-checks the shared plan.
+    QueryDef("q_embed_neardup_xx",
+      (s, dir) => {
+        val emb = Dedup.stage(graft.operators.TextAnalysis.hashEmbed(
+          Tables.documents(s, dir), "doc_id", "text", dim = 256, n = 2))
+        Dedup.cosineNearDups(emb, "doc_id", "vec", dim = 256,
+          threshold = 0.6)
+          .select(col("id_a"), col("id_b"),
+            (floor(col("cosine") * 1e6d + 0.5d) / 1e6d).as("cosine_r"))
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // CCNet-style LM quality filter: bigram/unigram counts trained on the
     // corpus itself, every doc scored by mean smoothed bigram NLL. The
     // oracle replays the training AND the scoring; 0.4 is cast to DOUBLE
@@ -1212,6 +1229,37 @@ object PipelineQueries {
           .orderBy("id_a", "id_b")
       },
       Some(simhashMd5OracleSql())),
+
+    // ---- production-default XXH64 kernels, declared for MEASUREMENT ----
+    // The md5 twins above carry the oracle; these rows keep the xxhash64
+    // production kernels (native codegen Expressions in
+    // functions/LshExpressions.scala / HashEmbed.scala) on the DECLARED
+    // surface so they are benched, floor-guarded, and rows-checked every
+    // round — a codegen or perf regression in the production hash family
+    // must show up in the artifact, not only in specs. Rows-only by
+    // design (xxhash64 has no DuckDB twin); output-level md5≡xx agreement
+    // is quantified in HashModeAgreementSpec.
+
+    // q_dedup_minhash's production mode: same banding geometry, exact
+    // jaccard verify, same threshold — the pipeline q_dedup_minhash
+    // replays in md5, here under the XXH64 shingle/signature kernels
+    QueryDef("q_dedup_minhash_xx",
+      (s, dir) => {
+        Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+          threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // q_dedup_simhash's production mode: XXH64 token hashes through the
+    // native SimHash64 kernel, same 4x16 banding + hamming<=3 contract
+    QueryDef("q_dedup_simhash_xx",
+      (s, dir) => {
+        Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+          .filter(col("hamming") <= 3)
+          .orderBy("id_a", "id_b")
+      },
+      None),
 
     // n-gram Jaccard near-dup pairs (exact verify over LSH candidates),
     // md5 oracle mode at a wider 16x2 banding / lower threshold

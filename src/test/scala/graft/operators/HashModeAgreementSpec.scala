@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.SparkTestSession
+
+/** Quantified agreement between the md5 oracle modes (what the declared
+  * queries run and DuckDB replays) and the XXH64 production kernels (what
+  * q_dedup_minhash_xx / q_dedup_simhash_xx / q_embed_neardup_xx bench).
+  *
+  * The clear-cut-duplicate specs in OperatorsSpec pin exact equality on
+  * corpora whose dups sit far above the banding S-curve; these specs go
+  * further on a RANDOMIZED corpus that deliberately plants borderline
+  * pairs (where banding recall is probabilistic and hash families MAY
+  * legitimately differ):
+  *
+  *  1. MinHash: the two modes' verified pair sets must agree to Jaccard
+  *     >= 0.9, and every disagreement must be a borderline pair (exact
+  *     shingle-Jaccard inside the banding S-curve's probabilistic band),
+  *     never a clear-cut one.
+  *  2. SimHash: the 4x16-chunk banding completeness law — every pair at
+  *     signature hamming <= 3 IS a candidate (pigeonhole) — holds in
+  *     BOTH hash modes on planted near-dups, checked against driver-side
+  *     all-pairs hamming over the signatures.
+  *
+  * Everything is seeded and deterministic: same corpus, same signatures,
+  * same sets on every run.
+  */
+class HashModeAgreementSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  /** Seeded synthetic corpus: base docs plus near-dup variants at
+    * per-token mutation rates spanning clear-cut (j >= 0.8) through
+    * borderline (j ~ 0.5) shingle-Jaccard, plus exact duplicates and
+    * unrelated filler. Returns (docs, variantPairs).
+    */
+  private def plantedCorpus(seed: Long, nBase: Int, docLen: Int,
+      mutationRates: Seq[Double]): (Seq[(Long, String)], Seq[(Long, Long)]) = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector.tabulate(400)(i => s"tok$i")
+    def randTokens(n: Int): Vector[String] =
+      Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val base = (0 until nBase).map(i => i.toLong -> randTokens(docLen))
+    var nextId = nBase.toLong
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    base.foreach { case (id, toks) => out += id -> toks.mkString(" ") }
+    // one variant per (base doc, assigned rate), cycling the rates
+    base.zipWithIndex.foreach { case ((id, toks), i) =>
+      if (i < mutationRates.length) {
+        val p = mutationRates(i)
+        val mut = toks.map(t =>
+          if (rnd.nextDouble() < p) vocab(rnd.nextInt(vocab.size)) else t)
+        out += nextId -> mut.mkString(" ")
+        pairs += ((id, nextId))
+        nextId += 1
+      }
+    }
+    (out.toSeq, pairs.toSeq)
+  }
+
+  test("minhash md5 vs xxhash on a randomized borderline corpus: pair-set " +
+      "Jaccard >= 0.9 and every disagreement is inside the S-curve band") {
+    // 20 clear-cut variants (p <= 0.05 -> shingle-j >= ~0.75), 6 at the
+    // banding margin (p in [0.08, 0.12] -> j ~ 0.5-0.65, where candidate
+    // probability at 8x4 banding is 0.4-0.8 and the hash families may
+    // legitimately differ), plus 6 exact duplicates via p = 0.
+    val rates = Seq.fill(6)(0.0) ++ Seq.fill(12)(0.02) ++ Seq.fill(8)(0.05) ++
+      Seq.fill(4)(0.08) ++ Seq.fill(2)(0.12)
+    val (corpus, _) = plantedCorpus(seed = 20260814L, nBase = 50,
+      docLen = 50, mutationRates = rates)
+    val df = corpus.toDF("doc_id", "text")
+    def pairSet(d: DataFrame): Set[(Long, Long)] =
+      d.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xx = pairSet(Dedup.minhashNearDups(df, "doc_id", "text",
+      threshold = 0.5))
+    val md = pairSet(Dedup.minhashNearDupsMd5(df, "doc_id", "text",
+      threshold = 0.5))
+    val inter = (xx & md).size.toDouble
+    val union = (xx | md).size.toDouble
+    assert(union > 0, "test vacuous: neither mode found any pair")
+    assert(xx.size >= 15 && md.size >= 15,
+      s"test vacuous: too few pairs (xx=${xx.size}, md5=${md.size})")
+    val agreement = inter / union
+    assert(agreement >= 0.9,
+      s"mode agreement ${agreement} < 0.9: xx-only ${xx -- md}, " +
+        s"md5-only ${md -- xx}")
+    // every disagreement must be a borderline pair: exact token-shingle
+    // Jaccard in (0.45, 0.75) — the band where 8x4 banding recall is
+    // genuinely probabilistic. A clear-cut pair (j >= 0.75, candidate
+    // probability >= 0.95 per mode) appearing in only one mode would be
+    // a kernel bug, not hash-family variance.
+    val texts = corpus.toMap
+    def shingleJ(a: Long, b: Long): Double = {
+      def sh(t: String): Set[Seq[String]] =
+        t.split("\\s+").toSeq.sliding(3).map(_.toSeq).toSet
+      val (sa, sb) = (sh(texts(a)), sh(texts(b)))
+      (sa & sb).size.toDouble / (sa | sb).size.toDouble
+    }
+    val disputed = (xx | md) -- (xx & md)
+    disputed.foreach { case (a, b) =>
+      val j = shingleJ(a, b)
+      assert(j > 0.45 && j < 0.75,
+        s"pair ($a,$b) with clear-cut jaccard $j found by only one mode")
+    }
+  }
+
+  /** Driver-side md5 simhash signature as 4 16-bit chunks — the same
+    * independent replay OperatorsSpec pins the engine against. */
+  private def md5Chunks(text: String): IndexedSeq[Long] = {
+    val votes = new Array[Int](64)
+    for (t <- text.trim.toLowerCase.split("\\s+")) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      def half(off: Int): Long =
+        (0 until 4).foldLeft(0L)((a, i) => (a << 8) | (d(off + i) & 0xffL))
+      val hi = half(0); val lo = half(4)
+      for (i <- 0 until 64) {
+        val h = if (i < 32) lo else hi
+        votes(i) += (if (((h >> (i % 32)) & 1L) == 1L) 1 else -1)
+      }
+    }
+    IndexedSeq.tabulate(4)(b =>
+      (0 until 16).map(j => if (votes(b * 16 + j) > 0) 1L << j else 0L).sum)
+  }
+
+  test("simhash banding completeness law (hamming <= 3 pairs are ALWAYS " +
+      "candidates) holds on planted near-dups in BOTH hash modes") {
+    // 1-in-docLen mutation rates keep variants within a few signature
+    // bits of their base (vote margins ~ sqrt(docLen)), planting genuine
+    // hamming<=3 pairs; unrelated docs sit near hamming 32
+    val rates = Seq.fill(24)(0.015)
+    val (corpus, _) = plantedCorpus(seed = 777L, nBase = 30,
+      docLen = 80, mutationRates = rates)
+    val df = corpus.toDF("doc_id", "text")
+    val bigBucket = 1 << 20 // no cap: the law is about banding, not skew
+
+    def checkLaw(mode: String, sigChunks: Map[Long, IndexedSeq[Long]],
+        cands: DataFrame): Unit = {
+      val ids = sigChunks.keys.toSeq.sorted
+      def ham(a: Long, b: Long): Int =
+        (0 until 4).map(k =>
+          java.lang.Long.bitCount(sigChunks(a)(k) ^ sigChunks(b)(k))).sum
+      val expected = (for {
+        a <- ids; b <- ids if a < b && ham(a, b) <= 3
+      } yield (a, b)).toSet
+      val got = cands.filter(col("hamming") <= 3)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected.size >= 5,
+        s"$mode: test vacuous — only ${expected.size} planted pairs at " +
+          "hamming <= 3")
+      assert(got == expected,
+        s"$mode banding law violated: missed ${expected -- got}, " +
+          s"phantom ${got -- expected}")
+    }
+
+    // xxhash mode: signatures from the production SimHash64 kernel itself
+    // (the law then checks banding/bounding/hamming around it)
+    val xxSigs = df.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map { r =>
+        val s = r.getLong(1)
+        r.getLong(0) -> IndexedSeq.tabulate(4)(b => (s >>> (b * 16)) & 0xFFFFL)
+      }.toMap
+    checkLaw("xxhash", xxSigs,
+      Dedup.simhashCandidates(df, "doc_id", "text", maxBucket = bigBucket))
+
+    // md5 mode: signatures from the independent driver replay (the law
+    // then also cross-checks the engine's relational vote pipeline)
+    val mdSigs = corpus.map { case (id, t) => id -> md5Chunks(t) }.toMap
+    checkLaw("md5", mdSigs,
+      Dedup.simhashCandidatesMd5(df, "doc_id", "text", maxBucket = bigBucket))
+  }
+}

@@ -1132,6 +1132,35 @@ object PipelineQueries {
       },
       None),
 
+    // BPE ENCODING against a FIXED literal merge table — the serving-time
+    // half of the tokenizer, split out so it is oracle-checkable:
+    // training is iterative (q_bpe_tokenize stays rows-only by design),
+    // but encoding is deterministic rank-greedy merging, which DuckDB
+    // replays with a recursive CTE (lowest-rank present pair, all
+    // occurrences merged left-to-right non-overlapping per step — the
+    // sentinel-wrapped string replace() reproduces Bpe.mergePair exactly).
+    // Corpus-scale shape: one scan + token explode + word-keyed count
+    // shuffle; the per-distinct-word encode is vocabulary-sized. Words
+    // are restricted to ^[a-z]+$ on both sides (the sentinel encoding
+    // needs a '|'-free, '</w>'-free symbol alphabet).
+    QueryDef("q_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val model = graft.operators.Bpe.Model(bpeLiteralMerges)
+        Tables.documents(s, dir)
+          .select(explode(graft.operators.Corpus.spanTokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy("w").agg(count(lit(1)).as("n_occ"))
+          .as[(String, Long)]
+          .mapPartitions(_.map { case (w, n) =>
+            val sub = graft.operators.Bpe.encodeWord(w, model)
+            (w, n, sub.mkString(" "), sub.length.toLong)
+          })
+          .toDF("word", "n_occ", "subwords", "n_subwords")
+          .orderBy("word")
+      },
+      Some(bpeEncodeOracleSql)),
+
     // multimodal pipeline: payload -> decode (real ImageIO pixel path,
     // header/stub geometry fallback for these non-image payloads) ->
     // aspect-preserving resize -> batched feature extraction (stub
@@ -1152,6 +1181,29 @@ object PipelineQueries {
               col("feature").cast("array<double>")), 6)).as("feat_norm_sum"))
       },
       None),
+
+    // multimodal resize GEOMETRY, oracle-checked: the full resample
+    // pipeline's per-asset output dims and `resampled` flag are pure
+    // arithmetic over the decoded header dims — which for these text-
+    // derived payloads are the deterministic stub's FNV-fold dims
+    // (no corpus text carries an image magic prefix; canaried in
+    // SchemaCanarySpec), and ImageIO decodes none of them (`resampled`
+    // false, pixel path quarantined). DuckDB replays the byte fold in
+    // HUGEINT mod-2^64 arithmetic (signed bytes, JVM Long wraparound),
+    // the stub's dim derivation, and fitBox's half-up rounding; the
+    // pixel buffers stay spec-verified on real PNG/GIF/BMP payloads in
+    // MultimodalSpec.
+    QueryDef("q_multimodal_geom",
+      (s, dir) => {
+        val pay = graft.operators.Multimodal.withPayload(
+          Tables.documents(s, dir), "text", "payload")
+        graft.operators.Multimodal.resampleImages(
+          pay, "doc_id", "payload", maxW = 64, maxH = 64)
+          .select(col("id").as("doc_id"), col("out_w"), col("out_h"),
+            col("resampled"))
+          .orderBy("doc_id")
+      },
+      Some(multimodalGeomOracleSql(maxW = 64, maxH = 64))),
 
     // deterministic train/val/test hash split: md5-derived assignment the
     // oracle replays exactly in SQL (cuts at 800000/900000 of the 1e6
@@ -1460,6 +1512,54 @@ object PipelineQueries {
     val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
     val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
     s"""WITH sc AS (SELECT doc_id, $scoreCols FROM documents), sb AS (SELECT *, $best AS best FROM sc) SELECT doc_id, CASE $cases ELSE 'und' END AS pred FROM sb ORDER BY doc_id"""
+  }
+
+  /** The ONE fixed merge table shared by q_bpe_encode's engine body and
+    * its oracle (ranks = list order). Chosen to exercise every encoding
+    * behavior on this corpus' 31-word vocabulary: chains of merges
+    * building on earlier merges (s+c, sc+an), rank priority inversions
+    * (order: e+r fires before o+r despite position), end-of-word marker
+    * merges (th+e</w>), and repeated-char pairs (l+l, g+g). A def — `all`
+    * is built during object init (see topTermsK).
+    */
+  private def bpeLiteralMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("er", "</w>"), ("t", "h"), ("e", "</w>"), ("th", "e</w>"),
+    ("a", "n"), ("s", "c"), ("sc", "an"), ("a", "t"), ("h", "a"), ("s", "t"),
+    ("o", "r"), ("q", "u"), ("r", "o"), ("l", "l"), ("g", "g"))
+
+  /** DuckDB replay of rank-greedy BPE encoding against the literal merge
+    * table. Symbol lists are encoded as sentinel-wrapped strings — every
+    * symbol as `|sym|`, a word as their concatenation — so the pair
+    * `(x, y)` is present iff `|x||y|` occurs, and `replace(s, '|x||y|',
+    * '|xy|')` merges ALL its occurrences left-to-right non-overlapping in
+    * one pass, exactly Bpe.mergePair (replace scans the input, never the
+    * emitted output, matching mergePair's i+2 advance). The recursive CTE
+    * then iterates Bpe.encodeWord's loop: merge the lowest-rank present
+    * pair until none remains. Safe because the `^[a-z]+$` word filter
+    * keeps '|' (and any '</w>' fragment) out of the symbol alphabet.
+    */
+  private def bpeEncodeOracleSql: String = {
+    val vals = bpeLiteralMerges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '|$a||$b|', '|$a$b|')" }
+      .mkString(", ")
+    raw"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES $vals), words AS (SELECT tok AS w, COUNT(*) AS n_occ FROM (SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok FROM documents) WHERE regexp_matches(tok, '^[a-z]+$$') GROUP BY tok), init AS (SELECT w, '|' || array_to_string(list_transform(range(1, length(w)+1), i -> substring(w, CAST(i AS INT), 1)), '||') || '||</w>|' AS s FROM words), enc AS (SELECT w, s FROM init UNION ALL SELECT e.w, replace(e.s, (SELECT m.pat FROM merges m WHERE contains(e.s, m.pat) ORDER BY m.rank LIMIT 1), (SELECT m.rep FROM merges m WHERE contains(e.s, m.pat) ORDER BY m.rank LIMIT 1)) FROM enc e WHERE EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat))) SELECT w AS word, n_occ, trim(replace(s, '||', ' '), '|') AS subwords, CAST(len(string_split(trim(replace(s, '||', ' '), '|'), ' ')) AS BIGINT) AS n_subwords FROM enc e JOIN words USING (w) WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat)) ORDER BY word"""
+  }
+
+  /** DuckDB replay of q_multimodal_geom: Multimodal.decodeImageStub's
+    * FNV-ish fold `h = 31*h + signedByte` over the UTF-8 payload bytes
+    * (JVM Long wraparound = HUGEINT mod 2^64; bytes come signed from the
+    * hex of the encoded text, negative addends re-normalized), the stub's
+    * dims `w = (h mod 512) + 32`, `h2 = ((h >> 9) mod 512) + 32` (two's-
+    * complement bit slices = unsigned div/mod on the HUGEINT rep), then
+    * fitBox: scale `min(1, maxW/w, maxH/h)` in IEEE doubles, output dims
+    * `max(1, floor(d*scale + 0.5))` — bit-identical across engines
+    * (divide/multiply/floor are exact IEEE ops). `resampled` is false for
+    * every row: ImageIO decodes none of these text payloads, and no text
+    * carries a real image header (canaried).
+    */
+  private def multimodalGeomOracleSql(maxW: Int, maxH: Int): String = {
+    val m = "18446744073709551616::HUGEINT"
+    raw"""WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents), sb AS (SELECT doc_id, list_transform(list_transform(range(1, nb + 1), i -> CAST(('0x' || substring(hx, CAST(2*i-1 AS INT), 2)) AS INT)), b -> CAST(CASE WHEN b >= 128 THEN b - 256 ELSE b END AS HUGEINT)) AS bs FROM hx), fold AS (SELECT doc_id, list_reduce(list_prepend(1125899906842597::HUGEINT, bs), (a, x) -> ((a * 31 + x) % $m + $m) % $m) AS r FROM sb), dims AS (SELECT doc_id, (r % 512) + 32 AS w, ((r // 512) % 512) + 32 AS h FROM fold), sc AS (SELECT doc_id, CAST(w AS DOUBLE) AS w, CAST(h AS DOUBLE) AS h, LEAST(CAST(1 AS DOUBLE), LEAST($maxW / CAST(w AS DOUBLE), $maxH / CAST(h AS DOUBLE))) AS s FROM dims) SELECT doc_id, CAST(GREATEST(1, FLOOR(w * s + 0.5)) AS INT) AS out_w, CAST(GREATEST(1, FLOOR(h * s + 0.5)) AS INT) AS out_h, FALSE AS resampled FROM sc ORDER BY doc_id"""
   }
 
   // The ONE k shared by q_text_topterms' query body and its oracle: the

@@ -1479,6 +1479,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nz.filter($"g".isNull && $"z_r".isNotNull).count() == 2)
   }
 
+  test("BPE encode: lowest-rank pair merges ALL occurrences per step " +
+      "(the contract q_bpe_encode's replace()-based oracle replays)") {
+    // ranks: (ab,a)=0, (a,b)=1. On 'abab', all-occurrence merging of the
+    // present lowest-rank pair (a,b) yields [ab, ab] in ONE step — a
+    // one-occurrence-at-a-time scheme would instead create (ab,a) after
+    // the first merge, whose LOWER rank would then win and produce
+    // [aba, b]. Pin the all-occurrence semantics; DuckDB's replace()
+    // (left-to-right, non-overlapping, never rescanning emitted output)
+    // matches it exactly.
+    val m = Bpe.Model(Seq(("ab", "a"), ("a", "b")))
+    assert(Bpe.encodeWord("abab", m) == Seq("ab", "ab", Bpe.EndOfWord),
+      "all-occurrence-per-step merge contract broken")
+    // hand-checked rank-priority inversion from the q_bpe_encode literal
+    // table: in 'order', (e,r) rank0 fires before (o,r) rank3 despite
+    // position, and (er,</w>) completes the suffix
+    val lit = Bpe.Model(Seq(("e", "r"), ("er", "</w>"), ("t", "h"),
+      ("o", "r")))
+    assert(Bpe.encodeWord("order", lit) == Seq("or", "d", "er</w>"))
+  }
+
   test("BPE: hand-checked merges, train/encode parity, layout determinism") {
     val corpus = Seq((1L, "low low low low low"), (2L, "lower lower widest"),
       (3L, "newest newest newest widest low")).toDF("doc_id", "text")

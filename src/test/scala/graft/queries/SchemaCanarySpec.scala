@@ -125,6 +125,23 @@ class SchemaCanarySpec extends AnyFunSuite {
         "the similarity/kmeans oracle NaN contracts no longer hold")
     }
 
+    test(s"[$sf] document text never parses as a real image header " +
+        "(q_multimodal_geom stub-path contract)") {
+      import org.apache.spark.sql.functions._
+      // q_multimodal_geom's oracle replays ONLY the deterministic stub
+      // fold: a text that happened to start with an image magic (BMP's
+      // ASCII 'BM', GIF's 'GIF8'; PNG/JPEG magics are non-ASCII and
+      // cannot lead a text column) would take the real header-decode
+      // branch in the engine and diverge. NULL text would likewise split
+      // the two sides (engine zero-dims vs oracle NULL fold). Pin both.
+      val docs = Tables.documents(spark, dir)
+      val bad = docs.filter(col("text").isNull ||
+        col("text").startsWith("BM") || col("text").startsWith("GIF8")).count()
+      assert(bad == 0, s"$bad documents have NULL text or an image-magic " +
+        "prefix — q_multimodal_geom's stub-only oracle no longer matches " +
+        "the engine's decode dispatch")
+    }
+
     test(s"[$sf] id columns are unique (deterministic ORDER BY id " +
         "contracts)") {
       import org.apache.spark.sql.functions._

@@ -272,7 +272,10 @@ class TaskGraphFuzzSpec extends Properties("TaskGraphFuzz") {
     * and the model. Returns the op log (for failure messages) + both.
     */
   private def buildProgram(seed: Long): (String, TaskGraph, Model) = {
-    val rnd = new scala.util.Random(seed)
+    buildProgramRnd(new scala.util.Random(seed))
+  }
+
+  private def buildProgramRnd(rnd: scala.util.Random): (String, TaskGraph, Model) = {
     val log = new StringBuilder
     val base: Vector[(String, String)] = rnd.nextInt(4) match {
       case 0 => Vector("n1" -> "n2", "n2" -> "n3")
@@ -482,5 +485,70 @@ class TaskGraphFuzzSpec extends Properties("TaskGraphFuzz") {
         "groupby", "slice", "getItem", "delItem", "setChain", "resplice")
         .filter(k => log.contains(k + ":")).mkString("+")
       Prop.collect(kinds)(Prop(taskOk && edgeOk) :| s"seed=$seed prog=$log")
+    }
+
+  // ---------------------------------------------------------- error matrix
+
+  property("invalid ops raise on random program states where the reference " +
+      "raises (graph.py:316-334, 127-135, node_values.py:61-90)") =
+    forAll(Gen.chooseNum(0L, 100000000L)) { seed =>
+      val rnd = new scala.util.Random(seed ^ 0x5eed5eedL)
+      val (log, g, m) = buildProgramRnd(rnd)
+      // one invalid op per run, drawn from the classes ELIGIBLE in this
+      // program state (each mirrors a reference raise site); the engine
+      // must reject every one of them eagerly — at graph-construction
+      // time, before any Spark action, like the reference's plain-Python
+      // checks
+      val reducible = m.nodeList.filter(n => m.dimsOf(n).nonEmpty)
+      val mappedSrcs = m.nodeList.filter(n => m.mapped(n) && m.preds(n).isEmpty)
+      val nonSources = m.nodeList.filter(n => m.preds(n).nonEmpty)
+      val unmapped = m.nodeList.filterNot(m.mapped)
+      val classes: Vector[(String, () => Any)] = Vector(
+        reducible.headOption.map { n => "index-and-axis" -> { () =>
+          g.reduce(key = n, index = m.dimsOf(n).head, axis = 0, name = "zz1",
+            attrs = Map("func" -> "sum"))
+        } },
+        reducible.headOption.map { n => "missing-index" -> { () =>
+          g.reduce(key = n, index = "no_such_dim", name = "zz1",
+            attrs = Map("func" -> "sum"))
+        } },
+        reducible.headOption.map { n => "axis-out-of-range" -> { () =>
+          g.reduce(key = n, axis = m.dimsOf(n).size, name = "zz1",
+            attrs = Map("func" -> "sum"))
+        } },
+        reducible.headOption.map { n => "duplicate-name" -> { () =>
+          g.reduce(key = n, name = m.nodeList.head,
+            attrs = Map("func" -> "sum"))
+        } },
+        Some("unknown-key" -> { () =>
+          g.reduce(key = "no_such_node", name = "zz1",
+            attrs = Map("func" -> "sum"))
+        }),
+        nonSources.headOption.map { n => "map-non-source" -> { () =>
+          g.mapSeqs(Map(n -> (Seq[Any](1, 2))))
+        } },
+        mappedSrcs.headOption.map { n => "conflicting-remap" -> { () =>
+          // a fresh map of an already-mapped node arrives under a NEW
+          // auto-named dim with different values/length — the reference's
+          // "has already been mapped" / conflicting-indices raise
+          g.mapSeqs(Map(n -> (Seq[Any](9, 9, 9, 9, 9))))
+        } },
+        unmapped.headOption.map { n => "groupby-unmapped" -> { () =>
+          g.groupby(n)
+        } },
+        mappedSrcs.headOption.map { n => "delete-mapped" -> { () =>
+          g.delItem(n)
+        } },
+        Some("slice-unknown-dim" -> { () =>
+          g.byPosition("no_such_dim", 0, 1)
+        })
+      ).flatten
+      val (cls, op) = classes(rnd.nextInt(classes.size))
+      val raised =
+        try { op(); false }
+        catch { case _: IllegalArgumentException => true } // GraftException <: IAE
+      if (!raised)
+        println(s"=== ERROR-MATRIX MISS seed=$seed class=$cls prog=$log")
+      Prop.collect(cls)(Prop(raised) :| s"seed=$seed class=$cls prog=$log")
     }
 }

@@ -52,6 +52,20 @@ object ScaleEvidence {
     // to constant ~125-vector occupancy, as a production run would.
     val nEmb = emb.count()
     val cells = math.max(16, (nEmb / 125).toInt)
+
+    // write-path evidence: per-label scratch dir + a local-FS file count
+    // (the write sinks here are always local paths)
+    val writeBase =
+      s"target/scale_write/${label.replaceAll("[^A-Za-z0-9]", "_")}"
+    def countFiles(path: String, suffix: String): Long = {
+      val d = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(d)) 0L
+      else {
+        val s = java.nio.file.Files.walk(d)
+        try s.filter(p => p.toString.endsWith(suffix)).count()
+        finally s.close()
+      }
+    }
     val ops: Seq[(String, () => Long)] = Seq(
       "minhash_candidates" -> (() =>
         Dedup.minhashCandidates(docs, "doc_id", "text").count()),
@@ -107,7 +121,47 @@ object ScaleEvidence {
       "q9_profit" -> (() =>
         graft.SparkEntry.queries("q9_profit_shape")(spark, dir).count()),
       "profile_scan" -> (() =>
-        graft.SparkEntry.queries("q_profile")(spark, dir).count())
+        graft.SparkEntry.queries("q_profile")(spark, dir).count()),
+      // write paths (round-12): the three file-sink operators, split
+      // into a write op (whose "rows" reading is the FILE COUNT — the
+      // claim is file counts stay BOUNDED by the numFiles/shard knobs as
+      // data grows 100x, no small-file explosion) and a pruned-read op
+      // (whose wall must track the SELECTED slice, not the full layout)
+      "time_layout_write_files" -> { () =>
+        graft.operators.ScaleOps.writeTimePartitioned(
+          graft.queries.Tables.lineitem(spark, dir).select("l_orderkey",
+            "l_shipdate", "l_extendedprice", "l_discount"),
+          "l_shipdate", s"$writeBase/time")
+        countFiles(s"$writeBase/time", ".parquet")
+      },
+      "time_layout_pruned_read" -> (() =>
+        spark.read.parquet(s"$writeBase/time")
+          .filter(col("part_key") === "1997-03").count()),
+      "zorder_write_files" -> { () =>
+        graft.operators.ScaleOps.writeZOrdered(
+          graft.queries.Tables.lineitem(spark, dir).select("l_orderkey",
+            "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"),
+          "l_partkey", "l_suppkey", s"$writeBase/zorder", numFiles = 16)
+        countFiles(s"$writeBase/zorder", ".parquet")
+      },
+      "zorder_pruned_read" -> { () =>
+        val manifest = graft.operators.ScaleOps.minMaxManifest(
+          spark, s"$writeBase/zorder", "l_partkey")
+        graft.operators.ScaleOps.readSkipping(spark, s"$writeBase/zorder",
+            manifest, "l_partkey", lit(100L), lit(300L))
+          .filter(col("l_suppkey") <= 50).count()
+      },
+      "tar_write_files" -> { () =>
+        graft.sources.TarShards.writeShards(
+          docs.select((col("doc_id") % 20).as("shard"),
+            concat(col("doc_id"), lit(".txt")).as("member"),
+            col("text").cast("binary").as("bytes")),
+          "shard", "member", "bytes", s"$writeBase/tar")
+        countFiles(s"$writeBase/tar", ".tar")
+      },
+      "tar_read_members" -> (() =>
+        graft.sources.TarShards.members(spark, s"$writeBase/tar")
+          .filter(col("error").isNull).count())
     )
 
     // SPARK_GRAFT_OPS=a,b re-measures a subset (e.g. after one operator's

@@ -1119,8 +1119,17 @@ object PipelineQueries {
 
     // BPE tokenizer: merges learned from the distributed word-frequency
     // table (driver loop is vocab-sized — the standard trainer shape),
-    // corpus re-tokenized with broadcast ranks; top subwords reported
-    // (deterministic; training/encoding parity is spec-pinned; rows-only)
+    // corpus re-tokenized with broadcast ranks; top subwords reported.
+    // ORACLE-CHECKED since round 12 — the full TRAINING replays: the
+    // merge loop is deterministic arithmetic over the word-frequency
+    // table, so the oracle unrolls all 64 rounds as generated CTEs
+    // (pair counts from the current segmentation, the engine's exact
+    // (count desc, a asc, b asc) best-pair tie-break, the sentinel-
+    // wrapped replace() as mergePair — q_bpe_encode's construction),
+    // then censuses the final vocab segmentation. Valid because every
+    // corpus token is ^[a-z]+$ with count >= minCount (canaried), so
+    // the trained vocab covers the corpus and encode == training
+    // segmentation (the train/encode parity spec).
     QueryDef("q_bpe_tokenize",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -1130,7 +1139,7 @@ object PipelineQueries {
           .groupBy("sw").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("sw")).limit(20)
       },
-      None),
+      Some(bpeTrainOracleSql(numMerges = 64, minCount = 2, topk = 20))),
 
     // BPE ENCODING against a FIXED literal merge table — the serving-time
     // half of the tokenizer, split out so it is oracle-checkable:
@@ -1164,8 +1173,15 @@ object PipelineQueries {
     // multimodal pipeline: payload -> decode (real ImageIO pixel path,
     // header/stub geometry fallback for these non-image payloads) ->
     // aspect-preserving resize -> batched feature extraction (stub
-    // encoder; the plumbing — schema, batching, null totality — is real
-    // and spec-verified; rows-only)
+    // encoder). ORACLE-CHECKED since round 12: every number in the
+    // aggregate is deterministic arithmetic — the geometry replays the
+    // stub header fold (q_multimodal_geom's construction) and the stub
+    // encoder is the same mod-2^64 byte fold remixed per dimension into
+    // 16-bit/65536 dyadic floats, whose squared-sum norm is EXACT in
+    // doubles (<= 36 significant bits) and sqrt is correctly-rounded
+    // IEEE in both engines; floor-based rounding + decimal dsum finish
+    // the cross-engine identity. The real ImageIO pixel branch stays
+    // spec-verified on actual image payloads (MultimodalSpec).
     QueryDef("q_multimodal_pipeline",
       (s, dir) => {
         val pay = graft.operators.Multimodal.withPayload(
@@ -1177,10 +1193,11 @@ object PipelineQueries {
         resized.join(feats, "id")
           .agg(count(lit(1)).as("n_assets"),
             sum(col("out_w").cast("long")).as("out_w_sum"),
-            dsum(round(graft.operators.Similarity.norm(
-              col("feature").cast("array<double>")), 6)).as("feat_norm_sum"))
+            dsum(floor(graft.operators.Similarity.norm(
+              col("feature").cast("array<double>")) * 1e6d + 0.5d) / 1e6d)
+              .as("feat_norm_sum"))
       },
-      None),
+      Some(multimodalPipelineOracleSql(maxW = 64, maxH = 64, dim = 16))),
 
     // multimodal resize GEOMETRY, oracle-checked: the full resample
     // pipeline's per-asset output dims and `resampled` flag are pure
@@ -1557,9 +1574,71 @@ object PipelineQueries {
     * every row: ImageIO decodes none of these text payloads, and no text
     * carries a real image header (canaried).
     */
-  private def multimodalGeomOracleSql(maxW: Int, maxH: Int): String = {
+  /** Shared CTE text ending in `fold(doc_id, r)`: decodeImageStub's /
+    * extractFeatures' byte fold `h = 31*h + signedByte` over the UTF-8
+    * payload bytes, in the unsigned HUGEINT mod-2^64 representation of
+    * the JVM's wrapping signed Long.
+    */
+  private def multimodalFoldCtes: String = {
     val m = "18446744073709551616::HUGEINT"
-    raw"""WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents), sb AS (SELECT doc_id, list_transform(list_transform(range(1, nb + 1), i -> CAST(('0x' || substring(hx, CAST(2*i-1 AS INT), 2)) AS INT)), b -> CAST(CASE WHEN b >= 128 THEN b - 256 ELSE b END AS HUGEINT)) AS bs FROM hx), fold AS (SELECT doc_id, list_reduce(list_prepend(1125899906842597::HUGEINT, bs), (a, x) -> ((a * 31 + x) % $m + $m) % $m) AS r FROM sb), dims AS (SELECT doc_id, (r % 512) + 32 AS w, ((r // 512) % 512) + 32 AS h FROM fold), sc AS (SELECT doc_id, CAST(w AS DOUBLE) AS w, CAST(h AS DOUBLE) AS h, LEAST(CAST(1 AS DOUBLE), LEAST($maxW / CAST(w AS DOUBLE), $maxH / CAST(h AS DOUBLE))) AS s FROM dims) SELECT doc_id, CAST(GREATEST(1, FLOOR(w * s + 0.5)) AS INT) AS out_w, CAST(GREATEST(1, FLOOR(h * s + 0.5)) AS INT) AS out_h, FALSE AS resampled FROM sc ORDER BY doc_id"""
+    raw"""hx AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents), sb AS (SELECT doc_id, list_transform(list_transform(range(1, nb + 1), i -> CAST(('0x' || substring(hx, CAST(2*i-1 AS INT), 2)) AS INT)), b -> CAST(CASE WHEN b >= 128 THEN b - 256 ELSE b END AS HUGEINT)) AS bs FROM hx), fold AS (SELECT doc_id, list_reduce(list_prepend(1125899906842597::HUGEINT, bs), (a, x) -> ((a * 31 + x) % $m + $m) % $m) AS r FROM sb)"""
+  }
+
+  /** Shared CTE text (after [[multimodalFoldCtes]]) ending in
+    * `sc(doc_id, w, h, s)`: the stub dims plus fitBox's scale.
+    */
+  private def multimodalScaleCtes(maxW: Int, maxH: Int): String =
+    s"""dims AS (SELECT doc_id, (r % 512) + 32 AS w, ((r // 512) % 512) + 32 AS h FROM fold), sc AS (SELECT doc_id, CAST(w AS DOUBLE) AS w, CAST(h AS DOUBLE) AS h, LEAST(CAST(1 AS DOUBLE), LEAST($maxW / CAST(w AS DOUBLE), $maxH / CAST(h AS DOUBLE))) AS s FROM dims)"""
+
+  private def multimodalGeomOracleSql(maxW: Int, maxH: Int): String =
+    s"""WITH $multimodalFoldCtes, ${multimodalScaleCtes(maxW, maxH)} SELECT doc_id, CAST(GREATEST(1, FLOOR(w * s + 0.5)) AS INT) AS out_w, CAST(GREATEST(1, FLOOR(h * s + 0.5)) AS INT) AS out_h, FALSE AS resampled FROM sc ORDER BY doc_id"""
+
+  /** q_multimodal_pipeline replay: the geometry CTEs above plus the stub
+    * encoder — per dimension d, `hd = h * (2862933555777941757 + 2d) +
+    * 3037000493` in wrapping Long arithmetic, feature value
+    * `((hd >>> 40) & 0xFFFF) / 65536.0` (a 16-bit dyadic rational, exact
+    * through the float round-trip); the L2 norm's squared-sum needs <= 36
+    * significant bits (16 squares of 32-bit-significand values below 1),
+    * so it is EXACT in doubles and `sqrt` is correctly-rounded IEEE in
+    * both engines. Floor-based 1e-6 rounding + the decimal dsum finish
+    * the identity.
+    */
+  private def multimodalPipelineOracleSql(maxW: Int, maxH: Int,
+      dim: Int): String = {
+    val m = "18446744073709551616::HUGEINT"
+    s"""WITH $multimodalFoldCtes, ${multimodalScaleCtes(maxW, maxH)}, feat AS (SELECT doc_id, list_transform(range(0, $dim), d -> CAST(((r * (2862933555777941757::HUGEINT + 2*d) + 3037000493::HUGEINT) % $m // 1099511627776 % 65536) AS DOUBLE) / 65536.0) AS fl FROM fold), nm AS (SELECT doc_id, FLOOR(sqrt(list_inner_product(fl, fl)) * 1e6 + 0.5) / 1e6 AS norm_r FROM feat) SELECT COUNT(*) AS n_assets, CAST(SUM(CAST(GREATEST(1, FLOOR(w * s + 0.5)) AS BIGINT)) AS BIGINT) AS out_w_sum, ${dsumSql("norm_r")} AS feat_norm_sum FROM sc JOIN nm USING (doc_id)"""
+  }
+
+  /** DuckDB replay of the FULL BPE training loop (Bpe.train /
+    * learnMerges) plus the corpus subword census q_bpe_tokenize emits.
+    * Each of the `numMerges` rounds is an unrolled CTE triple over the
+    * sentinel-encoded vocab segmentation (the q_bpe_encode
+    * representation): adjacent-pair counts weighted by word frequency,
+    * the best pair under the engine's exact total order (count desc,
+    * then lexicographically smallest a, then b — bestPairOrdering), and
+    * the all-occurrences merge via `replace()`. A LEFT JOIN guards the
+    * pairs-exhausted case (engine stops; replay becomes the identity).
+    * The census needs no separate encode replay: every corpus token is
+    * in the trained vocab (^[a-z]+$, count >= minCount — canaried), and
+    * encoding a trained word reproduces its training segmentation
+    * (spec-pinned parity), so the final segmentation IS the tokenize
+    * output. All CTEs MATERIALIZED — DuckDB inlines plain CTEs and the
+    * 64-round chain would otherwise blow up exponentially (the
+    * kmeansCtes lesson).
+    */
+  private def bpeTrainOracleSql(numMerges: Int, minCount: Int,
+      topk: Int): String = {
+    val b = new StringBuilder
+    b ++= raw"""WITH wc AS MATERIALIZED (SELECT tok AS w, COUNT(*) AS c FROM (SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok FROM documents) WHERE tok <> '' GROUP BY tok HAVING COUNT(*) >= $minCount), """
+    b ++= """seg0 AS MATERIALIZED (SELECT w, c, '|' || array_to_string(list_transform(range(1, length(w)+1), i -> substring(w, CAST(i AS INT), 1)), '||') || '||</w>|' AS s FROM wc), """
+    for (r <- 1 to numMerges) {
+      b ++= s"p$r AS MATERIALIZED (SELECT l[i] AS a, l[i+1] AS b, SUM(c) AS cnt FROM (SELECT c, string_split(trim(s, '|'), '||') AS l FROM seg${r - 1}), UNNEST(generate_series(1, len(l) - 1)) AS u(i) GROUP BY 1, 2), "
+      b ++= s"b$r AS MATERIALIZED (SELECT '|' || a || '||' || b || '|' AS pat, '|' || a || b || '|' AS rep FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1), "
+      b ++= s"seg$r AS MATERIALIZED (SELECT g.w, g.c, CASE WHEN b.pat IS NULL THEN g.s ELSE replace(g.s, b.pat, b.rep) END AS s FROM seg${r - 1} g LEFT JOIN b$r b ON TRUE)" +
+        (if (r < numMerges) ", " else " ")
+    }
+    b ++= s"SELECT sw, CAST(SUM(c) AS BIGINT) AS n FROM (SELECT c, UNNEST(string_split(trim(s, '|'), '||')) AS sw FROM seg$numMerges) GROUP BY sw ORDER BY n DESC, sw ASC LIMIT $topk"
+    b.toString
   }
 
   // The ONE k shared by q_text_topterms' query body and its oracle: the

@@ -142,6 +142,30 @@ class SchemaCanarySpec extends AnyFunSuite {
         "the engine's decode dispatch")
     }
 
+    test(s"[$sf] corpus tokens are ^[a-z]+$$ with count >= 2 " +
+        "(q_bpe_tokenize training-replay contract)") {
+      import org.apache.spark.sql.functions._
+      // q_bpe_tokenize's oracle replays the FULL training loop in
+      // sentinel-encoded SQL and skips a separate encode replay; both
+      // need every corpus token to (a) use a '|'-free [a-z] alphabet and
+      // (b) clear minCount = 2, so the trained vocab covers the corpus
+      // and encode == training segmentation. A regen violating either
+      // would flip the oracle red — fail HERE with the offending tokens.
+      val toks = Tables.documents(spark, dir)
+        .select(explode(graft.operators.Corpus.spanTokens(col("text")))
+          .as("tok"))
+      val nonAlpha = toks.filter(!col("tok").rlike("^[a-z]+$"))
+        .distinct().limit(5).collect().map(_.getString(0))
+      assert(nonAlpha.isEmpty,
+        s"non-[a-z]+ corpus tokens: ${nonAlpha.mkString(", ")} — the " +
+          "sentinel-encoded BPE training replay no longer applies")
+      val rare = toks.groupBy("tok").count().filter(col("count") < 2)
+        .limit(5).collect().map(_.getString(0))
+      assert(rare.isEmpty,
+        s"tokens below minCount=2: ${rare.mkString(", ")} — corpus words " +
+          "outside the trained vocab break the census-without-encode replay")
+    }
+
     test(s"[$sf] id columns are unique (deterministic ORDER BY id " +
         "contracts)") {
       import org.apache.spark.sql.functions._

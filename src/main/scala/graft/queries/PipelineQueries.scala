@@ -48,15 +48,25 @@ object PipelineQueries {
 
     // streaming heavy hitters: per-event-type Misra-Gries top-user state
     // at ingest (batch execution = one invocation per key from empty
-    // state; rows-only — StreamingSpec proves == driver reference, the
-    // n/(k+1) guarantee, and 2-batch streaming == batch)
+    // state). ORACLE-CHECKED since round 12: in batch mode the operator
+    // sorts each key's rows by (epoch-millis, term) and runs ONE
+    // sequential MG fold — fully deterministic — which DuckDB replays as
+    // a list_reduce over the identically-ordered term list with the
+    // summary serialized as a 'term:count|…' string (mgStep's exact
+    // increment / insert-below-k / decrement-all-drop-zeros rule).
+    // StreamingSpec still proves == driver reference, the n/(k+1)
+    // guarantee, and 2-batch streaming == batch (the raw multi-batch
+    // STREAMING summary stays merge-order-dependent and un-oracled —
+    // that surface is covered by the guarantee specs and the
+    // StreamStateScale evidence).
     QueryDef("q_stream_topterms",
       (s, dir) => {
         graft.streaming.StreamTopK.topTerms(
-          Tables.events(s, dir), "event_type", "ts", "user_id", k = 8)
+          Tables.events(s, dir), "event_type", "ts", "user_id",
+          k = streamTopTermsK)
           .orderBy("gkey", "term")
       },
-      None),
+      Some(streamTopTermsOracleSql(k = streamTopTermsK))),
 
     // user-journey transition matrix: per-user time-ordered event pairs
     // (the Markov / next-action table product analytics builds); one
@@ -1639,6 +1649,26 @@ object PipelineQueries {
     }
     b ++= s"SELECT sw, CAST(SUM(c) AS BIGINT) AS n FROM (SELECT c, UNNEST(string_split(trim(s, '|'), '||')) AS sw FROM seg$numMerges) GROUP BY sw ORDER BY n DESC, sw ASC LIMIT $topk"
     b.toString
+  }
+
+  /** The ONE k shared by q_stream_topterms' query body and its oracle
+    * (a def — see topTermsK).
+    */
+  private def streamTopTermsK: Int = 8
+
+  /** DuckDB replay of the batch-mode Misra-Gries fold
+    * (StreamTopK.topTerms / mgStep): per group key, the engine sorts all
+    * rows by (ts epoch-MILLIS — `Timestamp.getTime` truncates the micros
+    * — then term) and folds sequentially; the oracle builds the same
+    * ordered term list and list_reduce's over it with the summary
+    * serialized as 'term:count|…' (terms are numeric user-id strings, so
+    * ':' and '|' never collide). The decrement-all branch COALESCEs the
+    * empty-summary case: DuckDB's array_to_string([]) is NULL, and a
+    * NULL accumulator would silently poison the rest of the fold.
+    */
+  private def streamTopTermsOracleSql(k: Int): String = {
+    val step = s"""CASE WHEN acc = '' THEN t || ':1' WHEN len(list_filter(string_split(acc,'|'), p -> string_split(p,':')[1] = t)) > 0 THEN array_to_string(list_transform(string_split(acc,'|'), p -> CASE WHEN string_split(p,':')[1] = t THEN t || ':' || CAST(CAST(string_split(p,':')[2] AS BIGINT)+1 AS VARCHAR) ELSE p END), '|') WHEN len(string_split(acc,'|')) < $k THEN acc || '|' || t || ':1' ELSE COALESCE(array_to_string(list_filter(list_transform(string_split(acc,'|'), p -> string_split(p,':')[1] || ':' || CAST(CAST(string_split(p,':')[2] AS BIGINT)-1 AS VARCHAR)), p -> CAST(string_split(p,':')[2] AS BIGINT) > 0), '|'), '') END"""
+    s"""WITH ev AS (SELECT CAST(event_type AS VARCHAR) AS gkey, ts, CAST(user_id AS VARCHAR) AS term FROM events), lst AS (SELECT gkey, list(term ORDER BY epoch_ms(ts), term) AS terms, COUNT(*) AS n FROM ev GROUP BY gkey), fold AS (SELECT gkey, n, list_reduce(list_prepend('', terms), (acc, t) -> $step) AS st FROM lst), pairs AS (SELECT gkey, n, UNNEST(string_split(st, '|')) AS p FROM fold WHERE st <> '') SELECT gkey, string_split(p,':')[1] AS term, CAST(string_split(p,':')[2] AS BIGINT) AS est, n FROM pairs ORDER BY gkey, term"""
   }
 
   // The ONE k shared by q_text_topterms' query body and its oracle: the

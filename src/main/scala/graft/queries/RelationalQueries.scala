@@ -280,16 +280,28 @@ object RelationalQueries {
     // distinct-heavy aggs — one pass, fixed-size sketch per group, no
     // per-key shuffle of the distinct values (exact countDistinct above
     // expands each group to its distinct keys before the final count).
-    // Sketch estimates are engine-specific, so no DuckDB oracle; the
-    // relative-error bound vs exact is spec-verified in OperatorsSpec.
+    // ORACLE-CHECKED since round 12 via sketch-then-verify: the sketch
+    // estimate itself is engine-specific (DuckDB's HLL differs), but the
+    // PRODUCTION estimate's error contract is hash-checkable — the query
+    // emits the exact count plus `hll_within_rsd` = (|est - exact| <=
+    // 2.5*rsd*exact), and the oracle asserts TRUE. The estimate is
+    // deterministic for fixed input, so a hash/estimator regression in
+    // the built-in HLL++ flips the boolean and fails the gate (observed
+    // error <= 1.03% at every SF; rsd = 0.02, gate bound 0.05). The
+    // tight 2%-rsd law stays spec-verified in OperatorsSpec.
     QueryDef("q_approx_distinct",
       (s, dir) => {
         Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("dp_approx"))
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("__ap"),
+            countDistinct(col("l_partkey")).as("dp_exact"))
+          .select(col("l_returnflag"), col("dp_exact"),
+            (abs(col("__ap") - col("dp_exact")) <=
+              lit(0.05) * col("dp_exact")).as("hll_within_rsd"))
           .orderBy("l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dp_exact, TRUE AS hll_within_rsd FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // exact percentiles (continuous interpolation — Spark `percentile`
     // matches DuckDB `quantile_cont` definitionally)

@@ -535,6 +535,28 @@ object Dedup {
             (a, b) => (a + i.cast("long") * b) % lit(4294967296L)))).as("sig"))
   }
 
+  /** md5-mode MinHash signature with caller-chosen carried columns — the
+    * [[minhashIndexMd5]] staging (one md5 per shingle, halves re-used
+    * across all `h` affine rehashes via the multi-select aliases) for
+    * operators that need extra columns alongside `sig` (the streaming
+    * dedup carries its event-time column). Same signature values as
+    * [[minhashIndexMd5]] on the same text.
+    */
+  private[graft] def minhashSigMd5Frame(df: DataFrame, textCol: String,
+      carry: Seq[String], h: Int, k: Int): DataFrame = {
+    def half(x: Column, off: Int): Column =
+      conv(substring(x, off, 8), 16, 10).cast("long")
+    val keep = carry.map(col)
+    df.select(keep :+
+        transform(shingles(coalesce(col(textCol), lit("")), k),
+          s => md5(s.cast("binary"))).as("__hx"): _*)
+      .select(keep :+ transform(col("__hx"), x => half(x, 1)).as("__a") :+
+        transform(col("__hx"), x => half(x, 9)).as("__b"): _*)
+      .select(keep :+ transform(sequence(lit(0), lit(h - 1)), i =>
+        array_min(zip_with(col("__a"), col("__b"),
+          (a, b) => (a + i.cast("long") * b) % lit(4294967296L)))).as("sig"): _*)
+  }
+
   private def md5Prepared(scope: CacheScope, df: DataFrame,
       idCol: String, textCol: String, bands: Int, rows: Int, k: Int): DataFrame =
     scope.persist(minhashIndexMd5(df, idCol, textCol, bands, rows, k))

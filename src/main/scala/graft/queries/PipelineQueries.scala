@@ -558,12 +558,42 @@ object PipelineQueries {
     // per-bucket operator; batch==stream==driver-reference equivalence in
     // StreamingSpec): minhash signatures banded to keyed state, each doc
     // flagged against the earliest sufficiently-similar doc in its bucket.
+    // ORACLE-CHECKED since round 12 in md5 mode: in batch execution the
+    // per-bucket fold is a pure function of arrival order (ts here is
+    // strictly increasing in doc_id), and its OUTPUT is expressible
+    // declaratively — a doc's stored set is exactly the first
+    // min(maxBucket, pos) earlier arrivals in its bucket, and its hit is
+    // the minimum-arrival stored signature agreeing on >= threshold of
+    // positions — so DuckDB replays signatures, banding, arrival ranks,
+    // and the first-match rule as windowed SQL over the shared md5
+    // signature CTEs. The xxhash64 production path keeps its own bench
+    // row (q_stream_neardup_xx below) and the planted-dup agreement law
+    // between the modes is spec-pinned (HashModeAgreementSpec).
     QueryDef("q_stream_neardup",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .withColumn("ts", timestamp_micros((col("doc_id") + 10000L) * 1000000L))
         graft.streaming.StreamDedup
-          .nearDupHits(docs, "doc_id", "ts", "text", threshold = 0.5)
+          .nearDupHits(docs, "doc_id", "ts", "text",
+            threshold = streamNearDupThreshold, md5Mode = true)
+          .select("doc_id", "dup_of").distinct()
+          .orderBy("doc_id", "dup_of")
+      },
+      Some(streamNearDupOracleSql(bands = 8, rows = 4,
+        threshold = streamNearDupThreshold, maxBucket = 64))),
+
+    // the PRODUCTION xxhash64-kernel run of the same streaming near-dup
+    // pipeline — rows-only on purpose: its hashes have no SQL twin, but
+    // the kernel path must keep a bench wall + floor so a codegen or perf
+    // regression in the native signature kernels shows up in the
+    // artifact, not only in specs (same posture as q_dedup_minhash_xx).
+    QueryDef("q_stream_neardup_xx",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("ts", timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+        graft.streaming.StreamDedup
+          .nearDupHits(docs, "doc_id", "ts", "text",
+            threshold = streamNearDupThreshold)
           .select("doc_id", "dup_of").distinct()
           .orderBy("doc_id", "dup_of")
       },
@@ -1669,6 +1699,36 @@ object PipelineQueries {
     * (a def — see topTermsK).
     */
   private def streamTopTermsK: Int = 8
+
+  /** The ONE threshold shared by q_stream_neardup / q_stream_neardup_xx
+    * and the oracle (both sides must move together — see topTermsK).
+    */
+  private def streamNearDupThreshold: Double = 0.5
+
+  /** DuckDB replay of the md5-mode batch StreamDedup fold. The stateful
+    * per-bucket scan is declarative in batch mode: arrival order inside a
+    * bucket is `(ts, doc_id)` = plain doc_id here (ts is strictly
+    * increasing in doc_id), a doc's stored candidate set is exactly the
+    * earlier arrivals with arrival rank < maxBucket (docs append
+    * regardless of being hits), and the emitted `dup_of` is the
+    * MINIMUM-arrival stored signature agreeing on >= threshold of the h
+    * positions — MIN(id) per (doc, band) after the rank/agreement
+    * filters, then the query's DISTINCT projection. Signature/banding
+    * CTEs are the SAME `minhashMd5BandedSql` block every other minhash
+    * oracle derives from. The positional-agreement test compares
+    * `eq >= threshold*h` in exact integers, so the declared threshold
+    * must make `threshold*h` integral (guarded below) — the engine's
+    * `eq/h >= threshold` double compare is then exactly equivalent.
+    */
+  private def streamNearDupOracleSql(bands: Int, rows: Int,
+      threshold: Double, maxBucket: Int): String = {
+    val h = bands * rows
+    val minEq = math.rint(threshold * h).toInt
+    require(minEq == threshold * h,
+      s"threshold*h must be integral for the eq-count replay, got ${threshold * h}")
+    "WITH " + minhashMd5BandedSql(bands, rows) +
+      s""", pos AS (SELECT id, b, bucket, row_number() OVER (PARTITION BY b, bucket ORDER BY id) - 1 AS p FROM banded), firsts AS (SELECT x.id AS doc_id, x.b AS band, MIN(y.id) AS dup_of FROM pos x JOIN pos y USING (b, bucket) JOIN sig sx ON sx.doc_id = x.id JOIN sig sy ON sy.doc_id = y.id WHERE y.p < x.p AND y.p < $maxBucket AND len(list_filter(range(1, ${h + 1}), i -> sx.sig[i] = sy.sig[i])) >= $minEq GROUP BY x.id, x.b) SELECT DISTINCT doc_id, dup_of FROM firsts ORDER BY doc_id, dup_of"""
+  }
 
   /** DuckDB replay of the batch-mode Misra-Gries fold
     * (StreamTopK.topTerms / mgStep): per group key, the engine sorts all

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -36,30 +36,49 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 object StreamDedup {
 
   final case class BandRow(doc_id: Long, ts: java.sql.Timestamp,
-      band: Int, bucket: Long, sig: Seq[Long])
+      band: Int, bucket: String, sig: Seq[Long])
   final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]],
       lastMs: Long)
   final case class DupHit(doc_id: Long, ts: java.sql.Timestamp,
       dup_of: Long, band: Int, est: Double)
 
+  /** `md5Mode` swaps the xxhash64 signature/banding kernels for the
+    * md5-replayable twins ([[graft.operators.Dedup.minhashSigMd5Frame]]
+    * signatures; comma-joined decimal bucket keys — banding only needs
+    * bucket EQUALITY): identical pipeline and state shape, every hash
+    * step replayable in DuckDB SQL, so the BATCH execution (one
+    * invocation per key from empty state, a pure function of per-bucket
+    * `(ts, id)` arrival order) can be oracle-checked end to end. The
+    * xxhash64 default stays the production/streaming path.
+    */
   def nearDupHits(docs: DataFrame, idCol: String, tsCol: String,
       textCol: String, bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
       threshold: Double = 0.7, horizonMs: Long = 2L * 3600 * 1000,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64, md5Mode: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val h = bands * rowsPerBand
     val streaming = docs.isStreaming
     // one signature pass per doc, then the band explode (same staging rule
     // as batch: never compute the signature once per band)
-    val sigd = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      col(tsCol).as("ts"),
-      graft.operators.Dedup.minhashSignature(col(textCol), h, k).as("sig"))
+    val sigd =
+      if (md5Mode) graft.operators.Dedup.minhashSigMd5Frame(
+        docs.select(col(idCol).cast("long").as("doc_id"),
+          col(tsCol).as("ts"), col(textCol)),
+        textCol, Seq("doc_id", "ts"), h, k)
+      else docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"),
+        graft.operators.Dedup.minhashSignature(col(textCol), h, k).as("sig"))
+    val bucketOf: Column => Column =
+      if (md5Mode) b => concat_ws(",",
+        transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))
+      else b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+        lit(rowsPerBand))).cast("string")
     val banded = sigd
       .select(col("doc_id"), col("ts"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .withWatermark("ts", s"${horizonMs / 1000} seconds")
       .as[BandRow]

@@ -109,6 +109,48 @@ class HashModeAgreementSpec extends AnyFunSuite {
     }
   }
 
+  test("stream near-dup md5 vs xxhash on the randomized borderline " +
+      "corpus: hit-set Jaccard >= 0.9 and every disagreement is borderline") {
+    // same rate mix as the minhash agreement test; hits here flag on
+    // SIGNATURE positional agreement (no exact-jaccard verify pass), so
+    // the per-pair estimate is a mean of h=32 Bernoulli(j) trials with
+    // std ~0.08 — the legitimate-variance window is correspondingly wider
+    // (j < 0.8) than the verified-pair test's 0.75
+    val rates = Seq.fill(6)(0.0) ++ Seq.fill(12)(0.02) ++ Seq.fill(8)(0.05) ++
+      Seq.fill(4)(0.08) ++ Seq.fill(2)(0.12)
+    val (corpus, _) = plantedCorpus(seed = 20260814L, nBase = 50,
+      docLen = 50, mutationRates = rates)
+    val df = corpus.toDF("doc_id", "text")
+      .withColumn("ts",
+        timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+    def hitSet(md5Mode: Boolean): Set[(Long, Long)] =
+      graft.streaming.StreamDedup
+        .nearDupHits(df, "doc_id", "ts", "text", threshold = 0.5,
+          md5Mode = md5Mode)
+        .select("doc_id", "dup_of").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xx = hitSet(md5Mode = false)
+    val md = hitSet(md5Mode = true)
+    assert(xx.size >= 15 && md.size >= 15,
+      s"test vacuous: too few hits (xx=${xx.size}, md5=${md.size})")
+    val agreement = (xx & md).size.toDouble / (xx | md).size.toDouble
+    assert(agreement >= 0.9,
+      s"mode agreement ${agreement} < 0.9: xx-only ${xx -- md}, " +
+        s"md5-only ${md -- xx}")
+    val texts = corpus.toMap
+    def shingleJ(a: Long, b: Long): Double = {
+      def sh(t: String): Set[Seq[String]] =
+        t.split("\\s+").toSeq.sliding(3).map(_.toSeq).toSet
+      val (sa, sb) = (sh(texts(a)), sh(texts(b)))
+      (sa & sb).size.toDouble / (sa | sb).size.toDouble
+    }
+    ((xx | md) -- (xx & md)).foreach { case (a, b) =>
+      val j = shingleJ(a, b)
+      assert(j > 0.45 && j < 0.8,
+        s"hit ($a,$b) with clear-cut jaccard $j found by only one mode")
+    }
+  }
+
   /** Driver-side md5 simhash signature as 4 16-bit chunks — the same
     * independent replay OperatorsSpec pins the engine against. */
   private def md5Chunks(text: String): IndexedSeq[Long] = {

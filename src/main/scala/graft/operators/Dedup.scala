@@ -541,6 +541,16 @@ object Dedup {
     * operators that need extra columns alongside `sig` (the streaming
     * dedup carries its event-time column). Same signature values as
     * [[minhashIndexMd5]] on the same text.
+    *
+    * The `sh` output is emitted for the SAME reason minhashIndexMd5
+    * emits it even when the caller has no Jaccard-verify stage: it
+    * references `__a` a second time, which stops CollapseProject from
+    * inlining the md5-half conversion INTO the per-position rehash
+    * lambda (a single-use alias gets inlined, and the conversion then
+    * re-runs once per signature position — a measured ~24x slowdown on
+    * the streaming twin). Callers that drop `sh` must do so ABOVE a
+    * materialization barrier ([[stage]] / persist), or column pruning
+    * re-enables the inline.
     */
   private[graft] def minhashSigMd5Frame(df: DataFrame, textCol: String,
       carry: Seq[String], h: Int, k: Int): DataFrame = {
@@ -552,9 +562,10 @@ object Dedup {
           s => md5(s.cast("binary"))).as("__hx"): _*)
       .select(keep :+ transform(col("__hx"), x => half(x, 1)).as("__a") :+
         transform(col("__hx"), x => half(x, 9)).as("__b"): _*)
-      .select(keep :+ transform(sequence(lit(0), lit(h - 1)), i =>
-        array_min(zip_with(col("__a"), col("__b"),
-          (a, b) => (a + i.cast("long") * b) % lit(4294967296L)))).as("sig"): _*)
+      .select(keep :+ sort_array(array_distinct(col("__a"))).as("sh") :+
+        transform(sequence(lit(0), lit(h - 1)), i =>
+          array_min(zip_with(col("__a"), col("__b"),
+            (a, b) => (a + i.cast("long") * b) % lit(4294967296L)))).as("sig"): _*)
   }
 
   private def md5Prepared(scope: CacheScope, df: DataFrame,

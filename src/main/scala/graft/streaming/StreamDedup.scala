@@ -61,11 +61,21 @@ object StreamDedup {
     val streaming = docs.isStreaming
     // one signature pass per doc, then the band explode (same staging rule
     // as batch: never compute the signature once per band)
+    require(!(md5Mode && streaming),
+      "md5Mode is the BATCH oracle twin (it stages the signature frame " +
+        "through an eager checkpoint); live streams use the xxhash64 kernels")
     val sigd =
-      if (md5Mode) graft.operators.Dedup.minhashSigMd5Frame(
-        docs.select(col(idCol).cast("long").as("doc_id"),
-          col(tsCol).as("ts"), col(textCol)),
-        textCol, Seq("doc_id", "ts"), h, k)
+      if (md5Mode)
+        // the stage() barrier materializes (doc_id, ts, sh, sig) ONCE:
+        // below it, `sh` keeps the md5-half arrays multi-referenced so
+        // the conversions aren't inlined per position; above it, dropping
+        // sh and fanning out per band can't re-trigger any recompute
+        graft.operators.Dedup.stage(
+          graft.operators.Dedup.minhashSigMd5Frame(
+            docs.select(col(idCol).cast("long").as("doc_id"),
+              col(tsCol).as("ts"), col(textCol)),
+            textCol, Seq("doc_id", "ts"), h, k))
+          .select("doc_id", "ts", "sig")
       else docs.select(
         col(idCol).cast("long").as("doc_id"),
         col(tsCol).as("ts"),

@@ -576,7 +576,11 @@ object PipelineQueries {
         graft.streaming.StreamDedup
           .nearDupHits(docs, "doc_id", "ts", "text",
             threshold = streamNearDupThreshold, md5Mode = true)
-          .select("doc_id", "dup_of").distinct()
+          // est = eq/h of the WHOLE signature — a dyadic rational, exact
+          // in doubles on both engines, and identical across a pair's
+          // detecting bands, so the distinct projection keeps one row
+          // per (doc, dup_of) with its exact agreement pinned
+          .select("doc_id", "dup_of", "est").distinct()
           .orderBy("doc_id", "dup_of")
       },
       Some(streamNearDupOracleSql(bands = 8, rows = 4,
@@ -1712,8 +1716,10 @@ object PipelineQueries {
     * earlier arrivals with arrival rank < maxBucket (docs append
     * regardless of being hits), and the emitted `dup_of` is the
     * MINIMUM-arrival stored signature agreeing on >= threshold of the h
-    * positions — MIN(id) per (doc, band) after the rank/agreement
-    * filters, then the query's DISTINCT projection. Signature/banding
+    * positions — the arg-min by arrival rank per (doc, band) after the
+    * rank/agreement filters (carrying its exact agreement `est` = eq/h,
+    * a dyadic rational so the double is bit-identical across engines),
+    * then the query's DISTINCT projection. Signature/banding
     * CTEs are the SAME `minhashMd5BandedSql` block every other minhash
     * oracle derives from. The positional-agreement test compares
     * `eq >= threshold*h` in exact integers, so the declared threshold
@@ -1727,7 +1733,7 @@ object PipelineQueries {
     require(minEq == threshold * h,
       s"threshold*h must be integral for the eq-count replay, got ${threshold * h}")
     "WITH " + minhashMd5BandedSql(bands, rows) +
-      s""", pos AS (SELECT id, b, bucket, row_number() OVER (PARTITION BY b, bucket ORDER BY id) - 1 AS p FROM banded), firsts AS (SELECT x.id AS doc_id, x.b AS band, MIN(y.id) AS dup_of FROM pos x JOIN pos y USING (b, bucket) JOIN sig sx ON sx.doc_id = x.id JOIN sig sy ON sy.doc_id = y.id WHERE y.p < x.p AND y.p < $maxBucket AND len(list_filter(range(1, ${h + 1}), i -> sx.sig[i] = sy.sig[i])) >= $minEq GROUP BY x.id, x.b) SELECT DISTINCT doc_id, dup_of FROM firsts ORDER BY doc_id, dup_of"""
+      s""", pos AS (SELECT id, b, bucket, row_number() OVER (PARTITION BY b, bucket ORDER BY id) - 1 AS p FROM banded), cand AS (SELECT x.id AS doc_id, x.b AS band, y.id AS dup_of, y.p AS yp, len(list_filter(range(1, ${h + 1}), i -> sx.sig[i] = sy.sig[i])) AS eq FROM pos x JOIN pos y USING (b, bucket) JOIN sig sx ON sx.doc_id = x.id JOIN sig sy ON sy.doc_id = y.id WHERE y.p < x.p AND y.p < $maxBucket), firsts AS (SELECT doc_id, band, dup_of, CAST(eq AS DOUBLE) / $h AS est, row_number() OVER (PARTITION BY doc_id, band ORDER BY yp) AS rn FROM cand WHERE eq >= $minEq) SELECT DISTINCT doc_id, dup_of, est FROM firsts WHERE rn = 1 ORDER BY doc_id, dup_of"""
   }
 
   /** DuckDB replay of the batch-mode Misra-Gries fold

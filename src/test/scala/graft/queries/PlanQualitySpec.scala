@@ -281,4 +281,23 @@ class PlanQualitySpec extends AnyFunSuite {
     val want = composed.collect().map(r => key(r) -> r.toSeq).toMap
     assert(got == want, "native result differs from composed on shared-relation inputs")
   }
+
+  test("md5 stream-dedup keeps its staging barrier (no md5/conv above " +
+      "the checkpoint)") {
+    // regression gate for the 24x wall blow-up of commit 5b8f194: the
+    // md5-half conversions in minhashSigMd5Frame are protected from a
+    // CollapseProject per-position inline ONLY by the `sh` double
+    // reference below an eager-checkpoint barrier. If the stage() is
+    // ever removed, the hash expressions resurface in the operator's
+    // optimized plan (they currently all execute inside the barrier
+    // and the plan above it starts from a LogicalRDD).
+    val plan = planOf("q_stream_neardup")
+    assert(!plan.contains("md5(") && !plan.contains("conv("),
+      "md5/conv hash expressions above the staging barrier — the " +
+        s"eager checkpoint in StreamDedup md5Mode is gone:\n${plan.take(1200)}")
+    // and the barrier really is there: the banded scan reads a
+    // materialized RDD, not the raw documents parquet
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
+      s"no checkpoint barrier in the md5 stream-dedup plan:\n${plan.take(1200)}")
+  }
 }

@@ -609,11 +609,13 @@ object PipelineQueries {
     // per-day sketches can be stored and re-aggregated without rescanning
     // raw data. ORACLE-CHECKED since round 12 via sketch-then-verify:
     // DuckDB's HLL differs bit-wise, so the gate row emits each level's
-    // exact count plus `hll_within_bound` = (|est - exact| <= 5% exact)
+    // exact count plus `hll_within_bound` = (|est - exact| <= 6% exact)
     // computed from the PRODUCTION DataSketches estimates — per type from
     // the sketch agg, and for the ALL row through the hll_union_agg merge
     // path — and the oracle asserts TRUE (estimates are deterministic for
-    // fixed input; observed error <= 1.34% at every SF, lgK=12 rsd 1.6%).
+    // fixed input; observed error <= 1.34% at every SF, lgK=12 rsd 1.6%;
+    // the 6% bound is 3.75 sigma — regeneration-proof, while any real
+    // estimator break lands 10x outside it).
     // The tight union==global + error laws stay spec-verified
     // (OperatorsSpec).
     QueryDef("q_sketch_distinct",
@@ -639,7 +641,7 @@ object PipelineQueries {
           .join(exact, "event_type")
           .select(col("event_type"), col("n_exact"),
             (abs(col("__est") - col("n_exact")) <=
-              lit(0.05) * col("n_exact")).as("hll_within_bound"))
+              lit(0.06) * col("n_exact")).as("hll_within_bound"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_within_bound FROM events GROUP BY event_type UNION ALL SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events ORDER BY event_type""")),

@@ -284,11 +284,14 @@ object RelationalQueries {
     // estimate itself is engine-specific (DuckDB's HLL differs), but the
     // PRODUCTION estimate's error contract is hash-checkable — the query
     // emits the exact count plus `hll_within_rsd` = (|est - exact| <=
-    // 2.5*rsd*exact), and the oracle asserts TRUE. The estimate is
+    // 3.75*rsd*exact), and the oracle asserts TRUE. The estimate is
     // deterministic for fixed input, so a hash/estimator regression in
-    // the built-in HLL++ flips the boolean and fails the gate (observed
-    // error <= 1.03% at every SF; rsd = 0.02, gate bound 0.05). The
-    // tight 2%-rsd law stays spec-verified in OperatorsSpec.
+    // the built-in HLL++ flips the boolean and fails the gate (a broken
+    // hash inflates error 10x+; observed error <= 1.03% at every SF;
+    // rsd = 0.02). The bound sits at 3.75 sigma so a REGENERATED corpus
+    // cannot flip it by estimator luck (2.5 sigma would flip ~1% of
+    // regens per row); the tight 2%-rsd law stays spec-verified in
+    // OperatorsSpec on the fixed corpora.
     QueryDef("q_approx_distinct",
       (s, dir) => {
         Tables.lineitem(s, dir)
@@ -298,7 +301,7 @@ object RelationalQueries {
             countDistinct(col("l_partkey")).as("dp_exact"))
           .select(col("l_returnflag"), col("dp_exact"),
             (abs(col("__ap") - col("dp_exact")) <=
-              lit(0.05) * col("dp_exact")).as("hll_within_rsd"))
+              lit(0.075) * col("dp_exact")).as("hll_within_rsd"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dp_exact, TRUE AS hll_within_rsd FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),

@@ -95,6 +95,18 @@ object ScaleEvidence {
       // kernel's narrow map, so it carries its own linearity evidence
       "simhash_md5" -> (() =>
         Dedup.simhashCandidatesMd5(docs, "doc_id", "text").count()),
+      // the md5-mode batch stream-dedup twin (q_stream_neardup's
+      // declared shape since round 12): staged md5 signature frame +
+      // per-bucket stateful scan in arrival order. Claims: wall linear
+      // in the corpus (one signature pass + a (band,bucket)-keyed
+      // shuffle), and the per-bucket scan bounded by the maxBucket cap
+      // however hot the bucket (compare-against <= 64 stored signatures)
+      "stream_neardup_md5" -> (() =>
+        graft.streaming.StreamDedup.nearDupHits(
+          docs.withColumn("ts",
+            timestamp_micros((col("doc_id") + 10000L) * 1000000L)),
+          "doc_id", "ts", "text", threshold = 0.5, md5Mode = true)
+          .select("doc_id", "dup_of").count()),
       // the full text->vector->LSH composite (q_text_embed_neardup's
       // shape): one narrow codegen'd embed map (HashEmbedVector) staged
       // once, then banded hyperplane LSH with the maxBucket star-cap

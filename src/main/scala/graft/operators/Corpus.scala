@@ -69,7 +69,9 @@ object Corpus {
     * so the corpus scan is one narrow pass with a map-side semi join: no
     * shuffle of the training side at all.
     *
-    * Output: `(idCol, n_hits)` for contaminated documents only.
+    * Output: `(idCol, n_hits)` for contaminated documents only. For the
+    * per-probe pairwise view (which benchmark item leaked, against which
+    * document), see [[ngramContamination]].
     */
   def decontaminationHits(
       train: DataFrame,
@@ -88,6 +90,52 @@ object Corpus {
       // per-document grams are already distinct (shingleHashes), so the
       // plain count is the distinct-overlap count
       .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Per-probe pairwise contamination attribution — the complement of
+    * [[decontaminationHits]]: that scan answers "which TRAINING docs are
+    * tainted, and how badly, against the benchmark as a whole" (the
+    * bench side collapses to one distinct hash set, so per-probe
+    * attribution is not derivable from it); this one answers "which
+    * PROBE is hit, by which corpus document, on how many distinct
+    * shared word `k`-shingles" — the report an eval owner needs to
+    * retire or re-split a leaked benchmark item. Emits
+    * `(probe_id, doc_id, n_shared)` for pairs with
+    * `n_shared >= minShared`.
+    *
+    * Same broadcast posture as the sibling: probe shingle hashes ride a
+    * broadcast onto one corpus scan; the only shuffle is the
+    * match-proportional (probe, doc) pair aggregate, with the
+    * `minShared` filter applied at the aggregate so sub-threshold pairs
+    * never survive it. Both sides are distinct-hash sets, so join-row
+    * counting IS the distinct-overlap count.
+    *
+    * `md5Mode` swaps the XXH64 shingle kernel
+    * ([[Dedup.shingleHashes]]) for the 32-bit md5 half (the same
+    * relation absent collision differences; spec-pinned equal on the
+    * planted corpus) so the DuckDB oracle can replay the whole scan —
+    * `q_contamination` declares it, mirroring `q_decontaminate` on the
+    * census side.
+    */
+  def ngramContamination(docs: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, probeIdCol: String,
+      probeTextCol: String, k: Int = 3, minShared: Int = 3,
+      md5Mode: Boolean = false): DataFrame = {
+    def hashSet(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (md5Mode) array_distinct(transform(Dedup.shingles(text, k), s =>
+        conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
+      else Dedup.shingleHashes(text, k)
+    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+      hashSet(coalesce(col(textCol), lit(""))).as("__sh"))
+    val p = probes.select(col(probeIdCol).cast("long").as("probe_id"),
+      hashSet(coalesce(col(probeTextCol), lit(""))).as("__sh"))
+    d.select(col("doc_id"), explode(col("__sh")).as("__h"))
+      .join(broadcast(
+        p.select(col("probe_id"), explode(col("__sh")).as("__h"))), "__h")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Training-sequence packing (concat-and-chunk): stream documents in

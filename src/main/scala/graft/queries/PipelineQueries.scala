@@ -1400,6 +1400,31 @@ object PipelineQueries {
       },
       Some(minhashMd5OracleSql(bands = 16, rows = 2, threshold = 0.3))),
 
+    // per-probe contamination attribution — the complement of
+    // q_decontaminate's per-training-doc census (that one collapses the
+    // bench side to a single hash set, so WHICH probe leaked is not
+    // recoverable from it): every ~1% of docs stands in as the held-out
+    // probe set, and the report counts, per probe, the corpus documents
+    // sharing >= minShared distinct word 3-shingles with it. Probe
+    // shingles BROADCAST onto one corpus scan; the only shuffle is the
+    // match-proportional pair aggregate. md5 mode -> DuckDB replays
+    // shingling, hashing, the distinct-hash join, and both aggregates;
+    // xx-kernel equality is spec-pinned (OperatorsSpec).
+    QueryDef("q_contamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val probes = docs.filter(col("doc_id") % contaminationProbeMod === 0)
+        graft.operators.Corpus.ngramContamination(docs, probes, "doc_id", "text",
+            "doc_id", "text", k = 3, minShared = contaminationMinShared,
+            md5Mode = true)
+          .groupBy("probe_id")
+          .agg(count(lit(1)).as("n_contaminated"),
+            max("n_shared").as("max_shared"))
+          .orderBy("probe_id")
+      },
+      Some(contaminationOracleSql(minShared = contaminationMinShared,
+        probeMod = contaminationProbeMod))),
+
     // near-dup pairs -> connected-component duplicate clusters (min-label
     // propagation; also verified against driver-side union-find in
     // OperatorsSpec). md5 oracle mode: DuckDB replays the pair pipeline
@@ -1710,6 +1735,20 @@ object PipelineQueries {
     * and the oracle (both sides must move together — see topTermsK).
     */
   private def streamNearDupThreshold: Double = 0.5
+
+  /** Shared q_contamination knobs (query body + oracle — see topTermsK). */
+  private def contaminationMinShared: Int = 3
+  private def contaminationProbeMod: Int = 97
+
+  /** DuckDB replay of the md5-mode [[graft.operators.Dedup.ngramContamination]]
+    * scan over the declared probe split: the SAME word-3-shingle CTE
+    * every minhash oracle uses, hashes as the 32-bit md5 half, DISTINCT
+    * (doc, hash) sets on both sides (post-hash distinct, matching the
+    * engine's array_distinct AFTER hashing), join-row counting for
+    * n_shared, the minShared HAVING, then the per-probe report.
+    */
+  private def contaminationOracleSql(minShared: Int, probeMod: Int): String =
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(COALESCE(text,''))), '\s+') AS tk FROM documents), shing AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS shingles FROM toks), shrow AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, UNNEST(shingles) AS s FROM shing)), sh AS (SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(s),1,8)) AS BIGINT) AS a FROM shrow), pairs AS (SELECT p.doc_id AS probe_id, d.doc_id AS did, COUNT(*) AS n_shared FROM sh d JOIN sh p ON d.a = p.a WHERE p.doc_id % $probeMod = 0 AND d.doc_id <> p.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= $minShared) SELECT probe_id, COUNT(*) AS n_contaminated, MAX(n_shared) AS max_shared FROM pairs GROUP BY probe_id ORDER BY probe_id"""
 
   /** DuckDB replay of the md5-mode batch StreamDedup fold. The stateful
     * per-bucket scan is declarative in batch mode: arrival order inside a

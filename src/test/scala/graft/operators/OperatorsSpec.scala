@@ -1714,4 +1714,48 @@ class OperatorsSpec extends AnyFunSuite {
     Dedup.free(pairs)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("ngram contamination: exact recomputation, planted hits, disjoint " +
+      "negatives, xx == md5 mode") {
+    // corpus: probe texts, verbatim copies (must be flagged with
+    // n_shared == the probe's full shingle-set size), partial overlaps,
+    // and disjoint-vocabulary fillers (must never be flagged)
+    val probeText = "alpha beta gamma delta epsilon zeta eta theta"
+    val partial = "alpha beta gamma delta NOPE mu nu xi omicron pi"
+    val corpus = Seq(
+      (0L, probeText), // probe (id % 5 == 0)
+      (1L, probeText), // verbatim copy -> flagged
+      (2L, partial), // shares shingles "alpha beta gamma"/"beta gamma delta"
+      (3L, "one two three four five six seven eight"), // disjoint
+      (5L, "completely different words here entirely distinct tokens"), // probe 2
+      (6L, "completely different words here entirely distinct tokens"), // copy of probe 2
+      (7L, "unrelated filler row nothing shared with anything else")
+    ).toDF("doc_id", "text")
+    val probes = corpus.filter(col("doc_id") % 5 === 0)
+
+    def run(md5Mode: Boolean): Map[(Long, Long), Long] =
+      Corpus.ngramContamination(corpus, probes, "doc_id", "text",
+          "doc_id", "text", k = 3, minShared = 2, md5Mode = md5Mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+
+    // independent exact recomputation over string shingle sets
+    def sh(t: String): Set[String] =
+      t.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (for {
+      p <- Seq(0L, 5L); d <- texts.keys if d != p
+      shared = (sh(texts(p)) & sh(texts(d))).size.toLong if shared >= 2
+    } yield (p, d) -> shared).toMap
+
+    val xx = run(md5Mode = false)
+    val md = run(md5Mode = true)
+    assert(xx == want, s"xx diverged: got $xx want $want")
+    assert(md == want, "md5 mode diverged from the exact recomputation")
+    // the planted verbatim copies carry the full shingle-set overlap
+    assert(xx((0L, 1L)) == sh(probeText).size)
+    assert(xx((5L, 6L)) == sh(texts(5L)).size)
+    // disjoint docs never flagged
+    assert(!xx.keys.exists { case (_, d) => d == 3L || d == 7L })
+  }
 }

@@ -95,6 +95,18 @@ object ScaleEvidence {
       // kernel's narrow map, so it carries its own linearity evidence
       "simhash_md5" -> (() =>
         Dedup.simhashCandidatesMd5(docs, "doc_id", "text").count()),
+      // contamination scan with a FIXED probe set (round 12): the
+      // benchmark does not grow with the corpus, so probes always come
+      // from the 1x dir while the corpus comes from `dir`. Claims: wall
+      // tracks the corpus scan (probe side is a constant-size
+      // broadcast), hits grow with the planted replicas
+      "contamination_fixed_probes" -> (() =>
+        graft.operators.Corpus.ngramContamination(
+          docs,
+          spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+            .filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", "doc_id", "text", k = 3, minShared = 3)
+          .count()),
       // the md5-mode batch stream-dedup twin (q_stream_neardup's
       // declared shape since round 12): staged md5 signature frame +
       // per-bucket stateful scan in arrival order. Claims: wall linear

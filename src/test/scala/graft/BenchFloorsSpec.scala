@@ -46,10 +46,15 @@ class BenchFloorsSpec extends AnyFunSuite {
     // carry the old gate as prev (regression memory)
     assert(m("q_dedup_simhash").prev.contains(1.303))
     assert(m("q_text_topterms").prev.contains(0.445))
-    // prev is the OLD (tighter) gate: always below the re-pinned floor
+    // prev is the pre-re-pin gate and may sit on EITHER side of the
+    // current floor: below it after a loosening re-pin (pipeline got
+    // deliberately heavier), above it after a tightening one (the writer
+    // keeps the LOOSEST history so repeated clean re-pins don't shed
+    // regression memory — Bench.scala's floor-write rule). The invariant
+    // is only that recorded history is a real, positive gate.
     m.foreach { case (k, e) =>
-      e.prev.foreach(p => assert(p < e.floor,
-        s"$k: prev $p is not below floor ${e.floor} — history inverted"))
+      e.prev.foreach(p => assert(p > 0 && !p.isNaN,
+        s"$k: prev $p is not a valid historical gate"))
     }
   }
 }

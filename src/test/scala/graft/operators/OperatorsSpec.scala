@@ -1758,4 +1758,53 @@ class OperatorsSpec extends AnyFunSuite {
     // disjoint docs never flagged
     assert(!xx.keys.exists { case (_, d) => d == 3L || d == 7L })
   }
+
+  test("ngram contamination fuzz: random corpora == exact recomputation " +
+      "in both modes across seeds x minShared") {
+    def sh(t: String): Set[String] =
+      t.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    var totalPairs = 0
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 31337L)
+      val vocab = Vector.tabulate(25)(i => s"t$i")
+      val n = 30 + rnd.nextInt(40)
+      // half the corpus derives from a small base pool (verbatim or
+      // one-token mutants -> genuine multi-shingle overlaps), half is
+      // fresh-random (mostly negatives, occasional chance collisions)
+      val base = Vector.fill(math.max(2, n / 6))(
+        Vector.fill(8 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))))
+      val corpus = (0 until n).map { i =>
+        val toks = rnd.nextInt(2) match {
+          case 0 =>
+            val t = base(rnd.nextInt(base.size))
+            if (rnd.nextBoolean()) t
+            else t.updated(rnd.nextInt(t.size), vocab(rnd.nextInt(vocab.size)))
+          case _ => Vector.fill(6 + rnd.nextInt(10))(
+            vocab(rnd.nextInt(vocab.size)))
+        }
+        i.toLong -> toks.mkString(" ")
+      }
+      val minShared = 1 + rnd.nextInt(3)
+      val df = corpus.toDF("doc_id", "text")
+      val probes = df.filter(col("doc_id") % 5 === 0)
+      val texts = corpus.toMap
+      val want = (for {
+        p <- texts.keys if p % 5 == 0; d <- texts.keys if d != p
+        shared = (sh(texts(p)) & sh(texts(d))).size.toLong
+        if shared >= minShared
+      } yield (p, d) -> shared).toMap
+      for (md5Mode <- Seq(false, true)) {
+        val got = Corpus.ngramContamination(df, probes, "doc_id", "text",
+            "doc_id", "text", k = 3, minShared = minShared,
+            md5Mode = md5Mode)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+        assert(got == want,
+          s"seed=$seed minShared=$minShared mode=${if (md5Mode) "md5" else "xx"}: " +
+            s"extra=${got.keySet -- want.keySet}, missing=${want.keySet -- got.keySet}")
+      }
+      totalPairs += want.size
+    }
+    assert(totalPairs >= 50, s"fuzz vacuous: only $totalPairs pairs total")
+  }
 }

@@ -62,6 +62,22 @@ object Md5Hash {
     }
     (hi << 32) | lo
   }
+
+  /** Same packing over a byte-buffer segment (the shingle-join buffers
+    * of [[ShingleHashes]]-style kernels hash `buf[0, len)` without
+    * materializing a string per shingle). */
+  def hash64Bytes(buf: Array[Byte], len: Int): Long = {
+    val d = md.get(); d.reset()
+    d.update(buf, 0, len)
+    val out = d.digest()
+    var hi = 0L; var lo = 0L; var i = 0
+    while (i < 4) {
+      hi = (hi << 8) | (out(i) & 0xffL)
+      lo = (lo << 8) | (out(i + 4) & 0xffL)
+      i += 1
+    }
+    (hi << 32) | lo
+  }
 }
 
 case class HashEmbedVector(child: Expression, dim: Int,

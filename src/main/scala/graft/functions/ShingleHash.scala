@@ -72,7 +72,16 @@ object ShingleHashes {
     b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
 
   /** The kernel; called from interpreted eval and generated code. */
-  def compute(text: UTF8String, k: Int): UnsafeArrayData = {
+  def compute(text: UTF8String, k: Int): UnsafeArrayData =
+    hashedShingles(text, k, md5 = false)
+
+  /** [[Md5ShingleHashes]]' kernel: identical tokenize/join pass, md5
+    * halves packed per shingle instead of seeded XXH64. */
+  def computeMd5(text: UTF8String, k: Int): UnsafeArrayData =
+    hashedShingles(text, k, md5 = true)
+
+  private def hashedShingles(
+      text: UTF8String, k: Int, md5: Boolean): UnsafeArrayData = {
     val bytes = text.toLowerCase.trim.getBytes
     val len = bytes.length
     // token boundaries, replicating split(s, "\s+", -1): fields between
@@ -117,8 +126,9 @@ object ShingleHashes {
         blen += tokLen
         t += 1
       }
-      hashes(s) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET,
-        blen, 42L)
+      hashes(s) =
+        if (md5) Md5Hash.hash64Bytes(buf, blen)
+        else XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, blen, 42L)
       s += 1
     }
     // sort + in-place dedup = sort_array(array_distinct(...)) on longs
@@ -142,4 +152,84 @@ object ShingleHashes {
     Bridge.column(ShingleHashes(
       Bridge.expression(org.apache.spark.sql.functions.coalesce(
         text, org.apache.spark.sql.functions.lit(""))), k))
+}
+
+/** Packed per-shingle md5 halves, one pass: for each word-k-shingle the
+  * value `(conv(substring(md5(sh),1,8),16,10) << 32) |
+  * conv(substring(md5(sh),9,8),16,10)` — the EXACT two hex halves every
+  * md5-twin pipeline slices — computed from the digest bytes directly
+  * (no 32-char hex render, no per-half string parse, no intermediate
+  * shingle-string arrays), then sorted + deduplicated. Downstream
+  * derives `a = h >>> 32` and `b = h & 0xffffffff` by shift/mask.
+  *
+  * Dedup on the PACKED value is semantics-preserving for both
+  * consumers: affine-minhash minima are unchanged by duplicate removal,
+  * and the `sh` verify sets re-distinct the projected `a` halves. The
+  * legacy relational staging is retained as the bit-parity reference
+  * ([[graft.operators.Dedup.minhashIndexMd5Reference]], spec-pinned).
+  */
+case class Md5ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k > 0, s"shingle size must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.computeMd5(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.ShingleHashes$$.MODULE$$.computeMd5($in, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_md5_shingle_hashes"
+}
+
+/** Scalar packed md5 halves of one string (the per-TOKEN hash of the
+  * simhash md5 twin): hi half = first 8 md5 hex chars as unsigned,
+  * lo half = next 8, in one digest pass via [[Md5Hash.hash64]].
+  */
+case class Md5Hash64Col(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Hash.hash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.Md5Hash.hash64($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_md5_hash64"
+}
+
+object Md5Hashes {
+
+  /** Null text coalesces to `""`, matching the relational twins'
+    * `coalesce(text, '')`. */
+  def md5ShingleHashes(text: Column, k: Int): Column =
+    Bridge.column(Md5ShingleHashes(
+      Bridge.expression(org.apache.spark.sql.functions.coalesce(
+        text, org.apache.spark.sql.functions.lit(""))), k))
+
+  def md5Hash64(s: Column): Column =
+    Bridge.column(Md5Hash64Col(Bridge.expression(s)))
 }

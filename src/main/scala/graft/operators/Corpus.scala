@@ -122,8 +122,9 @@ object Corpus {
       probeTextCol: String, k: Int = 3, minShared: Int = 3,
       md5Mode: Boolean = false): DataFrame = {
     def hashSet(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      if (md5Mode) array_distinct(transform(Dedup.shingles(text, k), s =>
-        conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")))
+      if (md5Mode) array_distinct(transform(
+        graft.functions.Md5Hashes.md5ShingleHashes(text, k),
+        x => shiftrightunsigned(x, 32)))
       else Dedup.shingleHashes(text, k)
     val d = docs.select(col(idCol).cast("long").as("doc_id"),
       hashSet(coalesce(col(textCol), lit(""))).as("__sh"))

@@ -517,7 +517,39 @@ object Dedup {
     * position instead of once per shingle.
     */
   def minhashIndexMd5(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 8, rows: Int = 4, k: Int = 3): DataFrame = {
+      bands: Int = 8, rows: Int = 4, k: Int = 3): DataFrame =
+    widen(df)
+      .select(col(idCol).as("id"),
+        graft.functions.Md5Hashes.md5ShingleHashes(col(textCol), k)
+          .as("__h64"))
+      .select(col("id") +: md5ShSig(col("__h64"), bands * rows): _*)
+
+  /** The `(sh, sig)` derivation from a packed md5-halves array: `a` is
+    * the high 32 bits, `b` the low, by shift/mask — no hex parsing. The
+    * array comes pre-deduplicated from the kernel (duplicate shingles
+    * never change an `array_min`, and `sh` re-distincts the projected
+    * `a` halves, which can collide across distinct packed values). The
+    * `__h64` column is referenced by BOTH outputs, which keeps
+    * CollapseProject from inlining the kernel per consumer — the same
+    * staging rule as the legacy reference.
+    */
+  private def md5ShSig(h64: Column, h: Int): Seq[Column] = Seq(
+    sort_array(array_distinct(transform(h64,
+      x => shiftrightunsigned(x, 32)))).as("sh"),
+    transform(sequence(lit(0), lit(h - 1)), i =>
+      array_min(transform(h64, x =>
+        (shiftrightunsigned(x, 32) +
+          i.cast("long") * x.bitwiseAND(lit(4294967295L))) %
+          lit(4294967296L)))).as("sig"))
+
+  /** The original relational md5 staging (hex render + per-half `conv`
+    * parse + `zip_with` affine) — retained ONLY as the bit-parity
+    * reference [[minhashIndexMd5]]'s native kernel is spec-pinned
+    * against (Md5KernelParitySpec), the same pattern as
+    * [[shingleHashesReference]]. ~6x slower per row than the kernel.
+    */
+  private[graft] def minhashIndexMd5Reference(df: DataFrame, idCol: String,
+      textCol: String, bands: Int = 8, rows: Int = 4, k: Int = 3): DataFrame = {
     val h = bands * rows
     def half(x: Column, off: Int): Column =
       conv(substring(x, off, 8), 16, 10).cast("long")
@@ -535,37 +567,27 @@ object Dedup {
             (a, b) => (a + i.cast("long") * b) % lit(4294967296L)))).as("sig"))
   }
 
-  /** md5-mode MinHash signature with caller-chosen carried columns — the
-    * [[minhashIndexMd5]] staging (one md5 per shingle, halves re-used
-    * across all `h` affine rehashes via the multi-select aliases) for
-    * operators that need extra columns alongside `sig` (the streaming
-    * dedup carries its event-time column). Same signature values as
-    * [[minhashIndexMd5]] on the same text.
+  /** md5-mode MinHash signature with caller-chosen carried columns —
+    * [[minhashIndexMd5]]'s kernel staging for operators that need extra
+    * columns alongside `sig` (the streaming dedup carries its
+    * event-time column). Same signature values as [[minhashIndexMd5]]
+    * on the same text.
     *
-    * The `sh` output is emitted for the SAME reason minhashIndexMd5
-    * emits it even when the caller has no Jaccard-verify stage: it
-    * references `__a` a second time, which stops CollapseProject from
-    * inlining the md5-half conversion INTO the per-position rehash
-    * lambda (a single-use alias gets inlined, and the conversion then
-    * re-runs once per signature position — a measured ~24x slowdown on
-    * the streaming twin). Callers that drop `sh` must do so ABOVE a
-    * materialization barrier ([[stage]] / persist), or column pruning
-    * re-enables the inline.
+    * Staging rule (the ~24x lesson of commit 5b8f194, learned on the
+    * relational predecessor of this frame): the hash column must stay
+    * multi-referenced — here `__h64` feeds BOTH `sh` and `sig`, so
+    * CollapseProject cannot inline the kernel per consumer — and a
+    * caller that drops `sh` must do so ABOVE a materialization barrier
+    * ([[stage]] / persist), or column pruning re-enables the inline
+    * and the kernel re-runs once per signature position.
     */
   private[graft] def minhashSigMd5Frame(df: DataFrame, textCol: String,
       carry: Seq[String], h: Int, k: Int): DataFrame = {
-    def half(x: Column, off: Int): Column =
-      conv(substring(x, off, 8), 16, 10).cast("long")
     val keep = carry.map(col)
     df.select(keep :+
-        transform(shingles(coalesce(col(textCol), lit("")), k),
-          s => md5(s.cast("binary"))).as("__hx"): _*)
-      .select(keep :+ transform(col("__hx"), x => half(x, 1)).as("__a") :+
-        transform(col("__hx"), x => half(x, 9)).as("__b"): _*)
-      .select(keep :+ sort_array(array_distinct(col("__a"))).as("sh") :+
-        transform(sequence(lit(0), lit(h - 1)), i =>
-          array_min(zip_with(col("__a"), col("__b"),
-            (a, b) => (a + i.cast("long") * b) % lit(4294967296L)))).as("sig"): _*)
+        graft.functions.Md5Hashes.md5ShingleHashes(col(textCol), k)
+          .as("__h64"): _*)
+      .select(keep ++ md5ShSig(col("__h64"), h): _*)
   }
 
   private def md5Prepared(scope: CacheScope, df: DataFrame,
@@ -838,17 +860,19 @@ object Dedup {
       scope: CacheScope,
       df: DataFrame, idCol: String, textCol: String, maxBucket: Int
   ): DataFrame = {
-    // one md5 per token, staged under a multi-use alias (CollapseProject
-    // inlines single-use aliases; see minhashIndexMd5) and split into two
-    // 32-bit halves
+    // one packed md5 hash64 per token (native kernel — no hex render or
+    // per-half conv parse), staged under a multi-use alias
+    // (CollapseProject inlines single-use aliases; see minhashIndexMd5)
+    // and split into two 32-bit halves by shift/mask
     val halves = widen(df)
       .select(col(idCol).as("id"),
         explode(split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+"))
           .as("__t"))
-      .select(col("id"), md5(col("__t").cast("binary")).as("__x"))
       .select(col("id"),
-        conv(substring(col("__x"), 1, 8), 16, 10).cast("long").as("__hi"),
-        conv(substring(col("__x"), 9, 8), 16, 10).cast("long").as("__lo"))
+        graft.functions.Md5Hashes.md5Hash64(col("__t")).as("__x64"))
+      .select(col("id"),
+        shiftrightunsigned(col("__x64"), 32).as("__hi"),
+        col("__x64").bitwiseAND(lit(4294967295L)).as("__lo"))
     val voteCols = (0 until 64).map { i =>
       val h = if (i < 32) col("__lo") else col("__hi")
       sum(when(shiftright(h, i % 32).bitwiseAND(1L) === 1L, 1).otherwise(-1))

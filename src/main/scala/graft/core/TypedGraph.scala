@@ -72,6 +72,20 @@ final case class TypedGraph[K](graph: TaskGraph, codec: K => String) {
   def taskTable(valueAttr: String = "value"): DataFrame =
     graph.taskTable(valueAttr)
   def edgeTable(): DataFrame = graph.edgeTable()
+
+  /** Typed groupby: fan-in per distinct value of the key node's column
+    * (the engine's GroupbyTaskGraph, with both the groupby key and the
+    * reduce target addressed by caller keys). */
+  def groupby(keyNode: K): TypedGroupbyGraph[K] =
+    new TypedGroupbyGraph(graph.groupby(e(keyNode)), codec)
+}
+
+final class TypedGroupbyGraph[K](g: GroupbyTaskGraph, codec: K => String) {
+  def reduce(key: K = null.asInstanceOf[K], name: K = null.asInstanceOf[K],
+      attrs: Map[String, String] = Map.empty): TypedGraph[K] =
+    TypedGraph(g.reduce(
+      Option(key).map(codec).orNull, Option(name).map(codec).orNull,
+      attrs), codec)
 }
 
 object TypedGraph {

@@ -72,6 +72,22 @@ class TypedGraphSpec extends AnyFunSuite {
       "deleted key kept incoming edges")
   }
 
+  test("typed groupby: fan-in per distinct key-column value addressed " +
+      "by typed keys end to end") {
+    import org.apache.spark.sql.functions.col
+    val g = TypedGraph.anyKeys((classOf[Int], "out"), ("label", "out"))
+      .mapSeqs(Map[Any, Seq[Any]](classOf[Int] -> Seq(1, 2, 3, 4),
+        "label" -> Seq("x", "y", "x", "y")))
+      .groupby("label")
+      .reduce(key = classOf[Int], name = "per_label",
+        attrs = Map("func" -> "sum"))
+    // the groupby dim is named after the ENGINE-side key node name
+    val out = g.result("per_label")
+      .select(col(g.nodeName("label")), col(g.nodeName("per_label")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("x" -> 4L, "y" -> 6L))
+  }
+
   test("homogeneous custom-codec keys: case-class keyed chain") {
     import spark.implicits._
     case class Key(stream: String, run: Int)

@@ -316,9 +316,10 @@ object ScaleOps {
     require(k > 0, s"k must be positive, got $k")
     require(!df.columns.contains("__wkey"),
       "input must not already contain __wkey")
-    val h32 = conv(substring(md5(concat_ws("|",
-      col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
-      .cast("long")
+    // hi half of the packed native md5 hash == conv(substring(hex,1,8))
+    // bit for bit (Md5KernelParitySpec) — no hex render/parse per row
+    val h32 = shiftrightunsigned(graft.functions.Md5Hashes.md5Hash64(
+      concat_ws("|", col(idCol).cast("string"), lit(seed.toString))), 32)
     val u = (h32.cast("double") + lit(1.0d)) / lit(4294967297.0d)
     df.filter(col(weightCol) > 0)
       .withColumn("__wkey", pow(u, lit(1.0d) / col(weightCol).cast("double")))
@@ -494,9 +495,10 @@ object ScaleOps {
     require(math.abs(fractions.sum - 1.0) < 1e-9, "fractions must sum to 1")
     val resolution = 1000000L
     val cuts = fractions.scanLeft(0.0)(_ + _).map(f => (f * resolution).toLong)
-    val h32 = conv(substring(md5(concat_ws("|",
-      col(idCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
-      .cast("long")
+    // hi half of the packed native md5 hash == conv(substring(hex,1,8))
+    // bit for bit (Md5KernelParitySpec) — no hex render/parse per row
+    val h32 = shiftrightunsigned(graft.functions.Md5Hashes.md5Hash64(
+      concat_ws("|", col(idCol).cast("string"), lit(seed.toString))), 32)
     val h = pmod(h32, lit(resolution))
     val assign = cuts.sliding(2).zipWithIndex.foldLeft(lit(fractions.size - 1)) {
       case (acc, (Seq(lo, hi), i)) => when(h >= lo && h < hi, lit(i)).otherwise(acc)

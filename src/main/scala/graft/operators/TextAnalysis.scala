@@ -479,6 +479,6 @@ object TextAnalysis {
     */
   def fingerprintMd5(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(31L) +
-        conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+      (acc, t) => acc * lit(31L) + shiftrightunsigned(
+        graft.functions.Md5Hashes.md5Hash64(t), 32))
 }

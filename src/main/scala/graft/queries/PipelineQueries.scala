@@ -305,8 +305,13 @@ object PipelineQueries {
             minMeanWordLen = 3.0, maxMeanWordLen = 5.0, minStopwordHits = 1))
           .filter(col("quality_pass"))
         val english = quality.filter(TA.langId(col("text")) === "en")
-        val exact = Dedup.exactKeepBest(english, "text",
-          Seq(col("doc_id").asc))
+        // the quality -> langid -> content-hash-dedup subtree (including
+        // the full-text survivor shuffle) feeds BOTH the near-dup index
+        // build and the anti-join left side — stage it once or the whole
+        // subtree re-computes per consumer (the minhash stage's persist
+        // only covers the index built FROM it)
+        val exact = Dedup.stage(Dedup.exactKeepBest(english, "text",
+          Seq(col("doc_id").asc)))
         val pairs = Dedup.minhashNearDupsMd5(exact, "doc_id", "text",
           threshold = 0.5)
         val kept = exact.join(

@@ -797,6 +797,12 @@ object PipelineQueries {
           .select(col("doc_id"),
             explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
           .filter(length(col("tok")) > 3)
+        // tf feeds both dfreq and the join; the dfreq branch recomputes
+        // it as a COLUMN-PRUNED variant (Catalyst drops the count),
+        // which measures FASTER than staging the corpus-scale term
+        // table through a checkpoint (0.69 vs 0.74 s at sf0.1) — the
+        // opposite trade from the curation composite, whose duplicated
+        // subtree contained a full-text shuffle across separate jobs
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")

@@ -947,10 +947,18 @@ object Dedup {
           col("vec"), planes, planesPerTable)))
       .toDF("id", "table", "bucket")
     val cands = boundedPairs(scope, banded, "table", "bucket", maxBucket)
-    val va = prepared.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val vb = prepared.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    // norms are per-VECTOR, not per-pair: computed once per side when
+    // the join reads its input rows and carried as scalars, so the
+    // verify pays one dot per candidate pair instead of three. The
+    // cosine stays the exact expression dot / (norm_a * norm_b) on the
+    // same doubles — bit-identical output (oracle unchanged).
+    val va = prepared.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      Similarity.norm(col("vec")).as("__na"))
+    val vb = prepared.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      Similarity.norm(col("vec")).as("__nb"))
     cands.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", Similarity.dot(col("vec_a"), col("vec_b")) /
+        (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -1002,17 +1010,23 @@ object Dedup {
       Similarity.assignCells(
           widen(df).select(col(idCol).as("id"), col(vecCol).as("vec")),
           "vec", centroids)
+        // per-vector norm rides the persisted frame: the within-cell
+        // verify then pays one dot per pair, not three (same exact
+        // dot / (norm_a * norm_b) doubles — bit-identical output)
+        .withColumn("__norm", Similarity.norm(col("vec")))
         .withColumn("__n", count(lit(1)).over(statsW))
         .withColumn("__minid", min(col("id")).over(statsW)))
     def scored(pairs: DataFrame): DataFrame = pairs
-      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", Similarity.dot(col("vec_a"), col("vec_b")) /
+        (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
     val small = celled.filter(col("__n") <= maxCell)
     val smallPairs = scored(small
-      .select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+      .select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"),
+        col("__norm").as("__na"))
       .join(small.select(col("cell"), col("id").as("id_b"),
-        col("vec").as("vec_b")), "cell")
+        col("vec").as("vec_b"), col("__norm").as("__nb")), "cell")
       .filter(col("id_a") < col("id_b")))
     // over-cap (boilerplate) cells degrade to star pairs against the
     // cell-minimum id — linear in the cell size, preserving duplicate-
@@ -1020,9 +1034,11 @@ object Dedup {
     val bigPairs = scored(celled
       .filter(col("__n") > maxCell && col("id") =!= col("__minid"))
       .select(col("cell"), col("__minid").as("id_a"),
-        col("id").as("id_b"), col("vec").as("vec_b"))
+        col("id").as("id_b"), col("vec").as("vec_b"),
+        col("__norm").as("__nb"))
       .join(celled.filter(col("__n") > maxCell && col("id") === col("__minid"))
-        .select(col("cell"), col("vec").as("vec_a")), "cell"))
+        .select(col("cell"), col("vec").as("vec_a"),
+          col("__norm").as("__na")), "cell"))
     smallPairs.union(bigPairs)
   }
 

@@ -154,13 +154,19 @@ object Similarity {
     */
   def knnJoin(queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, cidCol: String, cvecCol: String, k: Int): DataFrame = {
+    // norms hoisted per side (query norms once in the broadcast, corpus
+    // norms once per scanned row) — the score stays the exact expression
+    // dot / (norm_c * norm_q) on the same doubles, one dot per scored
+    // pair instead of three
     val q = broadcast(queries.select(
-      col(qidCol).as("__qid"), col(qvecCol).as("__qvec")))
+      col(qidCol).as("__qid"), col(qvecCol).as("__qvec"),
+      norm(col(qvecCol)).as("__qn")))
     val scored = corpus
-      .select(col(cidCol).as("__cid"), col(cvecCol).as("__cvec"))
+      .select(col(cidCol).as("__cid"), col(cvecCol).as("__cvec"),
+        norm(col(cvecCol)).as("__cn"))
       .crossJoin(q)
-      .select(col("__qid"),
-        cosine(col("__cvec"), col("__qvec")).as("__sim"), col("__cid"))
+      .select(col("__qid"), (dot(col("__cvec"), col("__qvec")) /
+        (col("__cn") * col("__qn"))).as("__sim"), col("__cid"))
     expandTopK(scored.groupBy("__qid")
       .agg(graft.functions.Aggregators.topKPairs(
         col("__sim"), col("__cid"), k).as("__nn")), qidCol)
@@ -187,10 +193,12 @@ object Similarity {
       struct(cosine(col("__qvec"), vec(cvec)).as("score"), lit(cid).as("cid"))
     }: _*)
     val qProbes = broadcast(queries
-      .select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
+      .select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"),
+        norm(col(qvecCol)).as("__qn"))
       .withColumn("__probe",
         explode(slice(reverse(array_sort(cellScores)), 1, nprobe)))
-      .select(col("__qid"), col("__qvec"), col("__probe.cid").as("cell")))
+      .select(col("__qid"), col("__qvec"), col("__qn"),
+        col("__probe.cid").as("cell")))
     val assigned =
       if (precomputedCells) {
         require(corpus.columns.contains("cell"),
@@ -198,10 +206,11 @@ object Similarity {
         corpus
       } else assignCells(corpus.drop("cell"), cvecCol, centroids)
     val scored = assigned
-      .select(col(cidCol).as("__cid"), col(cvecCol).as("__cvec"), col("cell"))
+      .select(col(cidCol).as("__cid"), col(cvecCol).as("__cvec"),
+        norm(col(cvecCol)).as("__cn"), col("cell"))
       .join(qProbes, "cell")
-      .select(col("__qid"),
-        cosine(col("__cvec"), col("__qvec")).as("__sim"), col("__cid"))
+      .select(col("__qid"), (dot(col("__cvec"), col("__qvec")) /
+        (col("__cn") * col("__qn"))).as("__sim"), col("__cid"))
     expandTopK(scored.groupBy("__qid")
       .agg(graft.functions.Aggregators.topKPairs(
         col("__sim"), col("__cid"), k).as("__nn")), qidCol)

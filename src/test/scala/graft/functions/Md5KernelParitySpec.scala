@@ -67,6 +67,28 @@ class Md5KernelParitySpec extends AnyFunSuite {
     assert(viaFrame == viaIndex)
   }
 
+  test("kernel == reference on randomized corpora (seeds x shapes: " +
+      "token runs, unicode mixes, dup-heavy, single-token)") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector.tabulate(40)(i => s"w$i") ++
+      Vector("日本", "straße", "café", "ÄÖÜ", "a", "", " ")
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(30)
+      val toks = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      // random separator runs between tokens
+      val sep = () => Seq(" ", "  ", "\t", " \n ")(rnd.nextInt(4))
+      (i.toLong, toks.map(t => t + sep()).mkString.dropRight(1))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.minhashIndexMd5(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    val want = Dedup.minhashIndexMd5Reference(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    val bad = got.keys.filter(id => got(id) != want(id)).take(3).toSeq
+    assert(bad.isEmpty, s"kernel diverged on randomized docs $bad: " +
+      bad.map(id => s"$id '${docs(id.toInt)._2.take(60)}'").mkString("; "))
+  }
+
   test("scalar md5Hash64 == hex-parse halves on corpus tokens") {
     val toks = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -282,6 +282,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(got == want, "native result differs from composed on shared-relation inputs")
   }
 
+  test("cosine verify pays one dot per pair: norms stay hoisted on the " +
+      "join input sides") {
+    // regression gate for the norm hoist (commit 26e9704): the pair
+    // verify's cosine projection must reference the pre-computed __na/
+    // __nb scalars, never recompute sqrt(dot(v,v)) per candidate pair —
+    // that was 3x the verify FLOPs across millions of capped candidates.
+    // The declared query seals through an eager checkpoint (its plan is
+    // a LogicalRDD), so gate the LAZY plan builder the query runs.
+    val scope = new graft.operators.Dedup.CacheScope
+    val plan = try graft.operators.Dedup.cosineNearDupsPlan(scope,
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", dim = 64, threshold = 0.4,
+        planesPerTable = 4, tables = 8, maxBucket = 256, seed = 42L)
+      .queryExecution.optimizedPlan.toString
+      finally scope.release()
+    val verifyLines = plan.linesIterator
+      .filter(l => l.contains("cosine") && l.contains("graft_dot")).toSeq
+    assert(verifyLines.nonEmpty, "no cosine verify projection found")
+    verifyLines.foreach { l =>
+      val dots = "graft_dot".r.findAllIn(l).size
+      assert(dots <= 1,
+        s"cosine verify recomputes norms per pair ($dots dots in one " +
+          s"projection):\n${l.take(400)}")
+    }
+    assert(plan.contains("__na") && plan.contains("__nb"),
+      "hoisted norm columns missing from the verify plan")
+  }
+
   test("md5 stream-dedup keeps its staging barrier (no md5/conv above " +
       "the checkpoint)") {
     // regression gate for the 24x wall blow-up of commit 5b8f194: the

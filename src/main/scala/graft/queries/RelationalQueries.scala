@@ -886,20 +886,23 @@ object RelationalQueries {
     // profile run).
     QueryDef("q_profile",
       (s, dir) => {
+        // one branch per column, each a SINGLE-distinct aggregate: four
+        // distincts in one agg make Spark EXPAND the input 5x before the
+        // shuffle (every row replicated per distinct group), while one
+        // distinct plans as a plain two-phase aggregate over a one-column
+        // pruned parquet scan — 4 narrow branches beat one 5x-expanded
+        // pass (3.67 -> 0.56 s min-of-3 at sf0.1, same exact results)
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val aggs = cols.flatMap { c =>
-          Seq(count(col(c)).as(s"${c}_n"),
-            count_distinct(col(c)).as(s"${c}_d"),
-            min(col(c)).cast("double").as(s"${c}_min"),
-            max(col(c)).cast("double").as(s"${c}_max"),
-            dsum(col(c)).as(s"${c}_sum"))
-        }
-        val stackArgs = cols.map(c =>
-          s"'$c', ${c}_n, ${c}_d, ${c}_min, ${c}_max, ${c}_sum").mkString(", ")
-        Tables.lineitem(s, dir)
-          .agg(aggs.head, aggs.tail: _*)
-          .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
-            "(col_name, n_nonnull, n_distinct, min_v, max_v, sum_v)"))
+        cols.map { c =>
+          Tables.lineitem(s, dir).agg(
+              count(col(c)).as("n_nonnull"),
+              count_distinct(col(c)).as("n_distinct"),
+              min(col(c)).cast("double").as("min_v"),
+              max(col(c)).cast("double").as("max_v"),
+              dsum(col(c)).as("sum_v"))
+            .select(lit(c).as("col_name"), col("n_nonnull"),
+              col("n_distinct"), col("min_v"), col("max_v"), col("sum_v"))
+        }.reduce(_ unionByName _)
           .orderBy("col_name")
       },
       Some {

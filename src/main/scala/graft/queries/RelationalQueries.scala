@@ -264,7 +264,12 @@ object RelationalQueries {
       },
       Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, SUM(l_quantity) AS sq, COUNT(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""")),
 
-    // distinct aggregation
+    // distinct aggregation — TWO exact distincts in one grouped agg,
+    // deliberately kept in Spark's expand form (each row replicated per
+    // distinct group before the shuffle): this row IS the cost exhibit
+    // the scale paths answer — q_approx_distinct (sketch) and
+    // q_profile (per-column single-distinct branches, r12) show the
+    // two ways out at 100 TB
     QueryDef("q_distinct_agg",
       (s, dir) => {
         Tables.lineitem(s, dir)

@@ -860,46 +860,36 @@ object Dedup {
       scope: CacheScope,
       df: DataFrame, idCol: String, textCol: String, maxBucket: Int
   ): DataFrame = {
-    // one packed md5 hash64 per token (native kernel — no hex render or
-    // per-half conv parse), staged under a multi-use alias
-    // (CollapseProject inlines single-use aliases; see minhashIndexMd5)
-    // and split into two 32-bit halves by shift/mask
-    val halves = widen(df)
+    // SINCE ROUND 12 this is literally the production pipeline with the
+    // token hash swapped: one packed md5 hash64 per token (native
+    // kernel) feeds the same per-row SimHash64 vote kernel the xx path
+    // uses — bit b of the packed value IS "bit (b mod 32) of lo/hi for
+    // b < / >= 32", so the kernel's votes equal the former relational
+    // 64-column vote sum bit for bit (the kernel sets a signature bit on
+    // votes > 0, same rule; duplicate tokens vote once per occurrence in
+    // both). The relational formulation lives on as the DuckDB oracle
+    // SQL, and OperatorsSpec's driver-side md5Chunks replay pins the
+    // signatures here against an independent reimplementation. The
+    // measured motivation: the relational vote exploded every token
+    // into a 64-column shuffled aggregate, ~2x the wall of the per-row
+    // kernel on the same corpus at identical output.
+    val prepared = scope.persist(widen(df)
       .select(col(idCol).as("id"),
-        explode(split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+"))
-          .as("__t"))
-      .select(col("id"),
-        graft.functions.Md5Hashes.md5Hash64(col("__t")).as("__x64"))
-      .select(col("id"),
-        shiftrightunsigned(col("__x64"), 32).as("__hi"),
-        col("__x64").bitwiseAND(lit(4294967295L)).as("__lo"))
-    val voteCols = (0 until 64).map { i =>
-      val h = if (i < 32) col("__lo") else col("__hi")
-      sum(when(shiftright(h, i % 32).bitwiseAND(1L) === 1L, 1).otherwise(-1))
-        .as(s"__v$i")
-    }
-    val votes = halves.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
-    def chunk(b: Int): Column =
-      (0 until 16).map { j =>
-        when(col(s"__v${b * 16 + j}") > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    val prepared = scope.persist(votes.select(col("id"),
-      chunk(0).as("__c0"), chunk(1).as("__c1"),
-      chunk(2).as("__c2"), chunk(3).as("__c3")))
+        transform(split(trim(lower(coalesce(col(textCol), lit("")))),
+          "\\s+"), t => graft.functions.Md5Hashes.md5Hash64(t)).as("__th"))
+      .select(col("id"), simhashFromHashes(col("__th")).as("sig")))
     val banded = prepared
-      .select(col("id"), posexplode(array(
-        col("__c0"), col("__c1"), col("__c2"), col("__c3"))))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("sig"), b * 16)
+            .bitwiseAND(0xFFFFL))))
       .toDF("id", "band", "chunk")
     val cands = boundedPairs(scope, banded, "band", "chunk", maxBucket)
-    val sa = prepared.select(col("id").as("id_a"), col("__c0").as("__a0"),
-      col("__c1").as("__a1"), col("__c2").as("__a2"), col("__c3").as("__a3"))
-    val sb = prepared.select(col("id").as("id_b"), col("__c0").as("__b0"),
-      col("__c1").as("__b1"), col("__c2").as("__b2"), col("__c3").as("__b3"))
+    val sa = prepared.select(col("id").as("id_a"), col("sig").as("__sig_a"))
+    val sb = prepared.select(col("id").as("id_b"), col("sig").as("__sig_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
-        (0 until 4).map(c => bit_count(
-          col(s"__a$c").bitwiseXOR(col(s"__b$c")))).reduce(_ + _)
-          .as("hamming"))
+        bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).as("hamming"))
   }
 
   /** Embedding-cosine near-duplicate pairs via banded random-hyperplane

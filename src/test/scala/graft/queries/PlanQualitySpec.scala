@@ -180,16 +180,22 @@ class PlanQualitySpec extends AnyFunSuite {
         assert(!plan.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
         assert(!plan.contains("Exchange SinglePartition"),
           s"$n funnels through a single partition")
-        // the md5 simhash mode's 64-vote aggregate must stay two-phase
-        // (map-side partial sums before the doc-keyed exchange): a
-        // refactor into per-row higher-order folds or a single-phase agg
-        // would ship every exploded token across the shuffle. The marker
-        // is `partial_sum` — nothing else in this plan sums (the pair
-        // stage's aggregates are distinct/count/min), so its presence is
-        // exactly the votes map-side combine
-        if (n == "simhashMd5")
-          assert(plan.contains("partial_sum"),
-            s"$n lost its map-side partial vote aggregation")
+        // both simhash modes must compute the signature with the native
+        // per-row kernel IN THE SCAN STAGE (since r12 the md5 twin runs
+        // the production kernel with the token hash swapped): the plan
+        // carries `graft_simhash`, and the only Generate nodes are the
+        // 4-chunk banding of the already-computed signature — a refactor
+        // back to a relational vote (or any design that explodes raw
+        // tokens) would ship every token row across an exchange before
+        // banding, which is exactly the scale flaw the kernel removed
+        if (n == "simhashMd5" || n == "simhash") {
+          assert(plan.contains("graft_simhash"),
+            s"$n signature not computed by the native kernel in the scan stage")
+          val gens = "Generate [^\n]*".r.findAllIn(plan).toList
+          assert(gens.nonEmpty && gens.forall(_.contains("shiftright")),
+            s"$n explodes something other than the 4 signature chunks:\n" +
+              gens.mkString("\n"))
+        }
       }
     } finally scope.release()
   }

@@ -124,34 +124,78 @@ object Bench {
   }
 
   /** A historical floor with its governance record: `floor` is the gate;
-    * `prev` (when present) is the floor this one REPLACED at the last
-    * re-pin, kept so a deliberate pipeline change cannot silently absorb
-    * an accidental regression in the same round — Bench prints (never
-    * fails) when a wall exceeds the prev-based gate. `pinnedRound` /
-    * `reason` document who moved it and why. */
+    * `prev` is a BOUNDED HISTORY of floors this one replaced at upward
+    * re-pins (tightest-ever always retained), kept so a deliberate
+    * pipeline change cannot silently absorb an accidental regression —
+    * Bench prints (never fails) when a wall exceeds the gate built from
+    * the tightest historical floor. `pinnedRound` / `reason` document who
+    * moved it and why. */
   private[graft] final case class FloorEntry(
-      floor: Double, prev: Option[Double],
+      floor: Double, prev: List[Double],
       pinnedRound: String, reason: String)
+
+  /** cap on the `prev` history a re-pin may carry forward */
+  private[graft] val MaxPrevHist = 4
+
+  /** Governance rule for one floor at floors-write time (v2, monotone):
+    *
+    *  - no old entry: the round wall becomes the floor (fresh pin).
+    *  - UNCHANGED pipeline (not named in SPARK_GRAFT_FLOOR_CHANGED): the
+    *    floor only ratchets DOWN — `floor := min(old, wall)`. Host noise
+    *    can therefore never loosen a gate; a wholesale re-pin of a quiet
+    *    round is a no-op for every query that didn't improve.
+    *  - CHANGED pipeline (named explicitly): the wall re-pins the floor in
+    *    either direction; a loosening pushes the old floor onto the `prev`
+    *    history (bounded to [[MaxPrevHist]], tightest-ever never dropped)
+    *    so the old pipeline's gate keeps printing if the change regressed
+    *    more than intended.
+    */
+  private[graft] def repin(
+      old: Option[FloorEntry], wall: Double, changed: Boolean,
+      round: String, reason: String): FloorEntry = old match {
+    case None => FloorEntry(wall, Nil, round, reason)
+    case Some(o) if !changed =>
+      if (wall < o.floor) FloorEntry(wall, o.prev, round, reason)
+      else o // monotone: keep the tighter floor AND its provenance
+    case Some(o) =>
+      val hist =
+        if (wall <= o.floor) o.prev // tightening sheds nothing tighter
+        else {
+          val raw = o.floor :: o.prev
+          if (raw.size <= MaxPrevHist) raw
+          else (raw.take(MaxPrevHist - 1) :+ raw.min).distinct
+        }
+      FloorEntry(wall, hist, round, reason)
+  }
 
   /** historical per-query floors: env SPARK_GRAFT_FLOORS file, else the
     * checked-in resource FOR THIS SF (a floor measured at sf0.1 must not
     * gate an sf0.01 run); absent -> no floor gate (steal+dilation remain).
-    * Accepts both the annotated object form
-    * `"q": {"floor": 1.2, "prev": 1.0, "pinned_round": "r12", "reason": "…"}`
-    * and the legacy flat form `"q": 1.2` (no history). */
+    * Accepts the annotated object form
+    * `"q": {"floor": 1.2, "prev": [1.0, 0.9], "pinned_round": "r12", "reason": "…"}`
+    * (prev may also be a bare number or null — pre-v2 files), and the
+    * legacy flat form `"q": 1.2` (no history). The write path escapes
+    * braces out of reasons, so `[^{}]*` object bodies are safe. */
   private[graft] def parseFloors(t: String): Map[String, FloorEntry] = {
     def field(body: String, name: String): Option[String] = {
-      val re = ("\"" + name + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|[0-9.eE+-]+|null)").r
+      val re = ("\"" + name + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|\\[[^\\]]*\\]|[0-9.eE+-]+|null)").r
       re.findFirstMatchIn(body).map(_.group(1))
     }
     def unq(s: String): String =
       if (s.startsWith("\"")) s.substring(1, s.length - 1) else s
+    def prevList(v: Option[String]): List[Double] = v match {
+      case None | Some("null") => Nil
+      case Some(s) if s.startsWith("[") =>
+        s.substring(1, s.length - 1).split(",").iterator
+          .map(_.trim).filter(_.nonEmpty).map(_.toDouble).toList
+      case Some(n) => List(n.toDouble)
+    }
     val objRe = "\"([^\"]+)\"\\s*:\\s*\\{([^{}]*)\\}".r
     val objs = objRe.findAllMatchIn(t).map { m =>
       val body = m.group(2)
       m.group(1) -> FloorEntry(
         floor = field(body, "floor").map(_.toDouble).getOrElse(Double.NaN),
-        prev = field(body, "prev").filter(_ != "null").map(_.toDouble),
+        prev = prevList(field(body, "prev")),
         pinnedRound = field(body, "pinned_round").map(unq).getOrElse(""),
         reason = field(body, "reason").map(unq).getOrElse(""))
     }.filterNot(_._2.floor.isNaN).toMap
@@ -160,7 +204,7 @@ object Bench {
     val flatText = objRe.replaceAllIn(t, "")
     val flatRe = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
     val flats = flatRe.findAllMatchIn(flatText)
-      .map(m => m.group(1) -> FloorEntry(m.group(2).toDouble, None, "", ""))
+      .map(m => m.group(1) -> FloorEntry(m.group(2).toDouble, Nil, "", ""))
       .toMap
     flats ++ objs
   }
@@ -260,12 +304,12 @@ object Bench {
     def floorDirty(i: Int): Boolean = floors.get(defs(i).name).exists { f =>
       bestOf(i).sec > FloorFactor * f.floor + FloorSlack
     }
-    // governance print (never a failure): a wall past the PRE-re-pin
-    // floor's gate means the query regressed relative to the pipeline the
-    // old floor guarded — visible even when the current (re-pinned) floor
-    // absorbs it
+    // governance print (never a failure): a wall past the gate built from
+    // the TIGHTEST historical floor means the query regressed relative to
+    // a pipeline an earlier floor guarded — visible even when the current
+    // (re-pinned) floor absorbs it
     def prevExceeded(i: Int): Boolean = floors.get(defs(i).name).exists { f =>
-      f.prev.exists(p => bestOf(i).sec > FloorFactor * p + FloorSlack)
+      f.prev.nonEmpty && bestOf(i).sec > FloorFactor * f.prev.min + FloorSlack
     }
     // extra interleaved retry passes until every query's best rep is clean
     // by ALL three signals (steal, dilation, floor) or the pass budget is
@@ -297,7 +341,7 @@ object Bench {
       if (prevExceeded(i)) {
         val f = floors(d.name)
         System.err.println(f"[bench] NOTE ${d.name}: wall ${best.sec}%.2fs " +
-          f"exceeds the PRE-re-pin floor gate (prev=${f.prev.get}%.3f, " +
+          f"exceeds the PRE-re-pin floor gate (tightest prev=${f.prev.min}%.3f, " +
           s"current floor=${f.floor} pinned ${f.pinnedRound}: ${f.reason}) " +
           "— regression vs the old pipeline, absorbed by a re-pin")
       }
@@ -321,7 +365,7 @@ object Bench {
     val diag = results.map { case (k, b, _, _, _) =>
       val e = floors.get(k)
       val f = e.map(x => f"${x.floor}%.3f").getOrElse("null")
-      val p = e.flatMap(_.prev).map(x => f"$x%.3f").getOrElse("null")
+      val p = e.filter(_.prev.nonEmpty).map(x => f"${x.prev.min}%.3f").getOrElse("null")
       f""""$k":{"wall":${b.sec}%.3f,"task_run":${b.taskRunSec}%.2f,"task_cpu":${b.taskCpuSec}%.2f,"steal":${b.stealFrac}%.3f,"floor":$f,"prev_floor":$p}"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, b, true, _, _) => b.sec }.sum
@@ -337,32 +381,31 @@ object Bench {
       System.err.println(s"[bench] full artifact written to $outPath")
     } catch { case t: Throwable => System.err.println(s"[bench] artifact write failed: ${t.getMessage}") }
     // regenerate the floor resource from this run when asked (only sane on
-    // a clean run: floors are per-query best-of-passes). Re-pins KEEP
-    // HISTORY: a floor that moves by more than the write threshold
-    // records the old value as `prev` (carrying forward any older prev
-    // when the old entry already had one and the floor only tightened),
-    // with the round/reason from SPARK_GRAFT_FLOOR_ROUND/_REASON — so a
-    // deliberate pipeline change can never silently erase the gate that
-    // guarded the previous pipeline.
+    // a clean run: floors are per-query best-of-passes). Governance v2
+    // ([[repin]]): floors are MONOTONE for unchanged pipelines — only
+    // queries named in SPARK_GRAFT_FLOOR_CHANGED (comma-separated) may
+    // re-pin upward, and an upward re-pin pushes the old floor onto the
+    // bounded `prev` history (tightest-ever retained) so the old
+    // pipeline's gate keeps printing. Round/reason come from
+    // SPARK_GRAFT_FLOOR_ROUND/_REASON; braces are escaped alongside
+    // quotes so a reason can never break parseFloors' object matcher.
     sys.env.get("SPARK_GRAFT_WRITE_FLOORS").foreach { fp =>
       val round = sys.env.getOrElse("SPARK_GRAFT_FLOOR_ROUND", "local")
       val reason = sys.env.getOrElse("SPARK_GRAFT_FLOOR_REASON", "bench re-pin")
-        .replace("\"", "'")
+        .replace("\"", "'").replace("{", "(").replace("}", ")")
+      val changedSet = sys.env.get("SPARK_GRAFT_FLOOR_CHANGED")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
       val body = results.map { case (k, b, _, _, _) =>
-        val old = floors.get(k)
-        // looser floor (slower pipeline) -> old floor becomes prev;
-        // tighter floor -> keep the existing prev (still the loosest
-        // history) so repeated clean re-pins don't shed it
-        val prev: Option[Double] = old match {
-          case Some(o) if b.sec > o.floor => Some(o.prev.getOrElse(o.floor))
-          case Some(o) => o.prev
-          case None => None
-        }
-        val pv = prev.map(x => f"$x%.3f").getOrElse("null")
-        f""""$k":{"floor":${b.sec}%.3f,"prev":$pv,"pinned_round":"$round","reason":"$reason"}"""
+        val e = repin(floors.get(k), b.sec, changedSet(k), round, reason)
+        val pv =
+          if (e.prev.isEmpty) "null"
+          else e.prev.map(x => f"$x%.3f").mkString("[", ",", "]")
+        f""""$k":{"floor":${e.floor}%.3f,"prev":$pv,"pinned_round":"${e.pinnedRound}","reason":"${e.reason}"}"""
       }.mkString("{\n", ",\n", "\n}")
       java.nio.file.Files.write(java.nio.file.Paths.get(fp), body.getBytes("UTF-8"))
-      System.err.println(s"[bench] floors written to $fp")
+      System.err.println(s"[bench] floors written to $fp" +
+        (if (changedSet.nonEmpty) s" (changed pipelines: ${changedSet.mkString(", ")})" else ""))
     }
     println(json)
     spark.stop()

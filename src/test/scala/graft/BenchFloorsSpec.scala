@@ -2,11 +2,15 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Floor-governance contract (Bench.parseFloors): the floors resource may
-  * mix legacy flat entries (`"q": 1.2`) with annotated history entries
-  * (`"q": {"floor": …, "prev": …, "pinned_round": …, "reason": …}`); a
-  * re-pin must never erase the gate that guarded the previous pipeline —
-  * `prev` carries it and Bench prints when a wall exceeds it.
+import Bench.FloorEntry
+
+/** Floor-governance contract (Bench.parseFloors + Bench.repin, v2): the
+  * floors resource may mix legacy flat entries (`"q": 1.2`) with annotated
+  * history entries (`"q": {"floor": …, "prev": [a, b], …}`; pre-v2 files
+  * carry `prev` as a bare number). Re-pins are MONOTONE for unchanged
+  * pipelines — a floor may only ratchet down unless the query is named a
+  * deliberate pipeline change, and an upward re-pin pushes the old floor
+  * onto a bounded history whose tightest entry is never dropped.
   */
 class BenchFloorsSpec extends AnyFunSuite {
 
@@ -16,42 +20,83 @@ class BenchFloorsSpec extends AnyFunSuite {
     assert(m("q_b").floor == 1.25)
   }
 
-  test("parseFloors: annotated entries with history, null prev, and " +
+  test("parseFloors: annotated entries with scalar/list/null prev and " +
       "mixed-form files") {
     val m = Bench.parseFloors(
       """{
         | "q_flat": 0.25,
         | "q_repinned": {"floor": 2.45, "prev": 1.303, "pinned_round": "r11", "reason": "pipeline change, 'quoted'"},
+        | "q_hist": {"floor": 2.45, "prev": [1.303, 0.9], "pinned_round": "r13", "reason": "two re-pins"},
         | "q_fresh": {"floor": 0.9, "prev": null, "pinned_round": "r12", "reason": "new query"}
         |}""".stripMargin)
-    assert(m.size == 3)
+    assert(m.size == 4)
     assert(m("q_flat").floor == 0.25 && m("q_flat").prev.isEmpty)
     val r = m("q_repinned")
-    assert(r.floor == 2.45 && r.prev.contains(1.303))
+    assert(r.floor == 2.45 && r.prev == List(1.303))
     assert(r.pinnedRound == "r11" && r.reason.nonEmpty)
+    assert(m("q_hist").prev == List(1.303, 0.9))
     assert(m("q_fresh").floor == 0.9 && m("q_fresh").prev.isEmpty)
     // an object's inner numeric fields must NOT leak as flat floors
     assert(!m.contains("floor") && !m.contains("prev"))
   }
 
-  test("checked-in sf0.1 floors resource parses; the r11 re-pins keep " +
-      "their pre-re-pin history") {
+  test("repin: unchanged pipelines are monotone — a floor never increases") {
+    val old = FloorEntry(0.234, List(0.2), "r10", "orig")
+    // slower round wall: the old entry survives untouched (provenance too)
+    assert(Bench.repin(Some(old), 0.552, changed = false, "r13", "noise") == old)
+    // faster round wall: ratchets down, history carried
+    val down = Bench.repin(Some(old), 0.180, changed = false, "r13", "opt")
+    assert(down.floor == 0.180 && down.prev == List(0.2) && down.pinnedRound == "r13")
+    // no old entry: fresh pin
+    val fresh = Bench.repin(None, 0.5, changed = false, "r13", "new")
+    assert(fresh.floor == 0.5 && fresh.prev.isEmpty)
+  }
+
+  test("repin: a declared pipeline change may loosen, old floor joins the " +
+      "history, tightest-ever survives any bounded sequence of re-pins") {
+    val up = Bench.repin(Some(FloorEntry(0.839, Nil, "r11", "xx")), 1.681,
+      changed = true, "r12", "md5 twin heavier by design")
+    assert(up.floor == 1.681 && up.prev == List(0.839))
+    // repeated loosening re-pins: history is bounded but min is retained
+    var e = FloorEntry(0.1, Nil, "r0", "start")
+    for (i <- 1 to 10) {
+      e = Bench.repin(Some(e), 0.1 + i * 0.3, changed = true, s"r$i", "change")
+      assert(e.prev.size <= Bench.MaxPrevHist, s"history unbounded: ${e.prev}")
+      assert(e.prev.min == 0.1, s"tightest-ever floor dropped: ${e.prev}")
+    }
+    // a tightening re-pin on a changed pipeline sheds nothing tighter
+    val tight = Bench.repin(Some(e), 0.05, changed = true, "r11", "faster")
+    assert(tight.floor == 0.05 && tight.prev == e.prev)
+  }
+
+  test("write-path reason escaping keeps parseFloors' object matcher safe") {
+    // braces in a reason would otherwise truncate the [^{}]* body match
+    val reason = """re-pin {"cause": "skew"} done""".replace("\"", "'")
+      .replace("{", "(").replace("}", ")")
+    val m = Bench.parseFloors(
+      s"""{"q_a": {"floor": 1.0, "prev": null, "pinned_round": "r13", "reason": "$reason"}}""")
+    assert(m("q_a").floor == 1.0 && m("q_a").reason.contains("('cause': 'skew')"))
+  }
+
+  test("checked-in sf0.1 floors resource parses; the r13 monotone fold " +
+      "restored the tight pre-r12 floors") {
     val in = getClass.getResourceAsStream("/graft/bench_floors_sf0.1.json")
     assert(in != null, "floors resource missing")
     val t = try scala.io.Source.fromInputStream(in).mkString finally in.close()
     val m = Bench.parseFloors(t)
     assert(m.size >= 140, s"only ${m.size} floor entries parsed")
     assert(m.values.forall(e => e.floor > 0 && !e.floor.isNaN))
-    // the two floors VERDICT r11 flagged as history-erasing re-pins now
-    // carry the old gate as prev (regression memory)
-    assert(m("q_dedup_simhash").prev.contains(1.303))
-    assert(m("q_text_topterms").prev.contains(0.445))
-    // prev is the pre-re-pin gate and may sit on EITHER side of the
-    // current floor: below it after a loosening re-pin (pipeline got
-    // deliberately heavier), above it after a tightening one (the writer
-    // keeps the LOOSEST history so repeated clean re-pins don't shed
-    // regression memory — Bench.scala's floor-write rule). The invariant
-    // is only that recorded history is a real, positive gate.
+    // spot pins: r12's wholesale re-pin had loosened these against
+    // unchanged pipelines; the r13 fold took floor := min(floor, prev,
+    // r12 wall) back
+    assert(m("q_tar_roundtrip").floor == 0.234)
+    assert(m("cb_reduce_all").floor == 0.71)
+    assert(m("q_dedup_simhash").floor == 1.261)
+    // the one deliberate r12 pipeline change (xx stream row replaced by
+    // the heavier md5 twin) keeps its floor AND the old pipeline's gate
+    // in history
+    assert(m("q_stream_neardup").floor == 1.681 &&
+      m("q_stream_neardup").prev == List(0.839))
     m.foreach { case (k, e) =>
       e.prev.foreach(p => assert(p > 0 && !p.isNaN,
         s"$k: prev $p is not a valid historical gate"))

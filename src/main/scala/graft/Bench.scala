@@ -5,10 +5,13 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR, prints
-  * ONE JSON line {"metric":...,"value":...,"queries":{...}} and writes the
-  * SAME full JSON to target/bench.json (stdout tails get truncated by the
-  * harness; the file is the artifact of record).
+/** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR, writes
+  * the FULL per-query JSON (all walls + diag) to target/bench.json, and
+  * prints ONE COMPACT JSON line {"metric":...,"value":...,"queries":{...},
+  * "detail":"target/bench.json"} sized to survive the harness's ~2 KB
+  * stdout tail capture — the line carries every headline total and flag
+  * list plus the slowest queries by wall; the file is the artifact of
+  * record for the full surface.
   *
   * local[32] with 32 shuffle partitions (matching cores — the 200 default
   * over-partitions a single node); AQE on for runtime coalesce/skew
@@ -380,6 +383,24 @@ object Bench {
       java.nio.file.Files.write(p, json.getBytes("UTF-8"))
       System.err.println(s"[bench] full artifact written to $outPath")
     } catch { case t: Throwable => System.err.println(s"[bench] artifact write failed: ${t.getMessage}") }
+    // the stdout line must SURVIVE the harness's ~2 KB tail capture (r11
+    // and r12 round artifacts each kept only a truncated tail of the full
+    // per-query JSON -> "parsed": null). The full document lives in
+    // `outPath` above; stdout carries a compact, parseable summary: all
+    // headline totals/flag lists, the slowest queries by wall (as many as
+    // fit the budget), and the path to the full artifact.
+    val stdoutBudget = 1800
+    val headline = results.filter(_._3).sortBy(-_._2.sec)
+    val fixed =
+      s""","n_queries":${results.length},"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"prev_floor_exceeded":$prevExceededNames,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","sf":"$sfDir","detail":"$outPath"}"""
+    def summary(n: Int): String = {
+      val top = headline.take(n)
+        .map { case (k, b, _, _, _) => f""""$k":${b.sec}%.3f""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top""" + fixed
+    }
+    val compact = (headline.length to 0 by -1).iterator.map(summary)
+      .find(_.length <= stdoutBudget).getOrElse(summary(0))
     // regenerate the floor resource from this run when asked (only sane on
     // a clean run: floors are per-query best-of-passes). Governance v2
     // ([[repin]]): floors are MONOTONE for unchanged pipelines — only
@@ -407,7 +428,7 @@ object Bench {
       System.err.println(s"[bench] floors written to $fp" +
         (if (changedSet.nonEmpty) s" (changed pipelines: ${changedSet.mkString(", ")})" else ""))
     }
-    println(json)
+    println(compact)
     spark.stop()
   }
 }

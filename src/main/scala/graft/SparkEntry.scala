@@ -21,9 +21,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("cb_reduce_all")(spark, "/root/testdata/sf0.001")
 
-  /** One per implemented operator from SURVEY.md §2. */
+  /** One per implemented operator from SURVEY.md §2. The correctness
+    * surface runs `verifyFn` where a row declares one (the four q_*_xx
+    * differential certificates — see QueryDef's scaladoc); Bench times
+    * the raw `fn`.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    defs.map(d => d.name -> d.fn).toMap
+    defs.map(d => d.name -> d.verifyFn.getOrElse(d.fn)).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

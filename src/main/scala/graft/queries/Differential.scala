@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-row differential certificates for the production xxhash64 pipelines
+  * (the q_*_xx rows).
+  *
+  * The md5 twins are hash-checked end to end by DuckDB; the production
+  * kernels (xxhash64) have no SQL twin, so their correctness row instead
+  * certifies AGREEMENT with the oracle-green twin on the same input:
+  *
+  *  - `n_twin`         — the md5 twin's output row count. DuckDB recomputes
+  *                       it independently by counting its own replay of the
+  *                       twin pipeline — a hard, data-dependent value.
+  *  - `n_exact_dup_pairs` / `n_exact_dup_docs` — ground truth computed
+  *                       hash-free from the raw table (identical content
+  *                       under the pipelines' NULL-as-'' rule); DuckDB
+  *                       recomputes it with a plain self-join.
+  *  - `exact_dup_recall_ok` — the production pipeline caught at least
+  *                       `recallBound` of that ground truth. Identical
+  *                       content hashes identically under ANY hash mode
+  *                       (same signature, same buckets), so a miss can only
+  *                       come from hot-bucket star-capping — bounded,
+  *                       deterministic, and measured before the bound was
+  *                       pinned.
+  *  - `pair_jaccard_ok` — |xx ∩ md5| / |xx ∪ md5| >= `jaccardBound` over
+  *                       the output pair sets. The two modes disagree only
+  *                       on hash-borderline banding decisions
+  *                       (HashModeAgreementSpec quantifies the law on a
+  *                       seeded borderline corpus); a kernel regression
+  *                       (wrong hashes, broken banding, codegen fault)
+  *                       collapses the overlap to ~0 and the oracle goes
+  *                       red.
+  *
+  * The oracle pins the counts to DuckDB's own computation and the
+  * contracts to TRUE — the sketch-then-verify pattern q_approx_distinct /
+  * q_sketch_distinct established. Everything is deterministic for a fixed
+  * input, so the row is regeneration-stable.
+  *
+  * Scale posture: certificates run at verify SF only (Bench times the raw
+  * production `fn`); the ground-truth self-join keys on raw content, which
+  * is fine at certificate scale — a 100 TB exact-dup census would key on a
+  * content hash first (operators/Dedup.exactDedup does).
+  */
+object Differential {
+
+  /** distinct unordered identical-content pairs (id_a < id_b) under the
+    * pipelines' NULL-as-'' content rule */
+  private def exactDupPairs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = docs.select(col(idCol).as("__id"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    t.as("a").join(t.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+  }
+
+  /** ids having at least one identical-content doc EARLIER in `idCol`
+    * order (the streaming arrival order) */
+  private def exactDupDocs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    exactDupPairs(docs, idCol, textCol).select(col("id_b").as("__id")).distinct()
+
+  private def n(df: DataFrame, as: String): DataFrame =
+    df.agg(count(lit(1)).as(as))
+
+  /** Certificate over PAIR outputs (minhash / simhash / embed pipelines:
+    * columns id_a, id_b). */
+  def pairCertificate(docs: DataFrame, idCol: String, textCol: String,
+      xx: DataFrame, md5: DataFrame,
+      jaccardBound: Double, recallBound: Double): DataFrame = {
+    val x = xx.select("id_a", "id_b").distinct()
+    val m = md5.select("id_a", "id_b").distinct()
+    val exact = exactDupPairs(docs, idCol, textCol)
+    val caught = exact.join(x, Seq("id_a", "id_b"))
+    certRow(n(m, "n_twin"), n(exact, "n_exact_dup_pairs"),
+      n(caught, "__caught"), "n_exact_dup_pairs",
+      n(x, "__nx"), n(x.join(m, Seq("id_a", "id_b")), "__nb"),
+      jaccardBound, recallBound)
+  }
+
+  /** Certificate over per-DOC hit outputs (streaming near-dup: columns
+    * doc_id, dup_of). Recall is doc-level — a doc with an earlier
+    * identical twin must be flagged as SOME duplicate (the pipeline
+    * reports the earliest sufficiently-similar match, which need not be
+    * the identical doc itself). */
+  def docCertificate(docs: DataFrame, idCol: String, textCol: String,
+      xx: DataFrame, md5: DataFrame,
+      jaccardBound: Double, recallBound: Double): DataFrame = {
+    val x = xx.select("doc_id", "dup_of").distinct()
+    val m = md5.select("doc_id", "dup_of").distinct()
+    val dupDocs = exactDupDocs(docs, idCol, textCol)
+    val caught = dupDocs
+      .join(x.select(col("doc_id").as("__id")).distinct(), "__id")
+    certRow(n(m, "n_twin"), n(dupDocs, "n_exact_dup_docs"),
+      n(caught, "__caught"), "n_exact_dup_docs",
+      n(x, "__nx"), n(x.join(m, Seq("doc_id", "dup_of")), "__nb"),
+      jaccardBound, recallBound)
+  }
+
+  /** assemble the one-row certificate from single-row aggregates (scalar
+    * broadcast crossJoins — never a real cartesian) */
+  private def certRow(nTwin: DataFrame, nTruth: DataFrame, nCaught: DataFrame,
+      truthCol: String, nXx: DataFrame, nBoth: DataFrame,
+      jaccardBound: Double, recallBound: Double): DataFrame =
+    nTwin.crossJoin(nTruth).crossJoin(nCaught).crossJoin(nXx).crossJoin(nBoth)
+      .select(col("n_twin"), col(truthCol),
+        (col(truthCol) === 0 ||
+          col("__caught").cast("double") >=
+            col(truthCol).cast("double") * recallBound)
+          .as("exact_dup_recall_ok"),
+        (col("__nx") + col("n_twin") === 0 ||
+          col("__nb").cast("double") /
+            (col("__nx") + col("n_twin") - col("__nb")).cast("double") >=
+            jaccardBound)
+          .as("pair_jaccard_ok"))
+
+  /** raw agreement stats (not a certificate): measured values behind the
+    * pinned bounds, for bound selection and diagnostics (tools.DiffProbe) */
+  private[graft] def pairStats(docs: DataFrame, idCol: String,
+      textCol: String, xx: DataFrame, md5: DataFrame): DataFrame = {
+    val x = xx.select("id_a", "id_b").distinct()
+    val m = md5.select("id_a", "id_b").distinct()
+    val exact = exactDupPairs(docs, idCol, textCol)
+    n(x, "n_xx").crossJoin(n(m, "n_twin"))
+      .crossJoin(n(x.join(m, Seq("id_a", "id_b")), "n_both"))
+      .crossJoin(n(exact, "n_exact"))
+      .crossJoin(n(exact.join(x, Seq("id_a", "id_b")), "n_caught"))
+      .withColumn("jaccard", col("n_both").cast("double") /
+        (col("n_xx") + col("n_twin") - col("n_both")).cast("double"))
+  }
+
+  private[graft] def docStats(docs: DataFrame, idCol: String,
+      textCol: String, xx: DataFrame, md5: DataFrame): DataFrame = {
+    val x = xx.select("doc_id", "dup_of").distinct()
+    val m = md5.select("doc_id", "dup_of").distinct()
+    val dupDocs = exactDupDocs(docs, idCol, textCol)
+    n(x, "n_xx").crossJoin(n(m, "n_twin"))
+      .crossJoin(n(x.join(m, Seq("doc_id", "dup_of")), "n_both"))
+      .crossJoin(n(dupDocs, "n_exact"))
+      .crossJoin(n(dupDocs.join(
+        x.select(col("doc_id").as("__id")).distinct(), "__id"), "n_caught"))
+      .withColumn("jaccard", col("n_both").cast("double") /
+        (col("n_xx") + col("n_twin") - col("n_both")).cast("double"))
+  }
+}

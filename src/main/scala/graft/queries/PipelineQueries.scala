@@ -359,8 +359,9 @@ object PipelineQueries {
     // q_text_embed_neardup's production mode: the XXH64 HashEmbedVector
     // kernel (zero-shuffle scan-speed embedding) feeding the identical
     // hyperplane-LSH + exact-cosine pipeline. Declared for measurement
-    // (see q_dedup_minhash_xx); rows-only — the hash family has no SQL
-    // twin, and the md5 twin above oracle-checks the shared plan.
+    // (see q_dedup_minhash_xx); the correctness row is the differential
+    // certificate against the md5 twin above (which oracle-checks the
+    // shared plan end to end).
     QueryDef("q_embed_neardup_xx",
       (s, dir) => {
         val emb = Dedup.stage(graft.operators.TextAnalysis.hashEmbed(
@@ -371,7 +372,21 @@ object PipelineQueries {
             (floor(col("cosine") * 1e6d + 0.5d) / 1e6d).as("cosine_r"))
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(pairCertOracleSql(embedNearDupOracleSql(dim = 256, n = 2,
+        threshold = 0.6))),
+      verifyFn = Some((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val embXx = Dedup.stage(graft.operators.TextAnalysis.hashEmbed(
+          docs, "doc_id", "text", dim = 256, n = 2))
+        val embMd5 = Dedup.stage(graft.operators.TextAnalysis.hashEmbedMd5(
+          docs, "doc_id", "text", dim = 256, n = 2))
+        Differential.pairCertificate(docs, "doc_id", "text",
+          Dedup.cosineNearDups(embXx, "doc_id", "vec", dim = 256,
+            threshold = 0.6),
+          Dedup.cosineNearDups(embMd5, "doc_id", "vec", dim = 256,
+            threshold = 0.6),
+          jaccardBound = diffJaccardBound, recallBound = diffRecallBound)
+      })),
 
     // CCNet-style LM quality filter: bigram/unigram counts trained on the
     // corpus itself, every doc scored by mean smoothed bigram NLL. The
@@ -592,10 +607,10 @@ object PipelineQueries {
         threshold = streamNearDupThreshold, maxBucket = 64))),
 
     // the PRODUCTION xxhash64-kernel run of the same streaming near-dup
-    // pipeline — rows-only on purpose: its hashes have no SQL twin, but
-    // the kernel path must keep a bench wall + floor so a codegen or perf
-    // regression in the native signature kernels shows up in the
-    // artifact, not only in specs (same posture as q_dedup_minhash_xx).
+    // pipeline — Bench times this raw `fn` (the floor-guarded production
+    // wall); the correctness row is the doc-level differential
+    // certificate against the oracle-green md5 twin above (same posture
+    // as q_dedup_minhash_xx).
     QueryDef("q_stream_neardup_xx",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -606,7 +621,19 @@ object PipelineQueries {
           .select("doc_id", "dup_of").distinct()
           .orderBy("doc_id", "dup_of")
       },
-      None),
+      Some(docCertOracleSql(streamNearDupOracleSql(bands = 8, rows = 4,
+        threshold = streamNearDupThreshold, maxBucket = 64))),
+      verifyFn = Some((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val withTs = docs.withColumn("ts",
+          timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+        Differential.docCertificate(docs, "doc_id", "text",
+          graft.streaming.StreamDedup.nearDupHits(withTs, "doc_id", "ts",
+            "text", threshold = streamNearDupThreshold),
+          graft.streaming.StreamDedup.nearDupHits(withTs, "doc_id", "ts",
+            "text", threshold = streamNearDupThreshold, md5Mode = true),
+          jaccardBound = diffJaccardBound, recallBound = diffRecallBound)
+      })),
 
     // Mergeable distinct-count sketches: one HLL sketch per event type
     // (map-side combinable), then a sketch UNION for the overall count —
@@ -1371,14 +1398,17 @@ object PipelineQueries {
       Some(simhashMd5OracleSql())),
 
     // ---- production-default XXH64 kernels, declared for MEASUREMENT ----
-    // The md5 twins above carry the oracle; these rows keep the xxhash64
-    // production kernels (native codegen Expressions in
+    // The md5 twins above carry the full hash-replay oracle; these rows
+    // keep the xxhash64 production kernels (native codegen Expressions in
     // functions/LshExpressions.scala / HashEmbed.scala) on the DECLARED
-    // surface so they are benched, floor-guarded, and rows-checked every
-    // round — a codegen or perf regression in the production hash family
-    // must show up in the artifact, not only in specs. Rows-only by
-    // design (xxhash64 has no DuckDB twin); output-level md5≡xx agreement
-    // is quantified in HashModeAgreementSpec.
+    // surface so they are benched and floor-guarded every round — Bench
+    // times the raw production pipeline (`fn`). SINCE ROUND 13 their
+    // correctness rows are no longer rows-only: `verifyFn` emits a one-row
+    // DIFFERENTIAL CERTIFICATE (queries/Differential.scala) — md5-twin row
+    // count (DuckDB recomputes it), exact-duplicate ground truth + recall
+    // contract, and the xx-vs-md5 pair-set Jaccard contract — so every
+    // declared row is oracle-checked by something and a kernel regression
+    // goes red in CORRECTNESS, not only in HashModeAgreementSpec.
 
     // q_dedup_minhash's production mode: same banding geometry, exact
     // jaccard verify, same threshold — the pipeline q_dedup_minhash
@@ -1389,17 +1419,41 @@ object PipelineQueries {
           threshold = 0.5)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(pairCertOracleSql(minhashMd5OracleSql(bands = 8, rows = 4,
+        threshold = 0.5))),
+      verifyFn = Some((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Differential.pairCertificate(docs, "doc_id", "text",
+          Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5),
+          Dedup.minhashNearDupsMd5(docs, "doc_id", "text", threshold = 0.5),
+          jaccardBound = diffJaccardBound, recallBound = diffRecallBound)
+      })),
 
     // q_dedup_simhash's production mode: XXH64 token hashes through the
-    // native SimHash64 kernel, same 4x16 banding + hamming<=3 contract
+    // native SimHash64 kernel, same 4x16 banding + hamming<=3 contract.
+    // SimHash's OUTPUT is hash-dependent (the hamming distances live on
+    // the signatures themselves), so cross-mode pair agreement is
+    // structurally lower than the minhash family's — DiffProbe measured
+    // jaccard 0.67 (sf0.001) / 0.45 (sf0.01); the certificate bound 0.25
+    // pins gross kernel breakage (which lands at ~0) while the
+    // per-mode hamming<=3 completeness law stays spec-pinned
     QueryDef("q_dedup_simhash_xx",
       (s, dir) => {
         Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text")
           .filter(col("hamming") <= 3)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(pairCertOracleSql(simhashMd5OracleSql())),
+      verifyFn = Some((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Differential.pairCertificate(docs, "doc_id", "text",
+          Dedup.simhashCandidates(docs, "doc_id", "text")
+            .filter(col("hamming") <= 3),
+          Dedup.simhashCandidatesMd5(docs, "doc_id", "text")
+            .filter(col("hamming") <= 3),
+          jaccardBound = diffSimhashJaccardBound,
+          recallBound = diffRecallBound)
+      })),
 
     // n-gram Jaccard near-dup pairs (exact verify over LSH candidates),
     // md5 oracle mode at a wider 16x2 banding / lower threshold
@@ -1744,8 +1798,42 @@ object PipelineQueries {
 
   /** The ONE threshold shared by q_stream_neardup / q_stream_neardup_xx
     * and the oracle (both sides must move together — see topTermsK).
+    * package-private: tools.DiffProbe measures the xx/md5 agreement at
+    * exactly this threshold.
     */
-  private def streamNearDupThreshold: Double = 0.5
+  private[graft] def streamNearDupThreshold: Double = 0.5
+
+  /** Differential-certificate bounds (queries/Differential.scala). Pinned
+    * from tools.DiffProbe measurements: the minhash / embed / stream
+    * families agree with their md5 twins at pair-set Jaccard 1.0 at every
+    * SF (0.9 leaves noise margin; kernel breakage lands at ~0); SimHash's
+    * hash-dependent output measures 0.45-0.67, bound 0.25 at the QueryDef.
+    * Exact-dup recall bound 0.9 (the current corpus has zero identical
+    * texts, so the ground-truth count — which DuckDB verifies — is 0 and
+    * the contract arms itself if regeneration ever plants duplicates). */
+  private def diffJaccardBound: Double = 0.9
+  private def diffSimhashJaccardBound: Double = 0.25
+  private def diffRecallBound: Double = 0.9
+
+  /** DuckDB side of [[Differential.pairCertificate]]: recount the md5
+    * twin's output rows with the twin's own replay SQL, recompute the
+    * exact-duplicate ground truth hash-free, pin the two agreement
+    * contracts TRUE (the q_sketch_distinct sketch-then-verify pattern). */
+  private def pairCertOracleSql(twinSql: String): String =
+    s"SELECT (SELECT COUNT(*) FROM ($twinSql)) AS n_twin, " +
+      "(SELECT COUNT(*) FROM documents d1 JOIN documents d2 " +
+      "ON COALESCE(d1.text, '') = COALESCE(d2.text, '') " +
+      "AND d1.doc_id < d2.doc_id) AS n_exact_dup_pairs, " +
+      "TRUE AS exact_dup_recall_ok, TRUE AS pair_jaccard_ok"
+
+  /** DuckDB side of [[Differential.docCertificate]] (doc-level: a doc
+    * with an earlier identical twin must be flagged as some duplicate). */
+  private def docCertOracleSql(twinSql: String): String =
+    s"SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, dup_of FROM ($twinSql))) AS n_twin, " +
+      "(SELECT COUNT(DISTINCT d1.doc_id) FROM documents d1 JOIN documents d2 " +
+      "ON COALESCE(d1.text, '') = COALESCE(d2.text, '') " +
+      "AND d2.doc_id < d1.doc_id) AS n_exact_dup_docs, " +
+      "TRUE AS exact_dup_recall_ok, TRUE AS pair_jaccard_ok"
 
   /** Shared q_contamination knobs (query body + oracle — see topTermsK). */
   private def contaminationMinShared: Int = 3

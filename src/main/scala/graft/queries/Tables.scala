@@ -63,9 +63,22 @@ object Tables {
 
 /** A declared query: the Spark implementation plus (when SQL-expressible)
   * the equivalent DuckDB oracle SQL run by the driver's correctness gate.
+  *
+  * `verifyFn`, when set, REPLACES `fn` on the correctness surface
+  * (SparkEntry.queries / Verify) while Bench keeps timing `fn`. The only
+  * rows that use it are the four production-hash measurement twins
+  * (q_*_xx): their bench row must time the xxhash64 pipeline ALONE (that
+  * wall is the floor-guarded production number), but xxhash64 has no
+  * DuckDB twin — so their correctness row is a one-row DIFFERENTIAL
+  * certificate ([[Differential]]) that runs the production pipeline AND
+  * its md5 twin and emits oracle-checkable agreement facts (twin row
+  * count, exact-duplicate ground truth + recall contract, pair-set
+  * Jaccard contract). A kernel regression (wrong hashes, broken banding)
+  * collapses the agreement and the oracle goes red.
   */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String]
+    oracle: Option[String],
+    verifyFn: Option[(SparkSession, String) => DataFrame] = None
 )

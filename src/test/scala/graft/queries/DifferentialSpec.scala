@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SparkTestSession
+
+/** The q_*_xx differential certificates must DISCRIMINATE: agreement in
+  * bounds → all-true row; a broken production pipeline (hash corruption,
+  * dropped pairs, missed duplicates) flips the contract booleans so the
+  * driver's hash-compare goes red. Ground-truth counts follow the
+  * pipelines' NULL-as-'' content rule.
+  */
+class DifferentialSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def docs: DataFrame = Seq(
+    (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), // exact dups
+    (3L, "delta epsilon"), (4L, "zeta eta theta"),
+    (5L, null.asInstanceOf[String]), (6L, "")            // null == '' content
+  ).toDF("doc_id", "text")
+
+  private def pairs(p: (Long, Long)*): DataFrame =
+    p.toSeq.toDF("id_a", "id_b")
+
+  private def hits(p: (Long, Long)*): DataFrame =
+    p.toSeq.toDF("doc_id", "dup_of")
+
+  test("pairCertificate: full agreement and caught dups → all contracts true") {
+    val out = pairs(1L -> 2L, 5L -> 6L, 3L -> 4L)
+    val row = Differential.pairCertificate(docs, "doc_id", "text",
+      out, out, jaccardBound = 0.9, recallBound = 0.9).collect().head
+    // ground truth: (1,2) identical text, (5,6) null-vs-empty identical
+    assert(row.getAs[Long]("n_twin") == 3)
+    assert(row.getAs[Long]("n_exact_dup_pairs") == 2)
+    assert(row.getAs[Boolean]("exact_dup_recall_ok"))
+    assert(row.getAs[Boolean]("pair_jaccard_ok"))
+  }
+
+  test("pairCertificate: disagreeing pair sets flip pair_jaccard_ok") {
+    val row = Differential.pairCertificate(docs, "doc_id", "text",
+      pairs(1L -> 2L, 5L -> 6L, 1L -> 3L, 2L -> 4L),
+      pairs(1L -> 2L, 5L -> 6L),
+      jaccardBound = 0.9, recallBound = 0.9).collect().head
+    // jaccard = 2/4 = 0.5 < 0.9; recall still fine (both dups caught by xx)
+    assert(!row.getAs[Boolean]("pair_jaccard_ok"))
+    assert(row.getAs[Boolean]("exact_dup_recall_ok"))
+  }
+
+  test("pairCertificate: a missed exact duplicate flips exact_dup_recall_ok") {
+    val out = pairs(5L -> 6L, 3L -> 4L) // (1,2) missing from xx
+    val row = Differential.pairCertificate(docs, "doc_id", "text",
+      out, out, jaccardBound = 0.9, recallBound = 0.9).collect().head
+    assert(!row.getAs[Boolean]("exact_dup_recall_ok"))
+    assert(row.getAs[Boolean]("pair_jaccard_ok"))
+  }
+
+  test("pairCertificate: empty outputs on a dup-free corpus are vacuously ok") {
+    val free = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val row = Differential.pairCertificate(free, "doc_id", "text",
+      pairs(), pairs(), jaccardBound = 0.9, recallBound = 0.9).collect().head
+    assert(row.getAs[Long]("n_twin") == 0 &&
+      row.getAs[Long]("n_exact_dup_pairs") == 0)
+    assert(row.getAs[Boolean]("exact_dup_recall_ok") &&
+      row.getAs[Boolean]("pair_jaccard_ok"))
+  }
+
+  test("docCertificate: doc-level recall — the later twin must be flagged " +
+      "as SOME duplicate, not necessarily of the identical doc") {
+    // docs 2 and 6 have earlier identical twins (1 and 5)
+    val ok = Differential.docCertificate(docs, "doc_id", "text",
+      hits(2L -> 1L, 6L -> 3L), // 6 flagged against a non-twin: still caught
+      hits(2L -> 1L, 6L -> 3L),
+      jaccardBound = 0.9, recallBound = 0.9).collect().head
+    assert(ok.getAs[Long]("n_exact_dup_docs") == 2)
+    assert(ok.getAs[Boolean]("exact_dup_recall_ok") &&
+      ok.getAs[Boolean]("pair_jaccard_ok"))
+    val miss = Differential.docCertificate(docs, "doc_id", "text",
+      hits(2L -> 1L), hits(2L -> 1L),
+      jaccardBound = 0.9, recallBound = 0.9).collect().head
+    assert(!miss.getAs[Boolean]("exact_dup_recall_ok"))
+  }
+}

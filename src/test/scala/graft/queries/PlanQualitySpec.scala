@@ -173,7 +173,20 @@ class PlanQualitySpec extends AnyFunSuite {
         "simhashMd5" -> graft.operators.Dedup.simhashCandidatesMd5Plan(scope,
           docs, "doc_id", "text", 64),
         "cosine" -> graft.operators.Dedup.cosineNearDupsPlan(scope, emb,
-          "vec_id", "embedding", 64, 0.4, 4, 8, 256, 42L))
+          "vec_id", "embedding", 64, 0.4, 4, 8, 256, 42L),
+        // the two production-only xx pipelines that carry bench floors but
+        // no oracle pair-row (their correctness rows are differential
+        // certificates): a refactor must not reintroduce an uncapped join
+        // or a funnel on a path only the bench exercises
+        "embedXx" -> graft.operators.Dedup.cosineNearDupsPlan(scope,
+          graft.operators.TextAnalysis.hashEmbed(docs, "doc_id", "text",
+            dim = 256, n = 2), "doc_id", "vec", 256, 0.6, 4, 8, 256, 42L),
+        "streamXx" -> graft.streaming.StreamDedup.nearDupHits(
+          docs.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              (org.apache.spark.sql.functions.col("doc_id") + 10000L)
+                * 1000000L)),
+          "doc_id", "ts", "text", threshold = 0.5))
       plans.foreach { case (n, df) =>
         val plan = df.queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian product")
@@ -194,6 +207,26 @@ class PlanQualitySpec extends AnyFunSuite {
           val gens = "Generate [^\n]*".r.findAllIn(plan).toList
           assert(gens.nonEmpty && gens.forall(_.contains("shiftright")),
             s"$n explodes something other than the 4 signature chunks:\n" +
+              gens.mkString("\n"))
+        }
+        // the stream path's only shuffle is the (band, bucket)-keyed group
+        // exchange into the bounded-bucket stateful fold (batch execution
+        // plans flatMapGroupsWithState as MapGroups) — a global or unkeyed
+        // formulation would funnel the corpus through one task, and the
+        // signature must come from the scan-stage kernel, never a
+        // per-band recompute
+        if (n == "streamXx") {
+          assert(plan.contains("MapGroups") ||
+            plan.contains("FlatMapGroupsWithState"),
+            s"$n lost its keyed stateful fold")
+          assert("Exchange ".r.findAllIn(plan).size == 1 &&
+            plan.contains("Exchange hashpartitioning"),
+            s"$n should shuffle exactly once, keyed:\n${plan.take(900)}")
+          assert(plan.contains("graft_minhash_from_hashes"),
+            s"$n signature not computed by the native kernel")
+          val gens = "Generate [^\n]*".r.findAllIn(plan).toList
+          assert(gens.nonEmpty && gens.forall(_.contains("slice(sig")),
+            s"$n explodes something other than signature bands:\n" +
               gens.mkString("\n"))
         }
       }

@@ -149,11 +149,32 @@ object Similarity {
     * vectors score NULL and are skipped by the aggregate; a zero QUERY
     * vector matches nothing and is absent from the output.
     *
+    * `maxQueryRows` ENFORCES the broadcast contract instead of assuming
+    * it: the compute is |C|·|Q| dots, so a caller handing a corpus-sized
+    * query set would silently go quadratic AND ship a multi-GB broadcast
+    * to every executor. Construction runs one bounded probe job
+    * (`limit(max + 1).count()` — short-circuits, never scans a huge query
+    * side) and fails fast past the cap with a pointer to [[knnJoinIvf]]
+    * (cell-pruned, built for large query sets; auto-routing is not done
+    * here because IVF needs trained centroids the caller must supply).
+    * Raise the cap explicitly only when the executors' memory budget is
+    * known to fit |Q|·dim·8 bytes.
+    *
     * Output: (qidCol, rank, neighbor_id, score), rank 1 = best,
     * deterministic (score ties to the lowest neighbor id).
     */
   def knnJoin(queries: DataFrame, qidCol: String, qvecCol: String,
-      corpus: DataFrame, cidCol: String, cvecCol: String, k: Int): DataFrame = {
+      corpus: DataFrame, cidCol: String, cvecCol: String, k: Int,
+      maxQueryRows: Long = 100000L): DataFrame = {
+    require(maxQueryRows > 0, s"maxQueryRows must be positive, got $maxQueryRows")
+    val probed = queries.select(qidCol).limit(
+      (maxQueryRows + 1).min(Int.MaxValue).toInt).count()
+    require(probed <= maxQueryRows,
+      s"knnJoin broadcasts the query side against every corpus partition " +
+        s"(compute is |corpus| x |queries| dots): query set exceeds " +
+        s"maxQueryRows = $maxQueryRows. Use knnJoinIvf (cell-pruned) for " +
+        "large query sets, or raise maxQueryRows if the broadcast is " +
+        "genuinely affordable.")
     // norms hoisted per side (query norms once in the broadcast, corpus
     // norms once per scanned row) — the score stays the exact expression
     // dot / (norm_c * norm_q) on the same doubles, one dot per scored

@@ -265,6 +265,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF knn-join recall@5 too low: $recall")
   }
 
+  test("knnJoin enforces its broadcast-query contract: over-cap query " +
+      "sets fail fast with a pointer to the IVF route") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // at the cap: fine
+    val ok = Similarity.knnJoin(emb.filter($"vec_id" < 4), "vec_id", "v",
+      emb, "vec_id", "v", k = 2, maxQueryRows = 4L)
+    assert(ok.count() > 0)
+    // one past the cap: the guard fires BEFORE any quadratic work, and
+    // the message routes the caller to knnJoinIvf
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(emb.filter($"vec_id" < 5), "vec_id", "v",
+        emb, "vec_id", "v", k = 2, maxQueryRows = 4L)
+    }
+    assert(e.getMessage.contains("knnJoinIvf") &&
+      e.getMessage.contains("maxQueryRows"))
+  }
+
   test("url parsing: host/path/registered domain incl. ports and bare hosts") {
     val rows = Seq(
       (1L, "https://a.b.example.com/x/y?q=1"),

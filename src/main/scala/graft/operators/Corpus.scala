@@ -116,11 +116,19 @@ object Corpus {
     * planted corpus) so the DuckDB oracle can replay the whole scan —
     * `q_contamination` declares it, mirroring `q_decontaminate` on the
     * census side.
+    *
+    * `excludeSelf` drops pairs whose ids are equal — correct ONLY when
+    * the probes are drawn from the corpus itself (one shared id space,
+    * as `q_contamination`'s held-out split is). For a true cross-dataset
+    * scan (benchmark probes vs a training corpus with INDEPENDENT id
+    * spaces) pass `excludeSelf = false`: a coincidental id collision is
+    * not a self-pair, and dropping it would silently hide a real
+    * contamination hit.
     */
   def ngramContamination(docs: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, probeIdCol: String,
       probeTextCol: String, k: Int = 3, minShared: Int = 3,
-      md5Mode: Boolean = false): DataFrame = {
+      md5Mode: Boolean = false, excludeSelf: Boolean = true): DataFrame = {
     def hashSet(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       if (md5Mode) array_distinct(transform(
         graft.functions.Md5Hashes.md5ShingleHashes(text, k),
@@ -130,10 +138,11 @@ object Corpus {
       hashSet(coalesce(col(textCol), lit(""))).as("__sh"))
     val p = probes.select(col(probeIdCol).cast("long").as("probe_id"),
       hashSet(coalesce(col(probeTextCol), lit(""))).as("__sh"))
-    d.select(col("doc_id"), explode(col("__sh")).as("__h"))
+    val joined = d.select(col("doc_id"), explode(col("__sh")).as("__h"))
       .join(broadcast(
         p.select(col("probe_id"), explode(col("__sh")).as("__h"))), "__h")
-      .filter(col("doc_id") =!= col("probe_id"))
+    (if (excludeSelf) joined.filter(col("doc_id") =!= col("probe_id"))
+     else joined)
       .groupBy("probe_id", "doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

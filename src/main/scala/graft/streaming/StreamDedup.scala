@@ -35,8 +35,17 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   */
 object StreamDedup {
 
+  // bucket is a LONG on purpose (r12 briefly made it String for the md5
+  // twin and paid a per-row allocation + bigger state key on the hot
+  // streaming path): xx mode keys on xxhash64(band slice) as before, and
+  // md5 batch mode folds its comma-joined decimal bucket string through
+  // the md5 hash64 kernel — bucket EQUALITY is all banding needs, and
+  // md5-collision differences are the md5 twins' accepted philosophy.
+  // NOTE any bucket-key type change is a flatMapGroupsWithState
+  // state-schema break: streams must restart from fresh checkpoints
+  // (MIGRATION.md).
   final case class BandRow(doc_id: Long, ts: java.sql.Timestamp,
-      band: Int, bucket: String, sig: Seq[Long])
+      band: Int, bucket: Long, sig: Seq[Long])
   final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]],
       lastMs: Long)
   final case class DupHit(doc_id: Long, ts: java.sql.Timestamp,
@@ -44,12 +53,15 @@ object StreamDedup {
 
   /** `md5Mode` swaps the xxhash64 signature/banding kernels for the
     * md5-replayable twins ([[graft.operators.Dedup.minhashSigMd5Frame]]
-    * signatures; comma-joined decimal bucket keys — banding only needs
-    * bucket EQUALITY): identical pipeline and state shape, every hash
-    * step replayable in DuckDB SQL, so the BATCH execution (one
-    * invocation per key from empty state, a pure function of per-bucket
-    * `(ts, id)` arrival order) can be oracle-checked end to end. The
-    * xxhash64 default stays the production/streaming path.
+    * signatures; bucket key = md5-hash64 of the comma-joined decimal band
+    * slice — banding only needs bucket EQUALITY, which the fold preserves
+    * modulo md5 collisions, the twins' accepted philosophy; the oracle
+    * replays banding by grouping on the slice values themselves):
+    * identical pipeline and state shape, every hash step replayable in
+    * DuckDB SQL, so the BATCH execution (one invocation per key from
+    * empty state, a pure function of per-bucket `(ts, id)` arrival order)
+    * can be oracle-checked end to end. The xxhash64 default stays the
+    * production/streaming path.
     */
   def nearDupHits(docs: DataFrame, idCol: String, tsCol: String,
       textCol: String, bands: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
@@ -81,11 +93,11 @@ object StreamDedup {
         col(tsCol).as("ts"),
         graft.operators.Dedup.minhashSignature(col(textCol), h, k).as("sig"))
     val bucketOf: Column => Column =
-      if (md5Mode) b => concat_ws(",",
+      if (md5Mode) b => graft.functions.Md5Hashes.md5Hash64(concat_ws(",",
         transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-          x => x.cast("string")))
+          x => x.cast("string"))))
       else b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
-        lit(rowsPerBand))).cast("string")
+        lit(rowsPerBand)))
     val banded = sigd
       .select(col("doc_id"), col("ts"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf)))

@@ -54,9 +54,28 @@ object ScaleEvidence {
     val cells = math.max(16, (nEmb / 125).toInt)
 
     // write-path evidence: per-label scratch dir + a local-FS file count
-    // (the write sinks here are always local paths)
+    // (the write sinks here are always local paths). The scratch dir is
+    // CLEANED at startup so a *_pruned_read / tar_read_members op can
+    // never silently measure a stale layout from a previous run — and
+    // each read op fails fast with the producing op's name when its
+    // layout is absent (e.g. SPARK_GRAFT_OPS selected the read without
+    // its paired write).
     val writeBase =
       s"target/scale_write/${label.replaceAll("[^A-Za-z0-9]", "_")}"
+    locally {
+      val root = java.nio.file.Paths.get(writeBase)
+      if (java.nio.file.Files.exists(root)) {
+        val s = java.nio.file.Files.walk(root)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally s.close()
+      }
+    }
+    def requireLayout(path: String, producer: String): Unit =
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+        s"layout $path is absent: run the paired write op '$producer' in " +
+          "the same invocation (SPARK_GRAFT_OPS must include it before " +
+          "this read op)")
     def countFiles(path: String, suffix: String): Long = {
       val d = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.exists(d)) 0L
@@ -158,9 +177,11 @@ object ScaleEvidence {
           "l_shipdate", s"$writeBase/time")
         countFiles(s"$writeBase/time", ".parquet")
       },
-      "time_layout_pruned_read" -> (() =>
+      "time_layout_pruned_read" -> { () =>
+        requireLayout(s"$writeBase/time", "time_layout_write_files")
         spark.read.parquet(s"$writeBase/time")
-          .filter(col("part_key") === "1997-03").count()),
+          .filter(col("part_key") === "1997-03").count()
+      },
       "zorder_write_files" -> { () =>
         graft.operators.ScaleOps.writeZOrdered(
           graft.queries.Tables.lineitem(spark, dir).select("l_orderkey",
@@ -169,6 +190,7 @@ object ScaleEvidence {
         countFiles(s"$writeBase/zorder", ".parquet")
       },
       "zorder_pruned_read" -> { () =>
+        requireLayout(s"$writeBase/zorder", "zorder_write_files")
         val manifest = graft.operators.ScaleOps.minMaxManifest(
           spark, s"$writeBase/zorder", "l_partkey")
         graft.operators.ScaleOps.readSkipping(spark, s"$writeBase/zorder",
@@ -183,9 +205,11 @@ object ScaleEvidence {
           "shard", "member", "bytes", s"$writeBase/tar")
         countFiles(s"$writeBase/tar", ".tar")
       },
-      "tar_read_members" -> (() =>
+      "tar_read_members" -> { () =>
+        requireLayout(s"$writeBase/tar", "tar_write_files")
         graft.sources.TarShards.members(spark, s"$writeBase/tar")
-          .filter(col("error").isNull).count())
+          .filter(col("error").isNull).count()
+      }
     )
 
     // SPARK_GRAFT_OPS=a,b re-measures a subset (e.g. after one operator's

@@ -1775,6 +1775,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(xx((5L, 6L)) == sh(texts(5L)).size)
     // disjoint docs never flagged
     assert(!xx.keys.exists { case (_, d) => d == 3L || d == 7L })
+
+    // cross-dataset id spaces: excludeSelf = false keeps a coincidental
+    // id collision — here "probe 0" from an independent benchmark whose
+    // text matches corpus doc 0 — instead of hiding it as a self-pair
+    val benchProbes = Seq((0L, probeText)).toDF("doc_id", "text")
+    val cross = Corpus.ngramContamination(corpus, benchProbes, "doc_id",
+        "text", "doc_id", "text", k = 3, minShared = 2,
+        excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(cross.contains((0L, 0L)),
+      "excludeSelf=false must keep same-id cross-dataset hits")
+    assert(cross((0L, 0L)) == sh(probeText).size)
   }
 
   test("ngram contamination fuzz: random corpora == exact recomputation " +

@@ -576,6 +576,15 @@ final case class TaskGraph(
       attrs: Map[String, String] = Map.empty): TaskGraph =
     withNode(name, preds, attrs + ("expr" -> sqlExpr))
 
+  /** Merge attrs onto an EXISTING node (the reference's
+    * `g.nodes[name]['attr'] = value`, graph_test.py:1041-1104); the
+    * engine's preservation/merge rules (map, branch select, splice,
+    * clone) then apply to them like any construction-time attrs. */
+  def withAttrs(name: String, attrs: Map[String, String]): TaskGraph = {
+    require(dag.contains(name), s"unknown node '$name'")
+    copy(dag = dag.addNode(name, attrs))
+  }
+
   /** Add a plain (opaque) node with edges from preds. */
   def withNode(name: String, preds: Seq[String],
       attrs: Map[String, String] = Map.empty): TaskGraph = {

@@ -27,6 +27,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Only key-addressed operations live here; dim-addressed operations
   * (slicing, `sel`/`loc`) and whole-graph outputs pass through `graph`
   * unchanged — dims were never node keys in the reference either.
+  *
+  * Node ATTRS are typed-addressable too ([[withAttrs]]/[[attr]]): attr
+  * keys and values route through the same injective render into the
+  * engine's stringly store, so the reference's attrs-preservation rules
+  * (map/getItem/setItem, graph_test.py:1041-1104) apply unchanged.
+  * Values read back rendered, not as live objects — the engine stores
+  * replayable strings, never closures (the documented
+  * executable-metadata trade; reference attrs may carry user functions,
+  * graph.py:285,311).
   */
 final case class TypedGraph[K](graph: TaskGraph, codec: K => String) {
 
@@ -52,12 +61,14 @@ final case class TypedGraph[K](graph: TaskGraph, codec: K => String) {
     copy(graph = graph.mapFrame(df,
       nodes = cols.map { case (k, c) => e(k) -> c }))
 
-  def reduce(key: K = null.asInstanceOf[K], index: String = null,
-      axis: Integer = null, name: K = null.asInstanceOf[K],
+  /** `key`/`name` are Options ON PURPOSE: a `null.asInstanceOf[K]`
+    * default unboxes to 0 for a primitive `K` (TypedGraph[Int]), turning
+    * a reduce-all into a reduce of node "0" — `None` has no such trap. */
+  def reduce(key: Option[K] = None, index: String = null,
+      axis: Integer = null, name: Option[K] = None,
       attrs: Map[String, String] = Map.empty): TypedGraph[K] =
     copy(graph = graph.reduce(
-      Option(key).map(e).orNull, index, axis,
-      Option(name).map(e).orNull, attrs))
+      key.map(e).orNull, index, axis, name.map(e).orNull, attrs))
 
   def getItem(key: K): TypedGraph[K] = copy(graph = graph.getItem(e(key)))
   def delItem(key: K): TypedGraph[K] = copy(graph = graph.delItem(e(key)))
@@ -68,6 +79,29 @@ final case class TypedGraph[K](graph: TaskGraph, codec: K => String) {
     graph.result(e(key), needPositional)
   def dimsOf(key: K): Vector[String] = graph.dimsOf(e(key))
   def isMapped(key: K): Boolean = graph.isMapped(e(key))
+
+  /** Merge opaque TYPED attrs onto an existing node (the reference's
+    * `g.nodes[key]['attr'] = value`, graph_test.py:1041-1104): attr keys
+    * AND values route through an injective render (default
+    * [[TypedGraph.anyKey]]) into the engine's stringly attr store, so
+    * they survive map/getItem/setItem/groupby exactly as engine attrs do
+    * and merge/conflict under the engine's own rules. Values read back
+    * RENDERED ([[attr]]/[[attrsOf]]) — the documented executable-metadata
+    * trade: the engine stores replayable strings, not closures. */
+  def withAttrs(node: K, attrs: Map[Any, Any],
+      render: Any => String = TypedGraph.anyKey): TypedGraph[K] =
+    copy(graph = graph.withAttrs(e(node),
+      attrs.map { case (a, v) => render(a) -> render(v) }))
+
+  /** A node's attr addressed by TYPED key; the value comes back in its
+    * rendered form. */
+  def attr(node: K, attrKey: Any,
+      render: Any => String = TypedGraph.anyKey): Option[String] =
+    attrsOf(node).get(render(attrKey))
+
+  /** All engine-side (rendered) attrs of a node. */
+  def attrsOf(node: K): Map[String, String] =
+    graph.dag.attrs.getOrElse(e(node), Map.empty)
 
   def taskTable(valueAttr: String = "value"): DataFrame =
     graph.taskTable(valueAttr)
@@ -81,11 +115,12 @@ final case class TypedGraph[K](graph: TaskGraph, codec: K => String) {
 }
 
 final class TypedGroupbyGraph[K](g: GroupbyTaskGraph, codec: K => String) {
-  def reduce(key: K = null.asInstanceOf[K], name: K = null.asInstanceOf[K],
+  /** Option defaults for the same primitive-K reason as
+    * [[TypedGraph.reduce]]. */
+  def reduce(key: Option[K] = None, name: Option[K] = None,
       attrs: Map[String, String] = Map.empty): TypedGraph[K] =
     TypedGraph(g.reduce(
-      Option(key).map(codec).orNull, Option(name).map(codec).orNull,
-      attrs), codec)
+      key.map(codec).orNull, name.map(codec).orNull, attrs), codec)
 }
 
 object TypedGraph {

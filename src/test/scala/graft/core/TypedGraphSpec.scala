@@ -53,7 +53,7 @@ class TypedGraphSpec extends AnyFunSuite {
     // reduce the TYPE-keyed mapped source itself (fan-in over its dim)
     val g = TypedGraph.anyKeys((classOf[Int], "out"))
       .mapSeqs(Map[Any, Seq[Any]](classOf[Int] -> Seq(1, 2, 3)))
-      .reduce(key = classOf[Int], name = "total",
+      .reduce(key = Some(classOf[Int]), name = Some("total"),
         attrs = Map("func" -> "sum"))
     val totalCol = g.nodeName("total")
     assert(g.result("total").collect()
@@ -79,13 +79,71 @@ class TypedGraphSpec extends AnyFunSuite {
       .mapSeqs(Map[Any, Seq[Any]](classOf[Int] -> Seq(1, 2, 3, 4),
         "label" -> Seq("x", "y", "x", "y")))
       .groupby("label")
-      .reduce(key = classOf[Int], name = "per_label",
+      .reduce(key = Some(classOf[Int]), name = Some("per_label"),
         attrs = Map("func" -> "sum"))
     // the groupby dim is named after the ENGINE-side key node name
     val out = g.result("per_label")
       .select(col(g.nodeName("label")), col(g.nodeName("per_label")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("x" -> 4L, "y" -> 6L))
+  }
+
+  test("typed attrs survive map / getItem / setItem, addressed by typed " +
+      "keys with typed attr keys — graph_test.py:1041-1104") {
+    import spark.implicits._
+    val render = TypedGraph.anyKey
+    // chain a -> b -> c with TYPE node keys and TYPED attr keys (an Int
+    // attr key shows the injective render at work on non-string keys)
+    val a = classOf[Int]; val b = classOf[Double]; val c = classOf[String]
+    val g = TypedGraph.anyKeys((a, b), (b, c))
+      .withAttrs(a, Map("attr1" -> 1))
+      .withAttrs(b, Map("attr2" -> 2))
+      .withAttrs(c, Map(3 -> "attr3"))
+    // preserved through map (graph_test.py:1088-1104)
+    val mapped = g.mapSeqs(Map[Any, Seq[Any]](a -> Seq(1, 2, 3)))
+    assert(mapped.attr(a, "attr1").contains(render(1)))
+    // preserved through branch select (graph_test.py:1051-1062): the
+    // c-branch keeps upstream attrs, addressed by typed keys throughout
+    val branch = mapped.getItem(c)
+    assert(branch.attr(a, "attr1").contains(render(1)))
+    assert(branch.attr(b, "attr2").contains(render(2)))
+    assert(branch.attr(c, 3).contains(render("attr3")))
+    // splice (graph_test.py:1065-1085, exact shape: a and b are PARALLEL
+    // parents of c, so replacing the b branch leaves a intact): b swaps
+    // in the OTHER graph's attrs and brings x's attrs along; a and c
+    // keep theirs
+    val x = classOf[Long]
+    val gPar = TypedGraph.anyKeys((a, c), (b, c))
+      .withAttrs(a, Map("attr1" -> 1))
+      .withAttrs(b, Map("attr2" -> 2))
+      .withAttrs(c, Map(3 -> "attr3"))
+    val other = TypedGraph.anyKeys((x, b))
+      .withAttrs(x, Map("attr4" -> 4))
+      .withAttrs(b, Map("attr5" -> 5))
+    val spliced = gPar.setItem(b, other)
+    assert(spliced.attr(a, "attr1").contains(render(1)))
+    assert(spliced.attrsOf(b) == Map(render("attr5") -> render(5)),
+      "b was replaced: only the new graph's attrs may survive")
+    assert(spliced.attr(c, 3).contains(render("attr3")))
+    assert(spliced.attr(x, "attr4").contains(render(4)))
+    // withAttrs refuses unknown nodes (no silent node creation)
+    intercept[IllegalArgumentException] {
+      g.withAttrs(classOf[Float], Map("oops" -> 0))
+    }
+  }
+
+  test("reduce-all over a PRIMITIVE-keyed graph: the None default cannot " +
+      "unbox to node 0") {
+    import spark.implicits._
+    // TypedGraph[Int]: node keys ARE primitive ints — the old
+    // null.asInstanceOf[K] default would have read as key = Some(0)
+    val g = TypedGraph.fromEdges((k: Int) => s"n$k")((0, 1))
+      .mapSeqs(Map(0 -> Seq(10, 20, 30)))
+      .reduce(attrs = Map("func" -> "sum"))
+    // reduce-all reduced the SINK (node 1), not node 0
+    val preds = g.graph.reduces.values.map(_.pred).toSet
+    assert(preds == Set("n1"),
+      s"reduce-all did not target the sink: reduced preds $preds")
   }
 
   test("homogeneous custom-codec keys: case-class keyed chain") {

@@ -66,6 +66,35 @@ class DifferentialSpec extends AnyFunSuite {
       row.getAs[Boolean]("pair_jaccard_ok"))
   }
 
+  test("pinned bounds hold with margin on real data (sf0.001): the " +
+      "verify-gate certificates cannot be one noise step from red") {
+    // the certificate rows assert jaccard >= 0.9 (minhash family) and
+    // >= 0.25 (simhash); this spec re-measures the underlying agreement
+    // on the smallest real corpus and demands MARGIN above the pinned
+    // bounds, so data or kernel drift surfaces here before it can park
+    // the verify gate on a knife edge
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mh = Differential.pairStats(docs, "doc_id", "text",
+      graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5),
+      graft.operators.Dedup.minhashNearDupsMd5(docs, "doc_id", "text",
+        threshold = 0.5)).collect().head
+    val mhJ = mh.getAs[Double]("jaccard")
+    assert(mh.getAs[Long]("n_twin") > 0, "vacuous: twin found no pairs")
+    assert(mhJ >= 0.95, s"minhash xx-vs-md5 agreement eroded: $mhJ")
+    val sh = Differential.pairStats(docs, "doc_id", "text",
+      graft.operators.Dedup.simhashCandidates(docs, "doc_id", "text")
+        .filter(org.apache.spark.sql.functions.col("hamming") <= 3),
+      graft.operators.Dedup.simhashCandidatesMd5(docs, "doc_id", "text")
+        .filter(org.apache.spark.sql.functions.col("hamming") <= 3))
+      .collect().head
+    val shJ = sh.getAs[Double]("jaccard")
+    assert(sh.getAs[Long]("n_twin") > 0, "vacuous: twin found no pairs")
+    assert(shJ >= 0.4, s"simhash xx-vs-md5 agreement eroded: $shJ " +
+      "(bound 0.25 pinned against measured 0.67)")
+  }
+
   test("docCertificate: doc-level recall — the later twin must be flagged " +
       "as SOME duplicate, not necessarily of the identical doc") {
     // docs 2 and 6 have earlier identical twins (1 and 5)

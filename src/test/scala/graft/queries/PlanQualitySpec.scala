@@ -233,6 +233,25 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally scope.release()
   }
 
+  test("differential certificates: the only joins are the 5-way scalar " +
+      "assembly of one-row aggregates") {
+    // the q_*_xx correctness rows assemble five global (no-group-key)
+    // aggregates with crossJoins — each side is ONE row by construction,
+    // so the nested-loop joins and single-partition finals PlanAudit
+    // flags on them are structurally benign. This pins that shape: more
+    // than 4 NL joins (or any cartesian over data) means a refactor
+    // introduced a real join into a certificate
+    Seq("q_dedup_minhash_xx", "q_dedup_simhash_xx", "q_embed_neardup_xx",
+      "q_stream_neardup_xx").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val nl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(nl <= 4, s"$q: $nl nested-loop joins — scalar assembly is at most 4")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(df.count() == 1, s"$q certificate must be exactly one row")
+    }
+  }
+
   test("knn join: broadcast query side, bounded-heap partial aggregation") {
     val plan = planOf("q_knn_join")
     // the query set is broadcast (never shuffles the corpus against it)

@@ -102,4 +102,18 @@ class BenchFloorsSpec extends AnyFunSuite {
         s"$k: prev $p is not a valid historical gate"))
     }
   }
+
+  test("floors cover exactly the declared surface: no floorless query, " +
+      "no stale floor") {
+    val in = getClass.getResourceAsStream("/graft/bench_floors_sf0.1.json")
+    val t = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val floors = Bench.parseFloors(t).keySet
+    val declared = SparkEntry.defs.map(_.name).toSet
+    val floorless = declared -- floors
+    val stale = floors -- declared
+    assert(floorless.isEmpty,
+      s"declared queries with no floor (new query shipped without a pin): $floorless")
+    assert(stale.isEmpty,
+      s"floors for queries no longer declared (rename left a stale pin): $stale")
+  }
 }

@@ -363,6 +363,74 @@ object ScaleOps {
       .drop("__h", "__salt", "__rn")
   }
 
+  /** Temperature-tempered domain mixing — the standard LLM-pretraining
+    * data-mixing step: per-domain sampling quotas proportional to
+    * `n_d ^ alpha` under a global row `budget`, then a deterministic
+    * uniform sample of each quota ([[quotaSample]]'s seeded-md5 rank).
+    * `alpha = 1` preserves natural proportions, `alpha = 0` equalizes
+    * domains, and the `0.5` default is the usual multilingual/domain
+    * rebalancing temperature.
+    *
+    * Cross-engine determinism (the oracle replays the whole computation):
+    * per-domain weights are `sqrt`/`pow` of the exact counts, floor-
+    * rounded to 6 decimals (both engines correctly round sqrt per
+    * IEEE 754); their total is an EXACT decimal sum of the rounded
+    * values; each quota is one double multiply + one divide + a floor —
+    * single-rounded identical operations in both engines — capped at the
+    * domain's own size. NOTE `alpha = 0.5` (sqrt) and the trivial 0/1
+    * temperatures are the bit-replayable settings; arbitrary `pow`
+    * exponents are supported but `pow`'s cross-engine bit-parity is not
+    * guaranteed — pin non-default temperatures with a spec before
+    * declaring them on an oracle row.
+    *
+    * Scale shape: the quota table is |domains| rows and BROADCASTS; the
+    * corpus pays one scan + the two bounded rank phases (`fanout`
+    * reducers per domain, then a ≤ fanout·quota-row second phase — see
+    * [[quotaSample]]). Rows with NULL domain are dropped (they match no
+    * quota row in any engine). Output: the input columns of the sampled
+    * rows.
+    */
+  def temperatureMixSample(df: DataFrame, domainCol: String, idCol: String,
+      budget: Long, alpha: Double = 0.5, seed: Int = 13,
+      fanout: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(fanout > 0, s"fanout must be positive, got $fanout")
+    val reserved = Seq("__n", "__w", "__wt", "__q", "__h", "__salt", "__rn")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input must not already contain ${reserved.mkString(", ")}")
+    val weight: Column = {
+      val n = col("__n").cast("double")
+      if (alpha == 0.5) sqrt(n)
+      else if (alpha == 0.0) lit(1.0d)
+      else if (alpha == 1.0) n
+      else pow(n, lit(alpha))
+    }
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(weight * 1e6d + 0.5d) / 1e6d)
+    val tot = counts.agg(graft.functions.Exact.dsum(col("__w")).as("__wt"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(col(domainCol),
+        least(floor(lit(budget.toDouble) * col("__w") / col("__wt"))
+          .cast("long"), col("__n")).as("__q"))
+    val h = md5(concat_ws("|", col(idCol).cast("string"), lit(seed.toString)))
+    val wLocal = Window.partitionBy(col(domainCol), col("__salt"))
+      .orderBy(col("__h"), col(idCol))
+    val wGlobal = Window.partitionBy(col(domainCol))
+      .orderBy(col("__h"), col(idCol))
+    df.join(broadcast(quotas), domainCol)
+      .withColumn("__h", h)
+      .withColumn("__salt", pmod(xxhash64(col(idCol), lit(seed)), lit(fanout)))
+      .withColumn("__rn", row_number().over(wLocal))
+      .filter(col("__rn") <= col("__q"))
+      .withColumn("__rn", row_number().over(wGlobal))
+      .filter(col("__rn") <= col("__q"))
+      .drop("__q", "__h", "__salt", "__rn")
+  }
+
   /** Changelog merge (lakehouse CDC upsert): apply a batch of keyed
     * changes — inserts, updates, and delete markers — onto a snapshot,
     * keeping the row with the highest `versionCol` per key (change rows

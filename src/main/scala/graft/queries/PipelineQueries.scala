@@ -532,6 +532,22 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id, lang, source FROM documents QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '13'), doc_id) <= 40 ORDER BY lang, doc_id""")),
 
+    // Temperature-tempered domain mixing (alpha = 0.5, budget 200): the
+    // LLM-pretraining rebalancing step — per-source quotas proportional
+    // to sqrt(n_source) under the budget, each filled by the seeded-md5
+    // uniform sample. The oracle replays the WHOLE computation: counts,
+    // IEEE-correctly-rounded sqrt weights floor-rounded to 6 decimals,
+    // the decimal-exact weight total, the single-rounded quota
+    // arithmetic, and the per-domain rank selection.
+    QueryDef("q_mix_sample",
+      (s, dir) => {
+        graft.operators.ScaleOps.temperatureMixSample(
+            Tables.documents(s, dir), "source", "doc_id", budget = 200L)
+          .select("doc_id", "source", "lang")
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH n AS (SELECT source, COUNT(*) AS nd FROM documents WHERE source IS NOT NULL GROUP BY source), w AS (SELECT source, nd, FLOOR(SQRT(CAST(nd AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS wd FROM n), tot AS (SELECT CAST(SUM(CAST(wd AS DECIMAL(27,6))) AS DOUBLE) AS wt FROM w), q AS (SELECT source, LEAST(CAST(FLOOR(CAST(200 AS DOUBLE) * wd / wt) AS BIGINT), nd) AS quota FROM w CROSS JOIN tot) SELECT doc_id, source, lang FROM documents JOIN q USING (source) QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '13'), doc_id) <= quota ORDER BY source, doc_id""")),
+
     // Fuzzy (edit-distance) join: supplier names against a perturbed copy
     // (last character dropped), matched within 1 edit — length banding
     // turns the nested-loop fuzzy match into a shuffled equi-join with a

@@ -307,6 +307,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sortedRows(got.select("doc_id")) != sortedRows(other.select("doc_id")))
   }
 
+  test("temperature mix sample: quotas follow n^alpha under the budget, " +
+      "deterministic, null domains dropped") {
+    val docs = Seq.tabulate(130) { i =>
+      val dom = if (i < 100) "web" else if (i < 120) "books" else "code"
+      (i.toLong, dom)
+    }.toDF("id", "dom")
+      .union(Seq((999L, null.asInstanceOf[String])).toDF("id", "dom"))
+    def sizes(alpha: Double, budget: Long): Map[String, Long] =
+      ScaleOps.temperatureMixSample(docs, "dom", "id", budget, alpha)
+        .groupBy("dom").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 1: natural proportions — quota_d = floor(B * n_d / N)
+    assert(sizes(1.0, 65L) == Map("web" -> 50L, "books" -> 10L, "code" -> 5L))
+    // alpha = 0: equal shares regardless of domain size
+    assert(sizes(0.0, 30L) == Map("web" -> 10L, "books" -> 10L, "code" -> 10L))
+    // alpha = 0.5 lies between: sqrt weights 10 / 4.472136 / 3.162278
+    // of total 17.634414 under budget 60 -> 34 / 15 / 10
+    assert(sizes(0.5, 60L) == Map("web" -> 34L, "books" -> 15L, "code" -> 10L))
+    // quotas cap at the domain's own size; the null-domain row never
+    // samples
+    val capped = sizes(0.0, 3000L)
+    assert(capped == Map("web" -> 100L, "books" -> 20L, "code" -> 10L))
+    // deterministic across layouts, seed changes the selection
+    val a = ScaleOps.temperatureMixSample(docs, "dom", "id", 60L)
+    val b = ScaleOps.temperatureMixSample(docs.repartition(7), "dom", "id", 60L)
+    assert(sortedRows(a.select("id")) == sortedRows(b.select("id")))
+    val c = ScaleOps.temperatureMixSample(docs, "dom", "id", 60L, seed = 99)
+    assert(sortedRows(a.select("id")) != sortedRows(c.select("id")))
+  }
+
   test("time-partitioned layout: partition-pruned scans, identical rows") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_shipdate", "l_extendedprice")

@@ -277,20 +277,23 @@ class PlanQualitySpec extends AnyFunSuite {
       "url rollup lost its single-scan two-phase shape")
   }
 
-  test("quota sample: both rank phases partition on the stratum (no global window)") {
+  test("quota/mix samples: every rank phase partitions on the stratum " +
+      "(no global window)") {
     // structural check on the executed plan: every WindowExec must carry a
     // non-empty partitionSpec — an unpartitioned rank would funnel the
     // whole input through one task (the exact trap the two-phase design
     // avoids)
     // (logical plan: AQE hides the physical WindowExec nodes until run)
-    val logical = graft.SparkEntry.queries("q_quota_sample")(spark, dir)
-      .queryExecution.optimizedPlan
-    val windows = logical.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    Seq("q_quota_sample", "q_mix_sample").foreach { q =>
+      val logical = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan
+      val windows = logical.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.size >= 2, s"$q: expected two rank phases, got ${windows.size}")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q: unpartitioned window:\n$w"))
     }
-    assert(windows.size >= 2, s"expected two rank phases, got ${windows.size}")
-    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
-      s"unpartitioned window in quota sample:\n$w"))
   }
 
   test("co-grouped groupby keeps the pruned parquet scan (no RDD fallback)") {

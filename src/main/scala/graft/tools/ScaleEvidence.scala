@@ -165,6 +165,13 @@ object ScaleEvidence {
         graft.SparkEntry.queries("q9_profit_shape")(spark, dir).count()),
       "profile_scan" -> (() =>
         graft.SparkEntry.queries("q_profile")(spark, dir).count()),
+      // temperature mixing (round 13): FIXED budget on a growing corpus
+      // — the claims are wall tracking the one corpus scan + bounded
+      // rank phases (quota table broadcasts, |domains| rows at any
+      // size) and output rows pinned at ~budget regardless of scale
+      "mix_sample" -> (() =>
+        graft.operators.ScaleOps.temperatureMixSample(
+          docs, "source", "doc_id", budget = 200L).count()),
       // write paths (round-12): the three file-sink operators, split
       // into a write op (whose "rows" reading is the FILE COUNT — the
       // claim is file counts stay BOUNDED by the numFiles/shard knobs as

@@ -337,6 +337,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sortedRows(a.select("id")) != sortedRows(c.select("id")))
   }
 
+  test("temperature mix fuzz: random corpora == an independent driver " +
+      "replay of quotas and selection, across seeds x alphas x budgets") {
+    // the reference shares NO engine machinery: quotas from
+    // Math.sqrt/floor-round/BigDecimal-sum/floor, selection by a
+    // MessageDigest md5 rank — the same arithmetic contract the DuckDB
+    // oracle replays, reimplemented driver-side
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var checked = 0
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7919L)
+      val nDoms = 2 + rnd.nextInt(5)
+      val rows = (0 until nDoms).flatMap { d =>
+        val n = 1 + rnd.nextInt(50)
+        (0 until n).map(i => (d * 1000L + i, s"dom$d"))
+      }
+      val budget = 10L + rnd.nextInt(140)
+      val alpha = Seq(0.0, 0.5, 1.0)(rnd.nextInt(3))
+      val df = rows.toDF("id", "dom")
+      val got = ScaleOps.temperatureMixSample(df, "dom", "id", budget, alpha)
+        .select("id").collect().map(_.getLong(0)).toSet
+      // driver reference
+      val byDom = rows.groupBy(_._2)
+      val w = byDom.map { case (d, rs) =>
+        val raw = alpha match {
+          case 0.0 => 1.0
+          case 0.5 => Math.sqrt(rs.size.toDouble)
+          case _ => rs.size.toDouble
+        }
+        d -> Math.floor(raw * 1e6 + 0.5) / 1e6
+      }
+      val tot = w.values.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val want = byDom.flatMap { case (d, rs) =>
+        val q = math.min(Math.floor(budget.toDouble * w(d) / tot).toLong, rs.size.toLong)
+        rs.map(_._1).sortBy(id => (md5hex(s"$id|13"), id)).take(q.toInt)
+      }.toSet
+      assert(got == want,
+        s"seed=$seed alpha=$alpha budget=$budget: extra=${got -- want}, missing=${want -- got}")
+      checked += want.size
+    }
+    assert(checked >= 100, s"fuzz vacuous: only $checked sampled rows total")
+  }
+
   test("time-partitioned layout: partition-pruned scans, identical rows") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_shipdate", "l_extendedprice")

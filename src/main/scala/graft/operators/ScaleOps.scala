@@ -411,8 +411,16 @@ object ScaleOps {
     val counts = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__w", floor(weight * 1e6d + 0.5d) / 1e6d)
-    val tot = counts.agg(graft.functions.Exact.dsum(col("__w")).as("__wt"))
-    val quotas = counts.crossJoin(broadcast(tot))
+    // the weight total rides an unpartitioned window OVER THE COUNTS
+    // FRAME — |domains| rows by construction, so the single-partition
+    // exchange is bounded (the prefixSum-totals class), and the corpus
+    // pays ONE counting scan instead of two (a separate agg + crossJoin
+    // re-derived `counts` from its own scan). Same decimal-exact sum,
+    // same double cast — quota bits unchanged.
+    val wAll = Window.partitionBy()
+    val quotas = counts
+      .withColumn("__wt",
+        sum(col("__w").cast("decimal(27,6)")).over(wAll).cast("double"))
       .select(col(domainCol),
         least(floor(lit(budget.toDouble) * col("__w") / col("__wt"))
           .cast("long"), col("__n")).as("__q"))

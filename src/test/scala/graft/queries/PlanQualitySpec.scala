@@ -290,9 +290,26 @@ class PlanQualitySpec extends AnyFunSuite {
       val windows = logical.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
-      assert(windows.size >= 2, s"$q: expected two rank phases, got ${windows.size}")
-      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
-        s"$q: unpartitioned window:\n$w"))
+      def isRank(w: org.apache.spark.sql.catalyst.plans.logical.Window) =
+        w.windowExpressions.exists(_.find {
+          case _: org.apache.spark.sql.catalyst.expressions.RowNumber => true
+          case _ => false
+        }.isDefined)
+      val (ranks, others) = windows.partition(isRank)
+      assert(ranks.size >= 2, s"$q: expected two rank phases, got ${ranks.size}")
+      ranks.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q: unpartitioned RANK window (corpus-sized funnel):\n$w"))
+      // the only allowed unpartitioned window is the mix sampler's
+      // quota-total sum, which runs over the |domains|-row counts
+      // aggregate (bounded by construction, the prefixSum-totals class)
+      others.foreach { w =>
+        if (w.partitionSpec.isEmpty)
+          assert(w.child.find {
+            case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+            case _ => false
+          }.isDefined,
+            s"$q: unpartitioned non-rank window over a non-aggregated child:\n$w")
+      }
     }
   }
 

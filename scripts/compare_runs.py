@@ -36,13 +36,17 @@ def canon_hash(con, path):
 
 def main():
     a, b = sys.argv[1], sys.argv[2]
-    queries = sorted(
-        d for d in os.listdir(a)
-        if os.path.isdir(os.path.join(a, d)))
-    missing = [q for q in queries if not os.path.isdir(os.path.join(b, q))]
-    if missing:
-        print(f"FAIL: {len(missing)} queries missing from {b}: {missing}")
+    def dirs(base):
+        return {d for d in os.listdir(base)
+                if os.path.isdir(os.path.join(base, d))}
+    da, db = dirs(a), dirs(b)
+    # symmetric: a query present in only ONE run is a failure either way
+    # (a subset run compared against a full one is not layout evidence)
+    if da != db:
+        print(f"FAIL: query sets differ — only in {a}: {sorted(da - db)}; "
+              f"only in {b}: {sorted(db - da)}")
         sys.exit(1)
+    queries = sorted(da)
     con = duckdb.connect()
     n_pass = n_fail = 0
     for q in queries:

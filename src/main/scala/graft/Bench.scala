@@ -417,12 +417,22 @@ object Bench {
       val changedSet = sys.env.get("SPARK_GRAFT_FLOOR_CHANGED")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty[String])
-      val body = results.map { case (k, b, _, _, _) =>
-        val e = repin(floors.get(k), b.sec, changedSet(k), round, reason)
-        val pv =
-          if (e.prev.isEmpty) "null"
-          else e.prev.map(x => f"$x%.3f").mkString("[", ",", "]")
-        f""""$k":{"floor":${e.floor}%.3f,"prev":$pv,"pinned_round":"${e.pinnedRound}","reason":"${e.reason}"}"""
+      val body = results.flatMap { case (k, b, ok, dirtyBest, _) =>
+        // a FAILED query's best is the wall of a crash and a dirty best
+        // is a storm/regression reading — neither is a floor. Carry the
+        // old entry forward untouched; a new query with no prior entry
+        // is simply omitted (BenchFloorsSpec's exact-surface check then
+        // fails loudly instead of pinning a garbage floor).
+        val e =
+          if (ok && !dirtyBest)
+            Some(repin(floors.get(k), b.sec, changedSet(k), round, reason))
+          else floors.get(k)
+        e.map { e =>
+          val pv =
+            if (e.prev.isEmpty) "null"
+            else e.prev.map(x => f"$x%.3f").mkString("[", ",", "]")
+          f""""$k":{"floor":${e.floor}%.3f,"prev":$pv,"pinned_round":"${e.pinnedRound}","reason":"${e.reason}"}"""
+        }
       }.mkString("{\n", ",\n", "\n}")
       java.nio.file.Files.write(java.nio.file.Paths.get(fp), body.getBytes("UTF-8"))
       System.err.println(s"[bench] floors written to $fp" +

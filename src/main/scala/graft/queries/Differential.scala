@@ -46,11 +46,20 @@ import org.apache.spark.sql.functions._
 object Differential {
 
   /** distinct unordered identical-content pairs (id_a < id_b) under the
-    * pipelines' NULL-as-'' content rule */
+    * pipelines' NULL-as-'' content rule, restricted to texts of at least
+    * `minTokens` whitespace tokens — the STRUCTURAL floor below which a
+    * pipeline cannot emit the pair however healthy its kernels are (a
+    * sub-`k`-token text has an empty shingle set, so minhash's exact
+    * verify computes 0/0 and drops the pair; a sub-`n`-token text has no
+    * n-gram features). Ground truth must only count pairs the certified
+    * pipeline COULD catch, or a degenerate planted duplicate would flip
+    * the recall contract red with every kernel healthy. Both sides of a
+    * pair share the text, so the floor is applied once. */
   private def exactDupPairs(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, minTokens: Int): DataFrame = {
     val t = docs.select(col(idCol).as("__id"),
       coalesce(col(textCol), lit("")).as("__t"))
+      .filter(size(split(trim(col("__t")), "\\s+")) >= minTokens)
     t.as("a").join(t.as("b"),
         col("a.__t") === col("b.__t") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
@@ -59,8 +68,9 @@ object Differential {
   /** ids having at least one identical-content doc EARLIER in `idCol`
     * order (the streaming arrival order) */
   private def exactDupDocs(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    exactDupPairs(docs, idCol, textCol).select(col("id_b").as("__id")).distinct()
+      textCol: String, minTokens: Int): DataFrame =
+    exactDupPairs(docs, idCol, textCol, minTokens)
+      .select(col("id_b").as("__id")).distinct()
 
   private def n(df: DataFrame, as: String): DataFrame =
     df.agg(count(lit(1)).as(as))
@@ -69,10 +79,11 @@ object Differential {
     * columns id_a, id_b). */
   def pairCertificate(docs: DataFrame, idCol: String, textCol: String,
       xx: DataFrame, md5: DataFrame,
-      jaccardBound: Double, recallBound: Double): DataFrame = {
+      jaccardBound: Double, recallBound: Double,
+      minTokens: Int = 1): DataFrame = {
     val x = xx.select("id_a", "id_b").distinct()
     val m = md5.select("id_a", "id_b").distinct()
-    val exact = exactDupPairs(docs, idCol, textCol)
+    val exact = exactDupPairs(docs, idCol, textCol, minTokens)
     val caught = exact.join(x, Seq("id_a", "id_b"))
     certRow(n(m, "n_twin"), n(exact, "n_exact_dup_pairs"),
       n(caught, "__caught"), "n_exact_dup_pairs",
@@ -87,10 +98,11 @@ object Differential {
     * the identical doc itself). */
   def docCertificate(docs: DataFrame, idCol: String, textCol: String,
       xx: DataFrame, md5: DataFrame,
-      jaccardBound: Double, recallBound: Double): DataFrame = {
+      jaccardBound: Double, recallBound: Double,
+      minTokens: Int = 1): DataFrame = {
     val x = xx.select("doc_id", "dup_of").distinct()
     val m = md5.select("doc_id", "dup_of").distinct()
-    val dupDocs = exactDupDocs(docs, idCol, textCol)
+    val dupDocs = exactDupDocs(docs, idCol, textCol, minTokens)
     val caught = dupDocs
       .join(x.select(col("doc_id").as("__id")).distinct(), "__id")
     certRow(n(m, "n_twin"), n(dupDocs, "n_exact_dup_docs"),
@@ -122,7 +134,7 @@ object Differential {
       textCol: String, xx: DataFrame, md5: DataFrame): DataFrame = {
     val x = xx.select("id_a", "id_b").distinct()
     val m = md5.select("id_a", "id_b").distinct()
-    val exact = exactDupPairs(docs, idCol, textCol)
+    val exact = exactDupPairs(docs, idCol, textCol, 1)
     n(x, "n_xx").crossJoin(n(m, "n_twin"))
       .crossJoin(n(x.join(m, Seq("id_a", "id_b")), "n_both"))
       .crossJoin(n(exact, "n_exact"))
@@ -135,7 +147,7 @@ object Differential {
       textCol: String, xx: DataFrame, md5: DataFrame): DataFrame = {
     val x = xx.select("doc_id", "dup_of").distinct()
     val m = md5.select("doc_id", "dup_of").distinct()
-    val dupDocs = exactDupDocs(docs, idCol, textCol)
+    val dupDocs = exactDupDocs(docs, idCol, textCol, 1)
     n(x, "n_xx").crossJoin(n(m, "n_twin"))
       .crossJoin(n(x.join(m, Seq("doc_id", "dup_of")), "n_both"))
       .crossJoin(n(dupDocs, "n_exact"))

@@ -373,7 +373,7 @@ object PipelineQueries {
           .orderBy("id_a", "id_b")
       },
       Some(pairCertOracleSql(embedNearDupOracleSql(dim = 256, n = 2,
-        threshold = 0.6))),
+        threshold = 0.6), minTokens = 2)),
       verifyFn = Some((s, dir) => {
         val docs = Tables.documents(s, dir)
         val embXx = Dedup.stage(graft.operators.TextAnalysis.hashEmbed(
@@ -385,7 +385,8 @@ object PipelineQueries {
             threshold = 0.6),
           Dedup.cosineNearDups(embMd5, "doc_id", "vec", dim = 256,
             threshold = 0.6),
-          jaccardBound = diffJaccardBound, recallBound = diffRecallBound)
+          jaccardBound = diffJaccardBound, recallBound = diffRecallBound,
+          minTokens = 2) // bigram features: 1 token -> zero vector, skipped
       })),
 
     // CCNet-style LM quality filter: bigram/unigram counts trained on the
@@ -1436,13 +1437,14 @@ object PipelineQueries {
           .orderBy("id_a", "id_b")
       },
       Some(pairCertOracleSql(minhashMd5OracleSql(bands = 8, rows = 4,
-        threshold = 0.5))),
+        threshold = 0.5), minTokens = 3)),
       verifyFn = Some((s, dir) => {
         val docs = Tables.documents(s, dir)
         Differential.pairCertificate(docs, "doc_id", "text",
           Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5),
           Dedup.minhashNearDupsMd5(docs, "doc_id", "text", threshold = 0.5),
-          jaccardBound = diffJaccardBound, recallBound = diffRecallBound)
+          jaccardBound = diffJaccardBound, recallBound = diffRecallBound,
+          minTokens = 3) // k=3 shingles: fewer tokens -> empty set -> 0/0 verify
       })),
 
     // q_dedup_simhash's production mode: XXH64 token hashes through the
@@ -1824,31 +1826,42 @@ object PipelineQueries {
     * families agree with their md5 twins at pair-set Jaccard 1.0 at every
     * SF (0.9 leaves noise margin; kernel breakage lands at ~0); SimHash's
     * hash-dependent output measures 0.45-0.67, bound 0.25 at the QueryDef.
-    * Exact-dup recall bound 0.9 (the current corpus has zero identical
-    * texts, so the ground-truth count — which DuckDB verifies — is 0 and
-    * the contract arms itself if regeneration ever plants duplicates). */
+    * Exact-dup recall bound 0.9; ground truth counts only
+    * structurally-catchable pairs (a per-certificate token floor — see
+    * Differential's scaladoc). The sf0.01 verify corpus currently has
+    * zero identical texts (sf0.1 has 8 pairs, all >= 11 tokens, so the
+    * contract is live and satisfiable there). */
   private def diffJaccardBound: Double = 0.9
   private def diffSimhashJaccardBound: Double = 0.25
   private def diffRecallBound: Double = 0.9
 
+  /** the certificate ground truth's structural token floor, mirrored in
+    * SQL (both sides of a pair share the text, so d1 alone carries it) */
+  private def certDupFloorSql(minTokens: Int): String =
+    s"LEN(string_split_regex(TRIM(COALESCE(d1.text, '')), '\\s+')) >= $minTokens"
+
   /** DuckDB side of [[Differential.pairCertificate]]: recount the md5
     * twin's output rows with the twin's own replay SQL, recompute the
-    * exact-duplicate ground truth hash-free, pin the two agreement
-    * contracts TRUE (the q_sketch_distinct sketch-then-verify pattern). */
-  private def pairCertOracleSql(twinSql: String): String =
+    * exact-duplicate ground truth hash-free (restricted to the
+    * structurally-catchable token floor — see Differential's scaladoc),
+    * pin the two agreement contracts TRUE (the q_sketch_distinct
+    * sketch-then-verify pattern). */
+  private def pairCertOracleSql(twinSql: String, minTokens: Int = 1): String =
     s"SELECT (SELECT COUNT(*) FROM ($twinSql)) AS n_twin, " +
       "(SELECT COUNT(*) FROM documents d1 JOIN documents d2 " +
       "ON COALESCE(d1.text, '') = COALESCE(d2.text, '') " +
-      "AND d1.doc_id < d2.doc_id) AS n_exact_dup_pairs, " +
+      s"AND d1.doc_id < d2.doc_id WHERE ${certDupFloorSql(minTokens)}) " +
+      "AS n_exact_dup_pairs, " +
       "TRUE AS exact_dup_recall_ok, TRUE AS pair_jaccard_ok"
 
   /** DuckDB side of [[Differential.docCertificate]] (doc-level: a doc
     * with an earlier identical twin must be flagged as some duplicate). */
-  private def docCertOracleSql(twinSql: String): String =
+  private def docCertOracleSql(twinSql: String, minTokens: Int = 1): String =
     s"SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, dup_of FROM ($twinSql))) AS n_twin, " +
       "(SELECT COUNT(DISTINCT d1.doc_id) FROM documents d1 JOIN documents d2 " +
       "ON COALESCE(d1.text, '') = COALESCE(d2.text, '') " +
-      "AND d2.doc_id < d1.doc_id) AS n_exact_dup_docs, " +
+      s"AND d2.doc_id < d1.doc_id WHERE ${certDupFloorSql(minTokens)}) " +
+      "AS n_exact_dup_docs, " +
       "TRUE AS exact_dup_recall_ok, TRUE AS pair_jaccard_ok"
 
   /** Shared q_contamination knobs (query body + oracle — see topTermsK). */

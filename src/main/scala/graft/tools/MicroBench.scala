@@ -25,7 +25,11 @@ object MicroBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm-up
-    val qs = graft.SparkEntry.queries
+    // time the BENCH surface (QueryDef.fn) — for the q_*_xx rows
+    // SparkEntry.queries substitutes the differential certificate
+    // (verifyFn), whose wall is incomparable to the raw-pipeline floors
+    // this tool exists to triage
+    val qs = graft.SparkEntry.defs.map(d => d.name -> d.fn).toMap
     names.foreach { n =>
       val times = (1 to reps).map { _ =>
         spark.sharedState.cacheManager.clearCache()

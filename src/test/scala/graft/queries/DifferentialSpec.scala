@@ -56,6 +56,30 @@ class DifferentialSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("pair_jaccard_ok"))
   }
 
+  test("pairCertificate: a degenerate duplicate below the token floor is " +
+      "not ground truth — a planted 2-token twin cannot flip a k=3 " +
+      "certificate red") {
+    val degen = Seq(
+      (1L, "tiny text"), (2L, "tiny text"),          // 2 tokens: k=3 CANNOT catch
+      (3L, "alpha beta gamma"), (4L, "alpha beta gamma") // 3 tokens: catchable
+    ).toDF("doc_id", "text")
+    // the pipeline structurally catches only (3,4); with minTokens = 3
+    // the ground truth agrees and the contract stays green
+    val out = pairs(3L -> 4L)
+    val row = Differential.pairCertificate(degen, "doc_id", "text",
+      out, out, jaccardBound = 0.9, recallBound = 0.9,
+      minTokens = 3).collect().head
+    assert(row.getAs[Long]("n_exact_dup_pairs") == 1)
+    assert(row.getAs[Boolean]("exact_dup_recall_ok"))
+    // without the floor the same healthy output would read as a miss —
+    // the false-red the floor exists to prevent
+    val naive = Differential.pairCertificate(degen, "doc_id", "text",
+      out, out, jaccardBound = 0.9, recallBound = 0.9,
+      minTokens = 1).collect().head
+    assert(naive.getAs[Long]("n_exact_dup_pairs") == 2)
+    assert(!naive.getAs[Boolean]("exact_dup_recall_ok"))
+  }
+
   test("pairCertificate: empty outputs on a dup-free corpus are vacuously ok") {
     val free = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val row = Differential.pairCertificate(free, "doc_id", "text",

@@ -97,14 +97,43 @@ object Dedup {
         val sc = spark.sparkContext
         // setCheckpointDir mints a fresh UUID subdir per call — only
         // repoint when the current dir isn't already under the configured
-        // root, so repeated stages share one directory
-        val rootPath = new org.apache.hadoop.fs.Path(d).toUri.getPath
-        if (!sc.getCheckpointDir.exists(_.contains(rootPath)))
+        // root, so repeated stages share one directory. "Under" is a real
+        // ancestor test (same scheme/authority + path-segment prefix), NOT
+        // a substring match: an unrelated dir that merely CONTAINS the
+        // root path as a substring (or a file:/ dir vs an hdfs:// root)
+        // must not suppress the repoint, or the durability the conf
+        // switch promises is silently void.
+        if (!sc.getCheckpointDir.exists(isUnderRoot(_, d, sc.hadoopConfiguration)))
           sc.setCheckpointDir(d)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
   }
+
+  /** true iff `current` is `root` or a descendant of it. Both sides are
+    * QUALIFIED against the Hadoop conf first (a bare local root like
+    * `/tmp/ck` must match the `file:/tmp/ck/<uuid>` dir setCheckpointDir
+    * reports), then compared as URIs: scheme and authority must agree
+    * and the paths must match on whole segments. Any resolution failure
+    * answers false — repointing is the safe direction. */
+  private[operators] def isUnderRoot(current: String, root: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean =
+    try {
+      def qualify(s: String): java.net.URI = {
+        val p = new org.apache.hadoop.fs.Path(s)
+        val fs = p.getFileSystem(conf)
+        p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
+      }
+      val cu = qualify(current)
+      val ru = qualify(root)
+      def norm(s: String): String = Option(s).getOrElse("").stripSuffix("/")
+      Option(cu.getScheme).getOrElse("") == Option(ru.getScheme).getOrElse("") &&
+        Option(cu.getAuthority).getOrElse("") == Option(ru.getAuthority).getOrElse("") && {
+          val cp = norm(cu.getPath)
+          val rp = norm(ru.getPath)
+          cp == rp || cp.startsWith(rp + "/")
+        }
+    } catch { case _: Exception => false }
 
   /** Release the executor blocks behind a frame returned by the LSH
     * pipelines or [[clusters]] (checkpoint-backed). The frame must not be
@@ -131,12 +160,23 @@ object Dedup {
     * the collision probability is ~3e-2 per corpus for the hash alone and
     * vanishing once the length is included — the standard trade for
     * content-hash dedup at scale.
+    *
+    * NULL keys are UNKNOWN, not equal to each other ([[exactKeepBest]]'s
+    * rule): each passes through as its own singleton group —
+    * `xxhash64(null)` evaluates to the seed and `groupBy` treats NULL
+    * keys as equal, so the grouped path would otherwise collapse every
+    * missing-content row into one survivor (silent row loss).
     */
-  def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
-    df.groupBy(xxhash64(col(keyCol)).as("__kh"), length(col(keyCol)).as("__kl"))
+  def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val nulls = df.filter(col(keyCol).isNull)
+      .select(col(keyCol), col(idCol).as("keep_id"), lit(1L).as("n_copies"))
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(xxhash64(col(keyCol)).as("__kh"), length(col(keyCol)).as("__kl"))
       .agg(min(col(keyCol)).as(keyCol),
         min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("__kh", "__kl")
+      .unionByName(nulls)
+  }
 
   /** Exact dedup with a SURVIVOR POLICY: keep, from each group of rows
     * sharing `keyCol`, the single row that sorts FIRST under `preference`
@@ -196,9 +236,13 @@ object Dedup {
     * [[graft.functions.ShingleHashes]] against, byte for byte — bit-
     * identical output also keeps persisted [[minhashIndex]] stores
     * written before the kernel swap readable by the incremental path.
+    * NULL text coalesces to '' exactly as the kernel entry point does
+    * (a bare `shingles(null)` would propagate NULL and break the parity
+    * contract on null-text rows).
     */
   private[graft] def shingleHashesReference(text: Column, k: Int = 3): Column =
-    sort_array(array_distinct(transform(shingles(text, k), s => xxhash64(s))))
+    sort_array(array_distinct(transform(
+      shingles(coalesce(text, lit("")), k), s => xxhash64(s))))
 
   /** MinHash signature from a PRE-PROJECTED string shingle-array column
     * (native one-pass kernel, see [[graft.functions.MinHashSignature]]).
@@ -680,11 +724,23 @@ object Dedup {
     // (spark.graft.checkpointDir) flips this composite with the rest
     val ckDir = checkpointDir.orElse(
       pairs.sparkSession.conf.getOption(CheckpointDirKey).filter(_.nonEmpty))
-    // setCheckpointDir is session-global: remember and restore any
-    // previous directory so other checkpoint users are not repointed.
-    // (If none was set before, ours remains — the API cannot unset it.)
+    // setCheckpointDir is session-global: repoint only when the current
+    // dir isn't already under our root (stage()'s rule — an
+    // unconditional set would mint a fresh UUID subdir per invocation),
+    // remember whether WE moved it, and restore the previous ROOT on
+    // exit. The restore targets the PARENT of the reported dir:
+    // getCheckpointDir returns root/<uuid> (every set mints a new uuid
+    // subdir), so re-setting the reported dir itself would nest
+    // root/<uuidA>/<uuidB> one level deeper per call instead of
+    // restoring. (If none was set before, ours remains — the API cannot
+    // unset it.)
     val prevCheckpointDir = sc.getCheckpointDir
-    ckDir.foreach(sc.setCheckpointDir)
+    val repointed = ckDir.exists { d =>
+      val need =
+        !sc.getCheckpointDir.exists(isUnderRoot(_, d, sc.hadoopConfiguration))
+      if (need) sc.setCheckpointDir(d)
+      need
+    }
     def snap(df: DataFrame): DataFrame =
       if (ckDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
@@ -758,16 +814,24 @@ object Dedup {
         throw e
     } finally {
       edges.unpersist()
-      prevCheckpointDir.foreach(d =>
-        if (ckDir.isDefined) sc.setCheckpointDir(d))
+      if (repointed) prevCheckpointDir.foreach { d =>
+        val parent = new org.apache.hadoop.fs.Path(d).getParent
+        if (parent != null) sc.setCheckpointDir(parent.toString)
+      }
     }
   }
 
   /** Seeded xxhash64 of each whitespace token — the once-per-row input to
-    * [[simhashFromHashes]].
+    * [[simhashFromHashes]]. NULL text hashes as '' (one empty token),
+    * matching the minhash kernels and the md5 twins — a bare split(null)
+    * would propagate NULL through the signature into the banding, where
+    * the window's null-equal grouping and the join's null-never-match
+    * rule DISAGREE (rows silently vanish below the bucket cap, NULL-
+    * hamming star pairs above it).
     */
   def tokenHashes(text: Column): Column =
-    transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))
+    transform(split(trim(lower(coalesce(text, lit("")))), "\\s+"),
+      t => xxhash64(t))
 
   /** 64-bit SimHash from a PRE-PROJECTED token-hash array column: bit i of
     * the signature is the sign of sum over tokens of (+1/-1 for bit i of
@@ -805,9 +869,23 @@ object Dedup {
   private[graft] def simhashCandidatesPlan(
       scope: CacheScope,
       df: DataFrame, idCol: String, textCol: String, maxBucket: Int
+  ): DataFrame =
+    simhashPairsFrom(scope, df, idCol, tokenHashes(col(textCol)), maxBucket)
+
+  /** The ONE simhash banding/bounding/hamming body both hash modes share
+    * (the incrementalFrom pattern): per-row signature from the given
+    * token-hash expression in the scan stage, 4x16-bit chunk banding of
+    * the signature (never raw tokens) across the exchange, bounded
+    * pairs, and XOR-popcount hamming on the re-attached signatures. A
+    * banding fix lands in both the production path and the oracle twin
+    * by construction.
+    */
+  private def simhashPairsFrom(
+      scope: CacheScope, df: DataFrame, idCol: String,
+      tokenHashesExpr: Column, maxBucket: Int
   ): DataFrame = {
     val prepared = scope.persist(widen(df)
-      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("__th"))
+      .select(col(idCol).as("id"), tokenHashesExpr.as("__th"))
       .select(col("id"), simhashFromHashes(col("__th")).as("sig")))
     val banded = prepared
       .select(col("id"), posexplode(
@@ -859,7 +937,7 @@ object Dedup {
   private[graft] def simhashCandidatesMd5Plan(
       scope: CacheScope,
       df: DataFrame, idCol: String, textCol: String, maxBucket: Int
-  ): DataFrame = {
+  ): DataFrame =
     // SINCE ROUND 12 this is literally the production pipeline with the
     // token hash swapped: one packed md5 hash64 per token (native
     // kernel) feeds the same per-row SimHash64 vote kernel the xx path
@@ -872,25 +950,12 @@ object Dedup {
     // signatures here against an independent reimplementation. The
     // measured motivation: the relational vote exploded every token
     // into a 64-column shuffled aggregate, ~2x the wall of the per-row
-    // kernel on the same corpus at identical output.
-    val prepared = scope.persist(widen(df)
-      .select(col(idCol).as("id"),
-        transform(split(trim(lower(coalesce(col(textCol), lit("")))),
-          "\\s+"), t => graft.functions.Md5Hashes.md5Hash64(t)).as("__th"))
-      .select(col("id"), simhashFromHashes(col("__th")).as("sig")))
-    val banded = prepared
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", col("sig"), b * 16)
-            .bitwiseAND(0xFFFFL))))
-      .toDF("id", "band", "chunk")
-    val cands = boundedPairs(scope, banded, "band", "chunk", maxBucket)
-    val sa = prepared.select(col("id").as("id_a"), col("sig").as("__sig_a"))
-    val sb = prepared.select(col("id").as("id_b"), col("sig").as("__sig_b"))
-    cands.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).as("hamming"))
-  }
+    // kernel on the same corpus at identical output. Since round 13 the
+    // banding body is SHARED with the xx path ([[simhashPairsFrom]]) —
+    // only the token-hash expression differs.
+    simhashPairsFrom(scope, df, idCol,
+      transform(split(trim(lower(coalesce(col(textCol), lit("")))),
+        "\\s+"), t => graft.functions.Md5Hashes.md5Hash64(t)), maxBucket)
 
   /** Embedding-cosine near-duplicate pairs via banded random-hyperplane
     * LSH: `tables` independent hash tables of `planesPerTable` sign bits
@@ -979,6 +1044,14 @@ object Dedup {
       threshold, maxCell, iters, maxSample, sampleOrderCol))
   }
 
+  /** UNLIKE the other *Plan builders, construction here is NOT job-free:
+    * [[Similarity.trainCentroids]] runs its bounded training sample +
+    * collect() eagerly (the trained centroids become plan literals).
+    * Callers composing plans for audit-only purposes should account for
+    * the training jobs; the lazy-construction contract documented on
+    * [[minhashNearDupsPlan]] applies to everything downstream of the
+    * centroids.
+    */
   private[graft] def semanticNearDupsPlan(
       scope: CacheScope,
       df: DataFrame, idCol: String, vecCol: String,

@@ -887,7 +887,7 @@ object PipelineQueries {
           .select("text", "keep_id", "n_copies")
           .orderBy("keep_id")
       },
-      Some("""SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text ORDER BY keep_id""")),
+      Some("""SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies FROM documents WHERE text IS NOT NULL GROUP BY text UNION ALL SELECT text, CAST(doc_id AS BIGINT) AS keep_id, 1 AS n_copies FROM documents WHERE text IS NULL ORDER BY keep_id""")),
 
     // multimodal: binary payload metadata (schema surface; decode stub is
     // exercised in the ScalaTest suite — no image libs in this container)

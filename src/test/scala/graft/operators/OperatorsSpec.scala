@@ -49,6 +49,20 @@ class OperatorsSpec extends AnyFunSuite {
     val cands = Dedup.simhashCandidates(df, "id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(cands.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    // NULL text hashes as '' (the minhash/md5 rule): two null-text docs
+    // are exact duplicates with NON-NULL signatures and surface as a
+    // hamming-0 candidate — a NULL signature would vanish from the
+    // banding join (or emit NULL-hamming star pairs) instead
+    val withNulls = df.union(Seq(
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]))
+      .toDF("id", "text"))
+    val nullSigs = withNulls.select($"id", Dedup.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(nullSigs(5L).isDefined && nullSigs(5L) == nullSigs(6L))
+    val nullCands = Dedup.simhashCandidates(withNulls, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(nullCands.exists { case (a, b, h) => a == 5L && b == 6L && h == 0 },
+      s"null-text exact dup missing from candidates: ${nullCands.toList}")
   }
 
   test("simhash md5 mode: driver-replayed bit for bit; exact dups at hamming 0 in both modes") {
@@ -695,12 +709,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("exact dedup groups by content hash yet reports exemplar text") {
+  test("exact dedup groups by content hash yet reports exemplar text; " +
+      "NULL keys are unknown, never collapsed into one survivor") {
     val df = Seq((3L, "aa bb"), (1L, "aa bb"), (2L, "cc dd")).toDF("id", "text")
     val got = Dedup.exact(df, "id", "text")
       .collect().map(r => (r.getAs[String]("text"), r.getAs[Long]("keep_id"),
         r.getAs[Long]("n_copies"))).toSet
     assert(got == Set(("aa bb", 1L, 2L), ("cc dd", 2L, 1L)))
+    // xxhash64(null) evaluates to the seed and groupBy treats NULL keys
+    // as equal — without the routing, N missing-content rows would
+    // collapse to ONE survivor (exactKeepBest's documented trap)
+    val withNulls = Seq((1L, "aa"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (4L, "aa")).toDF("id", "text")
+    val rows = Dedup.exact(withNulls, "id", "text")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+      .toSet
+    assert(rows == Set((1L, 2L), (2L, 1L), (3L, 1L)),
+      s"NULL keys mishandled: $rows")
+  }
+
+  test("checkpoint-root ancestor test: real prefix semantics, not substring") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // a bare local root matches the file:-qualified dir Spark reports
+    assert(Dedup.isUnderRoot("file:/tmp/ck/uuid-1", "/tmp/ck", conf))
+    assert(Dedup.isUnderRoot("/tmp/ck/uuid-1", "/tmp/ck", conf))
+    assert(Dedup.isUnderRoot("/tmp/ck", "/tmp/ck", conf))
+    // substring false-positives must NOT suppress the repoint
+    assert(!Dedup.isUnderRoot("file:/tmp/x/ck-old/uuid", "/tmp/ck", conf))
+    assert(!Dedup.isUnderRoot("file:/other/tmp/ck/uuid", "/tmp/ck", conf))
+    // scheme/authority mismatches repoint (the durable-dir promise)
+    assert(!Dedup.isUnderRoot("file:/ck/uuid", "hdfs://nn/ck", conf))
   }
 
   test("scrubPii redacts emails and URLs, leaves clean text untouched") {

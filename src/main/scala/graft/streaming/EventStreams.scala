@@ -57,13 +57,22 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
         col("event_type"), col("n"))
 
-  /** Session windows: 30-minute-gap sessions per user. */
+  /** Session windows: 30-minute-gap sessions per user. The session
+    * BOUNDS ride along (as in [[hourlyAgg]]/[[slidingAgg]]): without
+    * them, a user's distinct equal-sized sessions are indistinguishable
+    * duplicate rows and a downstream `distinct()` would silently
+    * collapse real sessions. */
   def sessionAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
 
   /** Stream-stream interval join: each click joins purchases of the same
     * user within the preceding hour. Both sides carry watermarks so the
@@ -98,8 +107,16 @@ object EventStreams {
     * frames (where it is a plain broadcast left join).
     */
   def enrich(events: DataFrame, dim: DataFrame,
-      eventKey: String, dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+      eventKey: String, dimKey: String): DataFrame = {
+    // frame-qualified keys: an unqualified col(eventKey) === col(dimKey)
+    // throws AMBIGUOUS_REFERENCE in the most common shape where the
+    // dimension key shares the event key's name. When the names collide,
+    // the redundant dim key column is dropped from the output (it equals
+    // the event key on matches and is NULL otherwise).
+    val d = broadcast(dim)
+    val joined = events.join(d, events(eventKey) === d(dimKey), "left")
+    if (eventKey == dimKey) joined.drop(d(dimKey)) else joined
+  }
 
   /** Exact streaming dedup on key columns within the watermark horizon:
     * the built-in `dropDuplicatesWithinWatermark` keeps one row per key
@@ -142,8 +159,17 @@ object EventStreams {
     * key) it reduces exactly to min-by-(ts, id) per key — which is what
     * the DuckDB oracle checks; the batch/stream equivalence spec holds
     * for sources consumed in event-time order or in one micro-batch.
+    *
+    * The within-batch tie-break compares FULL MICROSECOND timestamps
+    * (`Timestamp.getTime` alone truncates to milliseconds — two events
+    * in the same millisecond would tie on ms and resolve by id, while
+    * the DuckDB oracle and the naive reference order by the full
+    * microsecond ts first). `horizonMs` feeds BOTH the watermark delay
+    * and the state-eviction deadline from one value, so the two cannot
+    * drift apart.
     */
-  def firstPerKey(events: DataFrame): DataFrame = {
+  def firstPerKey(events: DataFrame,
+      horizonMs: Long = 2L * 3600 * 1000): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -151,8 +177,10 @@ object EventStreams {
     // timeouts (setting one throws); a blanket try/catch inside the
     // closure would also swallow REAL streaming failures silently
     val streaming = events.isStreaming
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", s"$horizonMs milliseconds")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .as[EvIn]
       .groupByKey(e => (e.user_id, e.event_type))
@@ -174,8 +202,8 @@ object EventStreams {
             if (streaming) arm(state.get)
             Iterator.empty
           } else {
-            val f = rows.minBy(e => (e.ts.getTime, e.event_id))
-            val deadline = f.ts.getTime + 2L * 3600 * 1000
+            val f = rows.minBy(e => (micros(e.ts), e.event_id))
+            val deadline = f.ts.getTime + horizonMs
             state.update(deadline)
             if (streaming) arm(deadline)
             Iterator.single(EvFirst(key._1, key._2, f.event_id, f.ts))

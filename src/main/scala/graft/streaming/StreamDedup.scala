@@ -32,6 +32,10 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * the same per-bucket sequential scan in (ts, id) order — the spec
   * checks it against an independent driver-side reference and against the
   * streaming run.
+  *
+  * Rows whose id casts to NULL or whose ts is NULL are DROPPED before
+  * banding (one bad row must not kill the whole at-ingest stream);
+  * NULL text hashes as '' like the batch family.
   */
 object StreamDedup {
 
@@ -99,10 +103,17 @@ object StreamDedup {
       else b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
         lit(rowsPerBand)))
     val banded = sigd
+      // a NULL id (non-numeric cast) or NULL ts would kill the whole
+      // streaming query in the non-nullable encoder / the sort closure —
+      // such rows are DROPPED (defined skip, the quarantine posture),
+      // mirroring the batch family's now-explicit NULL rules
+      .filter(col("doc_id").isNotNull && col("ts").isNotNull)
       .select(col("doc_id"), col("ts"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .withWatermark("ts", s"${horizonMs / 1000} seconds")
+      // milliseconds, not seconds: integer division would silently
+      // truncate a sub-second horizon below the advertised dedup window
+      .withWatermark("ts", s"$horizonMs milliseconds")
       .as[BandRow]
 
     banded

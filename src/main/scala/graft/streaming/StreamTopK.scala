@@ -14,8 +14,15 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * key's state drops once the event-time watermark passes its last
   * activity plus the horizon. Every processed batch emits the key's
   * current summary snapshot `(key, term, est, n_processed)` — consumers
-  * read the latest snapshot per key (largest `n_processed`); the
+  * read the latest snapshot per key (largest `n_processed` WITHIN the
+  * current activity era: `n` restarts from 0 after a watermark eviction,
+  * so across an idle gap longer than the horizon the freshest snapshot
+  * is the one most recently EMITTED, not the largest-`n` ever — window
+  * snapshot reads by emission recency when keys can go idle); the
   * standard guarantee `true_count - est <= n/k` holds at every snapshot.
+  * Rows with a NULL term or NULL ts are DROPPED before the fold (a NULL
+  * would otherwise kill the whole streaming query inside the sort
+  * comparator — defined skip beats stream death).
   *
   * Rows inside one invocation are processed in `(ts, term)` order, so
   * the summary is deterministic for a given micro-batch layout, and a
@@ -49,7 +56,12 @@ object StreamTopK {
     import spark.implicits._
     df.select(col(keyCol).cast("string").as("gkey"), col(tsCol).as("ts"),
         col(termCol).cast("string").as("term"))
-      .withWatermark("ts", s"${horizonMs / 1000} seconds")
+      .filter(col("gkey").isNotNull && col("ts").isNotNull &&
+        col("term").isNotNull)
+      // milliseconds, not seconds: integer division would silently
+      // truncate a sub-second horizon to a shorter (possibly zero)
+      // watermark than the timeout deadline uses
+      .withWatermark("ts", s"$horizonMs milliseconds")
       .as[TermRow]
       .groupByKey(_.gkey)
       .flatMapGroupsWithState[MgState, TopHit](

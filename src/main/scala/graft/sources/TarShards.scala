@@ -66,7 +66,13 @@ object TarShards {
           if (sum != stored)
             throw new IllegalArgumentException(
               s"bad tar checksum at offset $off: stored=$stored computed=$sum")
-          val name = str(0, 100)
+          // a spec-conformant ustar header splits paths over 100 chars
+          // into prefix(345,155) + name(0,100) — ignoring the prefix
+          // would silently return truncated member names (wrong sample
+          // keys) for long paths
+          val base = str(0, 100)
+          val prefix = str(345, 155)
+          val name = if (prefix.isEmpty) base else prefix + "/" + base
           val size = octal(124, 12)
           val typeFlag = header(156).toChar
           val dataStart = off + 512
@@ -94,8 +100,13 @@ object TarShards {
   private[sources] def buildTar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     entries.foreach { case (name, data) =>
-      require(name.getBytes("US-ASCII").length <= 100,
-        s"ustar member name too long: $name")
+      require(name != null && data != null,
+        s"tar member with null name or bytes (name=$name)")
+      // reject, never mangle: US-ASCII getBytes would substitute '?' for
+      // unmappable chars and the read-back name would differ silently
+      require(name.forall(c => c >= 0x20 && c < 0x7f),
+        s"ustar member name must be printable ASCII: $name")
+      require(name.length <= 100, s"ustar member name too long: $name")
       val h = new Array[Byte](512)
       def put(s: String, off: Int): Unit =
         s.getBytes("US-ASCII").zipWithIndex.foreach {
@@ -107,7 +118,7 @@ object TarShards {
       put("00000000000", 136)
       (148 until 156).foreach(i => h(i) = ' '.toByte)
       h(156) = '0'.toByte
-      put("ustar", 257)
+      put("ustar", 257); put("00", 263) // POSIX magic + version
       val sum = h.map(_ & 0xff).sum
       put(f"$sum%06o", 148); h(154) = 0; h(155) = ' '.toByte
       bos.write(h); bos.write(data)
@@ -153,7 +164,16 @@ object TarShards {
       .as[(String, String, Array[Byte])]
       .groupByKey(_._1)
       .mapGroups { (shard, rows) =>
-        shard -> buildTar(rows.map(r => (r._2, r._3)).toSeq.sortBy(_._1))
+        // fail fast with the shard named: a null shard id would write a
+        // file literally called "null.tar", and null member/bytes rows
+        // would otherwise surface as an opaque executor NPE mid-write
+        require(shard != null, "null shard id (cast produced NULL)")
+        val entries = rows.map { r =>
+          require(r._2 != null && r._3 != null,
+            s"shard '$shard': member with null name or bytes (member=${r._2})")
+          (r._2, r._3)
+        }.toSeq.sortBy(_._1)
+        shard -> buildTar(entries)
       }
       .foreach { kv: (String, Array[Byte]) =>
         val conf = new Configuration(false)
@@ -183,19 +203,41 @@ object TarShards {
   /** WebDataset sample grouping: members sharing a basename (member name
     * up to the first '.') form one sample; each sample becomes a row with
     * a `component extension -> bytes` map. One shuffle keyed on
-    * (shard, sample key). Quarantine rows pass through with null key.
+    * (shard, sample key). Quarantine rows pass through with null
+    * sample_key / components and `n_components = 0` (they must NOT
+    * silently vanish — the corruption evidence is the point of the
+    * quarantine posture).
+    *
+    * Duplicate (sample key, extension) members — legal tar, e.g. a
+    * re-packed shard where later entries override earlier ones — are
+    * collapsed to ONE deterministic survivor (max by (member, bytes);
+    * tar's positional later-wins rule is not recoverable after the
+    * shuffle) instead of letting `map_from_entries` throw
+    * DUPLICATE_MAP_KEY and fail the whole job for one odd shard.
+    * `n_components` counts the distinct extensions kept.
     */
   def samples(membersDf: DataFrame): DataFrame = {
     val good = membersDf.filter(col("error").isNull)
-    good
+    val onePerExt = good
       .withColumn("__key", substring_index(col("member"), ".", 1))
       .withColumn("__ext",
         when(col("member").contains("."),
           expr("substring(member, length(substring_index(member, '.', 1)) + 2)"))
           .otherwise(lit("")))
+      .groupBy(col("shard"), col("__key"), col("__ext"))
+      .agg(max(struct(col("member"), col("bytes"))).as("__m"))
+      .select(col("shard"), col("__key"), col("__ext"),
+        col("__m.bytes").as("bytes"))
+    val grouped = onePerExt
       .groupBy(col("shard"), col("__key").as("sample_key"))
       .agg(map_from_entries(array_sort(
         collect_list(struct(col("__ext"), col("bytes"))))).as("components"),
         count(lit(1)).as("n_components"))
+    val quarantine = membersDf.filter(col("error").isNotNull)
+      .select(col("shard"),
+        lit(null).cast("string").as("sample_key"),
+        lit(null).cast("map<string,binary>").as("components"),
+        lit(0L).as("n_components"))
+    grouped.unionByName(quarantine)
   }
 }

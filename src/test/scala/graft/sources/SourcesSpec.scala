@@ -64,13 +64,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.length == 1 && bad.head.getString(0).contains("shard-bad"),
       "corrupt shard should quarantine, not fail")
 
-    val samp = TarShards.samples(mem).collect()
+    val sampRows = TarShards.samples(mem).collect()
+    val samp = sampRows.filter(!_.isNullAt(1))
       .map(r => r.getString(1) ->
         (r.getLong(3), r.getMap[String, Array[Byte]](2).keys.toSet))
       .toMap
     assert(samp("0001") == (2L, Set("txt", "json")))
     assert(samp("0002") == (1L, Set("txt")))
     assert(samp("0003") == (1L, Set("txt")))
+    // the corrupt shard's quarantine row passes through the grouping
+    // (null key/components, zero components) instead of vanishing
+    val q = sampRows.filter(_.isNullAt(1))
+    assert(q.length == 1 && q.head.getString(0).contains("shard-bad") &&
+      q.head.getLong(3) == 0L,
+      "quarantine row must survive sample grouping")
   }
 
   test("writeShards sinks through the Hadoop FS API (explicit file: URI)") {
@@ -103,6 +110,55 @@ class SourcesSpec extends AnyFunSuite {
       "bytes", outUri)
     assert(tars() == Set("s0.tar"),
       "stale shards from the previous write must be cleaned")
+  }
+
+  test("csv round-trip distinguishes NULL from empty string and survives " +
+      "embedded newlines") {
+    import spark.implicits._
+    val orig = Seq(
+      (1L, "plain"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "line one\nline two"), (5L, "comma, quote \" mix")
+    ).toDF("id", "s")
+    val p = SparkTestSession.tmpPath("src_test/null_empty_csv")
+    Sources.writeCsv(orig, p)
+    val back = Sources.csv(spark, p, orig.schema)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(back(1L) == "plain")
+    assert(back(2L) == "", "empty string silently became " + back(2L))
+    assert(back(3L) == null, "NULL silently became '" + back(3L) + "'")
+    assert(back(4L) == "line one\nline two")
+    assert(back(5L) == "comma, quote \" mix")
+  }
+
+  test("tar: duplicate (sample, ext) members collapse to one survivor " +
+      "instead of a DUPLICATE_MAP_KEY job failure; bad member names are " +
+      "rejected at write, never mangled") {
+    import spark.implicits._
+    // two members whose basenames collide on (key, ext) in one shard —
+    // legal tar (re-packed shards override earlier entries)
+    val mem = Seq(
+      ("s.tar", "0001.txt", "old".getBytes, null.asInstanceOf[String]),
+      ("s.tar", "0001.txt", "new".getBytes, null.asInstanceOf[String]),
+      ("s.tar", "0001.json", "{}".getBytes, null.asInstanceOf[String])
+    ).toDF("shard", "member", "bytes", "error")
+    val samp = TarShards.samples(mem).collect()
+    assert(samp.length == 1 && samp.head.getLong(3) == 2L)
+    val comps = samp.head.getMap[String, Array[Byte]](2)
+    // deterministic survivor: max by (member, bytes) -> "old" < "new"
+    assert(new String(comps("txt")) == "old" ||
+      new String(comps("txt")) == "new") // deterministic either way:
+    val again = TarShards.samples(mem).collect().head.getMap[String, Array[Byte]](2)
+    assert(new String(again("txt")) == new String(comps("txt")))
+    // non-ASCII and null member names fail fast with a clear message
+    val badName = Seq(("s0", "naïve.txt", "x".getBytes))
+      .toDF("shard", "member", "bytes")
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.writeShards(badName, "shard", "member", "bytes",
+        SparkTestSession.tmpPath("src_test/tar_bad"))
+    }
+    assert(e.getMessage.contains("ASCII") ||
+      Option(e.getCause).exists(_.getMessage.contains("ASCII")))
   }
 
   test("csv round-trip preserves rows and declared types") {

@@ -28,20 +28,29 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("byte_len", LongType, nullable = false)))
 
+  /** The ONE deterministic byte fold the stub decode AND the stub
+    * feature encoder derive from (h = 31*h + byte over a fixed seed) —
+    * the DuckDB oracle replays exactly this fold (PipelineQueries'
+    * multimodalFoldCtes), so the two consumers must never drift apart.
+    */
+  private[operators] def byteFold(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    h
+  }
+
   /** STUB image decode: deterministic fake metadata from payload bytes.
     * A real implementation would parse the image header / decode frames
     * here; the signature, batching, and schema are what production uses.
     */
   def decodeImageStub(payload: Array[Byte]): Row = {
-    val len = payload.length.toLong
-    var h = 1125899906842597L // deterministic FNV-ish fold over bytes
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    val h = byteFold(payload)
     Row(
       (math.floorMod(h, 512L) + 32L).toInt,
       (math.floorMod(h >> 9, 512L) + 32L).toInt,
       3,
-      len)
+      payload.length.toLong)
   }
 
   private def be32(b: Array[Byte], i: Int): Long =
@@ -121,8 +130,11 @@ object Multimodal {
 
   /** GIF header decode: "GIF87a"/"GIF89a" signature, then the logical
     * screen width/height as little-endian u16 at offsets 6/8. GIF pixels
-    * are palette-indexed; reported as 3 channels (palette entries are
-    * RGB).
+    * are ALWAYS palette-indexed (the format has no other mode), so the
+    * reported 3 channels are the palette-EXPANDED color channels —
+    * deliberately different from PNG type 3 / low-bpp BMP, where palette
+    * indexing is one storage mode among several and the metadata reports
+    * storage channels (1).
     */
   private[operators] def decodeGif(b: Array[Byte]): Option[Row] = {
     if (b.length < 10) return None
@@ -151,7 +163,10 @@ object Multimodal {
         (le32(b, 18).toInt, math.abs(le32(b, 22).toInt), le16(b, 28))
       else return None
     val channels = bits match {
-      case 1 | 4 | 8 => 1; case 16 => 2; case 24 => 3; case 32 => 4
+      // palette-indexed depths report STORAGE channels (1), matching PNG
+      // color type 3; 16bpp is true color (RGB555/565) — 3 channels, not
+      // "2 bytes per pixel"
+      case 1 | 4 | 8 => 1; case 16 => 3; case 24 => 3; case 32 => 4
       case _ => return None
     }
     if (w > 0 && h > 0) Some(Row(w, h, channels, b.length.toLong)) else None
@@ -220,7 +235,11 @@ object Multimodal {
   def decodeImages(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      // a null id (or a non-numeric one the cast nulls out) would throw
+      // in the non-nullable Long decoder and fail the TASK — dropped
+      // instead, per the module's quarantine posture
+      .filter(col("__id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition decoder setup would go here (amortized)
@@ -246,7 +265,11 @@ object Multimodal {
   def decodeAudio(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      // a null id (or a non-numeric one the cast nulls out) would throw
+      // in the non-nullable Long decoder and fail the TASK — dropped
+      // instead, per the module's quarantine posture
+      .filter(col("__id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
@@ -280,7 +303,11 @@ object Multimodal {
     require(maxW > 0 && maxH > 0, "target box must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      // a null id (or a non-numeric one the cast nulls out) would throw
+      // in the non-nullable Long decoder and fail the TASK — dropped
+      // instead, per the module's quarantine posture
+      .filter(col("__id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition resampler init would go here (amortized)
@@ -322,47 +349,82 @@ object Multimodal {
     * rows); the per-partition block disables its temp-file cache — a
     * disk write per image is pure overhead at corpus scale.
     */
+  /** pixel-decode ceiling for [[resampleImages]]' bomb pre-screen
+    * (~64 MP ≈ 256 MB ARGB raster — generous for real corpus assets,
+    * small enough that one hostile header cannot OOM an executor) */
+  private val MaxDecodePixels = 64L * 1000 * 1000
+
   def resampleImages(df: DataFrame, idCol: String, payloadCol: String,
       maxW: Int, maxH: Int): DataFrame = {
     require(maxW > 0 && maxH > 0, "target box must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      // a null id (or a non-numeric one the cast nulls out) would throw
+      // in the non-nullable Long decoder and fail the TASK — dropped
+      // instead, per the module's quarantine posture
+      .filter(col("__id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        System.setProperty("java.awt.headless", "true")
+        // (java.awt.headless is NOT set here: the property is read once
+        // at AWT class load, so a per-partition set is both too late to
+        // matter and a racy JVM-global mutation — if headless mode is
+        // needed it belongs in spark.executor.extraJavaOptions; the
+        // ImageIO + BufferedImage path is headless-safe regardless)
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, payload) =>
-          val img =
-            if (payload == null) null
-            else try {
-              javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            } catch { case _: Throwable => null } // corrupt stream != task failure
-          if (img != null) {
-            val (w, h) = (img.getWidth, img.getHeight)
-            val (ow, oh, scale) = fitBox(w, h, maxW, maxH)
-            val outType =
-              if (img.getColorModel.hasAlpha)
-                java.awt.image.BufferedImage.TYPE_INT_ARGB
-              else java.awt.image.BufferedImage.TYPE_INT_RGB
-            val out = new java.awt.image.BufferedImage(ow, oh, outType)
-            val g = out.createGraphics()
-            try {
-              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(img, 0, 0, ow, oh, null)
-            } finally g.dispose()
-            val buf = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", buf)
-            (id, w, h, ow, oh, scale, true, buf.toByteArray)
-          } else {
-            // undecodable: geometry from the header parse / stub, no pixels
+          // geometry-only fallback shared with the undecodable branch
+          def geometryOnly: (Long, Int, Int, Int, Int, Double, Boolean, Array[Byte]) = {
             val m = if (payload == null) null else decodeImage(payload)
             val (w, h) = if (m == null) (0, 0) else (m.getInt(0), m.getInt(1))
-            if (w <= 0 || h <= 0) (id, 0, 0, 0, 0, 0.0d, false, null: Array[Byte])
+            if (w <= 0 || h <= 0) (id, 0, 0, 0, 0, 0.0d, false, null)
             else {
               val (ow, oh, scale) = fitBox(w, h, maxW, maxH)
-              (id, w, h, ow, oh, scale, false, null: Array[Byte])
+              (id, w, h, ow, oh, scale, false, null)
+            }
+          }
+          // decompression-bomb pre-screen: a few-hundred-byte payload can
+          // declare absurd header dimensions that make the pixel decode
+          // allocate gigabytes — reject via the cheap header parse BEFORE
+          // ImageIO ever sees the bytes (headerless formats skip the
+          // screen, but every format ImageIO handles here has a parser)
+          val headerPixels: Long = if (payload == null) 0L else
+            decodePng(payload).orElse(decodeJpeg(payload))
+              .orElse(decodeGif(payload)).orElse(decodeBmp(payload))
+              .map(r => r.getInt(0).toLong * r.getInt(1)) .getOrElse(0L)
+          if (headerPixels > MaxDecodePixels) geometryOnly
+          else {
+            // the WHOLE per-row resample is the quarantine scope — a
+            // payload that decodes but blows up in the raster alloc /
+            // draw / re-encode must still be a quarantined row, never a
+            // task failure. NonFatal only: swallowing OutOfMemoryError
+            // would keep running on a poisoned heap.
+            try {
+              val img =
+                if (payload == null) null
+                else javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(payload))
+              if (img == null) geometryOnly
+              else {
+                val (w, h) = (img.getWidth, img.getHeight)
+                val (ow, oh, scale) = fitBox(w, h, maxW, maxH)
+                val outType =
+                  if (img.getColorModel.hasAlpha)
+                    java.awt.image.BufferedImage.TYPE_INT_ARGB
+                  else java.awt.image.BufferedImage.TYPE_INT_RGB
+                val out = new java.awt.image.BufferedImage(ow, oh, outType)
+                val g = out.createGraphics()
+                try {
+                  g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, ow, oh, null)
+                } finally g.dispose()
+                val buf = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", buf)
+                (id, w, h, ow, oh, scale, true, buf.toByteArray)
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => geometryOnly
             }
           }
         }
@@ -387,7 +449,11 @@ object Multimodal {
     require(dim > 0 && batchSize > 0, "dim and batchSize must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      // a null id (or a non-numeric one the cast nulls out) would throw
+      // in the non-nullable Long decoder and fail the TASK — dropped
+      // instead, per the module's quarantine posture
+      .filter(col("__id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition encoder init would go here (amortized)
@@ -396,9 +462,7 @@ object Multimodal {
           batch.map { case (id, payload) =>
             val f = new Array[Float](dim)
             if (payload != null) {
-              var h = 1125899906842597L
-              var i = 0
-              while (i < payload.length) { h = h * 31 + payload(i); i += 1 }
+              val h = byteFold(payload)
               var d = 0
               while (d < dim) {
                 // per-component remix so all dims differ even for tiny inputs
@@ -421,12 +485,19 @@ object Multimodal {
     * runtime error, so one empty video would otherwise kill the job.
     */
   def frameSamplePlan(df: DataFrame, idCol: String, nFramesCol: String,
-      stride: Int, maxFrames: Int): DataFrame =
+      stride: Int, maxFrames: Int): DataFrame = {
+    // stride = 0 is a RUNTIME sequence error on the first non-empty row,
+    // and maxFrames * stride must not overflow the Int literal below
+    require(stride > 0 && maxFrames > 0,
+      s"stride and maxFrames must be positive, got $stride / $maxFrames")
+    require(maxFrames.toLong * stride <= Int.MaxValue,
+      s"maxFrames * stride overflows Int: $maxFrames * $stride")
     df.filter(col(nFramesCol) > 0)
       .select(col(idCol),
         explode(sequence(lit(0),
           least(col(nFramesCol) - 1, lit(maxFrames * stride - 1)), lit(stride)))
           .as("frame_idx"))
+  }
 
   /** Overlapping chunk plan for a (stub) audio payload: fixed-size windows
     * every `hop` samples, with the LAST window clamped to the payload
@@ -438,7 +509,11 @@ object Multimodal {
     * column algebra: one explode, no UDF.
     */
   def audioChunkPlan(df: DataFrame, idCol: String, nSamplesCol: String,
-      chunk: Int, hop: Int): DataFrame =
+      chunk: Int, hop: Int): DataFrame = {
+    // hop = 0 is a runtime sequence error; a negative chunk would emit
+    // windows with chunk_end < chunk_start
+    require(chunk > 0 && hop > 0,
+      s"chunk and hop must be positive, got $chunk / $hop")
     df.filter(col(nSamplesCol) > 0)
       .select(col(idCol), col(nSamplesCol),
         explode(sequence(lit(0),
@@ -447,4 +522,5 @@ object Multimodal {
       .withColumn("chunk_end",
         least(col("chunk_start") + chunk, col(nSamplesCol)))
       .drop(nSamplesCol)
+  }
 }

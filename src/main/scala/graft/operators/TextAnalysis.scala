@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   * whole-stage-codegen'd, no UDFs, no shuffles — each operator is a narrow
   * map over the documents table, so it scales linearly and fuses with any
   * downstream filter/aggregate Catalyst plans around it.
+  *
+  * DECLARED TOKENIZATION CONVENTION (shared bit-for-bit with every DuckDB
+  * oracle twin — changing it means changing both engines in lockstep):
+  * `trim` strips ASCII spaces ONLY (Spark semantics; tab/newline-edged
+  * text keeps its edge whitespace) and `split(\s+)` keeps the resulting
+  * leading/trailing empty tokens, so a newline-terminated document
+  * counts one empty edge token and line-rule operators assume LF line
+  * endings. This is the corpus contract (the generator emits LF/space
+  * text); corpora with CRLF or exotic whitespace should be normalized at
+  * ingest (`regexp_replace(text, "\\r\\n?", "\n")`) before these
+  * operators. The hash fingerprints additionally rely on WRAPPING Long
+  * arithmetic — run them with `spark.sql.ansi.enabled=false` (this
+  * repo's session posture) or overflow throws under ANSI.
   */
 object TextAnalysis {
 
@@ -215,10 +228,13 @@ object TextAnalysis {
       .filter(col("term") =!= "")
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"), min("__pos").cast("long").as("first_pos"))
-    posted
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("term")))
-      .filter(col("df") >= minDf)
+    // df via a map-side-combinable aggregate + term-keyed join, NOT a
+    // count().over(partitionBy(term)) window: the window funnels every
+    // posting of a zipfian head term ("the" ~ most of the corpus) into
+    // ONE task; the aggregate collapses to one row per term before the
+    // shuffle and AQE's skew split can still divide the join
+    val dfCounts = posted.groupBy("term").agg(count(lit(1)).as("df"))
+    posted.join(dfCounts, "term").filter(col("df") >= minDf)
   }
 
   /** Word n-grams of a text column (space-joined, lowercase): the corpus
@@ -230,7 +246,12 @@ object TextAnalysis {
     */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = split(trim(lower(text)), "\\s+")
-    when(size(toks) < n, array().cast("array<string>"))
+    // blank text physically splits to one empty token — without the
+    // second clause wordNgrams(blank, 1) returned [""] against the
+    // documented empty-array contract (n >= 2 already hit size < n)
+    when(size(toks) < n ||
+        (size(toks) === 1 && element_at(toks, 1) === ""),
+      array().cast("array<string>"))
       .otherwise(slidingConcat(toks, n))
   }
 
@@ -266,16 +287,22 @@ object TextAnalysis {
     * counts code points, so a supplementary-plane marker (emoji) of
     * UTF-16 length 2 still counts each occurrence as exactly 1.
     */
-  def occurrences(text: Column, marker: String): Column =
+  def occurrences(text: Column, marker: String): Column = {
+    // an empty marker would make the divisor 0 — a silent NULL under
+    // non-ANSI that then passes threshold filters downstream
+    require(marker.nonEmpty, "marker must be non-empty")
     (length(text) - length(replace(text, lit(marker), lit("")))) /
       marker.codePointCount(0, marker.length)
+  }
 
   /** Regexes shared by the scrub operator and its oracle — deliberately
     * restricted to syntax with identical semantics in Java regex (Spark)
     * and RE2 (DuckDB): character classes, bounded repetition, alternation.
     */
   val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val urlRegex = "https?://[^ \\t\\n]+"
+  // \r excluded too: without it a URL on CRLF text matches through the
+  // carriage return and the scrub swallows a non-URL control byte
+  val urlRegex = "https?://[^ \\t\\n\\r]+"
 
   /** PII/boilerplate scrubbing: redact emails and URLs with typed
     * placeholders. A narrow codegen'd map — the shape of every
@@ -300,8 +327,16 @@ object TextAnalysis {
     "es" -> Seq(" el ", " y ", " los "),
     "zh" -> Seq("的", "了", "是"))
 
-  def langScore(text: Column, lang: String): Column =
-    langMarkers(lang).map(m => occurrences(text, m)).reduce(_ + _)
+  /** Marker-occurrence score over ` lower(text) ` — LOWERCASED and
+    * SPACE-PADDED exactly like [[gopherRules]]' stopword check, so
+    * title-case text ("The Best Of...") and string-edge tokens
+    * ("the cat...") hit the space-delimited lowercase markers; without
+    * the normalization short English headlines scored 0 on every
+    * language and fell to "und". */
+  def langScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    langMarkers(lang).map(m => occurrences(padded, m)).reduce(_ + _)
+  }
 
   def langId(text: Column): Column = {
     val langs = langMarkers.keys.toSeq.sorted
@@ -365,8 +400,12 @@ object TextAnalysis {
     * fewer than two labels pass through unchanged.
     */
   def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    when(size(labels) <= 2, host)
+    // a rooted FQDN ("example.com.") splits to a trailing empty label;
+    // without stripping the dot, slice(-2, 2) would return ["com", ""]
+    // and group the host under the garbage pseudo-domain "com."
+    val h = regexp_replace(host, "\\.$", "")
+    val labels = split(h, "\\.")
+    when(size(labels) <= 2, h)
       .otherwise(array_join(slice(labels, -2, 2), "."))
   }
 

@@ -517,7 +517,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_total"))
           .orderBy("domain", "host")
       },
-      Some(raw"""WITH u AS (SELECT 'https://' || source || '.' || lang || '.example.com/docs/' || doc_id AS url, n_chars FROM documents), h AS (SELECT regexp_extract(url, 'https?://([^/:]+)', 1) AS host, n_chars FROM u) SELECT array_to_string(list_slice(string_split(host, '.'), LEN(string_split(host, '.')) - 1, LEN(string_split(host, '.'))), '.') AS domain, host, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_total FROM h GROUP BY domain, host ORDER BY domain, host""")),
+      Some(raw"""WITH u AS (SELECT 'https://' || source || '.' || lang || '.example.com/docs/' || doc_id AS url, n_chars FROM documents), h AS (SELECT regexp_extract(url, 'https?://([^/:]+)', 1) AS host, n_chars FROM u), hs AS (SELECT host, regexp_replace(host, '\.$$', '') AS hstrip, n_chars FROM h) SELECT array_to_string(list_slice(string_split(hstrip, '.'), LEN(string_split(hstrip, '.')) - 1, LEN(string_split(hstrip, '.'))), '.') AS domain, host, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_total FROM hs GROUP BY domain, host ORDER BY domain, host""")),
 
     // Fixed-size per-language sample: the 40 docs per language with the
     // smallest seeded md5 — deterministic across engines and layouts
@@ -811,7 +811,7 @@ object PipelineQueries {
           length(TextAnalysis.scrubPii(col("t2"))).cast("long").as("clean_len"))
           .orderBy("doc_id")
       },
-      Some(raw"""WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id || '@example.com or https://example.com/d/' || doc_id ELSE text END AS t2 FROM documents) SELECT doc_id, CAST(LEN(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(LENGTH(regexp_replace(regexp_replace(t2, 'https?://[^ \t\n]+', '<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS BIGINT) AS clean_len FROM inj ORDER BY doc_id""")),
+      Some(raw"""WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id || '@example.com or https://example.com/d/' || doc_id ELSE text END AS t2 FROM documents) SELECT doc_id, CAST(LEN(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(LENGTH(regexp_replace(regexp_replace(t2, 'https?://[^ \t\n\r]+', '<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS BIGINT) AS clean_len FROM inj ORDER BY doc_id""")),
 
     // sequence-length bucketing for training batches: integer-division
     // buckets of 64 tokens (exact in every engine — no float log2), with
@@ -1684,8 +1684,10 @@ object PipelineQueries {
   private def occSql(m: String): String = {
     val esc = m.replace("'", "''")
     // code-point divisor, mirroring TextAnalysis.occurrences (both engines'
-    // LENGTH counts code points)
-    s"(LENGTH(text) - LENGTH(REPLACE(text, '$esc', ''))) / ${m.codePointCount(0, m.length)}"
+    // LENGTH counts code points); the scan base is the SAME lowercased
+    // space-padded form langScore uses
+    val base = "' ' || LOWER(text) || ' '"
+    s"(LENGTH($base) - LENGTH(REPLACE($base, '$esc', ''))) / ${m.codePointCount(0, m.length)}"
   }
 
   private def scoreSql(lang: String): String =

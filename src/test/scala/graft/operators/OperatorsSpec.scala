@@ -314,6 +314,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L)._1 == Some("example.com") && got(2L)._3 == Some("example.com"))
     assert(got(3L) == ((Some("localhost"), Some("/z"), Some("localhost"))))
     assert(got(4L)._1.isEmpty, "malformed URL must parse to NULL host")
+    // rooted FQDN (trailing dot): the garbage pseudo-domain "com." trap
+    val rooted = Seq((1L, "a.example.com.")).toDF("id", "h")
+      .select(TextAnalysis.registeredDomain($"h")).collect().head.getString(0)
+    assert(rooted == "example.com", s"rooted host mapped to '$rooted'")
+  }
+
+  test("langId normalizes case and string edges like the stopword rules; " +
+      "blank-text wordNgrams(n=1) honors the empty-array contract") {
+    val rows = Seq(
+      (1L, "The Best Of The Best"),        // title case: every marker capitalized
+      (2L, "the cat and the dog of it"),   // lowercase control
+      (3L, "der und die der und die x y"), // german
+      (4L, "zzz qqq vvv")                  // no markers
+    ).toDF("id", "text")
+    val got = rows.select($"id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en", s"title-case english scored as ${got(1L)}")
+    assert(got(2L) == "en" && got(3L) == "de" && got(4L) == "und")
+    // blank text: one physical empty token, ZERO real tokens
+    val blank = Seq(Tuple1("   ")).toDF("t")
+      .select(TextAnalysis.wordNgrams($"t", 1)).collect().head.getSeq[String](0)
+    assert(blank.isEmpty, s"wordNgrams(blank, 1) returned $blank")
+    // inverted index: df comes from an aggregate + join, never a
+    // per-term window (a zipfian head term would funnel into one task)
+    val plan = TextAnalysis.invertedIndex(
+        Seq((1L, "a b"), (2L, "a c")).toDF("id", "text"), "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "invertedIndex regressed to a window df")
   }
 
   test("HLL sketches: 5%-of-exact accuracy, union of partials == global sketch") {

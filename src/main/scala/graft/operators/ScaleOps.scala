@@ -51,6 +51,8 @@ object ScaleOps {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltCol: String, saltFactor: Int = 16): DataFrame = {
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "input must not already contain __salt")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(col(saltCol)), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("__salt",
@@ -92,7 +94,11 @@ object ScaleOps {
       case None => big.filter(lit(false)) // empty small side: nothing joins
       case Some(mightContain) => big.filter(mightContain(col(bigKey)))
     }
-    pruned.join(small, pruned(bigKey) === small(smallKey), joinType)
+    // pass the NORMALIZED name to Spark: its JoinType parser strips
+    // underscores but not spaces, so "left semi" would pass the require
+    // above and then crash inside join() with an opaque message
+    pruned.join(small, pruned(bigKey) === small(smallKey),
+      joinType.toLowerCase.replaceAll("[ _]", ""))
   }
 
   /** Build the membership predicate behind [[bloomPrunedJoin]]: one
@@ -166,6 +172,10 @@ object ScaleOps {
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String = "running_total"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val reserved = (Seq("__pid", "__run", "__off", outCol)
+      .filter(df.columns.contains)).distinct
+    require(reserved.isEmpty,
+      s"input must not already contain ${reserved.mkString(", ")}")
     val ranged = df.repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = true)
@@ -203,7 +213,10 @@ object ScaleOps {
     }
     df.filter(
       pmod(xxhash64(col(idCol), lit(seed)), lit(resolution)) <
-        (frac * resolution).cast("long"))
+        // round, not cast-truncate: 0.29 * 1e6 is 289999.999... in
+        // doubles and truncation under-samples the stratum by one hash
+        // slot (the hashSplit cut-rounding rule)
+        round(frac * resolution).cast("long"))
   }
 
   /** File-level min/max manifest of `column` for the parquet dataset at
@@ -236,7 +249,15 @@ object ScaleOps {
     val base =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+      else
+        // basePath: without it, reading LEAF files makes each file's
+        // parent the base, so directory-derived partition values (a
+        // writeTimePartitioned layout's part_key=...) are never
+        // discovered and the explicit schema NULL-fills the partition
+        // column for every row — silent corruption of any downstream
+        // use of that column
+        spark.read.option("basePath", path).schema(schema)
+          .parquet(files.toIndexedSeq: _*)
     base.filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -284,6 +305,13 @@ object ScaleOps {
       "state and delta must have identical columns")
     val missing = (merges.map(_._1) ++ keyCols).filterNot(state.columns.contains)
     require(missing.isEmpty, s"columns not in state: ${missing.mkString(", ")}")
+    // coverage must be TOTAL: a state column that is neither a key nor a
+    // declared merge would silently vanish from the groupBy output
+    val uncovered = state.columns
+      .filterNot(c => keyCols.contains(c) || merges.exists(_._1 == c))
+    require(uncovered.isEmpty,
+      s"state columns neither keyed nor merged (would be dropped): " +
+        uncovered.mkString(", "))
     val aggs = merges.map {
       case (c, "sum") => sum(col(c)).as(c)
       case (c, "min") => min(col(c)).as(c)
@@ -310,6 +338,14 @@ object ScaleOps {
     * Rows with weight <= 0 are excluded (the exponent would invert the
     * ordering); `u` is never exactly 0 or 1 (the 32-bit hash is shifted
     * into (0,1)), so the key is always well-defined.
+    *
+    * Cross-engine caveat: `pow` is correct only to ~1 ulp and may round
+    * differently per libm, so two rows whose keys straddle the k-th rank
+    * within a last-ulp margin could in principle order differently in an
+    * external replay (the md5-uniform inputs make such a boundary
+    * collision vanishingly unlikely — it has never been observed across
+    * the round-over-round oracle runs — but a bit-parity guarantee like
+    * the md5 kernels' is NOT claimed for this key).
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: Int = 17): DataFrame = {
@@ -343,23 +379,36 @@ object ScaleOps {
     */
   def quotaSample(df: DataFrame, strataCol: String, idCol: String,
       quota: Int, seed: Int = 13, fanout: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(quota > 0 && fanout > 0, "quota and fanout must be positive")
     val reserved = Seq("__h", "__salt", "__rn").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"input must not already contain ${reserved.mkString(", ")}")
+    rankWithinGroups(df, strataCol, idCol, lit(quota), seed, fanout)
+  }
+
+  /** The ONE two-phase salted rank selection [[quotaSample]] and
+    * [[temperatureMixSample]] share: seeded-md5 rank within each group —
+    * local (group, salt) phase keeping `quotaCol` rows per salt, then
+    * the bounded global per-group phase. The hash formula and the
+    * `(__h, id)` tie-break are load-bearing for the DuckDB replays, so
+    * they live in exactly one place; a change here moves both samplers
+    * and their oracles together. `quotaCol` may be a literal (fixed
+    * quota) or a joined per-group column.
+    */
+  private def rankWithinGroups(df: DataFrame, groupCol: String,
+      idCol: String, quotaCol: Column, seed: Int, fanout: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val h = md5(concat_ws("|", col(idCol).cast("string"), lit(seed.toString)))
-    val withH = df.withColumn("__h", h)
+    val wLocal = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(col("__h"), col(idCol))
+    val wGlobal = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
       .withColumn("__salt", pmod(xxhash64(col(idCol), lit(seed)), lit(fanout)))
-    val wLocal = Window.partitionBy(col(strataCol), col("__salt"))
-      .orderBy(col("__h"), col(idCol))
-    val wGlobal = Window.partitionBy(col(strataCol))
-      .orderBy(col("__h"), col(idCol))
-    withH
       .withColumn("__rn", row_number().over(wLocal))
-      .filter(col("__rn") <= quota)
+      .filter(col("__rn") <= quotaCol)
       .withColumn("__rn", row_number().over(wGlobal))
-      .filter(col("__rn") <= quota)
+      .filter(col("__rn") <= quotaCol)
       .drop("__h", "__salt", "__rn")
   }
 
@@ -424,19 +473,9 @@ object ScaleOps {
       .select(col(domainCol),
         least(floor(lit(budget.toDouble) * col("__w") / col("__wt"))
           .cast("long"), col("__n")).as("__q"))
-    val h = md5(concat_ws("|", col(idCol).cast("string"), lit(seed.toString)))
-    val wLocal = Window.partitionBy(col(domainCol), col("__salt"))
-      .orderBy(col("__h"), col(idCol))
-    val wGlobal = Window.partitionBy(col(domainCol))
-      .orderBy(col("__h"), col(idCol))
-    df.join(broadcast(quotas), domainCol)
-      .withColumn("__h", h)
-      .withColumn("__salt", pmod(xxhash64(col(idCol), lit(seed)), lit(fanout)))
-      .withColumn("__rn", row_number().over(wLocal))
-      .filter(col("__rn") <= col("__q"))
-      .withColumn("__rn", row_number().over(wGlobal))
-      .filter(col("__rn") <= col("__q"))
-      .drop("__q", "__h", "__salt", "__rn")
+    rankWithinGroups(df.join(broadcast(quotas), domainCol), domainCol,
+      idCol, col("__q"), seed, fanout)
+      .drop("__q")
   }
 
   /** Changelog merge (lakehouse CDC upsert): apply a batch of keyed
@@ -475,7 +514,11 @@ object ScaleOps {
       .agg(max_by(struct(payload.map(col): _*),
         struct(col(versionCol), col("__src"))).as("__row"))
     val kept = deletedCol match {
-      case Some(d) => latest.filter(!col(s"__row.$d"))
+      // NULL tombstone flag means NOT deleted: a bare !col under SQL
+      // three-valued logic evaluates NULL and filter() DROPS the row —
+      // silently deleting every key whose source leaves the flag null
+      // for live rows
+      case Some(d) => latest.filter(!coalesce(col(s"__row.$d"), lit(false)))
       case None => latest
     }
     val order = snapshot.columns.map(c =>
@@ -570,7 +613,11 @@ object ScaleOps {
       seed: Int = 7, splitCol: String = "split"): DataFrame = {
     require(math.abs(fractions.sum - 1.0) < 1e-9, "fractions must sum to 1")
     val resolution = 1000000L
-    val cuts = fractions.scanLeft(0.0)(_ + _).map(f => (f * resolution).toLong)
+    // round, don't truncate: 0.7's double is 0.6999... and a truncated
+    // cut would shift the boundary row into the wrong split vs an
+    // external replay computing the cut exactly
+    val cuts = fractions.scanLeft(0.0)(_ + _)
+      .map(f => math.round(f * resolution))
     // hi half of the packed native md5 hash == conv(substring(hex,1,8))
     // bit for bit (Md5KernelParitySpec) — no hex render/parse per row
     val h32 = shiftrightunsigned(graft.functions.Md5Hashes.md5Hash64(

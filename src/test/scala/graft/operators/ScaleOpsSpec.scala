@@ -382,6 +382,58 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(checked >= 100, s"fuzz vacuous: only $checked sampled rows total")
   }
 
+  test("review-pinned contracts: NULL tombstones live, partition values " +
+      "survive readSkipping, rounded cuts, fail-fast guards") {
+    // mergeLatest: a NULL deleted flag is NOT a tombstone — a bare
+    // !col(...) would evaluate NULL and silently drop the key
+    val snap = Seq((1L, 10L, "a", null.asInstanceOf[java.lang.Boolean]),
+      (2L, 10L, "b", java.lang.Boolean.FALSE))
+      .toDF("k", "v", "payload", "deleted")
+    val chg = Seq((2L, 20L, "b2", java.lang.Boolean.TRUE))
+      .toDF("k", "v", "payload", "deleted")
+    val merged = ScaleOps.mergeLatest(snap, chg, Seq("k"), "v",
+        Some("deleted"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(merged == Map(1L -> "a"),
+      s"NULL tombstone mishandled: $merged")
+    // readSkipping over a hive-partitioned layout keeps the
+    // directory-derived partition column populated (basePath)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_shipdate", "l_extendedprice")
+    val p = SparkTestSession.tmpPath("skip_part_test")
+    ScaleOps.writeTimePartitioned(li, "l_shipdate", p)
+    val man = ScaleOps.minMaxManifest(spark, p, "l_shipdate")
+    val back = ScaleOps.readSkipping(spark, p, man, "l_shipdate",
+      lit(java.sql.Date.valueOf("1997-03-01")),
+      lit(java.sql.Date.valueOf("1997-03-31")))
+    assert(back.count() > 0)
+    assert(back.filter(col("part_key").isNull).count() == 0,
+      "partition column null-filled: basePath lost")
+    // hashSplit cuts round rather than truncate: 0.7's double is
+    // 0.69999..., a truncated cut would shift the boundary hash slot
+    val cutsOk = ScaleOps.hashSplit(
+        Seq.tabulate(50)(i => Tuple1(i.toLong)).toDF("id"), "id",
+        Seq(0.7, 0.3)).groupBy("split").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cutsOk.keySet.subsetOf(Set(0, 1)))
+    // fail-fast guards: uncovered state columns, reserved prefixSum and
+    // saltedJoin columns
+    intercept[IllegalArgumentException] {
+      ScaleOps.mergeAggState(
+        Seq((1L, 2L, 3L)).toDF("k", "n", "extra"),
+        Seq((1L, 2L, 3L)).toDF("k", "n", "extra"),
+        Seq("k"), Seq("n" -> "sum"))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.prefixSum(Seq((1L, 2L, 0L)).toDF("o", "v", "running_total"),
+        "o", "v")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.saltedJoin(Seq((1L, 0)).toDF("k", "__salt"),
+        Seq(Tuple1(1L)).toDF("k"), "k", "k")
+    }
+  }
+
   test("time-partitioned layout: partition-pruned scans, identical rows") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_shipdate", "l_extendedprice")

@@ -86,17 +86,19 @@ class BenchFloorsSpec extends AnyFunSuite {
     val m = Bench.parseFloors(t)
     assert(m.size >= 140, s"only ${m.size} floor entries parsed")
     assert(m.values.forall(e => e.floor > 0 && !e.floor.isNaN))
-    // spot pins: r12's wholesale re-pin had loosened these against
-    // unchanged pipelines; the r13 fold took floor := min(floor, prev,
-    // r12 wall) back
-    assert(m("q_tar_roundtrip").floor == 0.234)
-    assert(m("cb_reduce_all").floor == 0.71)
-    assert(m("q_dedup_simhash").floor == 1.261)
-    // the one deliberate r12 pipeline change (xx stream row replaced by
-    // the heavier md5 twin) keeps its floor AND the old pipeline's gate
-    // in history
-    assert(m("q_stream_neardup").floor == 1.681 &&
-      m("q_stream_neardup").prev == List(0.839))
+    // spot pins assert the MONOTONE property, not point values (clean
+    // runs legitimately ratchet floors DOWN — an exact-equality pin here
+    // would go red on every improvement, the r12-style stale-gate trap):
+    // r12's wholesale re-pin had loosened these against unchanged
+    // pipelines; the r13 fold took them back to at most the tight
+    // historical values
+    assert(m("q_tar_roundtrip").floor <= 0.234)
+    assert(m("cb_reduce_all").floor <= 0.71)
+    assert(m("q_dedup_simhash").floor <= 1.261)
+    // the deliberate r12 pipeline change (xx stream row replaced by the
+    // heavier md5 twin) keeps the old pipeline's gate in history
+    assert(m("q_stream_neardup").floor <= 1.681 &&
+      m("q_stream_neardup").prev.contains(0.839))
     m.foreach { case (k, e) =>
       e.prev.foreach(p => assert(p > 0 && !p.isNaN,
         s"$k: prev $p is not a valid historical gate"))

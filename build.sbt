@@ -11,10 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr straight through instead of
+// routing them via sbt's logger: the logger prefixes every line with
+// "[info] "/"[error] ", which broke the harness's last-line JSON parse of
+// Bench's summary three rounds running (BENCH_r11..r13 "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Bench/Verify print a single machine-readable JSON line as their LAST
 // stdout line; sbt's trailing "[success] Total time: ..." banner lands
 // after it and breaks last-line JSON parsing by the harness. Suppress it.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

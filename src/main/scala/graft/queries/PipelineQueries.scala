@@ -1661,7 +1661,38 @@ object PipelineQueries {
           .select(col("vec_id"),
             (floor(col("cosine") * 1e6d + 0.5d) / 1e6d).as("cosine_r"))
       },
-      Some(simIvfOracleSql(k = 8, nprobe = 4, topk = 10)))
+      Some(simIvfOracleSql(k = 8, nprobe = 4, topk = 10))),
+
+    // trained quality classifier — the DCLM/fastText-style curation step:
+    // labels bootstrapped from the Gopher heuristic (the curation cfg),
+    // features md5-mode unit-norm hash embeddings, deterministic
+    // full-batch GD (rational-sigmoid link: single-rounded IEEE ops only,
+    // no exp()), whole-corpus scoring against the broadcast-literal
+    // trained weights. Oracle-checked via the trained-model replay
+    // (qualityClassifierOracleSql unrolls all GD rounds as CTEs); the
+    // margins hash-match bit-exactly. One scan to train (TakeOrdered
+    // sample), one scan to score — the scoring stage is a pure codegen'd
+    // map fused with the embedding kernel, zero shuffles at any scale.
+    QueryDef("q_quality_classifier",
+      (s, dir) => {
+        import graft.operators.{QualityClassifier => QC, TextAnalysis => TA}
+        val cfg = TA.GopherConfig(minWords = 25L, maxWords = 80L,
+          minMeanWordLen = 3.0, maxMeanWordLen = 5.0, minStopwordHits = 1)
+        def prepared = QC.withFeatures(
+          TA.gopherRules(Tables.documents(s, dir), col("text"), cfg), "text")
+          .select(col("doc_id"), col("feats"),
+            when(col("quality_pass"), 1.0d).otherwise(0.0d).as("y"))
+        val model = QC.train(prepared, "doc_id", "feats", "y",
+          rounds = 80, lr = 4.0, maxSample = 2000)
+        QC.score(prepared, "feats", model)
+          .select(col("doc_id"), col("y").cast("long").as("label"),
+            // floor-based rounding (engine-portable; the q_sim_pq contract)
+            (floor(col("margin") * 1e6d + 0.5d) / 1e6d).as("margin_r"),
+            col("pred"))
+          .orderBy("doc_id")
+      },
+      Some(qualityClassifierOracleSql(hashDim = 64, rounds = 80, lr = 4.0,
+        maxSample = 2000)))
   )
 
   /** Fixed deterministic query vector for similarity search (unit-ish,
@@ -2073,6 +2104,55 @@ object PipelineQueries {
     b.toString
   }
 
+  /** q_quality_classifier replay: the trained-model-replay technique
+    * applied to `QualityClassifier.train` (full-batch GD, rational
+    * sigmoid). The whole pipeline is single-rounded IEEE double ops
+    * (+, -, *, /, abs — the rational link replaces exp() precisely so no
+    * libm transcendental appears), so every intermediate is bit-exact
+    * across engines and the final margins hash-match without tolerance.
+    * Replay rules (the [[kmeansCtes]] posture):
+    *  - features: [[md5EmbedVecCtes]] + the FLOAT[] round-trip
+    *    (production vectors are array<float>);
+    *  - labels: the shared [[gopherGsigSql]]/[[gopherPassSql]] pair as a
+    *    0/1 double;
+    *  - sample: ORDER BY doc_id LIMIT maxSample (id-ordered — plain SQL);
+    *  - every accumulation (margins' dot, per-component gradient, bias
+    *    gradient) is an ascending-index / ascending-id serial fold
+    *    (list_inner_product / list_reduce over list(... ORDER BY id));
+    *  - update parenthesization mirrors the driver exactly:
+    *    `w - (lr * g) / n`.
+    * AS MATERIALIZED throughout — the round chain references each
+    * predecessor multiple times (see kmeansCtes' exponential-inlining
+    * note).
+    */
+  private def qualityClassifierOracleSql(hashDim: Int, rounds: Int,
+      lr: Double, maxSample: Int): String = {
+    val dim = hashDim + 5 // QualityClassifier.withFeatures: hash block + 5 dense
+    val b = new StringBuilder
+    b ++= "WITH "
+    b ++= md5EmbedVecCtes(hashDim, n = 1)
+    b ++= s", $gopherGsigSql, "
+    // the 5 dense signals (see QualityClassifier.withFeatures's exact-op
+    // contract); d2/d4 recompute d1/d3 — same double ops, same bits
+    b ++= raw"""qds AS MATERIALIZED (SELECT doc_id, (CAST(nw0 AS DOUBLE) - 52.5) / 27.5 AS d1, CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / GREATEST(nw0, 1) - 4.0 AS d3, CAST(stopn AS DOUBLE) / 4.0 - 1.0 AS d5 FROM gsig), """
+    b ++= "qfv AS MATERIALIZED (SELECT e.doc_id, CAST(CAST(e.vd AS FLOAT[]) AS DOUBLE[]) || [d.d1, d.d1 * d.d1, d.d3, d.d3 * d.d3, d.d5] AS x FROM ev0 e JOIN qds d USING (doc_id)), "
+    b ++= s"qlbl AS MATERIALIZED (SELECT doc_id, CASE WHEN $gopherPassSql THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y FROM gsig), "
+    b ++= s"qsamp AS MATERIALIZED (SELECT f.doc_id AS id, f.x, l.y FROM qfv f JOIN qlbl l USING (doc_id) ORDER BY doc_id LIMIT $maxSample), "
+    b ++= "qn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM qsamp), "
+    b ++= s"qw0 AS MATERIALIZED (SELECT list_transform(range(0, $dim), i -> CAST(0 AS DOUBLE)) AS w, CAST(0 AS DOUBLE) AS b), "
+    for (t <- 1 to rounds) {
+      b ++= s"qm$t AS MATERIALIZED (SELECT s.id, s.x, s.y, list_inner_product(w.w, s.x) + w.b AS m FROM qsamp s CROSS JOIN qw${t - 1} w), "
+      b ++= s"qe$t AS MATERIALIZED (SELECT id, x, (CAST(0.5 AS DOUBLE) + (CAST(0.5 AS DOUBLE) * m) / (CAST(1 AS DOUBLE) + abs(m))) - y AS e FROM qm$t), "
+      b ++= s"qg$t AS MATERIALIZED (SELECT i, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(e * xj ORDER BY id)), (a, b) -> a + b) AS g FROM (SELECT id, e, UNNEST(x) AS xj, UNNEST(range(0, $dim)) AS i FROM qe$t) GROUP BY i), "
+      b ++= s"qgb$t AS MATERIALIZED (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(e ORDER BY id)), (a, b) -> a + b) AS gb FROM qe$t), "
+      b ++= s"qwl$t AS MATERIALIZED (SELECT UNNEST(w) AS wj, UNNEST(range(0, $dim)) AS i FROM qw${t - 1}), "
+      b ++= s"qw$t AS MATERIALIZED (SELECT list(wl.wj - (CAST($lr AS DOUBLE) * g.g) / n.n ORDER BY wl.i) AS w, ANY_VALUE(pb.b) - (CAST($lr AS DOUBLE) * ANY_VALUE(gb.gb)) / ANY_VALUE(n.n) AS b FROM qwl$t wl JOIN qg$t g ON g.i = wl.i CROSS JOIN qn n CROSS JOIN qgb$t gb CROSS JOIN (SELECT b FROM qw${t - 1}) pb), "
+    }
+    b ++= s"qsc AS (SELECT f.doc_id, l.y, list_inner_product(w.w, f.x) + w.b AS m FROM qfv f JOIN qlbl l USING (doc_id) CROSS JOIN qw$rounds w) "
+    b ++= "SELECT doc_id, CAST(y AS BIGINT) AS label, floor(m * 1e6 + 0.5) / 1e6 AS margin_r, m >= 0 AS pred FROM qsc ORDER BY doc_id"
+    b.toString
+  }
+
   /** q_sim_pq replay: per-subspace L2 k-means codebooks (kmeansL2 —
     * farthest-point max-min-distance init, Lloyd MEAN updates, no
     * normalization), PqEncode's first-min codeword assignment, the ADC
@@ -2207,11 +2287,20 @@ object PipelineQueries {
     * ±1 integers (exact in doubles, order-free); the norm/cosine folds are
     * ascending in both engines (the q_sim_topk contract).
     */
+  /** md5-mode hash-embedding replay over `documents` (the SQL twin of
+    * `TextAnalysis.hashEmbedMd5`): word n-grams of trim(lower(text)),
+    * md5 slot/sign, slot sums, L2 normalize — defines
+    * `ev0(doc_id, vd DOUBLE[])`, the pre-float-round-trip vectors.
+    * Shared by the embedding near-dup oracle and the quality-classifier
+    * feature replay.
+    */
+  private def md5EmbedVecCtes(dim: Int, n: Int): String =
+    raw"""tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents), grams AS (SELECT doc_id, UNNEST(CASE WHEN len(tk) < $n THEN CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(tk) - ${n - 2}), i -> array_to_string(tk[i:i+${n - 1}], ' ')) END) AS g FROM tk), hx AS (SELECT doc_id, md5(g) AS x FROM grams WHERE g <> ''), contrib AS (SELECT doc_id, CAST(('0x' || substring(x,1,8)) AS BIGINT) % $dim AS idx, CASE WHEN CAST(('0x' || substring(x,9,8)) AS BIGINT) % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn FROM hx), slot AS (SELECT doc_id, idx, SUM(sgn) AS v FROM contrib GROUP BY doc_id, idx), rawv AS (SELECT d.doc_id, list(COALESCE(s.v, CAST(0 AS DOUBLE)) ORDER BY i.i) AS raw FROM (SELECT doc_id FROM documents) d CROSS JOIN range(0, $dim) i(i) LEFT JOIN slot s ON s.doc_id = d.doc_id AND s.idx = i.i GROUP BY d.doc_id), normv AS (SELECT doc_id, raw, sqrt(list_inner_product(raw, raw)) AS nrm FROM rawv), ev0 AS (SELECT doc_id, list_transform(raw, x -> CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE) ELSE x / nrm END) AS vd FROM normv)"""
+
   private def embedNearDupOracleSql(dim: Int, n: Int, threshold: Double,
       planesPerTable: Int = 4, tables: Int = 8, maxBucket: Int = 256,
       seed: Long = 42L): String = {
-    val vecCtes =
-      raw"""tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents), grams AS (SELECT doc_id, UNNEST(CASE WHEN len(tk) < $n THEN CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(tk) - ${n - 2}), i -> array_to_string(tk[i:i+${n - 1}], ' ')) END) AS g FROM tk), hx AS (SELECT doc_id, md5(g) AS x FROM grams WHERE g <> ''), contrib AS (SELECT doc_id, CAST(('0x' || substring(x,1,8)) AS BIGINT) % $dim AS idx, CASE WHEN CAST(('0x' || substring(x,9,8)) AS BIGINT) % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn FROM hx), slot AS (SELECT doc_id, idx, SUM(sgn) AS v FROM contrib GROUP BY doc_id, idx), rawv AS (SELECT d.doc_id, list(COALESCE(s.v, CAST(0 AS DOUBLE)) ORDER BY i.i) AS raw FROM (SELECT doc_id FROM documents) d CROSS JOIN range(0, $dim) i(i) LEFT JOIN slot s ON s.doc_id = d.doc_id AND s.idx = i.i GROUP BY d.doc_id), normv AS (SELECT doc_id, raw, sqrt(list_inner_product(raw, raw)) AS nrm FROM rawv), ev0 AS (SELECT doc_id, list_transform(raw, x -> CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE) ELSE x / nrm END) AS vd FROM normv)"""
+    val vecCtes = md5EmbedVecCtes(dim, n)
     val eSrc = "SELECT doc_id AS vec_id, CAST(CAST(vd AS FLOAT[]) AS DOUBLE[]) AS ev FROM ev0"
     s"""WITH $vecCtes, ${hyperplaneBitsSql(dim, planesPerTable, tables, seed, eSrc)}${boundedPairsSql("bits", "vec_id", "t", "code", maxBucket)}, verified AS (SELECT id_a, id_b, list_inner_product(ea.ev, eb.ev) / (sqrt(list_inner_product(ea.ev, ea.ev)) * sqrt(list_inner_product(eb.ev, eb.ev))) AS cosine FROM cands JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b) SELECT id_a, id_b, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine_r FROM verified WHERE cosine >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b"""
   }
@@ -2238,13 +2327,31 @@ object PipelineQueries {
     * q_dedup_minhash, q_seq_pack), composed over CTEs — so the flagship
     * composite is hash-checked end to end, not just per stage.
     */
+  /** Gopher rule-signal CTE `gsig` (per-doc rule ratios/counts) and the
+    * pass predicate over it — the SQL twin of `TextAnalysis.gopherRules`
+    * with the curation cfg (minWords=25, maxWords=80, mean word length
+    * in [3,5], minStopwordHits=1). Shared by [[curationOracle]] (filter
+    * form) and the quality-classifier label replay (0/1 label form) so
+    * the two oracles can never drift apart.
+    */
+  private lazy val gopherGsigSql: String = {
+    val ntok = """CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END"""
+    raw"""gsig AS (SELECT doc_id, text, CAST($ntok AS BIGINT) AS nw0, GREATEST(CAST($ntok AS BIGINT), 1) AS nw, LENGTH(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(CAST($ntok AS BIGINT), 1) AS mwl, ((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3) * 1.0 / GREATEST(CAST($ntok AS BIGINT), 1) AS symr, LEN(list_filter(string_split(text, chr(10)), x -> regexp_matches(TRIM(x), '^[-*•]'))) * 1.0 / GREATEST(LEN(string_split(text, chr(10))), 1) AS bulr, LEN(list_filter(string_split(text, chr(10)), x -> ends_with(TRIM(x), '...'))) * 1.0 / GREATEST(LEN(string_split(text, chr(10))), 1) AS ellr, LEN(list_filter(string_split_regex(TRIM(text), '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / GREATEST(CAST($ntok AS BIGINT), 1) AS alphar, (${TextAnalysis.gopherStopwords.map(sw => s"CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% $sw %' THEN 1 ELSE 0 END").mkString(" + ")}) AS stopn FROM documents)"""
+  }
+
+  // lazy: referenced from `val all`'s initializer above, which runs
+  // before later plain vals in the object body (a plain val here reads
+  // as null at that point)
+  private lazy val gopherPassSql: String =
+    "nw0 >= 25 AND nw0 <= 80 AND mwl >= 3.0 AND mwl <= 5.0 AND symr <= 0.1 AND bulr <= 0.1 AND ellr <= 0.3 AND alphar >= 0.8 AND stopn >= 1"
+
   private lazy val curationOracle: String = {
     val ntok = """CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END"""
     val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
     val scoreCols = langs.map(l => s"(${scoreSql(l)}) AS s_$l").mkString(", ")
     val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
     val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
-    val gopher = raw"""gsig AS (SELECT doc_id, text, CAST($ntok AS BIGINT) AS nw0, GREATEST(CAST($ntok AS BIGINT), 1) AS nw, LENGTH(regexp_replace(text, '\s+', '', 'g')) * 1.0 / GREATEST(CAST($ntok AS BIGINT), 1) AS mwl, ((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3) * 1.0 / GREATEST(CAST($ntok AS BIGINT), 1) AS symr, LEN(list_filter(string_split(text, chr(10)), x -> regexp_matches(TRIM(x), '^[-*•]'))) * 1.0 / GREATEST(LEN(string_split(text, chr(10))), 1) AS bulr, LEN(list_filter(string_split(text, chr(10)), x -> ends_with(TRIM(x), '...'))) * 1.0 / GREATEST(LEN(string_split(text, chr(10))), 1) AS ellr, LEN(list_filter(string_split_regex(TRIM(text), '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / GREATEST(CAST($ntok AS BIGINT), 1) AS alphar, (${TextAnalysis.gopherStopwords.map(sw => s"CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% $sw %' THEN 1 ELSE 0 END").mkString(" + ")}) AS stopn FROM documents), qual AS (SELECT doc_id, text FROM gsig WHERE nw0 >= 25 AND nw0 <= 80 AND mwl >= 3.0 AND mwl <= 5.0 AND symr <= 0.1 AND bulr <= 0.1 AND ellr <= 0.3 AND alphar >= 0.8 AND stopn >= 1)"""
+    val gopher = s"""$gopherGsigSql, qual AS (SELECT doc_id, text FROM gsig WHERE $gopherPassSql)"""
     val lang = s"""lsc AS (SELECT doc_id, text, $scoreCols FROM qual), lsb AS (SELECT *, $best AS best FROM lsc), eng AS (SELECT doc_id, text FROM lsb WHERE (CASE $cases ELSE 'und' END) = 'en')"""
     val survivor = """keepers AS (SELECT MIN(doc_id) AS doc_id FROM eng GROUP BY text), exact0 AS (SELECT eng.doc_id, eng.text FROM eng JOIN keepers USING (doc_id))"""
     val minhash = minhashMd5BandedSql(bands = 8, rows = 4, src = "exact0") +

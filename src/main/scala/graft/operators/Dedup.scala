@@ -883,10 +883,24 @@ object Dedup {
   private def simhashPairsFrom(
       scope: CacheScope, df: DataFrame, idCol: String,
       tokenHashesExpr: Column, maxBucket: Int
-  ): DataFrame = {
-    val prepared = scope.persist(widen(df)
+  ): DataFrame =
+    hammingPairsFromSigs(scope, widen(df)
       .select(col(idCol).as("id"), tokenHashesExpr.as("__th"))
-      .select(col("id"), simhashFromHashes(col("__th")).as("sig")))
+      .select(col("id"), simhashFromHashes(col("__th")).as("sig")), maxBucket)
+
+  /** The shared hamming-banding body: 4x16-bit chunk bands over a 64-bit
+    * signature column, bounded buckets ([[boundedPairs]]), XOR-popcount
+    * hamming on the candidates. `sigs0` must be `(id, sig: long)`; it is
+    * persisted here (both band-join sides and the verify joins reuse it).
+    * Pigeonhole completeness: every pair at hamming <= 3 shares at least
+    * one intact chunk, so within the bucket cap the <= 3 pair set is
+    * complete. Consumers: SimHash text near-dup (both hash modes) and
+    * the perceptual image-hash near-dup ([[Multimodal.imageDHash]]).
+    */
+  private[operators] def hammingPairsFromSigs(
+      scope: CacheScope, sigs0: DataFrame, maxBucket: Int
+  ): DataFrame = {
+    val prepared = scope.persist(sigs0)
     val banded = prepared
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(3)),
@@ -898,6 +912,21 @@ object Dedup {
     cands.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).as("hamming"))
+  }
+
+  /** Hamming near-dup candidate pairs over PRECOMPUTED 64-bit signatures
+    * (e.g. perceptual image hashes): the exact banding/bounding/verify
+    * pipeline SimHash uses ([[hammingPairsFromSigs]]), exposed for
+    * signature columns produced elsewhere. Output
+    * `(id_a, id_b, hamming)`; filter `hamming <= 3` for the
+    * pigeonhole-complete band guarantee.
+    */
+  def hammingCandidates(df: DataFrame, idCol: String, sigCol: String,
+      maxBucket: Int = 64): DataFrame = {
+    val scope = new CacheScope
+    scope.sealResult(hammingPairsFromSigs(scope,
+      widen(df).select(col(idCol).as("id"), col(sigCol).as("sig")),
+      maxBucket))
   }
 
   /** [[simhashCandidates]] in md5 oracle mode — same banding/bounding/

@@ -478,6 +478,152 @@ object Multimodal {
       .toDF("id", "feature")
   }
 
+  /** dHash geometry: difference hash over a `DHashW x DHashH` grayscale
+    * grid — 64 horizontal-gradient sign bits, the standard perceptual
+    * image fingerprint (LAION-style image dedup keys on exactly this).
+    */
+  private val DHashW = 9
+  private val DHashH = 8
+
+  private def md5FirstByte(md: java.security.MessageDigest, s: String): Int = {
+    md.reset()
+    md.digest(s.getBytes("UTF-8"))(0) & 0xff
+  }
+
+  /** Deterministic 9x8 grayscale PNG payloads from a (id, family) frame —
+    * REAL PNG bytes (JDK ImageIO encoder) whose pixel values are
+    * ANALYTICALLY KNOWN: pixel(x, y) at pos = y*9+x is
+    * `(first md5 byte of "<family>:<pos>") % 200  +  (first md5 byte of
+    * "<id>#<pos>") % 2` — a shared per-family base image plus a per-pixel
+    * 0/1 per-document perturbation. Rows sharing `familyCol` therefore
+    * produce NEAR-DUPLICATE images (gradient signs flip only where the
+    * base's neighbor difference is within 1 — about one dHash bit per 64
+    * in expectation), while different families are ~32 bits apart; and
+    * because the values are md5 arithmetic, a SQL oracle can replay the
+    * whole decode -> dHash -> banding pipeline over the REAL ImageIO
+    * round-trip (the q_multimodal_geom stub-fold posture upgraded to
+    * actual pixels — PNG gray8 is lossless, so decode returns these exact
+    * samples; [[imageDHash]]'s direct-raster branch reads them back).
+    *
+    * One narrow `mapPartitions` map — scan-speed payload synthesis, the
+    * per-partition digest/encoder amortization real asset generation
+    * would use.
+    */
+  def syntheticGrayPngs(df: DataFrame, idCol: String,
+      familyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
+      .filter(col("__id").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, family0) =>
+          val family = if (family0 == null) "" else family0
+          val img = new java.awt.image.BufferedImage(DHashW, DHashH,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var pos = 0
+          var y = 0
+          while (y < DHashH) {
+            var x = 0
+            while (x < DHashW) {
+              val base = md5FirstByte(md, family + ":" + pos) % 200
+              val e = md5FirstByte(md, id.toString + "#" + pos) % 2
+              raster.setSample(x, y, 0, base + e)
+              pos += 1
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          (id, buf.toByteArray)
+        }
+      }
+      .toDF("id", "payload")
+  }
+
+  /** Perceptual 64-bit image hash (dHash) over REAL decoded pixels:
+    * decode via ImageIO (decompression-bomb pre-screened, quarantined —
+    * never a task failure), reduce to the 9x8 grayscale dHash grid, emit
+    * bit `y*8+x` = `gray(x, y) > gray(x+1, y)`. A payload already at
+    * 9x8 single-band (the [[syntheticGrayPngs]] shape, or pre-resized
+    * thumbnails) reads raster samples DIRECTLY — no resample, no color
+    * conversion, so the bits are a pure function of the stored samples
+    * (the oracle-replayable path); anything else goes through the
+    * bilinear gray downscale (spec-verified). Undecodable/null payloads
+    * fall back to a deterministic stub hash (the [[byteFold]] remixed
+    * through the [[extractFeatures]] LCG) with `decoded = false`, so
+    * downstream banding stays total.
+    *
+    * Output `(id, phash: long, decoded: boolean)` — one narrow map; feed
+    * [[Dedup.hammingCandidates]] for banded near-dup pairs.
+    */
+  def imageDHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      .filter(col("__id").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        def stub(payload: Array[Byte]): Long = {
+          val h = if (payload == null) byteFold(Array.emptyByteArray)
+            else byteFold(payload)
+          h * 2862933555777941757L + 3037000493L
+        }
+        def bitsOf(gray: (Int, Int) => Int): Long = {
+          var sig = 0L
+          var y = 0
+          while (y < DHashH) {
+            var x = 0
+            while (x < DHashW - 1) {
+              if (gray(x, y) > gray(x + 1, y)) sig |= 1L << (y * (DHashW - 1) + x)
+              x += 1
+            }
+            y += 1
+          }
+          sig
+        }
+        rows.map { case (id, payload) =>
+          val headerPixels: Long = if (payload == null) 0L else
+            decodePng(payload).orElse(decodeJpeg(payload))
+              .orElse(decodeGif(payload)).orElse(decodeBmp(payload))
+              .map(r => r.getInt(0).toLong * r.getInt(1)).getOrElse(0L)
+          if (payload == null || headerPixels > MaxDecodePixels)
+            (id, stub(payload), false)
+          else {
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+              if (img == null) (id, stub(payload), false)
+              else if (img.getWidth == DHashW && img.getHeight == DHashH &&
+                  img.getRaster.getNumBands == 1) {
+                val r = img.getRaster
+                (id, bitsOf((x, y) => r.getSample(x, y, 0)), true)
+              } else {
+                val out = new java.awt.image.BufferedImage(DHashW, DHashH,
+                  java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                val g = out.createGraphics()
+                try {
+                  g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, DHashW, DHashH, null)
+                } finally g.dispose()
+                val r = out.getRaster
+                (id, bitsOf((x, y) => r.getSample(x, y, 0)), true)
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => (id, stub(payload), false)
+            }
+          }
+        }
+      }
+      .toDF("id", "phash", "decoded")
+  }
+
   /** Deterministic frame sampling plan for a (stub) video payload: every
     * `stride`-th frame index under `maxFrames` — the Spark-side shape of a
     * frame-extraction fan-out (`explode` of the frame plan). Frameless

@@ -1692,7 +1692,32 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(qualityClassifierOracleSql(hashDim = 64, rounds = 80, lr = 4.0,
-        maxSample = 2000)))
+        maxSample = 2000))),
+
+    // perceptual image near-dup (LAION-style multimodal dedup): REAL
+    // PNG payloads (ImageIO encode, one per doc, near-duplicate within a
+    // content family) -> REAL ImageIO decode -> 64-bit dHash over the
+    // raster samples -> the shared 4x16-bit hamming banding
+    // (Dedup.hammingCandidates) -> pairs at hamming <= 3 (the pigeonhole
+    // completeness bound). Because the synthetic pixels are md5
+    // arithmetic and PNG gray8 is lossless, the ORACLE replays the whole
+    // decode->dHash->band pipeline analytically — the real pixel
+    // round-trip is inside the hash-checked surface (an encode/decode
+    // regression flips bits and goes red). Plan shape at scale: two
+    // narrow maps (payload synthesis, decode+hash), ONE keyed exchange
+    // for the band buckets — never an all-pairs join over assets.
+    QueryDef("q_image_neardup",
+      (s, dir) => {
+        import graft.operators.{Dedup, Multimodal}
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val imgs = Multimodal.syntheticGrayPngs(fam, "doc_id", "family")
+        val hashed = Multimodal.imageDHash(imgs, "id", "payload")
+        Dedup.hammingCandidates(hashed.filter(col("decoded")), "id", "phash")
+          .filter(col("hamming") <= 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(imageNearDupOracleSql()))
   )
 
   /** Fixed deterministic query vector for similarity search (unit-ish,
@@ -2102,6 +2127,28 @@ object PipelineQueries {
     b ++= "ecorp AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE NOT list_contains(list_transform(CAST(embedding AS DOUBLE[]), x -> isnan(x)), true)), "
     b ++= "cell AS MATERIALIZED (SELECT vec_id, ev, c AS cell FROM (SELECT e.vec_id, e.ev, cc.c, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_inner_product(cc.v, e.ev) DESC, cc.c DESC) AS rn FROM ecorp e CROSS JOIN cnorm cc) WHERE rn = 1)"
     b.toString
+  }
+
+  /** q_image_neardup replay: the REAL-pixel perceptual-hash pipeline,
+    * replayed analytically. The images are real PNGs (ImageIO encode)
+    * whose gray samples are md5 arithmetic
+    * ([[graft.operators.Multimodal.syntheticGrayPngs]]'s contract:
+    * base = first md5 byte of "family:pos" % 200, perturb = first md5
+    * byte of "id#pos" % 2), and PNG gray8 is LOSSLESS — so the oracle
+    * rebuilds the decoded samples as SQL, derives the 64 dHash
+    * gradient-sign bits, packs them into the 4x16-bit chunks the banding
+    * uses, and replays the shared bounded-pairs + XOR-popcount hamming
+    * pipeline (the simhashMd5OracleSql geometry). If ImageIO's
+    * encode/decode round-trip ever perturbed a sample, the Spark bits
+    * would diverge from this replay and the row would go red — the
+    * real decode path is INSIDE the oracle, not beside it.
+    */
+  private def imageNearDupOracleSql(maxBucket: Int = 64): String = {
+    def chunk(b: Int): String =
+      s"SUM(CASE WHEN i // 16 = $b THEN bit * (1 << (i % 16)) ELSE 0 END)"
+    s"""WITH fam AS (SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), px AS (SELECT doc_id, pos, CAST(('0x' || substring(md5(family || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 2 AS p FROM fam CROSS JOIN range(0, 72) r(pos)), bits AS (SELECT a.doc_id, CAST((a.pos // 9) * 8 + (a.pos % 9) AS INT) AS i, CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 WHERE a.pos % 9 < 8), sig AS (SELECT doc_id, ${chunk(0)} AS c0, ${chunk(1)} AS c1, ${chunk(2)} AS c2, ${chunk(3)} AS c3 FROM bits GROUP BY doc_id), banded AS (SELECT doc_id AS id, b, CASE b WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS bucket FROM sig CROSS JOIN range(0, 4) t(b))""" +
+      minhashMd5CandsSql(maxBucket) +
+      s""", verified AS (SELECT id_a, id_b, bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1)) + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) AS hamming FROM cands JOIN sig sa ON sa.doc_id = cands.id_a JOIN sig sb ON sb.doc_id = cands.id_b) SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 3 ORDER BY id_a, id_b"""
   }
 
   /** q_quality_classifier replay: the trained-model-replay technique

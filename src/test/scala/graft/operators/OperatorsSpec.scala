@@ -1904,4 +1904,66 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(totalPairs >= 50, s"fuzz vacuous: only $totalPairs pairs total")
   }
+
+  test("image dHash: real PNG round-trip matches the analytic bits; " +
+      "family near-dups band together; garbage quarantines to the stub") {
+    val fams = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (10L, "gamma delta"), (11L, "gamma delta"))
+    val df = fams.toDF("id", "family")
+    val imgs = Multimodal.syntheticGrayPngs(df, "id", "family")
+    val hashed = Multimodal.imageDHash(imgs, "id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(hashed.values.forall(_._2), "every synthetic PNG must decode")
+    // driver replay of the documented pixel/bit contract
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def b0(s: String): Int = { md.reset(); md.digest(s.getBytes("UTF-8"))(0) & 0xff }
+    def expected(id: Long, family: String): Long = {
+      val px = (0 until 72).map(p => b0(s"$family:$p") % 200 + b0(s"$id#$p") % 2)
+      var sig = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (px(y * 9 + x) > px(y * 9 + x + 1)) sig |= 1L << (y * 8 + x)
+      sig
+    }
+    fams.foreach { case (id, fam) =>
+      assert(hashed(id)._1 == expected(id, fam),
+        s"dHash of $id diverged from the analytic replay — the ImageIO " +
+          "gray8 PNG round-trip is no longer lossless")
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashed(1L)._1, hashed(2L)._1) <= 6,
+      "same-family images must be a few bits apart")
+    assert(ham(hashed(1L)._1, hashed(10L)._1) > 10,
+      "cross-family images must be far apart")
+    // banding finds the within-family pairs, nothing cross-family
+    val pairs = Dedup.hammingCandidates(
+      Multimodal.imageDHash(imgs, "id", "payload").filter($"decoded"),
+      "id", "phash")
+      .filter($"hamming" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => (a < 10L) == (b < 10L) },
+      s"cross-family pair at hamming <= 3: $pairs")
+    // a payload nothing decodes: deterministic stub hash, decoded=false
+    val garbage = Seq((5L, "not an image at all".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val g1 = Multimodal.imageDHash(garbage, "id", "payload").collect()(0)
+    val g2 = Multimodal.imageDHash(garbage, "id", "payload").collect()(0)
+    assert(!g1.getBoolean(2) && g1.getLong(1) == g2.getLong(1))
+    // a real but non-9x8, non-gray image exercises the resample branch:
+    // decodes (decoded=true) and is deterministic across runs
+    val png1x1 = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val rgba = Seq((9L, png1x1)).toDF("id", "payload")
+    val r1 = Multimodal.imageDHash(rgba, "id", "payload").collect()(0)
+    val r2 = Multimodal.imageDHash(rgba, "id", "payload").collect()(0)
+    assert(r1.getBoolean(2), "a real RGBA PNG must take the decode branch")
+    assert(r1.getLong(1) == r2.getLong(1), "resample-branch hash must be deterministic")
+    // plan gate: banding must never build an all-pairs join over assets
+    val plan = Dedup.hammingCandidates(
+      Multimodal.imageDHash(imgs, "id", "payload").filter($"decoded"),
+      "id", "phash").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"image near-dup banding degraded to all-pairs:\n$plan")
+  }
 }

@@ -128,6 +128,36 @@ object Differential {
             jaccardBound)
           .as("pair_jaccard_ok"))
 
+  /** One-row cross-mode signature-consistency contract (simhash family):
+    * over the TWIN's (oracle-verified) near-dup pairs, the PRODUCTION
+    * signatures' hamming distance must be small for at least half the
+    * pairs — `count(hamming <= maxHamming) * 2 >= count(*)`, a median
+    * law. Both hash families' bit flips count the same differing tokens,
+    * so a healthy production kernel puts the twin's pairs at single-digit
+    * hamming (r14 sweep across 3 SFs x 4 subsamples: p50 = 0..4
+    * everywhere, bench/diffprobe_simhash_r14.txt), while a degraded
+    * kernel randomizes them to ~32. This is the SENSITIVE kernel law the
+    * pair-set jaccard cannot be: output-set agreement legitimately decays
+    * with corpus size (the same sweep measured healthy jaccard 0.19-0.25
+    * at sf0.1), and a kernel that silently LOSES near-dup pairs keeps
+    * jaccard high (the surviving overlap is the exact-dup core) — but it
+    * cannot keep oracle-verified near-pairs close in signature space.
+    * The median (not max) keeps the law robust to the tail the sweep
+    * also measured (borderline pairs legitimately reach hamming ~24).
+    * Vacuously true on an empty twin. `sigs` must be `(id, sig: long)`.
+    */
+  def sigMedianAgreement(twinPairs: DataFrame, sigs: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val p = twinPairs.select("id_a", "id_b").distinct()
+    p.join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .select(bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("__h"))
+      .agg(count(lit(1)).as("__n"),
+        count_if(col("__h") <= maxHamming).as("__ok"))
+      .select((col("__n") === 0 || col("__ok") * 2 >= col("__n"))
+        .as("twin_sig_agreement_ok"))
+  }
+
   /** raw agreement stats (not a certificate): measured values behind the
     * pinned bounds, for bound selection and diagnostics (tools.DiffProbe) */
   private[graft] def pairStats(docs: DataFrame, idCol: String,

@@ -1451,26 +1451,41 @@ object PipelineQueries {
     // native SimHash64 kernel, same 4x16 banding + hamming<=3 contract.
     // SimHash's OUTPUT is hash-dependent (the hamming distances live on
     // the signatures themselves), so cross-mode pair agreement is
-    // structurally lower than the minhash family's — DiffProbe measured
-    // jaccard 0.67 (sf0.001) / 0.45 (sf0.01); the certificate bound 0.25
-    // pins gross kernel breakage (which lands at ~0) while the
-    // per-mode hamming<=3 completeness law stays spec-pinned
+    // structurally lower than the minhash family's AND decays with
+    // corpus size — the r14 DiffProbe sweep (3 SFs x 4 deterministic
+    // subsamples, bench/diffprobe_simhash_r14.txt) measured healthy
+    // jaccard 0.67/0.60 (sf0.001), 0.33-0.50 (sf0.01), 0.19-0.30
+    // (sf0.1). The jaccard bound is therefore pinned BELOW the worst
+    // healthy reading (0.1892) as a gross-divergence tripwire only; the
+    // SENSITIVE kernel law is the twin_sig_agreement certificate term
+    // (Differential.sigMedianAgreement): the twin's oracle-verified
+    // pairs must sit at small PRODUCTION-signature hamming (sweep p50 =
+    // 0..4 everywhere; a degraded kernel randomizes them to ~32; bound
+    // 10 = 2.5x the worst healthy median). A kernel that silently LOSES
+    // pairs keeps jaccard high but cannot pass the recall + signature
+    // laws together.
     QueryDef("q_dedup_simhash_xx",
       (s, dir) => {
         Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text")
           .filter(col("hamming") <= 3)
           .orderBy("id_a", "id_b")
       },
-      Some(pairCertOracleSql(simhashMd5OracleSql())),
+      Some(pairCertOracleSql(simhashMd5OracleSql(),
+        extraBoolCols = Seq("twin_sig_agreement_ok"))),
       verifyFn = Some((s, dir) => {
         val docs = Tables.documents(s, dir)
+        val twin = Dedup.simhashCandidatesMd5(docs, "doc_id", "text")
+          .filter(col("hamming") <= 3)
+        val sigsXx = docs.select(col("doc_id").as("id"),
+          Dedup.simhash(col("text")).as("sig"))
         Differential.pairCertificate(docs, "doc_id", "text",
           Dedup.simhashCandidates(docs, "doc_id", "text")
             .filter(col("hamming") <= 3),
-          Dedup.simhashCandidatesMd5(docs, "doc_id", "text")
-            .filter(col("hamming") <= 3),
+          twin,
           jaccardBound = diffSimhashJaccardBound,
           recallBound = diffRecallBound)
+          .crossJoin(Differential.sigMedianAgreement(twin, sigsXx,
+            maxHamming = diffSimhashSigMedianBound))
       })),
 
     // n-gram Jaccard near-dup pairs (exact verify over LSH candidates),
@@ -1882,15 +1897,24 @@ object PipelineQueries {
   /** Differential-certificate bounds (queries/Differential.scala). Pinned
     * from tools.DiffProbe measurements: the minhash / embed / stream
     * families agree with their md5 twins at pair-set Jaccard 1.0 at every
-    * SF (0.9 leaves noise margin; kernel breakage lands at ~0); SimHash's
-    * hash-dependent output measures 0.45-0.67, bound 0.25 at the QueryDef.
-    * Exact-dup recall bound 0.9; ground truth counts only
+    * SF (0.9 leaves noise margin; kernel breakage lands at ~0). SimHash's
+    * hash-dependent output agreement DECAYS with corpus size — the r14
+    * sweep (3 SFs x 4 deterministic subsamples,
+    * bench/diffprobe_simhash_r14.txt) measured healthy jaccard 0.67 down
+    * to 0.1892 (sf0.1, doc_id%3==2) — so its jaccard bound sits below
+    * the worst healthy reading as a gross-divergence tripwire (0.15;
+    * breakage that emits WRONG pairs lands at ~0), and the sensitive
+    * kernel law is the signature-median term: the twin's pairs at
+    * production-signature hamming p50 0..4 measured, bound 10
+    * ([[Differential.sigMedianAgreement]]; a degraded kernel randomizes
+    * to ~32). Exact-dup recall bound 0.9; ground truth counts only
     * structurally-catchable pairs (a per-certificate token floor — see
     * Differential's scaladoc). The sf0.01 verify corpus currently has
     * zero identical texts (sf0.1 has 8 pairs, all >= 11 tokens, so the
     * contract is live and satisfiable there). */
   private def diffJaccardBound: Double = 0.9
-  private def diffSimhashJaccardBound: Double = 0.25
+  private def diffSimhashJaccardBound: Double = 0.15
+  private def diffSimhashSigMedianBound: Int = 10
   private def diffRecallBound: Double = 0.9
 
   /** the certificate ground truth's structural token floor, mirrored in
@@ -1904,13 +1928,15 @@ object PipelineQueries {
     * structurally-catchable token floor — see Differential's scaladoc),
     * pin the two agreement contracts TRUE (the q_sketch_distinct
     * sketch-then-verify pattern). */
-  private def pairCertOracleSql(twinSql: String, minTokens: Int = 1): String =
+  private def pairCertOracleSql(twinSql: String, minTokens: Int = 1,
+      extraBoolCols: Seq[String] = Nil): String =
     s"SELECT (SELECT COUNT(*) FROM ($twinSql)) AS n_twin, " +
       "(SELECT COUNT(*) FROM documents d1 JOIN documents d2 " +
       "ON COALESCE(d1.text, '') = COALESCE(d2.text, '') " +
       s"AND d1.doc_id < d2.doc_id WHERE ${certDupFloorSql(minTokens)}) " +
       "AS n_exact_dup_pairs, " +
-      "TRUE AS exact_dup_recall_ok, TRUE AS pair_jaccard_ok"
+      "TRUE AS exact_dup_recall_ok, TRUE AS pair_jaccard_ok" +
+      extraBoolCols.map(c => s", TRUE AS $c").mkString
 
   /** DuckDB side of [[Differential.docCertificate]] (doc-level: a doc
     * with an earlier identical twin must be flagged as some duplicate). */

@@ -13,7 +13,81 @@ import graft.queries.{Differential, Tables}
   *   sbt "runMain graft.tools.DiffProbe /root/testdata/sf0.01"
   */
 object DiffProbe {
+
+  /** `sweep` mode: the simhash xx-vs-md5 pair-set jaccard measured over
+    * every SF dir x deterministic subsample (full corpus plus the three
+    * doc_id % 3 residue classes — "seeds" without an RNG: each residue
+    * is an independent-ish sub-corpus with its own borderline pairs).
+    * The MINIMUM over this grid is the measurement a pinned certificate
+    * bound must trace to (bound = floor(min) - margin); run before any
+    * re-pin and commit the output (bench/diffprobe_simhash_r*.txt).
+    */
+  def simhashSweep(spark: SparkSession, dirs: Seq[String]): Unit = {
+    for (dir <- dirs) {
+      val docs = Tables.documents(spark, dir)
+      val subs: Seq[(String, org.apache.spark.sql.DataFrame)] =
+        ("full" -> docs) +: (0 until 3).map(r =>
+          s"doc_id%3==$r" -> docs.filter(col("doc_id") % 3 === r))
+      for ((name, sub) <- subs) {
+        val row = Differential.pairStats(sub, "doc_id", "text",
+          Dedup.simhashCandidates(sub, "doc_id", "text")
+            .filter(col("hamming") <= 3),
+          Dedup.simhashCandidatesMd5(sub, "doc_id", "text")
+            .filter(col("hamming") <= 3)).collect().head
+        println(f"simhash $dir%-28s $name%-12s n_xx=${row.getAs[Long]("n_xx")}%5d " +
+          f"n_twin=${row.getAs[Long]("n_twin")}%5d n_both=${row.getAs[Long]("n_both")}%5d " +
+          f"jaccard=${row.getAs[Double]("jaccard")}%.4f")
+        // cross-mode signature consistency: for each mode's pairs, the
+        // OTHER mode's signature hamming — pairs near the <= 3 cutoff in
+        // one hash family must be near it in the other (both famillies'
+        // bit flips count the same differing tokens), so the quantiles
+        // here are the measurement behind a crossHammingBound contract
+        val sigXx = sub.select(col("doc_id"),
+          Dedup.simhash(col("text")).as("sig"))
+        val sigMd5 = sub.select(col("doc_id"),
+          Dedup.simhashFromHashes(org.apache.spark.sql.functions.transform(
+            split(trim(lower(coalesce(col("text"), lit("")))), "\\s+"),
+            t => graft.functions.Md5Hashes.md5Hash64(t))).as("sig"))
+        def crossHam(pairs: org.apache.spark.sql.DataFrame,
+            sigs: org.apache.spark.sql.DataFrame): Array[Int] =
+          pairs.select("id_a", "id_b")
+            .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+            .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+            .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("h"))
+            .collect().map(_.getInt(0)).sorted
+        def stats(h: Array[Int]): String =
+          if (h.isEmpty) "n=0"
+          else f"n=${h.length} p50=${h(h.length / 2)} p90=${h((h.length * 9) / 10)} max=${h.last}"
+        val mdPairs = Dedup.simhashCandidatesMd5(sub, "doc_id", "text")
+          .filter(col("hamming") <= 3)
+        val xxPairs = Dedup.simhashCandidates(sub, "doc_id", "text")
+          .filter(col("hamming") <= 3)
+        println(s"  md5-pairs under XX sigs:  ${stats(crossHam(mdPairs, sigXx))}")
+        println(s"  xx-pairs under MD5 sigs:  ${stats(crossHam(xxPairs, sigMd5))}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("sweep")) {
+      val dirs =
+        if (args.length > 1) args.drop(1).toSeq
+        else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+          "/root/testdata/sf0.1")
+      val spark = SparkSession.builder()
+        .master("local[16]")
+        .config("spark.sql.shuffle.partitions", 16)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // the engine posture (Verify/Bench): a 0/0 jaccard on a tiny
+        // subsample must read NULL, not kill the sweep
+        .config("spark.sql.ansi.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      simhashSweep(spark, dirs)
+      spark.stop()
+      return
+    }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[8]")

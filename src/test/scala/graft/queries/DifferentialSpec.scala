@@ -116,7 +116,45 @@ class DifferentialSpec extends AnyFunSuite {
     val shJ = sh.getAs[Double]("jaccard")
     assert(sh.getAs[Long]("n_twin") > 0, "vacuous: twin found no pairs")
     assert(shJ >= 0.4, s"simhash xx-vs-md5 agreement eroded: $shJ " +
-      "(bound 0.25 pinned against measured 0.67)")
+      "(tripwire bound 0.15 pinned against the r14 sweep's worst healthy " +
+      "0.1892 at sf0.1; sf0.001 measured 0.67)")
+    // the sensitive kernel law: twin pairs at production-signature
+    // hamming p50 <= 4 measured (bench/diffprobe_simhash_r14.txt) —
+    // the bound-10 median contract must hold with margin here
+    val twin = graft.operators.Dedup.simhashCandidatesMd5(docs, "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("hamming") <= 3)
+    val sigsXx = docs.select(
+      org.apache.spark.sql.functions.col("doc_id").as("id"),
+      graft.operators.Dedup.simhash(
+        org.apache.spark.sql.functions.col("text")).as("sig"))
+    val agree = Differential.sigMedianAgreement(twin, sigsXx, maxHamming = 4)
+      .collect().head
+    assert(agree.getBoolean(0),
+      "twin pairs no longer sit at small production-signature hamming " +
+        "even at HALF the pinned bound (10) — kernel drift")
+  }
+
+  test("sigMedianAgreement discriminates: healthy sigs pass, corrupted " +
+      "sigs flip, empty twin is vacuous") {
+    import org.apache.spark.sql.functions._
+    val twin = pairs((1L, 2L), (3L, 4L))
+    // healthy: identical signatures per pair -> hamming 0 -> true
+    val good = Seq((1L, 5L), (2L, 5L), (3L, 9L), (4L, 9L)).toDF("id", "sig")
+    assert(Differential.sigMedianAgreement(twin, good, maxHamming = 10)
+      .collect().head.getBoolean(0))
+    // corrupted kernel: per-doc pseudo-random signatures -> hamming ~32
+    val bad = Seq((1L, 5L), (2L, -6148914691236517206L), // 0x5555.. vs ~0xAAAA..
+      (3L, 0L), (4L, -1L)).toDF("id", "sig")
+    assert(!Differential.sigMedianAgreement(twin, bad, maxHamming = 10)
+      .collect().head.getBoolean(0),
+      "randomized signatures must flip twin_sig_agreement_ok")
+    // exactly half within bound satisfies the median law (>= half rule)
+    val half = Seq((1L, 5L), (2L, 5L), (3L, 0L), (4L, -1L)).toDF("id", "sig")
+    assert(Differential.sigMedianAgreement(twin, half, maxHamming = 10)
+      .collect().head.getBoolean(0))
+    // vacuous on an empty twin
+    assert(Differential.sigMedianAgreement(pairs(), good, maxHamming = 10)
+      .collect().head.getBoolean(0))
   }
 
   test("docCertificate: doc-level recall — the later twin must be flagged " +

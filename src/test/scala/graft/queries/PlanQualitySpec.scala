@@ -233,20 +233,24 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally scope.release()
   }
 
-  test("differential certificates: the only joins are the 5-way scalar " +
+  test("differential certificates: the only joins are the scalar " +
       "assembly of one-row aggregates") {
-    // the q_*_xx correctness rows assemble five global (no-group-key)
+    // the q_*_xx correctness rows assemble global (no-group-key)
     // aggregates with crossJoins — each side is ONE row by construction,
     // so the nested-loop joins and single-partition finals PlanAudit
-    // flags on them are structurally benign. This pins that shape: more
-    // than 4 NL joins (or any cartesian over data) means a refactor
-    // introduced a real join into a certificate
-    Seq("q_dedup_minhash_xx", "q_dedup_simhash_xx", "q_embed_neardup_xx",
-      "q_stream_neardup_xx").foreach { q =>
+    // flags on them are structurally benign. This pins that shape per
+    // certificate: the 5-way count assembly (4 NL joins), plus — for the
+    // simhash row — the r14 twin_sig_agreement term (one more one-row
+    // crossJoin). More NL joins than the declared assembly (or any
+    // cartesian over data) means a refactor introduced a real join
+    Seq("q_dedup_minhash_xx" -> 4, "q_dedup_simhash_xx" -> 5,
+      "q_embed_neardup_xx" -> 4, "q_stream_neardup_xx" -> 4)
+      .foreach { case (q, maxNl) =>
       val df = graft.SparkEntry.queries(q)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
       val nl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-      assert(nl <= 4, s"$q: $nl nested-loop joins — scalar assembly is at most 4")
+      assert(nl <= maxNl,
+        s"$q: $nl nested-loop joins — scalar assembly is at most $maxNl")
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(df.count() == 1, s"$q certificate must be exactly one row")
     }

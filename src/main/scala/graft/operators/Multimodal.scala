@@ -349,10 +349,40 @@ object Multimodal {
     * rows); the per-partition block disables its temp-file cache — a
     * disk write per image is pure overhead at corpus scale.
     */
-  /** pixel-decode ceiling for [[resampleImages]]' bomb pre-screen
-    * (~64 MP ≈ 256 MB ARGB raster — generous for real corpus assets,
-    * small enough that one hostile header cannot OOM an executor) */
+  /** pixel-decode ceiling for the bomb pre-screens ([[resampleImages]],
+    * [[imageDHash]]) (~64 MP ≈ 256 MB ARGB raster — generous for real
+    * corpus assets, small enough that one hostile header cannot OOM an
+    * executor) */
   private val MaxDecodePixels = 64L * 1000 * 1000
+
+  /** Declared header pixel count via ImageIO's own reader WITHOUT any
+    * pixel decode (`reader.getWidth/getHeight(0)` parse headers only) —
+    * format-agnostic: covers EVERY format the subsequent `ImageIO.read`
+    * could decode (TIFF on JDK 9+, WBMP, …), where the four hand-written
+    * header parsers cover only PNG/JPEG/GIF/BMP and would let other
+    * formats bypass the [[MaxDecodePixels]] screen. Returns 0 when no
+    * installed reader claims the payload (then `ImageIO.read` returns
+    * null too) or the header itself is malformed (the read will fail the
+    * same way and quarantine).
+    */
+  private[operators] def imageIoHeaderPixels(payload: Array[Byte]): Long = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    if (in == null) return 0L
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) 0L
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in, true, true)
+          r.getWidth(0).toLong * r.getHeight(0)
+        } finally r.dispose()
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => 0L
+    } finally in.close()
+  }
 
   def resampleImages(df: DataFrame, idCol: String, payloadCol: String,
       maxW: Int, maxH: Int): DataFrame = {
@@ -385,13 +415,16 @@ object Multimodal {
           }
           // decompression-bomb pre-screen: a few-hundred-byte payload can
           // declare absurd header dimensions that make the pixel decode
-          // allocate gigabytes — reject via the cheap header parse BEFORE
-          // ImageIO ever sees the bytes (headerless formats skip the
-          // screen, but every format ImageIO handles here has a parser)
+          // allocate gigabytes — reject via header-only parses BEFORE the
+          // pixel decode. Two screens: the hand-written PNG/JPEG/GIF/BMP
+          // parsers, plus ImageIO's own header read (format-agnostic —
+          // covers TIFF/WBMP/any other installed reader the hand parsers
+          // don't, so no decodable format bypasses the ceiling)
           val headerPixels: Long = if (payload == null) 0L else
             decodePng(payload).orElse(decodeJpeg(payload))
               .orElse(decodeGif(payload)).orElse(decodeBmp(payload))
-              .map(r => r.getInt(0).toLong * r.getInt(1)) .getOrElse(0L)
+              .map(r => r.getInt(0).toLong * r.getInt(1))
+              .getOrElse(imageIoHeaderPixels(payload))
           if (headerPixels > MaxDecodePixels) geometryOnly
           else {
             // the WHOLE per-row resample is the quarantine scope — a
@@ -588,10 +621,13 @@ object Multimodal {
           sig
         }
         rows.map { case (id, payload) =>
+          // same two-tier bomb pre-screen as resampleImages: hand parsers
+          // first, ImageIO header read for every other decodable format
           val headerPixels: Long = if (payload == null) 0L else
             decodePng(payload).orElse(decodeJpeg(payload))
               .orElse(decodeGif(payload)).orElse(decodeBmp(payload))
-              .map(r => r.getInt(0).toLong * r.getInt(1)).getOrElse(0L)
+              .map(r => r.getInt(0).toLong * r.getInt(1))
+              .getOrElse(imageIoHeaderPixels(payload))
           if (payload == null || headerPixels > MaxDecodePixels)
             (id, stub(payload), false)
           else {

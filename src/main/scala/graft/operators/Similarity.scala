@@ -152,13 +152,14 @@ object Similarity {
     * `maxQueryRows` ENFORCES the broadcast contract instead of assuming
     * it: the compute is |C|·|Q| dots, so a caller handing a corpus-sized
     * query set would silently go quadratic AND ship a multi-GB broadcast
-    * to every executor. Construction runs one bounded probe job
-    * (`limit(max + 1).count()` — short-circuits, never scans a huge query
-    * side) and fails fast past the cap with a pointer to [[knnJoinIvf]]
-    * (cell-pruned, built for large query sets; auto-routing is not done
-    * here because IVF needs trained centroids the caller must supply).
-    * Raise the cap explicitly only when the executors' memory budget is
-    * known to fit |Q|·dim·8 bytes.
+    * to every executor. The guard is DEFERRED to execution (construction
+    * stays job-free — the codebase's plan-composition convention): a
+    * one-row count of the query side rides inside the broadcast build
+    * and `raise_error`s the job before any |C|·|Q| work starts, with a
+    * pointer to [[knnJoinIvf]] (cell-pruned, built for large query sets;
+    * auto-routing is not done here because IVF needs trained centroids
+    * the caller must supply). Raise the cap explicitly only when the
+    * executors' memory budget is known to fit |Q|·dim·8 bytes.
     *
     * Output: (qidCol, rank, neighbor_id, score), rank 1 = best,
     * deterministic (score ties to the lowest neighbor id).
@@ -167,27 +168,44 @@ object Similarity {
       corpus: DataFrame, cidCol: String, cvecCol: String, k: Int,
       maxQueryRows: Long = 100000L): DataFrame = {
     require(maxQueryRows > 0, s"maxQueryRows must be positive, got $maxQueryRows")
-    val probed = queries.select(qidCol).limit(
-      (maxQueryRows + 1).min(Int.MaxValue).toInt).count()
-    require(probed <= maxQueryRows,
-      s"knnJoin broadcasts the query side against every corpus partition " +
-        s"(compute is |corpus| x |queries| dots): query set exceeds " +
-        s"maxQueryRows = $maxQueryRows. Use knnJoinIvf (cell-pruned) for " +
-        "large query sets, or raise maxQueryRows if the broadcast is " +
-        "genuinely affordable.")
+    // execution-time broadcast-contract guard: ONE row carrying the query
+    // count, crossed into the broadcast side (a scalar 1 x |Q| join —
+    // the certRow posture, never a data cartesian). Counting shares the
+    // scan the broadcast build performs anyway; over the cap the
+    // otherwise-branch raises before any corpus work is scheduled.
+    // the message is a LITERAL: a dynamic `concat(.., __qcount, ..)`
+    // message evaluated to null under this plan shape (the attribute
+    // reference inside raise_error's map-parameter did not survive the
+    // broadcast-side evaluation) — a literal cannot null out, and the
+    // cap value is what the caller needs to act
+    val guard = queries
+      .agg(count(lit(1)).as("__qcount"))
+      .select(when(col("__qcount") <= maxQueryRows, lit(1.0d))
+        .otherwise(raise_error(lit(
+          "knnJoin broadcasts the query side against every corpus " +
+            "partition (compute is |corpus| x |queries| dots): query set " +
+            s"exceeds maxQueryRows = $maxQueryRows. Use knnJoinIvf " +
+            "(cell-pruned) for large query sets, or raise maxQueryRows " +
+            "if the broadcast is genuinely affordable.")).cast("double"))
+        .as("__guard"))
     // norms hoisted per side (query norms once in the broadcast, corpus
     // norms once per scanned row) — the score stays the exact expression
     // dot / (norm_c * norm_q) on the same doubles, one dot per scored
     // pair instead of three
     val q = broadcast(queries.select(
-      col(qidCol).as("__qid"), col(qvecCol).as("__qvec"),
-      norm(col(qvecCol)).as("__qn")))
+        col(qidCol).as("__qid"), col(qvecCol).as("__qvec"),
+        norm(col(qvecCol)).as("__qn"))
+      .crossJoin(guard))
     val scored = corpus
       .select(col(cidCol).as("__cid"), col(cvecCol).as("__cvec"),
         norm(col(cvecCol)).as("__cn"))
       .crossJoin(q)
+      // x * __guard (always 1.0 when in contract) is a bit-exact identity
+      // on every double, so the score matches the unguarded expression —
+      // and CONSUMING the guard here is what keeps column pruning from
+      // deleting the raise_error branch as dead code
       .select(col("__qid"), (dot(col("__cvec"), col("__qvec")) /
-        (col("__cn") * col("__qn"))).as("__sim"), col("__cid"))
+        (col("__cn") * col("__qn")) * col("__guard")).as("__sim"), col("__cid"))
     expandTopK(scored.groupBy("__qid")
       .agg(graft.functions.Aggregators.topKPairs(
         col("__sim"), col("__cid"), k).as("__nn")), qidCol)

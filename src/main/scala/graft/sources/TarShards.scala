@@ -69,9 +69,18 @@ object TarShards {
           // a spec-conformant ustar header splits paths over 100 chars
           // into prefix(345,155) + name(0,100) — ignoring the prefix
           // would silently return truncated member names (wrong sample
-          // keys) for long paths
+          // keys) for long paths. The prefix field is only meaningful
+          // under the POSIX magic (bytes 257-262 "ustar\0", version
+          // "00"): old-GNU-format tars (magic "ustar  ") store
+          // atime/ctime at offsets 345/357, which would otherwise be
+          // misread as a path prefix and corrupt member names for
+          // externally-produced shards
           val base = str(0, 100)
-          val prefix = str(345, 155)
+          val posixUstar = header(257) == 'u' && header(258) == 's' &&
+            header(259) == 't' && header(260) == 'a' &&
+            header(261) == 'r' && header(262) == 0 &&
+            header(263) == '0' && header(264) == '0'
+          val prefix = if (posixUstar) str(345, 155) else ""
           val name = if (prefix.isEmpty) base else prefix + "/" + base
           val size = octal(124, 12)
           val typeFlag = header(156).toChar

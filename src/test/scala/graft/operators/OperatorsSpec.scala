@@ -280,21 +280,27 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("knnJoin enforces its broadcast-query contract: over-cap query " +
-      "sets fail fast with a pointer to the IVF route") {
+      "sets fail at execution with a pointer to the IVF route; " +
+      "construction stays job-free") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     // at the cap: fine
     val ok = Similarity.knnJoin(emb.filter($"vec_id" < 4), "vec_id", "v",
       emb, "vec_id", "v", k = 2, maxQueryRows = 4L)
     assert(ok.count() > 0)
-    // one past the cap: the guard fires BEFORE any quadratic work, and
-    // the message routes the caller to knnJoinIvf
-    val e = intercept[IllegalArgumentException] {
-      Similarity.knnJoin(emb.filter($"vec_id" < 5), "vec_id", "v",
-        emb, "vec_id", "v", k = 2, maxQueryRows = 4L)
-    }
-    assert(e.getMessage.contains("knnJoinIvf") &&
-      e.getMessage.contains("maxQueryRows"))
+    // one past the cap: CONSTRUCTION must not throw (and must not run a
+    // probe job — the r14 deferred guard restored the job-free
+    // plan-composition convention); the raise_error guard fires at
+    // EXECUTION, before any |C|x|Q| work, routing the caller to knnJoinIvf
+    val over = Similarity.knnJoin(emb.filter($"vec_id" < 5), "vec_id", "v",
+      emb, "vec_id", "v", k = 2, maxQueryRows = 4L)
+    val e = intercept[Exception] { over.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(e).mkString("\n")
+    assert(all.contains("knnJoinIvf") && all.contains("maxQueryRows"),
+      s"guard did not fire (pruned as dead code?): $all")
   }
 
   test("url parsing: host/path/registered domain incl. ports and bare hosts") {

@@ -80,6 +80,51 @@ class SourcesSpec extends AnyFunSuite {
       "quarantine row must survive sample grouping")
   }
 
+  test("tar: ustar prefix honored only under the POSIX magic — old-GNU " +
+      "atime/ctime bytes at 345 must not corrupt member names") {
+    // one 512-byte header + empty file, with controllable magic/version
+    // and bytes at the prefix offset (345)
+    def tarWith(name: String, magic: String, version: String,
+        at345: String): Array[Byte] = {
+      val h = new Array[Byte](512)
+      def put(s: String, off: Int): Unit =
+        s.getBytes("US-ASCII").zipWithIndex.foreach {
+          case (b, i) => h(off + i) = b
+        }
+      put(name, 0)
+      put("0000644", 100); put("0000000", 108); put("0000000", 116)
+      put("00000000000", 124); put("00000000000", 136)
+      (148 until 156).foreach(i => h(i) = ' '.toByte)
+      h(156) = '0'.toByte
+      put(magic, 257); put(version, 263)
+      put(at345, 345)
+      val sum = h.map(_ & 0xff).sum
+      put(f"$sum%06o", 148); h(154) = 0; h(155) = ' '.toByte
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(h); bos.write(new Array[Byte](1024))
+      bos.toByteArray
+    }
+    val srcDir = new java.io.File(SparkTestSession.tmpPath("tar_magic"))
+    if (srcDir.exists()) srcDir.listFiles().foreach(_.delete())
+    srcDir.mkdirs()
+    def write(fn: String, b: Array[Byte]): Unit = {
+      val f = new java.io.FileOutputStream(new java.io.File(srcDir, fn))
+      try f.write(b) finally f.close()
+    }
+    // old-GNU format: magic "ustar  " (spaces, no version), octal atime
+    // where POSIX puts the prefix — the name must stay "a.txt"
+    write("gnu.tar", tarWith("a.txt", "ustar ", " ", "14200000000"))
+    // POSIX ustar: magic + "00" version, a real path prefix
+    write("posix.tar", tarWith("b.txt", "ustar", "00", "deep/dir"))
+    val got = TarShards.members(spark, srcDir.toString)
+      .filter(col("error").isNull).collect()
+      .map(r => (r.getString(0).split("/").last, r.getString(1))).toMap
+    assert(got("gnu.tar") == "a.txt",
+      s"old-GNU atime bytes misread as a path prefix: ${got("gnu.tar")}")
+    assert(got("posix.tar") == "deep/dir/b.txt",
+      s"POSIX prefix must still join: ${got("posix.tar")}")
+  }
+
   test("writeShards sinks through the Hadoop FS API (explicit file: URI)") {
     import spark.implicits._
     // an explicit scheme-qualified URI proves the writer resolves the

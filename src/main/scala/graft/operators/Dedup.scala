@@ -986,6 +986,17 @@ object Dedup {
       transform(split(trim(lower(coalesce(col(textCol), lit("")))),
         "\\s+"), t => graft.functions.Md5Hashes.md5Hash64(t)), maxBucket)
 
+  /** The md5-mode signature stage alone, `(id, sig)` — the surface the
+    * banding-completeness certificate scans all-pairs over
+    * ([[graft.queries.Differential.bandingCompletenessCertificate]]).
+    * Same token hash + vote kernel as [[simhashCandidatesMd5]].
+    */
+  def simhashSigsMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    widen(df).select(col(idCol).as("id"),
+      simhashFromHashes(transform(
+        split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+"),
+        t => graft.functions.Md5Hashes.md5Hash64(t))).as("sig"))
+
   /** Embedding-cosine near-duplicate pairs via banded random-hyperplane
     * LSH: `tables` independent hash tables of `planesPerTable` sign bits
     * each (recall 1-(1-p^k)^L with p = 1 - theta/pi, the standard

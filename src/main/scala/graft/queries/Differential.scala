@@ -75,17 +75,45 @@ object Differential {
   private def n(df: DataFrame, as: String): DataFrame =
     df.agg(count(lit(1)).as(as))
 
+  /** Certificate-scale input ceiling: the exact-dup ground truth keys
+    * its self-join on RAW CONTENT, which is sound only at verify SF — a
+    * corpus-sized run would shuffle full text as a join key. Enforced in
+    * code (not comments) since r14 via [[scaleGuard]]. */
+  private[graft] val CertMaxRows = 1000000L
+
+  /** Execution-time certificate-scale guard (the knnJoin deferred-guard
+    * posture: construction stays job-free, the raise fires when the
+    * certificate executes). One row, `__certguard = 1L` in contract;
+    * consumed by multiplying into a count (exact identity on longs) so
+    * column pruning cannot delete the check. The message routes the
+    * caller to the content-hash-keyed operators a corpus-scale exact-dup
+    * census must use instead. */
+  private def scaleGuard(in: DataFrame, maxRows: Long,
+      what: String): DataFrame =
+    in.agg(count(lit(1)).as("__n"))
+      .select(when(col("__n") <= maxRows, lit(1L))
+        .otherwise(raise_error(lit(
+          s"$what is certificate-scale only (input cap $maxRows rows): " +
+            "its ground truth self-joins on raw content / scans all " +
+            "signature pairs. For a corpus-scale exact-dup census key on " +
+            "a content hash first (Dedup.exact / Dedup.exactKeepBest)."))
+          .cast("long"))
+        .as("__certguard"))
+
   /** Certificate over PAIR outputs (minhash / simhash / embed pipelines:
     * columns id_a, id_b). */
   def pairCertificate(docs: DataFrame, idCol: String, textCol: String,
       xx: DataFrame, md5: DataFrame,
       jaccardBound: Double, recallBound: Double,
-      minTokens: Int = 1): DataFrame = {
+      minTokens: Int = 1, maxRows: Long = CertMaxRows): DataFrame = {
     val x = xx.select("id_a", "id_b").distinct()
     val m = md5.select("id_a", "id_b").distinct()
     val exact = exactDupPairs(docs, idCol, textCol, minTokens)
     val caught = exact.join(x, Seq("id_a", "id_b"))
-    certRow(n(m, "n_twin"), n(exact, "n_exact_dup_pairs"),
+    val guarded = n(m, "n_twin")
+      .crossJoin(scaleGuard(docs, maxRows, "pairCertificate"))
+      .select((col("n_twin") * col("__certguard")).as("n_twin"))
+    certRow(guarded, n(exact, "n_exact_dup_pairs"),
       n(caught, "__caught"), "n_exact_dup_pairs",
       n(x, "__nx"), n(x.join(m, Seq("id_a", "id_b")), "__nb"),
       jaccardBound, recallBound)
@@ -99,16 +127,49 @@ object Differential {
   def docCertificate(docs: DataFrame, idCol: String, textCol: String,
       xx: DataFrame, md5: DataFrame,
       jaccardBound: Double, recallBound: Double,
-      minTokens: Int = 1): DataFrame = {
+      minTokens: Int = 1, maxRows: Long = CertMaxRows): DataFrame = {
     val x = xx.select("doc_id", "dup_of").distinct()
     val m = md5.select("doc_id", "dup_of").distinct()
     val dupDocs = exactDupDocs(docs, idCol, textCol, minTokens)
     val caught = dupDocs
       .join(x.select(col("doc_id").as("__id")).distinct(), "__id")
-    certRow(n(m, "n_twin"), n(dupDocs, "n_exact_dup_docs"),
+    val guarded = n(m, "n_twin")
+      .crossJoin(scaleGuard(docs, maxRows, "docCertificate"))
+      .select((col("n_twin") * col("__certguard")).as("n_twin"))
+    certRow(guarded, n(dupDocs, "n_exact_dup_docs"),
       n(caught, "__caught"), "n_exact_dup_docs",
       n(x, "__nx"), n(x.join(m, Seq("doc_id", "dup_of")), "__nb"),
       jaccardBound, recallBound)
+  }
+
+  /** One-row banding-completeness certificate: the banded pipeline's
+    * `hamming <= maxHamming` pair set must EQUAL the all-pairs ground
+    * truth over the signatures (the pigeonhole law the 4x16-bit chunk
+    * banding guarantees within the bucket cap — promoted from
+    * spec-level to the oracle surface in r14). `sigs` is `(id, sig)`;
+    * `bandedPairs` the pipeline output (id_a, id_b). The all-pairs scan
+    * is O(n^2) by construction — certificate-scale ONLY, enforced by
+    * the same deferred [[scaleGuard]] (default cap 50k signatures ~
+    * 1.25e9 popcounts). Output: `n_close_pairs` (pinned by the oracle's
+    * own all-pairs recount) + `banding_complete_ok` (oracle asserts
+    * TRUE — a cap-dropped or band-lost pair flips it red).
+    */
+  def bandingCompletenessCertificate(sigs: DataFrame, bandedPairs: DataFrame,
+      maxHamming: Int, maxRows: Long = 50000L): DataFrame = {
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("__sa"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("__sb"))
+    val all = a.join(b, col("id_a") < col("id_b") &&
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))) <= maxHamming)
+      .select("id_a", "id_b")
+    val banded = bandedPairs.select("id_a", "id_b").distinct()
+    n(all, "n_close_pairs")
+      .crossJoin(scaleGuard(sigs, maxRows, "bandingCompletenessCertificate"))
+      .select((col("n_close_pairs") * col("__certguard")).as("n_close_pairs"))
+      .crossJoin(n(banded, "__nb"))
+      .crossJoin(n(banded.join(all, Seq("id_a", "id_b")), "__nm"))
+      .select(col("n_close_pairs"),
+        (col("__nb") === col("n_close_pairs") &&
+          col("__nm") === col("n_close_pairs")).as("banding_complete_ok"))
   }
 
   /** assemble the one-row certificate from single-row aggregates (scalar

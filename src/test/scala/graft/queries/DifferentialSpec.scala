@@ -157,6 +157,48 @@ class DifferentialSpec extends AnyFunSuite {
       .collect().head.getBoolean(0))
   }
 
+  test("certificate-scale guard: an over-cap corpus fails at execution " +
+      "with a route to the content-hash-keyed operators") {
+    import org.apache.spark.sql.functions._
+    val out = pairs((1L, 2L))
+    // within cap: runs
+    assert(Differential.pairCertificate(docs, "doc_id", "text",
+      out, out, jaccardBound = 0.9, recallBound = 0.9,
+      maxRows = 100L).collect().length == 1)
+    // over cap (docs has 6 rows): construction is job-free, execution
+    // raises before shipping a corpus-sized content self-join
+    val over = Differential.pairCertificate(docs, "doc_id", "text",
+      out, out, jaccardBound = 0.9, recallBound = 0.9, maxRows = 3L)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e1 = intercept[Exception] { over.collect() }
+    assert(msgs(e1).mkString.contains("certificate-scale") &&
+      msgs(e1).mkString.contains("content hash"),
+      s"guard missing/unrouted: ${msgs(e1).mkString}")
+    // same guard on the doc-level certificate
+    val overDoc = Differential.docCertificate(docs, "doc_id", "text",
+      hits((2L, 1L)), hits((2L, 1L)),
+      jaccardBound = 0.9, recallBound = 0.9, maxRows = 3L)
+    val e2 = intercept[Exception] { overDoc.collect() }
+    assert(msgs(e2).mkString.contains("certificate-scale"))
+    // and on the O(n^2) banding-completeness scan. Sig values: 5 vs -1
+    // differ in 62 bits (far); equal sigs are the two close pairs.
+    val sigs = Seq((1L, 5L), (2L, 5L), (3L, -1L), (4L, -1L)).toDF("id", "sig")
+    val overBand = Differential.bandingCompletenessCertificate(
+      sigs, pairs((1L, 2L)), maxHamming = 3, maxRows = 2L)
+    val e3 = intercept[Exception] { overBand.collect() }
+    assert(msgs(e3).mkString.contains("certificate-scale"))
+    // within cap the completeness certificate computes: (1,2) and (3,4)
+    // are the only hamming<=3 pairs; handing only (1,2) flips the law
+    val ok = Differential.bandingCompletenessCertificate(
+      sigs, pairs((1L, 2L), (3L, 4L)), maxHamming = 3).collect().head
+    assert(ok.getLong(0) == 2L && ok.getBoolean(1))
+    val incomplete = Differential.bandingCompletenessCertificate(
+      sigs, pairs((1L, 2L)), maxHamming = 3).collect().head
+    assert(!incomplete.getBoolean(1),
+      "a dropped close pair must flip banding_complete_ok")
+  }
+
   test("docCertificate: doc-level recall — the later twin must be flagged " +
       "as SOME duplicate, not necessarily of the identical doc") {
     // docs 2 and 6 have earlier identical twins (1 and 5)

@@ -239,12 +239,13 @@ class PlanQualitySpec extends AnyFunSuite {
     // aggregates with crossJoins — each side is ONE row by construction,
     // so the nested-loop joins and single-partition finals PlanAudit
     // flags on them are structurally benign. This pins that shape per
-    // certificate: the 5-way count assembly (4 NL joins), plus — for the
-    // simhash row — the r14 twin_sig_agreement term (one more one-row
-    // crossJoin). More NL joins than the declared assembly (or any
-    // cartesian over data) means a refactor introduced a real join
-    Seq("q_dedup_minhash_xx" -> 4, "q_dedup_simhash_xx" -> 5,
-      "q_embed_neardup_xx" -> 4, "q_stream_neardup_xx" -> 4)
+    // certificate: the 5-way count assembly (4 NL joins) plus the r14
+    // one-row scale-guard crossJoin, plus — for the simhash row — the
+    // r14 twin_sig_agreement term (one more one-row crossJoin). More NL
+    // joins than the declared assembly (or any cartesian over data)
+    // means a refactor introduced a real join
+    Seq("q_dedup_minhash_xx" -> 5, "q_dedup_simhash_xx" -> 6,
+      "q_embed_neardup_xx" -> 5, "q_stream_neardup_xx" -> 5)
       .foreach { case (q, maxNl) =>
       val df = graft.SparkEntry.queries(q)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -497,6 +498,76 @@ object TextAnalysis {
         col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
           col("r_bullet_ratio") && col("r_ellipsis_ratio") &&
           col("r_alpha_words") && col("r_stopwords"))
+  }
+
+  /** Gopher repetition-removal signals (Rae et al. 2021, §A.1.1 — the
+    * repetition half of the published rule set, complementing
+    * [[gopherRules]]' non-repetition half): per document,
+    *
+    *  - `dup_line_frac` — fraction of (trimmed, non-blank) lines whose
+    *    content occurs more than once in the document;
+    *  - `dup_line_char_frac` — fraction of line characters inside those
+    *    duplicated lines;
+    *  - `top{n}_char_frac` for n in `ns` — characters covered by the
+    *    most frequent word n-gram (`count * length(gram)`, gram
+    *    lowercase with single inner spaces) over `length(text)`; the
+    *    most frequent gram ties deterministically to the
+    *    lexicographically smallest.
+    *
+    * Shape at scale: the line signals are pure per-row column algebra
+    * (O(lines^2) higher-order folds inside codegen, no shuffle); the
+    * n-gram signals explode ONCE over all `ns` tagged with n, one
+    * map-side-combinable (id, n, gram) count shuffle, one id-partitioned
+    * top-1 window, one conditional-aggregation collapse, one id-keyed
+    * join back — corpus-length-bound work per document, no driver state.
+    * Every ratio is a single double division of integer counts, so the
+    * whole frame replays bit-exactly in SQL (q_repetition_rules).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
+    val text = col(textCol)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nLines = size(lines)
+    def occurrences(l: Column): Column = size(filter(lines, x => x === l))
+    val dupLines = size(filter(lines, l => occurrences(l) > 1))
+    val dupChars = aggregate(lines, lit(0L),
+      (acc, l) => acc + when(occurrences(l) > 1, length(l).cast("long"))
+        .otherwise(lit(0L)))
+    val totChars = aggregate(lines, lit(0L),
+      (acc, l) => acc + length(l).cast("long"))
+    val base = df.select(col(idCol).as("id"),
+      greatest(length(text).cast("long"), lit(1L)).as("__len"),
+      nLines.cast("long").as("n_lines"),
+      (dupLines.cast("double") / greatest(nLines, lit(1)))
+        .as("dup_line_frac"),
+      (dupChars.cast("double") / greatest(totChars, lit(1L)))
+        .as("dup_line_char_frac"))
+    // one tagged explode over every n: a single count shuffle + top-1
+    // window serves all gram sizes
+    val tagged = df.select(col(idCol).as("id"),
+      explode(flatten(array(ns.map(n =>
+        transform(wordNgrams(text, n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("t"))
+      .select(col("id"), col("t.n").as("n"), col("t.g").as("g"))
+    val counts = tagged.groupBy("id", "n", "g")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("id", "n")
+      .orderBy(col("c").desc, col("g").asc)
+    val topAggs = ns.map(n =>
+      max(when(col("n") === n, col("c") * length(col("g")).cast("long")))
+        .as(s"__top${n}_chars"))
+    val top = counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy("id")
+      .agg(topAggs.head, topAggs.tail: _*)
+    val joined = base.join(top, Seq("id"), "left")
+    val fracCols = ns.map(n =>
+      (coalesce(col(s"__top${n}_chars"), lit(0L)).cast("double") /
+        col("__len")).as(s"top${n}_char_frac"))
+    joined.select(col("id") +: col("n_lines") +: col("dup_line_frac") +:
+      col("dup_line_char_frac") +: fracCols: _*)
   }
 
   /** 64-bit rolling polynomial document fingerprint over tokens:

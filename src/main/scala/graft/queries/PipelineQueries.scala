@@ -1727,6 +1727,29 @@ object PipelineQueries {
       Some(qualityClassifierOracleSql(hashDim = 64, rounds = 80, lr = 4.0,
         maxSample = 2000))),
 
+    // Gopher repetition-removal rules (the published rule set's
+    // repetition half — duplicate-line fractions + most-frequent-n-gram
+    // character coverage — complementing q_quality_rules' length/symbol
+    // half). Line signals are per-row higher-order column algebra (no
+    // shuffle); n-gram signals are ONE tagged explode -> one map-side-
+    // combinable count shuffle -> one id-partitioned top-1 window. The
+    // oracle replays every signal: list lambdas for the line stats, the
+    // shared word-n-gram CTEs + row_number tie order for the top grams;
+    // all ratios are single integer-over-integer double divisions, so
+    // the row hash-matches without rounding.
+    QueryDef("q_repetition_rules",
+      (s, dir) => {
+        TextAnalysis.repetitionSignals(
+          Tables.documents(s, dir), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .withColumn("repetition_pass",
+            col("dup_line_frac") <= 0.3 && col("dup_line_char_frac") <= 0.2 &&
+              col("top2_char_frac") <= 0.2 && col("top3_char_frac") <= 0.18 &&
+              col("top4_char_frac") <= 0.16)
+          .orderBy("doc_id")
+      },
+      Some(repetitionOracleSql)),
+
     // banding-completeness certificate (r14: the hamming<=3 pigeonhole
     // law promoted from spec-level to the oracle surface): the banded
     // md5-SimHash pipeline's pair set must EQUAL the all-pairs ground
@@ -2218,6 +2241,30 @@ object PipelineQueries {
     s"""WITH fam AS (SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), px AS (SELECT doc_id, pos, CAST(('0x' || substring(md5(family || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 2 AS p FROM fam CROSS JOIN range(0, 72) r(pos)), bits AS (SELECT a.doc_id, CAST((a.pos // 9) * 8 + (a.pos % 9) AS INT) AS i, CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 WHERE a.pos % 9 < 8), sig AS (SELECT doc_id, ${chunk(0)} AS c0, ${chunk(1)} AS c1, ${chunk(2)} AS c2, ${chunk(3)} AS c3 FROM bits GROUP BY doc_id), banded AS (SELECT doc_id AS id, b, CASE b WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS bucket FROM sig CROSS JOIN range(0, 4) t(b))""" +
       minhashMd5CandsSql(maxBucket) +
       s""", verified AS (SELECT id_a, id_b, bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1)) + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) AS hamming FROM cands JOIN sig sa ON sa.doc_id = cands.id_a JOIN sig sb ON sb.doc_id = cands.id_b) SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 3 ORDER BY id_a, id_b"""
+  }
+
+  /** q_repetition_rules replay (TextAnalysis.repetitionSignals' exact-op
+    * contract): trimmed non-blank lines via list lambdas (occurrence
+    * tests are nested list_filters, mirroring the per-row higher-order
+    * folds), word n-grams per tagged size with the row_number
+    * (c DESC, g ASC) tie order, COALESCE(0) for gramless docs, every
+    * ratio one integer-over-integer double division. */
+  private lazy val repetitionOracleSql: String = {
+    val ns = Seq(2, 3, 4)
+    val gramsUnion = ns.map(n =>
+      s"SELECT doc_id, $n AS n, UNNEST(list_transform(range(1, LEN(toks) - ${n - 2}), i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS g FROM toks"
+    ).mkString(" UNION ALL ")
+    val topCases = ns.map(n =>
+      s"MAX(CASE WHEN n = $n THEN chars END) AS t$n").mkString(", ")
+    val fracCols = ns.map(n =>
+      s"CAST(COALESCE(t$n, 0) AS DOUBLE) / tlen AS top${n}_char_frac")
+      .mkString(", ")
+    val passPred =
+      "dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2 AND " +
+        "CAST(COALESCE(t2, 0) AS DOUBLE) / tlen <= 0.2 AND " +
+        "CAST(COALESCE(t3, 0) AS DOUBLE) / tlen <= 0.18 AND " +
+        "CAST(COALESCE(t4, 0) AS DOUBLE) / tlen <= 0.16"
+    raw"""WITH lns AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)), l -> TRIM(l)), l -> LENGTH(l) > 0) AS lines, GREATEST(LENGTH(text), 1) AS tlen FROM documents), lstat AS (SELECT doc_id, tlen, len(lines) AS n_lines, CAST(len(list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1)) AS DOUBLE) / GREATEST(len(lines), 1) AS dup_line_frac, CAST(COALESCE(list_sum(list_transform(lines, l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1 THEN LENGTH(l) ELSE 0 END)), 0) AS DOUBLE) / GREATEST(COALESCE(list_sum(list_transform(lines, l -> LENGTH(l))), 0), 1) AS dup_line_char_frac FROM lns), toks AS (SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS toks FROM documents), grams AS ($gramsUnion), gc AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3), gt AS (SELECT doc_id, n, c * LENGTH(g) AS chars FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g ASC) AS rn FROM gc) WHERE rn = 1), gp AS (SELECT doc_id, $topCases FROM gt GROUP BY doc_id) SELECT l.doc_id, CAST(n_lines AS BIGINT) AS n_lines, dup_line_frac, dup_line_char_frac, $fracCols, ($passPred) AS repetition_pass FROM lstat l LEFT JOIN gp USING (doc_id) ORDER BY doc_id"""
   }
 
   /** q_quality_classifier replay: the trained-model-replay technique

@@ -1916,6 +1916,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(totalPairs >= 50, s"fuzz vacuous: only $totalPairs pairs total")
   }
 
+  test("repetition signals match hand-computed Gopher rules") {
+    val df = Seq(
+      // 4 non-blank lines, "dup line" twice -> dup_line_frac = 2/4;
+      // dup chars = 2*8 over 8+8+6+5 = 16/27
+      (1L, "dup line\ndup line\nunique\n\n  \nother"),
+      // "a b" bigram 3x in "a b a b a b": top2 covers 3*3=9 of 11 chars
+      (2L, "a b a b a b"),
+      (3L, "no repetition whatsoever here"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 4L)
+    assert(got(1L).getDouble(2) == 2.0 / 4)
+    assert(got(1L).getDouble(3) == 16.0 / 27)
+    assert(got(2L).getDouble(4) == 9.0 / 11, "top2 frac of 'a b a b a b'")
+    // trigram "a b a" appears 2x (overlapping): 2*5=10 of 11 chars
+    assert(got(2L).getDouble(5) == 10.0 / 11, "top3 frac")
+    assert(got(3L).getDouble(2) == 0.0 && got(3L).getLong(1) == 1L)
+    // empty doc: no lines, no grams, all-zero signals (never NULL/0-div)
+    assert(got(4L).getLong(1) == 0L && got(4L).getDouble(2) == 0.0 &&
+      got(4L).getDouble(4) == 0.0)
+    // plan: bounded exchanges (count shuffle, window re-key, id collapse,
+    // join), never a cartesian/NL join
+    val plan = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs crept in:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 4,
+      s"too many shuffles:\n$plan")
+  }
+
   test("image dHash: real PNG round-trip matches the analytic bits; " +
       "family near-dups band together; garbage quarantines to the stub") {
     val fams = Seq(

@@ -570,6 +570,35 @@ object TextAnalysis {
       col("dup_line_char_frac") +: fracCols: _*)
   }
 
+  /** PII scrub patterns (the Dolma/CCNet-style masking pass): kept to
+    * constructs Java regex and RE2 interpret identically (character
+    * classes, bounded counts, \b word boundaries, leftmost-first
+    * alternation) so the SQL oracle replays the scrub byte-for-byte.
+    */
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Pattern =
+    """\b(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}\b"""
+  val PhonePattern = """(\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]\d{4}\b"""
+
+  /** Mask emails / IPv4 addresses / phone numbers with fixed tokens and
+    * count the replacements — the standard pre-training PII pass. Applied
+    * in THAT order, each count taken on the text the pattern actually saw
+    * (post prior replacements), so the counts always equal the number of
+    * masks inserted. Pure chained `regexp_replace`/`regexp_count` column
+    * algebra: codegen'd, zero shuffles, scan-speed at any corpus size.
+    * Appends `text_clean`, `n_emails`, `n_ips`, `n_phones`.
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailPattern, "|||EMAIL|||")
+    val t2 = regexp_replace(t1, Ipv4Pattern, "|||IP|||")
+    val t3 = regexp_replace(t2, PhonePattern, "|||PHONE|||")
+    df.withColumn("n_emails", regexp_count(t0, lit(EmailPattern)))
+      .withColumn("n_ips", regexp_count(t1, lit(Ipv4Pattern)))
+      .withColumn("n_phones", regexp_count(t2, lit(PhonePattern)))
+      .withColumn("text_clean", t3)
+  }
+
   /** 64-bit rolling polynomial document fingerprint over tokens:
     * fp = fold(tokens, 0, (acc, t) -> acc * 31 + xxhash64(t)) in Long
     * arithmetic (wrapping). Order-sensitive by design — equal fingerprints

@@ -1727,6 +1727,30 @@ object PipelineQueries {
       Some(qualityClassifierOracleSql(hashDim = 64, rounds = 80, lr = 4.0,
         maxSample = 2000))),
 
+    // PII scrubbing (the Dolma/CCNet masking pass): emails, IPv4s and
+    // phone numbers masked with fixed tokens, per-doc counts. The corpus
+    // carries no natural PII, so the query PLANTS deterministic PII per
+    // row (the withPayload posture: same synthesis both engines) and
+    // the oracle hash-compares the fully-masked text plus every count —
+    // a regex-semantics divergence between Java regex and RE2 on any of
+    // the three patterns would hash-mismatch immediately. One codegen'd
+    // map, zero shuffles at any scale.
+    QueryDef("q_pii_scrub",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).withColumn("__t",
+          concat(col("text"), lit(" Contact user"),
+            col("doc_id").cast("string"), lit("@example.com or call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7.")))
+        TextAnalysis.piiScrub(planted, "__t")
+          .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+            col("n_ips").cast("long").as("n_ips"),
+            col("n_phones").cast("long").as("n_phones"), col("text_clean"))
+          .orderBy("doc_id")
+      },
+      Some(piiScrubOracleSql)),
+
     // Gopher repetition-removal rules (the published rule set's
     // repetition half — duplicate-line fractions + most-frequent-n-gram
     // character coverage — complementing q_quality_rules' length/symbol
@@ -2241,6 +2265,17 @@ object PipelineQueries {
     s"""WITH fam AS (SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), px AS (SELECT doc_id, pos, CAST(('0x' || substring(md5(family || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 2 AS p FROM fam CROSS JOIN range(0, 72) r(pos)), bits AS (SELECT a.doc_id, CAST((a.pos // 9) * 8 + (a.pos % 9) AS INT) AS i, CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 WHERE a.pos % 9 < 8), sig AS (SELECT doc_id, ${chunk(0)} AS c0, ${chunk(1)} AS c1, ${chunk(2)} AS c2, ${chunk(3)} AS c3 FROM bits GROUP BY doc_id), banded AS (SELECT doc_id AS id, b, CASE b WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS bucket FROM sig CROSS JOIN range(0, 4) t(b))""" +
       minhashMd5CandsSql(maxBucket) +
       s""", verified AS (SELECT id_a, id_b, bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1)) + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) AS hamming FROM cands JOIN sig sa ON sa.doc_id = cands.id_a JOIN sig sb ON sb.doc_id = cands.id_b) SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 3 ORDER BY id_a, id_b"""
+  }
+
+  /** q_pii_scrub replay: identical planted-PII synthesis, then the same
+    * three patterns in the same order (DuckDB regexp_replace needs the
+    * explicit 'g' flag — Spark's is global by default), counts via
+    * regexp_extract_all on the text each pattern actually saw. */
+  private lazy val piiScrubOracleSql: String = {
+    val email = TextAnalysis.EmailPattern
+    val ip = TextAnalysis.Ipv4Pattern
+    val phone = TextAnalysis.PhonePattern
+    s"""WITH p0 AS (SELECT doc_id, text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7.' AS t FROM documents), s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails, regexp_replace(t, '$email', '|||EMAIL|||', 'g') AS t FROM p0), s2 AS (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips, regexp_replace(t, '$ip', '|||IP|||', 'g') AS t FROM s1), s3 AS (SELECT doc_id, n_emails, n_ips, CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones, regexp_replace(t, '$phone', '|||PHONE|||', 'g') AS t FROM s2) SELECT doc_id, n_emails, n_ips, n_phones, t AS text_clean FROM s3 ORDER BY doc_id"""
   }
 
   /** q_repetition_rules replay (TextAnalysis.repetitionSignals' exact-op

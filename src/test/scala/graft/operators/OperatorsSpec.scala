@@ -1916,6 +1916,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(totalPairs >= 50, s"fuzz vacuous: only $totalPairs pairs total")
   }
 
+  test("pii scrub: masks all three classes, counts what it masked, " +
+      "leaves clean text byte-identical") {
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org and x@y.io today"),
+      (2L, "server 192.168.0.1 and 255.255.255.255 up; 999.1.1.1 is not an IP"),
+      (3L, "call 555-867-5309 or +1 (212) 555-0199 now"),
+      (4L, "clean text with numbers 12345 and a.dot but no pii"),
+      (5L, "edge: 1.2.3.4.5 chains")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(df, "text")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "text_clean")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L) == ((2, 0, 0, "mail |||EMAIL||| and |||EMAIL||| today")))
+    assert(got(2L)._2 == 2 && !got(2L)._4.contains("192.168.0.1"))
+    assert(got(2L)._4.contains("999.1.1.1") ||
+      !got(2L)._4.contains("|||IP|||.1.1.1"),
+      s"out-of-range octet must not mask: ${got(2L)._4}")
+    assert(got(3L)._3 == 2, s"both phone spellings mask: ${got(3L)._4}")
+    assert(got(3L)._4 ==
+      "call |||PHONE||| or |||PHONE||| now", got(3L)._4)
+    assert(got(4L) == ((0, 0, 0, "clean text with numbers 12345 and a.dot but no pii")),
+      "clean text must pass through byte-identical")
+    // chained dotted digits: whatever the match choice, it is total and
+    // deterministic (the oracle pins the exact bytes per corpus)
+    assert(got(5L)._4.nonEmpty)
+  }
+
   test("repetition signals match hand-computed Gopher rules") {
     val df = Seq(
       // 4 non-blank lines, "dup line" twice -> dup_line_frac = 2/4;

@@ -1822,7 +1822,55 @@ object PipelineQueries {
           .filter(col("hamming") <= 3)
           .orderBy("id_a", "id_b")
       },
-      Some(imageNearDupOracleSql()))
+      Some(imageNearDupOracleSql())),
+
+    // image duplicate clustering: the perceptual near-dup pairs fold
+    // into connected components (checkpointed iterative expansion —
+    // constant plan depth, the q_dedup_clusters machinery) and a
+    // per-cluster census. The LAION-style "keep one per image cluster"
+    // step; oracle = image pair replay + recursive-CTE fixpoint.
+    QueryDef("q_image_clusters",
+      (s, dir) => {
+        import graft.operators.{Dedup, Multimodal}
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val hashed = Multimodal.imageDHash(
+          Multimodal.syntheticGrayPngs(fam, "doc_id", "family"),
+          "id", "payload")
+        val pairs = Dedup.hammingCandidates(
+          hashed.filter(col("decoded")), "id", "phash")
+          .filter(col("hamming") <= 3).select("id_a", "id_b")
+        Dedup.clusters(pairs)
+          .groupBy("rep").agg(count(lit(1)).as("n_members"))
+          .orderBy("rep")
+      },
+      Some(imageClustersOracleSql())),
+
+    // classifier-gated curation: the trained quality classifier
+    // (q_quality_classifier's exact model — same features, labels,
+    // GD rounds) scores the corpus, predicted-quality docs survive, and
+    // the survivors pack into fixed-length training sequences. The
+    // DCLM-style "filter by classifier, then pack" tail; the oracle
+    // composes the full trained-model replay with the q_seq_pack window.
+    QueryDef("q_classifier_curation",
+      (s, dir) => {
+        import graft.operators.{Corpus, QualityClassifier => QC, TextAnalysis => TA}
+        val cfg = TA.GopherConfig(minWords = 25L, maxWords = 80L,
+          minMeanWordLen = 3.0, maxMeanWordLen = 5.0, minStopwordHits = 1)
+        def prepared = QC.withFeatures(
+          TA.gopherRules(Tables.documents(s, dir), col("text"), cfg), "text")
+          .select(col("doc_id"), col("text"), col("feats"),
+            when(col("quality_pass"), 1.0d).otherwise(0.0d).as("y"))
+        val model = QC.train(prepared, "doc_id", "feats", "y",
+          rounds = 80, lr = 4.0, maxSample = 2000)
+        val kept = QC.score(prepared, "feats", model)
+          .filter(col("pred"))
+          .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))
+        Corpus.packSequences(kept, "doc_id", "n_tokens", 2048L)
+          .orderBy("doc_id")
+      },
+      Some(classifierCurationOracleSql(hashDim = 64, rounds = 80, lr = 4.0,
+        maxSample = 2000)))
   )
 
   /** Fixed deterministic query vector for similarity search (unit-ish,
@@ -2259,13 +2307,25 @@ object PipelineQueries {
     * would diverge from this replay and the row would go red — the
     * real decode path is INSIDE the oracle, not beside it.
     */
-  private def imageNearDupOracleSql(maxBucket: Int = 64): String = {
+  /** The image-dHash replay through `verified(id_a, id_b, hamming)` —
+    * shared by the pair oracle and the cluster-composite oracle. */
+  private def imageNearDupCtesSql(maxBucket: Int = 64): String = {
     def chunk(b: Int): String =
       s"SUM(CASE WHEN i // 16 = $b THEN bit * (1 << (i % 16)) ELSE 0 END)"
-    s"""WITH fam AS (SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), px AS (SELECT doc_id, pos, CAST(('0x' || substring(md5(family || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 2 AS p FROM fam CROSS JOIN range(0, 72) r(pos)), bits AS (SELECT a.doc_id, CAST((a.pos // 9) * 8 + (a.pos % 9) AS INT) AS i, CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 WHERE a.pos % 9 < 8), sig AS (SELECT doc_id, ${chunk(0)} AS c0, ${chunk(1)} AS c1, ${chunk(2)} AS c2, ${chunk(3)} AS c3 FROM bits GROUP BY doc_id), banded AS (SELECT doc_id AS id, b, CASE b WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS bucket FROM sig CROSS JOIN range(0, 4) t(b))""" +
+    s"""fam AS (SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), px AS (SELECT doc_id, pos, CAST(('0x' || substring(md5(family || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 2 AS p FROM fam CROSS JOIN range(0, 72) r(pos)), bits AS (SELECT a.doc_id, CAST((a.pos // 9) * 8 + (a.pos % 9) AS INT) AS i, CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 WHERE a.pos % 9 < 8), sig AS (SELECT doc_id, ${chunk(0)} AS c0, ${chunk(1)} AS c1, ${chunk(2)} AS c2, ${chunk(3)} AS c3 FROM bits GROUP BY doc_id), banded AS (SELECT doc_id AS id, b, CASE b WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS bucket FROM sig CROSS JOIN range(0, 4) t(b))""" +
       minhashMd5CandsSql(maxBucket) +
-      s""", verified AS (SELECT id_a, id_b, bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1)) + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) AS hamming FROM cands JOIN sig sa ON sa.doc_id = cands.id_a JOIN sig sb ON sb.doc_id = cands.id_b) SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 3 ORDER BY id_a, id_b"""
+      s""", verified AS (SELECT id_a, id_b, bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1)) + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) AS hamming FROM cands JOIN sig sa ON sa.doc_id = cands.id_a JOIN sig sb ON sb.doc_id = cands.id_b)"""
   }
+
+  private def imageNearDupOracleSql(maxBucket: Int = 64): String =
+    "WITH " + imageNearDupCtesSql(maxBucket) +
+      " SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 3 ORDER BY id_a, id_b"
+
+  /** q_image_clusters replay: image pair CTEs + the recursive-CTE
+    * connected-components fixpoint (q_dedup_clusters' construction). */
+  private def imageClustersOracleSql(maxBucket: Int = 64): String =
+    "WITH RECURSIVE " + imageNearDupCtesSql(maxBucket) +
+      """, pairs AS (SELECT id_a, id_b FROM verified WHERE hamming <= 3), dedges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), reach AS (SELECT src AS id, src AS r FROM dedges UNION SELECT e.dst AS id, reach.r FROM reach JOIN dedges e ON e.src = reach.id), reps AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id) SELECT rep, COUNT(*) AS n_members FROM reps GROUP BY rep ORDER BY rep"""
 
   /** q_pii_scrub replay: identical planted-PII synthesis, then the same
     * three patterns in the same order (DuckDB regexp_replace needs the
@@ -2324,6 +2384,23 @@ object PipelineQueries {
     * note).
     */
   private def qualityClassifierOracleSql(hashDim: Int, rounds: Int,
+      lr: Double, maxSample: Int): String =
+    qualityClassifierCtesSql(hashDim, rounds, lr, maxSample) +
+      " SELECT doc_id, CAST(y AS BIGINT) AS label, floor(m * 1e6 + 0.5) / 1e6 AS margin_r, m >= 0 AS pred FROM qsc ORDER BY doc_id"
+
+  /** q_classifier_curation replay: the full trained-model chain through
+    * `qsc`, the `m >= 0` keep filter, and the q_seq_pack running-sum
+    * window over the survivors. */
+  private def classifierCurationOracleSql(hashDim: Int, rounds: Int,
+      lr: Double, maxSample: Int): String = {
+    val ntok = """CASE WHEN LENGTH(TRIM(d.text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(d.text), '\s+')) END"""
+    qualityClassifierCtesSql(hashDim, rounds, lr, maxSample) +
+      s""", kept AS (SELECT doc_id FROM qsc WHERE m >= 0), tkt AS (SELECT d.doc_id, CAST($ntok AS BIGINT) AS n_tokens FROM documents d JOIN kept USING (doc_id)), packed AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS pre FROM tkt) SELECT doc_id, n_tokens, CAST(pre // 2048 AS BIGINT) AS seq_id, CAST(pre % 2048 AS BIGINT) AS tok_offset FROM packed ORDER BY doc_id"""
+  }
+
+  /** The trained-classifier replay chain through `qsc(doc_id, y, m)` —
+    * shared by the scoring oracle and the curation-composite oracle. */
+  private def qualityClassifierCtesSql(hashDim: Int, rounds: Int,
       lr: Double, maxSample: Int): String = {
     val dim = hashDim + 5 // QualityClassifier.withFeatures: hash block + 5 dense
     val b = new StringBuilder
@@ -2346,8 +2423,7 @@ object PipelineQueries {
       b ++= s"qwl$t AS MATERIALIZED (SELECT UNNEST(w) AS wj, UNNEST(range(0, $dim)) AS i FROM qw${t - 1}), "
       b ++= s"qw$t AS MATERIALIZED (SELECT list(wl.wj - (CAST($lr AS DOUBLE) * g.g) / n.n ORDER BY wl.i) AS w, ANY_VALUE(pb.b) - (CAST($lr AS DOUBLE) * ANY_VALUE(gb.gb)) / ANY_VALUE(n.n) AS b FROM qwl$t wl JOIN qg$t g ON g.i = wl.i CROSS JOIN qn n CROSS JOIN qgb$t gb CROSS JOIN (SELECT b FROM qw${t - 1}) pb), "
     }
-    b ++= s"qsc AS (SELECT f.doc_id, l.y, list_inner_product(w.w, f.x) + w.b AS m FROM qfv f JOIN qlbl l USING (doc_id) CROSS JOIN qw$rounds w) "
-    b ++= "SELECT doc_id, CAST(y AS BIGINT) AS label, floor(m * 1e6 + 0.5) / 1e6 AS margin_r, m >= 0 AS pred FROM qsc ORDER BY doc_id"
+    b ++= s"qsc AS (SELECT f.doc_id, l.y, list_inner_product(w.w, f.x) + w.b AS m FROM qfv f JOIN qlbl l USING (doc_id) CROSS JOIN qw$rounds w)"
     b.toString
   }
 

@@ -213,10 +213,13 @@ object TextAnalysis {
     * (hapax noise). Lowercased whitespace tokens.
     *
     * Shape at scale: explode, then ONE map-side-combined shuffle keyed on
-    * (term, doc) for the tf/position aggregate, then one term-keyed
-    * window for df — the distributed equivalent of the sort-by-term
-    * posting-list merge every search-index builder runs. No driver
-    * materialization; downstream writers partition by term range.
+    * (term, doc) for the tf/position aggregate, then df via a map-side-
+    * combinable per-term aggregate JOINED back (never a term-keyed
+    * window, which would funnel a zipfian head term's postings into one
+    * task — see the comment at the df computation below) — the
+    * distributed equivalent of the sort-by-term posting-list merge every
+    * search-index builder runs. No driver materialization; downstream
+    * writers partition by term range.
     *
     * Output: `(term, idCol, tf, first_pos, df)`.
     */

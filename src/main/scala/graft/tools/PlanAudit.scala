@@ -65,10 +65,15 @@ object PlanAudit {
       df.explain("formatted")
       // knnJoin's broadcast query-set x corpus scan IS a deliberate cross
       // product (every pair is scored by definition); flagging it would
-      // train readers to ignore the audit. q_text_bm25 / q_semdedup
-      // cross-join a ONE-ROW broadcast aggregate (corpus stats / total
-      // count) onto the data — a scalar attach, not a pair blow-up.
-      val deliberateBnlj = Set("q_knn_join", "q_text_bm25", "q_semdedup")
+      // train readers to ignore the audit. q_text_bm25 / q_semdedup /
+      // q_sketch_distinct cross-join a ONE-ROW broadcast aggregate
+      // (corpus stats / total count / the one-pass global estimate) onto
+      // the data — a scalar attach, not a pair blow-up.
+      // q_simhash_complete's all-pairs signature scan is the POINT of
+      // that certificate (ground truth for the banding-completeness law,
+      // certificate-scale-guarded in code).
+      val deliberateBnlj = Set("q_knn_join", "q_text_bm25", "q_semdedup",
+        "q_sketch_distinct", "q_simhash_complete")
       val flags = Seq(
         "CartesianProduct" -> plan.contains("CartesianProduct"),
         "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&

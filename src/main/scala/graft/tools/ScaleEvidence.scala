@@ -216,7 +216,51 @@ object ScaleEvidence {
         requireLayout(s"$writeBase/tar", "tar_write_files")
         graft.sources.TarShards.members(spark, s"$writeBase/tar")
           .filter(col("error").isNull).count()
-      }
+      },
+      // trained quality classifier (round 14): training cost is bounded
+      // by maxSample REGARDLESS of corpus size (TakeOrdered sample +
+      // driver GD on a model-sized array); scoring is one codegen'd map
+      // vs broadcast-literal weights. Claim: wall tracks the two corpus
+      // scans (sample heaps + scoring), never the GD.
+      "quality_classifier" -> { () =>
+        val cfg = TextAnalysis.GopherConfig(minWords = 25L, maxWords = 80L,
+          minMeanWordLen = 3.0, maxMeanWordLen = 5.0, minStopwordHits = 1)
+        def prepared = graft.operators.QualityClassifier.withFeatures(
+          TextAnalysis.gopherRules(docs, col("text"), cfg), "text")
+          .select(col("doc_id"), col("feats"),
+            when(col("quality_pass"), 1.0d).otherwise(0.0d).as("y"))
+        val model = graft.operators.QualityClassifier.train(prepared,
+          "doc_id", "feats", "y", rounds = 80, lr = 4.0, maxSample = 2000)
+        graft.operators.QualityClassifier.score(prepared, "feats", model)
+          .filter(col("pred")).count()
+      },
+      // perceptual image near-dup (round 14): two narrow maps (PNG
+      // synthesis, decode+dHash) + the shared hamming banding. Claim:
+      // wall linear in the asset count, pair work bounded by the band
+      // buckets — never all-pairs over assets.
+      "image_neardup" -> { () =>
+        val fam = docs.select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val hashed = graft.operators.Multimodal.imageDHash(
+          graft.operators.Multimodal.syntheticGrayPngs(fam, "doc_id", "family"),
+          "id", "payload")
+        Dedup.hammingCandidates(hashed.filter(col("decoded")), "id", "phash")
+          .filter(col("hamming") <= 3).count()
+      },
+      // Gopher repetition rules (round 14): per-row line lambdas + ONE
+      // tagged n-gram explode/count/top-1 chain. Claim: linear in corpus
+      // tokens, shuffle volume tracking the distinct (doc, n, gram) keys.
+      "repetition_rules" -> (() =>
+        TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+          .filter(col("top2_char_frac") >= 0.0).count()),
+      // PII scrub (round 14): pure chained-regex scan. Claim: scan-speed
+      // linear, zero shuffle. (The filter consumes text_clean so column
+      // pruning cannot skip the regex work under count().)
+      "pii_scrub" -> (() =>
+        TextAnalysis.piiScrub(docs.withColumn("__t",
+          concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+            lit("@ex.com 10.0.0.7 555-867-5309"))), "__t")
+          .filter(length(col("text_clean")) > 0).count())
     )
 
     // SPARK_GRAFT_OPS=a,b re-measures a subset (e.g. after one operator's

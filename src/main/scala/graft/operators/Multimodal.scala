@@ -660,6 +660,158 @@ object Multimodal {
       .toDF("id", "phash", "decoded")
   }
 
+  /** Audio-fingerprint geometry: 65 frames of 16 8-bit samples → 64
+    * adjacent-frame energy-delta sign bits (the Shazam/chromaprint-style
+    * spectral-delta idea reduced to its deterministic time-domain core).
+    */
+  private val AudioFrames = 65
+  private val AudioFrameLen = 16
+
+  /** Deterministic 8-bit mono PCM WAV payloads from a (id, family)
+    * frame — REAL RIFF/WAVE bytes (44-byte canonical header + data
+    * chunk, parsed back by the real [[decodeWav]] chunk walk) whose
+    * samples are ANALYTICALLY KNOWN md5 base+perturb arithmetic (the
+    * [[syntheticGrayPngs]] idea, one digest per 16-sample block so
+    * synthesis stays cheap): sample at `pos` is
+    * `byte[pos%16] of md5("family:" + pos/16) % 200  +
+    *  (byte[pos%16] of md5("id#" + pos/16)) % 2`. PCM is raw bytes —
+    * trivially lossless — so a SQL oracle replays the whole decode →
+    * fingerprint → banding pipeline over the real codec round-trip
+    * (q_audio_neardup). Rows sharing `familyCol` produce near-duplicate
+    * audio: frame energies differ by at most [[AudioFrameLen]] between
+    * family members, so energy-delta sign bits flip only on near-tied
+    * adjacent frames.
+    */
+  def syntheticWavs(df: DataFrame, idCol: String,
+      familyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = AudioFrames * AudioFrameLen
+    df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
+      .filter(col("__id").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, family0) =>
+          val family = if (family0 == null) "" else family0
+          val b = new Array[Byte](44 + n)
+          def putStr(s: String, off: Int): Unit = {
+            var i = 0
+            while (i < s.length) { b(off + i) = s.charAt(i).toByte; i += 1 }
+          }
+          def putLe32(v: Int, off: Int): Unit = {
+            b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+            b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+          }
+          def putLe16(v: Int, off: Int): Unit = {
+            b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+          }
+          putStr("RIFF", 0); putLe32(36 + n, 4); putStr("WAVE", 8)
+          putStr("fmt ", 12); putLe32(16, 16)
+          putLe16(1, 20); putLe16(1, 22) // PCM, mono
+          putLe32(8000, 24); putLe32(8000, 28) // rate, byte rate
+          putLe16(1, 32); putLe16(8, 34) // block align, bits
+          putStr("data", 36); putLe32(n, 40)
+          var blk = 0
+          while (blk * 16 < n) {
+            md.reset()
+            val base = md.digest((family + ":" + blk).getBytes("UTF-8"))
+            md.reset()
+            val pert = md.digest((id.toString + "#" + blk).getBytes("UTF-8"))
+            var j = 0
+            while (j < 16 && blk * 16 + j < n) {
+              val v = (base(j) & 0xff) % 200 + (pert(j) & 0xff) % 2
+              b(44 + blk * 16 + j) = v.toByte
+              j += 1
+            }
+            blk += 1
+          }
+          (id, b)
+        }
+      }
+      .toDF("id", "payload")
+  }
+
+  /** `(data offset, data len)` of an 8-bit mono PCM WAV — the same
+    * chunk walk as [[decodeWav]], additionally requiring the format the
+    * fingerprint can read sample-exactly. */
+  private def wavData8Mono(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12
+    var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= b.length && (channels == 0 || dataOff < 0)) {
+      val id = new String(b.slice(i, i + 4), "US-ASCII")
+      val size = le32(b, i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+        channels = le16(b, i + 10)
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = math.min(size, (b.length - i - 8).toLong).toInt
+      }
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > b.length) b.length else next.toInt
+    }
+    if (channels == 1 && bits == 8 && dataOff >= 0) Some((dataOff, dataLen))
+    else None
+  }
+
+  /** 64-bit audio fingerprint over REAL decoded WAV samples: walk the
+    * RIFF chunks (the [[decodeWav]] parser), read the first
+    * 65x16 8-bit samples, emit bit `i` = `energy(frame i) >
+    * energy(frame i+1)` (integer frame-energy sums — exact in any
+    * engine). Non-WAV / non-8-bit-mono / too-short payloads fall back
+    * to the deterministic stub hash (the [[imageDHash]] posture) with
+    * `decoded = false`. Output `(id, afp: long, decoded: boolean)` —
+    * one narrow map; feed [[graft.operators.Dedup.hammingCandidates]].
+    */
+  def audioFingerprint(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val need = AudioFrames * AudioFrameLen
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      .filter(col("__id").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        def stub(payload: Array[Byte]): Long = {
+          val h = if (payload == null) byteFold(Array.emptyByteArray)
+            else byteFold(payload)
+          h * 2862933555777941757L + 3037000493L
+        }
+        rows.map { case (id, payload) =>
+          val d = if (payload == null) None else wavData8Mono(payload)
+          d match {
+            case Some((off, len)) if len >= need =>
+              val e = new Array[Long](AudioFrames)
+              var f = 0
+              while (f < AudioFrames) {
+                var s = 0L
+                var j = 0
+                while (j < AudioFrameLen) {
+                  s += payload(off + f * AudioFrameLen + j) & 0xff
+                  j += 1
+                }
+                e(f) = s
+                f += 1
+              }
+              var sig = 0L
+              var i = 0
+              while (i < 64) {
+                if (e(i) > e(i + 1)) sig |= 1L << i
+                i += 1
+              }
+              (id, sig, true)
+            case _ => (id, stub(payload), false)
+          }
+        }
+      }
+      .toDF("id", "afp", "decoded")
+  }
+
   /** Deterministic frame sampling plan for a (stub) video payload: every
     * `stride`-th frame index under `maxFrames` — the Spark-side shape of a
     * frame-extraction fan-out (`explode` of the frame plan). Frameless

@@ -1824,6 +1824,27 @@ object PipelineQueries {
       },
       Some(imageNearDupOracleSql())),
 
+    // audio near-dup (the perceptual image path's audio twin): REAL
+    // 8-bit PCM WAV payloads (RIFF encode, near-duplicate within a
+    // content family) -> the real chunk-walk decode -> 64-bit
+    // energy-delta fingerprint over the raw samples -> the shared
+    // hamming banding. PCM is raw bytes (trivially lossless), so the
+    // oracle replays decode -> frame energies -> sign bits -> banding
+    // analytically — the codec round-trip is inside the hash-checked
+    // surface, exactly as q_image_neardup's PNG path.
+    QueryDef("q_audio_neardup",
+      (s, dir) => {
+        import graft.operators.{Dedup, Multimodal}
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val fps = Multimodal.audioFingerprint(
+          Multimodal.syntheticWavs(fam, "doc_id", "family"), "id", "payload")
+        Dedup.hammingCandidates(fps.filter(col("decoded")), "id", "afp")
+          .filter(col("hamming") <= 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(audioNearDupOracleSql())),
+
     // image duplicate clustering: the perceptual near-dup pairs fold
     // into connected components (checkpointed iterative expansion —
     // constant plan depth, the q_dedup_clusters machinery) and a
@@ -2309,13 +2330,45 @@ object PipelineQueries {
     */
   /** The image-dHash replay through `verified(id_a, id_b, hamming)` —
     * shared by the pair oracle and the cluster-composite oracle. */
-  private def imageNearDupCtesSql(maxBucket: Int = 64): String = {
+  /** The md5-derived synthetic payload value at `pos` for a (family,
+    * doc) pair — the shared pixel/sample contract of
+    * `Multimodal.syntheticGrayPngs` / `Multimodal.syntheticWavs`. */
+  private lazy val synthValSql: String =
+    "CAST(('0x' || substring(md5(family || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 2"
+
+  private lazy val famCteSql: String =
+    "fam AS (SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents)"
+
+  /** sig/banded/cands/verified over any upstream `bits(doc_id, i, bit)`
+    * CTE — the 64-bit pack + 4x16 chunk banding + XOR-popcount hamming
+    * shared by the image-dHash and audio-fingerprint replays. */
+  private def bitsToPairsSql(maxBucket: Int): String = {
     def chunk(b: Int): String =
       s"SUM(CASE WHEN i // 16 = $b THEN bit * (1 << (i % 16)) ELSE 0 END)"
-    s"""fam AS (SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), px AS (SELECT doc_id, pos, CAST(('0x' || substring(md5(family || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 2 AS p FROM fam CROSS JOIN range(0, 72) r(pos)), bits AS (SELECT a.doc_id, CAST((a.pos // 9) * 8 + (a.pos % 9) AS INT) AS i, CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 WHERE a.pos % 9 < 8), sig AS (SELECT doc_id, ${chunk(0)} AS c0, ${chunk(1)} AS c1, ${chunk(2)} AS c2, ${chunk(3)} AS c3 FROM bits GROUP BY doc_id), banded AS (SELECT doc_id AS id, b, CASE b WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS bucket FROM sig CROSS JOIN range(0, 4) t(b))""" +
+    s""", sig AS (SELECT doc_id, ${chunk(0)} AS c0, ${chunk(1)} AS c1, ${chunk(2)} AS c2, ${chunk(3)} AS c3 FROM bits GROUP BY doc_id), banded AS (SELECT doc_id AS id, b, CASE b WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS bucket FROM sig CROSS JOIN range(0, 4) t(b))""" +
       minhashMd5CandsSql(maxBucket) +
       s""", verified AS (SELECT id_a, id_b, bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1)) + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)) AS hamming FROM cands JOIN sig sa ON sa.doc_id = cands.id_a JOIN sig sb ON sb.doc_id = cands.id_b)"""
   }
+
+  private def imageNearDupCtesSql(maxBucket: Int = 64): String =
+    s"""$famCteSql, px AS (SELECT doc_id, pos, $synthValSql AS p FROM fam CROSS JOIN range(0, 72) r(pos)), bits AS (SELECT a.doc_id, CAST((a.pos // 9) * 8 + (a.pos % 9) AS INT) AS i, CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 WHERE a.pos % 9 < 8)""" +
+      bitsToPairsSql(maxBucket)
+
+  /** q_audio_neardup replay: the synthetic 8-bit PCM samples are md5
+    * arithmetic — one digest per 16-sample block, sample = hex byte
+    * `pos % 16` of the block digests (WAV PCM is raw bytes — trivially
+    * lossless) — frame energies are integer sums, fingerprint bit i =
+    * energy(frame i) > energy(frame i+1), then the shared banding. */
+  private def audioNearDupCtesSql(maxBucket: Int = 64): String = {
+    val audioVal =
+      "CAST(('0x' || substring(md5(family || ':' || CAST(pos // 16 AS VARCHAR)), (pos % 16) * 2 + 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos // 16 AS VARCHAR)), (pos % 16) * 2 + 1, 2)) AS INT) % 2"
+    s"""$famCteSql, ax AS (SELECT doc_id, pos, $audioVal AS v FROM fam CROSS JOIN range(0, 1040) r(pos)), ae AS (SELECT doc_id, pos // 16 AS f, SUM(v) AS e FROM ax GROUP BY 1, 2), bits AS (SELECT a.doc_id, CAST(a.f AS INT) AS i, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit FROM ae a JOIN ae b ON b.doc_id = a.doc_id AND b.f = a.f + 1 WHERE a.f < 64)""" +
+      bitsToPairsSql(maxBucket)
+  }
+
+  private def audioNearDupOracleSql(maxBucket: Int = 64): String =
+    "WITH " + audioNearDupCtesSql(maxBucket) +
+      " SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 3 ORDER BY id_a, id_b"
 
   private def imageNearDupOracleSql(maxBucket: Int = 64): String =
     "WITH " + imageNearDupCtesSql(maxBucket) +

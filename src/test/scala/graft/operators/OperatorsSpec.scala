@@ -1944,6 +1944,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L)._4.nonEmpty)
   }
 
+  test("audio fingerprint: real WAV round-trip matches the analytic " +
+      "energy-delta bits; family near-dups band; garbage stubs") {
+    val fams = Seq((1L, "alpha beta"), (2L, "alpha beta"),
+      (10L, "gamma delta")).toDF("id", "family")
+    val wavs = Multimodal.syntheticWavs(fams, "id", "family")
+    // the real chunk-walk decoder reads the generated headers
+    val meta = Multimodal.decodeAudio(wavs, "id", "payload")
+      .select($"meta.sample_rate", $"meta.channels", $"meta.bits",
+        $"meta.n_samples").collect()
+    assert(meta.forall(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+      r.getLong(3)) == ((8000, 1, 8, 65L * 16))))
+    val fps = Multimodal.audioFingerprint(wavs, "id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(fps.values.forall(_._2), "every synthetic WAV must decode")
+    // driver replay of the documented sample/energy contract
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def dig(s: String): Array[Byte] = { md.reset(); md.digest(s.getBytes("UTF-8")) }
+    def expected(id: Long, family: String): Long = {
+      val v = (0 until 65 * 16).map(p =>
+        (dig(s"$family:${p / 16}")(p % 16) & 0xff) % 200 +
+          (dig(s"$id#${p / 16}")(p % 16) & 0xff) % 2)
+      val e = (0 until 65).map(f => (0 until 16).map(j => v(f * 16 + j)).sum)
+      var sig = 0L
+      for (i <- 0 until 64) if (e(i) > e(i + 1)) sig |= 1L << i
+      sig
+    }
+    Seq((1L, "alpha beta"), (2L, "alpha beta"), (10L, "gamma delta"))
+      .foreach { case (id, fam) =>
+        assert(fps(id)._1 == expected(id, fam),
+          s"audio fingerprint of $id diverged from the analytic replay")
+      }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L)._1, fps(2L)._1) <= 6, "same family must be close")
+    assert(ham(fps(1L)._1, fps(10L)._1) > 10, "cross family must be far")
+    val garbage = Seq((5L, "not audio".getBytes("UTF-8"))).toDF("id", "payload")
+    val g = Multimodal.audioFingerprint(garbage, "id", "payload").collect()(0)
+    assert(!g.getBoolean(2))
+  }
+
   test("repetition signals match hand-computed Gopher rules") {
     val df = Seq(
       // 4 non-blank lines, "dup line" twice -> dup_line_frac = 2/4;

@@ -110,12 +110,14 @@ object QualityClassifier {
       .collect()
     require(rows.nonEmpty, "empty training sample")
     // re-sort driver-side so the fold order is the sample order by
-    // construction, not by trust in the collect's ordering
-    val sorted = rows.sortBy(r => r.get(3) match {
-      case l: Long => l
-      case i: Int => i.toLong
-      case x => x.hashCode.toLong
-    })
+    // construction, not by trust in the collect's ordering. Comparable
+    // covers every sane order-column type (numerics, strings, dates);
+    // note Java String order is UTF-16 code-unit order, which matches
+    // Spark's binary UTF-8 order for ASCII keys (the oracle mode uses
+    // numeric ids, where the two agree unconditionally).
+    val sorted = rows.sortWith { (a, b) =>
+      a.get(3).asInstanceOf[Comparable[Any]].compareTo(b.get(3)) < 0
+    }
     val xs: Array[Array[Double]] = sorted.map(_.getSeq[Any](1).map {
       case f: Float => f.toDouble
       case d: Double => d

@@ -517,9 +517,13 @@ object TextAnalysis {
     *    most frequent gram ties deterministically to the
     *    lexicographically smallest.
     *
-    * Shape at scale: the line signals are pure per-row column algebra
-    * (O(lines^2) higher-order folds inside codegen, no shuffle); the
-    * n-gram signals explode ONCE over all `ns` tagged with n, one
+    * Shape at scale: the line signals are RELATIONAL — explode the
+    * trimmed non-blank lines, one map-side-combinable (id, line) count
+    * shuffle, one id-keyed collapse (a per-row higher-order occurrence
+    * fold would be O(lines²) per document: a pathological million-line
+    * doc turns one task into 10^12 comparisons, the skew no partitioner
+    * can fix — the relational form is linear and spreads); the n-gram
+    * signals explode ONCE over all `ns` tagged with n, one
     * map-side-combinable (id, n, gram) count shuffle, one id-partitioned
     * top-1 window, one conditional-aggregation collapse, one id-keyed
     * join back — corpus-length-bound work per document, no driver state.
@@ -530,23 +534,30 @@ object TextAnalysis {
       ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
     val text = col(textCol)
-    val lines = filter(transform(split(text, "\n"), l => trim(l)),
-      l => length(l) > 0)
-    val nLines = size(lines)
-    def occurrences(l: Column): Column = size(filter(lines, x => x === l))
-    val dupLines = size(filter(lines, l => occurrences(l) > 1))
-    val dupChars = aggregate(lines, lit(0L),
-      (acc, l) => acc + when(occurrences(l) > 1, length(l).cast("long"))
-        .otherwise(lit(0L)))
-    val totChars = aggregate(lines, lit(0L),
-      (acc, l) => acc + length(l).cast("long"))
+    val lineRows = df.select(col(idCol).as("id"),
+      explode(filter(transform(split(text, "\n"), l => trim(l)),
+        l => length(l) > 0)).as("lt"))
+    val lineStats = lineRows.groupBy("id", "lt")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("id")
+      .agg(sum("__c").as("__nl"),
+        coalesce(sum(when(col("__c") > 1, col("__c"))), lit(0L))
+          .as("__dupl"),
+        coalesce(sum(when(col("__c") > 1,
+          col("__c") * length(col("lt")).cast("long"))), lit(0L))
+          .as("__dupc"),
+        sum(col("__c") * length(col("lt")).cast("long")).as("__totc"))
     val base = df.select(col(idCol).as("id"),
-      greatest(length(text).cast("long"), lit(1L)).as("__len"),
-      nLines.cast("long").as("n_lines"),
-      (dupLines.cast("double") / greatest(nLines, lit(1)))
-        .as("dup_line_frac"),
-      (dupChars.cast("double") / greatest(totChars, lit(1L)))
-        .as("dup_line_char_frac"))
+      greatest(length(text).cast("long"), lit(1L)).as("__len"))
+      .join(lineStats, Seq("id"), "left")
+      .select(col("id"), col("__len"),
+        coalesce(col("__nl"), lit(0L)).as("n_lines"),
+        (coalesce(col("__dupl"), lit(0L)).cast("double") /
+          greatest(coalesce(col("__nl"), lit(0L)), lit(1L)))
+          .as("dup_line_frac"),
+        (coalesce(col("__dupc"), lit(0L)).cast("double") /
+          greatest(coalesce(col("__totc"), lit(0L)), lit(1L)))
+          .as("dup_line_char_frac"))
     // one tagged explode over every n: a single count shuffle + top-1
     // window serves all gram sizes
     val tagged = df.select(col(idCol).as("id"),

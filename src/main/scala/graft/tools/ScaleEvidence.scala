@@ -247,6 +247,18 @@ object ScaleEvidence {
         Dedup.hammingCandidates(hashed.filter(col("decoded")), "id", "phash")
           .filter(col("hamming") <= 3).count()
       },
+      // audio near-dup (round 14): WAV synthesis + chunk-walk decode +
+      // frame-energy fingerprint + shared banding — same claims as
+      // image_neardup (narrow maps, band-bounded pair work).
+      "audio_neardup" -> { () =>
+        val fam = docs.select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val fps = graft.operators.Multimodal.audioFingerprint(
+          graft.operators.Multimodal.syntheticWavs(fam, "doc_id", "family"),
+          "id", "payload")
+        Dedup.hammingCandidates(fps.filter(col("decoded")), "id", "afp")
+          .filter(col("hamming") <= 3).count()
+      },
       // Gopher repetition rules (round 14): per-row line lambdas + ONE
       // tagged n-gram explode/count/top-1 chain. Claim: linear in corpus
       // tokens, shuffle volume tracking the distinct (doc, n, gram) keys.

@@ -2005,13 +2005,15 @@ class OperatorsSpec extends AnyFunSuite {
     // empty doc: no lines, no grams, all-zero signals (never NULL/0-div)
     assert(got(4L).getLong(1) == 0L && got(4L).getDouble(2) == 0.0 &&
       got(4L).getDouble(4) == 0.0)
-    // plan: bounded exchanges (count shuffle, window re-key, id collapse,
-    // join), never a cartesian/NL join
+    // plan: bounded exchanges (line count + id collapse, gram count +
+    // window re-key + id collapse, the two id-keyed joins), never a
+    // cartesian/NL join — the r14 relational line stats trade one more
+    // keyed shuffle for the removal of the per-row O(lines^2) fold
     val plan = TextAnalysis.repetitionSignals(df, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs crept in:\n$plan")
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 4,
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 8,
       s"too many shuffles:\n$plan")
   }
 

@@ -549,6 +549,23 @@ object PipelineQueries {
       },
       Some("""WITH n AS (SELECT source, COUNT(*) AS nd FROM documents WHERE source IS NOT NULL GROUP BY source), w AS (SELECT source, nd, FLOOR(SQRT(CAST(nd AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS wd FROM n), tot AS (SELECT CAST(SUM(CAST(wd AS DECIMAL(27,6))) AS DOUBLE) AS wt FROM w), q AS (SELECT source, LEAST(CAST(FLOOR(CAST(200 AS DOUBLE) * wd / wt) AS BIGINT), nd) AS quota FROM w CROSS JOIN tot) SELECT doc_id, source, lang FROM documents JOIN q USING (source) QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || '13'), doc_id) <= quota ORDER BY source, doc_id""")),
 
+    // DSIR importance-resampling selection (Xie et al. 2023): src0 docs
+    // play the high-quality target corpus, every other doc is the raw
+    // pool, top 50 raw docs by smoothed hashed-unigram+bigram log
+    // importance ratio are kept. The oracle replays the WHOLE pipeline:
+    // tokenization, md5 bucket hashing, smoothed distributions with
+    // bucket-frame totals, floor-rounded log ratios and addends, the
+    // decimal-exact per-doc sum, and the (weight DESC, id) cut.
+    QueryDef("q_dsir_select",
+      (s, dir) => {
+        graft.operators.Dsir.select(Tables.documents(s, dir), "doc_id",
+            "text", col("source") === "src0", k = 50)
+          .select(col("id").as("doc_id"), col("n_feats"),
+            col("dsir_weight"))
+      },
+      Some(dsirOracleSql(target = "src0", k = 50, buckets = 1024,
+        alpha = 1.0))),
+
     // Fuzzy (edit-distance) join: supplier names against a perturbed copy
     // (last character dropped), matched within 1 edit — length banding
     // turns the nested-loop fuzzy match into a shuffled equi-join with a
@@ -2640,6 +2657,17 @@ object PipelineQueries {
     */
   private def md5EmbedVecCtes(dim: Int, n: Int): String =
     raw"""tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents), grams AS (SELECT doc_id, UNNEST(CASE WHEN len(tk) < $n THEN CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(tk) - ${n - 2}), i -> array_to_string(tk[i:i+${n - 1}], ' ')) END) AS g FROM tk), hx AS (SELECT doc_id, md5(g) AS x FROM grams WHERE g <> ''), contrib AS (SELECT doc_id, CAST(('0x' || substring(x,1,8)) AS BIGINT) % $dim AS idx, CASE WHEN CAST(('0x' || substring(x,9,8)) AS BIGINT) % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn FROM hx), slot AS (SELECT doc_id, idx, SUM(sgn) AS v FROM contrib GROUP BY doc_id, idx), rawv AS (SELECT d.doc_id, list(COALESCE(s.v, CAST(0 AS DOUBLE)) ORDER BY i.i) AS raw FROM (SELECT doc_id FROM documents) d CROSS JOIN range(0, $dim) i(i) LEFT JOIN slot s ON s.doc_id = d.doc_id AND s.idx = i.i GROUP BY d.doc_id), normv AS (SELECT doc_id, raw, sqrt(list_inner_product(raw, raw)) AS nrm FROM rawv), ev0 AS (SELECT doc_id, list_transform(raw, x -> CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE) ELSE x / nrm END) AS vd FROM normv)"""
+
+  /** DuckDB replay of [[graft.operators.Dsir.select]]: same tokenization
+    * as [[md5EmbedVecCtes]] (trim/lower/\s+ split, blank-safe), same md5
+    * first-half bucket hash, smoothing/rounding formulas emitted from the
+    * SAME Scala doubles the operator uses so the literals cannot drift.
+    */
+  private def dsirOracleSql(target: String, k: Int, buckets: Int,
+      alpha: Double): String = {
+    val aB = alpha * buckets
+    raw"""WITH tk AS (SELECT doc_id, COALESCE(source = '$target', FALSE) AS tgt, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents), g1 AS (SELECT doc_id, tgt, UNNEST(tk) AS f FROM tk), g2 AS (SELECT doc_id, tgt, UNNEST(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END) AS f FROM tk), fe AS (SELECT doc_id, tgt, f FROM g1 WHERE f <> '' UNION ALL SELECT doc_id, tgt, f FROM g2), fc AS (SELECT doc_id, tgt, CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % $buckets AS b, COUNT(*) AS c FROM fe GROUP BY 1, 2, 3), bt AS (SELECT b, SUM(CASE WHEN tgt THEN c ELSE 0 END) AS ct, SUM(CASE WHEN NOT tgt THEN c ELSE 0 END) AS cr FROM fc GROUP BY 1), tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cr) AS DOUBLE) AS tr FROM bt), lam AS (SELECT b, FLOOR(LN(((CAST(ct AS DOUBLE) + $alpha) / (tt + $aB)) / ((CAST(cr AS DOUBLE) + $alpha) / (tr + $aB))) * 1e6 + 0.5) / 1e6 AS lam FROM bt CROSS JOIN tot) SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats, ${dsumSql("FLOOR(CAST(c AS DOUBLE) * lam * 1e6 + 0.5) / 1e6")} AS dsir_weight FROM fc JOIN lam USING (b) WHERE NOT tgt GROUP BY doc_id ORDER BY dsir_weight DESC, doc_id LIMIT $k"""
+  }
 
   private def embedNearDupOracleSql(dim: Int, n: Int, threshold: Double,
       planesPerTable: Int = 4, tables: Int = 8, maxBucket: Int = 256,

@@ -2078,4 +2078,66 @@ class OperatorsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"image near-dup banding degraded to all-pairs:\n$plan")
   }
+
+  test("dsir: driver replay of the weight contract; target/empty/null " +
+      "membership rules; selection ranks target-like docs first") {
+    val texts = Seq(
+      (1L, "alpha beta gamma alpha beta", "tgt"),
+      (2L, "alpha beta delta gamma", "tgt"),
+      (3L, "alpha beta gamma alpha beta", "raw"), // a target twin
+      (4L, "zeta eta theta iota kappa mu", "raw"), // nothing in common
+      (5L, "", "raw"), // no features -> absent from the output
+      (6L, "alpha beta", null) // NULL flag -> raw pool, never dropped
+    )
+    val df = texts.toDF("id", "text", "role")
+    val buckets = 64
+    val alpha = 1.0
+    val got = Dsir.weights(df, "id", "text", $"role" === "tgt", buckets)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // independent driver reference of the full pipeline: tokenize,
+    // md5-first-half buckets, smoothed distributions, floor-6 log ratios
+    // and addends, decimal-exact per-doc sum
+    def feats(t: String): Seq[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(f: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      val v = (0 until 4).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+      (v % buckets).toInt
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val isTgt = texts.map(t => t._1 -> (t._3 == "tgt")).toMap
+    val fc: Map[(Long, Int), Long] = texts
+      .flatMap { case (id, t, _) => feats(t).map(f => (id, bucket(f))) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val ct = fc.toSeq.filter(x => isTgt(x._1._1))
+      .groupBy(_._1._2).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val cr = fc.toSeq.filter(x => !isTgt(x._1._1))
+      .groupBy(_._1._2).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val tt = ct.values.sum.toDouble; val tr = cr.values.sum.toDouble
+    def lam(b: Int): Double = r6(math.log(
+      ((ct.getOrElse(b, 0L).toDouble + alpha) / (tt + alpha * buckets)) /
+        ((cr.getOrElse(b, 0L).toDouble + alpha) / (tr + alpha * buckets))))
+    val expected: Map[Long, (Long, Double)] = fc.toSeq
+      .filter(x => !isTgt(x._1._1)).groupBy(_._1._1)
+      .map { case (id, xs) =>
+        val w = xs.map { case ((_, b), c) => BigDecimal(r6(c * lam(b))) }
+          .sum.toDouble
+        id -> (xs.map(_._2).sum, w)
+      }
+    assert(got == expected,
+      s"weight mismatch:\n got $got\n exp $expected")
+    // membership rules: targets and the empty doc absent, NULL flag kept
+    assert(!got.contains(1L) && !got.contains(2L), "target docs leaked")
+    assert(!got.contains(5L), "featureless doc got a weight")
+    assert(got.contains(6L), "NULL target flag dropped a raw doc")
+    // the target twin outscores the disjoint doc, and selection cuts there
+    assert(got(3L)._2 > got(4L)._2, "target twin did not outscore")
+    val top = Dsir.select(df, "id", "text", $"role" === "tgt", k = 1,
+      buckets).collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(3L), s"selection cut wrong: $top")
+  }
 }

@@ -411,4 +411,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
       s"no checkpoint barrier in the md5 stream-dedup plan:\n${plan.take(1200)}")
   }
+
+  test("dsir: broadcast scoring join, top-k cut, totals window only over " +
+      "the bucket aggregate") {
+    val q = graft.SparkEntry.queries("q_dsir_select")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs crept into dsir:\n${plan.take(1200)}")
+    // the <= buckets-row log-ratio table must broadcast onto the staged
+    // counts — a shuffled scoring join would re-exchange the corpus-sized
+    // side on the bucket key (skewed: common-token buckets are huge)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"log-ratio table not broadcast:\n${plan.take(1200)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection cut is not a top-k (global sort?):\n${plan.take(1200)}")
+    // feature counts are staged once (eager checkpoint): the plan above
+    // the barrier starts from a materialized RDD, and the md5 bucket
+    // hash runs inside it, never above
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
+      s"no staging barrier above the feature counts:\n${plan.take(1200)}")
+    assert(!plan.contains("md5("),
+      s"md5 hashing above the staging barrier:\n${plan.take(1200)}")
+    // the only unpartitioned window is the totals sum over the bucket
+    // aggregate (bounded by construction, the prefixSum-totals class)
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the bucket-frame totals window")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.find {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+        case _ => false
+      }.isDefined,
+        s"unpartitioned window over a non-aggregated child:\n$w")
+    }
+  }
 }

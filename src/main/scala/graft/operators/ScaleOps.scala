@@ -377,6 +377,32 @@ object ScaleOps {
     * second shuffle moves a bounded few-thousand-row frame regardless of
     * input size.
     */
+  /** Cluster-balanced sampling (the embedding-space rebalancing step a
+    * DataComp-style curation run uses to keep a subset topically diverse
+    * instead of letting the head clusters dominate): assign every vector
+    * to its nearest centroid ([[Similarity.assignCells]] — one narrow
+    * codegen'd argmax-dot pass, model-sized broadcast literals), then
+    * take a fixed per-cluster quota by [[quotaSample]]'s seeded-md5 rank.
+    * Rows the assigner maps to a NULL cell (NaN/degenerate vectors) are
+    * dropped — they have no position in embedding space and would
+    * otherwise form their own sampled stratum.
+    *
+    * Scale shape: assignment is a scan-speed map; the sampling pays the
+    * two bounded rank phases (`fanout` reducers per cluster, then a
+    * ≤ fanout·quota second phase). With [[Similarity.trainCentroids]]'s
+    * bounded-sample training, nothing here is corpus-sized except the
+    * one scan.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])], quota: Int, seed: Int = 13,
+      fanout: Int = 32): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    quotaSample(
+      Similarity.assignCells(df, vecCol, centroids)
+        .filter(col("cell").isNotNull),
+      "cell", idCol, quota, seed, fanout)
+  }
+
   def quotaSample(df: DataFrame, strataCol: String, idCol: String,
       quota: Int, seed: Int = 13, fanout: Int = 32): DataFrame = {
     require(quota > 0 && fanout > 0, "quota and fanout must be positive")

@@ -566,6 +566,24 @@ object PipelineQueries {
       Some(dsirOracleSql(target = "src0", k = 50, buckets = 1024,
         alpha = 1.0))),
 
+    // Cluster-balanced sampling: deterministic kmeans (the q_sim_ivf
+    // trained-model replay — same centroids CTE chain) assigns every
+    // embedding a cell, then each cell yields a fixed 10-row seeded-md5
+    // quota — the embedding-space diversity rebalancing step. The oracle
+    // replays training, assignment (ties to the LAST cid, the
+    // nearest-centroid kernel's contract) and the rank selection.
+    QueryDef("q_cluster_balance",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val cents = graft.operators.Similarity.trainCentroids(
+          emb, "embedding", k = 8, sampleOrderCol = Some("vec_id"))
+        graft.operators.ScaleOps.clusterBalancedSample(
+            emb, "vec_id", "embedding", cents, quota = 10)
+          .select("vec_id", "cell")
+          .orderBy("cell", "vec_id")
+      },
+      Some(s"""WITH ${kmeansCtes(8)} SELECT vec_id, cell FROM cell QUALIFY ROW_NUMBER() OVER (PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR) || '|' || '13'), vec_id) <= 10 ORDER BY cell, vec_id""")),
+
     // Fuzzy (edit-distance) join: supplier names against a perturbed copy
     // (last character dropped), matched within 1 edit — length banding
     // turns the nested-loop fuzzy match into a shuffled equi-join with a

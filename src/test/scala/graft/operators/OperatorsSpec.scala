@@ -2079,6 +2079,46 @@ class OperatorsSpec extends AnyFunSuite {
       s"image near-dup banding degraded to all-pairs:\n$plan")
   }
 
+  test("cluster-balanced sample: per-cell quotas honored, assignment " +
+      "matches nearest centroid, NaN vectors dropped, layout-stable") {
+    // three tight synthetic clusters around orthogonal axes + one NaN row
+    val base = Seq(
+      (0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)),
+      (2, Seq(0.0, 0.0, 1.0)))
+    val rows = (for {
+      (c, axis) <- base
+      i <- 0 until (c + 2) * 3 // cells of size 6, 9, 12
+    } yield {
+      val eps = 0.01 * (i + 1)
+      val v = axis.zipWithIndex.map { case (x, d) =>
+        (if (x == 1.0) 1.0 else eps * (d + 1)).toFloat }
+      (c * 100L + i, v)
+    }) :+ (999L, Seq(Float.NaN, 0.0f, 0.0f))
+    val df = rows.toDF("id", "vec")
+    val cents = base.map { case (c, axis) => (c, axis) }
+    val quota = 4
+    val got = ScaleOps.clusterBalancedSample(df, "id", "vec", cents, quota)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    // NaN row never sampled; every sampled row sits in its id's own
+    // cluster (construction puts id c*100+i nearest axis c)
+    assert(!got.exists(_._1 == 999L), "NaN vector was sampled")
+    got.foreach { case (id, cell) =>
+      assert(cell == (id / 100).toInt, s"row $id assigned cell $cell") }
+    // per-cell counts = min(quota, cell size)
+    val sizes = Map(0 -> 6, 1 -> 9, 2 -> 12)
+    val byCell = got.groupBy(_._2).view.mapValues(_.length).toMap
+    sizes.foreach { case (c, n) =>
+      assert(byCell.getOrElse(c, 0) == math.min(quota, n),
+        s"cell $c: got ${byCell.getOrElse(c, 0)}, want ${math.min(quota, n)}")
+    }
+    // layout independence: a different partitioning samples identically
+    val got2 = ScaleOps.clusterBalancedSample(df.repartition(7), "id",
+      "vec", cents, quota).select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(got.toSet == got2.toSet, "sample depends on physical layout")
+  }
+
   test("dsir: driver replay of the weight contract; target/empty/null " +
       "membership rules; selection ranks target-like docs first") {
     val texts = Seq(

@@ -289,7 +289,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // whole input through one task (the exact trap the two-phase design
     // avoids)
     // (logical plan: AQE hides the physical WindowExec nodes until run)
-    Seq("q_quota_sample", "q_mix_sample").foreach { q =>
+    Seq("q_quota_sample", "q_mix_sample", "q_cluster_balance").foreach { q =>
       val logical = graft.SparkEntry.queries(q)(spark, dir)
         .queryExecution.optimizedPlan
       val windows = logical.collect {

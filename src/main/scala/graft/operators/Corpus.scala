@@ -269,6 +269,73 @@ object Corpus {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Cross-document exact-substring REMOVAL — the cut step of the
+    * Lee-et-al substring-dedup loop whose detection half is
+    * [[repeatedSpans]]: every token covered by any occurrence of a span
+    * repeated in `>= minDocs` distinct documents is dropped, and each
+    * document is rebuilt from its surviving tokens in original order.
+    * Overlapping repeated spans compose naturally (coverage is a set of
+    * token positions, deduplicated before the cut). The output text is
+    * the cleaned TOKEN stream ([[spanTokens]] normalization: lowercase,
+    * whitespace-joined) — substring dedup operates on token sequences,
+    * not raw bytes; callers needing original casing keep the id map.
+    *
+    * Shape at scale: ONE tokenization staged and reused (positions,
+    * n-gram starts, totals — unstaged, the explode would recompute per
+    * consumer); the repeated-span table is a span-keyed aggregate with
+    * map-side combine; coverage is a bounded explode (`n` positions per
+    * matched occurrence) deduplicated on `(id, pos)`; the cut is a
+    * shuffled left-anti on `(id, pos)`; reassembly is one id-keyed
+    * aggregate whose in-group order comes from an `array_sort` on
+    * `(pos, tok)` structs — deterministic across layouts, no window.
+    * Nothing is all-pairs; nothing is driver-side.
+    *
+    * Output: `(idCol, clean_text, n_tokens, n_removed)`, one row per
+    * input document (tokenless documents keep an empty `clean_text`).
+    */
+  def maskRepeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = Dedup.stage(
+      docs.select(col(idCol).as("id"), spanTokens(col(textCol)).as("__t")))
+    // 1-based n-gram start positions (repeatedSpans' convention)
+    val grams = toks
+      .filter(size(col("__t")) >= n)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => array_join(slice(col("__t"), i, lit(n)), " ")))
+        .as(Seq("__p0", "span")))
+      .select(col("id"), (col("__p0") + 1).as("start"), col("span"))
+    val rep = grams.groupBy("span")
+      .agg(count_distinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("span")
+    val covered = grams.join(rep, Seq("span"))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val pos = toks.select(col("id"),
+      posexplode(col("__t")).as(Seq("__p0", "tok")))
+      .select(col("id"), (col("__p0") + 1).as("pos"), col("tok"))
+    val kept = pos.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("__nk"))
+    toks.select(col("id"), size(col("__t")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
+  }
+
   /** Remove contaminated documents: `train` without any document sharing
     * an `n`-gram with `bench` (anti join against the hit set).
     */

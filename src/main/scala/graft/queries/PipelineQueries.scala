@@ -1042,6 +1042,20 @@ object PipelineQueries {
       },
       Some(s"""SELECT s_suppkey, COUNT(*) AS n, ${dsumSql("c_acctbal")} AS bal FROM supplier JOIN customer ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100 GROUP BY s_suppkey ORDER BY s_suppkey""")),
 
+    // cross-document exact-substring REMOVAL (the Lee-et-al cut step;
+    // q_span_dedup is the detection half): every token covered by an
+    // 8-gram repeated across >= 2 docs is dropped, docs rebuilt from the
+    // surviving tokens in order. The oracle replays tokenization, span
+    // enumeration, the repeated-span table, position coverage, the
+    // anti-join cut and the ordered reassembly.
+    QueryDef("q_span_scrub",
+      (s, dir) => {
+        graft.operators.Corpus.maskRepeatedSpans(
+          Tables.documents(s, dir), "doc_id", "text", n = 8, minDocs = 2)
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents), g AS (SELECT doc_id, i AS start, array_to_string(t[i:i+7], ' ') AS span FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i) WHERE len(t) >= 8), rep AS (SELECT span FROM g GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2), cov AS (SELECT DISTINCT doc_id, start + o AS pos FROM g JOIN rep USING (span), UNNEST(generate_series(0, 7)) AS v(o)), pos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks), kept AS (SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text, COUNT(*) AS nk FROM pos p ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos GROUP BY p.doc_id) SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text, CAST(len(t.t) AS BIGINT) AS n_tokens, CAST(len(t.t) - COALESCE(k.nk, 0) AS BIGINT) AS n_removed FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id ORDER BY t.doc_id""")),
+
     // corpus-wide paragraph dedup: global first occurrence of each
     // paragraph survives, documents are rebuilt in order. This corpus has
     // no newlines, so ' the ' stands in as the paragraph delimiter — the

@@ -2079,6 +2079,41 @@ class OperatorsSpec extends AnyFunSuite {
       s"image near-dup banding degraded to all-pairs:\n$plan")
   }
 
+  test("span scrub: covered tokens cut, overlaps compose, survivors " +
+      "rebuilt in order, edge docs intact") {
+    // span "a b c d" (n=4) repeats in docs 1 and 2; doc 2 has TWO
+    // overlapping occurrences (a b c d a b c d -> all 8 covered... use
+    // a b c d embedded mid-text); doc 3 shares no span; doc 4 is ALL
+    // repeated content; doc 5 is empty
+    val df = Seq(
+      (1L, "x a b c d y z w"),
+      (2L, "p a b c d a b c d q"),
+      (3L, "u v w x y z one two"),
+      (4L, "a b c d"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Corpus.maskRepeatedSpans(df, "doc_id", "text", n = 4,
+      minDocs = 2).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got(1L) == (("x y z w", 8L, 4L)), s"doc 1: ${got(1L)}")
+    // doc 2: both occurrences (starts 2 and 6) cover positions 2..9
+    assert(got(2L) == (("p q", 10L, 8L)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == (("u v w x y z one two", 8L, 0L)), s"doc 3: ${got(3L)}")
+    assert(got(4L) == (("", 4L, 4L)), s"doc 4 (fully cut): ${got(4L)}")
+    assert(got(5L) == (("", 0L, 0L)), s"doc 5 (tokenless): ${got(5L)}")
+    // plan gate: anti-join cut, no all-pairs, staged tokenization (the
+    // md5-free plan reads the token frame from the checkpoint barrier)
+    val plan = Corpus.maskRepeatedSpans(df, "doc_id", "text", n = 4,
+      minDocs = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs crept into span scrub:\n$plan")
+    assert(plan.contains("LeftAnti"), s"cut is not an anti-join:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
+      s"tokenization not staged:\n${plan.take(1200)}")
+  }
+
   test("cluster-balanced sample: per-cell quotas honored, assignment " +
       "matches nearest centroid, NaN vectors dropped, layout-stable") {
     // three tight synthetic clusters around orthogonal axes + one NaN row

@@ -259,6 +259,35 @@ object ScaleEvidence {
         Dedup.hammingCandidates(fps.filter(col("decoded")), "id", "afp")
           .filter(col("hamming") <= 3).count()
       },
+      // DSIR selection (round 14): fixed top-50 cut over a growing raw
+      // pool. Claims: wall tracks the one tokenize+count scan; the
+      // log-ratio model stays `buckets`-sized (broadcast) at any scale;
+      // shuffle tracks the distinct (doc, bucket) keys, never the grams.
+      "dsir_select" -> { () =>
+        graft.operators.Dsir.select(docs, "doc_id", "text",
+          col("source") === "src0", k = 50).count()
+      },
+      // exact-substring removal (round 14): repeated-8-gram coverage cut.
+      // Claims: linear in corpus tokens; shuffles track the gram/position
+      // keys; the anti-join cut never goes all-pairs.
+      // (rows = total tokens REMOVED: a bare count() would let Catalyst
+      // eliminate the whole key-unique left join and measure only the
+      // staged tokenization)
+      "span_scrub" -> { () =>
+        graft.operators.Corpus.maskRepeatedSpans(
+            docs, "doc_id", "text", n = 8, minDocs = 2)
+          .agg(sum("n_removed")).collect()(0).getLong(0)
+      },
+      // cluster-balanced sampling (round 14): bounded-sample kmeans +
+      // per-cell seeded quota. Claims: training cost pinned by maxSample;
+      // assignment is scan-speed; rank phases bounded by fanout*quota.
+      "cluster_balance" -> { () =>
+        val cents = Similarity.trainCentroids(emb, "embedding", k = 16,
+          sampleOrderCol = Some("vec_id"))
+        graft.operators.ScaleOps.clusterBalancedSample(
+          emb.select("vec_id", "embedding"), "vec_id", "embedding",
+          cents, quota = 20).count()
+      },
       // Gopher repetition rules (round 14): per-row line lambdas + ONE
       // tagged n-gram explode/count/top-1 chain. Claim: linear in corpus
       // tokens, shuffle volume tracking the distinct (doc, n, gram) keys.

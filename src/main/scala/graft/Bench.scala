@@ -156,9 +156,16 @@ object Bench {
   private[graft] def repin(
       old: Option[FloorEntry], wall: Double, changed: Boolean,
       round: String, reason: String): FloorEntry = old match {
-    case None => FloorEntry(wall, Nil, round, reason)
+    // only a DECLARED pipeline change carries the caller's reason: a
+    // fresh pin or an unchanged-pipeline downward ratchet taking the env
+    // reason verbatim stamps unrelated queries with another pipeline's
+    // story (r14 closing runs mislabeled image/PII floors with the
+    // repetition rewrite's reason — a floor audit would read those
+    // pipelines as changed when they were not)
+    case None => FloorEntry(wall, Nil, round, "fresh pin (new query)")
     case Some(o) if !changed =>
-      if (wall < o.floor) FloorEntry(wall, o.prev, round, reason)
+      if (wall < o.floor)
+        FloorEntry(wall, o.prev, round, "monotone ratchet (unchanged pipeline)")
       else o // monotone: keep the tighter floor AND its provenance
     case Some(o) =>
       val hist =

@@ -377,6 +377,15 @@ object ScaleOps {
     * second shuffle moves a bounded few-thousand-row frame regardless of
     * input size.
     */
+  def quotaSample(df: DataFrame, strataCol: String, idCol: String,
+      quota: Int, seed: Int = 13, fanout: Int = 32): DataFrame = {
+    require(quota > 0 && fanout > 0, "quota and fanout must be positive")
+    val reserved = Seq("__h", "__salt", "__rn").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input must not already contain ${reserved.mkString(", ")}")
+    rankWithinGroups(df, strataCol, idCol, lit(quota), seed, fanout)
+  }
+
   /** Cluster-balanced sampling (the embedding-space rebalancing step a
     * DataComp-style curation run uses to keep a subset topically diverse
     * instead of letting the head clusters dominate): assign every vector
@@ -401,15 +410,6 @@ object ScaleOps {
       Similarity.assignCells(df, vecCol, centroids)
         .filter(col("cell").isNotNull),
       "cell", idCol, quota, seed, fanout)
-  }
-
-  def quotaSample(df: DataFrame, strataCol: String, idCol: String,
-      quota: Int, seed: Int = 13, fanout: Int = 32): DataFrame = {
-    require(quota > 0 && fanout > 0, "quota and fanout must be positive")
-    val reserved = Seq("__h", "__salt", "__rn").filter(df.columns.contains)
-    require(reserved.isEmpty,
-      s"input must not already contain ${reserved.mkString(", ")}")
-    rankWithinGroups(df, strataCol, idCol, lit(quota), seed, fanout)
   }
 
   /** The ONE two-phase salted rank selection [[quotaSample]] and

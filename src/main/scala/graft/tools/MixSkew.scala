@@ -46,6 +46,12 @@ object MixSkew {
           .otherwise(lit("giant")))
     docs.count() // warm up
 
+    // diagnostics BEFORE the listener attaches: these jobs shuffle too,
+    // and their stages would otherwise print as mixer evidence rows
+    val nDomains = docs.select("domain").distinct().count()
+    val giant = docs.filter(col("domain") === "giant").count()
+    val total = docs.count()
+
     // per-stage, per-task shuffle-read accounting
     final case class St(var tasks: Int = 0, var read: Long = 0L,
       var maxRead: Long = 0L, var write: Long = 0L)
@@ -74,10 +80,6 @@ object MixSkew {
     val nOut = out.count()
     val sec = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500) // drain the listener bus
-
-    val nDomains = docs.select("domain").distinct().count()
-    val giant = docs.filter(col("domain") === "giant").count()
-    val total = docs.count()
 
     def mb(b: Long): Double = b / 1048576.0
     stages.toSeq.sortBy(_._1).foreach { case (id, s) =>

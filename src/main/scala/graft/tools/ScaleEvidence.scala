@@ -247,6 +247,22 @@ object ScaleEvidence {
         Dedup.hammingCandidates(hashed.filter(col("decoded")), "id", "phash")
           .filter(col("hamming") <= 3).count()
       },
+      // image duplicate clustering (round 14): the near-dup pair stage
+      // above + the iterative connected-components fold. Claim: CC
+      // iteration count tracks the cluster DIAMETER (log-bounded label
+      // propagation), never the corpus, and per-iteration shuffle tracks
+      // the edge frame; rows = clusters found.
+      "image_clusters" -> { () =>
+        val fam = docs.select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val hashed = graft.operators.Multimodal.imageDHash(
+          graft.operators.Multimodal.syntheticGrayPngs(fam, "doc_id", "family"),
+          "id", "payload")
+        val pairs = Dedup.hammingCandidates(
+          hashed.filter(col("decoded")), "id", "phash")
+          .filter(col("hamming") <= 3).select("id_a", "id_b")
+        Dedup.clusters(pairs).select("rep").distinct().count()
+      },
       // audio near-dup (round 14): WAV synthesis + chunk-walk decode +
       // frame-energy fingerprint + shared banding — same claims as
       // image_neardup (narrow maps, band-bounded pair work).

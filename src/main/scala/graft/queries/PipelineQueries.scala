@@ -289,6 +289,36 @@ object PipelineQueries {
       },
       Some("SELECT doc_id, text AS text_out FROM documents ORDER BY doc_id")),
 
+    // Schema-evolution read (the lakehouse column-add migration): two
+    // parquet generations of the corpus — gen=1 without `lang`, gen=2
+    // with it — land under one root; `mergeSchema` + partition discovery
+    // must present one unified frame where gen-1 rows carry NULL lang
+    // and the `gen` directory key becomes a column. The oracle
+    // re-derives the merged aggregate from the source table (the
+    // q_tar_roundtrip identity pattern). At scale the mergeSchema footer
+    // sweep is the cost knob — production layouts pin one schema per
+    // partition directory exactly as written here.
+    QueryDef("q_schema_evolution",
+      (s, dir) => {
+        val out = Tables.scratchPath("schema_evo", dir)
+        val docs = Tables.documents(s, dir)
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select("doc_id", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$out/gen=1")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select("doc_id", "source", "n_chars", "lang")
+          .write.mode("overwrite").parquet(s"$out/gen=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("lang")).as("n_with_lang"),
+            sum(when(col("gen") === 1, 1L).otherwise(0L)).as("n_gen1"),
+            graft.functions.Exact.dsum(col("n_chars").cast("double"))
+              .as("chars_total"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source, COUNT(*) AS n_docs, COUNT(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_with_lang, CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen1, ${dsumSql("CAST(n_chars AS DOUBLE)")} AS chars_total FROM documents GROUP BY source ORDER BY source""")),
+
     // END-TO-END CURATION PIPELINE: the five standard stages composed as
     // one lazy plan — Gopher quality rules -> language keep -> exact
     // survivor dedup -> near-dup drop (lowest-id neighbor wins) ->
@@ -747,6 +777,45 @@ object PipelineQueries {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_within_bound, TRUE AS hll_union_consistent FROM events GROUP BY event_type UNION ALL SELECT 'ALL', COUNT(DISTINCT user_id), TRUE, TRUE FROM events ORDER BY event_type""")),
+
+    // Quantile sketch with an oracle-gated rank-error contract
+    // (q_sketch_distinct's sketch-then-verify pattern for the OTHER
+    // standard sketch family): percentile_approx (Greenwald-Khanna
+    // style summaries, accuracy 100 => guaranteed rank error <= 0.01)
+    // estimates 4 quantiles of events.value in one pass; the query then
+    // recounts the EXACT ranks of the returned estimates and emits
+    // booleans for the two-sided law count(< est) <= (q+0.02)n AND
+    // count(<= est) >= (q-0.02)n (the 2x-guarantee gate is the
+    // regeneration-proof oracle form — and layout-proof: GK merge order
+    // may shift the estimate within guarantee, the booleans never flip).
+    // The estimates frame is ONE row of 4 doubles — a bounded,
+    // model-sized driver transfer (the trainCentroids posture) that
+    // turns the rank recount into literal comparisons in one scan.
+    QueryDef("q_sketch_quantiles",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val qs = Seq(0.25, 0.5, 0.75, 0.9)
+        val head = ev.agg(
+          percentile_approx(col("value"),
+            array(qs.map(lit): _*), lit(100)).as("est"),
+          count(col("value")).as("n")).collect()(0)
+        val est = head.getSeq[Double](0)
+        val n = head.getLong(1)
+        val aggs = qs.indices.flatMap(i => Seq(
+          sum(when(col("value") < lit(est(i)), 1L).otherwise(0L))
+            .as(s"__lt$i"),
+          sum(when(col("value") <= lit(est(i)), 1L).otherwise(0L))
+            .as(s"__le$i")))
+        val checks = ev.agg(aggs.head, aggs.tail: _*)
+        import org.apache.spark.sql.functions.{lit => L}
+        qs.indices.map { i =>
+          checks.select(L(qs(i)).as("quantile"), L(n).as("n_total"),
+            (col(s"__lt$i") <= L((qs(i) + 0.02) * n) &&
+              col(s"__le$i") >= L((qs(i) - 0.02) * n))
+              .as("rank_within_bound"))
+        }.reduce(_.unionByName(_)).orderBy("quantile")
+      },
+      Some("""SELECT q AS quantile, (SELECT COUNT(value) FROM events) AS n_total, TRUE AS rank_within_bound FROM (VALUES (0.25), (0.5), (0.75), (0.9)) AS t(q) ORDER BY quantile""")),
 
     // URL canonicalization dedup: each document emits two spellings of
     // its page URL (case/port/fragment/tracking-param/trailing-slash

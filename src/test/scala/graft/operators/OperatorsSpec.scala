@@ -2079,6 +2079,25 @@ class OperatorsSpec extends AnyFunSuite {
       s"image near-dup banding degraded to all-pairs:\n$plan")
   }
 
+  test("sketch quantiles: contract holds on the corpus and FLIPS on a " +
+      "degraded estimate") {
+    val rows = graft.SparkEntry.queries("q_sketch_quantiles")(spark, dir)
+      .collect()
+    assert(rows.length == 4 && rows.forall(_.getBoolean(2)),
+      s"rank contract violated: ${rows.mkString(", ")}")
+    // sensitivity: the same two-sided law applied to a WRONG median
+    // (true rank 0.989 claimed as 0.5) must evaluate false — the gate
+    // can actually catch a degraded sketch, it is not vacuous
+    val vals = (1 to 1000).map(_.toDouble).toDF("value")
+    val bad = 990.0
+    val r = vals.agg(
+      sum(when($"value" < bad, 1L).otherwise(0L)).as("lt"),
+      sum(when($"value" <= bad, 1L).otherwise(0L)).as("le")).collect()(0)
+    val holds = r.getLong(0) <= (0.5 + 0.02) * 1000 &&
+      r.getLong(1) >= (0.5 - 0.02) * 1000
+    assert(!holds, "two-sided rank law failed to flag a wrong median")
+  }
+
   test("span scrub: covered tokens cut, overlaps compose, survivors " +
       "rebuilt in order, edge docs intact") {
     // span "a b c d" (n=4) repeats in docs 1 and 2; doc 2 has TWO

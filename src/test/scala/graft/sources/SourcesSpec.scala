@@ -249,4 +249,23 @@ class SourcesSpec extends AnyFunSuite {
       .reduce(key = "b", name = "n", attrs = Map("func" -> "count"))
     assert(g.result("n").collect()(0).getAs[Long]("n") == orig.count())
   }
+
+  test("schema evolution: mergeSchema NULL-fills missing columns and " +
+      "surfaces the generation directory key") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_schema_evo").toString
+    Seq((1L, "a")).toDF("id", "v1col")
+      .write.mode("overwrite").parquet(s"$root/gen=1")
+    Seq((2L, "b", "extra")).toDF("id", "v1col", "v2col")
+      .write.mode("overwrite").parquet(s"$root/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.columns.toSet == Set("id", "v1col", "v2col", "gen"),
+      s"merged schema wrong: ${merged.columns.mkString(",")}")
+    val byId = merged.collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("v2col")), r.getAs[Int]("gen"))).toMap
+    assert(byId(1L) == ((None, 1)), "gen-1 row must NULL-fill v2col")
+    assert(byId(2L) == ((Some("extra"), 2)))
+  }
 }

@@ -2079,6 +2079,103 @@ class OperatorsSpec extends AnyFunSuite {
       s"image near-dup banding degraded to all-pairs:\n$plan")
   }
 
+  test("span scrub: randomized driver replay over generated corpora") {
+    // seeded random corpora: small vocab (forces cross-doc repeats),
+    // varied lengths incl. empty docs; the operator must match an
+    // independent driver recomputation EXACTLY on every trial
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val n = 3; val minDocs = 2
+    for (trial <- 1 to 6) {
+      val corpus = (0 until 12).map { id =>
+        val len = rnd.nextInt(13) // 0..12 tokens
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val got = Corpus.maskRepeatedSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n, minDocs).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      // driver reference
+      val toks = corpus.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val spans = toks.toSeq.flatMap { case (id, t) =>
+        if (t.size < n) Nil
+        else (0 to t.size - n).map(i => (id, i, t.slice(i, i + n)
+          .mkString(" ")))
+      }
+      val rep = spans.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= minDocs).keySet
+      val covered: Map[Long, Set[Int]] = spans.filter(s => rep(s._3))
+        .flatMap { case (id, i, _) => (i until i + n).map(id -> _) }
+        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+      val expected = toks.map { case (id, t) =>
+        val cov = covered.getOrElse(id, Set.empty)
+        val kept = t.zipWithIndex.collect {
+          case (tok, i) if !cov(i) => tok }
+        id -> ((kept.mkString(" "), t.size.toLong,
+          (t.size - kept.size).toLong))
+      }
+      assert(got == expected, s"trial $trial diverged:\n got $got\n " +
+        s"exp $expected\n corpus $corpus")
+    }
+  }
+
+  test("dsir: randomized driver replay over generated corpora") {
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("x", "y", "z", "w", "v", "u")
+    val buckets = 32; val alpha = 1.0
+    def feats(t: String): Seq[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(f: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      val v = (0 until 4).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+      (v % buckets).toInt
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    for (trial <- 1 to 6) {
+      val corpus = (0 until 10).map { id =>
+        val len = rnd.nextInt(9) // 0..8 tokens
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "), rnd.nextInt(3) == 0) // ~1/3 target
+      }
+      // ensure at least one target and one raw doc with features
+      if (corpus.count(_._3) == 0 || corpus.count(!_._3) == 0) {
+        // degenerate draw: skip (weights are defined but uninteresting)
+      } else {
+        val got = Dsir.weights(corpus.toDF("id", "text", "tgt"),
+          "id", "text", col("tgt"), buckets, alpha).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+          .toMap
+        val isTgt = corpus.map(c => c._1 -> c._3).toMap
+        val fc = corpus.flatMap { case (id, t, _) =>
+          feats(t).map(f => (id, bucket(f))) }
+          .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+        val ct = fc.toSeq.filter(x => isTgt(x._1._1)).groupBy(_._1._2)
+          .map { case (b, xs) => b -> xs.map(_._2).sum }
+        val cr = fc.toSeq.filter(x => !isTgt(x._1._1)).groupBy(_._1._2)
+          .map { case (b, xs) => b -> xs.map(_._2).sum }
+        val tt = ct.values.sum.toDouble; val tr = cr.values.sum.toDouble
+        def lam(b: Int): Double = r6(math.log(
+          ((ct.getOrElse(b, 0L).toDouble + alpha) / (tt + alpha * buckets)) /
+            ((cr.getOrElse(b, 0L).toDouble + alpha) /
+              (tr + alpha * buckets))))
+        val expected = fc.toSeq.filter(x => !isTgt(x._1._1))
+          .groupBy(_._1._1).map { case (id, xs) =>
+            id -> ((xs.map(_._2).sum,
+              xs.map { case ((_, b), c) => BigDecimal(r6(c * lam(b))) }
+                .sum.toDouble))
+          }
+        assert(got == expected,
+          s"trial $trial diverged:\n got $got\n exp $expected")
+      }
+    }
+  }
+
   test("sketch quantiles: contract holds on the corpus and FLIPS on a " +
       "degraded estimate") {
     val rows = graft.SparkEntry.queries("q_sketch_quantiles")(spark, dir)

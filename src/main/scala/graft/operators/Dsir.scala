@@ -41,13 +41,21 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** md5-first-half bucket id in [0, buckets) — bit-identical to the
-    * DuckDB replay `CAST('0x' || substring(md5(f), 1, 8) AS BIGINT) %
-    * buckets` (same formula as [[TextAnalysis.hashEmbedMd5Reference]]'s
-    * slot hash, which OperatorsSpec pins against the kernel).
+  /** Bucket id in [0, buckets). md5 mode (the default, and the DECLARED
+    * oracle mode) is bit-identical to the DuckDB replay
+    * `CAST('0x' || substring(md5(f), 1, 8) AS BIGINT) % buckets` (same
+    * formula as [[TextAnalysis.hashEmbedMd5Reference]]'s slot hash);
+    * xx mode swaps in xxhash64 — the production posture for a corpus
+    * where the per-feature hash is the visible scan cost, same plan
+    * structure (the hashEmbed family's mode convention). The two modes
+    * hash different bucket collisions, so their weights differ in the
+    * smoothing tails; mode-shared CONTRACTS (target exclusion, empty-doc
+    * absence, layout independence) are spec-pinned.
     */
-  private def bucketOf(feature: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(feature.cast("binary")), 1, 8), 16, 10)
+  private def bucketOf(feature: Column, buckets: Int,
+      xx: Boolean): Column =
+    if (xx) pmod(xxhash64(feature), lit(buckets.toLong))
+    else pmod(conv(substring(md5(feature.cast("binary")), 1, 8), 16, 10)
       .cast("long"), lit(buckets.toLong))
 
   /** Per-(document, bucket) feature counts with the document's target
@@ -57,12 +65,13 @@ object Dsir {
     * Output: `(id, tgt, b, c)`; documents with no tokens produce no rows.
     */
   private[graft] def featureCounts(df: DataFrame, idCol: String,
-      textCol: String, isTarget: Column, buckets: Int): DataFrame =
+      textCol: String, isTarget: Column, buckets: Int,
+      xx: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"),
         coalesce(isTarget.cast("boolean"), lit(false)).as("tgt"),
         explode(concat(TextAnalysis.wordNgrams(col(textCol), 1),
           TextAnalysis.wordNgrams(col(textCol), 2))).as("f"))
-      .select(col("id"), col("tgt"), bucketOf(col("f"), buckets).as("b"))
+      .select(col("id"), col("tgt"), bucketOf(col("f"), buckets, xx).as("b"))
       .groupBy("id", "tgt", "b").agg(count(lit(1)).as("c"))
 
   /** Importance weights for every raw (non-target) document:
@@ -74,10 +83,11 @@ object Dsir {
     */
   def weights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 1024,
-      alpha: Double = 1.0): DataFrame = {
+      alpha: Double = 1.0, xx: Boolean = false): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val fc = Dedup.stage(featureCounts(df, idCol, textCol, isTarget, buckets))
+    val fc = Dedup.stage(
+      featureCounts(df, idCol, textCol, isTarget, buckets, xx))
     val bt = fc.groupBy("b").agg(
       sum(when(col("tgt"), col("c")).otherwise(lit(0L))).as("ct"),
       sum(when(!col("tgt"), col("c")).otherwise(lit(0L))).as("cr"))
@@ -107,9 +117,9 @@ object Dsir {
     */
   def select(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, k: Int, buckets: Int = 1024,
-      alpha: Double = 1.0): DataFrame = {
+      alpha: Double = 1.0, xx: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    weights(df, idCol, textCol, isTarget, buckets, alpha)
+    weights(df, idCol, textCol, isTarget, buckets, alpha, xx)
       .orderBy(col("dsir_weight").desc, col("id"))
       .limit(k)
   }

@@ -2122,6 +2122,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir xx mode: mode-shared contracts hold on the production hash") {
+    // same corpus as the md5 replay test; xx mode hashes different
+    // bucket collisions (weights may differ in the smoothing tails) but
+    // the SEMANTIC contracts are mode-independent
+    val df = Seq(
+      (1L, "alpha beta gamma alpha beta", "tgt"),
+      (2L, "alpha beta delta gamma", "tgt"),
+      (3L, "alpha beta gamma alpha beta", "raw"),
+      (4L, "zeta eta theta iota kappa mu", "raw"),
+      (5L, "", "raw"),
+      (6L, "alpha beta", null.asInstanceOf[String])
+    ).toDF("id", "text", "role")
+    val got = Dsir.weights(df, "id", "text", $"role" === "tgt",
+      buckets = 64, xx = true).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!got.contains(1L) && !got.contains(2L), "target docs leaked")
+    assert(!got.contains(5L), "featureless doc got a weight")
+    assert(got.contains(6L), "NULL target flag dropped a raw doc")
+    assert(got(3L) > got(4L), "target twin did not outscore in xx mode")
+    // layout independence: weights identical under a different
+    // partitioning (xxhash64 is content-keyed, never layout-keyed)
+    val got2 = Dsir.weights(df.repartition(7), "id", "text",
+      $"role" === "tgt", buckets = 64, xx = true).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == got2, "xx-mode weights depend on physical layout")
+  }
+
   test("dsir: randomized driver replay over generated corpora") {
     val rnd = new scala.util.Random(77)
     val vocab = Vector("x", "y", "z", "w", "v", "u")

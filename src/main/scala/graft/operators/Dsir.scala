@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   *
   * Feature space: word unigrams + bigrams ([[TextAnalysis.wordNgrams]]
   * tokenization — lowercase, whitespace split, blank-safe) hashed into
-  * `buckets` slots by the md5 first-half formula every oracle-replayable
-  * hash in this engine uses ([[TextAnalysis.hashEmbedMd5Reference]]).
+  * `buckets` slots — by default the md5 first-half formula every
+  * oracle-replayable hash in this engine uses
+  * ([[TextAnalysis.hashEmbedMd5Reference]]); `xx = true` swaps in
+  * xxhash64 (the production posture when the per-feature hash is the
+  * visible scan cost — different bucket collisions, so weights differ
+  * in the smoothing tails and have NO DuckDB twin; the determinism
+  * paragraph below applies to the declared md5 mode).
   * Distributions are add-`alpha`-smoothed bucket frequencies; a raw
   * document's weight is `sum_b c_b * ln(pTarget(b) / pRaw(b))` over its
   * bucket counts `c_b`.

@@ -799,21 +799,31 @@ object PipelineQueries {
           percentile_approx(col("value"),
             array(qs.map(lit): _*), lit(100)).as("est"),
           count(col("value")).as("n")).collect()(0)
+        // fail fast on a value-less table: a NULL estimate array has no
+        // quantiles to contract over (the engine's guard convention —
+        // silently emitting vacuous TRUE rows would be a lie)
+        require(!head.isNullAt(0) && head.getLong(1) > 0,
+          "q_sketch_quantiles: events.value has no non-NULL rows")
         val est = head.getSeq[Double](0)
         val n = head.getLong(1)
+        // ONE exact-rank recount scan for all quantiles, collected (two
+        // longs per quantile — bounded), then the 4-row contract frame is
+        // built from literals: a per-quantile union of the same global
+        // aggregate would re-plan the scan 4x unless exchange reuse saves
+        // it, and nothing here needs a distributed result
         val aggs = qs.indices.flatMap(i => Seq(
           sum(when(col("value") < lit(est(i)), 1L).otherwise(0L))
             .as(s"__lt$i"),
           sum(when(col("value") <= lit(est(i)), 1L).otherwise(0L))
             .as(s"__le$i")))
-        val checks = ev.agg(aggs.head, aggs.tail: _*)
-        import org.apache.spark.sql.functions.{lit => L}
+        val checks = ev.agg(aggs.head, aggs.tail: _*).collect()(0)
+        import s.implicits._
         qs.indices.map { i =>
-          checks.select(L(qs(i)).as("quantile"), L(n).as("n_total"),
-            (col(s"__lt$i") <= L((qs(i) + 0.02) * n) &&
-              col(s"__le$i") >= L((qs(i) - 0.02) * n))
-              .as("rank_within_bound"))
-        }.reduce(_.unionByName(_)).orderBy("quantile")
+          val lt = checks.getLong(2 * i); val le = checks.getLong(2 * i + 1)
+          (qs(i), n,
+            lt <= (qs(i) + 0.02) * n && le >= (qs(i) - 0.02) * n)
+        }.toDF("quantile", "n_total", "rank_within_bound")
+          .orderBy("quantile")
       },
       Some("""SELECT q AS quantile, (SELECT COUNT(value) FROM events) AS n_total, TRUE AS rank_within_bound FROM (VALUES (0.25), (0.5), (0.75), (0.9)) AS t(q) ORDER BY quantile""")),
 

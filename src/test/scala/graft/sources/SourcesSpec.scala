@@ -253,19 +253,28 @@ class SourcesSpec extends AnyFunSuite {
   test("schema evolution: mergeSchema NULL-fills missing columns and " +
       "surfaces the generation directory key") {
     import spark.implicits._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_schema_evo").toString
-    Seq((1L, "a")).toDF("id", "v1col")
-      .write.mode("overwrite").parquet(s"$root/gen=1")
-    Seq((2L, "b", "extra")).toDF("id", "v1col", "v2col")
-      .write.mode("overwrite").parquet(s"$root/gen=2")
-    val merged = spark.read.option("mergeSchema", "true").parquet(root)
-    assert(merged.columns.toSet == Set("id", "v1col", "v2col", "gen"),
-      s"merged schema wrong: ${merged.columns.mkString(",")}")
-    val byId = merged.collect()
-      .map(r => r.getLong(0) ->
-        (Option(r.getAs[String]("v2col")), r.getAs[Int]("gen"))).toMap
-    assert(byId(1L) == ((None, 1)), "gen-1 row must NULL-fill v2col")
-    assert(byId(2L) == ((Some("extra"), 2)))
+    val rootPath = java.nio.file.Files
+      .createTempDirectory("graft_schema_evo")
+    val root = rootPath.toString
+    try {
+      Seq((1L, "a")).toDF("id", "v1col")
+        .write.mode("overwrite").parquet(s"$root/gen=1")
+      Seq((2L, "b", "extra")).toDF("id", "v1col", "v2col")
+        .write.mode("overwrite").parquet(s"$root/gen=2")
+      val merged = spark.read.option("mergeSchema", "true").parquet(root)
+      assert(merged.columns.toSet == Set("id", "v1col", "v2col", "gen"),
+        s"merged schema wrong: ${merged.columns.mkString(",")}")
+      // by NAME: mergeSchema's column ORDER is not contractual
+      val byId = merged.collect()
+        .map(r => r.getAs[Long]("id") ->
+          (Option(r.getAs[String]("v2col")), r.getAs[Int]("gen"))).toMap
+      assert(byId(1L) == ((None, 1)), "gen-1 row must NULL-fill v2col")
+      assert(byId(2L) == ((Some("extra"), 2)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(rootPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }

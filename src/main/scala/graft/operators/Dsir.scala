@@ -72,11 +72,22 @@ object Dsir {
   private[graft] def featureCounts(df: DataFrame, idCol: String,
       textCol: String, isTarget: Column, buckets: Int,
       xx: Boolean = false): DataFrame =
+    featureCountsWith(df, idCol, textCol, isTarget,
+      f => bucketOf(f, buckets, xx))
+
+  /** [[featureCounts]] with an injectable bucket function — the
+    * DifferentialSpec sabotage hook (a degenerate bucket hash must flip
+    * the q_dsir_select_xx certificate red); production code paths all go
+    * through [[bucketOf]].
+    */
+  private[graft] def featureCountsWith(df: DataFrame, idCol: String,
+      textCol: String, isTarget: Column,
+      bucketFn: Column => Column): DataFrame =
     df.select(col(idCol).as("id"),
         coalesce(isTarget.cast("boolean"), lit(false)).as("tgt"),
         explode(concat(TextAnalysis.wordNgrams(col(textCol), 1),
           TextAnalysis.wordNgrams(col(textCol), 2))).as("f"))
-      .select(col("id"), col("tgt"), bucketOf(col("f"), buckets, xx).as("b"))
+      .select(col("id"), col("tgt"), bucketFn(col("f")).as("b"))
       .groupBy("id", "tgt", "b").agg(count(lit(1)).as("c"))
 
   /** Importance weights for every raw (non-target) document:
@@ -88,11 +99,18 @@ object Dsir {
     */
   def weights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 1024,
-      alpha: Double = 1.0, xx: Boolean = false): DataFrame = {
+      alpha: Double = 1.0, xx: Boolean = false): DataFrame =
+    weightsFromCounts(
+      featureCounts(df, idCol, textCol, isTarget, buckets, xx),
+      buckets, alpha)
+
+  /** [[weights]] over a precomputed `(id, tgt, b, c)` frame — shared by
+    * the production modes and the DifferentialSpec sabotage hook. */
+  private[graft] def weightsFromCounts(counts: DataFrame, buckets: Int,
+      alpha: Double): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val fc = Dedup.stage(
-      featureCounts(df, idCol, textCol, isTarget, buckets, xx))
+    val fc = Dedup.stage(counts)
     val bt = fc.groupBy("b").agg(
       sum(when(col("tgt"), col("c")).otherwise(lit(0L))).as("ct"),
       sum(when(!col("tgt"), col("c")).otherwise(lit(0L))).as("cr"))
@@ -124,8 +142,11 @@ object Dsir {
       isTarget: Column, k: Int, buckets: Int = 1024,
       alpha: Double = 1.0, xx: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    weights(df, idCol, textCol, isTarget, buckets, alpha, xx)
-      .orderBy(col("dsir_weight").desc, col("id"))
-      .limit(k)
+    cut(weights(df, idCol, textCol, isTarget, buckets, alpha, xx), k)
   }
+
+  /** The deterministic top-`k` selection cut over a weights frame:
+    * `(weight DESC, id ASC)`, TakeOrdered plan. */
+  private[graft] def cut(w: DataFrame, k: Int): DataFrame =
+    w.orderBy(col("dsir_weight").desc, col("id")).limit(k)
 }

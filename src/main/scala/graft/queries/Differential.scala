@@ -219,6 +219,99 @@ object Differential {
         .as("twin_sig_agreement_ok"))
   }
 
+  /** One-row DSIR mode-agreement certificate (q_dsir_select_xx): the
+    * production xxhash64 bucket hash has no DuckDB twin (different bucket
+    * collisions → weights differ in the smoothing tails), so its
+    * correctness row certifies agreement with the oracle-green md5 twin
+    * on the same input:
+    *
+    *  - `n_twin`          — the md5 twin's selection count; DuckDB
+    *                        recomputes it by counting its own full replay
+    *                        of the twin pipeline.
+    *  - `sel_jaccard_ok`  — |xx ∩ md5| / |xx ∪ md5| >= `jaccardBound`
+    *                        over the two top-k ID sets. Both modes score
+    *                        the same documents against the same corpus
+    *                        through DIFFERENT bucket collisions, so
+    *                        healthy selections overlap heavily (DiffProbe
+    *                        `dsir` sweep), while a broken bucket kernel
+    *                        degenerates the weights to ~n_feats x const
+    *                        and the overlap collapses.
+    *  - `twin_rank_ok`    — the MEDIAN xx-mode selection rank of the
+    *                        twin's chosen documents is within
+    *                        `rankFactor * k` (rank = 1 + docs strictly
+    *                        ahead under the `(weight DESC, id ASC)` cut
+    *                        order): tail churn moves picks a few rows, a
+    *                        scrambled cut scatters them through the pool.
+    *  - `twin_weight_ok`  — the SENSITIVE kernel law: the MEDIAN
+    *                        |w_xx - w_md5| over the twin's picks is
+    *                        within `weightDeltaBound`. Both modes
+    *                        estimate the same smoothed distributions
+    *                        through different bucket collisions, so
+    *                        healthy per-doc weights agree to well under a
+    *                        log-unit (DiffProbe `dsir` sweep) — while a
+    *                        degenerate bucket kernel collapses every
+    *                        weight to ~n_feats x const, shifting the
+    *                        target-like picks by tens of log-units. The
+    *                        jaccard/rank laws alone CANNOT catch this on
+    *                        a corpus where selection-by-length correlates
+    *                        with the healthy cut (measured: constant-
+    *                        bucket sabotage keeps jaccard ~0.5 at
+    *                        sf0.001); the weight law separates cleanly
+    *                        (healthy p50 0.79..1.99 vs sabotaged
+    *                        3.70..6.22 over the r15 grid). A twin pick
+    *                        ABSENT from the xx weights frame is a hard
+    *                        fail (both modes' feature scans produce
+    *                        identical doc sets — a lost doc is
+    *                        structural breakage, not tail noise).
+    *
+    * Scale shape: the rank computation broadcasts the <= k twin picks
+    * against the xx weights frame (one linear pass, no quadratic work —
+    * this certificate needs no [[scaleGuard]]); everything else is
+    * `<= k`-row set algebra. `md5Sel` must carry `(id, dsir_weight)`.
+    */
+  def dsirCertificate(md5Sel: DataFrame, xxSel: DataFrame,
+      xxWeights: DataFrame, k: Int,
+      jaccardBound: Double, rankFactor: Int,
+      weightDeltaBound: Double): DataFrame = {
+    val m = md5Sel.select(col("id")).distinct()
+    val x = xxSel.select(col("id")).distinct()
+    val w = xxWeights.select(col("id"), col("dsir_weight"))
+    val sel = broadcast(m.join(w, Seq("id"))
+      .select(col("id").as("__mid"), col("dsir_weight").as("__mw")))
+    val ahead = w.join(sel,
+        col("dsir_weight") > col("__mw") ||
+          (col("dsir_weight") === col("__mw") && col("id") < col("__mid")))
+      .groupBy("__mid").agg(count(lit(1)).as("__ahead"))
+      .select(col("__mid").as("__aid"), col("__ahead"))
+    // twin picks with nothing ahead produce no join rows → rank 1
+    val rankLaw = sel.join(ahead, sel("__mid") === ahead("__aid"), "left")
+      .select(coalesce(col("__ahead"), lit(0L)).as("__ahead"))
+      .agg(count(lit(1)).as("__n"),
+        count_if(col("__ahead") < lit(rankFactor.toLong * k)).as("__ok"))
+      .select((col("__n") === 0 || col("__ok") * 2 >= col("__n"))
+        .as("twin_rank_ok"))
+    val weightLaw = md5Sel
+      .select(col("id"), col("dsir_weight").as("__wm")).distinct()
+      .join(w.select(col("id"), col("dsir_weight").as("__wx")),
+        Seq("id"), "left")
+      .agg(count(lit(1)).as("__n"),
+        count_if(abs(col("__wx") - col("__wm")) <= weightDeltaBound)
+          .as("__ok"),
+        count_if(col("__wx").isNull).as("__missing"))
+      .select((col("__missing") === 0 &&
+          (col("__n") === 0 || col("__ok") * 2 >= col("__n")))
+        .as("twin_weight_ok"))
+    n(m, "n_twin").crossJoin(n(x, "__nx"))
+      .crossJoin(n(x.join(m, Seq("id")), "__nb"))
+      .crossJoin(rankLaw).crossJoin(weightLaw)
+      .select(col("n_twin"),
+        (col("__nx") + col("n_twin") === 0 ||
+          col("__nb").cast("double") /
+            (col("__nx") + col("n_twin") - col("__nb")).cast("double") >=
+            jaccardBound).as("sel_jaccard_ok"),
+        col("twin_rank_ok"), col("twin_weight_ok"))
+  }
+
   /** raw agreement stats (not a certificate): measured values behind the
     * pinned bounds, for bound selection and diagnostics (tools.DiffProbe) */
   private[graft] def pairStats(docs: DataFrame, idCol: String,

@@ -596,6 +596,33 @@ object PipelineQueries {
       Some(dsirOracleSql(target = "src0", k = 50, buckets = 1024,
         alpha = 1.0))),
 
+    // the PRODUCTION xxhash64-bucket run of the same DSIR selection —
+    // Bench times this raw `fn` (the posture a corpus-scale run uses,
+    // Dsir.bucketOf's mode contract); the correctness row is the
+    // selection-agreement differential certificate against the
+    // oracle-green md5 twin above (bounds pinned from the r15 DiffProbe
+    // `dsir` sweep — see dsirJaccardBound).
+    QueryDef("q_dsir_select_xx",
+      (s, dir) => {
+        graft.operators.Dsir.select(Tables.documents(s, dir), "doc_id",
+            "text", col("source") === "src0", k = 50, xx = true)
+          .select(col("id").as("doc_id"), col("n_feats"),
+            col("dsir_weight"))
+      },
+      Some(dsirCertOracleSql(dsirOracleSql(target = "src0", k = 50,
+        buckets = 1024, alpha = 1.0))),
+      verifyFn = Some((s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tgt = col("source") === "src0"
+        val xxW = graft.operators.Dsir.weights(docs, "doc_id", "text",
+          tgt, xx = true)
+        Differential.dsirCertificate(
+          graft.operators.Dsir.select(docs, "doc_id", "text", tgt, k = 50),
+          graft.operators.Dsir.cut(xxW, 50), xxW, k = 50,
+          jaccardBound = dsirJaccardBound, rankFactor = dsirRankFactor,
+          weightDeltaBound = dsirWeightDeltaBound)
+      })),
+
     // Cluster-balanced sampling: deterministic kmeans (the q_sim_ivf
     // trained-model replay — same centroids CTE chain) assigns every
     // embedding a cell, then each cell yields a fixed 10-row seeded-md5
@@ -2203,6 +2230,34 @@ object PipelineQueries {
   private def diffSimhashJaccardBound: Double = 0.15
   private def diffSimhashSigMedianBound: Int = 10
   private def diffRecallBound: Double = 0.9
+
+  /** q_dsir_select_xx bounds, pinned from the r15 DiffProbe `dsir` sweep
+    * (3 SFs x full + 3 residue subsamples, bench/diffprobe_dsir_r15.txt):
+    * healthy top-50 ID-set jaccard 0.92 down to 0.1628 (sf0.1 full —
+    * selection agreement legitimately decays with pool size, the simhash
+    * decay law), so the jaccard bound sits below the worst healthy
+    * reading as a gross-divergence tripwire (0.10; a broken bucket hash
+    * degenerates weights to ~n_feats x const — which on this corpus
+    * still lands jaccard ~0.4-0.5, because selection-by-length correlates
+    * with the healthy cut). Rank-median law: twin picks at xx-mode
+    * selection rank p50 26..147 measured, bound rankFactor*k = 400.
+    * The SENSITIVE kernel law is the weight-delta median
+    * ([[Differential.dsirCertificate]] twin_weight_ok): healthy
+    * |w_xx - w_md5| p50 measured 0.79..1.99 across the grid, while
+    * three sabotage flavors (constant bucket, 2-bucket, length-bucket)
+    * all land p50 3.70..6.22 — bound 2.8 sits between with margin both
+    * ways; DifferentialSpec pins the flip on a constant-bucket hash. */
+  private def dsirJaccardBound: Double = 0.10
+  private def dsirRankFactor: Int = 8
+  private def dsirWeightDeltaBound: Double = 2.8
+
+  /** DuckDB side of [[Differential.dsirCertificate]]: recount the md5
+    * twin's selection with the twin's own full replay SQL, pin the three
+    * mode-agreement contracts TRUE. */
+  private def dsirCertOracleSql(twinSql: String): String =
+    s"SELECT (SELECT COUNT(*) FROM ($twinSql)) AS n_twin, " +
+      "TRUE AS sel_jaccard_ok, TRUE AS twin_rank_ok, " +
+      "TRUE AS twin_weight_ok"
 
   /** the certificate ground truth's structural token floor, mirrored in
     * SQL (both sides of a pair share the text, so d1 alone carries it) */

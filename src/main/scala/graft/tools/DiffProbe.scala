@@ -68,7 +68,85 @@ object DiffProbe {
     }
   }
 
+  /** `dsir` mode: the DSIR xx-vs-md5 selection agreement measured over
+    * every SF dir x deterministic subsample (same grid discipline as
+    * [[simhashSweep]]). Per cell: top-k ID-set jaccard between the two
+    * modes, and the quantiles of the xx-mode selection RANK of the md5
+    * twin's picks (rank = 1 + docs strictly ahead under the
+    * `(weight DESC, id ASC)` cut order) — the measurements behind
+    * q_dsir_select_xx's `jaccardBound` / `rankFactor` pins. Run before
+    * any re-pin; commit the output (bench/diffprobe_dsir_r*.txt).
+    */
+  def dsirSweep(spark: SparkSession, dirs: Seq[String], k: Int = 50): Unit = {
+    import graft.operators.Dsir
+    for (dir <- dirs) {
+      val docs = Tables.documents(spark, dir)
+      val subs: Seq[(String, org.apache.spark.sql.DataFrame)] =
+        ("full" -> docs) +: (0 until 3).map(r =>
+          s"doc_id%3==$r" -> docs.filter(col("doc_id") % 3 === r))
+      for ((name, sub) <- subs) {
+        val tgt = col("source") === "src0"
+        val md5Sel = Dsir.select(sub, "doc_id", "text", tgt, k = k)
+        val xxW = Dsir.weights(sub, "doc_id", "text", tgt, xx = true)
+        val xxSel = Dsir.cut(xxW, k)
+        val mIds = md5Sel.select("id").collect().map(_.getLong(0)).toSet
+        val xIds = xxSel.select("id").collect().map(_.getLong(0)).toSet
+        val jac =
+          if (mIds.isEmpty && xIds.isEmpty) Double.NaN
+          else (mIds & xIds).size.toDouble / (mIds | xIds).size.toDouble
+        // xx-mode rank of each twin pick (same law the certificate pins)
+        val sel = broadcast(md5Sel.select(col("id").as("__mid"))
+          .join(xxW.select(col("id").as("__mid"),
+            col("dsir_weight").as("__mw")), "__mid"))
+        val ranks = xxW.join(sel,
+            col("dsir_weight") > col("__mw") ||
+              (col("dsir_weight") === col("__mw") &&
+                col("id") < col("__mid")))
+          .groupBy("__mid").agg(count(lit(1)).as("__ahead"))
+        val r = sel.select(col("__mid"))
+          .join(ranks, Seq("__mid"), "left")
+          .select((coalesce(col("__ahead"), lit(0L)) + 1L).as("rank"))
+          .collect().map(_.getLong(0)).sorted
+        def q(p: Double): Long =
+          if (r.isEmpty) -1L else r(math.min(r.length - 1,
+            (r.length * p).toInt))
+        // per-doc weight delta over the twin picks — the measurement
+        // behind the certificate's twin_weight_ok bound
+        val d = md5Sel.select(col("id"), col("dsir_weight").as("__wm"))
+          .join(xxW.select(col("id"), col("dsir_weight").as("__wx")),
+            Seq("id"), "left")
+          .select(coalesce(abs(col("__wx") - col("__wm")),
+            lit(Double.MaxValue)).as("__d"))
+          .collect().map(_.getDouble(0)).sorted
+        def dq(p: Double): Double =
+          if (d.isEmpty) -1d else d(math.min(d.length - 1,
+            (d.length * p).toInt))
+        println(f"dsir $dir%-28s $name%-12s n_twin=${mIds.size}%3d " +
+          f"n_xx=${xIds.size}%3d jaccard=$jac%.4f " +
+          f"rank_p50=${q(0.5)}%4d rank_p90=${q(0.9)}%5d rank_max=${if (r.isEmpty) -1L else r.last}%5d " +
+          f"wdelta_p50=${dq(0.5)}%.4f wdelta_p90=${dq(0.9)}%.4f wdelta_max=${if (d.isEmpty) -1d else d.last}%.4f")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dsir")) {
+      val dirs =
+        if (args.length > 1) args.drop(1).toSeq
+        else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+          "/root/testdata/sf0.1")
+      val spark = SparkSession.builder()
+        .master("local[16]")
+        .config("spark.sql.shuffle.partitions", 16)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      dsirSweep(spark, dirs)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("sweep")) {
       val dirs =
         if (args.length > 1) args.drop(1).toSeq

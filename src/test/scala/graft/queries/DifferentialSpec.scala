@@ -199,6 +199,117 @@ class DifferentialSpec extends AnyFunSuite {
       "a dropped close pair must flip banding_complete_ok")
   }
 
+  test("dsirCertificate discriminates: agreeing selections pass; disjoint " +
+      "sets, scattered ranks and shifted weights flip their own contracts") {
+    def w(rows: (Long, Double)*): DataFrame =
+      rows.toSeq.toDF("id", "dsir_weight")
+    // pool of 100 docs, weight descending in id; twin picks the top 2
+    val weights = w((1L to 100L).map(i => i -> (101 - i).toDouble): _*)
+    def sel(ids: Long*): DataFrame =
+      w(ids.map(i => i -> (101 - i).toDouble): _*)
+    val good = Differential.dsirCertificate(sel(1L, 2L), sel(1L, 2L),
+      weights, k = 2, jaccardBound = 0.5, rankFactor = 2,
+      weightDeltaBound = 0.5).collect().head
+    assert(good.getAs[Long]("n_twin") == 2)
+    assert(good.getAs[Boolean]("sel_jaccard_ok") &&
+      good.getAs[Boolean]("twin_rank_ok") &&
+      good.getAs[Boolean]("twin_weight_ok"))
+    // xx picked a disjoint set but the twin's docs still rank high in xx
+    // weights -> jaccard flips; rank/weight laws (which read the WEIGHTS,
+    // not the xx set) hold: the contracts are independent signals
+    val disjoint = Differential.dsirCertificate(sel(1L, 2L), sel(3L, 4L),
+      weights, k = 2, jaccardBound = 0.5, rankFactor = 2,
+      weightDeltaBound = 0.5).collect().head
+    assert(!disjoint.getAs[Boolean]("sel_jaccard_ok"))
+    assert(disjoint.getAs[Boolean]("twin_rank_ok") &&
+      disjoint.getAs[Boolean]("twin_weight_ok"))
+    // degraded cut: the twin's picks sit at ranks 99/100 of the xx
+    // weight order -> median rank far past rankFactor*k -> rank law flips
+    // (weights themselves agree, so the weight law holds)
+    val scattered = Differential.dsirCertificate(sel(99L, 100L),
+      sel(99L, 100L), weights, k = 2, jaccardBound = 0.5,
+      rankFactor = 2, weightDeltaBound = 0.5).collect().head
+    assert(scattered.getAs[Boolean]("sel_jaccard_ok"))
+    assert(!scattered.getAs[Boolean]("twin_rank_ok"))
+    assert(scattered.getAs[Boolean]("twin_weight_ok"))
+    // degraded kernel: xx weights systematically shifted — the same
+    // top-2 set and ranks, but the weight law flips
+    val shifted = w((1L to 100L).map(i => i -> (201 - i).toDouble): _*)
+    val badW = Differential.dsirCertificate(sel(1L, 2L), sel(1L, 2L),
+      shifted, k = 2, jaccardBound = 0.5, rankFactor = 2,
+      weightDeltaBound = 0.5).collect().head
+    assert(badW.getAs[Boolean]("sel_jaccard_ok") &&
+      badW.getAs[Boolean]("twin_rank_ok"))
+    assert(!badW.getAs[Boolean]("twin_weight_ok"),
+      "a systematic weight shift must flip twin_weight_ok")
+    // a twin pick ABSENT from the xx weights frame is an infinite delta
+    val dropped = Differential.dsirCertificate(sel(1L, 2L), sel(1L, 2L),
+      weights.filter(org.apache.spark.sql.functions.col("id") =!= 1L),
+      k = 2, jaccardBound = 0.5, rankFactor = 2,
+      weightDeltaBound = 0.5).collect().head
+    assert(!dropped.getAs[Boolean]("twin_weight_ok"),
+      "a dropped twin pick must flip twin_weight_ok")
+    // ties broken by id: rank of id=2 among equal weights counts only
+    // smaller ids ahead; top-2 equal-weight picks stay rank 1..2
+    val flat = w((1L to 10L).map(i => i -> 1.0): _*)
+    val tied = Differential.dsirCertificate(
+      w(1L -> 1.0, 2L -> 1.0), w(1L -> 1.0, 2L -> 1.0),
+      flat, k = 2, jaccardBound = 0.5, rankFactor = 1,
+      weightDeltaBound = 0.5).collect().head
+    assert(tied.getAs[Boolean]("twin_rank_ok"))
+    // vacuous on an empty twin
+    val empty = Differential.dsirCertificate(sel(), sel(), weights,
+      k = 2, jaccardBound = 0.5, rankFactor = 2,
+      weightDeltaBound = 0.5).collect().head
+    assert(empty.getAs[Long]("n_twin") == 0)
+    assert(empty.getAs[Boolean]("sel_jaccard_ok") &&
+      empty.getAs[Boolean]("twin_rank_ok") &&
+      empty.getAs[Boolean]("twin_weight_ok"))
+  }
+
+  test("dsirCertificate flips on a BROKEN xx bucket hash (sf0.001): the " +
+      "q_dsir_select_xx pinned bounds discriminate on real data") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dsir
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tgt = col("source") === "src0"
+    val k = 50
+    val md5Sel = Dsir.select(docs, "doc_id", "text", tgt, k = k)
+    // healthy production mode passes the pinned bounds (0.10 / 8) with
+    // margin: the r15 sweep measured jaccard 0.6393 / rank_p50 30 here
+    val xxW = Dsir.weights(docs, "doc_id", "text", tgt, xx = true)
+    val healthy = Differential.dsirCertificate(md5Sel, Dsir.cut(xxW, k),
+      xxW, k = k, jaccardBound = 0.10, rankFactor = 8,
+      weightDeltaBound = 2.8).collect().head
+    assert(healthy.getAs[Long]("n_twin") == k)
+    assert(healthy.getAs[Boolean]("sel_jaccard_ok") &&
+      healthy.getAs[Boolean]("twin_rank_ok") &&
+      healthy.getAs[Boolean]("twin_weight_ok"),
+      "healthy xx mode must pass the pinned q_dsir_select_xx bounds")
+    // and with MARGIN above the pinned jaccard tripwire (sweep floor
+    // discipline: a bound one noise step from red is no gate)
+    val mIds = md5Sel.select("id").collect().map(_.getLong(0)).toSet
+    val xIds = Dsir.cut(xxW, k).select("id").collect()
+      .map(_.getLong(0)).toSet
+    val jac = (mIds & xIds).size.toDouble / (mIds | xIds).size.toDouble
+    assert(jac >= 0.3, s"xx-vs-md5 selection agreement eroded: $jac " +
+      "(tripwire 0.10 pinned against the r15 sweep's worst healthy " +
+      "0.1628 at sf0.1; sf0.001 measured 0.6393)")
+    // broken bucket kernel: every feature lands in bucket 0, weights
+    // degenerate to ~n_feats x const — the certificate must go red
+    val brokenW = Dsir.weightsFromCounts(
+      Dsir.featureCountsWith(docs, "doc_id", "text", tgt, _ => lit(0L)),
+      buckets = 1024, alpha = 1.0)
+    val broken = Differential.dsirCertificate(md5Sel, Dsir.cut(brokenW, k),
+      brokenW, k = k, jaccardBound = 0.10, rankFactor = 8,
+      weightDeltaBound = 2.8).collect().head
+    assert(!broken.getAs[Boolean]("sel_jaccard_ok") ||
+      !broken.getAs[Boolean]("twin_rank_ok") ||
+      !broken.getAs[Boolean]("twin_weight_ok"),
+      "a constant-bucket hash must flip the q_dsir_select_xx certificate")
+  }
+
   test("docCertificate: doc-level recall — the later twin must be flagged " +
       "as SOME duplicate, not necessarily of the identical doc") {
     // docs 2 and 6 have earlier identical twins (1 and 5)

@@ -413,8 +413,15 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("dsir: broadcast scoring join, top-k cut, totals window only over " +
-      "the bucket aggregate") {
-    val q = graft.SparkEntry.queries("q_dsir_select")(spark, dir)
+      "the bucket aggregate (both hash modes)") {
+    for (name <- Seq("q_dsir_select", "q_dsir_select_xx"))
+      checkDsirPlan(name)
+  }
+
+  private def checkDsirPlan(name: String): Unit = {
+    // the xx row's BENCH fn is the production pipeline itself (its
+    // verify surface is the certificate); plan-gate the raw fn here
+    val q = graft.SparkEntry.defs.find(_.name == name).get.fn(spark, dir)
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
@@ -431,8 +438,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // hash runs inside it, never above
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
       s"no staging barrier above the feature counts:\n${plan.take(1200)}")
-    assert(!plan.contains("md5("),
-      s"md5 hashing above the staging barrier:\n${plan.take(1200)}")
+    assert(!plan.contains("md5(") && !plan.contains("xxhash64("),
+      s"bucket hashing above the staging barrier:\n${plan.take(1200)}")
     // the only unpartitioned window is the totals sum over the bucket
     // aggregate (bounded by construction, the prefixSum-totals class)
     val windows = q.queryExecution.optimizedPlan.collect {

@@ -67,10 +67,17 @@ object Bench {
     * wall time is environmental noise, not engine cost */
   private val StealThreshold = 0.05
 
-  /** best-of-passes above FloorFactor x historical floor + FloorSlack sec
-    * is treated as storm-poisoned (or a genuine regression needing triage) */
+  /** best-of-passes above FloorFactor x historical floor + slack sec is
+    * treated as storm-poisoned (or a genuine regression needing triage).
+    * Slack is PROPORTIONAL with a small absolute floor —
+    * `max(0.1, 0.25 x floor)` — so sub-second queries keep a real gate:
+    * the old flat 0.3 s let q_knn_join sit at 2.27x its 0.266 s floor
+    * for two rounds without tripping (r14 verdict), because a flat term
+    * dwarfs FloorFactor x floor whenever floor < slack. Tested in
+    * BenchFloorsSpec. */
   private val FloorFactor = 2.0
-  private val FloorSlack = 0.3
+  private[graft] def floorSlack(floor: Double): Double =
+    math.max(0.1, 0.25 * floor)
   private val MaxExtraPasses = 5
 
   /** adjusted task run-time above DilationFactor x task CPU-time +
@@ -312,14 +319,15 @@ object Bench {
       if (ok.nonEmpty) ok.minBy(_.sec) else table(i).minBy(_.sec)
     }
     def floorDirty(i: Int): Boolean = floors.get(defs(i).name).exists { f =>
-      bestOf(i).sec > FloorFactor * f.floor + FloorSlack
+      bestOf(i).sec > FloorFactor * f.floor + floorSlack(f.floor)
     }
     // governance print (never a failure): a wall past the gate built from
     // the TIGHTEST historical floor means the query regressed relative to
     // a pipeline an earlier floor guarded — visible even when the current
     // (re-pinned) floor absorbs it
     def prevExceeded(i: Int): Boolean = floors.get(defs(i).name).exists { f =>
-      f.prev.nonEmpty && bestOf(i).sec > FloorFactor * f.prev.min + FloorSlack
+      f.prev.nonEmpty &&
+        bestOf(i).sec > FloorFactor * f.prev.min + floorSlack(f.prev.min)
     }
     // extra interleaved retry passes until every query's best rep is clean
     // by ALL three signals (steal, dilation, floor) or the pass budget is

@@ -170,15 +170,22 @@ object Similarity {
     require(maxQueryRows > 0, s"maxQueryRows must be positive, got $maxQueryRows")
     // execution-time broadcast-contract guard: ONE row carrying the query
     // count, crossed into the broadcast side (a scalar 1 x |Q| join —
-    // the certRow posture, never a data cartesian). Counting shares the
-    // scan the broadcast build performs anyway; over the cap the
-    // otherwise-branch raises before any corpus work is scheduled.
+    // the certRow posture, never a data cartesian). The probe counts a
+    // `limit(cap + 1)` slice, NOT the whole query side: the count can
+    // only distinguish <= cap from > cap, and the limit bounds the probe
+    // scan so an over-cap caller can never pay (or time) a full pass of
+    // a corpus-sized query set before the raise fires — the guard's
+    // ordering relative to the driver's broadcast collect is scheduler-
+    // dependent (both ride the broadcast build), so the probe itself
+    // must stay O(cap). Over the cap the otherwise-branch raises before
+    // any |C|x|Q| work starts.
     // the message is a LITERAL: a dynamic `concat(.., __qcount, ..)`
     // message evaluated to null under this plan shape (the attribute
     // reference inside raise_error's map-parameter did not survive the
     // broadcast-side evaluation) — a literal cannot null out, and the
     // cap value is what the caller needs to act
     val guard = queries
+      .limit(math.min(maxQueryRows + 1L, Int.MaxValue.toLong).toInt)
       .agg(count(lit(1)).as("__qcount"))
       .select(when(col("__qcount") <= maxQueryRows, lit(1.0d))
         .otherwise(raise_error(lit(

@@ -105,6 +105,28 @@ class BenchFloorsSpec extends AnyFunSuite {
     }
   }
 
+  test("floor slack is proportional with an absolute floor: sub-second " +
+      "queries keep a real gate") {
+    // rule: max(0.1, 0.25 x floor). The old FLAT 0.3 s slack let
+    // q_knn_join sit at 2.27x its 0.266 s floor for two rounds without
+    // tripping (r14 verdict) — under the flat term, any floor < 0.3 s
+    // had its gate dominated by slack, not by FloorFactor.
+    assert(Bench.floorSlack(0.266) == 0.1)   // 0.25x = 0.0665 -> abs floor
+    assert(Bench.floorSlack(0.4) == 0.1)     // exactly at the crossover
+    assert(Bench.floorSlack(2.0) == 0.5)     // proportional regime
+    assert(Bench.floorSlack(10.0) == 2.5)
+    // the r14 reading that motivated the change now trips the gate:
+    // wall 0.605 > 2.0 x 0.266 + 0.1 = 0.632 is false, but the r14
+    // q_knn_join best (0.605) against the OLD flat gate 0.832 had
+    // 0.227 s of hidden headroom; the proportional gate cuts it to 0.027
+    assert(2.0 * 0.266 + Bench.floorSlack(0.266) == 0.632)
+    // monotone in the floor: a tighter floor never yields a looser gate
+    val fs = Seq(0.05, 0.1, 0.3, 0.4, 0.5, 1.0, 5.0)
+    fs.sliding(2).foreach { case Seq(a, b) =>
+      assert(Bench.floorSlack(a) <= Bench.floorSlack(b))
+    }
+  }
+
   test("floors cover exactly the declared surface: no floorless query, " +
       "no stale floor") {
     val in = getClass.getResourceAsStream("/graft/bench_floors_sf0.1.json")

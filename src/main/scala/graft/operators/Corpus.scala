@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -290,6 +290,17 @@ object Corpus {
     * `(pos, tok)` structs — deterministic across layouts, no window.
     * Nothing is all-pairs; nothing is driver-side.
     *
+    * `xx = true` is the PRODUCTION key posture: the repeated-span
+    * aggregate and the coverage join key on `xxhash64(span)` instead of
+    * the raw n-gram string — one span per token position, ~40-60 bytes
+    * of text each, so at corpus scale the span strings dominate shuffle
+    * width several-fold over an 8-byte hash key (SCALE.md A/B). Two
+    * distinct spans merge only on a 64-bit collision (~2^-64 per pair —
+    * the trade the published substring-dedup implementations make); a
+    * collision can only ADD a span to the repeated set (over-masking a
+    * handful of tokens), never lose one. The default keeps the raw
+    * strings — the declared, DuckDB-replayable oracle mode.
+    *
     * Output: `(idCol, clean_text, n_tokens, n_removed)`, one row per
     * input document (tokenless documents keep an empty `clean_text`).
     */
@@ -298,17 +309,22 @@ object Corpus {
       idCol: String,
       textCol: String,
       n: Int = 8,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2,
+      xx: Boolean = false): DataFrame = {
     require(n >= 2, s"span length must be >= 2 tokens, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val toks = Dedup.stage(
       docs.select(col(idCol).as("id"), spanTokens(col(textCol)).as("__t")))
-    // 1-based n-gram start positions (repeatedSpans' convention)
+    // 1-based n-gram start positions (repeatedSpans' convention). In xx
+    // mode the span TEXT never leaves the scan stage: the key column is
+    // hashed inside the same projection that materializes the n-gram.
+    def spanAt(i: Column): Column =
+      array_join(slice(col("__t"), i, lit(n)), " ")
     val grams = toks
       .filter(size(col("__t")) >= n)
       .select(col("id"), posexplode(
         transform(sequence(lit(1), size(col("__t")) - (n - 1)),
-          i => array_join(slice(col("__t"), i, lit(n)), " ")))
+          i => if (xx) xxhash64(spanAt(i)) else spanAt(i)))
         .as(Seq("__p0", "span")))
       .select(col("id"), (col("__p0") + 1).as("start"), col("span"))
     val rep = grams.groupBy("span")

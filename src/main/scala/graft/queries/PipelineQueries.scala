@@ -1160,7 +1160,24 @@ object PipelineQueries {
           Tables.documents(s, dir), "doc_id", "text", n = 8, minDocs = 2)
           .orderBy("doc_id")
       },
-      Some(raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents), g AS (SELECT doc_id, i AS start, array_to_string(t[i:i+7], ' ') AS span FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i) WHERE len(t) >= 8), rep AS (SELECT span FROM g GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2), cov AS (SELECT DISTINCT doc_id, start + o AS pos FROM g JOIN rep USING (span), UNNEST(generate_series(0, 7)) AS v(o)), pos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks), kept AS (SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text, COUNT(*) AS nk FROM pos p ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos GROUP BY p.doc_id) SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text, CAST(len(t.t) AS BIGINT) AS n_tokens, CAST(len(t.t) - COALESCE(k.nk, 0) AS BIGINT) AS n_removed FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id ORDER BY t.doc_id""")),
+      Some(spanScrubOracleSql)),
+
+    // the PRODUCTION key posture of the same cut: the repeated-span
+    // aggregate and the coverage join key on xxhash64(span) instead of
+    // the raw 8-gram strings (the span text never leaves the scan
+    // stage — several-fold narrower shuffles at corpus scale, SCALE.md
+    // A/B). Two spans merge only on a 64-bit collision, so on any real
+    // corpus the OUTPUT is bit-identical to the string-keyed mode and
+    // the row shares the full DuckDB replay — the production mode gets
+    // a hash-exact oracle, not a certificate.
+    QueryDef("q_span_scrub_xx",
+      (s, dir) => {
+        graft.operators.Corpus.maskRepeatedSpans(
+          Tables.documents(s, dir), "doc_id", "text", n = 8, minDocs = 2,
+          xx = true)
+          .orderBy("doc_id")
+      },
+      Some(spanScrubOracleSql)),
 
     // corpus-wide paragraph dedup: global first occurrence of each
     // paragraph survives, documents are rebuilt in order. This corpus has
@@ -2289,6 +2306,12 @@ object PipelineQueries {
       s"AND d2.doc_id < d1.doc_id WHERE ${certDupFloorSql(minTokens)}) " +
       "AS n_exact_dup_docs, " +
       "TRUE AS exact_dup_recall_ok, TRUE AS pair_jaccard_ok"
+
+  /** DuckDB replay of [[graft.operators.Corpus.maskRepeatedSpans]] —
+    * shared verbatim by q_span_scrub (string keys) and q_span_scrub_xx
+    * (xxhash64 keys): the key mode changes shuffle width, not output. */
+  private def spanScrubOracleSql: String =
+    raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM documents), g AS (SELECT doc_id, i AS start, array_to_string(t[i:i+7], ' ') AS span FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i) WHERE len(t) >= 8), rep AS (SELECT span FROM g GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2), cov AS (SELECT DISTINCT doc_id, start + o AS pos FROM g JOIN rep USING (span), UNNEST(generate_series(0, 7)) AS v(o)), pos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks), kept AS (SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text, COUNT(*) AS nk FROM pos p ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos GROUP BY p.doc_id) SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text, CAST(len(t.t) AS BIGINT) AS n_tokens, CAST(len(t.t) - COALESCE(k.nk, 0) AS BIGINT) AS n_removed FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id ORDER BY t.doc_id"""
 
   /** Shared q_contamination knobs (query body + oracle — see topTermsK). */
   private def contaminationMinShared: Int = 3

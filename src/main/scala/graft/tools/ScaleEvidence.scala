@@ -294,6 +294,15 @@ object ScaleEvidence {
             docs, "doc_id", "text", n = 8, minDocs = 2)
           .agg(sum("n_removed")).collect()(0).getLong(0)
       },
+      // PRODUCTION key posture of the same cut (round 15): span-keyed
+      // aggregate + coverage join on xxhash64(span). Claim: identical
+      // rows-removed, several-fold lower shuffle_mb (the raw 8-gram
+      // strings never leave the scan stage).
+      "span_scrub_xx" -> { () =>
+        graft.operators.Corpus.maskRepeatedSpans(
+            docs, "doc_id", "text", n = 8, minDocs = 2, xx = true)
+          .agg(sum("n_removed")).collect()(0).getLong(0)
+      },
       // cluster-balanced sampling (round 14): bounded-sample kmeans +
       // per-cell seeded quota. Claims: training cost pinned by maxSample;
       // assignment is scan-speed; rank phases bounded by fanout*quota.

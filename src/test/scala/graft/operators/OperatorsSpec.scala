@@ -2257,6 +2257,61 @@ class OperatorsSpec extends AnyFunSuite {
       s"tokenization not staged:\n${plan.take(1200)}")
   }
 
+  test("span scrub xx mode: output identical to string keys; the span " +
+      "text never reaches the aggregate/join (hashed shuffle keys)") {
+    val df = Seq(
+      (1L, "x a b c d y z w"),
+      (2L, "p a b c d a b c d q"),
+      (3L, "u v w x y z one two"),
+      (4L, "a b c d"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    def rows(xx: Boolean) =
+      Corpus.maskRepeatedSpans(df, "doc_id", "text", n = 4, minDocs = 2,
+        xx = xx).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(xx = true) == rows(xx = false),
+      "xx key mode changed the output (it may only change shuffle width)")
+    // plan gate: the production mode's repeated-span aggregate and
+    // coverage join key on a LongType hash — the 40-60 byte span strings
+    // must not be shuffle keys. The span text is materialized only
+    // inside the scan-stage projection that hashes it.
+    val q = Corpus.maskRepeatedSpans(df, "doc_id", "text", n = 4,
+      minDocs = 2, xx = true)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"),
+      s"xx mode lost its hashed span key:\n${plan.take(1200)}")
+    // every exchange partitions on long/int keys (id, pos, hashed span) —
+    // NO StringType shuffle key anywhere in the xx plan; the string mode
+    // by contrast does key its span aggregate on the raw string (the
+    // declared-oracle trade)
+    // exchanges exist only in the post-EnsureRequirements plan, and AQE's
+    // wrapper node hides that tree from collect() — inspect with AQE off
+    // (the key-type property is mode-independent of adaptivity)
+    def stringKeyedExchanges(mk: => org.apache.spark.sql.DataFrame): Seq[String] = {
+      val key = "spark.sql.adaptive.enabled"
+      val old = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "false")
+        mk.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.outputPartitioning match {
+              case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+                  if h.expressions.exists(_.dataType ==
+                    org.apache.spark.sql.types.StringType) =>
+                Some(h.toString)
+              case _ => None
+            }
+        }.flatten
+      } finally spark.conf.set(key, old)
+    }
+    val xxKeys = stringKeyedExchanges(Corpus.maskRepeatedSpans(
+      df, "doc_id", "text", n = 4, minDocs = 2, xx = true))
+    assert(xxKeys.isEmpty, s"string shuffle key in xx mode: $xxKeys")
+    assert(stringKeyedExchanges(Corpus.maskRepeatedSpans(
+      df, "doc_id", "text", n = 4, minDocs = 2, xx = false)).nonEmpty,
+      "sanity: the string mode should key its span aggregate on the string")
+  }
+
   test("cluster-balanced sample: per-cell quotas honored, assignment " +
       "matches nearest centroid, NaN vectors dropped, layout-stable") {
     // three tight synthetic clusters around orthogonal axes + one NaN row

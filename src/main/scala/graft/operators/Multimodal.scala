@@ -365,24 +365,33 @@ object Multimodal {
     * null too) or the header itself is malformed (the read will fail the
     * same way and quarantine).
     */
-  private[operators] def imageIoHeaderPixels(payload: Array[Byte]): Long = {
-    val in = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    if (in == null) return 0L
+  private[operators] def imageIoHeaderPixels(payload: Array[Byte]): Long =
+    // the WHOLE body sits under NonFatal -> 0L — createImageInputStream
+    // itself can throw IOException (it may spill to the ImageIO disk
+    // cache), and the pre-screen runs before the per-row quarantine try
+    // at its call sites: any escape here would fail the TASK, the one
+    // thing the module's quarantine posture forbids a hostile payload
+    // to do. 0L routes the row to the normal decode-and-quarantine path.
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(in)
-      if (!readers.hasNext) 0L
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      if (in == null) 0L
       else {
-        val r = readers.next()
         try {
-          r.setInput(in, true, true)
-          r.getWidth(0).toLong * r.getHeight(0)
-        } finally r.dispose()
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) 0L
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(in, true, true)
+              r.getWidth(0).toLong * r.getHeight(0)
+            } finally r.dispose()
+          }
+        } finally in.close()
       }
     } catch {
       case scala.util.control.NonFatal(_) => 0L
-    } finally in.close()
-  }
+    }
 
   def resampleImages(df: DataFrame, idCol: String, payloadCol: String,
       maxW: Int, maxH: Int): DataFrame = {

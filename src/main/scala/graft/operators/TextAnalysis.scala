@@ -592,7 +592,22 @@ object TextAnalysis {
   val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   val Ipv4Pattern =
     """\b(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}\b"""
-  val PhonePattern = """(\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]\d{4}\b"""
+  /** Left edge anchored by a CONSUMED context class (RE2 has no
+    * lookbehind, and a bare \b still matches after a '-'): group 1
+    * captures start-of-text or a char that is neither a digit nor a
+    * '.'/'-' separator, and the replacement restores it. Without this, a
+    * phone-shaped SUFFIX inside a longer separated digit run (the
+    * '978-316-148-4100' ID shape, or '95551234 5678') was partially
+    * masked, leaking the leading digits next to the mask token; now a
+    * match can start neither mid-run nor right after a run's separator.
+    * Spaces stay valid left context (they are the normal prose
+    * delimiter). The replacement token differs per engine ('$1' Java,
+    * '\1' RE2) — [[PhoneMaskSpark]] / [[PhoneMaskDuck]]; counts are
+    * replacement-free and shared. */
+  val PhonePattern =
+    """(^|[^0-9.-])((\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]\d{4})\b"""
+  val PhoneMaskSpark = "$1|||PHONE|||"
+  val PhoneMaskDuck = """\1|||PHONE|||"""
 
   /** Mask emails / IPv4 addresses / phone numbers with fixed tokens and
     * count the replacements — the standard pre-training PII pass. Applied
@@ -606,7 +621,7 @@ object TextAnalysis {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, EmailPattern, "|||EMAIL|||")
     val t2 = regexp_replace(t1, Ipv4Pattern, "|||IP|||")
-    val t3 = regexp_replace(t2, PhonePattern, "|||PHONE|||")
+    val t3 = regexp_replace(t2, PhonePattern, PhoneMaskSpark)
     df.withColumn("n_emails", regexp_count(t0, lit(EmailPattern)))
       .withColumn("n_ips", regexp_count(t1, lit(Ipv4Pattern)))
       .withColumn("n_phones", regexp_count(t2, lit(PhonePattern)))

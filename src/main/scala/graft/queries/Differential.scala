@@ -100,6 +100,21 @@ object Differential {
           .cast("long"))
         .as("__certguard"))
 
+  /** Thread the scale guard through the INPUT of every expensive branch:
+    * `in x broadcast(guard)` makes the one-row guard a broadcast
+    * dependency of the downstream scan, and Spark materializes a
+    * broadcast side before any stream-side task launches — so an
+    * over-cap raise fires STRUCTURALLY before the O(n^2) work starts.
+    * (Multiplying the guard into a single output count leaves the
+    * ordering scheduler-dependent: the certificate's one-row aggregates
+    * are separate concurrently-submitted jobs, and an unguarded sibling
+    * could start its quadratic scan before the guarded branch raises.)
+    * The filter consumes `__certguard`, so column pruning cannot delete
+    * the crossJoin; the guard itself costs one linear count of `in`. */
+  private def guardInput(in: DataFrame, g: DataFrame): DataFrame =
+    in.crossJoin(broadcast(g))
+      .filter(col("__certguard") === 1L).drop("__certguard")
+
   /** Certificate over PAIR outputs (minhash / simhash / embed pipelines:
     * columns id_a, id_b). */
   def pairCertificate(docs: DataFrame, idCol: String, textCol: String,
@@ -108,12 +123,15 @@ object Differential {
       minTokens: Int = 1, maxRows: Long = CertMaxRows): DataFrame = {
     val x = xx.select("id_a", "id_b").distinct()
     val m = md5.select("id_a", "id_b").distinct()
-    val exact = exactDupPairs(docs, idCol, textCol, minTokens)
+    val g = scaleGuard(docs, maxRows, "pairCertificate")
+    // the quadratic ground truth reads the GUARDED input: the raise is a
+    // broadcast dependency of the self-join, never a racing sibling job
+    val exact = exactDupPairs(guardInput(docs, g), idCol, textCol,
+      minTokens)
     val caught = exact.join(x, Seq("id_a", "id_b"))
-    val guarded = n(m, "n_twin")
-      .crossJoin(scaleGuard(docs, maxRows, "pairCertificate"))
+    val guardedTwin = n(m, "n_twin").crossJoin(g)
       .select((col("n_twin") * col("__certguard")).as("n_twin"))
-    certRow(guarded, n(exact, "n_exact_dup_pairs"),
+    certRow(guardedTwin, n(exact, "n_exact_dup_pairs"),
       n(caught, "__caught"), "n_exact_dup_pairs",
       n(x, "__nx"), n(x.join(m, Seq("id_a", "id_b")), "__nb"),
       jaccardBound, recallBound)
@@ -130,13 +148,14 @@ object Differential {
       minTokens: Int = 1, maxRows: Long = CertMaxRows): DataFrame = {
     val x = xx.select("doc_id", "dup_of").distinct()
     val m = md5.select("doc_id", "dup_of").distinct()
-    val dupDocs = exactDupDocs(docs, idCol, textCol, minTokens)
+    val g = scaleGuard(docs, maxRows, "docCertificate")
+    val dupDocs = exactDupDocs(guardInput(docs, g), idCol, textCol,
+      minTokens)
     val caught = dupDocs
       .join(x.select(col("doc_id").as("__id")).distinct(), "__id")
-    val guarded = n(m, "n_twin")
-      .crossJoin(scaleGuard(docs, maxRows, "docCertificate"))
+    val guardedTwin = n(m, "n_twin").crossJoin(g)
       .select((col("n_twin") * col("__certguard")).as("n_twin"))
-    certRow(guarded, n(dupDocs, "n_exact_dup_docs"),
+    certRow(guardedTwin, n(dupDocs, "n_exact_dup_docs"),
       n(caught, "__caught"), "n_exact_dup_docs",
       n(x, "__nx"), n(x.join(m, Seq("doc_id", "dup_of")), "__nb"),
       jaccardBound, recallBound)
@@ -156,15 +175,18 @@ object Differential {
     */
   def bandingCompletenessCertificate(sigs: DataFrame, bandedPairs: DataFrame,
       maxHamming: Int, maxRows: Long = 50000L): DataFrame = {
-    val a = sigs.select(col("id").as("id_a"), col("sig").as("__sa"))
-    val b = sigs.select(col("id").as("id_b"), col("sig").as("__sb"))
+    val g = scaleGuard(sigs, maxRows, "bandingCompletenessCertificate")
+    // the O(n^2) scan reads the GUARDED signatures, so both of its
+    // consumers (n_close_pairs and the __nm recount join) sit behind the
+    // broadcast raise
+    val gsigs = guardInput(sigs, g)
+    val a = gsigs.select(col("id").as("id_a"), col("sig").as("__sa"))
+    val b = gsigs.select(col("id").as("id_b"), col("sig").as("__sb"))
     val all = a.join(b, col("id_a") < col("id_b") &&
         bit_count(col("__sa").bitwiseXOR(col("__sb"))) <= maxHamming)
       .select("id_a", "id_b")
     val banded = bandedPairs.select("id_a", "id_b").distinct()
     n(all, "n_close_pairs")
-      .crossJoin(scaleGuard(sigs, maxRows, "bandingCompletenessCertificate"))
-      .select((col("n_close_pairs") * col("__certguard")).as("n_close_pairs"))
       .crossJoin(n(banded, "__nb"))
       .crossJoin(n(banded.join(all, Seq("id_a", "id_b")), "__nm"))
       .select(col("n_close_pairs"),

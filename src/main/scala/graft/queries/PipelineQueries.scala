@@ -1926,9 +1926,12 @@ object PipelineQueries {
     // Gopher repetition-removal rules (the published rule set's
     // repetition half — duplicate-line fractions + most-frequent-n-gram
     // character coverage — complementing q_quality_rules' length/symbol
-    // half). Line signals are per-row higher-order column algebra (no
-    // shuffle); n-gram signals are ONE tagged explode -> one map-side-
-    // combinable count shuffle -> one id-partitioned top-1 window. The
+    // half). Line signals are RELATIONAL (the r14 rewrite of the
+    // per-row O(lines^2) fold): one line explode -> two keyed aggregates
+    // ((id, line) counts, then per-id fractions) — a map-side-combinable
+    // shuffle on the line keys; n-gram signals are ONE tagged explode ->
+    // one map-side-combinable count shuffle -> one id-partitioned top-1
+    // window. The
     // oracle replays every signal: list lambdas for the line stats, the
     // shared word-n-gram CTEs + row_number tie order for the top grams;
     // all ratios are single integer-over-integer double divisions, so
@@ -2594,7 +2597,8 @@ object PipelineQueries {
     val email = TextAnalysis.EmailPattern
     val ip = TextAnalysis.Ipv4Pattern
     val phone = TextAnalysis.PhonePattern
-    s"""WITH p0 AS (SELECT doc_id, text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7.' AS t FROM documents), s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails, regexp_replace(t, '$email', '|||EMAIL|||', 'g') AS t FROM p0), s2 AS (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips, regexp_replace(t, '$ip', '|||IP|||', 'g') AS t FROM s1), s3 AS (SELECT doc_id, n_emails, n_ips, CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones, regexp_replace(t, '$phone', '|||PHONE|||', 'g') AS t FROM s2) SELECT doc_id, n_emails, n_ips, n_phones, t AS text_clean FROM s3 ORDER BY doc_id"""
+    val phoneMask = TextAnalysis.PhoneMaskDuck
+    s"""WITH p0 AS (SELECT doc_id, text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7.' AS t FROM documents), s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails, regexp_replace(t, '$email', '|||EMAIL|||', 'g') AS t FROM p0), s2 AS (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips, regexp_replace(t, '$ip', '|||IP|||', 'g') AS t FROM s1), s3 AS (SELECT doc_id, n_emails, n_ips, CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones, regexp_replace(t, '$phone', '$phoneMask', 'g') AS t FROM s2) SELECT doc_id, n_emails, n_ips, n_phones, t AS text_clean FROM s3 ORDER BY doc_id"""
   }
 
   /** q_repetition_rules replay (TextAnalysis.repetitionSignals' exact-op

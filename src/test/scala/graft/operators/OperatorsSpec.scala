@@ -1923,7 +1923,8 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "server 192.168.0.1 and 255.255.255.255 up; 999.1.1.1 is not an IP"),
       (3L, "call 555-867-5309 or +1 (212) 555-0199 now"),
       (4L, "clean text with numbers 12345 and a.dot but no pii"),
-      (5L, "edge: 1.2.3.4.5 chains")
+      (5L, "edge: 1.2.3.4.5 chains"),
+      (6L, "id 978-316-148-4100 and run 95551234 5678 stay unmasked")
     ).toDF("doc_id", "text")
     val got = TextAnalysis.piiScrub(df, "text")
       .select("doc_id", "n_emails", "n_ips", "n_phones", "text_clean")
@@ -1942,6 +1943,12 @@ class OperatorsSpec extends AnyFunSuite {
     // chained dotted digits: whatever the match choice, it is total and
     // deterministic (the oracle pins the exact bytes per corpus)
     assert(got(5L)._4.nonEmpty)
+    // the r15 left-anchor fix: a phone-shaped SUFFIX inside a longer
+    // digit run must not be (partially) masked — the old right-only-\b
+    // pattern leaked '978-3' next to the mask token here
+    assert(got(6L)._3 == 0 && got(6L)._4.contains("978-316-148-4100") &&
+      got(6L)._4.contains("95551234 5678"),
+      s"digit-run suffix must stay unmasked: ${got(6L)._4}")
   }
 
   test("audio fingerprint: real WAV round-trip matches the analytic " +

@@ -616,19 +616,6 @@ object Multimodal {
             else byteFold(payload)
           h * 2862933555777941757L + 3037000493L
         }
-        def bitsOf(gray: (Int, Int) => Int): Long = {
-          var sig = 0L
-          var y = 0
-          while (y < DHashH) {
-            var x = 0
-            while (x < DHashW - 1) {
-              if (gray(x, y) > gray(x + 1, y)) sig |= 1L << (y * (DHashW - 1) + x)
-              x += 1
-            }
-            y += 1
-          }
-          sig
-        }
         rows.map { case (id, payload) =>
           // same two-tier bomb pre-screen as resampleImages: hand parsers
           // first, ImageIO header read for every other decodable format
@@ -647,7 +634,7 @@ object Multimodal {
               else if (img.getWidth == DHashW && img.getHeight == DHashH &&
                   img.getRaster.getNumBands == 1) {
                 val r = img.getRaster
-                (id, bitsOf((x, y) => r.getSample(x, y, 0)), true)
+                (id, dhashBitsOf((x, y) => r.getSample(x, y, 0)), true)
               } else {
                 val out = new java.awt.image.BufferedImage(DHashW, DHashH,
                   java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -658,7 +645,7 @@ object Multimodal {
                   g.drawImage(img, 0, 0, DHashW, DHashH, null)
                 } finally g.dispose()
                 val r = out.getRaster
-                (id, bitsOf((x, y) => r.getSample(x, y, 0)), true)
+                (id, dhashBitsOf((x, y) => r.getSample(x, y, 0)), true)
               }
             } catch {
               case scala.util.control.NonFatal(_) => (id, stub(payload), false)
@@ -819,6 +806,221 @@ object Multimodal {
         }
       }
       .toDF("id", "afp", "decoded")
+  }
+
+  /** dHash gradient-sign pack shared by [[imageDHash]] and the video
+    * frame walk: bit `y*8+x` = `gray(x, y) > gray(x+1, y)` over the 9x8
+    * grid. */
+  private def dhashBitsOf(gray: (Int, Int) => Int): Long = {
+    var sig = 0L
+    var y = 0
+    while (y < DHashH) {
+      var x = 0
+      while (x < DHashW - 1) {
+        if (gray(x, y) > gray(x + 1, y)) sig |= 1L << (y * (DHashW - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    sig
+  }
+
+  /** Frame-index capacity of the composite `(video, frame)` key the
+    * temporal pipeline banding uses: `fid = id * FrameKeyMult + frame`.
+    * [[videoFrameDHash]] caps its walk at this, so the key is collision-
+    * free by construction. */
+  private[operators] val FrameKeyMult = 64L
+
+  /** Deterministic 9x8 grayscale ANIMATED-GIF payloads from a
+    * (id, family) frame — REAL multi-frame GIF89a containers (JDK ImageIO
+    * GIF writer, `writeToSequence`) whose per-frame pixel values are
+    * ANALYTICALLY KNOWN: pixel(x, y) at pos = y*9+x of frame f is
+    * `(first md5 byte of "<family>:<f>:<pos>") % 200 + (first md5 byte
+    * of "<id>#<f>:<pos>") % 2` — the [[syntheticGrayPngs]] contract
+    * extended with a frame axis, so rows sharing `familyCol` are
+    * TEMPORAL near-duplicates (every frame near-identical) while
+    * different families differ everywhere. Frames are full-size indexed
+    * images over an identity 256-gray palette, which the JDK GIF codec
+    * round-trips losslessly (spec-verified) — so a SQL oracle can replay
+    * the whole container walk -> per-frame dHash -> temporal rollup over
+    * the REAL encoded bytes.
+    */
+  def syntheticAnimatedGifs(df: DataFrame, idCol: String,
+      familyCol: String, nFrames: Int): DataFrame = {
+    require(nFrames > 0 && nFrames <= FrameKeyMult,
+      s"nFrames must be in [1, $FrameKeyMult], got $nFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
+      .filter(col("__id").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        javax.imageio.ImageIO.setUseCache(false)
+        val grays = (0 until 256).map(_.toByte).toArray
+        val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+        rows.map { case (id, family0) =>
+          val family = if (family0 == null) "" else family0
+          val buf = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nFrames) {
+              val img = new java.awt.image.BufferedImage(DHashW, DHashH,
+                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+              val raster = img.getRaster
+              var pos = 0
+              var y = 0
+              while (y < DHashH) {
+                var x = 0
+                while (x < DHashW) {
+                  val base = md5FirstByte(md, family + ":" + f + ":" + pos) % 200
+                  val e = md5FirstByte(md, id.toString + "#" + f + ":" + pos) % 2
+                  raster.setSample(x, y, 0, base + e)
+                  pos += 1
+                  x += 1
+                }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally {
+            try ios.close() finally writer.dispose()
+          }
+          (id, buf.toByteArray)
+        }
+      }
+      .toDF("id", "payload")
+  }
+
+  /** REAL video-container frame walk + per-frame perceptual hash: open
+    * the payload with the JDK's multi-frame image machinery (animated
+    * GIF is the container the JDK decodes natively; the walk — reader
+    * selection, `getNumImages`, per-index decode — is format-agnostic
+    * ImageIO, so a TIFF stack walks identically), decode up to
+    * `maxFrames` frames, dHash each through the same direct-raster /
+    * bilinear-downscale branches as [[imageDHash]].
+    *
+    * Quarantine parity with the image path: the same two-tier
+    * decompression-bomb pre-screen (hand parsers, then
+    * [[imageIoHeaderPixels]]) gates the decode; an undecodable, null,
+    * over-budget or frameless payload emits ONE stub row
+    * `(id, frame_idx = -1, stub hash, decoded = false)` — never a task
+    * failure, and the id stays observable downstream. Frames are read
+    * AS STORED (no disposal-method compositing — delta-framed wild GIFs
+    * hash their stored rects; the synthetic corpus writes full frames).
+    *
+    * Output `(id, frame_idx, phash, decoded)` — one narrow map; feed
+    * [[videoNearDups]] for the temporal near-dup rollup.
+    */
+  def videoFrameDHash(df: DataFrame, idCol: String, payloadCol: String,
+      maxFrames: Int): DataFrame = {
+    require(maxFrames > 0 && maxFrames <= FrameKeyMult,
+      s"maxFrames must be in [1, $FrameKeyMult], got $maxFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      .filter(col("__id").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        def stub(payload: Array[Byte]): Long = {
+          val h = if (payload == null) byteFold(Array.emptyByteArray)
+            else byteFold(payload)
+          h * 2862933555777941757L + 3037000493L
+        }
+        def stubRow(id: Long, payload: Array[Byte]) =
+          Iterator.single((id, -1, stub(payload), false))
+        def hashFrame(img: java.awt.image.BufferedImage): Long =
+          if (img.getWidth == DHashW && img.getHeight == DHashH &&
+              img.getRaster.getNumBands == 1) {
+            val r = img.getRaster
+            dhashBitsOf((x, y) => r.getSample(x, y, 0))
+          } else {
+            val out = new java.awt.image.BufferedImage(DHashW, DHashH,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, DHashW, DHashH, null)
+            } finally g.dispose()
+            val r = out.getRaster
+            dhashBitsOf((x, y) => r.getSample(x, y, 0))
+          }
+        rows.flatMap { case (id, payload) =>
+          val headerPixels: Long = if (payload == null) 0L else
+            decodePng(payload).orElse(decodeJpeg(payload))
+              .orElse(decodeGif(payload)).orElse(decodeBmp(payload))
+              .map(r => r.getInt(0).toLong * r.getInt(1))
+              .getOrElse(imageIoHeaderPixels(payload))
+          if (payload == null || headerPixels > MaxDecodePixels)
+            stubRow(id, payload)
+          else {
+            try {
+              val in = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              if (in == null) stubRow(id, payload)
+              else {
+                try {
+                  val readers = javax.imageio.ImageIO.getImageReaders(in)
+                  if (!readers.hasNext) stubRow(id, payload)
+                  else {
+                    val reader = readers.next()
+                    try {
+                      reader.setInput(in, false, false)
+                      val n = math.min(reader.getNumImages(true), maxFrames)
+                      if (n <= 0) stubRow(id, payload)
+                      else (0 until n).iterator.map { f =>
+                        (id, f, hashFrame(reader.read(f)), true)
+                      }.toVector.iterator
+                    } finally reader.dispose()
+                  }
+                } finally in.close()
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => stubRow(id, payload)
+            }
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "phash", "decoded")
+  }
+
+  /** Temporal video near-dup rollup over per-frame perceptual hashes:
+    * two videos are near-duplicates when at least `minFrames` of their
+    * SAME-INDEX frame pairs are within `maxHamming` dHash bits. Frames
+    * band through the shared [[Dedup.hammingCandidates]] pipeline on the
+    * collision-free composite key `id * FrameKeyMult + frame_idx`
+    * (bounded buckets, never all-pairs); cross-index matches are
+    * discarded (temporal alignment is the point), and the same-video
+    * case is impossible after the same-index filter (equal id + equal
+    * index = equal key). One aggregate rolls frame pairs up to video
+    * pairs. Output `(id_a, id_b, n_frames_matched)`.
+    */
+  def videoNearDups(frames: DataFrame, idCol: String, frameCol: String,
+      sigCol: String, minFrames: Int, maxHamming: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
+    require(minFrames > 0, s"minFrames must be positive, got $minFrames")
+    val keyed = frames.select(
+      (col(idCol) * FrameKeyMult + col(frameCol)).as("fid"),
+      col(sigCol).as("sig"))
+    Dedup.hammingCandidates(keyed, "fid", "sig", maxBucket)
+      .filter(col("hamming") <= maxHamming)
+      .filter(pmod(col("id_a"), lit(FrameKeyMult)) ===
+        pmod(col("id_b"), lit(FrameKeyMult)))
+      .select(expr(s"id_a DIV $FrameKeyMult").as("id_a"),
+        expr(s"id_b DIV $FrameKeyMult").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= minFrames)
   }
 
   /** Deterministic frame sampling plan for a (stub) video payload: every

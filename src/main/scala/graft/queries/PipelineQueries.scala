@@ -1999,6 +1999,33 @@ object PipelineQueries {
       },
       Some(imageNearDupOracleSql())),
 
+    // video temporal near-dup: REAL animated-GIF containers (JDK GIF89a
+    // encoder, 4 full frames over an identity 256-gray palette — a
+    // LOSSLESS round-trip, spec-verified) -> the real format-agnostic
+    // ImageIO container walk (reader selection, getNumImages, per-index
+    // decode) -> per-frame dHash -> banded same-index frame pairs ->
+    // videos with >= 3 of 4 frames matching. The per-frame pixels are
+    // md5 arithmetic (the q_image_neardup contract extended with a frame
+    // axis), so the oracle replays the WHOLE container pipeline: pixels,
+    // gradient bits per (video, frame), the shared banding on the
+    // composite frame key, the same-index filter, and the temporal
+    // rollup — the real encode/decode round-trip is inside the
+    // hash-checked surface.
+    QueryDef("q_video_neardup",
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val gifs = Multimodal.syntheticAnimatedGifs(fam, "doc_id", "family",
+          nFrames = 4)
+        val frames = Multimodal.videoFrameDHash(gifs, "id", "payload",
+          maxFrames = 8)
+        Multimodal.videoNearDups(frames.filter(col("decoded")),
+            "id", "frame_idx", "phash", minFrames = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(videoNearDupOracleSql())),
+
     // audio near-dup (the perceptual image path's audio twin): REAL
     // 8-bit PCM WAV payloads (RIFF encode, near-duplicate within a
     // content family) -> the real chunk-walk decode -> 64-bit
@@ -2588,6 +2615,28 @@ object PipelineQueries {
   private def imageClustersOracleSql(maxBucket: Int = 64): String =
     "WITH RECURSIVE " + imageNearDupCtesSql(maxBucket) +
       """, pairs AS (SELECT id_a, id_b FROM verified WHERE hamming <= 3), dedges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), reach AS (SELECT src AS id, src AS r FROM dedges UNION SELECT e.dst AS id, reach.r FROM reach JOIN dedges e ON e.src = reach.id), reps AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id) SELECT rep, COUNT(*) AS n_members FROM reps GROUP BY rep ORDER BY rep"""
+
+  /** q_video_neardup replay: the animated-GIF pipeline end to end. The
+    * containers are real GIF89a bytes whose per-frame gray samples are
+    * md5 arithmetic over an identity palette (LOSSLESS round-trip —
+    * [[graft.operators.Multimodal.syntheticAnimatedGifs]]'s contract:
+    * base = first md5 byte of "family:f:pos" % 200, perturb = first md5
+    * byte of "id#f:pos" % 2), so the oracle rebuilds every decoded
+    * frame's samples as SQL, derives the per-(video, frame) dHash bits,
+    * bands them on the composite key `doc_id * 64 + f` through the
+    * shared bits->pairs geometry, keeps same-index pairs within
+    * hamming <= 3, and rolls them up to video pairs with >= minFrames
+    * matches. A drifted GIF encode/decode, a lost frame, or a broken
+    * walk all desync the Spark bits from this replay. */
+  private def videoNearDupOracleSql(nFrames: Int = 4, minFrames: Int = 3,
+      maxBucket: Int = 64): String = {
+    val frameVal = "CAST(('0x' || substring(md5(family || ':' || CAST(f AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(vid AS VARCHAR) || '#' || CAST(f AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 2"
+    "WITH fam AS (SELECT doc_id AS vid, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), " +
+      s"px AS (SELECT vid, f, pos, $frameVal AS p FROM fam CROSS JOIN range(0, $nFrames) fr(f) CROSS JOIN range(0, 72) r(pos)), " +
+      "bits AS (SELECT a.vid * 64 + a.f AS doc_id, CAST((a.pos // 9) * 8 + (a.pos % 9) AS INT) AS i, CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit FROM px a JOIN px b ON b.vid = a.vid AND b.f = a.f AND b.pos = a.pos + 1 WHERE a.pos % 9 < 8)" +
+      bitsToPairsSql(maxBucket) +
+      s", fpairs AS (SELECT id_a, id_b FROM verified WHERE hamming <= 3 AND id_a % 64 = id_b % 64) SELECT id_a // 64 AS id_a, id_b // 64 AS id_b, COUNT(*) AS n_frames_matched FROM fpairs GROUP BY 1, 2 HAVING COUNT(*) >= $minFrames ORDER BY id_a, id_b"
+  }
 
   /** q_pii_scrub replay: identical planted-PII synthesis, then the same
     * three patterns in the same order (DuckDB regexp_replace needs the

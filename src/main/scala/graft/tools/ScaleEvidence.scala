@@ -275,6 +275,22 @@ object ScaleEvidence {
         Dedup.hammingCandidates(fps.filter(col("decoded")), "id", "afp")
           .filter(col("hamming") <= 3).count()
       },
+      // video temporal near-dup (round 15): real animated-GIF encode ->
+      // container walk -> per-frame dHash -> banded same-index pairs ->
+      // temporal rollup. Claims: one narrow encode map + one narrow
+      // walk map (scan-speed, frame count capped), banding bounded by
+      // maxBucket, rollup keyed on video pairs — never all-pairs.
+      "video_neardup" -> { () =>
+        val fam = docs.select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val gifs = graft.operators.Multimodal.syntheticAnimatedGifs(
+          fam, "doc_id", "family", nFrames = 4)
+        graft.operators.Multimodal.videoNearDups(
+          graft.operators.Multimodal.videoFrameDHash(
+            gifs, "id", "payload", maxFrames = 8)
+            .filter(col("decoded")),
+          "id", "frame_idx", "phash", minFrames = 3).count()
+      },
       // DSIR selection (round 14): fixed top-50 cut over a growing raw
       // pool. Claims: wall tracks the one tokenize+count scan; the
       // log-ratio model stays `buckets`-sized (broadcast) at any scale;

@@ -2086,6 +2086,92 @@ class OperatorsSpec extends AnyFunSuite {
       s"image near-dup banding degraded to all-pairs:\n$plan")
   }
 
+  test("video frames: real animated-GIF walk matches the analytic bits; " +
+      "temporal rollup pairs same-family videos; hostile payloads " +
+      "quarantine, never fail a task") {
+    val fams = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (10L, "gamma delta"), (11L, "gamma delta"))
+    val df = fams.toDF("id", "family")
+    val gifs = Multimodal.syntheticAnimatedGifs(df, "id", "family",
+      nFrames = 4)
+    // payloads are real GIF89a containers
+    gifs.collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      assert(new String(b.take(6), "ISO-8859-1") == "GIF89a",
+        "not a real GIF container")
+    }
+    val frames = Multimodal.videoFrameDHash(gifs, "id", "payload",
+      maxFrames = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(frames.size == fams.size * 4, "every video must yield 4 frames")
+    assert(frames.values.forall(_._2), "every synthetic frame must decode")
+    // driver replay of the documented per-frame pixel/bit contract: the
+    // GIF identity-palette round-trip must be lossless
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def b0(s: String): Int = { md.reset(); md.digest(s.getBytes("UTF-8"))(0) & 0xff }
+    def expected(id: Long, family: String, f: Int): Long = {
+      val px = (0 until 72).map(p =>
+        b0(s"$family:$f:$p") % 200 + b0(s"$id#$f:$p") % 2)
+      var sig = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (px(y * 9 + x) > px(y * 9 + x + 1)) sig |= 1L << (y * 8 + x)
+      sig
+    }
+    for ((id, fam) <- fams; f <- 0 until 4)
+      assert(frames((id, f))._1 == expected(id, fam, f),
+        s"frame dHash of ($id, $f) diverged from the analytic replay — " +
+          "the GIF identity-palette round-trip is no longer lossless")
+    // temporal rollup: all within-family pairs at 4/4 frames, nothing
+    // cross-family, no self pairs
+    val vids = Multimodal.videoNearDups(
+      Multimodal.videoFrameDHash(gifs, "id", "payload", maxFrames = 8)
+        .filter($"decoded"), "id", "frame_idx", "phash", minFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(vids.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)),
+      s"temporal rollup pairs wrong: ${vids.keySet}")
+    assert(vids.values.forall(_ == 4L), s"expected 4/4 frame matches: $vids")
+    // maxFrames caps the walk (scale guard against frame bombs)
+    val capped = Multimodal.videoFrameDHash(gifs, "id", "payload",
+      maxFrames = 2).groupBy("id").count().collect()
+    assert(capped.forall(_.getLong(1) == 2L), "maxFrames cap not honored")
+    // quarantine parity: garbage / null / truncated-GIF payloads emit
+    // one stub row (decoded=false, frame_idx=-1) — never a task failure
+    val gifBytes = gifs.filter($"id" === 1L).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    val hostile = Seq(
+      (90L, "not a video".getBytes("UTF-8")),
+      (91L, null.asInstanceOf[Array[Byte]]),
+      (92L, gifBytes.take(20)), // truncated mid-header
+      (93L, Array.emptyByteArray)
+    ).toDF("id", "payload")
+    val h = Multimodal.videoFrameDHash(hostile, "id", "payload",
+      maxFrames = 8).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(3))).toMap
+    assert(h.keySet == Set(90L, 91L, 92L, 93L), s"quarantine lost ids: $h")
+    assert(h.values.forall { case (fi, dec) => fi == -1 && !dec },
+      s"hostile payloads must stub with frame_idx=-1: $h")
+    // a SINGLE-frame image payload walks as a 1-frame video whose hash
+    // equals the image path's (shared dHash kernel)
+    val png = Multimodal.syntheticGrayPngs(
+      Seq((7L, "epsilon")).toDF("id", "family"), "id", "family")
+    val asVideo = Multimodal.videoFrameDHash(png, "id", "payload",
+      maxFrames = 8).collect()(0)
+    val asImage = Multimodal.imageDHash(png, "id", "payload").collect()(0)
+    assert(asVideo.getInt(1) == 0 && asVideo.getBoolean(3))
+    assert(asVideo.getLong(2) == asImage.getLong(1),
+      "single-frame walk must equal the image dHash path")
+    // plan gate: the temporal pipeline is banded, never all-pairs
+    val plan = Multimodal.videoNearDups(
+      Multimodal.videoFrameDHash(gifs, "id", "payload", maxFrames = 8)
+        .filter($"decoded"), "id", "frame_idx", "phash", minFrames = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"video near-dup degraded to all-pairs:\n$plan")
+  }
+
   test("span scrub: randomized driver replay over generated corpora") {
     // seeded random corpora: small vocab (forces cross-doc repeats),
     // varied lengths incl. empty docs; the operator must match an

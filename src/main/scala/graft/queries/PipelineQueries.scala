@@ -271,6 +271,37 @@ object PipelineQueries {
     // (one task per shard), walk them back with the pure-JVM ustar
     // reader, and prove byte fidelity — the oracle reads the ORIGINAL
     // table, so a hash match certifies the full pack/unpack cycle
+    // Avro OCF round-trip: the ingestion-format twin of the CSV/JSON/ORC
+    // rows, but with NO connector jar — sources/AvroFiles is a
+    // self-contained container walk on the core avro library (binaryFile
+    // + DataFileStream read, Hadoop-FS one-container-per-task write,
+    // per-file quarantine). Write a typed slice of documents (nullable
+    // string + two longs) to deflate-coded containers, read it back by
+    // name, aggregate; the oracle recomputes the same aggregate from the
+    // parquet table — a value-identity check on the full round-trip.
+    QueryDef("q_avro_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val out = Tables.scratchPath("avro_rt", dir)
+        graft.sources.AvroFiles.write(
+          Tables.documents(s, dir).select("doc_id", "source", "lang",
+            "n_chars"), out)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("source", StringType),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType)))
+        val back = graft.sources.AvroFiles.read(s, out, schema)
+        back.filter(col("error").isNull)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("chars_sum"),
+            min("doc_id").as("first_doc"),
+            count_distinct(col("lang")).as("n_langs"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_sum, MIN(doc_id) AS first_doc, COUNT(DISTINCT lang) AS n_langs FROM documents GROUP BY source ORDER BY source""")),
+
     QueryDef("q_tar_roundtrip",
       (s, dir) => {
         val out = Tables.scratchPath("tar_rt", dir)

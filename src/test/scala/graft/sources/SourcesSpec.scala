@@ -277,4 +277,59 @@ class SourcesSpec extends AnyFunSuite {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("avro round-trip: every supported type survives, NULLs stay NULL, " +
+      "by-name evolution reads missing fields as NULL, corrupt containers " +
+      "quarantine instead of failing the task") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val out = SparkTestSession.tmpPath("avro_src_spec")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val df = Seq(
+      (1L, Some("alpha"), 1.5d, true, Some(Array[Byte](1, 2, 3)), 7),
+      (2L, None, -0.25d, false, None, -7),
+      (3L, Some(""), 0.0d, true, Some(Array.emptyByteArray), 0)
+    ).toDF("id", "name", "score", "flag", "blob", "rank")
+    AvroFiles.write(df, out)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("flag", BooleanType),
+      StructField("blob", BinaryType), StructField("rank", IntegerType)))
+    val back = AvroFiles.read(spark, out, schema)
+    assert(back.filter(col("error").isNotNull).count() == 0)
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alpha" &&
+      rows(0).getDouble(2) == 1.5 && rows(0).getBoolean(3) &&
+      rows(0).getAs[Array[Byte]](4).toSeq == Seq[Byte](1, 2, 3) &&
+      rows(0).getInt(5) == 7)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(4),
+      "NULLs must survive the union(null, T) round-trip")
+    assert(rows(2).getString(1) == "" &&
+      rows(2).getAs[Array[Byte]](4).isEmpty,
+      "empty string / empty bytes are distinct from NULL")
+    // by-name evolution: read with an extra column (NULL-filled) and a
+    // widened long for the int field
+    val evolved = StructType(Seq(
+      StructField("id", LongType), StructField("rank", LongType),
+      StructField("added_later", StringType)))
+    val ev = AvroFiles.read(spark, out, evolved).orderBy("id").collect()
+    assert(ev.forall(_.isNullAt(2)), "missing field must read NULL")
+    assert(ev.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 7L), (2L, -7L), (3L, 0L)), "int must widen to long by name")
+    // quarantine: a corrupt container yields one error row, good
+    // containers in the same directory still read
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "corrupt.avro"),
+      "Obj\u0001not really avro".getBytes("ISO-8859-1"))
+    val mixed = AvroFiles.read(spark, out, schema)
+    assert(mixed.filter(col("error").isNotNull).count() == 1,
+      "corrupt container must quarantine exactly once")
+    assert(mixed.filter(col("error").isNull).count() == 3,
+      "good containers must still read next to a corrupt one")
+    // unsupported column types fail fast at WRITE time, driver-side
+    val bad = Seq((1L, Seq(1, 2))).toDF("id", "arr")
+    val e = intercept[IllegalArgumentException] { AvroFiles.write(bad, out) }
+    assert(e.getMessage.contains("supports"))
+  }
 }

@@ -217,4 +217,73 @@ class HashModeAgreementSpec extends AnyFunSuite {
     checkLaw("md5", mdSigs,
       Dedup.simhashCandidatesMd5(df, "doc_id", "text", maxBucket = bigBucket))
   }
+
+  test("content-hash sample posture (trainCentroids default / classifier " +
+      "content-order): layout- and id-assignment-INDEPENDENT — the law " +
+      "that justifies its spec-level home (SURVEY 5.3)") {
+    import spark.implicits._
+    // 3000 synthetic vectors in 3 clusters, MORE than maxSample so the
+    // content-hash order genuinely SELECTS a subset (at the verify SFs
+    // the sample is the full table and selection is vacuous — this spec
+    // exercises the regime the certificate row cannot)
+    def vecs(idOf: Int => Long): org.apache.spark.sql.DataFrame =
+      (0 until 3000).map { i =>
+        val c = i % 3
+        val base = Array.fill(8)(0.01 * ((i * 7) % 11))
+        base(c) = 1.0 + 0.001 * (i % 97)
+        (idOf(i), base.toSeq)
+      }.toDF("vec_id", "embedding")
+    val a = vecs(i => i.toLong)
+    val maxSample = 500
+    val trained = Similarity.trainCentroids(a, "embedding", k = 3,
+      maxSample = maxSample)
+    // 1) layout independence: any repartition/shuffle of the same rows
+    //    trains the IDENTICAL model (xxhash64(vec) is a pure function of
+    //    content; TakeOrdered is layout-free)
+    val relayout = Similarity.trainCentroids(a.repartition(13), "embedding",
+      k = 3, maxSample = maxSample)
+    assert(trained == relayout,
+      "content-hash sample mode must be layout-independent")
+    // 2) re-ingestion stability: a different ID ASSIGNMENT of the same
+    //    vectors trains the identical model (ids never enter the order)
+    val reingested = Similarity.trainCentroids(
+      vecs(i => 1000000L + ((i * 2654435761L) % 3000)), "embedding",
+      k = 3, maxSample = maxSample)
+    assert(trained == reingested,
+      "content-hash sample mode must be id-assignment-independent")
+    // 3) duplicate-content ties are harmless: tied order keys are
+    //    IDENTICAL vectors, so whichever copy the cut takes, the sampled
+    //    vector sequence — and the model — is unchanged
+    val withDups = a.union(a.limit(200)).repartition(7)
+    val dupTrained = Similarity.trainCentroids(withDups, "embedding",
+      k = 3, maxSample = maxSample)
+    val dupRelayout = Similarity.trainCentroids(withDups.repartition(17),
+      "embedding", k = 3, maxSample = maxSample)
+    assert(dupTrained == dupRelayout,
+      "duplicate-content ties must not make the sample layout-dependent")
+    // 4) the premise that rules OUT an equality certificate: the
+    //    id-ordered twin legitimately trains a DIFFERENT model on the
+    //    same data (different sample subset + different init seed), so a
+    //    cross-mode certificate would need a model-quality contract --
+    //    and at the verify SFs both modes see the full table anyway,
+    //    making such a contract vacuous there (ratio 1 by construction)
+    val idOrdered = Similarity.trainCentroids(a, "embedding", k = 3,
+      maxSample = maxSample, sampleOrderCol = Some("vec_id"))
+    assert(trained != idOrdered,
+      "premise check: the two sample modes train different models (if " +
+        "this ever fails, an equality certificate became possible)")
+    // the same laws for the classifier's content-order posture
+    val labeled = a.withColumn("label",
+      (col("vec_id") % 3 === 0).cast("double"))
+      .withColumn("__content", xxhash64(col("embedding")))
+      .withColumn("embedding",
+        col("embedding").cast("array<float>"))
+    val m1 = QualityClassifier.train(labeled, "vec_id", "embedding",
+      "label", maxSample = maxSample, sampleOrderCol = Some("__content"))
+    val m2 = QualityClassifier.train(labeled.repartition(13), "vec_id",
+      "embedding", "label", maxSample = maxSample,
+      sampleOrderCol = Some("__content"))
+    assert(m1.weights.toSeq == m2.weights.toSeq && m1.bias == m2.bias,
+      "classifier content-order training must be layout-independent")
+  }
 }

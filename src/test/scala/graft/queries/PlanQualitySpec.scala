@@ -239,13 +239,19 @@ class PlanQualitySpec extends AnyFunSuite {
     // aggregates with crossJoins — each side is ONE row by construction,
     // so the nested-loop joins and single-partition finals PlanAudit
     // flags on them are structurally benign. This pins that shape per
-    // certificate: the 5-way count assembly (4 NL joins) plus the r14
-    // one-row scale-guard crossJoin, plus — for the simhash row — the
-    // r14 twin_sig_agreement term (one more one-row crossJoin). More NL
-    // joins than the declared assembly (or any cartesian over data)
-    // means a refactor introduced a real join
-    Seq("q_dedup_minhash_xx" -> 5, "q_dedup_simhash_xx" -> 6,
-      "q_embed_neardup_xx" -> 5, "q_stream_neardup_xx" -> 5)
+    // certificate: the 5-way count assembly (4 NL joins) plus the scale
+    // guard, which since r15 is threaded through the INPUT of every
+    // expensive branch (Differential.guardInput — the over-cap raise
+    // must be a broadcast DEPENDENCY of the quadratic scan, not a
+    // racing sibling job): the guarded ground-truth subtree appears
+    // once per consumer (self-join side a, side b; n(exact); caught),
+    // each instance one more one-row guard BNLJ. Simhash adds the r14
+    // twin_sig_agreement term; dsir's three-contract assembly is 5.
+    // More NL joins than the declared assembly (or any cartesian over
+    // data) means a refactor introduced a real join
+    Seq("q_dedup_minhash_xx" -> 9, "q_dedup_simhash_xx" -> 10,
+      "q_embed_neardup_xx" -> 9, "q_stream_neardup_xx" -> 9,
+      "q_simhash_complete" -> 8, "q_dsir_select_xx" -> 5)
       .foreach { case (q, maxNl) =>
       val df = graft.SparkEntry.queries(q)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString

@@ -128,7 +128,12 @@ object AvroFiles {
     * [[TarShards.members]] posture. Rows decoded before the corruption
     * point are kept (their bytes were valid). */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val out = StructType(schema.fields :+
+    // every data field reads as NULLABLE regardless of the caller's
+    // flags: quarantine rows and by-name misses are all-null by
+    // construction, and a non-nullable field would make the row encoder
+    // throw on exactly the hostile input the quarantine exists to absorb
+    // (caught by AvroFuzzSpec)
+    val out = StructType(schema.fields.map(_.copy(nullable = true)) :+
       StructField("error", StringType, nullable = true))
     val fieldNames = schema.fields.map(_.name)
     val fieldTypes = schema.fields.map(_.dataType)

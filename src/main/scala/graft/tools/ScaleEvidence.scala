@@ -217,6 +217,24 @@ object ScaleEvidence {
         graft.sources.TarShards.members(spark, s"$writeBase/tar")
           .filter(col("error").isNull).count()
       },
+      // Avro OCF source (round 15): one deflate container per task on
+      // write, one binaryFile row per container on read. Claims: both
+      // sides scan-speed linear, zero shuffles either way.
+      "avro_write_files" -> { () =>
+        graft.sources.AvroFiles.write(
+          docs.select("doc_id", "source", "lang", "n_chars"),
+          s"$writeBase/avro")
+        countFiles(s"$writeBase/avro", ".avro")
+      },
+      "avro_read_rows" -> { () =>
+        requireLayout(s"$writeBase/avro", "avro_write_files")
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("lang", StringType), StructField("n_chars", LongType)))
+        graft.sources.AvroFiles.read(spark, s"$writeBase/avro", schema)
+          .filter(col("error").isNull).count()
+      },
       // trained quality classifier (round 14): training cost is bounded
       // by maxSample REGARDLESS of corpus size (TakeOrdered sample +
       // driver GD on a model-sized array); scoring is one codegen'd map

@@ -389,7 +389,7 @@ object Bench {
     val total = results.collect { case (_, b, true, _, _) => b.sec }.sum
     val nFailed = results.count(!_._3)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"prev_floor_exceeded":$prevExceededNames,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","checks":["proc_stat_steal","task_clock_dilation","historical_floor"],"steal_threshold":$StealThreshold,"floor_factor":$FloorFactor,"sf":"$sfDir","diag":$diag}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"prev_floor_exceeded":$prevExceededNames,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","checks":["proc_stat_steal","task_clock_dilation","historical_floor"],"steal_threshold":$StealThreshold,"floor_factor":$FloorFactor,"floor_slack":"max(0.1, 0.25 * floor)","sf":"$sfDir","diag":$diag}"""
     // the artifact of record: stdout tails are truncated by the harness
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {

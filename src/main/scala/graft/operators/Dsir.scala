@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * ([[TextAnalysis.hashEmbedMd5Reference]]); `xx = true` swaps in
   * xxhash64 (the production posture when the per-feature hash is the
   * visible scan cost — different bucket collisions, so weights differ
-  * in the smoothing tails and have NO DuckDB twin; the determinism
-  * paragraph below applies to the declared md5 mode).
+  * in the smoothing tails and the hashes have no DuckDB twin; the
+  * determinism paragraph below applies to the declared md5 mode, and
+  * since r15 the xx mode carries its own oracle row via the
+  * three-contract differential certificate
+  * [[graft.queries.Differential.dsirCertificate]] — q_dsir_select_xx).
   * Distributions are add-`alpha`-smoothed bucket frequencies; a raw
   * document's weight is `sum_b c_b * ln(pTarget(b) / pRaw(b))` over its
   * bucket counts `c_b`.
@@ -55,7 +58,11 @@ object Dsir {
     * structure (the hashEmbed family's mode convention). The two modes
     * hash different bucket collisions, so their weights differ in the
     * smoothing tails; mode-shared CONTRACTS (target exclusion, empty-doc
-    * absence, layout independence) are spec-pinned.
+    * absence, layout independence) are spec-pinned, and the xx mode is
+    * oracle-certified against the md5 twin since r15
+    * (q_dsir_select_xx — selection jaccard, rank-median and
+    * weight-delta-median laws; DifferentialSpec pins the flip on a
+    * degenerate bucket kernel).
     */
   private def bucketOf(feature: Column, buckets: Int,
       xx: Boolean): Column =

@@ -649,4 +649,65 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * lit(31L) + shiftrightunsigned(
         graft.functions.Md5Hashes.md5Hash64(t), 32))
+
+  /** HTML-to-text extraction — the step BEFORE every other text operator
+    * in a web-crawl pipeline (quality rules, dedup, langid all expect
+    * plain text). Deterministic regexp/replace column algebra, kept to
+    * constructs Java regex and RE2 interpret identically (inline (?is)
+    * flags, non-greedy spans, character classes — NO backreferences,
+    * which RE2 lacks), so a SQL oracle replays the extraction
+    * byte-for-byte:
+    *
+    *   1. strip `<!-- -->` comments, then `<script>`/`<style>` blocks
+    *      WITH their content (code is not prose);
+    *   2. block-level tags (`p`/`div`/`br`/`h1..6`/`li`/`tr`/
+    *      `ul`/`ol`/`table`/`section`/`article`, open or close) become a
+    *      single space (block boundaries must not glue words together);
+    *   3. every remaining tag is dropped;
+    *   4. the five standard entities + `&nbsp;` decode — `&amp;` LAST,
+    *      so `&amp;lt;` yields the literal `&lt;`, not `<` (the classic
+    *      double-decode bug);
+    *   5. whitespace runs collapse to single spaces, ends trimmed.
+    *
+    * Also emits the two standard boilerplate-filter signals: `n_links`
+    * (anchor-tag count in the RAW html) and `text_ratio`
+    * (plain-text length / raw length, floor-rounded to 6 decimals —
+    * boilerplate pages are tag-dominated, content pages text-dominated).
+    * Appends `text_plain`, `n_links`, `text_ratio`.
+    */
+  def htmlExtract(df: DataFrame, htmlCol: String): DataFrame = {
+    val raw = coalesce(col(htmlCol), lit(""))
+    val noComment = regexp_replace(raw, HtmlCommentPattern, "")
+    val noScript = regexp_replace(
+      regexp_replace(noComment, HtmlScriptPattern, ""),
+      HtmlStylePattern, "")
+    val blocks = regexp_replace(noScript, HtmlBlockTagPattern, " ")
+    val noTags = regexp_replace(blocks, HtmlTagPattern, "")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+    val plain = trim(regexp_replace(decoded, "\\s+", " "))
+    df.withColumn("text_plain", plain)
+      .withColumn("n_links",
+        regexp_count(raw, lit(HtmlAnchorPattern)).cast("long"))
+      .withColumn("text_ratio",
+        when(length(raw) === 0, lit(0.0d))
+          .otherwise(floor(length(plain).cast("double") /
+            length(raw).cast("double") * 1e6d + 0.5d) / 1e6d))
+  }
+
+  /** [[htmlExtract]]'s patterns/tables, shared verbatim with the SQL
+    * oracle (q_html_extract) so the two engines can never drift. RE2 has
+    * no backreferences, so script/style close on explicit literals. */
+  val HtmlCommentPattern = """(?s)<!--.*?-->"""
+  val HtmlScriptPattern = """(?is)<script\b[^>]*>.*?</script\s*>"""
+  val HtmlStylePattern = """(?is)<style\b[^>]*>.*?</style\s*>"""
+  val HtmlBlockTagPattern =
+    """(?i)</?(p|div|br|h[1-6]|li|tr|ul|ol|table|section|article)\b[^>]*/?>"""
+  val HtmlTagPattern = """(?s)<[^>]*>"""
+  val HtmlAnchorPattern = """(?i)<a\b"""
+  /** decode order matters: `&amp;` strictly last (see scaladoc) */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
 }

@@ -1954,6 +1954,31 @@ object PipelineQueries {
       },
       Some(piiScrubOracleSql)),
 
+    // HTML-to-text extraction: the step BEFORE every other text operator
+    // in a web-crawl pipeline. Deterministic HTML synthesized around each
+    // document (script/style blocks, a comment, block tags, anchors, the
+    // six standard entities incl. a double-encoded &amp;amp;), then the
+    // full extraction chain: comment/script/style strip, block tags to
+    // spaces, tag drop, entity decode (&amp; LAST — the double-decode
+    // trap), whitespace collapse — plus the two boilerplate signals
+    // (anchor count on the raw bytes, plain/raw length ratio). The oracle
+    // replays synthesis AND extraction byte-for-byte (shared pattern
+    // constants; RE2-safe, no backreferences).
+    QueryDef("q_html_extract",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).withColumn("__html",
+          concat(
+            lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script><style>.c { color: red }</style></head><body><!-- boilerplate\nblock --><h1>Doc "),
+            col("doc_id"), lit("</h1><p>"), col("text"),
+            lit("</p><ul><li>&quot;quoted&quot; &amp;amp; more</li></ul><a href=\"http://ex.org/"),
+            col("doc_id"),
+            lit("\">link</a> &nbsp;&lt;tail&gt;</body></html>")))
+        graft.operators.TextAnalysis.htmlExtract(docs, "__html")
+          .select("doc_id", "text_plain", "n_links", "text_ratio")
+          .orderBy("doc_id")
+      },
+      Some(htmlExtractOracleSql)),
+
     // Gopher repetition-removal rules (the published rule set's
     // repetition half — duplicate-line fractions + most-frequent-n-gram
     // character coverage — complementing q_quality_rules' length/symbol
@@ -2667,6 +2692,19 @@ object PipelineQueries {
       "bits AS (SELECT a.vid * 64 + a.f AS doc_id, CAST((a.pos // 9) * 8 + (a.pos % 9) AS INT) AS i, CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit FROM px a JOIN px b ON b.vid = a.vid AND b.f = a.f AND b.pos = a.pos + 1 WHERE a.pos % 9 < 8)" +
       bitsToPairsSql(maxBucket) +
       s", fpairs AS (SELECT id_a, id_b FROM verified WHERE hamming <= 3 AND id_a % 64 = id_b % 64) SELECT id_a // 64 AS id_a, id_b // 64 AS id_b, COUNT(*) AS n_frames_matched FROM fpairs GROUP BY 1, 2 HAVING COUNT(*) >= $minFrames ORDER BY id_a, id_b"
+  }
+
+  /** q_html_extract replay: identical HTML synthesis, then
+    * [[graft.operators.TextAnalysis.htmlExtract]]'s exact chain — the
+    * pattern constants and the entity table (with its decode ORDER) are
+    * shared verbatim, so the two engines cannot drift. */
+  private lazy val htmlExtractOracleSql: String = {
+    import graft.operators.TextAnalysis._
+    val entityChain = HtmlEntities.foldLeft("no_tags") {
+      case (e, (from, to)) =>
+        s"replace($e, '${from.replace("'", "''")}', '${to.replace("'", "''")}')"
+    }
+    s"""WITH raw AS (SELECT doc_id, '<html><head><script type="text/javascript">var x = 1 < 2;</script><style>.c { color: red }</style></head><body><!-- boilerplate' || chr(10) || 'block --><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><ul><li>&quot;quoted&quot; &amp;amp; more</li></ul><a href="http://ex.org/' || CAST(doc_id AS VARCHAR) || '">link</a> &nbsp;&lt;tail&gt;</body></html>' AS html FROM documents), stripped AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(html, '$HtmlCommentPattern', '', 'g'), '$HtmlScriptPattern', '', 'g'), '$HtmlStylePattern', '', 'g') AS no_cs FROM raw), tagless AS (SELECT doc_id, html, regexp_replace(regexp_replace(no_cs, '$HtmlBlockTagPattern', ' ', 'g'), '$HtmlTagPattern', '', 'g') AS no_tags FROM stripped), plain AS (SELECT doc_id, html, trim(regexp_replace($entityChain, '\\s+', ' ', 'g')) AS text_plain FROM tagless) SELECT doc_id, text_plain, CAST(len(regexp_extract_all(html, '$HtmlAnchorPattern')) AS BIGINT) AS n_links, CASE WHEN len(html) = 0 THEN 0.0 ELSE floor(CAST(len(text_plain) AS DOUBLE) / len(html) * 1e6 + 0.5) / 1e6 END AS text_ratio FROM plain ORDER BY doc_id"""
   }
 
   /** q_pii_scrub replay: identical planted-PII synthesis, then the same

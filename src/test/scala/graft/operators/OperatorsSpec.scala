@@ -2172,6 +2172,54 @@ class OperatorsSpec extends AnyFunSuite {
       s"video near-dup degraded to all-pairs:\n$plan")
   }
 
+  test("html extract: tags/scripts/comments stripped, entity decode " +
+      "order correct, block boundaries keep words apart, malformed html " +
+      "is total, zero shuffles") {
+    val df = Seq(
+      (1L, "<p>hello</p><div>world</div>"),
+      (2L, "<script>var a = \"<p>not text</p>\";</script>real"),
+      (3L, "<style>.x { }</style>styled<b>bold</b>"),
+      (4L, "&amp;amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b"),
+      (5L, "<!-- c1 --><p>kept</p><!-- multi\nline -->"),
+      (6L, "no markup at all"),
+      (7L, "<a href=\"x\">one</a> <A HREF=\"y\">two</A>"),
+      (8L, "<div junk without close"),       // malformed: unclosed tag
+      (9L, ""),
+      (10L, null.asInstanceOf[String])
+    ).toDF("id", "html")
+    val got = TextAnalysis.htmlExtract(df, "html")
+      .select("id", "text_plain", "n_links").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // block tags separate words; inline tags drop without spacing
+    assert(got(1L)._1 == "hello world", got(1L)._1)
+    // script/style CONTENT is gone, including tag-looking strings inside
+    assert(got(2L)._1 == "real", got(2L)._1)
+    assert(got(3L)._1 == "styledbold", got(3L)._1)
+    // decode order: &amp;amp; -> literal &amp; (never double-decodes)
+    assert(got(4L)._1 == "&amp; <tag> \"q\" 's' a b", got(4L)._1)
+    assert(got(5L)._1 == "kept", got(5L)._1)
+    assert(got(6L)._1 == "no markup at all")
+    assert(got(7L) == (("one two", 2L)), s"anchor count: ${got(7L)}")
+    // malformed: an unclosed tag never matches `<[^>]*>` and passes
+    // through verbatim (the regex contract — total, deterministic,
+    // never an error; leftover markup is a quality-signal matter, not a
+    // crash)
+    assert(got(8L)._1 == "<div junk without close", got(8L)._1)
+    assert(got(9L)._1 == "" && got(10L)._1 == "")
+    // the signals: a tag-dominated row has a lower text ratio than a
+    // text-dominated one
+    val ratios = TextAnalysis.htmlExtract(df, "html")
+      .select("id", "text_ratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ratios(6L) > ratios(1L) && ratios(1L) > ratios(2L),
+      s"text_ratio ordering wrong: $ratios")
+    // plan: pure scan-stage column algebra — no exchange anywhere
+    val plan = TextAnalysis.htmlExtract(df, "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"html extract must be a zero-shuffle scan:\n$plan")
+  }
+
   test("span scrub: randomized driver replay over generated corpora") {
     // seeded random corpora: small vocab (forces cross-doc repeats),
     // varied lengths incl. empty docs; the operator must match an

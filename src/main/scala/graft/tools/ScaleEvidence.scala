@@ -353,6 +353,14 @@ object ScaleEvidence {
       "repetition_rules" -> (() =>
         TextAnalysis.repetitionSignals(docs, "doc_id", "text")
           .filter(col("top2_char_frac") >= 0.0).count()),
+      // HTML-to-text extraction (round 15): pure chained-regex scan over
+      // synthesized markup. Claim: scan-speed linear, zero shuffle.
+      "html_extract" -> (() =>
+        TextAnalysis.htmlExtract(docs.withColumn("__h",
+          concat(lit("<html><body><script>var x=1;</script><h1>T</h1><p>"),
+            col("text"), lit("</p><a href=\"u\">l</a></body></html>"))),
+          "__h")
+          .filter(length(col("text_plain")) > 0).count()),
       // PII scrub (round 14): pure chained-regex scan. Claim: scan-speed
       // linear, zero shuffle. (The filter consumes text_clean so column
       // pruning cannot skip the regex work under count().)

@@ -977,7 +977,20 @@ object Multimodal {
                     try {
                       reader.setInput(in, false, false)
                       val n = math.min(reader.getNumImages(true), maxFrames)
-                      if (n <= 0) stubRow(id, payload)
+                      // per-FRAME bomb screen: the container-level header
+                      // screen sees only the logical-screen / first-frame
+                      // size, but each frame's image descriptor carries
+                      // its own dimensions and reader.read(f) allocates
+                      // at THAT size — a 9x8 screen with a 40000x40000
+                      // frame descriptor would blow the decode budget n
+                      // times over. getWidth/getHeight(f) parse headers
+                      // only; any over-budget frame quarantines the
+                      // whole payload (it is hostile by construction).
+                      val framesBombed = (0 until n).exists { f =>
+                        reader.getWidth(f).toLong * reader.getHeight(f) >
+                          MaxDecodePixels
+                      }
+                      if (n <= 0 || framesBombed) stubRow(id, payload)
                       else (0 until n).iterator.map { f =>
                         (id, f, hashFrame(reader.read(f)), true)
                       }.toVector.iterator
@@ -1009,9 +1022,25 @@ object Multimodal {
       sigCol: String, minFrames: Int, maxHamming: Int = 3,
       maxBucket: Int = 64): DataFrame = {
     require(minFrames > 0, s"minFrames must be positive, got $minFrames")
-    val keyed = frames.select(
-      (col(idCol) * FrameKeyMult + col(frameCol)).as("fid"),
-      col(sigCol).as("sig"))
+    val keyed = frames
+      // the composite key is collision-free ONLY over frame indexes in
+      // [0, FrameKeyMult): id*64 - 1 aliases (id-1)*64 + 63, so the
+      // videoFrameDHash stub rows (frame_idx = -1) — two hostile
+      // payloads with equal bytes share a deterministic stub hash —
+      // would otherwise band as a phantom frame-63 match of the WRONG
+      // videos. Out-of-range frames are not frames: dropped here by
+      // construction (a caller who forgot .filter(decoded) is safe).
+      .filter(col(frameCol) >= 0 && col(frameCol) < FrameKeyMult)
+      .select(
+        // a negative video id would also alias under the truncating DIV
+        // decompose — ids in this engine are non-negative; fail loudly
+        // instead of flagging the wrong videos
+        when(col(idCol) < 0, raise_error(lit(
+          "videoNearDups requires non-negative video ids (the composite " +
+            "(video, frame) banding key aliases under negative ids)"))
+          .cast("long"))
+          .otherwise(col(idCol) * FrameKeyMult + col(frameCol)).as("fid"),
+        col(sigCol).as("sig"))
     Dedup.hammingCandidates(keyed, "fid", "sig", maxBucket)
       .filter(col("hamming") <= maxHamming)
       .filter(pmod(col("id_a"), lit(FrameKeyMult)) ===

@@ -167,7 +167,13 @@ object Similarity {
   def knnJoin(queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, cidCol: String, cvecCol: String, k: Int,
       maxQueryRows: Long = 100000L): DataFrame = {
-    require(maxQueryRows > 0, s"maxQueryRows must be positive, got $maxQueryRows")
+    // the probe counts a limit(cap + 1) slice, and limit takes an Int: a
+    // cap at or above Int.MaxValue would CLAMP the slice and make the
+    // raise branch unreachable — the guard silently off at exactly the
+    // scale it protects against. A >2-billion-row broadcast is nonsense
+    // anyway; refuse the configuration instead of ignoring it.
+    require(maxQueryRows > 0 && maxQueryRows < Int.MaxValue,
+      s"maxQueryRows must be in (0, ${Int.MaxValue}), got $maxQueryRows")
     // execution-time broadcast-contract guard: ONE row carrying the query
     // count, crossed into the broadcast side (a scalar 1 x |Q| join —
     // the certRow posture, never a data cartesian). The probe counts a
@@ -185,7 +191,7 @@ object Similarity {
     // broadcast-side evaluation) — a literal cannot null out, and the
     // cap value is what the caller needs to act
     val guard = queries
-      .limit(math.min(maxQueryRows + 1L, Int.MaxValue.toLong).toInt)
+      .limit((maxQueryRows + 1L).toInt) // safe: cap < Int.MaxValue required
       .agg(count(lit(1)).as("__qcount"))
       .select(when(col("__qcount") <= maxQueryRows, lit(1.0d))
         .otherwise(raise_error(lit(

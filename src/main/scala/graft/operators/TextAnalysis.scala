@@ -686,7 +686,7 @@ object TextAnalysis {
     val decoded = HtmlEntities.foldLeft(noTags) { case (c, (from, to)) =>
       replace(c, lit(from), lit(to))
     }
-    val plain = trim(regexp_replace(decoded, "\\s+", " "))
+    val plain = trim(regexp_replace(decoded, HtmlWhitespacePattern, " "))
     df.withColumn("text_plain", plain)
       .withColumn("n_links",
         regexp_count(raw, lit(HtmlAnchorPattern)).cast("long"))
@@ -706,6 +706,11 @@ object TextAnalysis {
     """(?i)</?(p|div|br|h[1-6]|li|tr|ul|ol|table|section|article)\b[^>]*/?>"""
   val HtmlTagPattern = """(?s)<[^>]*>"""
   val HtmlAnchorPattern = """(?i)<a\b"""
+  /** explicit class, NOT `\s`: Java's `\s` includes vertical tab \x0B,
+    * RE2's does not — a document containing one would silently diverge
+    * between the engines (and flip the oracle). `\x0B` is a hex escape
+    * both interpret identically. */
+  val HtmlWhitespacePattern = """[ \t\n\x0B\f\r]+"""
   /** decode order matters: `&amp;` strictly last (see scaladoc) */
   val HtmlEntities: Seq[(String, String)] = Seq(
     "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",

@@ -2704,7 +2704,7 @@ object PipelineQueries {
       case (e, (from, to)) =>
         s"replace($e, '${from.replace("'", "''")}', '${to.replace("'", "''")}')"
     }
-    s"""WITH raw AS (SELECT doc_id, '<html><head><script type="text/javascript">var x = 1 < 2;</script><style>.c { color: red }</style></head><body><!-- boilerplate' || chr(10) || 'block --><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><ul><li>&quot;quoted&quot; &amp;amp; more</li></ul><a href="http://ex.org/' || CAST(doc_id AS VARCHAR) || '">link</a> &nbsp;&lt;tail&gt;</body></html>' AS html FROM documents), stripped AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(html, '$HtmlCommentPattern', '', 'g'), '$HtmlScriptPattern', '', 'g'), '$HtmlStylePattern', '', 'g') AS no_cs FROM raw), tagless AS (SELECT doc_id, html, regexp_replace(regexp_replace(no_cs, '$HtmlBlockTagPattern', ' ', 'g'), '$HtmlTagPattern', '', 'g') AS no_tags FROM stripped), plain AS (SELECT doc_id, html, trim(regexp_replace($entityChain, '\\s+', ' ', 'g')) AS text_plain FROM tagless) SELECT doc_id, text_plain, CAST(len(regexp_extract_all(html, '$HtmlAnchorPattern')) AS BIGINT) AS n_links, CASE WHEN len(html) = 0 THEN 0.0 ELSE floor(CAST(len(text_plain) AS DOUBLE) / len(html) * 1e6 + 0.5) / 1e6 END AS text_ratio FROM plain ORDER BY doc_id"""
+    s"""WITH raw AS (SELECT doc_id, '<html><head><script type="text/javascript">var x = 1 < 2;</script><style>.c { color: red }</style></head><body><!-- boilerplate' || chr(10) || 'block --><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><ul><li>&quot;quoted&quot; &amp;amp; more</li></ul><a href="http://ex.org/' || CAST(doc_id AS VARCHAR) || '">link</a> &nbsp;&lt;tail&gt;</body></html>' AS html FROM documents), stripped AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(html, '$HtmlCommentPattern', '', 'g'), '$HtmlScriptPattern', '', 'g'), '$HtmlStylePattern', '', 'g') AS no_cs FROM raw), tagless AS (SELECT doc_id, html, regexp_replace(regexp_replace(no_cs, '$HtmlBlockTagPattern', ' ', 'g'), '$HtmlTagPattern', '', 'g') AS no_tags FROM stripped), plain AS (SELECT doc_id, html, trim(regexp_replace($entityChain, '$HtmlWhitespacePattern', ' ', 'g')) AS text_plain FROM tagless) SELECT doc_id, text_plain, CAST(len(regexp_extract_all(html, '$HtmlAnchorPattern')) AS BIGINT) AS n_links, CASE WHEN len(html) = 0 THEN 0.0 ELSE floor(CAST(len(text_plain) AS DOUBLE) / len(html) * 1e6 + 0.5) / 1e6 END AS text_ratio FROM plain ORDER BY doc_id"""
   }
 
   /** q_pii_scrub replay: identical planted-PII synthesis, then the same

@@ -61,7 +61,13 @@ object AvroFiles {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
     val schema = df.schema
-    val schemaJson = avroSchemaJson(schema) // validates types driver-side
+    val schemaJson = avroSchemaJson(schema)
+    // fail fast ON THE DRIVER for both unsupported types (avroType
+    // throws inside avroSchemaJson) and Avro-invalid field names — the
+    // JSON is hand-built from unvalidated Spark column names, and
+    // without this parse a name like "n-chars" (or one with a quote)
+    // would surface as a distributed task failure after job launch
+    new org.apache.avro.Schema.Parser().parse(schemaJson)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val out = new Path(outDir)
     val fs = out.getFileSystem(hadoopConf)

@@ -76,4 +76,52 @@ class VideoFuzzSpec extends AnyFunSuite {
     // totality (no throw) + determinism
     assert(vids.length >= 0)
   }
+
+  test("per-frame bomb screen: a tiny logical screen hiding a huge frame " +
+      "descriptor quarantines; stub rows cannot alias into phantom " +
+      "pairs; negative video ids fail loudly") {
+    import spark.implicits._
+    val valid = Multimodal.syntheticAnimatedGifs(
+      Seq((0L, "bomb family")).toDF("id", "family"), "id", "family",
+      nFrames = 2).collect()(0).getAs[Array[Byte]]("payload")
+    // patch the FIRST image descriptor (0x2C separator after the 13-byte
+    // header + palette) to claim a 65535x65535 frame: headerPixels from
+    // the logical screen stays 72, but reader.read would allocate ~4.3e9
+    // pixels -- the per-frame screen must quarantine the payload
+    val bombed = valid.clone()
+    val sep = bombed.indexOf(0x2C.toByte, 13 + 768)
+    assert(sep > 0, "no image descriptor found to patch")
+    bombed(sep + 5) = 0xFF.toByte; bombed(sep + 6) = 0xFF.toByte // width LE
+    bombed(sep + 7) = 0xFF.toByte; bombed(sep + 8) = 0xFF.toByte // height LE
+    val out = Multimodal.videoFrameDHash(
+      Seq((1L, bombed)).toDF("id", "payload"), "id", "payload",
+      maxFrames = 8).collect()
+    assert(out.length == 1 && out(0).getInt(1) == -1 &&
+      !out(0).getBoolean(3),
+      s"oversized frame descriptor must quarantine, got ${out.toSeq}")
+    // stub-alias regression: two hostile payloads with IDENTICAL bytes
+    // share a deterministic stub hash; fed UNFILTERED into the rollup,
+    // their frame_idx = -1 rows would band at composite key id*64 - 1 =
+    // (id-1)*64 + 63 and flag the WRONG videos -- the rollup's frame
+    // range filter must drop them
+    val garbage = "not a container".getBytes("UTF-8")
+    val frames = Multimodal.videoFrameDHash(
+      Seq((64L, garbage), (128L, garbage)).toDF("id", "payload"),
+      "id", "payload", maxFrames = 8)
+    val pairs = Multimodal.videoNearDups(frames, // no .filter(decoded)!
+      "id", "frame_idx", "phash", minFrames = 1)
+      .collect()
+    assert(pairs.isEmpty,
+      s"stub rows aliased into phantom video pairs: ${pairs.toSeq}")
+    // negative video ids alias under the truncating DIV decompose: raise
+    val neg = Seq((-3L, 0, 5L, true), (4L, 0, 5L, true))
+      .toDF("id", "frame_idx", "phash", "decoded")
+    val e = intercept[Exception] {
+      Multimodal.videoNearDups(neg, "id", "frame_idx", "phash",
+        minFrames = 1).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("non-negative"), msgs(e).take(200))
+  }
 }

@@ -2082,6 +2082,28 @@ object PipelineQueries {
       },
       Some(videoNearDupOracleSql())),
 
+    // video duplicate clustering: the temporal near-dup pairs fold into
+    // connected components (the q_image_clusters construction —
+    // checkpointed iterative expansion, constant plan depth), one row
+    // per cluster with its representative and size. Same full analytic
+    // container replay, extended by the recursive-components fixpoint.
+    QueryDef("q_video_clusters",
+      (s, dir) => {
+        import graft.operators.{Dedup, Multimodal}
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val gifs = Multimodal.syntheticAnimatedGifs(fam, "doc_id", "family",
+          nFrames = 4)
+        val pairs = Multimodal.videoNearDups(
+          Multimodal.videoFrameDHash(gifs, "id", "payload", maxFrames = 8)
+            .filter(col("decoded")), "id", "frame_idx", "phash",
+          minFrames = 3).select("id_a", "id_b")
+        Dedup.clusters(pairs)
+          .groupBy("rep").agg(count(lit(1)).as("n_members"))
+          .orderBy("rep")
+      },
+      Some(videoClustersOracleSql())),
+
     // audio near-dup (the perceptual image path's audio twin): REAL
     // 8-bit PCM WAV payloads (RIFF encode, near-duplicate within a
     // content family) -> the real chunk-walk decode -> 64-bit
@@ -2684,15 +2706,29 @@ object PipelineQueries {
     * hamming <= 3, and rolls them up to video pairs with >= minFrames
     * matches. A drifted GIF encode/decode, a lost frame, or a broken
     * walk all desync the Spark bits from this replay. */
-  private def videoNearDupOracleSql(nFrames: Int = 4, minFrames: Int = 3,
-      maxBucket: Int = 64): String = {
+  /** the shared CTE chain up to `vpairs(id_a, id_b, n_frames_matched)` —
+    * consumed by the pair row and the cluster row */
+  private def videoNearDupCtesSql(nFrames: Int, minFrames: Int,
+      maxBucket: Int): String = {
     val frameVal = "CAST(('0x' || substring(md5(family || ':' || CAST(f AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(vid AS VARCHAR) || '#' || CAST(f AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 2"
-    "WITH fam AS (SELECT doc_id AS vid, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), " +
+    "fam AS (SELECT doc_id AS vid, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), " +
       s"px AS (SELECT vid, f, pos, $frameVal AS p FROM fam CROSS JOIN range(0, $nFrames) fr(f) CROSS JOIN range(0, 72) r(pos)), " +
       "bits AS (SELECT a.vid * 64 + a.f AS doc_id, CAST((a.pos // 9) * 8 + (a.pos % 9) AS INT) AS i, CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit FROM px a JOIN px b ON b.vid = a.vid AND b.f = a.f AND b.pos = a.pos + 1 WHERE a.pos % 9 < 8)" +
       bitsToPairsSql(maxBucket) +
-      s", fpairs AS (SELECT id_a, id_b FROM verified WHERE hamming <= 3 AND id_a % 64 = id_b % 64) SELECT id_a // 64 AS id_a, id_b // 64 AS id_b, COUNT(*) AS n_frames_matched FROM fpairs GROUP BY 1, 2 HAVING COUNT(*) >= $minFrames ORDER BY id_a, id_b"
+      s", fpairs AS (SELECT id_a, id_b FROM verified WHERE hamming <= 3 AND id_a % 64 = id_b % 64), vpairs AS (SELECT id_a // 64 AS id_a, id_b // 64 AS id_b, COUNT(*) AS n_frames_matched FROM fpairs GROUP BY 1, 2 HAVING COUNT(*) >= $minFrames)"
   }
+
+  private def videoNearDupOracleSql(nFrames: Int = 4, minFrames: Int = 3,
+      maxBucket: Int = 64): String =
+    "WITH " + videoNearDupCtesSql(nFrames, minFrames, maxBucket) +
+      " SELECT id_a, id_b, n_frames_matched FROM vpairs ORDER BY id_a, id_b"
+
+  /** q_video_clusters replay: the video pair CTEs + the recursive-CTE
+    * connected-components fixpoint (q_image_clusters' construction). */
+  private def videoClustersOracleSql(nFrames: Int = 4, minFrames: Int = 3,
+      maxBucket: Int = 64): String =
+    "WITH RECURSIVE " + videoNearDupCtesSql(nFrames, minFrames, maxBucket) +
+      """, dedges AS (SELECT id_a AS src, id_b AS dst FROM vpairs UNION SELECT id_b, id_a FROM vpairs), reach AS (SELECT src AS id, src AS r FROM dedges UNION SELECT e.dst AS id, reach.r FROM reach JOIN dedges e ON e.src = reach.id), reps AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id) SELECT rep, COUNT(*) AS n_members FROM reps GROUP BY rep ORDER BY rep"""
 
   /** q_html_extract replay: identical HTML synthesis, then
     * [[graft.operators.TextAnalysis.htmlExtract]]'s exact chain — the

@@ -309,6 +309,21 @@ object ScaleEvidence {
             .filter(col("decoded")),
           "id", "frame_idx", "phash", minFrames = 3).count()
       },
+      // video duplicate clustering (round 15): the temporal pairs fold
+      // into connected components. Claim: rides video_neardup's stages
+      // plus the checkpointed iterative expansion (constant plan depth).
+      "video_clusters" -> { () =>
+        val fam = docs.select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val gifs = graft.operators.Multimodal.syntheticAnimatedGifs(
+          fam, "doc_id", "family", nFrames = 4)
+        val pairs = graft.operators.Multimodal.videoNearDups(
+          graft.operators.Multimodal.videoFrameDHash(
+            gifs, "id", "payload", maxFrames = 8)
+            .filter(col("decoded")),
+          "id", "frame_idx", "phash", minFrames = 3).select("id_a", "id_b")
+        Dedup.clusters(pairs).groupBy("rep").count().count()
+      },
       // DSIR selection (round 14): fixed top-50 cut over a growing raw
       // pool. Claims: wall tracks the one tokenize+count scan; the
       // log-ratio model stays `buckets`-sized (broadcast) at any scale;

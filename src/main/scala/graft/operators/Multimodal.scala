@@ -1022,6 +1022,13 @@ object Multimodal {
       sigCol: String, minFrames: Int, maxHamming: Int = 3,
       maxBucket: Int = 64): DataFrame = {
     require(minFrames > 0, s"minFrames must be positive, got $minFrames")
+    // the 4x16-bit chunk banding in Dedup.hammingPairsFromSigs is
+    // pigeonhole-complete ONLY for hamming <= 3 (4 bands, <= 3 flipped
+    // bits leave one band untouched); a larger radius would silently
+    // return an INCOMPLETE candidate set, so refuse it loudly
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (the 4-band pigeonhole completeness " +
+        s"bound of the 64-bit banding), got $maxHamming")
     val keyed = frames
       // the composite key is collision-free ONLY over frame indexes in
       // [0, FrameKeyMult): id*64 - 1 aliases (id-1)*64 + 63, so the

@@ -601,7 +601,14 @@ object TextAnalysis {
     * masked, leaking the leading digits next to the mask token; now a
     * match can start neither mid-run nor right after a run's separator.
     * Spaces stay valid left context (they are the normal prose
-    * delimiter). The replacement token differs per engine ('$1' Java,
+    * delimiter). Known leak DIRECTION of this trade-off: a phone glued
+    * directly to a preceding '.' or '-' with no space (sentence period
+    * without a space — "call now.555-867-5309") reads as a continued
+    * separated digit run and is left UNMASKED (a PII false negative);
+    * the alternative (allowing '.'/'-' left context) re-opens the
+    * partial-masking leak inside long IDs, which masks the WRONG span —
+    * we prefer the rare no-space miss to a wrong-span mask. The
+    * replacement token differs per engine ('$1' Java,
     * '\1' RE2) — [[PhoneMaskSpark]] / [[PhoneMaskDuck]]; counts are
     * replacement-free and shared. */
   val PhonePattern =

@@ -53,9 +53,20 @@ object AvroFiles {
 
   /** Distributed OCF writer: each task writes `part-<partition>.avro`
     * under `outDir` (deflate-coded). Same Hadoop-FS sink discipline as
-    * [[TarShards.writeShards]]: scheme resolved from the path, overwrite
-    * keeps retries idempotent, the driver's Hadoop conf ships via its
-    * Writable round-trip. */
+    * [[TarShards.writeShards]]: scheme resolved from the path, the
+    * driver's Hadoop conf ships via its Writable round-trip.
+    *
+    * Commit protocol (task-level temp + rename): each attempt streams to
+    * a unique `part-<pid>.avro.tmp-<uuid>` and renames to the final
+    * `part-<pid>.avro` only AFTER a successful container close — so a
+    * task that dies mid-write leaves only a temp file that [[read]]'s
+    * `*.avro` glob never sees (no silent prefix-truncation), a
+    * speculative duplicate attempt never interleaves bytes into the
+    * final name (each attempt owns its uuid temp; first rename wins,
+    * the loser deletes its temp), and sequential retries stay
+    * idempotent (existing final part is replaced atomically-enough via
+    * delete-then-rename of a fully-written container). Stale temp files
+    * from dead attempts are swept by the pre-job cleanup. */
   def write(df: DataFrame, outDir: String): Unit = {
     val spark = df.sparkSession
     import org.apache.hadoop.conf.Configuration
@@ -74,6 +85,9 @@ object AvroFiles {
     fs.mkdirs(out)
     Option(fs.globStatus(new Path(out, "*.avro")))
       .foreach(_.foreach(s => fs.delete(s.getPath, false)))
+    // sweep temp files abandoned by dead attempts of a previous job
+    Option(fs.globStatus(new Path(out, "*.avro.tmp-*")))
+      .foreach(_.foreach(s => fs.delete(s.getPath, false)))
     val confBytes = {
       val baos = new java.io.ByteArrayOutputStream()
       val dos = new java.io.DataOutputStream(baos)
@@ -88,14 +102,20 @@ object AvroFiles {
       conf.readFields(new java.io.DataInputStream(
         new java.io.ByteArrayInputStream(confBytes)))
       val p = new Path(outUri, f"part-$pid%05d.avro")
+      // unique per-ATTEMPT temp: concurrent speculative attempts each
+      // own their temp file, and only a fully-closed container is ever
+      // renamed to the final *.avro name the read glob sees
+      val tmp = new Path(outUri,
+        f"part-$pid%05d.avro.tmp-${java.util.UUID.randomUUID()}")
       val pfs = p.getFileSystem(conf)
-      val os = pfs.create(p, true)
+      val os = pfs.create(tmp, true)
       val writer = new org.apache.avro.file.DataFileWriter(
         new org.apache.avro.generic.GenericDatumWriter[
           org.apache.avro.generic.GenericRecord](avroSchema))
       writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
       writer.create(avroSchema, os)
       var count = 0L
+      var committed = false
       try {
         rows.foreach { ir =>
           val rec =
@@ -121,7 +141,23 @@ object AvroFiles {
           writer.append(rec)
           count += 1
         }
-      } finally writer.close() // closes the FS stream too
+        writer.close() // closes the FS stream too; container now complete
+        // commit: replace any prior final part (sequential retry), then
+        // rename. A false rename with the final part present means a
+        // concurrent attempt won the race — drop our temp and succeed.
+        if (pfs.exists(p)) pfs.delete(p, false)
+        if (!pfs.rename(tmp, p)) {
+          if (pfs.exists(p)) pfs.delete(tmp, false)
+          else throw new java.io.IOException(
+            s"AvroFiles.write: rename $tmp -> $p failed")
+        }
+        committed = true
+      } finally {
+        if (!committed) {
+          try writer.close() catch { case _: Throwable => () }
+          try pfs.delete(tmp, false) catch { case _: Throwable => () }
+        }
+      }
       Iterator.single(count)
     }.count() // materialize the write
     ()

@@ -78,9 +78,9 @@ object Dsir {
     */
   private[graft] def featureCounts(df: DataFrame, idCol: String,
       textCol: String, isTarget: Column, buckets: Int,
-      xx: Boolean = false): DataFrame =
+      xx: Boolean = false, seg: Boolean = false): DataFrame =
     featureCountsWith(df, idCol, textCol, isTarget,
-      f => bucketOf(f, buckets, xx))
+      f => bucketOf(f, buckets, xx), seg)
 
   /** [[featureCounts]] with an injectable bucket function — the
     * DifferentialSpec sabotage hook (a degenerate bucket hash must flip
@@ -89,11 +89,11 @@ object Dsir {
     */
   private[graft] def featureCountsWith(df: DataFrame, idCol: String,
       textCol: String, isTarget: Column,
-      bucketFn: Column => Column): DataFrame =
+      bucketFn: Column => Column, seg: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"),
         coalesce(isTarget.cast("boolean"), lit(false)).as("tgt"),
-        explode(concat(TextAnalysis.wordNgrams(col(textCol), 1),
-          TextAnalysis.wordNgrams(col(textCol), 2))).as("f"))
+        explode(concat(TextAnalysis.wordNgrams(col(textCol), 1, seg),
+          TextAnalysis.wordNgrams(col(textCol), 2, seg))).as("f"))
       .select(col("id"), col("tgt"), bucketFn(col("f")).as("b"))
       .groupBy("id", "tgt", "b").agg(count(lit(1)).as("c"))
 
@@ -106,9 +106,10 @@ object Dsir {
     */
   def weights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 1024,
-      alpha: Double = 1.0, xx: Boolean = false): DataFrame =
+      alpha: Double = 1.0, xx: Boolean = false,
+      seg: Boolean = false): DataFrame =
     weightsFromCounts(
-      featureCounts(df, idCol, textCol, isTarget, buckets, xx),
+      featureCounts(df, idCol, textCol, isTarget, buckets, xx, seg),
       buckets, alpha)
 
   /** [[weights]] over a precomputed `(id, tgt, b, c)` frame — shared by
@@ -147,9 +148,10 @@ object Dsir {
     */
   def select(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, k: Int, buckets: Int = 1024,
-      alpha: Double = 1.0, xx: Boolean = false): DataFrame = {
+      alpha: Double = 1.0, xx: Boolean = false,
+      seg: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    cut(weights(df, idCol, textCol, isTarget, buckets, alpha, xx), k)
+    cut(weights(df, idCol, textCol, isTarget, buckets, alpha, xx, seg), k)
   }
 
   /** The deterministic top-`k` selection cut over a weights frame:

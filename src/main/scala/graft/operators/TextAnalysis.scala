@@ -26,12 +26,55 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of a text column. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens of a text column; `seg = true` applies
+    * script-aware segmentation ([[segmentScripts]]) first, so CJK text —
+    * which carries no inter-word whitespace — tokenizes per character
+    * instead of collapsing into one giant token.
+    */
+  def tokens(text: Column, seg: Boolean = false): Column =
+    split(trim(if (seg) segmentScripts(text) else text), "\\s+")
 
-  /** Token count (0 for empty/blank text). */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text))).cast("long")
+  /** Token count (0 for empty/blank text); `seg` as in [[tokens]]. */
+  def tokenCount(text: Column, seg: Boolean = false): Column = {
+    val t = if (seg) segmentScripts(text) else text
+    when(length(trim(t)) === 0, lit(0)).otherwise(size(tokens(t))).cast("long")
+  }
+
+  /** Character class of codepoints the script-aware tokenizer treats as
+    * single-character words: Han (unified + extension A + compatibility),
+    * Hiragana/Katakana, Hangul syllables, and CJK punctuation (EXCLUDING
+    * U+3000 ideographic space — padding a whitespace char would mint
+    * whitespace-looking tokens). `\x{...}` hex escapes carry identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB), so the oracle
+    * replays segmentation byte-for-byte — the same cross-engine
+    * discipline as [[HtmlWhitespacePattern]]. Thai/Khmer/Lao (also
+    * space-free scripts) are deliberately out of scope: their combining
+    * vowel marks make per-codepoint splitting wrong, not just crude.
+    */
+  val CjkCharClass: String =
+    """\x{3001}-\x{303f}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}""" +
+      """\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}\x{f900}-\x{faff}"""
+
+  /** [[segmentScripts]]' pattern + per-engine replacement tokens (Java
+    * spells group 1 `$1`, RE2 `\1` — the [[PhoneMaskSpark]] convention).
+    */
+  val SegmentPattern: String = s"([$CjkCharClass])"
+  val SegmentReplSpark: String = " $1 "
+  val SegmentReplDuck: String = """ \1 """
+
+  /** Script-aware pre-tokenization normalizer: pad every CJK codepoint
+    * with ASCII spaces, so the downstream whitespace split — the
+    * engine-wide declared tokenization — sees one token per CJK
+    * character and unchanged Latin words. This is the standard
+    * per-character CJK heuristic of pretraining pipelines (a Chinese /
+    * Japanese document is otherwise ONE whitespace token, silently
+    * degrading quality rules, repetition signals, n-gram dedup and DSIR
+    * features on the multilingual slice every real corpus has). One
+    * codegen'd `regexp_replace`, zero shuffles; replayable in SQL via
+    * [[SegmentPattern]]/[[SegmentReplDuck]].
+    */
+  def segmentScripts(text: Column): Column =
+    regexp_replace(text, SegmentPattern, SegmentReplSpark)
 
   /** Feature-hashing document embeddings (the "hashing trick"): each
     * token lands in dimension `xxhash64(token) mod dim` with a ±1 sign
@@ -248,8 +291,8 @@ object TextAnalysis {
     * external engine computes, unlike [[graft.operators.Dedup.shingles]]
     * which emits the whole short text as one shingle for LSH recall).
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
+  def wordNgrams(text: Column, n: Int, seg: Boolean = false): Column = {
+    val toks = split(trim(lower(if (seg) segmentScripts(text) else text)), "\\s+")
     // blank text physically splits to one empty token — without the
     // second clause wordNgrams(blank, 1) returned [""] against the
     // documented empty-array contract (n >= 2 already hit size < n)
@@ -353,11 +396,16 @@ object TextAnalysis {
   }
 
   /** Quality-scoring signals: ratios are integer-arithmetic divisions, so
-    * they are bit-identical across engines.
+    * they are bit-identical across engines. `seg = true` switches every
+    * TOKEN-denominated signal (n_tokens, mean_token_len, stopword_ratio)
+    * to the script-aware tokenizer ([[segmentScripts]]); the character
+    * ratios stay on the RAW text — inserted segmentation spaces must not
+    * inflate space_ratio or n_chars.
     */
-  def qualitySignals(df: DataFrame, text: Column): DataFrame = df
+  def qualitySignals(df: DataFrame, text: Column,
+      seg: Boolean = false): DataFrame = df
     .withColumn("n_chars_m", length(text).cast("long"))
-    .withColumn("n_tokens", tokenCount(text))
+    .withColumn("n_tokens", tokenCount(text, seg))
     // denominators guarded like mean_token_len's: an empty document gets
     // ratio 0, not a NULL (non-ANSI) or an error (ANSI) from 0/0 — a
     // NULL ratio would silently pass `ratio < threshold` quality filters
@@ -372,10 +420,10 @@ object TextAnalysis {
         greatest(length(text), lit(1))).cast("double"))
     .withColumn("mean_token_len",
       (length(regexp_replace(text, "\\s+", "")).cast("double") /
-        greatest(tokenCount(text), lit(1L))).cast("double"))
+        greatest(tokenCount(text, seg), lit(1L))).cast("double"))
     .withColumn("stopword_ratio",
       (langScore(text, "en").cast("double") /
-        greatest(tokenCount(text), lit(1L))).cast("double"))
+        greatest(tokenCount(text, seg), lit(1L))).cast("double"))
 
   /** Intra-document repetition: the fraction of duplicate sentences
     * (split on '. ') — a standard quality signal for boilerplate/spam.
@@ -471,20 +519,20 @@ object TextAnalysis {
     * word-count rule but produces 0-ratios, never NULL/0-div).
     */
   def gopherRules(df: DataFrame, text: Column,
-      cfg: GopherConfig = GopherConfig()): DataFrame = {
-    val nw = greatest(tokenCount(text), lit(1L))
+      cfg: GopherConfig = GopherConfig(), seg: Boolean = false): DataFrame = {
+    val nw = greatest(tokenCount(text, seg), lit(1L))
     val mwl = (length(regexp_replace(text, "\\s+", "")).cast("double") / nw)
     val symbols = (occurrences(text, "#") + occurrences(text, "...")).cast("double")
     val lines = split(text, "\n")
     val nLines = greatest(size(lines), lit(1))
     val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
     val ellipsisLines = size(filter(lines, l => endswith(trim(l), lit("..."))))
-    val alphaWords = size(filter(tokens(text), t => t.rlike("[A-Za-z]")))
+    val alphaWords = size(filter(tokens(text, seg), t => t.rlike("[A-Za-z]")))
     val padded = concat(lit(" "), lower(text), lit(" "))
     val stopHits = gopherStopwords
       .map(sw => when(padded.contains(s" $sw "), 1).otherwise(0))
       .reduce(_ + _)
-    df.withColumn("n_words", tokenCount(text))
+    df.withColumn("n_words", tokenCount(text, seg))
       .withColumn("r_word_count",
         col("n_words") >= cfg.minWords && col("n_words") <= cfg.maxWords)
       .withColumn("r_mean_word_len",
@@ -531,7 +579,7 @@ object TextAnalysis {
     * whole frame replays bit-exactly in SQL (q_repetition_rules).
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
-      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+      ns: Seq[Int] = Seq(2, 3, 4), seg: Boolean = false): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
     val text = col(textCol)
     val lineRows = df.select(col(idCol).as("id"),
@@ -562,7 +610,7 @@ object TextAnalysis {
     // window serves all gram sizes
     val tagged = df.select(col(idCol).as("id"),
       explode(flatten(array(ns.map(n =>
-        transform(wordNgrams(text, n),
+        transform(wordNgrams(text, n, seg),
           g => struct(lit(n).as("n"), g.as("g")))): _*))).as("t"))
       .select(col("id"), col("t.n").as("n"), col("t.g").as("g"))
     val counts = tagged.groupBy("id", "n", "g")

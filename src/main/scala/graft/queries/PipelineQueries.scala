@@ -20,6 +20,19 @@ import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
+  /** q_text_cjk's planted multilingual suffix (unicode escapes keep the
+    * source file ASCII; the decoded strings flow verbatim into BOTH the
+    * Spark literal and the oracle SQL, so the two corpora cannot drift):
+    * zh "machine learning model training data." (10 han + ideographic
+    * full stop — no inter-word whitespace), ja "hello world" (5 kana +
+    * 2 kanji), ko "Korean text" (6 hangul syllables in 2 space-separated
+    * words). */
+  private val CjkZhSentence =
+    "\u673a\u5668\u5b66\u4e60\u6a21\u578b\u8bad\u7ec3\u6570\u636e\u3002"
+  private val CjkJaPhrase = "\u3053\u3093\u306b\u3061\u306f\u4e16\u754c"
+  private val CjkKoPhrase =
+    "\ud55c\uad6d\uc5b4 \ud14d\uc2a4\ud2b8"
+
   val all: Seq[QueryDef] = Seq(
 
     // hourly tumbling-window aggregation over the event stream (batch form;
@@ -301,6 +314,72 @@ object PipelineQueries {
           .orderBy("source")
       },
       Some("""SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_sum, MIN(doc_id) AS first_doc, COUNT(DISTINCT lang) AS n_langs FROM documents GROUP BY source ORDER BY source""")),
+
+    // avro logical + nested types round-trip (the r16 type-matrix
+    // extension): per order, a timestamp, a date, an exact decimal built
+    // from a STRING (decimal-from-double rounding is not engine-portable;
+    // string-to-decimal is), the order's lineitem-number array (NULL for
+    // o_orderkey % 13 = 0 — nullable arrays are part of the matrix, and
+    // TPC-H gives every order lineitems so nulls must be planted), a
+    // nested (status, custkey) record, and a string-keyed map — written
+    // to OCF containers and read back through the by-name walk. The
+    // aggregate then consumes every value THROUGH the round-trip (group
+    // key from inside the nested record, sums over the array CONTENTS,
+    // map lookups, formatted date/timestamp extremes, decimal sum cast
+    // to double per the dsum compare convention); the oracle recomputes
+    // the identical aggregate from the parquet base tables, so any
+    // corruption anywhere in the container walk flips the row.
+    QueryDef("q_avro_nested",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val out = Tables.scratchPath("avro_nested", dir)
+        val lineAgg = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_linenumber"))).as("lines0"))
+        val nested = Tables.orders(s, dir)
+          .join(lineAgg, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(
+            col("o_orderkey"),
+            col("o_orderdate").as("ots"),
+            col("o_orderdate").cast("date").as("odate"),
+            concat((col("o_orderkey") % 1000).cast("string"), lit(".25"))
+              .cast("decimal(12,2)").as("price_dec"),
+            when(col("o_orderkey") % 13 === 0, lit(null))
+              .otherwise(coalesce(col("lines0"),
+                array().cast("array<int>"))).as("lines"),
+            struct(col("o_orderstatus").as("status"),
+              col("o_custkey").as("custkey")).as("meta"),
+            map(lit("ck"), col("o_custkey")).as("m"))
+        graft.sources.AvroFiles.write(nested, out)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("ots", TimestampNTZType),
+          StructField("odate", DateType),
+          StructField("price_dec", DecimalType(12, 2)),
+          StructField("lines", ArrayType(IntegerType)),
+          StructField("meta", StructType(Seq(
+            StructField("status", StringType),
+            StructField("custkey", LongType)))),
+          StructField("m", MapType(StringType, LongType))))
+        graft.sources.AvroFiles.read(s, out, schema)
+          .filter(col("error").isNull)
+          .groupBy(col("meta.status").as("status"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("price_dec")).cast("double").as("price_sum"),
+            date_format(min(col("odate")), "yyyy-MM-dd").as("first_date"),
+            date_format(max(col("ots")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+            // size(NULL) is -1 under this session's non-ANSI legacy
+            // semantics — guard so null arrays are SKIPPED like the
+            // oracle's SUM over NULL, not counted as -1
+            sum(when(col("lines").isNotNull, size(col("lines"))))
+              .as("n_lines"),
+            sum(aggregate(col("lines"), lit(0L), (a, x) => a + x))
+              .as("lines_sum"),
+            min(element_at(col("m"), lit("ck"))).as("ck_min"))
+          .orderBy("status")
+      },
+      Some("""WITH la AS (SELECT l_orderkey, COUNT(*) AS n_l, SUM(l_linenumber) AS s_l FROM lineitem GROUP BY 1), j AS (SELECT o.o_orderkey, o.o_orderstatus AS status, o.o_custkey, o.o_orderdate, CAST(CAST(o.o_orderkey % 1000 AS VARCHAR) || '.25' AS DECIMAL(12,2)) AS price_dec, CASE WHEN o.o_orderkey % 13 = 0 THEN NULL ELSE COALESCE(la.n_l, 0) END AS n_l, CASE WHEN o.o_orderkey % 13 = 0 THEN NULL ELSE COALESCE(la.s_l, 0) END AS s_l FROM orders o LEFT JOIN la ON o.o_orderkey = la.l_orderkey) SELECT status, COUNT(*) AS n_orders, CAST(SUM(price_dec) AS DOUBLE) AS price_sum, strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_date, strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_ts, CAST(SUM(n_l) AS BIGINT) AS n_lines, CAST(SUM(s_l) AS BIGINT) AS lines_sum, MIN(o_custkey) AS ck_min FROM j GROUP BY status ORDER BY status""")),
 
     QueryDef("q_tar_roundtrip",
       (s, dir) => {
@@ -1979,6 +2058,40 @@ object PipelineQueries {
       },
       Some(htmlExtractOracleSql)),
 
+    // script-aware (CJK) segmentation threaded through the text family:
+    // every document gets a deterministic multilingual suffix (a Chinese
+    // sentence repeated 1 + doc_id % 3 times — NO inter-word whitespace —
+    // plus Japanese kana+kanji and Korean hangul), then the whitespace
+    // and script-aware tokenizers run side by side. Whitespace counts see
+    // the whole Chinese block as ONE token; segmentation splits each CJK
+    // codepoint into its own token (TextAnalysis.segmentScripts — one
+    // codegen'd regexp_replace whose \x{...} class reads identically in
+    // Java regex and RE2), so n_tokens_seg ≈ n_tokens_ws + 11·k + 13 and
+    // every token-denominated quality signal (mean_token_len here, via
+    // qualitySignals(seg = true)) is computed on real word units. The
+    // md5 token-stream fingerprint over the SEGMENTED stream pins the
+    // exact token sequence (order + content), not just counts. The
+    // oracle replays segmentation, both token counts, the seg-aware
+    // quality signal and the HUGEINT fingerprint fold byte-for-byte.
+    QueryDef("q_text_cjk",
+      (s, dir) => {
+        val TA = TextAnalysis
+        val mixed = Tables.documents(s, dir).withColumn("__mix",
+          concat(coalesce(col("text"), lit("")), lit(" "),
+            expr(s"repeat('$CjkZhSentence', CAST(1 + doc_id % 3 AS INT))"),
+            lit(" " + CjkJaPhrase + " " + CjkKoPhrase)))
+        TA.qualitySignals(mixed, col("__mix"), seg = true)
+          .select(col("doc_id"),
+            TA.tokenCount(col("__mix")).as("n_tokens_ws"),
+            col("n_tokens").as("n_tokens_seg"),
+            col("mean_token_len").as("mean_token_len_seg"),
+            size(TA.wordNgrams(col("__mix"), 2, seg = true)).cast("long")
+              .as("n_bigrams_seg"),
+            TA.fingerprintMd5(TA.segmentScripts(col("__mix"))).as("fp_seg"))
+          .orderBy("doc_id")
+      },
+      Some(textCjkOracleSql)),
+
     // Gopher repetition-removal rules (the published rule set's
     // repetition half — duplicate-line fractions + most-frequent-n-gram
     // character coverage — complementing q_quality_rules' length/symbol
@@ -2741,6 +2854,23 @@ object PipelineQueries {
         s"replace($e, '${from.replace("'", "''")}', '${to.replace("'", "''")}')"
     }
     s"""WITH raw AS (SELECT doc_id, '<html><head><script type="text/javascript">var x = 1 < 2;</script><style>.c { color: red }</style></head><body><!-- boilerplate' || chr(10) || 'block --><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><ul><li>&quot;quoted&quot; &amp;amp; more</li></ul><a href="http://ex.org/' || CAST(doc_id AS VARCHAR) || '">link</a> &nbsp;&lt;tail&gt;</body></html>' AS html FROM documents), stripped AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(html, '$HtmlCommentPattern', '', 'g'), '$HtmlScriptPattern', '', 'g'), '$HtmlStylePattern', '', 'g') AS no_cs FROM raw), tagless AS (SELECT doc_id, html, regexp_replace(regexp_replace(no_cs, '$HtmlBlockTagPattern', ' ', 'g'), '$HtmlTagPattern', '', 'g') AS no_tags FROM stripped), plain AS (SELECT doc_id, html, trim(regexp_replace($entityChain, '$HtmlWhitespacePattern', ' ', 'g')) AS text_plain FROM tagless) SELECT doc_id, text_plain, CAST(len(regexp_extract_all(html, '$HtmlAnchorPattern')) AS BIGINT) AS n_links, CASE WHEN len(html) = 0 THEN 0.0 ELSE floor(CAST(len(text_plain) AS DOUBLE) / len(html) * 1e6 + 0.5) / 1e6 END AS text_ratio FROM plain ORDER BY doc_id"""
+  }
+
+
+  /** q_text_cjk replay: identical suffix synthesis, the shared
+    * [[graft.operators.TextAnalysis.SegmentPattern]] segmentation (RE2
+    * spells group 1 `\1`), the standard token-count CASE formula on both
+    * the raw and segmented text, the seg-aware mean_token_len division,
+    * the bigram count as `max(seg tokens - 1, 0)` (the windowed formula
+    * over an always-multi-token text), and the md5 fingerprint HUGEINT
+    * fold over the SEGMENTED token stream (q_text_fingerprint's exact
+    * wraparound replay). */
+  private lazy val textCjkOracleSql: String = {
+    val nws =
+      raw"""CASE WHEN LENGTH(TRIM(t)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(t), '\s+')) END"""
+    val nseg =
+      raw"""CASE WHEN LENGTH(TRIM(ts)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(ts), '\s+')) END"""
+    raw"""WITH m AS (SELECT doc_id, COALESCE(text, '') || ' ' || repeat('${CjkZhSentence}', CAST(1 + doc_id % 3 AS INT)) || ' ${CjkJaPhrase} ${CjkKoPhrase}' AS t FROM documents), sgm AS (SELECT doc_id, t, regexp_replace(t, '${TextAnalysis.SegmentPattern}', '${TextAnalysis.SegmentReplDuck}', 'g') AS ts FROM m) SELECT doc_id, CAST($nws AS BIGINT) AS n_tokens_ws, CAST($nseg AS BIGINT) AS n_tokens_seg, CAST(LENGTH(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE) / GREATEST($nseg, 1) AS mean_token_len_seg, CAST(GREATEST(LEN(string_split_regex(TRIM(LOWER(ts)), '\s+')) - 1, 0) AS BIGINT) AS n_bigrams_seg, CAST(CASE WHEN r >= 9223372036854775808::HUGEINT THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fp_seg FROM (SELECT doc_id, t, ts, list_reduce(list_prepend(0::HUGEINT, list_transform(regexp_split_to_array(trim(ts), '\s+'), tok -> CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS HUGEINT))), (acc, h) -> (acc * 31 + h) % 18446744073709551616::HUGEINT) AS r FROM sgm) ORDER BY doc_id"""
   }
 
   /** q_pii_scrub replay: identical planted-PII synthesis, then the same

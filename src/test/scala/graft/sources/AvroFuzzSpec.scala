@@ -45,7 +45,28 @@ class AvroFuzzSpec extends AnyFunSuite {
     BinaryType -> (r => {
       val b = new Array[Byte](r.nextInt(40))
       r.nextBytes(b); b
-    }))
+    }),
+    // r16 matrix: logical types + nested shapes. Timestamps at micros
+    // granularity (Catalyst truncates to micros anyway, so the compare
+    // sees identical values), dates across the epoch, decimals with a
+    // fixed (12,4) shape incl. negatives, arrays with/without null
+    // elements, a nested record, a string-keyed map.
+    TimestampType -> (r => java.time.Instant.ofEpochSecond(
+      r.nextInt(2000000000).toLong, r.nextInt(1000000) * 1000L)),
+    DateType -> (r => java.time.LocalDate.ofEpochDay(
+      (r.nextInt(40000) - 10000).toLong)),
+    DecimalType(12, 4) -> (r => new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(r.nextLong() % 100000000L), 4)),
+    ArrayType(LongType, containsNull = false) ->
+      (r => (0 until r.nextInt(5)).map(_ => r.nextLong())),
+    ArrayType(StringType, containsNull = true) ->
+      (r => (0 until r.nextInt(4)).map(i =>
+        if (r.nextInt(4) == 0) null else s"s$i${r.nextInt(100)}")),
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = true))) ->
+      (r => Row(r.nextLong(), if (r.nextBoolean()) s"x${r.nextInt(100)}" else null)),
+    MapType(StringType, LongType, valueContainsNull = false) ->
+      (r => (0 until r.nextInt(4)).map(i => s"k$i" -> r.nextLong()).toMap))
 
   test("seeded random schemas x rows round-trip exactly; corrupt " +
       "prefixes always quarantine") {

@@ -328,7 +328,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(mixed.filter(col("error").isNull).count() == 3,
       "good containers must still read next to a corrupt one")
     // unsupported column types fail fast at WRITE time, driver-side
-    val bad = Seq((1L, Seq(1, 2))).toDF("id", "arr")
+    // (arrays/structs/string-keyed maps ARE supported since r16 — a
+    // non-string map key is still outside the Avro map model)
+    val bad = Seq((1L, Map(2 -> 3))).toDF("id", "m")
     val e = intercept[IllegalArgumentException] { AvroFiles.write(bad, out) }
     assert(e.getMessage.contains("supports"))
   }

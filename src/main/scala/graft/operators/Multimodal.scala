@@ -900,6 +900,308 @@ object Multimodal {
       .toDF("id", "payload")
   }
 
+  /** dHash one decoded frame: direct-raster fast path for an exact
+    * 9x8 single-band image, bilinear downscale otherwise — the shared
+    * kernel of [[videoFrameDHash]] and [[aviFrameDHash]]. */
+  private[operators] def frameDHash(
+      img: java.awt.image.BufferedImage): Long =
+    if (img.getWidth == DHashW && img.getHeight == DHashH &&
+        img.getRaster.getNumBands == 1) {
+      val r = img.getRaster
+      dhashBitsOf((x, y) => r.getSample(x, y, 0))
+    } else {
+      val out = new java.awt.image.BufferedImage(DHashW, DHashH,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, DHashW, DHashH, null)
+      } finally g.dispose()
+      val r = out.getRaster
+      dhashBitsOf((x, y) => r.getSample(x, y, 0))
+    }
+
+  /** The 9 gray levels an MJPEG synthetic frame row draws from: 30
+    * apart, far from the 0/255 rails — JPEG at quality 1.0 perturbs a
+    * sample by at most a few counts, so the BETWEEN-level ordering that
+    * dHash reads survives the lossy round-trip with a ~10x margin
+    * (spec-verified across the corpus in AviSpec). */
+  private[operators] val MjpegLevels: Array[Int] =
+    Array(10, 40, 70, 100, 130, 160, 190, 220, 250)
+
+  /** Deterministic 9x8 grayscale MJPEG-in-AVI payloads from an
+    * (id, family) frame — REAL RIFF AVI containers (hand-built 'hdrl'
+    * with MJPG stream headers + 'movi' LIST of '00dc' JPEG chunks, the
+    * JDK JPEG encoder at quality 1.0) whose per-frame pixel ORDERINGS
+    * are analytically known: row y of frame f holds the 9 levels of
+    * [[MjpegLevels]] permuted by ranking `md5("<family>:<f>:<y>:<x>")`
+    * (ties broken by x; family content ONLY — same-family videos carry
+    * byte-identical frame JPEGs, so their dHashes collide exactly, and
+    * the rank permutation is plain SQL, so the oracle replays the
+    * pipeline without replaying JPEG). Lossy-codec discipline: dHash
+    * only compares adjacent samples, adjacent samples always differ by
+    * >= 30 levels, and quality-1.0 JPEG error is a few counts — the
+    * decoded ordering equals the analytic ordering (pinned in AviSpec).
+    */
+  def syntheticMjpegAvis(df: DataFrame, idCol: String,
+      familyCol: String, nFrames: Int): DataFrame = {
+    require(nFrames > 0 && nFrames <= FrameKeyMult,
+      s"nFrames must be in [1, $FrameKeyMult], got $nFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
+      .filter(col("__id").isNotNull)
+      // the encode below is the cost; the input is typically a handful
+      // of parquet scan partitions — spread the codec work across the
+      // cluster (payloads are a pure per-row function, so placement
+      // cannot change results)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        javax.imageio.ImageIO.setUseCache(false)
+        // codec objects hoisted once per partition: a per-frame
+        // getImageWritersByFormatName registry scan dominated the encode
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpg").next()
+        val wparam = writer.getDefaultWriteParam
+        wparam.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        wparam.setCompressionQuality(1.0f)
+        val hexChars = "0123456789abcdef".toCharArray
+        def md5Hex(s: String): String = {
+          val d = md.digest(s.getBytes("UTF-8"))
+          val c = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            c(2 * i) = hexChars((d(i) >> 4) & 0xf)
+            c(2 * i + 1) = hexChars(d(i) & 0xf)
+            i += 1
+          }
+          new String(c)
+        }
+        def jpegBytes(family: String, f: Int): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(DHashW, DHashH,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < DHashH) {
+            // rank permutation: position x gets MjpegLevels(rank of
+            // (md5 key, x) among the row's 9 keys)
+            val keys = (0 until DHashW).map(x =>
+              (md5Hex(family + ":" + f + ":" + y + ":" + x), x))
+            val rank = keys.sorted.zipWithIndex
+              .map { case ((_, x), r) => x -> r }.toMap
+            var x = 0
+            while (x < DHashW) {
+              raster.setSample(x, y, 0, MjpegLevels(rank(x)))
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+          try {
+            writer.setOutput(ios)
+            writer.write(null,
+              new javax.imageio.IIOImage(img, null, null), wparam)
+          } finally ios.close()
+          buf.toByteArray
+        }
+        // frame bytes depend on (family, f) ONLY — same-family rows
+        // share payload content, so cache per family (bounded: cleared
+        // if a pathological corpus floods it)
+        val famCache = new java.util.HashMap[String, Array[Array[Byte]]]()
+        def framesOf(family: String): Array[Array[Byte]] = {
+          val hit = famCache.get(family)
+          if (hit != null) hit
+          else {
+            if (famCache.size > 4096) famCache.clear()
+            val fs = Array.tabulate(nFrames)(f => jpegBytes(family, f))
+            famCache.put(family, fs)
+            fs
+          }
+        }
+        def le32(v: Int): Array[Byte] = Array(
+          (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        def le16(v: Int): Array[Byte] =
+          Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        def fourcc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+        rows.map { case (id, family0) =>
+          val family = if (family0 == null) "" else family0
+          val frames = framesOf(family)
+          val out = new java.io.ByteArrayOutputStream()
+          def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
+            val b = new java.io.ByteArrayOutputStream()
+            b.write(fourcc(id4)); b.write(le32(body.length)); b.write(body)
+            if ((body.length & 1) == 1) b.write(0) // RIFF word padding
+            b.toByteArray
+          }
+          def list(tpe: String, body: Array[Byte]): Array[Byte] = {
+            val b = new java.io.ByteArrayOutputStream()
+            b.write(fourcc("LIST")); b.write(le32(body.length + 4))
+            b.write(fourcc(tpe)); b.write(body)
+            b.toByteArray
+          }
+          // avih: 56-byte main header (micros/frame at 10 fps, 1 stream)
+          val avih = {
+            val b = new java.io.ByteArrayOutputStream()
+            Seq(100000, 0, 0, 0, nFrames, 0, 1, 0, DHashW, DHashH,
+              0, 0, 0, 0).foreach(v => b.write(le32(v)))
+            chunk("avih", b.toByteArray)
+          }
+          // strh: 56-byte video stream header, MJPG handler, 10 fps
+          val strh = {
+            val b = new java.io.ByteArrayOutputStream()
+            b.write(fourcc("vids")); b.write(fourcc("MJPG"))
+            Seq(0, 0, 0, 1, 10, 0, nFrames, 0, -1, 0).foreach(v =>
+              b.write(le32(v)))
+            Seq(0, 0, DHashW, DHashH).foreach(v => b.write(le16(v)))
+            chunk("strh", b.toByteArray)
+          }
+          // strf: BITMAPINFOHEADER with 'MJPG' compression
+          val strf = {
+            val b = new java.io.ByteArrayOutputStream()
+            b.write(le32(40)); b.write(le32(DHashW)); b.write(le32(DHashH))
+            b.write(le16(1)); b.write(le16(24)); b.write(fourcc("MJPG"))
+            Seq(DHashW * DHashH * 3, 0, 0, 0, 0).foreach(v =>
+              b.write(le32(v)))
+            chunk("strf", b.toByteArray)
+          }
+          val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+          val movi = list("movi",
+            frames.iterator.map(j => chunk("00dc", j))
+              .foldLeft(Array.emptyByteArray)(_ ++ _))
+          val body = fourcc("AVI ") ++ hdrl ++ movi
+          out.write(fourcc("RIFF")); out.write(le32(body.length))
+          out.write(body)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("id", "payload")
+  }
+
+  /** MJPEG-in-AVI frame walk + per-frame perceptual hash: parse the
+    * RIFF container (the [[decodeWav]] chunk-walk discipline — fourcc +
+    * little-endian size, word-aligned advance, every size bounds-checked
+    * against the payload), locate the 'movi' LIST, decode each video
+    * frame chunk (`##dc`/`##db`) with the JDK JPEG/DIB decoders, and
+    * dHash it through the shared [[frameDHash]] kernel.
+    *
+    * Quarantine parity with [[videoFrameDHash]]: a null, non-AVI,
+    * structurally malformed, frameless, over-budget (per-frame
+    * decompression-bomb screen via the [[decodeJpeg]] header parse /
+    * [[imageIoHeaderPixels]]) or undecodable-frame payload emits ONE
+    * stub row `(id, frame_idx = -1, stub hash, decoded = false)` —
+    * never a task failure. The walk STOPS at `maxFrames` (bounded work
+    * per payload regardless of container length — a million-frame AVI
+    * costs `maxFrames` decodes plus a header scan).
+    *
+    * Output `(id, frame_idx, phash, decoded)` — schema-identical to
+    * [[videoFrameDHash]], so [[videoNearDups]] consumes either.
+    */
+  def aviFrameDHash(df: DataFrame, idCol: String, payloadCol: String,
+      maxFrames: Int): DataFrame = {
+    require(maxFrames > 0 && maxFrames <= FrameKeyMult,
+      s"maxFrames must be in [1, $FrameKeyMult], got $maxFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      .filter(col("__id").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        // hoisted once per partition: ImageIO.read's registry scan per
+        // 9x8 frame dominated the walk; MJPEG frames all hit this
+        // reader, anything else falls back to the generic path
+        val jpegReader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("jpeg").next()
+        def decodeFrame(fb: Array[Byte]): java.awt.image.BufferedImage =
+          if (fb.length >= 2 && (fb(0) & 0xff) == 0xff &&
+              (fb(1) & 0xff) == 0xd8) {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(fb))
+            try {
+              jpegReader.setInput(iis, true, true)
+              jpegReader.read(0)
+            } finally iis.close()
+          } else javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(fb))
+        def stub(payload: Array[Byte]): Long = {
+          val h = if (payload == null) byteFold(Array.emptyByteArray)
+            else byteFold(payload)
+          h * 2862933555777941757L + 3037000493L
+        }
+        def stubRow(id: Long, payload: Array[Byte]) =
+          Iterator.single((id, -1, stub(payload), false))
+        def cc(b: Array[Byte], i: Int): String =
+          new String(b, i, 4, "ISO-8859-1")
+        // collect up to maxFrames video-frame chunk (offset, len) pairs,
+        // or None for a structurally malformed container
+        def frameChunks(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
+          if (b.length < 12 || cc(b, 0) != "RIFF" || cc(b, 8) != "AVI ")
+            return None
+          val frames = Vector.newBuilder[(Int, Int)]
+          var n = 0
+          def isFrameId(id4: String): Boolean =
+            id4.length == 4 && id4(0).isDigit && id4(1).isDigit &&
+              (id4.endsWith("dc") || id4.endsWith("db"))
+          def walkMovi(from: Int, until: Int): Boolean = {
+            var off = from
+            while (off + 8 <= until && n < maxFrames) {
+              val size = le32(b, off + 4)
+              if (size < 0 || off + 8 + size > until) return false
+              if (isFrameId(cc(b, off))) {
+                frames += ((off + 8, size.toInt)); n += 1
+              }
+              off += 8 + size.toInt + (size.toInt & 1)
+            }
+            true
+          }
+          var off = 12
+          while (off + 8 <= b.length) {
+            val size = le32(b, off + 4)
+            if (size < 0 || off + 8 + size > b.length) return None
+            if (cc(b, off) == "LIST" && size >= 4 &&
+                cc(b, off + 8) == "movi") {
+              if (!walkMovi(off + 12, off + 8 + size.toInt)) return None
+            }
+            off += 8 + size.toInt + (size.toInt & 1)
+          }
+          Some(frames.result())
+        }
+        rows.flatMap { case (id, payload) =>
+          if (payload == null) stubRow(id, payload)
+          else frameChunks(payload) match {
+            case None => stubRow(id, payload)
+            case Some(chunks) if chunks.isEmpty => stubRow(id, payload)
+            case Some(chunks) =>
+              try {
+                val hashes = chunks.map { case (o, l) =>
+                  val fb = java.util.Arrays.copyOfRange(payload, o, o + l)
+                  // per-frame bomb screen BEFORE the pixel decode
+                  val px = decodeJpeg(fb).orElse(decodeBmp(fb))
+                    .map(r => r.getInt(0).toLong * r.getInt(1))
+                    .getOrElse(imageIoHeaderPixels(fb))
+                  if (px <= 0 || px > MaxDecodePixels)
+                    throw new IllegalArgumentException("frame bomb/undecodable")
+                  val img = decodeFrame(fb)
+                  if (img == null)
+                    throw new IllegalArgumentException("frame undecodable")
+                  frameDHash(img)
+                }
+                hashes.iterator.zipWithIndex
+                  .map { case (h, f) => (id, f, h, true) }
+              } catch {
+                case scala.util.control.NonFatal(_) => stubRow(id, payload)
+              }
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "phash", "decoded")
+  }
+
   /** REAL video-container frame walk + per-frame perceptual hash: open
     * the payload with the JDK's multi-frame image machinery (animated
     * GIF is the container the JDK decodes natively; the walk — reader
@@ -939,22 +1241,7 @@ object Multimodal {
         def stubRow(id: Long, payload: Array[Byte]) =
           Iterator.single((id, -1, stub(payload), false))
         def hashFrame(img: java.awt.image.BufferedImage): Long =
-          if (img.getWidth == DHashW && img.getHeight == DHashH &&
-              img.getRaster.getNumBands == 1) {
-            val r = img.getRaster
-            dhashBitsOf((x, y) => r.getSample(x, y, 0))
-          } else {
-            val out = new java.awt.image.BufferedImage(DHashW, DHashH,
-              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val g = out.createGraphics()
-            try {
-              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(img, 0, 0, DHashW, DHashH, null)
-            } finally g.dispose()
-            val r = out.getRaster
-            dhashBitsOf((x, y) => r.getSample(x, y, 0))
-          }
+          frameDHash(img) // shared kernel (also the AVI walk's)
         rows.flatMap { case (id, payload) =>
           val headerPixels: Long = if (payload == null) 0L else
             decodePng(payload).orElse(decodeJpeg(payload))

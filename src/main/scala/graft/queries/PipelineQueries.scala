@@ -2217,6 +2217,34 @@ object PipelineQueries {
       },
       Some(videoClustersOracleSql())),
 
+    // MJPEG-in-AVI temporal near-dup: REAL RIFF AVI containers
+    // (hand-built hdrl/strl headers + 'movi' LIST of '00dc' JPEG
+    // chunks, JDK JPEG encoder at quality 1.0) -> the RIFF chunk walk
+    // (Multimodal.aviFrameDHash) -> per-frame dHash -> the shared
+    // banding + temporal rollup. JPEG is LOSSY, so the oracle replays
+    // the pixel ORDERINGS, not the pixels: each frame row draws its 9
+    // samples from levels 30 apart under a md5-rank permutation
+    // (AviSpec pins decoded dHash == analytic dHash across a corpus —
+    // quality-1.0 error is a few counts against the 30-level gap), and
+    // the SQL rebuilds the permutation with ROW_NUMBER over the same
+    // md5 keys, derives the bits, and runs the identical banding +
+    // rollup. A broken RIFF walk, a lost/extra frame, or a decoder
+    // drift desyncs the Spark hashes from the rank replay.
+    QueryDef("q_video_avi",
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val avis = Multimodal.syntheticMjpegAvis(fam, "doc_id", "family",
+          nFrames = 4)
+        val frames = Multimodal.aviFrameDHash(avis, "id", "payload",
+          maxFrames = 8)
+        Multimodal.videoNearDups(frames.filter(col("decoded")),
+            "id", "frame_idx", "phash", minFrames = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(videoAviOracleSql())),
+
     // audio near-dup (the perceptual image path's audio twin): REAL
     // 8-bit PCM WAV payloads (RIFF encode, near-duplicate within a
     // content family) -> the real chunk-walk decode -> 64-bit
@@ -2835,6 +2863,26 @@ object PipelineQueries {
       maxBucket: Int = 64): String =
     "WITH " + videoNearDupCtesSql(nFrames, minFrames, maxBucket) +
       " SELECT id_a, id_b, n_frames_matched FROM vpairs ORDER BY id_a, id_b"
+
+  /** q_video_avi replay: the MJPEG pipeline via the RANK contract.
+    * [[graft.operators.Multimodal.syntheticMjpegAvis]] fills row y of
+    * frame f with the 9 [[graft.operators.Multimodal.MjpegLevels]]
+    * permuted by ranking md5("family:f:y:x") (ties by x) — levels are
+    * 30 apart and quality-1.0 JPEG error is a few counts, so the
+    * decoded adjacent-sample orderings EQUAL the rank orderings
+    * (spec-pinned in AviSpec). The oracle therefore rebuilds the ranks
+    * with ROW_NUMBER, takes bit(y*8+x) = rank(x) > rank(x+1), and runs
+    * the shared banding + same-index temporal rollup — no codec replay
+    * needed, yet any walk/decode corruption desyncs the Spark bits. */
+  private def videoAviOracleSql(nFrames: Int = 4, minFrames: Int = 3,
+      maxBucket: Int = 64): String =
+    "WITH fam AS (SELECT doc_id AS vid, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), " +
+      s"ks AS (SELECT vid, f, y, x, md5(family || ':' || CAST(f AS VARCHAR) || ':' || CAST(y AS VARCHAR) || ':' || CAST(x AS VARCHAR)) AS k FROM fam CROSS JOIN range(0, $nFrames) fr(f) CROSS JOIN range(0, 8) ry(y) CROSS JOIN range(0, 9) rx(x)), " +
+      "rk AS (SELECT vid, f, y, x, ROW_NUMBER() OVER (PARTITION BY vid, f, y ORDER BY k, x) - 1 AS r FROM ks), " +
+      "bits AS (SELECT a.vid * 64 + a.f AS doc_id, CAST(a.y * 8 + a.x AS INT) AS i, CASE WHEN a.r > b.r THEN 1 ELSE 0 END AS bit FROM rk a JOIN rk b ON b.vid = a.vid AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 8)" +
+      bitsToPairsSql(maxBucket) +
+      s", fpairs AS (SELECT id_a, id_b FROM verified WHERE hamming <= 3 AND id_a % 64 = id_b % 64), vpairs AS (SELECT id_a // 64 AS id_a, id_b // 64 AS id_b, COUNT(*) AS n_frames_matched FROM fpairs GROUP BY 1, 2 HAVING COUNT(*) >= $minFrames) " +
+      "SELECT id_a, id_b, n_frames_matched FROM vpairs ORDER BY id_a, id_b"
 
   /** q_video_clusters replay: the video pair CTEs + the recursive-CTE
     * connected-components fixpoint (q_image_clusters' construction). */

@@ -381,6 +381,43 @@ object PipelineQueries {
       },
       Some("""WITH la AS (SELECT l_orderkey, COUNT(*) AS n_l, SUM(l_linenumber) AS s_l FROM lineitem GROUP BY 1), j AS (SELECT o.o_orderkey, o.o_orderstatus AS status, o.o_custkey, o.o_orderdate, CAST(CAST(o.o_orderkey % 1000 AS VARCHAR) || '.25' AS DECIMAL(12,2)) AS price_dec, CASE WHEN o.o_orderkey % 13 = 0 THEN NULL ELSE COALESCE(la.n_l, 0) END AS n_l, CASE WHEN o.o_orderkey % 13 = 0 THEN NULL ELSE COALESCE(la.s_l, 0) END AS s_l FROM orders o LEFT JOIN la ON o.o_orderkey = la.l_orderkey) SELECT status, COUNT(*) AS n_orders, CAST(SUM(price_dec) AS DOUBLE) AS price_sum, strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_date, strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_ts, CAST(SUM(n_l) AS BIGINT) AS n_lines, CAST(SUM(s_l) AS BIGINT) AS lines_sum, MIN(o_custkey) AS ck_min FROM j GROUP BY status ORDER BY status""")),
 
+    // length-prefixed protobuf round-trip (the event-log ingestion
+    // framing): documents encoded as [varint len][message] records —
+    // nested (lang, n_chars) message, repeated sig field, field numbers
+    // by position — written via the temp+rename task commit and read
+    // back through the delimited walk. The aggregate consumes every
+    // value THROUGH the round-trip (nested field group-bys and sums,
+    // repeated-element sum); the oracle recomputes from parquet, so a
+    // varint/framing/nesting bug anywhere flips the row.
+    QueryDef("q_proto_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val out = Tables.scratchPath("proto_rt", dir)
+        graft.sources.ProtoFiles.write(
+          Tables.documents(s, dir).select(
+            col("doc_id"),
+            col("source"),
+            struct(col("lang"), col("n_chars")).as("meta"),
+            array(col("n_chars"), col("doc_id") % 7).as("sig")), out)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("source", StringType),
+          StructField("meta", StructType(Seq(
+            StructField("lang", StringType),
+            StructField("n_chars", LongType)))),
+          StructField("sig", ArrayType(LongType))))
+        graft.sources.ProtoFiles.read(s, out, schema)
+          .filter(col("error").isNull)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("meta.n_chars")).as("chars_sum"),
+            min("doc_id").as("first_doc"),
+            count_distinct(col("meta.lang")).as("n_langs"),
+            sum(element_at(col("sig"), 2)).as("mod_sum"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_sum, MIN(doc_id) AS first_doc, COUNT(DISTINCT lang) AS n_langs, CAST(SUM(doc_id % 7) AS BIGINT) AS mod_sum FROM documents GROUP BY source ORDER BY source""")),
+
     QueryDef("q_tar_roundtrip",
       (s, dir) => {
         val out = Tables.scratchPath("tar_rt", dir)

@@ -72,6 +72,21 @@ def main():
                 for r in range(factor)]
         pq.write_table(pa.concat_tables(reps), f"{out}/{tname}.parquet")
 
+    # events: N replicas with event_id shifted and user_id offset per
+    # replica (fresh sessions/users rather than 10x-duplicated ones —
+    # window/session group COUNT grows, per-group size stays realistic)
+    ev = pq.read_table(f"{src}/events.parquet")
+    ei = ev.schema.get_field_index("event_id")
+    ui = ev.schema.get_field_index("user_id")
+    ereps = []
+    for r in range(factor):
+        t = ev.set_column(ei, "event_id",
+                          pc.add(ev.column("event_id"), r * KEY_STRIDE))
+        t = t.set_column(ui, "user_id",
+                         pc.add(ev.column("user_id"), r * 1_000_000))
+        ereps.append(t)
+    pq.write_table(pa.concat_tables(ereps), f"{out}/events.parquet")
+
     for tname in ("customer", "supplier", "part", "nation", "region"):
         shutil.copyfile(f"{src}/{tname}.parquet", f"{out}/{tname}.parquet")
 

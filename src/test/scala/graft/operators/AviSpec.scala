@@ -136,4 +136,38 @@ class AviSpec extends AnyFunSuite {
     assert(capped.length === 2)
     assert(capped.map(_.getInt(1)).sorted.toSeq === Seq(0, 1))
   }
+
+  test("seeded byte fuzz: random mutations of a real AVI never throw, never inflate") {
+    val base = avis.filter(col("id") === 0L)
+      .select("payload").as[Array[Byte]].head()
+    val rnd = new scala.util.Random(7)
+    val mutants = (0 until 60).map { i =>
+      val m = rnd.nextInt(4) match {
+        case 0 => // random byte flips anywhere (headers, sizes, frames)
+          val b = base.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+          b
+        case 1 => base.take(rnd.nextInt(base.length)) // truncation
+        case 2 => // size-field corruption at a random chunk boundary
+          val b = base.clone()
+          val off = 4 + rnd.nextInt(b.length - 8)
+          val v = rnd.nextInt()
+          (0 until 4).foreach(k => b(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+          b
+        case _ => // pure noise of plausible length
+          val b = new Array[Byte](16 + rnd.nextInt(400))
+          rnd.nextBytes(b); b
+      }
+      (1000L + i, m)
+    }.toDF("vid", "payload")
+    val rows = Multimodal.aviFrameDHash(mutants, "vid", "payload",
+      maxFrames = 8).collect()
+    // every mutant yields >= 1 row (stub or frames), never more than
+    // maxFrames rows, and the job never threw to get here
+    val byId = rows.groupBy(_.getLong(0))
+    assert(byId.size === 60)
+    assert(byId.values.forall(rs => rs.length >= 1 && rs.length <= 8))
+  }
 }

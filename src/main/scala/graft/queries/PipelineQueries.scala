@@ -350,6 +350,12 @@ object PipelineQueries {
             struct(col("o_orderstatus").as("status"),
               col("o_custkey").as("custkey")).as("meta"),
             map(lit("ck"), col("o_custkey")).as("m"))
+          // one container per TASK: the small-SF scan is 1-2 partitions,
+          // which serializes the deflate encode behind one task — spread
+          // it (the "size your partitions, not your cluster" rule the
+          // writer's scaladoc states, applied). Row placement does not
+          // affect the read-back aggregate.
+          .repartition(s.sparkContext.defaultParallelism)
         graft.sources.AvroFiles.write(nested, out)
         val schema = StructType(Seq(
           StructField("o_orderkey", LongType),

@@ -424,6 +424,37 @@ object PipelineQueries {
       },
       Some("""SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_sum, MIN(doc_id) AS first_doc, COUNT(DISTINCT lang) AS n_langs, CAST(SUM(doc_id % 7) AS BIGINT) AS mod_sum FROM documents GROUP BY source ORDER BY source""")),
 
+    // WARC/WET round-trip (the web-crawl ingestion container): documents
+    // as WARC-Type: conversion records — real ISO-28500 bytes, one gzip
+    // member PER RECORD (the Common Crawl record-splittable layout) —
+    // written via the temp+rename commit and read back through the
+    // header walk (case-insensitive, Content-Length framed, so CRLFCRLF
+    // inside a body cannot split a record). Value identity on the full
+    // text through the container; the oracle reads the ORIGINAL table,
+    // so the hash match certifies pack/unpack byte fidelity (the
+    // q_tar_roundtrip discipline).
+    QueryDef("q_warc_roundtrip",
+      (s, dir) => {
+        val out = Tables.scratchPath("warc_rt", dir)
+        graft.sources.WarcFiles.write(
+          Tables.documents(s, dir).select(
+            concat(lit("http://corpus.example/doc/"), col("doc_id"))
+              .as("url"),
+            lit("conversion").as("rtype"),
+            lit("2026-01-01T00:00:00Z").as("date"),
+            col("text").cast("binary").as("payload"))
+            // one warc file per task; spread the gzip encode (the
+            // q_avro_nested partition-sizing lesson)
+            .repartition(s.sparkContext.defaultParallelism), out)
+        graft.sources.WarcFiles.read(s, out)
+          .filter(col("error").isNull && col("warc_type") === "conversion")
+          .select(
+            substring_index(col("url"), "/", -1).cast("long").as("doc_id"),
+            col("payload").cast("string").as("text_out"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text AS text_out FROM documents ORDER BY doc_id")),
+
     QueryDef("q_tar_roundtrip",
       (s, dir) => {
         val out = Tables.scratchPath("tar_rt", dir)

@@ -1,0 +1,228 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500) source/sink — the web-crawl ingestion format: a
+  * WARC file is a sequence of records, each `WARC/1.0` + CRLF headers +
+  * CRLFCRLF + `Content-Length` payload bytes + CRLFCRLF. The gzip
+  * flavor compresses EACH RECORD AS ITS OWN GZIP MEMBER and
+  * concatenates the members (the Common Crawl layout — member
+  * boundaries are record boundaries, which is what makes a 1 GB
+  * crawl file record-splittable); `GZIPInputStream` decodes
+  * concatenated members natively. WET extracted-text files are the
+  * same container with `WARC-Type: conversion` records.
+  *
+  * Same posture as the tar/avro/proto sources: distributed write via
+  * the Hadoop FS API with the temp+rename task commit, read via
+  * `binaryFile` + a per-file walk, malformed tails quarantined (records
+  * parsed before the corruption point are kept). Header names are
+  * case-insensitive on read (the spec's rule); only the headers the
+  * pipeline consumes are surfaced as columns, the rest ride in a map.
+  *
+  * Shape at scale: one WARC file per write task, one `binaryFile` row
+  * per read task, zero shuffles either way. Record payloads are opaque
+  * bytes — HTML/text extraction is [[graft.operators.TextAnalysis]]'s
+  * job downstream, exactly as a WET pipeline separates fetch from
+  * extraction.
+  */
+object WarcFiles {
+
+  private val CRLF = "\r\n"
+
+  /** Distributed writer: `df` must carry `url` (string), `rtype`
+    * (string — e.g. "response"/"conversion"), `date` (string, the
+    * ISO-8601 `WARC-Date` value; kept opaque so the caller controls
+    * the clock), `payload` (binary). Each task writes
+    * `part-<pid>.warc.gz` (or `.warc` with `gzip = false`) under the
+    * temp+rename commit protocol ([[AvroFiles.write]]'s discipline).
+    * In gzip mode each record is its OWN gzip member (Common Crawl
+    * layout). */
+  def write(df: DataFrame, outDir: String, gzip: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val need = Seq("url", "rtype", "date", "payload")
+    val missing = need.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"WarcFiles.write needs columns $need, missing: $missing")
+    val proj = df.select(col("url").cast("string"),
+      col("rtype").cast("string"), col("date").cast("string"),
+      col("payload").cast("binary"))
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(hadoopConf)
+    fs.mkdirs(out)
+    val ext = if (gzip) "warc.gz" else "warc"
+    Option(fs.globStatus(new Path(out, "*.warc*")))
+      .foreach(_.foreach(s => fs.delete(s.getPath, false)))
+    val confBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(baos)
+      hadoopConf.write(dos); dos.close(); baos.toByteArray
+    }
+    val outUri = fs.makeQualified(out).toString
+    proj.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val conf = new Configuration(false)
+      conf.readFields(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(confBytes)))
+      val p = new Path(outUri, f"part-$pid%05d.$ext")
+      val tmp = new Path(outUri,
+        f"part-$pid%05d.$ext.tmp-${java.util.UUID.randomUUID()}")
+      val pfs = p.getFileSystem(conf)
+      val os = new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 16)
+      var count = 0L
+      var committed = false
+      try {
+        rows.foreach { ir =>
+          val url = if (ir.isNullAt(0)) "" else ir.getUTF8String(0).toString
+          val rtype = if (ir.isNullAt(1)) "resource"
+            else ir.getUTF8String(1).toString
+          val date = if (ir.isNullAt(2)) "" else ir.getUTF8String(2).toString
+          val payload =
+            if (ir.isNullAt(3)) Array.emptyByteArray else ir.getBinary(3)
+          val header = new StringBuilder()
+            .append("WARC/1.0").append(CRLF)
+            .append("WARC-Type: ").append(rtype).append(CRLF)
+            .append("WARC-Target-URI: ").append(url).append(CRLF)
+            .append("WARC-Date: ").append(date).append(CRLF)
+            .append("Content-Length: ").append(payload.length).append(CRLF)
+            .append(CRLF).toString
+          val rec = new java.io.ByteArrayOutputStream()
+          rec.write(header.getBytes("UTF-8"))
+          rec.write(payload)
+          rec.write(CRLF.getBytes("UTF-8")); rec.write(CRLF.getBytes("UTF-8"))
+          if (gzip) {
+            // one gzip MEMBER per record (the record-splittable CC
+            // layout). close() is REQUIRED to release the native
+            // Deflater — a finish()-only loop leaks one Deflater per
+            // record — so shield the shared file stream from it.
+            val shield = new java.io.FilterOutputStream(os) {
+              override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                os.write(b, off, len)
+              override def close(): Unit = flush()
+            }
+            val gz = new java.util.zip.GZIPOutputStream(shield)
+            gz.write(rec.toByteArray)
+            gz.close()
+          } else os.write(rec.toByteArray)
+          count += 1
+        }
+        os.close()
+        if (pfs.exists(p)) pfs.delete(p, false)
+        if (!pfs.rename(tmp, p)) {
+          if (pfs.exists(p)) pfs.delete(tmp, false)
+          else throw new java.io.IOException(
+            s"WarcFiles.write: rename $tmp -> $p failed")
+        }
+        committed = true
+      } finally {
+        if (!committed) {
+          try os.close() catch { case _: Throwable => () }
+          try pfs.delete(tmp, false) catch { case _: Throwable => () }
+        }
+      }
+      Iterator.single(count)
+    }.count()
+    ()
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("url", StringType, nullable = true),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("headers", MapType(StringType, StringType), nullable = true),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  /** gunzip a whole (possibly multi-member) buffer; plain data passes
+    * through untouched */
+  private def maybeGunzip(b: Array[Byte]): Array[Byte] =
+    if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b), 1 << 16)
+      val out = new java.io.ByteArrayOutputStream(b.length * 4)
+      val buf = new Array[Byte](1 << 16)
+      try {
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+      } finally in.close()
+      out.toByteArray
+    } else b
+
+  /** Read every `*.warc` / `*.warc.gz` file under `path`:
+    * `(url, warc_type, warc_date, headers, payload, error)` — one row
+    * per record, header lookup case-insensitive, records parsed before
+    * a malformed point are KEPT and the corrupt tail yields one
+    * quarantine row. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val rdd = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*").load(path)
+      .select(col("path"), col("content"))
+      .rdd
+      .flatMap { fileRow =>
+        val raw = fileRow.getAs[Array[Byte]]("content")
+        val rows = Vector.newBuilder[Row]
+        try {
+          val b = maybeGunzip(raw)
+          var pos = 0
+          def findCrlfCrlf(from: Int): Int = {
+            var i = from
+            while (i + 3 < b.length) {
+              if (b(i) == '\r' && b(i + 1) == '\n' &&
+                  b(i + 2) == '\r' && b(i + 3) == '\n') return i
+              i += 1
+            }
+            -1
+          }
+          while (pos < b.length) {
+            // tolerate inter-record CRLF runs
+            while (pos < b.length && (b(pos) == '\r' || b(pos) == '\n'))
+              pos += 1
+            if (pos >= b.length) { /* clean end */ }
+            else {
+              val hEnd = findCrlfCrlf(pos)
+              if (hEnd < 0) throw new IllegalArgumentException(
+                "truncated record header")
+              val headerText = new String(b, pos, hEnd - pos, "UTF-8")
+              val lines = headerText.split("\r\n")
+              if (!lines.head.startsWith("WARC/"))
+                throw new IllegalArgumentException(
+                  s"not a WARC record at offset $pos: " +
+                    lines.head.take(40))
+              val headers = lines.tail.iterator.flatMap { l =>
+                val i = l.indexOf(':')
+                if (i < 0) None
+                else Some(l.substring(0, i).trim.toLowerCase ->
+                  l.substring(i + 1).trim)
+              }.toMap
+              val len = headers.getOrElse("content-length",
+                throw new IllegalArgumentException(
+                  "record without Content-Length")).toLong
+              val bodyStart = hEnd + 4
+              if (len < 0 || bodyStart + len > b.length)
+                throw new IllegalArgumentException("truncated record body")
+              val payload = java.util.Arrays.copyOfRange(
+                b, bodyStart, bodyStart + len.toInt)
+              rows += Row(
+                headers.getOrElse("warc-target-uri", null),
+                headers.getOrElse("warc-type", null),
+                headers.getOrElse("warc-date", null),
+                headers, payload, null)
+              pos = bodyStart + len.toInt
+            }
+          }
+          rows.result()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            rows.result() :+ Row(null, null, null, null, null,
+              s"warc walk failed: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SparkTestSession
+
+/** WARC container walk: gz-member and plain round-trips, Content-Length
+  * framing (CRLFCRLF inside payloads must survive), case-insensitive
+  * headers, prefix-keeping quarantine.
+  */
+class WarcFilesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "http://ex.org/1", "a plain body"),
+    // CRLFCRLF INSIDE the payload: a delimiter-scanning parser would
+    // split this record in half; Content-Length framing must not
+    (2L, "http://ex.org/2", "body with\r\n\r\nWARC/1.0 lookalike inside"),
+    (3L, "http://ex.org/3", ""),
+    (4L, "http://ex.org/4", "unicode ☃ 机器 body")
+  ).toDF("id", "url", "text")
+    .select(col("id"), col("url"), lit("conversion").as("rtype"),
+      lit("2026-01-01T00:00:00Z").as("date"),
+      col("text").cast("binary").as("payload"))
+
+  private def roundTrip(gzip: Boolean): Unit = {
+    val out = SparkTestSession.tmpPath(s"warc_rt_$gzip")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    WarcFiles.write(corpus, out, gzip = gzip)
+    val back = WarcFiles.read(spark, out)
+    assert(back.filter(col("error").isNotNull).count() === 0)
+    val got = back.select(col("url"), col("warc_type"), col("warc_date"),
+      col("payload").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    val want = corpus.select(col("url"), col("rtype"), col("date"),
+      col("payload").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got === want)
+  }
+
+  test("gzip round-trip: one member per record, payload framing exact")(
+    roundTrip(gzip = true))
+  test("plain round-trip")(roundTrip(gzip = false))
+
+  test("gzip files really are multi-member (record-splittable CC layout)") {
+    val out = SparkTestSession.tmpPath("warc_members")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    WarcFiles.write(corpus.repartition(1), out, gzip = true)
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // count gzip member headers (1f 8b 08): 4 records -> 4 members.
+    // deflate output can contain the magic by chance, so decompress
+    // member-by-member instead of grepping: read one member with a
+    // bounded GZIPInputStream and count iterations via the spec'd
+    // ISIZE footer walk — simplest robust proxy: the first two bytes
+    // are magic AND the stream re-inflates to all four records (the
+    // round-trip test), AND the raw file contains >= 4 magic triples.
+    val magics = bytes.sliding(3).count(w =>
+      (w(0) & 0xff) == 0x1f && (w(1) & 0xff) == 0x8b && (w(2) & 0xff) == 8)
+    assert(magics >= 4, s"expected >= 4 gzip members, saw $magics")
+  }
+
+  test("case-insensitive headers and tolerated extra headers") {
+    val out = SparkTestSession.tmpPath("warc_case")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    new java.io.File(out).mkdirs()
+    val body = "hello"
+    val rec = "WARC/1.0\r\n" +
+      "warc-type: response\r\n" +
+      "WARC-TARGET-URI: http://x.y/z\r\n" +
+      "X-Custom: kept\r\n" +
+      s"content-length: ${body.length}\r\n\r\n" + body + "\r\n\r\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "hand.warc"), rec.getBytes("UTF-8"))
+    val r = WarcFiles.read(spark, out).collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "http://x.y/z")
+    assert(r(0).getString(1) === "response")
+    assert(r(0).getAs[Map[String, String]]("headers")("x-custom") === "kept")
+    assert(new String(r(0).getAs[Array[Byte]]("payload"), "UTF-8") === body)
+  }
+
+  test("corrupt tail quarantines; records before the corruption are kept") {
+    val out = SparkTestSession.tmpPath("warc_corrupt")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    WarcFiles.write(corpus.repartition(1), out, gzip = false)
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".warc")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // append garbage that starts like a record but is truncated
+    val garbage = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nshort"
+    java.nio.file.Files.write(f.toPath, bytes ++ garbage.getBytes("UTF-8"))
+    // the Hadoop-FS writer left a .crc sidecar; the direct modification
+    // above invalidates it — drop it so the reader sees OUR corruption,
+    // not a checksum error
+    new java.io.File(f.getParent, "." + f.getName + ".crc").delete()
+    val back = WarcFiles.read(spark, out)
+    assert(back.filter(col("error").isNotNull).count() === 1)
+    assert(back.filter(col("error").isNull).count() === 4)
+  }
+
+  test("seeded byte fuzz: mutations never throw, never inflate") {
+    val out = SparkTestSession.tmpPath("warc_fuzz")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    WarcFiles.write(corpus.repartition(1), out, gzip = true)
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val base = java.nio.file.Files.readAllBytes(f.toPath)
+    val rnd = new scala.util.Random(11)
+    (0 until 40).foreach { i =>
+      val m = rnd.nextInt(3) match {
+        case 0 =>
+          val b = base.clone()
+          (0 until 1 + rnd.nextInt(6)).foreach(_ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+          b
+        case 1 => base.take(rnd.nextInt(base.length))
+        case _ =>
+          val b = new Array[Byte](8 + rnd.nextInt(300)); rnd.nextBytes(b); b
+      }
+      val d = SparkTestSession.tmpPath(s"warc_fuzz_m$i")
+      new java.io.File(d).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(d, "m.warc.gz"), m)
+      val rows = WarcFiles.read(spark, d).collect()
+      assert(rows.length <= 5, s"mutant $i inflated to ${rows.length} rows")
+    }
+  }
+}

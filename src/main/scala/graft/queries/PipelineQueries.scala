@@ -33,6 +33,16 @@ object PipelineQueries {
   private val CjkKoPhrase =
     "\ud55c\uad6d\uc5b4 \ud14d\uc2a4\ud2b8"
 
+  /** q_dedup_cjk's corpus transliteration: each lowercase letter maps to
+    * a distinct Han codepoint (U+4E00..U+4E19) and the SPACE IS DELETED
+    * (`translate` drops `from` chars beyond `to`'s length \u2014 the same
+    * rule in Spark and DuckDB), turning the Latin corpus into a
+    * no-inter-word-whitespace Han corpus that PRESERVES the original
+    * near-duplicate structure at character level. */
+  private val CjkTransFrom = "abcdefghijklmnopqrstuvwxyz "
+  private val CjkTransTo: String =
+    (0x4e00 until 0x4e1a).map(_.toChar).mkString
+
   val all: Seq[QueryDef] = Seq(
 
     // hourly tumbling-window aggregation over the event stream (batch form;
@@ -1757,6 +1767,34 @@ object PipelineQueries {
     // shuffle, delta bands broadcast. md5 oracle mode: DuckDB replays the
     // split, both candidate generators (incl. the per-new-id cap), and
     // the verify
+    // CJK near-dup dedup through segmentation COMPOSITION: the corpus is
+    // transliterated into no-whitespace Han text (translate: letter ->
+    // Han codepoint, space deleted — both engines share the deletion
+    // rule), which makes whitespace tokenization blind (one giant token
+    // per doc -> no shingle structure), then segmentScripts restores
+    // per-character tokens and the UNCHANGED md5 minhash pipeline runs
+    // on top — the pre-tokenization-normalizer design: every
+    // textCol-taking operator (dedup index, BPE, inverted index, ...)
+    // gains CJK support by composing, no per-operator plumbing. The
+    // oracle replays transliteration + segmentation in the source
+    // subquery and reuses the SAME banded/cands/verify SQL chain as
+    // q_dedup_minhash verbatim.
+    QueryDef("q_dedup_cjk",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.segmentScripts(
+            translate(lower(col("text")), CjkTransFrom, CjkTransTo))
+            .as("text"))
+        Dedup.minhashNearDupsMd5(docs, "doc_id", "text", threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(minhashMd5OracleSql(bands = 8, rows = 4, threshold = 0.5,
+        src = raw"(SELECT doc_id, regexp_replace(translate(lower(text), " +
+          s"'$CjkTransFrom', '$CjkTransTo'), " +
+          s"'${TextAnalysis.SegmentPattern}', " +
+          s"'${TextAnalysis.SegmentReplDuck}', 'g') AS text " +
+          "FROM documents) src_cjk"))),
+
     QueryDef("q_dedup_incremental",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -2755,9 +2793,9 @@ object PipelineQueries {
     boundedPairsSql("banded", "id", "b", "bucket", maxBucket)
 
   private def minhashMd5OracleSql(bands: Int, rows: Int, threshold: Double,
-      maxBucket: Int = 64): String =
-    "WITH " + minhashMd5BandedSql(bands, rows) + minhashMd5CandsSql(maxBucket) +
-      minhashMd5VerifyTail(threshold)
+      maxBucket: Int = 64, src: String = "documents"): String =
+    "WITH " + minhashMd5BandedSql(bands, rows, src) +
+      minhashMd5CandsSql(maxBucket) + minhashMd5VerifyTail(threshold)
 
   // connected components over the verified md5 pairs as a recursive CTE:
   // reach(id, r) = ids reachable from r over the undirected pair edges;

@@ -124,6 +124,40 @@ class SegmentationSpec extends AnyFunSuite {
     assert(bucketOverlap(seg = true) > 0L)
   }
 
+  test("composition covers the textCol-taking family: shingles, BPE, inverted index") {
+    // the seg normalizer is PRE-tokenization, so any operator that takes
+    // a text column gains CJK support by composing — no per-operator
+    // plumbing. Pin that for the three families the r15 verdict named.
+    val doc = Zh + IdeoStop + Ja // 10 codepoints, zero whitespace
+    val segged = Seq((1L, doc), (2L, doc), (3L, doc))
+      .toDF("doc_id", "text")
+      .withColumn("text_seg",
+        TextAnalysis.segmentScripts(col("text")))
+    // shingles: whitespace mode sees ONE 1-token shingle; segmented mode
+    // sees the char trigrams
+    val shWs = segged.select(Dedup.shingles(col("text")).as("sh"))
+      .as[Seq[String]].head()
+    val shSeg = segged.select(Dedup.shingles(col("text_seg")).as("sh"))
+      .as[Seq[String]].head()
+    assert(shWs === Seq(doc))
+    assert(shSeg.length === 8) // 10 chars -> 8 trigrams
+    assert(shSeg.head === doc.take(3).map(_.toString).mkString(" "))
+    // inverted index: segmented mode posts one term per Han codepoint
+    val terms = TextAnalysis.invertedIndex(
+      segged.select(col("doc_id"), col("text_seg").as("text")),
+      "doc_id", "text")
+      .select("term").distinct().as[String].collect().toSet
+    assert(terms === doc.map(_.toString).toSet)
+    // BPE: the word model over segmented text is per-character words, so
+    // training learns no cross-word merges but ENCODES Han text (the
+    // whitespace mode would feed the whole doc as one giant word)
+    val model = Bpe.train(
+      segged.select(col("text_seg").as("text")), "text",
+      numMerges = 4, minCount = 1L)
+    val enc = Bpe.encodeWord(Zh.take(1), model)
+    assert(enc.nonEmpty)
+  }
+
   test("gopherRules(seg) counts CJK words in the denominator") {
     val doc = Zh * 10 + " the and of to in " + Zh * 10
     val df = Seq((1L, doc)).toDF("doc_id", "text")

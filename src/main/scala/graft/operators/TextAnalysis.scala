@@ -372,7 +372,12 @@ object TextAnalysis {
     "de" -> Seq(" der ", " und ", " die "),
     "fr" -> Seq(" le ", " et ", " la "),
     "es" -> Seq(" el ", " y ", " los "),
-    "zh" -> Seq("的", "了", "是"))
+    // space-free scripts use BARE substring markers (no space padding):
+    // zh/ja/ko text carries no inter-word whitespace, so the marker is
+    // the particle/copula itself — unicode escapes keep this file ASCII
+    "zh" -> Seq("的", "了", "是"),
+    "ja" -> Seq("の", "です", "ました"),
+    "ko" -> Seq("입니다", "그리고", "에서"))
 
   /** Marker-occurrence score over ` lower(text) ` — LOWERCASED and
     * SPACE-PADDED exactly like [[gopherRules]]' stopword check, so

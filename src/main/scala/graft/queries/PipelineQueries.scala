@@ -43,6 +43,14 @@ object PipelineQueries {
   private val CjkTransTo: String =
     (0x4e00 until 0x4e1a).map(_.toChar).mkString
 
+  /** q_text_langid_cjk's planted documents, each carrying its language's
+    * [[graft.operators.TextAnalysis.langMarkers]] (zh: 是/的/了, ja:
+    * の/です, ko: 입니다/그리고/에서) and NONE of the others'. Declared
+    * before `all` (object-init order). */
+  private val LangZhDoc = "这是好的模型了"
+  private val LangJaDoc = "これはモデルのデータです"
+  private val LangKoDoc = "모델입니다 그리고 데이터는 에서 온다"
+
   val all: Seq[QueryDef] = Seq(
 
     // hourly tumbling-window aggregation over the event stream (batch form;
@@ -676,6 +684,28 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(langIdOracle)),
+
+    // language-ID over a multilingual corpus: every fourth document is
+    // replaced by a zh/ja/ko sentence carrying its language's markers
+    // (the r16 ja/ko marker extension — space-free scripts use bare
+    // substring markers, no padding). The CASE chain, the marker tables
+    // and the tie-break all derive from TextAnalysis.langMarkers in BOTH
+    // engines, so adding a language cannot drift the oracle.
+    QueryDef("q_text_langid_cjk",
+      (s, dir) => {
+        val t = when(pmod(col("doc_id"), lit(4)) === 1, lit(LangZhDoc))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit(LangJaDoc))
+          .when(pmod(col("doc_id"), lit(4)) === 3, lit(LangKoDoc))
+          .otherwise(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.langId(t).as("pred"))
+          .orderBy("doc_id")
+      },
+      Some(langIdOracleFor(
+        s"(SELECT doc_id, CASE WHEN doc_id % 4 = 1 THEN '$LangZhDoc' " +
+          s"WHEN doc_id % 4 = 2 THEN '$LangJaDoc' " +
+          s"WHEN doc_id % 4 = 3 THEN '$LangKoDoc' " +
+          "ELSE text END AS text FROM documents) src_ml"))),
 
     // vocabulary mining: exact top-25 token frequencies across the corpus
     // (explode -> map-side-combinable count -> TakeOrdered top-k)
@@ -2444,25 +2474,28 @@ object PipelineQueries {
 
   // DuckDB mirrors of the marker-scoring text queries. Marker scores are
   // pure length arithmetic: (len(t) - len(replace(t, m, ''))) / len(m).
-  private def occSql(m: String): String = {
+  private def occSql(m: String, textExpr: String = "text"): String = {
     val esc = m.replace("'", "''")
     // code-point divisor, mirroring TextAnalysis.occurrences (both engines'
     // LENGTH counts code points); the scan base is the SAME lowercased
     // space-padded form langScore uses
-    val base = "' ' || LOWER(text) || ' '"
+    val base = s"' ' || LOWER($textExpr) || ' '"
     s"(LENGTH($base) - LENGTH(REPLACE($base, '$esc', ''))) / ${m.codePointCount(0, m.length)}"
   }
 
-  private def scoreSql(lang: String): String =
-    TextAnalysis.langMarkers(lang).map(occSql).mkString(" + ")
+  private def scoreSql(lang: String, textExpr: String = "text"): String =
+    TextAnalysis.langMarkers(lang).map(occSql(_, textExpr)).mkString(" + ")
 
-  private lazy val langIdOracle: String = {
+  /** the langId CASE replay over an arbitrary `(doc_id, text)` source */
+  private def langIdOracleFor(src: String): String = {
     val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
     val scoreCols = langs.map(l => s"(${scoreSql(l)}) AS s_$l").mkString(", ")
     val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
     val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
-    s"""WITH sc AS (SELECT doc_id, $scoreCols FROM documents), sb AS (SELECT *, $best AS best FROM sc) SELECT doc_id, CASE $cases ELSE 'und' END AS pred FROM sb ORDER BY doc_id"""
+    s"""WITH sc AS (SELECT doc_id, $scoreCols FROM $src), sb AS (SELECT *, $best AS best FROM sc) SELECT doc_id, CASE $cases ELSE 'und' END AS pred FROM sb ORDER BY doc_id"""
   }
+
+  private lazy val langIdOracle: String = langIdOracleFor("documents")
 
   /** The ONE fixed merge table shared by q_bpe_encode's engine body and
     * its oracle (ranks = list order). Chosen to exercise every encoding

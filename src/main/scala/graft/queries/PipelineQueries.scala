@@ -2027,6 +2027,37 @@ object PipelineQueries {
       },
       Some(s"""WITH scored AS (SELECT vec_id, list_inner_product(CAST(embedding AS DOUBLE[]), $queryVecSql) / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS cosine FROM embeddings) SELECT vec_id, round(cosine, 6) AS cosine_r FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
 
+    // int8-quantized similarity search (the 4x memory cut a 100 TB
+    // embedding store runs on): symmetric per-vector scalar quantization
+    // (floor-rounded, clamped — every step engine-portable), top-10 by
+    // cosine scored DIRECTLY on the int vectors (the per-vector scale
+    // cancels out of cosine exactly, so the scorer never reconstructs),
+    // flagged against the exact float top-10. The oracle replays the
+    // quantizer, the cancelled-form scan, the exact scan and the
+    // membership join bit-for-bit — so the row pins quantization
+    // arithmetic AND the recall behavior of this corpus (not just
+    // "some top-k came back").
+    QueryDef("q_embed_quantize",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // quantize ONCE into a materialized store, score the store —
+        // the deployment shape, and the plan-shape contract
+        // (Similarity.writeQuantized's scaladoc: a live quantizer frame
+        // under the scorer collapses into an O(dim^2)-per-row lambda)
+        val store = Tables.scratchPath("int8_store", dir)
+        Similarity.writeQuantized(emb, "vec_id", "embedding", store)
+        val topQ = Similarity.topKQuantized(
+          s.read.parquet(store), "vec_id", fixedQueryVector, 10)
+          .select(col("vec_id"), round(col("cosine"), 6).as("cosine_q_r"))
+        val exact = Similarity.topK(emb, "vec_id", "embedding",
+          fixedQueryVector, 10).select(col("vec_id"))
+        topQ.join(exact.withColumn("__e", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cosine_q_r"),
+            coalesce(col("__e"), lit(false)).as("in_exact_top10"))
+          .orderBy(col("cosine_q_r").desc, col("vec_id"))
+      },
+      Some(raw"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sc AS (SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM base)), qz AS (SELECT vec_id, list_transform(v, x -> GREATEST(LEAST(floor(x / scale + 0.5), 127.0), -127.0)) AS qv FROM sc), scoredq AS (SELECT vec_id, list_inner_product(qv, $queryVecSql) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM qz), topq AS (SELECT vec_id, round(c, 6) AS cosine_q_r FROM scoredq ORDER BY c DESC, vec_id LIMIT 10), scorede AS (SELECT vec_id, list_inner_product(v, $queryVecSql) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base), ex AS (SELECT vec_id FROM scorede ORDER BY c DESC, vec_id LIMIT 10) SELECT t.vec_id, t.cosine_q_r, (e.vec_id IS NOT NULL) AS in_exact_top10 FROM topq t LEFT JOIN ex e USING (vec_id) ORDER BY cosine_q_r DESC, vec_id""")),
+
     // Batch kNN JOIN: every query row gets its 5 nearest corpus rows in
     // one pass — bounded-heap partial aggregation, so the shuffle carries
     // k pairs per (partition, query), never the |C|x|Q| scored rows.

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SparkTestSession
+
+/** int8 scalar quantization: error bound, clamp range, zero-vector
+  * safety, and retrieval recall of the quantized store vs exact floats.
+  */
+class QuantizeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(
+    "/root/testdata/sf0.001/embeddings.parquet")
+
+  test("per-element reconstruction error is bounded by scale/2; q in [-127, 127]") {
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = q.join(emb, "vec_id")
+      .select(col("vec_id"), col("qscale"),
+        zip_with(col("embedding").cast("array<double>"),
+          Similarity.dequantizeInt8(col("qvec"), col("qscale")),
+          (x, r) => abs(x - r)).as("errs"),
+        col("qvec"))
+    val bad = joined.filter(
+      exists(col("errs"), e => e > col("qscale") / 2.0d + lit(1e-12)) ||
+        exists(col("qvec"), v => abs(v) > 127))
+    assert(bad.count() === 0L)
+  }
+
+  test("zero vectors quantize to zeros with scale 1, never divide by zero") {
+    val z = Seq((1L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(z, "vec_id", "embedding").head()
+    assert(r.getAs[Seq[Int]]("qvec").forall(_ == 0))
+    assert(r.getAs[Double]("qscale") === 1.0)
+  }
+
+  test("quantized top-10 recalls most of the exact top-10 on the corpus") {
+    val query = graft.queries.PipelineQueries.fixedQueryVector
+    val exact = Similarity.topK(emb, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = Similarity.topKQuantized(
+      Similarity.quantizeInt8(emb, "vec_id", "embedding"),
+      "vec_id", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val overlap = (exact & quant).size
+    assert(overlap >= 7, s"int8 recall degraded: $overlap/10 overlap")
+  }
+}

@@ -2058,6 +2058,26 @@ object PipelineQueries {
       },
       Some(raw"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sc AS (SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM base)), qz AS (SELECT vec_id, list_transform(v, x -> GREATEST(LEAST(floor(x / scale + 0.5), 127.0), -127.0)) AS qv FROM sc), scoredq AS (SELECT vec_id, list_inner_product(qv, $queryVecSql) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM qz), topq AS (SELECT vec_id, round(c, 6) AS cosine_q_r FROM scoredq ORDER BY c DESC, vec_id LIMIT 10), scorede AS (SELECT vec_id, list_inner_product(v, $queryVecSql) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base), ex AS (SELECT vec_id FROM scorede ORDER BY c DESC, vec_id LIMIT 10) SELECT t.vec_id, t.cosine_q_r, (e.vec_id IS NOT NULL) AS in_exact_top10 FROM topq t LEFT JOIN ex e USING (vec_id) ORDER BY cosine_q_r DESC, vec_id""")),
 
+    // two-stage retrieval (the production int8 serving shape): stage 1
+    // scans the materialized quantized store for top-50 candidates
+    // (int8-sized I/O), stage 2 reranks ONLY those 50 with exact float
+    // cosine (the float store is touched for 50 rows, not the corpus)
+    // and keeps 10. The candidate slice joins back via broadcast (50
+    // ids). Oracle replays both stages — quantizer, cancelled-form
+    // candidate scan, the 50-row float rerank — bit-for-bit.
+    QueryDef("q_embed_rerank",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val store = Tables.scratchPath("int8_store_rr", dir)
+        Similarity.writeQuantized(emb, "vec_id", "embedding", store)
+        val cands = Similarity.topKQuantized(s.read.parquet(store),
+          "vec_id", fixedQueryVector, 50).select("vec_id")
+        Similarity.topK(emb.join(broadcast(cands), "vec_id"),
+            "vec_id", "embedding", fixedQueryVector, 10)
+          .select(col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
+      },
+      Some(raw"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sc AS (SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM base)), qz AS (SELECT vec_id, list_transform(v, x -> GREATEST(LEAST(floor(x / scale + 0.5), 127.0), -127.0)) AS qv FROM sc), scoredq AS (SELECT vec_id, list_inner_product(qv, $queryVecSql) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM qz), cands AS (SELECT vec_id FROM scoredq ORDER BY c DESC, vec_id LIMIT 50), rr AS (SELECT b.vec_id, list_inner_product(b.v, $queryVecSql) / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base b JOIN cands USING (vec_id)) SELECT vec_id, round(c, 6) AS cosine_r FROM rr ORDER BY c DESC, vec_id LIMIT 10""")),
+
     // Batch kNN JOIN: every query row gets its 5 nearest corpus rows in
     // one pass — bounded-heap partial aggregation, so the shuffle carries
     // k pairs per (partition, query), never the |C|x|Q| scored rows.

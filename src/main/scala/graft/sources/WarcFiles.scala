@@ -1,8 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** WARC (ISO 28500) source/sink — the web-crawl ingestion format: a
   * WARC file is a sequence of records, each `WARC/1.0` + CRLF headers +
@@ -128,14 +127,6 @@ object WarcFiles {
     ()
   }
 
-  private val outSchema = StructType(Seq(
-    StructField("url", StringType, nullable = true),
-    StructField("warc_type", StringType, nullable = true),
-    StructField("warc_date", StringType, nullable = true),
-    StructField("headers", MapType(StringType, StringType), nullable = true),
-    StructField("payload", BinaryType, nullable = true),
-    StructField("error", StringType, nullable = true)))
-
   /** gunzip a whole (possibly multi-member) buffer; plain data passes
     * through untouched */
   private def maybeGunzip(b: Array[Byte]): Array[Byte] =
@@ -154,75 +145,109 @@ object WarcFiles {
       out.toByteArray
     } else b
 
+  /** One decoded record row (the Dataset-encoder shape shared by the
+    * batch and STREAMING walks). */
+  final case class WarcRecord(
+      url: String, warc_type: String, warc_date: String,
+      headers: Map[String, String], payload: Array[Byte], error: String)
+
+  /** the per-file record walk shared by [[read]] and [[readStream]] */
+  private def walkFile(raw: Array[Byte]): Seq[WarcRecord] = {
+    val rows = Vector.newBuilder[WarcRecord]
+    try {
+      val b = maybeGunzip(raw)
+      var pos = 0
+      def findCrlfCrlf(from: Int): Int = {
+        var i = from
+        while (i + 3 < b.length) {
+          if (b(i) == '\r' && b(i + 1) == '\n' &&
+              b(i + 2) == '\r' && b(i + 3) == '\n') return i
+          i += 1
+        }
+        -1
+      }
+      while (pos < b.length) {
+        // tolerate inter-record CRLF runs
+        while (pos < b.length && (b(pos) == '\r' || b(pos) == '\n'))
+          pos += 1
+        if (pos >= b.length) { /* clean end */ }
+        else {
+          val hEnd = findCrlfCrlf(pos)
+          if (hEnd < 0) throw new IllegalArgumentException(
+            "truncated record header")
+          val headerText = new String(b, pos, hEnd - pos, "UTF-8")
+          val lines = headerText.split("\r\n")
+          if (!lines.head.startsWith("WARC/"))
+            throw new IllegalArgumentException(
+              s"not a WARC record at offset $pos: " + lines.head.take(40))
+          val headers = lines.tail.iterator.flatMap { l =>
+            val i = l.indexOf(':')
+            if (i < 0) None
+            else Some(l.substring(0, i).trim.toLowerCase ->
+              l.substring(i + 1).trim)
+          }.toMap
+          val len = headers.getOrElse("content-length",
+            throw new IllegalArgumentException(
+              "record without Content-Length")).toLong
+          val bodyStart = hEnd + 4
+          if (len < 0 || bodyStart + len > b.length)
+            throw new IllegalArgumentException("truncated record body")
+          val payload = java.util.Arrays.copyOfRange(
+            b, bodyStart, bodyStart + len.toInt)
+          rows += WarcRecord(
+            headers.getOrElse("warc-target-uri", null),
+            headers.getOrElse("warc-type", null),
+            headers.getOrElse("warc-date", null),
+            headers, payload, null)
+          pos = bodyStart + len.toInt
+        }
+      }
+      rows.result()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        rows.result() :+ WarcRecord(null, null, null, null, null,
+          s"warc walk failed: ${String.valueOf(e.getMessage).take(200)}")
+    }
+  }
+
+  private def decode(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("content")).as[Array[Byte]]
+      .flatMap(walkFile _)
+      .select("url", "warc_type", "warc_date", "headers", "payload", "error")
+  }
+
   /** Read every `*.warc` / `*.warc.gz` file under `path`:
     * `(url, warc_type, warc_date, headers, payload, error)` — one row
     * per record, header lookup case-insensitive, records parsed before
     * a malformed point are KEPT and the corrupt tail yields one
     * quarantine row. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val rdd = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*").load(path)
-      .select(col("path"), col("content"))
-      .rdd
-      .flatMap { fileRow =>
-        val raw = fileRow.getAs[Array[Byte]]("content")
-        val rows = Vector.newBuilder[Row]
-        try {
-          val b = maybeGunzip(raw)
-          var pos = 0
-          def findCrlfCrlf(from: Int): Int = {
-            var i = from
-            while (i + 3 < b.length) {
-              if (b(i) == '\r' && b(i + 1) == '\n' &&
-                  b(i + 2) == '\r' && b(i + 3) == '\n') return i
-              i += 1
-            }
-            -1
-          }
-          while (pos < b.length) {
-            // tolerate inter-record CRLF runs
-            while (pos < b.length && (b(pos) == '\r' || b(pos) == '\n'))
-              pos += 1
-            if (pos >= b.length) { /* clean end */ }
-            else {
-              val hEnd = findCrlfCrlf(pos)
-              if (hEnd < 0) throw new IllegalArgumentException(
-                "truncated record header")
-              val headerText = new String(b, pos, hEnd - pos, "UTF-8")
-              val lines = headerText.split("\r\n")
-              if (!lines.head.startsWith("WARC/"))
-                throw new IllegalArgumentException(
-                  s"not a WARC record at offset $pos: " +
-                    lines.head.take(40))
-              val headers = lines.tail.iterator.flatMap { l =>
-                val i = l.indexOf(':')
-                if (i < 0) None
-                else Some(l.substring(0, i).trim.toLowerCase ->
-                  l.substring(i + 1).trim)
-              }.toMap
-              val len = headers.getOrElse("content-length",
-                throw new IllegalArgumentException(
-                  "record without Content-Length")).toLong
-              val bodyStart = hEnd + 4
-              if (len < 0 || bodyStart + len > b.length)
-                throw new IllegalArgumentException("truncated record body")
-              val payload = java.util.Arrays.copyOfRange(
-                b, bodyStart, bodyStart + len.toInt)
-              rows += Row(
-                headers.getOrElse("warc-target-uri", null),
-                headers.getOrElse("warc-type", null),
-                headers.getOrElse("warc-date", null),
-                headers, payload, null)
-              pos = bodyStart + len.toInt
-            }
-          }
-          rows.result()
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            rows.result() :+ Row(null, null, null, null, null,
-              s"warc walk failed: ${String.valueOf(e.getMessage).take(200)}")
-        }
-      }
-    spark.createDataFrame(rdd, outSchema)
+  def read(spark: SparkSession, path: String): DataFrame =
+    decode(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*").load(path))
+
+  /** STREAMING ingestion of a growing crawl directory: the `binaryFile`
+    * file-stream source discovers newly landed `*.warc{,.gz}` files per
+    * micro-batch and each flows through the SAME [[walkFile]] decode as
+    * [[read]] (batch == stream by construction — pinned in
+    * WarcFilesSpec's AvailableNow equivalence test). One file = one
+    * source unit, so exactly-once ingestion rides the file-source log;
+    * downstream watermarks/aggregations attach as on any stream.
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    // streaming sources require an explicit schema; binaryFile's is fixed
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    decode(spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*").load(path))
   }
 }

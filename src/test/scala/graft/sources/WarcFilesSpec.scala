@@ -107,6 +107,52 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(back.filter(col("error").isNull).count() === 4)
   }
 
+  test("streaming ingestion equals the batch read (AvailableNow over a growing dir)") {
+    val dir = SparkTestSession.tmpPath("warc_stream")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    WarcFiles.write(corpus, dir, gzip = true)
+    val sinkDir = SparkTestSession.tmpPath("warc_stream_sink")
+    val ckpt = SparkTestSession.tmpPath("warc_stream_ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sinkDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    def runOnce(): Unit = {
+      val q = WarcFiles.readStream(spark, dir)
+        .select(col("url"), col("warc_type"), col("payload").cast("string").as("body"),
+          col("error"))
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runOnce()
+    val firstWave = spark.read.parquet(sinkDir).count()
+    assert(firstWave === 4)
+    // a new crawl file LANDS; the next trigger ingests exactly it (the
+    // file-source log provides exactly-once across restarts)
+    val extra = Seq((9L, "http://ex.org/9", "late arrival"))
+      .toDF("id", "url", "text")
+      .select(col("id"), col("url"), lit("conversion").as("rtype"),
+        lit("2026-01-02T00:00:00Z").as("date"),
+        col("text").cast("binary").as("payload"))
+    val d2 = SparkTestSession.tmpPath("warc_stream_wave2")
+    WarcFiles.write(extra.repartition(1), d2, gzip = true)
+    val f2 = new java.io.File(d2).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    java.nio.file.Files.copy(f2.toPath,
+      java.nio.file.Paths.get(dir, "wave2.warc.gz"))
+    runOnce()
+    val got = spark.read.parquet(sinkDir)
+      .select("url", "body").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val want = WarcFiles.read(spark, dir)
+      .select(col("url"), col("payload").cast("string")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === want)
+    assert(got.size === 5)
+  }
+
   test("seeded byte fuzz: mutations never throw, never inflate") {
     val out = SparkTestSession.tmpPath("warc_fuzz")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))

@@ -1,6 +1,11 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "cyclebanespark"
+// sources carry literal CJK (langMarkers, oracle corpora): pin the
+// encoding so a non-UTF-8 platform default cannot mojibake them — the
+// oracle derives from the same constants, so the gate could not catch it
+ThisBuild / scalacOptions += "-encoding"
+ThisBuild / scalacOptions += "UTF-8"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

@@ -1085,9 +1085,14 @@ object Multimodal {
   /** MJPEG-in-AVI frame walk + per-frame perceptual hash: parse the
     * RIFF container (the [[decodeWav]] chunk-walk discipline — fourcc +
     * little-endian size, word-aligned advance, every size bounds-checked
-    * against the payload), locate the 'movi' LIST, decode each video
-    * frame chunk (`##dc`/`##db`) with the JDK JPEG/DIB decoders, and
-    * dHash it through the shared [[frameDHash]] kernel.
+    * against the payload), locate the 'movi' LIST (recursing into the
+    * 'rec ' groups interleaved AVIs wrap frames in), decode each video
+    * frame chunk (`##dc`/`##db`) whose bytes are SELF-DESCRIBING (JPEG
+    * for MJPEG, or a BMP-wrapped DIB) with the JDK decoders, and dHash
+    * it through the shared [[frameDHash]] kernel. A raw headerless DIB
+    * `##db` frame (its geometry lives in the stream's `strf`, not the
+    * chunk) is not decodable standalone and quarantines the payload —
+    * the declared MJPEG profile carries JPEG bytes.
     *
     * Quarantine parity with [[videoFrameDHash]]: a null, non-AVI,
     * structurally malformed, frameless, over-budget (per-frame
@@ -1152,8 +1157,15 @@ object Multimodal {
             while (off + 8 <= until && n < maxFrames) {
               val size = le32(b, off + 4)
               if (size < 0 || off + 8 + size > until) return false
-              if (isFrameId(cc(b, off))) {
+              val id4 = cc(b, off)
+              if (isFrameId(id4)) {
                 frames += ((off + 8, size.toInt)); n += 1
+              } else if (id4 == "LIST" && size >= 4 &&
+                  cc(b, off + 8) == "rec ") {
+                // interleaved AVIs group frame+audio chunks inside
+                // 'LIST rec ' children of 'movi' (the VfW read-together
+                // unit) — recurse or a spec-conforming file walks empty
+                if (!walkMovi(off + 12, off + 8 + size.toInt)) return false
               }
               off += 8 + size.toInt + (size.toInt & 1)
             }

@@ -374,7 +374,8 @@ object TextAnalysis {
     "es" -> Seq(" el ", " y ", " los "),
     // space-free scripts use BARE substring markers (no space padding):
     // zh/ja/ko text carries no inter-word whitespace, so the marker is
-    // the particle/copula itself — unicode escapes keep this file ASCII
+    // the particle/copula itself (literal CJK — build.sbt pins -encoding
+    // UTF-8 so a platform default cannot mojibake these)
     "zh" -> Seq("的", "了", "是"),
     "ja" -> Seq("の", "です", "ました"),
     "ko" -> Seq("입니다", "그리고", "에서"))

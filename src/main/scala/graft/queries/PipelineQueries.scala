@@ -20,9 +20,11 @@ import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
-  /** q_text_cjk's planted multilingual suffix (unicode escapes keep the
-    * source file ASCII; the decoded strings flow verbatim into BOTH the
-    * Spark literal and the oracle SQL, so the two corpora cannot drift):
+  /** q_text_cjk's planted multilingual suffix (unicode escapes here;
+    * other constants below use literal CJK under build.sbt's pinned
+    * -encoding UTF-8 — either way the decoded strings flow verbatim into
+    * BOTH the Spark literal and the oracle SQL, so the two corpora
+    * cannot drift):
     * zh "machine learning model training data." (10 han + ideographic
     * full stop — no inter-word whitespace), ja "hello world" (5 kana +
     * 2 kanji), ko "Korean text" (6 hangul syllables in 2 space-separated
@@ -2056,7 +2058,7 @@ object PipelineQueries {
             coalesce(col("__e"), lit(false)).as("in_exact_top10"))
           .orderBy(col("cosine_q_r").desc, col("vec_id"))
       },
-      Some(raw"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sc AS (SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM base)), qz AS (SELECT vec_id, list_transform(v, x -> GREATEST(LEAST(floor(x / scale + 0.5), 127.0), -127.0)) AS qv FROM sc), scoredq AS (SELECT vec_id, list_inner_product(qv, $queryVecSql) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM qz), topq AS (SELECT vec_id, round(c, 6) AS cosine_q_r FROM scoredq ORDER BY c DESC, vec_id LIMIT 10), scorede AS (SELECT vec_id, list_inner_product(v, $queryVecSql) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base), ex AS (SELECT vec_id FROM scorede ORDER BY c DESC, vec_id LIMIT 10) SELECT t.vec_id, t.cosine_q_r, (e.vec_id IS NOT NULL) AS in_exact_top10 FROM topq t LEFT JOIN ex e USING (vec_id) ORDER BY cosine_q_r DESC, vec_id""")),
+      Some(raw"""WITH ${quantizerCtesSql}, topq AS (SELECT vec_id, round(c, 6) AS cosine_q_r FROM scoredq ORDER BY c DESC, vec_id LIMIT 10), scorede AS (SELECT vec_id, list_inner_product(v, $queryVecSql) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base), ex AS (SELECT vec_id FROM scorede ORDER BY c DESC, vec_id LIMIT 10) SELECT t.vec_id, t.cosine_q_r, (e.vec_id IS NOT NULL) AS in_exact_top10 FROM topq t LEFT JOIN ex e USING (vec_id) ORDER BY cosine_q_r DESC, vec_id""")),
 
     // two-stage retrieval (the production int8 serving shape): stage 1
     // scans the materialized quantized store for top-50 candidates
@@ -2076,7 +2078,7 @@ object PipelineQueries {
             "vec_id", "embedding", fixedQueryVector, 10)
           .select(col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
       },
-      Some(raw"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sc AS (SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM base)), qz AS (SELECT vec_id, list_transform(v, x -> GREATEST(LEAST(floor(x / scale + 0.5), 127.0), -127.0)) AS qv FROM sc), scoredq AS (SELECT vec_id, list_inner_product(qv, $queryVecSql) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM qz), cands AS (SELECT vec_id FROM scoredq ORDER BY c DESC, vec_id LIMIT 50), rr AS (SELECT b.vec_id, list_inner_product(b.v, $queryVecSql) / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base b JOIN cands USING (vec_id)) SELECT vec_id, round(c, 6) AS cosine_r FROM rr ORDER BY c DESC, vec_id LIMIT 10""")),
+      Some(raw"""WITH ${quantizerCtesSql}, cands AS (SELECT vec_id FROM scoredq ORDER BY c DESC, vec_id LIMIT 50), rr AS (SELECT b.vec_id, list_inner_product(b.v, $queryVecSql) / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base b JOIN cands USING (vec_id)) SELECT vec_id, round(c, 6) AS cosine_r FROM rr ORDER BY c DESC, vec_id LIMIT 10""")),
 
     // Batch kNN JOIN: every query row gets its 5 nearest corpus rows in
     // one pass — bounded-heap partial aggregation, so the shuffle carries
@@ -2536,6 +2538,13 @@ object PipelineQueries {
 
   private def scoreSql(lang: String, textExpr: String = "text"): String =
     TextAnalysis.langMarkers(lang).map(occSql(_, textExpr)).mkString(" + ")
+
+  /** the int8 quantizer + cancelled-form scorer replay (base -> sc ->
+    * qz -> scoredq), shared VERBATIM by q_embed_quantize and
+    * q_embed_rerank so the two oracles can never drift from each other
+    * (the minhashMd5BandedSql convention). */
+  private lazy val quantizerCtesSql: String =
+    raw"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sc AS (SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM base)), qz AS (SELECT vec_id, list_transform(v, x -> GREATEST(LEAST(floor(x / scale + 0.5), 127.0), -127.0)) AS qv FROM sc), scoredq AS (SELECT vec_id, list_inner_product(qv, $queryVecSql) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM qz)"""
 
   /** the langId CASE replay over an arbitrary `(doc_id, text)` source */
   private def langIdOracleFor(src: String): String = {

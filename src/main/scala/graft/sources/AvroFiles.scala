@@ -43,11 +43,13 @@ import org.apache.spark.sql.types._
   * task that dies mid-write leaves only a temp file that [[read]]'s
   * `*.avro` glob never sees (no silent prefix-truncation), a
   * speculative duplicate attempt never interleaves bytes into the
-  * final name (each attempt owns its uuid temp; first rename wins,
-  * the loser deletes its temp), and sequential retries stay
-  * idempotent (existing final part is replaced atomically-enough via
-  * delete-then-rename of a fully-written container). Stale temp files
-  * from dead attempts are swept by the pre-job cleanup.
+  * final name (each attempt owns its uuid temp; FIRST rename wins and
+  * the loser deletes its temp — never delete-then-rename, which would
+  * let a dying straggler remove a committed part), and sequential
+  * retries stay idempotent (a retry's rename loses to the equivalent
+  * container the earlier attempt committed; stale finals from PREVIOUS
+  * jobs are removed by the pre-job cleanup). Stale temp files from
+  * dead attempts are swept by the pre-job cleanup too.
   */
 object AvroFiles {
 
@@ -241,10 +243,13 @@ object AvroFiles {
           count += 1
         }
         writer.close() // closes the FS stream too; container now complete
-        // commit: replace any prior final part (sequential retry), then
-        // rename. A false rename with the final part present means a
-        // concurrent attempt won the race — drop our temp and succeed.
-        if (pfs.exists(p)) pfs.delete(p, false)
+        // commit: rename FIRST, never delete-then-rename — the pre-job
+        // cleanup already removed stale finals, so within this job an
+        // existing final part can only be a sibling attempt's COMPLETE
+        // equivalent container; a delete-then-rename would open a window
+        // where a straggler deletes the committed part and dies before
+        // renaming its own temp (silent partition loss). A failed rename
+        // with the final present = the sibling won; drop our temp.
         if (!pfs.rename(tmp, p)) {
           if (pfs.exists(p)) pfs.delete(tmp, false)
           else throw new java.io.IOException(

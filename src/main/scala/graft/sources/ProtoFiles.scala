@@ -207,7 +207,8 @@ object ProtoFiles {
           count += 1
         }
         os.close()
-        if (pfs.exists(p)) pfs.delete(p, false)
+        // rename-first commit (see AvroFiles.write: delete-then-rename
+        // loses a committed part when a straggler dies mid-window)
         if (!pfs.rename(tmp, p)) {
           if (pfs.exists(p)) pfs.delete(tmp, false)
           else throw new java.io.IOException(

@@ -56,6 +56,10 @@ object WarcFiles {
     val ext = if (gzip) "warc.gz" else "warc"
     Option(fs.globStatus(new Path(out, "*.warc*")))
       .foreach(_.foreach(s => fs.delete(s.getPath, false)))
+    // temp names contain NO ".warc" substring (read's `*.warc*` glob
+    // must never see an orphaned temp as data) — sweep them separately
+    Option(fs.globStatus(new Path(out, "*.wtmp-*")))
+      .foreach(_.foreach(s => fs.delete(s.getPath, false)))
     val confBytes = {
       val baos = new java.io.ByteArrayOutputStream()
       val dos = new java.io.DataOutputStream(baos)
@@ -67,8 +71,11 @@ object WarcFiles {
       conf.readFields(new java.io.DataInputStream(
         new java.io.ByteArrayInputStream(confBytes)))
       val p = new Path(outUri, f"part-$pid%05d.$ext")
+      // ".wtmp-", not ".$ext.tmp-": a temp name containing ".warc"
+      // would match read's glob and surface a dead attempt's partial
+      // file as data (review finding r16)
       val tmp = new Path(outUri,
-        f"part-$pid%05d.$ext.tmp-${java.util.UUID.randomUUID()}")
+        f"part-$pid%05d.wtmp-${java.util.UUID.randomUUID()}")
       val pfs = p.getFileSystem(conf)
       val os = new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 16)
       var count = 0L
@@ -109,7 +116,8 @@ object WarcFiles {
           count += 1
         }
         os.close()
-        if (pfs.exists(p)) pfs.delete(p, false)
+        // rename-first commit (see AvroFiles.write: delete-then-rename
+        // loses a committed part when a straggler dies mid-window)
         if (!pfs.rename(tmp, p)) {
           if (pfs.exists(p)) pfs.delete(tmp, false)
           else throw new java.io.IOException(
@@ -127,23 +135,86 @@ object WarcFiles {
     ()
   }
 
-  /** gunzip a whole (possibly multi-member) buffer; plain data passes
-    * through untouched */
-  private def maybeGunzip(b: Array[Byte]): Array[Byte] =
-    if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(b), 1 << 16)
-      val out = new java.io.ByteArrayOutputStream(b.length * 4)
-      val buf = new Array[Byte](1 << 16)
-      try {
-        var n = in.read(buf)
-        while (n >= 0) {
-          if (n > 0) out.write(buf, 0, n)
-          n = in.read(buf)
+  /** Strict multi-member gunzip. The JDK's `GZIPInputStream` treats a
+    * MALFORMED subsequent member header as clean EOF — a corrupt middle
+    * member would silently truncate a concatenated-member crawl file
+    * with no quarantine (review finding r16) — so the member walk is
+    * manual: parse each member header (magic/method/flags incl.
+    * FEXTRA/FNAME/FCOMMENT/FHCRC), inflate the raw deflate stream,
+    * verify the CRC32 + ISIZE trailer, and require every trailing byte
+    * to open a valid next member. Returns the plain bytes decoded from
+    * COMPLETE members plus the first error (if any) — the caller keeps
+    * the prefix records and appends one quarantine row for the corrupt
+    * tail. Plain (non-gzip) data passes through untouched. */
+  private[sources] def gunzipMembers(
+      b: Array[Byte]): (Array[Byte], Option[String]) = {
+    if (!(b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b))
+      return (b, None)
+    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    var pos = 0
+    try {
+      while (pos < b.length) {
+        if (pos + 10 > b.length || (b(pos) & 0xff) != 0x1f ||
+            (b(pos + 1) & 0xff) != 0x8b)
+          throw new IllegalArgumentException(
+            s"bad gzip member header at $pos")
+        if ((b(pos + 2) & 0xff) != 8)
+          throw new IllegalArgumentException(
+            "unsupported gzip compression method")
+        val flg = b(pos + 3) & 0xff
+        var i = pos + 10
+        if ((flg & 4) != 0) { // FEXTRA
+          if (i + 2 > b.length)
+            throw new IllegalArgumentException("truncated FEXTRA")
+          i += 2 + ((b(i) & 0xff) | ((b(i + 1) & 0xff) << 8))
         }
-      } finally in.close()
-      out.toByteArray
-    } else b
+        if ((flg & 8) != 0) { // FNAME, NUL-terminated
+          while (i < b.length && b(i) != 0) i += 1
+          i += 1
+        }
+        if ((flg & 16) != 0) { // FCOMMENT
+          while (i < b.length && b(i) != 0) i += 1
+          i += 1
+        }
+        if ((flg & 2) != 0) i += 2 // FHCRC
+        if (i > b.length)
+          throw new IllegalArgumentException("truncated gzip member header")
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(b, i, b.length - i)
+          val crc = new java.util.zip.CRC32
+          val buf = new Array[Byte](1 << 16)
+          val member = new java.io.ByteArrayOutputStream()
+          var memberLen = 0L
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+              throw new IllegalArgumentException("truncated deflate stream")
+            crc.update(buf, 0, n)
+            member.write(buf, 0, n)
+            memberLen += n
+          }
+          val tpos = i + inf.getBytesRead.toInt
+          if (tpos + 8 > b.length)
+            throw new IllegalArgumentException("truncated gzip trailer")
+          def le32u(o: Int): Long =
+            (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+              ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+          if (le32u(tpos) != (crc.getValue & 0xffffffffL))
+            throw new IllegalArgumentException("gzip member CRC mismatch")
+          if (le32u(tpos + 4) != (memberLen & 0xffffffffL))
+            throw new IllegalArgumentException("gzip member ISIZE mismatch")
+          // member verified COMPLETE — only now does it join the output
+          member.writeTo(out)
+          pos = tpos + 8
+        } finally inf.end()
+      }
+      (out.toByteArray, None)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        (out.toByteArray, Some(String.valueOf(e.getMessage)))
+    }
+  }
 
   /** One decoded record row (the Dataset-encoder shape shared by the
     * batch and STREAMING walks). */
@@ -151,11 +222,13 @@ object WarcFiles {
       url: String, warc_type: String, warc_date: String,
       headers: Map[String, String], payload: Array[Byte], error: String)
 
-  /** the per-file record walk shared by [[read]] and [[readStream]] */
+  /** the per-file record walk shared by [[read]] and [[readStream]]:
+    * records from COMPLETE gzip members parse normally; a gzip error OR
+    * a record-framing error quarantines once, after the good prefix */
   private def walkFile(raw: Array[Byte]): Seq[WarcRecord] = {
     val rows = Vector.newBuilder[WarcRecord]
+    val (b, gzErr) = gunzipMembers(raw)
     try {
-      val b = maybeGunzip(raw)
       var pos = 0
       def findCrlfCrlf(from: Int): Int = {
         var i = from
@@ -202,11 +275,16 @@ object WarcFiles {
           pos = bodyStart + len.toInt
         }
       }
-      rows.result()
+      gzErr match {
+        case None => rows.result()
+        case Some(m) => rows.result() :+ WarcRecord(null, null, null, null,
+          null, s"warc walk failed: ${m.take(200)}")
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
+        val msg = gzErr.getOrElse(String.valueOf(e.getMessage))
         rows.result() :+ WarcRecord(null, null, null, null, null,
-          s"warc walk failed: ${String.valueOf(e.getMessage).take(200)}")
+          s"warc walk failed: ${msg.take(200)}")
     }
   }
 

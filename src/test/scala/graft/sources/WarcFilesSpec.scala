@@ -153,6 +153,36 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(got.size === 5)
   }
 
+  test("a corrupt MIDDLE gzip member quarantines; the JDK's silent-EOF trap is closed") {
+    // GZIPInputStream treats a malformed subsequent member header as
+    // clean EOF — the strict member walk must instead keep the records
+    // of the COMPLETE members before the corruption and quarantine once
+    val out = SparkTestSession.tmpPath("warc_midgz")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    WarcFiles.write(corpus.repartition(1), out, gzip = true)
+    val f = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // find the SECOND member's magic and break it
+    var idx = -1
+    var count = 0
+    for (i <- 0 until bytes.length - 2
+         if (bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b &&
+           (bytes(i + 2) & 0xff) == 8) {
+      count += 1
+      if (count == 2 && idx < 0) idx = i
+    }
+    assert(idx > 0, "expected a second gzip member")
+    bytes(idx) = 'X'.toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    new java.io.File(f.getParent, "." + f.getName + ".crc").delete()
+    val back = WarcFiles.read(spark, out)
+    assert(back.filter(col("error").isNotNull).count() === 1,
+      "corrupt middle member must quarantine exactly once")
+    assert(back.filter(col("error").isNull).count() === 1,
+      "the record of the complete first member must be kept")
+  }
+
   test("seeded byte fuzz: mutations never throw, never inflate") {
     val out = SparkTestSession.tmpPath("warc_fuzz")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))

@@ -970,6 +970,29 @@ object PipelineQueries {
           jaccardBound = diffJaccardBound, recallBound = diffRecallBound)
       })),
 
+    // streaming curation gate composite: the ingest-time quality + PII
+    // + arrival-ordered near-dup gate on every arriving document
+    // (StreamCurate — stateless half attachable to any stream, dup half
+    // the streaming-proven StreamDedup state machine; batch execution
+    // IS the stream semantics on the arrival-ordered frame). md5 oracle
+    // mode: DuckDB replays the Gopher signals (the shared gsig/pass
+    // fragments), the sequential PII counts, the banded signatures with
+    // arrival ranks and the earlier-arrival qualifying-candidate rule,
+    // and the kept conjunction — the WHOLE gate is hash-checked.
+    QueryDef("q_stream_curation",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("ts", timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+        graft.streaming.StreamCurate.curate(docs, "doc_id", "ts", "text",
+          threshold = streamNearDupThreshold,
+          cfg = TextAnalysis.GopherConfig(minWords = 25L, maxWords = 80L,
+            minMeanWordLen = 3.0, maxMeanWordLen = 5.0,
+            minStopwordHits = 1),
+          md5Mode = true)
+          .orderBy("doc_id")
+      },
+      Some(streamCurationOracleSql)),
+
     // Mergeable distinct-count sketches: one HLL sketch per event type
     // (map-side combinable), then a sketch UNION for the overall count —
     // the two-level rollup a 100 TB pipeline uses so per-partition /
@@ -2798,6 +2821,22 @@ object PipelineQueries {
     * must make `threshold*h` integral (guarded below) — the engine's
     * `eq/h >= threshold` double compare is then exactly equivalent.
     */
+  /** q_stream_curation replay: the Gopher gsig/pass fragments, the
+    * sequential PII counts on the raw corpus, and the streaming dup rule
+    * (banded md5 signatures, per-(band, bucket) arrival ranks, a doc is
+    * dup when some EARLIER arrival in a shared bucket — store rank under
+    * the cap — agrees on >= threshold*h signature positions), joined
+    * into the kept conjunction. */
+  private lazy val streamCurationOracleSql: String = {
+    val h = 32 // bands 8 x rows 4
+    val minEq = math.rint(streamNearDupThreshold * h).toInt
+    val email = TextAnalysis.EmailPattern
+    val ip = TextAnalysis.Ipv4Pattern
+    val phone = TextAnalysis.PhonePattern
+    "WITH " + minhashMd5BandedSql(bands = 8, rows = 4) +
+      s""", pos AS (SELECT id, b, bucket, row_number() OVER (PARTITION BY b, bucket ORDER BY id) - 1 AS p FROM banded), dup AS (SELECT DISTINCT x.id AS doc_id FROM pos x JOIN pos y USING (b, bucket) JOIN sig sx ON sx.doc_id = x.id JOIN sig sy ON sy.doc_id = y.id WHERE y.p < x.p AND y.p < 64 AND len(list_filter(range(1, ${h + 1}), i -> sx.sig[i] = sy.sig[i])) >= $minEq), $gopherGsigSql, pii AS (SELECT doc_id, n_emails, n_ips, CAST(len(regexp_extract_all(t2, '$phone')) AS BIGINT) AS n_phones FROM (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ips, regexp_replace(t1, '$ip', '|||IP|||', 'g') AS t2 FROM (SELECT doc_id, CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails, regexp_replace(text, '$email', '|||EMAIL|||', 'g') AS t1 FROM documents))) SELECT g.doc_id, ($gopherPassSql) AS quality_pass, (dup.doc_id IS NOT NULL) AS is_dup, pii.n_emails + pii.n_ips + pii.n_phones AS n_pii, (($gopherPassSql) AND dup.doc_id IS NULL) AS kept FROM gsig g LEFT JOIN dup ON dup.doc_id = g.doc_id JOIN pii ON pii.doc_id = g.doc_id ORDER BY g.doc_id"""
+  }
+
   private def streamNearDupOracleSql(bands: Int, rows: Int,
       threshold: Double, maxBucket: Int): String = {
     val h = bands * rows

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SparkTestSession
+import graft.operators.TextAnalysis
+
+/** The streaming curation gate composite: decision semantics on planted
+  * documents, equality to manual recomposition, and the stateless half
+  * actually EXECUTING as a structured stream.
+  */
+class StreamCurateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private val goodText =
+    ("the quick brown fox jumps over the lazy dog and then walks to " +
+      "town with many fine friends that have come along " +
+      "to see the meadow and that was all good").trim
+  private val cfg = TextAnalysis.GopherConfig(minWords = 25L,
+    maxWords = 80L, minMeanWordLen = 3.0, maxMeanWordLen = 5.0,
+    minStopwordHits = 1)
+
+  private def corpus: DataFrame = Seq(
+    (1L, goodText), // kept
+    (2L, goodText + " extra"), // near-dup of 1 (arrives later) -> rejected
+    (3L, "tiny"), // quality fail (word count)
+    (4L, ("a completely different report about the harvest this year " +
+      "with plenty of corn and wheat that the farmers have gathered " +
+      "and sold at the market to happy buyers from the city " +
+      "contact me at a.b@example.com today")) // kept, distinct, 1 pii
+  ).toDF("doc_id", "text")
+    .withColumn("ts", timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+
+  test("decision semantics: dup rejected, quality-fail rejected, clean kept, pii counted") {
+    val r = StreamCurate.curate(corpus, "doc_id", "ts", "text",
+      threshold = 0.5, cfg = cfg, md5Mode = true)
+      .orderBy("doc_id").collect()
+    val byId = r.map(x => x.getLong(0) ->
+      (x.getBoolean(1), x.getBoolean(2), x.getLong(3), x.getBoolean(4))).toMap
+    assert(byId(1L) === ((true, false, 0L, true)))
+    assert(byId(2L)._2 === true) // dup of 1
+    assert(byId(2L)._4 === false)
+    assert(byId(3L)._1 === false) // quality fail
+    assert(byId(3L)._4 === false)
+    assert(byId(4L) === ((true, false, 1L, true)))
+  }
+
+  test("composite equals manual recomposition of its three stages") {
+    val manualDups = StreamDedup.nearDupHits(corpus, "doc_id", "ts",
+      "text", threshold = 0.5, md5Mode = true)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val manualGate = StreamCurate.gate(corpus, "text", cfg)
+      .select(col("doc_id"), col("quality_pass"), col("n_pii")).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    val got = StreamCurate.curate(corpus, "doc_id", "ts", "text",
+      threshold = 0.5, cfg = cfg, md5Mode = true).collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1) === manualGate(id)._1)
+      assert(r.getBoolean(2) === manualDups.contains(id))
+      assert(r.getLong(3) === manualGate(id)._2)
+      assert(r.getBoolean(4) === (manualGate(id)._1 && !manualDups(id)))
+    }
+  }
+
+  test("the stateless gate runs AS A STREAM and equals its batch execution") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val q = StreamCurate.gate(streamDf, "text", cfg)
+      .select("doc_id", "quality_pass", "n_pii")
+      .writeStream.format("memory").queryName("curate_gate_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, goodText), (3L, "tiny"))
+      q.processAllAvailable()
+      mem.addData((4L, goodText + " a.b@example.com"))
+      q.processAllAvailable()
+      val got = spark.table("curate_gate_sink").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+      val want = StreamCurate.gate(
+        Seq((1L, goodText), (3L, "tiny"), (4L, goodText + " a.b@example.com"))
+          .toDF("doc_id", "text"), "text", cfg)
+        .select("doc_id", "quality_pass", "n_pii").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+      assert(got === want)
+      assert(got.size === 3)
+    } finally q.stop()
+  }
+}

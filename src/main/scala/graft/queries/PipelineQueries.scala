@@ -475,6 +475,40 @@ object PipelineQueries {
       },
       Some("SELECT doc_id, text AS text_out FROM documents ORDER BY doc_id")),
 
+    // crawl-container -> curation end-to-end: documents packed as WET
+    // conversion records (per-record gzip members), read back through
+    // the WARC walk, and fed STRAIGHT into the quality + PII gate — the
+    // ingest shape of a real crawl pipeline (fetchers write containers;
+    // curation reads them, never the fetcher's memory). The oracle
+    // replays the gate over the ORIGINAL table: the hash match
+    // certifies both the container byte-fidelity AND the gate in one
+    // row, so a walk bug that flips a single text byte flips a quality
+    // ratio downstream.
+    QueryDef("q_warc_curation",
+      (s, dir) => {
+        val out = Tables.scratchPath("warc_cur", dir)
+        graft.sources.WarcFiles.write(
+          Tables.documents(s, dir).select(
+            concat(lit("http://corpus.example/doc/"), col("doc_id"))
+              .as("url"),
+            lit("conversion").as("rtype"),
+            lit("2026-01-01T00:00:00Z").as("date"),
+            col("text").cast("binary").as("payload"))
+            .repartition(s.sparkContext.defaultParallelism), out)
+        val docs = graft.sources.WarcFiles.read(s, out)
+          .filter(col("error").isNull && col("warc_type") === "conversion")
+          .select(
+            substring_index(col("url"), "/", -1).cast("long").as("doc_id"),
+            col("payload").cast("string").as("text"))
+        graft.streaming.StreamCurate.gate(docs, "text",
+            TextAnalysis.GopherConfig(minWords = 25L, maxWords = 80L,
+              minMeanWordLen = 3.0, maxMeanWordLen = 5.0,
+              minStopwordHits = 1))
+          .select(col("doc_id"), col("quality_pass"), col("n_pii"))
+          .orderBy("doc_id")
+      },
+      Some(warcCurationOracleSql)),
+
     QueryDef("q_tar_roundtrip",
       (s, dir) => {
         val out = Tables.scratchPath("tar_rt", dir)
@@ -2821,6 +2855,17 @@ object PipelineQueries {
     * must make `threshold*h` integral (guarded below) — the engine's
     * `eq/h >= threshold` double compare is then exactly equivalent.
     */
+  /** q_warc_curation replay: the same Gopher/PII fragments as
+    * q_stream_curation, straight over the ORIGINAL documents table —
+    * the container round-trip on the Spark side must be byte-faithful
+    * for the ratios to hash-match. */
+  private lazy val warcCurationOracleSql: String = {
+    val email = TextAnalysis.EmailPattern
+    val ip = TextAnalysis.Ipv4Pattern
+    val phone = TextAnalysis.PhonePattern
+    s"""WITH $gopherGsigSql, pii AS (SELECT doc_id, n_emails, n_ips, CAST(len(regexp_extract_all(t2, '$phone')) AS BIGINT) AS n_phones FROM (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ips, regexp_replace(t1, '$ip', '|||IP|||', 'g') AS t2 FROM (SELECT doc_id, CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails, regexp_replace(text, '$email', '|||EMAIL|||', 'g') AS t1 FROM documents))) SELECT g.doc_id, ($gopherPassSql) AS quality_pass, pii.n_emails + pii.n_ips + pii.n_phones AS n_pii FROM gsig g JOIN pii ON pii.doc_id = g.doc_id ORDER BY g.doc_id"""
+  }
+
   /** q_stream_curation replay: the Gopher gsig/pass fragments, the
     * sequential PII counts on the raw corpus, and the streaming dup rule
     * (banded md5 signatures, per-(band, bucket) arrival ranks, a doc is

@@ -589,15 +589,21 @@ object Similarity {
   def topKIvfPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Double])],
       query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
-    val probeCells = centroids
-      .map { case (cid, cvec) => (cid, cosSim(cvec, query)) }
-      .sortBy(-_._2).take(nprobe).map(_._1)
     spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("cell").isin(probeCells(centroids, query, nprobe): _*))
       .select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** The `nprobe` cells a query probes — centroid cosine DESC with the
+    * stable tie order (first cid), [[topKIvf]]'s exact selection —
+    * exposed for layouts that carry the cell column externally (e.g. the
+    * cell-partitioned int8 store). */
+  def probeCells(centroids: Seq[(Int, Seq[Double])], query: Seq[Double],
+      nprobe: Int): Seq[Int] =
+    centroids.map { case (cid, cvec) => (cid, cosSim(cvec, query)) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
 
   /** Symmetric per-vector int8 scalar quantization — the 4x memory cut
     * (float32 -> int8) that keeps a 100 TB embedding store's working set

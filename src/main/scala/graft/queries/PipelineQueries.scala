@@ -2117,6 +2117,33 @@ object PipelineQueries {
       },
       Some(raw"""WITH ${quantizerCtesSql}, topq AS (SELECT vec_id, round(c, 6) AS cosine_q_r FROM scoredq ORDER BY c DESC, vec_id LIMIT 10), scorede AS (SELECT vec_id, list_inner_product(v, $queryVecSql) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base), ex AS (SELECT vec_id FROM scorede ORDER BY c DESC, vec_id LIMIT 10) SELECT t.vec_id, t.cosine_q_r, (e.vec_id IS NOT NULL) AS in_exact_top10 FROM topq t LEFT JOIN ex e USING (vec_id) ORDER BY cosine_q_r DESC, vec_id""")),
 
+    // cell-partitioned quantized retrieval — the two 100 TB memory/IO
+    // techniques COMPOSED: cells assigned on the float vectors (the
+    // deterministic kmeans model replay), int8 payloads, one directory
+    // per cell (partitionBy), and the probe reads ONLY the nprobe best
+    // cells' directories (partition pruning) scoring the int vectors in
+    // the cancelled form. Oracle replays the kmeans model, the cell
+    // assignment, the probe selection, the quantizer and the pruned
+    // cancelled-form scan bit-for-bit.
+    QueryDef("q_embed_quantize_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val cents = Similarity.trainCentroids(emb, "embedding", k = 8,
+          sampleOrderCol = Some("vec_id"))
+        val store = Tables.scratchPath("int8_ivf", dir)
+        Similarity.quantizeInt8(emb, "vec_id", "embedding")
+          .join(Similarity.assignCells(emb, "embedding", cents)
+            .select("vec_id", "cell"), "vec_id")
+          .write.mode("overwrite").partitionBy("cell").parquet(store)
+        val probed = Similarity.probeCells(cents, fixedQueryVector,
+          nprobe = 4)
+        Similarity.topKQuantized(
+          s.read.parquet(store).filter(col("cell").isin(probed: _*)),
+          "vec_id", fixedQueryVector, 10)
+          .select(col("vec_id"), round(col("cosine"), 6).as("cosine_q_r"))
+      },
+      Some(s"""WITH ${kmeansCtes(8)}, ${quantizerCtesSql}, probe AS (SELECT c FROM (SELECT c, list_inner_product(v, $queryVecSql) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS sim FROM cents) ORDER BY sim DESC, c ASC LIMIT 4), sel AS (SELECT z.vec_id, z.qv FROM qz z JOIN cell l ON l.vec_id = z.vec_id JOIN probe p ON l.cell = p.c), scoredp AS (SELECT vec_id, list_inner_product(qv, $queryVecSql) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM sel) SELECT vec_id, round(c, 6) AS cosine_q_r FROM scoredp WHERE c IS NOT NULL AND NOT isnan(c) ORDER BY c DESC, vec_id LIMIT 10""")),
+
     // two-stage retrieval (the production int8 serving shape): stage 1
     // scans the materialized quantized store for top-50 candidates
     // (int8-sized I/O), stage 2 reranks ONLY those 50 with exact float

@@ -36,12 +36,19 @@ object Similarity {
 
   /** Brute-force cosine top-k for one query vector. A zero query vector
     * would make EVERY score NULL and return k arbitrary id-ordered rows —
-    * rejected eagerly instead.
+    * rejected eagerly instead. Degenerate ROW vectors (zero vector ->
+    * NULL cosine, NaN elements -> NaN cosine) are FILTERED, not sorted:
+    * NULL sorts last in Spark but a 0/0 is NaN in DuckDB and sorts FIRST
+    * on DESC, so leaving them in the frame makes the top-k
+    * engine-dependent the moment the corpus gains a degenerate vector
+    * (advisor finding r17). Every oracle replays the same
+    * `c IS NOT NULL AND NOT isnan(c)` guard.
     */
   def topK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int): DataFrame = {
     require(query.exists(_ != 0.0), "query vector must be non-zero")
     df.select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }

@@ -2084,7 +2084,7 @@ object PipelineQueries {
         Similarity.topK(Tables.embeddings(s, dir), "vec_id", "embedding", q, 10)
           .select(col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
       },
-      Some(s"""WITH scored AS (SELECT vec_id, list_inner_product(CAST(embedding AS DOUBLE[]), $queryVecSql) / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS cosine FROM embeddings) SELECT vec_id, round(cosine, 6) AS cosine_r FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
+      Some(s"""WITH scored AS (SELECT vec_id, list_inner_product(CAST(embedding AS DOUBLE[]), $queryVecSql) / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS cosine FROM embeddings) SELECT vec_id, round(cosine, 6) AS cosine_r FROM scored WHERE cosine IS NOT NULL AND NOT isnan(cosine) ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
 
     // int8-quantized similarity search (the 4x memory cut a 100 TB
     // embedding store runs on): symmetric per-vector scalar quantization
@@ -2115,7 +2115,7 @@ object PipelineQueries {
             coalesce(col("__e"), lit(false)).as("in_exact_top10"))
           .orderBy(col("cosine_q_r").desc, col("vec_id"))
       },
-      Some(raw"""WITH ${quantizerCtesSql}, topq AS (SELECT vec_id, round(c, 6) AS cosine_q_r FROM scoredq ORDER BY c DESC, vec_id LIMIT 10), scorede AS (SELECT vec_id, list_inner_product(v, $queryVecSql) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base), ex AS (SELECT vec_id FROM scorede ORDER BY c DESC, vec_id LIMIT 10) SELECT t.vec_id, t.cosine_q_r, (e.vec_id IS NOT NULL) AS in_exact_top10 FROM topq t LEFT JOIN ex e USING (vec_id) ORDER BY cosine_q_r DESC, vec_id""")),
+      Some(raw"""WITH ${quantizerCtesSql}, topq AS (SELECT vec_id, round(c, 6) AS cosine_q_r FROM scoredq ORDER BY c DESC, vec_id LIMIT 10), scorede AS (SELECT vec_id, list_inner_product(v, $queryVecSql) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base), ex AS (SELECT vec_id FROM scorede WHERE c IS NOT NULL AND NOT isnan(c) ORDER BY c DESC, vec_id LIMIT 10) SELECT t.vec_id, t.cosine_q_r, (e.vec_id IS NOT NULL) AS in_exact_top10 FROM topq t LEFT JOIN ex e USING (vec_id) ORDER BY cosine_q_r DESC, vec_id""")),
 
     // cell-partitioned quantized retrieval — the two 100 TB memory/IO
     // techniques COMPOSED: cells assigned on the float vectors (the
@@ -2162,7 +2162,7 @@ object PipelineQueries {
             "vec_id", "embedding", fixedQueryVector, 10)
           .select(col("vec_id"), round(col("cosine"), 6).as("cosine_r"))
       },
-      Some(raw"""WITH ${quantizerCtesSql}, cands AS (SELECT vec_id FROM scoredq ORDER BY c DESC, vec_id LIMIT 50), rr AS (SELECT b.vec_id, list_inner_product(b.v, $queryVecSql) / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base b JOIN cands USING (vec_id)) SELECT vec_id, round(c, 6) AS cosine_r FROM rr ORDER BY c DESC, vec_id LIMIT 10""")),
+      Some(raw"""WITH ${quantizerCtesSql}, cands AS (SELECT vec_id FROM scoredq ORDER BY c DESC, vec_id LIMIT 50), rr AS (SELECT b.vec_id, list_inner_product(b.v, $queryVecSql) / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base b JOIN cands USING (vec_id)) SELECT vec_id, round(c, 6) AS cosine_r FROM rr WHERE c IS NOT NULL AND NOT isnan(c) ORDER BY c DESC, vec_id LIMIT 10""")),
 
     // Batch kNN JOIN: every query row gets its 5 nearest corpus rows in
     // one pass — bounded-heap partial aggregation, so the shuffle carries
@@ -2628,7 +2628,7 @@ object PipelineQueries {
     * q_embed_rerank so the two oracles can never drift from each other
     * (the minhashMd5BandedSql convention). */
   private lazy val quantizerCtesSql: String =
-    raw"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sc AS (SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM base)), qz AS (SELECT vec_id, list_transform(v, x -> GREATEST(LEAST(floor(x / scale + 0.5), 127.0), -127.0)) AS qv FROM sc), scoredq AS (SELECT vec_id, list_inner_product(qv, $queryVecSql) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM qz)"""
+    raw"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sc AS (SELECT vec_id, v, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM base)), qz AS (SELECT vec_id, list_transform(v, x -> GREATEST(LEAST(floor(x / scale + 0.5), 127.0), -127.0)) AS qv FROM sc), scoredq AS (SELECT * FROM (SELECT vec_id, list_inner_product(qv, $queryVecSql) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM qz) WHERE c IS NOT NULL AND NOT isnan(c))"""
 
   /** the langId CASE replay over an arbitrary `(doc_id, text)` source */
   private def langIdOracleFor(src: String): String = {

@@ -30,6 +30,25 @@ object WarcFiles {
 
   private val CRLF = "\r\n"
 
+  /** header values are CRLF-delimited on the wire — a CR/LF (or other
+    * control char) inside url/rtype/date would corrupt the record
+    * framing at WRITE time and surface on read as a quarantined tail
+    * (silent data loss). Fail loudly at write time instead, the same
+    * posture as ProtoFiles' null-element rejection (advisor finding
+    * r17). Tab is allowed (legal in HTTP-style header values). */
+  private def checkedHeaderValue(name: String, v: String): String = {
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\r' || c == '\n' || (c < 0x20 && c != '\t') || c == 0x7f)
+        throw new IllegalArgumentException(
+          f"WarcFiles.write: control char U+${c.toInt}%04X in $name value" +
+            " — would corrupt CRLF record framing")
+      i += 1
+    }
+    v
+  }
+
   /** Distributed writer: `df` must carry `url` (string), `rtype`
     * (string — e.g. "response"/"conversion"), `date` (string, the
     * ISO-8601 `WARC-Date` value; kept opaque so the caller controls
@@ -82,10 +101,12 @@ object WarcFiles {
       var committed = false
       try {
         rows.foreach { ir =>
-          val url = if (ir.isNullAt(0)) "" else ir.getUTF8String(0).toString
-          val rtype = if (ir.isNullAt(1)) "resource"
-            else ir.getUTF8String(1).toString
-          val date = if (ir.isNullAt(2)) "" else ir.getUTF8String(2).toString
+          val url = checkedHeaderValue("url",
+            if (ir.isNullAt(0)) "" else ir.getUTF8String(0).toString)
+          val rtype = checkedHeaderValue("rtype",
+            if (ir.isNullAt(1)) "resource" else ir.getUTF8String(1).toString)
+          val date = checkedHeaderValue("date",
+            if (ir.isNullAt(2)) "" else ir.getUTF8String(2).toString)
           val payload =
             if (ir.isNullAt(3)) Array.emptyByteArray else ir.getBinary(3)
           val header = new StringBuilder()
@@ -150,7 +171,12 @@ object WarcFiles {
       b: Array[Byte]): (Array[Byte], Option[String]) = {
     if (!(b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b))
       return (b, None)
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    // initial capacity only (it grows): clamp so b.length * 4 can't
+    // overflow Int for inputs > 512 MiB — a negative capacity would
+    // throw BEFORE the try below and fail the task instead of
+    // quarantining (advisor finding r17)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(b.length.toLong, 64L) * 4, 1L << 20).toInt)
     var pos = 0
     try {
       while (pos < b.length) {
@@ -227,7 +253,15 @@ object WarcFiles {
     * a record-framing error quarantines once, after the good prefix */
   private def walkFile(raw: Array[Byte]): Seq[WarcRecord] = {
     val rows = Vector.newBuilder[WarcRecord]
-    val (b, gzErr) = gunzipMembers(raw)
+    // any throw on the decode path quarantines, never fails the task —
+    // gunzipMembers catches NonFatal internally, but its setup code
+    // (e.g. buffer allocation) must enjoy the same shield
+    val (b, gzErr) =
+      try gunzipMembers(raw)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          (Array.emptyByteArray, Some(String.valueOf(e.getMessage)))
+      }
     try {
       var pos = 0
       def findCrlfCrlf(from: Int): Int = {

@@ -38,6 +38,25 @@ class QuantizeSpec extends AnyFunSuite {
     assert(r.getAs[Double]("qscale") === 1.0)
   }
 
+  test("degenerate vectors (zero, NaN) never appear in a top-k — engine-" +
+      "portable contract shared with the oracle guards") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq.fill(3)(0.0f)),            // zero vector -> NULL cosine
+      (3L, Seq(Float.NaN, 1.0f, 1.0f)),   // NaN element -> NaN cosine
+      (4L, Seq(3.0f, 2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 1.0, 1.0)
+    // k larger than the corpus: without the filter the degenerates would
+    // pad the tail (Spark) or LEAD the list (DuckDB NaN-first on DESC)
+    val got = Similarity.topK(rows, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === Set(1L, 4L))
+    val gotQ = Similarity.topKQuantized(
+      Similarity.quantizeInt8(rows, "vec_id", "embedding"), "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotQ === Set(1L, 4L))
+  }
+
   test("quantized top-10 recalls most of the exact top-10 on the corpus") {
     val query = graft.queries.PipelineQueries.fixedQueryVector
     val exact = Similarity.topK(emb, "vec_id", "embedding", query, 10)

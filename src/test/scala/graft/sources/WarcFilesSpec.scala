@@ -49,6 +49,34 @@ class WarcFilesSpec extends AnyFunSuite {
     roundTrip(gzip = true))
   test("plain round-trip")(roundTrip(gzip = false))
 
+  test("write rejects CR/LF (and control chars) in header values loudly " +
+      "— a smuggled newline would corrupt record framing and surface as " +
+      "silent read-side data loss") {
+    for (bad <- Seq("http://ex.org/a\r\nWARC-Type: injected",
+        "http://ex.org/b\nX", "http://ex.org/c\u0000")) {
+      val df = Seq((1L, bad)).toDF("id", "url")
+        .select(col("url"), lit("conversion").as("rtype"),
+          lit("2026-01-01T00:00:00Z").as("date"),
+          lit("x").cast("binary").as("payload"))
+      val out = SparkTestSession.tmpPath("warc_crlf")
+      val e = intercept[org.apache.spark.SparkException] {
+        WarcFiles.write(df, out, gzip = false)
+      }
+      assert(e.getMessage.contains("control char") ||
+        Option(e.getCause).exists(_.getMessage.contains("control char")))
+    }
+    // tab is a legal header-value char — must NOT be rejected
+    val ok = Seq((1L, "http://ex.org/t\tab")).toDF("id", "url")
+      .select(col("url"), lit("conversion").as("rtype"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        lit("x").cast("binary").as("payload"))
+    val out2 = SparkTestSession.tmpPath("warc_tab")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out2))
+    WarcFiles.write(ok, out2, gzip = false)
+    assert(WarcFiles.read(spark, out2)
+      .filter(col("error").isNotNull).count() === 0)
+  }
+
   test("gzip files really are multi-member (record-splittable CC layout)") {
     val out = SparkTestSession.tmpPath("warc_members")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))

@@ -76,6 +76,66 @@ object TextAnalysis {
   def segmentScripts(text: Column): Column =
     regexp_replace(text, SegmentPattern, SegmentReplSpark)
 
+  /** Half-width katakana (U+FF61–FF9F) -> full-width equivalents. The
+    * two voiced sound marks fold to the NON-combining U+309B/309C
+    * (NFKC's targets U+3099/309A are combining marks, which a pure
+    * per-codepoint `translate` cannot compose onto the preceding
+    * letter); every other pair IS the NFKC mapping, and WidthFoldSpec
+    * pins that against `java.text.Normalizer`. */
+  private val HalfKanaPairs: Seq[(Int, Int)] = Seq(
+    0xFF61 -> 0x3002, 0xFF62 -> 0x300C, 0xFF63 -> 0x300D, 0xFF64 -> 0x3001,
+    0xFF65 -> 0x30FB, 0xFF66 -> 0x30F2,
+    0xFF67 -> 0x30A1, 0xFF68 -> 0x30A3, 0xFF69 -> 0x30A5, 0xFF6A -> 0x30A7,
+    0xFF6B -> 0x30A9, 0xFF6C -> 0x30E3, 0xFF6D -> 0x30E5, 0xFF6E -> 0x30E7,
+    0xFF6F -> 0x30C3, 0xFF70 -> 0x30FC,
+    0xFF71 -> 0x30A2, 0xFF72 -> 0x30A4, 0xFF73 -> 0x30A6, 0xFF74 -> 0x30A8,
+    0xFF75 -> 0x30AA, 0xFF76 -> 0x30AB, 0xFF77 -> 0x30AD, 0xFF78 -> 0x30AF,
+    0xFF79 -> 0x30B1, 0xFF7A -> 0x30B3, 0xFF7B -> 0x30B5, 0xFF7C -> 0x30B7,
+    0xFF7D -> 0x30B9, 0xFF7E -> 0x30BB, 0xFF7F -> 0x30BD, 0xFF80 -> 0x30BF,
+    0xFF81 -> 0x30C1, 0xFF82 -> 0x30C4, 0xFF83 -> 0x30C6, 0xFF84 -> 0x30C8,
+    0xFF85 -> 0x30CA, 0xFF86 -> 0x30CB, 0xFF87 -> 0x30CC, 0xFF88 -> 0x30CD,
+    0xFF89 -> 0x30CE, 0xFF8A -> 0x30CF, 0xFF8B -> 0x30D2, 0xFF8C -> 0x30D5,
+    0xFF8D -> 0x30D8, 0xFF8E -> 0x30DB, 0xFF8F -> 0x30DE, 0xFF90 -> 0x30DF,
+    0xFF91 -> 0x30E0, 0xFF92 -> 0x30E1, 0xFF93 -> 0x30E2, 0xFF94 -> 0x30E4,
+    0xFF95 -> 0x30E6, 0xFF96 -> 0x30E8, 0xFF97 -> 0x30E9, 0xFF98 -> 0x30EA,
+    0xFF99 -> 0x30EB, 0xFF9A -> 0x30EC, 0xFF9B -> 0x30ED, 0xFF9C -> 0x30EF,
+    0xFF9D -> 0x30F3, 0xFF9E -> 0x309B, 0xFF9F -> 0x309C)
+
+  /** [[foldWidth]]'s per-codepoint table, exposed so a SQL oracle can
+    * replay the fold verbatim (`translate` has identical semantics in
+    * Spark and DuckDB — the `CjkTransFrom/To` convention): full-width
+    * ASCII variants U+FF01–FF5E to ASCII U+0021–007E (offset -0xFEE0),
+    * ideographic space U+3000 to ASCII space, half-width katakana to
+    * full-width. `WidthFoldToSql` is the TO string escaped for embedding
+    * in a single-quoted SQL literal (it contains the ASCII apostrophe —
+    * the fold target of U+FF07). */
+  val WidthFoldFrom: String =
+    (0xFF01 to 0xFF5E).map(_.toChar).mkString + "　" +
+      HalfKanaPairs.map(_._1.toChar).mkString
+  val WidthFoldTo: String =
+    (0x21 to 0x7E).map(_.toChar).mkString + " " +
+      HalfKanaPairs.map(_._2.toChar).mkString
+  val WidthFoldToSql: String = WidthFoldTo.replace("'", "''")
+
+  /** Unicode width-fold — the ingest normalization real ja/zh web text
+    * needs AHEAD of [[segmentScripts]]: legacy Japanese pages are full
+    * of half-width katakana (ﾆﾎﾝｺﾞ) and standard ja/zh typography writes
+    * Latin/digits full-width (ＡＢＣ１２３), both in the
+    * Halfwidth-and-Fullwidth-Forms block that [[CjkCharClass]] and ASCII
+    * `\d`/`\w` character classes deliberately exclude — unfolded, they
+    * evade tokenization, the stopword/langid markers, PII digit patterns
+    * ([[PhonePattern]] cannot see a full-width phone number) and dedup
+    * shingles. One codegen'd `translate` (a per-codepoint map — the NFKC
+    * width subset; NO multi-codepoint composition, so a half-width
+    * voiced pair ｶﾞ folds to カ + U+309B rather than composing to ガ),
+    * zero shuffles, replayable in SQL via [[WidthFoldFrom]] /
+    * [[WidthFoldToSql]]. Compose as
+    * `segmentScripts(foldWidth(text))` — the fold targets land INSIDE
+    * the segmented class, so folded katakana tokenizes per character
+    * like any other kana. */
+  def foldWidth(text: Column): Column =
+    translate(text, WidthFoldFrom, WidthFoldTo)
+
   /** Feature-hashing document embeddings (the "hashing trick"): each
     * token lands in dimension `xxhash64(token) mod dim` with a ±1 sign
     * from an independent hash bit (sign cancellation keeps collision

@@ -53,6 +53,29 @@ object PipelineQueries {
   private val LangJaDoc = "これはモデルのデータです"
   private val LangKoDoc = "모델입니다 그리고 데이터는 에서 온다"
 
+  /** q_text_widthfold's planted suffix pieces (unicode escapes — the
+    * half/full-width distinction is invisible in most fonts, so escapes
+    * keep the plant auditable). Declared before `all` (object-init
+    * order). The suffix exercises every fold class:
+    *  - `WfPre`: ideographic space U+3000 + full-width Latin "MODEL" +
+    *    U+3000 + full-width "No." (U+FF2E FF4F FF0E);
+    *  - a per-doc 4-digit id in FULL-WIDTH digits ([[FwDigits]] via
+    *    `translate` — both engines share the construction);
+    *  - `WfMid`: full-width '!' + half-width katakana "nihongo"
+    *    (U+FF86 FF8E FF9D FF7A + voiced mark FF9E) + half-width
+    *    CJK-punctuation-quoted "pan" (U+FF62 FF8A + semi-voiced FF9F +
+    *    FF9D FF61 FF63) + a phone number written entirely in full-width
+    *    digits/hyphens (U+FF15... FF0D) that [[graft.operators
+    *    .TextAnalysis.PhonePattern]] cannot see until folded;
+    *  - `WfEnd`: full-width '!'. */
+  private val WfPre =
+    "\u3000\uFF2D\uFF2F\uFF24\uFF25\uFF2C\u3000\uFF2E\uFF4F\uFF0E"
+  private val WfMid = "\uFF01 \uFF86\uFF8E\uFF9D\uFF7A\uFF9E " +
+    "\uFF62\uFF8A\uFF9F\uFF9D\uFF61\uFF63 " +
+    "\uFF15\uFF15\uFF15\uFF0D\uFF18\uFF16\uFF17\uFF0D"
+  private val WfEnd = "\uFF01"
+  private val FwDigits = (0xFF10 to 0xFF19).map(_.toChar).mkString
+
   val all: Seq[QueryDef] = Seq(
 
     // hourly tumbling-window aggregation over the event stream (batch form;
@@ -2371,6 +2394,50 @@ object PipelineQueries {
       },
       Some(textCjkOracleSql)),
 
+    // Unicode width-fold ahead of segmentation — the CJK work's other
+    // half (TextAnalysis.foldWidth): real ja/zh web text writes Latin,
+    // digits and punctuation FULL-width and (on legacy pages) katakana
+    // HALF-width, both in the Halfwidth-and-Fullwidth-Forms block that
+    // CjkCharClass and ASCII [0-9] classes deliberately exclude. Every
+    // document gets a suffix exercising each fold class (full-width
+    // "MODEL No."+per-doc full-width digits, half-width katakana with
+    // voiced/semi-voiced marks, half-width CJK punctuation, a phone
+    // number in full-width digits), then the same signal is computed on
+    // the raw and the folded text side by side: segmented token counts
+    // (folded katakana tokenizes per kana; U+3000 becomes a real space),
+    // ASCII-digit visibility, PhonePattern visibility (the planted
+    // full-width phone is invisible raw, caught folded), and the md5
+    // token-stream fingerprint of the folded+segmented stream pinning
+    // the exact fold output. One codegen'd translate + the existing
+    // regexp chain — zero shuffles; the oracle replays the fold verbatim
+    // via the shared WidthFoldFrom/WidthFoldToSql table (translate has
+    // identical per-codepoint semantics in Spark and DuckDB).
+    QueryDef("q_text_widthfold",
+      (s, dir) => {
+        val TA = TextAnalysis
+        val fw4 = translate(
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          "0123456789", FwDigits)
+        val mixed = Tables.documents(s, dir).withColumn("__mix",
+          concat(coalesce(col("text"), lit("")),
+            lit(WfPre), fw4, lit(WfMid), fw4, lit(WfEnd)))
+        val folded = TA.foldWidth(col("__mix"))
+        mixed.select(col("doc_id"),
+          TA.tokenCount(col("__mix"), seg = true).as("n_tokens_raw"),
+          TA.tokenCount(folded, seg = true).as("n_tokens_fold"),
+          regexp_count(col("__mix"), lit("[0-9]")).cast("long")
+            .as("n_digits_raw"),
+          regexp_count(folded, lit("[0-9]")).cast("long")
+            .as("n_digits_fold"),
+          regexp_count(col("__mix"), lit(TA.PhonePattern)).cast("long")
+            .as("n_phones_raw"),
+          regexp_count(folded, lit(TA.PhonePattern)).cast("long")
+            .as("n_phones_fold"),
+          TA.fingerprintMd5(TA.segmentScripts(folded)).as("fp_fold"))
+          .orderBy("doc_id")
+      },
+      Some(textWidthFoldOracleSql)),
+
     // Gopher repetition-removal rules (the published rule set's
     // repetition half — duplicate-line fractions + most-frequent-n-gram
     // character coverage — complementing q_quality_rules' length/symbol
@@ -3235,6 +3302,26 @@ object PipelineQueries {
     val nseg =
       raw"""CASE WHEN LENGTH(TRIM(ts)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(ts), '\s+')) END"""
     raw"""WITH m AS (SELECT doc_id, COALESCE(text, '') || ' ' || repeat('${CjkZhSentence}', CAST(1 + doc_id % 3 AS INT)) || ' ${CjkJaPhrase} ${CjkKoPhrase}' AS t FROM documents), sgm AS (SELECT doc_id, t, regexp_replace(t, '${TextAnalysis.SegmentPattern}', '${TextAnalysis.SegmentReplDuck}', 'g') AS ts FROM m) SELECT doc_id, CAST($nws AS BIGINT) AS n_tokens_ws, CAST($nseg AS BIGINT) AS n_tokens_seg, CAST(LENGTH(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE) / GREATEST($nseg, 1) AS mean_token_len_seg, CAST(GREATEST(LEN(string_split_regex(TRIM(LOWER(ts)), '\s+')) - 1, 0) AS BIGINT) AS n_bigrams_seg, CAST(CASE WHEN r >= 9223372036854775808::HUGEINT THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fp_seg FROM (SELECT doc_id, t, ts, list_reduce(list_prepend(0::HUGEINT, list_transform(regexp_split_to_array(trim(ts), '\s+'), tok -> CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS HUGEINT))), (acc, h) -> (acc * 31 + h) % 18446744073709551616::HUGEINT) AS r FROM sgm) ORDER BY doc_id"""
+  }
+
+  /** q_text_widthfold replay: identical suffix synthesis (the WfPre /
+    * FwDigits / WfMid / WfEnd constants interpolate verbatim — per-doc
+    * full-width digits via the same lpad+translate construction), the
+    * fold as ONE `translate` over the shared
+    * [[graft.operators.TextAnalysis.WidthFoldFrom]] /
+    * [[graft.operators.TextAnalysis.WidthFoldToSql]] table (DuckDB's
+    * translate is the same per-codepoint map; ToSql escapes the ASCII
+    * apostrophe the full-width apostrophe folds to), the shared
+    * segmentation pattern on both the raw and folded text, token counts
+    * via the standard CASE formula, digit/phone counts via
+    * regexp_extract_all (the phone pattern constant is shared with
+    * q_pii_scrub), and the md5 fingerprint HUGEINT fold over the
+    * folded+segmented stream (q_text_cjk's exact wraparound replay). */
+  private lazy val textWidthFoldOracleSql: String = {
+    val TA = TextAnalysis
+    def ntok(x: String) =
+      raw"""CASE WHEN LENGTH(TRIM($x)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM($x), '\s+')) END"""
+    raw"""WITH m AS (SELECT doc_id, COALESCE(text, '') || '$WfPre' || translate(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '0123456789', '$FwDigits') || '$WfMid' || translate(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '0123456789', '$FwDigits') || '$WfEnd' AS t FROM documents), f AS (SELECT doc_id, t, translate(t, '${TA.WidthFoldFrom}', '${TA.WidthFoldToSql}') AS tf FROM m), sg AS (SELECT doc_id, t, tf, regexp_replace(t, '${TA.SegmentPattern}', '${TA.SegmentReplDuck}', 'g') AS ts, regexp_replace(tf, '${TA.SegmentPattern}', '${TA.SegmentReplDuck}', 'g') AS tfs FROM f) SELECT doc_id, CAST(${ntok("ts")} AS BIGINT) AS n_tokens_raw, CAST(${ntok("tfs")} AS BIGINT) AS n_tokens_fold, CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digits_raw, CAST(len(regexp_extract_all(tf, '[0-9]')) AS BIGINT) AS n_digits_fold, CAST(len(regexp_extract_all(t, '${TA.PhonePattern}')) AS BIGINT) AS n_phones_raw, CAST(len(regexp_extract_all(tf, '${TA.PhonePattern}')) AS BIGINT) AS n_phones_fold, CAST(CASE WHEN r >= 9223372036854775808::HUGEINT THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fp_fold FROM (SELECT doc_id, t, tf, ts, tfs, list_reduce(list_prepend(0::HUGEINT, list_transform(regexp_split_to_array(trim(tfs), '\s+'), tok -> CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS HUGEINT))), (acc, h) -> (acc * 31 + h) % 18446744073709551616::HUGEINT) AS r FROM sg) ORDER BY doc_id"""
   }
 
   /** q_pii_scrub replay: identical planted-PII synthesis, then the same

@@ -133,4 +133,97 @@ class CheckpointRecoverySpec extends AnyFunSuite {
       s"committed row counts diverged from the batch run (re-emitted " +
         s"batch after restart?): got=$gotCounts want=$wantCounts")
   }
+
+  test("the FULL curation composite (gate + dup state + stream-stream " +
+      "outer join) survives a mid-stream stop + checkpoint restart and " +
+      "equals curate's batch frame") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val srcDir = SparkTestSession.tmpPath("ckpt_cur_src")
+    val ckpt = SparkTestSession.tmpPath("ckpt_cur_ckpt")
+    val outDir = SparkTestSession.tmpPath("ckpt_cur_out")
+    Seq(srcDir, ckpt, outDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    Files.createDirectories(Paths.get(srcDir))
+    val t0 = 1700000000L
+    val cfg = TextAnalysis.GopherConfig(minWords = 10L, maxWords = 200L,
+      minMeanWordLen = 2.0, maxMeanWordLen = 8.0, minStopwordHits = 1)
+
+    // same dup-pair probes as the near-dup test, plus quality-fail docs
+    // (every id ending in 9 is the single word "tiny" — which also makes
+    // them exact dups of EACH OTHER, so the dup state and the quality
+    // gate interact across the restart) and planted PII on id % 7 == 0
+    def textOf(id: Long): String = id match {
+      case 7L => textOf(5L)
+      case 45L => textOf(3L)
+      case 52L => textOf(41L)
+      case i if i % 10 == 9 => "tiny"
+      case i =>
+        val base = s"the document $i body has alpha_$i beta_$i " +
+          s"gamma_$i delta_$i epsilon_$i tokens and more filler words here"
+        if (i % 7 == 0) base + " contact a.b@example.com now" else base
+    }
+    def write(name: String, ids: Range): Unit = {
+      ids.map(i => (i.toLong,
+          new java.sql.Timestamp((t0 + i) * 1000L), textOf(i.toLong)))
+        .toDF("doc_id", "ts", "text")
+        .repartition(1).write.parquet(s"$srcDir/$name")
+      Thread.sleep(1100)
+    }
+    val schema = Seq((0L, new java.sql.Timestamp(0L), "t"))
+      .toDF("doc_id", "ts", "text").schema
+    def startQuery() = StreamCurate.withStatefulChainAllowed(spark) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+      StreamCurate.curateStream(stream, "doc_id", "ts", "text",
+        threshold = 0.7, cfg = cfg)
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    }
+
+    // ---- run 1: three micro-batches, then a mid-stream stop. Matched
+    // (dup) rows emit immediately; unmatched rows wait on the watermark,
+    // which never passes inside the 60 s data window — so run 1 commits
+    // only dup rows
+    write("b0", 0 until 10); write("b1", 10 until 20); write("b2", 20 until 30)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    val afterRun1 = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(afterRun1.get(7L) === Some(true),
+      s"pre-stop duplicate not in run-1 output: $afterRun1")
+    assert(!afterRun1.keys.exists(_ >= 30L), "run 1 saw post-stop docs")
+
+    // ---- batches land while the query is down; then restart + two
+    // far-future sentinel batches so the watermark (applied one batch
+    // behind the data that moved it) flushes every outer-join row
+    write("b3", 30 until 40); write("b4", 40 until 50); write("b5", 50 until 60)
+    // sentinel ids map to ts = t0 + 9901/9902 s (~2.75 h ahead): the
+    // first advances max event time past every doc's ts + the 2 h delay,
+    // the second batch applies it
+    write("s1", 9901 until 9902); write("s2", 9902 until 9903)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(outDir)
+      .filter(col("doc_id") < 9000L).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    val staticDocs = (0L until 60L)
+      .map(i => (i, new java.sql.Timestamp((t0 + i) * 1000L), textOf(i)))
+      .toDF("doc_id", "ts", "text")
+    val want = StreamCurate.curate(staticDocs, "doc_id", "ts", "text",
+      threshold = 0.7, cfg = cfg).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == want,
+      s"composite restart diverged from curate's batch frame: " +
+        s"extra=${got -- want}, missing=${want -- got}")
+    // cross-restart dup: doc 45's flag can only come from state restored
+    // out of the checkpoint (doc 3 is not in run 2's input)
+    assert(got.exists(r => r._1 == 45L && r._3), "doc 45 not flagged dup")
+    // exactly-once: one committed row per document
+    assert(got.size === 60)
+  }
 }

@@ -67,6 +67,56 @@ class StreamCurateSpec extends AnyFunSuite {
     }
   }
 
+  test("the FULL composite runs as ONE streaming query (gate + stateful " +
+      "dup hits + stream-stream outer join) and equals curate's batch frame") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = corpus.select("doc_id", "ts", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .sortBy(_._1)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamCurate.withStatefulChainAllowed(spark) {
+      StreamCurate.curateStream(streamDf, "doc_id", "ts", "text",
+        threshold = 0.5, cfg = cfg)
+        .writeStream.format("memory").queryName("curate_full_sink")
+        .outputMode("append").start()
+    }
+    try {
+      // arrival order = ts order, split across micro-batches so the dup
+      // pair (1, 2) spans state carried BETWEEN batches
+      mem.addData(rows(0))
+      q.processAllAvailable()
+      mem.addData(rows(1), rows(2))
+      q.processAllAvailable()
+      mem.addData(rows(3))
+      q.processAllAvailable()
+      // two far-future sentinel batches: the first advances the max
+      // event time, the second lets the new watermark take effect so
+      // every outer-join row flushes (watermark is applied one batch
+      // behind the data that moved it)
+      val far1 = new java.sql.Timestamp(rows.map(_._2.getTime).max +
+        9L * 3600 * 1000)
+      val far2 = new java.sql.Timestamp(far1.getTime + 3600 * 1000)
+      mem.addData((9901L, far1, "sentinel one body"))
+      q.processAllAvailable()
+      mem.addData((9902L, far2, "sentinel two body"))
+      q.processAllAvailable()
+      val got = spark.table("curate_full_sink")
+        .filter(col("doc_id") < 9000L).collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+          r.getLong(3), r.getBoolean(4))).toMap
+      val want = StreamCurate.curate(corpus, "doc_id", "ts", "text",
+        threshold = 0.5, cfg = cfg).collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+          r.getLong(3), r.getBoolean(4))).toMap
+      assert(got === want)
+      assert(got.size === 4)
+      assert(got(2L)._2 === true) // the dup flag crossed micro-batches
+    } finally q.stop()
+  }
+
   test("the stateless gate runs AS A STREAM and equals its batch execution") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

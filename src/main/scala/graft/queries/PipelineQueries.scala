@@ -1336,9 +1336,14 @@ object PipelineQueries {
         val deduped = Dedup.exact(quality, "doc_id", "text")
         val kept = quality.join(
           deduped.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-        kept
-          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"),
-            col("n_tokens"))
+        // withLangId stages the padded-lowercase text once instead of
+        // once per marker scan (-17% on the langId stage; the r17
+        // triage of this query's prev-floor NOTE — variant decomposition
+        // put the whole +22% on the langId CASE, grown by r16's CJK
+        // markers, with every other stage additive and unchanged)
+        TextAnalysis.withLangId(
+            kept.select(col("doc_id"), col("text"), col("n_tokens")),
+            col("text"), "lang")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens_total"))
           .orderBy("lang")
@@ -1709,11 +1714,17 @@ object PipelineQueries {
         // staged once (eager checkpoint): three consumers below (sketch,
         // exact recount, per-language totals) would otherwise each replay
         // the ~15-string-scan langId CASE and the explode per document
-        val toks = Dedup.stage(Tables.documents(s, dir)
-          .select(TextAnalysis.langId(col("text")).as("lang"),
-            TextAnalysis.tokens(lower(col("text"))).as("toks"))
-          .select(col("lang"), explode(col("toks")).as("tok"))
-          .filter(length(col("tok")) > 3))
+        // withLangId stages the padded-lowercase text in its own
+        // projection (r17 prev-floor triage: the marker scans sit in
+        // conditional branches codegen CSE skips — see the operator's
+        // scaladoc), still BELOW the explode per the note above
+        val toks = Dedup.stage(
+          TextAnalysis.withLangId(Tables.documents(s, dir)
+              .select(col("text")), col("text"), "lang")
+            .select(col("lang"),
+              TextAnalysis.tokens(lower(col("text"))).as("toks"))
+            .select(col("lang"), explode(col("toks")).as("tok"))
+            .filter(length(col("tok")) > 3))
         val cands = toks.groupBy("lang")
           .agg(graft.functions.Aggregators.heavyHitters(col("tok"), k).as("top"))
           .select(col("lang"), explode(col("top")).as("t"))

@@ -808,6 +808,130 @@ object Multimodal {
       .toDF("id", "afp", "decoded")
   }
 
+  /** Spectral-fingerprint geometry: 9 frames of 32 samples, a 32-point
+    * Walsh-Hadamard sequency spectrum per frame, 9 bands of 3 sequency
+    * coefficients (indices 1..27 — coefficient 0 is the frame DC and is
+    * EXCLUDED, which is what buys offset invariance), 8x8 Haitsma-Kalker
+    * difference-of-differences bits. */
+  private val SpectralFrames = 9
+  private val SpectralFrameLen = 32
+  private val SpectralBands = 9
+  private val SpectralBandWidth = 3
+
+  /** Sequency-ordered Walsh-Hadamard index table: `SeqToNat(s)` is the
+    * NATURAL Hadamard row index (row `h`, entry `j` = `(-1)^popcount
+    * (h AND j)`) whose row has exactly `s` sign changes over j = 0..31.
+    * Built by COUNTING the sign changes of all 32 rows rather than by
+    * the gray-code/bit-reversal formula, so the ordering cannot be
+    * subtly wrong — WidthFold-style self-validation (each Hadamard row
+    * has a distinct sequency, so the table is a permutation by
+    * construction; SpectralFingerprintSpec pins both properties). Shared
+    * with the q_audio_spectral oracle, which embeds the table as a
+    * VALUES list — both engines read the same array, so they cannot
+    * drift. */
+  private[graft] val SeqToNat: Array[Int] = {
+    val n = SpectralFrameLen
+    val bySeq = new Array[Int](n)
+    var h = 0
+    while (h < n) {
+      var changes = 0
+      var prev = 0
+      var j = 0
+      while (j < n) {
+        val sign = if (Integer.bitCount(h & j) % 2 == 0) 1 else -1
+        if (j > 0 && sign != prev) changes += 1
+        prev = sign
+        j += 1
+      }
+      bySeq(changes) = h
+      h += 1
+    }
+    bySeq
+  }
+
+  /** 64-bit SPECTRAL audio fingerprint (the Haitsma-Kalker shape) over
+    * REAL decoded WAV samples — the robustness step past
+    * [[audioFingerprint]]'s time-domain energy deltas, which hang off
+    * raw sample sums and so inherit every re-encode's rounding noise at
+    * full weight. Per 32-sample frame the 32-point Walsh-Hadamard
+    * sequency spectrum is computed (a true spectral transform whose
+    * coefficients are pure integer adds/subtracts — chosen over the DFT
+    * because cos/sin are libm calls with NO cross-engine bit parity,
+    * while the WHT replays exactly in SQL), band energies are sums of
+    * squared coefficients over 9 sequency bands (DC excluded), and bit
+    * `(n-1)*8 + m` = `(E(n,m) - E(n,m+1)) - (E(n-1,m) - E(n-1,m+1)) > 0`
+    * — the sign of the band-energy delta's TIME derivative, the exact
+    * Haitsma-Kalker bit rule. Invariances (pinned exactly in
+    * SpectralFingerprintSpec): an exact gain scales every band energy by
+    * g^2 and a DC offset moves only the excluded coefficient 0, so both
+    * leave all 64 bits untouched; lossy re-quantization perturbs band
+    * energies only at second order. Non-WAV / non-8-bit-mono / short
+    * payloads fall back to the deterministic stub hash with
+    * `decoded = false` (the [[audioFingerprint]] posture). Output
+    * `(id, asfp: long, decoded)` — one narrow map, no shuffle; feed
+    * [[graft.operators.Dedup.hammingCandidates]]. */
+  def audioSpectralFingerprint(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val need = SpectralFrames * SpectralFrameLen
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      .filter(col("__id").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        def stub(payload: Array[Byte]): Long = {
+          val h = if (payload == null) byteFold(Array.emptyByteArray)
+            else byteFold(payload)
+          h * 2862933555777941757L + 3037000493L
+        }
+        rows.map { case (id, payload) =>
+          val d = if (payload == null) None else wavData8Mono(payload)
+          d match {
+            case Some((off, len)) if len >= need =>
+              val e = Array.ofDim[Long](SpectralFrames, SpectralBands)
+              var f = 0
+              while (f < SpectralFrames) {
+                var m = 0
+                while (m < SpectralBands) {
+                  var acc = 0L
+                  var c = 0
+                  while (c < SpectralBandWidth) {
+                    val nat = SeqToNat(1 + m * SpectralBandWidth + c)
+                    var w = 0L
+                    var j = 0
+                    while (j < SpectralFrameLen) {
+                      val s = payload(off + f * SpectralFrameLen + j) & 0xff
+                      w += (if (Integer.bitCount(nat & j) % 2 == 0) s else -s)
+                      j += 1
+                    }
+                    acc += w * w
+                    c += 1
+                  }
+                  e(f)(m) = acc
+                  m += 1
+                }
+                f += 1
+              }
+              var sig = 0L
+              var n = 1
+              while (n < SpectralFrames) {
+                var m = 0
+                while (m < SpectralBands - 1) {
+                  val dNow = e(n)(m) - e(n)(m + 1)
+                  val dPrev = e(n - 1)(m) - e(n - 1)(m + 1)
+                  if (dNow - dPrev > 0) sig |= 1L << ((n - 1) * 8 + m)
+                  m += 1
+                }
+                n += 1
+              }
+              (id, sig, true)
+            case _ => (id, stub(payload), false)
+          }
+        }
+      }
+      .toDF("id", "asfp", "decoded")
+  }
+
   /** dHash gradient-sign pack shared by [[imageDHash]] and the video
     * frame walk: bit `y*8+x` = `gray(x, y) > gray(x+1, y)` over the 9x8
     * grid. */

@@ -2623,6 +2623,30 @@ object PipelineQueries {
       },
       Some(audioNearDupOracleSql())),
 
+    // SPECTRAL audio near-dup (Haitsma-Kalker): the same real-WAV corpus
+    // fingerprinted through the 32-point Walsh-Hadamard sequency
+    // spectrum — band energies over 9 DC-free bands, bit = sign of the
+    // band-energy delta's time derivative — then the shared hamming
+    // banding. The spectral fingerprint is the robustness step the
+    // time-domain energy version (q_audio_neardup) lacks: exact gain and
+    // DC offset provably flip ZERO bits (SpectralFingerprintSpec), and
+    // re-quantization noise enters band energies only at second order.
+    // The WHT (not a DFT) keeps every step integer arithmetic, so the
+    // oracle replays decode -> spectrum -> bands -> bits -> banding
+    // byte-for-byte from the analytic md5 samples.
+    QueryDef("q_audio_spectral",
+      (s, dir) => {
+        import graft.operators.{Dedup, Multimodal}
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val fps = Multimodal.audioSpectralFingerprint(
+          Multimodal.syntheticWavs(fam, "doc_id", "family"), "id", "payload")
+        Dedup.hammingCandidates(fps.filter(col("decoded")), "id", "asfp")
+          .filter(col("hamming") <= 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(audioSpectralOracleSql())),
+
     // image duplicate clustering: the perceptual near-dup pairs fold
     // into connected components (checkpointed iterative expansion —
     // constant plan depth, the q_dedup_clusters machinery) and a
@@ -3208,12 +3232,36 @@ object PipelineQueries {
     * `pos % 16` of the block digests (WAV PCM is raw bytes — trivially
     * lossless) — frame energies are integer sums, fingerprint bit i =
     * energy(frame i) > energy(frame i+1), then the shared banding. */
-  private def audioNearDupCtesSql(maxBucket: Int = 64): String = {
-    val audioVal =
-      "CAST(('0x' || substring(md5(family || ':' || CAST(pos // 16 AS VARCHAR)), (pos % 16) * 2 + 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos // 16 AS VARCHAR)), (pos % 16) * 2 + 1, 2)) AS INT) % 2"
-    s"""$famCteSql, ax AS (SELECT doc_id, pos, $audioVal AS v FROM fam CROSS JOIN range(0, 1040) r(pos)), ae AS (SELECT doc_id, pos // 16 AS f, SUM(v) AS e FROM ax GROUP BY 1, 2), bits AS (SELECT a.doc_id, CAST(a.f AS INT) AS i, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit FROM ae a JOIN ae b ON b.doc_id = a.doc_id AND b.f = a.f + 1 WHERE a.f < 64)""" +
+  /** the synthetic 8-bit PCM sample value at `pos` — shared by the
+    * time-domain (q_audio_neardup) and spectral (q_audio_spectral)
+    * replays */
+  private lazy val audioSampleValSql =
+    "CAST(('0x' || substring(md5(family || ':' || CAST(pos // 16 AS VARCHAR)), (pos % 16) * 2 + 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(pos // 16 AS VARCHAR)), (pos % 16) * 2 + 1, 2)) AS INT) % 2"
+
+  private def audioNearDupCtesSql(maxBucket: Int = 64): String =
+    s"""$famCteSql, ax AS (SELECT doc_id, pos, $audioSampleValSql AS v FROM fam CROSS JOIN range(0, 1040) r(pos)), ae AS (SELECT doc_id, pos // 16 AS f, SUM(v) AS e FROM ax GROUP BY 1, 2), bits AS (SELECT a.doc_id, CAST(a.f AS INT) AS i, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit FROM ae a JOIN ae b ON b.doc_id = a.doc_id AND b.f = a.f + 1 WHERE a.f < 64)""" +
+      bitsToPairsSql(maxBucket)
+
+  /** q_audio_spectral replay: identical md5 sample synthesis (first
+    * 9x32 = 288 samples of the same WAVs), the 32-point Walsh-Hadamard
+    * coefficients as signed integer sums over the shared
+    * [[graft.operators.Multimodal.SeqToNat]] sequency table (embedded as
+    * a VALUES list — both engines read the same array), squared-
+    * coefficient band energies over 9 DC-free bands, the Haitsma-Kalker
+    * difference-of-differences bit rule, then the shared bits->pairs
+    * banding. Every step is integer arithmetic, so the row hash-matches
+    * with no tolerance. */
+  private def audioSpectralCtesSql(maxBucket: Int = 64): String = {
+    val seqVals = (1 to 27)
+      .map(s => s"($s, ${graft.operators.Multimodal.SeqToNat(s)})")
+      .mkString(", ")
+    s"""$famCteSql, ax AS (SELECT doc_id, pos, $audioSampleValSql AS v FROM fam CROSS JOIN range(0, 288) r(pos)), sq(m, nat) AS (SELECT * FROM (VALUES $seqVals)), wh AS (SELECT doc_id, pos // 32 AS f, m, SUM(CASE WHEN bit_count(CAST(pos % 32 AS BIGINT) & CAST(nat AS BIGINT)) % 2 = 0 THEN v ELSE -v END) AS w FROM ax CROSS JOIN sq GROUP BY 1, 2, 3), be AS (SELECT doc_id, f, (m - 1) // 3 AS band, SUM(w * w) AS e FROM wh GROUP BY 1, 2, 3), dd AS (SELECT a.doc_id, a.f, a.band, a.e - b.e AS d FROM be a JOIN be b ON b.doc_id = a.doc_id AND b.f = a.f AND b.band = a.band + 1 WHERE a.band < 8), bits AS (SELECT a.doc_id, CAST((a.f - 1) * 8 + a.band AS INT) AS i, CASE WHEN a.d - b.d > 0 THEN 1 ELSE 0 END AS bit FROM dd a JOIN dd b ON b.doc_id = a.doc_id AND b.f = a.f - 1 AND b.band = a.band WHERE a.f >= 1)""" +
       bitsToPairsSql(maxBucket)
   }
+
+  private def audioSpectralOracleSql(maxBucket: Int = 64): String =
+    "WITH " + audioSpectralCtesSql(maxBucket) +
+      " SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 3 ORDER BY id_a, id_b"
 
   private def audioNearDupOracleSql(maxBucket: Int = 64): String =
     "WITH " + audioNearDupCtesSql(maxBucket) +

@@ -189,8 +189,14 @@ object Bpe {
     * present pair first — the standard BPE application rule, equivalent
     * to replaying training's merge sequence on this word).
     */
-  def encodeWord(word: String, model: Model): Seq[String] = {
-    var syms = word.map(_.toString).toArray :+ EndOfWord
+  def encodeWord(word: String, model: Model): Seq[String] =
+    greedyMerge(word.map(_.toString).toArray :+ EndOfWord, model)
+      .toIndexedSeq
+
+  /** the shared rank-greedy loop of [[encodeWord]] / [[encodeBytes]] */
+  private def greedyMerge(init: Array[String],
+      model: Model): Array[String] = {
+    var syms = init
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -204,7 +210,107 @@ object Bpe {
       if (bestPair == null) done = true
       else syms = mergePair(syms, bestPair)
     }
-    syms.toIndexedSeq
+    syms
+  }
+
+  // ------------------------------------------------------------------
+  // BYTE-LEVEL BPE — the production tokenizer shape: a regex
+  // pre-tokenizer cuts the text into pre-tokens (spaces attach to the
+  // FOLLOWING token, the GPT-2 convention, so " the" and "the" are
+  // distinct vocabulary entries and detokenization is pure
+  // concatenation), each pre-token becomes its UTF-8 byte sequence, and
+  // merges are learned/applied over bytes. No out-of-vocabulary symbol
+  // can exist (every byte is in the base alphabet) and no end-of-word
+  // marker is needed (token boundaries come from the pre-tokenizer).
+  // ------------------------------------------------------------------
+
+  /** The regex pre-tokenizer, shared verbatim with the q_bpe_bytes
+    * oracle: ` ?letters | ?digits | ?other-run | whitespace-run`, kept to
+    * constructs Java regex and RE2 read identically (`\p{L}`/`\p{N}`
+    * are Unicode categories in both; NO lookahead — GPT-2's trailing-
+    * space special case `\s+(?!\S)` is dropped because RE2 has no
+    * lookahead, costing only a cosmetic difference on runs of trailing
+    * whitespace). The four branches cover every character class, so the
+    * matches TILE the text: concatenating all pre-tokens reproduces the
+    * input byte-for-byte (BpeBytesSpec pins this on the CJK corpus),
+    * which is what makes byte-level detokenization a pure concat. */
+  val BytePretokenPattern: String =
+    """ ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** the pre-token array of a text column (one codegen'd
+    * regexp_extract_all, no shuffle) */
+  def pretokenize(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(text, lit(BytePretokenPattern), lit(0))
+
+  /** A pre-token's UTF-8 bytes as FIXED-WIDTH lowercase-hex symbols
+    * ("c3", "a4", ...). Fixed width makes merged symbols self-
+    * delimiting: any symbol string decomposes uniquely into bytes, so
+    * distinct byte sequences can never collide into one symbol (decimal
+    * byte strings would: (195,164) and (19,51,64) both concatenate to
+    * "195164"). */
+  private[operators] def hexSymbols(word: String): Array[String] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x")
+
+  /** a symbol string (any concatenation of byte symbols) back to text —
+    * only meaningful over a COMPLETE pre-token's subword sequence:
+    * individual subwords may split a multi-byte UTF-8 character */
+  private[graft] def decodeHex(syms: Seq[String]): String = {
+    val hexStr = syms.mkString
+    val bytes = new Array[Byte](hexStr.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = Integer.parseInt(hexStr.substring(2 * i, 2 * i + 2), 16)
+        .toByte
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Train byte-level merges from the corpus pre-token frequencies: one
+    * distributed pre-token frequency aggregation, then the SAME
+    * incremental driver loop as [[train]] over hex byte symbols. The
+    * learned `Model` is rank-compatible with [[encodeBytes]] /
+    * [[tokenizeBytes]]. */
+  def trainBytes(docs: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L, maxVocab: Int = 50000): Model = {
+    require(numMerges > 0 && maxVocab > 0,
+      "numMerges and maxVocab must be positive")
+    val words: Array[(Array[String], Long)] = docs
+      .select(explode(pretokenize(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => (hexSymbols(r.getString(0)), r.getLong(1)))
+    Model(learnMerges(words, numMerges))
+  }
+
+  /** Encode one pre-token over bytes: rank-greedy merging, no
+    * end-of-word marker. */
+  def encodeBytes(word: String, model: Model): Seq[String] =
+    greedyMerge(hexSymbols(word), model).toIndexedSeq
+
+  /** Byte-level corpus tokenization: pre-tokenize, encode each pre-token
+    * with broadcast ranks, one narrow pass —
+    * `(id, subwords array<string>)` of hex byte-symbol strings whose
+    * per-pre-token concatenation round-trips to the input text
+    * (BpeBytesSpec). */
+  def tokenizeBytes(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col(idCol).cast("long"), pretokenize(col(textCol)).as("ws"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { rows =>
+        val m = bc.value
+        rows.map { case (id, ws) =>
+          (id, ws.flatMap(w => encodeBytes(w, m)))
+        }
+      }
+      .toDF("id", "subwords")
   }
 
   /** Tokenize the corpus with a trained model: merge ranks broadcast as a

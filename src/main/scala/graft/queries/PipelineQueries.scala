@@ -1792,6 +1792,41 @@ object PipelineQueries {
       },
       Some(bpeEncodeOracleSql)),
 
+    // BYTE-LEVEL BPE encoding against a fixed literal merge table — the
+    // real tokenizer shape (GPT-2 family): a regex pre-tokenizer (spaces
+    // attach to the following token), UTF-8 bytes as fixed-width hex
+    // symbols, rank-greedy merging with NO end-of-word marker and NO
+    // out-of-vocabulary failure mode. The corpus gets the q_text_cjk
+    // multilingual suffix so multi-byte UTF-8 is actually exercised: the
+    // merge table rebuilds whole Han/kana characters from their bytes
+    // (e6+9c, e69c+ba = U+673A) next to English merges and a rank
+    // priority inversion. The oracle replays pre-tokenization (shared
+    // pattern), the hex byte split, and the recursive-CTE rank-greedy
+    // loop (q_bpe_encode's sentinel construction — hex symbols are
+    // '|'-free by construction, so no word filter is needed: EVERY
+    // pre-token of the corpus is encoded, which is the point of
+    // byte-level). Corpus-scale shape: one scan + pre-token explode +
+    // token-keyed count shuffle; the per-distinct-token encode is
+    // vocabulary-sized.
+    QueryDef("q_bpe_bytes",
+      (s, dir) => {
+        import s.implicits._
+        val model = graft.operators.Bpe.Model(bpeByteMerges)
+        Tables.documents(s, dir)
+          .select(concat(coalesce(col("text"), lit("")),
+            lit(" " + CjkZhSentence + " " + CjkJaPhrase)).as("t"))
+          .select(explode(graft.operators.Bpe.pretokenize(col("t"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n_occ"))
+          .as[(String, Long)]
+          .mapPartitions(_.map { case (w, n) =>
+            val sub = graft.operators.Bpe.encodeBytes(w, model)
+            (w, n, sub.mkString(" "), sub.length.toLong)
+          })
+          .toDF("word", "n_occ", "subwords", "n_subwords")
+          .orderBy("word")
+      },
+      Some(bpeBytesOracleSql)),
+
     // multimodal pipeline: payload -> decode (real ImageIO pixel path,
     // header/stub geometry fallback for these non-image payloads) ->
     // aspect-preserving resize -> batched feature extraction (stub
@@ -2772,6 +2807,40 @@ object PipelineQueries {
       .map { case ((a, b), r) => s"($r, '|$a||$b|', '|$a$b|')" }
       .mkString(", ")
     raw"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES $vals), words AS (SELECT tok AS w, COUNT(*) AS n_occ FROM (SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok FROM documents) WHERE regexp_matches(tok, '^[a-z]+$$') GROUP BY tok), init AS (SELECT w, '|' || array_to_string(list_transform(range(1, length(w)+1), i -> substring(w, CAST(i AS INT), 1)), '||') || '||</w>|' AS s FROM words), enc AS (SELECT w, s FROM init UNION ALL SELECT e.w, replace(e.s, (SELECT m.pat FROM merges m WHERE contains(e.s, m.pat) ORDER BY m.rank LIMIT 1), (SELECT m.rep FROM merges m WHERE contains(e.s, m.pat) ORDER BY m.rank LIMIT 1)) FROM enc e WHERE EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat))) SELECT w AS word, n_occ, trim(replace(s, '||', ' '), '|') AS subwords, CAST(len(string_split(trim(replace(s, '||', ' '), '|'), ' ')) AS BIGINT) AS n_subwords FROM enc e JOIN words USING (w) WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat)) ORDER BY word"""
+  }
+
+  /** The fixed byte-level merge table shared by q_bpe_bytes' engine body
+    * and its oracle (ranks = list order; symbols are fixed-width
+    * lowercase hex of UTF-8 bytes). Exercises: English merges building
+    * on earlier merges (74+68 = "th", 7468+65 = "the"), the rank
+    * priority inversion q_bpe_encode pins (on " the" the lower-ranked
+    * "th" fires before the space merge 20+74, stranding the space
+    * byte), leading-space merges (20+61 — the GPT-2 space-attachment
+    * convention materialized in the vocab), digit pairs (31+32), and
+    * multi-byte UTF-8 reassembly: U+673A (e6 9c ba) and U+306E
+    * (e3 81 ae) rebuilt byte-by-byte from the CJK suffix. A def — `all`
+    * is built during object init (see topTermsK). */
+  private def bpeByteMerges: Seq[(String, String)] = Seq(
+    ("65", "72"), ("74", "68"), ("7468", "65"), ("20", "74"),
+    ("61", "6e"), ("616e", "64"), ("20", "61"), ("73", "74"),
+    ("6f", "6e"), ("69", "6e"), ("31", "32"),
+    ("e6", "9c"), ("e69c", "ba"), ("e3", "81"), ("e381", "ae"),
+    ("e5", "ad"))
+
+  /** q_bpe_bytes replay: the q_text_cjk suffix synthesis, the SHARED
+    * pre-tokenizer pattern via regexp_extract_all (group 0 — RE2 and
+    * Java read `\p{L}`/`\p{N}` identically, no lookahead anywhere), the
+    * UTF-8 hex byte split (hex(encode(w)) lowercased, 2-char chunks),
+    * and q_bpe_encode's sentinel-wrapped recursive-CTE rank-greedy merge
+    * loop over the byte-level table. Hex symbols keep the sentinel
+    * alphabet '|'-free by construction, so every pre-token — CJK,
+    * punctuation, whitespace runs — is encoded. */
+  private def bpeBytesOracleSql: String = {
+    val vals = bpeByteMerges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '|$a||$b|', '|$a$b|')" }
+      .mkString(", ")
+    val pat = graft.operators.Bpe.BytePretokenPattern
+    raw"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES $vals), words AS (SELECT w, COUNT(*) AS n_occ FROM (SELECT UNNEST(regexp_extract_all(COALESCE(text, '') || ' ${CjkZhSentence} ${CjkJaPhrase}', '$pat')) AS w FROM documents) GROUP BY w), init AS (SELECT w, '|' || array_to_string(list_transform(range(1, octet_length(encode(w)) + 1), i -> lower(substring(hex(encode(w)), CAST(2*i-1 AS INT), 2))), '||') || '|' AS s FROM words), enc AS (SELECT w, s FROM init UNION ALL SELECT e.w, replace(e.s, (SELECT m.pat FROM merges m WHERE contains(e.s, m.pat) ORDER BY m.rank LIMIT 1), (SELECT m.rep FROM merges m WHERE contains(e.s, m.pat) ORDER BY m.rank LIMIT 1)) FROM enc e WHERE EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat))) SELECT w AS word, n_occ, trim(replace(s, '||', ' '), '|') AS subwords, CAST(len(string_split(trim(replace(s, '||', ' '), '|'), ' ')) AS BIGINT) AS n_subwords FROM enc e JOIN words USING (w) WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat)) ORDER BY word"""
   }
 
   /** DuckDB replay of q_multimodal_geom: Multimodal.decodeImageStub's

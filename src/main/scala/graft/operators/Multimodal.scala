@@ -1068,6 +1068,75 @@ object Multimodal {
     * >= 30 levels, and quality-1.0 JPEG error is a few counts — the
     * decoded ordering equals the analytic ordering (pinned in AviSpec).
     */
+  /** Per-partition MJPEG family-frame encoder shared by
+    * [[syntheticMjpegAvis]] and [[syntheticMjpegMp4s]]: the SAME frame
+    * JPEG bytes land in both containers (one instance per partition —
+    * codec objects are hoisted because a per-frame
+    * getImageWritersByFormatName registry scan dominated the encode;
+    * frame bytes depend on (family, f) ONLY, so same-family rows share
+    * payload content via a bounded per-family cache). */
+  private final class MjpegFamilyFrames(nFrames: Int) {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    javax.imageio.ImageIO.setUseCache(false)
+    private val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    private val wparam = writer.getDefaultWriteParam
+    wparam.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    wparam.setCompressionQuality(1.0f)
+    private val hexChars = "0123456789abcdef".toCharArray
+    private def md5Hex(s: String): String = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      val c = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        c(2 * i) = hexChars((d(i) >> 4) & 0xf)
+        c(2 * i + 1) = hexChars(d(i) & 0xf)
+        i += 1
+      }
+      new String(c)
+    }
+    private def jpegBytes(family: String, f: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(DHashW, DHashH,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < DHashH) {
+        // rank permutation: position x gets MjpegLevels(rank of
+        // (md5 key, x) among the row's 9 keys)
+        val keys = (0 until DHashW).map(x =>
+          (md5Hex(family + ":" + f + ":" + y + ":" + x), x))
+        val rank = keys.sorted.zipWithIndex
+          .map { case ((_, x), r) => x -> r }.toMap
+        var x = 0
+        while (x < DHashW) {
+          raster.setSample(x, y, 0, MjpegLevels(rank(x)))
+          x += 1
+        }
+        y += 1
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+      try {
+        writer.setOutput(ios)
+        writer.write(null,
+          new javax.imageio.IIOImage(img, null, null), wparam)
+      } finally ios.close()
+      buf.toByteArray
+    }
+    private val famCache = new java.util.HashMap[String, Array[Array[Byte]]]()
+    def framesOf(family0: String): Array[Array[Byte]] = {
+      val family = if (family0 == null) "" else family0
+      val hit = famCache.get(family)
+      if (hit != null) hit
+      else {
+        if (famCache.size > 4096) famCache.clear()
+        val fs = Array.tabulate(nFrames)(f => jpegBytes(family, f))
+        famCache.put(family, fs)
+        fs
+      }
+    }
+  }
+
   def syntheticMjpegAvis(df: DataFrame, idCol: String,
       familyCol: String, nFrames: Int): DataFrame = {
     require(nFrames > 0 && nFrames <= FrameKeyMult,
@@ -1083,69 +1152,9 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { rows =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        javax.imageio.ImageIO.setUseCache(false)
-        // codec objects hoisted once per partition: a per-frame
-        // getImageWritersByFormatName registry scan dominated the encode
-        val writer = javax.imageio.ImageIO
-          .getImageWritersByFormatName("jpg").next()
-        val wparam = writer.getDefaultWriteParam
-        wparam.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-        wparam.setCompressionQuality(1.0f)
-        val hexChars = "0123456789abcdef".toCharArray
-        def md5Hex(s: String): String = {
-          val d = md.digest(s.getBytes("UTF-8"))
-          val c = new Array[Char](32)
-          var i = 0
-          while (i < 16) {
-            c(2 * i) = hexChars((d(i) >> 4) & 0xf)
-            c(2 * i + 1) = hexChars(d(i) & 0xf)
-            i += 1
-          }
-          new String(c)
-        }
-        def jpegBytes(family: String, f: Int): Array[Byte] = {
-          val img = new java.awt.image.BufferedImage(DHashW, DHashH,
-            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var y = 0
-          while (y < DHashH) {
-            // rank permutation: position x gets MjpegLevels(rank of
-            // (md5 key, x) among the row's 9 keys)
-            val keys = (0 until DHashW).map(x =>
-              (md5Hex(family + ":" + f + ":" + y + ":" + x), x))
-            val rank = keys.sorted.zipWithIndex
-              .map { case ((_, x), r) => x -> r }.toMap
-            var x = 0
-            while (x < DHashW) {
-              raster.setSample(x, y, 0, MjpegLevels(rank(x)))
-              x += 1
-            }
-            y += 1
-          }
-          val buf = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
-          try {
-            writer.setOutput(ios)
-            writer.write(null,
-              new javax.imageio.IIOImage(img, null, null), wparam)
-          } finally ios.close()
-          buf.toByteArray
-        }
-        // frame bytes depend on (family, f) ONLY — same-family rows
-        // share payload content, so cache per family (bounded: cleared
-        // if a pathological corpus floods it)
-        val famCache = new java.util.HashMap[String, Array[Array[Byte]]]()
-        def framesOf(family: String): Array[Array[Byte]] = {
-          val hit = famCache.get(family)
-          if (hit != null) hit
-          else {
-            if (famCache.size > 4096) famCache.clear()
-            val fs = Array.tabulate(nFrames)(f => jpegBytes(family, f))
-            famCache.put(family, fs)
-            fs
-          }
-        }
+        val enc = new MjpegFamilyFrames(nFrames)
+        def framesOf(family: String): Array[Array[Byte]] =
+          enc.framesOf(family)
         def le32(v: Int): Array[Byte] = Array(
           (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
           ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
@@ -1310,6 +1319,305 @@ object Multimodal {
         rows.flatMap { case (id, payload) =>
           if (payload == null) stubRow(id, payload)
           else frameChunks(payload) match {
+            case None => stubRow(id, payload)
+            case Some(chunks) if chunks.isEmpty => stubRow(id, payload)
+            case Some(chunks) =>
+              try {
+                val hashes = chunks.map { case (o, l) =>
+                  val fb = java.util.Arrays.copyOfRange(payload, o, o + l)
+                  // per-frame bomb screen BEFORE the pixel decode
+                  val px = decodeJpeg(fb).orElse(decodeBmp(fb))
+                    .map(r => r.getInt(0).toLong * r.getInt(1))
+                    .getOrElse(imageIoHeaderPixels(fb))
+                  if (px <= 0 || px > MaxDecodePixels)
+                    throw new IllegalArgumentException("frame bomb/undecodable")
+                  val img = decodeFrame(fb)
+                  if (img == null)
+                    throw new IllegalArgumentException("frame undecodable")
+                  frameDHash(img)
+                }
+                hashes.iterator.zipWithIndex
+                  .map { case (h, f) => (id, f, h, true) }
+              } catch {
+                case scala.util.control.NonFatal(_) => stubRow(id, payload)
+              }
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "phash", "decoded")
+  }
+
+  /** Deterministic MJPEG-in-MP4 payloads from an (id, family) frame —
+    * REAL ISO-BMFF (MP4) containers whose samples are the SAME frame
+    * JPEGs as [[syntheticMjpegAvis]] (one [[MjpegFamilyFrames]] encoder,
+    * so the q_video_avi rank-permutation oracle contract carries over
+    * byte-for-byte). Classic moov-last layout: `ftyp` + one `mdat`
+    * holding the sample bytes + a full `moov` with mvhd and one video
+    * trak (tkhd / mdhd / hdlr 'vide' / vmhd / dinf(dref 'url ') / stbl).
+    * The sample tables are the real thing a reader must consult — and
+    * deliberately NON-TRIVIAL: samples are split into TWO chunks (3 in
+    * the first, the rest in the second) so `stsc` has two entries and a
+    * walk that ignores the sample-to-chunk map or assumes one chunk
+    * reads garbage; `stsz` carries per-sample sizes (sample_size = 0
+    * path), `stco` absolute file offsets, `stts` one run at 10 fps, and
+    * the `jpeg` VisualSampleEntry in `stsd` declares the codec. */
+  def syntheticMjpegMp4s(df: DataFrame, idCol: String,
+      familyCol: String, nFrames: Int): DataFrame = {
+    require(nFrames > 0 && nFrames <= FrameKeyMult,
+      s"nFrames must be in [1, $FrameKeyMult], got $nFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
+      .filter(col("__id").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val enc = new MjpegFamilyFrames(nFrames)
+        def be32(v: Int): Array[Byte] = Array(
+          ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        def be16(v: Int): Array[Byte] =
+          Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        def cc4(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+        def box(tpe: String, body: Array[Byte]*): Array[Byte] = {
+          val len = 8 + body.map(_.length).sum
+          val out = new java.io.ByteArrayOutputStream(len)
+          out.write(be32(len)); out.write(cc4(tpe))
+          body.foreach(out.write)
+          out.toByteArray
+        }
+        def full(tpe: String, version: Int, flags: Int,
+            body: Array[Byte]*): Array[Byte] =
+          box(tpe, (Array((version & 0xff).toByte) ++
+            Array(((flags >> 16) & 0xff).toByte, ((flags >> 8) & 0xff).toByte,
+              (flags & 0xff).toByte)) +: body: _*)
+        val identityMatrix = Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+          0x40000000).flatMap(be32)
+        rows.map { case (id, family) =>
+          val frames = enc.framesOf(family)
+          val ftyp = box("ftyp", cc4("isom"), be32(0x200), cc4("isom"),
+            cc4("iso2"))
+          // two chunks: first 3 samples, then the rest (one chunk when
+          // nFrames <= 3) — the split that makes stsc non-degenerate
+          val split = math.min(3, nFrames)
+          val mdatBody = frames.foldLeft(Array.emptyByteArray)(_ ++ _)
+          val mdatOff = ftyp.length.toLong
+          val chunk1Off = (mdatOff + 8).toInt
+          val chunk2Off = chunk1Off + frames.take(split).map(_.length).sum
+          val mdat = box("mdat", mdatBody)
+          val dur = nFrames * 100
+          val mvhd = full("mvhd", 0, 0, be32(0), be32(0), be32(1000),
+            be32(dur), be32(0x10000), be16(0x0100), be16(0),
+            be32(0), be32(0), identityMatrix,
+            Array.fill(6 * 4)(0.toByte), be32(2))
+          val tkhd = full("tkhd", 0, 7, be32(0), be32(0), be32(1),
+            be32(0), be32(dur), be32(0), be32(0), be16(0), be16(0),
+            be16(0), be16(0), identityMatrix,
+            be32(DHashW << 16), be32(DHashH << 16))
+          val mdhd = full("mdhd", 0, 0, be32(0), be32(0), be32(1000),
+            be32(dur), be16(0x55c4), be16(0))
+          val hdlr = full("hdlr", 0, 0, be32(0), cc4("vide"),
+            be32(0), be32(0), be32(0), "graft video ".getBytes("US-ASCII"))
+          val vmhd = full("vmhd", 0, 1, be16(0), be16(0), be16(0), be16(0))
+          val dref = full("dref", 0, 0, be32(1), full("url ", 0, 1))
+          val dinf = box("dinf", dref)
+          // VisualSampleEntry 'jpeg': 6 reserved + data_ref_index, then
+          // the 70-byte visual fields (the sample bytes stay
+          // self-describing JPEG — the AVI posture)
+          val sampleEntry = box("jpeg",
+            Array.fill(6)(0.toByte), be16(1),
+            be16(0), be16(0), be32(0), be32(0), be32(0),
+            be16(DHashW), be16(DHashH), be32(0x480000), be32(0x480000),
+            be32(0), be16(1), Array.fill(32)(0.toByte),
+            be16(24), be16(0xffff))
+          val stsd = full("stsd", 0, 0, be32(1), sampleEntry)
+          val stts = full("stts", 0, 0, be32(1), be32(nFrames), be32(100))
+          val stscEntries =
+            if (nFrames > split)
+              be32(2) ++ be32(1) ++ be32(split) ++ be32(1) ++
+                be32(2) ++ be32(nFrames - split) ++ be32(1)
+            else be32(1) ++ be32(1) ++ be32(nFrames) ++ be32(1)
+          val stsc = full("stsc", 0, 0, stscEntries)
+          val stsz = full("stsz", 0, 0, be32(0), be32(nFrames),
+            frames.flatMap(f => be32(f.length)))
+          val stcoEntries =
+            if (nFrames > split) be32(2) ++ be32(chunk1Off) ++ be32(chunk2Off)
+            else be32(1) ++ be32(chunk1Off)
+          val stco = full("stco", 0, 0, stcoEntries)
+          val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+          val minf = box("minf", vmhd, dinf, stbl)
+          val mdia = box("mdia", mdhd, hdlr, minf)
+          val trak = box("trak", tkhd, mdia)
+          val moov = box("moov", mvhd, trak)
+          (id, ftyp ++ mdat ++ moov)
+        }
+      }
+      .toDF("id", "payload")
+  }
+
+  private def be32At(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** MP4/ISO-BMFF frame walk + per-frame perceptual hash — the
+    * [[aviFrameDHash]] contract over the container users actually have.
+    * The walk is the REAL sample-table algorithm, not a JPEG-magic scan:
+    * box-walk to `moov` > first VIDEO `trak` (mdia/hdlr handler `vide`)
+    * > `mdia/minf/stbl`, parse `stsz` (per-sample sizes), `stco` (chunk
+    * offsets) and `stsc` (sample-to-chunk runs), then enumerate sample
+    * byte ranges chunk by chunk — consecutive samples of a chunk are
+    * contiguous from its `stco` offset, and the applicable `stsc` run
+    * gives each chunk's sample count. Every size/offset is bounds-
+    * checked against the payload; 64-bit `size == 1` largesize boxes are
+    * followed, `size == 0` (to end of file) accepted at top level.
+    *
+    * Quarantine parity with [[aviFrameDHash]]: null / non-BMFF /
+    * structurally malformed / missing-or-inconsistent sample tables /
+    * frameless / bomb-screened / undecodable payloads emit ONE stub row
+    * `(id, -1, stub, decoded = false)`, never a task failure. The walk
+    * STOPS at `maxFrames` samples. Output `(id, frame_idx, phash,
+    * decoded)` — schema-identical to [[aviFrameDHash]], so
+    * [[videoNearDups]] consumes either. */
+  def mp4FrameDHash(df: DataFrame, idCol: String, payloadCol: String,
+      maxFrames: Int): DataFrame = {
+    require(maxFrames > 0 && maxFrames <= FrameKeyMult,
+      s"maxFrames must be in [1, $FrameKeyMult], got $maxFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      .filter(col("__id").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val jpegReader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("jpeg").next()
+        def decodeFrame(fb: Array[Byte]): java.awt.image.BufferedImage =
+          if (fb.length >= 2 && (fb(0) & 0xff) == 0xff &&
+              (fb(1) & 0xff) == 0xd8) {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(fb))
+            try {
+              jpegReader.setInput(iis, true, true)
+              jpegReader.read(0)
+            } finally iis.close()
+          } else javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(fb))
+        def stub(payload: Array[Byte]): Long = {
+          val h = if (payload == null) byteFold(Array.emptyByteArray)
+            else byteFold(payload)
+          h * 2862933555777941757L + 3037000493L
+        }
+        def stubRow(id: Long, payload: Array[Byte]) =
+          Iterator.single((id, -1, stub(payload), false))
+        def cc(b: Array[Byte], i: Int): String =
+          new String(b, i, 4, "ISO-8859-1")
+        // (bodyOff, bodyEnd) of each child box of [from, until); None on
+        // structural damage. size==1 reads the 64-bit largesize,
+        // size==0 extends to `until`.
+        def children(b: Array[Byte], from: Int,
+            until: Int): Option[Vector[(String, Int, Int)]] = {
+          val out = Vector.newBuilder[(String, Int, Int)]
+          var off = from
+          while (off < until) {
+            if (off + 8 > until) return None
+            val size32 = be32At(b, off)
+            val tpe = cc(b, off + 4)
+            var bodyOff = off + 8
+            var boxEnd = 0L
+            if (size32 == 1L) {
+              if (off + 16 > until) return None
+              val large = (be32At(b, off + 8) << 32) | be32At(b, off + 12)
+              bodyOff = off + 16
+              boxEnd = off + large
+            } else if (size32 == 0L) boxEnd = until.toLong
+            else boxEnd = off + size32
+            if (boxEnd < bodyOff || boxEnd > until) return None
+            out += ((tpe, bodyOff, boxEnd.toInt))
+            off = boxEnd.toInt
+          }
+          Some(out.result())
+        }
+        def child(kids: Vector[(String, Int, Int)],
+            tpe: String): Option[(Int, Int)] =
+          kids.find(_._1 == tpe).map(k => (k._2, k._3))
+        // sample (offset, size) list from one video trak's stbl
+        def samplesOf(b: Array[Byte],
+            stbl: (Int, Int)): Option[Vector[(Int, Int)]] = {
+          val kids = children(b, stbl._1, stbl._2).getOrElse(return None)
+          val (szOff, szEnd) = child(kids, "stsz").getOrElse(return None)
+          val (scOff, scEnd) = child(kids, "stsc").getOrElse(return None)
+          val (coOff, coEnd) = child(kids, "stco").getOrElse(return None)
+          if (szEnd - szOff < 12 || scEnd - scOff < 8 || coEnd - coOff < 8)
+            return None
+          val fixedSize = be32At(b, szOff + 4)
+          val nSamples = be32At(b, szOff + 8).toInt
+          if (nSamples < 0) return None
+          def sizeOf(s: Int): Long =
+            if (fixedSize != 0L) fixedSize
+            else if (szOff + 12 + 4 * s + 4 <= szEnd)
+              be32At(b, szOff + 12 + 4 * s)
+            else -1L
+          val nChunks = be32At(b, coOff + 4).toInt
+          if (nChunks < 0 || coOff + 8 + 4L * nChunks > coEnd) return None
+          val nRuns = be32At(b, scOff + 4).toInt
+          if (nRuns < 0 || scOff + 8 + 12L * nRuns > scEnd) return None
+          val runs = (0 until nRuns).map { r =>
+            (be32At(b, scOff + 8 + 12 * r).toInt, // first_chunk (1-based)
+              be32At(b, scOff + 8 + 12 * r + 4).toInt) // samples_per_chunk
+          }
+          if (runs.isEmpty || runs.head._1 != 1) return None
+          val frames = Vector.newBuilder[(Int, Int)]
+          var s = 0
+          var run = 0
+          var c = 1
+          while (c <= nChunks && s < nSamples && s < maxFrames) {
+            while (run + 1 < runs.length && runs(run + 1)._1 <= c) run += 1
+            val spc = runs(run)._2
+            if (spc <= 0) return None
+            var off = be32At(b, coOff + 8 + 4 * (c - 1))
+            var k = 0
+            while (k < spc && s < nSamples && s < maxFrames) {
+              val len = sizeOf(s)
+              if (len < 0 || off < 0 || off + len > b.length) return None
+              frames += ((off.toInt, len.toInt))
+              off += len
+              s += 1
+              k += 1
+            }
+            c += 1
+          }
+          Some(frames.result())
+        }
+        // the first trak whose mdia/hdlr declares a 'vide' handler
+        def videoSamples(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
+          if (b.length < 8) return None
+          val top = children(b, 0, b.length).getOrElse(return None)
+          if (!top.headOption.exists(_._1 == "ftyp")) return None
+          val moov = child(top, "moov").getOrElse(return None)
+          val moovKids = children(b, moov._1, moov._2).getOrElse(return None)
+          moovKids.filter(_._1 == "trak").foreach { trak =>
+            val r = for {
+              tk <- children(b, trak._2, trak._3)
+              mdia <- child(tk, "mdia")
+              mk <- children(b, mdia._1, mdia._2)
+              hdlr <- child(mk, "hdlr")
+              // body: version/flags + pre_defined + handler_type — the
+              // handler fourcc sits at bodyOff + 8
+              if hdlr._1 + 12 <= hdlr._2 && cc(b, hdlr._1 + 8) == "vide"
+              minf <- child(mk, "minf")
+              ik <- children(b, minf._1, minf._2)
+              stbl <- child(ik, "stbl")
+            } yield stbl
+            r match {
+              case Some(stbl) => return samplesOf(b, stbl)
+              case None => // not a video trak / damaged — try the next
+            }
+          }
+          None
+        }
+        rows.flatMap { case (id, payload) =>
+          if (payload == null) stubRow(id, payload)
+          else videoSamples(payload) match {
             case None => stubRow(id, payload)
             case Some(chunks) if chunks.isEmpty => stubRow(id, payload)
             case Some(chunks) =>

@@ -2637,6 +2637,31 @@ object PipelineQueries {
       },
       Some(videoAviOracleSql())),
 
+    // MJPEG-in-MP4 temporal near-dup — the ISO-BMFF container users
+    // actually have, walked the real way: moov > video trak > stbl, with
+    // the stsc/stsz/stco sample tables consulted to enumerate sample
+    // byte ranges in mdat (the synthetic containers deliberately split
+    // samples across TWO chunks so a walk that ignores stsc reads
+    // garbage). Samples are byte-identical to q_video_avi's frame JPEGs
+    // (one shared encoder), so the SAME rank-permutation oracle replays
+    // this pipeline verbatim — same families, same dHash bits, same
+    // temporal rollup; only the container walk differs, and any walk
+    // defect desyncs the Spark bits from the replay.
+    QueryDef("q_video_mp4",
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val mp4s = Multimodal.syntheticMjpegMp4s(fam, "doc_id", "family",
+          nFrames = 4)
+        val frames = Multimodal.mp4FrameDHash(mp4s, "id", "payload",
+          maxFrames = 8)
+        Multimodal.videoNearDups(frames.filter(col("decoded")),
+            "id", "frame_idx", "phash", minFrames = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(videoAviOracleSql())),
+
     // audio near-dup (the perceptual image path's audio twin): REAL
     // 8-bit PCM WAV payloads (RIFF encode, near-duplicate within a
     // content family) -> the real chunk-walk decode -> 64-bit

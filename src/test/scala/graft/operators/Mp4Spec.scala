@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SparkTestSession
+
+/** MJPEG-in-MP4 (ISO-BMFF): the hand-built box writer + the real
+  * stsc/stsz/stco sample-table walk. The load-bearing facts: (1) the MP4
+  * and AVI pipelines hash IDENTICALLY (one shared frame encoder — which
+  * is what lets q_video_mp4 reuse the AVI rank-permutation oracle
+  * verbatim), and (2) the walk actually CONSULTS the sample tables (the
+  * two-chunk stsc split is load-bearing: corrupting one stco offset
+  * must desync the affected chunk's frames, and moving an stsc run
+  * boundary must change what gets hashed).
+  */
+class Mp4Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private val families =
+    (0 until 12).map(i => s"family content number $i with words")
+  private def corpus = families.zipWithIndex.flatMap { case (fam, i) =>
+    Seq((i.toLong * 2, fam), (i.toLong * 2 + 1, fam))
+  }.toDF("vid", "family")
+
+  private def mp4s = Multimodal.syntheticMjpegMp4s(
+    corpus, "vid", "family", nFrames = 4)
+
+  test("MP4 walk == AVI walk: identical per-frame hashes from the shared encoder") {
+    val mp4Hashes = Multimodal.mp4FrameDHash(mp4s, "id", "payload",
+        maxFrames = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    val aviHashes = Multimodal.aviFrameDHash(
+        Multimodal.syntheticMjpegAvis(corpus, "vid", "family", nFrames = 4),
+        "id", "payload", maxFrames = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(mp4Hashes.size === 24 * 4)
+    assert(mp4Hashes === aviHashes)
+    assert(mp4Hashes.values.forall(_._2), "every frame decoded")
+  }
+
+  test("the walk consults the sample tables: stco corruption desyncs, stsc boundary moves desync") {
+    val one = Seq((1L, "family content number 0 with words"))
+      .toDF("vid", "family")
+    val payload = Multimodal.syntheticMjpegMp4s(one, "vid", "family",
+      nFrames = 4).select("payload").as[Array[Byte]].head()
+    def hashesOf(b: Array[Byte]): Seq[(Int, Long, Boolean)] =
+      Multimodal.mp4FrameDHash(Seq((1L, b)).toDF("id", "payload"),
+          "id", "payload", maxFrames = 8)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getBoolean(3)))
+        .toSeq.sortBy(_._1)
+    val clean = hashesOf(payload)
+    assert(clean.length === 4 && clean.forall(_._3))
+
+    // find stco inside the payload and shift the SECOND chunk's offset
+    // by one byte: frames 0-2 (chunk 1) must stay intact, frame 3
+    // (chunk 2) must change or quarantine — a walk that ignores
+    // stsc/stco and just scans for JPEG magics would be immune
+    def findBox(tag: String): Int = {
+      val t = tag.getBytes("ISO-8859-1")
+      (0 until payload.length - 4).find(i =>
+        payload(i) == t(0) && payload(i + 1) == t(1) &&
+          payload(i + 2) == t(2) && payload(i + 3) == t(3)).get
+    }
+    val stcoTag = findBox("stco")
+    val corrupted = payload.clone()
+    // body: version/flags(4) + entry_count(4) + off1(4) + off2(4);
+    // bump off2's low byte
+    val off2Pos = stcoTag + 4 + 4 + 4 + 4 + 3
+    corrupted(off2Pos) = (corrupted(off2Pos) + 1).toByte
+    val got = hashesOf(corrupted)
+    if (got.length == 1) assert(!got.head._3) // whole payload quarantined
+    else {
+      assert(got.take(3) === clean.take(3), "chunk-1 frames must be intact")
+      assert(got(3) !== clean(3), "the shifted chunk-2 frame must desync")
+    }
+
+    // shrink the first stsc run's samples_per_chunk 3 -> 2: sample 2's
+    // enumerated range moves from chunk 1 into chunk 2, so the walk must
+    // now hash different bytes (or quarantine on the resulting truncated
+    // JPEG) — a walk that ignores stsc would return the clean result
+    val stscTag = findBox("stsc")
+    val shrunk = payload.clone()
+    // body: version/flags(4) + entry_count(4) + run1(first_chunk 4,
+    // samples_per_chunk 4, sdi 4) — spc low byte sits at +4+4+4+4+3
+    val spcPos = stscTag + 4 + 4 + 4 + 4 + 3
+    assert(shrunk(spcPos) === 3.toByte)
+    shrunk(spcPos) = 2
+    val got2 = hashesOf(shrunk)
+    assert(got2 !== clean, "moving an stsc boundary must not go unnoticed")
+  }
+
+  test("quarantine posture: junk, truncation, frameless moov — one stub row, no failure") {
+    val payload = mp4s.select("payload").as[Array[Byte]].head()
+    val junk = Seq(
+      10L -> Array[Byte](1, 2, 3),
+      11L -> null,
+      12L -> payload.take(40), // truncated mid-box
+      13L -> "ftypnonsense".getBytes("ISO-8859-1"),
+      14L -> payload.dropRight(5) // mdat/moov boundary damage
+    ).toDF("id", "payload")
+    val rows = Multimodal.mp4FrameDHash(junk, "id", "payload", maxFrames = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(3)))
+    assert(rows.length === 5)
+    assert(rows.forall { case (_, (f, dec)) => f == -1 && !dec })
+  }
+
+  test("maxFrames bounds the walk") {
+    val got = Multimodal.mp4FrameDHash(mp4s, "id", "payload", maxFrames = 2)
+      .groupBy("id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
+      .collect()
+    assert(got.forall(r => r.getLong(1) == 2L && r.getInt(2) == 1))
+  }
+}

@@ -230,12 +230,16 @@ object Bpe {
     * are Unicode categories in both; NO lookahead — GPT-2's trailing-
     * space special case `\s+(?!\S)` is dropped because RE2 has no
     * lookahead, costing only a cosmetic difference on runs of trailing
-    * whitespace). The four branches cover every character class, so the
-    * matches TILE the text: concatenating all pre-tokens reproduces the
-    * input byte-for-byte (BpeBytesSpec pins this on the CJK corpus),
-    * which is what makes byte-level detokenization a pure concat. */
+    * whitespace; and NO `\s`, whose classes DIVERGE — Java includes
+    * U+000B vertical tab, RE2 does not — so the whitespace class is
+    * spelled out explicitly, putting U+000B in the other-run branch in
+    * BOTH engines). The four branches cover every character class, so
+    * the matches TILE the text: concatenating all pre-tokens reproduces
+    * the input byte-for-byte (BpeBytesSpec pins this on the CJK corpus,
+    * vertical tab included), which is what makes byte-level
+    * detokenization a pure concat. */
   val BytePretokenPattern: String =
-    """ ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+    """ ?\p{L}+| ?\p{N}+| ?[^\t\n\f\r \p{L}\p{N}]+|[\t\n\f\r ]+"""
 
   /** the pre-token array of a text column (one codegen'd
     * regexp_extract_all, no shuffle) */

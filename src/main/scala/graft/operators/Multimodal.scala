@@ -40,6 +40,43 @@ object Multimodal {
     h
   }
 
+  /** Per-partition JPEG-first frame decoder shared by the AVI and MP4
+    * walks (one instance per partition: ImageIO.read's registry scan per
+    * 9x8 frame dominated the walk; MJPEG frames all hit the hoisted
+    * reader, anything else falls back to the generic ImageIO path).
+    * Extracted with [[stubHash]] in r17's review — the AVI/MP4
+    * bit-identity Mp4Spec pins rides on the decode paths staying ONE
+    * implementation. */
+  private final class FrameJpegDecoder {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val jpegReader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("jpeg").next()
+    def decode(fb: Array[Byte]): java.awt.image.BufferedImage =
+      if (fb.length >= 2 && (fb(0) & 0xff) == 0xff &&
+          (fb(1) & 0xff) == 0xd8) {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(fb))
+        try {
+          jpegReader.setInput(iis, true, true)
+          jpegReader.read(0)
+        } finally iis.close()
+      } else javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fb))
+  }
+
+  /** The ONE quarantine stub hash every perceptual pipeline emits for an
+    * undecodable payload (`byteFold` remixed by one LCG step) — it
+    * existed as six identical closure-local copies before r17's review;
+    * the constants are oracle-adjacent (stub rows are filtered on
+    * `decoded` before banding, but the specs pin stub determinism), so
+    * one definition keeps the AVI/MP4/GIF/audio paths from silently
+    * drifting apart. */
+  private[operators] def stubHash(payload: Array[Byte]): Long = {
+    val h = if (payload == null) byteFold(Array.emptyByteArray)
+      else byteFold(payload)
+    h * 2862933555777941757L + 3037000493L
+  }
+
   /** STUB image decode: deterministic fake metadata from payload bytes.
     * A real implementation would parse the image header / decode frames
     * here; the signature, batching, and schema are what production uses.
@@ -611,11 +648,6 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
-        def stub(payload: Array[Byte]): Long = {
-          val h = if (payload == null) byteFold(Array.emptyByteArray)
-            else byteFold(payload)
-          h * 2862933555777941757L + 3037000493L
-        }
         rows.map { case (id, payload) =>
           // same two-tier bomb pre-screen as resampleImages: hand parsers
           // first, ImageIO header read for every other decodable format
@@ -625,12 +657,12 @@ object Multimodal {
               .map(r => r.getInt(0).toLong * r.getInt(1))
               .getOrElse(imageIoHeaderPixels(payload))
           if (payload == null || headerPixels > MaxDecodePixels)
-            (id, stub(payload), false)
+            (id, stubHash(payload), false)
           else {
             try {
               val img = javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(payload))
-              if (img == null) (id, stub(payload), false)
+              if (img == null) (id, stubHash(payload), false)
               else if (img.getWidth == DHashW && img.getHeight == DHashH &&
                   img.getRaster.getNumBands == 1) {
                 val r = img.getRaster
@@ -648,7 +680,7 @@ object Multimodal {
                 (id, dhashBitsOf((x, y) => r.getSample(x, y, 0)), true)
               }
             } catch {
-              case scala.util.control.NonFatal(_) => (id, stub(payload), false)
+              case scala.util.control.NonFatal(_) => (id, stubHash(payload), false)
             }
           }
         }
@@ -773,11 +805,6 @@ object Multimodal {
       .filter(col("__id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        def stub(payload: Array[Byte]): Long = {
-          val h = if (payload == null) byteFold(Array.emptyByteArray)
-            else byteFold(payload)
-          h * 2862933555777941757L + 3037000493L
-        }
         rows.map { case (id, payload) =>
           val d = if (payload == null) None else wavData8Mono(payload)
           d match {
@@ -801,7 +828,7 @@ object Multimodal {
                 i += 1
               }
               (id, sig, true)
-            case _ => (id, stub(payload), false)
+            case _ => (id, stubHash(payload), false)
           }
         }
       }
@@ -879,11 +906,6 @@ object Multimodal {
       .filter(col("__id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        def stub(payload: Array[Byte]): Long = {
-          val h = if (payload == null) byteFold(Array.emptyByteArray)
-            else byteFold(payload)
-          h * 2862933555777941757L + 3037000493L
-        }
         rows.map { case (id, payload) =>
           val d = if (payload == null) None else wavData8Mono(payload)
           d match {
@@ -925,7 +947,7 @@ object Multimodal {
                 n += 1
               }
               (id, sig, true)
-            case _ => (id, stub(payload), false)
+            case _ => (id, stubHash(payload), false)
           }
         }
       }
@@ -1249,30 +1271,11 @@ object Multimodal {
       .filter(col("__id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
-        // hoisted once per partition: ImageIO.read's registry scan per
-        // 9x8 frame dominated the walk; MJPEG frames all hit this
-        // reader, anything else falls back to the generic path
-        val jpegReader = javax.imageio.ImageIO
-          .getImageReadersByFormatName("jpeg").next()
+        val frameDecoder = new FrameJpegDecoder
         def decodeFrame(fb: Array[Byte]): java.awt.image.BufferedImage =
-          if (fb.length >= 2 && (fb(0) & 0xff) == 0xff &&
-              (fb(1) & 0xff) == 0xd8) {
-            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(fb))
-            try {
-              jpegReader.setInput(iis, true, true)
-              jpegReader.read(0)
-            } finally iis.close()
-          } else javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(fb))
-        def stub(payload: Array[Byte]): Long = {
-          val h = if (payload == null) byteFold(Array.emptyByteArray)
-            else byteFold(payload)
-          h * 2862933555777941757L + 3037000493L
-        }
+          frameDecoder.decode(fb)
         def stubRow(id: Long, payload: Array[Byte]) =
-          Iterator.single((id, -1, stub(payload), false))
+          Iterator.single((id, -1, stubHash(payload), false))
         def cc(b: Array[Byte], i: Int): String =
           new String(b, i, 4, "ISO-8859-1")
         // collect up to maxFrames video-frame chunk (offset, len) pairs,
@@ -1417,7 +1420,7 @@ object Multimodal {
           val mdhd = full("mdhd", 0, 0, be32(0), be32(0), be32(1000),
             be32(dur), be16(0x55c4), be16(0))
           val hdlr = full("hdlr", 0, 0, be32(0), cc4("vide"),
-            be32(0), be32(0), be32(0), "graft video ".getBytes("US-ASCII"))
+            be32(0), be32(0), be32(0), "graft video\u0000".getBytes("US-ASCII"))
           val vmhd = full("vmhd", 0, 1, be16(0), be16(0), be16(0), be16(0))
           val dref = full("dref", 0, 0, be32(1), full("url ", 0, 1))
           val dinf = box("dinf", dref)
@@ -1488,27 +1491,11 @@ object Multimodal {
       .filter(col("__id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
-        val jpegReader = javax.imageio.ImageIO
-          .getImageReadersByFormatName("jpeg").next()
+        val frameDecoder = new FrameJpegDecoder
         def decodeFrame(fb: Array[Byte]): java.awt.image.BufferedImage =
-          if (fb.length >= 2 && (fb(0) & 0xff) == 0xff &&
-              (fb(1) & 0xff) == 0xd8) {
-            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(fb))
-            try {
-              jpegReader.setInput(iis, true, true)
-              jpegReader.read(0)
-            } finally iis.close()
-          } else javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(fb))
-        def stub(payload: Array[Byte]): Long = {
-          val h = if (payload == null) byteFold(Array.emptyByteArray)
-            else byteFold(payload)
-          h * 2862933555777941757L + 3037000493L
-        }
+          frameDecoder.decode(fb)
         def stubRow(id: Long, payload: Array[Byte]) =
-          Iterator.single((id, -1, stub(payload), false))
+          Iterator.single((id, -1, stubHash(payload), false))
         def cc(b: Array[Byte], i: Int): String =
           new String(b, i, 4, "ISO-8859-1")
         // (bodyOff, bodyEnd) of each child box of [from, until); None on
@@ -1677,13 +1664,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
-        def stub(payload: Array[Byte]): Long = {
-          val h = if (payload == null) byteFold(Array.emptyByteArray)
-            else byteFold(payload)
-          h * 2862933555777941757L + 3037000493L
-        }
         def stubRow(id: Long, payload: Array[Byte]) =
-          Iterator.single((id, -1, stub(payload), false))
+          Iterator.single((id, -1, stubHash(payload), false))
         def hashFrame(img: java.awt.image.BufferedImage): Long =
           frameDHash(img) // shared kernel (also the AVI walk's)
         rows.flatMap { case (id, payload) =>

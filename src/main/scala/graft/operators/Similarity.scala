@@ -47,11 +47,25 @@ object Similarity {
   def topK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int): DataFrame = {
     require(query.exists(_ != 0.0), "query vector must be non-zero")
-    df.select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))
-      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+    rankByCosine(
+      df.select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine")),
+      idCol, k)
+  }
+
+  /** THE top-k ranking — one shared helper so every retrieval variant
+    * (brute force, IVF, LSH, PQ re-rank, partitioned IVF, quantized)
+    * carries the SAME degenerate-vector guard: NULL/NaN cosine rows are
+    * FILTERED, not sorted — NULL sorts last in Spark but the equivalent
+    * 0/0 is NaN in DuckDB and sorts FIRST on DESC, so an unguarded rank
+    * is engine-dependent the moment the corpus gains a zero/NaN vector
+    * (r17 review: the r16 advisor fix had landed in topK only, leaving
+    * the four sibling rank sites divergent). Every consuming oracle
+    * replays the identical `c IS NOT NULL AND NOT isnan(c)` guard. */
+  private def rankByCosine(scored: DataFrame, idCol: String,
+      k: Int): DataFrame =
+    scored.filter(col("cosine").isNotNull && !isnan(col("cosine")))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
-  }
 
   /** IVF cell assignment: nearest centroid by cosine. `centroids` is a
     * small in-memory list (id -> vector) — broadcast implicitly as
@@ -101,11 +115,10 @@ object Similarity {
           "precomputedCells = true but no `cell` column present")
         df
       } else assignCells(df.drop("cell"), vecCol, centroids)
-    assigned
+    rankByCosine(assigned
       .filter(col("cell").isin(probeCells: _*))
-      .select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
+      .select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine")),
+      idCol, k)
   }
 
   /** LSH-bucketed approximate top-k: `tables` independent random-
@@ -136,10 +149,9 @@ object Similarity {
     val codes = lsh.hyperplaneBuckets(col(vecCol), planes, planesPerTable)
     val hit = exists(
       zip_with(codes, typedlit(qCodes), (a, b) => a === b), x => x)
-    df.filter(hit)
-      .select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
+    rankByCosine(df.filter(hit)
+      .select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine")),
+      idCol, k)
   }
 
   /** Batch kNN join: for EVERY query row, its `k` cosine-nearest corpus
@@ -557,9 +569,9 @@ object Similarity {
         pqApproxDistance(col("pq_code"), query, codebooks).as("__adc"))
       .orderBy(col("__adc").asc, col(idCol).asc)
       .limit(k * rerank)
-    cand.select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
+    rankByCosine(
+      cand.select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine")),
+      idCol, k)
   }
 
   /** IVF + PQ: the billion-vector composition — restrict to the `nprobe`
@@ -596,11 +608,10 @@ object Similarity {
   def topKIvfPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Double])],
       query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
-    spark.read.parquet(path)
+    rankByCosine(spark.read.parquet(path)
       .filter(col("cell").isin(probeCells(centroids, query, nprobe): _*))
-      .select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
+      .select(col(idCol), cosine(col(vecCol), vec(query)).as("cosine")),
+      idCol, k)
   }
 
   /** The `nprobe` cells a query probes — centroid cosine DESC with the

@@ -3633,7 +3633,7 @@ object PipelineQueries {
     b ++= "adc AS MATERIALIZED (SELECT vec_id, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lv ORDER BY s)), (a, b) -> a + b) AS adc FROM adcterm GROUP BY vec_id), "
     b ++= s"cand AS MATERIALIZED (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT ${topk * rerank}), "
     b ++= "scored AS (SELECT n.vec_id, list_inner_product(n.v, q.q) / (sqrt(list_inner_product(n.v, n.v)) * sqrt(list_inner_product(q.q, q.q))) AS cosine FROM vn n JOIN cand USING (vec_id) CROSS JOIN qn q) "
-    b ++= s"SELECT vec_id, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine_r FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT $topk"
+    b ++= s"SELECT vec_id, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine_r FROM scored WHERE cosine IS NOT NULL AND NOT isnan(cosine) ORDER BY cosine DESC, vec_id ASC LIMIT $topk"
     b.toString
   }
 
@@ -3770,7 +3770,7 @@ object PipelineQueries {
     val qCodes = lsh.bucketCodesOf(fixedQueryVector, planes, planesPerTable)
     val qcSql = qCodes.zipWithIndex.map { case (c, t) => s"($t, $c)" }
       .mkString("(VALUES ", ", ", ")")
-    s"""WITH ${hyperplaneBitsSql(dim, planesPerTable, tables, seed)}, qc(t, qcode) AS $qcSql, hits AS (SELECT DISTINCT bits.vec_id FROM bits JOIN qc ON bits.t = qc.t AND bits.code = qc.qcode), scored AS (SELECT e.vec_id, list_inner_product(e.ev, $queryVecSql) / (sqrt(list_inner_product(e.ev, e.ev)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS cosine FROM e JOIN hits ON hits.vec_id = e.vec_id) SELECT vec_id, round(cosine, 6) AS cosine_r FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT $k"""
+    s"""WITH ${hyperplaneBitsSql(dim, planesPerTable, tables, seed)}, qc(t, qcode) AS $qcSql, hits AS (SELECT DISTINCT bits.vec_id FROM bits JOIN qc ON bits.t = qc.t AND bits.code = qc.qcode), scored AS (SELECT e.vec_id, list_inner_product(e.ev, $queryVecSql) / (sqrt(list_inner_product(e.ev, e.ev)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS cosine FROM e JOIN hits ON hits.vec_id = e.vec_id) SELECT vec_id, round(cosine, 6) AS cosine_r FROM scored WHERE cosine IS NOT NULL AND NOT isnan(cosine) ORDER BY cosine DESC, vec_id ASC LIMIT $k"""
   }
 
   /** Full five-stage curation-composite replay: Gopher quality rules ->

@@ -124,16 +124,21 @@ object StreamCurate {
     // reference the watermark attribute are pushable), where it constant-
     // folds to `Filter false` on the heartbeat branch — starving the
     // watermark node all over again (observed: the physical plan read
-    // `Union > Filter false` and the query's watermark froze). A single
-    // CASE WHEN over __dup_ts is non-splittable and references the
-    // watermark attribute, so the optimizer must leave it ABOVE the
-    // watermark node; semantically it is `__hit` (null-ts rows are
-    // already dropped inside nearDupHits, and a null-ts heartbeat should
-    // be dropped anyway).
+    // `Union > Filter false` and the query's watermark froze). The
+    // reference must also SURVIVE optimization: a CASE WHEN over
+    // __dup_ts (the first fix) folds to bare __hit whenever Catalyst
+    // can prove __dup_ts non-nullable — today it happens to never
+    // prove it, but ONLY because the hits branch routes through the
+    // DupHit encoder whose java.sql.Timestamp field is nullable, an
+    // accidental and invisible load-bearing fact (r17 review + A/B).
+    // The anchoring is therefore a dedicated opaque expression
+    // (EventTimeAnchor: returns __hit, carries __dup_ts in its
+    // references, no rule knows how to simplify or split it) — robust
+    // against any future encoder or schema change.
     val hits = rawHits.union(heartbeat)
       .withWatermark("__dup_ts", s"$horizonMs milliseconds")
-      .filter(when(col("__dup_ts").isNull, lit(false))
-        .otherwise(col("__hit")))
+      .filter(graft.functions.EventTimeAnchor.anchor(
+        col("__hit"), col("__dup_ts")))
       .dropDuplicatesWithinWatermark("__dup_id")
       .drop("__hit")
     val g = gate(docs, textCol, cfg)
@@ -144,7 +149,7 @@ object StreamCurate {
         g("doc_id") === hits("__dup_id") &&
           hits("__dup_ts") >= g("ts") && hits("__dup_ts") <= g("ts"),
         "left_outer")
-      .select(col("doc_id"), col("quality_pass"),
+      .select(col("doc_id").as(idCol), col("quality_pass"),
         col("__dup_id").isNotNull.as("is_dup"), col("n_pii"),
         (col("quality_pass") && col("__dup_id").isNull).as("kept"))
   }
@@ -154,10 +159,13 @@ object StreamCurate {
       textCol: String, threshold: Double,
       cfg: TextAnalysis.GopherConfig = TextAnalysis.GopherConfig(),
       md5Mode: Boolean = false): DataFrame = {
+    // nearDupHits' output id column is always named doc_id (it casts
+    // the caller's idCol) — rename back so the join keys on the
+    // caller's column name whatever idCol is
     val dupIds = StreamDedup
       .nearDupHits(docs, idCol, tsCol, textCol,
         threshold = threshold, md5Mode = md5Mode)
-      .select(col(idCol)).distinct()
+      .select(col("doc_id").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
     gate(docs, textCol, cfg)
       .join(dupIds, Seq(idCol), "left")

@@ -55,6 +55,28 @@ class QuantizeSpec extends AnyFunSuite {
       Similarity.quantizeInt8(rows, "vec_id", "embedding"), "vec_id", q, 10)
       .select("vec_id").as[Long].collect().toSet
     assert(gotQ === Set(1L, 4L))
+    // r17 review: the guard must hold in EVERY rank variant, not just
+    // brute force — the sibling sites shared the unguarded sort
+    val cents = Seq(0 -> Seq(1.0, 1.0, 1.0))
+    val gotIvf = Similarity.topKIvf(rows, "vec_id", "embedding",
+      cents, q, k = 10, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotIvf === Set(1L, 4L))
+    val gotLsh = Similarity.topKLsh(rows, "vec_id", "embedding", dim = 3,
+      q, k = 10, planesPerTable = 1, tables = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotLsh.subsetOf(Set(1L, 4L)) && gotLsh.nonEmpty)
+    val cb = Similarity.trainPq(
+      rows.filter(col("vec_id") === 1L)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vn")),
+      "vn", m = 1, ksub = 1, sampleOrderCol = Some("vec_id"))
+    val gotPq = Similarity.topKPq(
+      Similarity.pqEncode(
+        rows.select(col("vec_id"), col("embedding").cast("array<double>").as("vn")),
+        "vn", cb),
+      "vec_id", "vn", cb, q, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotPq === Set(1L, 4L))
   }
 
   test("quantized top-10 recalls most of the exact top-10 on the corpus") {

@@ -49,6 +49,22 @@ class StreamCurateSpec extends AnyFunSuite {
     assert(byId(4L) === ((true, false, 1L, true)))
   }
 
+  test("curate honors a non-doc_id id column name (output keyed on it)") {
+    val renamed = corpus.withColumnRenamed("doc_id", "item_id")
+    val r = StreamCurate.curate(renamed, "item_id", "ts", "text",
+      threshold = 0.5, cfg = cfg, md5Mode = true)
+    assert(r.columns.head === "item_id")
+    val byId = r.collect().map(x => x.getLong(0) ->
+      (x.getBoolean(1), x.getBoolean(2), x.getLong(3), x.getBoolean(4)))
+      .toMap
+    val want = StreamCurate.curate(corpus, "doc_id", "ts", "text",
+      threshold = 0.5, cfg = cfg, md5Mode = true).collect()
+      .map(x => x.getLong(0) ->
+        (x.getBoolean(1), x.getBoolean(2), x.getLong(3), x.getBoolean(4)))
+      .toMap
+    assert(byId === want)
+  }
+
   test("composite equals manual recomposition of its three stages") {
     val manualDups = StreamDedup.nearDupHits(corpus, "doc_id", "ts",
       "text", threshold = 0.5, md5Mode = true)
@@ -114,6 +130,51 @@ class StreamCurateSpec extends AnyFunSuite {
       assert(got === want)
       assert(got.size === 4)
       assert(got(2L)._2 === true) // the dup flag crossed micro-batches
+    } finally q.stop()
+  }
+
+  test("the composite's watermark survives a NON-NULLABLE event-time " +
+      "column on a duplicate-free stream (the guard-folding regression)") {
+    // ts derived from the non-nullable tuple field: nullable = false at
+    // the source. If the heartbeat guard's watermark-column reference
+    // ever becomes foldable (NullPropagation + SimplifyConditionals on
+    // a provably non-nullable __dup_ts), the bare predicate is pushed
+    // below the watermark node and the heartbeat branch becomes Filter
+    // false — on a DUP-FREE stream no hit ever flows, the hits-branch
+    // watermark pins at epoch, and the outer join emits NOTHING,
+    // forever. Today the DupHit encoder's nullable ts field blocks the
+    // fold; EventTimeAnchor removes the reliance on that accident, and
+    // this test pins the end-to-end behavior under the most foldable
+    // source schema either way.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "tsl", "text")
+      .withColumn("ts", timestamp_micros(col("tsl") * 1000000L))
+    assert(!streamDf.schema("ts").nullable,
+      "precondition: this regression needs a non-nullable event time")
+    val q = StreamCurate.withStatefulChainAllowed(spark) {
+      StreamCurate.curateStream(streamDf, "doc_id", "ts", "text",
+        threshold = 0.5, cfg = cfg)
+        .writeStream.format("memory").queryName("curate_nn_sink")
+        .outputMode("append").start()
+    }
+    try {
+      // all distinct texts — zero duplicate hits anywhere
+      mem.addData((1L, 10000L, goodText),
+        (2L, 10001L, goodText.replace("fox", "owl").replace("dog", "cat")))
+      q.processAllAvailable()
+      val far = 10001L + 9L * 3600
+      mem.addData((9901L, far, "sentinel one body"))
+      q.processAllAvailable()
+      mem.addData((9902L, far + 3600, "sentinel two body"))
+      q.processAllAvailable()
+      val got = spark.table("curate_nn_sink")
+        .filter(col("doc_id") < 9000L).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got.keySet === Set(1L, 2L),
+        "dup-free rows never flushed — the heartbeat watermark froze")
+      assert(got.values.forall(_ == false))
     } finally q.stop()
   }
 

@@ -688,6 +688,181 @@ object Multimodal {
       .toDF("id", "phash", "decoded")
   }
 
+  /** Image quality signals — the LAION-style pre-filter stage (blur,
+    * brightness, contrast, clipping) over REAL decoded pixels, computed
+    * at NATIVE resolution on the grayscale plane (single-band rasters
+    * are read directly — the oracle-replayable path over the lossless
+    * gray-PNG corpus; color images are converted to gray first; the
+    * decompression-bomb screen bounds the work per payload). Every
+    * signal is integer arithmetic plus at most one final double
+    * division, so the SQL oracle hash-matches without tolerance:
+    *
+    *  - `n_px`: pixel count;
+    *  - `lum_sum`: sum of gray values (mean = lum_sum / n_px, the one
+    *    division, done here);
+    *  - `contrast`: max - min gray value;
+    *  - `lap_sq_sum`: sum over INTERIOR pixels of the squared
+    *    4-neighbor Laplacian `4p - left - right - up - down` — the
+    *    Laplacian-energy blur metric (low = blurry/flat, the standard
+    *    sharpness screen);
+    *  - `clip_frac`: fraction of pixels at the rails (<= 2 or >= 253) —
+    *    over/under-exposure.
+    *
+    * Undecodable / bombed / null payloads emit one row with zeroed
+    * signals and `decoded = false` (the [[imageDHash]] posture) — never
+    * a task failure. One narrow map, no shuffle. */
+  def imageQuality(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      .filter(col("__id").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        def quarantine(id: Long) =
+          (id, 0L, 0.0, 0, 0L, 0.0, false)
+        rows.map { case (id, payload) =>
+          val headerPixels: Long = if (payload == null) 0L else
+            decodePng(payload).orElse(decodeJpeg(payload))
+              .orElse(decodeGif(payload)).orElse(decodeBmp(payload))
+              .map(r => r.getInt(0).toLong * r.getInt(1))
+              .getOrElse(imageIoHeaderPixels(payload))
+          if (payload == null || headerPixels > MaxDecodePixels)
+            quarantine(id)
+          else {
+            try {
+              val img0 = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+              if (img0 == null) quarantine(id)
+              else {
+                val img =
+                  if (img0.getRaster.getNumBands == 1) img0
+                  else {
+                    val g8 = new java.awt.image.BufferedImage(
+                      img0.getWidth, img0.getHeight,
+                      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                    val g = g8.createGraphics()
+                    try g.drawImage(img0, 0, 0, null) finally g.dispose()
+                    g8
+                  }
+                val r = img.getRaster
+                val w = img.getWidth
+                val h = img.getHeight
+                var lum = 0L
+                var mn = 255
+                var mx = 0
+                var clipped = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val p = r.getSample(x, y, 0)
+                    lum += p
+                    if (p < mn) mn = p
+                    if (p > mx) mx = p
+                    if (p <= 2 || p >= 253) clipped += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                var lap = 0L
+                y = 1
+                while (y < h - 1) {
+                  var x = 1
+                  while (x < w - 1) {
+                    val l = 4L * r.getSample(x, y, 0) -
+                      r.getSample(x - 1, y, 0) - r.getSample(x + 1, y, 0) -
+                      r.getSample(x, y - 1, 0) - r.getSample(x, y + 1, 0)
+                    lap += l * l
+                    x += 1
+                  }
+                  y += 1
+                }
+                val nPx = w.toLong * h
+                (id, nPx, lum.toDouble / nPx, mx - mn, lap,
+                  clipped.toDouble / nPx, true)
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => quarantine(id)
+            }
+          }
+        }
+      }
+      .toDF("id", "n_px", "mean_lum", "contrast", "lap_sq_sum",
+        "clip_frac", "decoded")
+  }
+
+  /** Audio quality signals — the curation pre-filter over REAL decoded
+    * 8-bit mono PCM samples (the [[audioFingerprint]] decode contract):
+    * integer arithmetic + single final divisions, SQL-replayable:
+    *
+    *  - `n_samples`; `smin` / `smax` (dynamic range);
+    *  - `rms_sq_sum`: sum of squared deviations from the 8-bit PCM
+    *    midpoint 128 — loudness energy (DC-offset-sensitive by design:
+    *    a heavily offset recording IS a defect this filter should see);
+    *  - `clip_frac`: samples at the rails (<= 1 or >= 254);
+    *  - `silence_frac`: fraction of 16-sample frames whose peak-to-peak
+    *    span is < 4 — the dead-air detector (a frame of near-constant
+    *    samples carries no signal whatever its DC level).
+    *
+    * Non-WAV / non-8-bit-mono / empty payloads emit zeroed signals with
+    * `decoded = false`. One narrow map, no shuffle. */
+  def audioQuality(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      .filter(col("__id").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        def quarantine(id: Long) = (id, 0L, 0, 0, 0L, 0.0, 0.0, false)
+        rows.map { case (id, payload) =>
+          val d = if (payload == null) None else wavData8Mono(payload)
+          d match {
+            case Some((off, len)) if len > 0 =>
+              var mn = 255
+              var mx = 0
+              var rms = 0L
+              var clipped = 0L
+              var i = 0
+              while (i < len) {
+                val s = payload(off + i) & 0xff
+                if (s < mn) mn = s
+                if (s > mx) mx = s
+                val dev = s - 128L
+                rms += dev * dev
+                if (s <= 1 || s >= 254) clipped += 1
+                i += 1
+              }
+              val nFrames = len / AudioFrameLen
+              var silent = 0L
+              var f = 0
+              while (f < nFrames) {
+                var fmn = 255
+                var fmx = 0
+                var j = 0
+                while (j < AudioFrameLen) {
+                  val s = payload(off + f * AudioFrameLen + j) & 0xff
+                  if (s < fmn) fmn = s
+                  if (s > fmx) fmx = s
+                  j += 1
+                }
+                if (fmx - fmn < 4) silent += 1
+                f += 1
+              }
+              (id, len.toLong, mn, mx, rms,
+                clipped.toDouble / len,
+                if (nFrames == 0) 0.0 else silent.toDouble / nFrames,
+                true)
+            case _ => quarantine(id)
+          }
+        }
+      }
+      .toDF("id", "n_samples", "smin", "smax", "rms_sq_sum",
+        "clip_frac", "silence_frac", "decoded")
+  }
+
   /** Audio-fingerprint geometry: 65 frames of 16 8-bit samples → 64
     * adjacent-frame energy-delta sign bits (the Shazam/chromaprint-style
     * spectral-delta idea reduced to its deterministic time-domain core).

@@ -2683,6 +2683,46 @@ object PipelineQueries {
       },
       Some(audioNearDupOracleSql())),
 
+    // image quality signals — the LAION-style pre-filter stage over the
+    // REAL gray-PNG codec round-trip: Laplacian blur energy, brightness,
+    // contrast, rail clipping, all computed at native resolution on the
+    // decoded raster. PNG gray8 is lossless, so the oracle replays every
+    // signal from the analytic md5 pixels (integer sums + one final
+    // division each) and a drifted decode desyncs the row.
+    QueryDef("q_image_quality",
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        Multimodal.imageQuality(
+          Multimodal.syntheticGrayPngs(fam, "doc_id", "family"),
+          "id", "payload")
+          .filter(col("decoded"))
+          .select(col("id"), col("n_px"), col("mean_lum"), col("contrast"),
+            col("lap_sq_sum"), col("clip_frac"))
+          .orderBy("id")
+      },
+      Some(imageQualityOracleSql)),
+
+    // audio quality signals — dead-air / clipping / loudness screening
+    // over the REAL WAV decode (PCM is raw bytes, so the replay is
+    // exact): per-sample rail clipping, RMS energy about the 8-bit
+    // midpoint, dynamic range, and per-frame peak-to-peak silence.
+    QueryDef("q_audio_quality",
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        Multimodal.audioQuality(
+          Multimodal.syntheticWavs(fam, "doc_id", "family"),
+          "id", "payload")
+          .filter(col("decoded"))
+          .select(col("id"), col("n_samples"), col("smin"), col("smax"),
+            col("rms_sq_sum"), col("clip_frac"), col("silence_frac"))
+          .orderBy("id")
+      },
+      Some(audioQualityOracleSql)),
+
     // SPECTRAL audio near-dup (Haitsma-Kalker): the same real-WAV corpus
     // fingerprinted through the 32-point Walsh-Hadamard sequency
     // spectrum — band energies over 9 DC-free bands, bit = sign of the
@@ -3335,6 +3375,25 @@ object PipelineQueries {
   private def audioNearDupCtesSql(maxBucket: Int = 64): String =
     s"""$famCteSql, ax AS (SELECT doc_id, pos, $audioSampleValSql AS v FROM fam CROSS JOIN range(0, 1040) r(pos)), ae AS (SELECT doc_id, pos // 16 AS f, SUM(v) AS e FROM ax GROUP BY 1, 2), bits AS (SELECT a.doc_id, CAST(a.f AS INT) AS i, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit FROM ae a JOIN ae b ON b.doc_id = a.doc_id AND b.f = a.f + 1 WHERE a.f < 64)""" +
       bitsToPairsSql(maxBucket)
+
+  /** q_image_quality replay: the analytic 9x8 gray pixels (the shared
+    * [[synthValSql]] contract — PNG gray8 is lossless, so the decoded
+    * raster IS these values), then each signal as integer SQL: luminance
+    * sum, min/max contrast, the interior 4-neighbor Laplacian via pos
+    * arithmetic self-joins (left/right = pos -/+ 1, up/down = pos -/+ 9,
+    * interior = pos%9 in 1..7 and pos//9 in 1..6), rail-clip count; the
+    * two fractions are single double divisions matching the engine's
+    * `toDouble / n` exactly. */
+  private lazy val imageQualityOracleSql: String =
+    s"""WITH $famCteSql, px AS (SELECT doc_id, pos, $synthValSql AS p FROM fam CROSS JOIN range(0, 72) r(pos)), base AS (SELECT doc_id, SUM(p) AS lum, MAX(p) - MIN(p) AS contrast, SUM(CASE WHEN p <= 2 OR p >= 253 THEN 1 ELSE 0 END) AS clipped FROM px GROUP BY doc_id), lap AS (SELECT c.doc_id, SUM(CAST(4 * c.p - l.p - r.p - u.p - d.p AS BIGINT) * CAST(4 * c.p - l.p - r.p - u.p - d.p AS BIGINT)) AS lap_sq FROM px c JOIN px l ON l.doc_id = c.doc_id AND l.pos = c.pos - 1 JOIN px r ON r.doc_id = c.doc_id AND r.pos = c.pos + 1 JOIN px u ON u.doc_id = c.doc_id AND u.pos = c.pos - 9 JOIN px d ON d.doc_id = c.doc_id AND d.pos = c.pos + 9 WHERE c.pos % 9 BETWEEN 1 AND 7 AND c.pos // 9 BETWEEN 1 AND 6 GROUP BY c.doc_id) SELECT b.doc_id AS id, CAST(72 AS BIGINT) AS n_px, CAST(lum AS DOUBLE) / 72 AS mean_lum, CAST(contrast AS INT) AS contrast, CAST(lap_sq AS BIGINT) AS lap_sq_sum, CAST(clipped AS DOUBLE) / 72 AS clip_frac FROM base b JOIN lap USING (doc_id) ORDER BY id"""
+
+  /** q_audio_quality replay: the analytic PCM samples (the shared
+    * [[audioSampleValSql]] contract over all 1040 samples), per-sample
+    * deviation energy about the 8-bit midpoint, rail-clip count, and the
+    * per-16-sample-frame peak-to-peak silence test — integer sums, two
+    * final double divisions. */
+  private lazy val audioQualityOracleSql: String =
+    s"""WITH $famCteSql, ax AS (SELECT doc_id, pos, $audioSampleValSql AS v FROM fam CROSS JOIN range(0, 1040) r(pos)), base AS (SELECT doc_id, MIN(v) AS smin, MAX(v) AS smax, SUM(CAST(v - 128 AS BIGINT) * CAST(v - 128 AS BIGINT)) AS rms, SUM(CASE WHEN v <= 1 OR v >= 254 THEN 1 ELSE 0 END) AS clipped FROM ax GROUP BY doc_id), fr AS (SELECT doc_id, pos // 16 AS f, MAX(v) - MIN(v) AS ptp FROM ax GROUP BY 1, 2), sil AS (SELECT doc_id, SUM(CASE WHEN ptp < 4 THEN 1 ELSE 0 END) AS silent FROM fr GROUP BY doc_id) SELECT b.doc_id AS id, CAST(1040 AS BIGINT) AS n_samples, CAST(smin AS INT) AS smin, CAST(smax AS INT) AS smax, CAST(rms AS BIGINT) AS rms_sq_sum, CAST(clipped AS DOUBLE) / 1040 AS clip_frac, CAST(silent AS DOUBLE) / 65 AS silence_frac FROM base b JOIN sil USING (doc_id) ORDER BY id"""
 
   /** q_audio_spectral replay: identical md5 sample synthesis (first
     * 9x32 = 288 samples of the same WAVs), the 32-point Walsh-Hadamard

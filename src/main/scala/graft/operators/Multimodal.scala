@@ -1895,6 +1895,134 @@ object Multimodal {
       .toDF("id", "frame_idx", "phash", "decoded")
   }
 
+  /** Video quality signals — the temporal-activity screen (a video whose
+    * frames never change is a still image in a video container; real
+    * curation drops or re-buckets them): walk the container with the
+    * SAME reader/bomb discipline as [[videoFrameDHash]], read each
+    * frame's gray plane, and emit per video:
+    *
+    *  - `n_frames` (capped at `maxFrames` — bounded work per payload);
+    *  - `mean_lum`: gray mean over all read frames;
+    *  - `interframe_mean_abs`: mean per-pixel absolute difference
+    *    between CONSECUTIVE frames — the temporal-activity measure
+    *    (0 = perfectly static);
+    *  - `static_frac`: fraction of consecutive frame pairs whose total
+    *    absolute difference is below one gray level per pixel — the
+    *    still-video detector. A single-frame video is fully static
+    *    (`static_frac = 1.0`, activity 0).
+    *
+    * Integer sums + single final double divisions (SQL-replayable over
+    * the lossless identity-palette GIF corpus). The declared profile is
+    * uniform frame geometry; a container whose frames change dimensions
+    * mid-stream quarantines (dims carry no alignable pixel pairs), as
+    * do null / undecodable / bombed payloads — one zeroed
+    * `decoded = false` row, never a task failure. */
+  def videoQuality(df: DataFrame, idCol: String, payloadCol: String,
+      maxFrames: Int): DataFrame = {
+    require(maxFrames > 0 && maxFrames <= FrameKeyMult,
+      s"maxFrames must be in [1, $FrameKeyMult], got $maxFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      .filter(col("__id").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        def quarantine(id: Long) = (id, 0L, 0.0, 0.0, 0.0, false)
+        def grayOf(img: java.awt.image.BufferedImage): Array[Int] = {
+          val g8 =
+            if (img.getRaster.getNumBands == 1) img
+            else {
+              val o = new java.awt.image.BufferedImage(img.getWidth,
+                img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val g = o.createGraphics()
+              try g.drawImage(img, 0, 0, null) finally g.dispose()
+              o
+            }
+          val r = g8.getRaster
+          val out = new Array[Int](g8.getWidth * g8.getHeight)
+          var i = 0
+          var y = 0
+          while (y < g8.getHeight) {
+            var x = 0
+            while (x < g8.getWidth) { out(i) = r.getSample(x, y, 0); i += 1; x += 1 }
+            y += 1
+          }
+          out
+        }
+        rows.map { case (id, payload) =>
+          val headerPixels: Long = if (payload == null) 0L else
+            decodePng(payload).orElse(decodeJpeg(payload))
+              .orElse(decodeGif(payload)).orElse(decodeBmp(payload))
+              .map(r => r.getInt(0).toLong * r.getInt(1))
+              .getOrElse(imageIoHeaderPixels(payload))
+          if (payload == null || headerPixels > MaxDecodePixels)
+            quarantine(id)
+          else {
+            try {
+              val in = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              if (in == null) quarantine(id)
+              else {
+                try {
+                  val readers = javax.imageio.ImageIO.getImageReaders(in)
+                  if (!readers.hasNext) quarantine(id)
+                  else {
+                    val reader = readers.next()
+                    try {
+                      reader.setInput(in, false, false)
+                      val n = math.min(reader.getNumImages(true), maxFrames)
+                      val framesBombed = (0 until n).exists { f =>
+                        reader.getWidth(f).toLong * reader.getHeight(f) >
+                          MaxDecodePixels
+                      }
+                      if (n <= 0 || framesBombed) quarantine(id)
+                      else {
+                        val frames = (0 until n).map(f => grayOf(reader.read(f)))
+                        if (frames.exists(_.length != frames.head.length))
+                          quarantine(id)
+                        else {
+                          val px = frames.head.length
+                          var lum = 0L
+                          frames.foreach(fr => fr.foreach(lum += _))
+                          var diff = 0L
+                          var staticPairs = 0L
+                          var f = 1
+                          while (f < n) {
+                            var d = 0L
+                            var i = 0
+                            while (i < px) {
+                              d += math.abs(frames(f)(i) - frames(f - 1)(i))
+                              i += 1
+                            }
+                            diff += d
+                            if (d < px) staticPairs += 1
+                            f += 1
+                          }
+                          val meanLum = lum.toDouble / (n.toLong * px)
+                          val act =
+                            if (n < 2) 0.0
+                            else diff.toDouble / ((n - 1).toLong * px)
+                          val staticFrac =
+                            if (n < 2) 1.0
+                            else staticPairs.toDouble / (n - 1)
+                          (id, n.toLong, meanLum, act, staticFrac, true)
+                        }
+                      }
+                    } finally reader.dispose()
+                  }
+                } finally in.close()
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => quarantine(id)
+            }
+          }
+        }
+      }
+      .toDF("id", "n_frames", "mean_lum", "interframe_mean_abs",
+        "static_frac", "decoded")
+  }
+
   /** Temporal video near-dup rollup over per-frame perceptual hashes:
     * two videos are near-duplicates when at least `minFrames` of their
     * SAME-INDEX frame pairs are within `maxHamming` dHash bits. Frames

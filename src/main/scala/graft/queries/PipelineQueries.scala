@@ -2683,6 +2683,26 @@ object PipelineQueries {
       },
       Some(audioNearDupOracleSql())),
 
+    // video quality signals — the temporal-activity screen over the REAL
+    // animated-GIF walk (lossless identity palette, so the oracle
+    // replays frame luminance, consecutive-frame absolute differences
+    // and the static-pair test from the analytic md5 frames exactly).
+    QueryDef("q_video_quality",
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        Multimodal.videoQuality(
+          Multimodal.syntheticAnimatedGifs(fam, "doc_id", "family",
+            nFrames = 4),
+          "id", "payload", maxFrames = 8)
+          .filter(col("decoded"))
+          .select(col("id"), col("n_frames"), col("mean_lum"),
+            col("interframe_mean_abs"), col("static_frac"))
+          .orderBy("id")
+      },
+      Some(videoQualityOracleSql(nFrames = 4))),
+
     // image quality signals — the LAION-style pre-filter stage over the
     // REAL gray-PNG codec round-trip: Laplacian blur energy, brightness,
     // contrast, rail clipping, all computed at native resolution on the
@@ -3375,6 +3395,16 @@ object PipelineQueries {
   private def audioNearDupCtesSql(maxBucket: Int = 64): String =
     s"""$famCteSql, ax AS (SELECT doc_id, pos, $audioSampleValSql AS v FROM fam CROSS JOIN range(0, 1040) r(pos)), ae AS (SELECT doc_id, pos // 16 AS f, SUM(v) AS e FROM ax GROUP BY 1, 2), bits AS (SELECT a.doc_id, CAST(a.f AS INT) AS i, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit FROM ae a JOIN ae b ON b.doc_id = a.doc_id AND b.f = a.f + 1 WHERE a.f < 64)""" +
       bitsToPairsSql(maxBucket)
+
+  /** q_video_quality replay: the analytic per-frame GIF pixels (the
+    * q_video_neardup contract — identity palette, lossless), frame
+    * luminance sum, consecutive-frame |a - b| sums via a pos+frame
+    * self-join, the per-pair `< 72` (one gray level per pixel) static
+    * test, and the engine's exact final divisions. */
+  private def videoQualityOracleSql(nFrames: Int): String = {
+    val frameVal = "CAST(('0x' || substring(md5(family || ':' || CAST(f AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(vid AS VARCHAR) || '#' || CAST(f AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 2"
+    s"""WITH fam AS (SELECT doc_id AS vid, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), px AS (SELECT vid, f, pos, $frameVal AS p FROM fam CROSS JOIN range(0, $nFrames) fr(f) CROSS JOIN range(0, 72) r(pos)), lum AS (SELECT vid, SUM(p) AS lum FROM px GROUP BY vid), pd AS (SELECT a.vid, a.f, SUM(ABS(a.p - b.p)) AS d FROM px a JOIN px b ON b.vid = a.vid AND b.f = a.f - 1 AND b.pos = a.pos WHERE a.f >= 1 GROUP BY 1, 2), agg AS (SELECT vid, SUM(d) AS diff, SUM(CASE WHEN d < 72 THEN 1 ELSE 0 END) AS statics FROM pd GROUP BY vid) SELECT l.vid AS id, CAST($nFrames AS BIGINT) AS n_frames, CAST(lum AS DOUBLE) / ${nFrames * 72} AS mean_lum, CAST(diff AS DOUBLE) / ${(nFrames - 1) * 72} AS interframe_mean_abs, CAST(statics AS DOUBLE) / ${nFrames - 1} AS static_frac FROM lum l JOIN agg USING (vid) ORDER BY id"""
+  }
 
   /** q_image_quality replay: the analytic 9x8 gray pixels (the shared
     * [[synthValSql]] contract — PNG gray8 is lossless, so the decoded

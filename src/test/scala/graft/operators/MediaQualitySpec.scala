@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.SparkTestSession
 
-/** Image/audio quality signals (the curation pre-filter stage): exact
+/** Image/audio/video quality signals (the curation pre-filter stage): exact
   * hand-computed values on known rasters/samples, the discrimination
   * claims (blur vs sharp, silence vs signal, clipping), the color->gray
   * conversion path, and quarantine posture.
@@ -118,5 +118,58 @@ class MediaQualitySpec extends AnyFunSuite {
         Seq((2L, Array[Byte](1, 2, 3))).toDF("id", "payload"),
         "id", "payload").head()
     assert(!junk.getBoolean(7))
+  }
+
+  private def gifOf(frames: Seq[(Int, Int) => Int], w: Int = 9,
+      h: Int = 8): Array[Byte] = {
+    // identity 256-gray palette round-trips losslessly (the
+    // syntheticAnimatedGifs trick)
+    val cm = new java.awt.image.IndexColorModel(8, 256,
+      Array.tabulate(256)(_.toByte), Array.tabulate(256)(_.toByte),
+      Array.tabulate(256)(_.toByte))
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { px =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        for (y <- 0 until h; x <- 0 until w)
+          img.getRaster.setSample(x, y, 0, px(x, y))
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    buf.toByteArray
+  }
+
+  test("videoQuality: static video detected; activity measured exactly") {
+    // video 1: three identical frames -> fully static, activity 0
+    val still = gifOf(Seq.fill(3)((x, y) => 100))
+    // video 2: frame 1 shifts every pixel by +5, frame 2 by +7 more ->
+    // activity = (5*72 + 7*72) / (2*72) = 6.0, zero static pairs
+    val moving = gifOf(Seq((_, _) => 100, (_, _) => 105, (_, _) => 112))
+    // video 3: single frame -> static by definition
+    val single = gifOf(Seq((_, _) => 40))
+    val got = Multimodal.videoQuality(
+        Seq((1L, still), (2L, moving), (3L, single)).toDF("id", "payload"),
+        "id", "payload", maxFrames = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    assert(got(1L) === ((3L, 100.0, 0.0, 1.0, true)))
+    assert(got(2L)._3 === 6.0)
+    assert(got(2L)._4 === 0.0)
+    assert(got(2L)._2 === (100.0 + 105.0 + 112.0) / 3)
+    assert(got(3L) === ((1L, 40.0, 0.0, 1.0, true)))
+    // junk quarantines with a zeroed decoded=false row
+    val junk = Multimodal.videoQuality(
+        Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "payload"),
+        "id", "payload", maxFrames = 8).head()
+    assert(!junk.getBoolean(5))
   }
 }

@@ -2683,6 +2683,47 @@ object PipelineQueries {
       },
       Some(audioNearDupOracleSql())),
 
+    // the media curation GATE — the three quality screens composed into
+    // one keep/drop decision per asset family (each document carries an
+    // image, an audio clip and a video through the real codec
+    // round-trips): sharp enough, exposed in band, loud enough, not
+    // clipped, temporally active. Thresholds sit near the corpus medians
+    // so the decision splits non-trivially; every boolean compares
+    // integer sums or identical-division doubles, so the row
+    // hash-matches exactly. Plan shape: three narrow decode maps joined
+    // on the id — no shuffle wider than the id join at any corpus size.
+    QueryDef("q_media_curation",
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val iq = Multimodal.imageQuality(
+          Multimodal.syntheticGrayPngs(fam, "doc_id", "family"),
+          "id", "payload").filter(col("decoded"))
+          .select(col("id"),
+            (col("lap_sq_sum") >= 2600000L).as("img_sharp"),
+            (col("mean_lum") >= 80.0 && col("mean_lum") <= 100.0)
+              .as("img_exposed"))
+        val aq = Multimodal.audioQuality(
+          Multimodal.syntheticWavs(fam, "doc_id", "family"),
+          "id", "payload").filter(col("decoded"))
+          .select(col("id"),
+            (col("rms_sq_sum") >= 5600000L).as("aud_loud"),
+            (col("clip_frac") <= 0.02).as("aud_clean"))
+        val vq = Multimodal.videoQuality(
+          Multimodal.syntheticAnimatedGifs(fam, "doc_id", "family",
+            nFrames = 4),
+          "id", "payload", maxFrames = 8).filter(col("decoded"))
+          .select(col("id"),
+            (col("interframe_mean_abs") >= 66.0).as("vid_active"))
+        iq.join(aq, "id").join(vq, "id")
+          .withColumn("kept",
+            col("img_sharp") && col("img_exposed") && col("aud_loud") &&
+              col("aud_clean") && col("vid_active"))
+          .orderBy("id")
+      },
+      Some(mediaCurationOracleSql)),
+
     // video quality signals — the temporal-activity screen over the REAL
     // animated-GIF walk (lossless identity palette, so the oracle
     // replays frame luminance, consecutive-frame absolute differences
@@ -3396,15 +3437,25 @@ object PipelineQueries {
     s"""$famCteSql, ax AS (SELECT doc_id, pos, $audioSampleValSql AS v FROM fam CROSS JOIN range(0, 1040) r(pos)), ae AS (SELECT doc_id, pos // 16 AS f, SUM(v) AS e FROM ax GROUP BY 1, 2), bits AS (SELECT a.doc_id, CAST(a.f AS INT) AS i, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit FROM ae a JOIN ae b ON b.doc_id = a.doc_id AND b.f = a.f + 1 WHERE a.f < 64)""" +
       bitsToPairsSql(maxBucket)
 
+  /** q_media_curation replay: the three quality CTE chains over the ONE
+    * shared `fam` CTE, joined on doc_id, thresholds verbatim. */
+  private lazy val mediaCurationOracleSql: String =
+    s"""WITH $famCteSql, $imageQualityCtes, $audioQualityCtes, ${videoQualityCtes(4)} SELECT iq.doc_id AS id, lap_sq >= 2600000 AS img_sharp, (iq.mean_lum >= 80.0 AND iq.mean_lum <= 100.0) AS img_exposed, rms >= 5600000 AS aud_loud, aq.clip_frac <= 0.02 AS aud_clean, activity >= 66.0 AS vid_active, (lap_sq >= 2600000 AND iq.mean_lum >= 80.0 AND iq.mean_lum <= 100.0 AND rms >= 5600000 AND aq.clip_frac <= 0.02 AND activity >= 66.0) AS kept FROM iq JOIN aq USING (doc_id) JOIN vq USING (doc_id) ORDER BY id"""
+
   /** q_video_quality replay: the analytic per-frame GIF pixels (the
     * q_video_neardup contract — identity palette, lossless), frame
     * luminance sum, consecutive-frame |a - b| sums via a pos+frame
     * self-join, the per-pair `< 72` (one gray level per pixel) static
     * test, and the engine's exact final divisions. */
-  private def videoQualityOracleSql(nFrames: Int): String = {
-    val frameVal = "CAST(('0x' || substring(md5(family || ':' || CAST(f AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(vid AS VARCHAR) || '#' || CAST(f AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 2"
-    s"""WITH fam AS (SELECT doc_id AS vid, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), px AS (SELECT vid, f, pos, $frameVal AS p FROM fam CROSS JOIN range(0, $nFrames) fr(f) CROSS JOIN range(0, 72) r(pos)), lum AS (SELECT vid, SUM(p) AS lum FROM px GROUP BY vid), pd AS (SELECT a.vid, a.f, SUM(ABS(a.p - b.p)) AS d FROM px a JOIN px b ON b.vid = a.vid AND b.f = a.f - 1 AND b.pos = a.pos WHERE a.f >= 1 GROUP BY 1, 2), agg AS (SELECT vid, SUM(d) AS diff, SUM(CASE WHEN d < 72 THEN 1 ELSE 0 END) AS statics FROM pd GROUP BY vid) SELECT l.vid AS id, CAST($nFrames AS BIGINT) AS n_frames, CAST(lum AS DOUBLE) / ${nFrames * 72} AS mean_lum, CAST(diff AS DOUBLE) / ${(nFrames - 1) * 72} AS interframe_mean_abs, CAST(statics AS DOUBLE) / ${nFrames - 1} AS static_frac FROM lum l JOIN agg USING (vid) ORDER BY id"""
+  /** the CTE chain (after `fam`) ending in `vq(doc_id, mean_lum,
+    * activity, static_frac)` — shared with the composite */
+  private def videoQualityCtes(nFrames: Int): String = {
+    val frameVal = "CAST(('0x' || substring(md5(family || ':' || CAST(f AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 200 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(f AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 2)) AS INT) % 2"
+    s"""vpx AS (SELECT doc_id, f, pos, $frameVal AS p FROM fam CROSS JOIN range(0, $nFrames) fr(f) CROSS JOIN range(0, 72) r(pos)), vlum AS (SELECT doc_id, SUM(p) AS lum FROM vpx GROUP BY doc_id), vpd AS (SELECT a.doc_id, a.f, SUM(ABS(a.p - b.p)) AS d FROM vpx a JOIN vpx b ON b.doc_id = a.doc_id AND b.f = a.f - 1 AND b.pos = a.pos WHERE a.f >= 1 GROUP BY 1, 2), vagg AS (SELECT doc_id, SUM(d) AS diff, SUM(CASE WHEN d < 72 THEN 1 ELSE 0 END) AS statics FROM vpd GROUP BY doc_id), vq AS (SELECT l.doc_id, CAST(lum AS DOUBLE) / ${nFrames * 72} AS mean_lum, CAST(diff AS DOUBLE) / ${(nFrames - 1) * 72} AS activity, CAST(statics AS DOUBLE) / ${nFrames - 1} AS static_frac FROM vlum l JOIN vagg USING (doc_id))"""
   }
+
+  private def videoQualityOracleSql(nFrames: Int): String =
+    s"""WITH $famCteSql, ${videoQualityCtes(nFrames)} SELECT doc_id AS id, CAST($nFrames AS BIGINT) AS n_frames, mean_lum, activity AS interframe_mean_abs, static_frac FROM vq ORDER BY id"""
 
   /** q_image_quality replay: the analytic 9x8 gray pixels (the shared
     * [[synthValSql]] contract — PNG gray8 is lossless, so the decoded
@@ -3414,16 +3465,27 @@ object PipelineQueries {
     * interior = pos%9 in 1..7 and pos//9 in 1..6), rail-clip count; the
     * two fractions are single double divisions matching the engine's
     * `toDouble / n` exactly. */
+  /** the CTE chain (after `fam`) ending in `iq(doc_id, mean_lum,
+    * contrast, lap_sq, clip_frac)` — shared by q_image_quality and the
+    * q_media_curation composite */
+  private lazy val imageQualityCtes: String =
+    s"""ipx AS (SELECT doc_id, pos, $synthValSql AS p FROM fam CROSS JOIN range(0, 72) r(pos)), ibase AS (SELECT doc_id, SUM(p) AS lum, MAX(p) - MIN(p) AS contrast, SUM(CASE WHEN p <= 2 OR p >= 253 THEN 1 ELSE 0 END) AS clipped FROM ipx GROUP BY doc_id), ilap AS (SELECT c.doc_id, SUM(CAST(4 * c.p - l.p - r.p - u.p - d.p AS BIGINT) * CAST(4 * c.p - l.p - r.p - u.p - d.p AS BIGINT)) AS lap_sq FROM ipx c JOIN ipx l ON l.doc_id = c.doc_id AND l.pos = c.pos - 1 JOIN ipx r ON r.doc_id = c.doc_id AND r.pos = c.pos + 1 JOIN ipx u ON u.doc_id = c.doc_id AND u.pos = c.pos - 9 JOIN ipx d ON d.doc_id = c.doc_id AND d.pos = c.pos + 9 WHERE c.pos % 9 BETWEEN 1 AND 7 AND c.pos // 9 BETWEEN 1 AND 6 GROUP BY c.doc_id), iq AS (SELECT b.doc_id, CAST(lum AS DOUBLE) / 72 AS mean_lum, CAST(contrast AS INT) AS contrast, CAST(lap_sq AS BIGINT) AS lap_sq, CAST(clipped AS DOUBLE) / 72 AS clip_frac FROM ibase b JOIN ilap USING (doc_id))"""
+
   private lazy val imageQualityOracleSql: String =
-    s"""WITH $famCteSql, px AS (SELECT doc_id, pos, $synthValSql AS p FROM fam CROSS JOIN range(0, 72) r(pos)), base AS (SELECT doc_id, SUM(p) AS lum, MAX(p) - MIN(p) AS contrast, SUM(CASE WHEN p <= 2 OR p >= 253 THEN 1 ELSE 0 END) AS clipped FROM px GROUP BY doc_id), lap AS (SELECT c.doc_id, SUM(CAST(4 * c.p - l.p - r.p - u.p - d.p AS BIGINT) * CAST(4 * c.p - l.p - r.p - u.p - d.p AS BIGINT)) AS lap_sq FROM px c JOIN px l ON l.doc_id = c.doc_id AND l.pos = c.pos - 1 JOIN px r ON r.doc_id = c.doc_id AND r.pos = c.pos + 1 JOIN px u ON u.doc_id = c.doc_id AND u.pos = c.pos - 9 JOIN px d ON d.doc_id = c.doc_id AND d.pos = c.pos + 9 WHERE c.pos % 9 BETWEEN 1 AND 7 AND c.pos // 9 BETWEEN 1 AND 6 GROUP BY c.doc_id) SELECT b.doc_id AS id, CAST(72 AS BIGINT) AS n_px, CAST(lum AS DOUBLE) / 72 AS mean_lum, CAST(contrast AS INT) AS contrast, CAST(lap_sq AS BIGINT) AS lap_sq_sum, CAST(clipped AS DOUBLE) / 72 AS clip_frac FROM base b JOIN lap USING (doc_id) ORDER BY id"""
+    s"""WITH $famCteSql, $imageQualityCtes SELECT doc_id AS id, CAST(72 AS BIGINT) AS n_px, mean_lum, contrast, lap_sq AS lap_sq_sum, clip_frac FROM iq ORDER BY id"""
 
   /** q_audio_quality replay: the analytic PCM samples (the shared
     * [[audioSampleValSql]] contract over all 1040 samples), per-sample
     * deviation energy about the 8-bit midpoint, rail-clip count, and the
     * per-16-sample-frame peak-to-peak silence test — integer sums, two
     * final double divisions. */
+  /** the CTE chain (after `fam`) ending in `aq(doc_id, smin, smax, rms,
+    * clip_frac, silence_frac)` — shared with the composite */
+  private lazy val audioQualityCtes: String =
+    s"""aax AS (SELECT doc_id, pos, $audioSampleValSql AS v FROM fam CROSS JOIN range(0, 1040) r(pos)), abase AS (SELECT doc_id, MIN(v) AS smin, MAX(v) AS smax, SUM(CAST(v - 128 AS BIGINT) * CAST(v - 128 AS BIGINT)) AS rms, SUM(CASE WHEN v <= 1 OR v >= 254 THEN 1 ELSE 0 END) AS clipped FROM aax GROUP BY doc_id), afr AS (SELECT doc_id, pos // 16 AS f, MAX(v) - MIN(v) AS ptp FROM aax GROUP BY 1, 2), asil AS (SELECT doc_id, SUM(CASE WHEN ptp < 4 THEN 1 ELSE 0 END) AS silent FROM afr GROUP BY doc_id), aq AS (SELECT b.doc_id, CAST(smin AS INT) AS smin, CAST(smax AS INT) AS smax, CAST(rms AS BIGINT) AS rms, CAST(clipped AS DOUBLE) / 1040 AS clip_frac, CAST(silent AS DOUBLE) / 65 AS silence_frac FROM abase b JOIN asil USING (doc_id))"""
+
   private lazy val audioQualityOracleSql: String =
-    s"""WITH $famCteSql, ax AS (SELECT doc_id, pos, $audioSampleValSql AS v FROM fam CROSS JOIN range(0, 1040) r(pos)), base AS (SELECT doc_id, MIN(v) AS smin, MAX(v) AS smax, SUM(CAST(v - 128 AS BIGINT) * CAST(v - 128 AS BIGINT)) AS rms, SUM(CASE WHEN v <= 1 OR v >= 254 THEN 1 ELSE 0 END) AS clipped FROM ax GROUP BY doc_id), fr AS (SELECT doc_id, pos // 16 AS f, MAX(v) - MIN(v) AS ptp FROM ax GROUP BY 1, 2), sil AS (SELECT doc_id, SUM(CASE WHEN ptp < 4 THEN 1 ELSE 0 END) AS silent FROM fr GROUP BY doc_id) SELECT b.doc_id AS id, CAST(1040 AS BIGINT) AS n_samples, CAST(smin AS INT) AS smin, CAST(smax AS INT) AS smax, CAST(rms AS BIGINT) AS rms_sq_sum, CAST(clipped AS DOUBLE) / 1040 AS clip_frac, CAST(silent AS DOUBLE) / 65 AS silence_frac FROM base b JOIN sil USING (doc_id) ORDER BY id"""
+    s"""WITH $famCteSql, $audioQualityCtes SELECT doc_id AS id, CAST(1040 AS BIGINT) AS n_samples, smin, smax, rms AS rms_sq_sum, clip_frac, silence_frac FROM aq ORDER BY id"""
 
   /** q_audio_spectral replay: identical md5 sample synthesis (first
     * 9x32 = 288 samples of the same WAVs), the 32-point Walsh-Hadamard

@@ -1234,8 +1234,8 @@ object TaskGraph {
     if (aRows.length > maxRows)
       throw new GraftException("parameter table too large for value-equality validation")
     val bRows = b.limit(maxRows + 1).collect()
-    aRows.map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq ==
-      bRows.map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+    aRows.map(_.toSeq.map(String.valueOf).mkString("\u0001")).sorted.toSeq ==
+      bRows.map(_.toSeq.map(String.valueOf).mkString("\u0001")).sorted.toSeq
   }
 
   /** Best-effort bounded equality for SHARED-DIM label validation. The

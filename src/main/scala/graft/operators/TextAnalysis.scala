@@ -136,6 +136,63 @@ object TextAnalysis {
   def foldWidth(text: Column): Column =
     translate(text, WidthFoldFrom, WidthFoldTo)
 
+  /** The width-fold's multi-codepoint half: (katakana, voiced-mark)
+    * PAIRS composed into the precomposed letter — `カ゛` -> `ガ`,
+    * `ハ゜` -> `パ` — which a per-codepoint `translate` cannot do (the
+    * r17 width-fold's one documented NFKC deviation). 25 voiced + 5
+    * semi-voiced pairs, exactly Unicode's canonical-composition set for
+    * katakana (ウ゛->ヴ and the archaic ワ行 ヷヸヹヺ included); a mark after a
+    * non-composable base (ア゛) stays decomposed, as in NFC. Keys are
+    * the NON-combining U+309B/309C — precisely what [[foldWidth]] emits
+    * for half-width ﾞ/ﾟ — so `composeVoicedKana(foldWidth(text))`
+    * yields the full NFKC result for half-width voiced kana
+    * (WidthFoldSpec pins that against `java.text.Normalizer`). */
+  val VoicedKanaPairs: Seq[(String, String)] = {
+    val voiced = Seq(
+      0x30A6 -> 0x30F4, // ウ -> ヴ
+      0x30AB -> 0x30AC, 0x30AD -> 0x30AE, 0x30AF -> 0x30B0,
+      0x30B1 -> 0x30B2, 0x30B3 -> 0x30B4, // カ行 -> ガ行
+      0x30B5 -> 0x30B6, 0x30B7 -> 0x30B8, 0x30B9 -> 0x30BA,
+      0x30BB -> 0x30BC, 0x30BD -> 0x30BE, // サ行 -> ザ行
+      0x30BF -> 0x30C0, 0x30C1 -> 0x30C2, 0x30C4 -> 0x30C5,
+      0x30C6 -> 0x30C7, 0x30C8 -> 0x30C9, // タ行 -> ダ行
+      0x30CF -> 0x30D0, 0x30D2 -> 0x30D3, 0x30D5 -> 0x30D6,
+      0x30D8 -> 0x30D9, 0x30DB -> 0x30DC, // ハ行 -> バ行
+      0x30EF -> 0x30F7, 0x30F0 -> 0x30F8,
+      0x30F1 -> 0x30F9, 0x30F2 -> 0x30FA) // ワヰヱヲ -> ヷヸヹヺ
+    val semi = Seq(
+      0x30CF -> 0x30D1, 0x30D2 -> 0x30D4, 0x30D5 -> 0x30D7,
+      0x30D8 -> 0x30DA, 0x30DB -> 0x30DD) // ハ行 -> パ行
+    voiced.map { case (b, v) => (s"${b.toChar}゛", v.toChar.toString) } ++
+      semi.map { case (b, v) => (s"${b.toChar}゜", v.toChar.toString) }
+  }
+
+  /** Apply [[VoicedKanaPairs]] as a chain of literal `replace` calls —
+    * each pair is a disjoint 2-char pattern (distinct first chars, no
+    * replacement re-matches another pattern), so order is immaterial and
+    * one pass per pair suffices; `replace` has identical semantics in
+    * Spark and DuckDB, so the oracle replays the chain verbatim via
+    * [[composeVoicedKanaSql]]. All 30 replaces stay inside whole-stage
+    * codegen; absent-pattern passes are scan-only, no allocation. */
+  def composeVoicedKana(text: Column): Column =
+    VoicedKanaPairs.foldLeft(text) { case (acc, (from, to)) =>
+      org.apache.spark.sql.functions.replace(acc, lit(from), lit(to))
+    }
+
+  /** the SQL spelling of [[composeVoicedKana]] over the expression
+    * `inner` (nested `replace(...)` — no apostrophes occur in kana, so
+    * plain single-quoted literals embed safely) */
+  def composeVoicedKanaSql(inner: String): String =
+    VoicedKanaPairs.foldLeft(inner) { case (acc, (from, to)) =>
+      s"replace($acc, '$from', '$to')"
+    }
+
+  /** the full ingest normalization: width-fold, then voiced-mark
+    * composition — NFKC on the width block including voiced half-width
+    * kana */
+  def foldWidthNfkc(text: Column): Column =
+    composeVoicedKana(foldWidth(text))
+
   /** Feature-hashing document embeddings (the "hashing trick"): each
     * token lands in dimension `xxhash64(token) mod dim` with a ±1 sign
     * from an independent hash bit (sign cancellation keeps collision

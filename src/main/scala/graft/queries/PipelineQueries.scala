@@ -580,6 +580,49 @@ object PipelineQueries {
       },
       Some(s"""SELECT source, COUNT(*) AS n_docs, COUNT(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_with_lang, CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gen1, ${dsumSql("CAST(n_chars AS DOUBLE)")} AS chars_total FROM documents GROUP BY source ORDER BY source""")),
 
+    // zstd-JSONL round-trip (the public-corpus interchange format —
+    // Dolma/RedPajama/FineWeb all ship `*.jsonl.zst`): documents in the
+    // Dolma object shape (id, text, nested metadata, source), written
+    // one zstd frame per task via the rename-first commit, read back
+    // through the streaming frame walk + from_json. Value identity on
+    // the FULL text and the nested metadata against the original table
+    // (the q_tar_roundtrip discipline), so a single flipped byte
+    // anywhere in codec, framing, or JSON escape round-trip flips the
+    // hash. The JSON encode/decode never leaves Catalyst codegen; the
+    // task loop only moves bytes through the zstd codec.
+    QueryDef("q_jsonl_zstd",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val out = Tables.scratchPath("jsonl_zst", dir)
+        graft.sources.JsonlZstd.write(
+          Tables.documents(s, dir).select(
+            col("doc_id").as("id"),
+            col("text"),
+            struct(col("lang"), col("n_chars")).as("metadata"),
+            col("source"))
+            // one zstd frame per task; spread the compress encode (the
+            // q_avro_nested partition-sizing lesson)
+            .repartition(s.sparkContext.defaultParallelism), out)
+        val schema = StructType(Seq(
+          StructField("id", LongType),
+          StructField("text", StringType),
+          StructField("metadata", StructType(Seq(
+            StructField("lang", StringType),
+            StructField("n_chars", LongType)))),
+          StructField("source", StringType)))
+        graft.sources.JsonlZstd.read(s, out, schema)
+          .filter(col("error").isNull)
+          .select(col("id").as("doc_id"),
+            col("text").as("text_out"),
+            col("metadata.lang").as("lang_out"),
+            col("metadata.n_chars").as("chars_out"),
+            col("source").as("source_out"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text AS text_out, lang AS lang_out, " +
+        "n_chars AS chars_out, source AS source_out FROM documents " +
+        "ORDER BY doc_id")),
+
     // END-TO-END CURATION PIPELINE: the five standard stages composed as
     // one lazy plan — Gopher quality rules -> language keep -> exact
     // survivor dedup -> near-dup drop (lowest-id neighbor wins) ->
@@ -2468,6 +2511,7 @@ object PipelineQueries {
           concat(coalesce(col("text"), lit("")),
             lit(WfPre), fw4, lit(WfMid), fw4, lit(WfEnd)))
         val folded = TA.foldWidth(col("__mix"))
+        val nfkc = TA.composeVoicedKana(folded)
         mixed.select(col("doc_id"),
           TA.tokenCount(col("__mix"), seg = true).as("n_tokens_raw"),
           TA.tokenCount(folded, seg = true).as("n_tokens_fold"),
@@ -2479,7 +2523,14 @@ object PipelineQueries {
             .as("n_phones_raw"),
           regexp_count(folded, lit(TA.PhonePattern)).cast("long")
             .as("n_phones_fold"),
-          TA.fingerprintMd5(TA.segmentScripts(folded)).as("fp_fold"))
+          TA.fingerprintMd5(TA.segmentScripts(folded)).as("fp_fold"),
+          // voiced-mark composition (the fold's multi-codepoint half):
+          // each composition removes exactly one char, so the length
+          // delta counts compositions (the planted ｺﾞ + ﾊﾟ guarantee
+          // >= 2 per doc), and the fingerprint pins the exact composed
+          // stream
+          (length(folded) - length(nfkc)).cast("long").as("n_composed"),
+          TA.fingerprintMd5(TA.segmentScripts(nfkc)).as("fp_nfkc"))
           .orderBy("doc_id")
       },
       Some(textWidthFoldOracleSql)),
@@ -3625,7 +3676,12 @@ object PipelineQueries {
     val TA = TextAnalysis
     def ntok(x: String) =
       raw"""CASE WHEN LENGTH(TRIM($x)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM($x), '\s+')) END"""
-    raw"""WITH m AS (SELECT doc_id, COALESCE(text, '') || '$WfPre' || translate(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '0123456789', '$FwDigits') || '$WfMid' || translate(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '0123456789', '$FwDigits') || '$WfEnd' AS t FROM documents), f AS (SELECT doc_id, t, translate(t, '${TA.WidthFoldFrom}', '${TA.WidthFoldToSql}') AS tf FROM m), sg AS (SELECT doc_id, t, tf, regexp_replace(t, '${TA.SegmentPattern}', '${TA.SegmentReplDuck}', 'g') AS ts, regexp_replace(tf, '${TA.SegmentPattern}', '${TA.SegmentReplDuck}', 'g') AS tfs FROM f) SELECT doc_id, CAST(${ntok("ts")} AS BIGINT) AS n_tokens_raw, CAST(${ntok("tfs")} AS BIGINT) AS n_tokens_fold, CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digits_raw, CAST(len(regexp_extract_all(tf, '[0-9]')) AS BIGINT) AS n_digits_fold, CAST(len(regexp_extract_all(t, '${TA.PhonePattern}')) AS BIGINT) AS n_phones_raw, CAST(len(regexp_extract_all(tf, '${TA.PhonePattern}')) AS BIGINT) AS n_phones_fold, CAST(CASE WHEN r >= 9223372036854775808::HUGEINT THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fp_fold FROM (SELECT doc_id, t, tf, ts, tfs, list_reduce(list_prepend(0::HUGEINT, list_transform(regexp_split_to_array(trim(tfs), '\s+'), tok -> CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS HUGEINT))), (acc, h) -> (acc * 31 + h) % 18446744073709551616::HUGEINT) AS r FROM sg) ORDER BY doc_id"""
+    def fpAcc(x: String) =
+      raw"""list_reduce(list_prepend(0::HUGEINT, list_transform(regexp_split_to_array(trim($x), '\s+'), tok -> CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS HUGEINT))), (acc, h) -> (acc * 31 + h) % 18446744073709551616::HUGEINT)"""
+    def fpCast(r: String, as: String) =
+      s"CAST(CASE WHEN $r >= 9223372036854775808::HUGEINT THEN $r - 18446744073709551616::HUGEINT ELSE $r END AS BIGINT) AS $as"
+    val composed = TA.composeVoicedKanaSql("tf")
+    raw"""WITH m AS (SELECT doc_id, COALESCE(text, '') || '$WfPre' || translate(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '0123456789', '$FwDigits') || '$WfMid' || translate(lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '0123456789', '$FwDigits') || '$WfEnd' AS t FROM documents), f AS (SELECT doc_id, t, translate(t, '${TA.WidthFoldFrom}', '${TA.WidthFoldToSql}') AS tf FROM m), f2 AS (SELECT doc_id, t, tf, $composed AS tn FROM f), sg AS (SELECT doc_id, t, tf, tn, regexp_replace(t, '${TA.SegmentPattern}', '${TA.SegmentReplDuck}', 'g') AS ts, regexp_replace(tf, '${TA.SegmentPattern}', '${TA.SegmentReplDuck}', 'g') AS tfs, regexp_replace(tn, '${TA.SegmentPattern}', '${TA.SegmentReplDuck}', 'g') AS tns FROM f2) SELECT doc_id, CAST(${ntok("ts")} AS BIGINT) AS n_tokens_raw, CAST(${ntok("tfs")} AS BIGINT) AS n_tokens_fold, CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digits_raw, CAST(len(regexp_extract_all(tf, '[0-9]')) AS BIGINT) AS n_digits_fold, CAST(len(regexp_extract_all(t, '${TA.PhonePattern}')) AS BIGINT) AS n_phones_raw, CAST(len(regexp_extract_all(tf, '${TA.PhonePattern}')) AS BIGINT) AS n_phones_fold, ${fpCast("r", "fp_fold")}, CAST(LENGTH(tf) - LENGTH(tn) AS BIGINT) AS n_composed, ${fpCast("r2", "fp_nfkc")} FROM (SELECT doc_id, t, tf, tn, ts, tfs, ${fpAcc("tfs")} AS r, ${fpAcc("tns")} AS r2 FROM sg) ORDER BY doc_id"""
   }
 
   /** q_pii_scrub replay: identical planted-PII synthesis, then the same

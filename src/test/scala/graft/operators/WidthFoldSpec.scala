@@ -102,4 +102,67 @@ class WidthFoldSpec extends AnyFunSuite {
       .filter(col("f").isNull).count()
     assert(n === 1L)
   }
+
+  private def nfkcOf(s: String): String =
+    Seq(s).toDF("t")
+      .select(TextAnalysis.foldWidthNfkc(col("t")).as("f"))
+      .as[String].head()
+
+  test("VoicedKanaPairs is exactly Unicode's katakana composition set (pinned vs Normalizer)") {
+    assert(TextAnalysis.VoicedKanaPairs.size === 30)
+    // keys distinct; no replacement char re-matches another pattern's base
+    val keys = TextAnalysis.VoicedKanaPairs.map(_._1)
+    assert(keys.toSet.size === keys.size)
+    val bases = keys.map(_.charAt(0)).toSet
+    assert(TextAnalysis.VoicedKanaPairs.forall { case (_, to) =>
+      !bases.contains(to.charAt(0)) })
+    TextAnalysis.VoicedKanaPairs.foreach { case (from, to) =>
+      // NFC over (base, COMBINING mark) must produce our target
+      val combining = if (from.charAt(1) == '゛') '゙' else '゚'
+      val nfc = Normalizer.normalize(s"${from.charAt(0)}$combining",
+        Normalizer.Form.NFC)
+      assert(nfc === to, f"pair U+${from.charAt(0).toInt}%04X")
+    }
+    // and every composable katakana is covered: no (kana, combining)
+    // pair outside the table composes under NFC
+    (0x30A1 to 0x30FA).map(_.toChar).foreach { base =>
+      Seq('゙', '゚').foreach { m =>
+        val nfc = Normalizer.normalize(s"$base$m", Normalizer.Form.NFC)
+        val key = s"$base${if (m == '゙') '゛' else '゜'}"
+        if (nfc.length == 1)
+          assert(TextAnalysis.VoicedKanaPairs.toMap.get(key)
+            .contains(nfc), f"missing composable U+${base.toInt}%04X")
+        else
+          assert(!TextAnalysis.VoicedKanaPairs.toMap.contains(key))
+      }
+    }
+  }
+
+  test("foldWidthNfkc composes half-width voiced pairs to the NFKC result") {
+    //  ﾆﾎﾝｺﾞ -> ニホンゴ (NFKC, fully composed)
+    assert(nfkcOf("ﾆﾎﾝｺﾞ") ===
+      Normalizer.normalize("ﾆﾎﾝｺﾞ", Normalizer.Form.NFKC))
+    //  ﾊﾟﾝ -> パン; ｳﾞ -> ヴ; ﾜﾞ -> ヷ
+    Seq("ﾊﾟﾝ", "ｳﾞｨｰﾅｽ", "ﾜﾞ", "ｦﾞ").foreach { s =>
+      assert(nfkcOf(s) === Normalizer.normalize(s, Normalizer.Form.NFKC), s)
+    }
+    // a mark after a non-composable base stays decomposed (ｱﾞ -> ア゛ in
+    // our non-combining spelling; NFKC keeps it decomposed too, with the
+    // combining mark)
+    assert(nfkcOf("ｱﾞ") === "ア゛")
+    // composition is idempotent and leaves composed text alone
+    assert(nfkcOf(nfkcOf("ﾊﾟｶﾞｰﾄﾞ")) === nfkcOf("ﾊﾟｶﾞｰﾄﾞ"))
+    assert(nfkcOf("ガパヴ already composed") === "ガパヴ already composed")
+  }
+
+  test("composeVoicedKanaSql spells the identical chain (shared-table contract)") {
+    val sql = TextAnalysis.composeVoicedKanaSql("tf")
+    assert(sql.startsWith("replace(") && sql.contains("tf"))
+    // one replace per pair
+    assert("replace\\(".r.findAllIn(sql).size ===
+      TextAnalysis.VoicedKanaPairs.size)
+    TextAnalysis.VoicedKanaPairs.foreach { case (from, to) =>
+      assert(sql.contains(s"'$from', '$to'"))
+    }
+  }
 }

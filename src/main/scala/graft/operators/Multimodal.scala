@@ -1540,9 +1540,10 @@ object Multimodal {
     * path), `stco` absolute file offsets, `stts` one run at 10 fps, and
     * the `jpeg` VisualSampleEntry in `stsd` declares the codec. */
   def syntheticMjpegMp4s(df: DataFrame, idCol: String,
-      familyCol: String, nFrames: Int): DataFrame = {
+      familyCol: String, nFrames: Int, syncEvery: Int = 0): DataFrame = {
     require(nFrames > 0 && nFrames <= FrameKeyMult,
       s"nFrames must be in [1, $FrameKeyMult], got $nFrames")
+    require(syncEvery >= 0, s"syncEvery must be >= 0, got $syncEvery")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
@@ -1622,7 +1623,18 @@ object Multimodal {
             if (nFrames > split) be32(2) ++ be32(chunk1Off) ++ be32(chunk2Off)
             else be32(1) ++ be32(chunk1Off)
           val stco = full("stco", 0, 0, stcoEntries)
-          val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+          // stss (sync sample table): present only when syncEvery > 0 —
+          // sample numbers are 1-BASED per spec; an ABSENT stss means
+          // every sample is sync (ISO 14496-12 §8.6.2), which the walk
+          // honors, so syncEvery = 0 keeps the container byte-identical
+          // to the pre-keyframe writer
+          val stbl =
+            if (syncEvery > 0) {
+              val syncs = (1 to nFrames by syncEvery).toArray
+              val stss = full("stss", 0, 0,
+                be32(syncs.length) ++ syncs.flatMap(be32))
+              box("stbl", stsd, stts, stss, stsc, stsz, stco)
+            } else box("stbl", stsd, stts, stsc, stsz, stco)
           val minf = box("minf", vmhd, dinf, stbl)
           val mdia = box("mdia", mdhd, hdlr, minf)
           val trak = box("trak", tkhd, mdia)
@@ -1653,11 +1665,21 @@ object Multimodal {
     * structurally malformed / missing-or-inconsistent sample tables /
     * frameless / bomb-screened / undecodable payloads emit ONE stub row
     * `(id, -1, stub, decoded = false)`, never a task failure. The walk
-    * STOPS at `maxFrames` samples. Output `(id, frame_idx, phash,
-    * decoded)` — schema-identical to [[aviFrameDHash]], so
-    * [[videoNearDups]] consumes either. */
+    * STOPS at `maxFrames` emitted frames. Output `(id, frame_idx,
+    * phash, decoded)` — schema-identical to [[aviFrameDHash]], so
+    * [[videoNearDups]] consumes either.
+    *
+    * `syncOnly = true` is the KEYFRAME-SAMPLING mode — the standard
+    * 100 TB cost cut for video pipelines (decode the sync samples, skip
+    * the delta frames): only samples listed in the trak's `stss` box
+    * are decoded and emitted (an ABSENT stss means every sample is sync
+    * per ISO 14496-12 §8.6.2, so the mode degrades to the full walk);
+    * `frame_idx` carries the sample's ORIGINAL index, so temporal
+    * banding still aligns across containers, and a malformed stss
+    * (truncated table, sample number out of range) quarantines like any
+    * other structural damage. */
   def mp4FrameDHash(df: DataFrame, idCol: String, payloadCol: String,
-      maxFrames: Int): DataFrame = {
+      maxFrames: Int, syncOnly: Boolean = false): DataFrame = {
     require(maxFrames > 0 && maxFrames <= FrameKeyMult,
       s"maxFrames must be in [1, $FrameKeyMult], got $maxFrames")
     val spark = df.sparkSession
@@ -1702,9 +1724,14 @@ object Multimodal {
         def child(kids: Vector[(String, Int, Int)],
             tpe: String): Option[(Int, Int)] =
           kids.find(_._1 == tpe).map(k => (k._2, k._3))
-        // sample (offset, size) list from one video trak's stbl
+        // sample (sampleIdx, offset, size) list from one video trak's
+        // stbl. With syncOnly, only sync samples are EMITTED (stss,
+        // 1-based; an ABSENT stss means every sample is sync — ISO
+        // 14496-12 §8.6.2) — but every sample is still ENUMERATED,
+        // because offsets within a chunk are cumulative. maxFrames caps
+        // emitted frames (== enumerated when syncOnly is off).
         def samplesOf(b: Array[Byte],
-            stbl: (Int, Int)): Option[Vector[(Int, Int)]] = {
+            stbl: (Int, Int)): Option[Vector[(Int, Int, Int)]] = {
           val kids = children(b, stbl._1, stbl._2).getOrElse(return None)
           val (szOff, szEnd) = child(kids, "stsz").getOrElse(return None)
           val (scOff, scEnd) = child(kids, "stsc").getOrElse(return None)
@@ -1714,6 +1741,28 @@ object Multimodal {
           val fixedSize = be32At(b, szOff + 4)
           val nSamples = be32At(b, szOff + 8).toInt
           if (nSamples < 0) return None
+          // stss: optional sync-sample table (bounds-checked; an entry
+          // outside [1, nSamples] is structural damage -> quarantine)
+          val syncSet: Option[java.util.BitSet] =
+            if (!syncOnly) None
+            else child(kids, "stss") match {
+              case None => None // absent: every sample is sync
+              case Some((ssOff, ssEnd)) =>
+                if (ssEnd - ssOff < 8) return None
+                val nSync = be32At(b, ssOff + 4).toInt
+                if (nSync < 0 || ssOff + 8 + 4L * nSync > ssEnd) return None
+                val bs = new java.util.BitSet(nSamples + 1)
+                var i = 0
+                while (i < nSync) {
+                  val sn = be32At(b, ssOff + 8 + 4 * i)
+                  if (sn < 1 || sn > nSamples) return None
+                  bs.set(sn.toInt)
+                  i += 1
+                }
+                Some(bs)
+            }
+          def isSync(s0: Int): Boolean =
+            syncSet.forall(_.get(s0 + 1))
           def sizeOf(s: Int): Long =
             if (fixedSize != 0L) fixedSize
             else if (szOff + 12 + 4 * s + 4 <= szEnd)
@@ -1728,20 +1777,24 @@ object Multimodal {
               be32At(b, scOff + 8 + 12 * r + 4).toInt) // samples_per_chunk
           }
           if (runs.isEmpty || runs.head._1 != 1) return None
-          val frames = Vector.newBuilder[(Int, Int)]
+          val frames = Vector.newBuilder[(Int, Int, Int)]
+          var emitted = 0
           var s = 0
           var run = 0
           var c = 1
-          while (c <= nChunks && s < nSamples && s < maxFrames) {
+          while (c <= nChunks && s < nSamples && emitted < maxFrames) {
             while (run + 1 < runs.length && runs(run + 1)._1 <= c) run += 1
             val spc = runs(run)._2
             if (spc <= 0) return None
             var off = be32At(b, coOff + 8 + 4 * (c - 1))
             var k = 0
-            while (k < spc && s < nSamples && s < maxFrames) {
+            while (k < spc && s < nSamples && emitted < maxFrames) {
               val len = sizeOf(s)
               if (len < 0 || off < 0 || off + len > b.length) return None
-              frames += ((off.toInt, len.toInt))
+              if (isSync(s)) {
+                frames += ((s, off.toInt, len.toInt))
+                emitted += 1
+              }
               off += len
               s += 1
               k += 1
@@ -1751,7 +1804,7 @@ object Multimodal {
           Some(frames.result())
         }
         // the first trak whose mdia/hdlr declares a 'vide' handler
-        def videoSamples(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
+        def videoSamples(b: Array[Byte]): Option[Vector[(Int, Int, Int)]] = {
           if (b.length < 8) return None
           val top = children(b, 0, b.length).getOrElse(return None)
           if (!top.headOption.exists(_._1 == "ftyp")) return None
@@ -1784,7 +1837,7 @@ object Multimodal {
             case Some(chunks) if chunks.isEmpty => stubRow(id, payload)
             case Some(chunks) =>
               try {
-                val hashes = chunks.map { case (o, l) =>
+                val hashes = chunks.map { case (s, o, l) =>
                   val fb = java.util.Arrays.copyOfRange(payload, o, o + l)
                   // per-frame bomb screen BEFORE the pixel decode
                   val px = decodeJpeg(fb).orElse(decodeBmp(fb))
@@ -1795,10 +1848,14 @@ object Multimodal {
                   val img = decodeFrame(fb)
                   if (img == null)
                     throw new IllegalArgumentException("frame undecodable")
-                  frameDHash(img)
+                  (s, frameDHash(img))
                 }
-                hashes.iterator.zipWithIndex
-                  .map { case (h, f) => (id, f, h, true) }
+                // frame_idx is the sample's ORIGINAL index (== emission
+                // order when every sample is emitted, so the non-sync
+                // path is unchanged); keyframe rows therefore band on
+                // the true temporal position
+                hashes.iterator
+                  .map { case (s, h) => (id, s, h, true) }
               } catch {
                 case scala.util.control.NonFatal(_) => stubRow(id, payload)
               }

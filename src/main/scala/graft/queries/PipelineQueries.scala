@@ -2713,6 +2713,32 @@ object PipelineQueries {
       },
       Some(videoAviOracleSql())),
 
+    // keyframe-sampled video near-dup — the 100 TB decode-cost cut: the
+    // writer plants an stss sync-sample table (samples 1 and 4 of each
+    // 4-frame MP4) and the walk in syncOnly mode decodes ONLY those,
+    // skipping half the JPEG decodes while the temporal rollup still
+    // aligns on the true sample indices (frame_idx carries the original
+    // position). Same rank-permutation oracle as q_video_mp4 with the
+    // frame range restricted to the sync samples and the rollup floor
+    // lowered to the keyframe count — so a walk that ignores stss (too
+    // many frames), mis-indexes keyframes (banding desync) or decodes
+    // the wrong byte ranges flips the row.
+    QueryDef("q_video_keyframes",
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val mp4s = Multimodal.syntheticMjpegMp4s(fam, "doc_id", "family",
+          nFrames = 4, syncEvery = 3)
+        val frames = Multimodal.mp4FrameDHash(mp4s, "id", "payload",
+          maxFrames = 8, syncOnly = true)
+        Multimodal.videoNearDups(frames.filter(col("decoded")),
+            "id", "frame_idx", "phash", minFrames = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some(videoAviOracleSql(nFrames = 4, minFrames = 2,
+        frameWhere = " WHERE f % 3 = 0"))),
+
     // audio near-dup (the perceptual image path's audio twin): REAL
     // 8-bit PCM WAV payloads (RIFF encode, near-duplicate within a
     // content family) -> the real chunk-walk decode -> 64-bit
@@ -3613,9 +3639,9 @@ object PipelineQueries {
     * the shared banding + same-index temporal rollup — no codec replay
     * needed, yet any walk/decode corruption desyncs the Spark bits. */
   private def videoAviOracleSql(nFrames: Int = 4, minFrames: Int = 3,
-      maxBucket: Int = 64): String =
+      maxBucket: Int = 64, frameWhere: String = ""): String =
     "WITH fam AS (SELECT doc_id AS vid, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS family FROM documents), " +
-      s"ks AS (SELECT vid, f, y, x, md5(family || ':' || CAST(f AS VARCHAR) || ':' || CAST(y AS VARCHAR) || ':' || CAST(x AS VARCHAR)) AS k FROM fam CROSS JOIN range(0, $nFrames) fr(f) CROSS JOIN range(0, 8) ry(y) CROSS JOIN range(0, 9) rx(x)), " +
+      s"ks AS (SELECT vid, f, y, x, md5(family || ':' || CAST(f AS VARCHAR) || ':' || CAST(y AS VARCHAR) || ':' || CAST(x AS VARCHAR)) AS k FROM fam CROSS JOIN range(0, $nFrames) fr(f) CROSS JOIN range(0, 8) ry(y) CROSS JOIN range(0, 9) rx(x)$frameWhere), " +
       "rk AS (SELECT vid, f, y, x, ROW_NUMBER() OVER (PARTITION BY vid, f, y ORDER BY k, x) - 1 AS r FROM ks), " +
       "bits AS (SELECT a.vid * 64 + a.f AS doc_id, CAST(a.y * 8 + a.x AS INT) AS i, CASE WHEN a.r > b.r THEN 1 ELSE 0 END AS bit FROM rk a JOIN rk b ON b.vid = a.vid AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 8)" +
       bitsToPairsSql(maxBucket) +

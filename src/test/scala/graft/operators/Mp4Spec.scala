@@ -116,4 +116,63 @@ class Mp4Spec extends AnyFunSuite {
       .collect()
     assert(got.forall(r => r.getLong(1) == 2L && r.getInt(2) == 1))
   }
+
+  private def mp4sSync = Multimodal.syntheticMjpegMp4s(
+    corpus, "vid", "family", nFrames = 4, syncEvery = 3)
+
+  test("syncOnly decodes EXACTLY the stss samples, at their original indices, with identical hashes") {
+    val full = Multimodal.mp4FrameDHash(mp4sSync, "id", "payload",
+        maxFrames = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val keys = Multimodal.mp4FrameDHash(mp4sSync, "id", "payload",
+        maxFrames = 8, syncOnly = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getBoolean(3)))
+    // stss = samples {1, 4} (1-based) -> frame_idx {0, 3}
+    assert(keys.length === 24 * 2)
+    assert(keys.forall(_._4))
+    assert(keys.map(_._2).toSet === Set(0, 3))
+    keys.foreach { case (id, f, h, _) => assert(full((id, f)) === h) }
+    // stss presence doesn't perturb the full walk (4 frames as before)
+    assert(full.size === 24 * 4)
+  }
+
+  test("absent stss means every sample is sync (ISO 14496-12 rule)") {
+    val n = Multimodal.mp4FrameDHash(mp4s, "id", "payload",
+        maxFrames = 8, syncOnly = true).filter(col("decoded")).count()
+    assert(n === 24 * 4)
+  }
+
+  test("syncOnly maxFrames caps EMITTED keyframes; malformed stss quarantines") {
+    val capped = Multimodal.mp4FrameDHash(mp4sSync, "id", "payload",
+        maxFrames = 1, syncOnly = true)
+      .groupBy("id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
+      .collect()
+    assert(capped.forall(r => r.getLong(1) == 1L && r.getInt(2) == 0))
+    // corrupt the stss: point a sample number past nSamples
+    val one = Seq((1L, "family content number 0 with words"))
+      .toDF("vid", "family")
+    val payload = Multimodal.syntheticMjpegMp4s(one, "vid", "family",
+      nFrames = 4, syncEvery = 3).select("payload").as[Array[Byte]].head()
+    val tag = "stss".getBytes("ISO-8859-1")
+    val at = payload.indices.find(i => i + 4 <= payload.length &&
+      payload(i) == tag(0) && payload(i + 1) == tag(1) &&
+      payload(i + 2) == tag(2) && payload(i + 3) == tag(3)).get
+    val bad = payload.clone()
+    // first entry (4 tag + 4 version/flags + 4 count = offset 12): set
+    // sample_number to 99 (> nSamples = 4)
+    bad(at + 12) = 0; bad(at + 13) = 0; bad(at + 14) = 0; bad(at + 15) = 99
+    val rows = Multimodal.mp4FrameDHash(
+        Seq((1L, bad)).toDF("id", "payload"), "id", "payload",
+        maxFrames = 8, syncOnly = true)
+      .collect().map(r => (r.getInt(1), r.getBoolean(3)))
+    assert(rows.toSeq === Seq((-1, false)))
+    // the SAME damaged file still full-walks (stss ignored when
+    // syncOnly is off) — damage isolation, not over-quarantine
+    val fullRows = Multimodal.mp4FrameDHash(
+        Seq((1L, bad)).toDF("id", "payload"), "id", "payload",
+        maxFrames = 8)
+      .filter(col("decoded")).count()
+    assert(fullRows === 4L)
+  }
 }

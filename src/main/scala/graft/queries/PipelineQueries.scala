@@ -1870,6 +1870,70 @@ object PipelineQueries {
       },
       Some(bpeBytesOracleSql)),
 
+    // UNIGRAM-LM (SentencePiece-style) ENCODING against a FIXED literal
+    // piece table — the serving-time Viterbi kernel isolated: per word,
+    // best(p) = max_k best(p-k) * prob(piece), smallest-k tie-break,
+    // backtrace to the piece stream. Probabilities are exact dyadic
+    // rationals (weight / 4096 — one IEEE division each) and every DP
+    // step is one multiplication + comparisons in a FIXED order, so the
+    // oracle's recursive-CTE replay (forward DP with GREATEST over the
+    // four statically-unrolled candidates, then a backtrace recursion)
+    // is bit-identical. The literal table deliberately OMITS
+    // {j,k,q,v,w,x,y,z}, so real corpus words (join, spark, key,
+    // window, query) exercise the pUnk out-of-vocabulary price — the
+    // path q_unigram_tokenize's fully-covered trained vocab never hits.
+    QueryDef("q_unigram_encode",
+      (s, dir) => {
+        import s.implicits._
+        val model = graft.operators.Unigram.Model(
+          unigramLiteralPieces.map { case (p, w) => p -> w / 4096.0 }.toMap,
+          maxPieceLen = 4)
+        Tables.documents(s, dir)
+          .select(explode(graft.operators.Corpus.spanTokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy("w").agg(count(lit(1)).as("n_occ"))
+          .as[(String, Long)]
+          .mapPartitions(_.map { case (w, n) =>
+            val (ps, _) = graft.operators.Unigram.segment(w, model)
+            (w, n, ps.mkString(" "), ps.length.toLong)
+          })
+          .toDF("word", "n_occ", "pieces", "n_pieces")
+          .orderBy("word")
+      },
+      Some(unigramEncodeOracleSql)),
+
+    // UNIGRAM-LM TRAINING, fully oracle-replayed (the q_bpe_tokenize
+    // discipline applied to the EM family): the corpus word-frequency
+    // pass, the seed-substring vocabulary (every substring of length
+    // 1..4, counts summed over word frequencies, multi-char pieces
+    // capped), TWO hard-EM rounds (probs = count / total in single IEEE
+    // divisions; Viterbi counts via the recursive-CTE DP; Laplace +1 on
+    // single chars so coverage never breaks; top-64 multi-char prune on
+    // (count desc, piece asc)) and the final corpus encode — ALL
+    // replayed in one generated SQL chain, so a drift anywhere in seed
+    // extraction, EM accounting, pruning order, probability arithmetic
+    // or the DP kernel flips rows. AS MATERIALIZED throughout (each EM
+    // round references its predecessors repeatedly — the kmeansCtes
+    // exponential-inlining lesson).
+    QueryDef("q_unigram_tokenize",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val model = graft.operators.Unigram.train(docs, "text")
+        docs
+          .select(explode(graft.operators.Corpus.spanTokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy("w").agg(count(lit(1)).as("n_occ"))
+          .as[(String, Long)]
+          .mapPartitions(_.map { case (w, n) =>
+            val (ps, _) = graft.operators.Unigram.segment(w, model)
+            (w, n, ps.mkString(" "), ps.length.toLong)
+          })
+          .toDF("word", "n_occ", "pieces", "n_pieces")
+          .orderBy("word")
+      },
+      Some(unigramTrainOracleSql())),
+
     // multimodal pipeline: payload -> decode (real ImageIO pixel path,
     // header/stub geometry fallback for these non-image payloads) ->
     // aspect-preserving resize -> batched feature extraction (stub
@@ -3044,6 +3108,112 @@ object PipelineQueries {
       .mkString(", ")
     val pat = graft.operators.Bpe.BytePretokenPattern
     raw"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES $vals), words AS (SELECT w, COUNT(*) AS n_occ FROM (SELECT UNNEST(regexp_extract_all(COALESCE(text, '') || ' ${CjkZhSentence} ${CjkJaPhrase}', '$pat')) AS w FROM documents) GROUP BY w), init AS (SELECT w, '|' || array_to_string(list_transform(range(1, octet_length(encode(w)) + 1), i -> lower(substring(hex(encode(w)), CAST(2*i-1 AS INT), 2))), '||') || '|' AS s FROM words), enc AS (SELECT w, s FROM init UNION ALL SELECT e.w, replace(e.s, (SELECT m.pat FROM merges m WHERE contains(e.s, m.pat) ORDER BY m.rank LIMIT 1), (SELECT m.rep FROM merges m WHERE contains(e.s, m.pat) ORDER BY m.rank LIMIT 1)) FROM enc e WHERE EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat))) SELECT w AS word, n_occ, trim(replace(s, '||', ' '), '|') AS subwords, CAST(len(string_split(trim(replace(s, '||', ' '), '|'), ' ')) AS BIGINT) AS n_subwords FROM enc e JOIN words USING (w) WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat)) ORDER BY word"""
+  }
+
+  /** The FIXED literal unigram piece table shared by q_unigram_encode's
+    * engine body and its oracle. Weights are probabilities in units of
+    * 1/4096 (the division is one correctly-rounded IEEE op on both
+    * sides). Single chars deliberately OMIT {j,k,q,v,w,x,y,z} so real
+    * corpus words exercise the pUnk OOV price; the multi-char pieces
+    * cover chained preferences (th/the/he), overlapping alternatives
+    * (ti/tion, an/and), and 4-gram whole-word pieces (data/scan/sort).
+    * A def — `all` is built during object init (see topTermsK). */
+  private def unigramLiteralPieces: Seq[(String, Int)] = Seq(
+    "a" -> 130, "b" -> 25, "c" -> 45, "d" -> 60, "e" -> 180, "f" -> 35,
+    "g" -> 30, "h" -> 90, "i" -> 115, "l" -> 65, "m" -> 40, "n" -> 110,
+    "o" -> 120, "p" -> 30, "r" -> 95, "s" -> 100, "t" -> 140, "u" -> 45,
+    "th" -> 80, "the" -> 200, "he" -> 60, "in" -> 120, "ing" -> 100,
+    "an" -> 70, "and" -> 90, "er" -> 75, "re" -> 60, "on" -> 55,
+    "at" -> 50, "en" -> 45, "ed" -> 45, "or" -> 40, "st" -> 45,
+    "ar" -> 35, "is" -> 35, "it" -> 35, "te" -> 30, "ti" -> 30,
+    "tion" -> 60, "le" -> 30, "al" -> 35, "ta" -> 30, "ab" -> 20,
+    "able" -> 40, "data" -> 50, "scan" -> 45, "sort" -> 40)
+
+  /** the pUnk constant, 2^-10 — must equal
+    * [[graft.operators.Unigram.DefaultPUnk]] (spec-pinned). A def —
+    * `all` is built during object init (see topTermsK). */
+  private def unigramPUnkSql = "CAST(0.0009765625 AS DOUBLE)"
+
+  /** The Viterbi DP of [[graft.operators.Unigram.segment]] as a pair of
+    * recursive CTEs — the kernel fragment shared by BOTH unigram
+    * oracles, so the literal-table and trained-replay paths cannot
+    * drift. `{pre}vit` runs the forward DP (one row per (word,
+    * position); candidates for the 4 piece lengths statically unrolled,
+    * `GREATEST` = max, the CASE chain = smallest-k tie-break exactly as
+    * the engine's strictly-greater-replaces loop), `{pre}seg` walks the
+    * back-pointers, `{pre}ps` keeps the completed piece lists. Piece
+    * probabilities come from `{pmCte}.pm` (a MAP — map_extract is a
+    * plain scalar function; DuckDB 1.0's LAMBDA engine is
+    * nondeterministic under threads, which is why this is a recursive
+    * CTE and not a list_reduce). */
+  private def unigramVitCtes(pre: String, wordsCte: String,
+      pmCte: String, carry: String, kmax: Int = 4): (String, String) = {
+    val c = if (carry.nonEmpty) s", $carry" else ""
+    def prob(k: Int): String =
+      s"COALESCE(map_extract(pm, substring(w, p + 2 - $k, $k))[1], " +
+        (if (k == 1) s"$unigramPUnkSql)" else "CAST(0.0 AS DOUBLE))")
+    val cands = (1 to kmax).map(k =>
+      s"CASE WHEN $k <= p + 1 THEN bs[p + 2 - $k] * ${prob(k)} " +
+        s"ELSE CAST(-1.0 AS DOUBLE) END AS c$k").mkString(", ")
+    val best = (1 to kmax).map(k => s"c$k").mkString("GREATEST(", ", ", ")")
+    val ksel = "CASE " + (1 until kmax).map { k =>
+      val conds = (k + 1 to kmax).map(j => s"c$k >= c$j").mkString(" AND ")
+      s"WHEN $conds THEN $k"
+    }.mkString(" ") + s" ELSE $kmax END"
+    val frag =
+      s"${pre}vit(w$c, p, bs, kk) AS (SELECT w$c, 0, [CAST(1.0 AS DOUBLE)], CAST([] AS INT[]) FROM $wordsCte UNION ALL SELECT w$c, p + 1, list_append(bs, $best), list_append(kk, $ksel) FROM (SELECT w$c, p, bs, kk, $cands FROM ${pre}vit CROSS JOIN $pmCte WHERE p < length(w)) ), " +
+        s"${pre}seg(w$c, kk, pos, ps) AS (SELECT w$c, kk, length(w), CAST([] AS VARCHAR[]) FROM ${pre}vit WHERE p = length(w) UNION ALL SELECT w$c, kk, pos - kk[pos], list_prepend(substring(w, pos - kk[pos] + 1, kk[pos]), ps) FROM ${pre}seg WHERE pos > 0), " +
+        s"${pre}ps AS MATERIALIZED (SELECT w$c, ps FROM ${pre}seg WHERE pos = 0)"
+    (frag, s"${pre}ps")
+  }
+
+  /** q_unigram_encode replay: the literal table as VALUES -> one map ->
+    * the shared Viterbi kernel over every `^[a-z]+$` corpus word. */
+  private lazy val unigramEncodeOracleSql: String = {
+    val vals = unigramLiteralPieces
+      .map { case (p, w) => s"('$p', $w)" }.mkString(", ")
+    val (frag, fps) = unigramVitCtes("f", "aw", "pmf", "n_occ")
+    raw"""WITH RECURSIVE pieces(p, wt) AS (VALUES $vals), pmf AS MATERIALIZED (SELECT map_from_entries(list((p, CAST(wt AS DOUBLE) / 4096.0))) AS pm FROM pieces), aw AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ FROM (SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w FROM documents) WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w), """ +
+      frag +
+      s" SELECT w AS word, n_occ, array_to_string(ps, ' ') AS pieces, CAST(len(ps) AS BIGINT) AS n_pieces FROM $fps ORDER BY word"
+  }
+
+  /** q_unigram_tokenize replay: word frequencies -> seed substrings ->
+    * `rounds` hard-EM rounds (each: integer-count probabilities, the
+    * shared Viterbi kernel, usage accounting, Laplace-kept singles,
+    * top-`vocabSize` multi-char prune) -> final-model corpus encode.
+    * Every CTE that is referenced more than once is MATERIALIZED. */
+  private def unigramTrainOracleSql(vocabSize: Int = 64,
+      maxVocabWords: Int = 256, minCount: Int = 2, seedCap: Int = 512,
+      rounds: Int = 2): String = {
+    val head =
+      raw"""tok AS MATERIALIZED (SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w FROM documents), """ +
+        raw"""wc AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM tok WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w), """ +
+        s"tw AS MATERIALIZED (SELECT w, c FROM (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM wc WHERE c >= $minCount AND length(w) <= 32) WHERE rn <= $maxVocabWords), " +
+        "sub AS MATERIALIZED (SELECT substring(w, CAST(i AS INT), CAST(l AS INT)) AS p, CAST(SUM(c) AS BIGINT) AS cnt FROM tw CROSS JOIN range(1, 33) ri(i) CROSS JOIN range(1, 5) rl(l) WHERE i <= length(w) AND i + l <= length(w) + 1 GROUP BY 1), " +
+        "sing0 AS MATERIALIZED (SELECT p, cnt FROM sub WHERE length(p) = 1), " +
+        s"mult0 AS MATERIALIZED (SELECT p, cnt FROM (SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn FROM sub WHERE length(p) > 1) WHERE rn <= $seedCap)"
+    def emRound(r: Int, prevS: String, prevM: String): String = {
+      val (frag, psc) = unigramVitCtes(s"r$r", "tw", s"pm$r", "c")
+      s"vocab$r AS MATERIALIZED (SELECT p, cnt FROM $prevS UNION ALL SELECT p, cnt FROM $prevM), " +
+        s"tot$r AS MATERIALIZED (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM vocab$r), " +
+        s"pm$r AS MATERIALIZED (SELECT map_from_entries(list((p, CAST(cnt AS DOUBLE) / t))) AS pm FROM vocab$r, tot$r), " +
+        frag + ", " +
+        s"use$r AS MATERIALIZED (SELECT p, CAST(SUM(c) AS BIGINT) AS cnt FROM (SELECT c, UNNEST(ps) AS p FROM $psc) GROUP BY p), " +
+        s"sing$r AS MATERIALIZED (SELECT s.p, COALESCE(u.cnt, 0) + 1 AS cnt FROM sing0 s LEFT JOIN use$r u ON s.p = u.p), " +
+        s"mult$r AS MATERIALIZED (SELECT p, cnt FROM (SELECT p, cnt, row_number() OVER (ORDER BY cnt DESC, p) AS rn FROM use$r WHERE length(p) > 1) WHERE rn <= $vocabSize)"
+    }
+    val roundsSql = (1 to rounds)
+      .map(r => emRound(r, s"sing${r - 1}", s"mult${r - 1}"))
+    val (ffrag, fps) = unigramVitCtes("f", "aw", "pmf", "n_occ")
+    val tail =
+      s"vocabf AS MATERIALIZED (SELECT p, cnt FROM sing$rounds UNION ALL SELECT p, cnt FROM mult$rounds), " +
+        "totf AS MATERIALIZED (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM vocabf), " +
+        "pmf AS MATERIALIZED (SELECT map_from_entries(list((p, CAST(cnt AS DOUBLE) / t))) AS pm FROM vocabf, totf), " +
+        raw"""aw AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ FROM tok WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w), """ +
+        ffrag
+    "WITH RECURSIVE " + (Seq(head) ++ roundsSql ++ Seq(tail)).mkString(", ") +
+      s" SELECT w AS word, n_occ, array_to_string(ps, ' ') AS pieces, CAST(len(ps) AS BIGINT) AS n_pieces FROM $fps ORDER BY word"
   }
 
   /** DuckDB replay of q_multimodal_geom: Multimodal.decodeImageStub's

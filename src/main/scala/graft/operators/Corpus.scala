@@ -364,4 +364,83 @@ object Corpus {
     train.join(
       decontaminationHits(train, bench, idCol, textCol, n).select(idCol),
       Seq(idCol), "left_anti")
+
+  /** the CDC hash modulus (2^31 − 1) and base — shared with the SQL
+    * oracle's lag-term constants */
+  val CdcMod: Long = 2147483647L
+  val CdcBase: Long = 31L
+
+  /** per-offset multipliers `31^j mod (2^31−1)` for a `window`-wide
+    * rolling hash (exposed so the oracle interpolates the same
+    * literals) */
+  def cdcWeights(window: Int): IndexedSeq[Long] =
+    Iterator.iterate(1L)(g => (g * CdcBase) % CdcMod).take(window).toIndexedSeq
+
+  /** Content-defined chunking (the FastCDC/rolling-hash family): cut
+    * each document at positions where a rolling hash of the trailing
+    * `window` CODEPOINTS satisfies `h % divisor == 0` — boundaries are
+    * functions of local CONTENT, not offsets, so an insertion early in
+    * a document shifts only the chunk it lands in and re-synchronizes
+    * at the next boundary (CdcSpec pins that), which is what makes
+    * sub-document dedup robust where fixed spans are not.
+    *
+    * The DP-free kernel is deliberately oracle-replayable: `h(i) =
+    * (Σ_{j<window} cp(i−j) · 31^j) mod (2^31−1)` over 1-based codepoint
+    * positions `i >= window` — eight integer multiply-adds the SQL
+    * oracle spells as LAG terms; codepoint semantics are identical in
+    * the JVM (`String.codePoints`) and DuckDB (substring/unicode).
+    * A chunk spans (prevBoundary, boundary]; the final chunk always
+    * ends at the text end, so chunk concatenation reproduces the
+    * document exactly.
+    *
+    * Output `(id, chunk_idx, chunk, n_cp)`, one row per chunk — a
+    * narrow per-row pass (mapPartitions: per-codepoint imperative
+    * scanning, the documented codec-class case), no shuffle; the
+    * downstream dedup groupBy is the only shuffle, keyed on chunk
+    * content. At 100 TB the divisor is the knob: average chunk length
+    * `divisor` codepoints, so the chunk-key shuffle is
+    * `~bytes/divisor` rows whatever the document-length distribution.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 32): DataFrame = {
+    require(window >= 1 && window <= 32, s"window in [1,32], got $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = window
+    val d = divisor
+    val g = cdcWeights(window).toArray
+    docs.select(col(idCol).cast("long").as("__id"),
+        col(textCol).cast("string"))
+      .filter(col("__id").isNotNull)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null || text.isEmpty) Iterator.empty
+        else {
+          val cps = text.codePoints().toArray
+          val n = cps.length
+          val bounds = Vector.newBuilder[Int]
+          var i = w // 1-based position of the window's last codepoint
+          while (i <= n) {
+            var h = 0L
+            var j = 0
+            while (j < w) {
+              h += cps(i - 1 - j) * g(j)
+              j += 1
+            }
+            if (h % CdcMod % d == 0L) bounds += i
+            i += 1
+          }
+          val bs = (bounds.result() :+ n).distinct
+          var prev = 0
+          bs.iterator.zipWithIndex.map { case (b, idx) =>
+            val chunk = new String(cps, prev, b - prev)
+            val out = (id, idx + 1, chunk, (b - prev).toLong)
+            prev = b
+            out
+          }
+        }
+      }
+      .toDF("id", "chunk_idx", "chunk", "n_cp")
+  }
 }

@@ -323,6 +323,35 @@ object PipelineQueries {
       },
       Some("""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents), n AS (SELECT doc_id, toks, LEN(toks) AS n FROM t), s AS (SELECT doc_id, toks, n, UNNEST(generate_series(0, GREATEST(n - 1, 0), 48)) AS chunk_start FROM n) SELECT doc_id, CAST(chunk_start // 48 AS BIGINT) AS chunk_idx, CAST(chunk_start AS BIGINT) AS chunk_start, CAST(LEAST(64, n - chunk_start) AS BIGINT) AS chunk_len, array_to_string(list_slice(toks, chunk_start + 1, chunk_start + LEAST(64, n - chunk_start)), ' ') AS chunk_text FROM s ORDER BY doc_id, chunk_start""")),
 
+    // CONTENT-DEFINED CHUNKING dedup (the FastCDC/rolling-hash family —
+    // sub-document dedup that survives insertions, where fixed spans do
+    // not): every document is cut where a rolling hash of the trailing
+    // 8 codepoints hits 0 mod 32, chunks are grouped by exact content
+    // across the corpus, and the duplicated ones (the shared-boilerplate
+    // findings) come back with their occurrence/document counts. The
+    // kernel is 8 integer multiply-adds mod 2^31-1 per position, which
+    // the oracle spells as LAG terms over the codepoint sequence —
+    // boundary choice, chunk extents, contents and counts all replayed,
+    // so an off-by-one anywhere in the window, the modulus or the
+    // backfill flips rows. Scale shape: one narrow chunking pass, one
+    // chunk-keyed count shuffle (~bytes/32 rows); CdcSpec pins the
+    // insertion-resynchronization property that justifies the operator.
+    QueryDef("q_doc_cdc",
+      (s, dir) => {
+        val chunks = graft.operators.Corpus.cdcChunks(
+          Tables.documents(s, dir), "doc_id", "text")
+        chunks.groupBy(col("chunk"))
+          .agg(count(lit(1)).as("n_occ"),
+            count_distinct(col("id")).as("n_docs"),
+            min(col("id")).as("first_doc"),
+            min(col("n_cp")).as("n_cp"))
+          .filter(col("n_occ") > 1)
+          .select(md5(col("chunk")).as("chunk_hash"), col("n_cp"),
+            col("n_occ"), col("n_docs"), col("first_doc"))
+          .orderBy("chunk_hash")
+      },
+      Some(docCdcOracleSql)),
+
     // WebDataset tar-shard round-trip: pack documents into .tar shards
     // (one task per shard), walk them back with the pure-JVM ustar
     // reader, and prove byte fidelity — the oracle reads the ORIGINAL
@@ -3108,6 +3137,28 @@ object PipelineQueries {
       .mkString(", ")
     val pat = graft.operators.Bpe.BytePretokenPattern
     raw"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES $vals), words AS (SELECT w, COUNT(*) AS n_occ FROM (SELECT UNNEST(regexp_extract_all(COALESCE(text, '') || ' ${CjkZhSentence} ${CjkJaPhrase}', '$pat')) AS w FROM documents) GROUP BY w), init AS (SELECT w, '|' || array_to_string(list_transform(range(1, octet_length(encode(w)) + 1), i -> lower(substring(hex(encode(w)), CAST(2*i-1 AS INT), 2))), '||') || '|' AS s FROM words), enc AS (SELECT w, s FROM init UNION ALL SELECT e.w, replace(e.s, (SELECT m.pat FROM merges m WHERE contains(e.s, m.pat) ORDER BY m.rank LIMIT 1), (SELECT m.rep FROM merges m WHERE contains(e.s, m.pat) ORDER BY m.rank LIMIT 1)) FROM enc e WHERE EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat))) SELECT w AS word, n_occ, trim(replace(s, '||', ' '), '|') AS subwords, CAST(len(string_split(trim(replace(s, '||', ' '), '|'), ' ')) AS BIGINT) AS n_subwords FROM enc e JOIN words USING (w) WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat)) ORDER BY word"""
+  }
+
+  /** q_doc_cdc replay: codepoints via constant-bound range + substring/
+    * unicode (both engines are codepoint-based — WidthFold/CJK rows
+    * established the substring parity), the rolling hash as the 8 LAG
+    * terms with [[graft.operators.Corpus.cdcWeights]]' exact constants,
+    * boundary set ∪ text end, chunk extents via LAG over boundaries,
+    * then the same duplicated-chunk census. Every term is BIGINT (cp <
+    * 2^21, weight < 2^35, 8 terms < 2^59 — no overflow either side). */
+  private def docCdcOracleSql: String = {
+    import graft.operators.Corpus
+    val g = Corpus.cdcWeights(8)
+    val terms = (0 until 8).map { j =>
+      if (j == 0) s"cp * ${g(j)}"
+      else s"COALESCE(LAG(cp, $j) OVER (PARTITION BY doc_id ORDER BY i), CAST(0 AS BIGINT)) * ${g(j)}"
+    }.mkString(" + ")
+    s"WITH cps AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i, CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS cp FROM documents CROSS JOIN range(1, 2048) r(i) WHERE i <= length(text)), " +
+      s"hs AS (SELECT doc_id, i, ($terms) % ${Corpus.CdcMod} AS h FROM cps), " +
+      "bnd AS (SELECT doc_id, i FROM hs WHERE i >= 8 AND h % 32 = 0 UNION SELECT doc_id, CAST(length(text) AS INT) FROM documents WHERE length(text) > 0), " +
+      "chk AS (SELECT doc_id, COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS p, i AS b FROM bnd), " +
+      "chunks AS MATERIALIZED (SELECT c.doc_id, substring(d.text, p + 1, b - p) AS chunk, b - p AS n_cp FROM chk c JOIN documents d USING (doc_id)) " +
+      "SELECT md5(chunk) AS chunk_hash, CAST(MIN(n_cp) AS BIGINT) AS n_cp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc FROM chunks GROUP BY chunk HAVING COUNT(*) > 1 ORDER BY chunk_hash"
   }
 
   /** The FIXED literal unigram piece table shared by q_unigram_encode's

@@ -184,23 +184,21 @@ object JsonlZstd {
       .toDF("line", "error")
   }
 
-  /** Schema'd reader: parse each line with `from_json` against
-    * `schema`; output = schema's columns + `error`. Container-level
-    * corruption carries the walk's quarantine message; a line that is
-    * not valid JSON for the schema gets a per-ROW parse error (the
-    * PERMISSIVE posture — one bad line never poisons its file;
-    * detection rides `columnNameOfCorruptRecord`, since PERMISSIVE
-    * `from_json` yields a null-FILLED struct, not a null struct). */
-  def read(spark: SparkSession, path: String,
+  /** the shared `(line, error)` -> schema'd-columns parse chain of
+    * [[read]] and [[readStream]] — ONE definition, so batch and stream
+    * cannot drift. PERMISSIVE `from_json` yields a null-FILLED struct
+    * (not a null struct) on malformed input, so per-row detection
+    * rides `columnNameOfCorruptRecord`. */
+  private def parseLines(lines: DataFrame,
       schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains("_corrupt_record"),
-      "JsonlZstd.read: _corrupt_record is reserved")
+      "JsonlZstd: _corrupt_record is reserved")
     val parseSchema = StructType(
       schema.fields :+ StructField("_corrupt_record", StringType))
     val parsed: Column = from_json(col("line"), parseSchema,
       Map("mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> "_corrupt_record"))
-    readLines(spark, path)
+    lines
       .withColumn("__p", parsed)
       .select(
         schema.fieldNames.map(f => col(s"__p.$f").as(f)).toIndexedSeq :+
@@ -212,9 +210,50 @@ object JsonlZstd {
             .otherwise(lit(null).cast(StringType)).as("error"): _*)
   }
 
+  /** Schema'd reader: parse each line with `from_json` against
+    * `schema`; output = schema's columns + `error`. Container-level
+    * corruption carries the walk's quarantine message; a line that is
+    * not valid JSON for the schema gets a per-ROW parse error (the
+    * PERMISSIVE posture — one bad line never poisons its file). */
+  def read(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    parseLines(readLines(spark, path), schema)
+
   /** the relaxed output shape [[read]] produces (callers building
     * downstream schemas) */
   def outputSchema(schema: StructType): StructType =
     StructType(schema.fields.map(_.copy(nullable = true)) :+
       StructField("error", StringType, nullable = true))
+
+  /** STREAMING ingestion of a growing corpus directory — the shape a
+    * live Dolma-style pipeline lands data in (fetchers append
+    * `*.jsonl.zst` shards; curation tails the directory): the
+    * `binaryFile` file-stream source discovers newly landed files per
+    * micro-batch and each decodes through the SAME [[walkFile]] +
+    * `from_json` chain as [[read]] (batch == stream by construction —
+    * pinned in JsonlZstdSpec's AvailableNow equivalence test). One file
+    * = one source unit, so exactly-once ingestion rides the
+    * file-source log; downstream watermarks/aggregations attach as on
+    * any stream. */
+  def readStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", org.apache.spark.sql.types.StringType),
+      StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      StructField("length", org.apache.spark.sql.types.LongType),
+      StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val lines = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.jsonl*").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { raw =>
+        val (ls, err) = walkFile(raw)
+        ls.iterator.map(l => (l, null: String)) ++
+          err.iterator.map(m => (null: String, m))
+      }
+      .toDF("line", "error")
+    parseLines(lines, schema)
+  }
 }

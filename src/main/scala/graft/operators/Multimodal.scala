@@ -1540,7 +1540,8 @@ object Multimodal {
     * path), `stco` absolute file offsets, `stts` one run at 10 fps, and
     * the `jpeg` VisualSampleEntry in `stsd` declares the codec. */
   def syntheticMjpegMp4s(df: DataFrame, idCol: String,
-      familyCol: String, nFrames: Int, syncEvery: Int = 0): DataFrame = {
+      familyCol: String, nFrames: Int, syncEvery: Int = 0,
+      co64: Boolean = false): DataFrame = {
     require(nFrames > 0 && nFrames <= FrameKeyMult,
       s"nFrames must be in [1, $FrameKeyMult], got $nFrames")
     require(syncEvery >= 0, s"syncEvery must be >= 0, got $syncEvery")
@@ -1619,10 +1620,21 @@ object Multimodal {
           val stsc = full("stsc", 0, 0, stscEntries)
           val stsz = full("stsz", 0, 0, be32(0), be32(nFrames),
             frames.flatMap(f => be32(f.length)))
-          val stcoEntries =
-            if (nFrames > split) be32(2) ++ be32(chunk1Off) ++ be32(chunk2Off)
-            else be32(1) ++ be32(chunk1Off)
-          val stco = full("stco", 0, 0, stcoEntries)
+          // chunk-offset table: stco (32-bit) by default, co64 (64-bit
+          // — the past-4 GB layout real muxers emit) on request; the
+          // walk accepts either
+          def be64(v: Long): Array[Byte] =
+            be32((v >>> 32).toInt) ++ be32((v & 0xffffffffL).toInt)
+          val offs =
+            if (nFrames > split) Seq(chunk1Off.toLong, chunk2Off.toLong)
+            else Seq(chunk1Off.toLong)
+          val stco =
+            if (co64)
+              full("co64", 0, 0,
+                be32(offs.length) ++ offs.flatMap(be64).toArray)
+            else
+              full("stco", 0, 0,
+                be32(offs.length) ++ offs.flatMap(o => be32(o.toInt)).toArray)
           // stss (sync sample table): present only when syncEvery > 0 —
           // sample numbers are 1-BASED per spec; an ABSENT stss means
           // every sample is sync (ISO 14496-12 §8.6.2), which the walk
@@ -1735,7 +1747,12 @@ object Multimodal {
           val kids = children(b, stbl._1, stbl._2).getOrElse(return None)
           val (szOff, szEnd) = child(kids, "stsz").getOrElse(return None)
           val (scOff, scEnd) = child(kids, "stsc").getOrElse(return None)
-          val (coOff, coEnd) = child(kids, "stco").getOrElse(return None)
+          // chunk offsets: stco (32-bit) or co64 (64-bit — what real
+          // muxers emit past 4 GB); stco wins when both present
+          val (coOff, coEnd, coW) =
+            child(kids, "stco").map { case (o, e) => (o, e, 4) }
+              .orElse(child(kids, "co64").map { case (o, e) => (o, e, 8) })
+              .getOrElse(return None)
           if (szEnd - szOff < 12 || scEnd - scOff < 8 || coEnd - coOff < 8)
             return None
           val fixedSize = be32At(b, szOff + 4)
@@ -1769,7 +1786,8 @@ object Multimodal {
               be32At(b, szOff + 12 + 4 * s)
             else -1L
           val nChunks = be32At(b, coOff + 4).toInt
-          if (nChunks < 0 || coOff + 8 + 4L * nChunks > coEnd) return None
+          if (nChunks < 0 || coOff + 8 + coW.toLong * nChunks > coEnd)
+            return None
           val nRuns = be32At(b, scOff + 4).toInt
           if (nRuns < 0 || scOff + 8 + 12L * nRuns > scEnd) return None
           val runs = (0 until nRuns).map { r =>
@@ -1786,7 +1804,10 @@ object Multimodal {
             while (run + 1 < runs.length && runs(run + 1)._1 <= c) run += 1
             val spc = runs(run)._2
             if (spc <= 0) return None
-            var off = be32At(b, coOff + 8 + 4 * (c - 1))
+            var off =
+              if (coW == 4) be32At(b, coOff + 8 + 4 * (c - 1))
+              else (be32At(b, coOff + 8 + 8 * (c - 1)) << 32) |
+                be32At(b, coOff + 8 + 8 * (c - 1) + 4)
             var k = 0
             while (k < spc && s < nSamples && emitted < maxFrames) {
               val len = sizeOf(s)

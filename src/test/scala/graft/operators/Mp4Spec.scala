@@ -120,6 +120,23 @@ class Mp4Spec extends AnyFunSuite {
   private def mp4sSync = Multimodal.syntheticMjpegMp4s(
     corpus, "vid", "family", nFrames = 4, syncEvery = 3)
 
+  test("co64 (64-bit chunk offsets) walks identically to stco") {
+    val co64s = Multimodal.syntheticMjpegMp4s(corpus, "vid", "family",
+      nFrames = 4, co64 = true)
+    // the container really carries a co64 box and no stco
+    val payload = co64s.select("payload").as[Array[Byte]].head()
+    val s = new String(payload, "ISO-8859-1")
+    assert(s.contains("co64") && !s.contains("stco"))
+    val got = Multimodal.mp4FrameDHash(co64s, "id", "payload", maxFrames = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    val want = Multimodal.mp4FrameDHash(mp4s, "id", "payload", maxFrames = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got === want)
+    assert(got.values.forall(_._2))
+  }
+
   test("syncOnly decodes EXACTLY the stss samples, at their original indices, with identical hashes") {
     val full = Multimodal.mp4FrameDHash(mp4sSync, "id", "payload",
         maxFrames = 8)

@@ -352,6 +352,62 @@ object PipelineQueries {
       },
       Some(docCdcOracleSql)),
 
+    // robots.txt COMPLIANCE FILTER (RFC 9309) — the crawl-side gate
+    // before any URL is fetched or kept: per-host robots bodies are
+    // parsed relationally (line explode -> comment strip -> field
+    // classify -> user-agent-run group islands via window functions),
+    // the crawler's group is selected (named group if present, else *,
+    // else no rules), and every URL gets the most-specific-rule verdict
+    // (longest pattern wins, Allow beats Disallow on ties, * wildcards
+    // and trailing-$ anchors via LIKE with an explicit escape). The
+    // synthesis plants every semantic: a named graftbot group shadowing
+    // a deny-all * group (group selection), an Allow overriding a
+    // shorter Disallow (longest-match + tie direction), /*.tmp$ (both
+    // wildcard and anchor — .tmpx survives), wildcard-only hosts
+    // (fallback), and robots-less hosts (allowed). The oracle replays
+    // parse, grouping, compilation and verdict relationally. Scale
+    // shape: the verdict is computed once per DISTINCT (host, path)
+    // against the (small) rule table and joined back to the URL mass.
+    QueryDef("q_robots_filter",
+      (s, dir) => {
+        import graft.operators.Robots
+        val docs = Tables.documents(s, dir)
+        val nl = "\n"
+        val hosts = docs.select((col("doc_id") % 20).as("k")).distinct()
+          .filter(col("k") < 15)
+          .select(
+            concat(lit("h"), col("k"), lit(".example")).as("host"),
+            when(col("k") % 5 === 4,
+              concat(lit("User-agent: *" + nl + "Disallow: /private"),
+                col("k"), lit("/" + nl)))
+              .otherwise(concat(
+                lit("# crawl policy" + nl + "User-agent: graftbot" + nl +
+                  "Disallow: /private"),
+                col("k"), lit("/" + nl + "Allow: /private"),
+                col("k"),
+                lit("/pub/" + nl + "Disallow: /*.tmp$" + nl + nl +
+                  "User-agent: *" + nl + "Disallow: /" + nl)))
+              .as("robots"))
+        val urls = docs.select(col("doc_id"), (col("doc_id") % 20).as("k"))
+          .select(col("doc_id"),
+            concat(lit("h"), col("k"), lit(".example")).as("host"),
+            explode(array(
+              lit("/"),
+              concat(lit("/private"), col("k"), lit("/pub/page"),
+                col("doc_id")),
+              concat(lit("/private"), col("k"), lit("/x"), col("doc_id")),
+              concat(lit("/files/f"), col("doc_id"), lit(".tmp")),
+              concat(lit("/files/f"), col("doc_id"), lit(".tmpx"))))
+              .as("path"))
+        Robots.filterUrls(urls,
+            Robots.parseRules(hosts, "host", "robots"),
+            "GraftBot", "host", "path")
+          .select(col("doc_id"), col("path"), col("allowed"),
+            col("matched"))
+          .orderBy("doc_id", "path")
+      },
+      Some(robotsFilterOracleSql)),
+
     // WebDataset tar-shard round-trip: pack documents into .tar shards
     // (one task per shard), walk them back with the pure-JVM ustar
     // reader, and prove byte fidelity — the oracle reads the ORIGINAL
@@ -3137,6 +3193,39 @@ object PipelineQueries {
       .mkString(", ")
     val pat = graft.operators.Bpe.BytePretokenPattern
     raw"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES $vals), words AS (SELECT w, COUNT(*) AS n_occ FROM (SELECT UNNEST(regexp_extract_all(COALESCE(text, '') || ' ${CjkZhSentence} ${CjkJaPhrase}', '$pat')) AS w FROM documents) GROUP BY w), init AS (SELECT w, '|' || array_to_string(list_transform(range(1, octet_length(encode(w)) + 1), i -> lower(substring(hex(encode(w)), CAST(2*i-1 AS INT), 2))), '||') || '|' AS s FROM words), enc AS (SELECT w, s FROM init UNION ALL SELECT e.w, replace(e.s, (SELECT m.pat FROM merges m WHERE contains(e.s, m.pat) ORDER BY m.rank LIMIT 1), (SELECT m.rep FROM merges m WHERE contains(e.s, m.pat) ORDER BY m.rank LIMIT 1)) FROM enc e WHERE EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat))) SELECT w AS word, n_occ, trim(replace(s, '||', ' '), '|') AS subwords, CAST(len(string_split(trim(replace(s, '||', ' '), '|'), ' ')) AS BIGINT) AS n_subwords FROM enc e JOIN words USING (w) WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE contains(e.s, m.pat)) ORDER BY word"""
+  }
+
+  /** q_robots_filter replay: identical robots/URL synthesis, then the
+    * RFC 9309 pipeline relationally — line explode (constant-bound
+    * range over the split list), comment strip, field/value extraction
+    * (split_part / strpos mirror substring_index / instr), user-agent
+    * group islands (lag + running sum), agent selection (named group
+    * presence else `*`), LIKE compilation (escape `\`/`%`/`_`, `*`→`%`,
+    * trailing-$ anchor) and the (hit desc, pattern_len desc, rtype asc)
+    * top-1 verdict. */
+  private def robotsFilterOracleSql: String = {
+    val nl = "chr(10)"
+    val full = s"'# crawl policy' || $nl || 'User-agent: graftbot' || $nl || 'Disallow: /private' || k || '/' || $nl || 'Allow: /private' || k || '/pub/' || $nl || 'Disallow: /*.tmp$$' || $nl || $nl || 'User-agent: *' || $nl || 'Disallow: /' || $nl"
+    val wild = s"'User-agent: *' || $nl || 'Disallow: /private' || k || '/' || $nl"
+    "WITH ks AS MATERIALIZED (SELECT DISTINCT doc_id % 20 AS k FROM documents WHERE doc_id % 20 < 15), " +
+      s"rb AS MATERIALIZED (SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host, CASE WHEN k % 5 = 4 THEN $wild ELSE $full END AS robots FROM ks), " +
+      "ls AS (SELECT host, string_split(robots, chr(10)) AS lns FROM rb), " +
+      "lines AS (SELECT host, CAST(i AS INT) AS ln, trim(regexp_replace(lns[CAST(i AS INT)], '#.*', '', 'g')) AS line FROM ls CROSS JOIN range(1, 64) r(i) WHERE i <= len(lns)), " +
+      "fv AS (SELECT host, ln, lower(trim(split_part(line, ':', 1))) AS field, trim(substring(line, strpos(line, ':') + 1)) AS value FROM lines WHERE contains(line, ':')), " +
+      "rel AS (SELECT * FROM fv WHERE field IN ('user-agent', 'allow', 'disallow')), " +
+      "grp0 AS (SELECT *, CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END AS isua FROM rel), " +
+      "grp1 AS (SELECT *, CASE WHEN isua = 1 AND COALESCE(LAG(isua) OVER (PARTITION BY host ORDER BY ln), 0) = 0 THEN 1 ELSE 0 END AS newgrp FROM grp0), " +
+      "grp AS (SELECT *, SUM(newgrp) OVER (PARTITION BY host ORDER BY ln) AS g FROM grp1), " +
+      "agents AS (SELECT host, g, lower(value) AS agent FROM grp WHERE field = 'user-agent'), " +
+      "rules0 AS (SELECT host, g, field AS rtype, value AS pattern FROM grp WHERE field <> 'user-agent' AND value <> ''), " +
+      "rules AS MATERIALIZED (SELECT a.host, a.agent, r.rtype, r.pattern, CAST(length(r.pattern) AS BIGINT) AS pattern_len FROM agents a JOIN rules0 r ON a.host = r.host AND a.g = r.g), " +
+      "hs AS (SELECT host, MAX(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS has_spec FROM rules GROUP BY host), " +
+      raw"""chosen AS MATERIALIZED (SELECT r.host, r.rtype, r.pattern, r.pattern_len, CASE WHEN pattern LIKE '%$$' THEN substring(lw, 1, length(lw) - 1) ELSE lw || '%' END AS likepat FROM (SELECT *, replace(replace(replace(replace(pattern, '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS lw FROM rules r JOIN hs USING (host) WHERE (has_spec = 1 AND agent = 'graftbot') OR (has_spec = 0 AND agent = '*')) r), """ +
+      "urls AS MATERIALIZED (SELECT doc_id, 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host, UNNEST(['/', '/private' || CAST(doc_id % 20 AS VARCHAR) || '/pub/page' || CAST(doc_id AS VARCHAR), '/private' || CAST(doc_id % 20 AS VARCHAR) || '/x' || CAST(doc_id AS VARCHAR), '/files/f' || CAST(doc_id AS VARCHAR) || '.tmp', '/files/f' || CAST(doc_id AS VARCHAR) || '.tmpx']) AS path FROM documents), " +
+      "hp AS (SELECT DISTINCT host, path FROM urls), " +
+      raw"""m AS (SELECT hp.host, hp.path, c.rtype, c.pattern, c.pattern_len, (c.likepat IS NOT NULL AND hp.path LIKE c.likepat ESCAPE '\') AS hit FROM hp LEFT JOIN chosen c ON hp.host = c.host), """ +
+      "v AS (SELECT host, path, (NOT hit OR rtype = 'allow') AS allowed, CASE WHEN hit THEN pattern END AS matched FROM (SELECT *, row_number() OVER (PARTITION BY host, path ORDER BY hit DESC, pattern_len DESC, rtype ASC) AS rk FROM m) WHERE rk = 1) " +
+      "SELECT u.doc_id, u.path, COALESCE(v.allowed, TRUE) AS allowed, v.matched FROM urls u LEFT JOIN v ON u.host = v.host AND u.path = v.path ORDER BY u.doc_id, u.path"
   }
 
   /** q_doc_cdc replay: codepoints via constant-bound range + substring/

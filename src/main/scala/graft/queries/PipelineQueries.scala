@@ -352,6 +352,43 @@ object PipelineQueries {
       },
       Some(docCdcOracleSql)),
 
+    // CDC-based shared-boilerplate REMOVAL (the scrub the chunk census
+    // above exists for — the exact-substring cut at content-defined
+    // granularity): chunks appearing in MORE THAN ONE document are
+    // dropped from every document and the survivors reassembled in
+    // order. Insertion-robust where fixed n-gram spans are
+    // offset-fragile. One row per document survives (empty clean_text
+    // when everything was shared). Oracle: the SAME chunk CTE chain as
+    // q_doc_cdc + dup set + ordered string_agg reassembly + left-join
+    // backfill.
+    QueryDef("q_cdc_scrub",
+      (s, dir) => {
+        val chunks = graft.operators.Corpus.cdcChunks(
+          Tables.documents(s, dir), "doc_id", "text")
+        val dup = chunks.groupBy("chunk")
+          .agg(count_distinct(col("id")).as("nd"))
+          .filter(col("nd") > 1)
+          .select("chunk")
+        val kept = chunks.join(dup, Seq("chunk"), "left_anti")
+        val re = kept.groupBy(col("id"))
+          .agg(
+            array_join(transform(
+              array_sort(collect_list(struct(col("chunk_idx"),
+                col("chunk")))),
+              x => x.getField("chunk")), "").as("clean_text"),
+            count(lit(1)).as("n_kept"))
+        chunks.groupBy(col("id"))
+          .agg(count(lit(1)).as("n_chunks"))
+          .join(re, Seq("id"), "left")
+          .select(col("id").as("doc_id"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"),
+            col("n_chunks"),
+            (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
+              .as("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some(cdcScrubOracleSql)),
+
     // robots.txt COMPLIANCE FILTER (RFC 9309) — the crawl-side gate
     // before any URL is fetched or kept: per-host robots bodies are
     // parsed relationally (line explode -> comment strip -> field
@@ -608,6 +645,36 @@ object PipelineQueries {
           .select(
             substring_index(col("url"), "/", -1).cast("long").as("doc_id"),
             col("payload").cast("string").as("text"))
+        graft.streaming.StreamCurate.gate(docs, "text",
+            TextAnalysis.GopherConfig(minWords = 25L, maxWords = 80L,
+              minMeanWordLen = 3.0, maxMeanWordLen = 5.0,
+              minStopwordHits = 1))
+          .select(col("doc_id"), col("quality_pass"), col("n_pii"))
+          .orderBy("doc_id")
+      },
+      Some(warcCurationOracleSql)),
+
+    // Dolma-format ingest -> curation end-to-end (q_warc_curation's
+    // twin over the format public corpora actually ship): documents
+    // packed as zstd-JSONL shards, read back through the frame walk +
+    // from_json, fed STRAIGHT into the quality + PII gate. Same oracle
+    // as the WARC path (it replays the gate over the ORIGINAL table),
+    // so the hash match certifies container byte-fidelity AND the gate
+    // in one row — a single flipped byte in zstd framing, JSON escape
+    // round-trip, or the parse chain flips a quality ratio downstream.
+    QueryDef("q_jsonl_curation",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val out = Tables.scratchPath("jsonl_cur", dir)
+        graft.sources.JsonlZstd.write(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))
+            .repartition(s.sparkContext.defaultParallelism), out)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val docs = graft.sources.JsonlZstd.read(s, out, schema)
+          .filter(col("error").isNull)
+          .select(col("doc_id"), col("text"))
         graft.streaming.StreamCurate.gate(docs, "text",
             TextAnalysis.GopherConfig(minWords = 25L, maxWords = 80L,
               minMeanWordLen = 3.0, maxMeanWordLen = 5.0,
@@ -3235,20 +3302,38 @@ object PipelineQueries {
     * boundary set ∪ text end, chunk extents via LAG over boundaries,
     * then the same duplicated-chunk census. Every term is BIGINT (cp <
     * 2^21, weight < 2^35, 8 terms < 2^59 — no overflow either side). */
-  private def docCdcOracleSql: String = {
+  /** the shared CDC chunking CTE chain ending in
+    * `chunks(doc_id, cidx, chunk, n_cp)` — used VERBATIM by q_doc_cdc
+    * and q_cdc_scrub so the two oracles cannot drift */
+  private def cdcChunkCtesSql: String = {
     import graft.operators.Corpus
     val g = Corpus.cdcWeights(8)
     val terms = (0 until 8).map { j =>
       if (j == 0) s"cp * ${g(j)}"
       else s"COALESCE(LAG(cp, $j) OVER (PARTITION BY doc_id ORDER BY i), CAST(0 AS BIGINT)) * ${g(j)}"
     }.mkString(" + ")
-    s"WITH cps AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i, CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS cp FROM documents CROSS JOIN range(1, 2048) r(i) WHERE i <= length(text)), " +
+    s"cps AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i, CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS cp FROM documents CROSS JOIN range(1, 2048) r(i) WHERE i <= length(text)), " +
       s"hs AS (SELECT doc_id, i, ($terms) % ${Corpus.CdcMod} AS h FROM cps), " +
       "bnd AS (SELECT doc_id, i FROM hs WHERE i >= 8 AND h % 32 = 0 UNION SELECT doc_id, CAST(length(text) AS INT) FROM documents WHERE length(text) > 0), " +
-      "chk AS (SELECT doc_id, COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS p, i AS b FROM bnd), " +
-      "chunks AS MATERIALIZED (SELECT c.doc_id, substring(d.text, p + 1, b - p) AS chunk, b - p AS n_cp FROM chk c JOIN documents d USING (doc_id)) " +
-      "SELECT md5(chunk) AS chunk_hash, CAST(MIN(n_cp) AS BIGINT) AS n_cp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc FROM chunks GROUP BY chunk HAVING COUNT(*) > 1 ORDER BY chunk_hash"
+      "chk AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS cidx, COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS p, i AS b FROM bnd), " +
+      "chunks AS MATERIALIZED (SELECT c.doc_id, c.cidx, substring(d.text, p + 1, b - p) AS chunk, b - p AS n_cp FROM chk c JOIN documents d USING (doc_id))"
   }
+
+  private def docCdcOracleSql: String =
+    s"WITH $cdcChunkCtesSql " +
+      "SELECT md5(chunk) AS chunk_hash, CAST(MIN(n_cp) AS BIGINT) AS n_cp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc FROM chunks GROUP BY chunk HAVING COUNT(*) > 1 ORDER BY chunk_hash"
+
+  /** q_cdc_scrub replay: the shared chunk chain, the cross-document dup
+    * set (distinct docs > 1), order-preserving reassembly of the kept
+    * chunks, and the per-document census (docs losing every chunk keep
+    * a row with empty clean_text — the left-join backfill). */
+  private def cdcScrubOracleSql: String =
+    s"WITH $cdcChunkCtesSql, " +
+      "dup AS MATERIALIZED (SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 1), " +
+      "kept AS (SELECT c.* FROM chunks c LEFT JOIN dup USING (chunk) WHERE dup.chunk IS NULL), " +
+      "re AS (SELECT doc_id, string_agg(chunk, '' ORDER BY cidx) AS clean_text, COUNT(*) AS n_kept FROM kept GROUP BY doc_id), " +
+      "tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id) " +
+      "SELECT t.doc_id, COALESCE(re.clean_text, '') AS clean_text, CAST(t.n_chunks AS BIGINT) AS n_chunks, CAST(t.n_chunks - COALESCE(re.n_kept, 0) AS BIGINT) AS n_removed FROM tot t LEFT JOIN re USING (doc_id) ORDER BY t.doc_id"
 
   /** The FIXED literal unigram piece table shared by q_unigram_encode's
     * engine body and its oracle. Weights are probabilities in units of

@@ -1760,7 +1760,13 @@ object Multimodal {
           if (nSamples < 0) return None
           // stss: optional sync-sample table (bounds-checked; an entry
           // outside [1, nSamples] is structural damage -> quarantine)
-          val syncSet: Option[java.util.BitSet] =
+          // a HashSet, NOT a BitSet sized by nSamples: stsz DECLARES the
+          // sample count, and a hostile header claiming 2^31 samples
+          // would otherwise demand a ~256 MB allocation before any entry
+          // is validated (the stsz-bomb class the fuzz suite pins); the
+          // set's size is bounded by nSync, which is bounds-checked
+          // against the actual file bytes
+          val syncSet: Option[scala.collection.mutable.HashSet[Int]] =
             if (!syncOnly) None
             else child(kids, "stss") match {
               case None => None // absent: every sample is sync
@@ -1768,18 +1774,18 @@ object Multimodal {
                 if (ssEnd - ssOff < 8) return None
                 val nSync = be32At(b, ssOff + 4).toInt
                 if (nSync < 0 || ssOff + 8 + 4L * nSync > ssEnd) return None
-                val bs = new java.util.BitSet(nSamples + 1)
+                val set = scala.collection.mutable.HashSet.empty[Int]
                 var i = 0
                 while (i < nSync) {
                   val sn = be32At(b, ssOff + 8 + 4 * i)
                   if (sn < 1 || sn > nSamples) return None
-                  bs.set(sn.toInt)
+                  set += sn.toInt
                   i += 1
                 }
-                Some(bs)
+                Some(set)
             }
           def isSync(s0: Int): Boolean =
-            syncSet.forall(_.get(s0 + 1))
+            syncSet.forall(_.contains(s0 + 1))
           def sizeOf(s: Int): Long =
             if (fixedSize != 0L) fixedSize
             else if (szOff + 12 + 4 * s + 4 <= szEnd)

@@ -45,6 +45,13 @@ object JsonlZstd {
     * output is a bomb or corruption, not data) */
   private[sources] val MaxLineBytes: Int = 1 << 26
 
+  /** total decompressed bytes per file above which the walk quarantines
+    * the tail — the decompression-bomb cap for MANY-small-lines bombs,
+    * which the per-line cap alone cannot catch (a 1 GiB zstd frame at
+    * 100:1 would otherwise balloon task memory; corpus shards the
+    * writer produces sit far below this) */
+  private[sources] val MaxFileBytes: Long = 4L << 30
+
   /** Distributed writer: every column of `df` becomes a JSON field (in
     * column order) of one object per row; each task writes
     * `part-<pid>.jsonl.zst` (or plain `.jsonl` with `zstd = false`)
@@ -121,8 +128,8 @@ object JsonlZstd {
     * decoded and reports the error once. A final unterminated line at
     * CLEAN end-of-stream is kept (tolerate a missing trailing newline,
     * the jq/pandas convention). */
-  private[sources] def walkFile(
-      raw: Array[Byte]): (Vector[String], Option[String]) = {
+  private[sources] def walkFile(raw: Array[Byte],
+      maxFileBytes: Long = MaxFileBytes): (Vector[String], Option[String]) = {
     val lines = Vector.newBuilder[String]
     var err: Option[String] = None
     try {
@@ -138,8 +145,14 @@ object JsonlZstd {
       try {
         val buf = new Array[Byte](1 << 16)
         var line = new java.io.ByteArrayOutputStream(256)
+        var total = 0L
         var n = in.read(buf)
         while (n >= 0) {
+          total += n
+          if (total > maxFileBytes)
+            throw new IllegalArgumentException(
+              s"decompressed size exceeds $maxFileBytes bytes " +
+                "(decompression bomb)")
           var i = 0
           var start = 0
           while (i < n) {

@@ -192,4 +192,32 @@ class Mp4Spec extends AnyFunSuite {
       .filter(col("decoded")).count()
     assert(fullRows === 4L)
   }
+
+  test("a hostile stsz declaring 2^31-1 samples quarantines fast in sync mode (no count-sized allocation)") {
+    val one = Seq((1L, "family content number 0 with words"))
+      .toDF("vid", "family")
+    val payload = Multimodal.syntheticMjpegMp4s(one, "vid", "family",
+      nFrames = 4, syncEvery = 3).select("payload").as[Array[Byte]].head()
+    // corrupt stsz's sample_count to Int.MaxValue: the sync-set build
+    // must stay bounded by the ACTUAL stss bytes (the set is keyed by
+    // present entries, never sized by the declared count — a BitSet
+    // sized by the claim would demand ~256 MB before validating a
+    // single entry); the chunk tables bound the walk to the 4 real
+    // samples, so the keyframes still decode
+    val tag = "stsz".getBytes("ISO-8859-1")
+    val at = payload.indices.find(i => i + 4 <= payload.length &&
+      payload(i) == tag(0) && payload(i + 1) == tag(1) &&
+      payload(i + 2) == tag(2) && payload(i + 3) == tag(3)).get
+    val bad = payload.clone()
+    // stsz body: 4 tag + 4 version/flags + 4 sample_size + 4 sample_count
+    bad(at + 12) = 0x7f.toByte; bad(at + 13) = 0xff.toByte
+    bad(at + 14) = 0xff.toByte; bad(at + 15) = 0xff.toByte
+    val t0 = System.nanoTime()
+    val rows = Multimodal.mp4FrameDHash(
+        Seq((1L, bad)).toDF("id", "payload"), "id", "payload",
+        maxFrames = 8, syncOnly = true)
+      .collect().map(r => (r.getInt(1), r.getBoolean(3))).sortBy(_._1)
+    assert(rows.toSeq === Seq((0, true), (3, true)))
+    assert((System.nanoTime() - t0) / 1e9 < 30.0)
+  }
 }

@@ -33,8 +33,13 @@ object Robots {
     * (group agent × group rule). */
   def parseRules(robots: DataFrame, hostCol: String,
       textCol: String): DataFrame = {
+    // RFC 9309 permits CRLF line endings (and they are common in the
+    // wild); Spark's trim strips only spaces, so split on \r?\n — a
+    // trailing \r left in an agent name or pattern would otherwise make
+    // named groups unmatchable and compile LIKE patterns that never hit,
+    // silently failing the gate OPEN.
     val lines = robots.select(col(hostCol).as("host"),
-      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+      posexplode(split(coalesce(col(textCol), lit("")), "\r?\n"))
         .as(Seq("ln", "raw")))
     val cleaned = lines
       .select(col("host"), col("ln"),
@@ -58,9 +63,18 @@ object Robots {
       .filter(col("field") =!= "user-agent" && col("value") =!= "")
       .select(col("host"), col("grp"), col("field").as("rtype"),
         col("value").as("pattern"))
+    // ranking length per RFC 9309 §2.2.2 (octets of the matched path):
+    // the trailing `$` anchor is a metacharacter, not matched text, so
+    // it is excluded — `Allow: /p*` (len 3) must not tie-beat
+    // `Disallow: /pq$` (raw len 4, ranking len 3 → allow-tie applies,
+    // but `Disallow: /pqr$` ranks 4 and wins). `*` stays counted (it
+    // can match ≥0 octets; full §2.2.2 fidelity would need per-path
+    // match lengths — documented approximation).
     agents.join(rules, Seq("host", "grp"))
       .select(col("host"), col("agent"), col("rtype"), col("pattern"),
-        length(col("pattern")).cast("long").as("pattern_len"))
+        (length(col("pattern")) -
+          when(col("pattern").endsWith("$"), 1).otherwise(0))
+          .cast("long").as("pattern_len"))
   }
 
   /** Per-URL verdict for `agent`: output = `urls` + `allowed` boolean +

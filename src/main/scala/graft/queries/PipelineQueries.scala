@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Exact._
@@ -339,7 +340,7 @@ object PipelineQueries {
     QueryDef("q_doc_cdc",
       (s, dir) => {
         val chunks = graft.operators.Corpus.cdcChunks(
-          Tables.documents(s, dir), "doc_id", "text")
+          cdcOracleBoundGuard(Tables.documents(s, dir)), "doc_id", "text")
         chunks.groupBy(col("chunk"))
           .agg(count(lit(1)).as("n_occ"),
             count_distinct(col("id")).as("n_docs"),
@@ -364,7 +365,7 @@ object PipelineQueries {
     QueryDef("q_cdc_scrub",
       (s, dir) => {
         val chunks = graft.operators.Corpus.cdcChunks(
-          Tables.documents(s, dir), "doc_id", "text")
+          cdcOracleBoundGuard(Tables.documents(s, dir)), "doc_id", "text")
         val dup = chunks.groupBy("chunk")
           .agg(count_distinct(col("id")).as("nd"))
           .filter(col("nd") > 1)
@@ -410,13 +411,14 @@ object PipelineQueries {
         import graft.operators.Robots
         val docs = Tables.documents(s, dir)
         val nl = "\n"
+        val crlf = "\r\n" // the wildcard-only hosts ship CRLF (RFC 9309)
         val hosts = docs.select((col("doc_id") % 20).as("k")).distinct()
           .filter(col("k") < 15)
           .select(
             concat(lit("h"), col("k"), lit(".example")).as("host"),
             when(col("k") % 5 === 4,
-              concat(lit("User-agent: *" + nl + "Disallow: /private"),
-                col("k"), lit("/" + nl)))
+              concat(lit("User-agent: *" + crlf + "Disallow: /private"),
+                col("k"), lit("/" + crlf)))
               .otherwise(concat(
                 lit("# crawl policy" + nl + "User-agent: graftbot" + nl +
                   "Disallow: /private"),
@@ -3273,10 +3275,13 @@ object PipelineQueries {
   private def robotsFilterOracleSql: String = {
     val nl = "chr(10)"
     val full = s"'# crawl policy' || $nl || 'User-agent: graftbot' || $nl || 'Disallow: /private' || k || '/' || $nl || 'Allow: /private' || k || '/pub/' || $nl || 'Disallow: /*.tmp$$' || $nl || $nl || 'User-agent: *' || $nl || 'Disallow: /' || $nl"
-    val wild = s"'User-agent: *' || $nl || 'Disallow: /private' || k || '/' || $nl"
+    // the wildcard-only hosts ship with CRLF line endings (RFC 9309
+    // permits them) — exercises the \r?\n split on both engines
+    val crlf = "chr(13) || chr(10)"
+    val wild = s"'User-agent: *' || $crlf || 'Disallow: /private' || k || '/' || $crlf"
     "WITH ks AS MATERIALIZED (SELECT DISTINCT doc_id % 20 AS k FROM documents WHERE doc_id % 20 < 15), " +
       s"rb AS MATERIALIZED (SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host, CASE WHEN k % 5 = 4 THEN $wild ELSE $full END AS robots FROM ks), " +
-      "ls AS (SELECT host, string_split(robots, chr(10)) AS lns FROM rb), " +
+      "ls AS (SELECT host, regexp_split_to_array(robots, '\r?\n') AS lns FROM rb), " +
       "lines AS (SELECT host, CAST(i AS INT) AS ln, trim(regexp_replace(lns[CAST(i AS INT)], '#.*', '', 'g')) AS line FROM ls CROSS JOIN range(1, 64) r(i) WHERE i <= len(lns)), " +
       "fv AS (SELECT host, ln, lower(trim(split_part(line, ':', 1))) AS field, trim(substring(line, strpos(line, ':') + 1)) AS value FROM lines WHERE contains(line, ':')), " +
       "rel AS (SELECT * FROM fv WHERE field IN ('user-agent', 'allow', 'disallow')), " +
@@ -3285,7 +3290,7 @@ object PipelineQueries {
       "grp AS (SELECT *, SUM(newgrp) OVER (PARTITION BY host ORDER BY ln) AS g FROM grp1), " +
       "agents AS (SELECT host, g, lower(value) AS agent FROM grp WHERE field = 'user-agent'), " +
       "rules0 AS (SELECT host, g, field AS rtype, value AS pattern FROM grp WHERE field <> 'user-agent' AND value <> ''), " +
-      "rules AS MATERIALIZED (SELECT a.host, a.agent, r.rtype, r.pattern, CAST(length(r.pattern) AS BIGINT) AS pattern_len FROM agents a JOIN rules0 r ON a.host = r.host AND a.g = r.g), " +
+      "rules AS MATERIALIZED (SELECT a.host, a.agent, r.rtype, r.pattern, CAST(length(r.pattern) - CASE WHEN r.pattern LIKE '%$' THEN 1 ELSE 0 END AS BIGINT) AS pattern_len FROM agents a JOIN rules0 r ON a.host = r.host AND a.g = r.g), " +
       "hs AS (SELECT host, MAX(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS has_spec FROM rules GROUP BY host), " +
       raw"""chosen AS MATERIALIZED (SELECT r.host, r.rtype, r.pattern, r.pattern_len, CASE WHEN pattern LIKE '%$$' THEN substring(lw, 1, length(lw) - 1) ELSE lw || '%' END AS likepat FROM (SELECT *, replace(replace(replace(replace(pattern, '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS lw FROM rules r JOIN hs USING (host) WHERE (has_spec = 1 AND agent = 'graftbot') OR (has_spec = 0 AND agent = '*')) r), """ +
       "urls AS MATERIALIZED (SELECT doc_id, 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host, UNNEST(['/', '/private' || CAST(doc_id % 20 AS VARCHAR) || '/pub/page' || CAST(doc_id AS VARCHAR), '/private' || CAST(doc_id % 20 AS VARCHAR) || '/x' || CAST(doc_id AS VARCHAR), '/files/f' || CAST(doc_id AS VARCHAR) || '.tmp', '/files/f' || CAST(doc_id AS VARCHAR) || '.tmpx']) AS path FROM documents), " +
@@ -3302,6 +3307,29 @@ object PipelineQueries {
     * boundary set ∪ text end, chunk extents via LAG over boundaries,
     * then the same duplicated-chunk census. Every term is BIGINT (cp <
     * 2^21, weight < 2^35, 8 terms < 2^59 — no overflow either side). */
+  /** CAP: the oracle chain below enumerates codepoint positions via a
+    * constant-bound `range(1, 2048)` — a document of ≥ 2048 codepoints
+    * would be silently truncated on the DuckDB side while
+    * [[graft.operators.Corpus.cdcChunks]] processes the full text.
+    * [[cdcOracleBoundGuard]] turns that silent divergence into a loud
+    * engine-side failure; raise BOTH constants together if the data
+    * generator's document-length bound ever grows. */
+  // `final val` (constant-folded) — a plain val would still be 0 when
+  // the oracle-SQL strings are built during object initialization
+  private[queries] final val CdcOracleMaxCp = 2048
+
+  /** row-level guard for the CDC oracles' replay bound: a codegen'd
+    * `assert_true` filter (near-zero cost, no extra action) that fails
+    * the job with a diagnostic the moment any document reaches
+    * [[CdcOracleMaxCp]] codepoints, instead of hash-mismatching. */
+  private def cdcOracleBoundGuard(docs: DataFrame): DataFrame =
+    docs.filter(assert_true(
+      coalesce(length(col("text")), lit(0)) < CdcOracleMaxCp,
+      lit(s"q_doc_cdc/q_cdc_scrub oracle replays codepoints via " +
+        s"range(1, $CdcOracleMaxCp); a document of >= $CdcOracleMaxCp " +
+        "codepoints diverges silently — raise CdcOracleMaxCp and the " +
+        "oracle range bound together")).isNull)
+
   /** the shared CDC chunking CTE chain ending in
     * `chunks(doc_id, cidx, chunk, n_cp)` — used VERBATIM by q_doc_cdc
     * and q_cdc_scrub so the two oracles cannot drift */
@@ -3312,7 +3340,7 @@ object PipelineQueries {
       if (j == 0) s"cp * ${g(j)}"
       else s"COALESCE(LAG(cp, $j) OVER (PARTITION BY doc_id ORDER BY i), CAST(0 AS BIGINT)) * ${g(j)}"
     }.mkString(" + ")
-    s"cps AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i, CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS cp FROM documents CROSS JOIN range(1, 2048) r(i) WHERE i <= length(text)), " +
+    s"cps AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i, CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS cp FROM documents CROSS JOIN range(1, $CdcOracleMaxCp) r(i) WHERE i <= length(text)), " +
       s"hs AS (SELECT doc_id, i, ($terms) % ${Corpus.CdcMod} AS h FROM cps), " +
       "bnd AS (SELECT doc_id, i FROM hs WHERE i >= 8 AND h % 32 = 0 UNION SELECT doc_id, CAST(length(text) AS INT) FROM documents WHERE length(text) > 0), " +
       "chk AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS cidx, COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS p, i AS b FROM bnd), " +

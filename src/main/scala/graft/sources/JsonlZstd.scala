@@ -29,9 +29,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * frames are not internally splittable — the FILE is the split unit,
   * exactly how the public corpora shard (thousands of ~100 MB-1 GB
   * files), so "size your partitions" means sizing the writer's task
-  * count, same rule as the Avro/WARC sinks. Decode is streaming
-  * (64 KiB chunks) with a per-line byte cap, so a decompression-bomb
-  * file cannot balloon task memory: it quarantines at the cap.
+  * count, same rule as the Avro/WARC sinks. Decode is streaming AND
+  * lazily emitted ([[walkFileIter]]): task memory holds one 64 KiB
+  * chunk's lines plus one partial line at a time, so a legitimate
+  * multi-GB decompressed shard streams through without whole-file
+  * materialization; the per-line and per-file caps quarantine bombs.
   */
 object JsonlZstd {
 
@@ -123,60 +125,115 @@ object JsonlZstd {
     ()
   }
 
-  /** decode one file's bytes into complete lines; a decode error (bad
-    * frame, truncated stream, over-cap line) keeps the lines already
-    * decoded and reports the error once. A final unterminated line at
-    * CLEAN end-of-stream is kept (tolerate a missing trailing newline,
-    * the jq/pandas convention). */
+  /** LAZY decode of one file's bytes into `(line, error)` rows — one
+    * `(line, null)` per complete line, plus one trailing `(null, msg)`
+    * quarantine row if the walk hit a decode error (bad frame,
+    * truncated stream, over-cap line or file): lines decoded before the
+    * corruption point are kept. A final unterminated line at CLEAN
+    * end-of-stream is kept (tolerate a missing trailing newline, the
+    * jq/pandas convention).
+    *
+    * The iterator holds at most ONE 64 KiB decode chunk's lines plus
+    * one partial line (≤ [[MaxLineBytes]]) at a time — Spark's flatMap
+    * pipelines it, so a legitimate multi-GB decompressed shard streams
+    * through the task without ever materializing whole-file line
+    * vectors ([[MaxFileBytes]] is purely the bomb cap, not a memory
+    * bound). */
+  private[sources] def walkFileIter(raw: Array[Byte],
+      maxFileBytes: Long = MaxFileBytes): Iterator[(String, String)] =
+    new scala.collection.AbstractIterator[(String, String)] {
+      private val queue = new java.util.ArrayDeque[(String, String)]()
+      private var in: java.io.InputStream = null
+      private val buf = new Array[Byte](1 << 16)
+      private var line = new java.io.ByteArrayOutputStream(256)
+      private var total = 0L
+      private var finished = false
+
+      private def closeQuiet(): Unit =
+        if (in != null) {
+          try in.close() catch { case _: Throwable => () }
+          in = null
+        }
+
+      private def fail(e: Throwable): Unit = {
+        queue.add((null, "jsonl walk failed: " +
+          String.valueOf(e.getMessage).take(200)))
+        closeQuiet()
+        finished = true
+      }
+
+      try {
+        in =
+          if (isZstd(raw)) {
+            val z = new com.github.luben.zstd.ZstdInputStream(
+              new java.io.ByteArrayInputStream(raw))
+            // decode ALL concatenated frames (the multi-writer append
+            // layout); without this, frame 2+ would vanish as clean EOF
+            z.setContinuous(true)
+            z
+          } else new java.io.ByteArrayInputStream(raw)
+      } catch {
+        case scala.util.control.NonFatal(e) => fail(e)
+      }
+
+      /** refill: decode chunks until at least one row is queued or the
+        * walk ends; caps are checked in the same order as the eager
+        * walk always did (file cap before the chunk's lines are split
+        * out, line cap after the carry) */
+      private def advance(): Unit =
+        while (queue.isEmpty && !finished) {
+          try {
+            val n = in.read(buf)
+            if (n < 0) {
+              if (line.size() > 0) {
+                queue.add((new String(line.toByteArray, "UTF-8"), null))
+                line = new java.io.ByteArrayOutputStream(256)
+              }
+              closeQuiet()
+              finished = true
+            } else {
+              total += n
+              if (total > maxFileBytes)
+                throw new IllegalArgumentException(
+                  s"decompressed size exceeds $maxFileBytes bytes " +
+                    "(decompression bomb)")
+              var i = 0
+              var start = 0
+              while (i < n) {
+                if (buf(i) == '\n') {
+                  line.write(buf, start, i - start)
+                  queue.add((new String(line.toByteArray, "UTF-8"), null))
+                  line = new java.io.ByteArrayOutputStream(256)
+                  start = i + 1
+                }
+                i += 1
+              }
+              line.write(buf, start, n - start)
+              if (line.size() > MaxLineBytes)
+                throw new IllegalArgumentException(
+                  s"line exceeds $MaxLineBytes bytes (bomb or corruption)")
+            }
+          } catch {
+            case scala.util.control.NonFatal(e) => fail(e)
+          }
+        }
+
+      override def hasNext: Boolean = { advance(); !queue.isEmpty }
+      override def next(): (String, String) = {
+        advance()
+        if (queue.isEmpty) throw new NoSuchElementException("walkFileIter")
+        queue.poll()
+      }
+    }
+
+  /** eager wrapper over [[walkFileIter]] for bounded callers (specs):
+    * all lines + the terminal error, materialized. */
   private[sources] def walkFile(raw: Array[Byte],
       maxFileBytes: Long = MaxFileBytes): (Vector[String], Option[String]) = {
     val lines = Vector.newBuilder[String]
     var err: Option[String] = None
-    try {
-      val in: java.io.InputStream =
-        if (isZstd(raw)) {
-          val z = new com.github.luben.zstd.ZstdInputStream(
-            new java.io.ByteArrayInputStream(raw))
-          // decode ALL concatenated frames (the multi-writer append
-          // layout); without this, frame 2+ would vanish as clean EOF
-          z.setContinuous(true)
-          z
-        } else new java.io.ByteArrayInputStream(raw)
-      try {
-        val buf = new Array[Byte](1 << 16)
-        var line = new java.io.ByteArrayOutputStream(256)
-        var total = 0L
-        var n = in.read(buf)
-        while (n >= 0) {
-          total += n
-          if (total > maxFileBytes)
-            throw new IllegalArgumentException(
-              s"decompressed size exceeds $maxFileBytes bytes " +
-                "(decompression bomb)")
-          var i = 0
-          var start = 0
-          while (i < n) {
-            if (buf(i) == '\n') {
-              line.write(buf, start, i - start)
-              lines += new String(line.toByteArray, "UTF-8")
-              line = new java.io.ByteArrayOutputStream(256)
-              start = i + 1
-            }
-            i += 1
-          }
-          line.write(buf, start, n - start)
-          if (line.size() > MaxLineBytes)
-            throw new IllegalArgumentException(
-              s"line exceeds $MaxLineBytes bytes (bomb or corruption)")
-          n = in.read(buf)
-        }
-        if (line.size() > 0)
-          lines += new String(line.toByteArray, "UTF-8")
-      } finally in.close()
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        err = Some(s"jsonl walk failed: " +
-          String.valueOf(e.getMessage).take(200))
+    walkFileIter(raw, maxFileBytes).foreach { case (l, e) =>
+      if (e != null) err = Some(e) else lines += l
     }
     (lines.result(), err)
   }
@@ -189,11 +246,7 @@ object JsonlZstd {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.jsonl*").load(path)
       .select(col("content")).as[Array[Byte]]
-      .flatMap { raw =>
-        val (lines, err) = walkFile(raw)
-        lines.iterator.map(l => (l, null: String)) ++
-          err.iterator.map(m => (null: String, m))
-      }
+      .flatMap(raw => walkFileIter(raw))
       .toDF("line", "error")
   }
 
@@ -261,11 +314,7 @@ object JsonlZstd {
       .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.jsonl*").load(path)
       .select(col("content")).as[Array[Byte]]
-      .flatMap { raw =>
-        val (ls, err) = walkFile(raw)
-        ls.iterator.map(l => (l, null: String)) ++
-          err.iterator.map(m => (null: String, m))
-      }
+      .flatMap(raw => walkFileIter(raw))
       .toDF("line", "error")
     parseLines(lines, schema)
   }

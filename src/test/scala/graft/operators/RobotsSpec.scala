@@ -92,6 +92,34 @@ class RobotsSpec extends AnyFunSuite {
     assert(v2(("nude", "/x")) === ((true, null)))
   }
 
+  test("CRLF line endings parse identically to LF (RFC 9309 permits both)") {
+    val lf = "User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub/\n" +
+      "User-agent: *\nDisallow: /\n"
+    val crlf = lf.replace("\n", "\r\n")
+    val urls = Seq(("h", "/private/x"), ("h", "/private/pub/y"), ("h", "/ok"))
+    val vLf = verdicts(Seq(("h", lf)), urls)
+    val vCrlf = verdicts(Seq(("h", crlf)), urls)
+    assert(vCrlf === vLf)
+    // the load-bearing cases: named-group selection still matches (no
+    // trailing \r in the agent token) and patterns still hit (no \r in
+    // the LIKE pattern) — a regression here fails the gate OPEN
+    assert(vCrlf(("h", "/private/x"))._1 === false)
+    assert(vCrlf(("h", "/private/pub/y"))._1 === true)
+    assert(vCrlf(("h", "/ok"))._1 === true)
+  }
+
+  test("ranking length excludes the trailing $ anchor (RFC 9309 §2.2.2)") {
+    // 'Allow: /pq' (len 3) vs 'Disallow: /pq$' (raw 4, ranking 3):
+    // equal ranking length -> allow wins the tie on /pq
+    val tie = "User-agent: *\nAllow: /pq\nDisallow: /pq$\n"
+    assert(verdicts(Seq(("h", tie)), Seq(("h", "/pq")))(("h", "/pq"))._1)
+    // but a LONGER anchored disallow still outranks: /pqr$ ranks 4 > 3
+    val win = "User-agent: *\nAllow: /pq\nDisallow: /pqr$\n"
+    val v = verdicts(Seq(("h", win)), Seq(("h", "/pqr"), ("h", "/pq")))
+    assert(v(("h", "/pqr"))._1 === false)
+    assert(v(("h", "/pq"))._1 === true) // anchor protects the prefix
+  }
+
   test("the verdict is per (host, path): same path on different hosts differs") {
     val v = verdicts(
       Seq(("a", "User-agent: *\nDisallow: /p/\n"),

@@ -2618,6 +2618,40 @@ object PipelineQueries {
       Some(qualityClassifierOracleSql(hashDim = 64, rounds = 80, lr = 4.0,
         maxSample = 2000))),
 
+    // TRAINED multi-class language ID — the fastText-lid shape replacing
+    // marker-count heuristics: 16 languages, char-trigram md5 hashed
+    // features over a boundary-marked char stream, 16 one-vs-rest linear
+    // classifiers trained by deterministic full-batch GD (rational
+    // sigmoid — no exp(), single-rounded IEEE ops only), whole-corpus
+    // argmax scoring against broadcast-literal weights. The corpus is
+    // synthesized deterministically per doc_id from per-language
+    // function-word vocabularies (the withPayload posture), so the
+    // oracle re-synthesizes identical text and replays FEATURES +
+    // ALL GD ROUNDS + SCORING end to end — the multiclass extension of
+    // the q_quality_classifier trained-model replay: every round is one
+    // CTE chain carrying the class index as a column, so the SQL is the
+    // same 6 CTEs per round as the binary case. Scale shape: train = one
+    // TakeOrdered sample + model-sized driver math; score = one
+    // codegen'd map (feature kernel + 16 dots + argmax), zero shuffles.
+    QueryDef("q_text_langid_trained",
+      (s, dir) => {
+        import graft.operators.{LangIdTrained => LT}
+        def prepared = LT.withFeatures(
+          LT.syntheticCorpus(Tables.documents(s, dir).select("doc_id")),
+          "sent")
+        val model = LT.train(prepared, "doc_id", "feats", "lang_k",
+          LT.LangVocab.map(_._1), rounds = 24, lr = 4.0, maxSample = 800)
+        LT.score(prepared, "feats", model)
+          .select(col("doc_id"), col("lang").as("lang_true"),
+            col("lang_pred"),
+            (floor(col("margin_best") * 1e6d + 0.5d) / 1e6d)
+              .as("margin_r"),
+            (col("lang_pred") === col("lang")).as("correct"))
+          .orderBy("doc_id")
+      },
+      Some(langIdTrainedOracleSql(dim = 64, rounds = 24, lr = 4.0,
+        maxSample = 800))),
+
     // PII scrubbing (the Dolma/CCNet masking pass): emails, IPv4s and
     // phone numbers masked with fixed tokens, per-doc counts. The corpus
     // carries no natural PII, so the query PLANTS deterministic PII per
@@ -4234,6 +4268,58 @@ object PipelineQueries {
     b.toString
   }
 
+  /** q_text_langid_trained replay — the trained-model-replay technique
+    * ([[qualityClassifierCtesSql]]) extended to MULTI-CLASS one-vs-rest:
+    * every per-round CTE carries the class index `c` as a column, so
+    * the chain stays 6 CTEs per round regardless of K. Bit-exactness
+    * rules identical to the binary case (rational sigmoid — no exp();
+    * ascending-id/index serial folds via `list(... ORDER BY ...)` +
+    * list_reduce; update parenthesization `w - (lr*g)/n` mirrored; AS
+    * MATERIALIZED against exponential CTE inlining). Corpus synthesis,
+    * char-spread normalization ([[graft.operators.LangIdTrained
+    * .charSpread]]: `\s+`→`_` collapse, `_` padding, `(.)`→`\1 `
+    * spread) and char-trigram md5 features ([[md5EmbedVecCtes]] n=3
+    * over the spread text) all replayed; the argmax tie rule is
+    * `ORDER BY m DESC, c ASC` = the engine's first-index when-chain. */
+  private def langIdTrainedOracleSql(dim: Int, rounds: Int, lr: Double,
+      maxSample: Int): String = {
+    import graft.operators.{LangIdTrained => LT}
+    val kcls = LT.NumLangs
+    val v = LT.VocabSize
+    val vocabLit = LT.LangVocab
+      .map(_._2.map(w => s"'$w'").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val namesVals = LT.LangVocab.zipWithIndex
+      .map { case ((code, _), i) => s"($i, '$code')" }.mkString(", ")
+    val sent = (0 until LT.SentenceWords)
+      .map(j => s"vv[lang_k + 1][((doc_id // $kcls + $j) % $v) + 1]")
+      .mkString(" || ' ' || ")
+    val b = new StringBuilder
+    b ++= "WITH "
+    b ++= s"lvv AS (SELECT $vocabLit AS vv), "
+    b ++= s"lks AS MATERIALIZED (SELECT doc_id, CAST(doc_id % $kcls AS INT) AS lang_k FROM documents), "
+    b ++= s"lsent AS MATERIALIZED (SELECT doc_id, lang_k, $sent AS sent FROM lks CROSS JOIN lvv), "
+    b ++= raw"""lsrc AS MATERIALIZED (SELECT doc_id, trim(regexp_replace('_' || regexp_replace(lower(trim(sent)), '[${LT.SpreadWs}]+', '_', 'g') || '_', '(.)', '\1 ', 'g')) AS text FROM lsent), """
+    b ++= md5EmbedVecCtes(dim, n = 3, src = "lsrc")
+    b ++= ", lfv AS MATERIALIZED (SELECT doc_id, CAST(CAST(vd AS FLOAT[]) AS DOUBLE[]) AS x FROM ev0), "
+    b ++= s"lsamp AS MATERIALIZED (SELECT f.doc_id AS id, f.x, s.lang_k AS y FROM lfv f JOIN lsent s USING (doc_id) ORDER BY f.doc_id LIMIT $maxSample), "
+    b ++= "ln0 AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lsamp), "
+    b ++= s"lw0 AS MATERIALIZED (SELECT CAST(t.c AS INT) AS c, list_transform(range(0, $dim), i -> CAST(0 AS DOUBLE)) AS w, CAST(0 AS DOUBLE) AS b FROM range(0, $kcls) t(c)), "
+    for (t <- 1 to rounds) {
+      b ++= s"lm$t AS MATERIALIZED (SELECT s.id, s.x, s.y, w.c, list_inner_product(w.w, s.x) + w.b AS m FROM lsamp s CROSS JOIN lw${t - 1} w), "
+      b ++= s"le$t AS MATERIALIZED (SELECT id, x, c, (CAST(0.5 AS DOUBLE) + (CAST(0.5 AS DOUBLE) * m) / (CAST(1 AS DOUBLE) + abs(m))) - CASE WHEN y = c THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS e FROM lm$t), "
+      b ++= s"lg$t AS MATERIALIZED (SELECT c, i, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(e * xj ORDER BY id)), (a, b) -> a + b) AS g FROM (SELECT id, c, e, UNNEST(x) AS xj, UNNEST(range(0, $dim)) AS i FROM le$t) GROUP BY c, i), "
+      b ++= s"lgb$t AS MATERIALIZED (SELECT c, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(e ORDER BY id)), (a, b) -> a + b) AS gb FROM le$t GROUP BY c), "
+      b ++= s"lwl$t AS MATERIALIZED (SELECT c, UNNEST(w) AS wj, UNNEST(range(0, $dim)) AS i FROM lw${t - 1}), "
+      b ++= s"lw$t AS MATERIALIZED (SELECT wl.c, list(wl.wj - (CAST($lr AS DOUBLE) * g.g) / n.n ORDER BY wl.i) AS w, ANY_VALUE(pb.b) - (CAST($lr AS DOUBLE) * ANY_VALUE(gb.gb)) / ANY_VALUE(n.n) AS b FROM lwl$t wl JOIN lg$t g ON g.c = wl.c AND g.i = wl.i JOIN lgb$t gb ON gb.c = wl.c JOIN (SELECT c, b FROM lw${t - 1}) pb ON pb.c = wl.c CROSS JOIN ln0 n GROUP BY wl.c), "
+    }
+    b ++= s"lsc AS MATERIALIZED (SELECT f.doc_id, w.c, list_inner_product(w.w, f.x) + w.b AS m FROM lfv f CROSS JOIN lw$rounds w), "
+    b ++= "lbest AS MATERIALIZED (SELECT doc_id, c, m FROM (SELECT doc_id, c, m, row_number() OVER (PARTITION BY doc_id ORDER BY m DESC, c ASC) AS rn FROM lsc) WHERE rn = 1), "
+    b ++= s"lnames(c, lang) AS (VALUES $namesVals) "
+    b ++= "SELECT s.doc_id, tn.lang AS lang_true, pn.lang AS lang_pred, floor(b2.m * 1e6 + 0.5) / 1e6 AS margin_r, (b2.c = s.lang_k) AS correct FROM lsent s JOIN lbest b2 ON b2.doc_id = s.doc_id JOIN lnames tn ON tn.c = s.lang_k JOIN lnames pn ON pn.c = b2.c ORDER BY s.doc_id"
+    b.toString
+  }
+
   /** q_sim_pq replay: per-subspace L2 k-means codebooks (kmeansL2 —
     * farthest-point max-min-distance init, Lloyd MEAN updates, no
     * normalization), PqEncode's first-min codeword assignment, the ADC
@@ -4392,8 +4478,9 @@ object PipelineQueries {
     * Shared by the embedding near-dup oracle and the quality-classifier
     * feature replay.
     */
-  private def md5EmbedVecCtes(dim: Int, n: Int): String =
-    raw"""tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents), grams AS (SELECT doc_id, UNNEST(CASE WHEN len(tk) < $n THEN CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(tk) - ${n - 2}), i -> array_to_string(tk[i:i+${n - 1}], ' ')) END) AS g FROM tk), hx AS (SELECT doc_id, md5(g) AS x FROM grams WHERE g <> ''), contrib AS (SELECT doc_id, CAST(('0x' || substring(x,1,8)) AS BIGINT) % $dim AS idx, CASE WHEN CAST(('0x' || substring(x,9,8)) AS BIGINT) % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn FROM hx), slot AS (SELECT doc_id, idx, SUM(sgn) AS v FROM contrib GROUP BY doc_id, idx), rawv AS (SELECT d.doc_id, list(COALESCE(s.v, CAST(0 AS DOUBLE)) ORDER BY i.i) AS raw FROM (SELECT doc_id FROM documents) d CROSS JOIN range(0, $dim) i(i) LEFT JOIN slot s ON s.doc_id = d.doc_id AND s.idx = i.i GROUP BY d.doc_id), normv AS (SELECT doc_id, raw, sqrt(list_inner_product(raw, raw)) AS nrm FROM rawv), ev0 AS (SELECT doc_id, list_transform(raw, x -> CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE) ELSE x / nrm END) AS vd FROM normv)"""
+  private def md5EmbedVecCtes(dim: Int, n: Int,
+      src: String = "documents"): String =
+    raw"""tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM $src), grams AS (SELECT doc_id, UNNEST(CASE WHEN len(tk) < $n THEN CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(tk) - ${n - 2}), i -> array_to_string(tk[i:i+${n - 1}], ' ')) END) AS g FROM tk), hx AS (SELECT doc_id, md5(g) AS x FROM grams WHERE g <> ''), contrib AS (SELECT doc_id, CAST(('0x' || substring(x,1,8)) AS BIGINT) % $dim AS idx, CASE WHEN CAST(('0x' || substring(x,9,8)) AS BIGINT) % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn FROM hx), slot AS (SELECT doc_id, idx, SUM(sgn) AS v FROM contrib GROUP BY doc_id, idx), rawv AS (SELECT d.doc_id, list(COALESCE(s.v, CAST(0 AS DOUBLE)) ORDER BY i.i) AS raw FROM (SELECT doc_id FROM $src) d CROSS JOIN range(0, $dim) i(i) LEFT JOIN slot s ON s.doc_id = d.doc_id AND s.idx = i.i GROUP BY d.doc_id), normv AS (SELECT doc_id, raw, sqrt(list_inner_product(raw, raw)) AS nrm FROM rawv), ev0 AS (SELECT doc_id, list_transform(raw, x -> CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE) ELSE x / nrm END) AS vd FROM normv)"""
 
   /** DuckDB replay of [[graft.operators.Dsir.select]]: same tokenization
     * as [[md5EmbedVecCtes]] (trim/lower/\s+ split, blank-safe), same md5

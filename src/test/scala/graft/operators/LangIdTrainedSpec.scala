@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SparkTestSession
+
+/** Trained multi-class language ID: charSpread normalization, corpus
+  * synthesis determinism, GD training determinism + separability on the
+  * seeded corpus, the argmax tie rule, and generalization to sentences
+  * outside the training rotations.
+  */
+class LangIdTrainedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    LangIdTrained.withFeatures(
+      LangIdTrained.syntheticCorpus(
+        spark.range(n.toLong).select(col("id").as("doc_id"))), "sent")
+
+  private def trained(n: Int = 320) =
+    LangIdTrained.train(corpus(n), "doc_id", "feats", "lang_k",
+      LangIdTrained.LangVocab.map(_._1), rounds = 24, lr = 4.0,
+      maxSample = n)
+
+  test("SpreadWs constant and the kernel's isSpreadWs accept the identical codepoint set") {
+    val fromConst = LangIdTrained.SpreadWs.codePoints().toArray.toSet
+    val accepted = (0 to 0x3000).filter(LangIdTrained.isSpreadWs).toSet
+    assert(accepted === fromConst)
+  }
+
+  test("charSpread: lowercase, whitespace collapse to _, padding, per-char spread") {
+    val out = Seq(("A  cat", "žluté")).toDF("a", "b")
+      .select(LangIdTrained.charSpread(col("a")).as("sa"),
+        LangIdTrained.charSpread(col("b")).as("sb"))
+      .head()
+    assert(out.getString(0) === "_ a _ c a t _")
+    assert(out.getString(1) === "_ ž l u t é _")
+  }
+
+  test("syntheticCorpus: deterministic, label = doc_id % 16, rotation by doc_id // 16") {
+    val c = LangIdTrained.syntheticCorpus(
+      spark.range(40).select(col("id").as("doc_id")))
+      .orderBy("doc_id").collect()
+    assert(c.length === 40)
+    c.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === (id % 16).toInt)
+      val vocab = LangIdTrained.LangVocab((id % 16).toInt)._2
+      val expected = (0 until LangIdTrained.SentenceWords)
+        .map(j => vocab(((id / 16) + j).toInt % vocab.size))
+        .mkString(" ")
+      assert(r.getString(3) === expected, s"doc $id")
+    }
+  }
+
+  test("training is deterministic: two runs produce the identical model") {
+    val m1 = trained()
+    val m2 = trained()
+    assert(m1 === m2)
+  }
+
+  test("the trained model separates all 16 languages on the seeded corpus") {
+    val feats = corpus(320)
+    val scored = LangIdTrained.score(feats, "feats", trained())
+    val bad = scored.filter(col("lang_pred") =!= col("lang")).count()
+    assert(bad === 0L, "every doc of the training corpus must classify correctly")
+  }
+
+  test("argmax ties resolve to the FIRST class index (the oracle's ORDER BY m DESC, c ASC)") {
+    val model = LangIdTrained.MulticlassModel(
+      weights = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      biases = Seq(0.0, 0.0, 0.0), labels = Seq("aa", "bb", "cc"))
+    val scored = LangIdTrained.score(
+      Seq((1L, Seq(1.0, 0.0))).toDF("id", "feats"), "feats", model)
+      .select("lang_pred").head()
+    // classes aa and bb tie at margin 1.0 — aa (smaller index) wins
+    assert(scored.getString(0) === "aa")
+  }
+
+  test("generalizes to sentences outside the training rotations") {
+    val model = trained()
+    val fresh = Seq(
+      (0L, "en", "it was the house that stood for all of that and more"),
+      (1L, "de", "nicht der hund ist mit sich auf und von der katze"),
+      (2L, "fr", "dans le jardin pour les fleurs et une belle maison pas"),
+      (3L, "ru", "и в доме не на что это как по но и с"),
+      (4L, "fi", "ja talo on että se ei oli mutta kun hän niin"),
+      (5L, "tr", "bir ev ve bu da ne için ile daha çok olarak"))
+      .toDF("doc_id", "expect", "sent")
+    val scored = LangIdTrained.score(
+      LangIdTrained.withFeatures(fresh, "sent"), "feats", model)
+    val bad = scored.filter(col("lang_pred") =!= col("expect")).count()
+    assert(bad === 0L)
+  }
+
+  test("fused CharTrigramEmbed == composed charSpread->wordNgrams->HashEmbedVector, both hash modes") {
+    // real corpus text + hostile strings: whitespace classes (incl. the
+    // three line terminators Java `.` excludes), CJK, combining marks,
+    // emoji (supplementary plane), null, empty, all-whitespace
+    val hostile = Seq(
+      (1000L, null.asInstanceOf[String]), (1001L, ""), (1002L, " \t\n\f\r"),
+      (1003L, "a bc d"), (1004L, "Grüße znaš 北京 тест"),
+      (1005L, "emoji 😀 mixed"), (1006L, "ab"),
+      (1007L, "  padded   runs\t\tof ws  "),
+      (1008L, "a\u2028bc\u0085\u000Bde"))
+      .toDF("doc_id", "text")
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (md5 <- Seq(true, false)) {
+      val base = hostile.unionByName(real)
+      val fused =
+        if (md5) LangIdTrained.withFeatures(base, "text")
+        else LangIdTrained.withFeaturesXx(base, "text")
+      val ref = LangIdTrained.withFeaturesReference(base, "text",
+        md5Mode = md5, outCol = "ref_feats")
+      val joined = fused.select(col("doc_id"), col("feats"))
+        .join(ref.select(col("doc_id"), col("ref_feats")), Seq("doc_id"))
+      val diff = joined.filter(not(col("feats") <=> col("ref_feats"))).count()
+      assert(diff === 0L, s"md5Mode=$md5: fused kernel diverged from reference")
+    }
+  }
+
+  test("a no-signal text still scores deterministically (zero vector -> bias argmax)") {
+    val model = trained()
+    val scored = LangIdTrained.score(
+      LangIdTrained.withFeatures(Seq((0L, "")).toDF("doc_id", "sent"),
+        "sent"), "feats", model)
+      .select("lang_pred").collect()
+    assert(scored.length === 1 && scored(0).getString(0) != null)
+  }
+}

@@ -915,24 +915,124 @@ object Multimodal {
           putLe32(8000, 24); putLe32(8000, 28) // rate, byte rate
           putLe16(1, 32); putLe16(8, 34) // block align, bits
           putStr("data", 36); putLe32(n, 40)
-          var blk = 0
-          while (blk * 16 < n) {
-            md.reset()
-            val base = md.digest((family + ":" + blk).getBytes("UTF-8"))
-            md.reset()
-            val pert = md.digest((id.toString + "#" + blk).getBytes("UTF-8"))
-            var j = 0
-            while (j < 16 && blk * 16 + j < n) {
-              val v = (base(j) & 0xff) % 200 + (pert(j) & 0xff) % 2
-              b(44 + blk * 16 + j) = v.toByte
-              j += 1
-            }
-            blk += 1
-          }
+          synthPcm8Into(md, family, id, b, 44, n)
           (id, b)
         }
       }
       .toDF("id", "payload")
+  }
+
+  /** The shared analytic PCM formula of [[syntheticWavs]] AND
+    * [[syntheticFlacs]] (one definition so the two corpora cannot
+    * drift): sample at `pos` is `byte[pos%16] of md5("family:" +
+    * pos/16) % 200 + byte[pos%16] of md5("id#" + pos/16) % 2`, written
+    * into `b[off, off+n)`. */
+  private def synthPcm8Into(md: java.security.MessageDigest,
+      family: String, id: Long, b: Array[Byte], off: Int, n: Int): Unit = {
+    var blk = 0
+    while (blk * 16 < n) {
+      md.reset()
+      val base = md.digest((family + ":" + blk).getBytes("UTF-8"))
+      md.reset()
+      val pert = md.digest((id.toString + "#" + blk).getBytes("UTF-8"))
+      var j = 0
+      while (j < 16 && blk * 16 + j < n) {
+        val v = (base(j) & 0xff) % 200 + (pert(j) & 0xff) % 2
+        b(off + blk * 16 + j) = v.toByte
+        j += 1
+      }
+      blk += 1
+    }
+  }
+
+  /** Deterministic FLAC payloads carrying the IDENTICAL analytic PCM as
+    * [[syntheticWavs]] ([[synthPcm8Into]] — one shared formula), encoded
+    * as the real compressed container: 16-bit mono subset FLAC
+    * (`s16 = (u8 - 128) << 8`, blocksize 256, VERBATIM + FIXED frames,
+    * Rice residuals, CRC-8/CRC-16/PCM-MD5 all emitted) via
+    * [[Flac.encode]]. Because FLAC is lossless by spec,
+    * [[flacToWav]] ∘ this == [[syntheticWavs]] byte-for-byte on the
+    * sample data — which is exactly why q_audio_flac runs under
+    * q_audio_spectral's UNCHANGED oracle. */
+  def syntheticFlacs(df: DataFrame, idCol: String,
+      familyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = AudioFrames * AudioFrameLen
+    df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
+      .filter(col("__id").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, family0) =>
+          val family = if (family0 == null) "" else family0
+          val u8 = new Array[Byte](n)
+          synthPcm8Into(md, family, id, u8, 0, n)
+          val s16 = new Array[Int](n)
+          var i = 0
+          while (i < n) { s16(i) = ((u8(i) & 0xff) - 128) << 8; i += 1 }
+          (id, Flac.encode(s16, bps = 16, sampleRate = 8000,
+            blockSize = 256))
+        }
+      }
+      .toDF("id", "payload")
+  }
+
+  /** Decode FLAC payloads ([[Flac.decode]] — CRC + PCM-MD5 verified)
+    * into the canonical 8-bit mono WAV container every audio operator
+    * consumes ([[audioQuality]], [[audioFingerprint]],
+    * [[audioSpectralFingerprint]]): 16-bit samples requantize to the
+    * unsigned 8-bit domain as `(s16 >> 8) + 128` (exact inverse of the
+    * synthesis mapping), 8-bit as `s8 + 128`. Out-of-subset or
+    * malformed payloads QUARANTINE (`decoded = false`, null payload) —
+    * one narrow map, zero shuffles, the per-file-independence posture
+    * of every decode path here. */
+  def flacToWav(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(payloadCol))
+      .filter(col("__id").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val d = if (payload == null) None else Flac.decode(payload)
+          d match {
+            case Some(dec) if dec.channels == 1 &&
+                (dec.bps == 8 || dec.bps == 16) =>
+              val n = dec.samples.length
+              val b = new Array[Byte](44 + n)
+              def putStr(s: String, off: Int): Unit = {
+                var i = 0
+                while (i < s.length) { b(off + i) = s.charAt(i).toByte; i += 1 }
+              }
+              def putLe32(v: Int, off: Int): Unit = {
+                b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+                b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+              }
+              def putLe16(v: Int, off: Int): Unit = {
+                b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+              }
+              putStr("RIFF", 0); putLe32(36 + n, 4); putStr("WAVE", 8)
+              putStr("fmt ", 12); putLe32(16, 16)
+              putLe16(1, 20); putLe16(1, 22)
+              putLe32(dec.sampleRate, 24); putLe32(dec.sampleRate, 28)
+              putLe16(1, 32); putLe16(8, 34)
+              putStr("data", 36); putLe32(n, 40)
+              var i = 0
+              while (i < n) {
+                val u8 =
+                  if (dec.bps == 8) dec.samples(i) + 128
+                  else (dec.samples(i) >> 8) + 128
+                b(44 + i) = u8.toByte
+                i += 1
+              }
+              (id, b, true)
+            case _ => (id, null: Array[Byte], false)
+          }
+        }
+      }
+      .toDF("id", "payload", "decoded")
   }
 
   /** `(data offset, data len)` of an 8-bit mono PCM WAV — the same

@@ -3137,6 +3137,37 @@ object PipelineQueries {
       },
       Some(audioSpectralOracleSql())),
 
+    // FLAC audio ingest (the r17-verdict wishlist item): the IDENTICAL
+    // analytic PCM corpus, but shipped as real compressed 16-bit subset
+    // FLAC containers (Flac.encode: STREAMINFO + VERBATIM/FIXED frames,
+    // Rice residuals, CRC-8/CRC-16/PCM-MD5) and decoded back by the
+    // hand-written bounds-checked subset decoder (Flac.decode — every
+    // CRC and the PCM MD5 verified, nothing sized by declared counts),
+    // then requantized into the canonical 8-bit WAV and fingerprinted
+    // through the UNCHANGED spectral pipeline. FLAC is lossless by
+    // spec, so the oracle is q_audio_spectral's VERBATIM — one row set
+    // certifies encode -> container -> decode byte-fidelity AND the
+    // fingerprint; any sample-corrupting codec bug (even a matched
+    // encoder/decoder pair) hash-mismatches against the analytic
+    // formula. Scale shape: one narrow decode map per payload, zero
+    // shuffles before the banding — the decode-path posture shared by
+    // every media operator here.
+    QueryDef("q_audio_flac",
+      (s, dir) => {
+        import graft.operators.{Dedup, Multimodal}
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val wavs = Multimodal.flacToWav(
+          Multimodal.syntheticFlacs(fam, "doc_id", "family"),
+          "id", "payload")
+        val fps = Multimodal.audioSpectralFingerprint(
+          wavs.filter(col("decoded")), "id", "payload")
+        Dedup.hammingCandidates(fps.filter(col("decoded")), "id", "asfp")
+          .filter(col("hamming") <= 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(audioSpectralOracleSql())),
+
     // image duplicate clustering: the perceptual near-dup pairs fold
     // into connected components (checkpointed iterative expansion —
     // constant plan depth, the q_dedup_clusters machinery) and a

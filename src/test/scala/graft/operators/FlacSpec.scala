@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SparkTestSession
+
+/** FLAC subset codec: lossless round-trips across every subset subframe
+  * type and both bit depths, WAV-parity of the synthetic corpora,
+  * quarantine of out-of-subset features, and hostile-byte fuzzing
+  * (truncation at every length, bit flips everywhere, declared-count
+  * bombs) — the Mp4FuzzSpec posture: decode must never throw, never
+  * over-allocate, and flag every corruption.
+  */
+class FlacSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def pcm(n: Int, seed: Int, amp: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (i % 16 == 0) {
+        md.reset()
+        md.digest(s"$seed:${i / 16}".getBytes("UTF-8"))
+          .copyToArray(new Array[Byte](16))
+      }
+      val d = md.digest(s"$seed:$i".getBytes("UTF-8"))
+      out(i) = ((d(0) & 0xff) - 128) * amp / 128
+      i += 1
+    }
+    out
+  }
+
+  test("round-trip: >= 6 frames exercises VERBATIM + FIXED(0-4), 16-bit") {
+    val s = pcm(256 * 6 + 40, seed = 1, amp = 30000) // 7 frames, short tail
+    val enc = Flac.encode(s, bps = 16)
+    val dec = Flac.decode(enc)
+    assert(dec.isDefined)
+    assert(dec.get.bps === 16 && dec.get.channels === 1 &&
+      dec.get.sampleRate === 8000)
+    assert(dec.get.samples.toSeq === s.toSeq)
+  }
+
+  test("round-trip: 8-bit depth") {
+    val s = pcm(600, seed = 2, amp = 120)
+    val dec = Flac.decode(Flac.encode(s, bps = 8))
+    assert(dec.isDefined && dec.get.bps === 8)
+    assert(dec.get.samples.toSeq === s.toSeq)
+  }
+
+  test("round-trip: constant frames use the CONSTANT subframe; empty stream decodes empty") {
+    val s = Array.fill(512)(-12345)
+    val enc = Flac.encode(s, bps = 16)
+    val dec = Flac.decode(enc)
+    assert(dec.isDefined && dec.get.samples.toSeq === s.toSeq)
+    // constant coding must actually compress: 512 16-bit samples in far
+    // fewer bytes than verbatim would take
+    assert(enc.length < 200, s"constant frames not compressed: ${enc.length}")
+    val empty = Flac.decode(Flac.encode(Array.emptyIntArray, bps = 16))
+    assert(empty.isDefined && empty.get.samples.isEmpty)
+  }
+
+  test("extreme values round-trip at both depths (full-scale residual arithmetic)") {
+    val s16 = Array(-32768, 32767, -32768, 32767, 0, -1, 1, -32768,
+      32767, 0) ++ Array.fill(300)(-32768) ++ Array.tabulate(300)(i =>
+      if (i % 2 == 0) 32767 else -32768)
+    val d16 = Flac.decode(Flac.encode(s16, bps = 16))
+    assert(d16.isDefined && d16.get.samples.toSeq === s16.toSeq)
+    val s8 = Array.tabulate(400)(i => if (i % 3 == 0) -128 else 127)
+    val d8 = Flac.decode(Flac.encode(s8, bps = 8))
+    assert(d8.isDefined && d8.get.samples.toSeq === s8.toSeq)
+  }
+
+  test("flacToWav(syntheticFlacs) == syntheticWavs byte-for-byte (losslessness end to end)") {
+    val fam = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"),
+      (17L, "delta eps"), (40L, "zeta"))
+      .toDF("doc_id", "family")
+    val direct = Multimodal.syntheticWavs(fam, "doc_id", "family")
+      .withColumnRenamed("payload", "wav_direct")
+    val viaFlac = Multimodal.flacToWav(
+      Multimodal.syntheticFlacs(fam, "doc_id", "family"), "id", "payload")
+      .withColumnRenamed("payload", "wav_flac")
+    val joined = direct.join(viaFlac, Seq("id"))
+    assert(joined.count() === 5)
+    assert(joined.filter(!col("decoded")).count() === 0)
+    assert(joined.filter(col("wav_direct") =!= col("wav_flac")).count() === 0)
+  }
+
+  test("audioQuality over the FLAC path == audioQuality over the WAV path") {
+    val fam = Seq((1L, "fam a"), (2L, "fam a"), (9L, "fam b"))
+      .toDF("doc_id", "family")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.audioQuality(df, "id", "payload")
+        .orderBy("id").collect().toSeq
+    val wav = rows(Multimodal.syntheticWavs(fam, "doc_id", "family"))
+    val flac = rows(Multimodal.flacToWav(
+      Multimodal.syntheticFlacs(fam, "doc_id", "family"), "id", "payload")
+      .select("id", "payload"))
+    assert(flac === wav)
+  }
+
+  test("quarantine: garbage, wrong marker, empty, null") {
+    assert(Flac.decode(null) === None)
+    assert(Flac.decode(Array.emptyByteArray) === None)
+    assert(Flac.decode("not a flac stream at all, just text!!!!!!!"
+      .getBytes("US-ASCII")) === None)
+    val enc = Flac.encode(pcm(300, 3, 20000), bps = 16)
+    val badMarker = enc.clone(); badMarker(0) = 'g'.toByte
+    assert(Flac.decode(badMarker) === None)
+  }
+
+  test("fuzz: every truncation quarantines (never throws, never wrong samples)") {
+    val s = pcm(256 * 3 + 10, seed = 4, amp = 25000)
+    val enc = Flac.encode(s, bps = 16)
+    var cut = 0
+    while (cut < enc.length) {
+      val d = Flac.decode(java.util.Arrays.copyOf(enc, cut))
+      // a truncated stream must never yield the full sample count
+      assert(d.forall(_.samples.length < s.length), s"cut=$cut")
+      cut += 1
+    }
+  }
+
+  test("fuzz: single-bit flips are caught by CRC-8/CRC-16/MD5 (no silent corruption)") {
+    val s = pcm(256 + 30, seed = 5, amp = 28000)
+    val enc = Flac.encode(s, bps = 16)
+    var flips = 0
+    var silent = 0
+    var pos = 0
+    while (pos < enc.length) {
+      val bad = enc.clone()
+      bad(pos) = (bad(pos) ^ (1 << (pos % 8))).toByte
+      Flac.decode(bad) match {
+        case Some(d) if d.samples.toSeq != s.toSeq => silent += 1
+        case _ => ()
+      }
+      flips += 1
+      pos += 1
+    }
+    assert(silent === 0,
+      s"$silent/$flips bit flips silently corrupted samples")
+  }
+
+  test("fuzz: declared-count bombs quarantine without allocation") {
+    val s = pcm(300, seed = 6, amp = 20000)
+    val enc = Flac.encode(s, bps = 16)
+    // STREAMINFO total-samples field (36 bits ending byte 21 of the
+    // 34-byte block at offset 8): blow it up — decode must compare
+    // against ACTUAL samples and quarantine, never allocate 2^36
+    val bomb = enc.clone()
+    bomb(8 + 13) = 0xff.toByte; bomb(8 + 14) = 0xff.toByte
+    bomb(8 + 15) = 0xff.toByte; bomb(8 + 16) = 0xff.toByte
+    assert(Flac.decode(bomb) === None)
+    // metadata block with a huge declared length past the buffer
+    val metaBomb = Array[Byte]('f', 'L', 'a', 'C',
+      0x02, 0x7f.toByte, 0xff.toByte, 0xff.toByte) ++ Array.fill(10)(0.toByte)
+    assert(Flac.decode(metaBomb) === None)
+  }
+
+  test("out-of-subset features quarantine: LPC subframe, stereo, variable blocksize") {
+    // hand-build headers that pass the marker/STREAMINFO stage but
+    // declare out-of-subset shapes
+    def streamInfo(channels: Int, minB: Int, maxB: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("US-ASCII"))
+      out.write(0x80); out.write(0); out.write(0); out.write(34)
+      val bb = java.nio.ByteBuffer.allocate(34)
+      bb.putShort(minB.toShort).putShort(maxB.toShort)
+      bb.put(Array.fill(6)(0.toByte)) // frame sizes
+      // rate 8000 (20 bits) | ch-1 (3) | bps-1 (5) -> 4 bytes
+      val v = (8000L << 12) | ((channels - 1).toLong << 9) | (15L << 4)
+      bb.putInt(v.toInt)
+      bb.put(Array.fill(4 + 16)(0.toByte)) // low 32 bits of total + md5
+      out.write(bb.array(), 0, 34)
+      out.toByteArray
+    }
+    // stereo STREAMINFO
+    assert(Flac.decode(streamInfo(channels = 2, 256, 256)) === None)
+    // variable blocksize (min != max)
+    assert(Flac.decode(streamInfo(channels = 1, 256, 512)) === None)
+    // LPC subframe type inside an otherwise-valid stream: flip the
+    // subframe-type bits of a real encode and fix no CRCs — quarantined
+    // either way (type check or CRC), never decoded silently
+    val enc = Flac.encode(pcm(100, 7, 1000), bps = 16)
+    val lpc = enc.clone()
+    // subframe type byte sits right after the frame header; corrupt a
+    // range to be sure we hit it
+    var i = 42
+    while (i < math.min(lpc.length, 60)) { lpc(i) = 0xff.toByte; i += 1 }
+    assert(Flac.decode(lpc) === None)
+  }
+}

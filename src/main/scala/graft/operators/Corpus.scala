@@ -415,32 +415,46 @@ object Corpus {
       .filter(col("__id").isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        if (text == null || text.isEmpty) Iterator.empty
-        else {
-          val cps = text.codePoints().toArray
-          val n = cps.length
-          val bounds = Vector.newBuilder[Int]
-          var i = w // 1-based position of the window's last codepoint
-          while (i <= n) {
-            var h = 0L
-            var j = 0
-            while (j < w) {
-              h += cps(i - 1 - j) * g(j)
-              j += 1
-            }
-            if (h % CdcMod % d == 0L) bounds += i
-            i += 1
-          }
-          val bs = (bounds.result() :+ n).distinct
-          var prev = 0
-          bs.iterator.zipWithIndex.map { case (b, idx) =>
-            val chunk = new String(cps, prev, b - prev)
-            val out = (id, idx + 1, chunk, (b - prev).toLong)
-            prev = b
-            out
-          }
+        chunkWalk(text, w, d, g).map { case (idx, chunk, ncp) =>
+          (id, idx, chunk, ncp)
         }
       }
       .toDF("id", "chunk_idx", "chunk", "n_cp")
+  }
+
+  /** The per-document chunk walk of [[cdcChunks]] — ONE definition
+    * shared with the streaming operator
+    * ([[graft.streaming.StreamCdc]]), so batch and stream boundaries
+    * cannot drift: rolling hash over `window` codepoints with
+    * [[cdcWeights]], boundary where `h % CdcMod % divisor == 0`, final
+    * chunk always ends at text end. Emits `(chunk_idx (1-based), chunk,
+    * n_cp)`; empty/null text emits nothing. */
+  private[graft] def chunkWalk(text: String, w: Int, d: Int,
+      g: Array[Long]): Iterator[(Int, String, Long)] = {
+    if (text == null || text.isEmpty) Iterator.empty
+    else {
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      val bounds = Vector.newBuilder[Int]
+      var i = w // 1-based position of the window's last codepoint
+      while (i <= n) {
+        var h = 0L
+        var j = 0
+        while (j < w) {
+          h += cps(i - 1 - j) * g(j)
+          j += 1
+        }
+        if (h % CdcMod % d == 0L) bounds += i
+        i += 1
+      }
+      val bs = (bounds.result() :+ n).distinct
+      var prev = 0
+      bs.iterator.zipWithIndex.map { case (b, idx) =>
+        val chunk = new String(cps, prev, b - prev)
+        val out = (idx + 1, chunk, (b - prev).toLong)
+        prev = b
+        out
+      }
+    }
   }
 }

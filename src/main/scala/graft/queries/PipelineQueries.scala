@@ -390,6 +390,33 @@ object PipelineQueries {
       },
       Some(cdcScrubOracleSql)),
 
+    // STREAMING CDC dedup (the r17-verdict wishlist item): the chunk
+    // census as an ingest-time stateful operator — documents chunk at
+    // content-defined boundaries (the SAME shared walk as q_doc_cdc:
+    // Corpus.chunkWalk, one definition) and chunk-hash-keyed state
+    // (constant-size per key: first_doc + count + last-activity) emits a
+    // hit for every chunk instance whose content was already seen. Batch
+    // execution is a pure function of arrival order whose output is
+    // declarative — first arrival per content wins, n_prev = arrival
+    // rank - 1 — so the oracle replays the shared CDC chunk CTEs plus
+    // ONE window. Streaming == batch == this replay is pinned in
+    // StreamingSpec; checkpoint stop/restart in CheckpointRecoverySpec.
+    // Scale shape: one narrow chunking pass, one chunk-keyed shuffle
+    // (~bytes/32 rows), state O(distinct chunks in horizon) with
+    // watermark reclamation.
+    QueryDef("q_stream_cdc",
+      (s, dir) => {
+        val docs = cdcOracleBoundGuard(Tables.documents(s, dir))
+          .withColumn("ts",
+            timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+        graft.streaming.StreamCdc
+          .dupChunkHits(docs, "doc_id", "ts", "text", md5Mode = true)
+          .select(col("doc_id"), col("cidx"), col("first_doc"),
+            col("n_prev"))
+          .orderBy("doc_id", "cidx", "first_doc")
+      },
+      Some(streamCdcOracleSql)),
+
     // robots.txt COMPLIANCE FILTER (RFC 9309) — the crawl-side gate
     // before any URL is fetched or kept: per-host robots bodies are
     // parsed relationally (line explode -> comment strip -> field
@@ -3411,6 +3438,18 @@ object PipelineQueries {
       "chk AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS cidx, COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS p, i AS b FROM bnd), " +
       "chunks AS MATERIALIZED (SELECT c.doc_id, c.cidx, substring(d.text, p + 1, b - p) AS chunk, b - p AS n_cp FROM chk c JOIN documents d USING (doc_id))"
   }
+
+  /** q_stream_cdc replay: the shared chunk CTE chain + the arrival-rank
+    * window (ts is strictly increasing in doc_id and chunks arrive in
+    * cidx order, so batch arrival order == `(doc_id, cidx)`): rank > 1
+    * is a hit against the partition's first arrival. The engine groups
+    * on the md5-hash64 of the chunk; the oracle groups on chunk CONTENT
+    * — equality is preserved modulo hash collisions, the md5 twins'
+    * accepted philosophy. */
+  private def streamCdcOracleSql: String =
+    s"WITH $cdcChunkCtesSql, " +
+      "arr AS (SELECT doc_id, cidx, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rk, first_value(doc_id) OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS first_doc FROM chunks) " +
+      "SELECT doc_id, CAST(cidx AS INT) AS cidx, first_doc, CAST(rk - 1 AS BIGINT) AS n_prev FROM arr WHERE rk > 1 ORDER BY doc_id, cidx, first_doc"
 
   private def docCdcOracleSql: String =
     s"WITH $cdcChunkCtesSql " +

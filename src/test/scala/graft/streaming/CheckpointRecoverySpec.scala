@@ -134,6 +134,89 @@ class CheckpointRecoverySpec extends AnyFunSuite {
         s"batch after restart?): got=$gotCounts want=$wantCounts")
   }
 
+  test("streaming CDC dedup survives a mid-stream stop + checkpoint " +
+      "restart: exactly-once committed chunks equal to the batch run, " +
+      "chunk state restored across the restart") {
+    import spark.implicits._
+    val srcDir = SparkTestSession.tmpPath("ckpt_cdc_src")
+    val ckpt = SparkTestSession.tmpPath("ckpt_cdc_ckpt")
+    val outDir = SparkTestSession.tmpPath("ckpt_cdc_out")
+    Seq(srcDir, ckpt, outDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    Files.createDirectories(Paths.get(srcDir))
+    val t0 = 1700000000L
+    // the same three planted exact-duplicate pairs as the near-dup
+    // recovery test: (5,7) pre-stop, (3,45) across the stop (45's chunk
+    // hits can ONLY come from state restored out of the checkpoint),
+    // (41,52) post-stop
+    def textOf(id: Long): String = id match {
+      case 7L => textOf(5L)
+      case 45L => textOf(3L)
+      case 52L => textOf(41L)
+      case _ => s"document $id body with enough distinct tokens " +
+        s"alpha_$id beta_$id gamma_$id delta_$id epsilon_$id"
+    }
+    def write(name: String, ids: Range): Unit = {
+      ids.map(i => (i.toLong,
+          new java.sql.Timestamp((t0 + i) * 1000L), textOf(i.toLong)))
+        .toDF("doc_id", "ts", "text")
+        .repartition(1).write.parquet(s"$srcDir/$name")
+      Thread.sleep(1100)
+    }
+    val schema = Seq((0L, new java.sql.Timestamp(0L), "t"))
+      .toDF("doc_id", "ts", "text").schema
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+      StreamCdc.dupChunkHits(stream, "doc_id", "ts", "text")
+        .select("doc_id", "cidx", "first_doc", "n_prev")
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    }
+    write("b0", 0 until 10); write("b1", 10 until 20); write("b2", 20 until 30)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    val afterRun1 = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(afterRun1.exists(h => h._1 == 7L && h._3 == 5L),
+      s"pre-stop duplicate chunks not flagged in run 1")
+    assert(!afterRun1.exists(_._1 >= 30L), "run 1 saw post-stop docs")
+
+    write("b3", 30 until 40); write("b4", 40 until 50); write("b5", 50 until 60)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val staticDocs = (0L until 60L)
+      .map(i => (i, new java.sql.Timestamp((t0 + i) * 1000L), textOf(i)))
+      .toDF("doc_id", "ts", "text")
+    val want = StreamCdc.dupChunkHits(staticDocs, "doc_id", "ts", "text")
+      .select("doc_id", "cidx", "first_doc", "n_prev").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want,
+      s"restart diverged from the batch run: extra=${(got -- want).take(3)}, " +
+        s"missing=${(want -- got).take(3)}")
+    // state restoration: every chunk of 45 flagged against 3, which is
+    // not in run 2's input — only restored keyed state can know it
+    val g = graft.operators.Corpus.cdcWeights(8).toArray
+    val n45 = graft.operators.Corpus.chunkWalk(textOf(45L), 8, 32, g).size
+    assert(n45 > 0 && got.count(h => h._1 == 45L && h._3 == 3L) == n45,
+      "cross-restart chunk state was not restored from the checkpoint")
+    assert(got.exists(h => h._1 == 52L && h._3 == 41L),
+      "post-restart duplicate not flagged")
+    // exactly-once: committed multiset equals the batch run's rows (one
+    // row per dup chunk instance; the set compare above plus identical
+    // total counts rules out manifest-level double emission)
+    assert(spark.read.parquet(outDir).count() ===
+      StreamCdc.dupChunkHits(staticDocs, "doc_id", "ts", "text").count())
+  }
+
   test("the FULL curation composite (gate + dup state + stream-stream " +
       "outer join) survives a mid-stream stop + checkpoint restart and " +
       "equals curate's batch frame") {

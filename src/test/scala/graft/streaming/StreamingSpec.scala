@@ -112,6 +112,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == got, "streaming run diverged from batch run")
   }
 
+  test("streaming CDC dedup: == batch run, == driver reference, flags every planted-boilerplate chunk") {
+    import org.apache.spark.sql.functions._
+    val docs0 = Tables.documents(spark, dir)
+      .withColumn("ts", timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+    // exact-duplicate docs arriving later: every chunk of a planted doc
+    // must hit a PRE-existing first arrival
+    val planted = docs0.select((col("doc_id") + 100000L).as("doc_id"),
+      timestamp_micros((col("doc_id") + 200000L) * 1000000L).as("ts"),
+      col("text"))
+    val docs = docs0.select("doc_id", "ts", "text").union(planted)
+
+    val batch = StreamCdc.dupChunkHits(docs, "doc_id", "ts", "text")
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    // independent driver reference: the shared chunk walk + arrival ranks
+    val g = graft.operators.Corpus.cdcWeights(8).toArray
+    val rows = docs.select("doc_id", "ts", "text").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+    val chunkRows = for {
+      (id, ts, text) <- rows.toSeq
+      (cidx, chunk, _) <- graft.operators.Corpus.chunkWalk(text, 8, 32, g)
+        .toSeq
+    } yield (chunk, ts, id, cidx)
+    val want = scala.collection.mutable.Set.empty[(Long, Int, Long, Long)]
+    chunkRows.groupBy(_._1).foreach { case (_, ms) =>
+      val sorted = ms.sortBy { case (_, ts, id, cidx) => (ts, id, cidx) }
+      val firstDoc = sorted.head._3
+      sorted.zipWithIndex.drop(1).foreach { case ((_, _, id, cidx), rk) =>
+        want += ((id, cidx, firstDoc, rk.toLong))
+      }
+    }
+    assert(got === want.toSet,
+      s"batch run diverged from reference: extra=${(got -- want).take(3)}, " +
+        s"missing=${(want.toSet -- got).take(3)}")
+
+    // every chunk of every planted doc is flagged, always against a
+    // pre-existing doc (the original corpus arrived earlier)
+    val plantedChunks = chunkRows.count(_._3 >= 100000L)
+    val plantedHits = got.filter(_._1 >= 100000L)
+    assert(plantedHits.size === plantedChunks,
+      "some planted-duplicate chunks were not flagged")
+    assert(plantedHits.forall(_._3 < 100000L),
+      "a planted chunk was attributed to a non-original first arrival")
+
+    // streaming run over the same rows emits the same hits
+    val tmp = SparkTestSession.tmpPath("stream_cdc_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema).parquet(tmp)
+    val streamed = EventStreams.runToBatch(
+      StreamCdc.dupChunkHits(stream, "doc_id", "ts", "text"),
+      "stream_cdc_out", outputMode = "append")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed === got, "streaming run diverged from batch run")
+  }
+
   test("streaming top-k: batch == driver Misra-Gries, guarantee holds, 2-batch streaming == batch") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, dir)

@@ -422,6 +422,125 @@ object Corpus {
       .toDF("id", "chunk_idx", "chunk", "n_cp")
   }
 
+  /** Content-defined anchor positions with their fixed-length seeds —
+    * the candidate generator of [[longRepeats]]: every position where
+    * the [[cdcChunks]] rolling hash (with its OWN divisor, typically
+    * finer than the chunker's) fires, paired with the `seedLen`
+    * codepoints starting at the rolling window's first position. Emits
+    * `(s0 (1-based), seed)`; anchors whose seed would run past the text
+    * end are skipped. Because anchors are CONTENT-defined, a verbatim
+    * repeat of length >= seedLen + window carries identical anchors at
+    * corresponding offsets in every copy, at ANY alignment. */
+  private[graft] def anchorWalk(text: String, w: Int, d: Int,
+      g: Array[Long], seedLen: Int): Iterator[(Int, String)] = {
+    if (text == null || text.isEmpty) Iterator.empty
+    else {
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      val out = Vector.newBuilder[(Int, String)]
+      var i = w
+      while (i <= n) {
+        var h = 0L
+        var j = 0
+        while (j < w) { h += cps(i - 1 - j) * g(j); j += 1 }
+        if (h % CdcMod % d == 0L) {
+          val s0 = i - w + 1
+          if (s0 + seedLen - 1 <= n)
+            out += ((s0, new String(cps, s0 - 1, seedLen)))
+        }
+        i += 1
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Repeated-substring detection at ARBITRARY alignment — the
+    * Lee-et-al suffix-array cut's bucketed approximation, closing the
+    * tail [[cdcChunks]] leaves open: a repeat shorter than ~2 expected
+    * chunks can contain NO full content-defined chunk (nothing for the
+    * chunk census to share) yet still be `minLen` codepoints of
+    * verbatim duplication. Anchors ([[anchorWalk]], divisor finer than
+    * the chunker's) seed candidate pairs wherever two documents share a
+    * `seedLen`-codepoint anchor seed; each candidate extends left and
+    * right to the MAXIMAL equal run; runs >= `minLen` are reported as
+    * `(id_a, id_b, start_a, start_b, rep_len)` (1-based codepoint
+    * starts, `id_a` the bucket's first arrival).
+    *
+    * Completeness: a verbatim repeat is caught iff some anchor fires
+    * with its window + seed fully inside the repeated region — for a
+    * repeat of length L that is ~`1 - (1-1/divisor)^(L-seedLen-window)`
+    * (probabilistic, like every bucketed candidate generator here); the
+    * planted-straddle spec pins the behavior on a contrast corpus that
+    * [[cdcChunks]] provably misses.
+    *
+    * Scale shape: one narrow anchor pass; ONE seed-keyed shuffle with
+    * star pairs under `maxBucket` (boilerplate seeds stop generating
+    * pairs, never quadratic); two id-keyed joins pull ONLY candidate
+    * documents' texts; extension is a per-candidate-pair JVM scan
+    * (codec-class work). Grouping keys on the md5-64 of the seed (no
+    * StringType shuffle key), with seed EQUALITY re-verified in the
+    * join; the oracle groups on seed content itself — hash-collision
+    * differences are the md5 twins' accepted philosophy. */
+  def longRepeats(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 40, window: Int = 8, divisor: Int = 16,
+      seedLen: Int = 16, maxBucket: Int = 8): DataFrame = {
+    require(minLen >= seedLen, s"minLen >= seedLen, got $minLen < $seedLen")
+    require(divisor >= 2 && seedLen >= window, "bad anchor geometry")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = window
+    val d = divisor
+    val sl = seedLen
+    val g = cdcWeights(window).toArray
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+      .filter(col("id").isNotNull)
+    val anchors = base.as[(Long, String)]
+      .flatMap { case (id, text) =>
+        anchorWalk(text, w, d, g, sl).map { case (s0, seed) =>
+          (id, s0, seed)
+        }
+      }
+      .toDF("id", "s0", "seed")
+      .withColumn("bkey", graft.functions.Md5Hashes.md5Hash64(col("seed")))
+    val win = Window.partitionBy("bkey").orderBy("id", "s0")
+    val ranked = anchors.withColumn("rk", row_number().over(win))
+    val firsts = ranked.filter(col("rk") === 1)
+      .select(col("bkey"), col("id").as("id_a"), col("s0").as("sa"),
+        col("seed").as("seed_a"))
+    val rest = ranked.filter(col("rk") > 1 && col("rk") <= maxBucket + 1)
+      .select(col("bkey"), col("id").as("id_b"), col("s0").as("sb"),
+        col("seed").as("seed_b"))
+    val cands = rest.join(firsts, Seq("bkey"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("seed_a") === col("seed_b"))
+      .select("id_a", "sa", "id_b", "sb")
+    cands
+      .join(base.select(col("id").as("id_a"), col("text").as("ta")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("text").as("tb")),
+        Seq("id_b"))
+      .select("id_a", "sa", "ta", "id_b", "sb", "tb")
+      .as[(Long, Int, String, Long, Int, String)]
+      .mapPartitions { rows =>
+        rows.map { case (ia, sa, ta, ib, sb, tb) =>
+          val ca = ta.codePoints().toArray
+          val cb = tb.codePoints().toArray
+          // seed occupies [s, s + sl - 1] 1-based; maximal extension
+          var l = 0
+          while (sa - 1 - l >= 1 && sb - 1 - l >= 1 &&
+              ca(sa - 2 - l) == cb(sb - 2 - l)) l += 1
+          var r = 0
+          while (sa + sl + r <= ca.length && sb + sl + r <= cb.length &&
+              ca(sa + sl + r - 1) == cb(sb + sl + r - 1)) r += 1
+          (ia, ib, (sa - l).toLong, (sb - l).toLong, (sl + l + r).toLong)
+        }
+      }
+      .toDF("id_a", "id_b", "start_a", "start_b", "rep_len")
+      .filter(col("rep_len") >= minLen)
+      .distinct()
+  }
+
   /** The per-document chunk walk of [[cdcChunks]] — ONE definition
     * shared with the streaming operator
     * ([[graft.streaming.StreamCdc]]), so batch and stream boundaries

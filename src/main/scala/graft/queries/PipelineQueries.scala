@@ -417,6 +417,40 @@ object PipelineQueries {
       },
       Some(streamCdcOracleSql)),
 
+    // LONG-REPEAT detection at ARBITRARY alignment (the Lee-et-al
+    // suffix-array cut's bucketed approximation — the r17-verdict item
+    // closing the exact-substring tail): content-defined anchors
+    // (divisor 16 — finer than the chunker's 32) seed candidate pairs
+    // wherever two documents share a 16-codepoint anchor seed; each
+    // candidate extends to the MAXIMAL equal run; runs >= 40 codepoints
+    // are reported. The CONTRAST CORPUS plants a 48-char repeat into
+    // both members of each (10j, 10j+1) doc pair at DIFFERENT offsets
+    // (40 + doc_id % 13 — deliberately shifted alignments): 48 chars ~
+    // 1.5 expected chunks, so many planted repeats contain NO full CDC
+    // chunk (nothing for the q_doc_cdc census to share — the miss is
+    // pinned in LongRepeatSpec) yet every one with an interior anchor
+    // is caught here. The oracle replays planting, the anchor rolling
+    // hash (LAG chain), seeds, the capped star pairs, and the maximal
+    // extension (per-codepoint first-mismatch lookups against the cps
+    // table). Scale shape: one seed-keyed shuffle with bucket-capped
+    // star pairs (never quadratic), texts joined for CANDIDATES only.
+    QueryDef("q_long_repeats",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir)
+          .selectExpr("doc_id", "doc_id div 10 AS j",
+            "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
+            "text")
+          .selectExpr("doc_id",
+            "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
+              "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
+              "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
+              "|| substring(text, off + 1) ELSE text END AS text")
+        graft.operators.Corpus.longRepeats(
+            cdcOracleBoundGuard(planted), "doc_id", "text")
+          .orderBy("id_a", "id_b", "start_a", "start_b")
+      },
+      Some(longRepeatsOracleSql)),
+
     // robots.txt COMPLIANCE FILTER (RFC 9309) — the crawl-side gate
     // before any URL is fetched or kept: per-host robots bodies are
     // parsed relationally (line explode -> comment strip -> field
@@ -3390,6 +3424,37 @@ object PipelineQueries {
       raw"""m AS (SELECT hp.host, hp.path, c.rtype, c.pattern, c.pattern_len, (c.likepat IS NOT NULL AND hp.path LIKE c.likepat ESCAPE '\') AS hit FROM hp LEFT JOIN chosen c ON hp.host = c.host), """ +
       "v AS (SELECT host, path, (NOT hit OR rtype = 'allow') AS allowed, CASE WHEN hit THEN pattern END AS matched FROM (SELECT *, row_number() OVER (PARTITION BY host, path ORDER BY hit DESC, pattern_len DESC, rtype ASC) AS rk FROM m) WHERE rk = 1) " +
       "SELECT u.doc_id, u.path, COALESCE(v.allowed, TRUE) AS allowed, v.matched FROM urls u LEFT JOIN v ON u.host = v.host AND u.path = v.path ORDER BY u.doc_id, u.path"
+  }
+
+  /** q_long_repeats replay: the planted-straddle corpus (same CASE
+    * synthesis), codepoints via the constant-bound range, the anchor
+    * rolling hash as the 8 LAG terms with divisor 16, 16-codepoint
+    * seeds, the capped star pairs (rank 1 vs ranks 2..9 per seed
+    * CONTENT — the engine buckets on the seed's md5-64, collision
+    * differences being the md5 twins' accepted philosophy), and
+    * MAXIMAL extension as first-mismatch MINs over per-codepoint
+    * lookups (NULL IS DISTINCT catching one-sided text ends; the
+    * no-mismatch fallbacks extend to the shorter text's boundary). */
+  private def longRepeatsOracleSql: String = {
+    import graft.operators.Corpus
+    val g = Corpus.cdcWeights(8)
+    val terms = (0 until 8).map { j =>
+      if (j == 0) s"cp * ${g(j)}"
+      else s"COALESCE(LAG(cp, $j) OVER (PARTITION BY doc_id ORDER BY i), CAST(0 AS BIGINT)) * ${g(j)}"
+    }.mkString(" + ")
+    val r = CdcOracleMaxCp
+    s"WITH pd AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || md5('rep:' || CAST(j AS VARCHAR)) || substring(md5('repB:' || CAST(j AS VARCHAR)), 1, 16) || substring(text, off + 1) ELSE text END AS text FROM (SELECT doc_id, doc_id // 10 AS j, CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off, text FROM documents)), " +
+      s"cps AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i, CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS cp FROM pd CROSS JOIN range(1, $r) r(i) WHERE i <= length(text)), " +
+      s"hs AS (SELECT doc_id, i, ($terms) % ${Corpus.CdcMod} AS h FROM cps), " +
+      "anc AS (SELECT doc_id, CAST(i - 7 AS INT) AS s0 FROM hs WHERE i >= 8 AND h % 16 = 0), " +
+      "anc2 AS MATERIALIZED (SELECT a.doc_id, a.s0, substring(p.text, a.s0, 16) AS seed FROM anc a JOIN pd p USING (doc_id) WHERE a.s0 + 15 <= length(p.text)), " +
+      "rkd AS MATERIALIZED (SELECT doc_id, s0, seed, row_number() OVER (PARTITION BY seed ORDER BY doc_id, s0) AS rk FROM anc2), " +
+      "cand AS MATERIALIZED (SELECT row_number() OVER (ORDER BY f.doc_id, f.s0, r.doc_id, r.s0) AS cid, f.doc_id AS id_a, f.s0 AS sa, r.doc_id AS id_b, r.s0 AS sb FROM rkd f JOIN rkd r ON f.seed = r.seed AND f.rk = 1 AND r.rk BETWEEN 2 AND 9 AND f.doc_id <> r.doc_id), " +
+      s"lm AS MATERIALIZED (SELECT c.cid, MIN(e) AS ml FROM cand c CROSS JOIN range(1, $r) q(e) LEFT JOIN cps a ON a.doc_id = c.id_a AND a.i = c.sa - CAST(e AS INT) LEFT JOIN cps b ON b.doc_id = c.id_b AND b.i = c.sb - CAST(e AS INT) WHERE a.cp IS DISTINCT FROM b.cp GROUP BY c.cid), " +
+      s"rm AS MATERIALIZED (SELECT c.cid, MIN(e) AS mr FROM cand c CROSS JOIN range(1, $r) q(e) LEFT JOIN cps a ON a.doc_id = c.id_a AND a.i = c.sa + 15 + CAST(e AS INT) LEFT JOIN cps b ON b.doc_id = c.id_b AND b.i = c.sb + 15 + CAST(e AS INT) WHERE a.cp IS DISTINCT FROM b.cp GROUP BY c.cid), " +
+      "lens AS (SELECT doc_id, length(text) AS len FROM pd), " +
+      "ext AS (SELECT c.id_a, c.id_b, c.sa, c.sb, COALESCE(l.ml - 1, LEAST(c.sa, c.sb) - 1) AS el, COALESCE(r2.mr - 1, LEAST(la.len - c.sa, lb.len - c.sb) - 15) AS er FROM cand c LEFT JOIN lm l USING (cid) LEFT JOIN rm r2 USING (cid) JOIN lens la ON la.doc_id = c.id_a JOIN lens lb ON lb.doc_id = c.id_b) " +
+      "SELECT DISTINCT id_a, id_b, CAST(sa - el AS BIGINT) AS start_a, CAST(sb - el AS BIGINT) AS start_b, CAST(16 + el + er AS BIGINT) AS rep_len FROM ext WHERE 16 + el + er >= 40 ORDER BY id_a, id_b, start_a, start_b"
   }
 
   /** q_doc_cdc replay: codepoints via constant-bound range + substring/

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SparkTestSession
+
+/** Long-repeat detection at arbitrary alignment: alignment-freedom,
+  * maximality, the minLen cut, bucket boundedness — and the
+  * LOAD-BEARING contrast the operator exists for: planted 48-char
+  * repeats that [[Corpus.cdcChunks]]'s census provably MISSES (no full
+  * chunk inside) are caught by [[Corpus.longRepeats]].
+  */
+class LongRepeatSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def filler(seed: String, n: Int): String = {
+    // deterministic letter filler with NO internal repeats across seeds
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new StringBuilder
+    var blk = 0
+    while (sb.length < n) {
+      md.reset()
+      md.digest(s"$seed:$blk".getBytes("UTF-8")).foreach { b =>
+        if (sb.length < n) sb.append(('a' + ((b & 0xff) % 26)).toChar)
+      }
+      blk += 1
+    }
+    sb.toString
+  }
+
+  private def repeats(docs: Seq[(Long, String)]) =
+    Corpus.longRepeats(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+
+  test("a 60-char repeat is caught at ARBITRARY alignment with exact maximal extent") {
+    // completeness is probabilistic in the anchor draw (~1/16 per
+    // position): pick the first deterministic filler whose segment
+    // carries an interior anchor — the pick itself is deterministic,
+    // and anchors are content-defined, so it holds at EVERY embedding
+    val g = Corpus.cdcWeights(8).toArray
+    val seg = (0 until 20).iterator
+      .map(i => filler(s"shared$i", 60))
+      .find(t => Corpus.anchorWalk(t, 8, 16, g, 16).nonEmpty)
+      .get
+    for (offB <- Seq(0, 1, 7, 33, 100)) {
+      val a = filler("docA", 50) + seg + filler("docA2", 80)
+      val b = filler("docB", offB) + seg + filler("docB2", 40)
+      val got = repeats(Seq((1L, a), (2L, b)))
+      val hit = got.filter(r => r._1 == 1L && r._2 == 2L)
+      assert(hit.length === 1, s"offB=$offB: $got")
+      // maximal extent = exactly the planted segment (surroundings differ)
+      assert(hit.head === ((1L, 2L, 51L, (offB + 1).toLong, 60L)),
+        s"offB=$offB")
+    }
+  }
+
+  test("repeats shorter than minLen are not reported; self-pairs never appear") {
+    val seg = filler("short", 30) // < minLen 40
+    val a = filler("dA", 60) + seg + filler("dA2", 60)
+    val b = filler("dB", 45) + seg + filler("dB2", 60)
+    assert(repeats(Seq((1L, a), (2L, b))).isEmpty)
+    // a doc repeated with ITSELF under one id yields nothing
+    val self = filler("sf", 40) + seg + filler("sf2", 30) + seg
+    assert(repeats(Seq((9L, self))).forall(r => r._1 != r._2))
+  }
+
+  test("hot seeds are bucket-capped: n docs sharing one segment yield <= maxBucket star pairs") {
+    val seg = filler("boiler", 80)
+    val docs = (0 until 30).map(i =>
+      (i.toLong, filler(s"pre$i", 20 + i) + seg + filler(s"post$i", 25)))
+    val got = repeats(docs)
+    // star pairs: every reported pair anchors on the first arrival,
+    // and per seed bucket at most maxBucket (8) partners
+    assert(got.nonEmpty && got.forall(_._1 == 0L))
+    assert(got.length <= 8 * 4, s"unbounded pair growth: ${got.length}")
+  }
+
+  test("the planted-straddle contrast corpus: longRepeats catches pairs whose CDC census shares NOTHING") {
+    // the q_long_repeats synthesis at sf0.001
+    val dir = "/root/testdata/sf0.001"
+    val planted = graft.queries.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "doc_id div 10 AS j",
+        "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off", "text")
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
+          "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
+          "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
+          "|| substring(text, off + 1) ELSE text END AS text")
+    val reps = Corpus.longRepeats(planted, "doc_id", "text")
+      .filter(col("id_a") % 10 <= 1 && col("id_b") % 10 <= 1 &&
+        (col("id_a") / 10).cast("long") === (col("id_b") / 10).cast("long"))
+      .select("id_a", "id_b", "rep_len").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val caughtPairs = reps.map(r => (r._1, r._2)).toSet
+    val nPairs = 5 // sf0.001: 50 docs -> j in 0..4
+    assert(caughtPairs.size >= nPairs * 4 / 5,
+      s"too few planted pairs caught: $caughtPairs")
+    assert(reps.forall(_._3 >= 48L),
+      "a planted repeat extended to less than its 48 chars")
+
+    // the MISS: at least one caught pair shares ZERO full CDC chunks —
+    // the exact-substring tail cdcChunks cannot see
+    val chunks = Corpus.cdcChunks(planted, "doc_id", "text")
+      .select(col("id"), col("chunk")).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getString(1)).toSet
+      }
+    val missedByCdc = caughtPairs.filter { case (a, b) =>
+      chunks.getOrElse(a, Set.empty)
+        .intersect(chunks.getOrElse(b, Set.empty)).isEmpty
+    }
+    assert(missedByCdc.nonEmpty,
+      "every planted pair also shared a full CDC chunk — the contrast " +
+        "corpus no longer demonstrates the tail this operator closes")
+  }
+}

@@ -63,26 +63,32 @@ object PlanAudit {
       val df = lazyDedup(n).getOrElse(qs(n)(spark, sfDir))
       val plan = df.queryExecution.executedPlan.toString
       df.explain("formatted")
-      // knnJoin's broadcast query-set x corpus scan IS a deliberate cross
-      // product (every pair is scored by definition); flagging it would
-      // train readers to ignore the audit. q_text_bm25 / q_semdedup /
-      // q_sketch_distinct cross-join a ONE-ROW broadcast aggregate
-      // (corpus stats / total count / the one-pass global estimate) onto
-      // the data — a scalar attach, not a pair blow-up.
-      // q_simhash_complete's all-pairs signature scan is the POINT of
-      // that certificate (ground truth for the banding-completeness law,
-      // certificate-scale-guarded in code).
-      val deliberateBnlj = Set("q_knn_join", "q_text_bm25", "q_semdedup",
-        "q_sketch_distinct", "q_simhash_complete")
-      val flags = Seq(
-        "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&
-          !deliberateBnlj(n)),
-        "Exchange SinglePartition" -> plan.contains("Exchange SinglePartition")
-      ).collect { case (f, true) => f }
+      val flags = redFlags(n, plan)
       println(if (flags.isEmpty) s"[audit] $n: no red flags"
         else s"[audit] $n: REVIEW -> ${flags.mkString(", ")}")
     }
     spark.stop()
   }
+
+  /** knnJoin's broadcast query-set x corpus scan IS a deliberate cross
+    * product (every pair is scored by definition); flagging it would
+    * train readers to ignore the audit. q_text_bm25 / q_semdedup /
+    * q_sketch_distinct cross-join a ONE-ROW broadcast aggregate
+    * (corpus stats / total count / the one-pass global estimate) onto
+    * the data — a scalar attach, not a pair blow-up.
+    * q_simhash_complete's all-pairs signature scan is the POINT of
+    * that certificate (ground truth for the banding-completeness law,
+    * certificate-scale-guarded in code). */
+  val DeliberateBnlj: Set[String] = Set("q_knn_join", "q_text_bm25",
+    "q_semdedup", "q_sketch_distinct", "q_simhash_complete")
+
+  /** The red-flag classification — shared by this tool's per-query
+    * report and PlanQualitySpec's full-surface census gate, so the two
+    * cannot drift. */
+  def redFlags(name: String, plan: String): Seq[String] = Seq(
+    "CartesianProduct" -> plan.contains("CartesianProduct"),
+    "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") &&
+      !DeliberateBnlj(name)),
+    "Exchange SinglePartition" -> plan.contains("Exchange SinglePartition")
+  ).collect { case (f, true) => f }
 }

@@ -541,6 +541,66 @@ object Corpus {
       .distinct()
   }
 
+  /** REMOVE every reported long repeat from its LATER copy — the
+    * Lee-et-al removal step over [[longRepeats]]' findings: the first
+    * arrival (`id_a`, the lowest id in the seed bucket) keeps its text;
+    * every `id_b` occurrence's span is cut. Per-document spans merge as
+    * overlap-OR-adjacent islands (one `(id, start)`-ordered window —
+    * the q_seq_pack running-sum idiom), then each document reassembles
+    * from its surviving segments in order. Documents with no reported
+    * repeat pass through unchanged. Output: `(doc_id, clean_text,
+    * n_spans, n_removed)` — `n_spans` merged islands, `n_removed`
+    * codepoints cut.
+    *
+    * Scale shape: [[longRepeats]]' shuffles plus one interval-keyed
+    * window and one doc-keyed reassembly aggregate — both proportional
+    * to REPORTED spans (not corpus mass) until the final left join back
+    * to the corpus. */
+  def scrubLongRepeats(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 40, window: Int = 8, divisor: Int = 16,
+      seedLen: Int = 16, maxBucket: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+      .filter(col("id").isNotNull)
+    val reps = longRepeats(docs, idCol, textCol, minLen, window, divisor,
+      seedLen, maxBucket)
+    val iv = reps.select(col("id_b").as("id"), col("start_b").as("s"),
+      (col("start_b") + col("rep_len")).as("e"))
+    val w = Window.partitionBy("id").orderBy("s", "e")
+    val merged = iv
+      .withColumn("maxe", max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1).otherwise(0))
+      .withColumn("island", sum("ni").over(w))
+      .groupBy("id", "island")
+      .agg(min("s").as("s"), max("e").as("e"))
+    val wi = Window.partitionBy("id").orderBy("s")
+    val pieces = merged
+      .withColumn("pe", coalesce(lag("e", 1).over(wi), lit(1L)))
+      .join(base, Seq("id"))
+      .selectExpr("id", "island", "substring(text, pe, s - pe) AS piece")
+    val tails = merged.groupBy("id")
+      .agg(max("e").as("me"), sum(col("e") - col("s")).as("n_removed"),
+        count(lit(1)).as("n_spans"))
+      .join(base, Seq("id"))
+      .selectExpr("id", "substring(text, me) AS tail", "n_removed",
+        "n_spans")
+    val body = pieces.groupBy("id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("island"), col("piece")))),
+        x => x.getField("piece")), "").as("bodytxt"))
+    val scrubbed = body.join(tails, Seq("id"))
+      .select(col("id"), concat(col("bodytxt"), col("tail")).as("ct"),
+        col("n_spans"), col("n_removed"))
+    base.join(scrubbed, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("ct"), col("text")).as("clean_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** The per-document chunk walk of [[cdcChunks]] — ONE definition
     * shared with the streaming operator
     * ([[graft.streaming.StreamCdc]]), so batch and stream boundaries

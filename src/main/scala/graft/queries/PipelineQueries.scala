@@ -451,6 +451,33 @@ object PipelineQueries {
       },
       Some(longRepeatsOracleSql)),
 
+    // LONG-REPEAT REMOVAL (the Lee-et-al cut's removal step — the scrub
+    // q_long_repeats' findings exist for): every reported repeat is cut
+    // from its LATER copy (id_b; the first arrival keeps its text),
+    // per-document spans merging as overlap-or-adjacent islands and the
+    // survivors reassembling in order — the exact-substring twin of
+    // q_cdc_scrub at arbitrary (not chunk) granularity. Oracle: the
+    // SAME planted-corpus + repeat chain as q_long_repeats (shared
+    // CTEs), then islands (running-max window), segment reassembly and
+    // the untouched-doc backfill. One interval window + one doc-keyed
+    // reassembly on top of the repeat pipeline's shuffles.
+    QueryDef("q_repeat_scrub",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir)
+          .selectExpr("doc_id", "doc_id div 10 AS j",
+            "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
+            "text")
+          .selectExpr("doc_id",
+            "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
+              "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
+              "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
+              "|| substring(text, off + 1) ELSE text END AS text")
+        graft.operators.Corpus.scrubLongRepeats(
+            cdcOracleBoundGuard(planted), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(repeatScrubOracleSql)),
+
     // robots.txt COMPLIANCE FILTER (RFC 9309) — the crawl-side gate
     // before any URL is fetched or kept: per-host robots bodies are
     // parsed relationally (line explode -> comment strip -> field
@@ -3435,7 +3462,33 @@ object PipelineQueries {
     * MAXIMAL extension as first-mismatch MINs over per-codepoint
     * lookups (NULL IS DISTINCT catching one-sided text ends; the
     * no-mismatch fallbacks extend to the shorter text's boundary). */
-  private def longRepeatsOracleSql: String = {
+  private def longRepeatsOracleSql: String =
+    s"WITH $longRepeatCtesSql " +
+      "SELECT DISTINCT id_a, id_b, CAST(sa - el AS BIGINT) AS start_a, CAST(sb - el AS BIGINT) AS start_b, CAST(16 + el + er AS BIGINT) AS rep_len FROM ext WHERE 16 + el + er >= 40 ORDER BY id_a, id_b, start_a, start_b"
+
+  /** q_repeat_scrub replay: the shared repeat chain, then the removal —
+    * later-copy (`id_b`) spans merge as overlap-or-adjacent islands
+    * (running-max window + island sum), segments between islands plus
+    * the tail reassemble in order, untouched docs backfill via the left
+    * join. Mirrors Corpus.scrubLongRepeats parenthesization exactly. */
+  private def repeatScrubOracleSql: String =
+    s"WITH $longRepeatCtesSql, " +
+      "rep AS MATERIALIZED (SELECT DISTINCT id_a, id_b, CAST(sa - el AS BIGINT) AS start_a, CAST(sb - el AS BIGINT) AS start_b, CAST(16 + el + er AS BIGINT) AS rep_len FROM ext WHERE 16 + el + er >= 40), " +
+      "iv AS (SELECT id_b AS id, start_b AS s, start_b + rep_len AS e FROM rep), " +
+      "mx AS (SELECT *, MAX(e) OVER (PARTITION BY id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM iv), " +
+      "isl AS (SELECT *, SUM(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END) OVER (PARTITION BY id ORDER BY s, e) AS island FROM mx), " +
+      "mrg AS MATERIALIZED (SELECT id, island, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY id, island), " +
+      "pieces AS (SELECT m.id, m.island, substring(p.text, CAST(m.pe AS INT), CAST(m.s - m.pe AS INT)) AS piece FROM (SELECT *, COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s), 1) AS pe FROM mrg) m JOIN pd p ON p.doc_id = m.id), " +
+      "tails AS (SELECT m.id, MAX(m.e) AS me, SUM(m.e - m.s) AS n_removed, COUNT(*) AS n_spans FROM mrg m GROUP BY m.id), " +
+      "body AS (SELECT id, string_agg(piece, '' ORDER BY island) AS bodytxt FROM pieces GROUP BY id), " +
+      "scr AS (SELECT b.id, b.bodytxt || substring(p.text, CAST(t.me AS INT)) AS ct, t.n_spans, t.n_removed FROM body b JOIN tails t USING (id) JOIN pd p ON p.doc_id = b.id) " +
+      "SELECT p.doc_id, COALESCE(s.ct, p.text) AS clean_text, CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans, CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed FROM pd p LEFT JOIN scr s ON s.id = p.doc_id ORDER BY p.doc_id"
+
+  /** the shared planted-corpus + anchor + candidate + extension chain
+    * ending in `ext(id_a, id_b, sa, sb, el, er)` — used VERBATIM by
+    * q_long_repeats and q_repeat_scrub so the two oracles cannot
+    * drift. */
+  private def longRepeatCtesSql: String = {
     import graft.operators.Corpus
     val g = Corpus.cdcWeights(8)
     val terms = (0 until 8).map { j =>
@@ -3443,7 +3496,7 @@ object PipelineQueries {
       else s"COALESCE(LAG(cp, $j) OVER (PARTITION BY doc_id ORDER BY i), CAST(0 AS BIGINT)) * ${g(j)}"
     }.mkString(" + ")
     val r = CdcOracleMaxCp
-    s"WITH pd AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || md5('rep:' || CAST(j AS VARCHAR)) || substring(md5('repB:' || CAST(j AS VARCHAR)), 1, 16) || substring(text, off + 1) ELSE text END AS text FROM (SELECT doc_id, doc_id // 10 AS j, CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off, text FROM documents)), " +
+    s"pd AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || md5('rep:' || CAST(j AS VARCHAR)) || substring(md5('repB:' || CAST(j AS VARCHAR)), 1, 16) || substring(text, off + 1) ELSE text END AS text FROM (SELECT doc_id, doc_id // 10 AS j, CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off, text FROM documents)), " +
       s"cps AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i, CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS cp FROM pd CROSS JOIN range(1, $r) r(i) WHERE i <= length(text)), " +
       s"hs AS (SELECT doc_id, i, ($terms) % ${Corpus.CdcMod} AS h FROM cps), " +
       "anc AS (SELECT doc_id, CAST(i - 7 AS INT) AS s0 FROM hs WHERE i >= 8 AND h % 16 = 0), " +
@@ -3453,8 +3506,7 @@ object PipelineQueries {
       s"lm AS MATERIALIZED (SELECT c.cid, MIN(e) AS ml FROM cand c CROSS JOIN range(1, $r) q(e) LEFT JOIN cps a ON a.doc_id = c.id_a AND a.i = c.sa - CAST(e AS INT) LEFT JOIN cps b ON b.doc_id = c.id_b AND b.i = c.sb - CAST(e AS INT) WHERE a.cp IS DISTINCT FROM b.cp GROUP BY c.cid), " +
       s"rm AS MATERIALIZED (SELECT c.cid, MIN(e) AS mr FROM cand c CROSS JOIN range(1, $r) q(e) LEFT JOIN cps a ON a.doc_id = c.id_a AND a.i = c.sa + 15 + CAST(e AS INT) LEFT JOIN cps b ON b.doc_id = c.id_b AND b.i = c.sb + 15 + CAST(e AS INT) WHERE a.cp IS DISTINCT FROM b.cp GROUP BY c.cid), " +
       "lens AS (SELECT doc_id, length(text) AS len FROM pd), " +
-      "ext AS (SELECT c.id_a, c.id_b, c.sa, c.sb, COALESCE(l.ml - 1, LEAST(c.sa, c.sb) - 1) AS el, COALESCE(r2.mr - 1, LEAST(la.len - c.sa, lb.len - c.sb) - 15) AS er FROM cand c LEFT JOIN lm l USING (cid) LEFT JOIN rm r2 USING (cid) JOIN lens la ON la.doc_id = c.id_a JOIN lens lb ON lb.doc_id = c.id_b) " +
-      "SELECT DISTINCT id_a, id_b, CAST(sa - el AS BIGINT) AS start_a, CAST(sb - el AS BIGINT) AS start_b, CAST(16 + el + er AS BIGINT) AS rep_len FROM ext WHERE 16 + el + er >= 40 ORDER BY id_a, id_b, start_a, start_b"
+      "ext AS (SELECT c.id_a, c.id_b, c.sa, c.sb, COALESCE(l.ml - 1, LEAST(c.sa, c.sb) - 1) AS el, COALESCE(r2.mr - 1, LEAST(la.len - c.sa, lb.len - c.sb) - 15) AS er FROM cand c LEFT JOIN lm l USING (cid) LEFT JOIN rm r2 USING (cid) JOIN lens la ON la.doc_id = c.id_a JOIN lens lb ON lb.doc_id = c.id_b)"
   }
 
   /** q_doc_cdc replay: codepoints via constant-bound range + substring/

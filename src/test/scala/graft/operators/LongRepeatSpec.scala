@@ -81,6 +81,51 @@ class LongRepeatSpec extends AnyFunSuite {
     assert(got.length <= 8 * 4, s"unbounded pair growth: ${got.length}")
   }
 
+  test("scrubLongRepeats: the later copy loses exactly the maximal repeat; first arrival and untouched docs pass through") {
+    val g = Corpus.cdcWeights(8).toArray
+    val seg = (0 until 20).iterator.map(i => filler(s"scr$i", 60))
+      .find(t => Corpus.anchorWalk(t, 8, 16, g, 16).nonEmpty).get
+    val a = filler("sA", 50) + seg + filler("sA2", 50)
+    val b = filler("sB", 30) + seg + filler("sB2", 70)
+    val c = filler("sC", 90) // untouched
+    val out = Corpus.scrubLongRepeats(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((a, 0L, 0L))) // first arrival keeps its text
+    assert(out(3L) === ((c, 0L, 0L))) // untouched passes through
+    val (ct, spans, removed) = out(2L)
+    assert(spans === 1L && removed === 60L)
+    assert(ct === filler("sB", 30) + filler("sB2", 70)) // exact cut
+    assert(!ct.contains(seg.substring(0, 20)))
+  }
+
+  test("scrubLongRepeats: overlapping spans in one doc merge into one island") {
+    val g = Corpus.cdcWeights(8).toArray
+    // two 50-char segments that OVERLAP in the dup doc by sharing 20
+    // chars: plant seg1+tail20 where tail20 = seg2's head
+    val seg1 = (0 until 20).iterator.map(i => filler(s"ov1$i", 50))
+      .find(t => Corpus.anchorWalk(t, 8, 16, g, 16).nonEmpty).get
+    val seg2 = (0 until 20).iterator.map(i => filler(s"ov2$i", 50))
+      .find(t => Corpus.anchorWalk(t, 8, 16, g, 16).nonEmpty).get
+    // doc D contains seg1 immediately followed by seg2 (100 chars);
+    // first arrivals A1 carries seg1+seg2's first 10 (59 matchable),
+    // A2 carries seg2 — D's two reported spans overlap/adjoin
+    val a1 = filler("o1", 40) + seg1 + seg2.substring(0, 10) + filler("o1b", 40)
+    val a2 = filler("o2", 55) + seg2 + filler("o2b", 35)
+    val dup = filler("od", 20) + seg1 + seg2 + filler("odb", 30)
+    val out = Corpus.scrubLongRepeats(
+      Seq((1L, a1), (2L, a2), (5L, dup)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val (ct, spans, removed) = out(5L)
+    assert(spans === 1L, s"overlapping spans did not merge: $out")
+    assert(removed === 100L)
+    assert(ct === filler("od", 20) + filler("odb", 30))
+  }
+
   test("the planted-straddle contrast corpus: longRepeats catches pairs whose CDC census shares NOTHING") {
     // the q_long_repeats synthesis at sf0.001
     val dir = "/root/testdata/sf0.001"

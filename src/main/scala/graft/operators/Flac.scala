@@ -10,12 +10,15 @@ package graft.operators
   * expected fingerprints from the formula — a matched encoder/decoder
   * bug that corrupts samples hash-mismatches immediately.
   *
-  * SUBSET (the VERDICT-r17 cut): mono, 8/16-bit, fixed blocksize,
-  * CONSTANT + VERBATIM + FIXED(0-4) subframes, 4-bit Rice partitions
-  * (any partition order, incl. the 0b1111 raw-bits escape). LPC
-  * subframes, stereo decorrelation and variable blocksize QUARANTINE
-  * (decode returns None) — the documented approximation, same posture
-  * as the MP4 walk's codec cuts.
+  * SUBSET (the VERDICT-r17 cut, widened): mono, 8/16-bit, fixed
+  * blocksize, CONSTANT + VERBATIM + FIXED(0-4) + LPC(1-32) subframes
+  * (LPC: quantized coefficients, 64-bit accumulation, truncating shift
+  * before the residual add — integer-exact by spec, so real-corpus LPC
+  * streams decode rather than quarantine), 4/5-bit Rice partitions
+  * (any partition order, incl. the raw-bits escape). Stereo
+  * decorrelation and variable blocksize QUARANTINE (decode returns
+  * None) — the documented approximation, same posture as the MP4
+  * walk's codec cuts.
   *
   * Hardening discipline (the stss lesson, commit 7478e0b): nothing is
   * ever sized by a DECLARED count — sample buffers grow frame by frame
@@ -155,7 +158,7 @@ object Flac {
     * in any stream of >= 6 frames. Rice parameter per frame is the
     * bit-optimal 4-bit one (single partition, order 0). */
   def encode(samples: Array[Int], bps: Int, sampleRate: Int = 8000,
-      blockSize: Int = 256): Array[Byte] = {
+      blockSize: Int = 256, lpcEvery: Int = 0): Array[Byte] = {
     require(bps == 8 || bps == 16, s"subset bps 8/16, got $bps")
     require(blockSize >= 16 && blockSize <= 65535, s"bad blockSize $blockSize")
     require(sampleRate == 8000, "subset encoder emits the 8 kHz rate code")
@@ -194,7 +197,8 @@ object Flac {
     var off = 0
     while (off < samples.length) {
       val bs = math.min(blockSize, samples.length - off)
-      out.write(encodeFrame(samples, off, bs, frameNo, bps, blockSize))
+      out.write(encodeFrame(samples, off, bs, frameNo, bps, blockSize,
+        lpcEvery))
       off += bs
       frameNo += 1
     }
@@ -202,8 +206,14 @@ object Flac {
     out.toByteArray
   }
 
+  /** `lpcEvery > 0` makes every `lpcEvery`-th frame an LPC-order-2
+    * subframe (coefs [3, -1], precision 5, shift 1 — residuals computed
+    * against the exact integer predictor, so round-trips stay
+    * lossless): the conformance path FlacSpec uses to exercise the
+    * decoder's LPC arithmetic with real in-format frames. */
   private def encodeFrame(samples: Array[Int], off: Int, bs: Int,
-      frameNo: Int, bps: Int, nominalBlock: Int): Array[Byte] = {
+      frameNo: Int, bps: Int, nominalBlock: Int,
+      lpcEvery: Int = 0): Array[Byte] = {
     val w = new BitWriter
     w.writeBits(0x3ffe, 14) // sync
     w.writeBits(0, 1) // reserved
@@ -243,6 +253,36 @@ object Flac {
       withCrc.writeBits(0, 1); withCrc.writeBits(0, 6) // CONSTANT
       withCrc.writeBits(0, 1) // no wasted bits
       withCrc.writeBits(samples(off).toLong & ((1L << bps) - 1), bps)
+    } else if (lpcEvery > 0 && frameNo % lpcEvery == 0 && bs > 2) {
+      val order = 2
+      val prec = 5
+      val shift = 1
+      val coefs = Array(3L, -1L)
+      withCrc.writeBits(0, 1)
+      withCrc.writeBits((32 + order - 1).toLong, 6) // LPC order 2
+      withCrc.writeBits(0, 1) // no wasted bits
+      var i = 0
+      while (i < order) { // warmup
+        withCrc.writeBits(samples(off + i).toLong & ((1L << bps) - 1), bps)
+        i += 1
+      }
+      withCrc.writeBits((prec - 1).toLong, 4)
+      withCrc.writeBits(shift.toLong & 0x1f, 5)
+      i = 0
+      while (i < order) {
+        withCrc.writeBits(coefs(i) & ((1L << prec) - 1), prec)
+        i += 1
+      }
+      val res = new Array[Int](bs - order)
+      i = order
+      while (i < bs) {
+        var p = 0L
+        var j = 0
+        while (j < order) { p += coefs(j) * samples(off + i - 1 - j); j += 1 }
+        res(i - order) = (samples(off + i) - (p >> shift)).toInt
+        i += 1
+      }
+      writeRice(withCrc, res)
     } else if (frameNo % 6 == 0) {
       withCrc.writeBits(0, 1); withCrc.writeBits(1, 6) // VERBATIM
       withCrc.writeBits(0, 1)
@@ -270,27 +310,7 @@ object Flac {
         res(i - order) = (samples(off + i) - p).toInt
         i += 1
       }
-      // bit-optimal 4-bit rice parameter (single partition)
-      var bestK = 0
-      var bestBits = Long.MaxValue
-      var k = 0
-      while (k <= 14) {
-        var bits = 0L
-        var r = 0
-        while (r < res.length) { bits += (fold(res(r)) >>> k) + 1 + k; r += 1 }
-        if (bits < bestBits) { bestBits = bits; bestK = k }
-        k += 1
-      }
-      withCrc.writeBits(0, 2) // residual method: 4-bit rice
-      withCrc.writeBits(0, 4) // partition order 0
-      withCrc.writeBits(bestK.toLong, 4)
-      var r = 0
-      while (r < res.length) {
-        val u = fold(res(r))
-        withCrc.writeUnary((u >>> bestK).toInt)
-        if (bestK > 0) withCrc.writeBits(u & ((1L << bestK) - 1), bestK)
-        r += 1
-      }
+      writeRice(withCrc, res)
     }
     withCrc.alignZero()
     val body = withCrc.bytes
@@ -298,6 +318,31 @@ object Flac {
     body.foreach(x => fin.writeBits(x & 0xffL, 8))
     fin.writeBits(crc16(body, 0, body.length).toLong, 16)
     fin.bytes
+  }
+
+  /** single-partition 4-bit Rice residual block with the bit-optimal
+    * parameter — shared by the FIXED and LPC subframe writers */
+  private def writeRice(w: BitWriter, res: Array[Int]): Unit = {
+    var bestK = 0
+    var bestBits = Long.MaxValue
+    var k = 0
+    while (k <= 14) {
+      var bits = 0L
+      var r = 0
+      while (r < res.length) { bits += (fold(res(r)) >>> k) + 1 + k; r += 1 }
+      if (bits < bestBits) { bestBits = bits; bestK = k }
+      k += 1
+    }
+    w.writeBits(0, 2) // residual method: 4-bit rice
+    w.writeBits(0, 4) // partition order 0
+    w.writeBits(bestK.toLong, 4)
+    var r = 0
+    while (r < res.length) {
+      val u = fold(res(r))
+      w.writeUnary((u >>> bestK).toInt)
+      if (bestK > 0) w.writeBits(u & ((1L << bestK) - 1), bestK)
+      r += 1
+    }
   }
 
   private def writeUtf8Number(w: BitWriter, v: Int): Unit = {
@@ -459,6 +504,36 @@ object Flac {
     } else if (sfType == 1) { // VERBATIM
       var i = 0
       while (i < bs) { out(i) = r.readSigned(eff) << wasted; i += 1 }
+    } else if (sfType >= 32) { // LPC, order 1..32 (sfType - 31)
+      // integer-exact by spec: quantized coefficients, arithmetic in
+      // 64-bit, truncating right-shift BEFORE the residual add — the
+      // same losslessness story as FIXED, so real-corpus LPC streams
+      // decode rather than quarantine
+      val order = sfType - 31
+      if (order > bs) r.fail()
+      var i = 0
+      while (i < order) { out(i) = r.readSigned(eff); i += 1 }
+      val precM1 = r.readBits(4).toInt
+      if (precM1 == 0xf) r.fail() // invalid per RFC 9639
+      val prec = precM1 + 1
+      val shift = r.readSigned(5)
+      if (shift < 0) r.fail() // negative shift: produced by no encoder
+      val coefs = new Array[Long](order)
+      i = 0
+      while (i < order) { coefs(i) = r.readSigned(prec).toLong; i += 1 }
+      val res = new Array[Int](bs - order)
+      readResiduals(r, bs, order, res)
+      i = order
+      while (i < bs) {
+        var psum = 0L
+        var j = 0
+        while (j < order) { psum += coefs(j) * out(i - 1 - j); j += 1 }
+        val v = (psum >> shift) + res(i - order)
+        if (v < Int.MinValue || v > Int.MaxValue) r.fail()
+        out(i) = v.toInt
+        i += 1
+      }
+      if (wasted > 0) { i = 0; while (i < bs) { out(i) <<= wasted; i += 1 } }
     } else if (sfType >= 8 && sfType <= 12) { // FIXED order 0..4
       val order = sfType - 8
       if (order > bs) r.fail()
@@ -478,7 +553,7 @@ object Flac {
         i += 1
       }
       if (wasted > 0) { i = 0; while (i < bs) { out(i) <<= wasted; i += 1 } }
-    } else r.fail() // LPC / reserved: out of subset
+    } else r.fail() // reserved subframe types: out of subset
     r.alignByte()
     val bodyEnd = r.bytePos
     if (r.readBits(16).toInt != crc16(b, p, bodyEnd)) r.fail()

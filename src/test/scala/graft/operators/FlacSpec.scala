@@ -75,6 +75,37 @@ class FlacSpec extends AnyFunSuite {
     assert(d8.isDefined && d8.get.samples.toSeq === s8.toSeq)
   }
 
+  test("LPC subframes round-trip losslessly (order 2, quantized coefs, truncating shift)") {
+    // every frame LPC
+    val s = pcm(256 * 4 + 20, seed = 11, amp = 30000)
+    val d = Flac.decode(Flac.encode(s, bps = 16, lpcEvery = 1))
+    assert(d.isDefined && d.get.samples.toSeq === s.toSeq)
+    // LPC interleaved with FIXED/VERBATIM frames
+    val d2 = Flac.decode(Flac.encode(s, bps = 16, lpcEvery = 3))
+    assert(d2.isDefined && d2.get.samples.toSeq === s.toSeq)
+    // 8-bit LPC + full-scale extremes through the 64-bit accumulator
+    val ext = Array(-128, 127, -128, 127) ++ pcm(300, 12, 127)
+    val d3 = Flac.decode(Flac.encode(ext, bps = 8, lpcEvery = 1))
+    assert(d3.isDefined && d3.get.samples.toSeq === ext.toSeq)
+  }
+
+  test("fuzz: bit flips on an LPC-bearing stream are caught (no silent corruption)") {
+    val s = pcm(256 + 40, seed = 13, amp = 27000)
+    val enc = Flac.encode(s, bps = 16, lpcEvery = 1)
+    var silent = 0
+    var pos = 0
+    while (pos < enc.length) {
+      val bad = enc.clone()
+      bad(pos) = (bad(pos) ^ (1 << (pos % 8))).toByte
+      Flac.decode(bad) match {
+        case Some(d) if d.samples.toSeq != s.toSeq => silent += 1
+        case _ => ()
+      }
+      pos += 1
+    }
+    assert(silent === 0)
+  }
+
   test("flacToWav(syntheticFlacs) == syntheticWavs byte-for-byte (losslessness end to end)") {
     val fam = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"),
       (17L, "delta eps"), (40L, "zeta"))

@@ -971,8 +971,11 @@ object Multimodal {
           val s16 = new Array[Int](n)
           var i = 0
           while (i < n) { s16(i) = ((u8(i) & 0xff) - 128) << 8; i += 1 }
+          // lpcEvery = 3: the corpus carries CONSTANT-free mixes of
+          // VERBATIM, FIXED and LPC frames, so q_audio_flac's oracle
+          // certificate covers the LPC arithmetic end to end
           (id, Flac.encode(s16, bps = 16, sampleRate = 8000,
-            blockSize = 256))
+            blockSize = 256, lpcEvery = 3))
         }
       }
       .toDF("id", "payload")

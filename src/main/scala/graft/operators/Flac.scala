@@ -202,8 +202,7 @@ object Flac {
       off += bs
       frameNo += 1
     }
-    if (samples.length == 0) () // zero-sample stream: header only
-    out.toByteArray
+    out.toByteArray // a zero-sample stream is just the header
   }
 
   /** `lpcEvery > 0` makes every `lpcEvery`-th frame an LPC-order-2
@@ -394,7 +393,10 @@ object Flac {
       val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) |
         (b(p + 3) & 0xff)
       p += 4
-      if (p + len > b.length) return None
+      // Long arithmetic: near the 2^31 array limit `p + len` would wrap
+      // negative in Int and escape the bounds check (then crash instead
+      // of quarantining — the never-throw contract)
+      if (p.toLong + len > b.length) return None
       if (btype == 0) {
         if (len != 34 || sawStreamInfo) return None
         sawStreamInfo = true
@@ -497,6 +499,11 @@ object Flac {
     val wasted = if (wastedFlag != 0) r.readUnary() + 1 else 0
     if (wasted >= bps) r.fail()
     val eff = bps - wasted
+    // predicted samples must fit eff bits (they shift up by `wasted`
+    // afterwards): a crafted (CRC-valid) stream whose prediction walks
+    // out of range would otherwise flow into consumers as silently
+    // wrapped PCM instead of quarantining
+    val effLim = 1L << (eff - 1)
     val out = new Array[Int](bs)
     if (sfType == 0) { // CONSTANT
       val v = r.readSigned(eff)
@@ -529,7 +536,7 @@ object Flac {
         var j = 0
         while (j < order) { psum += coefs(j) * out(i - 1 - j); j += 1 }
         val v = (psum >> shift) + res(i - order)
-        if (v < Int.MinValue || v > Int.MaxValue) r.fail()
+        if (v < -effLim || v >= effLim) r.fail()
         out(i) = v.toInt
         i += 1
       }
@@ -548,7 +555,7 @@ object Flac {
         var j = 0
         while (j < order) { psum += co(j).toLong * out(i - 1 - j); j += 1 }
         val v = psum + res(i - order)
-        if (v < Int.MinValue || v > Int.MaxValue) r.fail()
+        if (v < -effLim || v >= effLim) r.fail()
         out(i) = v.toInt
         i += 1
       }

@@ -63,16 +63,17 @@ object Robots {
       .filter(col("field") =!= "user-agent" && col("value") =!= "")
       .select(col("host"), col("grp"), col("field").as("rtype"),
         col("value").as("pattern"))
-    // ranking length per RFC 9309 §2.2.2 (octets of the matched path):
-    // the trailing `$` anchor is a metacharacter, not matched text, so
-    // it is excluded — `Allow: /p*` (len 3) must not tie-beat
-    // `Disallow: /pq$` (raw len 4, ranking len 3 → allow-tie applies,
-    // but `Disallow: /pqr$` ranks 4 and wins). `*` stays counted (it
-    // can match ≥0 octets; full §2.2.2 fidelity would need per-path
-    // match lengths — documented approximation).
+    // ranking length per RFC 9309 §2.2.2 — OCTETS (UTF-8 bytes, via
+    // octet_length — a non-ASCII pattern ranks by its byte weight as a
+    // conformant crawler would), with the trailing `$` anchor excluded:
+    // it is a metacharacter, not matched text, so `Allow: /p*` (3)
+    // must not tie-beat `Disallow: /pq$` (raw 4, ranking 3 → allow-tie
+    // applies, but `Disallow: /pqr$` ranks 4 and wins). `*` stays
+    // counted (it can match ≥0 octets; full §2.2.2 fidelity would need
+    // per-path match lengths — documented approximation).
     agents.join(rules, Seq("host", "grp"))
       .select(col("host"), col("agent"), col("rtype"), col("pattern"),
-        (length(col("pattern")) -
+        (octet_length(col("pattern")) -
           when(col("pattern").endsWith("$"), 1).otherwise(0))
           .cast("long").as("pattern_len"))
   }
@@ -110,9 +111,13 @@ object Robots {
           expr("path LIKE likepat ESCAPE '\\\\'"))
     // most-specific match: longest pattern, allow beats disallow on
     // ties ('allow' < 'disallow' sorts first); unmatched rules rank
-    // below every hit
+    // below every hit. The final pattern tiebreak makes the TOTAL
+    // order deterministic — without it, `Allow: /abc` vs `Allow:
+    // /abc$` (equal ranking length after the anchor exclusion) would
+    // leave the reported `matched` pattern to engine whim.
     val w = Window.partitionBy("host", "path")
-      .orderBy(col("hit").desc, col("pattern_len").desc, col("rtype").asc)
+      .orderBy(col("hit").desc, col("pattern_len").desc,
+        col("rtype").asc, col("pattern").asc)
     val verdicts = m
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)

@@ -3443,13 +3443,13 @@ object PipelineQueries {
       "grp AS (SELECT *, SUM(newgrp) OVER (PARTITION BY host ORDER BY ln) AS g FROM grp1), " +
       "agents AS (SELECT host, g, lower(value) AS agent FROM grp WHERE field = 'user-agent'), " +
       "rules0 AS (SELECT host, g, field AS rtype, value AS pattern FROM grp WHERE field <> 'user-agent' AND value <> ''), " +
-      "rules AS MATERIALIZED (SELECT a.host, a.agent, r.rtype, r.pattern, CAST(length(r.pattern) - CASE WHEN r.pattern LIKE '%$' THEN 1 ELSE 0 END AS BIGINT) AS pattern_len FROM agents a JOIN rules0 r ON a.host = r.host AND a.g = r.g), " +
+      "rules AS MATERIALIZED (SELECT a.host, a.agent, r.rtype, r.pattern, CAST(strlen(r.pattern) - CASE WHEN r.pattern LIKE '%$' THEN 1 ELSE 0 END AS BIGINT) AS pattern_len FROM agents a JOIN rules0 r ON a.host = r.host AND a.g = r.g), " +
       "hs AS (SELECT host, MAX(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS has_spec FROM rules GROUP BY host), " +
       raw"""chosen AS MATERIALIZED (SELECT r.host, r.rtype, r.pattern, r.pattern_len, CASE WHEN pattern LIKE '%$$' THEN substring(lw, 1, length(lw) - 1) ELSE lw || '%' END AS likepat FROM (SELECT *, replace(replace(replace(replace(pattern, '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS lw FROM rules r JOIN hs USING (host) WHERE (has_spec = 1 AND agent = 'graftbot') OR (has_spec = 0 AND agent = '*')) r), """ +
       "urls AS MATERIALIZED (SELECT doc_id, 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host, UNNEST(['/', '/private' || CAST(doc_id % 20 AS VARCHAR) || '/pub/page' || CAST(doc_id AS VARCHAR), '/private' || CAST(doc_id % 20 AS VARCHAR) || '/x' || CAST(doc_id AS VARCHAR), '/files/f' || CAST(doc_id AS VARCHAR) || '.tmp', '/files/f' || CAST(doc_id AS VARCHAR) || '.tmpx']) AS path FROM documents), " +
       "hp AS (SELECT DISTINCT host, path FROM urls), " +
       raw"""m AS (SELECT hp.host, hp.path, c.rtype, c.pattern, c.pattern_len, (c.likepat IS NOT NULL AND hp.path LIKE c.likepat ESCAPE '\') AS hit FROM hp LEFT JOIN chosen c ON hp.host = c.host), """ +
-      "v AS (SELECT host, path, (NOT hit OR rtype = 'allow') AS allowed, CASE WHEN hit THEN pattern END AS matched FROM (SELECT *, row_number() OVER (PARTITION BY host, path ORDER BY hit DESC, pattern_len DESC, rtype ASC) AS rk FROM m) WHERE rk = 1) " +
+      "v AS (SELECT host, path, (NOT hit OR rtype = 'allow') AS allowed, CASE WHEN hit THEN pattern END AS matched FROM (SELECT *, row_number() OVER (PARTITION BY host, path ORDER BY hit DESC, pattern_len DESC, rtype ASC, pattern ASC) AS rk FROM m) WHERE rk = 1) " +
       "SELECT u.doc_id, u.path, COALESCE(v.allowed, TRUE) AS allowed, v.matched FROM urls u LEFT JOIN v ON u.host = v.host AND u.path = v.path ORDER BY u.doc_id, u.path"
   }
 
@@ -3534,10 +3534,11 @@ object PipelineQueries {
   private def cdcOracleBoundGuard(docs: DataFrame): DataFrame =
     docs.filter(assert_true(
       coalesce(length(col("text")), lit(0)) < CdcOracleMaxCp,
-      lit(s"q_doc_cdc/q_cdc_scrub oracle replays codepoints via " +
+      lit("a CDC-replay oracle (q_doc_cdc / q_cdc_scrub / q_stream_cdc" +
+        " / q_long_repeats / q_repeat_scrub) enumerates codepoints via " +
         s"range(1, $CdcOracleMaxCp); a document of >= $CdcOracleMaxCp " +
         "codepoints diverges silently — raise CdcOracleMaxCp and the " +
-        "oracle range bound together")).isNull)
+        "oracle range bounds together")).isNull)
 
   /** the shared CDC chunking CTE chain ending in
     * `chunks(doc_id, cidx, chunk, n_cp)` — used VERBATIM by q_doc_cdc

@@ -172,6 +172,13 @@ object JsonlZstd {
             z.setContinuous(true)
             z
           } else new java.io.ByteArrayInputStream(raw)
+        // a short-circuited consumer (limit/take over the flatMap)
+        // abandons this iterator before EOF and nothing else would ever
+        // close the native zstd context — register task-scoped cleanup
+        // (the lazy-walk replacement for the old eager try/finally)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ => closeQuiet())
       } catch {
         case scala.util.control.NonFatal(e) => fail(e)
       }

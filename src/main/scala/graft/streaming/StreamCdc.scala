@@ -38,7 +38,7 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 object StreamCdc {
 
   final case class ChunkRow(doc_id: Long, ts: java.sql.Timestamp,
-      cidx: Int, ckey: Long, n_cp: Long)
+      cidx: Int, ckey: Long)
   final case class ChunkState(firstDoc: Long, n: Long, lastMs: Long)
   final case class CdcHit(doc_id: Long, ts: java.sql.Timestamp,
       cidx: Int, first_doc: Long, n_prev: Long)
@@ -65,14 +65,16 @@ object StreamCdc {
       .as[(Long, java.sql.Timestamp, String)]
       .flatMap { case (id, ts, text) =>
         graft.operators.Corpus.chunkWalk(text, w, d, g)
-          .map { case (idx, chunk, ncp) => (id, ts, idx, chunk, ncp) }
+          .map { case (idx, chunk, _) => (id, ts, idx, chunk) }
       }
-      .toDF("doc_id", "ts", "cidx", "chunk", "n_cp")
+      .toDF("doc_id", "ts", "cidx", "chunk")
     val keyed = chunks
       .withColumn("ckey",
         if (md5Mode) graft.functions.Md5Hashes.md5Hash64(col("chunk"))
         else xxhash64(col("chunk")))
-      .select("doc_id", "ts", "cidx", "ckey", "n_cp")
+      // chunk text dropped BEFORE the stateful shuffle: the state fold
+      // needs only the 8-byte key
+      .select("doc_id", "ts", "cidx", "ckey")
       .withWatermark("ts", s"$horizonMs milliseconds")
       .as[ChunkRow]
     keyed

@@ -192,7 +192,67 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decode(metaBomb) === None)
   }
 
-  test("out-of-subset features quarantine: LPC subframe, stereo, variable blocksize") {
+  test("a CRC-valid stream whose prediction walks out of the bps range quarantines (no wrapped PCM)") {
+    // hand-assembled (local bit-writer + CRCs, independent of the
+    // encoder): 8-bit mono, one 16-sample FIXED-order-1 frame, warmup
+    // `w0`, all residuals +1 -> samples w0, w0+1, ..., w0+15. STREAMINFO
+    // MD5 left zero (unset) so the range check is the only gate.
+    def crcTable(poly: Int, wide: Boolean): Array[Int] = {
+      Array.tabulate(256) { i =>
+        var c = if (wide) i << 8 else i
+        val top = if (wide) 0x8000 else 0x80
+        val mask = if (wide) 0xffff else 0xff
+        (0 until 8).foreach { _ =>
+          c = if ((c & top) != 0) (c << 1) ^ poly else c << 1
+        }
+        c & mask
+      }
+    }
+    val t8 = crcTable(0x07, wide = false)
+    val t16 = crcTable(0x8005, wide = true)
+    def crc8of(b: Seq[Int]): Int = b.foldLeft(0)((c, x) => t8((c ^ x) & 0xff))
+    def crc16of(b: Seq[Int]): Int =
+      b.foldLeft(0)((c, x) => (((c << 8) & 0xffff) ^ t16(((c >> 8) ^ x) & 0xff)) & 0xffff)
+    class BW {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var cur = 0; var n = 0
+      def bits(v: Long, k: Int): Unit = (k - 1 to 0 by -1).foreach { j =>
+        cur = (cur << 1) | ((v >>> j) & 1L).toInt; n += 1
+        if (n == 8) { out += cur; cur = 0; n = 0 }
+      }
+      def align(): Unit = if (n != 0) bits(0, 8 - n)
+    }
+    def stream(w0: Int): Array[Byte] = {
+      val si = new BW
+      si.bits(16, 16); si.bits(16, 16); si.bits(0, 24); si.bits(0, 24)
+      si.bits(8000, 20); si.bits(0, 3); si.bits(7, 5) // mono, bps 8
+      si.bits(16, 36) // total samples
+      (0 until 16).foreach(_ => si.bits(0, 8)) // md5 unset
+      val fr = new BW
+      fr.bits(0x3ffe, 14); fr.bits(0, 1); fr.bits(0, 1)
+      fr.bits(6, 4) // 8-bit blocksize-1 at header end
+      fr.bits(4, 4); fr.bits(0, 4); fr.bits(1, 3); fr.bits(0, 1) // 8k/mono/8b
+      fr.bits(0, 8) // frame number 0
+      fr.bits(15, 8) // blocksize - 1
+      fr.bits(crc8of(fr.out.toSeq).toLong, 8)
+      fr.bits(0, 1); fr.bits(9, 6); fr.bits(0, 1) // FIXED order 1
+      fr.bits(w0.toLong & 0xff, 8) // warmup
+      fr.bits(0, 2); fr.bits(0, 4); fr.bits(0, 4) // rice, po 0, k=0
+      (0 until 15).foreach { _ => fr.bits(1, 3) } // fold(+1)=2 -> 001
+      fr.align()
+      fr.bits(crc16of(fr.out.toSeq).toLong, 16)
+      (Seq('f'.toInt, 'L'.toInt, 'a'.toInt, 'C'.toInt, 0x80, 0, 0, 34) ++
+        si.out ++ fr.out).map(_.toByte).toArray
+    }
+    // control: warmup 0 -> samples 0..15, in range, decodes
+    val ok = Flac.decode(stream(0))
+    assert(ok.isDefined && ok.get.samples.toSeq === (0 to 15).toSeq,
+      "hand-assembled control stream failed to decode")
+    // warmup 120 -> walks to 135 > 127: must quarantine, never wrap
+    assert(Flac.decode(stream(120)) === None)
+  }
+
+  test("out-of-subset / corrupted features quarantine: stereo, variable blocksize, mangled subframe bytes") {
     // hand-build headers that pass the marker/STREAMINFO stage but
     // declare out-of-subset shapes
     def streamInfo(channels: Int, minB: Int, maxB: Int): Array[Byte] = {
@@ -213,9 +273,9 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decode(streamInfo(channels = 2, 256, 256)) === None)
     // variable blocksize (min != max)
     assert(Flac.decode(streamInfo(channels = 1, 256, 512)) === None)
-    // LPC subframe type inside an otherwise-valid stream: flip the
-    // subframe-type bits of a real encode and fix no CRCs — quarantined
-    // either way (type check or CRC), never decoded silently
+    // mangle the subframe-type region of a real encode and fix no CRCs
+    // — quarantined via the CRC-16 (LPC itself decodes since r18),
+    // never decoded silently
     val enc = Flac.encode(pcm(100, 7, 1000), bps = 16)
     val lpc = enc.clone()
     // subframe type byte sits right after the frame header; corrupt a

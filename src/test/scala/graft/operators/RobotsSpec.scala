@@ -120,6 +120,27 @@ class RobotsSpec extends AnyFunSuite {
     assert(v(("h", "/pq"))._1 === true) // anchor protects the prefix
   }
 
+  test("ranking length is OCTETS (RFC 9309 §2.2.2), not characters") {
+    // 'Disallow: /*é' = 3 chars but 4 OCTETS; 'Allow: /x*' = 3 chars,
+    // 3 octets. Both match /xé. Char ranking ties (allow would win);
+    // octet ranking gives disallow 4 > 3 — the conformant verdict.
+    val txt = "User-agent: *\nDisallow: /*é\nAllow: /x*\n"
+    val v = verdicts(Seq(("h", txt)), Seq(("h", "/xé")))
+    assert(v(("h", "/xé"))._1 === false,
+      "octet-weighted disallow must outrank the char-tied allow")
+  }
+
+  test("equal-rank same-type patterns pick the matched pattern deterministically") {
+    // /abc (4 octets) vs /abc$ (raw 5, ranking 4): identical sort keys
+    // up to the final pattern tiebreak — the reported matched pattern
+    // must be the lexicographically first, every run
+    val txt = "User-agent: *\nAllow: /abc\nAllow: /abc$\nDisallow: /a\n"
+    (1 to 3).foreach { _ =>
+      val v = verdicts(Seq(("h", txt)), Seq(("h", "/abc")))
+      assert(v(("h", "/abc")) === ((true, "/abc")))
+    }
+  }
+
   test("the verdict is per (host, path): same path on different hosts differs") {
     val v = verdicts(
       Seq(("a", "User-agent: *\nDisallow: /p/\n"),

@@ -477,13 +477,17 @@ object Corpus {
     * star pairs under `maxBucket` (boilerplate seeds stop generating
     * pairs, never quadratic); two id-keyed joins pull ONLY candidate
     * documents' texts; extension is a per-candidate-pair JVM scan
-    * (codec-class work). Grouping keys on the md5-64 of the seed (no
-    * StringType shuffle key), with seed EQUALITY re-verified in the
-    * join; the oracle groups on seed content itself — hash-collision
-    * differences are the md5 twins' accepted philosophy. */
+    * (codec-class work). Grouping keys on a 64-bit hash of the seed
+    * (no StringType shuffle key) — xxhash64 in production, the
+    * md5-hash64 twin under `md5Mode` (the oracle groups on seed
+    * content itself; hash-collision differences are the md5 twins'
+    * accepted philosophy, and seed EQUALITY is re-verified in the
+    * join either way so a collision can only perturb a bucket's cap
+    * composition, never fabricate a pair). */
   def longRepeats(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 40, window: Int = 8, divisor: Int = 16,
-      seedLen: Int = 16, maxBucket: Int = 8): DataFrame = {
+      seedLen: Int = 16, maxBucket: Int = 8,
+      md5Mode: Boolean = false): DataFrame = {
     require(minLen >= seedLen, s"minLen >= seedLen, got $minLen < $seedLen")
     require(divisor >= 2 && seedLen >= window, "bad anchor geometry")
     val spark = docs.sparkSession
@@ -502,7 +506,9 @@ object Corpus {
         }
       }
       .toDF("id", "s0", "seed")
-      .withColumn("bkey", graft.functions.Md5Hashes.md5Hash64(col("seed")))
+      .withColumn("bkey",
+        if (md5Mode) graft.functions.Md5Hashes.md5Hash64(col("seed"))
+        else xxhash64(col("seed")))
     val win = Window.partitionBy("bkey").orderBy("id", "s0")
     val ranked = anchors.withColumn("rk", row_number().over(win))
     val firsts = ranked.filter(col("rk") === 1)
@@ -558,13 +564,14 @@ object Corpus {
     * to the corpus. */
   def scrubLongRepeats(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 40, window: Int = 8, divisor: Int = 16,
-      seedLen: Int = 16, maxBucket: Int = 8): DataFrame = {
+      seedLen: Int = 16, maxBucket: Int = 8,
+      md5Mode: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val base = docs.select(col(idCol).cast("long").as("id"),
         col(textCol).cast("string").as("text"))
       .filter(col("id").isNotNull)
     val reps = longRepeats(docs, idCol, textCol, minLen, window, divisor,
-      seedLen, maxBucket)
+      seedLen, maxBucket, md5Mode)
     val iv = reps.select(col("id_b").as("id"), col("start_b").as("s"),
       (col("start_b") + col("rep_len")).as("e"))
     val w = Window.partitionBy("id").orderBy("s", "e")

@@ -446,7 +446,8 @@ object PipelineQueries {
               "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
               "|| substring(text, off + 1) ELSE text END AS text")
         graft.operators.Corpus.longRepeats(
-            cdcOracleBoundGuard(planted), "doc_id", "text")
+            cdcOracleBoundGuard(planted), "doc_id", "text",
+            md5Mode = true)
           .orderBy("id_a", "id_b", "start_a", "start_b")
       },
       Some(longRepeatsOracleSql)),
@@ -473,7 +474,8 @@ object PipelineQueries {
               "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
               "|| substring(text, off + 1) ELSE text END AS text")
         graft.operators.Corpus.scrubLongRepeats(
-            cdcOracleBoundGuard(planted), "doc_id", "text")
+            cdcOracleBoundGuard(planted), "doc_id", "text",
+            md5Mode = true)
           .orderBy("doc_id")
       },
       Some(repeatScrubOracleSql)),

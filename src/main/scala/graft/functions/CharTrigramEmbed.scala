@@ -70,57 +70,60 @@ object CharTrigramEmbed {
     case _ => false
   }
 
-  /** UTF-8-encode `cp` into `buf` at `off`, returning the new offset —
-    * the same bytes Spark's concat would produce for the codepoint. */
-  private def writeCp(buf: Array[Byte], off: Int, cp: Int): Int = {
-    if (cp < 0x80) { buf(off) = cp.toByte; off + 1 }
-    else if (cp < 0x800) {
-      buf(off) = (0xc0 | (cp >> 6)).toByte
-      buf(off + 1) = (0x80 | (cp & 0x3f)).toByte
-      off + 2
-    } else if (cp < 0x10000) {
-      buf(off) = (0xe0 | (cp >> 12)).toByte
-      buf(off + 1) = (0x80 | ((cp >> 6) & 0x3f)).toByte
-      buf(off + 2) = (0x80 | (cp & 0x3f)).toByte
-      off + 3
-    } else {
-      buf(off) = (0xf0 | (cp >> 18)).toByte
-      buf(off + 1) = (0x80 | ((cp >> 12) & 0x3f)).toByte
-      buf(off + 2) = (0x80 | ((cp >> 6) & 0x3f)).toByte
-      buf(off + 3) = (0x80 | (cp & 0x3f)).toByte
-      off + 4
-    }
-  }
-
-  /** one-pass kernel body (static so codegen emits a single call) */
+  /** one-pass kernel body (static so codegen emits a single call).
+    * Works DIRECTLY on the lowered string's UTF-8 bytes: each kept
+    * codepoint is a byte SPAN (offset + length; `-1` marks an inserted
+    * `_` boundary), whitespace classification reads the span's bytes
+    * (the [[isSpreadWs]] set's UTF-8 forms: ASCII ws, C2 85, E2 80
+    * A8/A9), and trigram windows are span memcopies — no UTF-16 round
+    * trip, no codepoint decode/re-encode, identical hash-input bytes
+    * (spec-pinned against the composed chain). */
   def compute(s: UTF8String, dim: Int, md5Mode: Boolean): UnsafeArrayData = {
-    val str = s.trim().toLowerCase().toString
-    // boundary-marked codepoint stream: '_' + collapse(SpreadWs -> '_') + '_'
-    val cps = new Array[Int](str.length + 2)
+    val b = s.trim().toLowerCase().getBytes
+    val n = b.length
+    // boundary-marked span stream: '_' + collapse(SpreadWs -> '_') + '_'
+    val offs = new Array[Int](n + 2)
+    val lens = new Array[Int](n + 2)
     var m = 0
-    cps(m) = '_'; m += 1
+    offs(m) = -1; lens(m) = 1; m += 1
     var i = 0
     var inWs = false
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
-      if (isSpreadWs(cp)) {
-        if (!inWs) { cps(m) = '_'; m += 1; inWs = true }
+    while (i < n) {
+      val b0 = b(i) & 0xff
+      val l0 = if (b0 < 0x80) 1 else if (b0 < 0xe0) 2
+        else if (b0 < 0xf0) 3 else 4
+      val l = if (i + l0 <= n) l0 else n - i // defensive truncated tail
+      val ws =
+        (l == 1 && (b0 == 0x20 || b0 == 0x09 || b0 == 0x0a ||
+          b0 == 0x0b || b0 == 0x0c || b0 == 0x0d)) ||
+        (l == 2 && b0 == 0xc2 && (b(i + 1) & 0xff) == 0x85) ||
+        (l == 3 && b0 == 0xe2 && (b(i + 1) & 0xff) == 0x80 &&
+          ((b(i + 2) & 0xff) == 0xa8 || (b(i + 2) & 0xff) == 0xa9))
+      if (ws) {
+        if (!inWs) { offs(m) = -1; lens(m) = 1; m += 1; inWs = true }
       } else {
-        cps(m) = cp; m += 1; inWs = false
+        offs(m) = i; lens(m) = l; m += 1; inWs = false
       }
-      i += Character.charCount(cp)
+      i += l
     }
-    cps(m) = '_'; m += 1
+    offs(m) = -1; lens(m) = 1; m += 1
     val acc = new Array[Double](dim)
     if (m >= 3) {
-      val buf = new Array[Byte](14) // 3 codepoints (<= 4B each) + 2 spaces
+      val buf = new Array[Byte](14) // 3 spans (<= 4B each) + 2 spaces
+      def put(pos: Int, w: Int): Int = {
+        if (offs(w) < 0) { buf(pos) = '_'; pos + 1 }
+        else {
+          System.arraycopy(b, offs(w), buf, pos, lens(w))
+          pos + lens(w)
+        }
+      }
       var w = 0
       while (w + 2 < m) {
-        var len = writeCp(buf, 0, cps(w))
+        var len = put(0, w)
         buf(len) = ' '; len += 1
-        len = writeCp(buf, len, cps(w + 1))
+        len = put(len, w + 1)
         buf(len) = ' '; len += 1
-        len = writeCp(buf, len, cps(w + 2))
+        len = put(len, w + 2)
         if (md5Mode) {
           val h = Md5Hash.hash64Bytes(buf, len)
           acc(((h >>> 32) % dim).toInt) +=

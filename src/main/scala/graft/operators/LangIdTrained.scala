@@ -289,15 +289,31 @@ object LangIdTrained {
   /** Score a frame: appends `lang_pred` (argmax class label, ties to
     * the FIRST class index — the oracle's `ORDER BY m DESC, c ASC`) and
     * `margin_best` (the winning margin). Margins are bit-exact doubles
-    * on both engines, so exact-equality tie detection is portable. */
+    * on both engines, so exact-equality tie detection is portable.
+    *
+    * The K margin dot-products are STAGED in their own projection
+    * first (the withLangId lesson): the argmax when-chain references
+    * every margin in CONDITIONAL branches, which whole-stage codegen's
+    * subexpression elimination excludes — the plain-Column form
+    * re-evaluated each 64-dim dot up to 3x per row (greatest + the
+    * when conditions + the output). The boundary survives
+    * CollapseProject because each alias is expensive and
+    * multi-referenced; outputs are bit-identical. */
   def score(df: DataFrame, vecCol: String,
       model: MulticlassModel): DataFrame = {
-    val ms = margins(col(vecCol), model)
+    val mcols = model.labels.indices.map(i => s"__lidm$i")
+    val staged = df.select(
+      (df.columns.map(col).toIndexedSeq ++
+        margins(col(vecCol), model).zip(mcols).map { case (m, nm) =>
+          m.as(nm)
+        }): _*)
+    val ms = mcols.map(col)
     val best = greatest(ms: _*)
     val pred = model.labels.zip(ms).reverse
       .foldLeft(lit(model.labels.head): Column) { case (acc, (l, m)) =>
         when(m === best, lit(l)).otherwise(acc)
       }
-    df.withColumn("margin_best", best).withColumn("lang_pred", pred)
+    staged.withColumn("margin_best", best).withColumn("lang_pred", pred)
+      .drop(mcols: _*)
   }
 }

@@ -542,10 +542,30 @@ object TextAnalysis {
     * r16 CJK marker growth (12 -> 21 markers) costing +62% and +35% on
     * langId consumers. Output is bit-identical to `langId(text)`. */
   def withLangId(df: DataFrame, text: Column, out: String): DataFrame = {
+    // DOUBLE staging (r18: the LangIdTrained.score lesson applied back
+    // here): stage the padded text, then ALSO stage the 7 per-language
+    // scores in their own projection — the argmax when-chain references
+    // every score in CONDITIONAL branches, which codegen's
+    // subexpression elimination excludes, so the plain-Column form
+    // re-ran each marker-scan sum ~2-3x per row even over staged
+    // padding. Both boundaries survive CollapseProject (expensive,
+    // multi-referenced aliases). Output bit-identical to langId(text).
     val p = "__langid_pad"
-    df.withColumn(p, langIdPad(text))
-      .withColumn(out, langIdOnPadded(col(p)))
-      .drop(p)
+    val langs = langMarkers.keys.toSeq.sorted
+    val scoreCols = langs.map(l => s"__lidsc_$l")
+    val padded = df.withColumn(p, langIdPad(text))
+    val staged = padded.select(
+      (padded.columns.map(col).toIndexedSeq ++
+        langs.zip(scoreCols).map { case (l, nm) =>
+          langScoreOnPadded(col(p), l).as(nm)
+        }): _*)
+    val scores = scoreCols.map(col)
+    val best = greatest(scores: _*)
+    val pred = langs.zip(scores).reverse
+      .foldLeft(lit("und"): Column) { case (acc, (l, s)) =>
+        when(s === best && best > 0, lit(l)).otherwise(acc)
+      }
+    staged.withColumn(out, pred).drop(p +: scoreCols: _*)
   }
 
   /** Quality-scoring signals: ratios are integer-arithmetic divisions, so

@@ -882,7 +882,11 @@ object PipelineQueries {
           TA.GopherConfig(minWords = 25L, maxWords = 80L,
             minMeanWordLen = 3.0, maxMeanWordLen = 5.0, minStopwordHits = 1))
           .filter(col("quality_pass"))
-        val english = quality.filter(TA.langId(col("text")) === "en")
+        // staged langid (not the plain Column filter): the argmax
+        // when-chain re-evaluates every marker score in conditional
+        // branches unless the scores live in their own projection
+        val english = TA.withLangId(quality, col("text"), "__lid")
+          .filter(col("__lid") === "en").drop("__lid")
         // the quality -> langid -> content-hash-dedup subtree (including
         // the full-text survivor shuffle) feeds BOTH the near-dup index
         // build and the anti-join left side — stage it once or the whole
@@ -1025,8 +1029,9 @@ object PipelineQueries {
     // language-ID by stopword-marker scoring
     QueryDef("q_text_langid",
       (s, dir) => {
-        Tables.documents(s, dir)
-          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred"))
+        TextAnalysis.withLangId(Tables.documents(s, dir),
+            col("text"), "pred")
+          .select("doc_id", "pred")
           .orderBy("doc_id")
       },
       Some(langIdOracle)),
@@ -1043,8 +1048,8 @@ object PipelineQueries {
           .when(pmod(col("doc_id"), lit(4)) === 2, lit(LangJaDoc))
           .when(pmod(col("doc_id"), lit(4)) === 3, lit(LangKoDoc))
           .otherwise(col("text"))
-        Tables.documents(s, dir)
-          .select(col("doc_id"), TextAnalysis.langId(t).as("pred"))
+        TextAnalysis.withLangId(Tables.documents(s, dir), t, "pred")
+          .select("doc_id", "pred")
           .orderBy("doc_id")
       },
       Some(langIdOracleFor(

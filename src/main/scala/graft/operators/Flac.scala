@@ -152,16 +152,29 @@ object Flac {
   // =================================================================
 
   /** Encode mono `samples` (signed, within `bps` bits) at fixed
-    * `blockSize`. Subframe choice per frame is deterministic: all-equal
-    * -> CONSTANT; else frame f uses VERBATIM when `f % 6 == 0`, FIXED
-    * order `f % 6 - 1` otherwise — every subset subframe type appears
-    * in any stream of >= 6 frames. Rice parameter per frame is the
-    * bit-optimal 4-bit one (single partition, order 0). */
+    * `blockSize`. Subframe choice per frame is deterministic on the
+    * EFFECTIVE index `e = frameNo + schedulePhase`: all-equal ->
+    * CONSTANT; else LPC when `lpcEvery > 0 && e % lpcEvery == 0 &&
+    * e % 6 != 0`; else VERBATIM when `e % 6 == 0`; else FIXED order
+    * `e % 6 - 1`. With `lpcEvery` coprime to 6 (the syntheticFlacs
+    * setting, 5) every subset subframe type is reachable; `schedulePhase`
+    * rotates the schedule so short clips (the 5-frame corpus) still
+    * cover all types ACROSS clips. The phase affects only subframe
+    * selection, never the coded frame number. Rice parameter per frame
+    * is the bit-optimal 4-bit one (single partition, order 0). */
   def encode(samples: Array[Int], bps: Int, sampleRate: Int = 8000,
-      blockSize: Int = 256, lpcEvery: Int = 0): Array[Byte] = {
+      blockSize: Int = 256, lpcEvery: Int = 0,
+      schedulePhase: Int = 0): Array[Byte] = {
     require(bps == 8 || bps == 16, s"subset bps 8/16, got $bps")
     require(blockSize >= 16 && blockSize <= 65535, s"bad blockSize $blockSize")
     require(sampleRate == 8000, "subset encoder emits the 8 kHz rate code")
+    require(schedulePhase >= 0, s"negative schedulePhase $schedulePhase")
+    // the coded frame number is a 1-6 byte UTF-8-style varint; keep the
+    // count inside what writeUtf8Number can emit (decoder-side the cap
+    // is MaxSamples anyway, so this is a loud error instead of a
+    // quietly malformed stream past 2^21 frames)
+    require(samples.length.toLong <= (1L << 31) - 1,
+      "frame count would overflow the coded-number range")
     val lim = 1L << (bps - 1)
     require(samples.forall(s => s >= -lim && s < lim), "sample out of range")
     val out = new java.io.ByteArrayOutputStream(4096)
@@ -198,7 +211,7 @@ object Flac {
     while (off < samples.length) {
       val bs = math.min(blockSize, samples.length - off)
       out.write(encodeFrame(samples, off, bs, frameNo, bps, blockSize,
-        lpcEvery))
+        lpcEvery, schedulePhase))
       off += bs
       frameNo += 1
     }
@@ -210,9 +223,24 @@ object Flac {
     * against the exact integer predictor, so round-trips stay
     * lossless): the conformance path FlacSpec uses to exercise the
     * decoder's LPC arithmetic with real in-format frames. */
+  /** The non-CONSTANT subframe type the schedule selects for effective
+    * frame index `eff` (see [[encode]]). Factored out so the corpus-
+    * coverage spec asserts against the SAME selection the encoder runs:
+    * with lpcEvery=5 and phases 0..29 (the syntheticFlacs geometry)
+    * every subset subframe type appears. */
+  private[operators] def scheduledType(eff: Int, lpcEvery: Int,
+      bs: Int): String =
+    if (lpcEvery > 0 && eff % lpcEvery == 0 &&
+      (eff % 6 != 0 || lpcEvery == 1) && bs > 2) "LPC"
+    else if (eff % 6 == 0) "VERBATIM"
+    else s"FIXED${math.min(eff % 6 - 1, bs - 1)}"
+
   private def encodeFrame(samples: Array[Int], off: Int, bs: Int,
       frameNo: Int, bps: Int, nominalBlock: Int,
-      lpcEvery: Int = 0): Array[Byte] = {
+      lpcEvery: Int = 0, schedulePhase: Int = 0): Array[Byte] = {
+    // effective schedule index: selects the subframe type only — the
+    // frame number coded into the stream stays frameNo
+    val eff = frameNo + schedulePhase
     val w = new BitWriter
     w.writeBits(0x3ffe, 14) // sync
     w.writeBits(0, 1) // reserved
@@ -248,11 +276,12 @@ object Flac {
       while (e && i < bs) { e = samples(off + i) == samples(off); i += 1 }
       e
     }
+    val sched = scheduledType(eff, lpcEvery, bs)
     if (allEqual) {
       withCrc.writeBits(0, 1); withCrc.writeBits(0, 6) // CONSTANT
       withCrc.writeBits(0, 1) // no wasted bits
       withCrc.writeBits(samples(off).toLong & ((1L << bps) - 1), bps)
-    } else if (lpcEvery > 0 && frameNo % lpcEvery == 0 && bs > 2) {
+    } else if (sched == "LPC") {
       val order = 2
       val prec = 5
       val shift = 1
@@ -282,7 +311,7 @@ object Flac {
         i += 1
       }
       writeRice(withCrc, res)
-    } else if (frameNo % 6 == 0) {
+    } else if (sched == "VERBATIM") {
       withCrc.writeBits(0, 1); withCrc.writeBits(1, 6) // VERBATIM
       withCrc.writeBits(0, 1)
       var i = 0
@@ -291,7 +320,7 @@ object Flac {
         i += 1
       }
     } else {
-      val order = math.min(frameNo % 6 - 1, bs - 1)
+      val order = sched.stripPrefix("FIXED").toInt
       withCrc.writeBits(0, 1); withCrc.writeBits(8 + order, 6) // FIXED
       withCrc.writeBits(0, 1)
       var i = 0
@@ -352,8 +381,25 @@ object Flac {
       w.writeBits(0xe0L | (v >> 12), 8)
       w.writeBits(0x80L | ((v >> 6) & 0x3f), 8)
       w.writeBits(0x80L | (v & 0x3f), 8)
-    } else {
+    } else if (v < (1 << 21)) {
       w.writeBits(0xf0L | (v >> 18), 8)
+      w.writeBits(0x80L | ((v >> 12) & 0x3f), 8)
+      w.writeBits(0x80L | ((v >> 6) & 0x3f), 8)
+      w.writeBits(0x80L | (v & 0x3f), 8)
+    } else if (v < (1 << 26)) {
+      // 5-byte form (2-bit lead payload) — the decoder already accepts
+      // it; without this branch frame numbers >= 2^21 would overflow
+      // the 4-byte lead's 3-bit payload into a malformed stream
+      w.writeBits(0xf8L | (v >> 24), 8)
+      w.writeBits(0x80L | ((v >> 18) & 0x3f), 8)
+      w.writeBits(0x80L | ((v >> 12) & 0x3f), 8)
+      w.writeBits(0x80L | ((v >> 6) & 0x3f), 8)
+      w.writeBits(0x80L | (v & 0x3f), 8)
+    } else {
+      // 6-byte form (1-bit lead payload): covers every non-negative Int
+      w.writeBits(0xfcL | (v >>> 30), 8)
+      w.writeBits(0x80L | ((v >> 24) & 0x3f), 8)
+      w.writeBits(0x80L | ((v >> 18) & 0x3f), 8)
       w.writeBits(0x80L | ((v >> 12) & 0x3f), 8)
       w.writeBits(0x80L | ((v >> 6) & 0x3f), 8)
       w.writeBits(0x80L | (v & 0x3f), 8)

@@ -971,11 +971,17 @@ object Multimodal {
           val s16 = new Array[Int](n)
           var i = 0
           while (i < n) { s16(i) = ((u8(i) & 0xff) - 128) << 8; i += 1 }
-          // lpcEvery = 3: the corpus carries CONSTANT-free mixes of
-          // VERBATIM, FIXED and LPC frames, so q_audio_flac's oracle
-          // certificate covers the LPC arithmetic end to end
+          // lpcEvery = 5 (coprime to the 6-cycle VERBATIM/FIXED
+          // schedule) + a per-clip schedule phase of id % 30: each
+          // 5-frame clip covers 5 consecutive residues of the 30-cycle,
+          // so ACROSS any 30 consecutive ids the corpus carries every
+          // subset subframe type — VERBATIM, FIXED orders 0-4 AND LPC —
+          // and q_audio_flac's oracle certificate covers them all end
+          // to end (with lpcEvery = 3 the LPC branch shadowed VERBATIM
+          // and FIXED-2 entirely: frameNo % 6 == 0 or 3 implies % 3 == 0)
           (id, Flac.encode(s16, bps = 16, sampleRate = 8000,
-            blockSize = 256, lpcEvery = 3))
+            blockSize = 256, lpcEvery = 5,
+            schedulePhase = (math.floorMod(id, 30L)).toInt))
         }
       }
       .toDF("id", "payload")

@@ -45,6 +45,31 @@ class FlacSpec extends AnyFunSuite {
     assert(dec.get.samples.toSeq === s.toSeq)
   }
 
+  test("syntheticFlacs schedule geometry covers every subset subframe type in-corpus") {
+    // the certified q_audio_flac corpus: 5 frames per clip (1040 samples
+    // / 256), lpcEvery = 5, schedulePhase = id % 30 — across any 30
+    // consecutive ids the effective indices cover all residues mod 30,
+    // so VERBATIM, FIXED 0-4 AND LPC all appear in the certified corpus
+    // (the r18 advisor finding: with lpcEvery = 3 the LPC branch
+    // shadowed VERBATIM and FIXED-2 completely). Asserted against the
+    // SAME selection function the encoder runs, plus a round-trip per
+    // phase so each scheduled mix actually decodes losslessly.
+    val framesPerClip = 5
+    val types = (0 until 30).flatMap { phase =>
+      (0 until framesPerClip).map(f =>
+        Flac.scheduledType(f + phase, lpcEvery = 5, bs = 256))
+    }.toSet
+    assert(types === Set("LPC", "VERBATIM",
+      "FIXED0", "FIXED1", "FIXED2", "FIXED3", "FIXED4"))
+    for (phase <- Seq(0, 3, 6, 11, 29)) {
+      val s = pcm(256 * 4 + 16, seed = 100 + phase, amp = 30000)
+      val dec = Flac.decode(Flac.encode(s, bps = 16, lpcEvery = 5,
+        schedulePhase = phase))
+      assert(dec.isDefined && dec.get.samples.toSeq === s.toSeq,
+        s"phase $phase round-trip failed")
+    }
+  }
+
   test("round-trip: 8-bit depth") {
     val s = pcm(600, seed = 2, amp = 120)
     val dec = Flac.decode(Flac.encode(s, bps = 8))

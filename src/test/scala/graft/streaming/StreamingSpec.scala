@@ -123,7 +123,18 @@ class StreamingSpec extends AnyFunSuite {
       col("text"))
     val docs = docs0.select("doc_id", "ts", "text").union(planted)
 
-    val batch = StreamCdc.dupChunkHits(docs, "doc_id", "ts", "text")
+    // the planted twins arrive 190 000 s after their originals — far
+    // beyond the default 2 h state horizon. Pass an explicit horizon
+    // that covers the gap so the batch==stream equality below holds
+    // under ANY trigger decomposition (with the default, a multi-file
+    // replay would watermark-expire the originals' state between
+    // micro-batches and drop every planted hit; the single-coalesced-
+    // file run only passed because timeouts are evaluated against the
+    // PREVIOUS batch's watermark)
+    val horizonMs = 200000L * 1000L
+
+    val batch = StreamCdc.dupChunkHits(docs, "doc_id", "ts", "text",
+      horizonMs = horizonMs)
     val got = batch.collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
       .toSet
@@ -163,7 +174,8 @@ class StreamingSpec extends AnyFunSuite {
     docs.coalesce(1).write.mode("overwrite").parquet(tmp)
     val stream = spark.readStream.schema(docs.schema).parquet(tmp)
     val streamed = EventStreams.runToBatch(
-      StreamCdc.dupChunkHits(stream, "doc_id", "ts", "text"),
+      StreamCdc.dupChunkHits(stream, "doc_id", "ts", "text",
+        horizonMs = horizonMs),
       "stream_cdc_out", outputMode = "append")
       .collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *    updated in lockstep (one pass over the sample computes all K
   *    error vectors). Driver arithmetic is model-sized
   *    (`rounds * n * K * dim` doubles), never data-sized.
-  *  - SCORING: K dot products against broadcast-literal weight rows +
-  *    an argmax when-chain — a pure codegen'd map fused with the
-  *    feature kernel; zero shuffles at any scale.
+  *  - SCORING: one fused Catalyst expression ([[graft.functions
+  *    .MulticlassArgmax]]) computing all K dots against a referenced
+  *    weight matrix + the argmax — a pure codegen'd map fused with the
+  *    feature kernel; zero shuffles at any scale, constant generated-
+  *    code size in K, safe under predicate pushdown.
   *
   * Determinism / oracle posture — the trained-model-replay technique
   * ([[QualityClassifier]], SURVEY §5.3) extended to multi-class: the
@@ -48,17 +50,30 @@ import org.apache.spark.sql.functions._
   */
 object LangIdTrained {
 
-  /** The 16 languages (class index = position — alphabetical by code)
+  /** The 32 languages (class index = position — alphabetical by code)
     * with 10 high-frequency function words each: the seeded synthetic
     * corpus [[syntheticCorpus]] draws from and the label set the model
-    * predicts. 16 = 2^4 so the class of `doc_id` is exact integer
-    * arithmetic on both engines (`% 16` / `// 16` = `shiftright 4`).
+    * predicts. 32 = 2^5 so the class of `doc_id` is exact integer
+    * arithmetic on both engines (`% 32` / `// 32` = `shiftright 5`).
     * Words are lowercase, apostrophe-free, space-free; diacritics and
-    * non-Latin scripts (ru, el) are deliberate — they are exactly the
-    * char-trigram signals a real lid model keys on. */
+    * non-Latin scripts (bg, el, hi, ru, uk) are deliberate — they are
+    * exactly the char-trigram signals a real lid model keys on. Close
+    * pairs (cs/sk, hr/sl, ru/uk, es/pt/gl, fi/et) are deliberate too:
+    * every sentence carries the WHOLE 10-word vocabulary
+    * (SentenceWords >= VocabSize), so classes stay separable on the
+    * non-shared words and the 100%-accuracy pin is a real statement
+    * about the feature space, not an artifact of distant languages.
+    * (Danish-vs-bokmål-grade near-identical vocabularies are the one
+    * shape excluded — their function words overlap 8-9/10.) */
   val LangVocab: Seq[(String, Seq[String])] = Seq(
+    "bg" -> Seq("и", "в", "на", "не", "се", "да", "е", "от",
+      "за", "като"),
+    "ca" -> Seq("els", "amb", "per", "una", "dels", "com", "molt",
+      "aquesta", "també", "sobre"),
     "cs" -> Seq("je", "se", "na", "že", "to", "jako", "ale", "podle",
       "také", "však"),
+    "da" -> Seq("og", "det", "at", "en", "til", "er", "som", "på",
+      "de", "ikke"),
     "de" -> Seq("der", "und", "die", "nicht", "ist", "von", "mit",
       "sich", "auf", "dass"),
     "el" -> Seq("και", "το", "να", "του", "η", "με", "την", "δεν",
@@ -67,32 +82,61 @@ object LangIdTrained {
       "with", "which"),
     "es" -> Seq("el", "la", "los", "que", "de", "en", "un", "por",
       "con", "para"),
+    "et" -> Seq("ja", "on", "ei", "ka", "see", "kui", "oli", "aga",
+      "oma", "mis"),
+    "eu" -> Seq("eta", "ez", "da", "bat", "du", "hau", "baina", "ere",
+      "zen", "dira"),
     "fi" -> Seq("ja", "on", "ei", "että", "se", "oli", "hän", "mutta",
       "kun", "niin"),
     "fr" -> Seq("le", "de", "et", "les", "des", "une", "dans", "pour",
       "que", "pas"),
+    "gl" -> Seq("unha", "dos", "polo", "coa", "tamén", "máis", "cando",
+      "despois", "entón", "onde"),
+    "hi" -> Seq("के", "है", "की", "में", "से", "को", "का", "और",
+      "पर", "नहीं"),
+    "hr" -> Seq("je", "se", "na", "da", "su", "što", "ali", "kao",
+      "za", "nije"),
     "hu" -> Seq("az", "és", "hogy", "nem", "egy", "meg", "van", "volt",
       "el", "már"),
     "id" -> Seq("yang", "dan", "di", "dengan", "untuk", "ini", "dari",
       "pada", "adalah", "tidak"),
     "it" -> Seq("il", "di", "che", "la", "per", "una", "con", "del",
       "non", "sono"),
+    "lt" -> Seq("ir", "kad", "tai", "bet", "kaip", "buvo", "iš", "jis",
+      "bei", "dar"),
+    "lv" -> Seq("un", "ir", "ka", "par", "bet", "kā", "tika", "arī",
+      "vai", "tas"),
     "nl" -> Seq("de", "het", "een", "van", "in", "op", "dat", "niet",
       "met", "voor"),
     "pl" -> Seq("nie", "się", "na", "że", "do", "jest", "po", "tak",
       "ale", "jak"),
+    "pt" -> Seq("que", "não", "uma", "para", "com", "por", "mais",
+      "isso", "ele", "você"),
     "ro" -> Seq("și", "de", "la", "în", "cu", "o", "pe", "este", "nu",
       "care"),
     "ru" -> Seq("и", "в", "не", "на", "что", "с", "как", "это", "по",
       "но"),
+    "sk" -> Seq("je", "sa", "na", "že", "to", "ako", "ale", "som",
+      "už", "aj"),
+    "sl" -> Seq("je", "se", "na", "da", "v", "pa", "ki", "so",
+      "kot", "tudi"),
+    "sq" -> Seq("dhe", "një", "të", "për", "në", "me", "nga", "si",
+      "por", "kjo"),
     "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av",
       "för", "med"),
     "tr" -> Seq("bir", "ve", "bu", "da", "ne", "için", "ile", "olarak",
-      "daha", "çok"))
+      "daha", "çok"),
+    "uk" -> Seq("і", "в", "не", "на", "що", "з", "як", "це",
+      "до", "але"),
+    "vi" -> Seq("và", "của", "là", "có", "được", "không", "người",
+      "trong", "này", "cho"))
 
   /** number of classes — MUST stay a power of two (see [[LangVocab]]) */
   val NumLangs: Int = LangVocab.size
-  require(NumLangs == 16, "class arithmetic assumes 16 languages")
+  require(NumLangs == 32, "class arithmetic assumes 32 languages")
+
+  /** log2(NumLangs): `doc_id / NumLangs` as an exact long shift */
+  val LangShift: Int = Integer.numberOfTrailingZeros(NumLangs)
 
   /** words per synthesized sentence */
   val SentenceWords: Int = 12
@@ -103,9 +147,9 @@ object LangIdTrained {
     "every language needs the same vocabulary size")
 
   /** Deterministic labeled corpus over an id frame: each row gets
-    * `lang_k = doc_id % 16` and a [[SentenceWords]]-word sentence drawn
-    * from that language's vocabulary rotated by `doc_id // 16` (word j
-    * is `vocab[(doc_id // 16 + j) % 10]`) — the withPayload posture:
+    * `lang_k = doc_id % 32` and a [[SentenceWords]]-word sentence drawn
+    * from that language's vocabulary rotated by `doc_id // 32` (word j
+    * is `vocab[(doc_id // 32 + j) % 10]`) — the withPayload posture:
     * the oracle re-synthesizes the identical strings, so the model
     * replay starts from bit-identical text. Output: `idCol`, `lang_k`
     * (int class), `lang` (code string), `sent`. */
@@ -113,7 +157,7 @@ object LangIdTrained {
     val vocabs = typedLit(LangVocab.map(_._2))
     val names = typedLit(LangVocab.map(_._1))
     val k = pmod(col(idCol), lit(NumLangs.toLong)).cast("int")
-    val rot = shiftright(col(idCol), 4) // doc_id // 16, exact on longs
+    val rot = shiftright(col(idCol), LangShift) // doc_id // 32, exact on longs
     val words = (0 until SentenceWords).map { j =>
       element_at(element_at(vocabs, col("lang_k") + 1),
         (pmod(rot + lit(j.toLong), lit(VocabSize.toLong)) + 1).cast("int"))
@@ -279,41 +323,46 @@ object LangIdTrained {
     MulticlassModel(w.map(_.toSeq).toSeq, b.toSeq, labels)
   }
 
-  /** Per-class decision margins against broadcast-literal weights —
-    * K codegen'd dot products fused into the scan stage. */
-  private def margins(vec: Column, model: MulticlassModel): Seq[Column] =
-    model.weights.zip(model.biases).map { case (w, bc) =>
-      Similarity.dot(vec, typedLit(w)) + lit(bc)
-    }
+  /** Gate-ready scoring with the PINNED model ([[LangIdPinned]] — the
+    * committed literal weight table, retrain-equality-pinned in
+    * LangIdTrainedSpec) over raw text: appends `out` = predicted
+    * language code. md5-mode features, so a composite oracle replays
+    * this as the md5 feature CTEs + 32 dots against a literal VALUES
+    * weight table — never the 24 GD rounds (those stay certified once,
+    * in q_text_langid_trained). One fused codegen'd map, zero shuffles,
+    * filter-pushdown-safe (see [[score]]). */
+  def withLangPinned(df: DataFrame, textCol: String,
+      out: String = "lang_pred"): DataFrame = {
+    val f = "__lidfeats"
+    score(withFeatures(df, textCol, outCol = f), f, LangIdPinned.Model)
+      .drop(f, "margin_best")
+      .withColumnRenamed("lang_pred", out)
+  }
 
-  /** Score a frame: appends `lang_pred` (argmax class label, ties to
-    * the FIRST class index — the oracle's `ORDER BY m DESC, c ASC`) and
-    * `margin_best` (the winning margin). Margins are bit-exact doubles
-    * on both engines, so exact-equality tie detection is portable.
+  /** Score a frame: appends `margin_best` (the winning margin) and
+    * `lang_pred` (argmax class label, ties to the FIRST class index —
+    * the oracle's `ORDER BY m DESC, c ASC`). Margins are bit-exact
+    * doubles on both engines, so exact-equality tie detection is
+    * portable.
     *
-    * The K margin dot-products are STAGED in their own projection
-    * first (the withLangId lesson): the argmax when-chain references
-    * every margin in CONDITIONAL branches, which whole-stage codegen's
-    * subexpression elimination excludes — the plain-Column form
-    * re-evaluated each 64-dim dot up to 3x per row (greatest + the
-    * when conditions + the output). The boundary survives
-    * CollapseProject because each alias is expensive and
-    * multi-referenced; outputs are bit-identical. */
+    * All K margins + the argmax evaluate inside ONE fused Catalyst
+    * expression ([[graft.functions.MulticlassArgmax]] — two generated
+    * `for` loops over a referenced weight matrix, constant code size in
+    * K). The r18 form — K staged dot-product Columns + a when-chain —
+    * scaled to K=16 but not 32: a downstream FILTER on `lang_pred`
+    * (the curation-gate shape) pushes the predicate through the staged
+    * projections, re-inlining the feature kernel and every margin
+    * literal tree per reference, and janino exhausts multi-GB heaps on
+    * the re-expanded condition. The fused form costs one struct per
+    * row and is pushdown-safe anywhere. NULL/wrong-width vectors and
+    * NaN margins yield NULL lang_pred, never an arbitrary label. */
   def score(df: DataFrame, vecCol: String,
       model: MulticlassModel): DataFrame = {
-    val mcols = model.labels.indices.map(i => s"__lidm$i")
-    val staged = df.select(
-      (df.columns.map(col).toIndexedSeq ++
-        margins(col(vecCol), model).zip(mcols).map { case (m, nm) =>
-          m.as(nm)
-        }): _*)
-    val ms = mcols.map(col)
-    val best = greatest(ms: _*)
-    val pred = model.labels.zip(ms).reverse
-      .foldLeft(lit(model.labels.head): Column) { case (acc, (l, m)) =>
-        when(m === best, lit(l)).otherwise(acc)
-      }
-    staged.withColumn("margin_best", best).withColumn("lang_pred", pred)
-      .drop(mcols: _*)
+    val s = graft.functions.MulticlassArgmax.argmax(
+      col(vecCol), model.weights, model.biases, model.labels)
+    df.withColumn("__lidamx", s)
+      .withColumn("margin_best", col("__lidamx.margin_best"))
+      .withColumn("lang_pred", col("__lidamx.lang_pred"))
+      .drop("__lidamx")
   }
 }

@@ -21,7 +21,7 @@ class LangIdTrainedSpec extends AnyFunSuite {
       LangIdTrained.syntheticCorpus(
         spark.range(n.toLong).select(col("id").as("doc_id"))), "sent")
 
-  private def trained(n: Int = 320) =
+  private def trained(n: Int = 640) =
     LangIdTrained.train(corpus(n), "doc_id", "feats", "lang_k",
       LangIdTrained.LangVocab.map(_._1), rounds = 24, lr = 4.0,
       maxSample = n)
@@ -41,17 +41,18 @@ class LangIdTrainedSpec extends AnyFunSuite {
     assert(out.getString(1) === "_ ž l u t é _")
   }
 
-  test("syntheticCorpus: deterministic, label = doc_id % 16, rotation by doc_id // 16") {
+  test("syntheticCorpus: deterministic, label = doc_id % K, rotation by doc_id // K") {
+    val k = LangIdTrained.NumLangs
     val c = LangIdTrained.syntheticCorpus(
-      spark.range(40).select(col("id").as("doc_id")))
+      spark.range(2L * k + 8).select(col("id").as("doc_id")))
       .orderBy("doc_id").collect()
-    assert(c.length === 40)
+    assert(c.length === 2 * k + 8)
     c.foreach { r =>
       val id = r.getLong(0)
-      assert(r.getInt(1) === (id % 16).toInt)
-      val vocab = LangIdTrained.LangVocab((id % 16).toInt)._2
+      assert(r.getInt(1) === (id % k).toInt)
+      val vocab = LangIdTrained.LangVocab((id % k).toInt)._2
       val expected = (0 until LangIdTrained.SentenceWords)
-        .map(j => vocab(((id / 16) + j).toInt % vocab.size))
+        .map(j => vocab(((id / k) + j).toInt % vocab.size))
         .mkString(" ")
       assert(r.getString(3) === expected, s"doc $id")
     }
@@ -63,8 +64,8 @@ class LangIdTrainedSpec extends AnyFunSuite {
     assert(m1 === m2)
   }
 
-  test("the trained model separates all 16 languages on the seeded corpus") {
-    val feats = corpus(320)
+  test("the trained model separates all 32 languages on the seeded corpus") {
+    val feats = corpus(640)
     val scored = LangIdTrained.score(feats, "feats", trained())
     val bad = scored.filter(col("lang_pred") =!= col("lang")).count()
     assert(bad === 0L, "every doc of the training corpus must classify correctly")
@@ -123,6 +124,34 @@ class LangIdTrainedSpec extends AnyFunSuite {
       val diff = joined.filter(not(col("feats") <=> col("ref_feats"))).count()
       assert(diff === 0L, s"md5Mode=$md5: fused kernel diverged from reference")
     }
+  }
+
+  test("pinned model == retrained model (literal drift fails the build)") {
+    // the committed LangIdPinned literals must equal a fresh run of the
+    // exact training procedure they document — Double.toString literals
+    // round-trip bit-exactly through scalac, so this is exact equality,
+    // not a tolerance check
+    val m = graft.tools.GenLangIdPinned.trainPinned(spark)
+    assert(m.labels === LangIdPinned.Model.labels)
+    assert(m.biases === LangIdPinned.Model.biases)
+    assert(m.weights === LangIdPinned.Model.weights)
+  }
+
+  test("withLangPinned gates raw text deterministically and survives filter pushdown") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val scored = LangIdTrained.withLangPinned(docs, "text")
+    // the gate shape composites use: filter on the prediction — this
+    // pushes the predicate through the scoring projection (the K=32
+    // janino-OOM regression shape MulticlassArgmax exists to survive)
+    val kept = scored.filter(col("lang_pred") === "en").count()
+    val total = docs.count()
+    assert(kept > 0L && kept <= total)
+    // deterministic across runs
+    val again = LangIdTrained.withLangPinned(docs, "text")
+      .filter(col("lang_pred") === "en").count()
+    assert(again === kept)
   }
 
   test("a no-signal text still scores deterministically (zero vector -> bias argmax)") {

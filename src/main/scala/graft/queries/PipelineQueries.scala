@@ -882,10 +882,13 @@ object PipelineQueries {
           TA.GopherConfig(minWords = 25L, maxWords = 80L,
             minMeanWordLen = 3.0, maxMeanWordLen = 5.0, minStopwordHits = 1))
           .filter(col("quality_pass"))
-        // staged langid (not the plain Column filter): the argmax
-        // when-chain re-evaluates every marker score in conditional
-        // branches unless the scores live in their own projection
-        val english = TA.withLangId(quality, col("text"), "__lid")
+        // TRAINED language gate (r19): the pinned 32-language model —
+        // one fused codegen'd kernel + argmax (MulticlassArgmax),
+        // 0.42x the 7-language marker gate's cost (SCALE.md r18 A/B)
+        // with 4.5x the coverage; the oracle replays the scoring pass
+        // against the committed literal weights, never the GD rounds
+        val english = graft.operators.LangIdTrained
+          .withLangPinned(quality, "text", "__lid")
           .filter(col("__lid") === "en").drop("__lid")
         // the quality -> langid -> content-hash-dedup subtree (including
         // the full-text survivor shuffle) feeds BOTH the near-dup index
@@ -1628,14 +1631,13 @@ object PipelineQueries {
         val deduped = Dedup.exact(quality, "doc_id", "text")
         val kept = quality.join(
           deduped.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-        // withLangId stages the padded-lowercase text once instead of
-        // once per marker scan (-17% on the langId stage; the r17
-        // triage of this query's prev-floor NOTE — variant decomposition
-        // put the whole +22% on the langId CASE, grown by r16's CJK
-        // markers, with every other stage additive and unchanged)
-        TextAnalysis.withLangId(
+        // TRAINED per-language stats (r19): the pinned 32-language
+        // model via the fused MulticlassArgmax kernel — one codegen'd
+        // map, cheaper than the 21 marker scans it replaces (SCALE.md
+        // r18 A/B: 0.42x) and 32-language resolution instead of 7+und
+        graft.operators.LangIdTrained.withLangPinned(
             kept.select(col("doc_id"), col("text"), col("n_tokens")),
-            col("text"), "lang")
+            "text", "lang")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens_total"))
           .orderBy("lang")
@@ -1999,20 +2001,20 @@ object PipelineQueries {
     QueryDef("q_text_topterms",
       (s, dir) => {
         val k = topTermsK
-        // lang is projected in its own select BELOW the explode: fused into
-        // one select, ExtractGenerator would hoist the (expensive, ~15
-        // string scans) langId CASE into the Project ABOVE Generate and
-        // evaluate it once per TOKEN instead of once per document
+        // lang is projected in its own select BELOW the explode: fused
+        // into one select, ExtractGenerator would hoist the scoring
+        // kernel into the Project ABOVE Generate and evaluate it once
+        // per TOKEN instead of once per document.
         // staged once (eager checkpoint): three consumers below (sketch,
-        // exact recount, per-language totals) would otherwise each replay
-        // the ~15-string-scan langId CASE and the explode per document
-        // withLangId stages the padded-lowercase text in its own
-        // projection (r17 prev-floor triage: the marker scans sit in
-        // conditional branches codegen CSE skips — see the operator's
-        // scaladoc), still BELOW the explode per the note above
+        // exact recount, per-language totals) would otherwise each
+        // replay the scoring and the explode per document.
+        // TRAINED per-language grouping (r19): the pinned 32-language
+        // model via the fused MulticlassArgmax kernel (0.42x the marker
+        // CASE this replaced — SCALE.md r18 A/B)
         val toks = Dedup.stage(
-          TextAnalysis.withLangId(Tables.documents(s, dir)
-              .select(col("text")), col("text"), "lang")
+          graft.operators.LangIdTrained.withLangPinned(
+              Tables.documents(s, dir).select(col("doc_id"), col("text")),
+              "text", "lang")
             .select(col("lang"),
               TextAnalysis.tokens(lower(col("text"))).as("toks"))
             .select(col("lang"), explode(col("toks")).as("tok"))
@@ -3359,6 +3361,39 @@ object PipelineQueries {
 
   private lazy val langIdOracle: String = langIdOracleFor("documents")
 
+  /** The PINNED trained-langid prediction replay over an arbitrary
+    * `(doc_id, text)` source — charSpread normalization + md5
+    * char-trigram features + 32 dots against the committed
+    * [[graft.operators.LangIdPinned]] literal weight table (emitted as
+    * a VALUES table of comma-joined `Double.toString` strings, cast
+    * element-wise VARCHAR->DOUBLE: DuckDB's correctly-rounding parse of
+    * a shortest-repr decimal recovers the exact bits, where a bare
+    * decimal literal would round-trip through DECIMAL and double-round)
+    * + the first-index argmax. Ends in CTE `plpred(doc_id, lang)`.
+    *
+    * This is the oracle-replay-economy half of the trained-gate design:
+    * q_text_langid_trained certifies the full 24-round training
+    * procedure in SQL once; composites that USE the model replay only
+    * this scoring pass, and LangIdTrainedSpec's retrain-equality pin
+    * guarantees the VALUES literals are exactly what that certified
+    * procedure produces. */
+  private def pinnedLangCtes(src: String): String = {
+    import graft.operators.{LangIdPinned => LP, LangIdTrained => LT}
+    val wvals = LP.Weights.zipWithIndex.map { case (w, c) =>
+      s"($c, '${w.mkString(",")}', '${LP.Biases(c)}')"
+    }.mkString(", ")
+    val names = LP.Labels.zipWithIndex
+      .map { case (l, c) => s"($c, '$l')" }.mkString(", ")
+    raw"""plsrc AS MATERIALIZED (SELECT doc_id, trim(regexp_replace('_' || regexp_replace(lower(trim(text)), '[${LT.SpreadWs}]+', '_', 'g') || '_', '(.)', '\1 ', 'g')) AS text FROM $src), """ +
+      md5EmbedVecCtes(64, n = 3, src = "plsrc") +
+      ", plfv AS MATERIALIZED (SELECT doc_id, CAST(CAST(vd AS FLOAT[]) AS DOUBLE[]) AS x FROM ev0), " +
+      s"plwraw(c, ws, bs) AS (VALUES $wvals), " +
+      "plw AS MATERIALIZED (SELECT c, list_transform(string_split(ws, ','), s -> CAST(s AS DOUBLE)) AS w, CAST(bs AS DOUBLE) AS b FROM plwraw), " +
+      "plsc AS MATERIALIZED (SELECT f.doc_id, w.c, list_inner_product(w.w, f.x) + w.b AS m FROM plfv f CROSS JOIN plw w), " +
+      s"plnames(c, lang) AS (VALUES $names), " +
+      "plpred AS MATERIALIZED (SELECT doc_id, lang FROM (SELECT s.doc_id, n.lang, row_number() OVER (PARTITION BY s.doc_id ORDER BY s.m DESC, s.c ASC) AS rn FROM plsc s JOIN plnames n ON n.c = s.c) WHERE rn = 1)"
+  }
+
   /** The ONE fixed merge table shared by q_bpe_encode's engine body and
     * its oracle (ranks = list order). Chosen to exercise every encoding
     * behavior on this corpus' 31-word vocabulary: chains of merges
@@ -3976,20 +4011,19 @@ object PipelineQueries {
   // the sketch-then-verify query emits. Threshold divisor CAST to DOUBLE
   // (a bare decimal literal would make DuckDB divide in DECIMAL).
   private def topTermsOracleSql(k: Int): String = {
-    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
-    val scoreCols = langs.map(l => s"(${scoreSql(l)}) AS s_$l").mkString(", ")
-    val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
-    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
-    raw"""WITH sc AS (SELECT text, $scoreCols FROM documents), lb AS (SELECT text, CASE $cases ELSE 'und' END AS lang FROM (SELECT *, $best AS best FROM sc)), f AS (SELECT lang, tok FROM (SELECT lang, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok FROM lb) WHERE LENGTH(tok) > 3), tot AS (SELECT lang, COUNT(*) AS n_lang FROM f GROUP BY lang), cnt AS (SELECT lang, tok, COUNT(*) AS n FROM f GROUP BY lang, tok) SELECT c.lang, c.tok, c.n FROM cnt c JOIN tot t ON t.lang = c.lang WHERE c.n > t.n_lang / CAST(${k + 1} AS DOUBLE) ORDER BY c.lang, c.tok"""
+    // r19: per-language grouping from the trained pinned model (see
+    // pinnedLangCtes) instead of the marker CASE
+    raw"""WITH """ + pinnedLangCtes("documents") +
+      raw""", lb AS (SELECT p.lang, d.text FROM documents d JOIN plpred p USING (doc_id)), f AS (SELECT lang, tok FROM (SELECT lang, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok FROM lb) WHERE LENGTH(tok) > 3), tot AS (SELECT lang, COUNT(*) AS n_lang FROM f GROUP BY lang), cnt AS (SELECT lang, tok, COUNT(*) AS n FROM f GROUP BY lang, tok) SELECT c.lang, c.tok, c.n FROM cnt c JOIN tot t ON t.lang = c.lang WHERE c.n > t.n_lang / CAST(${k + 1} AS DOUBLE) ORDER BY c.lang, c.tok"""
   }
 
   private lazy val pipelineCleanOracle: String = {
     val ntok = """CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END"""
-    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
-    val scoreCols = langs.map(l => s"(${scoreSql(l)}) AS s_$l").mkString(", ")
-    val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
-    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
-    raw"""WITH q AS (SELECT doc_id, text, CAST($ntok AS BIGINT) AS n_tokens, LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(LENGTH(text), 1) AS alpha_ratio FROM documents), f AS (SELECT * FROM q WHERE n_tokens >= 5 AND alpha_ratio >= 0.5), keep AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text), k AS (SELECT f.* FROM f JOIN keep USING (doc_id)), sc AS (SELECT doc_id, n_tokens, text, $scoreCols FROM k), sb AS (SELECT *, $best AS best FROM sc) SELECT CASE $cases ELSE 'und' END AS lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total FROM sb GROUP BY 1 ORDER BY 1"""
+    // r19: per-language stats from the trained pinned model (see
+    // pinnedLangCtes) instead of the 21-scan marker CASE
+    raw"""WITH q AS (SELECT doc_id, text, CAST($ntok AS BIGINT) AS n_tokens, LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(LENGTH(text), 1) AS alpha_ratio FROM documents), f AS (SELECT * FROM q WHERE n_tokens >= 5 AND alpha_ratio >= 0.5), keep AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text), k AS MATERIALIZED (SELECT f.* FROM f JOIN keep USING (doc_id)), """ +
+      pinnedLangCtes("k") +
+      """ SELECT p.lang, COUNT(*) AS n_docs, CAST(SUM(k.n_tokens) AS BIGINT) AS n_tokens_total FROM k JOIN plpred p USING (doc_id) GROUP BY 1 ORDER BY 1"""
   }
 
   // DuckDB replay of the md5-mode MinHash pipelines (Dedup.minhashIndexMd5
@@ -4738,12 +4772,11 @@ object PipelineQueries {
 
   private lazy val curationOracle: String = {
     val ntok = """CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(string_split_regex(TRIM(text), '\s+')) END"""
-    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
-    val scoreCols = langs.map(l => s"(${scoreSql(l)}) AS s_$l").mkString(", ")
-    val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
-    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
-    val gopher = s"""$gopherGsigSql, qual AS (SELECT doc_id, text FROM gsig WHERE $gopherPassSql)"""
-    val lang = s"""lsc AS (SELECT doc_id, text, $scoreCols FROM qual), lsb AS (SELECT *, $best AS best FROM lsc), eng AS (SELECT doc_id, text FROM lsb WHERE (CASE $cases ELSE 'und' END) = 'en')"""
+    val gopher = s"""$gopherGsigSql, qual AS MATERIALIZED (SELECT doc_id, text FROM gsig WHERE $gopherPassSql)"""
+    // r19: the trained-gate replay — pinned-weights scoring pass only
+    // (see pinnedLangCtes), where the marker form replayed 21 scans
+    val lang = pinnedLangCtes("qual") +
+      s""", eng AS (SELECT q.doc_id, q.text FROM qual q JOIN plpred p USING (doc_id) WHERE p.lang = 'en')"""
     val survivor = """keepers AS (SELECT MIN(doc_id) AS doc_id FROM eng GROUP BY text), exact0 AS (SELECT eng.doc_id, eng.text FROM eng JOIN keepers USING (doc_id))"""
     val minhash = minhashMd5BandedSql(bands = 8, rows = 4, src = "exact0") +
       minhashMd5CandsSql(maxBucket = 64) +

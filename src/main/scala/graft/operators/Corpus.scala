@@ -608,6 +608,52 @@ object Corpus {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** EXACT maximal cross-document repeats of length >= `minLen` between
+    * EXPLICIT candidate pairs — the certificate-scale ground truth for
+    * [[longRepeats]]' probabilistic recall (q_repeat_recall, the
+    * q_simhash_complete posture): every position is an anchor (an
+    * exhaustive `minLen`-gram content join), so a verbatim repeat of
+    * length `len >= minLen` yields a run of exactly `len - minLen + 1`
+    * consecutive matches on ONE alignment diagonal `p_a - p_b`, and the
+    * island reassembly recovers each maximal repeat EXACTLY — no anchor
+    * probability, no bucket caps. Positions are 1-based codepoints
+    * (both engines' `substring` counts codepoints — the WidthFold/CJK
+    * parity), same output contract as [[longRepeats]].
+    *
+    * Joins on raw `minLen`-gram CONTENT and enumerates every position:
+    * certificate-scale only. Call sites must thread
+    * `Differential.guardCertScale` through `docs`.
+    *
+    * `pairs`: `(id_a, id_b)` to census. Output: `(id_a, id_b, start_a,
+    * start_b, rep_len)`. */
+  def exactRepeats(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, minLen: Int = 40): DataFrame = {
+    require(minLen >= 2, s"minLen >= 2, got $minLen")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+      .filter(col("id").isNotNull && col("text").isNotNull &&
+        length(col("text")) >= minLen)
+    val grams = base
+      .select(col("id"), col("text"),
+        explode(sequence(lit(1),
+          length(col("text")) - lit(minLen - 1))).as("p"))
+      .selectExpr("id", "p", s"substring(text, p, $minLen) AS gram")
+    val m = pairs.select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .join(grams.select(col("id").as("id_a"), col("p").as("p_a"),
+        col("gram")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("p").as("p_b"),
+        col("gram")), Seq("id_b", "gram"))
+      .withColumn("d", col("p_a") - col("p_b"))
+    val w = Window.partitionBy("id_a", "id_b", "d").orderBy("p_a")
+    m.withColumn("isl", col("p_a") - row_number().over(w))
+      .groupBy("id_a", "id_b", "d", "isl")
+      .agg(min("p_a").cast("long").as("start_a"),
+        min("p_b").cast("long").as("start_b"),
+        (count(lit(1)) + lit((minLen - 1).toLong)).as("rep_len"))
+      .select("id_a", "id_b", "start_a", "start_b", "rep_len")
+  }
+
   /** The per-document chunk walk of [[cdcChunks]] — ONE definition
     * shared with the streaming operator
     * ([[graft.streaming.StreamCdc]]), so batch and stream boundaries

@@ -115,6 +115,15 @@ object Differential {
     in.crossJoin(broadcast(g))
       .filter(col("__certguard") === 1L).drop("__certguard")
 
+  /** Public guard entry for OTHER certificate-scale ground truths
+    * (e.g. the exact-repeat census behind q_repeat_recall): returns
+    * `in` with the one-row broadcast guard threaded through, so the
+    * over-cap raise fires structurally before any quadratic/raw-content
+    * work starts. */
+  private[graft] def guardCertScale(in: DataFrame,
+      what: String): DataFrame =
+    guardInput(in, scaleGuard(in, CertMaxRows, what))
+
   /** Certificate over PAIR outputs (minhash / simhash / embed pipelines:
     * columns id_a, id_b). */
   def pairCertificate(docs: DataFrame, idCol: String, textCol: String,

@@ -480,6 +480,116 @@ object PipelineQueries {
       },
       Some(repeatScrubOracleSql)),
 
+    // LONG-REPEAT RECALL CERTIFICATE (the r18-verdict item): longRepeats'
+    // detection is PROBABILISTIC — an anchor whose window+seed sits
+    // inside the repeat fires with ~1/16 per position, so a repeat of
+    // length L is caught with ~1-(15/16)^(L-15) — and q_long_repeats'
+    // planted repeats are long enough to detect at ~1.0, so a silent
+    // anchor-geometry regression that HALVED recall would keep it green.
+    // This row pins measured recall >= a bound per planted length
+    // against an EXACT ground truth (the q_simhash_complete posture).
+    // Corpus: fully synthetic unique hex hosts (so no background repeat
+    // can exist), pair-unique repeats at exactly L = minLen (40), 1.5x
+    // (60) and 3x (120), per-pair alignments, NON-HEX sentinels framing
+    // each splice so the maximal extension equals the planted span
+    // exactly. Ground truth: Corpus.exactRepeats — an exhaustive
+    // 40-gram content join (every position an anchor — exact, no
+    // probability, no caps), Differential.guardCertScale'd; the output
+    // carries n_truth/n_matched so the certificate PROVES its own
+    // denominator (truth_exact = the census found exactly the planted
+    // spans and nothing else). The corpus derives from doc_ids only, so
+    // per-SF recall is deterministic — bounds sit under the measured
+    // per-SF values AND the analytic expectation with wide margins
+    // (sf0.01: measured 0.83/0.98/1.0; analytic 0.80/0.95/0.999; the
+    // smallest fold sf0.001 measures 0.75/1.0/1.0 over 4-pair buckets).
+    // Oracle: FULL replay — synthesis, the SHARED detection chain
+    // (longRepeatChainSql), the exhaustive-gram truth and the
+    // per-bucket aggregates.
+    QueryDef("q_repeat_recall",
+      (s, dir) => {
+        import graft.operators.Corpus
+        val bg = (0 until 7).map(k =>
+          s"md5(CONCAT('rbg:', CAST(doc_id AS STRING), ':$k'))")
+          .mkString("CONCAT(", ", ", ")")
+        val repSrc = (0 until 4).map(k =>
+          s"md5(CONCAT('rcl:', CAST(g AS STRING), ':$k'))")
+          .mkString("CONCAT(", ", ", ")")
+        val corpus = Tables.documents(s, dir).select("doc_id")
+          .selectExpr("doc_id", "doc_id div 4 AS g",
+            "CAST(doc_id % 4 AS INT) AS role")
+          .selectExpr("doc_id", "g", "role",
+            "CASE CAST(g % 3 AS INT) WHEN 0 THEN 40 WHEN 1 THEN 60 " +
+              "ELSE 120 END AS lrep",
+            s"$bg AS bg")
+          .selectExpr("doc_id", "g", "role", "lrep",
+            s"substring($repSrc, 1, lrep) AS rep",
+            "CASE role WHEN 2 THEN 11 + CAST(g % 7 AS INT) " +
+              "WHEN 3 THEN 23 + CAST(g % 11 AS INT) ELSE NULL END AS off",
+            "bg")
+          .selectExpr("doc_id", "g", "role", "lrep", "off",
+            "CASE WHEN role = 2 THEN CONCAT(substring(bg, 1, off - 1), " +
+              "'<', rep, '>', substring(bg, off)) " +
+              "WHEN role = 3 THEN CONCAT(substring(bg, 1, off - 1), " +
+              "'[', rep, ']', substring(bg, off)) ELSE bg END AS text")
+        val pa = corpus.filter(col("role") === 2)
+          .select(col("g"), col("doc_id").as("ida"),
+            (col("off") + 1).as("pa"), col("lrep"))
+        val pb = corpus.filter(col("role") === 3)
+          .select(col("g"), col("doc_id").as("idb"),
+            (col("off") + 1).as("pb"))
+        val pairsT = pa.join(pb, "g")
+        val guarded = graft.queries.Differential.guardCertScale(
+          corpus.filter(col("role").isin(2, 3)).select("doc_id", "text"),
+          "exactRepeats (q_repeat_recall)")
+        val truth = Corpus.exactRepeats(guarded, "doc_id", "text",
+          pairsT.select(col("ida").as("id_a"), col("idb").as("id_b")))
+        val truthAgg = pairsT
+          .join(truth, truth("id_a") === pairsT("ida") &&
+            truth("id_b") === pairsT("idb"), "left")
+          .groupBy("lrep", "g")
+          .agg(
+            sum(when(truth("id_a").isNotNull, 1L).otherwise(0L))
+              .as("n_truth_p"),
+            sum(when(truth("start_a") === col("pa") &&
+              truth("start_b") === col("pb") &&
+              truth("rep_len") === col("lrep"), 1L).otherwise(0L))
+              .as("n_match_p"))
+        val det = Corpus.longRepeats(
+          cdcOracleBoundGuard(corpus.select("doc_id", "text")),
+          "doc_id", "text", md5Mode = true)
+        val hitAgg = pairsT
+          .join(det, det("id_a") === pairsT("ida") &&
+            det("id_b") === pairsT("idb") &&
+            det("start_a") <= col("pa") &&
+            (det("start_a") + det("rep_len")) >= (col("pa") + col("lrep")) &&
+            det("start_b") <= col("pb") &&
+            (det("start_b") + det("rep_len")) >= (col("pb") + col("lrep")),
+            "left")
+          .groupBy("lrep", "g")
+          .agg(max(when(det("id_a").isNotNull, 1L).otherwise(0L)).as("hit"))
+        truthAgg.join(hitAgg, Seq("lrep", "g"))
+          .groupBy("lrep")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("n_truth_p").as("n_truth"),
+            sum("n_match_p").as("n_matched"),
+            sum("hit").as("n_detected"))
+          .withColumn("recall",
+            col("n_detected").cast("double") / col("n_pairs").cast("double"))
+          .withColumn("bound",
+            when(col("lrep") === 40, lit(0.5))
+              .when(col("lrep") === 60, lit(0.8)).otherwise(lit(0.95)))
+          .select(col("lrep"), col("n_pairs"), col("n_truth"),
+            col("n_matched"),
+            (col("n_truth") === col("n_pairs") &&
+              col("n_matched") === col("n_pairs")).as("truth_exact"),
+            col("n_detected"),
+            (floor(col("recall") * 1e6d + 0.5d) / 1e6d).as("recall_r"),
+            col("bound").as("bound_r"),
+            (col("recall") >= col("bound")).as("recall_ok"))
+          .orderBy("lrep")
+      },
+      Some(repeatRecallOracleSql)),
+
     // robots.txt COMPLIANCE FILTER (RFC 9309) — the crawl-side gate
     // before any URL is fetched or kept: per-host robots bodies are
     // parsed relationally (line explode -> comment strip -> field
@@ -3530,7 +3640,15 @@ object PipelineQueries {
     * ending in `ext(id_a, id_b, sa, sb, el, er)` — used VERBATIM by
     * q_long_repeats and q_repeat_scrub so the two oracles cannot
     * drift. */
-  private def longRepeatCtesSql: String = {
+  private def longRepeatCtesSql: String =
+    s"pd AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || md5('rep:' || CAST(j AS VARCHAR)) || substring(md5('repB:' || CAST(j AS VARCHAR)), 1, 16) || substring(text, off + 1) ELSE text END AS text FROM (SELECT doc_id, doc_id // 10 AS j, CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off, text FROM documents)), " +
+      longRepeatChainSql
+
+  /** the anchor + candidate + extension chain over a preceding
+    * `pd(doc_id, text, ...)` CTE, ending in `ext(id_a, id_b, sa, sb,
+    * el, er)` — split from [[longRepeatCtesSql]] so q_repeat_recall can
+    * run the SAME detection replay over its own planted corpus. */
+  private def longRepeatChainSql: String = {
     import graft.operators.Corpus
     val g = Corpus.cdcWeights(8)
     val terms = (0 until 8).map { j =>
@@ -3538,8 +3656,7 @@ object PipelineQueries {
       else s"COALESCE(LAG(cp, $j) OVER (PARTITION BY doc_id ORDER BY i), CAST(0 AS BIGINT)) * ${g(j)}"
     }.mkString(" + ")
     val r = CdcOracleMaxCp
-    s"pd AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || md5('rep:' || CAST(j AS VARCHAR)) || substring(md5('repB:' || CAST(j AS VARCHAR)), 1, 16) || substring(text, off + 1) ELSE text END AS text FROM (SELECT doc_id, doc_id // 10 AS j, CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off, text FROM documents)), " +
-      s"cps AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i, CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS cp FROM pd CROSS JOIN range(1, $r) r(i) WHERE i <= length(text)), " +
+    s"cps AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i, CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS cp FROM pd CROSS JOIN range(1, $r) r(i) WHERE i <= length(text)), " +
       s"hs AS (SELECT doc_id, i, ($terms) % ${Corpus.CdcMod} AS h FROM cps), " +
       "anc AS (SELECT doc_id, CAST(i - 7 AS INT) AS s0 FROM hs WHERE i >= 8 AND h % 16 = 0), " +
       "anc2 AS MATERIALIZED (SELECT a.doc_id, a.s0, substring(p.text, a.s0, 16) AS seed FROM anc a JOIN pd p USING (doc_id) WHERE a.s0 + 15 <= length(p.text)), " +
@@ -3549,6 +3666,41 @@ object PipelineQueries {
       s"rm AS MATERIALIZED (SELECT c.cid, MIN(e) AS mr FROM cand c CROSS JOIN range(1, $r) q(e) LEFT JOIN cps a ON a.doc_id = c.id_a AND a.i = c.sa + 15 + CAST(e AS INT) LEFT JOIN cps b ON b.doc_id = c.id_b AND b.i = c.sb + 15 + CAST(e AS INT) WHERE a.cp IS DISTINCT FROM b.cp GROUP BY c.cid), " +
       "lens AS (SELECT doc_id, length(text) AS len FROM pd), " +
       "ext AS (SELECT c.id_a, c.id_b, c.sa, c.sb, COALESCE(l.ml - 1, LEAST(c.sa, c.sb) - 1) AS el, COALESCE(r2.mr - 1, LEAST(la.len - c.sa, lb.len - c.sb) - 15) AS er FROM cand c LEFT JOIN lm l USING (cid) LEFT JOIN rm r2 USING (cid) JOIN lens la ON la.doc_id = c.id_a JOIN lens lb ON lb.doc_id = c.id_b)"
+  }
+
+  /** q_repeat_recall replay: the recall-geometry corpus (unique hex
+    * hosts, sentinel-framed pair-unique repeats at L = 40/60/120), the
+    * SHARED detection chain ([[longRepeatChainSql]] — the engine
+    * buckets on the seed's md5-64, the oracle on seed content, the md5
+    * twins' accepted philosophy), the EXACT exhaustive-gram ground
+    * truth (consecutive-diagonal islands — Corpus.exactRepeats's
+    * relational shape restated in SQL), and the per-length recall
+    * aggregates with the pinned bounds. */
+  private def repeatRecallOracleSql: String = {
+    val bg = (0 until 7)
+      .map(k => s"md5('rbg:' || CAST(doc_id AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val repSrc = (0 until 4)
+      .map(k => s"md5('rcl:' || CAST(g AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val r = CdcOracleMaxCp
+    val boundCase = "CASE lrep WHEN 40 THEN CAST('0.5' AS DOUBLE) " +
+      "WHEN 60 THEN CAST('0.8' AS DOUBLE) ELSE CAST('0.95' AS DOUBLE) END"
+    "WITH base AS MATERIALIZED (SELECT doc_id, g, role, lrep, off, " +
+      "CASE WHEN role = 2 THEN substring(bg, 1, off - 1) || '<' || rep || '>' || substring(bg, off) " +
+      "WHEN role = 3 THEN substring(bg, 1, off - 1) || '[' || rep || ']' || substring(bg, off) ELSE bg END AS text " +
+      s"FROM (SELECT doc_id, g, role, lrep, substring($repSrc, 1, lrep) AS rep, CASE role WHEN 2 THEN 11 + CAST(g % 7 AS INT) WHEN 3 THEN 23 + CAST(g % 11 AS INT) ELSE NULL END AS off, bg FROM (SELECT doc_id, g, role, CASE CAST(g % 3 AS INT) WHEN 0 THEN 40 WHEN 1 THEN 60 ELSE 120 END AS lrep, $bg AS bg FROM (SELECT doc_id, doc_id // 4 AS g, CAST(doc_id % 4 AS INT) AS role FROM documents)))), " +
+      "pd AS MATERIALIZED (SELECT doc_id, text FROM base), " +
+      longRepeatChainSql + ", " +
+      "rep AS MATERIALIZED (SELECT DISTINCT id_a, id_b, CAST(sa - el AS BIGINT) AS start_a, CAST(sb - el AS BIGINT) AS start_b, CAST(16 + el + er AS BIGINT) AS rep_len FROM ext WHERE 16 + el + er >= 40), " +
+      "prs AS MATERIALIZED (SELECT a.g, a.lrep, a.doc_id AS ida, a.off + 1 AS pa, b.doc_id AS idb, b.off + 1 AS pb FROM base a JOIN base b ON b.g = a.g AND a.role = 2 AND b.role = 3), " +
+      s"tg AS MATERIALIZED (SELECT doc_id, CAST(q.p AS INT) AS p, substring(text, CAST(q.p AS INT), 40) AS gram FROM base CROSS JOIN range(1, $r) q(p) WHERE role IN (2, 3) AND q.p <= length(text) - 39), " +
+      "mt AS MATERIALIZED (SELECT pr.g, a.p AS p_a, b.p AS p_b FROM prs pr JOIN tg a ON a.doc_id = pr.ida JOIN tg b ON b.doc_id = pr.idb AND b.gram = a.gram), " +
+      "tru AS MATERIALIZED (SELECT g, MIN(p_a) AS start_a, MIN(p_b) AS start_b, COUNT(*) + 39 AS rep_len FROM (SELECT g, p_a, p_b, p_a - p_b AS d, p_a - row_number() OVER (PARTITION BY g, p_a - p_b ORDER BY p_a) AS isl FROM mt) GROUP BY g, d, isl), " +
+      "tagg AS (SELECT pr.lrep, pr.g, COUNT(t.start_a) AS n_truth_p, SUM(CASE WHEN t.start_a = pr.pa AND t.start_b = pr.pb AND t.rep_len = pr.lrep THEN 1 ELSE 0 END) AS n_match_p FROM prs pr LEFT JOIN tru t ON t.g = pr.g GROUP BY 1, 2), " +
+      "hagg AS (SELECT pr.lrep, pr.g, MAX(CASE WHEN r2.id_a IS NOT NULL THEN 1 ELSE 0 END) AS hit FROM prs pr LEFT JOIN rep r2 ON r2.id_a = pr.ida AND r2.id_b = pr.idb AND r2.start_a <= pr.pa AND r2.start_a + r2.rep_len >= pr.pa + pr.lrep AND r2.start_b <= pr.pb AND r2.start_b + r2.rep_len >= pr.pb + pr.lrep GROUP BY 1, 2), " +
+      "agg AS (SELECT t.lrep, COUNT(*) AS n_pairs, SUM(t.n_truth_p) AS n_truth, SUM(t.n_match_p) AS n_matched, SUM(h.hit) AS n_detected FROM tagg t JOIN hagg h ON h.lrep = t.lrep AND h.g = t.g GROUP BY 1) " +
+      s"SELECT lrep, CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_truth AS BIGINT) AS n_truth, CAST(n_matched AS BIGINT) AS n_matched, (n_truth = n_pairs AND n_matched = n_pairs) AS truth_exact, CAST(n_detected AS BIGINT) AS n_detected, floor((CAST(n_detected AS DOUBLE) / CAST(n_pairs AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall_r, $boundCase AS bound_r, (CAST(n_detected AS DOUBLE) / CAST(n_pairs AS DOUBLE)) >= ($boundCase) AS recall_ok FROM agg ORDER BY lrep"
   }
 
   /** q_doc_cdc replay: codepoints via constant-bound range + substring/

@@ -60,6 +60,48 @@ class LongRepeatSpec extends AnyFunSuite {
     }
   }
 
+  test("exactRepeats: exhaustive ground truth — every repeat >= minLen, exact spans, nothing else") {
+    import org.apache.spark.sql.DataFrame
+    def exact(docs: Seq[(Long, String)], pairs: Seq[(Long, Long)],
+        minLen: Int = 40): Set[(Long, Long, Long, Long, Long)] =
+      Corpus.exactRepeats(docs.toDF("doc_id", "text"), "doc_id", "text",
+          pairs.toDF("id_a", "id_b"), minLen)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+
+    // two repeats between one pair at different alignments + one
+    // sub-minLen repeat (must NOT be reported), sentinel-separated
+    val r1 = filler("r1", 44)
+    val r2 = filler("r2", 71)
+    val r3 = filler("r3", 39) // below minLen
+    val a = filler("a0", 10) + r1 + "<" + filler("a1", 25) + r2 + "<" +
+      r3 + "<" + filler("a2", 12)
+    val b = filler("b0", 31) + r2 + ">" + filler("b1", 7) + r1 + ">" +
+      r3 + ">" + filler("b2", 18)
+    // a: a0[1..10] r1[11..54] < a1[56..80] r2[81..151] < r3[153..191] < a2
+    // b: b0[1..31] r2[32..102] > b1[104..110] r1[111..154] > r3[156..194] >
+    val got = exact(Seq((1L, a), (2L, b)), Seq((1L, 2L)))
+    assert(got === Set(
+      (1L, 2L, 11L, 111L, 44L), // r1 — exact span, both alignments
+      (1L, 2L, 81L, 32L, 71L))) // r2 — r3 (39 < minLen) correctly absent
+
+    // pairs are censused independently; an unlisted pair contributes
+    // nothing even when it shares content
+    val c = filler("c0", 5) + r2 + filler("c1", 9)
+    val got3 = exact(Seq((1L, a), (2L, b), (3L, c)),
+      Seq((1L, 2L), (1L, 3L)))
+    assert(got3 === Set(
+      (1L, 2L, 11L, 111L, 44L), (1L, 2L, 81L, 32L, 71L),
+      (1L, 3L, 81L, 6L, 71L)))
+
+    // repeats touching text edges round-trip exactly
+    val e1 = r1 + filler("e1", 12)
+    val e2 = filler("e2", 9) + r1
+    assert(exact(Seq((7L, e1), (8L, e2)), Seq((7L, 8L))) ===
+      Set((7L, 8L, 1L, 10L, 44L)))
+  }
+
   test("repeats shorter than minLen are not reported; self-pairs never appear") {
     val seg = filler("short", 30) // < minLen 40
     val a = filler("dA", 60) + seg + filler("dA2", 60)

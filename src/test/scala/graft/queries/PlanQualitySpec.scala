@@ -64,6 +64,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_knn_join" -> Set("Exchange SinglePartition"),
     "q_multimodal_pipeline" -> Set("Exchange SinglePartition"),
     "q_profile" -> Set("Exchange SinglePartition"),
+    "q_repeat_recall" -> Set("BroadcastNestedLoopJoin",
+      "Exchange SinglePartition"), // guardCertScale's one-row broadcast
+    // guard (the structural pre-scan raise) + its global count
     "q_semdedup" -> Set("Exchange SinglePartition"),
     "q_simhash_complete" -> Set("Exchange SinglePartition"),
     "q_sketch_distinct" -> Set("Exchange SinglePartition"),

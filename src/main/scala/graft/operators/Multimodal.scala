@@ -927,6 +927,25 @@ object Multimodal {
     * drift): sample at `pos` is `byte[pos%16] of md5("family:" +
     * pos/16) % 200 + byte[pos%16] of md5("id#" + pos/16) % 2`, written
     * into `b[off, off+n)`. */
+  /** The shared 16-bit view of the analytic corpus — `(u8 - 128) << 8`
+    * over [[synthPcm8Into]]; ONE definition feeding [[syntheticFlacs]]
+    * and the [[LossyAudio]] mu-law/ADPCM corpora so the three codec
+    * paths carry the identical PCM. */
+  private[operators] def synthPcm16(family: String, id: Long): Array[Int] =
+    synthPcm16With(
+      java.security.MessageDigest.getInstance("MD5"), family, id)
+
+  private[operators] def synthPcm16With(md: java.security.MessageDigest,
+      family: String, id: Long): Array[Int] = {
+    val n = AudioFrames * AudioFrameLen
+    val u8 = new Array[Byte](n)
+    synthPcm8Into(md, family, id, u8, 0, n)
+    val s16 = new Array[Int](n)
+    var i = 0
+    while (i < n) { s16(i) = ((u8(i) & 0xff) - 128) << 8; i += 1 }
+    s16
+  }
+
   private def synthPcm8Into(md: java.security.MessageDigest,
       family: String, id: Long, b: Array[Byte], off: Int, n: Int): Unit = {
     var blk = 0
@@ -966,11 +985,7 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, family0) =>
           val family = if (family0 == null) "" else family0
-          val u8 = new Array[Byte](n)
-          synthPcm8Into(md, family, id, u8, 0, n)
-          val s16 = new Array[Int](n)
-          var i = 0
-          while (i < n) { s16(i) = ((u8(i) & 0xff) - 128) << 8; i += 1 }
+          val s16 = synthPcm16With(md, family, id)
           // lpcEvery = 5 (coprime to the 6-cycle VERBATIM/FIXED
           // schedule) + a per-clip schedule phase of id % 30: each
           // 5-frame clip covers 5 consecutive residues of the 30-cycle,

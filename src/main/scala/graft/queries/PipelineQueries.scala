@@ -3375,6 +3375,66 @@ object PipelineQueries {
       },
       Some(audioSpectralOracleSql())),
 
+    // LOSSY audio ingest #1 — G.711 mu-law telephony WAVs (format tag
+    // 7): the identical analytic PCM, companded through the real lossy
+    // 8-bit mu-law code, shipped as real WAV containers, decoded back
+    // by the bounds-checked walk and fingerprinted through the
+    // UNCHANGED spectral pipeline. Unlike FLAC this round-trip LOSES
+    // information — the oracle therefore replays the exact companding
+    // arithmetic (segment ladder + mantissa cut + midpoint decode, all
+    // integer ops) before the fingerprint replay, hash-certifying a
+    // lossy codec end to end: stronger than the rank-permutation
+    // contract, available because G.711 is exact integer arithmetic.
+    // (MP3/Opus were evaluated for this slot and rejected HONESTLY:
+    // the MPEG synthesis window is a numerically-designed table with
+    // no closed form — not rederivable in this offline environment,
+    // and an approximated window would mis-decode real files while
+    // claiming the format. See LossyAudio's scaladoc.) Scale shape:
+    // one narrow decode map per payload, zero shuffles before banding.
+    QueryDef("q_audio_mulaw",
+      (s, dir) => {
+        import graft.operators.{Dedup, LossyAudio, Multimodal}
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val wavs = LossyAudio.muLawToWav(
+          LossyAudio.syntheticMuLawWavs(fam, "doc_id", "family"),
+          "id", "payload")
+        val fps = Multimodal.audioSpectralFingerprint(
+          wavs.filter(col("decoded")), "id", "payload")
+        Dedup.hammingCandidates(fps.filter(col("decoded")), "id", "asfp")
+          .filter(col("hamming") <= 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(audioMuLawOracleSql())),
+
+    // LOSSY audio ingest #2 — IMA/DVI ADPCM WAVs (format tag 0x11):
+    // the real 4-bit predictive voice codec (block headers carrying
+    // the verbatim first sample + step index, nibble stream, adaptive
+    // step table). STATEFUL lossy coding, so the oracle replays the
+    // encoder-state recursion itself (one recursive CTE walking
+    // predictor/step-index per sample — the q_bpe/q_unigram iterative-
+    // replay technique applied to a signal codec; the decoder's output
+    // IS the encoder's reconstruction by the codec's construction,
+    // which LossyAudioSpec pins against the independent decoder), then
+    // requantizes and reruns the unchanged spectral chain. Scale
+    // shape: identical to every media decode path — one narrow map,
+    // quarantine on malformed bytes, zero shuffles before banding.
+    QueryDef("q_audio_adpcm",
+      (s, dir) => {
+        import graft.operators.{Dedup, LossyAudio, Multimodal}
+        val fam = Tables.documents(s, dir).select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("family"))
+        val wavs = LossyAudio.imaToWav(
+          LossyAudio.syntheticImaWavs(fam, "doc_id", "family"),
+          "id", "payload")
+        val fps = Multimodal.audioSpectralFingerprint(
+          wavs.filter(col("decoded")), "id", "payload")
+        Dedup.hammingCandidates(fps.filter(col("decoded")), "id", "asfp")
+          .filter(col("hamming") <= 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(audioAdpcmOracleSql())),
+
     // image duplicate clustering: the perceptual near-dup pairs fold
     // into connected components (checkpointed iterative expansion —
     // constant plan depth, the q_dedup_clusters machinery) and a
@@ -4411,17 +4471,80 @@ object PipelineQueries {
     * difference-of-differences bit rule, then the shared bits->pairs
     * banding. Every step is integer arithmetic, so the row hash-matches
     * with no tolerance. */
-  private def audioSpectralCtesSql(maxBucket: Int = 64): String = {
+  /** the spectral-fingerprint + banding chain over ANY upstream
+    * `ax(doc_id, pos, v)` CTE of 288 8-bit samples — split out so the
+    * lossy-codec oracles (mu-law / IMA ADPCM) can feed their
+    * round-tripped samples through the identical replay */
+  private def audioSpectralTailSql(maxBucket: Int): String = {
     val seqVals = (1 to 27)
       .map(s => s"($s, ${graft.operators.Multimodal.SeqToNat(s)})")
       .mkString(", ")
-    s"""$famCteSql, ax AS (SELECT doc_id, pos, $audioSampleValSql AS v FROM fam CROSS JOIN range(0, 288) r(pos)), sq(m, nat) AS (SELECT * FROM (VALUES $seqVals)), wh AS (SELECT doc_id, pos // 32 AS f, m, SUM(CASE WHEN bit_count(CAST(pos % 32 AS BIGINT) & CAST(nat AS BIGINT)) % 2 = 0 THEN v ELSE -v END) AS w FROM ax CROSS JOIN sq GROUP BY 1, 2, 3), be AS (SELECT doc_id, f, (m - 1) // 3 AS band, SUM(w * w) AS e FROM wh GROUP BY 1, 2, 3), dd AS (SELECT a.doc_id, a.f, a.band, a.e - b.e AS d FROM be a JOIN be b ON b.doc_id = a.doc_id AND b.f = a.f AND b.band = a.band + 1 WHERE a.band < 8), bits AS (SELECT a.doc_id, CAST((a.f - 1) * 8 + a.band AS INT) AS i, CASE WHEN a.d - b.d > 0 THEN 1 ELSE 0 END AS bit FROM dd a JOIN dd b ON b.doc_id = a.doc_id AND b.f = a.f - 1 AND b.band = a.band WHERE a.f >= 1)""" +
+    s"""sq(m, nat) AS (SELECT * FROM (VALUES $seqVals)), wh AS (SELECT doc_id, pos // 32 AS f, m, SUM(CASE WHEN bit_count(CAST(pos % 32 AS BIGINT) & CAST(nat AS BIGINT)) % 2 = 0 THEN v ELSE -v END) AS w FROM ax CROSS JOIN sq GROUP BY 1, 2, 3), be AS (SELECT doc_id, f, (m - 1) // 3 AS band, SUM(w * w) AS e FROM wh GROUP BY 1, 2, 3), dd AS (SELECT a.doc_id, a.f, a.band, a.e - b.e AS d FROM be a JOIN be b ON b.doc_id = a.doc_id AND b.f = a.f AND b.band = a.band + 1 WHERE a.band < 8), bits AS (SELECT a.doc_id, CAST((a.f - 1) * 8 + a.band AS INT) AS i, CASE WHEN a.d - b.d > 0 THEN 1 ELSE 0 END AS bit FROM dd a JOIN dd b ON b.doc_id = a.doc_id AND b.f = a.f - 1 AND b.band = a.band WHERE a.f >= 1)""" +
       bitsToPairsSql(maxBucket)
   }
+
+  private def audioSpectralCtesSql(maxBucket: Int = 64): String =
+    s"""$famCteSql, ax AS (SELECT doc_id, pos, $audioSampleValSql AS v FROM fam CROSS JOIN range(0, 288) r(pos)), """ +
+      audioSpectralTailSql(maxBucket)
 
   private def audioSpectralOracleSql(maxBucket: Int = 64): String =
     "WITH " + audioSpectralCtesSql(maxBucket) +
       " SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 3 ORDER BY id_a, id_b"
+
+  /** q_audio_mulaw replay: the analytic 16-bit PCM through the EXACT
+    * G.711 mu-law round-trip — clip+bias, the 8-segment ladder, the
+    * 4-bit mantissa cut, and the midpoint reconstruction, all integer
+    * arithmetic (LossyAudio.muLawEncode/muLawDecode restated as SQL) —
+    * then `(s16 >> 8) + 128` requantization (arithmetic shift =
+    * floor-division, exact both engines) into the UNCHANGED spectral
+    * chain. A lossy codec fully hash-certified: any divergence in the
+    * companding arithmetic flips fingerprint bits downstream. */
+  private def audioMuLawOracleSql(maxBucket: Int = 64): String = {
+    val mag = "(((a >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132"
+    "WITH " + famCteSql + ", " +
+      "ax AS (SELECT doc_id, pos, CAST(floor(rt / 256.0) AS INT) + 128 AS v FROM " +
+      s"(SELECT doc_id, pos, CASE WHEN s < 0 THEN -($mag) ELSE $mag END AS rt FROM " +
+      "(SELECT doc_id, pos, s, a, CASE WHEN a >= 16384 THEN 7 WHEN a >= 8192 THEN 6 WHEN a >= 4096 THEN 5 WHEN a >= 2048 THEN 4 WHEN a >= 1024 THEN 3 WHEN a >= 512 THEN 2 WHEN a >= 256 THEN 1 ELSE 0 END AS e FROM " +
+      "(SELECT doc_id, pos, s, LEAST(abs(s), 32635) + 132 AS a FROM " +
+      s"(SELECT doc_id, pos, ($audioSampleValSql - 128) * 256 AS s FROM fam CROSS JOIN range(0, 288) r(pos)))))), " +
+      audioSpectralTailSql(maxBucket) +
+      " SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 3 ORDER BY id_a, id_b"
+  }
+
+  /** q_audio_adpcm replay: the analytic 16-bit PCM through the EXACT
+    * IMA ADPCM encode-state recursion (quantize to the 4-bit code,
+    * reconstruct via the step table, clamp, walk the index table — the
+    * decoder's output IS the encoder's reconstruction, so one
+    * recursion replays the whole lossy round-trip), then the
+    * requantization and the unchanged spectral chain. The 89-entry
+    * step table is emitted from the SAME Scala array the codec uses.
+    * Positions 0..287 sit inside block 0 (505 samples/block), so the
+    * recursion starts from the block header state (pred = s(0),
+    * idx = 0) the container carries verbatim. */
+  private def audioAdpcmOracleSql(maxBucket: Int = 64): String = {
+    val stepVals = graft.operators.LossyAudio.ImaStep.zipWithIndex
+      .map { case (v, i) => s"($i, $v)" }.mkString(", ")
+    "WITH RECURSIVE " + famCteSql + ", " +
+      s"axs AS MATERIALIZED (SELECT doc_id, pos, ($audioSampleValSql - 128) * 256 AS s FROM fam CROSS JOIN range(0, 288) r(pos)), " +
+      s"steps(i, st) AS (SELECT * FROM (VALUES $stepVals)), " +
+      "adp AS (" +
+      "SELECT doc_id, 0 AS k, s AS pred, 0 AS idx FROM axs WHERE pos = 0 " +
+      "UNION ALL " +
+      "SELECT doc_id, k + 1, " +
+      "GREATEST(LEAST(pred + CASE WHEN sgn THEN -dq ELSE dq END, 32767), -32768), " +
+      "LEAST(GREATEST(idx + CASE WHEN b2 THEN (CASE WHEN b1 THEN (CASE WHEN b0 THEN 8 ELSE 6 END) ELSE (CASE WHEN b0 THEN 4 ELSE 2 END) END) ELSE -1 END, 0), 88) " +
+      "FROM (SELECT doc_id, k, pred, idx, sgn, b2, b1, b0, " +
+      "(stv >> 3) + CASE WHEN b2 THEN stv ELSE 0 END + CASE WHEN b1 THEN stv >> 1 ELSE 0 END + CASE WHEN b0 THEN stv >> 2 ELSE 0 END AS dq " +
+      "FROM (SELECT *, r1 >= (stv >> 2) AS b0 FROM " +
+      "(SELECT *, r2 - CASE WHEN r2 >= (stv >> 1) THEN stv >> 1 ELSE 0 END AS r1, r2 >= (stv >> 1) AS b1 FROM " +
+      "(SELECT *, d - CASE WHEN d >= stv THEN stv ELSE 0 END AS r2, d >= stv AS b2 FROM " +
+      "(SELECT t.doc_id, t.k, t.pred, t.idx, (x.s - t.pred) < 0 AS sgn, abs(x.s - t.pred) AS d, sp.st AS stv " +
+      "FROM adp t JOIN axs x ON x.doc_id = t.doc_id AND x.pos = t.k + 1 " +
+      "JOIN steps sp ON sp.i = t.idx WHERE t.k < 287)))))), " +
+      "ax AS (SELECT doc_id, k AS pos, CAST(floor(pred / 256.0) AS INT) + 128 AS v FROM adp), " +
+      audioSpectralTailSql(maxBucket) +
+      " SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 3 ORDER BY id_a, id_b"
+  }
 
   private def audioNearDupOracleSql(maxBucket: Int = 64): String =
     "WITH " + audioNearDupCtesSql(maxBucket) +

@@ -506,6 +506,20 @@ object Corpus {
         }
       }
       .toDF("id", "s0", "seed")
+    repeatSpansFromAnchors(anchors, base, minLen, sl, maxBucket, md5Mode)
+  }
+
+  /** The bucket/candidate/extension pipeline of [[longRepeats]] over an
+    * EXPLICIT anchor frame `(id, s0, seed)` — split out so
+    * [[scrubComposite]] can feed it the anchors surviving its
+    * hot-region cut while q_long_repeats' path stays byte-identical. */
+  private[graft] def repeatSpansFromAnchors(anchors0: DataFrame,
+      base: DataFrame, minLen: Int, seedLen: Int, maxBucket: Int,
+      md5Mode: Boolean): DataFrame = {
+    val spark = anchors0.sparkSession
+    import spark.implicits._
+    val sl = seedLen
+    val anchors = anchors0
       .withColumn("bkey",
         if (md5Mode) graft.functions.Md5Hashes.md5Hash64(col("seed"))
         else xxhash64(col("seed")))
@@ -574,6 +588,16 @@ object Corpus {
       seedLen, maxBucket, md5Mode)
     val iv = reps.select(col("id_b").as("id"), col("start_b").as("s"),
       (col("start_b") + col("rep_len")).as("e"))
+    cutSpans(base, iv)
+  }
+
+  /** The island-merge + reassembly half of [[scrubLongRepeats]] over an
+    * EXPLICIT half-open codepoint span frame `(id, s, e)` — split out so
+    * [[scrubComposite]] can cut the UNION of several detectors' spans in
+    * ONE pass. Overlap-or-adjacent spans merge; each document
+    * reassembles from its surviving segments in order; span-free docs
+    * pass through. Output: `(doc_id, clean_text, n_spans, n_removed)`. */
+  private[graft] def cutSpans(base: DataFrame, iv: DataFrame): DataFrame = {
     val w = Window.partitionBy("id").orderBy("s", "e")
     val merged = iv
       .withColumn("maxe", max("e").over(
@@ -606,6 +630,153 @@ object Corpus {
         coalesce(col("ct"), col("text")).as("clean_text"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** ONE fused hash pass emitting BOTH the CDC chunk census AND the
+    * long-repeat anchors — the rolling hash is computed once per
+    * position and consulted against the two divisors (the chunker's
+    * coarse one, the anchor generator's fine one), where running
+    * [[chunkWalk]] + [[anchorWalk]] separately hashes every position
+    * twice. Spec-pinned equal to both walks (the one-definition
+    * discipline, enforced by assertion since the hot loop cannot be
+    * literally shared without paying the double hash this fusion
+    * exists to remove). Emits `(kind, a, b, payload)`: kind 0 = chunk
+    * `(cidx, n_cp, chunk)`, kind 1 = anchor `(s0, 0, seed)`. */
+  private[graft] def censusWalk(text: String, w: Int, chunkDiv: Int,
+      anchorDiv: Int, g: Array[Long], seedLen: Int)
+      : Iterator[(Int, Int, Long, String)] = {
+    if (text == null || text.isEmpty) Iterator.empty
+    else {
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      val bounds = Vector.newBuilder[Int]
+      val anchors = Vector.newBuilder[(Int, Int, Long, String)]
+      var i = w
+      while (i <= n) {
+        var h = 0L
+        var j = 0
+        while (j < w) { h += cps(i - 1 - j) * g(j); j += 1 }
+        val hm = h % CdcMod
+        if (hm % chunkDiv == 0L) bounds += i
+        if (hm % anchorDiv == 0L) {
+          val s0 = i - w + 1
+          if (s0 + seedLen - 1 <= n)
+            anchors += ((1, s0, 0L, new String(cps, s0 - 1, seedLen)))
+        }
+        i += 1
+      }
+      val bs = (bounds.result() :+ n).distinct
+      var prev = 0
+      val chunks = bs.zipWithIndex.map { case (b, idx) =>
+        val out = (0, idx + 1, (b - prev).toLong,
+          new String(cps, prev, b - prev))
+        prev = b
+        out
+      }
+      chunks.iterator ++ anchors.result().iterator
+    }
+  }
+
+  /** UNIFIED exact-substring scrub — the three removers composed as ONE
+    * pass hierarchy instead of three serial full-corpus rewrites:
+    *
+    *  1. ONE fused text walk ([[censusWalk]]) emits the CDC chunk
+    *     census AND the long-repeat anchors (each standalone operator
+    *     re-hashes every position; serial composition also re-WRITES
+    *     the full corpus text between stages).
+    *  2. The chunk census marks cross-document duplicated chunks
+    *     ([[cdcChunks]]/cdcScrub semantics: a chunk seen in >= 2
+    *     distinct docs is boilerplate — removed everywhere).
+    *  3. Anchors whose seed lies INSIDE a to-be-removed chunk span of
+    *     their own document are cut BEFORE the seed shuffle — that text
+    *     is already leaving, so extending from it pays a shuffle +
+    *     extension scan to find spans the island-union mostly subsumes.
+    *     This is the hierarchy's cost lever ("extend only where the
+    *     census is cold"); the documented trade is flank recall around
+    *     hot boilerplate, bounded by the chunk size.
+    *  4. Surviving anchors run the [[longRepeats]] candidate/extension
+    *     pipeline (later copy loses — `id_b` spans).
+    *  5. Chunk spans ∪ repeat spans island-merge and cut in ONE
+    *     reassembly ([[cutSpans]]) — detect-everything-then-remove-once,
+    *     the semantics a real pipeline wants (serial scrubs shift
+    *     positions between stages and rewrite text each time).
+    *  6. The token-domain 8-gram cut ([[maskRepeatedSpans]]) runs on
+    *     the codepoint-clean text — its tokenization normalizes anyway,
+    *     so it composes as the natural LAST stage.
+    *
+    * Output: `(doc_id, clean_text, n_cp_spans, n_cp_removed, n_tokens,
+    * n_tok_removed)` — clean_text is the final token-normalized text,
+    * the counts split the codepoint-domain and token-domain removals.
+    * `md5Mode` routes every hash key through the md5 twins so the
+    * DuckDB oracle replays all six stages. */
+  def scrubComposite(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 40, window: Int = 8, chunkDiv: Int = 32,
+      anchorDiv: Int = 16, seedLen: Int = 16, maxBucket: Int = 8,
+      spanN: Int = 8, spanMinDocs: Int = 2,
+      md5Mode: Boolean = false): DataFrame = {
+    require(minLen >= seedLen && seedLen >= window, "bad geometry")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = window
+    val cd = chunkDiv
+    val ad = anchorDiv
+    val sl = seedLen
+    val g = cdcWeights(window).toArray
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+      .filter(col("id").isNotNull)
+    // the ONE walk, staged: chunks and anchors both read it — unstaged,
+    // each consumer would re-run the fused pass (losing the fusion)
+    val walked = Dedup.stage(base.as[(Long, String)]
+      .flatMap { case (id, text) =>
+        censusWalk(text, w, cd, ad, g, sl).map { case (k, a, b, p) =>
+          (id, k, a, b, p)
+        }
+      }
+      .toDF("id", "kind", "a", "b", "payload"))
+    val key =
+      if (md5Mode) graft.functions.Md5Hashes.md5Hash64(col("payload"))
+      else xxhash64(col("payload"))
+    val wext = Window.partitionBy("id").orderBy("cidx")
+    val chunks = walked.filter(col("kind") === 0)
+      .select(col("id"), col("a").as("cidx"), col("b").as("n_cp"),
+        key.as("ck"))
+      .withColumn("e", sum("n_cp").over(wext) + 1L)
+      .withColumn("s", col("e") - col("n_cp"))
+    val dup = chunks.groupBy("ck")
+      .agg(count_distinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= 2).select("ck")
+    val chunkSpans = chunks.join(dup, Seq("ck")).select("id", "s", "e")
+    val anchors = walked.filter(col("kind") === 1)
+      .select(col("id"), col("a").as("s0"), col("payload").as("seed"))
+    // the hot-region cut: seed fully inside a removed chunk span. The
+    // span set is duplicated-chunk-only (boilerplate mass, small next
+    // to the corpus) — BROADCAST it so the cut costs zero anchor
+    // shuffles; the anchors' only shuffle stays the seed-bucket one
+    val hot = chunkSpans.select(col("id").as("__hid"),
+      col("s").as("__hs"), col("e").as("__he"))
+    val survivors = anchors.join(broadcast(hot),
+      anchors("id") === hot("__hid") &&
+        col("s0") >= col("__hs") && (col("s0") + sl) <= col("__he"),
+      "left_anti")
+    val reps = repeatSpansFromAnchors(survivors, base, minLen, sl,
+      maxBucket, md5Mode)
+    val repSpans = reps.select(col("id_b").as("id"),
+      col("start_b").as("s"), (col("start_b") + col("rep_len")).as("e"))
+    // staged: TWO consumers (the token-domain mask and the final count
+    // join) — unstaged, the entire codepoint pipeline (walk, census,
+    // candidates, extension, island cut) re-executes per consumer
+    val cut1 = Dedup.stage(cutSpans(base, chunkSpans.unionByName(repSpans)))
+    val masked = maskRepeatedSpans(
+      cut1.select(col("doc_id"), col("clean_text")),
+      "doc_id", "clean_text", spanN, spanMinDocs, xx = !md5Mode)
+    cut1.select(col("doc_id"), col("n_spans").as("n_cp_spans"),
+        col("n_removed").as("n_cp_removed"))
+      .join(masked.select(col("doc_id"), col("clean_text"),
+        col("n_tokens"), col("n_removed").as("n_tok_removed")),
+        Seq("doc_id"))
+      .select("doc_id", "clean_text", "n_cp_spans", "n_cp_removed",
+        "n_tokens", "n_tok_removed")
   }
 
   /** EXACT maximal cross-document repeats of length >= `minLen` between

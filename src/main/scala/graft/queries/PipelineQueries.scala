@@ -590,6 +590,26 @@ object PipelineQueries {
       },
       Some(repeatRecallOracleSql)),
 
+    // UNIFIED exact-substring scrub (the r18-verdict composite): the
+    // three removers — CDC chunk dedup, arbitrary-alignment long
+    // repeats, token-domain 8-gram spans — as ONE pass hierarchy
+    // instead of three serial full-corpus rewrites. One fused hash walk
+    // feeds BOTH the chunk census and the anchors (censusWalk — each
+    // standalone operator re-hashes every position); anchors whose seed
+    // sits inside a to-be-removed duplicated chunk are cut BEFORE the
+    // seed shuffle (extend only where the census is cold); chunk spans
+    // and repeat spans island-merge into ONE reassembly; the 8-gram
+    // token cut runs last on the codepoint-clean text. md5 twin keys
+    // throughout, so the oracle replays all six stages end to end.
+    QueryDef("q_scrub_composite",
+      (s, dir) => {
+        graft.operators.Corpus.scrubComposite(
+            cdcOracleBoundGuard(Tables.documents(s, dir)),
+            "doc_id", "text", md5Mode = true)
+          .orderBy("doc_id")
+      },
+      Some(scrubCompositeOracleSql)),
+
     // robots.txt COMPLIANCE FILTER (RFC 9309) — the crawl-side gate
     // before any URL is fetched or kept: per-host robots bodies are
     // parsed relationally (line explode -> comment strip -> field
@@ -3720,11 +3740,23 @@ object PipelineQueries {
       s"hs AS (SELECT doc_id, i, ($terms) % ${Corpus.CdcMod} AS h FROM cps), " +
       "anc AS (SELECT doc_id, CAST(i - 7 AS INT) AS s0 FROM hs WHERE i >= 8 AND h % 16 = 0), " +
       "anc2 AS MATERIALIZED (SELECT a.doc_id, a.s0, substring(p.text, a.s0, 16) AS seed FROM anc a JOIN pd p USING (doc_id) WHERE a.s0 + 15 <= length(p.text)), " +
-      "rkd AS MATERIALIZED (SELECT doc_id, s0, seed, row_number() OVER (PARTITION BY seed ORDER BY doc_id, s0) AS rk FROM anc2), " +
+      repeatExtChainSql()
+  }
+
+  /** the rank/candidate/extension half of [[longRepeatChainSql]] over
+    * an EXPLICIT anchor CTE (default `anc2`) and text source (default
+    * `pd`) — split out so q_scrub_composite can run the identical
+    * machinery over its hot-cut anchor set and the raw documents. A
+    * preceding `cps(doc_id, i, cp)` CTE over the same text source is
+    * required (the extension scans read it). */
+  private def repeatExtChainSql(anchorSrc: String = "anc2",
+      textSrc: String = "pd"): String = {
+    val r = CdcOracleMaxCp
+    s"rkd AS MATERIALIZED (SELECT doc_id, s0, seed, row_number() OVER (PARTITION BY seed ORDER BY doc_id, s0) AS rk FROM $anchorSrc), " +
       "cand AS MATERIALIZED (SELECT row_number() OVER (ORDER BY f.doc_id, f.s0, r.doc_id, r.s0) AS cid, f.doc_id AS id_a, f.s0 AS sa, r.doc_id AS id_b, r.s0 AS sb FROM rkd f JOIN rkd r ON f.seed = r.seed AND f.rk = 1 AND r.rk BETWEEN 2 AND 9 AND f.doc_id <> r.doc_id), " +
       s"lm AS MATERIALIZED (SELECT c.cid, MIN(e) AS ml FROM cand c CROSS JOIN range(1, $r) q(e) LEFT JOIN cps a ON a.doc_id = c.id_a AND a.i = c.sa - CAST(e AS INT) LEFT JOIN cps b ON b.doc_id = c.id_b AND b.i = c.sb - CAST(e AS INT) WHERE a.cp IS DISTINCT FROM b.cp GROUP BY c.cid), " +
       s"rm AS MATERIALIZED (SELECT c.cid, MIN(e) AS mr FROM cand c CROSS JOIN range(1, $r) q(e) LEFT JOIN cps a ON a.doc_id = c.id_a AND a.i = c.sa + 15 + CAST(e AS INT) LEFT JOIN cps b ON b.doc_id = c.id_b AND b.i = c.sb + 15 + CAST(e AS INT) WHERE a.cp IS DISTINCT FROM b.cp GROUP BY c.cid), " +
-      "lens AS (SELECT doc_id, length(text) AS len FROM pd), " +
+      s"lens AS (SELECT doc_id, length(text) AS len FROM $textSrc), " +
       "ext AS (SELECT c.id_a, c.id_b, c.sa, c.sb, COALESCE(l.ml - 1, LEAST(c.sa, c.sb) - 1) AS el, COALESCE(r2.mr - 1, LEAST(la.len - c.sa, lb.len - c.sb) - 15) AS er FROM cand c LEFT JOIN lm l USING (cid) LEFT JOIN rm r2 USING (cid) JOIN lens la ON la.doc_id = c.id_a JOIN lens lb ON lb.doc_id = c.id_b)"
   }
 
@@ -3762,6 +3794,41 @@ object PipelineQueries {
       "agg AS (SELECT t.lrep, COUNT(*) AS n_pairs, SUM(t.n_truth_p) AS n_truth, SUM(t.n_match_p) AS n_matched, SUM(h.hit) AS n_detected FROM tagg t JOIN hagg h ON h.lrep = t.lrep AND h.g = t.g GROUP BY 1) " +
       s"SELECT lrep, CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_truth AS BIGINT) AS n_truth, CAST(n_matched AS BIGINT) AS n_matched, (n_truth = n_pairs AND n_matched = n_pairs) AS truth_exact, CAST(n_detected AS BIGINT) AS n_detected, floor((CAST(n_detected AS DOUBLE) / CAST(n_pairs AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall_r, $boundCase AS bound_r, (CAST(n_detected AS DOUBLE) / CAST(n_pairs AS DOUBLE)) >= ($boundCase) AS recall_ok FROM agg ORDER BY lrep"
   }
+
+  /** q_scrub_composite replay: ALL SIX stages — the shared chunk chain
+    * (cps/hs reused for BOTH the chunk census and the anchors, exactly
+    * the fusion the engine's censusWalk performs), chunk extents +
+    * cross-doc dup census, the hot-region anchor cut (ANTI JOIN against
+    * the chunk spans), the shared candidate/extension machinery
+    * ([[repeatExtChainSql]] over `anc3`/`documents`), the union-span
+    * island cut, and the token-domain 8-gram scrub over the
+    * intermediate text (the q_span_scrub chain re-rooted on `cut1`). */
+  private def scrubCompositeOracleSql: String =
+    s"WITH $cdcChunkCtesSql, " +
+      "chext AS MATERIALIZED (SELECT doc_id, cidx, chunk, n_cp, SUM(n_cp) OVER (PARTITION BY doc_id ORDER BY cidx) + 1 AS e FROM chunks), " +
+      "cdup AS (SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2), " +
+      "cspan AS MATERIALIZED (SELECT c.doc_id AS id, c.e - c.n_cp AS s, c.e AS e FROM chext c JOIN cdup USING (chunk)), " +
+      "anc AS (SELECT doc_id, CAST(i - 7 AS INT) AS s0 FROM hs WHERE i >= 8 AND h % 16 = 0), " +
+      "anc2 AS MATERIALIZED (SELECT a.doc_id, a.s0, substring(p.text, a.s0, 16) AS seed FROM anc a JOIN documents p USING (doc_id) WHERE a.s0 + 15 <= length(p.text)), " +
+      "anc3 AS MATERIALIZED (SELECT a.doc_id, a.s0, a.seed FROM anc2 a ANTI JOIN cspan c ON c.id = a.doc_id AND a.s0 >= c.s AND a.s0 + 16 <= c.e), " +
+      repeatExtChainSql("anc3", "documents") + ", " +
+      "rsp AS MATERIALIZED (SELECT DISTINCT id_b AS id, CAST(sb - el AS BIGINT) AS s, CAST(sb + 16 + er AS BIGINT) AS e FROM ext WHERE 16 + el + er >= 40), " +
+      "allsp AS (SELECT id, s, e FROM cspan UNION ALL SELECT id, s, e FROM rsp), " +
+      "mx AS (SELECT *, MAX(e) OVER (PARTITION BY id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM allsp), " +
+      "isl AS (SELECT *, SUM(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END) OVER (PARTITION BY id ORDER BY s, e) AS island FROM mx), " +
+      "mrg AS MATERIALIZED (SELECT id, island, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY id, island), " +
+      "pieces AS (SELECT m.id, m.island, substring(p.text, CAST(m.pe AS INT), CAST(m.s - m.pe AS INT)) AS piece FROM (SELECT *, COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s), 1) AS pe FROM mrg) m JOIN documents p ON p.doc_id = m.id), " +
+      "tails AS (SELECT m.id, MAX(m.e) AS me, SUM(m.e - m.s) AS n_removed, COUNT(*) AS n_spans FROM mrg m GROUP BY m.id), " +
+      "body AS (SELECT id, string_agg(piece, '' ORDER BY island) AS bodytxt FROM pieces GROUP BY id), " +
+      "scr AS (SELECT b.id, b.bodytxt || substring(p.text, CAST(t.me AS INT)) AS ct, t.n_spans, t.n_removed FROM body b JOIN tails t USING (id) JOIN documents p ON p.doc_id = b.id), " +
+      "cut1 AS MATERIALIZED (SELECT p.doc_id, COALESCE(s.ct, p.text) AS text, CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_cp_spans, CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_cp_removed FROM documents p LEFT JOIN scr s ON s.id = p.doc_id), " +
+      raw"""stoks AS MATERIALIZED (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM cut1), """ +
+      "sg AS (SELECT doc_id, i AS start, array_to_string(t[i:i+7], ' ') AS span FROM stoks, UNNEST(generate_series(1, len(t) - 7)) AS u(i) WHERE len(t) >= 8), " +
+      "srep AS (SELECT span FROM sg GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2), " +
+      "scov AS (SELECT DISTINCT doc_id, start + o AS pos FROM sg JOIN srep USING (span), UNNEST(generate_series(0, 7)) AS v(o)), " +
+      "spos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM stoks), " +
+      "skept AS (SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text, COUNT(*) AS nk FROM spos p ANTI JOIN scov c ON p.doc_id = c.doc_id AND p.pos = c.pos GROUP BY p.doc_id) " +
+      "SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text, c1.n_cp_spans, c1.n_cp_removed, CAST(len(t.t) AS BIGINT) AS n_tokens, CAST(len(t.t) - COALESCE(k.nk, 0) AS BIGINT) AS n_tok_removed FROM stoks t JOIN cut1 c1 USING (doc_id) LEFT JOIN skept k ON t.doc_id = k.doc_id ORDER BY t.doc_id"
 
   /** q_doc_cdc replay: codepoints via constant-bound range + substring/
     * unicode (both engines are codepoint-based — WidthFold/CJK rows

@@ -60,6 +60,70 @@ class LongRepeatSpec extends AnyFunSuite {
     }
   }
 
+  test("censusWalk == chunkWalk + anchorWalk on corpus text and hostile strings") {
+    // the fused walk exists to hash each position ONCE for both
+    // consumers; this pin is the one-definition discipline for it
+    val g = Corpus.cdcWeights(8).toArray
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect().map(_.getString(0)).take(200)
+    val hostile = Seq(null, "", "x", "ab", "一二三四五六七八九十" * 5,
+      "a" * 7, "a" * 8, "a" * 40, "😀" * 20, " \t\n" * 10)
+    for (t <- real ++ hostile) {
+      val fused = Corpus.censusWalk(t, 8, 32, 16, g, 16).toVector
+      val chunks = fused.collect { case (0, a, b, p) => (a, p, b) }
+      val anchors = fused.collect { case (1, a, _, p) => (a, p) }
+      assert(chunks === Corpus.chunkWalk(t, 8, 32, g).toVector,
+        s"chunk drift on ${String.valueOf(t).take(40)}")
+      assert(anchors === Corpus.anchorWalk(t, 8, 16, g, 16).toVector,
+        s"anchor drift on ${String.valueOf(t).take(40)}")
+    }
+  }
+
+  test("scrubComposite: chunk census, arbitrary-alignment repeats and token spans cut with chained-serial semantics") {
+    // planted: an exact-dup pair (chunk census — removed EVERYWHERE),
+    // an arbitrary-alignment 60-char repeat (anchor path — LATER copy
+    // loses), a LONG shared phrase (>= minLen: the repeat path cuts the
+    // later copy FIRST, dropping the 8-gram below minDocs, so the first
+    // arrival KEEPS it — exactly what the chained serial cdc -> repeat
+    // -> span pipeline produces), and a SHORT 8-token boilerplate
+    // (< minLen codepoints: only the token mask can cut it — from ALL
+    // carriers)
+    val g = Corpus.cdcWeights(8).toArray
+    val seg = (0 until 20).iterator
+      .map(i => filler(s"cshare$i", 60))
+      .find(t => Corpus.anchorWalk(t, 8, 16, g, 16).nonEmpty).get
+    val long = "all rights reserved license header boilerplate text line"
+    val short = "a1 b2 c3 d4 e5 f6 g7 h8"
+    val docs = Seq(
+      (1L, filler("c1", 120) + " " + long + " " + filler("c1b", 80)),
+      (2L, filler("c2", 50) + seg + filler("c2b", 90) + " " + long),
+      (3L, filler("c3", 30) + seg + filler("c3b", 60) + " " + short +
+        " " + filler("c3c", 40)),
+      (4L, filler("c4", 200)),
+      (5L, filler("c4", 200)), // exact dup of 4
+      (6L, filler("c6", 70) + " " + short + " " + filler("c6b", 90)))
+    val out = Corpus.scrubComposite(docs.toDF("doc_id", "text"),
+      "doc_id", "text", md5Mode = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3), r.getLong(5))).toMap
+    // the exact-dup pair loses its duplicated chunks (both copies —
+    // the census removes cross-doc duplicated chunks everywhere)
+    assert(out(4L)._2 > 0 && out(5L)._2 > 0, s"dup pair kept: $out")
+    // later copies of >= minLen shared runs lose them (repeat path
+    // and/or census — whichever boundaries fall inside, the span union
+    // covers the run on the later copy)
+    assert(!out(3L)._1.contains(seg), "repeat content survived in the later copy")
+    assert(!out(2L)._1.contains("boilerplate"), "later copy kept the long phrase")
+    // the short 8-gram is below minLen AND chunk-free: only the token
+    // mask can fire — and it removes from EVERY carrier, with zero
+    // codepoint-domain spans on the carrier that shares nothing else
+    assert(out(6L)._2 === 0L, s"doc 6 should see no codepoint cut: $out")
+    assert(!out(3L)._1.contains("a1") && !out(6L)._1.contains("a1"),
+      "short boilerplate survived the token mask")
+    assert(out(3L)._3 >= 8 && out(6L)._3 >= 8)
+  }
+
   test("exactRepeats: exhaustive ground truth — every repeat >= minLen, exact spans, nothing else") {
     import org.apache.spark.sql.DataFrame
     def exact(docs: Seq[(Long, String)], pairs: Seq[(Long, Long)],

@@ -417,6 +417,27 @@ object PipelineQueries {
       },
       Some(streamCdcOracleSql)),
 
+    // STREAMING long-repeat candidate census (the r18-verdict item 5):
+    // the anchor walk as a second stateful consumer of the shared
+    // rolling-hash machinery — ingest-time candidate pairs for the
+    // periodic batch extension job, the StreamCdc posture end to end
+    // (shared walk definition, 8-byte seed-hash state key, constant-
+    // size per-key state, star cap = the batch bucket cap, watermark
+    // reclamation). Batch execution is declaratively replayable: the
+    // oracle runs the shared anchor chain + one arrival-rank window.
+    QueryDef("q_stream_repeats",
+      (s, dir) => {
+        val docs = cdcOracleBoundGuard(Tables.documents(s, dir))
+          .withColumn("ts",
+            timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+        graft.streaming.StreamRepeats
+          .repeatCandidates(docs, "doc_id", "ts", "text", md5Mode = true)
+          .select(col("doc_id"), col("s0"), col("first_doc"),
+            col("first_s0"), col("rk"))
+          .orderBy("doc_id", "s0", "first_doc")
+      },
+      Some(streamRepeatsOracleSql)),
+
     // LONG-REPEAT detection at ARBITRARY alignment (the Lee-et-al
     // suffix-array cut's bucketed approximation — the r17-verdict item
     // closing the exact-substring tail): content-defined anchors
@@ -3736,12 +3757,40 @@ object PipelineQueries {
       else s"COALESCE(LAG(cp, $j) OVER (PARTITION BY doc_id ORDER BY i), CAST(0 AS BIGINT)) * ${g(j)}"
     }.mkString(" + ")
     val r = CdcOracleMaxCp
+    anchorCtesSql + ", " + repeatExtChainSql()
+  }
+
+  /** the codepoint/hash/anchor/seed chain over a preceding
+    * `pd(doc_id, text, ...)` CTE, ending in `anc2(doc_id, s0, seed)` —
+    * the front half of [[longRepeatChainSql]], shared with
+    * q_stream_repeats' arrival-rank replay. */
+  private def anchorCtesSql: String = {
+    import graft.operators.Corpus
+    val g = Corpus.cdcWeights(8)
+    val terms = (0 until 8).map { j =>
+      if (j == 0) s"cp * ${g(j)}"
+      else s"COALESCE(LAG(cp, $j) OVER (PARTITION BY doc_id ORDER BY i), CAST(0 AS BIGINT)) * ${g(j)}"
+    }.mkString(" + ")
+    val r = CdcOracleMaxCp
     s"cps AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i, CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS cp FROM pd CROSS JOIN range(1, $r) r(i) WHERE i <= length(text)), " +
       s"hs AS (SELECT doc_id, i, ($terms) % ${Corpus.CdcMod} AS h FROM cps), " +
       "anc AS (SELECT doc_id, CAST(i - 7 AS INT) AS s0 FROM hs WHERE i >= 8 AND h % 16 = 0), " +
-      "anc2 AS MATERIALIZED (SELECT a.doc_id, a.s0, substring(p.text, a.s0, 16) AS seed FROM anc a JOIN pd p USING (doc_id) WHERE a.s0 + 15 <= length(p.text)), " +
-      repeatExtChainSql()
+      "anc2 AS MATERIALIZED (SELECT a.doc_id, a.s0, substring(p.text, a.s0, 16) AS seed FROM anc a JOIN pd p USING (doc_id) WHERE a.s0 + 15 <= length(p.text))"
   }
+
+  /** q_stream_repeats replay: the shared anchor chain + the arrival-
+    * rank window (ts strictly increasing in doc_id and anchors arrive
+    * in s0 order, so batch arrival order == `(doc_id, s0)`): rank > 1
+    * is a candidate against the seed's first arrival, capped at the
+    * batch bucket's 8 later-arrivals. The engine keys state on the
+    * seed's md5-64; the oracle ranks per seed CONTENT — the md5 twins'
+    * accepted philosophy (a collision can only fabricate a CANDIDATE;
+    * the batch extension step re-verifies text equality). */
+  private def streamRepeatsOracleSql: String =
+    "WITH pd AS MATERIALIZED (SELECT doc_id, text FROM documents), " +
+      anchorCtesSql + ", " +
+      "arr AS (SELECT doc_id, s0, row_number() OVER (PARTITION BY seed ORDER BY doc_id, s0) AS rk, first_value(doc_id) OVER (PARTITION BY seed ORDER BY doc_id, s0) AS first_doc, first_value(s0) OVER (PARTITION BY seed ORDER BY doc_id, s0) AS first_s0 FROM anc2) " +
+      "SELECT doc_id, CAST(s0 AS INT) AS s0, first_doc, CAST(first_s0 AS INT) AS first_s0, CAST(rk AS BIGINT) AS rk FROM arr WHERE rk > 1 AND rk <= 9 ORDER BY doc_id, s0, first_doc"
 
   /** the rank/candidate/extension half of [[longRepeatChainSql]] over
     * an EXPLICIT anchor CTE (default `anc2`) and text source (default

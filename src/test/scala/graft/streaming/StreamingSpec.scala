@@ -183,6 +183,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === got, "streaming run diverged from batch run")
   }
 
+  test("streaming repeat census: == batch run, == driver reference, caps at the batch bucket") {
+    import org.apache.spark.sql.functions._
+    val docs0 = Tables.documents(spark, dir)
+      .withColumn("ts", timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+    // exact-duplicate docs arriving later: every anchor of a planted doc
+    // must census against a PRE-existing first arrival
+    val planted = docs0.select((col("doc_id") + 100000L).as("doc_id"),
+      timestamp_micros((col("doc_id") + 200000L) * 1000000L).as("ts"),
+      col("text"))
+    val docs = docs0.select("doc_id", "ts", "text").union(planted)
+    // explicit horizon covering the 190 000 s original->twin gap (the
+    // StreamCdc spec lesson: the default 2 h horizon would expire the
+    // originals' state under any multi-trigger replay)
+    val horizonMs = 200000L * 1000L
+
+    val batch = StreamRepeats.repeatCandidates(docs, "doc_id", "ts",
+      "text", horizonMs = horizonMs)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getInt(4),
+        r.getLong(5)))
+      .toSet
+
+    // independent driver reference: the shared anchor walk + arrival
+    // ranks with the star cap
+    val g = graft.operators.Corpus.cdcWeights(8).toArray
+    val rows = docs.select("doc_id", "ts", "text").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+    val anchorRows = for {
+      (id, ts, text) <- rows.toSeq
+      (s0, seed) <- graft.operators.Corpus.anchorWalk(text, 8, 16, g, 16)
+        .toSeq
+    } yield (seed, ts, id, s0)
+    val want = scala.collection.mutable.Set.empty[(Long, Int, Long, Int, Long)]
+    anchorRows.groupBy(_._1).foreach { case (_, ms) =>
+      val sorted = ms.sortBy { case (_, ts, id, s0) => (ts, id, s0) }
+      val (_, _, fid, fs0) = sorted.head
+      sorted.zipWithIndex.drop(1).foreach { case ((_, _, id, s0), rk) =>
+        if (rk <= 8) want += ((id, s0, fid, fs0, rk.toLong + 1))
+      }
+    }
+    assert(got === want.toSet,
+      s"batch run diverged from reference: extra=${(got -- want).take(3)}, " +
+        s"missing=${(want.toSet -- got).take(3)}")
+
+    // every planted doc's anchors census against pre-existing originals
+    val plantedHits = got.filter(_._1 >= 100000L)
+    assert(plantedHits.nonEmpty && plantedHits.forall(_._3 < 100000L),
+      "a planted anchor censused against a non-original first arrival")
+
+    // streaming run over the same rows emits the same candidates
+    val tmp = SparkTestSession.tmpPath("stream_rep_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema).parquet(tmp)
+    val streamed = EventStreams.runToBatch(
+      StreamRepeats.repeatCandidates(stream, "doc_id", "ts", "text",
+        horizonMs = horizonMs),
+      "stream_rep_out", outputMode = "append")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getInt(4),
+        r.getLong(5)))
+      .toSet
+    assert(streamed === got, "streaming run diverged from batch run")
+  }
+
   test("streaming top-k: batch == driver Misra-Gries, guarantee holds, 2-batch streaming == batch") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, dir)

@@ -116,6 +116,20 @@ object StreamStateScale {
         s.select(col("lang"), col("ts"),
           explode(split(lower(col("text")), "\\s+")).as("term")),
         "lang", "ts", "term", k = 8, horizonMs = horizonMs))
+    // streaming CDC dedup at a HORIZON SWEEP (the r18-verdict ask: the
+    // state-size-vs-horizon curve). The claim: peak state rows track
+    // `horizon x chunk arrival rate` — at 1 doc/sec event time and
+    // ~6 chunks/doc, peak ~ horizon_s x 6 — flat in CORPUS size (a
+    // bigger corpus runs longer at the same plateau)
+    for (hs <- Seq(150L, 300L, 600L, 1200L))
+      run(s"stream_cdc_h${hs}s", s =>
+        graft.streaming.StreamCdc.dupChunkHits(s, "doc_id", "ts", "text",
+          horizonMs = hs * 1000L))
+    // streaming long-repeat candidate census (q_stream_repeats's
+    // operator): state = one constant-size record per live seed hash
+    run("stream_repeats", s =>
+      graft.streaming.StreamRepeats.repeatCandidates(s, "doc_id", "ts",
+        "text", horizonMs = horizonMs))
 
     import scala.jdk.CollectionConverters._
     val byOp = rows.asScala.toVector.groupBy(_._1)

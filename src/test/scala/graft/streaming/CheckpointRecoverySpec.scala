@@ -217,6 +217,79 @@ class CheckpointRecoverySpec extends AnyFunSuite {
       StreamCdc.dupChunkHits(staticDocs, "doc_id", "ts", "text").count())
   }
 
+  test("streaming repeat census survives a mid-stream stop + checkpoint " +
+      "restart: exactly-once committed candidates equal to the batch " +
+      "run, seed state restored across the restart") {
+    import spark.implicits._
+    val srcDir = SparkTestSession.tmpPath("ckpt_rep_src")
+    val ckpt = SparkTestSession.tmpPath("ckpt_rep_ckpt")
+    val outDir = SparkTestSession.tmpPath("ckpt_rep_out")
+    Seq(srcDir, ckpt, outDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    Files.createDirectories(Paths.get(srcDir))
+    val t0 = 1700000000L
+    // the CDC recovery corpus: pair (3,45) straddles the stop — doc 45's
+    // candidates can ONLY name doc 3 if the seed state came back out of
+    // the checkpoint
+    def textOf(id: Long): String = id match {
+      case 7L => textOf(5L)
+      case 45L => textOf(3L)
+      case 52L => textOf(41L)
+      case _ => s"document $id body with enough distinct tokens " +
+        s"alpha_$id beta_$id gamma_$id delta_$id epsilon_$id"
+    }
+    def write(name: String, ids: Range): Unit = {
+      ids.map(i => (i.toLong,
+          new java.sql.Timestamp((t0 + i) * 1000L), textOf(i.toLong)))
+        .toDF("doc_id", "ts", "text")
+        .repartition(1).write.parquet(s"$srcDir/$name")
+      Thread.sleep(1100)
+    }
+    val schema = Seq((0L, new java.sql.Timestamp(0L), "t"))
+      .toDF("doc_id", "ts", "text").schema
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+      StreamRepeats.repeatCandidates(stream, "doc_id", "ts", "text")
+        .select("doc_id", "s0", "first_doc", "first_s0", "rk")
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    }
+    write("b0", 0 until 10); write("b1", 10 until 20); write("b2", 20 until 30)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    write("b3", 30 until 40); write("b4", 40 until 50); write("b5", 50 until 60)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4))
+    val got = spark.read.parquet(outDir).collect().map(key).toSet
+    val staticDocs = (0L until 60L)
+      .map(i => (i, new java.sql.Timestamp((t0 + i) * 1000L), textOf(i)))
+      .toDF("doc_id", "ts", "text")
+    val want = StreamRepeats
+      .repeatCandidates(staticDocs, "doc_id", "ts", "text")
+      .select("doc_id", "s0", "first_doc", "first_s0", "rk")
+      .collect().map(key).toSet
+    assert(got == want,
+      s"restart diverged from the batch run: extra=${(got -- want).take(3)}, " +
+        s"missing=${(want -- got).take(3)}")
+    // state restoration: doc 45's candidates name doc 3, which run 2
+    // never saw — only restored seed state can know it. (Not ALL of
+    // 45's anchors name 3: seeds from the shared sentence template
+    // first-arrived in earlier docs — so the evidence is non-emptiness,
+    // with exactness carried by the got == want set equality above.)
+    assert(got.count(h => h._1 == 45L && h._3 == 3L) > 0,
+      "cross-restart seed state was not restored from the checkpoint")
+    // exactly-once: committed multiset equals the batch run's rows
+    assert(spark.read.parquet(outDir).count() ===
+      StreamRepeats.repeatCandidates(staticDocs, "doc_id", "ts", "text")
+        .count())
+  }
+
   test("the FULL curation composite (gate + dup state + stream-stream " +
       "outer join) survives a mid-stream stop + checkpoint restart and " +
       "equals curate's batch frame") {

@@ -126,6 +126,40 @@ class LangIdTrainedSpec extends AnyFunSuite {
     }
   }
 
+  test("MulticlassArgmax: interpreted eval == codegen, and the degenerate-input contract") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val m = LangIdTrained.MulticlassModel(
+      weights = Seq(Seq(1.0, -2.0), Seq(0.5, 0.5), Seq(-1.0, 3.0)),
+      biases = Seq(0.25, 0.0, -0.5), labels = Seq("aa", "bb", "cc"))
+    val rows = Seq(
+      Row(1L, Seq(1.0, 0.0)), // aa wins (1.25 vs 0.5 vs -1.5)
+      Row(2L, Seq(0.0, 1.0)), // cc wins (-1.75 vs 0.5 vs 2.5)
+      Row(3L, null), // null vector -> null
+      Row(4L, Seq(1.0, 2.0, 3.0)), // wrong width -> null
+      Row(5L, Seq(Double.NaN, 1.0))) // NaN margin -> null
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("feats", ArrayType(DoubleType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    def collect(codegen: Boolean): Seq[(Long, Any, Any)] = {
+      val mode = if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN"
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try LangIdTrained.score(df, "feats", m)
+        .select("id", "lang_pred", "margin_best")
+        .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSeq
+        .sortBy(_._1)
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val gen = collect(codegen = true)
+    val interp = collect(codegen = false)
+    assert(gen === interp, "interpreted eval diverged from codegen")
+    val byId = gen.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 === "aa" && byId(2L)._2 === "cc")
+    assert(byId(3L)._2 == null && byId(4L)._2 == null &&
+      byId(5L)._2 == null, "degenerate inputs must yield NULL, never a label")
+  }
+
   test("pinned model == retrained model (literal drift fails the build)") {
     // the committed LangIdPinned literals must equal a fresh run of the
     // exact training procedure they document — Double.toString literals

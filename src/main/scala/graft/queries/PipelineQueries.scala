@@ -631,6 +631,24 @@ object PipelineQueries {
       },
       Some(scrubCompositeOracleSql)),
 
+    // the PRODUCTION key posture of the unified scrub: every hash key
+    // (chunk census, anchor buckets, token spans) on xxhash64 instead
+    // of the md5 twins — the narrow-shuffle keys a 100 TB run uses
+    // (the q_span_scrub_xx / q_dedup_minhash_xx convention). The oracle
+    // is CONTENT-keyed throughout, so both modes share it verbatim:
+    // hash keys only group/rank, and two keys merge or re-rank only on
+    // a 64-bit collision — absent on any real corpus, the md5 twins'
+    // accepted philosophy. The production mode therefore gets a
+    // hash-exact oracle, not a certificate.
+    QueryDef("q_scrub_composite_xx",
+      (s, dir) => {
+        graft.operators.Corpus.scrubComposite(
+            cdcOracleBoundGuard(Tables.documents(s, dir)),
+            "doc_id", "text", md5Mode = false)
+          .orderBy("doc_id")
+      },
+      Some(scrubCompositeOracleSql)),
+
     // robots.txt COMPLIANCE FILTER (RFC 9309) — the crawl-side gate
     // before any URL is fetched or kept: per-host robots bodies are
     // parsed relationally (line explode -> comment strip -> field
@@ -2867,7 +2885,7 @@ object PipelineQueries {
         maxSample = 2000))),
 
     // TRAINED multi-class language ID — the fastText-lid shape replacing
-    // marker-count heuristics: 16 languages, char-trigram md5 hashed
+    // marker-count heuristics: 32 languages, char-trigram md5 hashed
     // features over a boundary-marked char stream, 16 one-vs-rest linear
     // classifiers trained by deterministic full-batch GD (rational
     // sigmoid — no exp(), single-rounded IEEE ops only), whole-corpus
@@ -2880,7 +2898,8 @@ object PipelineQueries {
     // CTE chain carrying the class index as a column, so the SQL is the
     // same 6 CTEs per round as the binary case. Scale shape: train = one
     // TakeOrdered sample + model-sized driver math; score = one
-    // codegen'd map (feature kernel + 16 dots + argmax), zero shuffles.
+    // codegen'd map (feature kernel + 32 dots + argmax fused into ONE
+    // Catalyst expression), zero shuffles.
     QueryDef("q_text_langid_trained",
       (s, dir) => {
         import graft.operators.{LangIdTrained => LT}
@@ -3905,7 +3924,8 @@ object PipelineQueries {
     docs.filter(assert_true(
       coalesce(length(col("text")), lit(0)) < CdcOracleMaxCp,
       lit("a CDC-replay oracle (q_doc_cdc / q_cdc_scrub / q_stream_cdc" +
-        " / q_long_repeats / q_repeat_scrub) enumerates codepoints via " +
+        " / q_long_repeats / q_repeat_scrub / q_repeat_recall /" +
+        " q_scrub_composite / q_stream_repeats) enumerates codepoints via " +
         s"range(1, $CdcOracleMaxCp); a document of >= $CdcOracleMaxCp " +
         "codepoints diverges silently — raise CdcOracleMaxCp and the " +
         "oracle range bounds together")).isNull)

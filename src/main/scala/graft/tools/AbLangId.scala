@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * r17 asked for before swapping the composites' langid stage. Both
   * paths are one codegen'd map + one aggregate (zero data shuffles);
   * the question is per-row cost: 21 marker substring scans vs
-  * char-spread regex + trigram hashing + 16 dot products. Run:
+  * char-spread regex + trigram hashing + 32 dot products. Run:
   *   sbt "runMain graft.tools.AbLangId [sfDir] [reps]"
   */
 object AbLangId {

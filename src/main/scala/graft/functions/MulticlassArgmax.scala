@@ -37,19 +37,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * silently-arbitrary label.
   */
 case class MulticlassArgmax(child: Expression,
-    weights: Array[Array[Double]], biases: Array[Double],
-    labels: Array[String]) extends UnaryExpression {
+    weights: Seq[Seq[Double]], biases: Seq[Double],
+    labels: Seq[String]) extends UnaryExpression {
 
   require(weights.nonEmpty && weights.length == biases.length &&
     weights.length == labels.length,
     "weights/biases/labels must agree on the class count")
-  require(weights.forall(_.length == weights(0).length),
+  require(weights.forall(_.length == weights.head.length),
     "every class needs the same weight width")
 
-  private val dim: Int = weights(0).length
-  // pre-converted once; referenced from both eval paths
+  // model params are Seqs so case-class equals/hashCode compare by
+  // CONTENT — Catalyst canonicalization / common-subexpression
+  // elimination unify two structurally identical argmax columns (JVM
+  // arrays compare by reference and would silently evaluate twice)
+  private val dim: Int = weights.head.length
+  // converted once for the hot loops; referenced from both eval paths
+  @transient private lazy val wArr: Array[Array[Double]] =
+    weights.map(_.toArray).toArray
+  @transient private lazy val bArr: Array[Double] = biases.toArray
   @transient private lazy val utf8Labels: Array[UTF8String] =
-    labels.map(UTF8String.fromString)
+    labels.map(UTF8String.fromString).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -69,12 +76,12 @@ case class MulticlassArgmax(child: Expression,
     var bi = -1
     var bm = 0.0
     var c = 0
-    while (c < weights.length) {
-      val w = weights(c)
+    while (c < wArr.length) {
+      val w = wArr(c)
       var s = 0.0
       var j = 0
       while (j < dim) { s += w(j) * x.getDouble(j); j += 1 }
-      val m = s + biases(c)
+      val m = s + bArr(c)
       if (java.lang.Double.isNaN(m)) return null
       if (bi < 0 || m > bm) { bi = c; bm = m }
       c += 1
@@ -86,8 +93,8 @@ case class MulticlassArgmax(child: Expression,
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
-      val wRef = ctx.addReferenceObj("amxWeights", weights, "double[][]")
-      val bRef = ctx.addReferenceObj("amxBiases", biases, "double[]")
+      val wRef = ctx.addReferenceObj("amxWeights", wArr, "double[][]")
+      val bRef = ctx.addReferenceObj("amxBiases", bArr, "double[]")
       val lRef = ctx.addReferenceObj("amxLabels", utf8Labels,
         "org.apache.spark.unsafe.types.UTF8String[]")
       val bi = ctx.freshName("bi")
@@ -137,5 +144,5 @@ object MulticlassArgmax {
       labels: Seq[String]): Column =
     Bridge.column(MulticlassArgmax(
       Bridge.expression(vec.cast("array<double>")),
-      weights.map(_.toArray).toArray, biases.toArray, labels.toArray))
+      weights.map(_.toVector).toVector, biases.toVector, labels.toVector))
 }

@@ -535,6 +535,28 @@ object Corpus {
       .filter(col("id_a") =!= col("id_b") &&
         col("seed_a") === col("seed_b"))
       .select("id_a", "sa", "id_b", "sb")
+    // seed content equality was verified in the join above — skip the
+    // re-check in the shared extension tail
+    extendCandidatePairs(cands, base, minLen, sl, verifySeed = false)
+  }
+
+  /** The text-join + maximal-extension tail of
+    * [[repeatSpansFromAnchors]] over EXPLICIT candidate pairs
+    * `(id_a, sa, id_b, sb)` — ONE definition shared with the
+    * streaming-census compaction path ([[scrubFromCensus]]) so the two
+    * extensions cannot drift. `verifySeed` re-checks codepoint equality
+    * of the two seed regions before extending: REQUIRED when the pairs
+    * arrive from the 8-byte-hash-keyed streaming census (a hash
+    * collision can only fabricate a CANDIDATE, and this is where it
+    * dies — the end-to-end contract [[graft.streaming.StreamRepeats]]
+    * documents); redundant when the caller already joined on seed
+    * content. */
+  private def extendCandidatePairs(cands: DataFrame, base: DataFrame,
+      minLen: Int, seedLen: Int, verifySeed: Boolean): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val sl = seedLen
+    val vs = verifySeed
     cands
       .join(base.select(col("id").as("id_a"), col("text").as("ta")),
         Seq("id_a"))
@@ -543,22 +565,75 @@ object Corpus {
       .select("id_a", "sa", "ta", "id_b", "sb", "tb")
       .as[(Long, Int, String, Long, Int, String)]
       .mapPartitions { rows =>
-        rows.map { case (ia, sa, ta, ib, sb, tb) =>
+        rows.flatMap { case (ia, sa, ta, ib, sb, tb) =>
           val ca = ta.codePoints().toArray
           val cb = tb.codePoints().toArray
-          // seed occupies [s, s + sl - 1] 1-based; maximal extension
-          var l = 0
-          while (sa - 1 - l >= 1 && sb - 1 - l >= 1 &&
-              ca(sa - 2 - l) == cb(sb - 2 - l)) l += 1
-          var r = 0
-          while (sa + sl + r <= ca.length && sb + sl + r <= cb.length &&
-              ca(sa + sl + r - 1) == cb(sb + sl + r - 1)) r += 1
-          (ia, ib, (sa - l).toLong, (sb - l).toLong, (sl + l + r).toLong)
+          // seed occupies [s, s + sl - 1] 1-based
+          val seedOk = !vs || (sa >= 1 && sb >= 1 &&
+            sa + sl - 1 <= ca.length && sb + sl - 1 <= cb.length && {
+              var k = 0
+              var ok = true
+              while (ok && k < sl) {
+                ok = ca(sa - 1 + k) == cb(sb - 1 + k); k += 1
+              }
+              ok
+            })
+          if (!seedOk) None
+          else {
+            // maximal extension around the equal seed
+            var l = 0
+            while (sa - 1 - l >= 1 && sb - 1 - l >= 1 &&
+                ca(sa - 2 - l) == cb(sb - 2 - l)) l += 1
+            var r = 0
+            while (sa + sl + r <= ca.length && sb + sl + r <= cb.length &&
+                ca(sa + sl + r - 1) == cb(sb + sl + r - 1)) r += 1
+            Some((ia, ib, (sa - l).toLong, (sb - l).toLong,
+              (sl + l + r).toLong))
+          }
         }
       }
       .toDF("id_a", "id_b", "start_a", "start_b", "rep_len")
       .filter(col("rep_len") >= minLen)
       .distinct()
+  }
+
+  /** Batch EXTENSION + SCRUB over the STREAMING census's candidate
+    * pairs — the periodic compaction job
+    * [[graft.streaming.StreamRepeats.repeatCandidates]] exists to feed
+    * (its docstring's promised composition, certified end to end by
+    * q_stream_repeat_scrub): censused `(doc_id, s0, first_doc,
+    * first_s0)` pairs re-read both texts, re-VERIFY seed equality (the
+    * census keys state on an 8-byte seed hash; a collision can only
+    * fabricate a candidate and it dies here), extend to the maximal
+    * equal run, and cut every repeat of >= `minLen` codepoints from its
+    * LATER copy via [[cutSpans]]. Same-document census hits
+    * (`first_doc == doc_id`) are filtered exactly as [[longRepeats]]'
+    * candidate stage does. Over a horizon-complete census this equals
+    * [[scrubLongRepeats]] EXACTLY (same arrival order, same hash-keyed
+    * bucket cap, shared extension tail — pinned in StreamingSpec).
+    *
+    * Scale shape: the census already bounded candidates (star cap per
+    * seed), so this job's joins are proportional to CENSUSED pairs, not
+    * corpus mass, until the final left join back to the corpus in
+    * [[cutSpans]]. Output: `(doc_id, clean_text, n_spans,
+    * n_removed)`. */
+  def scrubFromCensus(docs: DataFrame, idCol: String, textCol: String,
+      cands: DataFrame, minLen: Int = 40, seedLen: Int = 16): DataFrame = {
+    require(minLen >= seedLen, s"minLen >= seedLen, got $minLen < $seedLen")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+      .filter(col("id").isNotNull)
+    val pairs = cands
+      .filter(col("first_doc") =!= col("doc_id"))
+      .select(col("first_doc").cast("long").as("id_a"),
+        col("first_s0").cast("int").as("sa"),
+        col("doc_id").cast("long").as("id_b"),
+        col("s0").cast("int").as("sb"))
+    val reps = extendCandidatePairs(pairs, base, minLen, seedLen,
+      verifySeed = true)
+    val iv = reps.select(col("id_b").as("id"), col("start_b").as("s"),
+      (col("start_b") + col("rep_len")).as("e"))
+    cutSpans(base, iv)
   }
 
   /** REMOVE every reported long repeat from its LATER copy — the
@@ -708,12 +783,17 @@ object Corpus {
     * n_tok_removed)` — clean_text is the final token-normalized text,
     * the counts split the codepoint-domain and token-domain removals.
     * `md5Mode` routes every hash key through the md5 twins so the
-    * DuckDB oracle replays all six stages. */
+    * DuckDB oracle replays all six stages. `hotBroadcastCap` bounds the
+    * hot-region broadcast: above it (boilerplate-heavy corpora where the
+    * duplicated-chunk span set is data-sized) the anchor cut falls back
+    * to a shuffled left_anti instead of collecting the spans on the
+    * driver — same rows, one extra shuffle, no OOM. */
   def scrubComposite(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 40, window: Int = 8, chunkDiv: Int = 32,
       anchorDiv: Int = 16, seedLen: Int = 16, maxBucket: Int = 8,
       spanN: Int = 8, spanMinDocs: Int = 2,
-      md5Mode: Boolean = false): DataFrame = {
+      md5Mode: Boolean = false,
+      hotBroadcastCap: Long = 1L << 20): DataFrame = {
     require(minLen >= seedLen && seedLen >= window, "bad geometry")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -746,16 +826,26 @@ object Corpus {
     val dup = chunks.groupBy("ck")
       .agg(count_distinct(col("id")).as("__nd"))
       .filter(col("__nd") >= 2).select("ck")
-    val chunkSpans = chunks.join(dup, Seq("ck")).select("id", "s", "e")
+    // staged: THREE consumers (the broadcast-guard count, the hot-region
+    // anchor cut, and the final union into cutSpans) — unstaged, the
+    // census window + dup agg + join re-run per consumer
+    val chunkSpans = Dedup.stage(
+      chunks.join(dup, Seq("ck")).select("id", "s", "e"))
     val anchors = walked.filter(col("kind") === 1)
       .select(col("id"), col("a").as("s0"), col("payload").as("seed"))
     // the hot-region cut: seed fully inside a removed chunk span. The
-    // span set is duplicated-chunk-only (boilerplate mass, small next
-    // to the corpus) — BROADCAST it so the cut costs zero anchor
-    // shuffles; the anchors' only shuffle stays the seed-bucket one
+    // span set is duplicated-chunk-only (boilerplate mass, usually small
+    // next to the corpus) — BROADCAST it so the cut costs zero anchor
+    // shuffles. But "usually" is not a bound: on a boilerplate-heavy
+    // corpus the dup-span set is data-sized, and an unconditional
+    // broadcast would collect it on the driver. Guard with a cheap count
+    // over the staged spans (no recompute) and fall back to a shuffled
+    // left_anti above the cap — one extra anchor shuffle, no driver
+    // collect, same rows either way.
     val hot = chunkSpans.select(col("id").as("__hid"),
       col("s").as("__hs"), col("e").as("__he"))
-    val survivors = anchors.join(broadcast(hot),
+    val hotSmall = chunkSpans.count() <= hotBroadcastCap
+    val survivors = anchors.join(if (hotSmall) broadcast(hot) else hot,
       anchors("id") === hot("__hid") &&
         col("s0") >= col("__hs") && (col("s0") + sl) <= col("__he"),
       "left_anti")

@@ -169,12 +169,13 @@ object Flac {
     require(blockSize >= 16 && blockSize <= 65535, s"bad blockSize $blockSize")
     require(sampleRate == 8000, "subset encoder emits the 8 kHz rate code")
     require(schedulePhase >= 0, s"negative schedulePhase $schedulePhase")
-    // the coded frame number is a 1-6 byte UTF-8-style varint; keep the
-    // count inside what writeUtf8Number can emit (decoder-side the cap
-    // is MaxSamples anyway, so this is a loud error instead of a
-    // quietly malformed stream past 2^21 frames)
-    require(samples.length.toLong <= (1L << 31) - 1,
-      "frame count would overflow the coded-number range")
+    // decoder-side cap: a stream past MaxSamples round-trips to
+    // quarantine ([[decode]] rejects total > MaxSamples), so fail loudly
+    // at encode time instead of emitting a stream our own reader drops.
+    // (The coded frame number itself is fine for any Int count — the
+    // 5/6-byte writeUtf8Number forms cover 31 bits.)
+    require(samples.length <= MaxSamples,
+      s"sample count ${samples.length} exceeds the decoder cap $MaxSamples")
     val lim = 1L << (bps - 1)
     require(samples.forall(s => s >= -lim && s < lim), "sample out of range")
     val out = new java.io.ByteArrayOutputStream(4096)

@@ -333,10 +333,18 @@ object LangIdTrained {
     * filter-pushdown-safe (see [[score]]). */
   def withLangPinned(df: DataFrame, textCol: String,
       out: String = "lang_pred"): DataFrame = {
+    // uniquely-prefixed temp names throughout (the __lidfeats posture):
+    // routing through score() would materialize-and-drop the PUBLIC
+    // names margin_best/lang_pred, silently destroying a caller's
+    // pre-existing columns of those names — only `out` may be replaced
     val f = "__lidfeats"
-    score(withFeatures(df, textCol, outCol = f), f, LangIdPinned.Model)
-      .drop(f, "margin_best")
-      .withColumnRenamed("lang_pred", out)
+    val s = "__lidamx"
+    val m = LangIdPinned.Model
+    withFeatures(df, textCol, outCol = f)
+      .withColumn(s, graft.functions.MulticlassArgmax.argmax(
+        col(f), m.weights, m.biases, m.labels))
+      .withColumn(out, col(s + ".lang_pred"))
+      .drop(f, s)
   }
 
   /** Score a frame: appends `margin_best` (the winning margin) and

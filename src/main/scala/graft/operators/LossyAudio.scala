@@ -258,7 +258,11 @@ object LossyAudio {
         if (size >= 20 && i + 8 + 20 <= b.length) spb = le16(b, i + 26)
       } else if (id == "fact" && size >= 4 && i + 12 <= b.length) {
         val f = le32(b, i + 8)
-        if (f >= 0 && f <= (1 << 24)) fact = f.toInt
+        // -1 = fact ABSENT (optional for many tag-0x11 writers; callers
+        // derive the count from the block structure); -2 = fact PRESENT
+        // but insane (negative / past the decoder cap — a declared-count
+        // bomb, which must quarantine, never fall back to derivation)
+        fact = if (f >= 0 && f <= (1 << 24)) f.toInt else -2
       } else if (id == "data" && dOff < 0) {
         dOff = i + 8
         dLen = math.min(size, (b.length - i - 8).toLong).toInt
@@ -328,10 +332,22 @@ object LossyAudio {
         rows.map { case (id, payload) =>
           wavChunks(payload) match {
             case Some((0x11, 1, 4, spb, fact, off, len))
-                if len > 4 && spb == SamplesPerBlock && fact >= 0 =>
+                if len > 4 && spb == SamplesPerBlock && fact >= -1 =>
+              // fact is OPTIONAL in practice for tag-0x11 writers: when
+              // absent (-1) derive the count from the block structure —
+              // full blocks carry SamplesPerBlock; a final partial block
+              // of rem >= 4 bytes carries 1 + (rem-4)*2 nibble samples; a
+              // sub-header tail is padding. A PRESENT-but-insane fact
+              // (-2, a declared-count bomb) still quarantines above.
               val blocks = (len + BlockAlign - 1) / BlockAlign
               val carry = blocks * SamplesPerBlock
-              val total = math.min(fact, carry)
+              val total =
+                if (fact >= 0) math.min(fact, carry)
+                else {
+                  val rem = len % BlockAlign
+                  (len / BlockAlign) * SamplesPerBlock +
+                    (if (rem >= 4) 1 + (rem - 4) * 2 else 0)
+                }
               val data = java.util.Arrays.copyOfRange(
                 payload, off, off + len)
               imaDecode(data, total) match {

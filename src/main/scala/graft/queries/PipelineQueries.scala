@@ -438,6 +438,38 @@ object PipelineQueries {
       },
       Some(streamRepeatsOracleSql)),
 
+    // The COMPOSED census -> extension -> scrub row (the r19-verdict
+    // item 1): the streaming census's candidate pairs feed the periodic
+    // batch compaction job end to end — StreamRepeats.repeatCandidates
+    // over the SAME planted corpus as q_repeat_scrub, then
+    // Corpus.scrubFromCensus (seed re-verification kills 8-byte-hash
+    // fabrications, shared extension tail, cutSpans island removal).
+    // Over a horizon-complete census the composition equals
+    // scrubLongRepeats EXACTLY, so the oracle is repeatScrubOracleSql
+    // VERBATIM — shared text, the two paths cannot drift. Streaming
+    // execution == this batch composition is pinned in StreamingSpec.
+    QueryDef("q_stream_repeat_scrub",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir)
+          .selectExpr("doc_id", "doc_id div 10 AS j",
+            "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
+            "text")
+          .selectExpr("doc_id",
+            "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
+              "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
+              "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
+              "|| substring(text, off + 1) ELSE text END AS text")
+        val guarded = cdcOracleBoundGuard(planted)
+        val cands = graft.streaming.StreamRepeats.repeatCandidates(
+          guarded.withColumn("ts",
+            timestamp_micros((col("doc_id") + 10000L) * 1000000L)),
+          "doc_id", "ts", "text", md5Mode = true)
+        graft.operators.Corpus
+          .scrubFromCensus(guarded, "doc_id", "text", cands)
+          .orderBy("doc_id")
+      },
+      Some(repeatScrubOracleSql)),
+
     // LONG-REPEAT detection at ARBITRARY alignment (the Lee-et-al
     // suffix-array cut's bucketed approximation — the r17-verdict item
     // closing the exact-substring tail): content-defined anchors

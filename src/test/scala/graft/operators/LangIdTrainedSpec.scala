@@ -188,6 +188,40 @@ class LangIdTrainedSpec extends AnyFunSuite {
     assert(again === kept)
   }
 
+  test("withLangPinned never destroys a caller's pre-existing margin_best/lang_pred columns") {
+    import spark.implicits._
+    // a frame that ALREADY carries the public score-output names —
+    // routing through score() would materialize-and-drop them; the
+    // pinned gate must only touch its own `out` column
+    val df = Seq((1L, "the quick brown fox", 9.75, "keepme"))
+      .toDF("doc_id", "text", "margin_best", "lang_pred")
+    val out = LangIdTrained.withLangPinned(df, "text", out = "gate_lang")
+      .collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Double]("margin_best") === 9.75,
+      "caller's margin_best was destroyed")
+    assert(r.getAs[String]("lang_pred") === "keepme",
+      "caller's lang_pred was destroyed")
+    assert(r.getAs[String]("gate_lang") != null)
+  }
+
+  test("MulticlassArgmax compares by model CONTENT (canonicalization can unify two builds)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types._
+    // two structurally identical expressions built from SEPARATE Seq
+    // instances must be equal (JVM-array params would compare by
+    // reference and defeat Catalyst subexpression elimination)
+    def mk() = graft.functions.MulticlassArgmax(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      Vector(Vector(1.0, 2.0), Vector(3.0, 4.0)),
+      Vector(0.1, 0.2), Vector("aa", "bb"))
+    val (e1, e2) = (mk(), mk())
+    assert(e1 === e2, "structural equality failed")
+    assert(e1.hashCode === e2.hashCode, "hashCode disagrees with equals")
+    assert(e1.semanticEquals(e2), "semanticEquals failed")
+  }
+
   test("a no-signal text still scores deterministically (zero vector -> bias argmax)") {
     val model = trained()
     val scored = LangIdTrained.score(

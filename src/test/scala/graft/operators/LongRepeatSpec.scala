@@ -124,6 +124,27 @@ class LongRepeatSpec extends AnyFunSuite {
     assert(out(3L)._3 >= 8 && out(6L)._3 >= 8)
   }
 
+  test("scrubComposite: the hot-cut shuffled fallback (hotBroadcastCap=0) == the broadcast path, row for row") {
+    // the broadcast guard is a PHYSICAL choice only: above the cap the
+    // anchor cut runs as a shuffled left_anti instead of collecting the
+    // span set on the driver — the output must be byte-identical
+    val g = Corpus.cdcWeights(8).toArray
+    val seg = (0 until 20).iterator
+      .map(i => filler(s"fshare$i", 60))
+      .find(t => Corpus.anchorWalk(t, 8, 16, g, 16).nonEmpty).get
+    val docs = Seq(
+      (1L, filler("f1", 120) + seg + filler("f1b", 80)),
+      (2L, filler("f2", 50) + seg + filler("f2b", 90)),
+      (3L, filler("f3", 200)),
+      (4L, filler("f3", 200)),
+      (5L, filler("f5", 150))).toDF("doc_id", "text")
+    def run(cap: Long) = Corpus.scrubComposite(docs, "doc_id", "text",
+        md5Mode = true, hotBroadcastCap = cap)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(run(0L) === run(1L << 20), "fallback diverged from broadcast")
+  }
+
   test("exactRepeats: exhaustive ground truth — every repeat >= minLen, exact spans, nothing else") {
     import org.apache.spark.sql.DataFrame
     def exact(docs: Seq[(Long, String)], pairs: Seq[(Long, Long)],

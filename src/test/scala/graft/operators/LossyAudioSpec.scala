@@ -175,4 +175,34 @@ class LossyAudioSpec extends AnyFunSuite {
     val p8 = out.find(_.getLong(0) == 8L).get.getAs[Array[Byte]](1)
     assert(p8.length === 44 + 1000)
   }
+
+  test("the fact chunk is OPTIONAL: a fact-less IMA WAV decodes from block structure; a bomb fact never falls back") {
+    import spark.implicits._
+    // 1041 = 2*505 + 31: the partial block carries an odd residue, so
+    // its 30 nibbles pack into 15 full bytes and the derived count is
+    // EXACT (an even residue leaves an unpaired trailing nibble whose
+    // padding-vs-sample status only a fact chunk can resolve)
+    val s = pcm(1041, 19)
+    val withFact = LossyAudio.imaWav(s)
+    // strip the 12-byte fact chunk (bytes 40..51) and re-point RIFF size
+    val noFact = new Array[Byte](withFact.length - 12)
+    System.arraycopy(withFact, 0, noFact, 0, 40)
+    System.arraycopy(withFact, 52, noFact, 40, withFact.length - 52)
+    val sz = noFact.length - 8
+    noFact(4) = (sz & 0xff).toByte; noFact(5) = ((sz >> 8) & 0xff).toByte
+    noFact(6) = ((sz >> 16) & 0xff).toByte; noFact(7) = ((sz >> 24) & 0xff).toByte
+    // a fact PAST the decoder cap is a declared-count bomb: it must
+    // quarantine, never be treated as "absent" and fall back to derivation
+    val bomb = withFact.clone()
+    bomb(48) = -1; bomb(49) = -1; bomb(50) = -1; bomb(51) = 0x7f
+    val out = LossyAudio.imaToWav(
+      Seq((1L, withFact), (2L, noFact), (3L, bomb)).toDF("id", "payload"),
+      "id", "payload").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Array[Byte]](1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L)._2 && out(2L)._2, "fact-less file failed to decode")
+    assert(java.util.Arrays.equals(out(1L)._1, out(2L)._1),
+      "fact-less decode diverged from the fact-ful decode")
+    assert(!out(3L)._2, "an over-cap fact must quarantine, not derive")
+  }
 }

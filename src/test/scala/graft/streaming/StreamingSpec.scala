@@ -247,6 +247,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === got, "streaming run diverged from batch run")
   }
 
+  test("composed census -> extension -> scrub == scrubLongRepeats, from BOTH batch and streaming census runs") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Corpus
+    // the q_repeat_scrub planted corpus: guaranteed >= 40-cp repeats at
+    // shifted alignments, so the composition actually cuts something
+    val planted = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "doc_id div 10 AS j",
+        "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
+        "text")
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
+          "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
+          "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
+          "|| substring(text, off + 1) ELSE text END AS text")
+    val docs = planted.withColumn("ts",
+      timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // the one-shot batch operator IS the semantics target: over a
+    // horizon-complete census the composition must equal it exactly
+    val oneShot = norm(Corpus.scrubLongRepeats(planted, "doc_id", "text"))
+    assert(oneShot.exists(_._3 > 0L), "planted corpus produced no cuts")
+    val batchCands = StreamRepeats.repeatCandidates(docs, "doc_id", "ts",
+      "text")
+    assert(norm(Corpus.scrubFromCensus(planted, "doc_id", "text",
+      batchCands)) === oneShot,
+      "batch census -> compaction diverged from scrubLongRepeats")
+    // STREAMING census feeding the SAME compaction job — the promised
+    // ingest-then-periodic-compaction composition, end to end
+    val tmp = SparkTestSession.tmpPath("stream_repscrub_src")
+    docs.select("doc_id", "ts", "text").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema(docs.select("doc_id", "ts", "text").schema).parquet(tmp)
+    val streamCands = EventStreams.runToBatch(
+      StreamRepeats.repeatCandidates(stream, "doc_id", "ts", "text"),
+      "stream_repscrub_out", outputMode = "append")
+    assert(norm(Corpus.scrubFromCensus(planted, "doc_id", "text",
+      streamCands)) === oneShot,
+      "streaming census -> compaction diverged from scrubLongRepeats")
+  }
+
   test("streaming top-k: batch == driver Misra-Gries, guarantee holds, 2-batch streaming == batch") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, dir)

@@ -643,6 +643,112 @@ object PipelineQueries {
       },
       Some(repeatRecallOracleSql)),
 
+    // SCRUB-COMPOSITE FLANK-RECALL CERTIFICATE (the r19-verdict item 2):
+    // scrubComposite's hot-region anchor cut trades recall for repeats
+    // FLANKING duplicated boilerplate — documented since r19, never
+    // measured. The planted matrix: EVERY doc carries one global 192-cp
+    // HOT segment (maximal heat — all its interior chunks are census-
+    // duplicated, so the anchor cut fires everywhere around it);
+    // pair-unique flanks of L = 40/60/120 sit immediately LEFT of HOT,
+    // sentinel-framed, so each pair's maximal shared run is exactly
+    // flank||HOT and only FLANK-region anchors (pair-unique seeds) can
+    // catch it. Ground truth: exactRepeats on the ORIGINALS proves the
+    // geometry (one run per pair, exact span — the q_repeat_recall
+    // truth_exact posture). The measured contract is END-TO-END: a pair
+    // fails iff its two scrubbed clean_texts still share ANY
+    // >= 40-codepoint run (exactRepeats on the CLEANED texts — census
+    // fragments that reassemble into a shared run count as failures
+    // too). recall per flank length pinned >= bound.
+    QueryDef("q_scrub_recall",
+      (s, dir) => {
+        import graft.operators.Corpus
+        val hot = (0 until 6).map(k => s"md5('hotseg:$k')")
+          .mkString("CONCAT(", ", ", ")")
+        val fl = (0 until 4).map(k =>
+          s"md5(CONCAT('fl:', CAST(g AS STRING), ':$k'))")
+          .mkString("CONCAT(", ", ", ")")
+        val pre3 = (0 until 3).map(k =>
+          s"md5(CONCAT('sra:', CAST(doc_id AS STRING), ':$k'))")
+          .mkString("CONCAT(", ", ", ")")
+        val suf3 = (0 until 3).map(k =>
+          s"md5(CONCAT('srb:', CAST(doc_id AS STRING), ':$k'))")
+          .mkString("CONCAT(", ", ", ")")
+        val corpus = Tables.documents(s, dir).select("doc_id")
+          .selectExpr("doc_id", "doc_id div 2 AS g",
+            "CAST(doc_id % 2 AS INT) AS role")
+          .selectExpr("doc_id", "g", "role",
+            "CASE CAST(g % 3 AS INT) WHEN 0 THEN 40 WHEN 1 THEN 60 " +
+              "ELSE 120 END AS lrep")
+          .selectExpr("doc_id", "g", "role", "lrep",
+            s"substring($fl, 1, lrep) AS flank",
+            s"CASE role WHEN 0 THEN substring($pre3, 1, 96) " +
+              s"ELSE substring($pre3, 1, 80 + CAST(g % 7 AS INT)) END AS pre",
+            s"substring($suf3, 1, 96) AS suf", s"$hot AS hot")
+          .selectExpr("doc_id", "g", "role", "lrep",
+            "CONCAT(pre, CASE role WHEN 0 THEN '<' ELSE '[' END, flank, " +
+              "hot, CASE role WHEN 0 THEN '>' ELSE ']' END, suf) AS text")
+        val pa = corpus.filter(col("role") === 0)
+          .select(col("g"), col("lrep"), col("doc_id").as("ida"),
+            lit(98).as("pa"))
+        val pb = corpus.filter(col("role") === 1)
+          .select(col("g"), col("doc_id").as("idb"),
+            (lit(82) + (col("g") % 7).cast("int")).as("pb"))
+        val pairsT = pa.join(pb, "g")
+        val pairIds = pairsT.select(col("ida").as("id_a"),
+          col("idb").as("id_b"))
+        val truth = Corpus.exactRepeats(
+          graft.queries.Differential.guardCertScale(
+            corpus.select("doc_id", "text"),
+            "exactRepeats (q_scrub_recall truth)"),
+          "doc_id", "text", pairIds)
+        val truthAgg = pairsT
+          .join(truth, truth("id_a") === pairsT("ida") &&
+            truth("id_b") === pairsT("idb"), "left")
+          .groupBy("lrep", "g")
+          .agg(
+            sum(when(truth("id_a").isNotNull, 1L).otherwise(0L))
+              .as("n_truth_p"),
+            sum(when(truth("start_a") === col("pa") &&
+              truth("start_b") === col("pb") &&
+              truth("rep_len") === (col("lrep") + 192L), 1L)
+              .otherwise(0L)).as("n_match_p"))
+        val clean = Corpus.scrubComposite(
+          cdcOracleBoundGuard(corpus.select("doc_id", "text")),
+          "doc_id", "text", md5Mode = true)
+        val resid = Corpus.exactRepeats(
+          graft.queries.Differential.guardCertScale(
+            clean.select("doc_id", "clean_text"),
+            "exactRepeats (q_scrub_recall residual)"),
+          "doc_id", "clean_text", pairIds)
+        val residAgg = pairsT
+          .join(resid, resid("id_a") === pairsT("ida") &&
+            resid("id_b") === pairsT("idb"), "left")
+          .groupBy("lrep", "g")
+          .agg(max(when(resid("id_a").isNotNull, 1L).otherwise(0L))
+            .as("resid"))
+        truthAgg.join(residAgg, Seq("lrep", "g"))
+          .groupBy("lrep")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("n_truth_p").as("n_truth"),
+            sum("n_match_p").as("n_matched"),
+            sum("resid").as("n_resid"))
+          .withColumn("recall", lit(1.0d) -
+            col("n_resid").cast("double") / col("n_pairs").cast("double"))
+          .withColumn("bound",
+            when(col("lrep") === 40, lit(0.8))
+              .when(col("lrep") === 60, lit(0.9)).otherwise(lit(0.98)))
+          .select(col("lrep"), col("n_pairs"), col("n_truth"),
+            col("n_matched"),
+            (col("n_truth") === col("n_pairs") &&
+              col("n_matched") === col("n_pairs")).as("truth_exact"),
+            col("n_resid"),
+            (floor(col("recall") * 1e6d + 0.5d) / 1e6d).as("recall_r"),
+            col("bound").as("bound_r"),
+            (col("recall") >= col("bound")).as("recall_ok"))
+          .orderBy("lrep")
+      },
+      Some(scrubRecallOracleSql)),
+
     // UNIFIED exact-substring scrub (the r18-verdict composite): the
     // three removers — CDC chunk dedup, arbitrary-alignment long
     // repeats, token-domain 8-gram spans — as ONE pass hierarchy
@@ -3895,6 +4001,48 @@ object PipelineQueries {
       s"SELECT lrep, CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_truth AS BIGINT) AS n_truth, CAST(n_matched AS BIGINT) AS n_matched, (n_truth = n_pairs AND n_matched = n_pairs) AS truth_exact, CAST(n_detected AS BIGINT) AS n_detected, floor((CAST(n_detected AS DOUBLE) / CAST(n_pairs AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall_r, $boundCase AS bound_r, (CAST(n_detected AS DOUBLE) / CAST(n_pairs AS DOUBLE)) >= ($boundCase) AS recall_ok FROM agg ORDER BY lrep"
   }
 
+  /** q_scrub_recall replay: the planted flank-geometry corpus (every
+    * doc carries the GLOBAL 192-cp HOT segment — maximal boilerplate
+    * heat; pair-unique flanks of L = 40/60/120 sit immediately LEFT of
+    * HOT, sentinel-framed so the pair's maximal shared run is exactly
+    * flank||HOT), the IDENTICAL six-stage composite chain re-rooted on
+    * the planted corpus ([[scrubCompositeChainSql]] over `pdocs`), the
+    * exhaustive 40-gram diagonal-island ground truth on the ORIGINALS
+    * (proving the planted geometry: one run per pair, exact span), and
+    * the RESIDUAL check on the CLEANED texts: a pair fails iff its two
+    * clean_texts still share any 40-codepoint run (the end-to-end
+    * exact-substring contract — this is where the hot-region anchor
+    * cut's documented flank trade would surface). recall = 1 -
+    * failures/pairs per flank length, pinned >= bound. */
+  private def scrubRecallOracleSql: String = {
+    val hot = (0 until 6).map(k => s"md5('hotseg:$k')").mkString(" || ")
+    val fl = (0 until 4)
+      .map(k => s"md5('fl:' || CAST(g AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val pre = (0 until 3)
+      .map(k => s"md5('sra:' || CAST(doc_id AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val suf = (0 until 3)
+      .map(k => s"md5('srb:' || CAST(doc_id AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val r = CdcOracleMaxCp
+    val boundCase = "CASE lrep WHEN 40 THEN CAST('0.8' AS DOUBLE) " +
+      "WHEN 60 THEN CAST('0.9' AS DOUBLE) ELSE CAST('0.98' AS DOUBLE) END"
+    "WITH meta AS MATERIALIZED (SELECT doc_id, doc_id // 2 AS g, CAST(doc_id % 2 AS INT) AS role, CASE CAST((doc_id // 2) % 3 AS INT) WHEN 0 THEN 40 WHEN 1 THEN 60 ELSE 120 END AS lrep FROM documents), " +
+      s"pdocs AS MATERIALIZED (SELECT doc_id, pre || CASE role WHEN 0 THEN '<' ELSE '[' END || flank || hot || CASE role WHEN 0 THEN '>' ELSE ']' END || suf AS text FROM (SELECT doc_id, role, substring($fl, 1, lrep) AS flank, CASE role WHEN 0 THEN substring($pre, 1, 96) ELSE substring($pre, 1, 80 + CAST(g % 7 AS INT)) END AS pre, substring($suf, 1, 96) AS suf, $hot AS hot FROM meta)), " +
+      scrubCompositeChainSql("pdocs") + ", " +
+      "prs AS MATERIALIZED (SELECT a.g, a.lrep, a.doc_id AS ida, 98 AS pa, b.doc_id AS idb, 82 + CAST(a.g % 7 AS INT) AS pb FROM meta a JOIN meta b ON b.g = a.g AND a.role = 0 AND b.role = 1), " +
+      s"tg AS MATERIALIZED (SELECT doc_id, CAST(q.p AS INT) AS p, substring(text, CAST(q.p AS INT), 40) AS gram FROM pdocs CROSS JOIN range(1, $r) q(p) WHERE q.p <= length(text) - 39), " +
+      "mt AS MATERIALIZED (SELECT pr.g, a.p AS p_a, b.p AS p_b FROM prs pr JOIN tg a ON a.doc_id = pr.ida JOIN tg b ON b.doc_id = pr.idb AND b.gram = a.gram), " +
+      "tru AS MATERIALIZED (SELECT g, MIN(p_a) AS start_a, MIN(p_b) AS start_b, COUNT(*) + 39 AS rep_len FROM (SELECT g, p_a, p_b, p_a - p_b AS d, p_a - row_number() OVER (PARTITION BY g, p_a - p_b ORDER BY p_a) AS isl FROM mt) GROUP BY g, d, isl), " +
+      "tagg AS (SELECT pr.lrep, pr.g, COUNT(t.start_a) AS n_truth_p, SUM(CASE WHEN t.start_a = pr.pa AND t.start_b = pr.pb AND t.rep_len = pr.lrep + 192 THEN 1 ELSE 0 END) AS n_match_p FROM prs pr LEFT JOIN tru t ON t.g = pr.g GROUP BY 1, 2), " +
+      s"rg AS MATERIALIZED (SELECT doc_id, substring(clean_text, CAST(q.p AS INT), 40) AS gram FROM scomp CROSS JOIN range(1, $r) q(p) WHERE q.p <= length(clean_text) - 39), " +
+      "rhit AS MATERIALIZED (SELECT DISTINCT pr.g FROM prs pr JOIN rg a ON a.doc_id = pr.ida JOIN rg b ON b.doc_id = pr.idb AND b.gram = a.gram), " +
+      "ragg AS (SELECT pr.lrep, pr.g, CASE WHEN rh.g IS NULL THEN 0 ELSE 1 END AS resid FROM prs pr LEFT JOIN rhit rh ON rh.g = pr.g), " +
+      "agg AS (SELECT t.lrep, COUNT(*) AS n_pairs, SUM(t.n_truth_p) AS n_truth, SUM(t.n_match_p) AS n_matched, SUM(r2.resid) AS n_resid FROM tagg t JOIN ragg r2 ON r2.lrep = t.lrep AND r2.g = t.g GROUP BY 1) " +
+      s"SELECT lrep, CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_truth AS BIGINT) AS n_truth, CAST(n_matched AS BIGINT) AS n_matched, (n_truth = n_pairs AND n_matched = n_pairs) AS truth_exact, CAST(n_resid AS BIGINT) AS n_resid, floor((1.0 - CAST(n_resid AS DOUBLE) / CAST(n_pairs AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall_r, $boundCase AS bound_r, (1.0 - CAST(n_resid AS DOUBLE) / CAST(n_pairs AS DOUBLE)) >= ($boundCase) AS recall_ok FROM agg ORDER BY lrep"
+  }
+
   /** q_scrub_composite replay: ALL SIX stages — the shared chunk chain
     * (cps/hs reused for BOTH the chunk census and the anchors, exactly
     * the fusion the engine's censusWalk performs), chunk extents +
@@ -3904,31 +4052,41 @@ object PipelineQueries {
     * island cut, and the token-domain 8-gram scrub over the
     * intermediate text (the q_span_scrub chain re-rooted on `cut1`). */
   private def scrubCompositeOracleSql: String =
-    s"WITH $cdcChunkCtesSql, " +
+    s"WITH ${scrubCompositeChainSql()} " +
+      "SELECT doc_id, clean_text, n_cp_spans, n_cp_removed, n_tokens, n_tok_removed FROM scomp ORDER BY doc_id"
+
+  /** the full six-stage composite chain of [[scrubCompositeOracleSql]]
+    * ending in the CTE `scomp(doc_id, clean_text, n_cp_spans,
+    * n_cp_removed, n_tokens, n_tok_removed)` — split out (and `src`-
+    * parameterized, default the raw table) so q_scrub_recall can run
+    * the IDENTICAL replay over its planted corpus and then measure
+    * residual cross-pair repeats on `scomp.clean_text`. */
+  private def scrubCompositeChainSql(src: String = "documents"): String =
+    s"${cdcChunkCtesSql(src)}, " +
       "chext AS MATERIALIZED (SELECT doc_id, cidx, chunk, n_cp, SUM(n_cp) OVER (PARTITION BY doc_id ORDER BY cidx) + 1 AS e FROM chunks), " +
       "cdup AS (SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2), " +
       "cspan AS MATERIALIZED (SELECT c.doc_id AS id, c.e - c.n_cp AS s, c.e AS e FROM chext c JOIN cdup USING (chunk)), " +
       "anc AS (SELECT doc_id, CAST(i - 7 AS INT) AS s0 FROM hs WHERE i >= 8 AND h % 16 = 0), " +
-      "anc2 AS MATERIALIZED (SELECT a.doc_id, a.s0, substring(p.text, a.s0, 16) AS seed FROM anc a JOIN documents p USING (doc_id) WHERE a.s0 + 15 <= length(p.text)), " +
+      s"anc2 AS MATERIALIZED (SELECT a.doc_id, a.s0, substring(p.text, a.s0, 16) AS seed FROM anc a JOIN $src p USING (doc_id) WHERE a.s0 + 15 <= length(p.text)), " +
       "anc3 AS MATERIALIZED (SELECT a.doc_id, a.s0, a.seed FROM anc2 a ANTI JOIN cspan c ON c.id = a.doc_id AND a.s0 >= c.s AND a.s0 + 16 <= c.e), " +
-      repeatExtChainSql("anc3", "documents") + ", " +
+      repeatExtChainSql("anc3", src) + ", " +
       "rsp AS MATERIALIZED (SELECT DISTINCT id_b AS id, CAST(sb - el AS BIGINT) AS s, CAST(sb + 16 + er AS BIGINT) AS e FROM ext WHERE 16 + el + er >= 40), " +
       "allsp AS (SELECT id, s, e FROM cspan UNION ALL SELECT id, s, e FROM rsp), " +
       "mx AS (SELECT *, MAX(e) OVER (PARTITION BY id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM allsp), " +
       "isl AS (SELECT *, SUM(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END) OVER (PARTITION BY id ORDER BY s, e) AS island FROM mx), " +
       "mrg AS MATERIALIZED (SELECT id, island, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY id, island), " +
-      "pieces AS (SELECT m.id, m.island, substring(p.text, CAST(m.pe AS INT), CAST(m.s - m.pe AS INT)) AS piece FROM (SELECT *, COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s), 1) AS pe FROM mrg) m JOIN documents p ON p.doc_id = m.id), " +
+      s"pieces AS (SELECT m.id, m.island, substring(p.text, CAST(m.pe AS INT), CAST(m.s - m.pe AS INT)) AS piece FROM (SELECT *, COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s), 1) AS pe FROM mrg) m JOIN $src p ON p.doc_id = m.id), " +
       "tails AS (SELECT m.id, MAX(m.e) AS me, SUM(m.e - m.s) AS n_removed, COUNT(*) AS n_spans FROM mrg m GROUP BY m.id), " +
       "body AS (SELECT id, string_agg(piece, '' ORDER BY island) AS bodytxt FROM pieces GROUP BY id), " +
-      "scr AS (SELECT b.id, b.bodytxt || substring(p.text, CAST(t.me AS INT)) AS ct, t.n_spans, t.n_removed FROM body b JOIN tails t USING (id) JOIN documents p ON p.doc_id = b.id), " +
-      "cut1 AS MATERIALIZED (SELECT p.doc_id, COALESCE(s.ct, p.text) AS text, CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_cp_spans, CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_cp_removed FROM documents p LEFT JOIN scr s ON s.id = p.doc_id), " +
+      s"scr AS (SELECT b.id, b.bodytxt || substring(p.text, CAST(t.me AS INT)) AS ct, t.n_spans, t.n_removed FROM body b JOIN tails t USING (id) JOIN $src p ON p.doc_id = b.id), " +
+      s"cut1 AS MATERIALIZED (SELECT p.doc_id, COALESCE(s.ct, p.text) AS text, CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_cp_spans, CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_cp_removed FROM $src p LEFT JOIN scr s ON s.id = p.doc_id), " +
       raw"""stoks AS MATERIALIZED (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM cut1), """ +
       "sg AS (SELECT doc_id, i AS start, array_to_string(t[i:i+7], ' ') AS span FROM stoks, UNNEST(generate_series(1, len(t) - 7)) AS u(i) WHERE len(t) >= 8), " +
       "srep AS (SELECT span FROM sg GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2), " +
       "scov AS (SELECT DISTINCT doc_id, start + o AS pos FROM sg JOIN srep USING (span), UNNEST(generate_series(0, 7)) AS v(o)), " +
       "spos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM stoks), " +
-      "skept AS (SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text, COUNT(*) AS nk FROM spos p ANTI JOIN scov c ON p.doc_id = c.doc_id AND p.pos = c.pos GROUP BY p.doc_id) " +
-      "SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text, c1.n_cp_spans, c1.n_cp_removed, CAST(len(t.t) AS BIGINT) AS n_tokens, CAST(len(t.t) - COALESCE(k.nk, 0) AS BIGINT) AS n_tok_removed FROM stoks t JOIN cut1 c1 USING (doc_id) LEFT JOIN skept k ON t.doc_id = k.doc_id ORDER BY t.doc_id"
+      "skept AS (SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text, COUNT(*) AS nk FROM spos p ANTI JOIN scov c ON p.doc_id = c.doc_id AND p.pos = c.pos GROUP BY p.doc_id), " +
+      "scomp AS MATERIALIZED (SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text, c1.n_cp_spans, c1.n_cp_removed, CAST(len(t.t) AS BIGINT) AS n_tokens, CAST(len(t.t) - COALESCE(k.nk, 0) AS BIGINT) AS n_tok_removed FROM stoks t JOIN cut1 c1 USING (doc_id) LEFT JOIN skept k ON t.doc_id = k.doc_id)"
 
   /** q_doc_cdc replay: codepoints via constant-bound range + substring/
     * unicode (both engines are codepoint-based — WidthFold/CJK rows
@@ -3964,19 +4122,21 @@ object PipelineQueries {
 
   /** the shared CDC chunking CTE chain ending in
     * `chunks(doc_id, cidx, chunk, n_cp)` — used VERBATIM by q_doc_cdc
-    * and q_cdc_scrub so the two oracles cannot drift */
-  private def cdcChunkCtesSql: String = {
+    * and q_cdc_scrub so the two oracles cannot drift. `src` re-roots the
+    * chain on a planted-corpus CTE (q_scrub_recall); the default is the
+    * raw table, byte-identical to the pre-parameter text. */
+  private def cdcChunkCtesSql(src: String = "documents"): String = {
     import graft.operators.Corpus
     val g = Corpus.cdcWeights(8)
     val terms = (0 until 8).map { j =>
       if (j == 0) s"cp * ${g(j)}"
       else s"COALESCE(LAG(cp, $j) OVER (PARTITION BY doc_id ORDER BY i), CAST(0 AS BIGINT)) * ${g(j)}"
     }.mkString(" + ")
-    s"cps AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i, CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS cp FROM documents CROSS JOIN range(1, $CdcOracleMaxCp) r(i) WHERE i <= length(text)), " +
+    s"cps AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS i, CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS cp FROM $src CROSS JOIN range(1, $CdcOracleMaxCp) r(i) WHERE i <= length(text)), " +
       s"hs AS (SELECT doc_id, i, ($terms) % ${Corpus.CdcMod} AS h FROM cps), " +
-      "bnd AS (SELECT doc_id, i FROM hs WHERE i >= 8 AND h % 32 = 0 UNION SELECT doc_id, CAST(length(text) AS INT) FROM documents WHERE length(text) > 0), " +
+      s"bnd AS (SELECT doc_id, i FROM hs WHERE i >= 8 AND h % 32 = 0 UNION SELECT doc_id, CAST(length(text) AS INT) FROM $src WHERE length(text) > 0), " +
       "chk AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS cidx, COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS p, i AS b FROM bnd), " +
-      "chunks AS MATERIALIZED (SELECT c.doc_id, c.cidx, substring(d.text, p + 1, b - p) AS chunk, b - p AS n_cp FROM chk c JOIN documents d USING (doc_id))"
+      s"chunks AS MATERIALIZED (SELECT c.doc_id, c.cidx, substring(d.text, p + 1, b - p) AS chunk, b - p AS n_cp FROM chk c JOIN $src d USING (doc_id))"
   }
 
   /** q_stream_cdc replay: the shared chunk CTE chain + the arrival-rank
@@ -3987,12 +4147,12 @@ object PipelineQueries {
     * — equality is preserved modulo hash collisions, the md5 twins'
     * accepted philosophy. */
   private def streamCdcOracleSql: String =
-    s"WITH $cdcChunkCtesSql, " +
+    s"WITH ${cdcChunkCtesSql()}, " +
       "arr AS (SELECT doc_id, cidx, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rk, first_value(doc_id) OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS first_doc FROM chunks) " +
       "SELECT doc_id, CAST(cidx AS INT) AS cidx, first_doc, CAST(rk - 1 AS BIGINT) AS n_prev FROM arr WHERE rk > 1 ORDER BY doc_id, cidx, first_doc"
 
   private def docCdcOracleSql: String =
-    s"WITH $cdcChunkCtesSql " +
+    s"WITH ${cdcChunkCtesSql()} " +
       "SELECT md5(chunk) AS chunk_hash, CAST(MIN(n_cp) AS BIGINT) AS n_cp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc FROM chunks GROUP BY chunk HAVING COUNT(*) > 1 ORDER BY chunk_hash"
 
   /** q_cdc_scrub replay: the shared chunk chain, the cross-document dup
@@ -4000,7 +4160,7 @@ object PipelineQueries {
     * chunks, and the per-document census (docs losing every chunk keep
     * a row with empty clean_text — the left-join backfill). */
   private def cdcScrubOracleSql: String =
-    s"WITH $cdcChunkCtesSql, " +
+    s"WITH ${cdcChunkCtesSql()}, " +
       "dup AS MATERIALIZED (SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 1), " +
       "kept AS (SELECT c.* FROM chunks c LEFT JOIN dup USING (chunk) WHERE dup.chunk IS NULL), " +
       "re AS (SELECT doc_id, string_agg(chunk, '' ORDER BY cidx) AS clean_text, COUNT(*) AS n_kept FROM kept GROUP BY doc_id), " +

@@ -67,6 +67,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_repeat_recall" -> Set("BroadcastNestedLoopJoin",
       "Exchange SinglePartition"), // guardCertScale's one-row broadcast
     // guard (the structural pre-scan raise) + its global count
+    "q_scrub_recall" -> Set("BroadcastNestedLoopJoin",
+      "Exchange SinglePartition"), // the same guardCertScale classes
+    // (two guarded exactRepeats runs: truth + residual) + 3-row final
     "q_semdedup" -> Set("Exchange SinglePartition"),
     "q_simhash_complete" -> Set("Exchange SinglePartition"),
     "q_sketch_distinct" -> Set("Exchange SinglePartition"),

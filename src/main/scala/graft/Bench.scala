@@ -147,6 +147,44 @@ object Bench {
   /** cap on the `prev` history a re-pin may carry forward */
   private[graft] val MaxPrevHist = 4
 
+  /** ACKNOWLEDGED historical prev-floors (the r19-verdict governance
+    * item): these queries carry tightest-ever `prev` floors their CURRENT
+    * declared pipelines can never reach — each NOTE recurred and was
+    * re-triaged >= 3 rounds to the same documented conclusion, burning a
+    * triage every round. An entry downgrades the recurring prev-floor
+    * NOTE to a one-line acknowledged print, ONLY while the tightest
+    * historical floor still equals the acknowledged value EXACTLY (a
+    * new, different prev floor re-arms the full NOTE) and only for the
+    * named query; every other query keeps the full gate. BenchFloorsSpec
+    * pins this map is exact — no silent additions. */
+  private[graft] val AcknowledgedHistorical: Map[String, (Double, String)] =
+    Map(
+      "q_tar_roundtrip" -> ((0.234,
+        "r15 triage: pre-r13 direct-local-writer floor, unreachable " +
+          "under the production Hadoop-FS sink (96837f2)")),
+      "q_stream_neardup" -> ((0.839,
+        "r17/r18/r19 triages: pre-r12 pipeline floor; xx twin at its " +
+          "floor and focused quiet min inside every gate each time — " +
+          "interleaving warm-up noise, not a regression")),
+      "q_text_topterms" -> ((0.445,
+        "r19 declared change: marker-gate floor; the trained " +
+          "32-language grouping replaced it (coverage-for-cost trade, " +
+          "decomposed in SCALE.md)")),
+      "q_pipeline_clean" -> ((0.611,
+        "r20 triage: pre-r17 marker-era floor. The 64-language " +
+          "trained-gate pipeline reads 0.83 FOCUSED (below even the " +
+          "r19 1.237 floor — the widen made it faster), 1.4-1.5 " +
+          "interleaved: the documented composite interleaving gap, " +
+          "not a regression")))
+
+  /** the acknowledgment for `name`, iff its tightest historical floor
+    * still equals the acknowledged value exactly */
+  private[graft] def acknowledged(name: String,
+      f: FloorEntry): Option[String] =
+    AcknowledgedHistorical.get(name).collect {
+      case (ack, why) if f.prev.nonEmpty && f.prev.min == ack => why
+    }
+
   /** Governance rule for one floor at floors-write time (v2, monotone):
     *
     *  - no old entry: the round wall becomes the floor (fresh pin).
@@ -358,10 +396,17 @@ object Bench {
         s"${if (dirtyBest) "  CONTAMINATED" else ""}${if (ok) "" else "  FAILED"}")
       if (prevExceeded(i)) {
         val f = floors(d.name)
-        System.err.println(f"[bench] NOTE ${d.name}: wall ${best.sec}%.2fs " +
-          f"exceeds the PRE-re-pin floor gate (tightest prev=${f.prev.min}%.3f, " +
-          s"current floor=${f.floor} pinned ${f.pinnedRound}: ${f.reason}) " +
-          "— regression vs the old pipeline, absorbed by a re-pin")
+        acknowledged(d.name, f) match {
+          case Some(why) =>
+            System.err.println(
+              f"[bench] acknowledged historical ${d.name}: wall " +
+                f"${best.sec}%.2fs vs prev=${f.prev.min}%.3f — $why")
+          case None =>
+            System.err.println(f"[bench] NOTE ${d.name}: wall ${best.sec}%.2fs " +
+              f"exceeds the PRE-re-pin floor gate (tightest prev=${f.prev.min}%.3f, " +
+              s"current floor=${f.floor} pinned ${f.pinnedRound}: ${f.reason}) " +
+              "— regression vs the old pipeline, absorbed by a re-pin")
+        }
       }
       (d.name, best, ok, dirtyBest, floorDirty(i))
     }
@@ -375,8 +420,15 @@ object Bench {
     val failed = arr(results.collect { case (k, _, false, _, _) => k })
     val contaminated = arr(results.collect { case (k, _, _, true, _) => k })
     val floorExceeded = arr(results.collect { case (k, _, _, _, true) => k })
+    // acknowledged historicals are split out so a fold review reads
+    // "prev_floor_exceeded is empty" as ZERO un-triaged NOTEs
+    def ackOf(i: Int): Option[String] =
+      floors.get(defs(i).name).flatMap(f => acknowledged(defs(i).name, f))
     val prevExceededNames = arr(defs.indices.collect {
-      case i if prevExceeded(i) => defs(i).name
+      case i if prevExceeded(i) && ackOf(i).isEmpty => defs(i).name
+    })
+    val prevAckNames = arr(defs.indices.collect {
+      case i if prevExceeded(i) && ackOf(i).isDefined => defs(i).name
     })
     // per-query evidence: wall vs task-clock vs floor (+ pre-re-pin prev
     // floor when the entry carries history), for the best rep
@@ -389,7 +441,7 @@ object Bench {
     val total = results.collect { case (_, b, true, _, _) => b.sec }.sum
     val nFailed = results.count(!_._3)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"prev_floor_exceeded":$prevExceededNames,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","checks":["proc_stat_steal","task_clock_dilation","historical_floor"],"steal_threshold":$StealThreshold,"floor_factor":$FloorFactor,"floor_slack":"max(0.1, 0.25 * floor)","sf":"$sfDir","diag":$diag}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"prev_floor_exceeded":$prevExceededNames,"prev_floor_acknowledged":$prevAckNames,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","checks":["proc_stat_steal","task_clock_dilation","historical_floor"],"steal_threshold":$StealThreshold,"floor_factor":$FloorFactor,"floor_slack":"max(0.1, 0.25 * floor)","sf":"$sfDir","diag":$diag}"""
     // the artifact of record: stdout tails are truncated by the harness
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
@@ -407,7 +459,7 @@ object Bench {
     val stdoutBudget = 1800
     val headline = results.filter(_._3).sortBy(-_._2.sec)
     val fixed =
-      s""","n_queries":${results.length},"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"prev_floor_exceeded":$prevExceededNames,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","sf":"$sfDir","detail":"$outPath"}"""
+      s""","n_queries":${results.length},"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"prev_floor_exceeded":$prevExceededNames,"prev_floor_acknowledged":$prevAckNames,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","sf":"$sfDir","detail":"$outPath"}"""
     def summary(n: Int): String = {
       val top = headline.take(n)
         .map { case (k, b, _, _, _) => f""""$k":${b.sec}%.3f""" }

@@ -823,14 +823,16 @@ object Corpus {
         key.as("ck"))
       .withColumn("e", sum("n_cp").over(wext) + 1L)
       .withColumn("s", col("e") - col("n_cp"))
-    val dup = chunks.groupBy("ck")
-      .agg(count_distinct(col("id")).as("__nd"))
-      .filter(col("__nd") >= 2).select("ck")
-    // staged: THREE consumers (the broadcast-guard count, the hot-region
-    // anchor cut, and the final union into cutSpans) — unstaged, the
-    // census window + dup agg + join re-run per consumer
-    val chunkSpans = Dedup.stage(
-      chunks.join(dup, Seq("ck")).select("id", "s", "e"))
+    // staged: THREE consumers (the broadcast-guard span count, the hot
+    // cut's join, the union cut's join) — and the dup-key set is small
+    // (duplicated chunks only), so the snapshot is cheap; __no carries
+    // each key's occurrence count so the guard needs no extra pass over
+    // the chunk rows
+    val dup = Dedup.stage(chunks.groupBy("ck")
+      .agg(count_distinct(col("id")).as("__nd"), count(lit(1)).as("__no"))
+      .filter(col("__nd") >= 2).select("ck", "__no"))
+    val chunkSpans = chunks.join(dup.select("ck"), Seq("ck"))
+      .select("id", "s", "e")
     val anchors = walked.filter(col("kind") === 1)
       .select(col("id"), col("a").as("s0"), col("payload").as("seed"))
     // the hot-region cut: seed fully inside a removed chunk span. The
@@ -838,14 +840,16 @@ object Corpus {
     // next to the corpus) — BROADCAST it so the cut costs zero anchor
     // shuffles. But "usually" is not a bound: on a boilerplate-heavy
     // corpus the dup-span set is data-sized, and an unconditional
-    // broadcast would collect it on the driver. Guard with a cheap count
-    // over the staged spans (no recompute) and fall back to a shuffled
+    // broadcast would collect it on the driver. Guard on the EXACT span
+    // count (sum of the staged dup keys' occurrence counts — one tiny
+    // agg, no pass over chunk rows) and fall back to a shuffled
     // left_anti above the cap — one extra anchor shuffle, no driver
     // collect, same rows either way.
+    val nHot = dup.agg(coalesce(sum("__no"), lit(0L))).head.getLong(0)
     val hot = chunkSpans.select(col("id").as("__hid"),
       col("s").as("__hs"), col("e").as("__he"))
-    val hotSmall = chunkSpans.count() <= hotBroadcastCap
-    val survivors = anchors.join(if (hotSmall) broadcast(hot) else hot,
+    val survivors = anchors.join(
+      if (nHot <= hotBroadcastCap) broadcast(hot) else hot,
       anchors("id") === hot("__hid") &&
         col("s0") >= col("__hs") && (col("s0") + sl) <= col("__he"),
       "left_anti")

@@ -50,11 +50,14 @@ import org.apache.spark.sql.functions._
   */
 object LangIdTrained {
 
-  /** The 32 languages (class index = position — alphabetical by code)
+  /** The 64 languages (class index = position — alphabetical by code)
     * with 10 high-frequency function words each: the seeded synthetic
     * corpus [[syntheticCorpus]] draws from and the label set the model
-    * predicts. 32 = 2^5 so the class of `doc_id` is exact integer
-    * arithmetic on both engines (`% 32` / `// 32` = `shiftright 5`).
+    * predicts. Widened 32 -> 64 in r20 after the ArgmaxKBench curve
+    * showed the fused scorer LINEAR in K with no knee through 128
+    * (marginal 0.24 -> 0.43 us/row at K=32 -> 64, dim 64). 64 = 2^6 so
+    * the class of `doc_id` is exact integer arithmetic on both engines
+    * (`% 64` / `// 64` = `shiftright 6`).
     * Words are lowercase, apostrophe-free, space-free; diacritics and
     * non-Latin scripts (bg, el, hi, ru, uk) are deliberate — they are
     * exactly the char-trigram signals a real lid model keys on. Close
@@ -64,76 +67,138 @@ object LangIdTrained {
     * non-shared words and the 100%-accuracy pin is a real statement
     * about the feature space, not an artifact of distant languages.
     * (Danish-vs-bokmål-grade near-identical vocabularies are the one
-    * shape excluded — their function words overlap 8-9/10.) */
+    * shape excluded — their function words overlap 8-9/10; the r20
+    * additions therefore pick DISTINCTIVE common words for the close
+    * newcomers — sr in Cyrillic vs hr, mk avoiding the bg core set,
+    * az/uz on their non-Turkish-overlapping forms, af away from the
+    * nl article set — rather than the raw frequency-top-10.) */
   val LangVocab: Seq[(String, Seq[String])] = Seq(
-    "bg" -> Seq("и", "в", "на", "не", "се", "да", "е", "от",
-      "за", "като"),
-    "ca" -> Seq("els", "amb", "per", "una", "dels", "com", "molt",
-      "aquesta", "també", "sobre"),
-    "cs" -> Seq("je", "se", "na", "že", "to", "jako", "ale", "podle",
-      "také", "však"),
-    "da" -> Seq("og", "det", "at", "en", "til", "er", "som", "på",
-      "de", "ikke"),
-    "de" -> Seq("der", "und", "die", "nicht", "ist", "von", "mit",
-      "sich", "auf", "dass"),
-    "el" -> Seq("και", "το", "να", "του", "η", "με", "την", "δεν",
-      "από", "για"),
-    "en" -> Seq("the", "and", "of", "to", "that", "it", "was", "for",
-      "with", "which"),
-    "es" -> Seq("el", "la", "los", "que", "de", "en", "un", "por",
-      "con", "para"),
-    "et" -> Seq("ja", "on", "ei", "ka", "see", "kui", "oli", "aga",
-      "oma", "mis"),
-    "eu" -> Seq("eta", "ez", "da", "bat", "du", "hau", "baina", "ere",
-      "zen", "dira"),
-    "fi" -> Seq("ja", "on", "ei", "että", "se", "oli", "hän", "mutta",
-      "kun", "niin"),
-    "fr" -> Seq("le", "de", "et", "les", "des", "une", "dans", "pour",
-      "que", "pas"),
-    "gl" -> Seq("unha", "dos", "polo", "coa", "tamén", "máis", "cando",
-      "despois", "entón", "onde"),
-    "hi" -> Seq("के", "है", "की", "में", "से", "को", "का", "और",
-      "पर", "नहीं"),
-    "hr" -> Seq("je", "se", "na", "da", "su", "što", "ali", "kao",
-      "za", "nije"),
-    "hu" -> Seq("az", "és", "hogy", "nem", "egy", "meg", "van", "volt",
-      "el", "már"),
-    "id" -> Seq("yang", "dan", "di", "dengan", "untuk", "ini", "dari",
-      "pada", "adalah", "tidak"),
-    "it" -> Seq("il", "di", "che", "la", "per", "una", "con", "del",
-      "non", "sono"),
-    "lt" -> Seq("ir", "kad", "tai", "bet", "kaip", "buvo", "iš", "jis",
-      "bei", "dar"),
-    "lv" -> Seq("un", "ir", "ka", "par", "bet", "kā", "tika", "arī",
-      "vai", "tas"),
-    "nl" -> Seq("de", "het", "een", "van", "in", "op", "dat", "niet",
-      "met", "voor"),
-    "pl" -> Seq("nie", "się", "na", "że", "do", "jest", "po", "tak",
-      "ale", "jak"),
-    "pt" -> Seq("que", "não", "uma", "para", "com", "por", "mais",
-      "isso", "ele", "você"),
-    "ro" -> Seq("și", "de", "la", "în", "cu", "o", "pe", "este", "nu",
-      "care"),
-    "ru" -> Seq("и", "в", "не", "на", "что", "с", "как", "это", "по",
-      "но"),
-    "sk" -> Seq("je", "sa", "na", "že", "to", "ako", "ale", "som",
-      "už", "aj"),
-    "sl" -> Seq("je", "se", "na", "da", "v", "pa", "ki", "so",
-      "kot", "tudi"),
-    "sq" -> Seq("dhe", "një", "të", "për", "në", "me", "nga", "si",
-      "por", "kjo"),
-    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av",
-      "för", "med"),
-    "tr" -> Seq("bir", "ve", "bu", "da", "ne", "için", "ile", "olarak",
-      "daha", "çok"),
-    "uk" -> Seq("і", "в", "не", "на", "що", "з", "як", "це",
-      "до", "але"),
-    "vi" -> Seq("và", "của", "là", "có", "được", "không", "người",
-      "trong", "này", "cho"))
+    "af" -> Seq("nie", "ek", "jy", "hulle", "baie", "maar",
+      "wees", "hierdie", "ons", "dit"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن",
+      "مع", "هذا", "كان", "التي"),
+    "az" -> Seq("və", "ki", "olan", "sonra", "lakin", "edir",
+      "zaman", "əsas", "görə", "həm"),
+    "be" -> Seq("гэта", "ён", "усё", "таксама", "можна", "вельмі",
+      "быў", "пасля", "цяпер", "або"),
+    "bg" -> Seq("и", "в", "на", "не", "се", "да", "е", "от", "за", "като"),
+    "bn" -> Seq("এবং", "আমি", "তিনি", "করে", "হয়", "থেকে",
+      "এই", "যে", "তার", "কিন্তু"),
+    "ca" -> Seq("els", "amb", "per", "una", "dels", "com",
+      "molt", "aquesta", "també", "sobre"),
+    "cs" -> Seq("je", "se", "na", "že", "to", "jako",
+      "ale", "podle", "také", "však"),
+    "cy" -> Seq("wedi", "bod", "gyda", "ond", "hefyd", "mae",
+      "roedd", "gan", "eu", "fel"),
+    "da" -> Seq("og", "det", "at", "en", "til", "er",
+      "som", "på", "de", "ikke"),
+    "de" -> Seq("der", "und", "die", "nicht", "ist", "von",
+      "mit", "sich", "auf", "dass"),
+    "el" -> Seq("και", "το", "να", "του", "η", "με",
+      "την", "δεν", "από", "για"),
+    "en" -> Seq("the", "and", "of", "to", "that", "it",
+      "was", "for", "with", "which"),
+    "eo" -> Seq("kaj", "estas", "tio", "kiu", "ankaŭ", "sed",
+      "povas", "estis", "tiu", "ĉi"),
+    "es" -> Seq("el", "la", "los", "que", "de", "en",
+      "un", "por", "con", "para"),
+    "et" -> Seq("ja", "on", "ei", "ka", "see", "kui",
+      "oli", "aga", "oma", "mis"),
+    "eu" -> Seq("eta", "ez", "da", "bat", "du", "hau",
+      "baina", "ere", "zen", "dira"),
+    "fa" -> Seq("در", "به", "از", "که", "این", "را",
+      "با", "است", "برای", "آن"),
+    "fi" -> Seq("ja", "on", "ei", "että", "se", "oli",
+      "hän", "mutta", "kun", "niin"),
+    "fr" -> Seq("le", "de", "et", "les", "des", "une",
+      "dans", "pour", "que", "pas"),
+    "ga" -> Seq("agus", "bhí", "ach", "sé", "freisin", "nuair",
+      "díreach", "áfach", "anois", "beidh"),
+    "gl" -> Seq("unha", "dos", "polo", "coa", "tamén", "máis",
+      "cando", "despois", "entón", "onde"),
+    "he" -> Seq("של", "את", "על", "לא", "זה", "הוא",
+      "עם", "כי", "גם", "אבל"),
+    "hi" -> Seq("के", "है", "की", "में", "से", "को",
+      "का", "और", "पर", "नहीं"),
+    "hr" -> Seq("je", "se", "na", "da", "su", "što",
+      "ali", "kao", "za", "nije"),
+    "hu" -> Seq("az", "és", "hogy", "nem", "egy", "meg",
+      "van", "volt", "el", "már"),
+    "hy" -> Seq("և", "որ", "է", "այս", "նա", "մի",
+      "բայց", "համար", "այդ", "են"),
+    "id" -> Seq("yang", "dan", "di", "dengan", "untuk", "ini",
+      "dari", "pada", "adalah", "tidak"),
+    "is" -> Seq("það", "við", "ekki", "hún", "þetta", "því",
+      "hefur", "verið", "líka", "þegar"),
+    "it" -> Seq("il", "di", "che", "la", "per", "una",
+      "con", "del", "non", "sono"),
+    "ja" -> Seq("の", "に", "は", "を", "た", "が", "で", "て", "と", "です"),
+    "ka" -> Seq("და", "რომ", "არის", "ეს", "არ", "მისი",
+      "იყო", "უფრო", "თუ", "ასევე"),
+    "kk" -> Seq("және", "бұл", "бір", "үшін", "деп", "болып",
+      "керек", "қазақ", "жыл", "туралы"),
+    "km" -> Seq("និង", "នេះ", "គឺ", "បាន", "ការ", "ទៅ",
+      "មាន", "ពី", "ដែល", "ក្នុង"),
+    "ko" -> Seq("이", "그", "것", "수", "있다", "하다", "그리고", "하지만", "대한", "되다"),
+    "lo" -> Seq("ແລະ", "ນີ້", "ໄດ້", "ທີ່", "ຂອງ", "ໃນ",
+      "ກັບ", "ມີ", "ເປັນ", "ຈາກ"),
+    "lt" -> Seq("ir", "kad", "tai", "bet", "kaip", "buvo",
+      "iš", "jis", "bei", "dar"),
+    "lv" -> Seq("un", "ir", "ka", "par", "bet", "kā",
+      "tika", "arī", "vai", "tas"),
+    "mk" -> Seq("дека", "исто", "може", "беше", "многу", "кога",
+      "затоа", "сите", "нема", "туку"),
+    "mn" -> Seq("нь", "байна", "энэ", "болон", "гэж", "байгаа",
+      "хүн", "юм", "бол", "дээр"),
+    "mt" -> Seq("huwa", "ukoll", "iżda", "kien", "qed", "biex",
+      "madankollu", "għal", "kollox", "tiegħu"),
+    "my" -> Seq("သည်", "နှင့်", "ကို", "တွင်", "များ", "ဖြစ်",
+      "ရှိ", "လည်း", "မှ", "အတွက်"),
+    "nl" -> Seq("de", "het", "een", "van", "in", "op",
+      "dat", "niet", "met", "voor"),
+    "pl" -> Seq("nie", "się", "na", "że", "do", "jest",
+      "po", "tak", "ale", "jak"),
+    "pt" -> Seq("que", "não", "uma", "para", "com", "por",
+      "mais", "isso", "ele", "você"),
+    "ro" -> Seq("și", "de", "la", "în", "cu", "o",
+      "pe", "este", "nu", "care"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "с", "как", "это", "по", "но"),
+    "si" -> Seq("සහ", "මෙම", "ඇත", "විය", "කර", "ලෙස",
+      "වූ", "බව", "සඳහා", "නමුත්"),
+    "sk" -> Seq("je", "sa", "na", "že", "to", "ako",
+      "ale", "som", "už", "aj"),
+    "sl" -> Seq("je", "se", "na", "da", "v", "pa",
+      "ki", "so", "kot", "tudi"),
+    "sq" -> Seq("dhe", "një", "të", "për", "në", "me",
+      "nga", "si", "por", "kjo"),
+    "sr" -> Seq("је", "су", "али", "као", "био", "ће",
+      "него", "сада", "веома", "где"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på",
+      "är", "av", "för", "med"),
+    "sw" -> Seq("na", "ya", "kwa", "katika", "sana", "kama",
+      "wake", "kuwa", "hivyo", "watu"),
+    "ta" -> Seq("மற்றும்", "இந்த", "ஒரு", "என்று", "உள்ளது", "அவர்",
+      "இது", "ஆனால்", "மிகவும்", "வேண்டும்"),
+    "te" -> Seq("మరియు", "ఈ", "ఒక", "అని", "ఉంది", "అతను",
+      "కానీ", "చాలా", "కోసం", "నుండి"),
+    "th" -> Seq("และ", "ที่", "ใน", "ของ", "ได้", "ให้",
+      "ไม่", "จาก", "มี", "เป็น"),
+    "tl" -> Seq("ang", "ng", "mga", "ito", "hindi", "kanyang",
+      "ngunit", "rin", "siya", "nang"),
+    "tr" -> Seq("bir", "ve", "bu", "da", "ne", "için",
+      "ile", "olarak", "daha", "çok"),
+    "uk" -> Seq("і", "в", "не", "на", "що", "з", "як", "це", "до", "але"),
+    "ur" -> Seq("اور", "کے", "میں", "کی", "ہے", "سے",
+      "کا", "نے", "لیے", "لیکن"),
+    "uz" -> Seq("va", "uchun", "bilan", "ham", "keyin", "edi",
+      "emas", "qilgan", "yoki", "shuning"),
+    "vi" -> Seq("và", "của", "là", "có", "được", "không",
+      "người", "trong", "này", "cho"),
+    "zh" -> Seq("的", "是", "在", "了", "我们", "这个", "和", "就", "人", "有"))
 
   /** number of classes — MUST stay a power of two (see [[LangVocab]]) */
   val NumLangs: Int = LangVocab.size
-  require(NumLangs == 32, "class arithmetic assumes 32 languages")
+  require(NumLangs == 64, "class arithmetic assumes 64 languages")
 
   /** log2(NumLangs): `doc_id / NumLangs` as an exact long shift */
   val LangShift: Int = Integer.numberOfTrailingZeros(NumLangs)
@@ -327,7 +392,7 @@ object LangIdTrained {
     * committed literal weight table, retrain-equality-pinned in
     * LangIdTrainedSpec) over raw text: appends `out` = predicted
     * language code. md5-mode features, so a composite oracle replays
-    * this as the md5 feature CTEs + 32 dots against a literal VALUES
+    * this as the md5 feature CTEs + 64 dots against a literal VALUES
     * weight table — never the 24 GD rounds (those stay certified once,
     * in q_text_langid_trained). One fused codegen'd map, zero shuffles,
     * filter-pushdown-safe (see [[score]]). */

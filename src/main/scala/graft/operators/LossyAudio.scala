@@ -24,6 +24,28 @@ import org.apache.spark.sql.functions._
   * per payload, zero shuffles, bounds-checked walks, malformed input
   * QUARANTINES (`decoded = false`) — never throws, never fabricates
   * samples.
+  *
+  * OPUS FEASIBILITY (the r19-verdict scouting ask — the MP3 rationale
+  * does not transfer automatically, so the question was scoped before
+  * closing the perceptual-codec item): unlike MP3, RFC 6716 is fully
+  * self-contained — the CELT MDCT window IS analytic (§4.3.1's
+  * `sin(pi/2 * sin^2(...))` form), the range coder is specified to the
+  * bit, and the PVQ codebooks are algorithmic, so no non-derivable
+  * table blocks a decoder in principle. What blocks it HERE is
+  * surface, not derivability: a conformant decode path needs the range
+  * decoder, the SILK side (LPC + LTP synthesis, its own layered
+  * bitstream) OR at minimum CELT-only mode (band allocation tables,
+  * PVQ de-quantization, anti-collapse, post-filter), plus the Ogg/WebM
+  * container walk — the reference implementation is tens of thousands
+  * of lines, and RFC 6716's own conformance bar is a test-vector
+  * suite this offline environment cannot fetch. A from-scratch decoder
+  * certified only by self-round-trip would be exactly the
+  * "claiming the format without evidence" failure the MP3 rejection
+  * avoided. DECISION: rejected for this engine — not on derivability
+  * (Opus is derivable) but on unverifiable conformance within this
+  * environment; the lossy-audio surface stays mu-law + ADPCM, whose
+  * round-trips ARE the conformance evidence (hash-certified end to
+  * end in DuckDB).
   */
 object LossyAudio {
 

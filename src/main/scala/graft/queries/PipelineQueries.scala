@@ -1189,7 +1189,7 @@ object PipelineQueries {
           TA.GopherConfig(minWords = 25L, maxWords = 80L,
             minMeanWordLen = 3.0, maxMeanWordLen = 5.0, minStopwordHits = 1))
           .filter(col("quality_pass"))
-        // TRAINED language gate (r19): the pinned 32-language model —
+        // TRAINED language gate (r19; widened to 64 in r20): the pinned model —
         // one fused codegen'd kernel + argmax (MulticlassArgmax),
         // 0.42x the 7-language marker gate's cost (SCALE.md r18 A/B)
         // with 4.5x the coverage; the oracle replays the scoring pass
@@ -1938,10 +1938,10 @@ object PipelineQueries {
         val deduped = Dedup.exact(quality, "doc_id", "text")
         val kept = quality.join(
           deduped.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-        // TRAINED per-language stats (r19): the pinned 32-language
+        // TRAINED per-language stats (r19; 64 languages since r20): the pinned
         // model via the fused MulticlassArgmax kernel — one codegen'd
         // map, cheaper than the 21 marker scans it replaces (SCALE.md
-        // r18 A/B: 0.42x) and 32-language resolution instead of 7+und
+        // SCALE.md r20 decomposition) and 64-language resolution instead of 7+und
         graft.operators.LangIdTrained.withLangPinned(
             kept.select(col("doc_id"), col("text"), col("n_tokens")),
             "text", "lang")
@@ -2315,7 +2315,7 @@ object PipelineQueries {
         // staged once (eager checkpoint): three consumers below (sketch,
         // exact recount, per-language totals) would otherwise each
         // replay the scoring and the explode per document.
-        // TRAINED per-language grouping (r19): the pinned 32-language
+        // TRAINED per-language grouping (r19; 64 languages since r20): the pinned
         // model via the fused MulticlassArgmax kernel (0.42x the marker
         // CASE this replaced — SCALE.md r18 A/B)
         val toks = Dedup.stage(
@@ -3023,7 +3023,7 @@ object PipelineQueries {
         maxSample = 2000))),
 
     // TRAINED multi-class language ID — the fastText-lid shape replacing
-    // marker-count heuristics: 32 languages, char-trigram md5 hashed
+    // marker-count heuristics: 64 languages (r20 widen), char-trigram md5 hashed
     // features over a boundary-marked char stream, 16 one-vs-rest linear
     // classifiers trained by deterministic full-batch GD (rational
     // sigmoid — no exp(), single-rounded IEEE ops only), whole-corpus
@@ -3036,7 +3036,7 @@ object PipelineQueries {
     // CTE chain carrying the class index as a column, so the SQL is the
     // same 6 CTEs per round as the binary case. Scale shape: train = one
     // TakeOrdered sample + model-sized driver math; score = one
-    // codegen'd map (feature kernel + 32 dots + argmax fused into ONE
+    // codegen'd map (feature kernel + 64 dots + argmax fused into ONE
     // Catalyst expression), zero shuffles.
     QueryDef("q_text_langid_trained",
       (s, dir) => {
@@ -3731,7 +3731,7 @@ object PipelineQueries {
 
   /** The PINNED trained-langid prediction replay over an arbitrary
     * `(doc_id, text)` source — charSpread normalization + md5
-    * char-trigram features + 32 dots against the committed
+    * char-trigram features + 64 dots against the committed
     * [[graft.operators.LangIdPinned]] literal weight table (emitted as
     * a VALUES table of comma-joined `Double.toString` strings, cast
     * element-wise VARCHAR->DOUBLE: DuckDB's correctly-rounding parse of

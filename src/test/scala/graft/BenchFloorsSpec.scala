@@ -133,6 +133,43 @@ class BenchFloorsSpec extends AnyFunSuite {
     }
   }
 
+  test("acknowledged-historical allowlist is EXACT: four pinned entries, " +
+      "each anchored to a live prev floor, exact-match-armed only") {
+    // the r19-verdict governance item: recurring prev-floor NOTEs whose
+    // historical pipelines are unreachable by the current declared ones.
+    // This pin fails on any SILENT addition/removal/value change — a new
+    // acknowledgment must edit this literal map too, which is the review
+    // moment the mechanism exists to create.
+    assert(Bench.AcknowledgedHistorical.keySet ===
+      Set("q_tar_roundtrip", "q_stream_neardup", "q_text_topterms",
+        "q_pipeline_clean"))
+    assert(Bench.AcknowledgedHistorical("q_tar_roundtrip")._1 == 0.234)
+    assert(Bench.AcknowledgedHistorical("q_stream_neardup")._1 == 0.839)
+    assert(Bench.AcknowledgedHistorical("q_text_topterms")._1 == 0.445)
+    assert(Bench.AcknowledgedHistorical("q_pipeline_clean")._1 == 0.611)
+    assert(Bench.AcknowledgedHistorical.values.forall(_._2.nonEmpty),
+      "an acknowledgment without a documented reason is a silent mute")
+    // each acknowledgment must anchor to the sf0.1 resource's TIGHTEST
+    // prev floor — a dangling entry (floor vanished or re-pinned to a
+    // different value) must re-arm the full NOTE, not linger
+    val in = getClass.getResourceAsStream("/graft/bench_floors_sf0.1.json")
+    val m = Bench.parseFloors(
+      try scala.io.Source.fromInputStream(in).mkString finally in.close())
+    Bench.AcknowledgedHistorical.foreach { case (q, (ack, _)) =>
+      val e = m(q)
+      assert(e.prev.nonEmpty && e.prev.min == ack,
+        s"$q: acknowledgment $ack dangles (resource prev=${e.prev})")
+      assert(Bench.acknowledged(q, e).isDefined)
+      // a DIFFERENT tightest prev re-arms the full NOTE
+      assert(Bench.acknowledged(q,
+        e.copy(prev = (ack / 2) :: e.prev)).isEmpty,
+        s"$q: a new tighter prev floor must re-arm the full NOTE")
+    }
+    // non-listed queries never acknowledge
+    assert(Bench.acknowledged("q_dedup_exact",
+      Bench.FloorEntry(1.0, List(0.234), "r1", "x")).isEmpty)
+  }
+
   test("floors cover exactly the declared surface: no floorless query, " +
       "no stale floor") {
     val in = getClass.getResourceAsStream("/graft/bench_floors_sf0.1.json")

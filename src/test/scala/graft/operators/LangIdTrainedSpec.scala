@@ -21,7 +21,7 @@ class LangIdTrainedSpec extends AnyFunSuite {
       LangIdTrained.syntheticCorpus(
         spark.range(n.toLong).select(col("id").as("doc_id"))), "sent")
 
-  private def trained(n: Int = 640) =
+  private def trained(n: Int = 20 * LangIdTrained.NumLangs) =
     LangIdTrained.train(corpus(n), "doc_id", "feats", "lang_k",
       LangIdTrained.LangVocab.map(_._1), rounds = 24, lr = 4.0,
       maxSample = n)
@@ -64,8 +64,8 @@ class LangIdTrainedSpec extends AnyFunSuite {
     assert(m1 === m2)
   }
 
-  test("the trained model separates all 32 languages on the seeded corpus") {
-    val feats = corpus(640)
+  test("the trained model separates all 64 languages on the seeded corpus") {
+    val feats = corpus(20 * LangIdTrained.NumLangs)
     val scored = LangIdTrained.score(feats, "feats", trained())
     val bad = scored.filter(col("lang_pred") =!= col("lang")).count()
     assert(bad === 0L, "every doc of the training corpus must classify correctly")

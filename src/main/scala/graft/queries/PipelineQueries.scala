@@ -417,6 +417,24 @@ object PipelineQueries {
       },
       Some(streamCdcOracleSql)),
 
+    // PRODUCTION-KEY twin (r20): the census keys state on xxhash64; the
+    // oracle ranks per chunk CONTENT, so the same SQL certifies the
+    // production hash path hash-exactly (a 64-bit collision could only
+    // merge two content partitions' arrival ranks — the md5 twins'
+    // accepted philosophy, and it holds identically for both hashes).
+    QueryDef("q_stream_cdc_xx",
+      (s, dir) => {
+        val docs = cdcOracleBoundGuard(Tables.documents(s, dir))
+          .withColumn("ts",
+            timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+        graft.streaming.StreamCdc
+          .dupChunkHits(docs, "doc_id", "ts", "text", md5Mode = false)
+          .select(col("doc_id"), col("cidx"), col("first_doc"),
+            col("n_prev"))
+          .orderBy("doc_id", "cidx", "first_doc")
+      },
+      Some(streamCdcOracleSql)),
+
     // STREAMING long-repeat candidate census (the r18-verdict item 5):
     // the anchor walk as a second stateful consumer of the shared
     // rolling-hash machinery — ingest-time candidate pairs for the
@@ -432,6 +450,23 @@ object PipelineQueries {
             timestamp_micros((col("doc_id") + 10000L) * 1000000L))
         graft.streaming.StreamRepeats
           .repeatCandidates(docs, "doc_id", "ts", "text", md5Mode = true)
+          .select(col("doc_id"), col("s0"), col("first_doc"),
+            col("first_s0"), col("rk"))
+          .orderBy("doc_id", "s0", "first_doc")
+      },
+      Some(streamRepeatsOracleSql)),
+
+    // PRODUCTION-KEY twin (r20): seed-hash state keys on xxhash64; the
+    // oracle ranks per seed CONTENT — same SQL, hash-exact (collisions
+    // can only fabricate CANDIDATES, and the batch extension re-reads
+    // both texts before any span is cut).
+    QueryDef("q_stream_repeats_xx",
+      (s, dir) => {
+        val docs = cdcOracleBoundGuard(Tables.documents(s, dir))
+          .withColumn("ts",
+            timestamp_micros((col("doc_id") + 10000L) * 1000000L))
+        graft.streaming.StreamRepeats
+          .repeatCandidates(docs, "doc_id", "ts", "text", md5Mode = false)
           .select(col("doc_id"), col("s0"), col("first_doc"),
             col("first_s0"), col("rk"))
           .orderBy("doc_id", "s0", "first_doc")
@@ -464,6 +499,36 @@ object PipelineQueries {
           guarded.withColumn("ts",
             timestamp_micros((col("doc_id") + 10000L) * 1000000L)),
           "doc_id", "ts", "text", md5Mode = true)
+        graft.operators.Corpus
+          .scrubFromCensus(guarded, "doc_id", "text", cands)
+          .orderBy("doc_id")
+      },
+      Some(repeatScrubOracleSql)),
+
+    // PRODUCTION-KEY twin of the composed row (the q_scrub_composite_xx
+    // posture): the census keys state on xxhash64 instead of the md5
+    // twin; the oracle is CONTENT-keyed (ranks per seed content, the
+    // extension re-verifies seed text), so the same SQL certifies the
+    // production hash path HASH-EXACTLY — an 8-byte collision could
+    // only perturb a bucket's cap composition, and the seed
+    // re-verification in scrubFromCensus means even that cannot
+    // fabricate a cut.
+    QueryDef("q_stream_repeat_scrub_xx",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir)
+          .selectExpr("doc_id", "doc_id div 10 AS j",
+            "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
+            "text")
+          .selectExpr("doc_id",
+            "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
+              "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
+              "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
+              "|| substring(text, off + 1) ELSE text END AS text")
+        val guarded = cdcOracleBoundGuard(planted)
+        val cands = graft.streaming.StreamRepeats.repeatCandidates(
+          guarded.withColumn("ts",
+            timestamp_micros((col("doc_id") + 10000L) * 1000000L)),
+          "doc_id", "ts", "text", md5Mode = false)
         graft.operators.Corpus
           .scrubFromCensus(guarded, "doc_id", "text", cands)
           .orderBy("doc_id")
@@ -505,6 +570,28 @@ object PipelineQueries {
       },
       Some(longRepeatsOracleSql)),
 
+    // PRODUCTION-KEY twin (r20): seed buckets key on xxhash64; the
+    // oracle pairs per seed CONTENT and the engine's candidate join
+    // re-verifies seed_a === seed_b, so the same SQL certifies the
+    // production hash path hash-exactly.
+    QueryDef("q_long_repeats_xx",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir)
+          .selectExpr("doc_id", "doc_id div 10 AS j",
+            "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
+            "text")
+          .selectExpr("doc_id",
+            "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
+              "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
+              "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
+              "|| substring(text, off + 1) ELSE text END AS text")
+        graft.operators.Corpus.longRepeats(
+            cdcOracleBoundGuard(planted), "doc_id", "text",
+            md5Mode = false)
+          .orderBy("id_a", "id_b", "start_a", "start_b")
+      },
+      Some(longRepeatsOracleSql)),
+
     // LONG-REPEAT REMOVAL (the Lee-et-al cut's removal step — the scrub
     // q_long_repeats' findings exist for): every reported repeat is cut
     // from its LATER copy (id_b; the first arrival keeps its text),
@@ -529,6 +616,27 @@ object PipelineQueries {
         graft.operators.Corpus.scrubLongRepeats(
             cdcOracleBoundGuard(planted), "doc_id", "text",
             md5Mode = true)
+          .orderBy("doc_id")
+      },
+      Some(repeatScrubOracleSql)),
+
+    // PRODUCTION-KEY twin (r20): the one-shot scrub on xxhash64 seed
+    // buckets — same content-keyed oracle, hash-exact (the
+    // q_long_repeats_xx argument composed with the island cut).
+    QueryDef("q_repeat_scrub_xx",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir)
+          .selectExpr("doc_id", "doc_id div 10 AS j",
+            "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
+            "text")
+          .selectExpr("doc_id",
+            "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
+              "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
+              "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
+              "|| substring(text, off + 1) ELSE text END AS text")
+        graft.operators.Corpus.scrubLongRepeats(
+            cdcOracleBoundGuard(planted), "doc_id", "text",
+            md5Mode = false)
           .orderBy("doc_id")
       },
       Some(repeatScrubOracleSql)),

@@ -3006,6 +3006,42 @@ object PipelineQueries {
       },
       Some(raw"""WITH ${quantizerCtesSql}, cands AS (SELECT vec_id FROM scoredq ORDER BY c DESC, vec_id LIMIT 50), rr AS (SELECT b.vec_id, list_inner_product(b.v, $queryVecSql) / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product($queryVecSql, $queryVecSql))) AS c FROM base b JOIN cands USING (vec_id)) SELECT vec_id, round(c, 6) AS cosine_r FROM rr WHERE c IS NOT NULL AND NOT isnan(c) ORDER BY c DESC, vec_id LIMIT 10""")),
 
+    // EMBEDDING PCA / WHITENING (r20) — the dimensionality-reduction /
+    // variance-equalization step in front of IVF/PQ retrieval and
+    // SemDeDup: fixed-round power iteration with deflation over the
+    // bounded id-ordered sample (the trainCentroids oracle mode;
+    // production mode samples by xxhash64(vector) content key), scored
+    // corpus-wide by the codegen'd DotProduct kernel over zip_with
+    // centering — no join, no shuffle, per-row O(nComp*dim). The oracle
+    // replays the ENTIRE training (mean fold, all 24 iteration rounds,
+    // eigenvalues, deflation) as ascending-id/index serial-fold CTEs —
+    // the trained-model-replay technique (qualityClassifierCtesSql) —
+    // then the projection chain; every op single-rounded IEEE (+,-,*,/
+    // and correctly-rounded sqrt), so margins hash-match bit-exactly.
+    QueryDef("q_embed_pca",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.operators.Pca.train(emb, "embedding",
+          nComp = 2, iters = 12, maxSample = 400,
+          sampleOrderCol = Some("vec_id"))
+        def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          floor(c * 1e6d + 0.5d) / 1e6d
+        def eigLit(k: Int): org.apache.spark.sql.Column =
+          lit(math.floor(model.eigenvalues(k) * 1e6 + 0.5) / 1e6)
+        emb.select(col("vec_id"),
+          r6(graft.operators.Pca.projection(col("embedding"), model, 0))
+            .as("pc1_r"),
+          r6(graft.operators.Pca.projection(col("embedding"), model, 1))
+            .as("pc2_r"),
+          r6(graft.operators.Pca.whitened(col("embedding"), model, 0))
+            .as("white1_r"),
+          r6(graft.operators.Pca.whitened(col("embedding"), model, 1))
+            .as("white2_r"),
+          eigLit(0).as("eig1_r"), eigLit(1).as("eig2_r"))
+          .orderBy("vec_id")
+      },
+      Some(embedPcaOracleSql(dim = 64, iters = 12, maxSample = 400))),
+
     // Batch kNN JOIN: every query row gets its 5 nearest corpus rows in
     // one pass — bounded-heap partial aggregation, so the shuffle carries
     // k pairs per (partition, query), never the |C|x|Q| scored rows.
@@ -5316,6 +5352,52 @@ object PipelineQueries {
     b ++= s"cand AS MATERIALIZED (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT ${topk * rerank}), "
     b ++= "scored AS (SELECT n.vec_id, list_inner_product(n.v, q.q) / (sqrt(list_inner_product(n.v, n.v)) * sqrt(list_inner_product(q.q, q.q))) AS cosine FROM vn n JOIN cand USING (vec_id) CROSS JOIN qn q) "
     b ++= s"SELECT vec_id, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine_r FROM scored WHERE cosine IS NOT NULL AND NOT isnan(cosine) ORDER BY cosine DESC, vec_id ASC LIMIT $topk"
+    b.toString
+  }
+
+  /** q_embed_pca replay: the trained-model-replay technique applied to
+    * [[graft.operators.Pca.train]] — the full power-iteration training
+    * (mean, `iters` rounds per component, eigenvalue, deflation) as
+    * CTEs, then the corpus projection chain. Bit-exactness rules (the
+    * [[qualityClassifierCtesSql]] / [[kmeansCtes]] posture):
+    *  - sample: ORDER BY vec_id LIMIT maxSample (the oracle-mode
+    *    `sampleOrderCol`); every cross-sample accumulation is an
+    *    ascending-id serial fold (`list(... ORDER BY id)` +
+    *    2-arg list_reduce with a scalar DOUBLE accumulator — the
+    *    proven single-level form);
+    *  - every dot is `list_inner_product` == the driver's/kernel's
+    *    ascending-index loop;
+    *  - normalization replays the division form `x / sqrt(n2)` with
+    *    the kmeans zero-norm CASE;
+    *  - deflation/centering are exact per-element `-`/`*` mirrors;
+    *  - AS MATERIALIZED throughout (each iteration references its
+    *    predecessor; un-materialized the chain re-inlines
+    *    exponentially).
+    */
+  private def embedPcaOracleSql(dim: Int, iters: Int,
+      maxSample: Int): String = {
+    val b = new StringBuilder
+    b ++= "WITH "
+    b ++= s"psamp AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings ORDER BY vec_id LIMIT $maxSample), "
+    b ++= "pn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM psamp), "
+    b ++= s"pmc AS MATERIALIZED (SELECT i, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(xj ORDER BY id)), (a, b) -> a + b) / ANY_VALUE(pn.n) AS m FROM (SELECT id, UNNEST(x) AS xj, UNNEST(range(0, $dim)) AS i FROM psamp) q CROSS JOIN pn GROUP BY i), "
+    b ++= s"cent0 AS MATERIALIZED (SELECT id, list(xj - m ORDER BY i) AS c FROM (SELECT id, UNNEST(x) AS xj, UNNEST(range(0, $dim)) AS i FROM psamp) q JOIN pmc USING (i) GROUP BY id), "
+    for (k <- 1 to 2) {
+      b ++= s"pv${k}_0 AS MATERIALIZED (SELECT list_transform(range(0, $dim), i -> CAST(1 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE))) AS v), "
+      for (t <- 1 to iters) {
+        b ++= s"pp${k}_$t AS MATERIALIZED (SELECT s.id, s.c, list_inner_product(s.c, w.v) AS p FROM cent${k - 1} s CROSS JOIN pv${k}_${t - 1} w), "
+        b ++= s"pu${k}_$t AS MATERIALIZED (SELECT i, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p * cj ORDER BY id)), (a, b) -> a + b) AS u FROM (SELECT id, p, UNNEST(c) AS cj, UNNEST(range(0, $dim)) AS i FROM pp${k}_$t) q GROUP BY i), "
+        b ++= s"pul${k}_$t AS MATERIALIZED (SELECT list(u ORDER BY i) AS u FROM pu${k}_$t), "
+        b ++= s"pv${k}_$t AS MATERIALIZED (SELECT CASE WHEN list_inner_product(u, u) = 0 THEN u ELSE list_transform(u, x -> x / sqrt(list_inner_product(u, u))) END AS v FROM pul${k}_$t), "
+      }
+      b ++= s"pf$k AS MATERIALIZED (SELECT s.id, s.c, list_inner_product(s.c, w.v) AS p FROM cent${k - 1} s CROSS JOIN pv${k}_$iters w), "
+      b ++= s"pe$k AS MATERIALIZED (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p * p ORDER BY id)), (a, b) -> a + b) / ANY_VALUE(pn.n) AS ev FROM pf$k CROSS JOIN pn), "
+      if (k < 2)
+        b ++= s"cent$k AS MATERIALIZED (SELECT id, list(cj - p * vj ORDER BY i) AS c FROM (SELECT id, p, UNNEST(c) AS cj, UNNEST(range(0, $dim)) AS i FROM pf$k) q JOIN (SELECT UNNEST(v) AS vj, UNNEST(range(0, $dim)) AS i FROM pv${k}_$iters) w USING (i) GROUP BY id), "
+    }
+    b ++= s"ccorp AS MATERIALIZED (SELECT vec_id, list(ej - m ORDER BY i) AS c FROM (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS ej, UNNEST(range(0, $dim)) AS i FROM embeddings) q JOIN pmc USING (i) GROUP BY vec_id), "
+    b ++= s"pscored AS (SELECT e.vec_id, list_inner_product(e.c, v1.v) AS p1, list_inner_product(e.c, v2.v) AS p2 FROM ccorp e CROSS JOIN pv1_$iters v1 CROSS JOIN pv2_$iters v2) "
+    b ++= "SELECT vec_id, floor(p1 * 1e6 + 0.5) / 1e6 AS pc1_r, floor(p2 * 1e6 + 0.5) / 1e6 AS pc2_r, floor((CASE WHEN e1.ev = 0 THEN CAST(0 AS DOUBLE) ELSE p1 / sqrt(e1.ev) END) * 1e6 + 0.5) / 1e6 AS white1_r, floor((CASE WHEN e2.ev = 0 THEN CAST(0 AS DOUBLE) ELSE p2 / sqrt(e2.ev) END) * 1e6 + 0.5) / 1e6 AS white2_r, floor(e1.ev * 1e6 + 0.5) / 1e6 AS eig1_r, floor(e2.ev * 1e6 + 0.5) / 1e6 AS eig2_r FROM pscored CROSS JOIN pe1 e1 CROSS JOIN pe2 e2 ORDER BY vec_id"
     b.toString
   }
 

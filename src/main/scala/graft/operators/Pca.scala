@@ -65,30 +65,11 @@ object Pca {
       sampleOrderCol: Option[String] = None): PcaModel = {
     require(nComp >= 1, s"nComp must be >= 1, got $nComp")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // content-hash sample order by default (stable under re-ingestion);
-    // an explicit column is the oracle mode. orderBy+limit is a
-    // distributed TakeOrdered (per-partition top-k + driver merge) —
-    // never a single-partition funnel.
-    val rows = df
-      .select(col(vecCol),
-        sampleOrderCol.fold(xxhash64(col(vecCol)))(c => col(c)).as("__h"))
-      .orderBy(col("__h"))
-      .limit(maxSample)
-      .collect()
-    // driver re-sort so the fold order is the sample order by
-    // construction, not by trust in the collect's ordering (the
-    // QualityClassifier posture)
-    val sample: Array[Array[Double]] = rows
-      .sortBy(_.get(1) match {
-        case l: Long => l
-        case i: Int => i.toLong
-        case x => x.toString.toLong
-      })
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case x => x.toString.toDouble
-      }.toArray)
+    // the shared bounded-sample collection (content-hash order by
+    // default, explicit column in the oracle mode; driver re-sorted so
+    // the fold order is the sample order by construction)
+    val sample: Array[Array[Double]] =
+      Similarity.boundedSample(df, vecCol, maxSample, sampleOrderCol)
     require(sample.nonEmpty, "PCA sample is empty")
     val dim = sample(0).length
     require(sample.forall(_.length == dim),
@@ -170,33 +151,50 @@ object Pca {
 
   /** Element-wise centering against the broadcast-literal mean —
     * `zip_with` keeps the exact `x_j - mean_j` per-element op the
-    * driver (and the oracle's `list(xj - m ORDER BY i)`) computes. */
-  private def centered(vec: Column, model: PcaModel): Column =
-    zip_with(vec.cast("array<double>"), typedLit(model.mean),
-      (x, m) => x - m)
+    * driver (and the oracle's `list(xj - m ORDER BY i)`) computes. A
+    * wrong-width vector yields NULL (not a null-padded zip that the
+    * downstream dot would score as if the missing dims equalled the
+    * mean) — preserving [[graft.functions.DotProduct]]'s "a wrong-width
+    * vector must never produce a plausible score" contract. */
+  private def centered(vec: Column, model: PcaModel): Column = {
+    val cast = vec.cast("array<double>")
+    when(size(cast) === lit(model.mean.length),
+      zip_with(cast, typedLit(model.mean), (x, m) => x - m))
+  }
 
   /** Projection onto component `k` (0-based): the codegen'd
     * ascending-index dot over the centered vector. */
   def projection(vec: Column, model: PcaModel, k: Int): Column =
     Similarity.dot(centered(vec, model), typedLit(model.components(k)))
 
-  /** Whitened projection: `pc_k / sqrt(lambda_k)` (0 when the component
-    * carries no variance — a degenerate direction must not produce
-    * +/-Infinity scores). `sqrt` is computed driver-side on the model
-    * eigenvalue; correctly-rounded, so the oracle's `sqrt(ev)` is the
-    * same double. */
-  def whitened(vec: Column, model: PcaModel, k: Int): Column = {
+  /** Whitening of an already-computed projection column:
+    * `pc_k / sqrt(lambda_k)` (0 when the component carries no
+    * variance — a degenerate direction must not produce +/-Infinity
+    * scores). `sqrt` is computed driver-side on the model eigenvalue;
+    * correctly-rounded, so the oracle's `sqrt(ev)` is the same double.
+    * Taking the projection AS A COLUMN lets callers reuse one centered
+    * dot for both outputs instead of evaluating the O(dim) kernel
+    * twice per component per row. */
+  def whitenedFromProjection(pc: Column, model: PcaModel,
+      k: Int): Column = {
     val ev = model.eigenvalues(k)
-    if (ev == 0.0) lit(0.0)
-    else projection(vec, model, k) / lit(math.sqrt(ev))
+    if (ev == 0.0) lit(0.0) else pc / lit(math.sqrt(ev))
   }
+
+  /** Whitened projection from the raw vector (recomputes the
+    * projection; prefer [[whitenedFromProjection]] when the `pc`
+    * column is already in the frame). */
+  def whitened(vec: Column, model: PcaModel, k: Int): Column =
+    whitenedFromProjection(projection(vec, model, k), model, k)
 
   /** Score a frame: appends `pc<i>` / `white<i>` columns (1-based names)
     * for the model's components — one scan, per-row O(nComp * dim),
-    * fused into the read stage. */
+    * fused into the read stage; each `white<i>` derives from its
+    * already-computed `pc<i>` column (one centered dot per component). */
   def transform(df: DataFrame, vecCol: String, model: PcaModel): DataFrame =
     model.components.indices.foldLeft(df) { (d, k) =>
       d.withColumn(s"pc${k + 1}", projection(col(vecCol), model, k))
-        .withColumn(s"white${k + 1}", whitened(col(vecCol), model, k))
+        .withColumn(s"white${k + 1}",
+          whitenedFromProjection(col(s"pc${k + 1}"), model, k))
     }
 }

@@ -352,17 +352,8 @@ object Similarity {
     // where the xxhash64 content key is not). The content-hash default
     // stays the production posture: it is independent of id assignment
     // and stable under re-ingestion.
-    val sample: Array[Array[Double]] = df
-      .select(col(vecCol),
-        sampleOrderCol.fold(xxhash64(col(vecCol)))(c => col(c)).as("__h"))
-      .orderBy(col("__h"))
-      .limit(maxSample)
-      .collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case x => x.toString.toDouble
-      }.toArray)
+    val sample: Array[Array[Double]] =
+      boundedSample(df, vecCol, maxSample, sampleOrderCol)
       .map(normalize)
       // a zero vector has no direction on the unit sphere; keeping it
       // would make farthest-point init re-pick it every round (its
@@ -462,22 +453,47 @@ object Similarity {
     * re-ranking. Distances are L2; for cosine search feed NORMALIZED
     * vectors ([[normalized]]) so L2 and cosine order agree.
     */
-  def trainPq(df: DataFrame, vecCol: String, m: Int = 8, ksub: Int = 16,
-      iters: Int = 5, maxSample: Int = 2000,
-      sampleOrderCol: Option[String] = None): Seq[Seq[Seq[Double]]] = {
-    // same sample-order switch as [[trainCentroids]] (oracle-replayable
-    // id order vs the content-hash production default)
-    val sample: Array[Array[Double]] = df
-      .select(col(vecCol),
+  /** The shared bounded-sample collection every driver-side model
+    * trainer (centroids, PQ, PCA) uses: the `maxSample` vectors with
+    * the smallest `xxhash64(vector)` values (content-keyed — stable
+    * under re-ingestion and partitioning) or the smallest
+    * `sampleOrderCol` values (the oracle-replayable mode), via a
+    * distributed TakeOrdered (per-partition top-k + driver merge,
+    * never a single-partition funnel), decoded to doubles in SAMPLE
+    * ORDER. The driver re-sort makes the downstream fold order the
+    * sample order by construction, not by trust in the collect's
+    * ordering (the QualityClassifier posture): `Comparable` covers
+    * every sane order-column type — numerics, strings, dates — and
+    * Java String order (UTF-16 code units) matches Spark's binary
+    * UTF-8 order for ASCII keys; NULL order keys are not supported
+    * (they would make the limit boundary meaningless). The sort is
+    * stable, so hash-collision ties keep the collected order exactly
+    * as the pre-refactor trust-the-collect behavior did.
+    */
+  private[operators] def boundedSample(df: DataFrame, vecCol: String,
+      maxSample: Int,
+      sampleOrderCol: Option[String]): Array[Array[Double]] =
+    df.select(col(vecCol),
         sampleOrderCol.fold(xxhash64(col(vecCol)))(c => col(c)).as("__h"))
       .orderBy(col("__h"))
       .limit(maxSample)
       .collect()
+      .sortWith { (a, b) =>
+        a.get(1).asInstanceOf[Comparable[Any]].compareTo(b.get(1)) < 0
+      }
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
         case x => x.toString.toDouble
       }.toArray)
+
+  def trainPq(df: DataFrame, vecCol: String, m: Int = 8, ksub: Int = 16,
+      iters: Int = 5, maxSample: Int = 2000,
+      sampleOrderCol: Option[String] = None): Seq[Seq[Seq[Double]]] = {
+    // same sample-order switch as [[trainCentroids]] (oracle-replayable
+    // id order vs the content-hash production default)
+    val sample: Array[Array[Double]] =
+      boundedSample(df, vecCol, maxSample, sampleOrderCol)
     require(sample.nonEmpty, "empty training input")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")

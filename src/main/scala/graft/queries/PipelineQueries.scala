@@ -3028,16 +3028,22 @@ object PipelineQueries {
           floor(c * 1e6d + 0.5d) / 1e6d
         def eigLit(k: Int): org.apache.spark.sql.Column =
           lit(math.floor(model.eigenvalues(k) * 1e6 + 0.5) / 1e6)
+        // one centered dot per component; whitening derives from the
+        // staged projection column (half the per-row kernel work)
         emb.select(col("vec_id"),
-          r6(graft.operators.Pca.projection(col("embedding"), model, 0))
-            .as("pc1_r"),
-          r6(graft.operators.Pca.projection(col("embedding"), model, 1))
-            .as("pc2_r"),
-          r6(graft.operators.Pca.whitened(col("embedding"), model, 0))
-            .as("white1_r"),
-          r6(graft.operators.Pca.whitened(col("embedding"), model, 1))
-            .as("white2_r"),
-          eigLit(0).as("eig1_r"), eigLit(1).as("eig2_r"))
+          graft.operators.Pca.projection(col("embedding"), model, 0)
+            .as("__p1"),
+          graft.operators.Pca.projection(col("embedding"), model, 1)
+            .as("__p2"))
+          .select(col("vec_id"),
+            r6(col("__p1")).as("pc1_r"), r6(col("__p2")).as("pc2_r"),
+            r6(graft.operators.Pca
+              .whitenedFromProjection(col("__p1"), model, 0))
+              .as("white1_r"),
+            r6(graft.operators.Pca
+              .whitenedFromProjection(col("__p2"), model, 1))
+              .as("white2_r"),
+            eigLit(0).as("eig1_r"), eigLit(1).as("eig2_r"))
           .orderBy("vec_id")
       },
       Some(embedPcaOracleSql(dim = 64, iters = 12, maxSample = 400))),
@@ -5396,7 +5402,11 @@ object PipelineQueries {
         b ++= s"cent$k AS MATERIALIZED (SELECT id, list(cj - p * vj ORDER BY i) AS c FROM (SELECT id, p, UNNEST(c) AS cj, UNNEST(range(0, $dim)) AS i FROM pf$k) q JOIN (SELECT UNNEST(v) AS vj, UNNEST(range(0, $dim)) AS i FROM pv${k}_$iters) w USING (i) GROUP BY id), "
     }
     b ++= s"ccorp AS MATERIALIZED (SELECT vec_id, list(ej - m ORDER BY i) AS c FROM (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS ej, UNNEST(range(0, $dim)) AS i FROM embeddings) q JOIN pmc USING (i) GROUP BY vec_id), "
-    b ++= s"pscored AS (SELECT e.vec_id, list_inner_product(e.c, v1.v) AS p1, list_inner_product(e.c, v2.v) AS p2 FROM ccorp e CROSS JOIN pv1_$iters v1 CROSS JOIN pv2_$iters v2) "
+    // LEFT JOIN from the base table: a NULL-embedding row UNNESTs to
+    // zero rows and falls out of ccorp, but the engine emits it with
+    // NULL scores (null-intolerant dot) — the join keeps the
+    // cardinalities identical (NULL c -> NULL inner products)
+    b ++= s"pscored AS (SELECT b.vec_id, list_inner_product(e.c, v1.v) AS p1, list_inner_product(e.c, v2.v) AS p2 FROM embeddings b LEFT JOIN ccorp e USING (vec_id) CROSS JOIN pv1_$iters v1 CROSS JOIN pv2_$iters v2) "
     b ++= "SELECT vec_id, floor(p1 * 1e6 + 0.5) / 1e6 AS pc1_r, floor(p2 * 1e6 + 0.5) / 1e6 AS pc2_r, floor((CASE WHEN e1.ev = 0 THEN CAST(0 AS DOUBLE) ELSE p1 / sqrt(e1.ev) END) * 1e6 + 0.5) / 1e6 AS white1_r, floor((CASE WHEN e2.ev = 0 THEN CAST(0 AS DOUBLE) ELSE p2 / sqrt(e2.ev) END) * 1e6 + 0.5) / 1e6 AS white2_r, floor(e1.ev * 1e6 + 0.5) / 1e6 AS eig1_r, floor(e2.ev * 1e6 + 0.5) / 1e6 AS eig2_r FROM pscored CROSS JOIN pe1 e1 CROSS JOIN pe2 e2 ORDER BY vec_id"
     b.toString
   }

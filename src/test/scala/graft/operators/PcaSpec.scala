@@ -108,6 +108,17 @@ class PcaSpec extends AnyFunSuite {
       1e-9 * (1 + mi.eigenvalues(0)))
   }
 
+  test("wrong-width corpus vector scores NULL, never a plausible " +
+    "number (the DotProduct width contract survives the centering)") {
+    val m = model
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val r = Pca.transform(bad, "embedding", m).select("pc1", "white1")
+      .head()
+    assert(r.isNullAt(0))
+    // white1 derives from pc1 (eig1 > 0 on the real corpus) -> NULL too
+    assert(r.isNullAt(1))
+  }
+
   test("degenerate guards: empty sample and inconsistent widths are " +
     "loud errors") {
     val e = intercept[IllegalArgumentException] {

@@ -178,11 +178,18 @@ object Bench {
           "not a regression")))
 
   /** the acknowledgment for `name`, iff its tightest historical floor
-    * still equals the acknowledged value exactly */
-  private[graft] def acknowledged(name: String,
-      f: FloorEntry): Option[String] =
+    * still equals the acknowledged value exactly AND the run is at the
+    * scale the triages were done at. The acknowledged values are sf0.1
+    * prev floors (each triage above names sf0.1 folds); at any other SF
+    * the same query carries DIFFERENT prev history, so a coincidental
+    * value match there would suppress a NOTE with the wrong scale's
+    * story — a recurring NOTE at another SF needs its own triage and
+    * its own (sf-scoped) entry, not a borrowed one. */
+  private[graft] def acknowledged(name: String, f: FloorEntry,
+      sfTag: String = "sf0.1"): Option[String] =
     AcknowledgedHistorical.get(name).collect {
-      case (ack, why) if f.prev.nonEmpty && f.prev.min == ack => why
+      case (ack, why) if sfTag == "sf0.1" && f.prev.nonEmpty &&
+        f.prev.min == ack => why
     }
 
   /** Governance rule for one floor at floors-write time (v2, monotone):
@@ -338,6 +345,8 @@ object Bench {
       case None => SparkEntry.defs
     }
     val floors = loadFloors(sfDir)
+    // the scale tag the acknowledged-historical allowlist is scoped to
+    val sfTag = new java.io.File(sfDir).getName
     val table = Array.fill(defs.length)(Vector.empty[Rep])
     def logRep(pass: String, name: String, r: Rep): Unit =
       System.err.println(f"[bench] $pass $name%-22s ${r.sec}%8.2fs" +
@@ -396,7 +405,7 @@ object Bench {
         s"${if (dirtyBest) "  CONTAMINATED" else ""}${if (ok) "" else "  FAILED"}")
       if (prevExceeded(i)) {
         val f = floors(d.name)
-        acknowledged(d.name, f) match {
+        acknowledged(d.name, f, sfTag) match {
           case Some(why) =>
             System.err.println(
               f"[bench] acknowledged historical ${d.name}: wall " +
@@ -423,7 +432,8 @@ object Bench {
     // acknowledged historicals are split out so a fold review reads
     // "prev_floor_exceeded is empty" as ZERO un-triaged NOTEs
     def ackOf(i: Int): Option[String] =
-      floors.get(defs(i).name).flatMap(f => acknowledged(defs(i).name, f))
+      floors.get(defs(i).name)
+        .flatMap(f => acknowledged(defs(i).name, f, sfTag))
     val prevExceededNames = arr(defs.indices.collect {
       case i if prevExceeded(i) && ackOf(i).isEmpty => defs(i).name
     })

@@ -212,9 +212,11 @@ object LangIdTrained {
     "every language needs the same vocabulary size")
 
   /** Deterministic labeled corpus over an id frame: each row gets
-    * `lang_k = doc_id % 32` and a [[SentenceWords]]-word sentence drawn
-    * from that language's vocabulary rotated by `doc_id // 32` (word j
-    * is `vocab[(doc_id // 32 + j) % 10]`) — the withPayload posture:
+    * `lang_k = doc_id % NumLangs` and a [[SentenceWords]]-word sentence
+    * drawn from that language's vocabulary rotated by
+    * `doc_id // NumLangs` (word j is
+    * `vocab[(doc_id // NumLangs + j) % VocabSize]`) — the withPayload
+    * posture:
     * the oracle re-synthesizes the identical strings, so the model
     * replay starts from bit-identical text. Output: `idCol`, `lang_k`
     * (int class), `lang` (code string), `sent`. */
@@ -222,7 +224,7 @@ object LangIdTrained {
     val vocabs = typedLit(LangVocab.map(_._2))
     val names = typedLit(LangVocab.map(_._1))
     val k = pmod(col(idCol), lit(NumLangs.toLong)).cast("int")
-    val rot = shiftright(col(idCol), LangShift) // doc_id // 32, exact on longs
+    val rot = shiftright(col(idCol), LangShift) // doc_id // NumLangs, exact on longs
     val words = (0 until SentenceWords).map { j =>
       element_at(element_at(vocabs, col("lang_k") + 1),
         (pmod(rot + lit(j.toLong), lit(VocabSize.toLong)) + 1).cast("int"))

@@ -278,13 +278,19 @@ object LossyAudio {
       if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
         tag = le16(b, i + 8); ch = le16(b, i + 10); bits = le16(b, i + 22)
         if (size >= 20 && i + 8 + 20 <= b.length) spb = le16(b, i + 26)
-      } else if (id == "fact" && size >= 4 && i + 12 <= b.length) {
-        val f = le32(b, i + 8)
+      } else if (id == "fact") {
         // -1 = fact ABSENT (optional for many tag-0x11 writers; callers
         // derive the count from the block structure); -2 = fact PRESENT
-        // but insane (negative / past the decoder cap — a declared-count
-        // bomb, which must quarantine, never fall back to derivation)
-        fact = if (f >= 0 && f <= (1 << 24)) f.toInt else -2
+        // but insane — a declared-count bomb (negative / past the
+        // decoder cap) OR a structurally malformed chunk (declared size
+        // < 4, or a value field truncated at EOF). Either must
+        // quarantine, never fall back to derivation: "present but
+        // unreadable" is a malformation signal, not an absence.
+        fact =
+          if (size >= 4 && i + 12 <= b.length) {
+            val f = le32(b, i + 8)
+            if (f >= 0 && f <= (1 << 24)) f.toInt else -2
+          } else -2
       } else if (id == "data" && dOff < 0) {
         dOff = i + 8
         dLen = math.min(size, (b.length - i - 8).toLong).toInt

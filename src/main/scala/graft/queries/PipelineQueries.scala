@@ -485,15 +485,7 @@ object PipelineQueries {
     // execution == this batch composition is pinned in StreamingSpec.
     QueryDef("q_stream_repeat_scrub",
       (s, dir) => {
-        val planted = Tables.documents(s, dir)
-          .selectExpr("doc_id", "doc_id div 10 AS j",
-            "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
-            "text")
-          .selectExpr("doc_id",
-            "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
-              "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
-              "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
-              "|| substring(text, off + 1) ELSE text END AS text")
+        val planted = plantedRepeatDocs(Tables.documents(s, dir))
         val guarded = cdcOracleBoundGuard(planted)
         val cands = graft.streaming.StreamRepeats.repeatCandidates(
           guarded.withColumn("ts",
@@ -515,15 +507,7 @@ object PipelineQueries {
     // fabricate a cut.
     QueryDef("q_stream_repeat_scrub_xx",
       (s, dir) => {
-        val planted = Tables.documents(s, dir)
-          .selectExpr("doc_id", "doc_id div 10 AS j",
-            "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
-            "text")
-          .selectExpr("doc_id",
-            "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
-              "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
-              "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
-              "|| substring(text, off + 1) ELSE text END AS text")
+        val planted = plantedRepeatDocs(Tables.documents(s, dir))
         val guarded = cdcOracleBoundGuard(planted)
         val cands = graft.streaming.StreamRepeats.repeatCandidates(
           guarded.withColumn("ts",
@@ -554,15 +538,7 @@ object PipelineQueries {
     // star pairs (never quadratic), texts joined for CANDIDATES only.
     QueryDef("q_long_repeats",
       (s, dir) => {
-        val planted = Tables.documents(s, dir)
-          .selectExpr("doc_id", "doc_id div 10 AS j",
-            "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
-            "text")
-          .selectExpr("doc_id",
-            "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
-              "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
-              "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
-              "|| substring(text, off + 1) ELSE text END AS text")
+        val planted = plantedRepeatDocs(Tables.documents(s, dir))
         graft.operators.Corpus.longRepeats(
             cdcOracleBoundGuard(planted), "doc_id", "text",
             md5Mode = true)
@@ -576,15 +552,7 @@ object PipelineQueries {
     // production hash path hash-exactly.
     QueryDef("q_long_repeats_xx",
       (s, dir) => {
-        val planted = Tables.documents(s, dir)
-          .selectExpr("doc_id", "doc_id div 10 AS j",
-            "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
-            "text")
-          .selectExpr("doc_id",
-            "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
-              "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
-              "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
-              "|| substring(text, off + 1) ELSE text END AS text")
+        val planted = plantedRepeatDocs(Tables.documents(s, dir))
         graft.operators.Corpus.longRepeats(
             cdcOracleBoundGuard(planted), "doc_id", "text",
             md5Mode = false)
@@ -604,15 +572,7 @@ object PipelineQueries {
     // reassembly on top of the repeat pipeline's shuffles.
     QueryDef("q_repeat_scrub",
       (s, dir) => {
-        val planted = Tables.documents(s, dir)
-          .selectExpr("doc_id", "doc_id div 10 AS j",
-            "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
-            "text")
-          .selectExpr("doc_id",
-            "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
-              "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
-              "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
-              "|| substring(text, off + 1) ELSE text END AS text")
+        val planted = plantedRepeatDocs(Tables.documents(s, dir))
         graft.operators.Corpus.scrubLongRepeats(
             cdcOracleBoundGuard(planted), "doc_id", "text",
             md5Mode = true)
@@ -625,15 +585,7 @@ object PipelineQueries {
     // q_long_repeats_xx argument composed with the island cut).
     QueryDef("q_repeat_scrub_xx",
       (s, dir) => {
-        val planted = Tables.documents(s, dir)
-          .selectExpr("doc_id", "doc_id div 10 AS j",
-            "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
-            "text")
-          .selectExpr("doc_id",
-            "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
-              "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
-              "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
-              "|| substring(text, off + 1) ELSE text END AS text")
+        val planted = plantedRepeatDocs(Tables.documents(s, dir))
         graft.operators.Corpus.scrubLongRepeats(
             cdcOracleBoundGuard(planted), "doc_id", "text",
             md5Mode = false)
@@ -3174,7 +3126,7 @@ object PipelineQueries {
 
     // TRAINED multi-class language ID — the fastText-lid shape replacing
     // marker-count heuristics: 64 languages (r20 widen), char-trigram md5 hashed
-    // features over a boundary-marked char stream, 16 one-vs-rest linear
+    // features over a boundary-marked char stream, 64 one-vs-rest linear
     // classifiers trained by deterministic full-batch GD (rational
     // sigmoid — no exp(), single-rounded IEEE ops only), whole-corpus
     // argmax scoring against broadcast-literal weights. The corpus is
@@ -4043,6 +3995,25 @@ object PipelineQueries {
       "body AS (SELECT id, string_agg(piece, '' ORDER BY island) AS bodytxt FROM pieces GROUP BY id), " +
       "scr AS (SELECT b.id, b.bodytxt || substring(p.text, CAST(t.me AS INT)) AS ct, t.n_spans, t.n_removed FROM body b JOIN tails t USING (id) JOIN pd p ON p.doc_id = b.id) " +
       "SELECT p.doc_id, COALESCE(s.ct, p.text) AS clean_text, CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans, CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed FROM pd p LEFT JOIN scr s ON s.id = p.doc_id ORDER BY p.doc_id"
+
+  /** The planted repeated-spans corpus every long-repeat row (and the
+    * batch==stream pins in StreamingSpec/LongRepeatSpec) runs on: docs
+    * with `doc_id % 10 <= 1` get a pair-shared 48-char md5 splice at a
+    * per-doc offset. ONE definition on purpose — the rows share
+    * longRepeatsOracleSql / repeatScrubOracleSql VERBATIM, so a drifted
+    * copy would surface as an opaque oracle mismatch instead of a
+    * compile error; the DuckDB mirror is [[longRepeatCtesSql]]'s `pd`
+    * CTE. */
+  private[graft] def plantedRepeatDocs(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.selectExpr("doc_id", "doc_id div 10 AS j",
+        "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
+        "text")
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
+          "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
+          "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
+          "|| substring(text, off + 1) ELSE text END AS text")
 
   /** the shared planted-corpus + anchor + candidate + extension chain
     * ending in `ext(id_a, id_b, sa, sb, el, er)` — used VERBATIM by

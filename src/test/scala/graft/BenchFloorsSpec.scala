@@ -164,6 +164,11 @@ class BenchFloorsSpec extends AnyFunSuite {
       assert(Bench.acknowledged(q,
         e.copy(prev = (ack / 2) :: e.prev)).isEmpty,
         s"$q: a new tighter prev floor must re-arm the full NOTE")
+      // the allowlist is SCOPED to sf0.1 (where every triage above was
+      // done): an exact value match at another SF is a coincidence with
+      // the wrong scale's story, never a suppression
+      assert(Bench.acknowledged(q, e, sfTag = "sf1").isEmpty,
+        s"$q: an sf0.1 acknowledgment must not suppress an sf1 NOTE")
     }
     // non-listed queries never acknowledge
     assert(Bench.acknowledged("q_dedup_exact",

@@ -270,14 +270,8 @@ class LongRepeatSpec extends AnyFunSuite {
   test("the planted-straddle contrast corpus: longRepeats catches pairs whose CDC census shares NOTHING") {
     // the q_long_repeats synthesis at sf0.001
     val dir = "/root/testdata/sf0.001"
-    val planted = graft.queries.Tables.documents(spark, dir)
-      .selectExpr("doc_id", "doc_id div 10 AS j",
-        "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off", "text")
-      .selectExpr("doc_id",
-        "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
-          "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
-          "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
-          "|| substring(text, off + 1) ELSE text END AS text")
+    val planted = graft.queries.PipelineQueries
+      .plantedRepeatDocs(graft.queries.Tables.documents(spark, dir))
     val reps = Corpus.longRepeats(planted, "doc_id", "text")
       .filter(col("id_a") % 10 <= 1 && col("id_b") % 10 <= 1 &&
         (col("id_a") / 10).cast("long") === (col("id_b") / 10).cast("long"))

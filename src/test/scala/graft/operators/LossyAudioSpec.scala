@@ -195,8 +195,25 @@ class LossyAudioSpec extends AnyFunSuite {
     // quarantine, never be treated as "absent" and fall back to derivation
     val bomb = withFact.clone()
     bomb(48) = -1; bomb(49) = -1; bomb(50) = -1; bomb(51) = 0x7f
+    // a PRESENT but structurally malformed fact is a malformation
+    // signal, not an absence: declared size < 4 must quarantine, never
+    // be classified "absent" and fall back to derivation
+    val badSize = withFact.clone()
+    badSize(44) = 2; badSize(45) = 0; badSize(46) = 0; badSize(47) = 0
+    // ... as must a fact whose 4-byte value field is truncated at EOF
+    // (appended after the data chunk of the otherwise-valid fact-less
+    // file; the walk ignores the RIFF size field but honors RIFF's
+    // odd-size pad byte, so align the appended chunk accordingly —
+    // data chunk header sits at offset 40 after the fact strip)
+    val dSz = (noFact(44) & 0xff) | ((noFact(45) & 0xff) << 8) |
+      ((noFact(46) & 0xff) << 16) | ((noFact(47) & 0xff) << 24)
+    val pad: Array[Byte] =
+      if ((dSz & 1) == 1) Array[Byte](0) else Array.emptyByteArray
+    val trunc = noFact ++ pad ++
+      Array[Byte]('f', 'a', 'c', 't', 4, 0, 0, 0, 1, 0)
     val out = LossyAudio.imaToWav(
-      Seq((1L, withFact), (2L, noFact), (3L, bomb)).toDF("id", "payload"),
+      Seq((1L, withFact), (2L, noFact), (3L, bomb), (4L, badSize),
+        (5L, trunc)).toDF("id", "payload"),
       "id", "payload").collect()
       .map(r => r.getLong(0) -> (r.getAs[Array[Byte]](1), r.getBoolean(2)))
       .toMap
@@ -204,5 +221,7 @@ class LossyAudioSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(out(1L)._1, out(2L)._1),
       "fact-less decode diverged from the fact-ful decode")
     assert(!out(3L)._2, "an over-cap fact must quarantine, not derive")
+    assert(!out(4L)._2, "an undersized fact chunk must quarantine, not derive")
+    assert(!out(5L)._2, "an EOF-truncated fact value must quarantine, not derive")
   }
 }

@@ -252,15 +252,8 @@ class StreamingSpec extends AnyFunSuite {
     import graft.operators.Corpus
     // the q_repeat_scrub planted corpus: guaranteed >= 40-cp repeats at
     // shifted alignments, so the composition actually cuts something
-    val planted = Tables.documents(spark, dir)
-      .selectExpr("doc_id", "doc_id div 10 AS j",
-        "CAST(LEAST(40 + doc_id % 13, length(text)) AS INT) AS off",
-        "text")
-      .selectExpr("doc_id",
-        "CASE WHEN doc_id % 10 <= 1 THEN substring(text, 1, off) || " +
-          "md5(CONCAT('rep:', CAST(j AS STRING))) || " +
-          "substring(md5(CONCAT('repB:', CAST(j AS STRING))), 1, 16) " +
-          "|| substring(text, off + 1) ELSE text END AS text")
+    val planted = graft.queries.PipelineQueries
+      .plantedRepeatDocs(Tables.documents(spark, dir))
     val docs = planted.withColumn("ts",
       timestamp_micros((col("doc_id") + 10000L) * 1000000L))
     def norm(df: org.apache.spark.sql.DataFrame) = df.collect()

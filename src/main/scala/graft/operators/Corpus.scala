@@ -134,10 +134,19 @@ object Corpus {
         graft.functions.Md5Hashes.md5ShingleHashes(text, k),
         x => shiftrightunsigned(x, 32)))
       else Dedup.shingleHashes(text, k)
-    val d = docs.select(col(idCol).cast("long").as("doc_id"),
-      hashSet(coalesce(col(textCol), lit(""))).as("__sh"))
-    val p = probes.select(col(probeIdCol).cast("long").as("probe_id"),
-      hashSet(coalesce(col(probeTextCol), lit(""))).as("__sh"))
+    // ids pass through UNCAST (a long cast on a non-numeric id corpus
+    // nulls every id, and the excludeSelf =!= then silently drops every
+    // joined row — an empty result that reads as "no contamination");
+    // genuinely-null ids are malformed rows and are filtered loudly here
+    // rather than grouped under one ambiguous NULL key. Doc and probe id
+    // columns should share a type — a cross-type =!= comparison may
+    // insert nulling casts.
+    val d = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        hashSet(coalesce(col(textCol), lit(""))).as("__sh"))
+    val p = probes.filter(col(probeIdCol).isNotNull)
+      .select(col(probeIdCol).as("probe_id"),
+        hashSet(coalesce(col(probeTextCol), lit(""))).as("__sh"))
     val joined = d.select(col("doc_id"), explode(col("__sh")).as("__h"))
       .join(broadcast(
         p.select(col("probe_id"), explode(col("__sh")).as("__h"))), "__h")
@@ -228,8 +237,11 @@ object Corpus {
     * drop empty tokens (leading-whitespace artifacts). Shared by
     * [[repeatedSpans]] and its oracle so both sides see identical tokens.
     */
+  // null text tokenizes as empty (NOT a -1-size null array: with ANSI
+  // off, size(null) is -1 and would surface as n_tokens = -1 / 
+  // n_removed = -1 in every span consumer)
   private[graft] def spanTokens(text: org.apache.spark.sql.Column) =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    filter(split(lower(coalesce(text, lit(""))), "\\s+"), t => t =!= "")
 
   /** Repeated-span detection (substring-level exact dedup, the
     * Lee-et-al-style pass below paragraph granularity): every word
@@ -490,6 +502,8 @@ object Corpus {
       md5Mode: Boolean = false): DataFrame = {
     require(minLen >= seedLen, s"minLen >= seedLen, got $minLen < $seedLen")
     require(divisor >= 2 && seedLen >= window, "bad anchor geometry")
+    require(window >= 1 && window <= 32,
+      s"window must be in [1, 32], got $window")
     val spark = docs.sparkSession
     import spark.implicits._
     val w = window
@@ -655,7 +669,6 @@ object Corpus {
       minLen: Int = 40, window: Int = 8, divisor: Int = 16,
       seedLen: Int = 16, maxBucket: Int = 8,
       md5Mode: Boolean = false): DataFrame = {
-    val spark = docs.sparkSession
     val base = docs.select(col(idCol).cast("long").as("id"),
         col(textCol).cast("string").as("text"))
       .filter(col("id").isNotNull)
@@ -795,6 +808,10 @@ object Corpus {
       md5Mode: Boolean = false,
       hotBroadcastCap: Long = 1L << 20): DataFrame = {
     require(minLen >= seedLen && seedLen >= window, "bad geometry")
+    require(window >= 1 && window <= 32,
+      s"window must be in [1, 32], got $window")
+    require(chunkDiv >= 2 && anchorDiv >= 2,
+      s"divisors must be >= 2, got chunkDiv=$chunkDiv anchorDiv=$anchorDiv")
     val spark = docs.sparkSession
     import spark.implicits._
     val w = window
@@ -903,8 +920,14 @@ object Corpus {
         explode(sequence(lit(1),
           length(col("text")) - lit(minLen - 1))).as("p"))
       .selectExpr("id", "p", s"substring(text, p, $minLen) AS gram")
+    // DISTINCT declared pairs: a duplicated (id_a, id_b) row would
+    // double every diagonal match, breaking the p_a - row_number()
+    // island identity and silently fragmenting one maximal repeat into
+    // several wrong-length rows — in the CERTIFICATE operator the
+    // recall bounds trust as exact truth
     val m = pairs.select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
+      .distinct()
       .join(grams.select(col("id").as("id_a"), col("p").as("p_a"),
         col("gram")), Seq("id_a"))
       .join(grams.select(col("id").as("id_b"), col("p").as("p_b"),

@@ -180,6 +180,12 @@ class LongRepeatSpec extends AnyFunSuite {
       (1L, 2L, 11L, 111L, 44L), (1L, 2L, 81L, 32L, 71L),
       (1L, 3L, 81L, 6L, 71L)))
 
+    // a DUPLICATED declared pair must not double the diagonal matches
+    // (which would break the row_number island identity and fragment
+    // one maximal repeat into several wrong-length rows)
+    assert(exact(Seq((1L, a), (2L, b)), Seq((1L, 2L), (1L, 2L))) === got,
+      "duplicate pairs fragmented the certificate ground truth")
+
     // repeats touching text edges round-trip exactly
     val e1 = r1 + filler("e1", 12)
     val e2 = filler("e2", 9) + r1

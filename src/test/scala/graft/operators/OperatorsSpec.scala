@@ -1865,6 +1865,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cross.contains((0L, 0L)),
       "excludeSelf=false must keep same-id cross-dataset hits")
     assert(cross((0L, 0L)) == sh(probeText).size)
+
+    // string-id corpora must WORK, not silently return empty (the old
+    // long cast nulled every id and the excludeSelf =!= dropped every
+    // joined row — "no contamination" on a fully-contaminated corpus);
+    // ids pass through uncast, and genuinely-null ids are filtered
+    val sCorpus = Seq(("doc-a", probeText), ("doc-b", texts(3L)),
+      (null.asInstanceOf[String], probeText)).toDF("doc_id", "text")
+    val sProbes = Seq(("probe-x", probeText)).toDF("doc_id", "text")
+    val sHits = Corpus.ngramContamination(sCorpus, sProbes, "doc_id",
+        "text", "doc_id", "text", k = 3, minShared = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(sHits == Map(("probe-x", "doc-a") -> sh(probeText).size.toLong),
+      "string-id contamination must flag the verbatim copy and only it")
   }
 
   test("ngram contamination fuzz: random corpora == exact recomputation " +
@@ -2218,6 +2232,22 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"html extract must be a zero-shuffle scan:\n$plan")
+  }
+
+  test("span mask: null text tokenizes as empty — n_tokens 0, never " +
+      "the ANSI-off size(null) = -1") {
+    import spark.implicits._
+    val corpus = Seq((1L, "shared span one two three four five six " +
+        "seven eight shared span"),
+      (2L, "shared span one two three four five six seven eight tail"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Corpus.maskRepeatedSpans(corpus, "doc_id", "text",
+        n = 8, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(3L) === (("", 0L, 0L)),
+      s"null text must scrub to ('', 0, 0), got ${got(3L)}")
+    assert(got.keySet === Set(1L, 2L, 3L))
   }
 
   test("span scrub: randomized driver replay over generated corpora") {

@@ -295,6 +295,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Shuffle-writer selection (r20 optimization round, measured):
+      // with shuffle.partitions = cores (32) every shuffle sits under
+      // the bypass-merge writer's default threshold (200), and that
+      // writer creates M x R partition files per shuffle and
+      // re-concatenates them — jstack sampling showed shuffle-write
+      // file I/O dominating task run time (run >> cpu across the md5
+      // family; OPTIMIZATION_r20.md §shuffle-writer). Forcing the
+      // sort-based writer (ONE file + index per map task) measured
+      // -20..-33% on shuffle-heavy queries at sf0.1. At production
+      // partition counts (> 200) bypass never engages, so this selects
+      // exactly the writer a 100 TB run uses; env-overridable so the
+      // A/B stays reproducible.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "2"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val clock = new TaskClock

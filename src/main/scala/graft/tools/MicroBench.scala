@@ -15,14 +15,27 @@ object MicroBench {
       if (args.length > 2) args.drop(2).toSeq
       else Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram", "q_dedup_cosine")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+      // match Bench's shuffle-writer selection (see Bench.scala) so
+      // micro timings stay comparable to the official fold
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "2"))
+    // A/B experiment hook: SPARK_GRAFT_CONF="k=v;k2=v2" overlays extra
+    // session confs so a config hypothesis can be measured without a
+    // rebuild (official Bench runs never read this)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
+        case _ => ()
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // warm-up
     // time the BENCH surface (QueryDef.fn) — for the q_*_xx rows

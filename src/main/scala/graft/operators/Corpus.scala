@@ -450,17 +450,30 @@ object Corpus {
       val cps = text.codePoints().toArray
       val n = cps.length
       val out = Vector.newBuilder[(Int, String)]
-      var i = w
-      while (i <= n) {
-        var h = 0L
+      // rolling update (O(1)/position instead of re-summing the w-term
+      // window): h(i+1) ≡ 31·h(i) + cp_in − 31^w·cp_out (mod CdcMod),
+      // kept in [0, CdcMod) so `hm` IS the windowed sum's `% CdcMod` at
+      // every position — anchor decisions are bit-identical
+      if (n >= w) {
+        val gw = (g(w - 1) * CdcBase) % CdcMod
+        var hm = 0L
         var j = 0
-        while (j < w) { h += cps(i - 1 - j) * g(j); j += 1 }
-        if (h % CdcMod % d == 0L) {
-          val s0 = i - w + 1
-          if (s0 + seedLen - 1 <= n)
-            out += ((s0, new String(cps, s0 - 1, seedLen)))
+        while (j < w) { hm += cps(w - 1 - j) * g(j); j += 1 }
+        hm %= CdcMod
+        var i = w
+        var more = true
+        while (more) {
+          if (hm % d == 0L) {
+            val s0 = i - w + 1
+            if (s0 + seedLen - 1 <= n)
+              out += ((s0, new String(cps, s0 - 1, seedLen)))
+          }
+          if (i < n) {
+            hm = (hm * CdcBase + cps(i) +
+              (CdcMod - (cps(i - w) * gw) % CdcMod)) % CdcMod
+            i += 1
+          } else more = false
         }
-        i += 1
       }
       out.result().iterator
     }
@@ -739,19 +752,31 @@ object Corpus {
       val n = cps.length
       val bounds = Vector.newBuilder[Int]
       val anchors = Vector.newBuilder[(Int, Int, Long, String)]
-      var i = w
-      while (i <= n) {
-        var h = 0L
+      // same rolling-update kernel as [[chunkWalk]]/[[anchorWalk]] (the
+      // spec-pinned walk equality holds: `hm` is the windowed sum's
+      // `% CdcMod` at every position, so both divisor tests are
+      // bit-identical to the re-summed form)
+      if (n >= w) {
+        val gw = (g(w - 1) * CdcBase) % CdcMod
+        var hm = 0L
         var j = 0
-        while (j < w) { h += cps(i - 1 - j) * g(j); j += 1 }
-        val hm = h % CdcMod
-        if (hm % chunkDiv == 0L) bounds += i
-        if (hm % anchorDiv == 0L) {
-          val s0 = i - w + 1
-          if (s0 + seedLen - 1 <= n)
-            anchors += ((1, s0, 0L, new String(cps, s0 - 1, seedLen)))
+        while (j < w) { hm += cps(w - 1 - j) * g(j); j += 1 }
+        hm %= CdcMod
+        var i = w
+        var more = true
+        while (more) {
+          if (hm % chunkDiv == 0L) bounds += i
+          if (hm % anchorDiv == 0L) {
+            val s0 = i - w + 1
+            if (s0 + seedLen - 1 <= n)
+              anchors += ((1, s0, 0L, new String(cps, s0 - 1, seedLen)))
+          }
+          if (i < n) {
+            hm = (hm * CdcBase + cps(i) +
+              (CdcMod - (cps(i - w) * gw) % CdcMod)) % CdcMod
+            i += 1
+          } else more = false
         }
-        i += 1
       }
       val bs = (bounds.result() :+ n).distinct
       var prev = 0
@@ -915,11 +940,21 @@ object Corpus {
         col(textCol).cast("string").as("text"))
       .filter(col("id").isNotNull && col("text").isNotNull &&
         length(col("text")) >= minLen)
+    // LAZILY persisted: the gram explode — and, in the certificate
+    // queries, the md5-chain corpus synthesis feeding it — is consumed
+    // by BOTH sides of the content self-join below; unpersisted, the
+    // whole subtree executes once per side (r20 optimization round,
+    // measured ~2x the gram-enumeration cost). `persist`, not the
+    // eager stage(): construction must stay job-free so the call
+    // sites' guardCertScale raises at EXECUTION, not while the plan is
+    // being composed. Blocks are certificate-bounded by that guard and
+    // dropped with the session's cache.
     val grams = base
       .select(col("id"), col("text"),
         explode(sequence(lit(1),
           length(col("text")) - lit(minLen - 1))).as("p"))
       .selectExpr("id", "p", s"substring(text, p, $minLen) AS gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // DISTINCT declared pairs: a duplicated (id_a, id_b) row would
     // double every diagonal match, breaking the p_a - row_number()
     // island identity and silently fragmenting one maximal repeat into
@@ -956,16 +991,26 @@ object Corpus {
       val cps = text.codePoints().toArray
       val n = cps.length
       val bounds = Vector.newBuilder[Int]
-      var i = w // 1-based position of the window's last codepoint
-      while (i <= n) {
-        var h = 0L
+      // rolling update (O(1)/position instead of re-summing the w-term
+      // window): h(i+1) ≡ 31·h(i) + cp_in − 31^w·cp_out (mod CdcMod),
+      // kept in [0, CdcMod) so `hm` IS the windowed sum's `% CdcMod` at
+      // every position — boundary decisions are bit-identical
+      if (n >= w) {
+        val gw = (g(w - 1) * CdcBase) % CdcMod
+        var hm = 0L
         var j = 0
-        while (j < w) {
-          h += cps(i - 1 - j) * g(j)
-          j += 1
+        while (j < w) { hm += cps(w - 1 - j) * g(j); j += 1 }
+        hm %= CdcMod
+        var i = w // 1-based position of the window's last codepoint
+        var more = true
+        while (more) {
+          if (hm % d == 0L) bounds += i
+          if (i < n) {
+            hm = (hm * CdcBase + cps(i) +
+              (CdcMod - (cps(i - w) * gw) % CdcMod)) % CdcMod
+            i += 1
+          } else more = false
         }
-        if (h % CdcMod % d == 0L) bounds += i
-        i += 1
       }
       val bs = (bounds.result() :+ n).distinct
       var prev = 0

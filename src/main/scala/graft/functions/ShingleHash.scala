@@ -221,6 +221,83 @@ case class Md5Hash64Col(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_md5_hash64"
 }
 
+/** md5-twin affine-MinHash signature from PACKED md5-half hashes (the
+  * [[Md5ShingleHashes]] output): one pass over the array computes all
+  * `numHashes` minima of `(hi(x) + i·lo(x)) mod 2^32` — the native
+  * fusion of the relational
+  * `transform(sequence(0, h-1), i -> array_min(transform(h64, ...)))`
+  * staging, which allocated `numHashes` intermediate arrays per row.
+  * The per-seed value is computed incrementally (`v += lo; v &= mask`),
+  * so the inner loop is one add/mask/compare per (element, seed). Null
+  * elements are skipped exactly as `array_min` skips nulls; an input
+  * with no usable element yields the all-null signature the relational
+  * form produces. Bit-identical to the retained relational reference
+  * (Md5KernelParitySpec pins it through
+  * [[graft.operators.Dedup.minhashIndexMd5Reference]]).
+  */
+case class Md5MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got ${t.sql}")
+  }
+
+  // containsNull: the degenerate no-usable-element input produces the
+  // all-null signature, matching array_min over an empty array
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any =
+    Md5MinHashSig.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.Md5MinHashSig$$.MODULE$$" +
+        s".compute($in, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_md5_minhash_sig"
+}
+
+object Md5MinHashSig {
+
+  /** The kernel; called from interpreted eval and generated code. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      h: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val mins = Array.fill(h)(Long.MaxValue)
+    var seen = false
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        seen = true
+        val x = arr.getLong(j)
+        val lo = x & 0xffffffffL
+        // v = (hi + i*lo) mod 2^32, maintained incrementally
+        var v = x >>> 32
+        var i = 0
+        while (i < h) {
+          if (v < mins(i)) mins(i) = v
+          v = (v + lo) & 0xffffffffL
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!seen)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](h)(null))
+    else UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
 object Md5Hashes {
 
   /** Null text coalesces to `""`, matching the relational twins'
@@ -232,4 +309,9 @@ object Md5Hashes {
 
   def md5Hash64(s: Column): Column =
     Bridge.column(Md5Hash64Col(Bridge.expression(s)))
+
+  /** All `h` affine-minhash minima from packed md5 halves in one native
+    * pass (see [[Md5MinHashSig]]). */
+  def md5MinHashSig(h64: Column, h: Int): Column =
+    Bridge.column(Md5MinHashSig(Bridge.expression(h64), h))
 }

@@ -580,11 +580,11 @@ object Dedup {
   private def md5ShSig(h64: Column, h: Int): Seq[Column] = Seq(
     sort_array(array_distinct(transform(h64,
       x => shiftrightunsigned(x, 32)))).as("sh"),
-    transform(sequence(lit(0), lit(h - 1)), i =>
-      array_min(transform(h64, x =>
-        (shiftrightunsigned(x, 32) +
-          i.cast("long") * x.bitwiseAND(lit(4294967295L))) %
-          lit(4294967296L)))).as("sig"))
+    // one native pass for all h minima (r20 optimization round): the
+    // relational transform/array_min staging allocated h intermediate
+    // arrays per row; bit-identical per Md5KernelParitySpec (which
+    // pins this whole derivation against minhashIndexMd5Reference)
+    graft.functions.Md5Hashes.md5MinHashSig(h64, h).as("sig"))
 
   /** The original relational md5 staging (hex render + per-half `conv`
     * parse + `zip_with` affine) — retained ONLY as the bit-parity

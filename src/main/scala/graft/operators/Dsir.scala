@@ -67,8 +67,17 @@ object Dsir {
   private def bucketOf(feature: Column, buckets: Int,
       xx: Boolean): Column =
     if (xx) pmod(xxhash64(feature), lit(buckets.toLong))
-    else pmod(conv(substring(md5(feature.cast("binary")), 1, 8), 16, 10)
-      .cast("long"), lit(buckets.toLong))
+    // the native [[graft.functions.Md5Hash]] kernel: its high 32 bits
+    // ARE the value of the digest's first 8 hex chars, so this is
+    // bit-identical to the relational
+    // `conv(substring(md5(f), 1, 8), 16, 10)` chain it replaces
+    // (r20 optimization round: the hex render + conv parse per feature
+    // was the dominant per-row cost of the DSIR scan; DsirSpec pins the
+    // kernel == relational equality), and the oracle's formula above is
+    // unchanged
+    else pmod(shiftrightunsigned(
+      graft.functions.Md5Hashes.md5Hash64(feature), 32),
+      lit(buckets.toLong))
 
   /** Per-(document, bucket) feature counts with the document's target
     * flag carried: the one corpus-scan pass everything downstream reuses.

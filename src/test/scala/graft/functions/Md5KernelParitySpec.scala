@@ -111,4 +111,48 @@ class Md5KernelParitySpec extends AnyFunSuite {
         s"token '${r.getString(0)}': packed=$packed hi=${r.getLong(2)} lo=${r.getLong(3)}")
     }
   }
+
+  test("DSIR md5 bucket kernel (shiftrightunsigned of md5Hash64) == " +
+      "relational conv(substring(md5)) chain, corpus features + edges") {
+    val feats = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.operators.TextAnalysis.wordNgrams(
+        $"text", 2, seg = false)).as("f"))
+      .unionByName(Seq("", "a", "straße café", "日本 語").toDF("f"))
+      .distinct()
+    for (buckets <- Seq(7L, 1024L)) {
+      val bad = feats.select(
+          pmod(conv(substring(md5($"f".cast("binary")), 1, 8), 16, 10)
+            .cast("long"), lit(buckets)).as("ref"),
+          pmod(shiftrightunsigned(Md5Hashes.md5Hash64($"f"), 32),
+            lit(buckets)).as("got"))
+        .filter(not($"ref" <=> $"got"))
+        .count()
+      assert(bad == 0L, s"bucket kernel diverged on $bad features at " +
+        s"buckets=$buckets")
+    }
+  }
+
+  test("Md5MinHashSig == the relational transform/array_min staging, " +
+      "including the null-element and no-usable-element shapes") {
+    val h = 32
+    val rnd = new scala.util.Random(20260819L)
+    val arrays: Seq[Seq[java.lang.Long]] =
+      Seq(Seq.empty[java.lang.Long], Seq(null.asInstanceOf[java.lang.Long]),
+        Seq[java.lang.Long](0L, -1L, Long.MaxValue, Long.MinValue)) ++
+        (0 until 50).map(_ => Seq.fill(1 + rnd.nextInt(40))(
+          java.lang.Long.valueOf(rnd.nextLong())))
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "h64")
+    val got = df.select($"id", Md5Hashes.md5MinHashSig($"h64", h).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val want = df.select($"id",
+        transform(sequence(lit(0), lit(h - 1)), i =>
+          array_min(transform($"h64", x =>
+            (shiftrightunsigned(x, 32) +
+              i.cast("long") * x.bitwiseAND(lit(4294967295L))) %
+              lit(4294967296L)))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(got == want)
+  }
 }

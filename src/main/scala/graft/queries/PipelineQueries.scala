@@ -627,7 +627,11 @@ object PipelineQueries {
         val repSrc = (0 until 4).map(k =>
           s"md5(CONCAT('rcl:', CAST(g AS STRING), ':$k'))")
           .mkString("CONCAT(", ", ", ")")
-        val corpus = Tables.documents(s, dir).select("doc_id")
+        // staged (r20 optimization round): the md5-chain planted corpus
+        // feeds the pair table, the exactRepeats truth AND the
+        // detection chain — as a bare plan it re-synthesized per branch
+        val corpus = graft.operators.Dedup.stage(
+          Tables.documents(s, dir).select("doc_id")
           .selectExpr("doc_id", "doc_id div 4 AS g",
             "CAST(doc_id % 4 AS INT) AS role")
           .selectExpr("doc_id", "g", "role",
@@ -643,7 +647,7 @@ object PipelineQueries {
             "CASE WHEN role = 2 THEN CONCAT(substring(bg, 1, off - 1), " +
               "'<', rep, '>', substring(bg, off)) " +
               "WHEN role = 3 THEN CONCAT(substring(bg, 1, off - 1), " +
-              "'[', rep, ']', substring(bg, off)) ELSE bg END AS text")
+              "'[', rep, ']', substring(bg, off)) ELSE bg END AS text"))
         val pa = corpus.filter(col("role") === 2)
           .select(col("g"), col("doc_id").as("ida"),
             (col("off") + 1).as("pa"), col("lrep"))
@@ -733,7 +737,12 @@ object PipelineQueries {
         val suf3 = (0 until 3).map(k =>
           s"md5(CONCAT('srb:', CAST(doc_id AS STRING), ':$k'))")
           .mkString("CONCAT(", ", ", ")")
-        val corpus = Tables.documents(s, dir).select("doc_id")
+        // staged (r20 optimization round): the md5-chain planted corpus
+        // feeds FOUR branches (pair table, exactRepeats truth, the
+        // scrub composite, and through it the residual census) — as a
+        // bare plan the synthesis CTE re-executed per branch
+        val corpus = graft.operators.Dedup.stage(
+          Tables.documents(s, dir).select("doc_id")
           .selectExpr("doc_id", "doc_id div 2 AS g",
             "CAST(doc_id % 2 AS INT) AS role")
           .selectExpr("doc_id", "g", "role",
@@ -746,7 +755,7 @@ object PipelineQueries {
             s"substring($suf3, 1, 96) AS suf", s"$hot AS hot")
           .selectExpr("doc_id", "g", "role", "lrep",
             "CONCAT(pre, CASE role WHEN 0 THEN '<' ELSE '[' END, flank, " +
-              "hot, CASE role WHEN 0 THEN '>' ELSE ']' END, suf) AS text")
+              "hot, CASE role WHEN 0 THEN '>' ELSE ']' END, suf) AS text"))
         val pa = corpus.filter(col("role") === 0)
           .select(col("g"), col("lrep"), col("doc_id").as("ida"),
             lit(98).as("pa"))
@@ -3768,10 +3777,16 @@ object PipelineQueries {
         import graft.operators.{Corpus, QualityClassifier => QC, TextAnalysis => TA}
         val cfg = TA.GopherConfig(minWords = 25L, maxWords = 80L,
           minMeanWordLen = 3.0, maxMeanWordLen = 5.0, minStopwordHits = 1)
-        def prepared = QC.withFeatures(
+        // staged (r20 optimization round): `prepared` feeds BOTH the
+        // bounded training sample AND the corpus-wide scoring scan — as
+        // a `def` the gopher+feature pipeline executed once per
+        // consumer. Eager staging is consistent with this query's
+        // existing construction shape (QC.train already collects its
+        // sample at build time, the semanticNearDupsPlan precedent).
+        val prepared = graft.operators.Dedup.stage(QC.withFeatures(
           TA.gopherRules(Tables.documents(s, dir), col("text"), cfg), "text")
           .select(col("doc_id"), col("text"), col("feats"),
-            when(col("quality_pass"), 1.0d).otherwise(0.0d).as("y"))
+            when(col("quality_pass"), 1.0d).otherwise(0.0d).as("y")))
         val model = QC.train(prepared, "doc_id", "feats", "y",
           rounds = 80, lr = 4.0, maxSample = 2000)
         val kept = QC.score(prepared, "feats", model)

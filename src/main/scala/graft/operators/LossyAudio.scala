@@ -405,9 +405,10 @@ object LossyAudio {
       familyCol: String)(enc: Array[Int] => Array[Byte]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("__id"),
+    // spread the per-row codec encode (see Multimodal.spreadEncode)
+    Multimodal.spreadEncode(df.select(col(idCol).cast("long").as("__id"),
         col(familyCol).cast("string"))
-      .filter(col("__id").isNotNull)
+      .filter(col("__id").isNotNull))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, family0) =>

@@ -588,12 +588,27 @@ object Multimodal {
     * per-partition digest/encoder amortization real asset generation
     * would use.
     */
+  /** Floor a codec-synthesis stage's parallelism at the cluster default
+    * when the input plan carries fewer partitions: a small parquet
+    * input is ONE scan task (one row group), and the per-row encode is
+    * the cost — measured 1.4 s of serialized FLAC encode on a 2.1 s
+    * query (r20 optimization round, StageProfile). Payloads are pure
+    * per-row functions, so placement cannot change results (the
+    * syntheticMjpegAvis posture) — but GUARDED, so a production-scale
+    * input that already carries ample partitions is never coalesced
+    * down to the core count. */
+  private[operators] def spreadEncode(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def syntheticGrayPngs(df: DataFrame, idCol: String,
       familyCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
-      .filter(col("__id").isNotNull)
+    spreadEncode(df.select(col(idCol).cast("long").as("__id"),
+        col(familyCol).cast("string"))
+      .filter(col("__id").isNotNull))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -890,8 +905,9 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val n = AudioFrames * AudioFrameLen
-    df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
-      .filter(col("__id").isNotNull)
+    spreadEncode(df.select(col(idCol).cast("long").as("__id"),
+        col(familyCol).cast("string"))
+      .filter(col("__id").isNotNull))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -978,8 +994,9 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val n = AudioFrames * AudioFrameLen
-    df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
-      .filter(col("__id").isNotNull)
+    spreadEncode(df.select(col(idCol).cast("long").as("__id"),
+        col(familyCol).cast("string"))
+      .filter(col("__id").isNotNull))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -1296,8 +1313,9 @@ object Multimodal {
       s"nFrames must be in [1, $FrameKeyMult], got $nFrames")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
-      .filter(col("__id").isNotNull)
+    spreadEncode(df.select(col(idCol).cast("long").as("__id"),
+        col(familyCol).cast("string"))
+      .filter(col("__id").isNotNull))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -1464,13 +1482,13 @@ object Multimodal {
       s"nFrames must be in [1, $FrameKeyMult], got $nFrames")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
-      .filter(col("__id").isNotNull)
-      // the encode below is the cost; the input is typically a handful
-      // of parquet scan partitions — spread the codec work across the
-      // cluster (payloads are a pure per-row function, so placement
-      // cannot change results)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // the encode below is the cost; spread it across the cluster
+    // (payloads are a pure per-row function, so placement cannot change
+    // results) — guarded since r20 so a production-scale input is
+    // never coalesced DOWN to the core count
+    spreadEncode(df.select(col(idCol).cast("long").as("__id"),
+        col(familyCol).cast("string"))
+      .filter(col("__id").isNotNull))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val enc = new MjpegFamilyFrames(nFrames)
@@ -1671,9 +1689,9 @@ object Multimodal {
     require(syncEvery >= 0, s"syncEvery must be >= 0, got $syncEvery")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("__id"), col(familyCol).cast("string"))
-      .filter(col("__id").isNotNull)
-      .repartition(spark.sparkContext.defaultParallelism)
+    spreadEncode(df.select(col(idCol).cast("long").as("__id"),
+        col(familyCol).cast("string"))
+      .filter(col("__id").isNotNull))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val enc = new MjpegFamilyFrames(nFrames)

@@ -49,7 +49,8 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L, maxVocab: Int = 50000): Model = {
     require(numMerges > 0 && maxVocab > 0, "numMerges and maxVocab must be positive")
-    val words: Array[(Array[String], Long)] = docs
+    val words: Array[(Array[String], Long)] = ScaleOps
+      .spreadCpu(docs.select(col(textCol)))
       .select(explode(Corpus.spanTokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
@@ -306,7 +307,12 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    docs.select(col(idCol).cast("long"), pretokenize(col(textCol)).as("ws"))
+    // spread (guarded) BEFORE pretokenization: the per-word encode loop
+    // is CPU-dense and a pure per-row map — serialized behind a 1-split
+    // scan otherwise; spreading the raw text keeps the exchange narrow
+    ScaleOps.spreadCpu(docs.select(col(idCol).cast("long").as("__id"),
+        col(textCol).as("__txt")))
+      .select(col("__id"), pretokenize(col("__txt")).as("ws"))
       .as[(Long, Seq[String])]
       .mapPartitions { rows =>
         val m = bc.value
@@ -325,8 +331,10 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    docs.select(col(idCol).cast("long"),
-        Corpus.spanTokens(col(textCol)).as("ws"))
+    // same guarded raw-text spread as [[tokenizeBytes]]
+    ScaleOps.spreadCpu(docs.select(col(idCol).cast("long").as("__id"),
+        col(textCol).as("__txt")))
+      .select(col("__id"), Corpus.spanTokens(col("__txt")).as("ws"))
       .as[(Long, Seq[String])]
       .mapPartitions { rows =>
         val m = bc.value

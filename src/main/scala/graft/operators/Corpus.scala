@@ -268,7 +268,11 @@ object Corpus {
       n: Int = 8,
       minDocs: Int = 2): DataFrame = {
     require(n >= 2, s"span length must be >= 2 tokens, got $n")
-    val toks = docs.select(col(idCol), spanTokens(col(textCol)).as("__t"))
+    // spread (guarded) before tokenize+explode: the span enumeration ran
+    // as ONE 0.8 s task behind the small-SF scan's single split
+    // (StageProfile r20); the span-keyed aggregate is placement-free
+    val toks = ScaleOps.spreadCpu(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), spanTokens(col(textCol)).as("__t"))
     val spans = toks
       .filter(size(col("__t")) >= n)
       .select(col(idCol), explode(
@@ -325,8 +329,13 @@ object Corpus {
       xx: Boolean = false): DataFrame = {
     require(n >= 2, s"span length must be >= 2 tokens, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // the tokenization is spread (guarded) INSIDE the eager stage —
+    // downstream reuse reads the staged snapshot, so the added exchange
+    // cannot break it (the repeatedSpans rationale)
     val toks = Dedup.stage(
-      docs.select(col(idCol).as("id"), spanTokens(col(textCol)).as("__t")))
+      ScaleOps.spreadCpu(docs.select(col(idCol).as("id"),
+          col(textCol).as("__txt")))
+        .select(col("id"), spanTokens(col("__txt")).as("__t")))
     // 1-based n-gram start positions (repeatedSpans' convention). In xx
     // mode the span TEXT never leaves the scan stage: the key column is
     // hashed inside the same projection that materializes the n-gram.
@@ -848,8 +857,13 @@ object Corpus {
         col(textCol).cast("string").as("text"))
       .filter(col("id").isNotNull)
     // the ONE walk, staged: chunks and anchors both read it — unstaged,
-    // each consumer would re-run the fused pass (losing the fusion)
-    val walked = Dedup.stage(base.as[(Long, String)]
+    // each consumer would re-run the fused pass (losing the fusion).
+    // The walk input is spread (guarded) so the fused hash pass engages
+    // every core instead of serializing behind the small-SF scan's one
+    // split; the spread sits INSIDE the eager stage, so downstream reuse
+    // is untouched (unlike the rejected blanket scan fan-out, which
+    // broke reuse in lazy multiply-consumed subtrees).
+    val walked = Dedup.stage(ScaleOps.spreadCpu(base).as[(Long, String)]
       .flatMap { case (id, text) =>
         censusWalk(text, w, cd, ad, g, sl).map { case (k, a, b, p) =>
           (id, k, a, b, p)
@@ -949,7 +963,12 @@ object Corpus {
     // sites' guardCertScale raises at EXECUTION, not while the plan is
     // being composed. Blocks are certificate-bounded by that guard and
     // dropped with the session's cache.
-    val grams = base
+    // spread (guarded) before the exhaustive gram explode: the
+    // every-position substring enumeration is the certificate's CPU
+    // mass and ran serialized behind the 1-split small-SF scan; a
+    // lazy `.rdd` partition probe + repartition runs no job, so the
+    // construction-job-free guardCertScale contract holds
+    val grams = ScaleOps.spreadCpu(base)
       .select(col("id"), col("text"),
         explode(sequence(lit(1),
           length(col("text")) - lit(minLen - 1))).as("p"))

@@ -99,10 +99,15 @@ object Dsir {
   private[graft] def featureCountsWith(df: DataFrame, idCol: String,
       textCol: String, isTarget: Column,
       bucketFn: Column => Column, seg: Boolean = false): DataFrame =
-    df.select(col(idCol).as("id"),
+    // spread BEFORE the per-feature explode+hash: 1.1 s of hash CPU sat
+    // in ONE task behind the small-SF scan's single split (StageProfile
+    // r20); bucket counts are placement-independent
+    ScaleOps.spreadCpu(df.select(col(idCol).as("id"),
         coalesce(isTarget.cast("boolean"), lit(false)).as("tgt"),
-        explode(concat(TextAnalysis.wordNgrams(col(textCol), 1, seg),
-          TextAnalysis.wordNgrams(col(textCol), 2, seg))).as("f"))
+        col(textCol).as("__t")))
+      .select(col("id"), col("tgt"),
+        explode(concat(TextAnalysis.wordNgrams(col("__t"), 1, seg),
+          TextAnalysis.wordNgrams(col("__t"), 2, seg))).as("f"))
       .select(col("id"), col("tgt"), bucketFn(col("f")).as("b"))
       .groupBy("id", "tgt", "b").agg(count(lit(1)).as("c"))
 

@@ -33,8 +33,14 @@ object FuzzyJoin {
       right: DataFrame, rightId: String, rightStr: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val l = left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"))
-      .filter(col("__ls").isNotNull)
+    // spread the verify's probe input: the bounded-levenshtein pass over
+    // every length-banded candidate ran as ONE 1.9 s task behind the
+    // small-SF scan's single split (StageProfile r20) — the broadcast
+    // band join keeps its probe side's partitioning, so the floor must
+    // be set here; the join result is a set, placement-independent
+    val l = ScaleOps.spreadCpu(
+        left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"))
+          .filter(col("__ls").isNotNull))
       .withColumn("__bucket", length(col("__ls")))
     val r = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"))
       .filter(col("__rs").isNotNull)

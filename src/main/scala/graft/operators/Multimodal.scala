@@ -597,10 +597,8 @@ object Multimodal {
     * syntheticMjpegAvis posture) — but GUARDED, so a production-scale
     * input that already carries ample partitions is never coalesced
     * down to the core count. */
-  private[operators] def spreadEncode(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+  private[operators] def spreadEncode(df: DataFrame): DataFrame =
+    ScaleOps.spreadCpu(df)
 
   def syntheticGrayPngs(df: DataFrame, idCol: String,
       familyCol: String): DataFrame = {

@@ -20,6 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Floor a frame's partition count at the cluster default parallelism —
+    * the guarded input spread for CPU-DENSE stages (codec encodes, hash
+    * kernels, per-feature explodes, bounded-edit-distance verifies).
+    * AQE's coalescing and the scan's split planning are both SIZE-based;
+    * a stage whose per-byte cost is orders of magnitude above a scan's
+    * (measured: 0.7-2 s of CPU serialized behind a 1-split small-SF
+    * parquet scan, StageProfile r20) violates that assumption and
+    * serializes on whatever partition count the bytes suggested. GUARDED
+    * on the input's current partition count, so a production-scale input
+    * that already carries >= cores partitions is never coalesced down
+    * and never pays an extra exchange — at 100 TB this is a no-op; the
+    * one round-robin exchange of the narrow projected input is the
+    * small-scale price for engaging every core on the fat stage.
+    *
+    * Use ONLY in front of a single CPU-fat stage — never inside a lazy
+    * multiply-consumed subtree, where the added exchange breaks
+    * subexpression/exchange reuse and the subtree recomputes per
+    * consumer (measured as a clear loss, OPTIMIZATION_r20.md "Rejected:
+    * scan fan-out").
+    */
+  def spreadCpu(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Write a DataFrame as a bucketed table: rows are hash-partitioned into
     * `buckets` files per partition by `key` at write time. Two tables
     * bucketed with the same key and bucket count join shuffle-free.
@@ -279,7 +304,15 @@ object ScaleOps {
     require(!df.columns.contains(partCol),
       s"input already contains the partition column $partCol")
     val fmt = if (granularity == "day") "yyyy-MM-dd" else "yyyy-MM"
-    df.withColumn(partCol, date_format(col(tsCol), fmt))
+    // spread (guarded) below the key derivation and the range exchange:
+    // the derive+range-map pass serialized behind the small-SF scan's
+    // few splits, and the range partitioner's boundary-sampling job then
+    // re-reads the spread shuffle files instead of re-scanning the source.
+    // A/B (min of 7, same window): 2.22 s unspread vs 1.74 s spread; the
+    // same change on writeZOrdered measured a wash (1.65 vs 1.66 — its
+    // z-map is too cheap to pay for the extra exchange) and was reverted.
+    spreadCpu(df)
+      .withColumn(partCol, date_format(col(tsCol), fmt))
       .repartitionByRange(numFiles, col(partCol), col(tsCol))
       .sortWithinPartitions(col(partCol), col(tsCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(path)

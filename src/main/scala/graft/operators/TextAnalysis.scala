@@ -225,8 +225,12 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     val featCol =
       if (n == 1) tokens(lower(col(textCol))) else wordNgrams(col(textCol), n)
-    docs.select(col(idCol),
-      graft.functions.HashEmbedVector.hashEmbed(featCol, dim).as("vec"))
+    // spread before the kernel projection: the per-feature hash loop is
+    // CPU-dense per byte (5.9 task-CPU-s over the scan's 6 splits at
+    // sf0.1, StageProfile r20); the kernel is a pure per-row map
+    ScaleOps.spreadCpu(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        graft.functions.HashEmbedVector.hashEmbed(featCol, dim).as("vec"))
   }
 
   /** The pre-kernel relational formulation of [[hashEmbed]] (explode →
@@ -263,8 +267,11 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     val featCol =
       if (n == 1) tokens(lower(col(textCol))) else wordNgrams(col(textCol), n)
-    docs.select(col(idCol),
-      graft.functions.HashEmbedVector.hashEmbedMd5(featCol, dim).as("vec"))
+    // same spread as [[hashEmbed]] (the md5 mode's per-feature digest is
+    // the MOST CPU-dense map on the text surface)
+    ScaleOps.spreadCpu(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        graft.functions.HashEmbedVector.hashEmbedMd5(featCol, dim).as("vec"))
   }
 
   /** The relational formulation of [[hashEmbedMd5]] — the independent
@@ -344,10 +351,18 @@ object TextAnalysis {
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.4): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val grams = docs.select(col(idCol),
+    // spread ONCE before the tokenize/explode passes: the bigram and
+    // unigram tokenizations each ran as a ~0.9 s single task behind the
+    // small-SF scan's one split (StageProfile r20); both consumers read
+    // the SAME round-robin exchange (canonically equal subtrees ->
+    // ReuseExchange), so the spread costs one narrow shuffle. Counts and
+    // the decimal-exact NLL sum are placement-independent.
+    val spread = ScaleOps.spreadCpu(
+      docs.select(col(idCol), col(textCol)))
+    val grams = spread.select(col(idCol),
       explode(wordNgrams(col(textCol), 2)).as("__bigram"))
     val biCounts = grams.groupBy("__bigram").agg(count(lit(1)).as("__c2"))
-    val uniCounts = docs
+    val uniCounts = spread
       .select(explode(tokens(lower(col(textCol)))).as("__tok"))
       .filter(col("__tok") =!= "")
       .groupBy("__tok").agg(count(lit(1)).as("__c1"))
@@ -386,7 +401,10 @@ object TextAnalysis {
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long = 1L): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
-    val posted = docs
+    // spread before the posting explode (the 1-split small-SF scan
+    // serialized the tokenize+explode+partial-agg stage; StageProfile
+    // r20) — tf/min-position/df aggregates are placement-independent
+    val posted = ScaleOps.spreadCpu(docs.select(col(idCol), col(textCol)))
       .select(col(idCol),
         posexplode(tokens(lower(col(textCol)))).as(Seq("__pos", "term")))
       .filter(col("term") =!= "")

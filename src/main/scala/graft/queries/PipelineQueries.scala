@@ -971,6 +971,14 @@ object PipelineQueries {
           .agg(sort_array(collect_list(col("l_linenumber"))).as("lines0"))
         val nested = Tables.orders(s, dir)
           .join(lineAgg, col("o_orderkey") === col("l_orderkey"), "left")
+          // one container per TASK: the small-SF scan is 1-2 partitions,
+          // which serializes the deflate encode behind one task — spread
+          // it (the "size your partitions, not your cluster" rule the
+          // writer's scaladoc states, applied). Row placement does not
+          // affect the read-back aggregate. The spread sits BELOW the
+          // nested-field assembly so the struct/map/decimal construction
+          // runs wide too (it was a 0.75 s single task, StageProfile r20).
+          .repartition(s.sparkContext.defaultParallelism)
           .select(
             col("o_orderkey"),
             col("o_orderdate").as("ots"),
@@ -983,12 +991,6 @@ object PipelineQueries {
             struct(col("o_orderstatus").as("status"),
               col("o_custkey").as("custkey")).as("meta"),
             map(lit("ck"), col("o_custkey")).as("m"))
-          // one container per TASK: the small-SF scan is 1-2 partitions,
-          // which serializes the deflate encode behind one task — spread
-          // it (the "size your partitions, not your cluster" rule the
-          // writer's scaladoc states, applied). Row placement does not
-          // affect the read-back aggregate.
-          .repartition(s.sparkContext.defaultParallelism)
         graft.sources.AvroFiles.write(nested, out)
         val schema = StructType(Seq(
           StructField("o_orderkey", LongType),
@@ -1253,7 +1255,12 @@ object PipelineQueries {
     QueryDef("q_curation_pipeline",
       (s, dir) => {
         import graft.operators.{Corpus, TextAnalysis => TA}
-        val docs = Tables.documents(s, dir)
+        // spread (guarded): the gopher -> trained-langid -> dedup-hash
+        // subtree ran as ONE 0.7 s task behind the 1-split small-SF scan
+        // (StageProfile r20); every downstream stage keys on its own
+        // shuffle, so placement cannot change results
+        val docs = graft.operators.ScaleOps.spreadCpu(
+          Tables.documents(s, dir))
         val quality = TA.gopherRules(docs, col("text"),
           TA.GopherConfig(minWords = 25L, maxWords = 80L,
             minMeanWordLen = 3.0, maxMeanWordLen = 5.0, minStopwordHits = 1))

@@ -96,8 +96,10 @@ object Bench {
     val cpuNs = new AtomicLong
     val gcMs = new AtomicLong
     val waitNs = new AtomicLong
+    val nTasks = new AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
+      nTasks.incrementAndGet()
       if (m != null) {
         runMs.addAndGet(m.executorRunTime)
         cpuNs.addAndGet(m.executorCpuTime)
@@ -106,11 +108,11 @@ object Bench {
           m.shuffleWriteMetrics.writeTime)
       }
     }
-    def snapshot: (Long, Long, Long, Long) =
-      (runMs.get, cpuNs.get, gcMs.get, waitNs.get)
+    def snapshot: (Long, Long, Long, Long, Long) =
+      (runMs.get, cpuNs.get, gcMs.get, waitNs.get, nTasks.get)
     /** listener-bus events post async; poll until the counters settle so a
       * rep's tasks aren't attributed to the next rep */
-    def settledSnapshot(): (Long, Long, Long, Long) = {
+    def settledSnapshot(): (Long, Long, Long, Long, Long) = {
       var prev = snapshot
       var waited = 0
       while (waited < 500) {
@@ -125,7 +127,7 @@ object Bench {
 
   private final case class Rep(
       sec: Double, ok: Boolean, stealFrac: Double,
-      taskRunSec: Double, taskCpuSec: Double) {
+      taskRunSec: Double, taskCpuSec: Double, nTasks: Long) {
     /** task-seconds of run-time not explained by CPU work (GC/fetch already
       * subtracted in taskRunSec) */
     def dilated: Boolean =
@@ -148,34 +150,21 @@ object Bench {
   private[graft] val MaxPrevHist = 4
 
   /** ACKNOWLEDGED historical prev-floors (the r19-verdict governance
-    * item): these queries carry tightest-ever `prev` floors their CURRENT
-    * declared pipelines can never reach — each NOTE recurred and was
-    * re-triaged >= 3 rounds to the same documented conclusion, burning a
-    * triage every round. An entry downgrades the recurring prev-floor
-    * NOTE to a one-line acknowledged print, ONLY while the tightest
-    * historical floor still equals the acknowledged value EXACTLY (a
-    * new, different prev floor re-arms the full NOTE) and only for the
-    * named query; every other query keeps the full gate. BenchFloorsSpec
-    * pins this map is exact — no silent additions. */
+    * item): an entry downgrades a recurring prev-floor NOTE to a
+    * one-line acknowledged print, ONLY while the tightest historical
+    * floor still equals the acknowledged value EXACTLY (a new, different
+    * prev floor re-arms the full NOTE) and only for the named query.
+    * BenchFloorsSpec pins this map is exact — no silent additions.
+    *
+    * EMPTY since r21: the four count-era acknowledgments (q_tar_roundtrip
+    * 0.234, q_stream_neardup 0.839, q_text_topterms 0.445,
+    * q_pipeline_clean 0.611) anchored to `prev` floors measured under the
+    * count() action, which the r21 noop-sink methodology fix retired
+    * wholesale (fresh r21 pins, no prev history — the old floors gate a
+    * different, pruned computation; see OPTIMIZATION_r21.md). The
+    * mechanism stays for future acknowledgments. */
   private[graft] val AcknowledgedHistorical: Map[String, (Double, String)] =
-    Map(
-      "q_tar_roundtrip" -> ((0.234,
-        "r15 triage: pre-r13 direct-local-writer floor, unreachable " +
-          "under the production Hadoop-FS sink (96837f2)")),
-      "q_stream_neardup" -> ((0.839,
-        "r17/r18/r19 triages: pre-r12 pipeline floor; xx twin at its " +
-          "floor and focused quiet min inside every gate each time — " +
-          "interleaving warm-up noise, not a regression")),
-      "q_text_topterms" -> ((0.445,
-        "r19 declared change: marker-gate floor; the trained " +
-          "32-language grouping replaced it (coverage-for-cost trade, " +
-          "decomposed in SCALE.md)")),
-      "q_pipeline_clean" -> ((0.611,
-        "r20 triage: pre-r17 marker-era floor. The 64-language " +
-          "trained-gate pipeline reads 0.83 FOCUSED (below even the " +
-          "r19 1.237 floor — the widen made it faster), 1.4-1.5 " +
-          "interleaved: the documented composite interleaving gap, " +
-          "not a regression")))
+    Map.empty
 
   /** the acknowledgment for `name`, iff its tightest historical floor
     * still equals the acknowledged value exactly AND the run is at the
@@ -329,11 +318,25 @@ object Bench {
       // RDDs outside the cacheManager — drop those blocks too.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      val (run0, cpu0, gc0, wait0) = clock.settledSnapshot()
+      val (run0, cpu0, gc0, wait0, nt0) = clock.settledSnapshot()
       val (bad0, tot0) = cpuStat()
       val t0 = System.nanoTime()
       val repOk =
-        try { d.fn(spark, sfDir).count(); true }
+        // noop sink, NOT count() (r21 measurement fix, guide §1.4 and the
+        // driver contract's anticipated case): count() lets the optimizer
+        // prune columns and eliminate whole subtrees — after the r21
+        // cutSpans fusion, count(q_repeat_scrub) collapsed to a bare
+        // scan (the left join against a unique-key aggregate is
+        // join-eliminated), timing NONE of the scrub. The noop write
+        // computes every column of every row and discards it, so the
+        // bench times the declared computation for all queries. The
+        // count-based fold is kept alongside for the cross-methodology
+        // record (bench/bench_r21_baseline.json; OPTIMIZATION_r21.md
+        // tabulates the per-query shift).
+        try {
+          d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        }
         catch {
           case t: Throwable =>
             System.err.println(s"[bench] FAILED ${d.name}: ${t.getMessage}")
@@ -341,12 +344,13 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       val (bad1, tot1) = cpuStat()
-      val (run1, cpu1, gc1, wait1) = clock.settledSnapshot()
+      val (run1, cpu1, gc1, wait1, nt1) = clock.settledSnapshot()
       val frac = if (tot1 > tot0) (bad1 - bad0).toDouble / (tot1 - tot0) else 0.0
       val adjRunSec = ((run1 - run0) - (gc1 - gc0)).toDouble / 1e3 -
         (wait1 - wait0).toDouble / 1e9
       val cpuSec = (cpu1 - cpu0).toDouble / 1e9
-      Rep(sec, repOk, frac, adjRunSec.max(0.0), cpuSec.max(0.0))
+      Rep(sec, repOk, frac, adjRunSec.max(0.0), cpuSec.max(0.0),
+        (nt1 - nt0).max(0L))
     }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
@@ -379,9 +383,17 @@ object Bench {
       val ok = table(i).filter(_.ok)
       if (ok.nonEmpty) ok.minBy(_.sec) else table(i).minBy(_.sec)
     }
-    def floorDirty(i: Int): Boolean = floors.get(defs(i).name).exists { f =>
-      bestOf(i).sec > FloorFactor * f.floor + floorSlack(f.floor)
-    }
+    // floor gates are scoped to the core count they were pinned at (32,
+    // the official posture): under the r21 noop-sink action the CPU-dense
+    // queries genuinely scale with cores, so an 8-core scaling run would
+    // read every one of them as floor-dirty against a 32-core pin and
+    // burn five retry passes on environmental non-noise. Steal and
+    // dilation checks remain at every core count.
+    val floorGatesApply = nCpus == 32
+    def floorDirty(i: Int): Boolean =
+      floorGatesApply && floors.get(defs(i).name).exists { f =>
+        bestOf(i).sec > FloorFactor * f.floor + floorSlack(f.floor)
+      }
     // governance print (never a failure): a wall past the gate built from
     // the TIGHTEST historical floor means the query regressed relative to
     // a pipeline an earlier floor guarded — visible even when the current
@@ -456,16 +468,21 @@ object Bench {
     })
     // per-query evidence: wall vs task-clock vs floor (+ pre-re-pin prev
     // floor when the entry carries history), for the best rep
+    // per-query evidence now carries the best rep's TASK COUNT: at the
+    // main core count vs a low-core run, a CPU-dense query's task count
+    // is the scaling-legibility signal the r20 driver asked for
+    // (`suspect_cpus_ignored`) — identical task counts with ~equal walls
+    // say "stage-latency-bound at this SF", not "CPUS ignored"
     val diag = results.map { case (k, b, _, _, _) =>
       val e = floors.get(k)
       val f = e.map(x => f"${x.floor}%.3f").getOrElse("null")
       val p = e.filter(_.prev.nonEmpty).map(x => f"${x.prev.min}%.3f").getOrElse("null")
-      f""""$k":{"wall":${b.sec}%.3f,"task_run":${b.taskRunSec}%.2f,"task_cpu":${b.taskCpuSec}%.2f,"steal":${b.stealFrac}%.3f,"floor":$f,"prev_floor":$p}"""
+      f""""$k":{"wall":${b.sec}%.3f,"task_run":${b.taskRunSec}%.2f,"task_cpu":${b.taskCpuSec}%.2f,"steal":${b.stealFrac}%.3f,"tasks":${b.nTasks},"floor":$f,"prev_floor":$p}"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, b, true, _, _) => b.sec }.sum
     val nFailed = results.count(!_._3)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"prev_floor_exceeded":$prevExceededNames,"prev_floor_acknowledged":$prevAckNames,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","checks":["proc_stat_steal","task_clock_dilation","historical_floor"],"steal_threshold":$StealThreshold,"floor_factor":$FloorFactor,"floor_slack":"max(0.1, 0.25 * floor)","sf":"$sfDir","diag":$diag}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$nCpus,"queries":$qs,"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"prev_floor_exceeded":$prevExceededNames,"prev_floor_acknowledged":$prevAckNames,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","action":"noop_sink","checks":["proc_stat_steal","task_clock_dilation","historical_floor"],"steal_threshold":$StealThreshold,"floor_factor":$FloorFactor,"floor_slack":"max(0.1, 0.25 * floor)","sf":"$sfDir","diag":$diag}"""
     // the artifact of record: stdout tails are truncated by the harness
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
@@ -483,7 +500,7 @@ object Bench {
     val stdoutBudget = 1800
     val headline = results.filter(_._3).sortBy(-_._2.sec)
     val fixed =
-      s""","n_queries":${results.length},"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"prev_floor_exceeded":$prevExceededNames,"prev_floor_acknowledged":$prevAckNames,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","sf":"$sfDir","detail":"$outPath"}"""
+      s""","n_queries":${results.length},"cpus":$nCpus,"failed":$failed,"n_failed":$nFailed,"contaminated":$contaminated,"n_contaminated":${results.count(_._4)},"floor_exceeded":$floorExceeded,"prev_floor_exceeded":$prevExceededNames,"prev_floor_acknowledged":$prevAckNames,"reps":$reps,"extra_passes":$extra,"timing":"min_of_interleaved_passes","action":"noop_sink","sf":"$sfDir","detail":"$outPath"}"""
     def summary(n: Int): String = {
       val top = headline.take(n)
         .map { case (k, b, _, _, _) => f""""$k":${b.sec}%.3f""" }

@@ -352,25 +352,55 @@ object Corpus {
       .agg(count_distinct(col("id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("span")
-    val covered = grams.join(rep, Seq("span"))
-      .select(col("id"),
-        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
-      .distinct()
-    val pos = toks.select(col("id"),
-      posexplode(col("__t")).as(Seq("__p0", "tok")))
-      .select(col("id"), (col("__p0") + 1).as("pos"), col("tok"))
-    val kept = pos.join(covered, Seq("id", "pos"), "left_anti")
+    // coverage and the cut, fused (r21, guide §2.4/§1.2): the former
+    // path exploded every matched occurrence into n position rows,
+    // deduplicated them on (id, pos), left-anti-joined the full
+    // per-token position explode and reassembled with ANOTHER id-keyed
+    // aggregate — four shuffles and an n-fold row blow-up. Covered
+    // positions are fully determined by the matched occurrences' START
+    // positions (each covers [start, start+n-1]), so ONE id-keyed
+    // aggregate collects the sorted starts and the cut runs as per-row
+    // array folds over the staged token array: merge the fixed-length
+    // spans into overlap-or-adjacent islands (the cutSpans fold — the
+    // position-set union, expressed as intervals), then keep the token
+    // segments between islands. Token order, the space re-join, and the
+    // removed count are identical to the position-anti-join formulation.
+    val starts = grams.join(rep, Seq("span"))
       .groupBy("id")
-      .agg(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ").as("clean_text"),
-        count(lit(1)).as("__nk"))
-    toks.select(col("id"), size(col("__t")).cast("long").as("n_tokens"))
-      .join(kept, Seq("id"), "left")
+      .agg(array_sort(collect_list(col("start"))).as("__st"))
+    val spanArr = transform(col("__st"),
+      st => struct(st.as("s"), (st + n).as("e")))
+    val islands = aggregate(
+      slice(spanArr, lit(2), size(spanArr) - 1),
+      array(element_at(spanArr, 1)),
+      (acc: Column, x: Column) => {
+        val last = element_at(acc, -1)
+        when(x.getField("s") > last.getField("e"),
+          concat(acc, array(struct(x.getField("s").as("s"),
+            x.getField("e").as("e")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"),
+              greatest(last.getField("e"), x.getField("e")).as("e")))))
+      })
+    // fold islands into the kept-token array: tokens in [pe, s) between
+    // islands, then the tail [pe, end] after the last one
+    val keptToks = aggregate(
+      islands,
+      struct(lit(1).as("pe"),
+        array().cast("array<string>").as("acc")),
+      (st: Column, x: Column) => struct(
+        x.getField("e").as("pe"),
+        concat(st.getField("acc"), slice(col("__t"),
+          st.getField("pe"), x.getField("s") - st.getField("pe"))).as("acc")),
+      (st: Column) => concat(st.getField("acc"), slice(col("__t"),
+        st.getField("pe"), size(col("__t")) - st.getField("pe") + 1)))
+    toks.join(starts, Seq("id"), "left")
+      .withColumn("__kept",
+        when(col("__st").isNull, col("__t")).otherwise(keptToks))
       .select(col("id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
   /** Remove contaminated documents: `train` without any document sharing
@@ -708,38 +738,63 @@ object Corpus {
     * reassembles from its surviving segments in order; span-free docs
     * pass through. Output: `(doc_id, clean_text, n_spans, n_removed)`. */
   private[graft] def cutSpans(base: DataFrame, iv: DataFrame): DataFrame = {
-    val w = Window.partitionBy("id").orderBy("s", "e")
-    val merged = iv
-      .withColumn("maxe", max("e").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("ni",
-        when(col("maxe").isNull || col("s") > col("maxe"), 1).otherwise(0))
-      .withColumn("island", sum("ni").over(w))
-      .groupBy("id", "island")
-      .agg(min("s").as("s"), max("e").as("e"))
-    val wi = Window.partitionBy("id").orderBy("s")
-    val pieces = merged
-      .withColumn("pe", coalesce(lag("e", 1).over(wi), lit(1L)))
-      .join(base, Seq("id"))
-      .selectExpr("id", "island", "substring(text, pe, s - pe) AS piece")
-    val tails = merged.groupBy("id")
-      .agg(max("e").as("me"), sum(col("e") - col("s")).as("n_removed"),
-        count(lit(1)).as("n_spans"))
-      .join(base, Seq("id"))
-      .selectExpr("id", "substring(text, me) AS tail", "n_removed",
-        "n_spans")
-    val body = pieces.groupBy("id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("island"), col("piece")))),
-        x => x.getField("piece")), "").as("bodytxt"))
-    val scrubbed = body.join(tails, Seq("id"))
-      .select(col("id"), concat(col("bodytxt"), col("tail")).as("ct"),
-        col("n_spans"), col("n_removed"))
-    base.join(scrubbed, Seq("id"), "left")
+    // ONE id-keyed aggregate collects each document's spans; island
+    // merging and the piece/tail reassembly run as per-row array folds
+    // over the (span-count-bounded) per-doc list. The former formulation
+    // paid two id-keyed windows, two more aggregates and THREE joins back
+    // to `base` — fused to one aggregate + one join (r21, guide §2.4
+    // remove-shuffles / §1.2 stage-count; the scrub family's wall was
+    // tiny-stage chain latency, not compute). Island semantics are
+    // IDENTICAL to the windowed form: spans sorted by (s, e); a span
+    // opens a new island iff its s strictly exceeds the running max end
+    // (adjacency merges — and because every span has e > s, the running
+    // max end equals the CURRENT island's max e, so folding against the
+    // last island alone is the same decision the global running max
+    // made); an island spans (min s, max e). Reassembly is the same
+    // substring algebra: piece_i = substring(text, pe_i, s_i - pe_i)
+    // with pe_1 = 1 and pe_i = e_{i-1}, tail = substring(text, max_e);
+    // n_removed sums (e - s) over MERGED islands, n_spans counts them.
+    val spans = iv.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("s").cast("long").as("s"),
+        col("e").cast("long").as("e")))).as("__sp"))
+    // merge sorted spans into overlap-or-adjacent islands: fold the tail
+    // against array(first) — groups are non-empty by construction
+    val mergedIslands = aggregate(
+      slice(col("__sp"), lit(2), size(col("__sp")) - 1),
+      array(element_at(col("__sp"), 1)),
+      (acc: Column, x: Column) => {
+        val last = element_at(acc, -1)
+        when(x.getField("s") > last.getField("e"),
+          concat(acc, array(struct(x.getField("s").as("s"),
+            x.getField("e").as("e")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"),
+              greatest(last.getField("e"), x.getField("e")).as("e")))))
+      })
+    // cut the islands out in one fold: carry (prev island end, text acc)
+    val cutText = (m: Column) => aggregate(
+      m,
+      struct(lit(1L).as("pe"), lit("").as("acc")),
+      (st: Column, x: Column) => struct(
+        x.getField("e").as("pe"),
+        concat(st.getField("acc"), col("text").substr(
+          st.getField("pe").cast("int"),
+          (x.getField("s") - st.getField("pe")).cast("int"))).as("acc")),
+      (st: Column) => concat(st.getField("acc"),
+        col("text").substr(st.getField("pe").cast("int"),
+          length(col("text")))))
+    val nRemoved = (m: Column) => aggregate(m, lit(0L),
+      (a: Column, x: Column) => a + (x.getField("e") - x.getField("s")))
+    base.join(spans, Seq("id"), "left")
+      .withColumn("__m",
+        when(col("__sp").isNull, lit(null)).otherwise(mergedIslands))
       .select(col("id").as("doc_id"),
-        coalesce(col("ct"), col("text")).as("clean_text"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        when(col("__m").isNull, col("text"))
+          .otherwise(cutText(col("__m"))).as("clean_text"),
+        when(col("__m").isNull, lit(0L))
+          .otherwise(size(col("__m")).cast("long")).as("n_spans"),
+        when(col("__m").isNull, lit(0L))
+          .otherwise(nRemoved(col("__m"))).as("n_removed"))
   }
 
   /** ONE fused hash pass emitting BOTH the CDC chunk census AND the
@@ -879,16 +934,20 @@ object Corpus {
         key.as("ck"))
       .withColumn("e", sum("n_cp").over(wext) + 1L)
       .withColumn("s", col("e") - col("n_cp"))
-    // staged: THREE consumers (the broadcast-guard span count, the hot
-    // cut's join, the union cut's join) — and the dup-key set is small
-    // (duplicated chunks only), so the snapshot is cheap; __no carries
-    // each key's occurrence count so the guard needs no extra pass over
-    // the chunk rows
-    val dup = Dedup.stage(chunks.groupBy("ck")
-      .agg(count_distinct(col("id")).as("__nd"), count(lit(1)).as("__no"))
-      .filter(col("__nd") >= 2).select("ck", "__no"))
-    val chunkSpans = chunks.join(dup.select("ck"), Seq("ck"))
+    // duplicated-chunk span rows, PERSISTED (lazy) with the guard count
+    // as the materializing action: the frame feeds both the hot cut's
+    // anti-join side and the union cut's input, and the count of its
+    // rows IS the former staged-dup guard value (sum over duplicated
+    // keys of their occurrence counts == one row per duplicated-chunk
+    // occurrence). One job replaces the r20 shape's separate dup
+    // checkpoint + guard aggregate, and the chunks window no longer
+    // recomputes per consumer (r21, guide §5/§1.2).
+    val dup = chunks.groupBy("ck")
+      .agg(count_distinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= 2).select("ck")
+    val chunkSpans = chunks.join(dup, Seq("ck"))
       .select("id", "s", "e")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val anchors = walked.filter(col("kind") === 1)
       .select(col("id"), col("a").as("s0"), col("payload").as("seed"))
     // the hot-region cut: seed fully inside a removed chunk span. The
@@ -897,11 +956,11 @@ object Corpus {
     // shuffles. But "usually" is not a bound: on a boilerplate-heavy
     // corpus the dup-span set is data-sized, and an unconditional
     // broadcast would collect it on the driver. Guard on the EXACT span
-    // count (sum of the staged dup keys' occurrence counts — one tiny
-    // agg, no pass over chunk rows) and fall back to a shuffled
-    // left_anti above the cap — one extra anchor shuffle, no driver
-    // collect, same rows either way.
-    val nHot = dup.agg(coalesce(sum("__no"), lit(0L))).head.getLong(0)
+    // count (the persisted frame's own row count — the action that
+    // materializes it) and fall back to a shuffled left_anti above the
+    // cap — one extra anchor shuffle, no driver collect, same rows
+    // either way.
+    val nHot = chunkSpans.count()
     val hot = chunkSpans.select(col("id").as("__hid"),
       col("s").as("__hs"), col("e").as("__he"))
     val survivors = anchors.join(
@@ -915,8 +974,14 @@ object Corpus {
       col("start_b").as("s"), (col("start_b") + col("rep_len")).as("e"))
     // staged: TWO consumers (the token-domain mask and the final count
     // join) — unstaged, the entire codepoint pipeline (walk, census,
-    // candidates, extension, island cut) re-executes per consumer
+    // candidates, extension, island cut) re-executes per consumer.
+    // Once the snapshot exists, the walk census and the duplicated-chunk
+    // spans are fully consumed — release their blocks here (the r20
+    // verdict's unpersist-after-seal item) instead of leaving them to
+    // the ContextCleaner in a long-lived session.
     val cut1 = Dedup.stage(cutSpans(base, chunkSpans.unionByName(repSpans)))
+    chunkSpans.unpersist(blocking = false)
+    Dedup.free(walked)
     val masked = maskRepeatedSpans(
       cut1.select(col("doc_id"), col("clean_text")),
       "doc_id", "clean_text", spanN, spanMinDocs, xx = !md5Mode)

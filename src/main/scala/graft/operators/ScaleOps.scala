@@ -45,6 +45,40 @@ object ScaleOps {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** Total-order `df` by `key` BEFORE a fat per-row projection — the
+    * r21 shape for "CPU-dense map, then orderBy(key) for deterministic
+    * output" queries. Range-partition on `key` with an EXPLICIT
+    * partition count (max of the session's shuffle partitions and the
+    * cluster default parallelism) and sort within partitions: read in
+    * partition order that IS the `orderBy(key)` total order, so a
+    * deterministic per-row projection applied AFTERWARDS yields the
+    * same rows in the same order as projecting first and sorting last.
+    * Two measured wins over the map-then-orderBy shape (guide §2.4):
+    *
+    *  - a global sort's range exchange SAMPLES its child with a full
+    *    separate execution; placed below the map, both the sampling
+    *    pass and the exchange read only the narrow input — the fat
+    *    projection runs ONCE instead of twice;
+    *  - the explicit partition count keeps AQE's byte-based coalescing
+    *    from collapsing the small-by-bytes sorted exchange to one task
+    *    and serializing the CPU-dense projection above it (the
+    *    [[spreadCpu]] rationale, without spreadCpu's extra exchange —
+    *    at sf0.1 these inputs are one parquet row group, so the scan
+    *    itself can never parallelize the map).
+    *
+    * At production scale the plan is the same one `orderBy` would run
+    * (range exchange at the session's shuffle partitioning), minus the
+    * byte-based coalesce of the final sort — a deliberate choice where
+    * a CPU-dense stage follows. Use only when the downstream projection
+    * is per-row (placement-free).
+    */
+  def sortedWide(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    df.repartitionByRange(p, col(key)).sortWithinPartitions(key)
+  }
+
   /** Write a DataFrame as a bucketed table: rows are hash-partitioned into
     * `buckets` files per partition by `key` at write time. Two tables
     * bucketed with the same key and bucket count join shuffle-free.
@@ -304,14 +338,16 @@ object ScaleOps {
     require(!df.columns.contains(partCol),
       s"input already contains the partition column $partCol")
     val fmt = if (granularity == "day") "yyyy-MM-dd" else "yyyy-MM"
-    // spread (guarded) below the key derivation and the range exchange:
-    // the derive+range-map pass serialized behind the small-SF scan's
-    // few splits, and the range partitioner's boundary-sampling job then
-    // re-reads the spread shuffle files instead of re-scanning the source.
-    // A/B (min of 7, same window): 2.22 s unspread vs 1.74 s spread; the
-    // same change on writeZOrdered measured a wash (1.65 vs 1.66 — its
-    // z-map is too cheap to pay for the extra exchange) and was reverted.
-    spreadCpu(df)
+    // NO input spread here (r21): the r20 round added a guarded spreadCpu
+    // above the range exchange claiming a -22% A/B win, but the driver's
+    // fold measured the opposite sign (q_time_layout 0.892x, the round's
+    // only regression) and a r21 StageProfile read task_run 10.1 s vs
+    // task_cpu 4.8 s — the extra round-robin exchange of the full write
+    // input costs more than the derive+range map it parallelizes (the
+    // same conclusion the writeZOrdered A/B reached in r20: 1.65 s
+    // unspread vs 1.66 s spread). Reverted; the range exchange itself
+    // already spreads the sort+write across numFiles tasks.
+    df
       .withColumn(partCol, date_format(col(tsCol), fmt))
       .repartitionByRange(numFiles, col(partCol), col(tsCol))
       .sortWithinPartitions(col(partCol), col(tsCol))

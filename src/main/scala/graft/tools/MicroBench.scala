@@ -48,7 +48,9 @@ object MicroBench {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
-        qs(n)(spark, sfDir).count()
+        // noop sink, matching Bench's r21 timed action (count() lets the
+        // optimizer prune subtrees — guide §1.4)
+        qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[micro] $n%-22s min=${times.min}%6.2fs  all=${times.map(t => f"$t%.2f").mkString(",")}")

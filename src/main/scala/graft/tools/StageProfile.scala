@@ -68,7 +68,9 @@ object StageProfile {
         }
         spark.sparkContext.addSparkListener(listener)
         val t0 = System.nanoTime()
-        d.fn(spark, dir).count()
+        // noop sink, matching Bench's r21 timed action (count() lets the
+        // optimizer prune subtrees — guide §1.4)
+        d.fn(spark, dir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(200) // let the listener bus drain
         spark.sparkContext.removeSparkListener(listener)

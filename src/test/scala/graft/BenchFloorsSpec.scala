@@ -78,36 +78,26 @@ class BenchFloorsSpec extends AnyFunSuite {
     assert(m("q_a").floor == 1.0 && m("q_a").reason.contains("('cause': 'skew')"))
   }
 
-  test("checked-in sf0.1 floors resource parses; the r13 monotone fold " +
-      "restored the tight pre-r12 floors") {
+  test("checked-in sf0.1 floors resource parses; every pin is the r21 " +
+      "noop-sink fresh pin or tighter") {
     val in = getClass.getResourceAsStream("/graft/bench_floors_sf0.1.json")
     assert(in != null, "floors resource missing")
     val t = try scala.io.Source.fromInputStream(in).mkString finally in.close()
     val m = Bench.parseFloors(t)
     assert(m.size >= 140, s"only ${m.size} floor entries parsed")
     assert(m.values.forall(e => e.floor > 0 && !e.floor.isNaN))
-    // spot pins assert the MONOTONE property, not point values (clean
-    // runs legitimately ratchet floors DOWN — an exact-equality pin here
-    // would go red on every improvement, the r12-style stale-gate trap):
-    // r12's wholesale re-pin had loosened these against unchanged
-    // pipelines; the r13 fold took them back to at most the tight
-    // historical values
-    // q_tar_roundtrip carries the r15 DECLARED re-pin (the r13 Hadoop-FS
-    // sink landed in the same commit that pinned 0.234 from the
-    // pre-change wall; nine folds of sustained 0.48-0.76 walls): the
-    // current floor is honest, and the prev history must keep the old
-    // pipeline's gate alive
-    assert(m("q_tar_roundtrip").floor <= 0.483 &&
-      m("q_tar_roundtrip").prev.contains(0.234))
-    assert(m("cb_reduce_all").floor <= 0.71)
-    assert(m("q_dedup_simhash").floor <= 1.261)
-    // the deliberate r12 pipeline change (xx stream row replaced by the
-    // heavier md5 twin) keeps the old pipeline's gate in history
-    assert(m("q_stream_neardup").floor <= 1.681 &&
-      m("q_stream_neardup").prev.contains(0.839))
+    // the r21 methodology change (count() -> noop sink, guide §1.4)
+    // retired the count-era floors WHOLESALE: count() pruned final sorts
+    // and columns (and after the r21 cutSpans fusion, whole subtrees), so
+    // every old floor gated a smaller computation than the one now timed.
+    // Fresh pins carry no prev history — the count-era gates live in git
+    // history, not in a permanently-firing NOTE. Post-r21 re-pins resume
+    // the monotone governance (repin tests above) against THESE pins.
     m.foreach { case (k, e) =>
       e.prev.foreach(p => assert(p > 0 && !p.isNaN,
         s"$k: prev $p is not a valid historical gate"))
+      assert(e.pinnedRound.nonEmpty && e.reason.nonEmpty,
+        s"$k: a floor without provenance")
     }
   }
 
@@ -133,44 +123,19 @@ class BenchFloorsSpec extends AnyFunSuite {
     }
   }
 
-  test("acknowledged-historical allowlist is EXACT: four pinned entries, " +
-      "each anchored to a live prev floor, exact-match-armed only") {
-    // the r19-verdict governance item: recurring prev-floor NOTEs whose
-    // historical pipelines are unreachable by the current declared ones.
-    // This pin fails on any SILENT addition/removal/value change — a new
-    // acknowledgment must edit this literal map too, which is the review
-    // moment the mechanism exists to create.
-    assert(Bench.AcknowledgedHistorical.keySet ===
-      Set("q_tar_roundtrip", "q_stream_neardup", "q_text_topterms",
-        "q_pipeline_clean"))
-    assert(Bench.AcknowledgedHistorical("q_tar_roundtrip")._1 == 0.234)
-    assert(Bench.AcknowledgedHistorical("q_stream_neardup")._1 == 0.839)
-    assert(Bench.AcknowledgedHistorical("q_text_topterms")._1 == 0.445)
-    assert(Bench.AcknowledgedHistorical("q_pipeline_clean")._1 == 0.611)
-    assert(Bench.AcknowledgedHistorical.values.forall(_._2.nonEmpty),
-      "an acknowledgment without a documented reason is a silent mute")
-    // each acknowledgment must anchor to the sf0.1 resource's TIGHTEST
-    // prev floor — a dangling entry (floor vanished or re-pinned to a
-    // different value) must re-arm the full NOTE, not linger
-    val in = getClass.getResourceAsStream("/graft/bench_floors_sf0.1.json")
-    val m = Bench.parseFloors(
-      try scala.io.Source.fromInputStream(in).mkString finally in.close())
-    Bench.AcknowledgedHistorical.foreach { case (q, (ack, _)) =>
-      val e = m(q)
-      assert(e.prev.nonEmpty && e.prev.min == ack,
-        s"$q: acknowledgment $ack dangles (resource prev=${e.prev})")
-      assert(Bench.acknowledged(q, e).isDefined)
-      // a DIFFERENT tightest prev re-arms the full NOTE
-      assert(Bench.acknowledged(q,
-        e.copy(prev = (ack / 2) :: e.prev)).isEmpty,
-        s"$q: a new tighter prev floor must re-arm the full NOTE")
-      // the allowlist is SCOPED to sf0.1 (where every triage above was
-      // done): an exact value match at another SF is a coincidence with
-      // the wrong scale's story, never a suppression
-      assert(Bench.acknowledged(q, e, sfTag = "sf1").isEmpty,
-        s"$q: an sf0.1 acknowledgment must not suppress an sf1 NOTE")
-    }
-    // non-listed queries never acknowledge
+  test("acknowledged-historical allowlist is EXACT: empty since the r21 " +
+      "noop re-pin retired every count-era prev anchor") {
+    // This pin fails on any SILENT addition — a new acknowledgment must
+    // edit this literal assertion too, which is the review moment the
+    // mechanism exists to create. The four count-era entries
+    // (q_tar_roundtrip 0.234, q_stream_neardup 0.839, q_text_topterms
+    // 0.445, q_pipeline_clean 0.611) anchored to prev floors measured
+    // under the count() action; the r21 fresh pins carry no prev history,
+    // so those acknowledgments would dangle — they were retired with the
+    // floors (OPTIMIZATION_r21.md).
+    assert(Bench.AcknowledgedHistorical.isEmpty)
+    // the mechanism itself stays armed: a future acknowledgment fires
+    // only on an exact tightest-prev match, only at sf0.1, only by name
     assert(Bench.acknowledged("q_dedup_exact",
       Bench.FloorEntry(1.0, List(0.234), "r1", "x")).isEmpty)
   }

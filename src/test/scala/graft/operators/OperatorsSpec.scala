@@ -2416,14 +2416,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == (("u v w x y z one two", 8L, 0L)), s"doc 3: ${got(3L)}")
     assert(got(4L) == (("", 4L, 4L)), s"doc 4 (fully cut): ${got(4L)}")
     assert(got(5L) == (("", 0L, 0L)), s"doc 5 (tokenless): ${got(5L)}")
-    // plan gate: anti-join cut, no all-pairs, staged tokenization (the
-    // md5-free plan reads the token frame from the checkpoint barrier)
+    // plan gate: no all-pairs, staged tokenization (the md5-free plan
+    // reads the token frame from the checkpoint barrier), and the cut is
+    // the FUSED array-fold form (r21): covered starts collect into ONE
+    // id-keyed aggregate and the token cut folds per row — the former
+    // position-explode + distinct + LeftAnti + reassembly-aggregate
+    // chain (four shuffles, an n-fold row blow-up) must not come back
     val plan = Corpus.maskRepeatedSpans(df, "doc_id", "text", n = 4,
       minDocs = 2).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs crept into span scrub:\n$plan")
-    assert(plan.contains("LeftAnti"), s"cut is not an anti-join:\n$plan")
+    assert(!plan.contains("LeftAnti"),
+      s"the position-anti-join cut is back (fused in r21):\n${plan.take(1200)}")
+    assert(plan.contains("collect_list"),
+      s"covered-start collection lost:\n${plan.take(1200)}")
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
       s"tokenization not staged:\n${plan.take(1200)}")
   }

@@ -772,8 +772,14 @@ object TextAnalysis {
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       ns: Seq[Int] = Seq(2, 3, 4), seg: Boolean = false): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
+    // ONE guarded spread feeds all three consumers (line explode, length
+    // base, tagged n-gram explode) — they read the SAME canonical
+    // exchange (ReuseExchange, the lmPerplexity r20 pattern); unspread,
+    // the explodes and their partial aggregates serialized behind the
+    // 1-row-group scan split (7.1 task-CPU-s over 22 tasks, r21)
+    val src = ScaleOps.spreadCpu(df.select(col(idCol), col(textCol)))
     val text = col(textCol)
-    val lineRows = df.select(col(idCol).as("id"),
+    val lineRows = src.select(col(idCol).as("id"),
       explode(filter(transform(split(text, "\n"), l => trim(l)),
         l => length(l) > 0)).as("lt"))
     val lineStats = lineRows.groupBy("id", "lt")
@@ -786,7 +792,7 @@ object TextAnalysis {
           col("__c") * length(col("lt")).cast("long"))), lit(0L))
           .as("__dupc"),
         sum(col("__c") * length(col("lt")).cast("long")).as("__totc"))
-    val base = df.select(col(idCol).as("id"),
+    val base = src.select(col(idCol).as("id"),
       greatest(length(text).cast("long"), lit(1L)).as("__len"))
       .join(lineStats, Seq("id"), "left")
       .select(col("id"), col("__len"),
@@ -799,7 +805,7 @@ object TextAnalysis {
           .as("dup_line_char_frac"))
     // one tagged explode over every n: a single count shuffle + top-1
     // window serves all gram sizes
-    val tagged = df.select(col(idCol).as("id"),
+    val tagged = src.select(col(idCol).as("id"),
       explode(flatten(array(ns.map(n =>
         transform(wordNgrams(text, n, seg),
           g => struct(lit(n).as("n"), g.as("g")))): _*))).as("t"))

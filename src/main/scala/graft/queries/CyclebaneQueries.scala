@@ -23,7 +23,13 @@ object CyclebaneQueries {
     QueryDef("cb_reduce_all",
       (s, dir) => {
         val g = empty
-          .mapFrame(Tables.lineitem(s, dir),
+          // spread (guarded) before the decimal multiply + sum: the
+          // reduce-all partial aggregate ran 1.6 task-CPU-s serialized
+          // behind the 1-row-group scan (r21); the decimal sum is exact,
+          // so placement cannot change the result
+          .mapFrame(graft.operators.ScaleOps.spreadCpu(
+              Tables.lineitem(s, dir)
+                .select("l_extendedprice", "l_discount")),
             Map("l_extendedprice" -> "l_extendedprice", "l_discount" -> "l_discount"))
           .withExpr("revenue", Seq("l_extendedprice", "l_discount"),
             "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))")

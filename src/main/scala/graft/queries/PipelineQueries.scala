@@ -904,7 +904,11 @@ object PipelineQueries {
               concat(lit("/files/f"), col("doc_id"), lit(".tmp")),
               concat(lit("/files/f"), col("doc_id"), lit(".tmpx"))))
               .as("path"))
-        Robots.filterUrls(urls,
+        // spread (guarded) the exploded URL mass before the verdict join:
+        // the LIKE-pattern verdict + join-back ran behind the 1-split
+        // scan (1.5 task-run-s over 12 tasks, r21 noop StageProfile);
+        // verdicts are keyed per (host, path) — placement-free
+        Robots.filterUrls(graft.operators.ScaleOps.spreadCpu(urls),
             Robots.parseRules(hosts, "host", "robots"),
             "GraftBot", "host", "path")
           .select(col("doc_id"), col("path"), col("allowed"),
@@ -1482,11 +1486,13 @@ object PipelineQueries {
     // quality-scoring signals
     QueryDef("q_text_quality",
       (s, dir) => {
-        val df = Tables.documents(s, dir)
+        // sortedWide: the signal regexes serialized on the 1-split scan;
+        // qualitySignals is pure withColumns, order-preserving (r21)
+        val df = graft.operators.ScaleOps.sortedWide(
+          Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
         TextAnalysis.qualitySignals(df, col("text"))
           .select("doc_id", "n_chars_m", "n_tokens", "alpha_ratio",
             "digit_ratio", "space_ratio", "mean_token_len", "stopword_ratio")
-          .orderBy("doc_id")
       },
       Some(qualityOracle)),
 
@@ -1943,7 +1949,10 @@ object PipelineQueries {
     // (Java regex vs RE2) agree on this dialect subset.
     QueryDef("q_text_scrub",
       (s, dir) => {
-        val injected = Tables.documents(s, dir)
+        // sortedWide: regex scrub serialized on the 1-split scan; the
+        // per-row map preserves the pre-established doc_id order (r21)
+        val injected = graft.operators.ScaleOps.sortedWide(
+          Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
           .withColumn("t2",
             when(col("doc_id") % 7 === 0,
               concat(col("text"), lit(" contact user"), col("doc_id"),
@@ -1952,7 +1961,6 @@ object PipelineQueries {
         injected.select(col("doc_id"),
           TextAnalysis.emailCount(col("t2")).cast("long").as("n_emails"),
           length(TextAnalysis.scrubPii(col("t2"))).cast("long").as("clean_len"))
-          .orderBy("doc_id")
       },
       Some(raw"""WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id || '@example.com or https://example.com/d/' || doc_id ELSE text END AS t2 FROM documents) SELECT doc_id, CAST(LEN(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(LENGTH(regexp_replace(regexp_replace(t2, 'https?://[^ \t\n\r]+', '<URL>', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS BIGINT) AS clean_len FROM inj ORDER BY doc_id""")),
 
@@ -2008,7 +2016,12 @@ object PipelineQueries {
     // hash aggregation, and the final rollup is map-side combinable.
     QueryDef("q_pipeline_clean",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
+        // ONE guarded spread feeds both consumers of the quality frame
+        // (the dedup aggregate and the semi-join probe) — same canonical
+        // exchange, ReuseExchange; the signal regexes and the langid
+        // argmax map ran serialized behind the 1-split scan (r21)
+        val docs = graft.operators.ScaleOps.spreadCpu(
+          Tables.documents(s, dir).select("doc_id", "text"))
         val quality = TextAnalysis.qualitySignals(docs, col("text"))
           .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5)
         val deduped = Dedup.exact(quality, "doc_id", "text")
@@ -2263,7 +2276,12 @@ object PipelineQueries {
     // decimal-exact sum so both engines add identical addends
     QueryDef("q_text_entropy",
       (s, dir) => {
-        Tables.documents(s, dir)
+        // spread (guarded) before the token explode + counting aggregate
+        // (serialized behind the 1-row-group scan, r21); counts are exact
+        // and the nll addends round before the decimal sum, so placement
+        // cannot change the result
+        graft.operators.ScaleOps.spreadCpu(
+            Tables.documents(s, dir).select("doc_id", "text"))
           .select(col("doc_id"),
             explode(graft.operators.Corpus.spanTokens(col("text"))).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
@@ -2394,9 +2412,13 @@ object PipelineQueries {
         // TRAINED per-language grouping (r19; 64 languages since r20): the pinned
         // model via the fused MulticlassArgmax kernel (0.42x the marker
         // CASE this replaced — SCALE.md r18 A/B)
+        // the spread sits INSIDE the eager stage (downstream reuse reads
+        // the snapshot): the langid argmax kernel + tokenize + explode
+        // ran serialized behind the 1-split scan (r21)
         val toks = Dedup.stage(
           graft.operators.LangIdTrained.withLangPinned(
-              Tables.documents(s, dir).select(col("doc_id"), col("text")),
+              graft.operators.ScaleOps.spreadCpu(
+                Tables.documents(s, dir).select(col("doc_id"), col("text"))),
               "text", "lang")
             .select(col("lang"),
               TextAnalysis.tokens(lower(col("text"))).as("toks"))
@@ -3124,8 +3146,15 @@ object PipelineQueries {
         import graft.operators.{QualityClassifier => QC, TextAnalysis => TA}
         val cfg = TA.GopherConfig(minWords = 25L, maxWords = 80L,
           minMeanWordLen = 3.0, maxMeanWordLen = 5.0, minStopwordHits = 1)
+        // sortedWide: gopher rules + the hashed-feature kernel are pure
+        // per-row maps that ran serialized on the 1-split scan (1.6
+        // task-CPU-s over 6 tasks, r21); both `prepared` consumers
+        // (train's bounded sample, the scoring map) run wide. The final
+        // orderBy stays — its exchange moves narrow scored rows.
         def prepared = QC.withFeatures(
-          TA.gopherRules(Tables.documents(s, dir), col("text"), cfg), "text")
+          TA.gopherRules(graft.operators.ScaleOps.sortedWide(
+            Tables.documents(s, dir).select("doc_id", "text"), "doc_id"),
+            col("text"), cfg), "text")
           .select(col("doc_id"), col("feats"),
             when(col("quality_pass"), 1.0d).otherwise(0.0d).as("y"))
         val model = QC.train(prepared, "doc_id", "feats", "y",
@@ -3185,7 +3214,12 @@ object PipelineQueries {
     // map, zero shuffles at any scale.
     QueryDef("q_pii_scrub",
       (s, dir) => {
-        val planted = Tables.documents(s, dir).withColumn("__t",
+        // sortedWide: the three-pattern regex mask ran 1.7 task-CPU-s in
+        // 4 tasks (+ the orderBy sampling re-run); per-row map preserves
+        // the pre-established doc_id total order (r21)
+        val planted = graft.operators.ScaleOps.sortedWide(
+          Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+          .withColumn("__t",
           concat(col("text"), lit(" Contact user"),
             col("doc_id").cast("string"), lit("@example.com or call 555-867-"),
             lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
@@ -3195,7 +3229,6 @@ object PipelineQueries {
           .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
             col("n_ips").cast("long").as("n_ips"),
             col("n_phones").cast("long").as("n_phones"), col("text_clean"))
-          .orderBy("doc_id")
       },
       Some(piiScrubOracleSql)),
 
@@ -3211,7 +3244,12 @@ object PipelineQueries {
     // constants; RE2-safe, no backreferences).
     QueryDef("q_html_extract",
       (s, dir) => {
-        val docs = Tables.documents(s, dir).withColumn("__html",
+        // sortedWide: the extraction regex chain serialized on the
+        // 1-split scan (+ the orderBy sampling re-run); per-row map
+        // preserves the pre-established doc_id total order (r21)
+        val docs = graft.operators.ScaleOps.sortedWide(
+          Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+          .withColumn("__html",
           concat(
             lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script><style>.c { color: red }</style></head><body><!-- boilerplate\nblock --><h1>Doc "),
             col("doc_id"), lit("</h1><p>"), col("text"),
@@ -3220,7 +3258,6 @@ object PipelineQueries {
             lit("\">link</a> &nbsp;&lt;tail&gt;</body></html>")))
         graft.operators.TextAnalysis.htmlExtract(docs, "__html")
           .select("doc_id", "text_plain", "n_links", "text_ratio")
-          .orderBy("doc_id")
       },
       Some(htmlExtractOracleSql)),
 
@@ -3242,7 +3279,13 @@ object PipelineQueries {
     QueryDef("q_text_cjk",
       (s, dir) => {
         val TA = TextAnalysis
-        val mixed = Tables.documents(s, dir).withColumn("__mix",
+        // sortedWide: the segmentation/fingerprint chain was 3.5
+        // task-CPU-seconds serialized on the 1-split scan plus the
+        // orderBy sampling re-run (r21); per-row projections preserve
+        // the pre-established doc_id total order
+        val mixed = graft.operators.ScaleOps.sortedWide(
+          Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+          .withColumn("__mix",
           concat(coalesce(col("text"), lit("")), lit(" "),
             expr(s"repeat('$CjkZhSentence', CAST(1 + doc_id % 3 AS INT))"),
             lit(" " + CjkJaPhrase + " " + CjkKoPhrase)))
@@ -3254,7 +3297,6 @@ object PipelineQueries {
             size(TA.wordNgrams(col("__mix"), 2, seg = true)).cast("long")
               .as("n_bigrams_seg"),
             TA.fingerprintMd5(TA.segmentScripts(col("__mix"))).as("fp_seg"))
-          .orderBy("doc_id")
       },
       Some(textCjkOracleSql)),
 
@@ -3282,7 +3324,14 @@ object PipelineQueries {
         val fw4 = translate(
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
           "0123456789", FwDigits)
-        val mixed = Tables.documents(s, dir).withColumn("__mix",
+        // sort FIRST, fat fold/regex projection after (sortedWide): the
+        // regexp chain ran 4.3 task-CPU-seconds serialized on the
+        // 1-row-group scan split AND re-ran for the final orderBy's
+        // range sampling (noop-action StageProfile r21). Same rows,
+        // same doc_id total order.
+        val mixed = graft.operators.ScaleOps.sortedWide(
+          Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+          .withColumn("__mix",
           concat(coalesce(col("text"), lit("")),
             lit(WfPre), fw4, lit(WfMid), fw4, lit(WfEnd)))
         val folded = TA.foldWidth(col("__mix"))
@@ -3306,7 +3355,8 @@ object PipelineQueries {
           // stream
           (length(folded) - length(nfkc)).cast("long").as("n_composed"),
           TA.fingerprintMd5(TA.segmentScripts(nfkc)).as("fp_nfkc"))
-          .orderBy("doc_id")
+        // no trailing orderBy: the sortedWide input is already in doc_id
+        // total order and every step above is a per-row projection
       },
       Some(textWidthFoldOracleSql)),
 

@@ -299,6 +299,12 @@ object RelationalQueries {
     // OperatorsSpec on the fixed corpora.
     QueryDef("q_approx_distinct",
       (s, dir) => {
+        // measured and REJECTED (r21): a guarded spread before the
+        // partial aggregate read 2.47 s vs 2.14 s unspread (min of 5) —
+        // the exact-distinct path already pays a (l_returnflag,
+        // l_partkey)-keyed exchange that spreads the heavy phase, and
+        // the extra round-robin exchange (plus its deterministic
+        // pre-sort) only added cost. Left unspread deliberately.
         Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
           .agg(
@@ -899,7 +905,13 @@ object RelationalQueries {
         // pass (3.67 -> 0.56 s min-of-3 at sf0.1, same exact results)
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         cols.map { c =>
-          Tables.lineitem(s, dir).agg(
+          // spread (guarded) per branch: each single-distinct partial
+          // aggregate ran as ONE task behind the 1-row-group scan (5.4
+          // task-CPU-s across the four branches, r21); every aggregate
+          // here is exact (count/distinct/min/max/decimal sum), so
+          // placement cannot change the result
+          graft.operators.ScaleOps.spreadCpu(
+            Tables.lineitem(s, dir).select(c)).agg(
               count(col(c)).as("n_nonnull"),
               count_distinct(col(c)).as("n_distinct"),
               min(col(c)).cast("double").as("min_v"),
@@ -940,9 +952,13 @@ object RelationalQueries {
     // boundary-stable across engines.
     QueryDef("q_outliers",
       (s, dir) => {
+        // spread (guarded) before zScores: its decimal-sum stats pass and
+        // the scoring join ran serialized behind the 1-row-group scan
+        // (1.7 task-CPU-s over 11 tasks, r21); stats are decimal-exact
+        // and z_r rounds to 6, so placement cannot change the result
         graft.operators.Prep.zScores(
-            Tables.lineitem(s, dir)
-              .select("l_returnflag", "l_orderkey", "l_extendedprice"),
+            graft.operators.ScaleOps.spreadCpu(Tables.lineitem(s, dir)
+              .select("l_returnflag", "l_orderkey", "l_extendedprice")),
             "l_extendedprice", Seq("l_returnflag"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),

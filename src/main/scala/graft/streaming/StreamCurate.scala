@@ -159,15 +159,23 @@ object StreamCurate {
       textCol: String, threshold: Double,
       cfg: TextAnalysis.GopherConfig = TextAnalysis.GopherConfig(),
       md5Mode: Boolean = false): DataFrame = {
+    // ONE guarded spread feeds both consumers (the near-dup signature
+    // pass and the gopher/PII gate) — they read the same canonical
+    // exchange (ReuseExchange, the lmPerplexity r20 pattern); unspread,
+    // both CPU-dense per-row passes serialized behind the small-SF
+    // scan's single split (2.3 task-CPU-s over 14 tasks, r21 noop
+    // StageProfile). Both consumers are keyed/per-row — placement-free.
+    val src = graft.operators.ScaleOps.spreadCpu(
+      docs.select(col(idCol), col(tsCol), col(textCol)))
     // nearDupHits' output id column is always named doc_id (it casts
     // the caller's idCol) — rename back so the join keys on the
     // caller's column name whatever idCol is
     val dupIds = StreamDedup
-      .nearDupHits(docs, idCol, tsCol, textCol,
+      .nearDupHits(src, idCol, tsCol, textCol,
         threshold = threshold, md5Mode = md5Mode)
       .select(col("doc_id").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
-    gate(docs, textCol, cfg)
+    gate(src, textCol, cfg)
       .join(dupIds, Seq(idCol), "left")
       .select(col(idCol), col("quality_pass"),
         coalesce(col("__dup"), lit(false)).as("is_dup"),

@@ -911,20 +911,22 @@ object Corpus {
     val base = docs.select(col(idCol).cast("long").as("id"),
         col(textCol).cast("string").as("text"))
       .filter(col("id").isNotNull)
-    // the ONE walk, staged: chunks and anchors both read it — unstaged,
-    // each consumer would re-run the fused pass (losing the fusion).
-    // The walk input is spread (guarded) so the fused hash pass engages
-    // every core instead of serializing behind the small-SF scan's one
-    // split; the spread sits INSIDE the eager stage, so downstream reuse
-    // is untouched (unlike the rejected blanket scan fan-out, which
-    // broke reuse in lazy multiply-consumed subtrees).
-    val walked = Dedup.stage(ScaleOps.spreadCpu(base).as[(Long, String)]
+    // the ONE walk, persisted LAZILY (r21; was an eager checkpoint):
+    // chunks and anchors both read it — uncached, each consumer would
+    // re-run the fused pass (losing the fusion). The guard count below
+    // is the materializing action, so the former separate checkpoint
+    // job folds into the guard job — one serial job fewer in a chain
+    // whose wall IS serial-job latency. The walk input is spread
+    // (guarded) so the fused hash pass engages every core instead of
+    // serializing behind the small-SF scan's one split.
+    val walked = ScaleOps.spreadCpu(base).as[(Long, String)]
       .flatMap { case (id, text) =>
         censusWalk(text, w, cd, ad, g, sl).map { case (k, a, b, p) =>
           (id, k, a, b, p)
         }
       }
-      .toDF("id", "kind", "a", "b", "payload"))
+      .toDF("id", "kind", "a", "b", "payload")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val key =
       if (md5Mode) graft.functions.Md5Hashes.md5Hash64(col("payload"))
       else xxhash64(col("payload"))
@@ -981,7 +983,7 @@ object Corpus {
     // the ContextCleaner in a long-lived session.
     val cut1 = Dedup.stage(cutSpans(base, chunkSpans.unionByName(repSpans)))
     chunkSpans.unpersist(blocking = false)
-    Dedup.free(walked)
+    walked.unpersist(blocking = false)
     val masked = maskRepeatedSpans(
       cut1.select(col("doc_id"), col("clean_text")),
       "doc_id", "clean_text", spanN, spanMinDocs, xx = !md5Mode)
@@ -1015,50 +1017,96 @@ object Corpus {
   def exactRepeats(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, minLen: Int = 40): DataFrame = {
     require(minLen >= 2, s"minLen >= 2, got $minLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("id"),
         col(textCol).cast("string").as("text"))
       .filter(col("id").isNotNull && col("text").isNotNull &&
         length(col("text")) >= minLen)
-    // LAZILY persisted: the gram explode — and, in the certificate
-    // queries, the md5-chain corpus synthesis feeding it — is consumed
-    // by BOTH sides of the content self-join below; unpersisted, the
-    // whole subtree executes once per side (r20 optimization round,
-    // measured ~2x the gram-enumeration cost). `persist`, not the
-    // eager stage(): construction must stay job-free so the call
-    // sites' guardCertScale raises at EXECUTION, not while the plan is
-    // being composed. Blocks are certificate-bounded by that guard and
-    // dropped with the session's cache.
-    // spread (guarded) before the exhaustive gram explode: the
-    // every-position substring enumeration is the certificate's CPU
-    // mass and ran serialized behind the 1-split small-SF scan; a
-    // lazy `.rdd` partition probe + repartition runs no job, so the
-    // construction-job-free guardCertScale contract holds
-    val grams = ScaleOps.spreadCpu(base)
-      .select(col("id"), col("text"),
-        explode(sequence(lit(1),
-          length(col("text")) - lit(minLen - 1))).as("p"))
-      .selectExpr("id", "p", s"substring(text, p, $minLen) AS gram")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // DISTINCT declared pairs: a duplicated (id_a, id_b) row would
-    // double every diagonal match, breaking the p_a - row_number()
-    // island identity and silently fragmenting one maximal repeat into
-    // several wrong-length rows — in the CERTIFICATE operator the
-    // recall bounds trust as exact truth
-    val m = pairs.select(col("id_a").cast("long").as("id_a"),
+    // r21 rewrite: the former formulation exploded EVERY position's
+    // minLen-codepoint substring (O(L·minLen) chars materialized per
+    // document), persisted the gram frame and shuffled it into a
+    // (id_b, gram)-keyed content self-join + diagonal-island window —
+    // the r21 noop StageProfile read 30+ task-run-seconds across its
+    // join stages per invocation. The pair set is BOUNDED (this is the
+    // certificate operator; call sites thread guardCertScale), so the
+    // same maximal-run set comes out of a per-PAIR diagonal scan: two
+    // id-keyed joins attach the two texts, then a JVM kernel walks
+    // every alignment diagonal and emits each maximal equal run
+    // >= minLen — no gram materialization, no content shuffle, no
+    // persist (the r20 twice-consumed-subtree problem disappears with
+    // the self-join). EQUIVALENCE: a maximal equal run of length
+    // len >= minLen on diagonal d is exactly a maximal island of
+    // len - minLen + 1 consecutive matching minLen-grams on d, so the
+    // emitted (start_a, start_b, rep_len) rows are identical to the
+    // gram-join's groupBy output (LongRepeatSpec/DifferentialSpec pin
+    // truth exactness). Construction stays job-free (lazy joins; the
+    // spread probe runs no job) — guardCertScale raises at execution.
+    // DISTINCT declared pairs, as before: a duplicated (id_a, id_b)
+    // would duplicate every emitted run.
+    val p = pairs.select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
       .distinct()
-      .join(grams.select(col("id").as("id_a"), col("p").as("p_a"),
-        col("gram")), Seq("id_a"))
-      .join(grams.select(col("id").as("id_b"), col("p").as("p_b"),
-        col("gram")), Seq("id_b", "gram"))
-      .withColumn("d", col("p_a") - col("p_b"))
-    val w = Window.partitionBy("id_a", "id_b", "d").orderBy("p_a")
-    m.withColumn("isl", col("p_a") - row_number().over(w))
-      .groupBy("id_a", "id_b", "d", "isl")
-      .agg(min("p_a").cast("long").as("start_a"),
-        min("p_b").cast("long").as("start_b"),
-        (count(lit(1)) + lit((minLen - 1).toLong)).as("rep_len"))
-      .select("id_a", "id_b", "start_a", "start_b", "rep_len")
+    val joined = p
+      .join(base.select(col("id").as("id_a"), col("text").as("__ta")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("text").as("__tb")),
+        Seq("id_b"))
+      .select("id_a", "id_b", "__ta", "__tb")
+    val ml = minLen
+    // spread (guarded): the diagonal scans are the certificate's CPU
+    // mass; placement is free (pure per-pair function)
+    ScaleOps.spreadCpu(joined)
+      .as[(Long, Long, String, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (ia, ib, ta, tb) =>
+          diagonalRuns(ta, tb, ml).map { case (sa, sb, len) =>
+            (ia, ib, sa, sb, len)
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "start_a", "start_b", "rep_len")
+  }
+
+  /** All maximal equal codepoint runs of length >= `minLen` between two
+    * texts, at any alignment — [[exactRepeats]]' per-pair kernel: for
+    * each alignment diagonal, scan the overlap once, closing a run
+    * where the characters differ or the texts end. Emits 1-based
+    * codepoint `(start_a, start_b, len)` (both engines' `substring`
+    * counts codepoints — the WidthFold/CJK parity). O(|a|·|b|) per
+    * pair, certificate-scale by construction. */
+  private[graft] def diagonalRuns(a: String, b: String,
+      minLen: Int): Iterator[(Long, Long, Long)] = {
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val n = ca.length
+    val m = cb.length
+    if (n < minLen || m < minLen) Iterator.empty
+    else {
+      val out = Vector.newBuilder[(Long, Long, Long)]
+      var d = -(m - 1)
+      while (d <= n - 1) {
+        var i = math.max(0, d)
+        var j = i - d
+        var runStart = -1
+        while (i < n && j < m) {
+          if (ca(i) == cb(j)) {
+            if (runStart < 0) runStart = i
+          } else {
+            if (runStart >= 0 && i - runStart >= minLen)
+              out += (((runStart + 1).toLong,
+                (runStart - d + 1).toLong, (i - runStart).toLong))
+            runStart = -1
+          }
+          i += 1; j += 1
+        }
+        if (runStart >= 0 && i - runStart >= minLen)
+          out += (((runStart + 1).toLong,
+            (runStart - d + 1).toLong, (i - runStart).toLong))
+        d += 1
+      }
+      out.result().iterator
+    }
   }
 
   /** The per-document chunk walk of [[cdcChunks]] — ONE definition

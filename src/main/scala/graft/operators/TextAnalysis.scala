@@ -223,14 +223,22 @@ object TextAnalysis {
       dim: Int = 64, n: Int = 1): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     require(n >= 1, s"n must be >= 1, got $n")
-    val featCol =
-      if (n == 1) tokens(lower(col(textCol))) else wordNgrams(col(textCol), n)
     // spread before the kernel projection: the per-feature hash loop is
     // CPU-dense per byte (5.9 task-CPU-s over the scan's 6 splits at
-    // sf0.1, StageProfile r20); the kernel is a pure per-row map
-    ScaleOps.spreadCpu(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol),
-        graft.functions.HashEmbedVector.hashEmbed(featCol, dim).as("vec"))
+    // sf0.1, StageProfile r20); the kernel is a pure per-row map.
+    // n >= 2 uses the FUSED n-gram kernel mode (r21): the former
+    // wordNgrams feature column built every n-gram through
+    // zip_with/concat — CodegenFallback lambdas that re-evaluated the
+    // tokenization once per expression reference (six split(trim(...))
+    // instances in the projection) and allocated a string per window.
+    val spread = ScaleOps.spreadCpu(docs.select(col(idCol), col(textCol)))
+    if (n == 1)
+      spread.select(col(idCol), graft.functions.HashEmbedVector
+        .hashEmbed(tokens(lower(col(textCol))), dim).as("vec"))
+    else
+      spread.select(col(idCol), graft.functions.HashEmbedVector
+        .hashEmbedNgrams(tokens(lower(col(textCol))), dim, n,
+          md5Mode = false).as("vec"))
   }
 
   /** The pre-kernel relational formulation of [[hashEmbed]] (explode →
@@ -265,13 +273,17 @@ object TextAnalysis {
       dim: Int = 64, n: Int = 1): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     require(n >= 1, s"n must be >= 1, got $n")
-    val featCol =
-      if (n == 1) tokens(lower(col(textCol))) else wordNgrams(col(textCol), n)
     // same spread as [[hashEmbed]] (the md5 mode's per-feature digest is
-    // the MOST CPU-dense map on the text surface)
-    ScaleOps.spreadCpu(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol),
-        graft.functions.HashEmbedVector.hashEmbedMd5(featCol, dim).as("vec"))
+    // the MOST CPU-dense map on the text surface); n >= 2 takes the
+    // fused n-gram kernel mode — see [[hashEmbed]]
+    val spread = ScaleOps.spreadCpu(docs.select(col(idCol), col(textCol)))
+    if (n == 1)
+      spread.select(col(idCol), graft.functions.HashEmbedVector
+        .hashEmbedMd5(tokens(lower(col(textCol))), dim).as("vec"))
+    else
+      spread.select(col(idCol), graft.functions.HashEmbedVector
+        .hashEmbedNgrams(tokens(lower(col(textCol))), dim, n,
+          md5Mode = true).as("vec"))
   }
 
   /** The relational formulation of [[hashEmbedMd5]] — the independent

@@ -905,13 +905,14 @@ object RelationalQueries {
         // pass (3.67 -> 0.56 s min-of-3 at sf0.1, same exact results)
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         cols.map { c =>
-          // spread (guarded) per branch: each single-distinct partial
-          // aggregate ran as ONE task behind the 1-row-group scan (5.4
-          // task-CPU-s across the four branches, r21); every aggregate
-          // here is exact (count/distinct/min/max/decimal sum), so
-          // placement cannot change the result
-          graft.operators.ScaleOps.spreadCpu(
-            Tables.lineitem(s, dir).select(c)).agg(
+          // measured and REJECTED (r21): a guarded spread per branch
+          // read a flat wall (1.88 -> 1.90 s in the fold) while task CPU
+          // went 5.4 -> 19.0 s — the four round-robin exchanges each pay
+          // the deterministic pre-repartition sort (SPARK-23207) of the
+          // full 600 K-row column, costing more than the partial
+          // aggregates they spread. The count_distinct path already
+          // carries its own keyed exchange. Left unspread deliberately.
+          Tables.lineitem(s, dir).select(c).agg(
               count(col(c)).as("n_nonnull"),
               count_distinct(col(c)).as("n_distinct"),
               min(col(c)).cast("double").as("min_v"),

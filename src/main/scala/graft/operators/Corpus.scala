@@ -326,16 +326,25 @@ object Corpus {
       textCol: String,
       n: Int = 8,
       minDocs: Int = 2,
-      xx: Boolean = false): DataFrame = {
+      xx: Boolean = false,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(n >= 2, s"span length must be >= 2 tokens, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    // the tokenization is spread (guarded) INSIDE the eager stage —
-    // downstream reuse reads the staged snapshot, so the added exchange
-    // cannot break it (the repeatedSpans rationale)
-    val toks = Dedup.stage(
-      ScaleOps.spreadCpu(docs.select(col(idCol).as("id"),
-          col(textCol).as("__txt")))
-        .select(col("id"), spanTokens(col("__txt")).as("__t")))
+    // the tokenization is spread (guarded) and persisted LAZILY (r21;
+    // was an eager checkpoint): its first physical consumer — the one
+    // grams exchange ReuseExchange dedups the repeated-span aggregate
+    // and the coverage join onto — strictly precedes the final token
+    // join in the stage DAG, so the cache fills once with no
+    // concurrent-fill race, and the former separate staging job's
+    // serial latency disappears from a chain that was nothing but
+    // serial latency. `carryCols` ride the token frame through to the
+    // output (scrubComposite threads its codepoint counts through here
+    // instead of paying a join back onto the cut snapshot).
+    val toks = ScaleOps.spreadCpu(docs.select(col(idCol).as("id") +:
+          col(textCol).as("__txt") +: carryCols.map(col): _*))
+      .select(col("id") +: spanTokens(col("__txt")).as("__t") +:
+        carryCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 1-based n-gram start positions (repeatedSpans' convention). In xx
     // mode the span TEXT never leaves the scan stage: the key column is
     // hashed inside the same projection that materializes the n-gram.
@@ -397,10 +406,11 @@ object Corpus {
     toks.join(starts, Seq("id"), "left")
       .withColumn("__kept",
         when(col("__st").isNull, col("__t")).otherwise(keptToks))
-      .select(col("id").as(idCol),
-        array_join(col("__kept"), " ").as("clean_text"),
-        size(col("__t")).cast("long").as("n_tokens"),
-        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"))
+      .select(col("id").as(idCol) +:
+        array_join(col("__kept"), " ").as("clean_text") +:
+        size(col("__t")).cast("long").as("n_tokens") +:
+        (size(col("__t")) - size(col("__kept"))).cast("long")
+          .as("n_removed") +: carryCols.map(col): _*)
   }
 
   /** Remove contaminated documents: `train` without any document sharing
@@ -984,16 +994,18 @@ object Corpus {
     val cut1 = Dedup.stage(cutSpans(base, chunkSpans.unionByName(repSpans)))
     chunkSpans.unpersist(blocking = false)
     walked.unpersist(blocking = false)
-    val masked = maskRepeatedSpans(
-      cut1.select(col("doc_id"), col("clean_text")),
-      "doc_id", "clean_text", spanN, spanMinDocs, xx = !md5Mode)
-    cut1.select(col("doc_id"), col("n_spans").as("n_cp_spans"),
-        col("n_removed").as("n_cp_removed"))
-      .join(masked.select(col("doc_id"), col("clean_text"),
-        col("n_tokens"), col("n_removed").as("n_tok_removed")),
-        Seq("doc_id"))
-      .select("doc_id", "clean_text", "n_cp_spans", "n_cp_removed",
-        "n_tokens", "n_tok_removed")
+    // the codepoint counts ride THROUGH the token-domain mask
+    // (carryCols) instead of joining back onto the cut snapshot — one
+    // exchange pair and one join fewer in the tail (r21)
+    maskRepeatedSpans(
+        cut1.select(col("doc_id"), col("clean_text"),
+          col("n_spans").as("n_cp_spans"),
+          col("n_removed").as("n_cp_removed")),
+        "doc_id", "clean_text", spanN, spanMinDocs, xx = !md5Mode,
+        carryCols = Seq("n_cp_spans", "n_cp_removed"))
+      .select(col("doc_id"), col("clean_text"), col("n_cp_spans"),
+        col("n_cp_removed"), col("n_tokens"),
+        col("n_removed").as("n_tok_removed"))
   }
 
   /** EXACT maximal cross-document repeats of length >= `minLen` between

@@ -2431,8 +2431,13 @@ class OperatorsSpec extends AnyFunSuite {
       s"the position-anti-join cut is back (fused in r21):\n${plan.take(1200)}")
     assert(plan.contains("collect_list"),
       s"covered-start collection lost:\n${plan.take(1200)}")
-    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
-      s"tokenization not staged:\n${plan.take(1200)}")
+    // the token frame is a shared snapshot: a lazy persist
+    // (InMemoryRelation, the r21 shape — one serial job fewer than the
+    // eager checkpoint) or a checkpoint RDD scan both satisfy the
+    // compute-once contract
+    assert(plan.contains("InMemoryRelation") ||
+      plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
+      s"tokenization not staged or cached:\n${plan.take(1200)}")
   }
 
   test("span scrub xx mode: output identical to string keys; the span " +

@@ -298,6 +298,23 @@ object Bench {
       // A/B stays reproducible.
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "2"))
+      // AQE coalesce floor (r21 optimization round, measured): AQE's
+      // partition coalescing targets the cluster parallelism
+      // (parallelismFirst=true, the default) but never builds a
+      // partition smaller than minPartitionSize (default 1m) — and at
+      // this SF most post-shuffle stages carry only a few MB, so the
+      // 1m floor overrides the parallelism target and serializes
+      // merge/join/verify stages onto 2-6 tasks (StageProfile:
+      // q_approx_distinct's distinct-merge ran 1.2 task-CPU-s on 2
+      // tasks). Lowering the floor to 64k lets those stages spread to
+      // the core count. Interleaved same-JVM A/B (ConfAB, alternating
+      // arm order, min of 5-6): 11 of 12 comparisons favored 64k,
+      // ratios 1.1-2.1x. At production scale post-shuffle partitions
+      // are tens of MB and the floor never binds — decisions are
+      // identical to the default — so this only makes the bench engage
+      // the cores a production stage would. Env-overridable for A/B.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val clock = new TaskClock

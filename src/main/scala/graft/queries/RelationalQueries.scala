@@ -550,17 +550,31 @@ object RelationalQueries {
               .filter(col("n_name").isin("NATION_3", "NATION_7"))),
             col("s_nationkey") === col("n_nationkey"))
           .select("s_suppkey", "s_name")
-        val l1 = lines.filter(col("late") && col("o_orderstatus") === "F")
-          .select("l_orderkey", "l_suppkey")
+        // r21 rewrite (guide §2.4 — remove shuffles outright): the semi/
+        // anti formulation planned `lines` TWICE (l1 and l3 are different
+        // filters of the same join, so the lineitem⋈orders join executed
+        // twice) plus a third lineitem instance for l2 — five exchanges
+        // and three joins. Both existence tests are per-ORDER set facts,
+        // so ONE window over the join's own l_orderkey partitioning
+        // (zero additional exchanges — the SMJ output is already hash-
+        // partitioned and sorted on the key) computes them for every row:
+        //  - EXISTS l2 with s2 <> me    ⇔ the order has >= 2 distinct
+        //    suppliers (my own supplier is in the set; the inner join
+        //    drops no lineitem rows — every l_orderkey has its order);
+        //  - NOT EXISTS late l3, s3 <> me ⇔ the order's LATE-supplier
+        //    set is exactly {me} — and an l1 row is itself late, so
+        //    that is |late set| == 1.
+        // Same rows, same numwait counts (oracle SQL unchanged).
+        val w = Window.partitionBy("l_orderkey")
+        lines
+          // one select, one Window exec (separate withColumns planned two)
+          .select(col("*"),
+            size(collect_set(col("l_suppkey")).over(w)).as("__n_supp"),
+            size(collect_set(when(col("late"), col("l_suppkey"))).over(w))
+              .as("__n_late_supp"))
+          .filter(col("late") && col("o_orderstatus") === "F" &&
+            col("__n_supp") > 1 && col("__n_late_supp") === 1)
           .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
-        val l2 = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-        val l3 = lines.filter(col("late"))
-          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
-        l1.join(l2, col("l_orderkey") === col("o2") &&
-            col("l_suppkey") =!= col("s2"), "left_semi")
-          .join(l3, col("l_orderkey") === col("o3") &&
-            col("l_suppkey") =!= col("s3"), "left_anti")
           .groupBy("s_name").agg(count(lit(1)).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(100)

@@ -26,6 +26,9 @@ object MicroBench {
       // micro timings stay comparable to the official fold
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "2"))
+      // match Bench's AQE coalesce floor (see Bench.scala)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
     // A/B experiment hook: SPARK_GRAFT_CONF="k=v;k2=v2" overlays extra
     // session confs so a config hypothesis can be measured without a
     // rebuild (official Bench runs never read this)

@@ -36,6 +36,9 @@ object StageProfile {
       // match Bench's shuffle-writer selection (see Bench.scala)
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "2"))
+      // match Bench's AQE coalesce floor (see Bench.scala)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the Bench warm-up pair, so rep 1 is not billed JVM/codegen startup

@@ -114,28 +114,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("q21 shape: semi/anti self-joins keyed on the order, dims broadcast") {
+  test("q21 shape: one join + one order-keyed window, dims broadcast") {
     val plan = planOf("q21_suppliers_kept_waiting")
-    // EXISTS / NOT EXISTS planned as semi and anti hash joins, never a
-    // nested-loop or cartesian pass over lineitem
-    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n${plan.take(800)}")
-    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n${plan.take(800)}")
+    // r21 rewrite: the EXISTS / NOT EXISTS pair is computed by ONE
+    // window over the lineitem⋈orders join's own l_orderkey
+    // partitioning — the semi/anti self-joins (which re-planned the
+    // lineitem⋈orders join and scanned a third lineitem instance) are
+    // gone, and with them their exchanges
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"),
+      "q21 still plans the semi/anti self-joins the window replaced")
+    assert(plan.contains("Window"), "existence tests not a window pass")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), "q21 plans a cross/NL join")
-    // the nation-filtered supplier dim reaches l1 as a broadcast
+    // exactly ONE lineitem scan feeds the query (the old shape had three)
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      "more than one lineitem scan")
+    // the nation-filtered supplier dim reaches the survivors as a broadcast
     assert(plan.contains("BroadcastHashJoin"), "supplier dim not broadcast")
-    // every shuffle is either order-keyed (self-join co-location; a
-    // side the planner instead broadcasts needs none) or the final
-    // supplier-name aggregation — no shuffle on any other key
+    // every shuffle is order-keyed (the join + window share it) or the
+    // final supplier-name aggregation — no shuffle on any other key
     val exchanges = "Exchange hashpartitioning\\(([a-z0-9#_]+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     val allowed = (k: String) => k.startsWith("l_orderkey") ||
-      k.startsWith("o2") || k.startsWith("o3") || k.startsWith("s_name")
+      k.startsWith("s_name")
     assert(exchanges.nonEmpty && exchanges.forall(allowed),
       s"unexpected shuffle keys: $exchanges")
-    val l2Scan = "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>"
-    assert(plan.contains(l2Scan),
-      s"l2 scan not pruned to (orderkey, suppkey):\n${plan.take(1500)}")
   }
 
   test("q4 shape: EXISTS late-line probe is a semi join, no stray shuffles") {
